@@ -1,0 +1,212 @@
+"""Unit tests for the monoid algebra, mirroring the reference's Rust algebra.
+
+Reference goldens ported from:
+- standard_scaler.rs:123-166  (values 0..9 → mean 4.5, pop var 8.25)
+- minmax_scaler.rs:169-213    (i%5 → min 0, range 4)
+- integer_assignment_aggregate.rs (slot stability, free list, len policy)
+- tfidf_transformer.rs:90-173 (element-wise freq merge, resize, negate)
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from diffdataflowmlpipelines_ray.state.aggregates import (
+    DocumentFrequencyAgg,
+    MeanVarAgg,
+    MinMaxAgg,
+    PositionAssignmentAgg,
+    SumCountAgg,
+    merge_all,
+    round_to_decimal,
+    rust_round,
+)
+
+
+def test_rust_round_half_away_from_zero():
+    assert rust_round(4.5) == 5  # Python round() would give 4
+    assert rust_round(-4.5) == -5
+    assert rust_round(2.4) == 2
+    assert round_to_decimal(123.456, -1) == pytest.approx(123.5)
+    assert round_to_decimal(123.456, 1) == pytest.approx(120.0)
+
+
+class TestMeanVar:
+    def test_golden_0_to_9(self):
+        agg = MeanVarAgg.from_numpy(np.arange(10))
+        mean, var = agg.get()
+        assert mean == pytest.approx(4.5)
+        assert var == pytest.approx(8.25)  # population variance, not sample
+
+    def test_merge_equals_single_pass(self):
+        rng = np.random.default_rng(7)
+        xs = rng.normal(3.0, 2.0, size=1000)
+        whole = MeanVarAgg.from_numpy(xs)
+        parts = [MeanVarAgg.from_numpy(xs[i : i + 100]) for i in range(0, 1000, 100)]
+        merged = merge_all(parts)
+        m1, v1 = whole.get()
+        m2, v2 = merged.get()
+        assert m1 == pytest.approx(m2)
+        assert v1 == pytest.approx(v2)
+
+    def test_per_row_algebra_matches_batch(self):
+        # from_numpy (vectorized) must equal folding per-row VarianceAggregate::new
+        xs = [1.0, 5.0, 5.0, -2.0]
+        acc = MeanVarAgg()
+        for x in xs:
+            acc.merge(MeanVarAgg.of(x, 1))
+        batch = MeanVarAgg.from_numpy(np.array(xs))
+        assert acc.get()[0] == pytest.approx(batch.get()[0])
+        assert acc.get()[1] == pytest.approx(batch.get()[1])
+
+    def test_retraction_restores_state(self):
+        xs = np.arange(10).astype(float)
+        extra = np.array([100.0, -3.0])
+        acc = MeanVarAgg.from_numpy(xs)
+        add = MeanVarAgg.from_numpy(extra)
+        acc.merge(add)
+        acc.merge(add.negated())
+        m, v = acc.get()
+        assert m == pytest.approx(4.5)
+        assert v == pytest.approx(8.25)
+        assert acc.count == 10
+
+    def test_weighted_diffs(self):
+        xs = np.array([1.0, 2.0, 3.0, 2.0])
+        w = np.array([1, 1, 1, -1])  # insert 1,2,3 and retract a 2
+        agg = MeanVarAgg.from_numpy(xs, w)
+        ref = MeanVarAgg.from_numpy(np.array([1.0, 3.0]))
+        # retraction of one of two 2s: net = {1,2,3} minus {2} = {1,3}
+        net = MeanVarAgg.from_numpy(np.array([1.0, 2.0, 3.0]))
+        net.merge(MeanVarAgg.of(2.0, 1).negated())
+        assert agg.count == 2
+        assert agg.get()[0] == pytest.approx(net.get()[0]) == pytest.approx(ref.get()[0])
+        assert agg.get()[1] == pytest.approx(ref.get()[1])
+
+
+class TestMinMax:
+    def test_golden_mod5(self):
+        xs = np.array([i % 5 for i in range(10)], dtype=float)
+        mn, rng_ = MinMaxAgg.from_numpy(xs).get()
+        assert (mn, rng_) == (0.0, 4.0)
+
+    def test_retraction_exposes_next_extreme(self):
+        agg = MinMaxAgg.from_numpy(np.array([1.0, 5.0, 9.0]))
+        agg.merge(MinMaxAgg.of(9.0, -1))  # retract current max
+        mn, rng_ = agg.get()
+        assert (mn, mn + rng_) == (1.0, 5.0)
+
+    def test_merge_commutes(self):
+        a = MinMaxAgg.from_numpy(np.array([3.0, 3.0, 7.0, 7.0]))
+        b = MinMaxAgg.from_numpy(np.array([1.0, 7.0]), np.array([1, -1]))
+        ab = a.merged(b)
+        ba = b.merged(a)
+        assert ab.counts == ba.counts
+        assert ab.get() == (1.0, 6.0)  # one 7 retracted, one survives
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            MinMaxAgg().get()
+
+
+class TestPositionAssignment:
+    def test_stable_slots_first_seen(self):
+        agg = PositionAssignmentAgg()
+        for v in ["b", "a", "c"]:
+            agg.merge(PositionAssignmentAgg.of_value(v, 1))
+        m, ln = agg.get_map_and_len()
+        assert m == {"b": 0, "a": 1, "c": 2}
+        assert ln >= 3
+
+    def test_len_growth_x15_rust_rounding(self):
+        # len sequence from 1 with ×1.5 Rust rounding: 1,2,3,5(round(4.5)),8,...
+        agg = PositionAssignmentAgg()
+        lens = []
+        for i in range(6):
+            agg.merge(PositionAssignmentAgg.of_value(f"v{i}", 1))
+            lens.append(agg.len)
+        assert lens == [1, 2, 3, 5, 5, 8]
+
+    def test_free_list_reuse(self):
+        agg = PositionAssignmentAgg()
+        for v in ["a", "b", "c"]:
+            agg.merge(PositionAssignmentAgg.of_value(v, 1))
+        agg.merge(PositionAssignmentAgg.of_value("b", 1).negated())
+        m, _ = agg.get_map_and_len()
+        assert "b" not in m  # retracted value is not live
+        agg.merge(PositionAssignmentAgg.of_value("d", 1))
+        m, _ = agg.get_map_and_len()
+        assert m["d"] == 1  # reused b's freed slot (LIFO)
+
+    def test_retraction_roundtrip(self):
+        ins = [PositionAssignmentAgg.of_value(v, 1) for v in ["x", "y", "z"]]
+        agg = PositionAssignmentAgg()
+        for p in ins:
+            agg.merge(p)
+        before = agg.get_map_and_len()[0]
+        extra = PositionAssignmentAgg.of_value("w", 1)
+        agg.merge(extra)
+        agg.merge(extra.negated())
+        after = agg.get_map_and_len()[0]
+        assert before == after
+
+    def test_tokens_vec(self):
+        agg = PositionAssignmentAgg.of_tokens(["t1", "t2", "t1"], 1)
+        m, _ = agg.get_map_and_len()
+        assert set(m) == {"t1", "t2"}
+
+    def test_batch_sorted_order_deterministic(self):
+        vals = ["pear", "apple", "fig", "apple"]
+        a = PositionAssignmentAgg.from_sorted_values(vals)
+        b = PositionAssignmentAgg.from_sorted_values(reversed(vals))
+        assert a.get_map_and_len() == b.get_map_and_len()
+        assert a.get_map_and_len()[0] == {"apple": 0, "fig": 1, "pear": 2}
+
+
+class TestDocumentFrequency:
+    def test_merge_resizes(self):
+        a = DocumentFrequencyAgg.of([1, 0, 1], 1)
+        b = DocumentFrequencyAgg.of([0, 1, 1, 1], 1)
+        a.merge(b)
+        assert a.get_frequencies().tolist() == [1, 1, 2, 1]
+        assert a.count == 2
+
+    def test_negate_retraction(self):
+        a = DocumentFrequencyAgg.of([1, 0], 1)
+        b = DocumentFrequencyAgg.of([1, 1], 1)
+        a.merge(b)
+        a.merge(b.negated())
+        assert a.get_frequencies().tolist() == [1, 0]
+        assert a.count == 1
+
+    def test_rounding(self):
+        a = DocumentFrequencyAgg.of([104, 96], 1, round_to=1)
+        assert a.get_frequencies().tolist() == [100, 100]
+
+
+class TestSumCount:
+    def test_weighted_and_extremes(self):
+        xs = np.array([1.0, 2.0, 10.0])
+        agg = SumCountAgg.from_numpy(xs, track_extremes=True)
+        agg.merge(SumCountAgg.from_numpy(np.array([10.0]), np.array([-1]), track_extremes=True))
+        assert agg.s == pytest.approx(3.0)
+        assert agg.count == 2
+        assert agg.min_max() == (1.0, 2.0)
+        assert agg.mean == pytest.approx(1.5)
+
+
+def test_epoch_split_equivalence_property():
+    """Defining monoid property: any epoch split folds to the batch result."""
+    rng = random.Random(42)
+    xs = [rng.uniform(-10, 10) for _ in range(500)]
+    batch = MeanVarAgg.from_numpy(np.array(xs))
+    # random split into epochs
+    idx = sorted(rng.sample(range(1, 500), 7))
+    bounds = [0, *idx, 500]
+    acc = MeanVarAgg()
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        acc.merge(MeanVarAgg.from_numpy(np.array(xs[lo:hi])))
+    assert acc.get()[0] == pytest.approx(batch.get()[0])
+    assert acc.get()[1] == pytest.approx(batch.get()[1])
