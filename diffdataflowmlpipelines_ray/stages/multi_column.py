@@ -1,0 +1,159 @@
+"""ColumnTransformer / Pipeline composition over Ray Data.
+
+- ``MultiColumnEncoder`` ⇄ ``multi_column_encoder``
+  (src/feature_encoders/multi_column_encoder.rs:10-38): slices each configured
+  column, fits+transforms each encoder, assembles the final dense feature
+  vector.  The reference assembles via N−1 binary equi-joins on row id
+  (:32-35) — the paper's admitted bottleneck (§3).  Here ALL per-column
+  transforms run on the same Arrow batch in ONE ``map_batches`` pass against
+  broadcast fitted state, and assembly is a horizontal numpy concat —
+  no join, no shuffle.
+
+  Fit is likewise a single scan: one partial per block carries every
+  stateful encoder's accumulator (a dict), merged per encoder.
+
+- ``EncoderPipeline`` ⇄ ``Pipeline`` (src/feature_encoders/pipeline.rs:7-34):
+  chains encoders on one column; ``fit`` interleaves fit→transform per stage
+  (one dataset pass per stateful stage — inherent to the sequential
+  dependency), ``transform`` replays the chain inside a single map_batches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.vectors import list_column_to_2d
+from ..state.aggregates import dumps, loads, merge_all
+from .encoders import DEFAULT_FIT_BATCH, Encoder
+
+__all__ = ["MultiColumnEncoder", "EncoderPipeline"]
+
+
+def _as_2d(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Encoder output column (scalar float or list<float>) → (n, w) block.
+
+    This is ``vector_append`` (row_value.rs:53-75) vectorized: scalars become
+    width-1 blocks, vectors keep their width; hstack concatenates.
+    """
+    typ = col.type
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return list_column_to_2d(col)
+    return col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False).reshape(-1, 1)
+
+
+class MultiColumnEncoder:
+    """config: sequence of (column_name, Encoder) — order defines vector layout."""
+
+    def __init__(self, config: Sequence[tuple[str, Encoder]]):
+        self.config = list(config)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, ds, weight_col: str | None = None) -> "MultiColumnEncoder":
+        """ONE scan: per-block partials for every stateful encoder at once."""
+        stateful = [
+            (i, col, enc)
+            for i, (col, enc) in enumerate(self.config)
+            if enc.requires_fit
+        ]
+        if not stateful:
+            return self
+        columns = sorted({col for _, col, _ in stateful})
+        cols = columns + ([weight_col] if weight_col else [])
+        specs = [(i, col, enc) for i, col, enc in stateful]
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            partials = {
+                i: enc.make_partial(tbl, col, weight_col) for i, col, enc in specs
+            }
+            return pa.table({"partial": pa.array([dumps(partials)], type=pa.binary())})
+
+        parts = ds.select_columns(cols).map_batches(
+            per_block, batch_format="pyarrow", batch_size=DEFAULT_FIT_BATCH
+        )
+        merged: dict[int, list] = {}
+        for row in parts.take_all():
+            for i, acc in loads(row["partial"]).items():
+                merged.setdefault(i, []).append(acc)
+        for i, col, enc in stateful:
+            enc.load_accumulator(merge_all(merged[i]))
+        return self
+
+    # ------------------------------------------------------------ transform
+    def transform_table(self, tbl: pa.Table, out: str = "features") -> pa.Table:
+        blocks = []
+        for j, (col, enc) in enumerate(self.config):
+            tmp = enc.transform_table(tbl, col, f"__enc_{j}")
+            blocks.append(_as_2d(tmp[f"__enc_{j}"]))
+        dense = np.hstack(blocks)
+        n, width = dense.shape
+        offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+        vec = pa.ListArray.from_arrays(offsets, pa.array(dense.reshape(-1)))
+        return tbl.append_column(out, vec)
+
+    def transform(self, ds, out: str = "features", keep_input: bool = True):
+        me = self
+
+        def apply(tbl: pa.Table) -> pa.Table:
+            res = me.transform_table(tbl, out)
+            return res if keep_input else res.select([out])
+
+        return ds.map_batches(apply, batch_format="pyarrow")
+
+    def fit_transform(self, ds, out: str = "features", weight_col: str | None = None,
+                      keep_input: bool = True):
+        return self.fit(ds, weight_col).transform(ds, out, keep_input)
+
+    # ------------------------------------------------------------ state
+    def state(self) -> list[dict]:
+        return [enc.state() for _, enc in self.config]
+
+    def set_state(self, states: list[dict]) -> "MultiColumnEncoder":
+        for (_, enc), st in zip(self.config, states):
+            enc.set_state(st)
+        return self
+
+
+class EncoderPipeline(Encoder):
+    """Chain of encoders applied to one column — pipeline.rs:7-34."""
+
+    def __init__(self, stages: Sequence[Encoder]):
+        self.stages = list(stages)
+
+    @property
+    def requires_fit(self):  # type: ignore[override]
+        return any(s.requires_fit for s in self.stages)
+
+    def fit(self, ds, column: str, weight_col: str | None = None) -> "EncoderPipeline":
+        # fit stage i on the (lazily) transformed output of stages < i —
+        # pipeline.rs:19-26.  Each stateful stage costs one dataset pass;
+        # stateless prefixes are fused into that same pass by Ray's streaming
+        # executor (the intermediate Dataset is never materialized).
+        current = ds
+        col = column
+        for j, stage in enumerate(self.stages):
+            nxt = f"__pipe_{j}"
+            if stage.requires_fit:
+                stage.fit(current, col, weight_col)
+            current = stage.transform(current, col, nxt)
+            col = nxt
+        return self
+
+    def transform_table(self, tbl: pa.Table, column: str, out: str) -> pa.Table:
+        col = column
+        for j, stage in enumerate(self.stages):
+            nxt = out if j == len(self.stages) - 1 else f"__pipe_{j}"
+            tbl = stage.transform_table(tbl, col, nxt)
+            col = nxt
+        drop = [c for c in tbl.column_names if c.startswith("__pipe_")]
+        return tbl.drop_columns(drop) if drop else tbl
+
+    def state(self) -> dict:
+        return {"stages": [s.state() for s in self.stages]}
+
+    def set_state(self, st: dict) -> "EncoderPipeline":
+        for s, sub in zip(self.stages, st["stages"]):
+            s.set_state(sub)
+        return self

@@ -1,0 +1,250 @@
+"""Encoder goldens ported from the reference's unit tests (SURVEY §5) plus
+weighted-fit (retraction) and composition tests.  Small Datasets; one Ray
+session per pytest run (conftest)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from diffdataflowmlpipelines_ray.stages.encoders import (
+    CountVectorizer,
+    FunctionEncoder,
+    HashVectorizer,
+    KBinsDiscretizer,
+    MinMaxScaler,
+    OneHotEncoder,
+    OrdinalEncoder,
+    Passthrough,
+    PolynomialFeaturesEncoder,
+    StandardScaler,
+    TfidfTransformer,
+)
+from diffdataflowmlpipelines_ray.stages.multi_column import (
+    EncoderPipeline,
+    MultiColumnEncoder,
+)
+from diffdataflowmlpipelines_ray.functions.hashing import stable_hash60
+
+
+def ds_from(table: dict, parallelism: int = 2):
+    return rd.from_arrow(pa.table(table)).repartition(parallelism)
+
+
+@pytest.fixture()
+def scaler_ds(ray_session):
+    return ds_from({"row_id": list(range(10)), "x": list(range(10))})
+
+
+def col(ds, name):
+    return [r[name] for r in ds.sort("row_id").take_all()]
+
+
+class TestStandardScaler:
+    def test_golden_divide_by_variance(self, scaler_ds):
+        # standard_scaler.rs:162 — (i − 4.5) / 8.25 (variance, not std)
+        enc = StandardScaler()
+        out = enc.fit_transform(scaler_ds, "x")
+        expected = [(i - 4.5) / 8.25 for i in range(10)]
+        assert col(out, "x_enc") == pytest.approx(expected)
+
+    def test_rounding_knobs(self, scaler_ds):
+        enc = StandardScaler(round_to=(-2, 0)).fit(scaler_ds, "x")
+        assert enc.mean_ == pytest.approx(4.5)   # rounded to 0.01
+        assert enc.scale_ == pytest.approx(8.0)  # 8.25 rounded to 1
+
+    def test_corrected_mode(self, scaler_ds):
+        enc = StandardScaler(reference_compat=False).fit(scaler_ds, "x")
+        assert enc.scale_ == pytest.approx(math.sqrt(8.25))
+
+    def test_weighted_fit_equals_net(self, ray_session):
+        full = ds_from({"x": [0, 1, 2, 3, 100], "diff": [1, 1, 1, 1, 1]})
+        with_retract = ds_from(
+            {"x": [0, 1, 2, 3, 100, 100], "diff": [1, 1, 1, 1, 1, -1]}
+        )
+        net = ds_from({"x": [0, 1, 2, 3]})
+        a = StandardScaler().fit(with_retract, "x", weight_col="diff")
+        b = StandardScaler().fit(net, "x")
+        assert a.mean_ == pytest.approx(b.mean_)
+        assert a.scale_ == pytest.approx(b.scale_)
+
+
+class TestMinMaxKBins:
+    def test_minmax_golden(self, ray_session):
+        ds = ds_from({"row_id": list(range(10)), "x": [i % 5 for i in range(10)]})
+        out = MinMaxScaler().fit_transform(ds, "x")
+        assert col(out, "x_enc") == pytest.approx([(i % 5) / 4.0 for i in range(10)])
+
+    def test_kbins_golden(self, ray_session):
+        # kbins_discretizer.rs:88 — floor((i%5)/1.4), k=3
+        ds = ds_from({"row_id": list(range(10)), "x": [i % 5 for i in range(10)]})
+        out = KBinsDiscretizer(3).fit_transform(ds, "x")
+        assert col(out, "x_enc") == [math.floor((i % 5) / 1.4) for i in range(10)]
+
+    def test_kbins_clamps_max_edge(self, ray_session):
+        ds = ds_from({"row_id": [0, 1], "x": [0.0, 10.0]})
+        out = KBinsDiscretizer(4).fit_transform(ds, "x")
+        assert col(out, "x_enc") == [0.0, 3.0]  # x==max → k−1
+
+    def test_minmax_retraction_weighted(self, ray_session):
+        ds = ds_from({"x": [1.0, 5.0, 9.0, 9.0], "diff": [1, 1, 1, -1]})
+        enc = MinMaxScaler().fit(ds, "x", weight_col="diff")
+        assert (enc.min_, enc.range_) == (1.0, 4.0)
+
+
+class TestOrdinalOneHot:
+    def test_ordinal_sorted_slots_and_unseen(self, ray_session):
+        fit_ds = ds_from({"row_id": [0, 1, 2], "cat": ["pear", "apple", "fig"]})
+        enc = OrdinalEncoder().fit(fit_ds, "cat")
+        assert enc.mapping_ == {"apple": 0, "fig": 1, "pear": 2}
+        new = ds_from({"row_id": [0, 1], "cat": ["fig", "durian"]})
+        out = enc.transform(new, "cat")
+        assert col(out, "cat_enc") == [1.0, -1.0]  # unseen → −1 (ordinal_encoder.rs:45-49)
+
+    def test_onehot_vectors_and_unseen_zero(self, ray_session):
+        fit_ds = ds_from({"row_id": [0, 1, 2], "cat": ["b", "a", "c"]})
+        enc = OneHotEncoder().fit(fit_ds, "cat")
+        assert enc.len_ == 3
+        new = ds_from({"row_id": [0, 1, 2, 3], "cat": ["a", "b", "c", "zz"]})
+        out = enc.transform(new, "cat")
+        vecs = col(out, "cat_enc")
+        assert list(vecs[0]) == [1.0, 0.0, 0.0]
+        assert list(vecs[1]) == [0.0, 1.0, 0.0]
+        assert list(vecs[2]) == [0.0, 0.0, 1.0]
+        assert list(vecs[3]) == [0.0, 0.0, 0.0]  # one_hot_encoder.rs:50-57
+
+    def test_onehot_overprovisioned_len(self, ray_session):
+        # 6 distinct → len follows 1,2,3,5,5,8 growth → 8
+        fit_ds = ds_from({"row_id": list(range(6)), "cat": [f"v{i}" for i in range(6)]})
+        enc = OneHotEncoder().fit(fit_ds, "cat")
+        assert enc.len_ == 8
+        out = enc.transform(fit_ds, "cat")
+        assert all(len(v) == 8 for v in col(out, "cat_enc"))
+
+
+class TestVectorizers:
+    CORPUS = ["EDML Benni Elias", "Berlin Berlin Bratwurst", "EDML Berlin"]
+
+    def test_count_vectorizer(self, ray_session):
+        ds = ds_from({"row_id": [0, 1, 2], "text": self.CORPUS})
+        enc = CountVectorizer().fit(ds, "text")
+        vocab = enc.vocab_
+        assert set(vocab) == {"EDML", "Benni", "Elias", "Berlin", "Bratwurst"}
+        out = enc.transform(ds, "text")
+        vecs = col(out, "text_enc")
+        assert vecs[1][vocab["Berlin"]] == 2.0
+        assert vecs[1][vocab["Bratwurst"]] == 1.0
+        assert sum(vecs[1]) == 3.0
+
+    def test_count_vectorizer_binary_and_oov(self, ray_session):
+        ds = ds_from({"row_id": [0, 1, 2], "text": self.CORPUS})
+        enc = CountVectorizer(binary=True).fit(ds, "text")
+        new = ds_from({"row_id": [0], "text": ["Berlin Berlin UNSEEN"]})
+        vecs = col(enc.transform(new, "text"), "text_enc")
+        assert vecs[0][enc.vocab_["Berlin"]] == 1.0  # binary
+        assert sum(vecs[0]) == 1.0  # OOV silently dropped (count_vectorizer.rs:62-64)
+
+    def test_tfidf_reference_compat_inverted(self, ray_session):
+        # vectors: doc0=[1,0], doc1=[1,1]; inverted binarize → [0,1],[0,0]
+        # → freq=[0,1], N=2; tfidf: term0 freq==0 → 0; term1: tf·ln(2/1)
+        ds = ds_from({"row_id": [0, 1], "v": [[1.0, 0.0], [1.0, 1.0]]})
+        enc = TfidfTransformer(reference_compat=True).fit(ds, "v")
+        assert enc.freq_.tolist() == [0, 1]
+        vecs = col(enc.transform(ds, "v"), "v_enc")
+        assert list(vecs[0]) == [0.0, 0.0]
+        assert vecs[1][0] == 0.0
+        assert vecs[1][1] == pytest.approx(math.log(2.0))
+
+    def test_tfidf_correct_mode(self, ray_session):
+        ds = ds_from({"row_id": [0, 1], "v": [[1.0, 0.0], [1.0, 1.0]]})
+        enc = TfidfTransformer(reference_compat=False).fit(ds, "v")
+        assert enc.freq_.tolist() == [2, 1]  # real document frequency
+        vecs = col(enc.transform(ds, "v"), "v_enc")
+        assert vecs[0][0] == pytest.approx(1.0 * math.log(2 / 2))  # == 0
+        assert vecs[1][1] == pytest.approx(math.log(2.0))
+
+    def test_hash_vectorizer_stable(self, ray_session):
+        ds = ds_from({"row_id": [0], "text": ["spark spark stream"]})
+        enc = HashVectorizer(n_features=16)
+        vecs = col(enc.transform(ds, "text"), "text_enc")
+        v = np.array(vecs[0])
+        assert v[stable_hash60("spark") % 16] == 2.0
+        assert v[stable_hash60("stream") % 16] == 1.0
+        assert v.sum() == 3.0
+
+
+class TestStateless:
+    def test_polynomial_1d(self, ray_session):
+        ds = ds_from({"row_id": [0, 1], "x": [2.0, 3.0]})
+        out = PolynomialFeaturesEncoder(1, 3).transform(ds, "x")
+        vecs = col(out, "x_enc")
+        assert list(vecs[0]) == [2.0, 4.0, 8.0]
+        assert list(vecs[1]) == [3.0, 9.0, 27.0]
+
+    def test_polynomial_multifeature(self, ray_session):
+        ds = ds_from({"row_id": [0], "v": [[2.0, 3.0]]})
+        out = PolynomialFeaturesEncoder(1, 2).transform(ds, "v")
+        # combos: (0),(1),(0,0),(0,1),(1,1) → 2,3,4,6,9
+        assert list(col(out, "v_enc")[0]) == [2.0, 3.0, 4.0, 6.0, 9.0]
+
+    def test_passthrough_and_function(self, ray_session):
+        ds = ds_from({"row_id": [0, 1], "x": [1, 2]})
+        assert col(Passthrough().transform(ds, "x"), "x_enc") == [1.0, 2.0]
+        enc = FunctionEncoder(batch_fn=lambda a: a * 10)
+        assert col(enc.transform(ds, "x"), "x_enc") == [10, 20]
+        enc2 = FunctionEncoder(fn=lambda v: v + 1)
+        assert col(enc2.transform(ds, "x"), "x_enc") == [2, 3]
+
+
+class TestComposition:
+    def test_multi_column_f5(self, ray_session):
+        # FIXTURES F5 / src/main.rs:62-68: 5 int cols, mixed encoders
+        n = 25
+        tbl = {
+            "row_id": list(range(n)),
+            "c0": [i % 5 for i in range(n)],
+            "c1": [i % 10 for i in range(n)],
+            "c2": [i % 8 for i in range(n)],
+            "c3": [str(i % 3) for i in range(n)],
+            "c4": [float(i) for i in range(n)],
+        }
+        ds = ds_from(tbl)
+        mce = MultiColumnEncoder([
+            ("c0", StandardScaler(round_to=(-2, 0))),
+            ("c1", MinMaxScaler()),
+            ("c2", KBinsDiscretizer(4)),
+            ("c3", OneHotEncoder()),
+            ("c4", Passthrough()),
+        ])
+        out = mce.fit_transform(ds, out="features")
+        vecs = col(out, "features")
+        # width: 1 + 1 + 1 + len(onehot=3) + 1 = 7
+        assert all(len(v) == 7 for v in vecs)
+        # passthrough is last element
+        assert [v[-1] for v in vecs] == [float(i) for i in range(n)]
+        # minmax element: (i%10)/9
+        assert [v[1] for v in vecs] == pytest.approx([(i % 10) / 9.0 for i in range(n)])
+
+    def test_pipeline_count_then_tfidf(self, ray_session):
+        ds = ds_from({"row_id": [0, 1], "text": ["a a b", "b c"]})
+        pipe = EncoderPipeline([CountVectorizer(), TfidfTransformer(reference_compat=False)])
+        pipe.fit(ds, "text")
+        out = pipe.transform(ds, "text", "tfidf")
+        vecs = col(out, "tfidf")
+        cv = pipe.stages[0]
+        # 'a' appears in 1 of 2 docs → idf ln2; tf=2 in doc0
+        assert vecs[0][cv.vocab_["a"]] == pytest.approx(2 * math.log(2.0))
+        # 'b' in both docs → idf 0
+        assert vecs[0][cv.vocab_["b"]] == pytest.approx(0.0)
+
+    def test_determinism_across_parallelism(self, ray_session):
+        rng = np.random.default_rng(3)
+        xs = rng.normal(0, 5, size=2000).tolist()
+        a = StandardScaler().fit(ds_from({"x": xs}, parallelism=1), "x")
+        b = StandardScaler().fit(ds_from({"x": xs}, parallelism=7), "x")
+        # same block contents? no — different partials; equality to float tolerance
+        assert a.mean_ == pytest.approx(b.mean_, abs=1e-9)
+        assert a.scale_ == pytest.approx(b.scale_, rel=1e-12)
