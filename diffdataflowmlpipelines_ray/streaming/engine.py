@@ -1,0 +1,519 @@
+"""Micro-batch streaming engine: epochs, watermarks, windows, exactly-once.
+
+The driver loop IS the frontier (SURVEY §3 "Ray mapping of the lifecycle"):
+the reference's ``InputSession.advance_to/flush`` + ``probe.less_than``
+(src/main.rs:82-86) becomes
+
+    for epoch, inputs in source:
+        session.process_epoch(epoch, inputs, watermark=...)
+
+where an epoch is complete exactly when its emissions are committed to the
+sink manifest.  Late data (impossible in the reference, which closes epochs
+by construction — SURVEY §2.1) is handled by watermarks + allowed lateness:
+rows for already-finalized windows are counted and dropped.
+
+Data path per epoch:
+1. partial stage — vectorized per-block accumulators keyed by
+   (key…, window) (``map_batches`` when the input is a Dataset; direct when
+   it is a small Arrow table);
+2. the driver merges the tiny per-block partials deterministically and
+   scatters per-shard deltas to the ``ShardedStateStore`` actors
+   (idempotent per epoch);
+3. watermark advance sweeps closed windows/sessions out of the shards;
+4. emissions are committed to the op's ``ExactlyOnceParquetSink`` under the
+   epoch id; a checkpoint (state dump + watermark) is taken every
+   ``checkpoint_every`` epochs → kill/resume replays only uncommitted work.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.aggregates import SumCountAgg
+from .sink import CheckpointManager, ExactlyOnceParquetSink
+from .state_store import ShardedStateStore
+
+__all__ = [
+    "WindowSpec",
+    "KeyedAggregation",
+    "SessionWindowAggregation",
+    "StreamJoin",
+    "StreamSession",
+]
+
+
+def _key_bytes(key_tuple: tuple) -> bytes:
+    return pickle.dumps(key_tuple, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _ts_to_float(series: pd.Series) -> np.ndarray:
+    """Event-time column → float seconds (timestamps are UTC-naive; DuckDB's
+    ``epoch()`` matches this conversion exactly)."""
+    if np.issubdtype(series.dtype, np.datetime64):
+        return series.to_numpy(dtype="datetime64[us]").astype(np.int64) / 1e6
+    return series.to_numpy(dtype=np.float64)
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """Tumbling / sliding / session windows over an event-time column.
+
+    Window starts are aligned to multiples of ``slide`` (== ``size`` for
+    tumbling) from epoch 0 — the same bucketing DuckDB's
+    ``floor(epoch(ts)/size)`` produces, which keeps the SQL oracle exact.
+    """
+
+    kind: str  # "tumbling" | "sliding" | "session"
+    size: float | None = None
+    slide: float | None = None
+    gap: float | None = None
+    allowed_lateness: float = 0.0
+
+    @staticmethod
+    def tumbling(size: float, allowed_lateness: float = 0.0) -> "WindowSpec":
+        return WindowSpec("tumbling", size=float(size), slide=float(size),
+                          allowed_lateness=allowed_lateness)
+
+    @staticmethod
+    def sliding(size: float, slide: float, allowed_lateness: float = 0.0) -> "WindowSpec":
+        return WindowSpec("sliding", size=float(size), slide=float(slide),
+                          allowed_lateness=allowed_lateness)
+
+    @staticmethod
+    def session(gap: float, allowed_lateness: float = 0.0) -> "WindowSpec":
+        return WindowSpec("session", gap=float(gap), allowed_lateness=allowed_lateness)
+
+    def assign(self, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ts → (row_index, window_start, window_end); sliding replicates rows."""
+        if self.kind == "tumbling":
+            start = np.floor(ts / self.size) * self.size
+            return np.arange(ts.size), start, start + self.size
+        if self.kind == "sliding":
+            n_windows = int(math.ceil(self.size / self.slide))
+            idx_parts, start_parts = [], []
+            base = np.floor(ts / self.slide)
+            for j in range(n_windows):
+                s = (base - j) * self.slide
+                mask = ts < s + self.size  # s <= ts holds by construction
+                idx_parts.append(np.nonzero(mask)[0])
+                start_parts.append(s[mask])
+            idx = np.concatenate(idx_parts)
+            start = np.concatenate(start_parts)
+            return idx, start, start + self.size
+        raise ValueError("session windows are assigned in the state store")
+
+
+_AGG_FIELDS = ("count", "sum", "mean", "min", "max")
+
+
+@dataclass
+class KeyedAggregation:
+    """Incremental grouped aggregate, optionally windowed.
+
+    The DD pattern ``threshold(monoid) → count()`` (standard_scaler.rs:81-86)
+    generalized to per-key state: accumulators are ``SumCountAgg`` (or a
+    custom monoid via ``make_acc``/``finalize``), merged in the state shards.
+    Retractions: pass ``weight_col`` with −1 diffs.
+    """
+
+    name: str
+    input: str
+    key_cols: Sequence[str]
+    value_col: str | None = None
+    aggs: Sequence[str] = ("count", "sum")
+    ts_col: str | None = None
+    window: WindowSpec | None = None
+    weight_col: str | None = None
+    make_acc: Callable | None = None  # custom: (values, weights) -> acc
+    finalize: Callable | None = None  # custom: acc -> dict[str, scalar]
+
+    def __post_init__(self):
+        bad = set(self.aggs) - set(_AGG_FIELDS)
+        if bad and self.finalize is None:
+            raise ValueError(f"unknown aggs {bad}")
+        if self.window and self.window.kind != "session" and self.ts_col is None:
+            raise ValueError("windowed aggregation needs ts_col")
+        self._track_extremes = bool({"min", "max"} & set(self.aggs))
+
+    # --------------------------------------------------------------- partials
+    def partial_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
+        """One block → {key_bytes: acc}; returns (partials, late_rows)."""
+        cols = list(self.key_cols)
+        if self.value_col:
+            cols.append(self.value_col)
+        if self.ts_col:
+            cols.append(self.ts_col)
+        if self.weight_col and self.weight_col in tbl.column_names:
+            cols.append(self.weight_col)
+        pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
+        values = (
+            pdf[self.value_col].to_numpy(dtype=np.float64)
+            if self.value_col
+            else np.ones(len(pdf))
+        )
+        weights = (
+            pdf[self.weight_col].to_numpy(dtype=np.int64)
+            if self.weight_col and self.weight_col in pdf
+            else None
+        )
+        late = 0
+        if self.window is not None:
+            ts = _ts_to_float(pdf[self.ts_col])
+            idx, wstart, wend = self.window.assign(ts)
+            keep = wend + self.window.allowed_lateness > finalized_before
+            late = int((~keep).sum())
+            idx, wstart, wend = idx[keep], wstart[keep], wend[keep]
+            frame = pdf.iloc[idx][list(self.key_cols)].copy()
+            frame["__ws"] = wstart
+            frame["__we"] = wend
+            values = values[idx]
+            weights = weights[idx] if weights is not None else None
+            group_cols = list(self.key_cols) + ["__ws", "__we"]
+        else:
+            frame = pdf[list(self.key_cols)].copy()
+            group_cols = list(self.key_cols)
+        frame["__pos"] = np.arange(len(frame))
+        out: dict[bytes, Any] = {}
+        for key, grp in frame.groupby(group_cols, sort=True, dropna=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            pos = grp["__pos"].to_numpy()
+            v = values[pos]
+            w = weights[pos] if weights is not None else None
+            if self.make_acc is not None:
+                acc = self.make_acc(v, w)
+            else:
+                acc = SumCountAgg.from_numpy(v, w, track_extremes=self._track_extremes)
+            out[_key_bytes(key_t)] = acc
+        return out, late
+
+    # --------------------------------------------------------------- finalize
+    def _finalize_acc(self, acc) -> dict:
+        if self.finalize is not None:
+            return self.finalize(acc)
+        out = {}
+        for a in self.aggs:
+            if a == "count":
+                out["count"] = acc.count
+            elif a == "sum":
+                out["sum"] = acc.s
+            elif a == "mean":
+                out["mean"] = acc.mean
+            elif a == "min":
+                out["min"] = acc.min_max()[0]
+            elif a == "max":
+                out["max"] = acc.min_max()[1]
+        return out
+
+    def rows_to_table(self, items: list[tuple[bytes, Any]], epoch: int) -> pa.Table:
+        recs = []
+        for kb, acc in items:
+            key = pickle.loads(kb)
+            rec = dict(zip(list(self.key_cols) + ["window_start", "window_end"], key))
+            rec.update(self._finalize_acc(acc))
+            rec["epoch"] = epoch
+            recs.append(rec)
+        if not recs:
+            names = list(self.key_cols)
+            if self.window is not None:
+                names += ["window_start", "window_end"]
+            names += [a for a in self.aggs] + ["epoch"]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+@dataclass
+class SessionWindowAggregation:
+    """Per-key session windows (gap-merged) with sum/count/min_ts/max_ts.
+
+    Insert-only (see StateShard.apply_session_points); finalized when the
+    watermark passes session end + allowed lateness.
+    """
+
+    name: str
+    input: str
+    key_cols: Sequence[str]
+    ts_col: str
+    gap: float
+    value_col: str | None = None
+    allowed_lateness: float = 0.0
+
+    def points_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
+        cols = list(self.key_cols) + [self.ts_col] + (
+            [self.value_col] if self.value_col else []
+        )
+        pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
+        ts = _ts_to_float(pdf[self.ts_col])
+        vals = (
+            pdf[self.value_col].to_numpy(dtype=np.float64)
+            if self.value_col
+            else np.ones(len(pdf))
+        )
+        keep = ts + self.gap + self.allowed_lateness > finalized_before
+        late = int((~keep).sum())
+        pdf = pdf[keep]
+        ts, vals = ts[keep], vals[keep]
+        out: dict[bytes, list] = {}
+        frame = pdf[list(self.key_cols)].copy()
+        frame["__pos"] = np.arange(len(frame))
+        for key, grp in frame.groupby(list(self.key_cols), sort=True, dropna=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            pos = grp["__pos"].to_numpy()
+            out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(), vals[pos].tolist()))
+        return out, late
+
+    def rows_to_table(self, items: list, epoch: int) -> pa.Table:
+        recs = []
+        for kb, sess in items:
+            key = pickle.loads(kb)
+            s, c, mn_ts, mx_ts = sess[2]
+            rec = dict(zip(self.key_cols, key))
+            rec.update(
+                {
+                    "session_start": sess[0],
+                    "session_end": sess[1],
+                    "sum": s,
+                    "count": c,
+                    "first_ts": mn_ts,
+                    "last_ts": mx_ts,
+                    "epoch": epoch,
+                }
+            )
+            recs.append(rec)
+        if not recs:
+            names = list(self.key_cols) + [
+                "session_start", "session_end", "sum", "count", "first_ts",
+                "last_ts", "epoch",
+            ]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+@dataclass
+class StreamJoin:
+    """Stateful symmetric hash join keyed by arbitrary columns.
+
+    Both sides are hash-partitioned to the same shards (co-location by key —
+    SURVEY §7.4); each shard buffers per-key rows and emits each matched pair
+    exactly once.  ``retention`` bounds buffered state by event time
+    (watermark − retention is expired on every advance).
+    """
+
+    name: str
+    left_input: str
+    right_input: str
+    left_key: Sequence[str]
+    right_key: Sequence[str]
+    left_cols: Sequence[str]
+    right_cols: Sequence[str]
+    left_ts: str | None = None
+    right_ts: str | None = None
+    retention: float | None = None
+
+    def side_rows(self, tbl: pa.Table, side: str) -> list:
+        key_cols = self.left_key if side == "left" else self.right_key
+        out_cols = self.left_cols if side == "left" else self.right_cols
+        ts_col = self.left_ts if side == "left" else self.right_ts
+        cols = list(dict.fromkeys(list(key_cols) + list(out_cols) + ([ts_col] if ts_col else [])))
+        pdf = tbl.select(cols).to_pandas()
+        ts = _ts_to_float(pdf[ts_col]) if ts_col else np.zeros(len(pdf))
+        keys = list(zip(*(pdf[c] for c in key_cols))) if len(pdf) else []
+        rows = list(pdf[list(out_cols)].itertuples(index=False, name=None))
+        return [
+            (_key_bytes(k), float(t), r) for k, t, r in zip(keys, ts, rows)
+        ]
+
+    def matches_to_table(self, matches: list, epoch: int) -> pa.Table:
+        key_names = list(self.left_key)
+        recs = []
+        for kb, lrow, rrow in matches:
+            key = pickle.loads(kb)
+            rec = dict(zip(key_names, key))
+            rec.update(dict(zip(self.left_cols, lrow)))
+            rec.update(dict(zip(self.right_cols, rrow)))
+            rec["epoch"] = epoch
+            recs.append(rec)
+        if not recs:
+            names = key_names + list(self.left_cols) + list(self.right_cols) + ["epoch"]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+class StreamSession:
+    """The per-job driver: owns the state store, per-op sinks, watermark and
+    checkpoints.  See module docstring for the epoch data path."""
+
+    def __init__(self, root: str | Path, num_shards: int = 4,
+                 checkpoint_every: int = 1):
+        self.root = Path(root)
+        self.store = ShardedStateStore(num_shards=num_shards)
+        self.checkpoint_every = checkpoint_every
+        self.ops: dict[str, Any] = {}
+        self.sinks: dict[str, ExactlyOnceParquetSink] = {}
+        self.chk = CheckpointManager(self.root / "_checkpoints")
+        self.watermark = -math.inf
+        self.last_epoch = -1
+        self.metrics = {"late_dropped": 0, "epochs": 0, "input_rows": 0,
+                        "emitted_rows": 0}
+
+    # ------------------------------------------------------------------ setup
+    def add(self, op) -> "StreamSession":
+        self.ops[op.name] = op
+        if isinstance(op, (KeyedAggregation, SessionWindowAggregation)) and (
+            getattr(op, "window", None) is not None
+            or isinstance(op, SessionWindowAggregation)
+        ):
+            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name)
+        elif isinstance(op, StreamJoin):
+            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name)
+        return self
+
+    # ------------------------------------------------------------------ resume
+    def resume(self) -> int:
+        """Restore the latest checkpoint; returns the next epoch to process
+        (0 when starting fresh).  Sink commits for later epochs are skipped
+        idempotently during replay."""
+        latest = self.chk.latest()
+        if latest is None:
+            return 0
+        blobs, extra = self.chk.load(latest)
+        self.store.load_all(blobs)
+        self.watermark = extra.get("watermark", -math.inf)
+        self.last_epoch = latest
+        self.metrics.update(extra.get("metrics", {}))
+        return latest + 1
+
+    # ------------------------------------------------------------- main loop
+    def _merged_partials(self, op, data, finalized_before: float) -> dict:
+        """Partial stage: Dataset → distributed map_batches; Table → direct."""
+        if isinstance(data, pa.Table):
+            partials, late = op.partial_batch(data, finalized_before)
+            self.metrics["late_dropped"] += late
+            return partials
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            part, late = op.partial_batch(tbl, finalized_before)
+            blob = pickle.dumps((part, late), protocol=pickle.HIGHEST_PROTOCOL)
+            return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+        rows = data.map_batches(per_block, batch_format="pyarrow").take_all()
+        blobs = sorted(r["blob"] for r in rows)  # deterministic merge order
+        merged: dict[bytes, Any] = {}
+        for b in blobs:
+            part, late = pickle.loads(b)
+            self.metrics["late_dropped"] += late
+            for k, acc in part.items():
+                if k in merged:
+                    merged[k].merge(acc)
+                else:
+                    merged[k] = acc
+        return merged
+
+    def process_epoch(self, epoch: int, inputs: dict[str, pa.Table | Any],
+                      watermark: float | None = None) -> dict:
+        """Apply one micro-batch; optionally advance the watermark after.
+
+        ``inputs``: {input_name: Arrow table | Ray Dataset}.  Deltas carry an
+        optional ``diff`` column (+1/−1) for retractions (KeyedAggregation
+        with ``weight_col='diff'``).
+        """
+        emitted: dict[str, pa.Table] = {}
+        for name, op in self.ops.items():
+            if isinstance(op, KeyedAggregation):
+                if op.input not in inputs:
+                    continue
+                merged = self._merged_partials(op, inputs[op.input], self.watermark)
+                self.store.apply_deltas(name, epoch, merged)
+            elif isinstance(op, SessionWindowAggregation):
+                if op.input not in inputs:
+                    continue
+                data = inputs[op.input]
+                if not isinstance(data, pa.Table):
+                    data = pa.concat_tables(
+                        [b for b in data.iter_batches(batch_format="pyarrow")]
+                    )
+                points, late = op.points_batch(data, self.watermark)
+                self.metrics["late_dropped"] += late
+                self.store.apply_session_points(name, epoch, points, op.gap)
+            elif isinstance(op, StreamJoin):
+                left_tbl = inputs.get(op.left_input)
+                right_tbl = inputs.get(op.right_input)
+                left = op.side_rows(self._as_table(left_tbl), "left") if left_tbl is not None else []
+                right = op.side_rows(self._as_table(right_tbl), "right") if right_tbl is not None else []
+                if left or right:
+                    matches = self.store.join_insert_probe(name, epoch, left, right)
+                    tbl = op.matches_to_table(matches, epoch)
+                    self.sinks[name].commit_tables(epoch, [tbl], meta={"kind": "join"})
+                    emitted[name] = tbl
+                    self.metrics["emitted_rows"] += tbl.num_rows
+
+        if watermark is not None:
+            self.advance_watermark(epoch, watermark, emitted)
+
+        self.last_epoch = epoch
+        self.metrics["epochs"] += 1
+        if self.checkpoint_every and (epoch % self.checkpoint_every == 0):
+            self.checkpoint(epoch)
+        return emitted
+
+    @staticmethod
+    def _as_table(data) -> pa.Table:
+        if isinstance(data, pa.Table):
+            return data
+        return pa.concat_tables(list(data.iter_batches(batch_format="pyarrow")))
+
+    def advance_watermark(self, epoch: int, watermark: float,
+                          emitted: dict | None = None) -> dict:
+        """Frontier advance: close windows/sessions whose end (+ lateness)
+        ≤ the new watermark, commit emissions under this epoch."""
+        emitted = emitted if emitted is not None else {}
+        self.watermark = max(self.watermark, watermark)
+        for name, op in self.ops.items():
+            if isinstance(op, KeyedAggregation) and op.window is not None:
+                bound = self.watermark - op.window.allowed_lateness
+                items = self.store.sweep_closed_windows(name, bound)
+                tbl = op.rows_to_table(items, epoch)
+                self.sinks[name].commit_tables(epoch, [tbl], meta={"watermark": self.watermark})
+                emitted[name] = tbl
+                self.metrics["emitted_rows"] += tbl.num_rows
+            elif isinstance(op, SessionWindowAggregation):
+                bound = self.watermark - op.allowed_lateness
+                items = self.store.sweep_closed_sessions(name, bound, op.gap)
+                tbl = op.rows_to_table(items, epoch)
+                self.sinks[name].commit_tables(epoch, [tbl], meta={"watermark": self.watermark})
+                emitted[name] = tbl
+                self.metrics["emitted_rows"] += tbl.num_rows
+            elif isinstance(op, StreamJoin) and op.retention is not None:
+                self.store.join_expire(name, self.watermark - op.retention)
+        return emitted
+
+    # ------------------------------------------------------------- inspection
+    def state_table(self, name: str) -> pa.Table:
+        """Current (non-windowed) per-key aggregates as an Arrow table."""
+        op = self.ops[name]
+        return op.rows_to_table(self.store.collect(name), self.last_epoch)
+
+    def read_output(self, name: str) -> pa.Table:
+        return self.sinks[name].read_committed_table()
+
+    def checkpoint(self, epoch: int) -> None:
+        self.chk.save(
+            epoch,
+            self.store.dump_all(),
+            extra={"watermark": self.watermark, "metrics": dict(self.metrics)},
+        )
+
+    def close(self, epoch: int | None = None) -> dict:
+        """Final watermark → +inf: flush every window/session, commit, stop."""
+        e = self.last_epoch + 1 if epoch is None else epoch
+        out = self.advance_watermark(e, math.inf)
+        self.checkpoint(e)
+        self.store.shutdown()
+        return out

@@ -1,0 +1,228 @@
+"""Exactly-once Parquet sink with per-epoch/partition manifests + checkpoints.
+
+The reference has NO sink — results are observed via ``inspect`` printing and
+the probe frontier (src/main.rs:71-72); this module is the genuinely new
+surface the north rule requires (SURVEY §2.5 "sink").
+
+Design (SURVEY §4 "Exactly-once output"):
+
+- Data lives under ``root/data/epoch=NNNNNNNN/part-*.parquet``.
+- A **commit** is the atomic rename of ``root/_manifests/epoch-N.json.tmp`` →
+  ``epoch-N.json`` listing every file with row count + content hash.  Readers
+  (and resume) trust ONLY manifests; stray files from a crashed attempt are
+  invisible and simply overwritten on retry.
+- ``commit_tables``/``commit_dataset`` are idempotent: re-committing an
+  already-committed epoch is a no-op returning the existing manifest, so a
+  restarted driver can blindly replay uncommitted epochs.
+- The **frontier** (probe analogue, src/main.rs:86) is "epoch e is committed";
+  ``committed_epochs()`` exposes it.
+- Checkpoints pair a sink frontier with a state-store snapshot so a killed
+  job resumes from the last committed epoch with matching state
+  (``CheckpointManager``).
+
+At cluster scale each epoch directory holds one file per output partition —
+a failed run skips finished epochs entirely and re-runs only uncommitted
+ones; no giant single file is ever produced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["ExactlyOnceParquetSink", "CheckpointManager"]
+
+ENGINE_VERSION = "0.1.0"
+
+
+def _sha256_file(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ frontier
+    def _manifest_path(self, epoch: int) -> Path:
+        return self.root / "_manifests" / f"epoch-{epoch:08d}.json"
+
+    def _epoch_dir(self, epoch: int) -> Path:
+        return self.root / "data" / f"epoch={epoch:08d}"
+
+    def is_committed(self, epoch: int) -> bool:
+        return self._manifest_path(epoch).exists()
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for p in sorted((self.root / "_manifests").glob("epoch-*.json")):
+            out.append(int(p.stem.split("-")[1]))
+        return out
+
+    def manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ commit
+    def commit_tables(self, epoch: int, tables: list[pa.Table],
+                      meta: dict | None = None) -> dict:
+        """Write partition tables for an epoch and atomically commit.
+
+        Idempotent: an already-committed epoch returns its manifest untouched.
+        Partial files from a previous crashed attempt are overwritten (they
+        were never visible — only manifests are read).
+        """
+        if self.is_committed(epoch):
+            return self.manifest(epoch)
+        edir = self._epoch_dir(epoch)
+        edir.mkdir(parents=True, exist_ok=True)
+        files = []
+        for i, tbl in enumerate(tables):
+            fpath = edir / f"part-{i:05d}.parquet"
+            tmp = edir / f".part-{i:05d}.parquet.tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, fpath)  # atomic on one filesystem
+            files.append(
+                {
+                    "path": str(fpath.relative_to(self.root)),
+                    "rows": tbl.num_rows,
+                    "sha256": _sha256_file(fpath),
+                }
+            )
+        return self._commit_manifest(epoch, files, meta)
+
+    def commit_dataset(self, epoch: int, ds, meta: dict | None = None) -> dict:
+        """Commit a Ray Dataset as one epoch (staging dir → rename → manifest).
+
+        Use for large epochs: Ray writes partition files in parallel into a
+        staging directory; the directory rename + manifest write is the
+        atomic commit point.
+        """
+        if self.is_committed(epoch):
+            return self.manifest(epoch)
+        edir = self._epoch_dir(epoch)
+        staging = self.root / "data" / f".staging-{epoch:08d}-{uuid.uuid4().hex[:8]}"
+        ds.write_parquet(str(staging))
+        if edir.exists():
+            shutil.rmtree(edir)  # leftovers from a crashed attempt
+        os.replace(staging, edir)
+        files = []
+        for fpath in sorted(edir.glob("*.parquet")):
+            files.append(
+                {
+                    "path": str(fpath.relative_to(self.root)),
+                    "rows": pq.read_metadata(fpath).num_rows,
+                    "sha256": _sha256_file(fpath),
+                }
+            )
+        return self._commit_manifest(epoch, files, meta)
+
+    def _commit_manifest(self, epoch: int, files: list[dict], meta: dict | None) -> dict:
+        manifest = {
+            "epoch": epoch,
+            "engine_version": ENGINE_VERSION,
+            "committed_at": time.time(),
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "meta": meta or {},
+        }
+        mpath = self._manifest_path(epoch)
+        tmp = mpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        return manifest
+
+    # ------------------------------------------------------------ read
+    def committed_files(self, epochs: list[int] | None = None) -> list[str]:
+        eps = self.committed_epochs() if epochs is None else epochs
+        out: list[str] = []
+        for e in eps:
+            for f in self.manifest(e)["files"]:
+                out.append(str(self.root / f["path"]))
+        return out
+
+    def read_committed(self, epochs: list[int] | None = None, columns=None):
+        """Ray Dataset over manifest-listed files only (stray files invisible)."""
+        import ray.data as rd
+
+        files = self.committed_files(epochs)
+        if not files:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(files, columns=columns)
+
+    def read_committed_table(self, epochs: list[int] | None = None) -> pa.Table:
+        files = self.committed_files(epochs)
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+    def total_rows(self) -> int:
+        return sum(self.manifest(e)["rows"] for e in self.committed_epochs())
+
+    def verify(self) -> bool:
+        """Audit every committed file against its manifest hash."""
+        for e in self.committed_epochs():
+            for f in self.manifest(e)["files"]:
+                p = self.root / f["path"]
+                if not p.exists() or _sha256_file(p) != f["sha256"]:
+                    return False
+        return True
+
+
+class CheckpointManager:
+    """State snapshots aligned with the sink frontier.
+
+    Layout: ``root/epoch-NNNNNNNN/shard-K.bin`` + ``root/epoch-NNNNNNNN/DONE``
+    (the atomic marker).  ``latest()`` returns the newest complete checkpoint.
+    """
+
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _dir(self, epoch: int) -> Path:
+        return self.root / f"epoch-{epoch:08d}"
+
+    def save(self, epoch: int, shard_blobs: dict[int, bytes],
+             extra: dict | None = None) -> None:
+        d = self._dir(epoch)
+        d.mkdir(parents=True, exist_ok=True)
+        for sid, blob in shard_blobs.items():
+            tmp = d / f".shard-{sid:04d}.bin.tmp"
+            tmp.write_bytes(blob)
+            os.replace(tmp, d / f"shard-{sid:04d}.bin")
+        marker = {"epoch": epoch, "shards": sorted(shard_blobs), "extra": extra or {}}
+        tmp = d / ".DONE.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, d / "DONE")
+
+    def latest(self) -> int | None:
+        done = sorted(self.root.glob("epoch-*/DONE"))
+        if not done:
+            return None
+        return int(done[-1].parent.name.split("-")[1])
+
+    def load(self, epoch: int) -> tuple[dict[int, bytes], dict]:
+        d = self._dir(epoch)
+        marker = json.loads((d / "DONE").read_text())
+        blobs = {
+            sid: (d / f"shard-{sid:04d}.bin").read_bytes() for sid in marker["shards"]
+        }
+        return blobs, marker["extra"]

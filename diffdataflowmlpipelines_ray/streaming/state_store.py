@@ -1,0 +1,365 @@
+"""Sharded, actor-held keyed state — the engine's "arrangement".
+
+The reference keeps fitted state inside differential-dataflow arrangements,
+hash-sharded across timely workers (SURVEY §3 "State residency").  Here state
+lives in a pool of Ray actors (``StateShard``), each owning
+``hash(key) % num_shards`` of the key space for every registered state table:
+
+- **keyed aggregates**  name → {key: accumulator}   (monoids from
+  ``state.aggregates``; ``apply_delta`` is ``plus_equals``, retraction is a
+  negated accumulator — the DD ``count``-with-custom-diff pattern,
+  standard_scaler.rs:81-86)
+- **session windows**   name → {key: sorted interval list with accumulators}
+- **join buffers**      name → {key: per-side row buffers with event times}
+
+Deltas arrive pre-combined per key per epoch (the two-phase aggregation fix
+for the reference's key=`1` hot spot); each ``apply_*`` call is **idempotent
+per (table, epoch)** so a restarted driver can replay epochs blindly.
+``dump``/``load`` serialize a shard for checkpointing; the applied-epoch set
+is part of the snapshot, keeping idempotency across restarts.
+
+Scale note: the driver relays only per-epoch *accumulator deltas* (bytes
+O(#touched keys), never raw rows); raw data flows worker→worker through the
+object store during the partial stage.  At 10^12-sequence scale raise
+``num_shards`` so each shard's resident state fits its actor heap; shards are
+independent and can live on any node.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from typing import Any
+
+import ray
+
+__all__ = ["StateShard", "ShardedStateStore", "shard_of"]
+
+
+def shard_of(key_bytes: bytes, num_shards: int) -> int:
+    """Stable shard routing (md5 — independent of PYTHONHASHSEED)."""
+    return int.from_bytes(hashlib.md5(key_bytes).digest()[:8], "big") % num_shards
+
+
+def _dumps(obj) -> bytes:
+    return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+class StateShard:
+    """One shard of every state table.  Runs as a Ray actor (see
+    ``ShardedStateStore``); all methods take/return pickled payloads to keep
+    actor-call overhead flat."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        # keyed aggregates
+        self.aggs: dict[str, dict[bytes, Any]] = {}
+        # session windows: name -> key -> sorted list of [start, end, acc]
+        self.sessions: dict[str, dict[bytes, list[list]]] = {}
+        # join buffers: name -> side -> key -> list[(ts, row_tuple)]
+        self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
+        # idempotency: table name -> applied epoch set
+        self.applied: dict[str, set[int]] = {}
+
+    # ---------------------------------------------------------------- util
+    def _seen(self, table: str, epoch: int) -> bool:
+        eps = self.applied.setdefault(table, set())
+        if epoch in eps:
+            return True
+        eps.add(epoch)
+        return False
+
+    # ------------------------------------------------------- keyed aggregates
+    def apply_delta(self, name: str, epoch: int, payload: bytes) -> int:
+        """payload = pickled list[(key_bytes, accumulator)]; returns #keys."""
+        if self._seen(f"agg:{name}", epoch):
+            return 0
+        store = self.aggs.setdefault(name, {})
+        items = pickle.loads(payload)
+        for key, acc in items:
+            cur = store.get(key)
+            if cur is None:
+                store[key] = acc
+            else:
+                cur.merge(acc)
+                if hasattr(cur, "is_zero") and cur.is_zero():
+                    del store[key]
+        return len(items)
+
+    def collect(self, name: str) -> bytes:
+        """All (key, acc) pairs of this shard (snapshot read)."""
+        return _dumps(sorted(self.aggs.get(name, {}).items()))
+
+    def sweep_closed_windows(self, name: str, close_before: float) -> bytes:
+        """Emit & drop keys whose window end ≤ close_before.
+
+        Keys of windowed aggregates are ``(..., window_start, window_end)``
+        tuples (assigned in the partial stage); a window is final once the
+        watermark passes ``end + allowed_lateness`` (driver passes the
+        adjusted bound).  Emission-and-removal makes re-sweeps naturally
+        idempotent.
+        """
+        store = self.aggs.get(name, {})
+        emitted = []
+        for key in list(store.keys()):
+            k = pickle.loads(key)
+            window_end = k[-1]
+            if window_end <= close_before:
+                emitted.append((key, store.pop(key)))
+        emitted.sort()
+        return _dumps(emitted)
+
+    # ------------------------------------------------------- session windows
+    def apply_session_points(self, name: str, epoch: int, payload: bytes,
+                             gap: float) -> int:
+        """payload = pickled list[(key_bytes, [(ts, value), ...])].
+
+        Classic interval merge: each point opens a [ts, ts+gap) session;
+        overlapping sessions coalesce, merging their accumulators (sum/count).
+        Insert-only (the reference has no session construct at all; SURVEY
+        §2.1 — sessions are part of our added windowing surface).
+        """
+        if self._seen(f"sess:{name}", epoch):
+            return 0
+        store = self.sessions.setdefault(name, {})
+        n = 0
+        for key, points in pickle.loads(payload):
+            n += len(points)
+            # 1) gap-merge the new points into local sessions
+            pts = sorted(points)
+            new_sessions: list[list] = []
+            for ts, value in pts:
+                # session = [start, end) with end = last_ts + gap;
+                # acc = [sum, count, min_ts, max_ts]
+                if new_sessions and ts <= new_sessions[-1][1]:
+                    s = new_sessions[-1]
+                    s[1] = max(s[1], ts + gap)
+                    s[2][0] += float(value)
+                    s[2][1] += 1
+                    s[2][3] = max(s[2][3], ts)
+                else:
+                    new_sessions.append([ts, ts + gap, [float(value), 1, ts, ts]])
+            # 2) merge with the stored disjoint sorted sessions
+            old = store.get(key, [])
+            merged: list[list] = []
+            for s in sorted(old + new_sessions):
+                if merged and s[0] <= merged[-1][1]:
+                    m = merged[-1]
+                    m[1] = max(m[1], s[1])
+                    m[2][0] += s[2][0]
+                    m[2][1] += s[2][1]
+                    m[2][2] = min(m[2][2], s[2][2])
+                    m[2][3] = max(m[2][3], s[2][3])
+                else:
+                    merged.append(s)
+            store[key] = merged
+        return n
+
+    def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> bytes:
+        """Emit & drop sessions whose end (last ts + gap) ≤ watermark."""
+        store = self.sessions.get(name, {})
+        emitted = []
+        for key in list(store.keys()):
+            remaining = []
+            for s in store[key]:
+                if s[1] <= watermark:
+                    emitted.append((key, s))
+                else:
+                    remaining.append(s)
+            if remaining:
+                store[key] = remaining
+            else:
+                del store[key]
+        emitted.sort()
+        return _dumps(emitted)
+
+    # ------------------------------------------------------- stream-stream join
+    def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
+        """Symmetric hash join step for this shard.
+
+        payload = pickled dict side → list[(key_bytes, ts, row_tuple)].
+        Matches emitted exactly once per pair:
+        new_left × (old_right ∪ new_right)  ∪  old_left × new_right.
+        Returns pickled list[(key_bytes, left_row, right_row)].
+        """
+        if self._seen(f"join:{name}", epoch):
+            return _dumps([])
+        buf = self.joins.setdefault(name, {"left": {}, "right": {}})
+        sides = pickle.loads(payload)
+        new_left = sides.get("left", [])
+        new_right = sides.get("right", [])
+        matches = []
+        # old_left × new_right
+        for key, ts, row in new_right:
+            for lts, lrow in buf["left"].get(key, []):
+                matches.append((key, lrow, row))
+        # new_left × old_right (right does not yet contain new_right)
+        for key, ts, row in new_left:
+            for rts, rrow in buf["right"].get(key, []):
+                matches.append((key, row, rrow))
+        # new_left × new_right
+        right_by_key: dict[bytes, list] = {}
+        for key, ts, row in new_right:
+            right_by_key.setdefault(key, []).append(row)
+        for key, ts, row in new_left:
+            for rrow in right_by_key.get(key, []):
+                matches.append((key, row, rrow))
+        # install new rows
+        for key, ts, row in new_left:
+            buf["left"].setdefault(key, []).append((ts, row))
+        for key, ts, row in new_right:
+            buf["right"].setdefault(key, []).append((ts, row))
+        matches.sort()
+        return _dumps(matches)
+
+    def join_expire(self, name: str, expire_before: float) -> int:
+        """Drop buffered rows with event time < expire_before (watermark −
+        retention).  Bounds state for unbounded streams."""
+        buf = self.joins.get(name)
+        if buf is None:
+            return 0
+        dropped = 0
+        for side in buf.values():
+            for key in list(side.keys()):
+                kept = [(ts, r) for ts, r in side[key] if ts >= expire_before]
+                dropped += len(side[key]) - len(kept)
+                if kept:
+                    side[key] = kept
+                else:
+                    del side[key]
+        return dropped
+
+    # ------------------------------------------------------------ checkpoint
+    def dump(self) -> bytes:
+        return _dumps(
+            {
+                "shard_id": self.shard_id,
+                "aggs": self.aggs,
+                "sessions": self.sessions,
+                "joins": self.joins,
+                "applied": self.applied,
+            }
+        )
+
+    def load(self, blob: bytes) -> None:
+        st = pickle.loads(blob)
+        self.aggs = st["aggs"]
+        self.sessions = st["sessions"]
+        self.joins = st["joins"]
+        self.applied = st["applied"]
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "agg_keys": {n: len(d) for n, d in self.aggs.items()},
+            "session_keys": {n: len(d) for n, d in self.sessions.items()},
+            "join_keys": {
+                n: {s: len(d) for s, d in sides.items()} for n, sides in self.joins.items()
+            },
+        }
+
+
+class ShardedStateStore:
+    """Driver-side handle on the actor pool; scatters per-shard payloads and
+    gathers results.  All remote calls for one step are issued concurrently
+    (one round-trip per step, not per shard)."""
+
+    def __init__(self, num_shards: int = 8, num_cpus_per_shard: float = 0.25):
+        self.num_shards = num_shards
+        actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(StateShard)
+        self.shards = [actor_cls.remote(i, num_shards) for i in range(num_shards)]
+
+    # --------------------------------------------------------------- routing
+    def _scatter(self, items: list[tuple[bytes, Any]]) -> dict[int, list]:
+        by_shard: dict[int, list] = {}
+        for key, val in items:
+            by_shard.setdefault(shard_of(key, self.num_shards), []).append((key, val))
+        return by_shard
+
+    # --------------------------------------------------------------- aggregates
+    def apply_deltas(self, name: str, epoch: int, merged: dict[bytes, Any]) -> int:
+        by_shard = self._scatter(sorted(merged.items()))
+        refs = [
+            self.shards[sid].apply_delta.remote(name, epoch, _dumps(items))
+            for sid, items in by_shard.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
+
+    def collect(self, name: str) -> list[tuple[bytes, Any]]:
+        blobs = ray.get([s.collect.remote(name) for s in self.shards])
+        out: list[tuple[bytes, Any]] = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: kv[0])
+        return out
+
+    def sweep_closed_windows(self, name: str, close_before: float) -> list:
+        blobs = ray.get(
+            [s.sweep_closed_windows.remote(name, close_before) for s in self.shards]
+        )
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: kv[0])
+        return out
+
+    # --------------------------------------------------------------- sessions
+    def apply_session_points(self, name: str, epoch: int,
+                             per_key: dict[bytes, list], gap: float) -> int:
+        by_shard = self._scatter(sorted(per_key.items()))
+        refs = [
+            self.shards[sid].apply_session_points.remote(name, epoch, _dumps(items), gap)
+            for sid, items in by_shard.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
+
+    def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> list:
+        blobs = ray.get(
+            [s.sweep_closed_sessions.remote(name, watermark, gap) for s in self.shards]
+        )
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    # --------------------------------------------------------------- join
+    def join_insert_probe(self, name: str, epoch: int,
+                          left: list, right: list) -> list:
+        """left/right: list[(key_bytes, ts, row_tuple)] → matched pairs."""
+        per_shard: dict[int, dict[str, list]] = {}
+        for side, rows in (("left", left), ("right", right)):
+            for key, ts, row in rows:
+                sid = shard_of(key, self.num_shards)
+                per_shard.setdefault(sid, {"left": [], "right": []})[side].append(
+                    (key, ts, row)
+                )
+        refs = [
+            self.shards[sid].join_insert_probe.remote(name, epoch, _dumps(payload))
+            for sid, payload in sorted(per_shard.items())
+        ]
+        out = []
+        for b in ray.get(refs):
+            out.extend(pickle.loads(b))
+        out.sort()
+        return out
+
+    def join_expire(self, name: str, expire_before: float) -> int:
+        return sum(ray.get([s.join_expire.remote(name, expire_before) for s in self.shards]))
+
+    # --------------------------------------------------------------- checkpoint
+    def dump_all(self) -> dict[int, bytes]:
+        blobs = ray.get([s.dump.remote() for s in self.shards])
+        return dict(enumerate(blobs))
+
+    def load_all(self, blobs: dict[int, bytes]) -> None:
+        ray.get([self.shards[sid].load.remote(blob) for sid, blob in blobs.items()])
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s, no_restart=True)
+        self.shards = []

@@ -1,0 +1,293 @@
+"""Streaming engine tests: epoch-split equivalence, retraction, windows,
+sessions, stateful join, exactly-once sink + kill/resume (FIXTURES.md
+"Incremental / streaming test schedules")."""
+
+import math
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from diffdataflowmlpipelines_ray.streaming.engine import (
+    KeyedAggregation,
+    SessionWindowAggregation,
+    StreamJoin,
+    StreamSession,
+    WindowSpec,
+)
+from diffdataflowmlpipelines_ray.streaming.sink import (
+    CheckpointManager,
+    ExactlyOnceParquetSink,
+)
+
+
+def events_table(n=200, seed=1):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "user_id": rng.integers(0, 10, n),
+            "ts": rng.uniform(0, 1000, n),
+            "value": rng.normal(50, 10, n),
+        }
+    )
+
+
+def split_epochs(tbl, k):
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, k + 1).astype(int)
+    return [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+class TestKeyedAggregation:
+    def test_epoch_split_equals_batch(self, ray_session, tmp_path):
+        tbl = events_table()
+        sess = StreamSession(tmp_path / "s1", num_shards=3)
+        sess.add(KeyedAggregation(name="by_user", input="events",
+                                  key_cols=["user_id"], value_col="value",
+                                  aggs=("count", "sum", "mean", "min", "max")))
+        for e, part in enumerate(split_epochs(tbl, 5)):
+            sess.process_epoch(e, {"events": part})
+        got = sess.state_table("by_user").to_pandas().set_index("user_id").sort_index()
+        ref = (
+            tbl.to_pandas().groupby("user_id")["value"]
+            .agg(["count", "sum", "mean", "min", "max"]).sort_index()
+        )
+        for col in ["count", "sum", "mean", "min", "max"]:
+            assert got[col].to_numpy() == pytest.approx(ref[col].to_numpy())
+        sess.store.shutdown()
+
+    def test_retraction(self, ray_session, tmp_path):
+        tbl = events_table(100)
+        sess = StreamSession(tmp_path / "s2", num_shards=2)
+        sess.add(KeyedAggregation(name="by_user", input="events",
+                                  key_cols=["user_id"], value_col="value",
+                                  aggs=("count", "sum"), weight_col="diff"))
+        plus = tbl.append_column("diff", pa.array(np.ones(100, dtype=np.int64)))
+        sess.process_epoch(0, {"events": plus})
+        # retract rows 0..19 in epoch 1
+        sub = tbl.slice(0, 20).append_column("diff", pa.array(-np.ones(20, dtype=np.int64)))
+        sess.process_epoch(1, {"events": sub})
+        got = sess.state_table("by_user").to_pandas().set_index("user_id").sort_index()
+        ref = (
+            tbl.slice(20, 80).to_pandas().groupby("user_id")["value"]
+            .agg(["count", "sum"]).sort_index()
+        )
+        assert got["count"].to_numpy() == pytest.approx(ref["count"].to_numpy())
+        assert got["sum"].to_numpy() == pytest.approx(ref["sum"].to_numpy())
+        sess.store.shutdown()
+
+    def test_dataset_input_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        tbl = events_table(500)
+        sess = StreamSession(tmp_path / "s3", num_shards=2)
+        sess.add(KeyedAggregation(name="by_user", input="events",
+                                  key_cols=["user_id"], value_col="value",
+                                  aggs=("count", "sum")))
+        sess.process_epoch(0, {"events": rd.from_arrow(tbl).repartition(4)})
+        got = sess.state_table("by_user").to_pandas().set_index("user_id").sort_index()
+        ref = tbl.to_pandas().groupby("user_id")["value"].agg(["count", "sum"]).sort_index()
+        assert got["sum"].to_numpy() == pytest.approx(ref["sum"].to_numpy())
+        sess.store.shutdown()
+
+
+class TestTumblingSliding:
+    def test_tumbling_watermark_emission(self, ray_session, tmp_path):
+        tbl = events_table(300, seed=2)
+        # a real stream is (approximately) time-ordered; watermark trails max ts
+        tbl = tbl.sort_by("ts")
+        sess = StreamSession(tmp_path / "w1", num_shards=2)
+        sess.add(KeyedAggregation(name="win", input="events",
+                                  key_cols=["user_id"], value_col="value",
+                                  ts_col="ts", aggs=("count", "sum"),
+                                  window=WindowSpec.tumbling(100.0)))
+        parts = split_epochs(tbl, 3)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()))
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        assert sess.metrics["late_dropped"] == 0
+        sess.close()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        ref = tbl.to_pandas()
+        ref["window_start"] = (ref["ts"] // 100.0) * 100.0
+        exp = (
+            ref.groupby(["user_id", "window_start"])["value"].agg(["count", "sum"])
+            .reset_index()
+        )
+        got = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        exp = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got["count"].to_numpy() == pytest.approx(exp["count"].to_numpy())
+        assert got["sum"].to_numpy() == pytest.approx(exp["sum"].to_numpy())
+
+    def test_late_rows_dropped_after_watermark(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "w2", num_shards=1)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["user_id"],
+                                  value_col="value", ts_col="ts",
+                                  aggs=("count",), window=WindowSpec.tumbling(10.0)))
+        t0 = pa.table({"user_id": [1, 1], "ts": [5.0, 15.0], "value": [1.0, 1.0]})
+        sess.process_epoch(0, {"e": t0}, watermark=20.0)  # closes [0,10) and [10,20)
+        late = pa.table({"user_id": [1], "ts": [7.0], "value": [1.0]})  # for closed window
+        sess.process_epoch(1, {"e": late})
+        sess.close()
+        assert sess.metrics["late_dropped"] == 1
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        assert out["count"].sum() == 2  # late row never double-counts
+
+    def test_sliding_equals_pandas(self, ray_session, tmp_path):
+        tbl = events_table(200, seed=3)
+        sess = StreamSession(tmp_path / "w3", num_shards=2)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["user_id"],
+                                  value_col="value", ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.sliding(200.0, 100.0)))
+        for e, part in enumerate(split_epochs(tbl, 4)):
+            sess.process_epoch(e, {"e": part})
+        sess.close()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        pdf = tbl.to_pandas()
+        rows = []
+        for j in (0, 1):
+            t = pdf.copy()
+            t["window_start"] = (t["ts"] // 100.0 - j) * 100.0
+            t = t[(t["ts"] >= t["window_start"]) & (t["ts"] < t["window_start"] + 200.0)]
+            rows.append(t)
+        exp = (
+            pd.concat(rows).groupby(["user_id", "window_start"]).size()
+            .rename("count").reset_index()
+        )
+        got = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        exp = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got["count"].to_numpy() == pytest.approx(exp["count"].to_numpy())
+
+
+class TestSessionWindows:
+    def test_sessions_gap_merge(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "sw", num_shards=2)
+        sess.add(SessionWindowAggregation(name="sess", input="e",
+                                          key_cols=["user_id"], ts_col="ts",
+                                          gap=30.0, value_col="value"))
+        # user 1: events at 0,10,20 (one session), 100 (second session)
+        # split across epochs out of order within gap
+        t0 = pa.table({"user_id": [1, 1], "ts": [0.0, 20.0], "value": [1.0, 1.0]})
+        t1 = pa.table({"user_id": [1, 1], "ts": [10.0, 100.0], "value": [1.0, 1.0]})
+        sess.process_epoch(0, {"e": t0})
+        sess.process_epoch(1, {"e": t1})
+        sess.close()
+        out = sess.sinks["sess"].read_committed_table().to_pandas().sort_values("session_start")
+        assert len(out) == 2
+        first, second = out.iloc[0], out.iloc[1]
+        assert first["count"] == 3 and first["first_ts"] == 0.0 and first["last_ts"] == 20.0
+        assert first["session_end"] == pytest.approx(50.0)
+        assert second["count"] == 1 and second["session_start"] == 100.0
+
+    def test_session_closes_only_after_watermark(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "sw2", num_shards=1)
+        sess.add(SessionWindowAggregation(name="sess", input="e",
+                                          key_cols=["user_id"], ts_col="ts", gap=30.0))
+        sess.process_epoch(0, {"e": pa.table({"user_id": [1], "ts": [0.0]})},
+                           watermark=10.0)  # session end=30 > wm → still open
+        assert sess.sinks["sess"].read_committed_table().to_pandas()["count"].sum() == 0
+        sess.process_epoch(1, {"e": pa.table({"user_id": [1], "ts": [20.0]})},
+                           watermark=60.0)  # extended to end=50 ≤ 60 → closes
+        out = sess.sinks["sess"].read_committed_table().to_pandas()
+        assert out["count"].sum() == 2
+        sess.store.shutdown()
+
+
+class TestStreamJoin:
+    def test_incremental_join_equals_batch(self, ray_session, tmp_path):
+        rng = np.random.default_rng(5)
+        left = pa.table({"k": rng.integers(0, 20, 100), "lval": np.arange(100)})
+        right = pa.table({"k": rng.integers(0, 20, 80), "rval": np.arange(80) * 10})
+        sess = StreamSession(tmp_path / "j", num_shards=3)
+        sess.add(StreamJoin(name="j", left_input="L", right_input="R",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["lval"], right_cols=["rval"]))
+        # interleave both sides across 4 epochs
+        for e in range(4):
+            sess.process_epoch(e, {
+                "L": left.slice(e * 25, 25),
+                "R": right.slice(e * 20, 20),
+            })
+        got = sess.sinks["j"].read_committed_table().to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(), on="k")
+        assert len(got) == len(exp)
+        a = got[["k", "lval", "rval"]].sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+        b = exp[["k", "lval", "rval"]].sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        sess.store.shutdown()
+
+
+class TestExactlyOnceSink:
+    def test_idempotent_commit(self, tmp_path):
+        sink = ExactlyOnceParquetSink(tmp_path / "sink")
+        t = pa.table({"a": [1, 2, 3]})
+        m1 = sink.commit_tables(0, [t])
+        m2 = sink.commit_tables(0, [pa.table({"a": [9]})])  # replay ignored
+        assert m1["files"] == m2["files"]
+        assert sink.read_committed_table()["a"].to_pylist() == [1, 2, 3]
+        assert sink.verify()
+
+    def test_stray_files_invisible(self, tmp_path):
+        sink = ExactlyOnceParquetSink(tmp_path / "sink")
+        sink.commit_tables(0, [pa.table({"a": [1]})])
+        # simulate a crashed epoch-1 attempt: files written, no manifest
+        import pyarrow.parquet as pq
+
+        d = sink._epoch_dir(1)
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({"a": [999]}), d / "part-00000.parquet")
+        assert sink.committed_epochs() == [0]
+        assert sink.read_committed_table()["a"].to_pylist() == [1]
+        # replay of epoch 1 overwrites stray file and commits
+        sink.commit_tables(1, [pa.table({"a": [2]})])
+        assert sorted(sink.read_committed_table()["a"].to_pylist()) == [1, 2]
+
+    def test_kill_resume_no_dupes_no_loss(self, ray_session, tmp_path):
+        """Process epochs 0..2, 'crash', resume from checkpoint, replay — final
+        output equals the no-crash run exactly."""
+        tbl = events_table(120, seed=7)
+        parts = split_epochs(tbl, 4)
+
+        def run(root, crash_after=None):
+            sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+            sess.add(KeyedAggregation(name="win", input="e", key_cols=["user_id"],
+                                      value_col="value", ts_col="ts",
+                                      aggs=("count", "sum"),
+                                      window=WindowSpec.tumbling(250.0)))
+            start = sess.resume()
+            for e in range(start, 4):
+                sess.process_epoch(e, {"e": parts[e]}, watermark=250.0 * (e + 1))
+                if crash_after is not None and e == crash_after:
+                    sess.store.shutdown()  # actors die, no final close
+                    return sess, None
+            final = sess.close()
+            return sess, final
+
+        # crashed run: dies after epoch 2
+        sess1, _ = run(tmp_path / "cr", crash_after=2)
+        # resume in a "new process": fresh session on same root
+        sess2, _ = run(tmp_path / "cr")
+        out_resumed = sess2.sinks["win"].read_committed_table().to_pandas()
+        # reference: clean run
+        sess3, _ = run(tmp_path / "clean")
+        out_clean = sess3.sinks["win"].read_committed_table().to_pandas()
+        key = ["user_id", "window_start"]
+        a = out_resumed.sort_values(key).reset_index(drop=True)[key + ["count", "sum"]]
+        b = out_clean.sort_values(key).reset_index(drop=True)[key + ["count", "sum"]]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert sess2.sinks["win"].verify()
+
+
+class TestCheckpointManager:
+    def test_roundtrip(self, tmp_path):
+        chk = CheckpointManager(tmp_path / "chk")
+        chk.save(3, {0: b"abc", 1: b"def"}, extra={"watermark": 5.0})
+        chk.save(5, {0: b"xyz", 1: b"uvw"}, extra={"watermark": 9.0})
+        assert chk.latest() == 5
+        blobs, extra = chk.load(5)
+        assert blobs == {0: b"xyz", 1: b"uvw"}
+        assert extra["watermark"] == 9.0
