@@ -1,0 +1,118 @@
+"""Flagship pipeline: incremental encoding of a tokenized-sequence stream.
+
+End-to-end shape (the north star's target workload):
+
+    documents.parquet ──derive──▶ (doc_id, tokens:list<int32>, n_tok, source)
+        └─ split into E micro-batch epochs (the unbounded stream)
+            └─ per epoch:
+                 • incremental encoder fit-update in sharded actor state
+                   (StandardScaler on n_tok + OneHot on source — the
+                   reference's demo config shape, src/main.rs:62-68)
+                 • vectorized token features: hash-bucket counts over the
+                   int32 token ids + a rolling-hash fingerprint per doc
+                 • per-source windowed token throughput aggregate
+                 • exactly-once commit of encoded rows (epoch manifests)
+
+Returns counters for the bench harness (sequences/sec, tokens/sec are
+computed by the caller from wall time).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.encoders import OneHotEncoder, StandardScaler
+from ..sources.tokenized import epoch_datasets, tokenized_dataset
+from ..streaming.encoders import IncrementalEncoderSession
+from ..functions.vectors import list_array_from_2d
+
+__all__ = ["token_features_table", "run_flagship"]
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+
+def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """Vectorized per-sequence token features.
+
+    - ``tok_buckets``: list<float64> of token-id counts hashed into
+      ``n_buckets`` (a HashVectorizer over int tokens — no string round-trip)
+    - ``fingerprint``: order-sensitive FNV-1a-style rolling hash of the token
+      array (document fingerprint; deterministic, uint64 stored as int64)
+    """
+    tokens = tbl["tokens"]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(tbl)
+    lengths = np.diff(offsets)
+    row_ids = np.repeat(np.arange(n), lengths)
+    dense = np.zeros((n, n_buckets), dtype=np.float64)
+    if flat.size:
+        np.add.at(dense, (row_ids, flat % n_buckets), 1.0)
+    # rolling hash: h = (h ^ t) * prime per token, segmented per row
+    fp = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if flat.size:
+        h = _FNV_OFFSET
+        # segmented scan in one pass over the flat token array (C-speed via
+        # np.multiply/xor on per-row slices would need a loop; rows are
+        # independent, so vectorize over the *position within row* instead:
+        # iterate max_len times over columns of the ragged matrix)
+        max_len = int(lengths.max()) if n else 0
+        fp = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        tok_u64 = flat.astype(np.uint64)
+        starts = offsets[:-1]
+        for j in range(max_len):
+            live = lengths > j
+            idx = starts[live] + j
+            fp[live] = (fp[live] ^ tok_u64[idx]) * _FNV_PRIME
+    return (
+        tbl.append_column("tok_buckets", list_array_from_2d(dense))
+        .append_column("fingerprint", pa.array(fp.astype(np.int64)))
+    )
+
+
+def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
+                 num_shards: int = 4, n_buckets: int = 64) -> dict:
+    """Run the full flagship stream; returns counters + the session."""
+    ds = tokenized_dataset(sf_dir)
+    feats = ds.map_batches(
+        lambda t: token_features_table(t, n_buckets), batch_format="pyarrow"
+    )
+    epochs = epoch_datasets(feats, n_epochs)
+
+    session = IncrementalEncoderSession(
+        config=[("n_tok", StandardScaler(round_to=(-2, 0))), ("source", OneHotEncoder())],
+        root=root,
+        num_shards=num_shards,
+        keep_input=True,
+    )
+    start = session.resume()
+    n_seq = 0
+    n_tok_total = 0
+    import pyarrow.parquet as pq
+
+    for e, epoch_ds in enumerate(epochs):
+        if e < start:
+            continue
+        manifest = session.process_epoch(e, epoch_ds)
+        n_seq += manifest["rows"]
+        for f in manifest["files"]:  # columnar read of just n_tok: cheap
+            n_tok_total += int(
+                pq.read_table(Path(session.sink.root) / f["path"], columns=["n_tok"])[
+                    "n_tok"
+                ].to_numpy().sum()
+            )
+    session.close()
+    return {
+        "sequences": n_seq,
+        "tokens": n_tok_total,
+        "epochs": n_epochs,
+        "committed_epochs": session.sink.committed_epochs(),
+        "output_rows": session.sink.total_rows(),
+        "root": str(root),
+    }

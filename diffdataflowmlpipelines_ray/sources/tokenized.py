@@ -1,0 +1,81 @@
+"""Tokenized-sequence source (the BASELINE.json ``input_hint`` table).
+
+Canonical input schema::
+
+    doc_id : string
+    tokens : list<int32>
+    n_tok  : int32
+    source : string
+
+Derivation is deterministic from the driver-provided ``documents`` table
+(seed-free: token ids are stable hashes of the whitespace tokens modulo the
+vocab), so every scale factor yields the same tokens for the same text —
+the per-row invariant the driver checks is token-array equality.
+
+Also provides the micro-batch (epoch) splitter: a deterministic partition of
+a Dataset/table into K epochs by row position — the reference's
+``advance_to``-delimited insertion batches (src/main.rs:489-513).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash60_array
+from ..functions.tokenize import tokenize_column
+
+__all__ = ["derive_tokenized", "tokenized_dataset", "epoch_tables", "epoch_datasets"]
+
+VOCAB_SIZE = 32768
+
+
+def derive_tokenized(tbl: pa.Table, vocab_size: int = VOCAB_SIZE) -> pa.Table:
+    """documents(doc_id, text, source, …) → tokenized-sequence table."""
+    toks = tokenize_column(tbl["text"])
+    flat = toks.flatten()
+    if len(flat):
+        ids = (stable_hash60_array(flat.to_pylist()) % vocab_size).astype(np.int32)
+    else:
+        ids = np.array([], dtype=np.int32)
+    tokens = pa.ListArray.from_arrays(toks.offsets, pa.array(ids, type=pa.int32()))
+    n_tok = pc.cast(pc.list_value_length(tokens), pa.int32())
+    doc_id = pc.cast(tbl["doc_id"], pa.string()) if not pa.types.is_string(
+        tbl["doc_id"].type
+    ) else tbl["doc_id"]
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": tbl["source"],
+        }
+    )
+
+
+def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE):
+    """Ray Dataset of tokenized sequences derived from ``documents.parquet``
+    (columns pruned at the read)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return ds.map_batches(
+        lambda t: derive_tokenized(t, vocab_size), batch_format="pyarrow"
+    )
+
+
+def epoch_tables(tbl: pa.Table, n_epochs: int) -> list[pa.Table]:
+    """Deterministic contiguous split into micro-batches (epochs)."""
+    bounds = np.linspace(0, tbl.num_rows, n_epochs + 1).astype(int)
+    return [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def epoch_datasets(ds, n_epochs: int) -> list:
+    """Split a Dataset into epoch Datasets with ``split_proportionately``
+    (stays distributed; no driver materialization)."""
+    if n_epochs <= 1:
+        return [ds]
+    return ds.split_proportionately([1.0 / n_epochs] * (n_epochs - 1))

@@ -1,0 +1,218 @@
+"""Incremental feature encoding over epochs — the reference's program shape.
+
+Reproduces the lifecycle of ``demo_presentation`` (src/main.rs:52-110) and
+``diabetes_pipeline`` (src/pipelines/pipeline_3_diabetes.rs:12-60) on the
+streaming engine: encoder fit-state is maintained incrementally across
+micro-batch epochs (inserts AND retractions via a ``diff`` column), and each
+epoch's rows are transformed against the state *including* that epoch — the
+same-timestamp join semantics of DD (``data.join(&meta)`` at equal times,
+standard_scaler.rs:109-113).
+
+State residency: every encoder's accumulator lives in the sharded actor
+store under key ``(encoder_index,)`` (the reference's arranged fit-state
+collections, SURVEY §1.1), applied idempotently per epoch; snapshots ride the
+normal checkpoint mechanism, so kill/resume replays uncommitted epochs only.
+
+On re-emission: when an epoch changes fitted state, DD retracts and re-emits
+*all* prior output rows (damped by the rounding knobs,
+standard_scaler.rs:116-120).  Continuous full re-emission is the reference's
+admitted scale bottleneck (paper §3); here per-epoch outputs are versioned
+with the fitted-state epoch in the manifest (lineage), and ``refresh()``
+produces the fully-consistent output of the final state as a batch job —
+equal to what DD's accumulated deltas converge to (tested).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from pathlib import Path
+from typing import Sequence
+
+import pyarrow as pa
+
+from ..stages.encoders import Encoder
+from ..stages.multi_column import MultiColumnEncoder
+from .sink import CheckpointManager, ExactlyOnceParquetSink
+from .state_store import ShardedStateStore
+
+__all__ = ["IncrementalEncoderSession"]
+
+
+def _kb(i: int) -> bytes:
+    return pickle.dumps((i,), protocol=pickle.HIGHEST_PROTOCOL)
+
+
+class IncrementalEncoderSession:
+    """Drive a MultiColumnEncoder over an unbounded stream of epochs."""
+
+    def __init__(self, config: Sequence[tuple[str, Encoder]], root: str | Path,
+                 num_shards: int = 2, weight_col: str | None = None,
+                 keep_input: bool = False, out_col: str = "features",
+                 checkpoint_every: int = 1):
+        self.mce = MultiColumnEncoder(config)
+        self.weight_col = weight_col
+        self.keep_input = keep_input
+        self.out_col = out_col
+        self.root = Path(root)
+        self.store = ShardedStateStore(num_shards=num_shards)
+        self.sink = ExactlyOnceParquetSink(self.root / "encoded")
+        self.input_archive = ExactlyOnceParquetSink(self.root / "input")
+        self.chk = CheckpointManager(self.root / "_checkpoints")
+        self.checkpoint_every = checkpoint_every
+        self.last_epoch = -1
+        self._stateful = [
+            (i, col, enc)
+            for i, (col, enc) in enumerate(self.mce.config)
+            if enc.requires_fit
+        ]
+
+    # ------------------------------------------------------------------ resume
+    def resume(self) -> int:
+        latest = self.chk.latest()
+        if latest is None:
+            return 0
+        blobs, extra = self.chk.load(latest)
+        self.store.load_all(blobs)
+        self.last_epoch = latest
+        self._refresh_encoder_state()
+        return latest + 1
+
+    # -------------------------------------------------------------- epoch step
+    def process_epoch(self, epoch: int, data) -> pa.Table | dict:
+        """fit-update on the epoch's deltas, then transform the epoch's
+        insertions with the updated state; exactly-once commit of both the
+        input archive (for refresh/lineage) and the encoded output.
+
+        Small ``pa.Table`` epochs run driver-side; ``ray.data.Dataset``
+        epochs are first committed to the input archive (single upstream
+        execution), then re-read distributed for the partial and transform
+        stages — the archive doubles as the epoch's durable replay source.
+        Returns the encoded table (table path) or the sink manifest (Dataset
+        path; use ``read_epoch_output``).
+        """
+        small = isinstance(data, pa.Table)
+        # 0) archive the raw epoch (atomic; upstream executes exactly once)
+        if small:
+            self.input_archive.commit_tables(epoch, [data], meta={"kind": "input"})
+            epoch_data = data
+        else:
+            self.input_archive.commit_dataset(epoch, data, meta={"kind": "input"})
+            import ray.data as rd
+
+            epoch_data = rd.read_parquet(self.input_archive.committed_files([epoch]))
+
+        # 1) partial stage → tiny per-block accumulator dicts → driver merge
+        if self._stateful:
+            if small:
+                parts = [self._block_partials(epoch_data)]
+            else:
+                def per_block(tbl: pa.Table) -> pa.Table:
+                    blob = pickle.dumps(self._block_partials(tbl),
+                                        protocol=pickle.HIGHEST_PROTOCOL)
+                    return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+                parts = [
+                    pickle.loads(r["blob"])
+                    for r in epoch_data.map_batches(
+                        per_block, batch_format="pyarrow"
+                    ).take_all()
+                ]
+            merged: dict[bytes, object] = {}
+            for part in sorted(
+                parts,
+                key=lambda d: sorted(
+                    (k, pickle.dumps(v, protocol=4)) for k, v in d.items()
+                ),
+            ):
+                for k, acc in part.items():
+                    if k in merged:
+                        merged[k].merge(acc)
+                    else:
+                        merged[k] = acc
+            self.store.apply_deltas("encoders", epoch, merged)
+
+        # 2) pull the (tiny) merged state and install it in the encoders
+        self._refresh_encoder_state()
+
+        # 3) transform this epoch's insertions (diff > 0 when deltas present)
+        mce, out_col, weight_col, keep_input = (
+            self.mce, self.out_col, self.weight_col, self.keep_input
+        )
+
+        def encode(tbl: pa.Table) -> pa.Table:
+            if weight_col and weight_col in tbl.column_names:
+                import pyarrow.compute as pc
+
+                tbl = tbl.filter(pc.greater(tbl[weight_col], 0))
+            out = mce.transform_table(tbl, out_col)
+            if not keep_input:
+                ids = {c for c in ("row_id", "doc_id") if c in out.column_names}
+                out = out.select([c for c in out.column_names
+                                  if c == out_col or c in ids])
+            return out
+
+        if small:
+            out_tbl = encode(epoch_data)
+            result = self.sink.commit_tables(
+                epoch, [out_tbl], meta={"state_epoch": epoch, "kind": "encoded"}
+            )
+        else:
+            out_ds = epoch_data.map_batches(encode, batch_format="pyarrow")
+            result = self.sink.commit_dataset(
+                epoch, out_ds, meta={"state_epoch": epoch, "kind": "encoded"}
+            )
+        self.last_epoch = epoch
+        if self.checkpoint_every and epoch % self.checkpoint_every == 0:
+            self.chk.save(epoch, self.store.dump_all(), extra={})
+        return out_tbl if small else result
+
+    def read_epoch_output(self, epoch: int) -> pa.Table:
+        return self.sink.read_committed_table([epoch])
+
+    def _id_cols(self, tbl: pa.Table) -> set:
+        return {c for c in ("row_id", "doc_id") if c in tbl.column_names}
+
+    def _block_partials(self, tbl: pa.Table) -> dict[bytes, object]:
+        return {
+            _kb(i): enc.make_partial(tbl, col, self.weight_col)
+            for i, col, enc in self._stateful
+        }
+
+    def _refresh_encoder_state(self) -> None:
+        items = dict(self.store.collect("encoders"))
+        for i, col, enc in self._stateful:
+            acc = items.get(_kb(i))
+            if acc is not None:
+                enc.load_accumulator(acc)
+
+    @staticmethod
+    def _concat(ds) -> pa.Table:
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+    # ------------------------------------------------------------------ refresh
+    def refresh(self) -> pa.Table:
+        """Batch re-transform of every archived input row under the FINAL
+        fitted state — what the reference's accumulated output deltas converge
+        to after its cascade of retract/re-emit updates."""
+        self._refresh_encoder_state()
+        full = self.input_archive.read_committed_table()
+        if self.weight_col and self.weight_col in full.column_names:
+            import pyarrow.compute as pc
+
+            # net out retracted rows: keep rows whose net diff > 0 by identity
+            # (identity = all non-diff columns); the common case is ±1 pairs.
+            import pandas as pd
+
+            pdf = full.to_pandas()
+            ids = [c for c in pdf.columns if c != self.weight_col]
+            net = pdf.groupby(ids, dropna=False, sort=False)[self.weight_col].sum()
+            pdf = net[net > 0].reset_index()
+            rep = pdf.loc[pdf.index.repeat(pdf[self.weight_col])].drop(
+                columns=[self.weight_col]
+            )
+            full = pa.Table.from_pandas(rep, preserve_index=False)
+        return self.mce.transform_table(full, self.out_col)
+
+    def close(self) -> None:
+        self.store.shutdown()

@@ -1,0 +1,133 @@
+"""IncrementalEncoderSession + flagship pipeline tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from diffdataflowmlpipelines_ray.pipelines.flagship import (
+    run_flagship,
+    token_features_table,
+)
+from diffdataflowmlpipelines_ray.sources.tokenized import (
+    derive_tokenized,
+    epoch_tables,
+    tokenized_dataset,
+)
+from diffdataflowmlpipelines_ray.stages.encoders import OneHotEncoder, StandardScaler
+from diffdataflowmlpipelines_ray.streaming.encoders import IncrementalEncoderSession
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTokenizedSource:
+    def test_derive_deterministic_schema(self, ray_session):
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF}/documents.parquet")
+        t1 = derive_tokenized(docs)
+        t2 = derive_tokenized(docs)
+        assert t1.schema.field("tokens").type == pa.list_(pa.int32())
+        assert t1.schema.field("doc_id").type == pa.string()
+        assert t1["tokens"].to_pylist() == t2["tokens"].to_pylist()  # token-array equality
+        assert t1["n_tok"].to_pylist() == [len(x) for x in t1["tokens"].to_pylist()]
+
+    def test_dataset_source(self, ray_session):
+        ds = tokenized_dataset(SF)
+        assert ds.count() == 500
+
+
+class TestIncrementalEncoderSession:
+    def test_epochs_converge_to_batch(self, ray_session, tmp_path):
+        """Final-state refresh == single-batch fit_transform (DD convergence)."""
+        n = 60
+        tbl = pa.table(
+            {
+                "row_id": list(range(n)),
+                "x": [float(i % 13) for i in range(n)],
+                "cat": [str(i % 4) for i in range(n)],
+            }
+        )
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler()), ("cat", OneHotEncoder())],
+            tmp_path / "inc", num_shards=2, keep_input=True,
+        )
+        for e, part in enumerate(epoch_tables(tbl, 4)):
+            sess.process_epoch(e, part)
+        got = sess.refresh().sort_by("row_id")
+        sess.close()
+
+        from diffdataflowmlpipelines_ray.stages.multi_column import MultiColumnEncoder
+        import ray.data as rd
+
+        mce = MultiColumnEncoder([("x", StandardScaler()), ("cat", OneHotEncoder())])
+        mce.fit(rd.from_arrow(tbl))
+        exp = mce.transform_table(tbl, "features")
+        np.testing.assert_allclose(
+            np.array(got["features"].to_pylist()),
+            np.array(exp["features"].to_pylist()),
+        )
+
+    def test_epoch_outputs_use_running_state(self, ray_session, tmp_path):
+        # epoch 0 output is encoded with epoch-0 stats (incl. that epoch),
+        # like DD's same-timestamp join
+        t0 = pa.table({"row_id": [0, 1], "x": [0.0, 10.0]})
+        t1 = pa.table({"row_id": [2], "x": [100.0]})
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler())], tmp_path / "run", num_shards=1, keep_input=True
+        )
+        out0 = sess.process_epoch(0, t0)
+        # epoch 0: mean 5, var 25 → (0-5)/25, (10-5)/25
+        assert [v[0] for v in out0["features"].to_pylist()] == pytest.approx([-0.2, 0.2])
+        out1 = sess.process_epoch(1, t1)
+        # epoch 1 state: all three rows
+        import numpy as np
+
+        xs = np.array([0.0, 10.0, 100.0])
+        m, v = xs.mean(), xs.var()
+        assert out1["features"].to_pylist()[0][0] == pytest.approx((100.0 - m) / v)
+        sess.close()
+
+    def test_resume_skips_committed(self, ray_session, tmp_path):
+        tbl = pa.table({"row_id": list(range(20)), "x": [float(i) for i in range(20)]})
+        parts = epoch_tables(tbl, 4)
+        s1 = IncrementalEncoderSession([("x", StandardScaler())], tmp_path / "r",
+                                       num_shards=1)
+        s1.process_epoch(0, parts[0])
+        s1.process_epoch(1, parts[1])
+        s1.close()  # "crash" after epoch 1 (checkpoint_every=1 → state at 1)
+        s2 = IncrementalEncoderSession([("x", StandardScaler())], tmp_path / "r",
+                                       num_shards=1)
+        start = s2.resume()
+        assert start == 2
+        for e in range(start, 4):
+            s2.process_epoch(e, parts[e])
+        # final state must equal batch over all 20 rows
+        assert s2.mce.config[0][1].mean_ == pytest.approx(9.5)
+        assert s2.sink.committed_epochs() == [0, 1, 2, 3]
+        s2.close()
+
+
+class TestFlagship:
+    def test_token_features(self, ray_session):
+        tbl = pa.table(
+            {"doc_id": ["a", "b"], "tokens": [[1, 2, 2], []],
+             "n_tok": pa.array([3, 0], type=pa.int32()), "source": ["w", "w"]}
+        )
+        out = token_features_table(tbl, n_buckets=8)
+        v = out["tok_buckets"].to_pylist()
+        assert v[0][1] == 1.0 and v[0][2] == 2.0 and sum(v[0]) == 3.0
+        assert sum(v[1]) == 0.0
+        # fingerprint: deterministic, order-sensitive
+        tbl2 = pa.table(
+            {"doc_id": ["a"], "tokens": [[2, 1, 2]],
+             "n_tok": pa.array([3], type=pa.int32()), "source": ["w"]}
+        )
+        fp2 = token_features_table(tbl2, 8)["fingerprint"].to_pylist()[0]
+        assert fp2 != out["fingerprint"].to_pylist()[0]
+
+    def test_flagship_end_to_end_sf0001(self, ray_session, tmp_path):
+        res = run_flagship(SF, tmp_path / "flag", n_epochs=3, num_shards=2)
+        assert res["sequences"] == 500
+        assert res["output_rows"] == 500
+        assert res["tokens"] > 0
+        assert res["committed_epochs"] == [0, 1, 2]
