@@ -1,0 +1,490 @@
+"""Deduplication operators over a documents table — exact and near-dup.
+
+Scale-first designs (SURVEY §2.6 lists only exact `distinct` in the
+reference; these extend the engine for training-data pipelines):
+
+- **exact_dedup** — content-hash per batch (vectorized), hash-partitioned
+  groupby, keep the minimum id per group.  Only 8-byte hashes + ids shuffle;
+  the full text never moves.
+- **minhash_lsh** — shingle→minhash→band pipeline: signatures are computed
+  per batch fully vectorized (segmented ``np.minimum.reduceat``), banded and
+  exploded to (band, band_hash, doc_id) rows; one groupby over the narrow
+  band table yields candidate pairs, verified by signature-estimated (or
+  exact n-gram) Jaccard; components resolved by union-find on the (small)
+  verified-pair set — the standard web-dedup layout.
+- **simhash** — 64-bit hyperplane-free simhash over token hashes; exact
+  simhash equality + banded sub-hash matching for near (Hamming≤k) pairs.
+- **ngram_jaccard_pairs** — exact character/word n-gram Jaccard on candidate
+  pairs (re-tokenizes only the candidate docs).
+- **embedding_dedup** — cosine near-dup over an embedding column via random
+  hyperplane LSH buckets, exact cosine verify within buckets.
+
+All candidate/verify stages move O(candidates) rows, never O(n²).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash60_array
+from ..functions.tokenize import tokenize_column
+
+__all__ = [
+    "add_content_hash",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_dedup_groups",
+    "simhash_column",
+    "simhash_dedup_groups",
+    "ngram_set",
+    "ngram_jaccard_pairs",
+    "embedding_lsh_candidates",
+    "embedding_dedup_pairs",
+    "union_find_components",
+]
+
+_P61 = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------- exact
+def add_content_hash(ds, col: str = "text", out: str = "content_hash"):
+    """Vectorized 60-bit content hash column (stable, DuckDB-reproducible)."""
+
+    def h(tbl: pa.Table) -> pa.Table:
+        vals = tbl[col].to_pylist()
+        return tbl.append_column(out, pa.array(stable_hash60_array(vals)))
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keep the row with the minimum id per distinct ``col`` value.
+
+    Shuffle key = 60-bit content hash (8 bytes/row); within a hash group the
+    actual values are compared, so collisions cannot merge distinct texts.
+    """
+    hashed = add_content_hash(ds, col, "__h")
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = group.to_pandas()
+        keep = pdf.loc[pdf.groupby(col, sort=False)[id_col].idxmin()]
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    out = hashed.groupby("__h").map_groups(keep_min, batch_format="pyarrow")
+    return out.drop_columns(["__h"])
+
+
+# ------------------------------------------------------------------- minhash
+@dataclass(frozen=True)
+class MinHashParams:
+    num_perm: int = 64
+    bands: int = 16
+    shingle: int = 3  # word n-gram width
+    seed: int = 42
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perm % self.bands == 0
+        return self.num_perm // self.bands
+
+
+def _perm_coeffs(params: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(params.seed)
+    a = rng.integers(1, _P61, params.num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _P61, params.num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int):
+    """Word-shingle hashes from per-token hashes, segmented by doc.
+
+    shingle_hash[i] = Σ_j c_j · t[i+j]  (mod 2^61−1) — order-sensitive.
+    Returns (flat shingle hashes, per-doc shingle counts).  Docs shorter than
+    k contribute one shingle over their full token run (so short docs still
+    participate).
+    """
+    lengths = np.diff(offsets)
+    counts = np.maximum(lengths - k + 1, np.where(lengths > 0, 1, 0))
+    coeffs = (np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
+    flats = []
+    for d in range(len(lengths)):
+        lo, hi = offsets[d], offsets[d + 1]
+        toks = tok_hash[lo:hi].astype(np.uint64)
+        if toks.size == 0:
+            continue
+        if toks.size < k:
+            flats.append(np.array([(toks * coeffs[: toks.size]).sum() % _P61],
+                                  dtype=np.uint64))
+        else:
+            acc = np.zeros(toks.size - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc + coeffs[j] * toks[j : toks.size - k + 1 + j]) % _P61
+            flats.append(acc)
+    flat = np.concatenate(flats) if flats else np.array([], dtype=np.uint64)
+    return flat, counts
+
+
+def minhash_signatures(tbl: pa.Table, col: str, params: MinHashParams,
+                       id_col: str = "doc_id") -> pa.Table:
+    """(id, sig:list<int64>[num_perm]) per doc — one vectorized pass."""
+    toks = tokenize_column(tbl[col])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_tokens = toks.flatten().to_pylist()
+    tok_hash = stable_hash60_array(flat_tokens) if flat_tokens else np.array([], dtype=np.int64)
+    sh, counts = _shingle_hashes(tok_hash, offsets, params.shingle)
+    a, b = _perm_coeffs(params)
+    n = len(tbl)
+    sigs = np.full((n, params.num_perm), _P61, dtype=np.uint64)
+    if sh.size:
+        # (P, T) permuted hashes → segmented min per doc
+        ph = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P61)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        doc_ids = np.nonzero(counts > 0)[0]
+        starts = bounds[:-1][counts > 0]
+        mins = np.minimum.reduceat(ph, starts, axis=1)
+        # reduceat with duplicate starts handles only counts>0 (filtered)
+        sigs[doc_ids, :] = mins.T
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).astype(np.int64)), params.num_perm
+            ),
+        }
+    )
+
+
+def minhash_lsh_candidates(ds, col: str = "text", id_col: str = "doc_id",
+                           params: MinHashParams = MinHashParams()):
+    """→ (candidate pair table, signatures table).
+
+    Pipeline: signatures per batch → explode to (band, band_hash, id) →
+    groupby band bucket → pairs.  The band table is 3 narrow columns; the
+    groupby is the only shuffle.
+    """
+    sig_ds = ds.map_batches(
+        lambda t: minhash_signatures(t, col, params, id_col),
+        batch_format="pyarrow",
+    ).materialize()  # reused below (small: num_perm ints per doc)
+
+    r = params.rows_per_band
+    mix = (np.arange(1, r + 1, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)) | 1
+
+    def bands(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col]
+        sig = np.asarray(tbl["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ), dtype=np.uint64).reshape(len(tbl), -1)
+        out_id, out_band, out_hash = [], [], []
+        for bi in range(params.bands):
+            chunk = sig[:, bi * r : (bi + 1) * r]
+            bh = (chunk * mix[None, :]).sum(axis=1) % np.uint64(_P61)
+            out_id.append(ids)
+            out_band.append(np.full(len(tbl), bi, dtype=np.int32))
+            out_hash.append(bh.astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in out_id]
+                ),
+                "band": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(np.concatenate(out_hash)),
+            }
+        )
+
+    band_ds = sig_ds.map_batches(bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        lo, hi = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo.append(ids[i])
+                hi.append(ids[j])
+        return pa.table({"id_lo": pa.array(lo), "id_hi": pa.array(hi)})
+
+    pairs = (
+        band_ds.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # dedup pairs produced by multiple bands
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.group_by(["id_lo", "id_hi"]).aggregate([])
+
+    pairs = pairs.groupby("id_lo").map_groups(dedup_pairs, batch_format="pyarrow")
+    return pairs, sig_ds
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def minhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
+                         params: MinHashParams = MinHashParams(),
+                         threshold: float = 0.7) -> pa.Table:
+    """Full near-dup pipeline → (id, group_id) for docs in any dup group.
+
+    Verification: signature-estimated Jaccard ≥ threshold.  Components via
+    union-find on the verified pairs — safe because verified near-dup pairs
+    are orders of magnitude smaller than the corpus (log the count to catch
+    pathological inputs).
+    """
+    pairs_ds, sig_ds = minhash_lsh_candidates(ds, col, id_col, params)
+    sigs: dict = {}
+    for batch in sig_ds.iter_batches(batch_format="pyarrow"):
+        ids = batch[id_col].to_pylist()
+        mat = np.asarray(
+            batch["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(len(ids), -1)
+        for i, d in enumerate(ids):
+            sigs[d] = mat[i]
+    verified = []
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for lo, hi in zip(batch["id_lo"].to_pylist(), batch["id_hi"].to_pylist()):
+            if estimate_jaccard(sigs[lo], sigs[hi]) >= threshold:
+                verified.append((lo, hi))
+    comp = union_find_components(verified)
+    if not comp:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "group_id": pa.array([], type=pa.int64())})
+    items = sorted(comp.items())
+    return pa.table(
+        {
+            id_col: pa.array([k for k, _ in items]),
+            "group_id": pa.array([v for _, v in items]),
+        }
+    )
+
+
+def union_find_components(pairs: list[tuple]) -> dict:
+    """id → component representative (min id).  Driver-side: use only on
+    verified near-dup pairs (small by construction; see caller docstring)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# ------------------------------------------------------------------- simhash
+def simhash_column(tbl: pa.Table, col: str) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (vectorized bit-count)."""
+    toks = tokenize_column(tbl[col])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten().to_pylist()
+    n = len(tbl)
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat:
+        return out
+    th = stable_hash60_array(flat).astype(np.uint64)
+    # widen 60-bit hash to 64 by remixing
+    th = th * np.uint64(0x9E3779B97F4A7C15)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1  # ±1 per bit, (T, 64)
+    lengths = np.diff(offsets)
+    starts = offsets[:-1][lengths > 0]
+    sums = np.add.reduceat(bits, starts, axis=0)
+    vals = (sums > 0).astype(np.uint64)
+    packed = (vals << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[lengths > 0] = packed
+    return out
+
+
+def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
+                         max_hamming: int = 3) -> pa.Table:
+    """Near-dup groups by SimHash banding (4×16-bit bands ⇒ all pairs with
+    Hamming ≤ 3 share at least one band) + exact Hamming verify."""
+
+    def sims(tbl: pa.Table) -> pa.Table:
+        sh = simhash_column(tbl, col)
+        return pa.table({id_col: tbl[id_col], "simhash": pa.array(sh.astype(np.int64))})
+
+    sh_ds = ds.map_batches(sims, batch_format="pyarrow").materialize()
+
+    def bands(tbl: pa.Table) -> pa.Table:
+        sh = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids, band_id, band_val = [], [], []
+        for b in range(4):
+            ids.append(tbl[id_col])
+            band_id.append(np.full(len(tbl), b, dtype=np.int32))
+            band_val.append(((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in ids]
+                ),
+                "band": pa.array(np.concatenate(band_id)),
+                "val": pa.array(np.concatenate(band_val)),
+            }
+        )
+
+    band_ds = sh_ds.map_batches(bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        lo, hi = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo.append(ids[i])
+                hi.append(ids[j])
+        return pa.table({"id_lo": pa.array(lo), "id_hi": pa.array(hi)})
+
+    pairs = band_ds.groupby(["band", "val"]).map_groups(bucket_pairs,
+                                                        batch_format="pyarrow")
+    sh_map = {}
+    for b in sh_ds.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(b[id_col].to_pylist(), b["simhash"].to_pylist()):
+            sh_map[d] = np.uint64(s)
+    verified = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for lo, hi in zip(b["id_lo"].to_pylist(), b["id_hi"].to_pylist()):
+            if (lo, hi) in verified:
+                continue
+            ham = bin(int(sh_map[lo] ^ sh_map[hi])).count("1")
+            if ham <= max_hamming:
+                verified.add((lo, hi))
+    comp = union_find_components(sorted(verified))
+    items = sorted(comp.items())
+    return pa.table(
+        {
+            id_col: pa.array([k for k, _ in items], type=pa.int64()),
+            "group_id": pa.array([v for _, v in items], type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- n-gram jaccard
+def ngram_set(text: str, n: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, pairs: pa.Table, col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Exact word n-gram Jaccard for candidate pairs.
+
+    Fetches only the candidate docs' texts (semi-join via broadcast id set),
+    then scores pairs driver-side — candidates are small by construction.
+    """
+    wanted = set(pairs["id_lo"].to_pylist()) | set(pairs["id_hi"].to_pylist())
+
+    def fetch(tbl: pa.Table) -> pa.Table:
+        mask = pc.is_in(tbl[id_col], value_set=pa.array(sorted(wanted)))
+        return tbl.filter(mask).select([id_col, col])
+
+    texts = {}
+    for b in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            texts[d] = t
+    lo = pairs["id_lo"].to_pylist()
+    hi = pairs["id_hi"].to_pylist()
+    jac = []
+    for a, b_ in zip(lo, hi):
+        sa, sb = ngram_set(texts[a], n), ngram_set(texts[b_], n)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac.append(inter / union if union else 0.0)
+    return pa.table({"id_lo": pairs["id_lo"], "id_hi": pairs["id_hi"],
+                     "jaccard": pa.array(jac, type=pa.float64())})
+
+
+# --------------------------------------------------------------- embeddings
+def embedding_lsh_candidates(ds, emb_col: str = "embedding",
+                             id_col: str = "vec_id", n_planes: int = 12,
+                             seed: int = 42):
+    """Random-hyperplane bucket candidates: docs sharing the full n-plane
+    sign signature (cosine-similar vectors collide with high probability)."""
+
+    def sig(tbl: pa.Table, planes: np.ndarray) -> pa.Table:
+        mat = np.asarray(tbl[emb_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ), dtype=np.float64).reshape(len(tbl), -1)
+        signs = (mat @ planes.T) > 0
+        bucket = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table({id_col: tbl[id_col], "bucket": pa.array(bucket.astype(np.int64))})
+
+    first = ds.take(1)[0][emb_col]
+    dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    sig_ds = ds.map_batches(lambda t: sig(t, planes), batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        lo, hi = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo.append(ids[i])
+                hi.append(ids[j])
+        return pa.table({"id_lo": pa.array(lo, type=pa.int64()),
+                         "id_hi": pa.array(hi, type=pa.int64())})
+
+    return sig_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def embedding_dedup_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                          threshold: float = 0.95, n_planes: int = 12,
+                          seed: int = 42) -> pa.Table:
+    """Cosine near-dup pairs: LSH candidates → exact cosine verify."""
+    pairs = pa.concat_tables(
+        list(
+            embedding_lsh_candidates(ds, emb_col, id_col, n_planes, seed).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    wanted = set(pairs["id_lo"].to_pylist()) | set(pairs["id_hi"].to_pylist())
+    vecs = {}
+    if wanted:
+        def fetch(tbl: pa.Table) -> pa.Table:
+            mask = pc.is_in(tbl[id_col], value_set=pa.array(sorted(wanted)))
+            return tbl.filter(mask)
+
+        for b in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            ids = b[id_col].to_pylist()
+            mat = np.asarray(
+                b[emb_col].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ).reshape(len(ids), -1)
+            for i, d in enumerate(ids):
+                vecs[d] = mat[i]
+    lo_out, hi_out, cos_out = [], [], []
+    for lo, hi in zip(pairs["id_lo"].to_pylist(), pairs["id_hi"].to_pylist()):
+        va, vb = vecs[lo], vecs[hi]
+        denom = np.linalg.norm(va) * np.linalg.norm(vb)
+        c = float(va @ vb / denom) if denom else 0.0
+        if c >= threshold:
+            lo_out.append(lo)
+            hi_out.append(hi)
+            cos_out.append(c)
+    return pa.table({"id_lo": pa.array(lo_out, type=pa.int64()),
+                     "id_hi": pa.array(hi_out, type=pa.int64()),
+                     "cosine": pa.array(cos_out, type=pa.float64())})

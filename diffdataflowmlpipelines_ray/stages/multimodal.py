@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column plumbing with stubbed codecs.
+
+Binary media are opaque ``binary`` columns with typed metadata columns
+(``media_type``, ``width``/``height``/``duration_ms``…).  The Ray-side
+plumbing — schema, actor-pool stages, small batch sizes for large payloads,
+output layout — is real and tested; the *codec* itself is stubbed because
+image/audio libraries are not in this container:
+
+- ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at the decode
+  call (the documented integration point: swap in PIL/torchvision there);
+- ``fake=True`` produces a deterministic feature vector derived from the
+  payload bytes (sha256-seeded), so downstream stages and tests exercise the
+  full pipeline shape.
+
+Large-payload guidance baked in: media stages default to ``batch_size=32``
+(payload × batch × concurrency must fit the worker heap) and run as actor
+pools so codec setup is per-actor, not per-batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["media_schema", "DecodeImage", "ResizeImage", "SampleFrames",
+           "decode_image_features", "MEDIA_BATCH_SIZE"]
+
+MEDIA_BATCH_SIZE = 32
+
+
+def media_schema(kind: str = "image") -> pa.Schema:
+    common = [
+        pa.field("media_id", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("media_type", pa.string()),
+    ]
+    if kind == "image":
+        extra = [pa.field("width", pa.int32()), pa.field("height", pa.int32())]
+    elif kind == "audio":
+        extra = [pa.field("sample_rate", pa.int32()),
+                 pa.field("duration_ms", pa.int32())]
+    else:
+        extra = [pa.field("fps", pa.float32()), pa.field("duration_ms", pa.int32())]
+    return pa.schema(common + extra)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: sha256(payload) seeds a
+    reproducible feature vector."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim)
+
+
+class DecodeImage:
+    """Actor-pool stage: payload bytes → feature vector (list<float64>).
+
+    Use with ``ds.map_batches(DecodeImage, batch_size=MEDIA_BATCH_SIZE,
+    concurrency=N, fn_constructor_kwargs={...})``.
+    """
+
+    def __init__(self, dim: int = 64, fake: bool = True,
+                 payload_col: str = "payload", out: str = "features"):
+        self.dim = dim
+        self.fake = fake
+        self.payload_col = payload_col
+        self.out = out
+        # real integration point: import PIL / torchvision HERE (once per
+        # actor), e.g. self.model = load_model(...)
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "swap in PIL/torchvision decode here"
+            )
+        return _fake_features(payload, self.dim)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl[self.payload_col].to_pylist()
+        feats = np.stack([self._decode(p) for p in payloads]) if payloads else \
+            np.zeros((0, self.dim))
+        from ..functions.vectors import list_array_from_2d
+
+        return tbl.append_column(self.out, list_array_from_2d(feats))
+
+
+class ResizeImage:
+    """Stub resize: records the target size; real implementation would
+    re-encode the payload.  Keeps payload passthrough + metadata update so
+    pipeline plumbing (schema evolution) is exercised."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        tbl = tbl.drop_columns([c for c in ("width", "height") if c in tbl.column_names])
+        return (
+            tbl.append_column("width", pa.array([self.width] * n, type=pa.int32()))
+            .append_column("height", pa.array([self.height] * n, type=pa.int32()))
+        )
+
+
+class SampleFrames:
+    """Stub video frame sampler: expands each video row into ``n_frames``
+    frame rows (1→N flat-map shape with deterministic frame ids)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(tbl)), self.n_frames)
+        frame_no = np.tile(np.arange(self.n_frames), len(tbl))
+        out = tbl.take(pa.array(idx))
+        return out.append_column("frame_no", pa.array(frame_no, type=pa.int32()))
+
+
+def decode_image_features(ds, dim: int = 64, concurrency: int = 2,
+                          fake: bool = True):
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"dim": dim, "fake": fake},
+        batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

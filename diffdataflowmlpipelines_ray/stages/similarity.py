@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (list<float>).
+
+- **brute_force_topk** — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a (batch × queries) matmul and
+  emits only its local top-k candidates per query; a final tiny merge keeps
+  the global top-k.  Data moved after the scan: O(#queries · k · #blocks).
+- **ivf_topk** — the scale path: k-means centroids trained on a driver-side
+  sample (deterministic seed), batches assign rows to nearest centroid
+  (one matmul), and queries probe only the ``nprobe`` nearest lists.
+  Recall < 1.0 by construction; the exact variant is the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+__all__ = ["brute_force_topk", "ivf_topk"]
+
+
+def _mat(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 5,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     query_ids: np.ndarray | None = None,
+                     exclude_self: bool = True) -> pa.Table:
+    """Exact cosine top-k for each query row → (query_id, vec_id, cosine, rank).
+
+    Ties broken by ascending ``vec_id`` (deterministic at any parallelism).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = (
+        np.asarray(query_ids)
+        if query_ids is not None
+        else np.arange(qn.shape[0], dtype=np.int64)
+    )
+    q_ref = ray.put((qn, qids))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        q, qi = ray.get(q_ref)
+        mat = _normalize(_mat(tbl[emb_col]))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        sims = mat @ q.T  # (n, Q)
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[0])
+        for c in range(q.shape[0]):
+            col = sims[:, c]
+            # partial select then deterministic (−cos, vec_id) order
+            cand = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
+            order = cand[np.lexsort((ids[cand], -col[cand]))]
+            out_q.extend([qi[c]] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_cos, type=pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    pdf = merged.to_pandas()
+    if exclude_self:
+        pdf = pdf[pdf["query_id"] != pdf[id_col]]
+    pdf = pdf.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d = sample @ cent.T
+        assign = d.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            pts = sample[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n else cent[c]
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 5, n_clusters: int = 16,
+             nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id",
+             query_ids: np.ndarray | None = None, sample_size: int = 2048,
+             seed: int = 42, exclude_self: bool = True) -> pa.Table:
+    """Approximate cosine top-k via inverted-file probing.
+
+    Centroids from a seeded sample; each batch scores only rows whose
+    assigned centroid is among the query's ``nprobe`` nearest — the matmul
+    shrinks by ~n_clusters/nprobe at equal recall for clustered data.
+    """
+    sample_rows = ds.random_sample(
+        min(1.0, sample_size / max(1, ds.count())), seed=seed
+    ).take_all()
+    if not sample_rows:
+        raise ValueError("empty dataset")
+    sample = _normalize(
+        np.array([r[emb_col] for r in sample_rows], dtype=np.float64)
+    )
+    cent = _kmeans(sample, n_clusters, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = (
+        np.asarray(query_ids)
+        if query_ids is not None
+        else np.arange(qn.shape[0], dtype=np.int64)
+    )
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qn, qids, cent, probe))
+
+    def local(tbl: pa.Table) -> pa.Table:
+        q, qi, c, pr = ray.get(ref)
+        mat = _normalize(_mat(tbl[emb_col]))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        assign = (mat @ c.T).argmax(axis=1)
+        out_q, out_id, out_cos = [], [], []
+        for ci in range(q.shape[0]):
+            mask = np.isin(assign, pr[ci])
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            sub_ids = ids[mask]
+            col = sub @ q[ci]
+            kk = min(k + 1, col.size)
+            cand = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
+            order = cand[np.lexsort((sub_ids[cand], -col[cand]))]
+            out_q.extend([qi[ci]] * len(order))
+            out_id.extend(sub_ids[order].tolist())
+            out_cos.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_cos, type=pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(local, batch_format="pyarrow")
+    merged = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    pdf = merged.to_pandas()
+    if exclude_self:
+        pdf = pdf[pdf["query_id"] != pdf[id_col]]
+    pdf = pdf.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)

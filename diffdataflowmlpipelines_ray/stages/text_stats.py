@@ -1,0 +1,150 @@
+r"""Text analysis stages: token counts, quality stats, language ID,
+document fingerprints.  All vectorized per Arrow batch; language ID keeps
+its model in an actor pool (compiled once per actor).
+
+SQL-oracle notes: ``n_tokens`` matches
+``len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))`` and
+``n_chars`` matches ``length(text)`` exactly; the heuristics (quality score,
+lang id) are checked by pytest determinism instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import tokenize_column
+
+__all__ = ["text_stats_table", "add_text_stats", "LangId", "add_lang_id",
+           "add_fingerprint"]
+
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
+    "with", "as", "was", "at", "by", "an", "be", "this", "are",
+}
+
+
+def text_stats_table(tbl: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
+    upper_ratio, quality_score (all vectorized)."""
+    text = tbl[col]
+    n_chars = pc.utf8_length(text)
+    toks = tokenize_column(text)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.diff(offsets)
+    flat = toks.flatten()
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    # segmented sums over tokens per row
+    csum = np.concatenate([[0], np.cumsum(tok_lens, dtype=np.int64)])
+    sum_len = csum[offsets[1:]] - csum[offsets[:-1]]
+    avg_tok = np.where(n_tokens > 0, sum_len / np.maximum(n_tokens, 1), 0.0)
+    is_stop = pc.is_in(
+        pc.utf8_lower(flat), value_set=pa.array(sorted(_STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    cstop = np.concatenate([[0], np.cumsum(is_stop, dtype=np.int64)])
+    n_stop = cstop[offsets[1:]] - cstop[offsets[:-1]]
+    stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+    n_char_np = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    n_digit = pc.utf8_length(
+        pc.replace_substring_regex(text, pattern=r"[^0-9]", replacement="")
+    ).to_numpy(zero_copy_only=False)
+    n_upper = pc.utf8_length(
+        pc.replace_substring_regex(text, pattern=r"[^A-Z]", replacement="")
+    ).to_numpy(zero_copy_only=False)
+    digit_ratio = np.where(n_char_np > 0, n_digit / np.maximum(n_char_np, 1), 0.0)
+    upper_ratio = np.where(n_char_np > 0, n_upper / np.maximum(n_char_np, 1), 0.0)
+    # simple composable quality score in [0,1]: long enough, word-like,
+    # not digit-heavy
+    length_term = np.clip(n_tokens / 20.0, 0.0, 1.0)
+    word_term = np.clip((avg_tok - 1.0) / 6.0, 0.0, 1.0)
+    digit_term = 1.0 - np.clip(digit_ratio * 4.0, 0.0, 1.0)
+    quality = (length_term + word_term + digit_term) / 3.0
+    return (
+        tbl.append_column("n_chars_calc", n_chars)
+        .append_column("n_tokens", pa.array(n_tokens))
+        .append_column("avg_token_len", pa.array(avg_tok))
+        .append_column("stopword_ratio", pa.array(stop_ratio))
+        .append_column("digit_ratio", pa.array(digit_ratio))
+        .append_column("upper_ratio", pa.array(upper_ratio))
+        .append_column("quality_score", pa.array(quality))
+    )
+
+
+def add_text_stats(ds, col: str = "text"):
+    return ds.map_batches(lambda t: text_stats_table(t, col), batch_format="pyarrow")
+
+
+class LangId:
+    """n-gram/charset heuristic language ID as an actor-pool stage.
+
+    Stateful setup (profiles, regexes) happens once per actor in
+    ``__init__`` — the map_batches(Cls, concurrency=N) pattern.  Detects a
+    small fixed set {en, de, fr, es, zh, unknown} from characteristic
+    letters/words; deterministic by construction.
+    """
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "is", "that", "it", "you", "with"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+        "fr": {"le", "la", "les", "et", "est", "une", "que", "pour", "dans"},
+        "es": {"el", "la", "los", "que", "es", "una", "por", "para", "con"},
+    }
+
+    def __init__(self, col: str = "text", out: str = "lang_pred"):
+        import re
+
+        self.col = col
+        self.out = out
+        self.cjk = re.compile(r"[一-鿿]")
+        self.word_sets = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl[self.col].to_pylist()
+        preds = []
+        for t in texts:
+            if self.cjk.search(t):
+                preds.append("zh")
+                continue
+            words = set(t.lower().split())
+            scores = {
+                lang: len(words & ws) for lang, ws in self.word_sets.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return tbl.append_column(self.out, pa.array(preds, type=pa.string()))
+
+
+def add_lang_id(ds, col: str = "text", out: str = "lang_pred", concurrency: int = 2):
+    return ds.map_batches(
+        LangId, fn_constructor_kwargs={"col": col, "out": out},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+
+def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
+    """Order-sensitive rolling hash over whitespace tokens (doc fingerprint)."""
+    from ..functions.hashing import stable_hash60_array
+
+    def fp(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl[col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        flat = toks.flatten().to_pylist()
+        th = (stable_hash60_array(flat).astype(np.uint64)
+              if flat else np.array([], dtype=np.uint64))
+        n = len(tbl)
+        out_fp = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        max_len = int(lengths.max()) if n and lengths.size else 0
+        starts = offsets[:-1]
+        for j in range(max_len):
+            live = lengths > j
+            idx = starts[live] + j
+            out_fp[live] = (out_fp[live] ^ th[idx]) * _FNV_PRIME
+        return tbl.append_column(out, pa.array(out_fp.astype(np.int64)))
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Dedup family, ANN, text analysis, multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from diffdataflowmlpipelines_ray.stages.dedup import (
+    MinHashParams,
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup_groups,
+    union_find_components,
+)
+from diffdataflowmlpipelines_ray.stages.multimodal import (
+    DecodeImage,
+    SampleFrames,
+    decode_image_features,
+)
+from diffdataflowmlpipelines_ray.stages.similarity import brute_force_topk, ivf_topk
+from diffdataflowmlpipelines_ray.stages.text_stats import (
+    LangId,
+    add_lang_id,
+    add_text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds(rows):
+    return rd.from_arrow(pa.table(rows)).repartition(2)
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, ray_session):
+        ds = docs_ds({
+            "doc_id": [5, 3, 1, 2, 4],
+            "text": ["aa", "bb", "aa", "cc", "bb"],
+        })
+        out = exact_dedup(ds, "text", "doc_id").take_all()
+        got = sorted((r["text"], r["doc_id"]) for r in out)
+        assert got == [("aa", 1), ("bb", 3), ("cc", 2)]
+
+
+class TestMinHash:
+    def test_identical_docs_same_signature(self, ray_session):
+        t = pa.table({"doc_id": [1, 2], "text": ["a b c d e f", "a b c d e f"]})
+        sig = minhash_signatures(t, "text", MinHashParams())
+        s = sig["sig"].to_pylist()
+        assert s[0] == s[1]
+
+    def test_near_dups_grouped(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        other = "completely different content about spark streams and arrow batches ok"
+        ds = docs_ds({"doc_id": [1, 2, 3], "text": [base, near, other]})
+        groups = minhash_dedup_groups(ds, threshold=0.5)
+        g = dict(zip(groups["doc_id"].to_pylist(), groups["group_id"].to_pylist()))
+        assert g.get(1) == g.get(2)
+        assert 3 not in g  # unique doc not in any dup group
+
+    def test_union_find(self):
+        comp = union_find_components([(1, 2), (2, 3), (10, 11)])
+        assert comp[1] == comp[2] == comp[3]
+        assert comp[10] == comp[11]
+        assert comp[1] != comp[10]
+
+
+class TestSimHash:
+    def test_exact_dups_and_near(self, ray_session):
+        a = "one two three four five six seven eight nine ten"
+        ds = docs_ds({"doc_id": [1, 2, 3], "text": [a, a, "unrelated words here entirely"]})
+        groups = simhash_dedup_groups(ds, max_hamming=3)
+        g = dict(zip(groups["doc_id"].to_pylist(), groups["group_id"].to_pylist()))
+        assert g.get(1) == g.get(2)
+        assert 3 not in g
+
+
+class TestNgramJaccard:
+    def test_exact_scores(self, ray_session):
+        ds = docs_ds({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+        pairs = pa.table({"id_lo": [1], "id_hi": [2]})
+        out = ngram_jaccard_pairs(ds, pairs, n=3)
+        # 3-grams: {abc,bcd} vs {abc,bce} → 1/3
+        assert out["jaccard"].to_pylist()[0] == pytest.approx(1 / 3)
+
+
+class TestEmbeddingDedup:
+    def test_near_identical_vectors(self, ray_session):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=16)
+        near = v + rng.normal(scale=0.001, size=16)
+        far = rng.normal(size=16)
+        ds = docs_ds({"vec_id": [1, 2, 3],
+                      "embedding": [v.tolist(), near.tolist(), far.tolist()]})
+        pairs = embedding_dedup_pairs(ds, threshold=0.99)
+        assert (1, 2) in set(zip(pairs["id_lo"].to_pylist(), pairs["id_hi"].to_pylist()))
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        ds = rd.from_arrow(tbl).repartition(3)
+        mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        q = mat[:3]
+        out = brute_force_topk(ds, q, k=5, query_ids=ids[:3]).to_pandas()
+        # reference: plain numpy
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mn @ qn.T
+        for c, qid in enumerate(ids[:3]):
+            col = sims[:, c]
+            order = np.lexsort((ids, -col))
+            expect = [ids[i] for i in order if ids[i] != qid][:5]
+            got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+            assert got == expect
+
+    def test_ivf_recall_reasonable(self, ray_session):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        ds = rd.from_arrow(tbl).repartition(3)
+        mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        q = mat[:5]
+        exact = brute_force_topk(ds, q, k=5, query_ids=ids[:5]).to_pandas()
+        approx = ivf_topk(ds, q, k=5, n_clusters=8, nprobe=4,
+                          query_ids=ids[:5]).to_pandas()
+        # recall@5 over 5 queries ≥ 0.5 (probing half the lists)
+        hits = 0
+        for qid in ids[:5]:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.5
+
+
+class TestTextStats:
+    def test_counts_match_python(self, ray_session):
+        ds = docs_ds({"doc_id": [1, 2],
+                      "text": ["The quick  brown fox 42", "a"]})
+        out = {r["doc_id"]: r for r in add_text_stats(ds).take_all()}
+        assert out[1]["n_tokens"] == 5
+        assert out[1]["n_chars_calc"] == len("The quick  brown fox 42")
+        assert out[1]["digit_ratio"] == pytest.approx(2 / 23)
+        assert out[2]["n_tokens"] == 1
+        assert 0.0 <= out[1]["quality_score"] <= 1.0
+
+    def test_lang_id(self, ray_session):
+        ds = docs_ds({"doc_id": [1, 2, 3],
+                      "text": ["the cat and the dog is happy that it",
+                               "der hund und die katze ist nicht da",
+                               "这是中文文本"]})
+        out = {r["doc_id"]: r["lang_pred"] for r in add_lang_id(ds).take_all()}
+        assert out[1] == "en"
+        assert out[2] == "de"
+        assert out[3] == "zh"
+
+
+class TestMultimodal:
+    def test_decode_stub_deterministic(self, ray_session):
+        payloads = [b"img-bytes-1", b"img-bytes-2"]
+        ds = docs_ds({"media_id": ["a", "b"], "payload": payloads,
+                      "media_type": ["image/png", "image/png"]})
+        out = decode_image_features(ds, dim=8).take_all()
+        feats = {r["media_id"]: r["features"] for r in out}
+        again = decode_image_features(ds, dim=8).take_all()
+        feats2 = {r["media_id"]: r["features"] for r in again}
+        assert feats == feats2  # deterministic fake decode
+        assert len(feats["a"]) == 8 and feats["a"] != feats["b"]
+
+    def test_real_decode_raises(self):
+        dec = DecodeImage(fake=False)
+        with pytest.raises(NotImplementedError):
+            dec(pa.table({"payload": [b"x"]}))
+
+    def test_frame_sampler_expands(self, ray_session):
+        t = pa.table({"media_id": ["v1"], "payload": [b"vid"],
+                      "media_type": ["video/mp4"]})
+        out = SampleFrames(n_frames=3)(t)
+        assert out.num_rows == 3
+        assert out["frame_no"].to_pylist() == [0, 1, 2]
