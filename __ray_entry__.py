@@ -1,44 +1,45 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ``ray.init``/``ray.shutdown`` — the
+caller owns the session.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: tokenized-sequence stream
+    → token features → incremental encoders → exactly-once sink; returns the
+    committed encoded output as a Ray Dataset."""
+    from diffdataflowmlpipelines_ray.pipelines.flagship import run_flagship
+    from diffdataflowmlpipelines_ray.streaming.sink import ExactlyOnceParquetSink
+
+    root = tempfile.mkdtemp(prefix="ddmlp-entry-", dir="/tmp")
+    run_flagship("/root/testdata/sf0.001", root, n_epochs=3, num_shards=2)
+    sink = ExactlyOnceParquetSink(f"{root}/encoded")
+    return sink.read_committed()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+    added scale operators (dedup / similarity / text analysis / windows)."""
+    from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; heuristic /
+    hash-seeded / approximate ops (minhash, simhash, ivf, lang-id,
+    fingerprints, feature vectors) are rows-only checked."""
+    from diffdataflowmlpipelines_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

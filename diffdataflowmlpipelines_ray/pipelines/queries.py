@@ -1,0 +1,815 @@
+r"""Named query/pipeline implementations + matching DuckDB oracle SQL.
+
+Each ``q_*`` takes ``sf_dir`` and returns a pandas/pyarrow result whose
+column NAMES and value semantics match the oracle SQL in ``ORACLES`` (the
+driver compares row count + schema + order-insensitive value hash).
+
+Float policy (SURVEY §4 "Determinism"):
+- money SUMs accumulate as integer cents (half-away rounding on both sides,
+  matching DuckDB's ROUND) — int-valued doubles sum exactly at any merge
+  order, so these columns compare bit-for-bit;
+- per-row float arithmetic (scalers, tfidf, window starts) is identical ops
+  on identical inputs up to fitted-state ulps; rounded to 6dp on both sides;
+- integer/count/rank columns are exact.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions.vectors import list_column_to_2d
+from ..stages.dedup import (
+    MinHashParams,
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_dedup_groups,
+)
+from ..stages.encoders import (
+    CountVectorizer,
+    HashVectorizer,
+    KBinsDiscretizer,
+    MinMaxScaler,
+    OneHotEncoder,
+    OrdinalEncoder,
+    PolynomialFeaturesEncoder,
+    StandardScaler,
+    TfidfTransformer,
+)
+from ..stages.multi_column import MultiColumnEncoder
+from ..stages.similarity import brute_force_topk, ivf_topk
+from ..stages.text_stats import add_lang_id, add_text_stats
+from ..streaming.engine import (
+    KeyedAggregation,
+    SessionWindowAggregation,
+    StreamJoin,
+    StreamSession,
+    WindowSpec,
+)
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(df: pd.DataFrame, cols, nd: int = 6) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(np.float64), nd)
+    return df
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"ddmlp-{prefix}-", dir="/tmp")
+
+
+# ====================================================================== encoders
+def q_standard_scaler(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    enc = StandardScaler().fit(ds, "l_quantity")
+    out = enc.transform(ds, "l_quantity", "scaled")
+    df = out.select_columns(["l_orderkey", "l_linenumber", "scaled"]).to_pandas()
+    return _round(df, ["scaled"])
+
+
+def q_minmax_scaler(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    enc = MinMaxScaler().fit(ds, "l_extendedprice")
+    out = enc.transform(ds, "l_extendedprice", "scaled")
+    df = out.select_columns(["l_orderkey", "l_linenumber", "scaled"]).to_pandas()
+    return _round(df, ["scaled"])
+
+
+def q_kbins(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    enc = KBinsDiscretizer(4).fit(ds, "l_quantity")
+    out = enc.transform(ds, "l_quantity", "bin")
+    return out.select_columns(["l_orderkey", "l_linenumber", "bin"]).to_pandas()
+
+
+def q_ordinal_encoder(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    enc = OrdinalEncoder().fit(ds, "source")
+    out = enc.transform(ds, "source", "code")
+    return out.select_columns(["doc_id", "code"]).to_pandas()
+
+
+def q_onehot_slots(sf_dir: str) -> pd.DataFrame:
+    """One-hot as (doc_id, slot) — sorted-order slots; the vector form (with
+    the ×1.5 length policy) is covered by unit tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    enc = OneHotEncoder().fit(ds, "lang")
+    out = enc.transform(ds, "lang", "vec")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["vec"])
+        rows, slots = np.nonzero(dense)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].take(pa.array(rows)),
+                "slot": pa.array(slots.astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def q_count_vectorizer(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = CountVectorizer().fit(ds, "text")
+    inv = {v: k for k, v in enc.vocab_.items()}
+    out = enc.transform(ds, "text", "vec")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["vec"])
+        rows, slots = np.nonzero(dense)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].take(pa.array(rows)),
+                "token": pa.array([inv[s] for s in slots], type=pa.string()),
+                "cnt": pa.array(dense[rows, slots].astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def q_tfidf(sf_dir: str) -> pd.DataFrame:
+    """CountVectorizer → Tfidf (correct-df mode) exploded to
+    (doc_id, token, tfidf); zero entries dropped."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cv = CountVectorizer().fit(ds, "text")
+    counted = cv.transform(ds, "text", "vec")
+    tf = TfidfTransformer(reference_compat=False).fit(counted, "vec")
+    out = tf.transform(counted, "vec", "tfidf_vec")
+    inv = {v: k for k, v in cv.vocab_.items()}
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["tfidf_vec"])
+        counts = list_column_to_2d(tbl["vec"])
+        rows, slots = np.nonzero(counts)  # tokens present in the doc
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].take(pa.array(rows)),
+                "token": pa.array([inv[s] for s in slots], type=pa.string()),
+                "tfidf": pa.array(dense[rows, slots]),
+            }
+        )
+
+    df = out.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return _round(df, ["tfidf"])
+
+
+def q_hash_vectorizer(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = HashVectorizer(n_features=64)
+    out = enc.transform(ds, "text", "vec")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["vec"])
+        rows, buckets = np.nonzero(dense)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].take(pa.array(rows)),
+                "bucket": pa.array(buckets.astype(np.int64)),
+                "cnt": pa.array(dense[rows, buckets].astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def q_polynomial(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    enc = PolynomialFeaturesEncoder(1, 3)
+    out = enc.transform(ds, "l_discount", "powers")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["powers"])
+        n, w = dense.shape
+        return pa.table(
+            {
+                "l_orderkey": tbl["l_orderkey"].take(pa.array(np.repeat(np.arange(n), w))),
+                "l_linenumber": tbl["l_linenumber"].take(pa.array(np.repeat(np.arange(n), w))),
+                "degree": pa.array(np.tile(np.arange(1, w + 1), n).astype(np.int64)),
+                "value": pa.array(dense.reshape(-1)),
+            }
+        )
+
+    df = out.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return _round(df, ["value"])
+
+
+def q_feature_matrix(sf_dir: str) -> pd.DataFrame:
+    """Flagship multi-column encoding (rows-only check: vector column)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang", "source"])
+    mce = MultiColumnEncoder(
+        [
+            ("n_chars", StandardScaler()),
+            ("lang", OneHotEncoder()),
+            ("source", OrdinalEncoder()),
+        ]
+    )
+    out = mce.fit_transform(ds, out="features")
+    return out.select_columns(["doc_id", "features"]).to_pandas()
+
+
+# ====================================================================== streaming
+def _epoch_split(tbl: pa.Table, k: int) -> list[pa.Table]:
+    bounds = np.linspace(0, tbl.num_rows, k + 1).astype(int)
+    return [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def _half_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero — DuckDB's ROUND (np.round is banker's,
+    which lands on the other side for exact .5-cent products)."""
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+
+def _cents_acc(values: np.ndarray, weights):
+    """Exact-sum accumulator: money values → integer cents (int-valued
+    doubles are exact in summation at any merge order, so the Ray result
+    matches DuckDB bit-for-bit — no float-accumulation drift)."""
+    from ..state.aggregates import SumCountAgg
+
+    return SumCountAgg.from_numpy(_half_away(values * 100.0), weights)
+
+
+def q_incremental_groupby(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "events", ["user_id", "value"])
+    sess = StreamSession(_tmp("incg"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="by_user", input="events", key_cols=["user_id"],
+        value_col="value", aggs=("count", "sum", "mean"),
+        make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0,
+                            "mean": a.s / 100.0 / a.count},
+    ))
+    try:
+        for e, part in enumerate(_epoch_split(tbl, 4)):
+            sess.process_epoch(e, {"events": part})
+        df = sess.state_table("by_user").to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    df["count"] = df["count"].astype(np.int64)
+    return df
+
+
+def q_tumbling_window(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "events", ["event_type", "ts", "value"]).sort_by("ts")
+    sess = StreamSession(_tmp("tumb"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["event_type"],
+        value_col="value", ts_col="ts", aggs=("count", "sum"),
+        window=WindowSpec.tumbling(3600.0),
+        make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0},
+    ))
+    try:
+        parts = _epoch_split(tbl, 4)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        df = sess.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "events", ["event_type", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("slide"), num_shards=4)
+    sess.add(KeyedAggregation(name="win", input="events",
+                              key_cols=["event_type"], ts_col="ts",
+                              aggs=("count",),
+                              window=WindowSpec.sliding(7200.0, 3600.0)))
+    try:
+        for e, part in enumerate(_epoch_split(tbl, 3)):
+            sess.process_epoch(e, {"events": part})
+        sess.close()
+        df = sess.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
+def q_session_window(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "events", ["user_id", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("sess"), num_shards=4)
+    sess.add(SessionWindowAggregation(name="s", input="events",
+                                      key_cols=["user_id"], ts_col="ts",
+                                      gap=1800.0))
+    try:
+        for e, part in enumerate(_epoch_split(tbl, 3)):
+            sess.process_epoch(e, {"events": part})
+        sess.close()
+        df = sess.sinks["s"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df[["user_id", "session_start", "count"]].copy()
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["session_start"])
+
+
+def q_stream_join(sf_dir: str) -> pd.DataFrame:
+    orders = _read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    lineitem = _read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    sess = StreamSession(_tmp("join"), num_shards=4)
+    sess.add(StreamJoin(name="oj", left_input="orders", right_input="lineitem",
+                        left_key=["o_orderkey"], right_key=["l_orderkey"],
+                        left_cols=["o_totalprice"],
+                        right_cols=["l_linenumber", "l_extendedprice"]))
+    try:
+        op = _epoch_split(orders, 3)
+        lp = _epoch_split(lineitem, 3)
+        for e in range(3):
+            sess.process_epoch(e, {"orders": op[e], "lineitem": lp[e]})
+        df = sess.sinks["oj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    return _round(df, ["o_totalprice", "l_extendedprice"])
+
+
+def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+    ones = pa.array(np.ones(tbl.num_rows, dtype=np.int64))
+    sess = StreamSession(_tmp("retr"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="g", input="e", key_cols=["event_type"], value_col="value",
+        aggs=("count", "sum"), weight_col="diff",
+        make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0},
+    ))
+    try:
+        sess.process_epoch(0, {"e": tbl.append_column("diff", ones)})
+        ev_ids = tbl["event_id"].to_numpy(zero_copy_only=False)
+        sub = tbl.filter(pa.array(ev_ids % 10 == 0))
+        sess.process_epoch(
+            1,
+            {"e": sub.append_column(
+                "diff", pa.array(-np.ones(sub.num_rows, dtype=np.int64))
+            )},
+        )
+        df = sess.state_table("g").to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    df["count"] = df["count"].astype(np.int64)
+    return df
+
+
+# ====================================================================== dedup / text
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id"]).to_pandas()
+
+
+def q_dedup_minhash(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_groups(ds, threshold=0.7)
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_groups(ds, max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs_ds, _ = minhash_lsh_candidates(ds, params=MinHashParams())
+    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
+    if pairs.num_rows == 0:
+        return pa.table({"id_lo": pa.array([], type=pa.int64()),
+                         "id_hi": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    return ngram_jaccard_pairs(ds, pairs, n=3)
+
+
+def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup_pairs(ds, threshold=0.95)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    out = brute_force_topk(ds, mat[:4], k=5, query_ids=ids[:4]).to_pandas()
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    out = ivf_topk(ds, mat[:4], k=5, n_clusters=8, nprobe=4,
+                   query_ids=ids[:4]).to_pandas()
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def q_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_text_stats(ds)
+    df = out.select_columns(["doc_id", "n_tokens"]).to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype(np.int64)
+    return df
+
+
+def q_text_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_text_stats(ds)
+    df = out.select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "digit_ratio", "upper_ratio",
+         "avg_token_len"]
+    ).to_pandas()
+    df["n_chars_calc"] = df["n_chars_calc"].astype(np.int64)
+    df["n_tokens"] = df["n_tokens"].astype(np.int64)
+    return _round(df, ["digit_ratio", "upper_ratio", "avg_token_len"])
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text_stats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"]).to_pandas()
+
+
+# ====================================================================== relational
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_cents(tbl: pa.Table) -> pa.Table:
+        # integer-cents columns: exact at any accumulation order
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "price_cents", pa.array(_half_away(price * 100.0))
+        ).append_column(
+            "revenue_cents", pa.array(_half_away(price * (1.0 - disc) * 100.0))
+        )
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="price_cents"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Count(alias_name="n"),
+    )
+    df = out.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["sum_price"] = df.pop("price_cents") / 100.0
+    df["sum_revenue"] = df.pop("revenue_cents") / 100.0
+    df["avg_qty"] = df["sum_qty"] / df["n"]  # exact: integer sum / count
+    return df
+
+
+def q_top_revenue(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(tbl: pa.Table) -> pa.Table:
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "revenue_cents", pa.array(_half_away(price * (1.0 - disc) * 100.0))
+        )
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    df = out.to_pandas()
+    df["revenue"] = df.pop("revenue_cents") / 100.0
+    return df
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer with the small side broadcast (ray.put once,
+    dict lookup per batch — no shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        seg = [lk.get(k) for k in tbl["o_custkey"].to_pylist()]
+        return tbl.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("total_cents", pa.array(_half_away(v * 100.0)))
+
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+    )
+    df = out.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["total"] = df.pop("total_cents") / 100.0
+    return df
+
+
+def q_antijoin(sf_dir: str) -> pd.DataFrame:
+    """Customers with no orders: broadcast key-set membership filter
+    (the reference's antijoin pattern, one_hot_encoder.rs:50-57)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    key_arr = pa.array(sorted(keys))
+    ref = ray.put(key_arr)
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.invert(pc.is_in(tbl["c_custkey"], value_set=ks))
+        return tbl.filter(mask)
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if df.empty:  # preserve schema for the comparator even with zero rows
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
+def q_distinct(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    vals = ds.unique("l_returnflag")
+    return pd.DataFrame({"l_returnflag": sorted(vals)})
+
+
+QUERIES = {
+    "standard_scaler": q_standard_scaler,
+    "minmax_scaler": q_minmax_scaler,
+    "kbins": q_kbins,
+    "ordinal_encoder": q_ordinal_encoder,
+    "onehot_slots": q_onehot_slots,
+    "count_vectorizer": q_count_vectorizer,
+    "tfidf": q_tfidf,
+    "hash_vectorizer": q_hash_vectorizer,
+    "polynomial": q_polynomial,
+    "feature_matrix": q_feature_matrix,
+    "incremental_groupby": q_incremental_groupby,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "stream_join": q_stream_join,
+    "retraction_groupby": q_retraction_groupby,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "token_count": q_token_count,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_revenue": q_top_revenue,
+    "broadcast_join": q_broadcast_join,
+    "antijoin": q_antijoin,
+    "distinct": q_distinct,
+}
+
+_TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+ORACLES = {
+    "standard_scaler": f"""
+        SELECT l_orderkey, l_linenumber,
+               ROUND((l_quantity - s.m) / s.v, 6) AS scaled
+        FROM lineitem,
+             (SELECT avg(l_quantity) AS m, var_pop(l_quantity) AS v FROM lineitem) s
+    """,
+    "minmax_scaler": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND((l_extendedprice - s.mn) / (s.mx - s.mn), 6) AS scaled
+        FROM lineitem,
+             (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+              FROM lineitem) s
+    """,
+    "kbins": """
+        SELECT l_orderkey, l_linenumber,
+               LEAST(CAST(TRUNC((l_quantity - s.mn) / (s.mx - s.mn) * 4) AS BIGINT),
+                     3)::DOUBLE AS bin
+        FROM lineitem,
+             (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem) s
+    """,
+    "ordinal_encoder": """
+        SELECT d.doc_id, (r.rk - 1)::DOUBLE AS code
+        FROM documents d
+        JOIN (SELECT source, dense_rank() OVER (ORDER BY source) AS rk
+              FROM (SELECT DISTINCT source FROM documents)) r
+          ON d.source = r.source
+    """,
+    "onehot_slots": """
+        SELECT d.doc_id, (r.rk - 1)::BIGINT AS slot
+        FROM documents d
+        JOIN (SELECT lang, dense_rank() OVER (ORDER BY lang) AS rk
+              FROM (SELECT DISTINCT lang FROM documents)) r
+          ON d.lang = r.lang
+    """,
+    "count_vectorizer": f"""
+        SELECT doc_id, token, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    """,
+    "tfidf": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, count(DISTINCT doc_id) AS d FROM tok GROUP BY token
+        ),
+        n AS (SELECT count(*) AS total FROM documents)
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.c * ln(n.total::DOUBLE / df.d), 6) AS tfidf
+        FROM tf, df, n WHERE tf.token = df.token
+    """,
+    "hash_vectorizer": f"""
+        SELECT doc_id,
+               (('0x' || substr(md5(token), 1, 15))::BIGINT % 64) AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY doc_id, bucket
+    """,
+    "polynomial": """
+        SELECT l_orderkey, l_linenumber, d.degree::BIGINT AS degree,
+               ROUND(power(l_discount, d.degree), 6) AS value
+        FROM lineitem, (SELECT unnest([1, 2, 3]) AS degree) d
+    """,
+    "incremental_groupby": """
+        SELECT user_id, count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum,
+               sum(round(value * 100)) / 100.0 / count(*) AS mean
+        FROM events GROUP BY user_id
+    """,
+    "tumbling_window": """
+        SELECT event_type,
+               ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum
+        FROM events GROUP BY event_type, window_start
+    """,
+    "sliding_window": """
+        SELECT event_type, ROUND(ws, 6) AS window_start, count(*)::BIGINT AS count
+        FROM (SELECT event_type, epoch(ts) AS t,
+                     unnest([floor(epoch(ts)/3600)*3600,
+                             floor(epoch(ts)/3600)*3600 - 3600]) AS ws
+              FROM events)
+        WHERE t >= ws AND t < ws + 7200
+        GROUP BY event_type, ws
+    """,
+    "session_window": """
+        WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+        marked AS (
+            SELECT user_id, t,
+                   CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                             OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+        ),
+        sessions AS (
+            SELECT user_id, t,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, ROUND(min(t), 6) AS session_start, count(*)::BIGINT AS count
+        FROM sessions GROUP BY user_id, sid
+    """,
+    "stream_join": """
+        SELECT o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
+               l.l_linenumber, ROUND(l.l_extendedprice, 6) AS l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    "retraction_groupby": """
+        SELECT event_type, count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum
+        FROM events WHERE event_id % 10 <> 0 GROUP BY event_type
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "token_count": f"""
+        SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens FROM documents
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars_calc,
+               len({_TOKENS})::BIGINT AS n_tokens,
+               ROUND(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                          / length(text) ELSE 0 END, 6) AS digit_ratio,
+               ROUND(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                          / length(text) ELSE 0 END, 6) AS upper_ratio,
+               ROUND(CASE WHEN len({_TOKENS}) > 0
+                     THEN list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE
+                          / len({_TOKENS}) ELSE 0 END, 6) AS avg_token_len
+        FROM documents
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0
+                   AS sum_revenue,
+               sum(l_quantity) / count(*) AS avg_qty,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue": """
+        SELECT l_orderkey,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0
+                   AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "broadcast_join": """
+        SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+               sum(round(o.o_totalprice * 100)) / 100.0 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "antijoin": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "distinct": """
+        SELECT DISTINCT l_returnflag FROM lineitem
+    """,
+}
