@@ -407,8 +407,7 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
 
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs_ds, _ = minhash_lsh_candidates(ds, params=MinHashParams())
-    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
+    pairs, _ = minhash_lsh_candidates(ds, params=MinHashParams())
     if pairs.num_rows == 0:
         return pa.table({"id_lo": pa.array([], type=pa.int64()),
                          "id_hi": pa.array([], type=pa.int64()),
@@ -473,32 +472,39 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 
 # ====================================================================== relational
-def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Mean, Sum
+def _two_phase(ds, keys: list, agg_fn) -> pd.DataFrame:
+    """Two-phase grouped aggregate: vectorized per-block partials inside
+    map_batches, tiny driver-side final merge — no wide shuffle (the guide's
+    pre-aggregation pattern; fixes the reference's single-reducer hot key)."""
 
+    def partial(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(agg_fn(tbl.to_pandas()), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(keys, as_index=False).sum()
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = _read(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def add_cents(tbl: pa.Table) -> pa.Table:
-        # integer-cents columns: exact at any accumulation order
-        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)
-        return tbl.append_column(
-            "price_cents", pa.array(_half_away(price * 100.0))
-        ).append_column(
-            "revenue_cents", pa.array(_half_away(price * (1.0 - disc) * 100.0))
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            price_cents=_half_away(pdf["l_extendedprice"].to_numpy() * 100.0),
+            revenue_cents=_half_away(
+                pdf["l_extendedprice"].to_numpy()
+                * (1.0 - pdf["l_discount"].to_numpy()) * 100.0
+            ),
+            n=1,
+        )
+        return pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), price_cents=("price_cents", "sum"),
+            revenue_cents=("revenue_cents", "sum"), n=("n", "sum"),
         )
 
-    ds = ds.map_batches(add_cents, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="price_cents"),
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Count(alias_name="n"),
-    )
-    df = out.to_pandas()
+    df = _two_phase(ds, ["l_returnflag", "l_linestatus"], partial)
     df["n"] = df["n"].astype(np.int64)
     df["sum_price"] = df.pop("price_cents") / 100.0
     df["sum_revenue"] = df.pop("revenue_cents") / 100.0
@@ -507,56 +513,48 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_revenue(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def add_rev(tbl: pa.Table) -> pa.Table:
-        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)
-        return tbl.append_column(
-            "revenue_cents", pa.array(_half_away(price * (1.0 - disc) * 100.0))
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            revenue_cents=_half_away(
+                pdf["l_extendedprice"].to_numpy()
+                * (1.0 - pdf["l_discount"].to_numpy()) * 100.0
+            )
+        )
+        return pdf.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
         )
 
-    out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-        .limit(10)
-    )
-    df = out.to_pandas()
+    df = _two_phase(ds, ["l_orderkey"], partial)
     df["revenue"] = df.pop("revenue_cents") / 100.0
-    return df
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
 
 
 def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer with the small side broadcast (ray.put once,
-    dict lookup per batch — no shuffle)."""
-    from ray.data.aggregate import Count, Sum
-
+    vectorized pandas map per batch — no shuffle), two-phase aggregate."""
     cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    lookup = pd.Series(
+        cust["c_mktsegment"].to_pylist(), index=cust["c_custkey"].to_pylist()
+    )
     ref = ray.put(lookup)
-
-    def attach(tbl: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        seg = [lk.get(k) for k in tbl["o_custkey"].to_pylist()]
-        return tbl.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def cents(tbl: pa.Table) -> pa.Table:
-        v = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
-        return tbl.append_column("total_cents", pa.array(_half_away(v * 100.0)))
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        pdf = pdf.assign(
+            c_mktsegment=pdf["o_custkey"].map(lk),
+            total_cents=_half_away(pdf["o_totalprice"].to_numpy() * 100.0),
+            n=1,
+        )
+        return pdf.groupby("c_mktsegment", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum")
+        )
 
-    out = (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"), Sum("total_cents", alias_name="total_cents"))
-    )
-    df = out.to_pandas()
+    df = _two_phase(ds, ["c_mktsegment"], partial)
     df["n"] = df["n"].astype(np.int64)
     df["total"] = df.pop("total_cents") / 100.0
     return df

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash60_array
+from ..functions.hashing import fast_hash64_array
 from ..functions.tokenize import tokenize_column
 
 __all__ = ["derive_tokenized", "tokenized_dataset", "epoch_tables", "epoch_datasets"]
@@ -36,7 +36,7 @@ def derive_tokenized(tbl: pa.Table, vocab_size: int = VOCAB_SIZE) -> pa.Table:
     toks = tokenize_column(tbl["text"])
     flat = toks.flatten()
     if len(flat):
-        ids = (stable_hash60_array(flat.to_pylist()) % vocab_size).astype(np.int32)
+        ids = (fast_hash64_array(flat) % np.uint64(vocab_size)).astype(np.int32)
     else:
         ids = np.array([], dtype=np.int32)
     tokens = pa.ListArray.from_arrays(toks.offsets, pa.array(ids, type=pa.int32()))
@@ -54,17 +54,46 @@ def derive_tokenized(tbl: pa.Table, vocab_size: int = VOCAB_SIZE) -> pa.Table:
     )
 
 
-def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE):
+def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
+                      replicate: int = 1, parallelism: int | None = None):
     """Ray Dataset of tokenized sequences derived from ``documents.parquet``
-    (columns pruned at the read)."""
+    (columns pruned at the read).
+
+    ``replicate`` synthesizes an N×-larger corpus (distinct doc_ids per copy,
+    identical token arrays — deterministic) for throughput benchmarking;
+    ``parallelism`` repartitions the small source table before the CPU-heavy
+    tokenize stage so it fans out across the cluster (a single parquet file
+    otherwise yields a single block → a single task).
+    """
+    import math
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
+    # bound rows-per-task AFTER replication: a fat block (10M+ tokens) blows
+    # a worker's heap and forces object-store spill; target ~16k rows/task
+    total_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * replicate
+    auto_blocks = max(1, math.ceil(total_rows / 16384))
+    blocks = max(parallelism or 0, auto_blocks)
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"],
+        override_num_blocks=blocks,
     )
-    return ds.map_batches(
-        lambda t: derive_tokenized(t, vocab_size), batch_format="pyarrow"
-    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        if replicate > 1:
+            n = tbl.num_rows
+            base = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.tile(np.arange(n, dtype=np.int64), replicate)
+            tbl = tbl.take(pa.array(idx))  # one vectorized tile, no concat loop
+            new_ids = (np.repeat(np.arange(replicate, dtype=np.int64), n)
+                       * 100_000_000 + np.tile(base, replicate))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("doc_id"), "doc_id", pa.array(new_ids)
+            )
+        return derive_tokenized(tbl, vocab_size)
+
+    return ds.map_batches(prep, batch_format="pyarrow")
 
 
 def epoch_tables(tbl: pa.Table, n_epochs: int) -> list[pa.Table]:

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash60_array
+from ..functions.hashing import fast_hash64_array, stable_hash60_array
 from ..functions.tokenize import tokenize_column
 
 __all__ = [
@@ -112,24 +112,36 @@ def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int):
     participate).
     """
     lengths = np.diff(offsets)
+    n = len(lengths)
     counts = np.maximum(lengths - k + 1, np.where(lengths > 0, 1, 0))
+    total = int(counts.sum())
     coeffs = (np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
-    flats = []
-    for d in range(len(lengths)):
-        lo, hi = offsets[d], offsets[d + 1]
-        toks = tok_hash[lo:hi].astype(np.uint64)
-        if toks.size == 0:
-            continue
-        if toks.size < k:
-            flats.append(np.array([(toks * coeffs[: toks.size]).sum() % _P61],
-                                  dtype=np.uint64))
-        else:
-            acc = np.zeros(toks.size - k + 1, dtype=np.uint64)
-            for j in range(k):
-                acc = (acc + coeffs[j] * toks[j : toks.size - k + 1 + j]) % _P61
-            flats.append(acc)
-    flat = np.concatenate(flats) if flats else np.array([], dtype=np.uint64)
-    return flat, counts
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, counts
+    toks = tok_hash.astype(np.uint64)
+    doc_idx = np.repeat(np.arange(n), lengths)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    # vectorized path: all k-token windows that stay inside one doc
+    m = toks.size - k + 1
+    long_mask = lengths >= k
+    if m > 0:
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):  # k vector ops total, not a per-doc loop
+            acc = (acc + coeffs[j] * toks[j : j + m]) % np.uint64(_P61)
+        valid = doc_idx[:m] == doc_idx[k - 1 : k - 1 + m]
+        long_vals = acc[valid]
+    else:
+        long_vals = np.array([], dtype=np.uint64)
+    # short docs (0 < len < k): one shingle over their full token run
+    short_docs = np.nonzero((lengths > 0) & ~long_mask)[0]
+    target_is_short = np.zeros(total, dtype=bool)
+    target_is_short[bounds[short_docs]] = True
+    out[~target_is_short] = long_vals
+    for d in short_docs:  # rare
+        t = toks[offsets[d] : offsets[d + 1]]
+        out[bounds[d]] = (t * coeffs[: t.size]).sum() % np.uint64(_P61)
+    return out, counts
 
 
 def minhash_signatures(tbl: pa.Table, col: str, params: MinHashParams,
@@ -137,8 +149,9 @@ def minhash_signatures(tbl: pa.Table, col: str, params: MinHashParams,
     """(id, sig:list<int64>[num_perm]) per doc — one vectorized pass."""
     toks = tokenize_column(tbl[col])
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat_tokens = toks.flatten().to_pylist()
-    tok_hash = stable_hash60_array(flat_tokens) if flat_tokens else np.array([], dtype=np.int64)
+    flat_tokens = toks.flatten()
+    tok_hash = (fast_hash64_array(flat_tokens).astype(np.int64)
+                if len(flat_tokens) else np.array([], dtype=np.int64))
     sh, counts = _shingle_hashes(tok_hash, offsets, params.shingle)
     a, b = _perm_coeffs(params)
     n = len(tbl)
@@ -203,24 +216,37 @@ def minhash_lsh_candidates(ds, col: str = "text", id_col: str = "doc_id",
 
     band_ds = sig_ds.map_batches(bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
+    # coarse bucket → ~256 groups (one map_groups call each), pairs generated
+    # vectorized inside; per-(band,band_hash) python touches ONLY buckets that
+    # actually collide (rare), never the full corpus
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        bh = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return tbl.append_column("bucket", pa.array((bh % 256).astype(np.int32)))
+
+    def pairs_in_bucket(group) -> "pa.Table":
+        import pandas as pd
+
+        dup = group[group.duplicated(["band", "band_hash"], keep=False)]
         lo, hi = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo.append(ids[i])
-                hi.append(ids[j])
-        return pa.table({"id_lo": pa.array(lo), "id_hi": pa.array(hi)})
+        for _, g in dup.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(g[id_col])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    lo.append(ids[i])
+                    hi.append(ids[j])
+        return pd.DataFrame({"id_lo": lo, "id_hi": hi})
 
-    pairs = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs_ds = (
+        band_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # dedup pairs produced by multiple bands
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.group_by(["id_lo", "id_hi"]).aggregate([])
-
-    pairs = pairs.groupby("id_lo").map_groups(dedup_pairs, batch_format="pyarrow")
+    pairs_pdf = pairs_ds.to_pandas().drop_duplicates(["id_lo", "id_hi"])
+    pairs = pa.Table.from_pandas(pairs_pdf.reset_index(drop=True),
+                                 preserve_index=False)
+    if pairs.num_rows == 0:
+        pairs = pa.table({"id_lo": pa.array([], type=pa.int64()),
+                          "id_hi": pa.array([], type=pa.int64())})
     return pairs, sig_ds
 
 
@@ -238,7 +264,7 @@ def minhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
     are orders of magnitude smaller than the corpus (log the count to catch
     pathological inputs).
     """
-    pairs_ds, sig_ds = minhash_lsh_candidates(ds, col, id_col, params)
+    pairs, sig_ds = minhash_lsh_candidates(ds, col, id_col, params)
     sigs: dict = {}
     for batch in sig_ds.iter_batches(batch_format="pyarrow"):
         ids = batch[id_col].to_pylist()
@@ -248,10 +274,9 @@ def minhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
         for i, d in enumerate(ids):
             sigs[d] = mat[i]
     verified = []
-    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
-        for lo, hi in zip(batch["id_lo"].to_pylist(), batch["id_hi"].to_pylist()):
-            if estimate_jaccard(sigs[lo], sigs[hi]) >= threshold:
-                verified.append((lo, hi))
+    for lo, hi in zip(pairs["id_lo"].to_pylist(), pairs["id_hi"].to_pylist()):
+        if estimate_jaccard(sigs[lo], sigs[hi]) >= threshold:
+            verified.append((lo, hi))
     comp = union_find_components(verified)
     if not comp:
         return pa.table({id_col: pa.array([], type=pa.int64()),
@@ -289,12 +314,12 @@ def simhash_column(tbl: pa.Table, col: str) -> np.ndarray:
     """64-bit SimHash over whitespace tokens (vectorized bit-count)."""
     toks = tokenize_column(tbl[col])
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.flatten().to_pylist()
+    flat = toks.flatten()
     n = len(tbl)
     out = np.zeros(n, dtype=np.uint64)
-    if not flat:
+    if not len(flat):
         return out
-    th = stable_hash60_array(flat).astype(np.uint64)
+    th = fast_hash64_array(flat)
     # widen 60-bit hash to 64 by remixing
     th = th * np.uint64(0x9E3779B97F4A7C15)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
@@ -337,31 +362,40 @@ def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
             }
         )
 
-    band_ds = sh_ds.map_batches(bands, batch_format="pyarrow")
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        v = tbl["val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return tbl.append_column("bucket", pa.array((v % 256).astype(np.int32)))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
+    def pairs_in_bucket(group) -> "pd.DataFrame":
+        import pandas as pd
+
+        dup = group[group.duplicated(["band", "val"], keep=False)]
         lo, hi = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo.append(ids[i])
-                hi.append(ids[j])
-        return pa.table({"id_lo": pa.array(lo), "id_hi": pa.array(hi)})
+        for _, g in dup.groupby(["band", "val"], sort=False):
+            ids = sorted(g[id_col])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    lo.append(ids[i])
+                    hi.append(ids[j])
+        return pd.DataFrame({"id_lo": lo, "id_hi": hi})
 
-    pairs = band_ds.groupby(["band", "val"]).map_groups(bucket_pairs,
-                                                        batch_format="pyarrow")
+    pairs_pdf = (
+        sh_ds.map_batches(bands, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["id_lo", "id_hi"])
+    )
     sh_map = {}
     for b in sh_ds.iter_batches(batch_format="pyarrow"):
         for d, s in zip(b[id_col].to_pylist(), b["simhash"].to_pylist()):
             sh_map[d] = np.uint64(s)
     verified = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        for lo, hi in zip(b["id_lo"].to_pylist(), b["id_hi"].to_pylist()):
-            if (lo, hi) in verified:
-                continue
-            ham = bin(int(sh_map[lo] ^ sh_map[hi])).count("1")
-            if ham <= max_hamming:
-                verified.add((lo, hi))
+    for lo, hi in zip(pairs_pdf["id_lo"], pairs_pdf["id_hi"]):
+        ham = bin(int(sh_map[lo] ^ sh_map[hi])).count("1")
+        if ham <= max_hamming:
+            verified.add((int(lo), int(hi)))
     comp = union_find_components(sorted(verified))
     items = sorted(comp.items())
     return pa.table(

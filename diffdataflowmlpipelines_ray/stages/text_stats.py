@@ -128,15 +128,15 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 
 def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
     """Order-sensitive rolling hash over whitespace tokens (doc fingerprint)."""
-    from ..functions.hashing import stable_hash60_array
+    from ..functions.hashing import fast_hash64_array
 
     def fp(tbl: pa.Table) -> pa.Table:
         toks = tokenize_column(tbl[col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(offsets)
-        flat = toks.flatten().to_pylist()
-        th = (stable_hash60_array(flat).astype(np.uint64)
-              if flat else np.array([], dtype=np.uint64))
+        flat = toks.flatten()
+        th = (fast_hash64_array(flat)
+              if len(flat) else np.array([], dtype=np.uint64))
         n = len(tbl)
         out_fp = np.full(n, _FNV_OFFSET, dtype=np.uint64)
         max_len = int(lengths.max()) if n and lengths.size else 0

@@ -49,11 +49,24 @@ class IncrementalEncoderSession:
     def __init__(self, config: Sequence[tuple[str, Encoder]], root: str | Path,
                  num_shards: int = 2, weight_col: str | None = None,
                  keep_input: bool = False, out_col: str = "features",
-                 checkpoint_every: int = 1):
+                 checkpoint_every: int = 1, pre_transform=None,
+                 archive_input: bool = True, output_cols: list | None = None):
         self.mce = MultiColumnEncoder(config)
         self.weight_col = weight_col
         self.keep_input = keep_input
         self.out_col = out_col
+        #: optional per-block stage fused into the encode pass (e.g. token
+        #: feature derivation) — runs distributed, never archived twice
+        self.pre_transform = pre_transform
+        #: False when the epoch source is already durable (e.g. one parquet
+        #: directory per epoch): replay re-reads the source instead of an
+        #: engine-side archive, halving sink IO.  ``refresh()`` then needs the
+        #: caller to re-supply the stream.
+        self.archive_input = archive_input
+        #: with keep_input=False: extra columns to carry into the sink beside
+        #: the id and feature columns (sink bytes are often the scale
+        #: bottleneck — write the product, not the whole input)
+        self.output_cols = list(output_cols or [])
         self.root = Path(root)
         self.store = ShardedStateStore(num_shards=num_shards)
         self.sink = ExactlyOnceParquetSink(self.root / "encoded")
@@ -92,8 +105,13 @@ class IncrementalEncoderSession:
         path; use ``read_epoch_output``).
         """
         small = isinstance(data, pa.Table)
-        # 0) archive the raw epoch (atomic; upstream executes exactly once)
-        if small:
+        # 0) archive the raw epoch (atomic; upstream executes exactly once).
+        # Skipped when the source itself is durable (archive_input=False) —
+        # then the input must be a materialized Dataset / table so the two
+        # passes below don't re-execute upstream.
+        if not self.archive_input:
+            epoch_data = data
+        elif small:
             self.input_archive.commit_tables(epoch, [data], meta={"kind": "input"})
             epoch_data = data
         else:
@@ -139,17 +157,21 @@ class IncrementalEncoderSession:
         mce, out_col, weight_col, keep_input = (
             self.mce, self.out_col, self.weight_col, self.keep_input
         )
+        pre = self.pre_transform
+        extra = set(self.output_cols)
 
         def encode(tbl: pa.Table) -> pa.Table:
             if weight_col and weight_col in tbl.column_names:
                 import pyarrow.compute as pc
 
                 tbl = tbl.filter(pc.greater(tbl[weight_col], 0))
+            if pre is not None:
+                tbl = pre(tbl)
             out = mce.transform_table(tbl, out_col)
             if not keep_input:
                 ids = {c for c in ("row_id", "doc_id") if c in out.column_names}
                 out = out.select([c for c in out.column_names
-                                  if c == out_col or c in ids])
+                                  if c == out_col or c in ids or c in extra])
             return out
 
         if small:

@@ -317,33 +317,52 @@ class StreamJoin:
     right_ts: str | None = None
     retention: float | None = None
 
-    def side_rows(self, tbl: pa.Table, side: str) -> list:
+    def _side_frame(self, tbl: pa.Table, side: str) -> pd.DataFrame:
+        """One side's epoch rows → DataFrame of key + output cols + per-side
+        event-time column (vectorized; no per-row Python)."""
         key_cols = self.left_key if side == "left" else self.right_key
         out_cols = self.left_cols if side == "left" else self.right_cols
         ts_col = self.left_ts if side == "left" else self.right_ts
-        cols = list(dict.fromkeys(list(key_cols) + list(out_cols) + ([ts_col] if ts_col else [])))
+        cols = list(dict.fromkeys(list(key_cols) + list(out_cols)
+                                  + ([ts_col] if ts_col else [])))
         pdf = tbl.select(cols).to_pandas()
-        ts = _ts_to_float(pdf[ts_col]) if ts_col else np.zeros(len(pdf))
-        keys = list(zip(*(pdf[c] for c in key_cols))) if len(pdf) else []
-        rows = list(pdf[list(out_cols)].itertuples(index=False, name=None))
-        return [
-            (_key_bytes(k), float(t), r) for k, t, r in zip(keys, ts, rows)
-        ]
+        ts_name = f"__ts_{side}"
+        pdf[ts_name] = _ts_to_float(pdf[ts_col]) if ts_col else 0.0
+        if ts_col and ts_col not in out_cols and ts_col not in key_cols:
+            pdf = pdf.drop(columns=[ts_col])
+        return pdf
 
-    def matches_to_table(self, matches: list, epoch: int) -> pa.Table:
-        key_names = list(self.left_key)
-        recs = []
-        for kb, lrow, rrow in matches:
-            key = pickle.loads(kb)
-            rec = dict(zip(key_names, key))
-            rec.update(dict(zip(self.left_cols, lrow)))
-            rec.update(dict(zip(self.right_cols, rrow)))
-            rec["epoch"] = epoch
-            recs.append(rec)
-        if not recs:
-            names = key_names + list(self.left_cols) + list(self.right_cols) + ["epoch"]
-            return pa.table({n: pa.array([]) for n in names})
-        return pa.Table.from_pylist(recs)
+    def shard_payloads(self, left_tbl, right_tbl, num_shards: int) -> dict[int, dict]:
+        """Hash-partition both sides to the same shards (co-location by key):
+        shard = hash(key values) % num_shards, computed vectorized and
+        identically on both sides (pd.util.hash_pandas_object on the key
+        columns by position)."""
+        payloads: dict[int, dict] = {}
+        for side, tbl, keys in (("left", left_tbl, self.left_key),
+                                ("right", right_tbl, self.right_key)):
+            if tbl is None:
+                continue
+            pdf = self._side_frame(tbl, side)
+            if not len(pdf):
+                continue
+            h = pd.util.hash_pandas_object(pdf[list(keys)], index=False).to_numpy()
+            sid = (h % np.uint64(num_shards)).astype(np.int64)
+            for s in np.unique(sid):
+                payloads.setdefault(int(s), {
+                    "left_key": list(self.left_key),
+                    "right_key": list(self.right_key),
+                })[side] = pdf[sid == s].reset_index(drop=True)
+        return payloads
+
+    def matches_to_table(self, frames: list, epoch: int) -> pa.Table:
+        names = list(dict.fromkeys(
+            list(self.left_key) + list(self.left_cols) + list(self.right_cols)
+        ))
+        if not frames:
+            return pa.table({n: pa.array([]) for n in names + ["epoch"]})
+        df = pd.concat(frames, ignore_index=True)[names]
+        df["epoch"] = np.int64(epoch)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
 
 class StreamSession:
@@ -445,11 +464,14 @@ class StreamSession:
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
-                left = op.side_rows(self._as_table(left_tbl), "left") if left_tbl is not None else []
-                right = op.side_rows(self._as_table(right_tbl), "right") if right_tbl is not None else []
-                if left or right:
-                    matches = self.store.join_insert_probe(name, epoch, left, right)
-                    tbl = op.matches_to_table(matches, epoch)
+                payloads = op.shard_payloads(
+                    self._as_table(left_tbl) if left_tbl is not None else None,
+                    self._as_table(right_tbl) if right_tbl is not None else None,
+                    self.store.num_shards,
+                )
+                if payloads:
+                    frames = self.store.join_insert_probe(name, epoch, payloads)
+                    tbl = op.matches_to_table(frames, epoch)
                     self.sinks[name].commit_tables(epoch, [tbl], meta={"kind": "join"})
                     emitted[name] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows

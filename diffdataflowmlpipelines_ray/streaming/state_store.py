@@ -176,42 +176,46 @@ class StateShard:
 
     # ------------------------------------------------------- stream-stream join
     def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
-        """Symmetric hash join step for this shard.
+        """Symmetric hash join step for this shard — fully vectorized.
 
-        payload = pickled dict side → list[(key_bytes, ts, row_tuple)].
-        Matches emitted exactly once per pair:
-        new_left × (old_right ∪ new_right)  ∪  old_left × new_right.
-        Returns pickled list[(key_bytes, left_row, right_row)].
+        payload = pickled dict with ``left``/``right`` pandas DataFrames (the
+        shard's hash-partition of this epoch's rows; key cols + output cols +
+        ``__ts``) and ``left_key``/``right_key`` column lists.  Matches are
+        emitted exactly once per pair:
+        new_left × (old_right ∪ new_right)  ∪  old_left × new_right,
+        each computed as one pandas hash merge (C speed, no per-row Python).
+        Returns a pickled DataFrame of matched rows.
         """
-        if self._seen(f"join:{name}", epoch):
-            return _dumps([])
-        buf = self.joins.setdefault(name, {"left": {}, "right": {}})
+        import pandas as pd
+
         sides = pickle.loads(payload)
-        new_left = sides.get("left", [])
-        new_right = sides.get("right", [])
-        matches = []
-        # old_left × new_right
-        for key, ts, row in new_right:
-            for lts, lrow in buf["left"].get(key, []):
-                matches.append((key, lrow, row))
-        # new_left × old_right (right does not yet contain new_right)
-        for key, ts, row in new_left:
-            for rts, rrow in buf["right"].get(key, []):
-                matches.append((key, row, rrow))
-        # new_left × new_right
-        right_by_key: dict[bytes, list] = {}
-        for key, ts, row in new_right:
-            right_by_key.setdefault(key, []).append(row)
-        for key, ts, row in new_left:
-            for rrow in right_by_key.get(key, []):
-                matches.append((key, row, rrow))
-        # install new rows
-        for key, ts, row in new_left:
-            buf["left"].setdefault(key, []).append((ts, row))
-        for key, ts, row in new_right:
-            buf["right"].setdefault(key, []).append((ts, row))
-        matches.sort()
-        return _dumps(matches)
+        lk, rk = list(sides["left_key"]), list(sides["right_key"])
+        if self._seen(f"join:{name}", epoch):
+            return _dumps(None)
+        buf = self.joins.setdefault(name, {"left": None, "right": None})
+        nl = sides.get("left")
+        nr = sides.get("right")
+        outs = []
+
+        def merge(a, b):
+            res = a.merge(b, left_on=lk, right_on=rk,
+                          suffixes=("", "__r"))
+            return res
+
+        if nr is not None and buf["left"] is not None:
+            outs.append(merge(buf["left"], nr))
+        if nl is not None and buf["right"] is not None:
+            outs.append(merge(nl, buf["right"]))
+        if nl is not None and nr is not None:
+            outs.append(merge(nl, nr))
+        for side, new in (("left", nl), ("right", nr)):
+            if new is not None:
+                buf[side] = new if buf[side] is None else pd.concat(
+                    [buf[side], new], ignore_index=True
+                )
+        if not outs:
+            return _dumps(None)
+        return _dumps(pd.concat(outs, ignore_index=True))
 
     def join_expire(self, name: str, expire_before: float) -> int:
         """Drop buffered rows with event time < expire_before (watermark −
@@ -220,14 +224,13 @@ class StateShard:
         if buf is None:
             return 0
         dropped = 0
-        for side in buf.values():
-            for key in list(side.keys()):
-                kept = [(ts, r) for ts, r in side[key] if ts >= expire_before]
-                dropped += len(side[key]) - len(kept)
-                if kept:
-                    side[key] = kept
-                else:
-                    del side[key]
+        for side in list(buf.keys()):
+            df = buf[side]
+            if df is None:
+                continue
+            kept = df[df["__ts"] >= expire_before]
+            dropped += len(df) - len(kept)
+            buf[side] = kept.reset_index(drop=True) if len(kept) else None
         return dropped
 
     # ------------------------------------------------------------ checkpoint
@@ -326,23 +329,18 @@ class ShardedStateStore:
 
     # --------------------------------------------------------------- join
     def join_insert_probe(self, name: str, epoch: int,
-                          left: list, right: list) -> list:
-        """left/right: list[(key_bytes, ts, row_tuple)] → matched pairs."""
-        per_shard: dict[int, dict[str, list]] = {}
-        for side, rows in (("left", left), ("right", right)):
-            for key, ts, row in rows:
-                sid = shard_of(key, self.num_shards)
-                per_shard.setdefault(sid, {"left": [], "right": []})[side].append(
-                    (key, ts, row)
-                )
+                          per_shard: dict[int, dict]) -> list:
+        """per_shard: sid → {"left": DataFrame|None, "right": DataFrame|None,
+        "left_key": [...], "right_key": [...]} → list of matched DataFrames."""
         refs = [
             self.shards[sid].join_insert_probe.remote(name, epoch, _dumps(payload))
             for sid, payload in sorted(per_shard.items())
         ]
         out = []
         for b in ray.get(refs):
-            out.extend(pickle.loads(b))
-        out.sort()
+            df = pickle.loads(b)
+            if df is not None and len(df):
+                out.append(df)
         return out
 
     def join_expire(self, name: str, expire_before: float) -> int:
