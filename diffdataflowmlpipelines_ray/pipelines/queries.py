@@ -582,6 +582,25 @@ def q_antijoin(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_union(sf_dir: str) -> pd.DataFrame:
+    """Multiset union (the reference's ``concat``, one_hot_encoder.rs:59):
+    high-value orders ∪ automobile-segment customers' keys, duplicates kept."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def hi(tbl: pa.Table) -> pa.Table:
+        m = pc.greater(tbl["o_totalprice"], 400000.0)
+        return pa.table({"key": tbl.filter(m)["o_custkey"]})
+
+    def auto(tbl: pa.Table) -> pa.Table:
+        m = pc.equal(tbl["c_mktsegment"], "AUTOMOBILE")
+        return pa.table({"key": tbl.filter(m)["c_custkey"]})
+
+    a = orders.map_batches(hi, batch_format="pyarrow")
+    b = cust.map_batches(auto, batch_format="pyarrow")
+    return a.union(b).to_pandas()
+
+
 def q_distinct(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag"])
     vals = ds.unique("l_returnflag")
@@ -620,6 +639,7 @@ QUERIES = {
     "top_revenue": q_top_revenue,
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
+    "union": q_union,
     "distinct": q_distinct,
 }
 
@@ -806,6 +826,11 @@ ORACLES = {
     "antijoin": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "union": """
+        SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
     """,
     "distinct": """
         SELECT DISTINCT l_returnflag FROM lineitem
