@@ -582,6 +582,32 @@ def q_antijoin(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Large-large partitioned hash join (no broadcast): orders ⋈ customer
+    bucketed by key hash, then grouped per segment (same oracle as
+    broadcast_join — different execution path)."""
+    from ..stages.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, ["o_custkey"], ["c_custkey"], buckets=16)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            total_cents=_half_away(pdf["o_totalprice"].to_numpy(dtype=np.float64)
+                                   * 100.0),
+            n=1,
+        )
+        return pdf.groupby("c_mktsegment", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum")
+        )
+
+    df = _two_phase(joined, ["c_mktsegment"], partial)
+    df["n"] = df["n"].astype(np.int64)
+    df["total"] = df.pop("total_cents") / 100.0
+    return df
+
+
 def q_union(sf_dir: str) -> pd.DataFrame:
     """Multiset union (the reference's ``concat``, one_hot_encoder.rs:59):
     high-value orders ∪ automobile-segment customers' keys, duplicates kept."""
@@ -639,6 +665,7 @@ QUERIES = {
     "top_revenue": q_top_revenue,
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
+    "hash_join": q_hash_join,
     "union": q_union,
     "distinct": q_distinct,
 }
@@ -826,6 +853,12 @@ ORACLES = {
     "antijoin": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "hash_join": """
+        SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+               sum(round(o.o_totalprice * 100)) / 100.0 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "union": """
         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0

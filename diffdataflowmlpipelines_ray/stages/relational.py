@@ -1,0 +1,105 @@
+"""Relational batch operators: partitioned hash join, salted aggregation.
+
+- ``hash_join`` — large-large equi-join without broadcasting: both sides get
+  a ``bucket = hash(key) % B`` column (vectorized, identical hash on both
+  sides), one groupby co-locates matching buckets, and each bucket joins with
+  a pandas hash merge.  This is the portable partitioned-join pattern for the
+  case where neither side fits a broadcast (the reference only ever joins
+  arranged collections inside DD; SURVEY §2.6).
+- ``salted_two_phase_sum`` — explicit skew handling for hot keys: stage 1
+  pre-aggregates per (key, salt) inside ``map_batches`` (a hot key's rows are
+  already collapsed to ≤ num_blocks × num_salts partial rows), stage 2 merges
+  the partials.  Every fit/aggregate in this engine uses the same two-phase
+  shape; this utility exposes it directly and is exercised by the skew test.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hash_join", "salted_two_phase_sum"]
+
+
+def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
+                 unified: pa.Schema):
+    """Add bucket/side columns and pad to the unified schema with typed nulls
+    (Dataset.union requires identical schemas across sides)."""
+
+    def add(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(list(key_cols)).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        n = tbl.num_rows
+        cols = {}
+        for field in unified:
+            if field.name in tbl.column_names:
+                cols[field.name] = tbl[field.name]
+            else:
+                cols[field.name] = pa.nulls(n, type=field.type)
+        cols["__bucket"] = pa.array((h % np.uint64(buckets)).astype(np.int64))
+        cols["__side"] = pa.array([tag] * n, type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
+              buckets: int = 32):
+    """Partitioned equi-join of two Datasets → Dataset of joined rows.
+
+    ``buckets`` bounds per-task memory: each bucket holds ~1/buckets of both
+    sides.  Skewed keys: raise ``buckets`` (a single hot KEY still lands in
+    one bucket — for pathological single-key skew, broadcast the hot key's
+    small side separately; documented tradeoff).
+    """
+    left_on = list(left_on)
+    right_on = list(right_on)
+    l_cols = [f.name for f in left.schema().base_schema]
+    r_cols = [f.name for f in right.schema().base_schema]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    unified = pa.schema(list(lschema) + list(rschema))
+    # union both sides into one dataset so ONE groupby shuffle co-locates
+    # matching buckets; sides are distinguished by a tag column
+    l_tagged = _with_bucket(left, left_on, buckets, "l", unified)
+    r_tagged = _with_bucket(right, right_on, buckets, "r", unified)
+
+    def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        lt = pdf[pdf["__side"] == "l"]
+        rt = pdf[pdf["__side"] == "r"]
+        # merge on empty frames still yields the joined schema/dtypes
+        return lt[list(l_cols)].merge(
+            rt[list(r_cols)], left_on=left_on, right_on=right_on
+        )
+
+    both = l_tagged.union(r_tagged)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def salted_two_phase_sum(ds, key_cols: Sequence[str], value_col: str,
+                         num_salts: int = 16) -> pd.DataFrame:
+    """Skew-proof grouped sum: (key, salt)-partials → final key merge.
+
+    The salt spreads a hot key's *partial* rows over ``num_salts`` reducers;
+    the final merge handles ≤ num_salts rows per key.  Returns the exact
+    grouped sum + count.
+    """
+    keys = list(key_cols)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__salt"] = np.arange(len(pdf)) % num_salts
+        pdf["__n"] = 1
+        return pdf.groupby(keys + ["__salt"], as_index=False).agg(
+            s=(value_col, "sum"), n=("__n", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(keys, as_index=False).agg(sum=("s", "sum"), count=("n", "sum"))
+    return out

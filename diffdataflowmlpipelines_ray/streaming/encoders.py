@@ -67,6 +67,12 @@ class IncrementalEncoderSession:
         #: the id and feature columns (sink bytes are often the scale
         #: bottleneck — write the product, not the whole input)
         self.output_cols = list(output_cols or [])
+        #: optional observer called with (epoch, encoder_index, column,
+        #: state_dict) whenever an encoder's fitted meta changes — the
+        #: reference's ``inspect`` on the meta collections
+        #: (standard_scaler.rs:94-96, minmax_scaler.rs:143-145)
+        self.inspect_meta = None
+        self._last_meta: dict[int, dict] = {}
         self.root = Path(root)
         self.store = ShardedStateStore(num_shards=num_shards)
         self.sink = ExactlyOnceParquetSink(self.root / "encoded")
@@ -152,6 +158,15 @@ class IncrementalEncoderSession:
 
         # 2) pull the (tiny) merged state and install it in the encoders
         self._refresh_encoder_state()
+        if self.inspect_meta is not None:
+            import pickle as _p
+
+            for i, col, enc in self._stateful:
+                st = enc.state()
+                key = _p.dumps(sorted(st.items(), key=lambda kv: kv[0]), protocol=4)
+                if self._last_meta.get(i) != key:
+                    self._last_meta[i] = key
+                    self.inspect_meta(epoch, i, col, st)
 
         # 3) transform this epoch's insertions (diff > 0 when deltas present)
         mce, out_col, weight_col, keep_input = (

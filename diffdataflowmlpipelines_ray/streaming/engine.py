@@ -502,14 +502,22 @@ class StreamSession:
                 bound = self.watermark - op.window.allowed_lateness
                 items = self.store.sweep_closed_windows(name, bound)
                 tbl = op.rows_to_table(items, epoch)
-                self.sinks[name].commit_tables(epoch, [tbl], meta={"watermark": self.watermark})
+                self.sinks[name].commit_tables(
+                    epoch, [tbl],
+                    meta={"watermark": self.watermark, "op": name,
+                          "metrics": dict(self.metrics)},
+                )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, SessionWindowAggregation):
                 bound = self.watermark - op.allowed_lateness
                 items = self.store.sweep_closed_sessions(name, bound, op.gap)
                 tbl = op.rows_to_table(items, epoch)
-                self.sinks[name].commit_tables(epoch, [tbl], meta={"watermark": self.watermark})
+                self.sinks[name].commit_tables(
+                    epoch, [tbl],
+                    meta={"watermark": self.watermark, "op": name,
+                          "metrics": dict(self.metrics)},
+                )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, StreamJoin) and op.retention is not None:

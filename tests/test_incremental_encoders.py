@@ -131,3 +131,38 @@ class TestFlagship:
         assert res["output_rows"] == 500
         assert res["tokens"] > 0
         assert res["committed_epochs"] == [0, 1, 2]
+
+
+class TestSessionExtras:
+    def test_retraction_through_session(self, ray_session, tmp_path):
+        import numpy as np
+
+        tbl = pa.table({"row_id": [0, 1, 2], "x": [0.0, 10.0, 1000.0],
+                        "diff": [1, 1, 1]})
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler())], tmp_path / "retr", num_shards=1,
+            weight_col="diff",
+        )
+        sess.process_epoch(0, tbl)
+        # retract the outlier in epoch 1
+        sess.process_epoch(1, pa.table({"row_id": [2], "x": [1000.0],
+                                        "diff": [-1]}))
+        enc = sess.mce.config[0][1]
+        assert enc.mean_ == pytest.approx(5.0)  # mean of {0, 10}
+        assert enc.scale_ == pytest.approx(25.0)
+        sess.close()
+
+    def test_inspect_meta_fires_on_change(self, ray_session, tmp_path):
+        seen = []
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler())], tmp_path / "insp", num_shards=1
+        )
+        sess.inspect_meta = lambda epoch, i, col, st: seen.append((epoch, col))
+        sess.process_epoch(0, pa.table({"row_id": [0, 1], "x": [0.0, 2.0]}))
+        sess.process_epoch(1, pa.table({"row_id": [2], "x": [4.0]}))
+        # same stats again → no meta change → no new inspect call
+        sess.process_epoch(2, pa.table({"row_id": [3], "x": [2.0]}))
+        sess.close()
+        assert seen[0] == (0, "x")
+        assert (1, "x") in seen
+        assert len(seen) >= 2

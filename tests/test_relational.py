@@ -1,0 +1,140 @@
+"""Partitioned hash join, salted aggregation, skew behavior, and
+hypothesis-based algebra properties."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from diffdataflowmlpipelines_ray.stages.relational import (
+    hash_join,
+    salted_two_phase_sum,
+)
+from diffdataflowmlpipelines_ray.state.aggregates import (
+    MeanVarAgg,
+    MinMaxAgg,
+    PositionAssignmentAgg,
+)
+
+
+class TestHashJoin:
+    def test_matches_pandas_merge(self, ray_session):
+        rng = np.random.default_rng(0)
+        left = pa.table({"lk": rng.integers(0, 50, 300),
+                         "lval": np.arange(300)})
+        right = pa.table({"rk": rng.integers(0, 50, 200),
+                          "rval": np.arange(200) * 2})
+        out = hash_join(rd.from_arrow(left).repartition(3),
+                        rd.from_arrow(right).repartition(2),
+                        ["lk"], ["rk"], buckets=8).to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(), left_on="lk", right_on="rk")
+        key = ["lk", "lval", "rval"]
+        a = out[key].sort_values(key).reset_index(drop=True).astype(np.int64)
+        b = exp[key].sort_values(key).reset_index(drop=True).astype(np.int64)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_overlapping_columns_rejected(self, ray_session):
+        ds = rd.from_arrow(pa.table({"k": [1], "v": [2]}))
+        with pytest.raises(ValueError, match="rename overlapping"):
+            hash_join(ds, ds, ["k"], ["k"])
+
+
+class TestSkew:
+    def test_salted_sum_hot_key(self, ray_session):
+        # 90% of rows share one key (the skew variant of FIXTURES F0)
+        n = 20000
+        keys = np.where(np.arange(n) % 10 < 9, "web", "code")
+        vals = np.ones(n)
+        ds = rd.from_arrow(pa.table({"source": keys, "x": vals})).repartition(8)
+        out = salted_two_phase_sum(ds, ["source"], "x").set_index("source")
+        assert out.loc["web", "sum"] == 18000.0
+        assert out.loc["code", "count"] == 2000
+        # the shuffle moved only (key, salt) partials: ≤ blocks × salts × keys
+        # rows, never the 20k raw rows — structural property of the two-phase
+        # plan (documented in stages/relational.py)
+
+    def test_skewed_streaming_aggregate(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            KeyedAggregation,
+            StreamSession,
+        )
+
+        n = 5000
+        keys = np.where(np.arange(n) % 10 < 9, 1, 2)  # hot user 1
+        tbl = pa.table({"user_id": keys, "value": np.ones(n)})
+        sess = StreamSession(tmp_path / "skew", num_shards=4)
+        sess.add(KeyedAggregation(name="g", input="e", key_cols=["user_id"],
+                                  value_col="value", aggs=("count", "sum")))
+        for e in range(4):
+            sess.process_epoch(e, {"e": tbl.slice(e * 1250, 1250)})
+        got = sess.state_table("g").to_pandas().set_index("user_id")
+        sess.store.shutdown()
+        assert got.loc[1, "count"] == 4500
+        assert got.loc[2, "count"] == 500
+
+
+# ---------------------------------------------------------------- hypothesis
+floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                   allow_infinity=False)
+
+
+class TestAlgebraProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(floats, min_size=1, max_size=30),
+           st.lists(floats, min_size=1, max_size=30))
+    def test_meanvar_merge_commutes(self, xs, ys):
+        a = MeanVarAgg.from_numpy(np.array(xs))
+        b = MeanVarAgg.from_numpy(np.array(ys))
+        ab = a.merged(b)
+        ba = b.merged(a)
+        assert ab.count == ba.count
+        assert ab.mean == pytest.approx(ba.mean, rel=1e-9, abs=1e-9)
+        assert ab.m2 == pytest.approx(ba.m2, rel=1e-6, abs=1e-6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(floats, min_size=1, max_size=30),
+           st.lists(floats, min_size=0, max_size=30))
+    def test_meanvar_insert_then_retract_is_identity(self, xs, ys):
+        base = MeanVarAgg.from_numpy(np.array(xs))
+        if not ys:
+            return
+        extra = MeanVarAgg.from_numpy(np.array(ys))
+        roundtrip = base.merged(extra).merged(extra.negated())
+        assert roundtrip.count == base.count
+        assert roundtrip.mean == pytest.approx(base.mean, rel=1e-6, abs=1e-6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(floats, st.integers(-3, 3)), min_size=1,
+                    max_size=20))
+    def test_minmax_matches_bruteforce(self, items):
+        agg = MinMaxAgg()
+        counts: dict = {}
+        for v, c in items:
+            agg.merge(MinMaxAgg.of(v, c))
+            counts[v] = counts.get(v, 0) + c
+        live = [v for v, c in counts.items() if c > 0]
+        if not live:
+            with pytest.raises(ValueError):
+                agg.get()
+        else:
+            mn, rng_ = agg.get()
+            assert mn == min(live)
+            # the reference exposes (min, range), not max
+            # (minmax_scaler.rs:35-47) — compare the same expression
+            assert rng_ == max(live) - min(live)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=30))
+    def test_position_assignment_slots_injective(self, values):
+        agg = PositionAssignmentAgg()
+        for v in values:
+            agg.merge(PositionAssignmentAgg.of_value(v, 1))
+        m, length = agg.get_map_and_len()
+        assert set(m.keys()) == set(values)
+        assert len(set(m.values())) == len(m)  # injective slots
+        assert length >= len(m)
+        assert all(0 <= s < length for s in m.values())
