@@ -73,7 +73,18 @@ class IncrementalEncoderSession:
         #: (standard_scaler.rs:94-96, minmax_scaler.rs:143-145)
         self.inspect_meta = None
         self._last_meta: dict[int, dict] = {}
+        #: DD delta-output semantics: when an epoch changes the fitted meta,
+        #: differential dataflow retracts and re-emits every affected prior
+        #: output row (damped by the rounding knobs,
+        #: standard_scaler.rs:116-120).  With ``emit_corrections=True`` (needs
+        #: archive_input) each epoch additionally commits a corrections table
+        #: of (changed prior rows) × {diff=−1 old, diff=+1 new}; base outputs
+        #: ⊕ corrections ≡ the full recompute (tested).
+        self.emit_corrections = False
+        self._meta_snapshot = None
         self.root = Path(root)
+        self.corrections_sink = ExactlyOnceParquetSink(self.root / "corrections")
+        self.effective_sink = ExactlyOnceParquetSink(self.root / "_effective")
         self.store = ShardedStateStore(num_shards=num_shards)
         self.sink = ExactlyOnceParquetSink(self.root / "encoded")
         self.input_archive = ExactlyOnceParquetSink(self.root / "input")
@@ -199,10 +210,69 @@ class IncrementalEncoderSession:
             result = self.sink.commit_dataset(
                 epoch, out_ds, meta={"state_epoch": epoch, "kind": "encoded"}
             )
+        if self.emit_corrections:
+            self._maybe_emit_corrections(epoch, encode)
         self.last_epoch = epoch
         if self.checkpoint_every and epoch % self.checkpoint_every == 0:
             self.chk.save(epoch, self.store.dump_all(), extra={})
         return out_tbl if small else result
+
+    def _prior_effective(self, epoch: int):
+        """Last emitted version of every prior row = latest effective snapshot
+        ∪ base outputs of epochs since that snapshot."""
+        snaps = [e for e in self.effective_sink.committed_epochs() if e < epoch]
+        last_snap = max(snaps) if snaps else None
+        parts = []
+        if last_snap is not None:
+            parts.append(self.effective_sink.read_committed_table([last_snap]))
+        start = -1 if last_snap is None else last_snap
+        base_epochs = [e for e in self.sink.committed_epochs() if start <= e < epoch]
+        if base_epochs:
+            parts.append(self.sink.read_committed_table(base_epochs))
+        return pa.concat_tables(parts, promote_options="default") if parts else None
+
+    def _maybe_emit_corrections(self, epoch: int, encode) -> None:
+        """DD retract-and-re-emit: when this epoch changed the fitted meta,
+        re-encode all prior inputs under the new state, retract each changed
+        row's LAST emitted version (diff=−1) and emit the new one (diff=+1);
+        the new full re-encode becomes the effective snapshot for the next
+        correction round.  Empty corrections table when meta is unchanged
+        (the rounding knobs' damping — standard_scaler.rs:116-120)."""
+        snap = pickle.dumps(
+            [sorted(enc.state().items()) for _, _, enc in self._stateful],
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        prior = [e for e in self.sink.committed_epochs() if e < epoch]
+        changed_tbl = None
+        if prior and self._meta_snapshot is not None and snap != self._meta_snapshot:
+            if not self.archive_input:
+                raise RuntimeError("emit_corrections requires archive_input=True")
+            import numpy as np
+            import pandas as pd
+
+            old_pd = self._prior_effective(epoch).to_pandas()
+            new = encode(self.input_archive.read_committed_table(prior))
+            new_pd = new.to_pandas()
+            key = next(c for c in ("row_id", "doc_id") if c in old_pd.columns)
+            old_pd = old_pd.sort_values(key).reset_index(drop=True)
+            new_pd = new_pd[list(old_pd.columns)].sort_values(key).reset_index(drop=True)
+            mask = np.array(
+                [tuple(a) != tuple(b)
+                 for a, b in zip(old_pd[self.out_col], new_pd[self.out_col])],
+                dtype=bool,
+            )
+            changed = pd.concat(
+                [old_pd[mask].assign(diff=-1), new_pd[mask].assign(diff=1)],
+                ignore_index=True,
+            )
+            changed_tbl = pa.Table.from_pandas(changed, preserve_index=False)
+            # the re-encode is the new effective snapshot for rows < epoch
+            self.effective_sink.commit_tables(epoch, [new], meta={"kind": "effective"})
+        self._meta_snapshot = snap
+        tbl = changed_tbl if changed_tbl is not None else pa.table(
+            {"diff": pa.array([], type=pa.int64())}
+        )
+        self.corrections_sink.commit_tables(epoch, [tbl], meta={"kind": "corrections"})
 
     def read_epoch_output(self, epoch: int) -> pa.Table:
         return self.sink.read_committed_table([epoch])

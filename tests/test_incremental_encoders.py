@@ -166,3 +166,40 @@ class TestSessionExtras:
         assert seen[0] == (0, "x")
         assert (1, "x") in seen
         assert len(seen) >= 2
+
+    def test_corrections_converge_to_recompute(self, ray_session, tmp_path):
+        """DD delta-output semantics: base epoch outputs ⊕ correction deltas
+        == full recompute under the final state (multiset equality)."""
+        import pandas as pd
+
+        tbl = pa.table({"row_id": list(range(12)),
+                        "x": [float(i * i % 7) for i in range(12)]})
+        parts = epoch_tables(tbl, 3)
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler())], tmp_path / "corr", num_shards=1,
+            keep_input=True,
+        )
+        sess.emit_corrections = True
+        for e, part in enumerate(parts):
+            sess.process_epoch(e, part)
+        base = sess.sink.read_committed_table().to_pandas()
+        corr = sess.corrections_sink.read_committed_table().to_pandas()
+        final = sess.refresh().to_pandas()
+        sess.close()
+        assert len(corr) > 0  # meta changed every epoch (no rounding)
+
+        def canon(df, diff_col=None):
+            out = pd.DataFrame({
+                "row_id": df["row_id"],
+                "feat": df["features"].map(lambda v: tuple(np.round(v, 12))),
+                "diff": df[diff_col] if diff_col else 1,
+            })
+            return out
+
+        applied = pd.concat([canon(base), canon(corr, "diff")], ignore_index=True)
+        net = applied.groupby(["row_id", "feat"])["diff"].sum()
+        net = net[net != 0]
+        expect = canon(final).groupby(["row_id", "feat"])["diff"].sum()
+        pd.testing.assert_series_equal(
+            net.sort_index(), expect.sort_index(), check_names=False
+        )

@@ -138,3 +138,45 @@ class TestAlgebraProperties:
         assert len(set(m.values())) == len(m)  # injective slots
         assert length >= len(m)
         assert all(0 <= s < length for s in m.values())
+
+
+class TestIterate:
+    def test_components_match_union_find(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import connected_components
+        from diffdataflowmlpipelines_ray.stages.dedup import union_find_components
+
+        rng = np.random.default_rng(4)
+        edges = pa.table({
+            "id_lo": rng.integers(0, 200, 150),
+            "id_hi": rng.integers(0, 200, 150),
+        })
+        got = connected_components(edges)
+        comp = dict(zip(got["id"].to_pylist(), got["component"].to_pylist()))
+        uf = union_find_components(
+            list(zip(edges["id_lo"].to_pylist(), edges["id_hi"].to_pylist()))
+        )
+        # same partition: two nodes share a component iff union-find agrees
+        nodes = list(comp)
+        for a in nodes[:50]:
+            for b in nodes[:50]:
+                assert (comp[a] == comp[b]) == (uf[a] == uf[b])
+        # labels are the component minimum
+        for n, c in comp.items():
+            assert c <= n
+
+    def test_fixpoint_on_dataset_input(self, ray_session):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages.iterate import connected_components
+
+        edges = pa.table({"id_lo": [1, 2, 10], "id_hi": [2, 3, 11]})
+        got = connected_components(rd.from_arrow(edges))
+        comp = dict(zip(got["id"].to_pylist(), got["component"].to_pylist()))
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+
+    def test_empty_edges(self):
+        from diffdataflowmlpipelines_ray.stages.iterate import connected_components
+
+        out = connected_components(pa.table({"id_lo": pa.array([], type=pa.int64()),
+                                             "id_hi": pa.array([], type=pa.int64())}))
+        assert out.num_rows == 0
