@@ -15,7 +15,6 @@ Float policy (SURVEY §4 "Determinism"):
 
 from __future__ import annotations
 
-import math
 import tempfile
 
 import numpy as np

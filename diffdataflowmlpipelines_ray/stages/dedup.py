@@ -24,7 +24,6 @@ All candidate/verify stages move O(candidates) rows, never O(n²).
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass
 
 import numpy as np
