@@ -298,6 +298,28 @@ def q_tumbling_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_tumbling_minmax(sf_dir: str) -> pd.DataFrame:
+    """Tumbling windows with min/max aggregates — exercises the invertible
+    extremes tracking (MinMaxAgg) inside windowed state."""
+    tbl = _read_table(sf_dir, "events", ["event_type", "ts", "value"]).sort_by("ts")
+    sess = StreamSession(_tmp("tmm"), num_shards=4)
+    sess.add(KeyedAggregation(name="win", input="events",
+                              key_cols=["event_type"], value_col="value",
+                              ts_col="ts", aggs=("count", "min", "max"),
+                              window=WindowSpec.tumbling(7200.0)))
+    try:
+        for e, part in enumerate(_epoch_split(tbl, 3)):
+            sess.process_epoch(e, {"events": part})
+        sess.close()
+        df = sess.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start", "min", "max"])
+
+
 def q_sliding_window(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "events", ["event_type", "ts"]).sort_by("ts")
     sess = StreamSession(_tmp("slide"), num_shards=4)
@@ -645,6 +667,7 @@ QUERIES = {
     "feature_matrix": q_feature_matrix,
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
+    "tumbling_minmax": q_tumbling_minmax,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
     "stream_join": q_stream_join,
@@ -749,6 +772,13 @@ ORACLES = {
                ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
                count(*)::BIGINT AS count,
                sum(round(value * 100)) / 100.0 AS sum
+        FROM events GROUP BY event_type, window_start
+    """,
+    "tumbling_minmax": """
+        SELECT event_type,
+               ROUND(floor(epoch(ts) / 7200) * 7200, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               ROUND(min(value), 6) AS min, ROUND(max(value), 6) AS max
         FROM events GROUP BY event_type, window_start
     """,
     "sliding_window": """
