@@ -1,0 +1,109 @@
+"""Micro-benchmarks replicating the reference's measured workloads.
+
+Reference numbers (BASELINE.md, 6-core box):
+- StandardScaler init (fit+transform), 1M rows, rounding (−2,0): 10.28 s
+- single-row update latency: 1.45 ms;  batch updates ≈ 97k–105k rows/s
+- OrdinalEncoder: constant-time updates, 100 distinct values
+
+Workloads mirror src/main.rs:306-337 (values i%10) and :376-435 (ordinal,
+new distinct every `unique`-th update).  Run:
+
+    python tools/micro_bench.py [n_init] [update_sizes...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+
+
+def main():
+    n_init = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    update_sizes = [int(x) for x in sys.argv[2:]] or [100, 1000, 10000, 100000]
+
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from diffdataflowmlpipelines_ray.stages.encoders import (
+        OrdinalEncoder,
+        StandardScaler,
+    )
+    from diffdataflowmlpipelines_ray.streaming.encoders import (
+        IncrementalEncoderSession,
+    )
+
+    out: dict = {"n_init": n_init}
+
+    # ---- warm workers (excluded, as the reference excludes process startup)
+    rd.range(1000).map_batches(lambda t: t, batch_format="pyarrow").materialize()
+
+    # ---- StandardScaler init: fit + transform 1M rows (main.rs:306-337)
+    xs = (np.arange(n_init) % 10).astype(np.float64)
+    tbl = pa.table({"row_id": np.arange(n_init), "x": xs})
+    ds = rd.from_arrow(tbl).repartition(64).materialize()
+    t0 = time.perf_counter()
+    enc = StandardScaler(round_to=(-2, 0)).fit(ds, "x")
+    transformed = enc.transform(ds, "x").materialize()
+    init_s = time.perf_counter() - t0
+    assert transformed.count() == n_init
+    out["standard_scaler_init_s"] = round(init_s, 3)
+    out["standard_scaler_init_rows_per_s"] = round(n_init / init_s)
+
+    # ---- incremental batch updates through the streaming session
+    root = tempfile.mkdtemp(prefix="micro-", dir="/tmp")
+    sess = IncrementalEncoderSession([("x", StandardScaler(round_to=(-2, 0)))],
+                                     root, num_shards=1)
+    sess.process_epoch(0, tbl)  # init epoch
+    upd = {}
+    epoch = 1
+    for u in update_sizes:
+        utbl = pa.table({
+            "row_id": np.arange(n_init + epoch * 10**7,
+                                n_init + epoch * 10**7 + u),
+            "x": (np.arange(u) % 10).astype(np.float64),
+        })
+        t0 = time.perf_counter()
+        sess.process_epoch(epoch, utbl)
+        dt = time.perf_counter() - t0
+        upd[str(u)] = {"s": round(dt, 4), "rows_per_s": round(u / dt)}
+        epoch += 1
+    sess.close()
+    out["standard_scaler_updates"] = upd
+
+    # ---- Ordinal micro-bench (main.rs:376-435): 100 distinct, new distinct
+    # value injected every 20th update batch
+    cats = np.array([str(i % 100) for i in range(n_init)])
+    otbl = pa.table({"row_id": np.arange(n_init), "cat": cats})
+    root2 = tempfile.mkdtemp(prefix="micro-ord-", dir="/tmp")
+    sess2 = IncrementalEncoderSession([("cat", OrdinalEncoder())], root2,
+                                      num_shards=1)
+    sess2.process_epoch(0, otbl)
+    t0 = time.perf_counter()
+    n_upd = 40
+    for k in range(n_upd):
+        val = f"new-{k}" if k % 20 == 19 else str(k % 100)
+        sess2.process_epoch(1 + k, pa.table({"row_id": [10**9 + k],
+                                             "cat": [val]}))
+    per_update = (time.perf_counter() - t0) / n_upd
+    sess2.close()
+    out["ordinal_single_row_update_ms"] = round(per_update * 1e3, 2)
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
