@@ -648,6 +648,13 @@ def q_union(sf_dir: str) -> pd.DataFrame:
     return a.union(b).to_pandas()
 
 
+def q_sample(sf_dir: str) -> pd.DataFrame:
+    """Seeded reservoir-free sampling (rows-only check: SQL can't reproduce
+    Ray's sampler; determinism asserted by the fixed seed)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return ds.random_sample(0.01, seed=7).to_pandas()
+
+
 def q_distinct(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag"])
     vals = ds.unique("l_returnflag")
@@ -689,6 +696,7 @@ QUERIES = {
     "antijoin": q_antijoin,
     "hash_join": q_hash_join,
     "union": q_union,
+    "sample": q_sample,
     "distinct": q_distinct,
 }
 

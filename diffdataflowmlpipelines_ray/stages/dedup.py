@@ -62,23 +62,28 @@ def add_content_hash(ds, col: str = "text", out: str = "content_hash"):
     return ds.map_batches(h, batch_format="pyarrow")
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                buckets: int = 256):
     """Keep the row with the minimum id per distinct ``col`` value.
 
-    Shuffle key = 60-bit content hash (8 bytes/row); within a hash group the
-    actual values are compared, so collisions cannot merge distinct texts.
+    Shuffle key = content-hash **bucket** (one map_groups call per bucket,
+    not per distinct value — Ray invokes the group fn once per group);
+    inside a bucket a single vectorized pandas groupby-idxmin resolves every
+    distinct value at once, comparing actual values so hash collisions can
+    never merge distinct texts.
     """
-    hashed = add_content_hash(ds, col, "__h")
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        vals = tbl[col].to_pylist()
+        h = stable_hash60_array(vals)
+        return tbl.append_column("__b", pa.array((h % buckets).astype(np.int64)))
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        import pandas as pd
+    hashed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
-        pdf = group.to_pandas()
+    def keep_min(pdf) -> "pa.Table":
         keep = pdf.loc[pdf.groupby(col, sort=False)[id_col].idxmin()]
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        return keep.drop(columns=["__b"])
 
-    out = hashed.groupby("__h").map_groups(keep_min, batch_format="pyarrow")
-    return out.drop_columns(["__h"])
+    return hashed.groupby("__b").map_groups(keep_min, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- minhash

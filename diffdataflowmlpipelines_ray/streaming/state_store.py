@@ -228,7 +228,8 @@ class StateShard:
             df = buf[side]
             if df is None:
                 continue
-            kept = df[df["__ts"] >= expire_before]
+            ts_col = f"__ts_{side}"
+            kept = df[df[ts_col] >= expire_before]
             dropped += len(df) - len(kept)
             buf[side] = kept.reset_index(drop=True) if len(kept) else None
         return dropped

@@ -291,3 +291,26 @@ class TestCheckpointManager:
         blobs, extra = chk.load(5)
         assert blobs == {0: b"xyz", 1: b"uvw"}
         assert extra["watermark"] == 9.0
+
+
+class TestJoinRetention:
+    def test_expired_rows_do_not_match(self, ray_session, tmp_path):
+        """Retention bounds join state: rows older than watermark − retention
+        are expired and cannot match later arrivals."""
+        sess = StreamSession(tmp_path / "jr", num_shards=1)
+        sess.add(StreamJoin(name="j", left_input="L", right_input="R",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["lval"], right_cols=["rval"],
+                            left_ts="lts", right_ts="rts", retention=100.0))
+        # epoch 0: left row at t=0
+        sess.process_epoch(0, {"L": pa.table({"k": [1], "lval": [10], "lts": [0.0]})},
+                           watermark=50.0)
+        # epoch 1: watermark 200 → left row (t=0 < 200-100) expires
+        sess.process_epoch(1, {"L": pa.table({"k": [2], "lval": [20], "lts": [190.0]})},
+                           watermark=200.0)
+        # epoch 2: right rows for both keys at t=210
+        out = sess.process_epoch(2, {"R": pa.table({"k": [1, 2], "rval": [7, 8],
+                                                    "rts": [210.0, 210.0]})})
+        sess.store.shutdown()
+        matched = out["j"].to_pandas()
+        assert matched["k"].tolist() == [2]  # key 1 expired, key 2 survives
