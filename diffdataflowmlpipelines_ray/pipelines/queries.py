@@ -648,6 +648,17 @@ def q_union(sf_dir: str) -> pd.DataFrame:
     return a.union(b).to_pandas()
 
 
+def q_dataprep(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data-prep funnel (quality → lang → exact dedup →
+    near-dup → tokenize → incremental encode → exactly-once sink); rows-only
+    check over the one-row funnel summary."""
+    from .dataprep import run_dataprep
+
+    res = run_dataprep(sf_dir, _tmp("prep"), min_quality=0.2)
+    return pd.DataFrame([{k: v for k, v in res.items()
+                          if isinstance(v, (int, float))}])
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Seeded reservoir-free sampling (rows-only check: SQL can't reproduce
     Ray's sampler; determinism asserted by the fixed seed)."""
@@ -697,6 +708,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "union": q_union,
     "sample": q_sample,
+    "dataprep": q_dataprep,
     "distinct": q_distinct,
 }
 

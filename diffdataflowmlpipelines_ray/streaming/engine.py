@@ -370,10 +370,16 @@ class StreamSession:
     checkpoints.  See module docstring for the epoch data path."""
 
     def __init__(self, root: str | Path, num_shards: int = 4,
-                 checkpoint_every: int = 1):
+                 checkpoint_every: int = 1,
+                 auto_watermark_delay: float | None = None):
         self.root = Path(root)
         self.store = ShardedStateStore(num_shards=num_shards)
         self.checkpoint_every = checkpoint_every
+        #: when set and ``process_epoch`` gets no explicit watermark, advance
+        #: it to (max event time seen − delay) — the standard bounded-
+        #: out-of-orderness watermark generator
+        self.auto_watermark_delay = auto_watermark_delay
+        self._max_event_time = -math.inf
         self.ops: dict[str, Any] = {}
         self.sinks: dict[str, ExactlyOnceParquetSink] = {}
         self.chk = CheckpointManager(self.root / "_checkpoints")
@@ -454,13 +460,37 @@ class StreamSession:
                 if op.input not in inputs:
                     continue
                 data = inputs[op.input]
-                if not isinstance(data, pa.Table):
-                    data = pa.concat_tables(
-                        [b for b in data.iter_batches(batch_format="pyarrow")]
-                    )
-                points, late = op.points_batch(data, self.watermark)
-                self.metrics["late_dropped"] += late
-                self.store.apply_session_points(name, epoch, points, op.gap)
+                if isinstance(data, pa.Table):
+                    points, late = op.points_batch(data, self.watermark)
+                    self.metrics["late_dropped"] += late
+                    self.store.apply_session_points(name, epoch, points, op.gap)
+                else:
+                    # distributed partial: per-block local sessions (raw rows
+                    # compress to session intervals before leaving workers)
+                    from .state_store import StateShard
+
+                    wm, gap = self.watermark, op.gap
+
+                    def per_block(tbl: pa.Table) -> pa.Table:
+                        pts, late_n = op.points_batch(tbl, wm)
+                        sessions = {
+                            k: StateShard.build_sessions(v, gap)
+                            for k, v in pts.items()
+                        }
+                        blob = pickle.dumps((sessions, late_n),
+                                            protocol=pickle.HIGHEST_PROTOCOL)
+                        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+                    merged: dict[bytes, list] = {}
+                    rows = data.map_batches(per_block, batch_format="pyarrow").take_all()
+                    for blob in sorted(r["blob"] for r in rows):
+                        sessions, late_n = pickle.loads(blob)
+                        self.metrics["late_dropped"] += late_n
+                        for k, sess_list in sessions.items():
+                            merged[k] = StateShard.merge_session_lists(
+                                merged.get(k, []), sess_list
+                            )
+                    self.store.apply_session_points(name, epoch, merged, op.gap)
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
@@ -475,6 +505,21 @@ class StreamSession:
                     self.sinks[name].commit_tables(epoch, [tbl], meta={"kind": "join"})
                     emitted[name] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows
+
+        if watermark is None and self.auto_watermark_delay is not None:
+            for name, op in self.ops.items():
+                ts_col = getattr(op, "ts_col", None)
+                inp = getattr(op, "input", None)
+                if ts_col and inp in inputs:
+                    data = inputs[inp]
+                    tbl = data if isinstance(data, pa.Table) else None
+                    if tbl is not None and ts_col in tbl.column_names:
+                        ts = _ts_to_float(tbl.to_pandas()[ts_col])
+                        if ts.size:
+                            self._max_event_time = max(self._max_event_time,
+                                                       float(ts.max()))
+            if self._max_event_time > -math.inf:
+                watermark = self._max_event_time - self.auto_watermark_delay
 
         if watermark is not None:
             self.advance_watermark(epoch, watermark, emitted)

@@ -111,12 +111,46 @@ class StateShard:
         return _dumps(emitted)
 
     # ------------------------------------------------------- session windows
+    @staticmethod
+    def build_sessions(points: list, gap: float) -> list[list]:
+        """Sorted (ts, value) points → disjoint session list
+        [start, end, [sum, count, min_ts, max_ts]]; end = last_ts + gap.
+        Associative under merge_session_lists, so per-block local sessions
+        compose exactly (the partial stage compresses raw rows to sessions
+        before anything leaves the worker)."""
+        sessions: list[list] = []
+        for ts, value in sorted(points):
+            if sessions and ts <= sessions[-1][1]:
+                s = sessions[-1]
+                s[1] = max(s[1], ts + gap)
+                s[2][0] += float(value)
+                s[2][1] += 1
+                s[2][3] = max(s[2][3], ts)
+            else:
+                sessions.append([ts, ts + gap, [float(value), 1, ts, ts]])
+        return sessions
+
+    @staticmethod
+    def merge_session_lists(a: list[list], b: list[list]) -> list[list]:
+        merged: list[list] = []
+        for s in sorted(a + b):
+            if merged and s[0] <= merged[-1][1]:
+                m = merged[-1]
+                m[1] = max(m[1], s[1])
+                m[2][0] += s[2][0]
+                m[2][1] += s[2][1]
+                m[2][2] = min(m[2][2], s[2][2])
+                m[2][3] = max(m[2][3], s[2][3])
+            else:
+                merged.append([s[0], s[1], list(s[2])])
+        return merged
+
     def apply_session_points(self, name: str, epoch: int, payload: bytes,
                              gap: float) -> int:
-        """payload = pickled list[(key_bytes, [(ts, value), ...])].
+        """payload = pickled list[(key_bytes, sessions-or-points)].
 
-        Classic interval merge: each point opens a [ts, ts+gap) session;
-        overlapping sessions coalesce, merging their accumulators (sum/count).
+        Entries may be pre-built session lists (from distributed block
+        partials) or raw (ts, value) points; both coalesce by interval merge.
         Insert-only (the reference has no session construct at all; SURVEY
         §2.1 — sessions are part of our added windowing surface).
         """
@@ -124,36 +158,13 @@ class StateShard:
             return 0
         store = self.sessions.setdefault(name, {})
         n = 0
-        for key, points in pickle.loads(payload):
-            n += len(points)
-            # 1) gap-merge the new points into local sessions
-            pts = sorted(points)
-            new_sessions: list[list] = []
-            for ts, value in pts:
-                # session = [start, end) with end = last_ts + gap;
-                # acc = [sum, count, min_ts, max_ts]
-                if new_sessions and ts <= new_sessions[-1][1]:
-                    s = new_sessions[-1]
-                    s[1] = max(s[1], ts + gap)
-                    s[2][0] += float(value)
-                    s[2][1] += 1
-                    s[2][3] = max(s[2][3], ts)
-                else:
-                    new_sessions.append([ts, ts + gap, [float(value), 1, ts, ts]])
-            # 2) merge with the stored disjoint sorted sessions
-            old = store.get(key, [])
-            merged: list[list] = []
-            for s in sorted(old + new_sessions):
-                if merged and s[0] <= merged[-1][1]:
-                    m = merged[-1]
-                    m[1] = max(m[1], s[1])
-                    m[2][0] += s[2][0]
-                    m[2][1] += s[2][1]
-                    m[2][2] = min(m[2][2], s[2][2])
-                    m[2][3] = max(m[2][3], s[2][3])
-                else:
-                    merged.append(s)
-            store[key] = merged
+        for key, items in pickle.loads(payload):
+            n += len(items)
+            if items and not isinstance(items[0], list):
+                new_sessions = self.build_sessions(items, gap)
+            else:
+                new_sessions = items
+            store[key] = self.merge_session_lists(store.get(key, []), new_sessions)
         return n
 
     def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> bytes:

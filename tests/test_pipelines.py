@@ -106,3 +106,16 @@ class TestDiabetesPipeline:
             np.array(got.sort_by("c1")["features"].to_pylist()),
             np.array(exp.sort_by("c1")["features"].to_pylist()),
         )
+
+
+class TestDataPrep:
+    def test_funnel_end_to_end(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.pipelines.dataprep import run_dataprep
+
+        res = run_dataprep("/root/testdata/sf0.001", tmp_path / "prep",
+                           min_quality=0.2)
+        assert res["input_docs"] == 500
+        assert 0 < res["after_quality_lang"] <= 500
+        assert 0 < res["after_exact_dedup"] <= res["after_quality_lang"]
+        assert res["output_rows"] == res["after_exact_dedup"] - res["near_dup_dropped"]
+        assert res["committed_epochs"] == [0, 1]

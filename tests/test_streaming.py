@@ -314,3 +314,49 @@ class TestJoinRetention:
         sess.store.shutdown()
         matched = out["j"].to_pandas()
         assert matched["k"].tolist() == [2]  # key 1 expired, key 2 survives
+
+
+class TestSessionDistributed:
+    def test_dataset_input_sessions_match_table_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        tbl = events_table(400, seed=9).sort_by("ts")
+
+        def run(root, as_dataset):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(SessionWindowAggregation(name="s", input="e",
+                                              key_cols=["user_id"], ts_col="ts",
+                                              gap=40.0, value_col="value"))
+            for e, part in enumerate(split_epochs(tbl, 3)):
+                inp = rd.from_arrow(part).repartition(3) if as_dataset else part
+                sess.process_epoch(e, {"e": inp})
+            sess.close()
+            return sess.sinks["s"].read_committed_table().to_pandas()
+
+        a = run(tmp_path / "t", False).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+        b = run(tmp_path / "d", True).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["user_id", "session_start", "session_end", "count", "sum"]],
+            b[["user_id", "session_start", "session_end", "count", "sum"]],
+        )
+
+
+class TestAutoWatermark:
+    def test_bounded_out_of_orderness(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "aw", num_shards=1,
+                             auto_watermark_delay=5.0)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["user_id"],
+                                  value_col="value", ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        sess.process_epoch(0, {"e": pa.table({"user_id": [1], "ts": [12.0],
+                                              "value": [1.0]})})
+        # watermark = 12 - 5 = 7 → window [0,10) still open
+        assert sess.watermark == pytest.approx(7.0)
+        sess.process_epoch(1, {"e": pa.table({"user_id": [1], "ts": [22.0],
+                                              "value": [1.0]})})
+        # watermark = 17 → [0,10) closed and emitted
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        assert len(out) == 0 or out["window_start"].min() >= 0
+        sess.close()
+        final = sess.sinks["win"].read_committed_table().to_pandas()
+        assert final["count"].sum() == 2
