@@ -165,10 +165,16 @@ class IncrementalEncoderSession:
                         merged[k].merge(acc)
                     else:
                         merged[k] = acc
-            self.store.apply_deltas("encoders", epoch, merged)
-
-        # 2) pull the (tiny) merged state and install it in the encoders
-        self._refresh_encoder_state()
+            # one round-trip: apply the deltas AND get the merged meta back
+            post = self.store.apply_deltas("encoders", epoch, merged,
+                                           return_merged=True)
+            items = dict(post)
+            for i, col, enc in self._stateful:
+                acc = items.get(_kb(i))
+                if acc is not None:
+                    enc.load_accumulator(acc)
+        else:
+            self._refresh_encoder_state()
         if self.inspect_meta is not None:
             import pickle as _p
 

@@ -71,20 +71,28 @@ class StateShard:
         return False
 
     # ------------------------------------------------------- keyed aggregates
-    def apply_delta(self, name: str, epoch: int, payload: bytes) -> int:
-        """payload = pickled list[(key_bytes, accumulator)]; returns #keys."""
-        if self._seen(f"agg:{name}", epoch):
-            return 0
-        store = self.aggs.setdefault(name, {})
+    def apply_delta(self, name: str, epoch: int, payload: bytes,
+                    return_merged: bool = False) -> bytes | int:
+        """payload = pickled list[(key_bytes, accumulator)].
+
+        With ``return_merged`` the post-merge accumulators of the touched
+        keys come back in the same round-trip (saves a separate ``collect``
+        for small state like encoder meta).  Idempotent replays return the
+        *current* values, so retried epochs still observe correct state.
+        """
         items = pickle.loads(payload)
-        for key, acc in items:
-            cur = store.get(key)
-            if cur is None:
-                store[key] = acc
-            else:
-                cur.merge(acc)
-                if hasattr(cur, "is_zero") and cur.is_zero():
-                    del store[key]
+        store = self.aggs.setdefault(name, {})
+        if not self._seen(f"agg:{name}", epoch):
+            for key, acc in items:
+                cur = store.get(key)
+                if cur is None:
+                    store[key] = acc
+                else:
+                    cur.merge(acc)
+                    if hasattr(cur, "is_zero") and cur.is_zero():
+                        del store[key]
+        if return_merged:
+            return _dumps([(k, store.get(k)) for k, _ in items])
         return len(items)
 
     def collect(self, name: str) -> bytes:
@@ -293,13 +301,20 @@ class ShardedStateStore:
         return by_shard
 
     # --------------------------------------------------------------- aggregates
-    def apply_deltas(self, name: str, epoch: int, merged: dict[bytes, Any]) -> int:
+    def apply_deltas(self, name: str, epoch: int, merged: dict[bytes, Any],
+                     return_merged: bool = False):
         by_shard = self._scatter(sorted(merged.items()))
         refs = [
-            self.shards[sid].apply_delta.remote(name, epoch, _dumps(items))
+            self.shards[sid].apply_delta.remote(name, epoch, _dumps(items),
+                                                return_merged)
             for sid, items in by_shard.items()
         ]
-        return sum(ray.get(refs)) if refs else 0
+        if not return_merged:
+            return sum(ray.get(refs)) if refs else 0
+        out: list = []
+        for b in ray.get(refs):
+            out.extend(pickle.loads(b))
+        return out
 
     def collect(self, name: str) -> list[tuple[bytes, Any]]:
         blobs = ray.get([s.collect.remote(name) for s in self.shards])

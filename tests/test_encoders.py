@@ -248,3 +248,39 @@ class TestComposition:
         # same block contents? no — different partials; equality to float tolerance
         assert a.mean_ == pytest.approx(b.mean_, abs=1e-9)
         assert a.scale_ == pytest.approx(b.scale_, rel=1e-12)
+
+
+class TestBitwiseGoldens:
+    def test_standard_scaler_bitwise(self, ray_session):
+        """North-rule bit-for-bit check: integer inputs make mean/var exact,
+        so (x − 4.5) / 8.25 must match to the last ulp, not approx."""
+        ds = ds_from({"row_id": list(range(10)), "x": list(range(10))})
+        out = StandardScaler().fit_transform(ds, "x")
+        got = col(out, "x_enc")
+        expected = [(float(i) - 4.5) / 8.25 for i in range(10)]
+        assert got == expected  # exact float equality
+
+    def test_minmax_bitwise(self, ray_session):
+        ds = ds_from({"row_id": list(range(10)), "x": [i % 5 for i in range(10)]})
+        out = MinMaxScaler().fit_transform(ds, "x")
+        assert col(out, "x_enc") == [float(i % 5) / 4.0 for i in range(10)]
+
+    def test_token_array_equality_through_pipeline(self, ray_session, tmp_path):
+        """input_hint invariant: token arrays survive the full flagship
+        stream byte-identically (verified against the derivation)."""
+        import pyarrow.parquet as pq
+        from diffdataflowmlpipelines_ray.sources.tokenized import derive_tokenized
+        from diffdataflowmlpipelines_ray.streaming.encoders import (
+            IncrementalEncoderSession,
+        )
+
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 50)
+        tok = derive_tokenized(docs)
+        sess = IncrementalEncoderSession(
+            [("n_tok", StandardScaler())], tmp_path / "tokeq", num_shards=1,
+            keep_input=True,
+        )
+        sess.process_epoch(0, tok)
+        committed = sess.sink.read_committed_table().sort_by("doc_id")
+        sess.close()
+        assert committed["tokens"].to_pylist() == tok.sort_by("doc_id")["tokens"].to_pylist()

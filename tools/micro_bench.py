@@ -84,22 +84,29 @@ def main():
     out["standard_scaler_updates"] = upd
 
     # ---- Ordinal micro-bench (main.rs:376-435): 100 distinct, new distinct
-    # value injected every 20th update batch
+    # value injected every 20th update batch.  Reported at two durability
+    # levels — the reference persists NOTHING (stdout only), so the relaxed
+    # variant is the apples-to-apples one; the durable variant pays fsyncs
+    # for the exactly-once manifests + checkpoints every epoch.
     cats = np.array([str(i % 100) for i in range(n_init)])
     otbl = pa.table({"row_id": np.arange(n_init), "cat": cats})
-    root2 = tempfile.mkdtemp(prefix="micro-ord-", dir="/tmp")
-    sess2 = IncrementalEncoderSession([("cat", OrdinalEncoder())], root2,
-                                      num_shards=1)
-    sess2.process_epoch(0, otbl)
-    t0 = time.perf_counter()
-    n_upd = 40
-    for k in range(n_upd):
-        val = f"new-{k}" if k % 20 == 19 else str(k % 100)
-        sess2.process_epoch(1 + k, pa.table({"row_id": [10**9 + k],
-                                             "cat": [val]}))
-    per_update = (time.perf_counter() - t0) / n_upd
-    sess2.close()
-    out["ordinal_single_row_update_ms"] = round(per_update * 1e3, 2)
+    for label, kwargs in (
+        ("durable", {}),
+        ("relaxed", {"checkpoint_every": 0, "archive_input": False}),
+    ):
+        root2 = tempfile.mkdtemp(prefix="micro-ord-", dir="/tmp")
+        sess2 = IncrementalEncoderSession([("cat", OrdinalEncoder())], root2,
+                                          num_shards=1, **kwargs)
+        sess2.process_epoch(0, otbl)
+        t0 = time.perf_counter()
+        n_upd = 40
+        for k in range(n_upd):
+            val = f"new-{k}" if k % 20 == 19 else str(k % 100)
+            sess2.process_epoch(1 + k, pa.table({"row_id": [10**9 + k],
+                                                 "cat": [val]}))
+        per_update = (time.perf_counter() - t0) / n_upd
+        sess2.close()
+        out[f"ordinal_single_row_update_ms_{label}"] = round(per_update * 1e3, 2)
 
     print(json.dumps(out))
     ray.shutdown()
