@@ -78,12 +78,30 @@ def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
 
 def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
                  num_shards: int = 4, n_buckets: int = 64,
-                 replicate: int = 1, parallelism: int | None = None) -> dict:
-    """Run the full flagship stream; returns counters + the session."""
+                 replicate: int = 1, parallelism: int | None = None,
+                 window_agg: bool = True) -> dict:
+    """Run the full flagship stream; returns counters + the session.
+
+    Alongside the incremental encoders, a watermark-driven tumbling-window
+    aggregate (per-source sequence/token throughput, one window per epoch —
+    the reference's epochs ARE degenerate tumbling windows, SURVEY §2.1)
+    runs over the same stream and commits to its own exactly-once sink.
+    """
+    from ..streaming.engine import KeyedAggregation, StreamSession, WindowSpec
+
     ds = tokenized_dataset(sf_dir, replicate=replicate, parallelism=parallelism)
     # materialize the tokenized stream once; epochs stream from the object
     # store (a real deployment reads one parquet directory per epoch)
     epochs = epoch_datasets(ds.materialize(), n_epochs)
+
+    windows = None
+    if window_agg:
+        windows = StreamSession(Path(root) / "windows", num_shards=num_shards)
+        windows.add(KeyedAggregation(
+            name="tokens_by_source", input="seq", key_cols=["source"],
+            value_col="n_tok", ts_col="__epoch_ts", aggs=("count", "sum"),
+            window=WindowSpec.tumbling(1.0),
+        ))
 
     session = IncrementalEncoderSession(
         config=[("n_tok", StandardScaler(round_to=(-2, 0))), ("source", OneHotEncoder())],
@@ -117,12 +135,28 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
                     "n_tok"
                 ].to_numpy().sum()
             )
+        if windows is not None:
+            ts = float(e)
+
+            def stamp(tbl: pa.Table) -> pa.Table:
+                return tbl.append_column(
+                    "__epoch_ts", pa.array(np.full(tbl.num_rows, ts))
+                )
+
+            stamped = epoch_ds.map_batches(stamp, batch_format="pyarrow")
+            # watermark = e closes the previous epoch's window [e−1, e)
+            windows.process_epoch(e, {"seq": stamped}, watermark=float(e))
     session.close()
+    if windows is not None:
+        windows.close()
     return {
         "sequences": n_seq,
         "tokens": n_tok_total,
         "epochs": n_epochs,
         "committed_epochs": session.sink.committed_epochs(),
         "output_rows": session.sink.total_rows(),
+        "window_rows": (
+            windows.sinks["tokens_by_source"].total_rows() if windows else 0
+        ),
         "root": str(root),
     }

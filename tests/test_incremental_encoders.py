@@ -131,6 +131,10 @@ class TestFlagship:
         assert res["output_rows"] == 500
         assert res["tokens"] > 0
         assert res["committed_epochs"] == [0, 1, 2]
+        # windowed per-source aggregate: n_epochs x #sources rows committed
+        import pyarrow.parquet as pq
+        srcs = len(set(pq.read_table(f"{SF}/documents.parquet")["source"].to_pylist()))
+        assert res["window_rows"] == 3 * srcs
 
 
 class TestSessionExtras:
