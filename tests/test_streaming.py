@@ -360,3 +360,47 @@ class TestAutoWatermark:
         sess.close()
         final = sess.sinks["win"].read_committed_table().to_pandas()
         assert final["count"].sum() == 2
+
+
+class TestDeterminismAcrossParallelism:
+    def test_committed_rows_identical_any_shard_count(self, ray_session, tmp_path):
+        """Same input stream + watermark schedule at shard counts 1/3/8 →
+        byte-identical committed rows (integer payloads ⇒ exact)."""
+        rng = np.random.default_rng(21)
+        tbl = pa.table({
+            "user_id": rng.integers(0, 12, 600),
+            "ts": np.sort(rng.uniform(0, 500, 600)),
+            "value": rng.integers(1, 50, 600).astype(np.float64),
+        })
+        outs = []
+        for shards in (1, 3, 8):
+            sess = StreamSession(tmp_path / f"det{shards}", num_shards=shards)
+            sess.add(KeyedAggregation(name="w", input="e", key_cols=["user_id"],
+                                      value_col="value", ts_col="ts",
+                                      aggs=("count", "sum"),
+                                      window=WindowSpec.tumbling(100.0)))
+            for e, part in enumerate(split_epochs(tbl, 4)):
+                wm = float(np.max(part["ts"].to_numpy()))
+                sess.process_epoch(e, {"e": part}, watermark=wm)
+            sess.close()
+            df = (sess.sinks["w"].read_committed_table().to_pandas()
+                  .sort_values(["user_id", "window_start"])
+                  .reset_index(drop=True)[["user_id", "window_start", "count", "sum"]])
+            outs.append(df)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+class TestEpochIdempotency:
+    def test_processing_same_epoch_twice_is_noop(self, ray_session, tmp_path):
+        tbl = events_table(100, seed=5)
+        sess = StreamSession(tmp_path / "idem", num_shards=2)
+        sess.add(KeyedAggregation(name="g", input="e", key_cols=["user_id"],
+                                  value_col="value", aggs=("count", "sum")))
+        sess.process_epoch(0, {"e": tbl})
+        before = sess.state_table("g").to_pandas().sort_values("user_id")
+        sess.process_epoch(0, {"e": tbl})  # replay (e.g. driver retry)
+        after = sess.state_table("g").to_pandas().sort_values("user_id")
+        sess.store.shutdown()
+        pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                      after.reset_index(drop=True))
