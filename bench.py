@@ -60,9 +60,11 @@ def run_bench() -> dict:
         pq.read_table(f"{sf_dir}/{t}.parquet")
 
     root = tempfile.mkdtemp(prefix="ddmlp-bench-", dir="/tmp")
+    window_agg = os.environ.get("GRAFT_FLAGSHIP_WINDOW", "1") != "0"
     t0 = time.perf_counter()
     res = run_flagship(sf_dir, root, n_epochs=4, num_shards=max(2, num_cpus // 4),
-                       replicate=replicate, parallelism=num_cpus * 2)
+                       replicate=replicate, parallelism=num_cpus * 2,
+                       window_agg=window_agg)
     headline = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
 
@@ -94,15 +96,24 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
-             "--scaling-child"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # min over repeats: this box is multi-tenant and single runs vary
+        # ±30%; the minimum is the standard interference-robust estimator
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+                 "--scaling-child"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     # N→4N pair chosen below this single box's shared-DRAM ceiling (~8
     # workers saturate memory bandwidth for string/token processing; the

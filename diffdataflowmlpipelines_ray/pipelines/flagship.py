@@ -87,21 +87,10 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
     the reference's epochs ARE degenerate tumbling windows, SURVEY §2.1)
     runs over the same stream and commits to its own exactly-once sink.
     """
-    from ..streaming.engine import KeyedAggregation, StreamSession, WindowSpec
-
     ds = tokenized_dataset(sf_dir, replicate=replicate, parallelism=parallelism)
     # materialize the tokenized stream once; epochs stream from the object
     # store (a real deployment reads one parquet directory per epoch)
     epochs = epoch_datasets(ds.materialize(), n_epochs)
-
-    windows = None
-    if window_agg:
-        windows = StreamSession(Path(root) / "windows", num_shards=num_shards)
-        windows.add(KeyedAggregation(
-            name="tokens_by_source", input="seq", key_cols=["source"],
-            value_col="n_tok", ts_col="__epoch_ts", aggs=("count", "sum"),
-            window=WindowSpec.tumbling(1.0),
-        ))
 
     session = IncrementalEncoderSession(
         config=[("n_tok", StandardScaler(round_to=(-2, 0))), ("source", OneHotEncoder())],
@@ -118,6 +107,14 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
         # the tokenized source is durable parquet — replay re-reads it, no
         # engine-side input archive needed
         archive_input=False,
+        # windowed per-source throughput aggregate FUSED into the same
+        # partial scan as the encoder fit (epoch == tumbling window — the
+        # reference's degenerate windowing, SURVEY §2.1); zero extra passes
+        epoch_aggs=(
+            [{"name": "tokens_by_source", "key_cols": ["source"],
+              "value_col": "n_tok", "aggs": ("count", "sum")}]
+            if window_agg else []
+        ),
     )
     start = session.resume()
     n_seq = 0
@@ -135,20 +132,7 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
                     "n_tok"
                 ].to_numpy().sum()
             )
-        if windows is not None:
-            ts = float(e)
-
-            def stamp(tbl: pa.Table) -> pa.Table:
-                return tbl.append_column(
-                    "__epoch_ts", pa.array(np.full(tbl.num_rows, ts))
-                )
-
-            stamped = epoch_ds.map_batches(stamp, batch_format="pyarrow")
-            # watermark = e closes the previous epoch's window [e−1, e)
-            windows.process_epoch(e, {"seq": stamped}, watermark=float(e))
     session.close()
-    if windows is not None:
-        windows.close()
     return {
         "sequences": n_seq,
         "tokens": n_tok_total,
@@ -156,7 +140,8 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
         "committed_epochs": session.sink.committed_epochs(),
         "output_rows": session.sink.total_rows(),
         "window_rows": (
-            windows.sinks["tokens_by_source"].total_rows() if windows else 0
+            session.epoch_agg_sinks["tokens_by_source"].total_rows()
+            if window_agg else 0
         ),
         "root": str(root),
     }

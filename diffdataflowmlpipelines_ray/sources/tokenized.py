@@ -71,9 +71,11 @@ def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
     import ray.data as rd
 
     # bound rows-per-task AFTER replication: a fat block (10M+ tokens) blows
-    # a worker's heap and forces object-store spill; target ~16k rows/task
+    # a worker's heap and forces object-store spill, while too-small blocks
+    # pay task-launch overhead per stage; ~48k rows (≈2.5M tokens) per task
+    # balances both
     total_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * replicate
-    auto_blocks = max(1, math.ceil(total_rows / 16384))
+    auto_blocks = max(1, math.ceil(total_rows / 49152))
     blocks = max(parallelism or 0, auto_blocks)
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"],

@@ -50,7 +50,8 @@ class IncrementalEncoderSession:
                  num_shards: int = 2, weight_col: str | None = None,
                  keep_input: bool = False, out_col: str = "features",
                  checkpoint_every: int = 1, pre_transform=None,
-                 archive_input: bool = True, output_cols: list | None = None):
+                 archive_input: bool = True, output_cols: list | None = None,
+                 epoch_aggs: list | None = None):
         self.mce = MultiColumnEncoder(config)
         self.weight_col = weight_col
         self.keep_input = keep_input
@@ -82,7 +83,16 @@ class IncrementalEncoderSession:
         #: ⊕ corrections ≡ the full recompute (tested).
         self.emit_corrections = False
         self._meta_snapshot = None
+        #: per-epoch grouped aggregates fused into the SAME partial scan as
+        #: the encoder fit (zero extra passes) — the epoch IS the tumbling
+        #: window here, the reference's degenerate windowing (SURVEY §2.1).
+        #: Each spec: {"name", "key_cols", "value_col", "aggs"}.
+        self.epoch_aggs = list(epoch_aggs or [])
         self.root = Path(root)
+        self.epoch_agg_sinks = {
+            spec["name"]: ExactlyOnceParquetSink(Path(root) / spec["name"])
+            for spec in self.epoch_aggs
+        }
         self.corrections_sink = ExactlyOnceParquetSink(self.root / "corrections")
         self.effective_sink = ExactlyOnceParquetSink(self.root / "_effective")
         self.store = ShardedStateStore(num_shards=num_shards)
@@ -138,7 +148,7 @@ class IncrementalEncoderSession:
             epoch_data = rd.read_parquet(self.input_archive.committed_files([epoch]))
 
         # 1) partial stage → tiny per-block accumulator dicts → driver merge
-        if self._stateful:
+        if self._stateful or self.epoch_aggs:
             if small:
                 parts = [self._block_partials(epoch_data)]
             else:
@@ -165,6 +175,14 @@ class IncrementalEncoderSession:
                         merged[k].merge(acc)
                     else:
                         merged[k] = acc
+            # fused per-epoch grouped aggregates: strip from the encoder
+            # deltas and commit directly (epoch == tumbling window)
+            if self.epoch_aggs:
+                win_items: dict[str, list] = {s["name"]: [] for s in self.epoch_aggs}
+                for k in [k for k in merged if pickle.loads(k)[0] == "__epoch_agg"]:
+                    _, name_, key_t = pickle.loads(k)
+                    win_items[name_].append((key_t, merged.pop(k)))
+                self._commit_epoch_aggs(epoch, win_items)
             # one round-trip: apply the deltas AND get the merged meta back
             post = self.store.apply_deltas("encoders", epoch, merged,
                                            return_merged=True)
@@ -286,11 +304,55 @@ class IncrementalEncoderSession:
     def _id_cols(self, tbl: pa.Table) -> set:
         return {c for c in ("row_id", "doc_id") if c in tbl.column_names}
 
+    def _commit_epoch_aggs(self, epoch: int, win_items: dict[str, list]) -> None:
+        for spec in self.epoch_aggs:
+            recs = []
+            for key_t, acc in sorted(win_items.get(spec["name"], []),
+                                     key=lambda kv: str(kv[0])):
+                rec = dict(zip(spec["key_cols"], key_t))
+                rec["window_start"] = float(epoch)
+                rec["window_end"] = float(epoch + 1)
+                for a in spec.get("aggs", ("count", "sum")):
+                    if a == "count":
+                        rec["count"] = acc.count
+                    elif a == "sum":
+                        rec["sum"] = acc.s
+                    elif a == "min":
+                        rec["min"] = acc.min_max()[0]
+                    elif a == "max":
+                        rec["max"] = acc.min_max()[1]
+                rec["epoch"] = epoch
+                recs.append(rec)
+            tbl = (pa.Table.from_pylist(recs) if recs
+                   else pa.table({"epoch": pa.array([], type=pa.int64())}))
+            self.epoch_agg_sinks[spec["name"]].commit_tables(
+                epoch, [tbl], meta={"kind": "epoch_agg"}
+            )
+
     def _block_partials(self, tbl: pa.Table) -> dict[bytes, object]:
-        return {
+        out = {
             _kb(i): enc.make_partial(tbl, col, self.weight_col)
             for i, col, enc in self._stateful
         }
+        if self.epoch_aggs:
+            import numpy as np
+
+            from ..state.aggregates import SumCountAgg
+
+            for spec in self.epoch_aggs:
+                keys = list(spec["key_cols"])
+                pdf = tbl.select(keys + [spec["value_col"]]).to_pandas()
+                vals = pdf[spec["value_col"]].to_numpy(dtype=np.float64)
+                track = bool({"min", "max"} & set(spec.get("aggs", ())))
+                pdf["__pos"] = np.arange(len(pdf))
+                for key, grp in pdf.groupby(keys, sort=True):
+                    key_t = key if isinstance(key, tuple) else (key,)
+                    acc = SumCountAgg.from_numpy(
+                        vals[grp["__pos"].to_numpy()], track_extremes=track
+                    )
+                    out[pickle.dumps(("__epoch_agg", spec["name"], key_t),
+                                     protocol=pickle.HIGHEST_PROTOCOL)] = acc
+        return out
 
     def _refresh_encoder_state(self) -> None:
         items = dict(self.store.collect("encoders"))
