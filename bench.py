@@ -8,13 +8,14 @@ Headline: the flagship tokenized-sequence stream (derive → token features →
 incremental encoders in sharded actor state → exactly-once Parquet sink),
 over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
-The documents table is replicated ``$GRAFT_BENCH_REPLICATE``× (default 24)
+The documents table is replicated ``$GRAFT_BENCH_REPLICATE``× (default 240)
 so the stream carries enough tokens to measure sustained throughput rather
 than fixed overheads.
 
-``--scaling``: runs the same job in two fresh processes at 8 and 32 CPUs on
-the same input and reports both throughputs + scaling efficiency
-(t8/t32 / (32/8)); recorded in BASELINE.md.
+``--scaling``: runs the same job in fresh processes at 2 and 8 CPUs (the
+N→4N pair; both below this box's shared-DRAM ceiling, see BASELINE.md) on
+the same input, min over ``$GRAFT_SCALING_REPEATS`` repeats per point, and
+reports both throughputs + scaling efficiency; recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import time
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "24"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "240"))
     if "--scaling-child" in sys.argv:
         replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "2400"))
 
