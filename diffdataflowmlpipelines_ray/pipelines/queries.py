@@ -377,7 +377,7 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
         df = sess.sinks["oj"].read_committed_table().to_pandas()
     finally:
         sess.store.shutdown()
-    df = df.drop(columns=["epoch"])
+    df = df.drop(columns=["epoch", "diff"])  # insert-only stream → all +1
     return _round(df, ["o_totalprice", "l_extendedprice"])
 
 

@@ -319,15 +319,27 @@ class StreamJoin:
 
     def _side_frame(self, tbl: pa.Table, side: str) -> pd.DataFrame:
         """One side's epoch rows → DataFrame of key + output cols + per-side
-        event-time column (vectorized; no per-row Python)."""
+        event-time and diff columns (vectorized; no per-row Python).
+
+        A ``diff`` column on the input makes the join **bilinear** like DD's:
+        a retraction row (diff = −1) matches the other side's buffered rows
+        and emits matches with diff = diff_left · diff_right, cancelling the
+        earlier emissions in multiset semantics.
+        """
         key_cols = self.left_key if side == "left" else self.right_key
         out_cols = self.left_cols if side == "left" else self.right_cols
         ts_col = self.left_ts if side == "left" else self.right_ts
-        cols = list(dict.fromkeys(list(key_cols) + list(out_cols)
-                                  + ([ts_col] if ts_col else [])))
+        cols = list(dict.fromkeys(
+            list(key_cols) + list(out_cols)
+            + ([ts_col] if ts_col else [])
+            + (["diff"] if "diff" in tbl.column_names else [])
+        ))
         pdf = tbl.select(cols).to_pandas()
         ts_name = f"__ts_{side}"
         pdf[ts_name] = _ts_to_float(pdf[ts_col]) if ts_col else 0.0
+        pdf[f"__diff_{side}"] = (
+            pdf.pop("diff").astype(np.int64) if "diff" in pdf.columns else 1
+        )
         if ts_col and ts_col not in out_cols and ts_col not in key_cols:
             pdf = pdf.drop(columns=[ts_col])
         return pdf
@@ -359,8 +371,10 @@ class StreamJoin:
             list(self.left_key) + list(self.left_cols) + list(self.right_cols)
         ))
         if not frames:
-            return pa.table({n: pa.array([]) for n in names + ["epoch"]})
-        df = pd.concat(frames, ignore_index=True)[names]
+            return pa.table({n: pa.array([]) for n in names + ["diff", "epoch"]})
+        cat = pd.concat(frames, ignore_index=True)
+        df = cat[names].copy()
+        df["diff"] = (cat["__diff_left"] * cat["__diff_right"]).astype(np.int64)
         df["epoch"] = np.int64(epoch)
         return pa.Table.from_pandas(df, preserve_index=False)
 

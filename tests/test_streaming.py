@@ -404,3 +404,43 @@ class TestEpochIdempotency:
         sess.store.shutdown()
         pd.testing.assert_frame_equal(before.reset_index(drop=True),
                                       after.reset_index(drop=True))
+
+
+class TestBilinearJoin:
+    def test_retraction_cancels_matches(self, ray_session, tmp_path):
+        """DD bilinear join: retracting a left row emits diff=-1 matches so
+        the accumulated multiset equals the batch join of the NET inputs."""
+        sess = StreamSession(tmp_path / "bj", num_shards=2)
+        sess.add(StreamJoin(name="j", left_input="L", right_input="R",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["lval"], right_cols=["rval"]))
+        # epoch 0: left {k=1: a}, right {k=1: x} → match (a,x,+1)
+        sess.process_epoch(0, {
+            "L": pa.table({"k": [1], "lval": ["a"], "diff": [1]}),
+            "R": pa.table({"k": [1], "rval": ["x"], "diff": [1]}),
+        })
+        # epoch 1: retract left a → match (a,x,−1); add right y → (a,x? no —
+        # y matches net-left…) the retraction and the new right both probe.
+        sess.process_epoch(1, {
+            "L": pa.table({"k": [1], "lval": ["a"], "diff": [-1]}),
+            "R": pa.table({"k": [1], "rval": ["y"], "diff": [1]}),
+        })
+        out = sess.sinks["j"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = (out.groupby(["k", "lval", "rval"])["diff"].sum())
+        net = net[net != 0]
+        # net inputs: left {} (a inserted then retracted), right {x, y}
+        # → batch join is EMPTY
+        assert len(net) == 0
+
+    def test_insert_only_all_plus_one(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "bj2", num_shards=1)
+        sess.add(StreamJoin(name="j", left_input="L", right_input="R",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["lval"], right_cols=["rval"]))
+        sess.process_epoch(0, {"L": pa.table({"k": [1, 2], "lval": [10, 20]}),
+                               "R": pa.table({"k": [1, 2], "rval": [5, 6]})})
+        out = sess.sinks["j"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert (out["diff"] == 1).all()
+        assert len(out) == 2
