@@ -244,11 +244,19 @@ class SessionWindowAggregation:
     gap: float
     value_col: str | None = None
     allowed_lateness: float = 0.0
+    #: retractable mode keeps the raw point multiset in the shards (a
+    #: retraction can SPLIT a session); pair with ``weight_col`` diffs.
+    retractable: bool = False
+    weight_col: str | None = None
 
     def points_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
+        """→ ({key: [(ts, value)…]}, late) — or (ts, value, diff) triples in
+        retractable mode."""
         cols = list(self.key_cols) + [self.ts_col] + (
             [self.value_col] if self.value_col else []
         )
+        if self.retractable and self.weight_col and self.weight_col in tbl.column_names:
+            cols.append(self.weight_col)
         pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
         ts = _ts_to_float(pdf[self.ts_col])
         vals = (
@@ -256,17 +264,27 @@ class SessionWindowAggregation:
             if self.value_col
             else np.ones(len(pdf))
         )
+        diffs = (
+            pdf[self.weight_col].to_numpy(dtype=np.int64)
+            if self.retractable and self.weight_col and self.weight_col in pdf
+            else np.ones(len(pdf), dtype=np.int64)
+        )
         keep = ts + self.gap + self.allowed_lateness > finalized_before
         late = int((~keep).sum())
         pdf = pdf[keep]
-        ts, vals = ts[keep], vals[keep]
+        ts, vals, diffs = ts[keep], vals[keep], diffs[keep]
         out: dict[bytes, list] = {}
         frame = pdf[list(self.key_cols)].copy()
         frame["__pos"] = np.arange(len(frame))
         for key, grp in frame.groupby(list(self.key_cols), sort=True, dropna=False):
             key_t = key if isinstance(key, tuple) else (key,)
             pos = grp["__pos"].to_numpy()
-            out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(), vals[pos].tolist()))
+            if self.retractable:
+                out[_key_bytes(key_t)] = list(
+                    zip(ts[pos].tolist(), vals[pos].tolist(), diffs[pos].tolist())
+                )
+            else:
+                out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(), vals[pos].tolist()))
         return out, late
 
     def rows_to_table(self, items: list, epoch: int) -> pa.Table:
@@ -474,7 +492,12 @@ class StreamSession:
                 if op.input not in inputs:
                     continue
                 data = inputs[op.input]
-                if isinstance(data, pa.Table):
+                if op.retractable:
+                    data = self._as_table(data)
+                    points, late = op.points_batch(data, self.watermark)
+                    self.metrics["late_dropped"] += late
+                    self.store.apply_session_point_deltas(name, epoch, points)
+                elif isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
                     self.store.apply_session_points(name, epoch, points, op.gap)
@@ -570,7 +593,12 @@ class StreamSession:
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, SessionWindowAggregation):
                 bound = self.watermark - op.allowed_lateness
-                items = self.store.sweep_closed_sessions(name, bound, op.gap)
+                if op.retractable:
+                    items = self.store.sweep_closed_retractable_sessions(
+                        name, bound, op.gap
+                    )
+                else:
+                    items = self.store.sweep_closed_sessions(name, bound, op.gap)
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],

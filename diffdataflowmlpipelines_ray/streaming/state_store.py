@@ -57,6 +57,8 @@ class StateShard:
         self.aggs: dict[str, dict[bytes, Any]] = {}
         # session windows: name -> key -> sorted list of [start, end, acc]
         self.sessions: dict[str, dict[bytes, list[list]]] = {}
+        # retractable sessions: name -> key -> {(ts, value): count}
+        self.session_points: dict[str, dict[bytes, dict]] = {}
         # join buffers: name -> side -> key -> list[(ts, row_tuple)]
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
         # idempotency: table name -> applied epoch set
@@ -175,6 +177,59 @@ class StateShard:
             store[key] = self.merge_session_lists(store.get(key, []), new_sessions)
         return n
 
+    # -------------------------------------------- retractable session windows
+    def apply_session_point_deltas(self, name: str, epoch: int,
+                                   payload: bytes) -> int:
+        """Retractable mode: state is the raw point multiset
+        {(ts, value): net_count} per key; sessions are derived at sweep time,
+        so retracting a bridging point correctly SPLITS a session.
+
+        payload = pickled list[(key_bytes, [(ts, value, diff), ...])].
+        """
+        if self._seen(f"sessp:{name}", epoch):
+            return 0
+        store = self.session_points.setdefault(name, {})
+        n = 0
+        for key, points in pickle.loads(payload):
+            pts = store.setdefault(key, {})
+            for ts, value, diff in points:
+                n += 1
+                k = (float(ts), float(value))
+                c = pts.get(k, 0) + int(diff)
+                if c == 0:
+                    pts.pop(k, None)
+                else:
+                    pts[k] = c
+            if not pts:
+                del store[key]
+        return n
+
+    def sweep_closed_retractable_sessions(self, name: str, watermark: float,
+                                          gap: float) -> bytes:
+        """Derive sessions from the live point multiset; emit & drop the
+        points of every session whose end (last ts + gap) ≤ watermark."""
+        store = self.session_points.get(name, {})
+        emitted = []
+        for key in list(store.keys()):
+            pts = store[key]
+            flat = []
+            for (ts, value), c in pts.items():
+                if c > 0:
+                    flat.extend([(ts, value)] * c)
+            sessions = self.build_sessions(flat, gap)
+            closed_bounds = []
+            for s in sessions:
+                if s[1] <= watermark:
+                    emitted.append((key, s))
+                    closed_bounds.append((s[0], s[2][3]))  # [start, last_ts]
+            for lo, hi in closed_bounds:
+                for k in [k for k in pts if lo <= k[0] <= hi]:
+                    del pts[k]
+            if not pts:
+                del store[key]
+        emitted.sort()
+        return _dumps(emitted)
+
     def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> bytes:
         """Emit & drop sessions whose end (last ts + gap) ≤ watermark."""
         store = self.sessions.get(name, {})
@@ -260,6 +315,7 @@ class StateShard:
                 "shard_id": self.shard_id,
                 "aggs": self.aggs,
                 "sessions": self.sessions,
+                "session_points": self.session_points,
                 "joins": self.joins,
                 "applied": self.applied,
             }
@@ -269,6 +325,7 @@ class StateShard:
         st = pickle.loads(blob)
         self.aggs = st["aggs"]
         self.sessions = st["sessions"]
+        self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
         self.applied = st["applied"]
 
@@ -347,6 +404,29 @@ class ShardedStateStore:
     def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> list:
         blobs = ray.get(
             [s.sweep_closed_sessions.remote(name, watermark, gap) for s in self.shards]
+        )
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    def apply_session_point_deltas(self, name: str, epoch: int,
+                                   per_key: dict[bytes, list]) -> int:
+        by_shard = self._scatter(sorted(per_key.items()))
+        refs = [
+            self.shards[sid].apply_session_point_deltas.remote(
+                name, epoch, _dumps(items)
+            )
+            for sid, items in by_shard.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
+
+    def sweep_closed_retractable_sessions(self, name: str, watermark: float,
+                                          gap: float) -> list:
+        blobs = ray.get(
+            [s.sweep_closed_retractable_sessions.remote(name, watermark, gap)
+             for s in self.shards]
         )
         out = []
         for b in blobs:

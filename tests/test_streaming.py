@@ -444,3 +444,61 @@ class TestBilinearJoin:
         sess.store.shutdown()
         assert (out["diff"] == 1).all()
         assert len(out) == 2
+
+
+class TestRetractableSessions:
+    def test_retraction_splits_session(self, ray_session, tmp_path):
+        """Retracting a bridging point splits one session into two."""
+        sess = StreamSession(tmp_path / "rs", num_shards=1)
+        sess.add(SessionWindowAggregation(name="s", input="e",
+                                          key_cols=["user_id"], ts_col="ts",
+                                          gap=30.0, value_col="value",
+                                          retractable=True, weight_col="diff"))
+        # points 0, 25, 50 bridge into ONE session (gaps 25 each)
+        sess.process_epoch(0, {"e": pa.table({
+            "user_id": [1, 1, 1], "ts": [0.0, 25.0, 50.0],
+            "value": [1.0, 1.0, 1.0], "diff": [1, 1, 1]})})
+        # retract the bridge at t=25 → sessions {0} and {50}
+        sess.process_epoch(1, {"e": pa.table({
+            "user_id": [1], "ts": [25.0], "value": [1.0], "diff": [-1]})})
+        sess.close()
+        out = (sess.sinks["s"].read_committed_table().to_pandas()
+               .sort_values("session_start"))
+        assert len(out) == 2
+        assert out["session_start"].tolist() == [0.0, 50.0]
+        assert out["count"].tolist() == [1, 1]
+
+    def test_retraction_equals_never_inserted(self, ray_session, tmp_path):
+        rng = np.random.default_rng(13)
+        n = 120
+        tbl = pa.table({
+            "user_id": rng.integers(0, 5, n),
+            "ts": np.sort(rng.uniform(0, 400, n)),
+            "value": np.ones(n),
+        })
+        sub_mask = (np.arange(n) % 4 == 0)
+
+        def run(root, with_retraction):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(SessionWindowAggregation(name="s", input="e",
+                                              key_cols=["user_id"], ts_col="ts",
+                                              gap=25.0, value_col="value",
+                                              retractable=True, weight_col="diff"))
+            if with_retraction:
+                ones = pa.array(np.ones(n, dtype=np.int64))
+                sess.process_epoch(0, {"e": tbl.append_column("diff", ones)})
+                sub = tbl.filter(pa.array(sub_mask))
+                sess.process_epoch(1, {"e": sub.append_column(
+                    "diff", pa.array(-np.ones(int(sub_mask.sum()), dtype=np.int64)))})
+            else:
+                net = tbl.filter(pa.array(~sub_mask))
+                sess.process_epoch(0, {"e": net.append_column(
+                    "diff", pa.array(np.ones(int((~sub_mask).sum()), dtype=np.int64)))})
+            sess.close()
+            return (sess.sinks["s"].read_committed_table().to_pandas()
+                    [["user_id", "session_start", "session_end", "count", "sum"]]
+                    .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+
+        a = run(tmp_path / "a", True)
+        b = run(tmp_path / "b", False)
+        pd.testing.assert_frame_equal(a, b)
