@@ -119,3 +119,17 @@ class TestDataPrep:
         assert 0 < res["after_exact_dedup"] <= res["after_quality_lang"]
         assert res["output_rows"] == res["after_exact_dedup"] - res["near_dup_dropped"]
         assert res["committed_epochs"] == [0, 1]
+
+
+class TestDemoPresentation:
+    def test_demo_shape_and_corrections(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.pipelines.demo import run_demo
+
+        res = run_demo(str(tmp_path / "demo"), n_updates=5, verbose=False)
+        assert res["base_rows"] == 30
+        assert res["final_rows"] == 30
+        # single-row epochs change the (rounded) meta → corrections emitted
+        assert res["correction_rows"] > 0
+        # every stateful encoder produced at least one meta event
+        cols = {c for _, c in res["meta_events"]}
+        assert cols == {"c0", "c1", "c2", "c3"}

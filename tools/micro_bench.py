@@ -108,6 +108,47 @@ def main():
         sess2.close()
         out[f"ordinal_single_row_update_ms_{label}"] = round(per_update * 1e3, 2)
 
+    # ---- Diabetes e2e shape (pipeline_3, paper §3's third benchmark — the
+    # one the reference LOSES to sklearn's full refit): 22 float columns,
+    # init epoch + 1k-row update epochs.  Baseline = the sklearn strategy
+    # (full numpy recompute of mean/var + transform over the concatenation
+    # per update, python/diabetes_sklearn.py:20-35).
+    for n_dia in (70_000, 2_000_000):
+        cols = 22
+        rng = np.random.default_rng(3)
+        data = {f"c{i}": rng.normal(i, 2.0, n_dia) for i in range(cols)}
+        dia = pa.table(data)
+        root3 = tempfile.mkdtemp(prefix="micro-dia-", dir="/tmp")
+        sess3 = IncrementalEncoderSession(
+            [(f"c{i}", StandardScaler(round_to=(-2, 0))) for i in range(cols)],
+            root3, num_shards=1,
+        )
+        t0 = time.perf_counter()
+        sess3.process_epoch(0, dia)
+        init_dia = time.perf_counter() - t0
+        upd_tbl = pa.table({f"c{i}": rng.normal(i, 2.0, 1000) for i in range(cols)})
+        t0 = time.perf_counter()
+        for k in range(5):
+            sess3.process_epoch(1 + k, upd_tbl)
+        inc_ms = (time.perf_counter() - t0) / 5 * 1e3
+        sess3.close()
+        # sklearn-strategy baseline: refit+retransform the whole concatenation
+        mats = [np.column_stack([data[f"c{i}"] for i in range(cols)])]
+        upd_mat = np.column_stack([upd_tbl[f"c{i}"].to_numpy() for i in range(cols)])
+        t0 = time.perf_counter()
+        for k in range(3):
+            mats.append(upd_mat)
+            full = np.vstack(mats)
+            m = full.mean(axis=0)
+            v = full.var(axis=0)
+            _ = (full - m) / v
+        recompute_ms = (time.perf_counter() - t0) / 3 * 1e3
+        out[f"diabetes_{n_dia}"] = {
+            "init_s": round(init_dia, 3),
+            "incremental_update_ms": round(inc_ms, 1),
+            "full_recompute_update_ms": round(recompute_ms, 1),
+        }
+
     print(json.dumps(out))
     ray.shutdown()
 
