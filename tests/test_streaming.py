@@ -502,3 +502,28 @@ class TestRetractableSessions:
         a = run(tmp_path / "a", True)
         b = run(tmp_path / "b", False)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestResumableOutput:
+    def test_rerun_skips_finished_partitions(self, ray_session, tmp_path):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages.output import resumable_write_parquet
+        from diffdataflowmlpipelines_ray.streaming.sink import ExactlyOnceParquetSink
+
+        tbl = events_table(400, seed=17)
+        ds = rd.from_arrow(tbl)
+        root = tmp_path / "out"
+        # first run "crashes" after 3 of 6 partitions: simulate by committing
+        # only a prefix
+        sink = ExactlyOnceParquetSink(root)
+        parts = rd.from_arrow(tbl).split_proportionately([1 / 6] * 5)
+        for i in range(3):
+            sink.commit_dataset(i, parts[i])
+        # resume: full call skips the 3 finished partitions
+        res = resumable_write_parquet(rd.from_arrow(tbl), root, num_partitions=6)
+        assert res["skipped"] == 3 and res["written"] == 3
+        out = ExactlyOnceParquetSink(root).read_committed_table()
+        assert out.num_rows == 400  # no dupes, no loss
+        # second full rerun writes nothing
+        res2 = resumable_write_parquet(rd.from_arrow(tbl), root, num_partitions=6)
+        assert res2["written"] == 0 and res2["skipped"] == 6
