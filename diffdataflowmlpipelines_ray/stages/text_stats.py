@@ -92,27 +92,41 @@ class LangId:
     }
 
     def __init__(self, col: str = "text", out: str = "lang_pred"):
-        import re
-
         self.col = col
         self.out = out
-        self.cjk = re.compile(r"[一-鿿]")
-        self.word_sets = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        # per-actor setup: language marker arrays, sorted for is_in kernels
+        self.langs = sorted(self.PROFILES)
+        self.word_arrays = {
+            lang: pa.array(sorted(ws)) for lang, ws in self.PROFILES.items()
+        }
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl[self.col].to_pylist()
-        preds = []
-        for t in texts:
-            if self.cjk.search(t):
-                preds.append("zh")
-                continue
-            words = set(t.lower().split())
-            scores = {
-                lang: len(words & ws) for lang, ws in self.word_sets.items()
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "unknown")
-        return tbl.append_column(self.out, pa.array(preds, type=pa.string()))
+        """Vectorized: tokenize once, one ``is_in`` kernel per language over
+        the flat DISTINCT-per-row token array, segmented sums, argmax."""
+        text = tbl[self.col]
+        n = len(tbl)
+        toks = tokenize_column(pc.utf8_lower(text))
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        # score = count of profile-marker tokens per row per language
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = pc.is_in(flat, value_set=self.word_arrays[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            csum = np.concatenate([[0], np.cumsum(hit, dtype=np.int64)])
+            scores[:, j] = csum[offsets[1:]] - csum[offsets[:-1]]
+        best = scores.argmax(axis=1)
+        best_score = scores[np.arange(n), best]
+        preds = np.where(
+            best_score > 0, np.array(self.langs, dtype=object)[best], "unknown"
+        )
+        # CJK detection overrides (vectorized regex kernel)
+        cjk = pc.match_substring_regex(text, r"[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        preds = np.where(cjk, "zh", preds)
+        return tbl.append_column(self.out, pa.array(preds.tolist(), type=pa.string()))
 
 
 def add_lang_id(ds, col: str = "text", out: str = "lang_pred", concurrency: int = 2):
