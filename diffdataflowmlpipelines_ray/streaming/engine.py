@@ -180,8 +180,22 @@ class KeyedAggregation:
         else:
             frame = pdf[list(self.key_cols)].copy()
             group_cols = list(self.key_cols)
-        frame["__pos"] = np.arange(len(frame))
         out: dict[bytes, Any] = {}
+        if self.make_acc is None and not self._track_extremes:
+            # vectorized fast path for plain sum/count (the common case,
+            # incl. high-cardinality keys): one C-level groupby-agg, then a
+            # light per-key constructor loop over the AGGREGATED rows
+            w = weights if weights is not None else np.ones(len(frame), dtype=np.int64)
+            frame = frame.assign(__wv=values * w, __w=w)
+            agg = frame.groupby(group_cols, sort=True, dropna=False).agg(
+                s=("__wv", "sum"), c=("__w", "sum")
+            )
+            for key, s, c in zip(agg.index, agg["s"].to_numpy(),
+                                 agg["c"].to_numpy()):
+                key_t = key if isinstance(key, tuple) else (key,)
+                out[_key_bytes(key_t)] = SumCountAgg(float(s), int(c))
+            return out, late
+        frame["__pos"] = np.arange(len(frame))
         for key, grp in frame.groupby(group_cols, sort=True, dropna=False):
             key_t = key if isinstance(key, tuple) else (key,)
             pos = grp["__pos"].to_numpy()
