@@ -659,6 +659,20 @@ def q_dataprep(sf_dir: str) -> pd.DataFrame:
                           if isinstance(v, (int, float))}])
 
 
+def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct l_partkey (no shuffle: one sketch per block,
+    register-max merge) alongside the exact count — rows-only check; the
+    ≤1% error bound is asserted in pytest."""
+    from ..state.sketches import approx_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = approx_distinct(ds, "l_partkey", p=14)
+    exact = len(_read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey"))
+    return pd.DataFrame([{"approx_distinct": float(est),
+                          "exact_distinct": int(exact),
+                          "rel_error": abs(est - exact) / exact}])
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Seeded reservoir-free sampling (rows-only check: SQL can't reproduce
     Ray's sampler; determinism asserted by the fixed seed)."""
@@ -708,6 +722,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "union": q_union,
     "sample": q_sample,
+    "approx_distinct": q_approx_distinct,
     "dataprep": q_dataprep,
     "distinct": q_distinct,
 }

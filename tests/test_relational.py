@@ -180,3 +180,42 @@ class TestIterate:
         out = connected_components(pa.table({"id_lo": pa.array([], type=pa.int64()),
                                              "id_hi": pa.array([], type=pa.int64())}))
         assert out.num_rows == 0
+
+
+class TestSketches:
+    def test_hll_accuracy(self):
+        from diffdataflowmlpipelines_ray.state.sketches import HyperLogLog
+
+        rng = np.random.default_rng(1)
+        true_n = 150_000
+        hashes = rng.integers(0, 2**64, true_n, dtype=np.uint64)
+        hll = HyperLogLog(p=14)
+        hll.add_hashes(hashes)
+        est = hll.estimate()
+        assert abs(est - true_n) / true_n < 0.05  # ~1.04/sqrt(2^14) ≈ 0.8%
+
+    def test_hll_merge_equals_union(self):
+        from diffdataflowmlpipelines_ray.state.sketches import HyperLogLog
+
+        rng = np.random.default_rng(2)
+        a_h = rng.integers(0, 2**64, 40_000, dtype=np.uint64)
+        b_h = rng.integers(0, 2**64, 40_000, dtype=np.uint64)
+        a = HyperLogLog(12).add_hashes(a_h)
+        b = HyperLogLog(12).add_hashes(b_h)
+        merged = a.merged(b)
+        union = HyperLogLog(12).add_hashes(np.concatenate([a_h, b_h]))
+        assert (merged.registers == union.registers).all()
+
+    def test_approx_distinct_dataset(self, ray_session):
+        from diffdataflowmlpipelines_ray.state.sketches import approx_distinct
+
+        tbl = pa.table({"k": np.arange(50_000) % 20_000})
+        est = approx_distinct(rd.from_arrow(tbl).repartition(4), "k")
+        assert abs(est - 20_000) / 20_000 < 0.05
+
+    def test_small_range_linear_counting(self):
+        from diffdataflowmlpipelines_ray.state.sketches import HyperLogLog
+
+        h = np.arange(1, 101, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        est = HyperLogLog(14).add_hashes(h).estimate()
+        assert abs(est - 100) < 5
