@@ -648,6 +648,42 @@ def q_union(sf_dir: str) -> pd.DataFrame:
     return a.union(b).to_pandas()
 
 
+def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch quantiles of l_extendedprice (two-pass, no sort/
+    shuffle) next to DuckDB's exact ones — rows-only; bin-width error bound
+    asserted in pytest."""
+    from ..state.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    return pd.DataFrame([{"q25": qs[0], "q50": qs[1], "q75": qs[2],
+                          "q95": qs[3]}])
+
+
+def q_token_freq_topk(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary analytics over the derived tokens table: top-100 token ids
+    by corpus frequency (explode list<int32> → two-phase count → top-k).
+    Rows-only (token ids come from the non-SQL fast hash)."""
+    from ..sources.tokenized import tokenized_dataset
+
+    ds = tokenized_dataset(sf_dir)
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        toks = tbl["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"token_id": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    total = parts.groupby("token_id", as_index=False)["cnt"].sum()
+    top = total.sort_values(["cnt", "token_id"],
+                            ascending=[False, True]).head(100)
+    return top.reset_index(drop=True)
+
+
 def q_dataprep(sf_dir: str) -> pd.DataFrame:
     """Composed training-data-prep funnel (quality → lang → exact dedup →
     near-dup → tokenize → incremental encode → exactly-once sink); rows-only
@@ -723,6 +759,8 @@ QUERIES = {
     "union": q_union,
     "sample": q_sample,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
+    "token_freq_topk": q_token_freq_topk,
     "dataprep": q_dataprep,
     "distinct": q_distinct,
 }

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HyperLogLog", "approx_distinct"]
+__all__ = ["HyperLogLog", "approx_distinct", "HistogramSketch", "approx_quantiles"]
 
 
 class HyperLogLog:
@@ -109,3 +109,81 @@ def approx_distinct(ds, col: str, p: int = 14) -> float:
         other.registers = pickle.loads(row["sketch"])
         acc.merge(other)
     return acc.estimate()
+
+
+class HistogramSketch:
+    """Mergeable fixed-range histogram → approximate quantiles.
+
+    Two-phase plan: a min/max pass fixes the range (reuse the MinMaxAgg
+    partials), then per-block vectorized ``np.histogram`` counts merge by
+    vector addition — the simplest exactly-mergeable quantile structure.
+    Quantile error ≤ bin width (range / bins).
+    """
+
+    def __init__(self, lo: float, hi: float, bins: int = 4096):
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.bins = int(bins)
+        self.counts = np.zeros(self.bins, dtype=np.int64)
+        self.n = 0
+
+    def add(self, values: np.ndarray) -> "HistogramSketch":
+        v = np.asarray(values, dtype=np.float64)
+        if v.size:
+            c, _ = np.histogram(v, bins=self.bins, range=(self.lo, self.hi))
+            self.counts += c
+            self.n += v.size
+        return self
+
+    def merge(self, other: "HistogramSketch") -> None:
+        assert (self.lo, self.hi, self.bins) == (other.lo, other.hi, other.bins)
+        self.counts += other.counts
+        self.n += other.n
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        target = q * self.n
+        cum = np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, target))
+        i = min(i, self.bins - 1)
+        width = (self.hi - self.lo) / self.bins
+        # linear interpolation within the bin
+        prev = cum[i - 1] if i > 0 else 0
+        inbin = self.counts[i]
+        frac = (target - prev) / inbin if inbin else 0.0
+        return self.lo + (i + frac) * width
+
+
+def approx_quantiles(ds, col: str, qs, bins: int = 4096) -> list[float]:
+    """Two-pass approximate quantiles: min/max partials → histogram partials
+    → merged sketch.  Error ≤ (max−min)/bins; no sort, no shuffle."""
+    import pickle
+
+    import pyarrow as pa
+
+    from .aggregates import MinMaxAgg, merge_all
+
+    def mm_block(tbl: pa.Table) -> pa.Table:
+        acc = MinMaxAgg.from_numpy(
+            tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table({"p": pa.array([pickle.dumps(acc)], type=pa.binary())})
+
+    parts = [pickle.loads(r["p"]) for r in
+             ds.map_batches(mm_block, batch_format="pyarrow").take_all()]
+    lo, rng_ = merge_all(parts).get()
+    hi = lo + rng_ if rng_ > 0 else lo + 1.0
+
+    def hist_block(tbl: pa.Table) -> pa.Table:
+        sk = HistogramSketch(lo, hi, bins)
+        sk.add(tbl[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"p": pa.array([pickle.dumps((sk.counts, sk.n))],
+                                       type=pa.binary())})
+
+    acc = HistogramSketch(lo, hi, bins)
+    for r in ds.map_batches(hist_block, batch_format="pyarrow").take_all():
+        counts, n = pickle.loads(r["p"])
+        acc.counts += counts
+        acc.n += n
+    return [acc.quantile(float(q)) for q in qs]

@@ -634,6 +634,12 @@ class StreamSession:
     def read_output(self, name: str) -> pa.Table:
         return self.sinks[name].read_committed_table()
 
+    def stats(self) -> dict:
+        """Observability: driver metrics + per-shard state sizes (keys per
+        table, session keys, join buffer sizes) — the ``inspect`` surface."""
+        return {"metrics": dict(self.metrics), "watermark": self.watermark,
+                "shards": self.store.stats()}
+
     def checkpoint(self, epoch: int) -> None:
         self.chk.save(
             epoch,

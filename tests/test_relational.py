@@ -219,3 +219,14 @@ class TestSketches:
         h = np.arange(1, 101, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         est = HyperLogLog(14).add_hashes(h).estimate()
         assert abs(est - 100) < 5
+
+    def test_histogram_quantiles(self, ray_session):
+        from diffdataflowmlpipelines_ray.state.sketches import approx_quantiles
+
+        rng = np.random.default_rng(5)
+        vals = rng.normal(100.0, 15.0, 200_000)
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+        qs = approx_quantiles(ds, "x", [0.1, 0.5, 0.9], bins=4096)
+        exact = np.quantile(vals, [0.1, 0.5, 0.9])
+        for got, exp in zip(qs, exact):
+            assert abs(got - exp) < (vals.max() - vals.min()) / 4096 * 3
