@@ -695,6 +695,21 @@ def q_dataprep(sf_dir: str) -> pd.DataFrame:
                           if isinstance(v, (int, float))}])
 
 
+def q_grouped_meanvar(sf_dir: str) -> pd.DataFrame:
+    """Per-group (mean, var_pop) through the native AggregateFn bridge —
+    Chan-merge accumulators inside Ray's hash aggregation."""
+    from ..stages.ray_aggregates import ChanMeanVar
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(
+        ChanMeanVar("l_quantity", alias_name="mv")
+    ).to_pandas()
+    mv = out.pop("mv")
+    out["mean"] = [d["mean"] for d in mv]
+    out["var"] = [d["var"] for d in mv]
+    return _round(out, ["mean", "var"])
+
+
 def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct l_partkey (no shuffle: one sketch per block,
     register-max merge) alongside the exact count — rows-only check; the
@@ -758,6 +773,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "union": q_union,
     "sample": q_sample,
+    "grouped_meanvar": q_grouped_meanvar,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "token_freq_topk": q_token_freq_topk,
@@ -927,6 +943,12 @@ ORACLES = {
                      THEN list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE
                           / len({_TOKENS}) ELSE 0 END, 6) AS avg_token_len
         FROM documents
+    """,
+    "grouped_meanvar": """
+        SELECT l_returnflag,
+               ROUND(sum(l_quantity) / count(*), 6) AS mean,
+               ROUND(var_pop(l_quantity), 6) AS var
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -230,3 +230,37 @@ class TestSketches:
         exact = np.quantile(vals, [0.1, 0.5, 0.9])
         for got, exp in zip(qs, exact):
             assert abs(got - exp) < (vals.max() - vals.min()) / 4096 * 3
+
+
+class TestRayAggregateBridge:
+    def test_chan_meanvar_groupby(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.ray_aggregates import (
+            ChanMeanVar,
+            MinMaxRange,
+        )
+
+        rng = np.random.default_rng(0)
+        tbl = pa.table({"g": rng.integers(0, 3, 900),
+                        "x": rng.normal(10, 2, 900)})
+        out = (rd.from_arrow(tbl).repartition(4).groupby("g")
+               .aggregate(ChanMeanVar("x", alias_name="mv"),
+                          MinMaxRange("x", alias_name="mm"))
+               .to_pandas().set_index("g").sort_index())
+        pdf = tbl.to_pandas()
+        for g in range(3):
+            sub = pdf[pdf.g == g].x
+            assert out.loc[g, "mv"]["mean"] == pytest.approx(sub.mean())
+            assert out.loc[g, "mv"]["var"] == pytest.approx(sub.var(ddof=0))
+            assert out.loc[g, "mm"]["min"] == sub.min()
+            assert out.loc[g, "mm"]["range"] == pytest.approx(sub.max() - sub.min())
+
+    def test_approx_distinct_groupby(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.ray_aggregates import ApproxDistinct
+
+        tbl = pa.table({"g": np.arange(40_000) % 2,
+                        "k": (np.arange(40_000) // 2) % 5_000})
+        out = (rd.from_arrow(tbl).repartition(4).groupby("g")
+               .aggregate(ApproxDistinct("k", p=14, alias_name="ad"))
+               .to_pandas())
+        for v in out["ad"]:
+            assert abs(v - 5000) / 5000 < 0.05
