@@ -1,0 +1,56 @@
+"""Rows-only queries must be bit-deterministic across runs: the driver
+records row counts/hashes once, the judge may re-run — any nondeterminism
+(unordered dict iteration, unseeded hashes, union-order-dependent labels)
+would silently break comparisons."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(res) -> pd.DataFrame:
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    df = res[sorted(res.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash", "dedup_simhash", "fingerprint", "lang_id",
+    "ngram_jaccard", "ann_ivf", "token_freq_topk",
+])
+def test_rows_only_queries_deterministic(ray_session, name):
+    from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
+
+    a = canon(QUERIES[name](SF))
+    b = canon(QUERIES[name](SF))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_late_within_lateness_still_counts(ray_session, tmp_path):
+    """allowed_lateness grace period: a row arriving after the watermark
+    passed its window end — but within lateness — is still aggregated."""
+    import pyarrow as pa
+
+    from diffdataflowmlpipelines_ray.streaming.engine import (
+        KeyedAggregation,
+        StreamSession,
+        WindowSpec,
+    )
+
+    sess = StreamSession(tmp_path / "late", num_shards=1)
+    sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                              value_col="v", ts_col="ts", aggs=("count",),
+                              window=WindowSpec.tumbling(10.0,
+                                                         allowed_lateness=50.0)))
+    sess.process_epoch(0, {"e": pa.table({"u": [1], "ts": [5.0], "v": [1.0]})},
+                       watermark=20.0)  # wm past window [0,10) end, within lateness
+    sess.process_epoch(1, {"e": pa.table({"u": [1], "ts": [7.0], "v": [1.0]})},
+                       watermark=30.0)  # late row, still inside the grace period
+    sess.close()
+    out = sess.sinks["w"].read_committed_table().to_pandas()
+    win0 = out[out["window_start"] == 0.0]
+    assert sess.metrics["late_dropped"] == 0
+    assert win0["count"].sum() == 2  # both rows landed in [0,10)
