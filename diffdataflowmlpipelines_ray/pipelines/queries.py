@@ -629,6 +629,55 @@ def q_hash_join(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_supplier_region(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation ⋈ region via two chained broadcast lookups (both
+    dimension tables ray.put once), two-phase aggregate per region."""
+    nation = _read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    lookup = {nk: r2name[rk] for nk, rk in n2r.items()}
+    ref = ray.put(pd.Series(lookup))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        pdf = pdf.assign(
+            r_name=pdf["s_nationkey"].map(lk),
+            bal_cents=_half_away(pdf["s_acctbal"].to_numpy() * 100.0),
+            n=1,
+        )
+        return pdf.groupby("r_name", as_index=False).agg(
+            n=("n", "sum"), bal_cents=("bal_cents", "sum")
+        )
+
+    df = _two_phase(ds, ["r_name"], partial)
+    df["n"] = df["n"].astype(np.int64)
+    df["total_acctbal"] = df.pop("bal_cents") / 100.0
+    return df
+
+
+def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-brand part stats: count + exact-cents mean retail price."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            cents=_half_away(pdf["p_retailprice"].to_numpy() * 100.0), n=1
+        )
+        return pdf.groupby("p_brand", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        )
+
+    df = _two_phase(ds, ["p_brand"], partial)
+    df["n"] = df["n"].astype(np.int64)
+    df["avg_price"] = df.pop("cents") / 100.0 / df["n"]
+    return _round(df, ["avg_price"])
+
+
 def q_union(sf_dir: str) -> pd.DataFrame:
     """Multiset union (the reference's ``concat``, one_hot_encoder.rs:59):
     high-value orders ∪ automobile-segment customers' keys, duplicates kept."""
@@ -771,6 +820,8 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
     "hash_join": q_hash_join,
+    "supplier_region": q_supplier_region,
+    "part_brand_stats": q_part_brand_stats,
     "union": q_union,
     "sample": q_sample,
     "grouped_meanvar": q_grouped_meanvar,
@@ -983,6 +1034,20 @@ ORACLES = {
                sum(round(o.o_totalprice * 100)) / 100.0 AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "supplier_region": """
+        SELECT r.r_name, count(*)::BIGINT AS n,
+               sum(round(s.s_acctbal * 100)) / 100.0 AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "part_brand_stats": """
+        SELECT p_brand, count(*)::BIGINT AS n,
+               ROUND(sum(round(p_retailprice * 100)) / 100.0 / count(*), 6)
+                   AS avg_price
+        FROM part GROUP BY p_brand
     """,
     "union": """
         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0
