@@ -171,9 +171,9 @@ class KeyedAggregation:
             keep = wend + self.window.allowed_lateness > finalized_before
             late = int((~keep).sum())
             idx, wstart, wend = idx[keep], wstart[keep], wend[keep]
-            frame = pdf.iloc[idx][list(self.key_cols)].copy()
-            frame["__ws"] = wstart
-            frame["__we"] = wend
+            frame = pdf.iloc[idx][list(self.key_cols)].assign(
+                __ws=wstart, __we=wend
+            )
             values = values[idx]
             weights = weights[idx] if weights is not None else None
             group_cols = list(self.key_cols) + ["__ws", "__we"]
