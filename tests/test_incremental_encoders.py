@@ -207,3 +207,36 @@ class TestSessionExtras:
         pd.testing.assert_series_equal(
             net.sort_index(), expect.sort_index(), check_names=False
         )
+
+
+class TestCrashMatrix:
+    @pytest.mark.parametrize("crash_after", [0, 1, 2])
+    def test_resume_from_every_epoch_boundary(self, ray_session, tmp_path,
+                                              crash_after):
+        """Kill after each epoch boundary; resumed run's final state and
+        committed outputs must equal the clean run's exactly."""
+        tbl = pa.table({"row_id": list(range(24)),
+                        "x": [float(i * 7 % 11) for i in range(24)]})
+        parts = epoch_tables(tbl, 4)
+        root = tmp_path / f"cm{crash_after}"
+
+        s1 = IncrementalEncoderSession([("x", StandardScaler())], root,
+                                       num_shards=2)
+        for e in range(crash_after + 1):
+            s1.process_epoch(e, parts[e])
+        s1.close()  # crash
+
+        s2 = IncrementalEncoderSession([("x", StandardScaler())], root,
+                                       num_shards=2)
+        start = s2.resume()
+        assert start == crash_after + 1
+        for e in range(start, 4):
+            s2.process_epoch(e, parts[e])
+        assert s2.sink.committed_epochs() == [0, 1, 2, 3]
+        # final state equals batch fit over all rows
+        import ray.data as rd
+
+        ref = StandardScaler().fit(rd.from_arrow(tbl), "x")
+        assert s2.mce.config[0][1].mean_ == pytest.approx(ref.mean_)
+        assert s2.mce.config[0][1].scale_ == pytest.approx(ref.scale_)
+        s2.close()
