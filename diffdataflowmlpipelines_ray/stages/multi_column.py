@@ -83,6 +83,8 @@ class MultiColumnEncoder:
 
     # ------------------------------------------------------------ transform
     def transform_table(self, tbl: pa.Table, out: str = "features") -> pa.Table:
+        if tbl.num_rows == 0:  # e.g. a retraction-only epoch after filtering
+            return tbl.append_column(out, pa.array([], type=pa.list_(pa.float64())))
         blocks = []
         for j, (col, enc) in enumerate(self.config):
             tmp = enc.transform_table(tbl, col, f"__enc_{j}")

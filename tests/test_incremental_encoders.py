@@ -240,3 +240,36 @@ class TestCrashMatrix:
         assert s2.mce.config[0][1].mean_ == pytest.approx(ref.mean_)
         assert s2.mce.config[0][1].scale_ == pytest.approx(ref.scale_)
         s2.close()
+
+
+class TestStreamingSlotSemantics:
+    def test_new_category_gets_next_slot_prior_slots_stable(self, ray_session,
+                                                            tmp_path):
+        """Streaming OneHot: epoch boundaries never reshuffle existing slots;
+        new categories append (integer_assignment_aggregate.rs:43-50)."""
+        sess = IncrementalEncoderSession([("cat", OneHotEncoder())],
+                                         tmp_path / "slots", num_shards=1)
+        sess.process_epoch(0, pa.table({"row_id": [0, 1], "cat": ["a", "b"]}))
+        m0, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        sess.process_epoch(1, pa.table({"row_id": [2], "cat": ["c"]}))
+        m1, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        assert {k: m1[k] for k in m0} == m0  # prior slots unchanged
+        assert m1["c"] == max(m0.values()) + 1
+        sess.close()
+
+    def test_freed_slot_reused_after_retraction(self, ray_session, tmp_path):
+        sess = IncrementalEncoderSession([("cat", OneHotEncoder())],
+                                         tmp_path / "free", num_shards=1,
+                                         weight_col="diff")
+        sess.process_epoch(0, pa.table({"row_id": [0, 1, 2],
+                                        "cat": ["a", "b", "c"],
+                                        "diff": [1, 1, 1]}))
+        sess.process_epoch(1, pa.table({"row_id": [1], "cat": ["b"],
+                                        "diff": [-1]}))
+        m1, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        assert "b" not in m1
+        sess.process_epoch(2, pa.table({"row_id": [3], "cat": ["d"],
+                                        "diff": [1]}))
+        m2, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        assert m2["d"] == 1  # b's freed slot reused (LIFO free list)
+        sess.close()

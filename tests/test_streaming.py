@@ -527,3 +527,17 @@ class TestResumableOutput:
         # second full rerun writes nothing
         res2 = resumable_write_parquet(rd.from_arrow(tbl), root, num_partitions=6)
         assert res2["written"] == 0 and res2["skipped"] == 6
+
+
+class TestWatermarkMonotonic:
+    def test_regressing_watermark_ignored(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "wm", num_shards=1)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        sess.process_epoch(0, {"e": pa.table({"u": [1], "ts": [5.0], "v": [1.0]})},
+                           watermark=50.0)
+        sess.process_epoch(1, {"e": pa.table({"u": [1], "ts": [55.0], "v": [1.0]})},
+                           watermark=20.0)  # regression → clamped to 50
+        assert sess.watermark == 50.0
+        sess.store.shutdown()
