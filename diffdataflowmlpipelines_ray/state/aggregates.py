@@ -371,11 +371,18 @@ class PositionAssignmentAgg(_Mergeable):
         return len(self.val_to_count) - len(self.free_indices)
 
     def merge(self, other: "PositionAssignmentAgg") -> None:
-        # plus_equals — integer_assignment_aggregate.rs:114-122: iterate the
-        # other side's *indexed* values, sign-flipped when neg bits differ.
+        # plus_equals — integer_assignment_aggregate.rs:114-122, with one
+        # deliberate divergence: the reference iterates the other side's
+        # *indexed* values (it only ever merges aggregates DD has already
+        # consolidated, where every live value holds a slot); our per-block
+        # partials can carry pure-negative entries (a retraction-only
+        # micro-batch) that have counts but no slot, so we iterate the count
+        # map — identical for positive entries, and retractions survive.
         sign = 1 if not (self.neg ^ other.neg) else -1
-        for value in sorted(other.val_to_index.keys()):
-            self._add(value, sign * other.val_to_count[value])
+        for value in sorted(other.val_to_count.keys()):
+            count = other.val_to_count[value]
+            if count != 0:
+                self._add(value, sign * count)
         self.row_count += other.row_count
 
     def negate(self) -> None:
