@@ -273,3 +273,32 @@ class TestStreamingSlotSemantics:
         m2, _ = sess.mce.config[0][1].acc_.get_map_and_len()
         assert m2["d"] == 1  # b's freed slot reused (LIFO free list)
         sess.close()
+
+    def test_count_vectorizer_streaming_retraction(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.stages.encoders import CountVectorizer
+
+        sess = IncrementalEncoderSession([("text", CountVectorizer())],
+                                         tmp_path / "cvr", num_shards=1,
+                                         weight_col="diff")
+        sess.process_epoch(0, pa.table({"row_id": [0, 1],
+                                        "text": ["aa bb", "bb cc"],
+                                        "diff": [1, 1]}))
+        v0, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        assert set(v0) == {"aa", "bb", "cc"}
+        # retract the only doc containing 'aa'
+        sess.process_epoch(1, pa.table({"row_id": [0], "text": ["aa bb"],
+                                        "diff": [-1]}))
+        v1, _ = sess.mce.config[0][1].acc_.get_map_and_len()
+        assert "aa" not in v1 and "bb" in v1 and "cc" in v1
+        sess.close()
+
+    def test_empty_epoch_is_harmless(self, ray_session, tmp_path):
+        sess = IncrementalEncoderSession([("x", StandardScaler())],
+                                         tmp_path / "empty", num_shards=1)
+        sess.process_epoch(0, pa.table({"row_id": [0, 1], "x": [1.0, 3.0]}))
+        empty = pa.table({"row_id": pa.array([], type=pa.int64()),
+                          "x": pa.array([], type=pa.float64())})
+        sess.process_epoch(1, empty)  # must not crash or disturb state
+        assert sess.mce.config[0][1].mean_ == pytest.approx(2.0)
+        assert sess.sink.committed_epochs() == [0, 1]
+        sess.close()

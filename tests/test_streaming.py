@@ -541,3 +541,19 @@ class TestWatermarkMonotonic:
                            watermark=20.0)  # regression → clamped to 50
         assert sess.watermark == 50.0
         sess.store.shutdown()
+
+
+class TestEmptyEpochs:
+    def test_windowed_empty_epoch(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "we", num_shards=1)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.sliding(20.0, 10.0)))
+        sess.process_epoch(0, {"e": pa.table({"u": [1], "ts": [5.0], "v": [1.0]})})
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "ts": pa.array([], type=pa.float64()),
+                          "v": pa.array([], type=pa.float64())})
+        sess.process_epoch(1, {"e": empty}, watermark=100.0)
+        sess.close()
+        out = sess.sinks["w"].read_committed_table().to_pandas()
+        assert out["count"].sum() == 2  # row in 2 sliding windows; no dupes
