@@ -61,15 +61,17 @@ class StateShard:
         self.session_points: dict[str, dict[bytes, dict]] = {}
         # join buffers: name -> side -> key -> list[(ts, row_tuple)]
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
-        # idempotency: table name -> applied epoch set
-        self.applied: dict[str, set[int]] = {}
+        # idempotency: table name -> applied-epoch high-water mark (epochs
+        # arrive in increasing order; a replay/retry re-sends an epoch ≤ the
+        # mark).  An int, not a set — a 10^12-sequence stream has millions of
+        # epochs and an ever-growing set would leak.
+        self.applied: dict[str, int] = {}
 
     # ---------------------------------------------------------------- util
     def _seen(self, table: str, epoch: int) -> bool:
-        eps = self.applied.setdefault(table, set())
-        if epoch in eps:
+        if epoch <= self.applied.get(table, -1):
             return True
-        eps.add(epoch)
+        self.applied[table] = epoch
         return False
 
     # ------------------------------------------------------- keyed aggregates
@@ -327,7 +329,13 @@ class StateShard:
         self.sessions = st["sessions"]
         self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
-        self.applied = st["applied"]
+        applied = st["applied"]
+        # tolerate snapshots from the earlier set-based format
+        self.applied = {
+            k: (max(v) if isinstance(v, set) and v else v if isinstance(v, int)
+                else -1)
+            for k, v in applied.items()
+        }
 
     def stats(self) -> dict:
         return {
