@@ -744,6 +744,27 @@ def q_dataprep(sf_dir: str) -> pd.DataFrame:
                           if isinstance(v, (int, float))}])
 
 
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Scalar JSON-field extraction from events.props (vectorized Arrow regex
+    kernel) grouped per event_type — oracle via DuckDB json_extract."""
+    from ..sources.jsonl import extract_json_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ex = extract_json_field(ds, "props", "k", "k_val")
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(n=1)
+        return pdf.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), k_sum=("k_val", "sum")
+        )
+
+    df = _two_phase(ex.select_columns(["event_type", "k_val"]), ["event_type"],
+                    partial)
+    df["n"] = df["n"].astype(np.int64)
+    df["k_sum"] = df["k_sum"].astype(np.int64)
+    return df
+
+
 def q_grouped_meanvar(sf_dir: str) -> pd.DataFrame:
     """Per-group (mean, var_pop) through the native AggregateFn bridge —
     Chan-merge accumulators inside Ray's hash aggregation."""
@@ -824,6 +845,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "union": q_union,
     "sample": q_sample,
+    "json_extract": q_json_extract,
     "grouped_meanvar": q_grouped_meanvar,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -994,6 +1016,11 @@ ORACLES = {
                      THEN list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE
                           / len({_TOKENS}) ELSE 0 END, 6) AS avg_token_len
         FROM documents
+    """,
+    "json_extract": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
+        FROM events GROUP BY event_type
     """,
     "grouped_meanvar": """
         SELECT l_returnflag,

@@ -133,3 +133,28 @@ class TestDemoPresentation:
         # every stateful encoder produced at least one meta event
         cols = {c for _, c in res["meta_events"]}
         assert cols == {"c0", "c1", "c2", "c3"}
+
+
+class TestJsonlSource:
+    def test_read_jsonl_null_padding(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.sources.jsonl import read_jsonl_documents
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text('{"doc_id": 1, "text": "hello world", "source": "web"}\n'
+                     '{"doc_id": 2, "text": "two"}\n')
+        rows = sorted(read_jsonl_documents(str(p),
+                                           columns=["doc_id", "text", "source"])
+                      .take_all(), key=lambda r: r["doc_id"])
+        assert rows[0]["source"] == "web"
+        assert rows[1]["source"] is None  # missing field null-padded
+
+    def test_extract_json_field(self, ray_session, tmp_path):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.sources.jsonl import extract_json_field
+
+        ds = rd.from_arrow(pa.table({"props": ['{"k": 87}', '{"k": -3}',
+                                               '{"other": 1}']}))
+        out = extract_json_field(ds, "props", "k", "k_val").take_all()
+        vals = [r["k_val"] for r in out]
+        assert sorted(v for v in vals if v is not None) == [-3, 87]
+        assert None in vals  # missing field → null
