@@ -801,6 +801,28 @@ def q_sample(sf_dir: str) -> pd.DataFrame:
     return ds.random_sample(0.01, seed=7).to_pandas()
 
 
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 line items by price per return flag — per-block partial top-k
+    (each block keeps only its local top-3 per group) then a tiny driver
+    merge; deterministic (price desc, orderkey, linenumber) tie-break."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True])
+            .groupby("l_returnflag", sort=False).head(3))
+
+    parts = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                             ascending=[False, True, True])
+           .groupby("l_returnflag", sort=True).head(3)
+           .sort_values(["l_returnflag", "l_extendedprice"],
+                        ascending=[True, False]).reset_index(drop=True))
+    return _round(out, ["l_extendedprice"])
+
+
 def q_distinct(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag"])
     vals = ds.unique("l_returnflag")
@@ -845,6 +867,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "union": q_union,
     "sample": q_sample,
+    "topk_per_group": q_topk_per_group,
     "json_extract": q_json_extract,
     "grouped_meanvar": q_grouped_meanvar,
     "approx_distinct": q_approx_distinct,
@@ -1080,6 +1103,14 @@ ORACLES = {
         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0
         UNION ALL
         SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "topk_per_group": """
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 6) AS l_extendedprice
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
     """,
     "distinct": """
         SELECT DISTINCT l_returnflag FROM lineitem
