@@ -107,6 +107,13 @@ class _Mergeable:
         out.negate()
         return out
 
+    def is_identity(self) -> bool:
+        """True only when the accumulator IS the group identity — safe to
+        delete from a state store.  Distinct from ``is_zero`` (which can be
+        true while negative pending-retraction entries remain, e.g. an
+        out-of-order retraction buffered before its insert arrives)."""
+        return self.is_zero()
+
     def __eq__(self, other):
         return type(self) is type(other) and self.__dict__ == other.__dict__
 
@@ -198,6 +205,9 @@ class MeanVarAgg(_Mergeable):
     def is_zero(self) -> bool:
         return self.count == 0
 
+    def is_identity(self) -> bool:
+        return self.count == 0 and self.m2 == 0.0
+
     def get(self, round_to: tuple[int, int] | None = None) -> tuple[float, float]:
         """(mean, population variance); optional (n_mean, n_var) rounding."""
         mean = self.mean
@@ -253,6 +263,11 @@ class MinMaxAgg(_Mergeable):
 
     def is_zero(self) -> bool:
         return not any(c > 0 for c in self.counts.values())
+
+    def is_identity(self) -> bool:
+        # counts dict truly empty — a pure-negative map (pending retraction
+        # of a not-yet-seen insert) is NOT the identity
+        return not self.counts
 
     def get(self) -> tuple[float, float]:
         """(min, range = max − min) — minmax_scaler.rs:35-47."""
@@ -391,6 +406,11 @@ class PositionAssignmentAgg(_Mergeable):
 
     def is_zero(self) -> bool:
         return self.row_count == 0
+
+    def is_identity(self) -> bool:
+        return self.row_count == 0 and not any(
+            c != 0 for c in self.val_to_count.values()
+        )
 
     def get_map_and_len(self) -> tuple[dict[Any, int], int]:
         """Live value→slot map + advertised vector length.
@@ -536,6 +556,10 @@ class SumCountAgg(_Mergeable):
 
     def is_zero(self) -> bool:
         return self.count == 0 and self.s == 0.0
+
+    def is_identity(self) -> bool:
+        return (self.count == 0 and self.s == 0.0
+                and (self.extremes is None or self.extremes.is_identity()))
 
     @property
     def mean(self) -> float:

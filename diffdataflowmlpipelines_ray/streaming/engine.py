@@ -431,6 +431,7 @@ class StreamSession:
         self.chk = CheckpointManager(self.root / "_checkpoints")
         self.watermark = -math.inf
         self.last_epoch = -1
+        self._replay_floor = 0  # raised by resume(); see advance_watermark
         self.metrics = {"late_dropped": 0, "epochs": 0, "input_rows": 0,
                         "emitted_rows": 0}
 
@@ -459,27 +460,55 @@ class StreamSession:
         self.watermark = extra.get("watermark", -math.inf)
         self.last_epoch = latest
         self.metrics.update(extra.get("metrics", {}))
+        # epochs below this floor are replays: their sink commits already
+        # exist and re-sweeping state for them must stay a silent no-op
+        self._replay_floor = max(
+            (max(s.committed_epochs(), default=-1) + 1 for s in self.sinks.values()),
+            default=latest + 1,
+        )
         return latest + 1
 
     # ------------------------------------------------------------- main loop
+    def _observe_event_time(self, op, tbl: pa.Table) -> None:
+        """Track max event time (Table inputs) for the auto-watermark."""
+        ts_col = getattr(op, "ts_col", None)
+        if ts_col and ts_col in tbl.column_names and tbl.num_rows:
+            ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
+            if ts.size:
+                self._max_event_time = max(self._max_event_time, float(ts.max()))
+
     def _merged_partials(self, op, data, finalized_before: float) -> dict:
-        """Partial stage: Dataset → distributed map_batches; Table → direct."""
+        """Partial stage: Dataset → distributed map_batches; Table → direct.
+
+        Both paths feed ``self._max_event_time`` so the auto-watermark
+        generator works for Dataset epochs too (the per-block max rides in
+        the partial blob — no extra scan)."""
         if isinstance(data, pa.Table):
             partials, late = op.partial_batch(data, finalized_before)
             self.metrics["late_dropped"] += late
+            self._observe_event_time(op, data)
             return partials
+
+        ts_col = getattr(op, "ts_col", None)
 
         def per_block(tbl: pa.Table) -> pa.Table:
             part, late = op.partial_batch(tbl, finalized_before)
-            blob = pickle.dumps((part, late), protocol=pickle.HIGHEST_PROTOCOL)
+            max_ts = -math.inf
+            if ts_col and ts_col in tbl.column_names and tbl.num_rows:
+                ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
+                if ts.size:
+                    max_ts = float(ts.max())
+            blob = pickle.dumps((part, late, max_ts),
+                                protocol=pickle.HIGHEST_PROTOCOL)
             return pa.table({"blob": pa.array([blob], type=pa.binary())})
 
         rows = data.map_batches(per_block, batch_format="pyarrow").take_all()
         blobs = sorted(r["blob"] for r in rows)  # deterministic merge order
         merged: dict[bytes, Any] = {}
         for b in blobs:
-            part, late = pickle.loads(b)
+            part, late, max_ts = pickle.loads(b)
             self.metrics["late_dropped"] += late
+            self._max_event_time = max(self._max_event_time, max_ts)
             for k, acc in part.items():
                 if k in merged:
                     merged[k].merge(acc)
@@ -510,10 +539,12 @@ class StreamSession:
                     data = self._as_table(data)
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
+                    self._observe_event_time(op, data)
                     self.store.apply_session_point_deltas(name, epoch, points)
                 elif isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
+                    self._observe_event_time(op, data)
                     self.store.apply_session_points(name, epoch, points, op.gap)
                 else:
                     # distributed partial: per-block local sessions (raw rows
@@ -522,21 +553,29 @@ class StreamSession:
 
                     wm, gap = self.watermark, op.gap
 
+                    ts_col = op.ts_col
+
                     def per_block(tbl: pa.Table) -> pa.Table:
                         pts, late_n = op.points_batch(tbl, wm)
                         sessions = {
                             k: StateShard.build_sessions(v, gap)
                             for k, v in pts.items()
                         }
-                        blob = pickle.dumps((sessions, late_n),
+                        max_ts = -math.inf
+                        if tbl.num_rows and ts_col in tbl.column_names:
+                            ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
+                            if ts.size:
+                                max_ts = float(ts.max())
+                        blob = pickle.dumps((sessions, late_n, max_ts),
                                             protocol=pickle.HIGHEST_PROTOCOL)
                         return pa.table({"blob": pa.array([blob], type=pa.binary())})
 
                     merged: dict[bytes, list] = {}
                     rows = data.map_batches(per_block, batch_format="pyarrow").take_all()
                     for blob in sorted(r["blob"] for r in rows):
-                        sessions, late_n = pickle.loads(blob)
+                        sessions, late_n, max_ts = pickle.loads(blob)
                         self.metrics["late_dropped"] += late_n
+                        self._max_event_time = max(self._max_event_time, max_ts)
                         for k, sess_list in sessions.items():
                             merged[k] = StateShard.merge_session_lists(
                                 merged.get(k, []), sess_list
@@ -558,17 +597,22 @@ class StreamSession:
                     self.metrics["emitted_rows"] += tbl.num_rows
 
         if watermark is None and self.auto_watermark_delay is not None:
+            # keyed/session op paths above already fed _max_event_time for
+            # Table AND Dataset inputs; join sides are sampled here
             for name, op in self.ops.items():
-                ts_col = getattr(op, "ts_col", None)
-                inp = getattr(op, "input", None)
-                if ts_col and inp in inputs:
-                    data = inputs[inp]
-                    tbl = data if isinstance(data, pa.Table) else None
-                    if tbl is not None and ts_col in tbl.column_names:
-                        ts = _ts_to_float(tbl.to_pandas()[ts_col])
-                        if ts.size:
-                            self._max_event_time = max(self._max_event_time,
-                                                       float(ts.max()))
+                if isinstance(op, StreamJoin):
+                    for inp, ts_col in ((op.left_input, op.left_ts),
+                                        (op.right_input, op.right_ts)):
+                        if ts_col and inp in inputs and inputs[inp] is not None:
+                            data = inputs[inp]
+                            tbl = (data if isinstance(data, pa.Table)
+                                   else None)
+                            if tbl is not None and ts_col in tbl.column_names:
+                                ts = _ts_to_float(tbl.to_pandas()[ts_col])
+                                if ts.size:
+                                    self._max_event_time = max(
+                                        self._max_event_time, float(ts.max())
+                                    )
             if self._max_event_time > -math.inf:
                 watermark = self._max_event_time - self.auto_watermark_delay
 
@@ -590,8 +634,25 @@ class StreamSession:
     def advance_watermark(self, epoch: int, watermark: float,
                           emitted: dict | None = None) -> dict:
         """Frontier advance: close windows/sessions whose end (+ lateness)
-        ≤ the new watermark, commit emissions under this epoch."""
+        ≤ the new watermark, commit emissions under this epoch.
+
+        Guard: a FRESH epoch whose sink manifest already exists means a
+        second ``advance_watermark`` call under the same epoch — sweeping
+        would drain state into a no-op commit and lose the emissions forever,
+        so we raise BEFORE touching any shard.  Replayed epochs (below the
+        resume floor) re-sweep deterministically into their existing
+        manifests, which is the exactly-once path.
+        """
         emitted = emitted if emitted is not None else {}
+        if epoch >= self._replay_floor:
+            dup = [n for n in self.ops
+                   if n in self.sinks and self.sinks[n].is_committed(epoch)
+                   and not isinstance(self.ops[n], StreamJoin)]
+            if dup:
+                raise RuntimeError(
+                    f"epoch {epoch} already committed for {dup}; a second "
+                    "watermark advance must use a new epoch id"
+                )
         self.watermark = max(self.watermark, watermark)
         for name, op in self.ops.items():
             if isinstance(op, KeyedAggregation) and op.window is not None:

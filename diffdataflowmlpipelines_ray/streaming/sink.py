@@ -51,9 +51,33 @@ def _sha256_file(path: Path) -> str:
     return h.hexdigest()
 
 
+def _fsync_file(path: Path) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: Path) -> None:
+    """Durably persist a rename: fsync the containing directory (POSIX —
+    without this a power loss can keep the manifest but lose the rename)."""
+    fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class ExactlyOnceParquetSink:
-    def __init__(self, root: str | os.PathLike):
+    def __init__(self, root: str | os.PathLike, fsync: bool = True):
+        """``fsync=True`` (default) makes commits power-loss durable: data
+        files are fsynced before rename and the epoch/data/_manifests
+        directories after — a durable manifest can then never reference torn
+        or absent data.  ``fsync=False`` trades that for latency (tests,
+        throwaway dirs)."""
         self.root = Path(root)
+        self.fsync = fsync
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
 
@@ -95,6 +119,8 @@ class ExactlyOnceParquetSink:
             fpath = edir / f"part-{i:05d}.parquet"
             tmp = edir / f".part-{i:05d}.parquet.tmp-{uuid.uuid4().hex[:8]}"
             pq.write_table(tbl, tmp)
+            if self.fsync:
+                _fsync_file(tmp)
             os.replace(tmp, fpath)  # atomic on one filesystem
             files.append(
                 {
@@ -103,6 +129,8 @@ class ExactlyOnceParquetSink:
                     "sha256": _sha256_file(fpath),
                 }
             )
+        if self.fsync:
+            _fsync_dir(edir)
         return self._commit_manifest(epoch, files, meta)
 
     def commit_dataset(self, epoch: int, ds, meta: dict | None = None,
@@ -125,6 +153,8 @@ class ExactlyOnceParquetSink:
         os.replace(staging, edir)
         files = []
         for fpath in sorted(edir.glob("*.parquet")):
+            if self.fsync:
+                _fsync_file(fpath)
             entry = {
                 "path": str(fpath.relative_to(self.root)),
                 "rows": pq.read_metadata(fpath).num_rows,
@@ -133,6 +163,9 @@ class ExactlyOnceParquetSink:
             if content_hash:
                 entry["sha256"] = _sha256_file(fpath)
             files.append(entry)
+        if self.fsync:
+            _fsync_dir(edir)
+            _fsync_dir(self.root / "data")
         return self._commit_manifest(epoch, files, meta)
 
     def _commit_manifest(self, epoch: int, files: list[dict], meta: dict | None) -> dict:
@@ -151,6 +184,8 @@ class ExactlyOnceParquetSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mpath)
+        if self.fsync:
+            _fsync_dir(mpath.parent)
         return manifest
 
     # ------------------------------------------------------------ read
@@ -217,11 +252,14 @@ class CheckpointManager:
         for sid, blob in shard_blobs.items():
             tmp = d / f".shard-{sid:04d}.bin.tmp"
             tmp.write_bytes(blob)
+            _fsync_file(tmp)
             os.replace(tmp, d / f"shard-{sid:04d}.bin")
         marker = {"epoch": epoch, "shards": sorted(shard_blobs), "extra": extra or {}}
         tmp = d / ".DONE.tmp"
         tmp.write_text(json.dumps(marker))
+        _fsync_file(tmp)
         os.replace(tmp, d / "DONE")
+        _fsync_dir(d)
 
     def latest(self) -> int | None:
         done = sorted(self.root.glob("epoch-*/DONE"))

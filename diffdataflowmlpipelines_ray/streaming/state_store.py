@@ -93,7 +93,10 @@ class StateShard:
                     store[key] = acc
                 else:
                     cur.merge(acc)
-                    if hasattr(cur, "is_zero") and cur.is_zero():
+                    # delete only true identities: `is_zero` can hold while
+                    # negative pending-retraction entries remain (out-of-order
+                    # retraction buffered before its insert) — those must stay
+                    if hasattr(cur, "is_identity") and cur.is_identity():
                         del store[key]
         if return_merged:
             return _dumps([(k, store.get(k)) for k, _ in items])
@@ -225,7 +228,9 @@ class StateShard:
                     emitted.append((key, s))
                     closed_bounds.append((s[0], s[2][3]))  # [start, last_ts]
             for lo, hi in closed_bounds:
-                for k in [k for k in pts if lo <= k[0] <= hi]:
+                # keep negative-count entries (pending retraction of an
+                # insert that hasn't arrived yet) even inside a closed range
+                for k in [k for k in pts if lo <= k[0] <= hi and pts[k] > 0]:
                     del pts[k]
             if not pts:
                 del store[key]

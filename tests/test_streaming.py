@@ -557,3 +557,97 @@ class TestEmptyEpochs:
         sess.close()
         out = sess.sinks["w"].read_committed_table().to_pandas()
         assert out["count"].sum() == 2  # row in 2 sliding windows; no dupes
+
+
+class TestRound2AdviceFixes:
+    """Regression tests for the round-1 advisor findings (ADVICE.md)."""
+
+    def test_double_advance_same_epoch_raises_and_preserves_state(
+        self, ray_session, tmp_path
+    ):
+        sess = StreamSession(tmp_path / "da", num_shards=2)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["user_id"],
+                                  value_col="value", ts_col="ts",
+                                  aggs=("count",),
+                                  window=WindowSpec.tumbling(100.0)))
+        tbl = pa.table({"user_id": [1, 1, 2], "ts": [10.0, 150.0, 400.0],
+                        "value": [1.0, 2.0, 3.0]})
+        sess.process_epoch(0, {"e": tbl}, watermark=200.0)
+        first = sess.sinks["w"].read_committed_table()
+        # a second advance under the SAME epoch with a higher watermark would
+        # previously sweep windows into a silently-no-op commit (data loss)
+        with pytest.raises(RuntimeError, match="already committed"):
+            sess.advance_watermark(0, 500.0)
+        # the swept-state guard left the late window intact: closing under a
+        # fresh epoch emits it
+        out = sess.advance_watermark(1, 500.0)
+        sess.store.shutdown()
+        assert first.num_rows == 2  # windows [0,100) and [100,200)
+        assert out["w"].num_rows == 1  # window [400,500) closed at wm=500
+        assert sess.sinks["w"].read_committed_table().num_rows == 3
+
+    def test_out_of_order_retraction_minmax_not_double_counted(
+        self, ray_session, tmp_path
+    ):
+        from diffdataflowmlpipelines_ray.state.aggregates import SumCountAgg
+
+        sess = StreamSession(tmp_path / "oor", num_shards=1)
+        sess.add(KeyedAggregation(name="g", input="e", key_cols=["k"],
+                                  value_col="v", aggs=("count", "min", "max"),
+                                  weight_col="diff"))
+        # epoch 0: retraction of (k=1, v=5) arrives BEFORE its insert
+        retr = pa.table({"k": [1], "v": [5.0], "diff": [-1]})
+        ins = pa.table({"k": [1, 1], "v": [5.0, 7.0], "diff": [1, 1]})
+        sess.process_epoch(0, {"e": retr})
+        sess.process_epoch(1, {"e": ins})
+        items = sess.store.collect("g")
+        sess.store.shutdown()
+        assert len(items) == 1
+        acc = items[0][1]
+        assert isinstance(acc, SumCountAgg)
+        # net: one (k=1, v=7) row — the pending retraction consumed the 5.0
+        assert acc.count == 1
+        assert acc.min_max() == (7.0, 7.0)
+
+    def test_auto_watermark_with_dataset_epochs(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        sess = StreamSession(tmp_path / "awd", num_shards=2,
+                             auto_watermark_delay=50.0)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["user_id"],
+                                  ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.tumbling(100.0)))
+        tbl = pa.table({"user_id": [1, 1, 2], "ts": [10.0, 90.0, 400.0]})
+        # Dataset epochs (not pa.Table): watermark must still auto-advance
+        sess.process_epoch(0, {"e": rd.from_arrow(tbl)})
+        out = sess.sinks["w"].read_committed_table()
+        sess.store.shutdown()
+        # max ts 400 − delay 50 = wm 350 ⇒ window [0,100) closed and emitted
+        assert out.num_rows == 1
+        assert out["count"][0].as_py() == 2
+
+
+class TestConnectedComponentsConvergence:
+    def test_long_chain_converges_exactly(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components,
+        )
+
+        # path graph of 500 nodes: diameter 499 ≫ the old 50-iteration cap;
+        # pointer doubling must still reach the exact fixpoint
+        n = 500
+        edges = pa.table({"id_lo": list(range(n - 1)),
+                          "id_hi": list(range(1, n))})
+        out = connected_components(edges).to_pandas()
+        assert len(out) == n
+        assert (out["component"] == 0).all()
+
+    def test_two_components(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components,
+        )
+
+        edges = pa.table({"id_lo": [1, 2, 10, 11], "id_hi": [2, 3, 11, 12]})
+        out = connected_components(edges).to_pandas().set_index("id")
+        assert out.loc[3, "component"] == 1
+        assert out.loc[12, "component"] == 10
