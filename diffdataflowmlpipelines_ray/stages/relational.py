@@ -47,24 +47,41 @@ def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
 
 
 def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
-              buckets: int = 32):
+              buckets: int = 32, how: str = "inner"):
     """Partitioned equi-join of two Datasets → Dataset of joined rows.
+
+    ``how``:
+    - ``"inner"`` — joined rows with both sides' columns;
+    - ``"semi"``  — left rows with ≥1 match (left columns only);
+    - ``"anti"``  — left rows with NO match (left columns only).  This is the
+      large-side anti-join path: neither side is broadcast or driver-held,
+      both shuffle once by key-hash bucket (the reference's antijoin,
+      one_hot_encoder.rs:50-57, is an arranged subtraction — same semantics).
 
     ``buckets`` bounds per-task memory: each bucket holds ~1/buckets of both
     sides.  Skewed keys: raise ``buckets`` (a single hot KEY still lands in
     one bucket — for pathological single-key skew, broadcast the hot key's
     small side separately; documented tradeoff).
     """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown how={how!r}")
     left_on = list(left_on)
     right_on = list(right_on)
     l_cols = [f.name for f in left.schema().base_schema]
     r_cols = [f.name for f in right.schema().base_schema]
+    if how in ("semi", "anti"):
+        # only the right KEY columns matter; prune the rest at the source and
+        # rename them so same-named keys on both sides are fine
+        renames = {c: f"__rk_{i}" for i, c in enumerate(right_on)}
+        right = right.select_columns(right_on).rename_columns(renames)
+        right_on = [renames[c] for c in right_on]
+        r_cols = list(right_on)
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
-    unified = pa.schema(list(lschema) + list(rschema))
+    unified = pa.schema(list(lschema) + [f for f in rschema if f.name in r_cols])
     # union both sides into one dataset so ONE groupby shuffle co-locates
     # matching buckets; sides are distinguished by a tag column
     l_tagged = _with_bucket(left, left_on, buckets, "l", unified)
@@ -73,10 +90,18 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         lt = pdf[pdf["__side"] == "l"]
         rt = pdf[pdf["__side"] == "r"]
-        # merge on empty frames still yields the joined schema/dtypes
-        return lt[list(l_cols)].merge(
-            rt[list(r_cols)], left_on=left_on, right_on=right_on
+        if how == "inner":
+            # merge on empty frames still yields the joined schema/dtypes
+            return lt[list(l_cols)].merge(
+                rt[list(r_cols)], left_on=left_on, right_on=right_on
+            )
+        keys = rt[list(right_on)].drop_duplicates()
+        keys.columns = left_on  # positional key alignment
+        marked = lt[list(l_cols)].merge(
+            keys, on=left_on, how="left", indicator=True
         )
+        want = "both" if how == "semi" else "left_only"
+        return marked[marked["_merge"] == want].drop(columns=["_merge"])
 
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -38,7 +38,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["ExactlyOnceParquetSink", "CheckpointManager"]
+__all__ = ["ExactlyOnceParquetSink", "CheckpointManager", "write_epoch_part"]
 
 ENGINE_VERSION = "0.1.0"
 
@@ -67,6 +67,32 @@ def _fsync_dir(path: Path) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+def write_epoch_part(root: str | os.PathLike, epoch: int, tbl: pa.Table,
+                     tag: str, fsync: bool = True) -> dict:
+    """Worker-side epoch-partition write (tmp → fsync → rename); returns the
+    manifest entry.  This is how distributed stages emit sink data WITHOUT
+    routing rows through the driver: each worker writes its partition file
+    and ships back only this tiny entry; the driver's ``commit_files`` then
+    makes the epoch visible atomically.  Files without a manifest are
+    invisible (crashed attempts leave only ignorable strays)."""
+    root = Path(root)
+    edir = root / "data" / f"epoch={epoch:08d}"
+    edir.mkdir(parents=True, exist_ok=True)
+    fpath = edir / f"part-{tag}.parquet"
+    tmp = edir / f".part-{tag}.parquet.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp)
+    if fsync:
+        _fsync_file(tmp)
+    os.replace(tmp, fpath)
+    if fsync:
+        _fsync_dir(edir)
+    return {
+        "path": str(fpath.relative_to(root)),
+        "rows": tbl.num_rows,
+        "sha256": _sha256_file(fpath),
+    }
 
 
 class ExactlyOnceParquetSink:
@@ -167,6 +193,18 @@ class ExactlyOnceParquetSink:
             _fsync_dir(edir)
             _fsync_dir(self.root / "data")
         return self._commit_manifest(epoch, files, meta)
+
+    def commit_files(self, epoch: int, entries: list[dict],
+                     meta: dict | None = None) -> dict:
+        """Commit worker-written partition files (see ``write_epoch_part``).
+
+        Idempotent like ``commit_tables``; ``entries`` are the workers'
+        returned manifest entries (root-relative paths)."""
+        if self.is_committed(epoch):
+            return self.manifest(epoch)
+        return self._commit_manifest(epoch, sorted(entries,
+                                                   key=lambda e: e["path"]),
+                                     meta)
 
     def _commit_manifest(self, epoch: int, files: list[dict], meta: dict | None) -> dict:
         manifest = {

@@ -651,3 +651,97 @@ class TestConnectedComponentsConvergence:
         out = connected_components(edges).to_pandas().set_index("id")
         assert out.loc[3, "component"] == 1
         assert out.loc[12, "component"] == 10
+
+
+class TestDistributedEpochRouting:
+    """VERDICT r1 fixes 2+3: driver out of the StreamJoin / KeyedAggregation
+    epoch data path when epochs arrive as Ray Datasets."""
+
+    def test_stream_join_dataset_epochs_match_batch(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        left = pa.table({"k": rng.integers(0, 300, n),
+                         "lv": rng.normal(size=n)})
+        right = pa.table({"k2": rng.integers(0, 300, n),
+                          "rv": rng.normal(size=n)})
+        sess = StreamSession(tmp_path / "dj", num_shards=3)
+        sess.add(StreamJoin(name="j", left_input="l", right_input="r",
+                            left_key=["k"], right_key=["k2"],
+                            left_cols=["lv"], right_cols=["rv"]))
+        try:
+            lp, rp = split_epochs(left, 3), split_epochs(right, 3)
+            for e in range(3):
+                sess.process_epoch(e, {
+                    "l": rd.from_arrow(lp[e]).repartition(4),
+                    "r": rd.from_arrow(rp[e]).repartition(4),
+                })
+            got = sess.sinks["j"].read_committed_table().to_pandas()
+        finally:
+            sess.store.shutdown()
+        expect = left.to_pandas().merge(
+            right.to_pandas(), left_on="k", right_on="k2"
+        )
+        assert len(got) == len(expect)
+        assert got["lv"].sum() == pytest.approx(
+            expect["lv"].sum(), rel=1e-9
+        )
+        key_counts = got.groupby("k").size().sort_index()
+        exp_counts = expect.groupby("k").size().sort_index()
+        assert key_counts.equals(exp_counts)
+
+    def test_stream_join_dataset_equals_table_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        left = pa.table({"k": [1, 2, 2, 3], "lv": [1.0, 2.0, 3.0, 4.0]})
+        right = pa.table({"k2": [2, 3, 3], "rv": [10.0, 20.0, 30.0]})
+
+        def run(root, as_dataset):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(StreamJoin(name="j", left_input="l", right_input="r",
+                                left_key=["k"], right_key=["k2"],
+                                left_cols=["lv"], right_cols=["rv"]))
+            try:
+                for e in range(2):
+                    l = left.slice(e * 2, 2)
+                    r = right.slice(e, 2 - e)
+                    if as_dataset:
+                        sess.process_epoch(e, {"l": rd.from_arrow(l),
+                                               "r": rd.from_arrow(r)})
+                    else:
+                        sess.process_epoch(e, {"l": l, "r": r})
+                return (sess.sinks["j"].read_committed_table().to_pandas()
+                        .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+            finally:
+                sess.store.shutdown()
+
+        a = run(tmp_path / "tbl", False)
+        b = run(tmp_path / "dsd", True)
+        pd.testing.assert_frame_equal(
+            a[["k", "lv", "rv", "diff"]], b[["k", "lv", "rv", "diff"]]
+        )
+
+    def test_high_cardinality_keys_shard_direct(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        # 1M distinct keys in one Dataset epoch: per-epoch key cardinality
+        # must flow map-task → shard actors, never through a driver dict
+        n = 1_000_000
+        keys = np.arange(n, dtype=np.int64)
+        vals = np.ones(n)
+        tbl = pa.table({"user_id": keys, "value": vals})
+        sess = StreamSession(tmp_path / "hc", num_shards=4,
+                             checkpoint_every=0)
+        sess.add(KeyedAggregation(name="g", input="e", key_cols=["user_id"],
+                                  value_col="value", aggs=("count", "sum")))
+        try:
+            sess.process_epoch(0, {"e": rd.from_arrow(tbl).repartition(8)})
+            stats = sess.stats()
+            total_keys = sum(s["agg_keys"]["g"] for s in stats["shards"])
+            assert total_keys == n
+            # spot-check a few keys via collect of one shard's items
+            items = sess.store.collect("g")
+            assert len(items) == n
+        finally:
+            sess.store.shutdown()
