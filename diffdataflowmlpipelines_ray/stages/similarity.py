@@ -55,21 +55,29 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 5,
         mat = _normalize(_mat(tbl[emb_col]))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         sims = mat @ q.T  # (n, Q)
-        out_q, out_id, out_cos = [], [], []
-        kk = min(k + (1 if exclude_self else 0), sims.shape[0])
-        for c in range(q.shape[0]):
-            col = sims[:, c]
-            # partial select then deterministic (−cos, vec_id) order
-            cand = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
-            order = cand[np.lexsort((ids[cand], -col[cand]))]
-            out_q.extend([qi[c]] * len(order))
-            out_id.extend(ids[order].tolist())
-            out_cos.extend(col[order].tolist())
+        n, nq = sims.shape
+        kk = min(k + (1 if exclude_self else 0), n)
+        # ONE argpartition over all query columns (axis=0), then only the
+        # tiny (kk, Q) candidate block is ordered deterministically
+        if kk < n:
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        else:
+            part = np.broadcast_to(np.arange(n)[:, None], (n, nq)).copy()
+        cand_cos = np.take_along_axis(sims, part, axis=0)  # (kk, Q)
+        cand_ids = ids[part]
+        out_q = np.repeat(qi, part.shape[0])
+        out_id = np.empty(part.shape[0] * nq, dtype=np.int64)
+        out_cos = np.empty(part.shape[0] * nq, dtype=np.float64)
+        for c in range(nq):  # O(Q · kk log kk) — candidates only
+            order = np.lexsort((cand_ids[:, c], -cand_cos[:, c]))
+            sl = slice(c * part.shape[0], (c + 1) * part.shape[0])
+            out_id[sl] = cand_ids[order, c]
+            out_cos[sl] = cand_cos[order, c]
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id, type=pa.int64()),
-                "cosine": pa.array(out_cos, type=pa.float64()),
+                "query_id": pa.array(out_q.astype(np.int64)),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_cos),
             }
         )
 
