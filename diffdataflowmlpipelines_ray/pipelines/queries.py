@@ -440,9 +440,13 @@ def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
 
 # ====================================================================== dedup / text
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Winner ids only (the oracle's `min(doc_id) GROUP BY text`): the
+    hash-only two-phase path, no row semi-join.  Full-row dedup (the
+    semi-join back) is exercised by `dataprep`."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = exact_dedup(ds, "text", "doc_id")
-    return out.select_columns(["doc_id"]).to_pandas()
+    from ..stages.dedup import exact_dedup_ids
+
+    return exact_dedup_ids(ds, "text", "doc_id").to_pandas()
 
 
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
