@@ -292,8 +292,13 @@ def q_incremental_groupby(sf_dir: str) -> pd.DataFrame:
                             "mean": a.s / 100.0 / a.count},
     ))
     try:
-        for e, part in enumerate(_epoch_split(tbl, 4)):
-            sess.process_epoch(e, {"events": part})
+        parts = _epoch_split(tbl, 4)
+        # first epochs as Datasets → the shard-direct distributed scatter;
+        # last as a Table → the driver partial path; both must agree with
+        # the oracle on the SAME state
+        for e, part in enumerate(parts):
+            data = rd.from_arrow(part) if e < len(parts) - 1 else part
+            sess.process_epoch(e, {"events": data})
         df = sess.state_table("by_user").to_pandas()
     finally:
         sess.store.shutdown()
@@ -402,7 +407,11 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
         op = _epoch_split(orders, 3)
         lp = _epoch_split(lineitem, 3)
         for e in range(3):
-            sess.process_epoch(e, {"orders": op[e], "lineitem": lp[e]})
+            # Dataset epochs → the DISTRIBUTED join path (map_batches
+            # partitioner → per-shard probe → worker-written sink parts);
+            # the oracle gate thereby verifies the scale path end-to-end
+            sess.process_epoch(e, {"orders": rd.from_arrow(op[e]),
+                                   "lineitem": rd.from_arrow(lp[e])})
         df = sess.sinks["oj"].read_committed_table().to_pandas()
     finally:
         sess.store.shutdown()

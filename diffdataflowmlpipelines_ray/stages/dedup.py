@@ -216,16 +216,22 @@ def _pairs_from_collision_groups(dup, group_cols: list, id_col: str,
 
 def _distributed_pair_verify(pairs: pa.Table, sig_ds, id_col: str,
                              verify_fn, sig_col: str = "sig",
-                             buckets: int = 256) -> list[tuple[int, int]]:
+                             buckets: int = 256,
+                             with_scores: bool = False):
     """pairs ⋈ signatures with the verify computed WHERE the signatures are.
 
     The pair list (O(candidates), small by LSH construction) is broadcast
     once via ``ray.put``; each signature block emits rows only for docs that
     some pair references; one narrow shuffle by pair-index bucket co-locates
     the two signatures of every pair; ``verify_fn(sig_lo, sig_hi)`` runs
-    vectorized inside the group task and returns a boolean mask.  Driver
-    memory stays O(verified pairs) — the full signature set never aggregates
-    anywhere central (VERDICT r1 "driver-resident near-dup verify" fix).
+    vectorized inside the group task and returns a boolean mask — or, with
+    ``with_scores``, a (mask, scores) tuple whose scores come back as a
+    third column.  Driver memory stays O(verified pairs) — the full
+    signature/payload set never aggregates anywhere central (VERDICT r1
+    "driver-resident near-dup verify" fix).  ``sig_col`` may be any payload
+    column (minhash vectors, simhashes, embeddings, raw text).
+
+    Returns sorted (id_lo, id_hi[, score]) tuples.
     """
     import pandas as pd
 
@@ -267,16 +273,23 @@ def _distributed_pair_verify(pairs: pa.Table, sig_ds, id_col: str,
         # both sides present by construction (sig_ds covers the corpus)
         cnt = pdf.groupby("__pi")["__side"].transform("size")
         pdf = pdf[cnt == 2]
+        empty = {"id_lo": pd.Series([], dtype="int64"),
+                 "id_hi": pd.Series([], dtype="int64")}
+        if with_scores:
+            empty["score"] = pd.Series([], dtype="float64")
         if not len(pdf):
-            return pd.DataFrame({"id_lo": pd.Series([], dtype="int64"),
-                                 "id_hi": pd.Series([], dtype="int64")})
+            return pd.DataFrame(empty)
         a = pdf.iloc[0::2]
         b = pdf.iloc[1::2]
-        ok = verify_fn(a["__sig"].to_numpy(), b["__sig"].to_numpy())
-        return pd.DataFrame({
+        res = verify_fn(a["__sig"].to_numpy(), b["__sig"].to_numpy())
+        ok, scores = res if with_scores else (res, None)
+        out = {
             "id_lo": a["__id"].to_numpy()[ok],
             "id_hi": b["__id"].to_numpy()[ok],
-        })
+        }
+        if with_scores:
+            out["score"] = np.asarray(scores, dtype=np.float64)[ok]
+        return pd.DataFrame(out)
 
     out = (
         sig_ds.map_batches(emit, batch_format="pyarrow")
@@ -284,6 +297,11 @@ def _distributed_pair_verify(pairs: pa.Table, sig_ds, id_col: str,
         .map_groups(verify_group, batch_format="pandas")
         .to_pandas()  # O(verified pairs)
     )
+    if out.empty:  # all-empty blocks lose their columns in to_pandas
+        return []
+    if with_scores:
+        return sorted(zip(out["id_lo"].astype(int), out["id_hi"].astype(int),
+                          out["score"].astype(float)))
     return sorted(zip(out["id_lo"].astype(int), out["id_hi"].astype(int)))
 
 
@@ -604,32 +622,27 @@ def ngram_set(text: str, n: int = 3) -> set:
 
 def ngram_jaccard_pairs(ds, pairs: pa.Table, col: str = "text",
                         id_col: str = "doc_id", n: int = 3) -> pa.Table:
-    """Exact word n-gram Jaccard for candidate pairs.
+    """Exact word n-gram Jaccard for candidate pairs — computed WHERE the
+    texts live via the distributed pairs⋈payload verify; the driver sees
+    only (id_lo, id_hi, jaccard) result rows."""
 
-    Fetches only the candidate docs' texts (semi-join via broadcast id set),
-    then scores pairs driver-side — candidates are small by construction.
-    """
-    wanted = set(pairs["id_lo"].to_pylist()) | set(pairs["id_hi"].to_pylist())
+    def jaccard(ta: np.ndarray, tb: np.ndarray):
+        scores = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            sa, sb = ngram_set(ta[i], n), ngram_set(tb[i], n)
+            union = len(sa | sb)
+            scores[i] = len(sa & sb) / union if union else 0.0
+        return np.ones(len(ta), dtype=bool), scores
 
-    def fetch(tbl: pa.Table) -> pa.Table:
-        mask = pc.is_in(tbl[id_col], value_set=pa.array(sorted(wanted)))
-        return tbl.filter(mask).select([id_col, col])
-
-    texts = {}
-    for b in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
-            texts[d] = t
-    lo = pairs["id_lo"].to_pylist()
-    hi = pairs["id_hi"].to_pylist()
-    jac = []
-    for a, b_ in zip(lo, hi):
-        sa, sb = ngram_set(texts[a], n), ngram_set(texts[b_], n)
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac.append(inter / union if union else 0.0)
-    return pa.table({"id_lo": pairs["id_lo"], "id_hi": pairs["id_hi"],
+    verified = _distributed_pair_verify(pairs, ds, id_col, jaccard,
+                                        sig_col=col, with_scores=True)
+    if not verified:
+        return pa.table({"id_lo": pa.array([], type=pa.int64()),
+                         "id_hi": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    lo, hi, jac = zip(*verified)
+    return pa.table({"id_lo": pa.array(lo, type=pa.int64()),
+                     "id_hi": pa.array(hi, type=pa.int64()),
                      "jaccard": pa.array(jac, type=pa.float64())})
 
 
@@ -669,7 +682,9 @@ def embedding_lsh_candidates(ds, emb_col: str = "embedding",
 def embedding_dedup_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id",
                           threshold: float = 0.95, n_planes: int = 12,
                           seed: int = 42) -> pa.Table:
-    """Cosine near-dup pairs: LSH candidates → exact cosine verify."""
+    """Cosine near-dup pairs: LSH candidates → exact cosine verify, computed
+    WHERE the vectors live (distributed pairs⋈payload; no driver-side
+    vector dict)."""
     pairs = pa.concat_tables(
         list(
             embedding_lsh_candidates(ds, emb_col, id_col, n_planes, seed).iter_batches(
@@ -677,32 +692,21 @@ def embedding_dedup_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id"
             )
         )
     )
-    wanted = set(pairs["id_lo"].to_pylist()) | set(pairs["id_hi"].to_pylist())
-    vecs = {}
-    if wanted:
-        def fetch(tbl: pa.Table) -> pa.Table:
-            mask = pc.is_in(tbl[id_col], value_set=pa.array(sorted(wanted)))
-            return tbl.filter(mask)
 
-        for b in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            ids = b[id_col].to_pylist()
-            mat = np.asarray(
-                b[emb_col].combine_chunks().flatten().to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            ).reshape(len(ids), -1)
-            for i, d in enumerate(ids):
-                vecs[d] = mat[i]
-    lo_out, hi_out, cos_out = [], [], []
-    for lo, hi in zip(pairs["id_lo"].to_pylist(), pairs["id_hi"].to_pylist()):
-        va, vb = vecs[lo], vecs[hi]
-        denom = np.linalg.norm(va) * np.linalg.norm(vb)
-        c = float(va @ vb / denom) if denom else 0.0
-        if c >= threshold:
-            lo_out.append(lo)
-            hi_out.append(hi)
-            cos_out.append(c)
-    return pa.table({"id_lo": pa.array(lo_out, type=pa.int64()),
-                     "id_hi": pa.array(hi_out, type=pa.int64()),
-                     "cosine": pa.array(cos_out, type=pa.float64())})
+    def cosine_ok(va: np.ndarray, vb: np.ndarray):
+        A = np.stack(va)
+        B = np.stack(vb)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        cos = np.where(denom > 0, (A * B).sum(axis=1) / np.where(denom > 0, denom, 1.0), 0.0)
+        return cos >= threshold, cos
+
+    verified = _distributed_pair_verify(pairs, ds, id_col, cosine_ok,
+                                        sig_col=emb_col, with_scores=True)
+    if not verified:
+        return pa.table({"id_lo": pa.array([], type=pa.int64()),
+                         "id_hi": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    lo, hi, cos = zip(*verified)
+    return pa.table({"id_lo": pa.array(lo, type=pa.int64()),
+                     "id_hi": pa.array(hi, type=pa.int64()),
+                     "cosine": pa.array(cos, type=pa.float64())})

@@ -745,3 +745,54 @@ class TestDistributedEpochRouting:
             assert len(items) == n
         finally:
             sess.store.shutdown()
+
+
+class TestWorkerWrittenSinkParts:
+    def test_write_epoch_part_then_commit_files(self, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.sink import write_epoch_part
+
+        sink = ExactlyOnceParquetSink(tmp_path / "s")
+        # two "workers" write their partitions; driver commits entries only
+        e1 = write_epoch_part(sink.root, 0, pa.table({"a": [1, 2]}), "shard0")
+        e2 = write_epoch_part(sink.root, 0, pa.table({"a": [3]}), "shard1")
+        # not visible until the manifest commit
+        assert sink.committed_epochs() == []
+        m = sink.commit_files(0, [e2, e1])
+        assert m["rows"] == 3
+        assert sorted(sink.read_committed_table()["a"].to_pylist()) == [1, 2, 3]
+        assert sink.verify()
+        # idempotent re-commit (replay) keeps the original manifest
+        m2 = sink.commit_files(0, [e1])
+        assert m2["files"] == m["files"]
+
+    def test_crashed_worker_parts_stay_invisible(self, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.sink import write_epoch_part
+
+        sink = ExactlyOnceParquetSink(tmp_path / "s")
+        write_epoch_part(sink.root, 5, pa.table({"a": [42]}), "shard0")
+        # crash before commit_files: no manifest, nothing visible
+        assert sink.committed_epochs() == []
+        assert sink.read_committed_table().num_rows == 0
+
+
+class TestExactDedupCollisionPath:
+    def test_forced_h1_collision_resolved_exactly(self, ray_session, monkeypatch):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages import dedup as D
+
+        real = D.fast_hash64_array
+
+        def collide_h1(tokens, seed=42):
+            if seed == 101:  # h1 constant → EVERY text collides
+                n = len(tokens)
+                return np.zeros(n, dtype=np.uint64)
+            return real(tokens, seed=seed)
+
+        monkeypatch.setattr(D, "fast_hash64_array", collide_h1)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [4, 2, 7, 1],
+            "text": ["aa", "bb", "aa", "cc"],
+        })).repartition(2)
+        ids = sorted(r["doc_id"] for r in D.exact_dedup_ids(ds).take_all())
+        # distinct texts must never merge even under total h1 collision
+        assert ids == [1, 2, 4]
