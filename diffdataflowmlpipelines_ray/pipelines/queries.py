@@ -51,6 +51,7 @@ from ..stages.similarity import brute_force_topk, ivf_topk
 from ..stages.text_stats import add_lang_id, add_text_stats
 from ..streaming.engine import (
     KeyedAggregation,
+    PatternMatch,
     SessionWindowAggregation,
     StreamJoin,
     StreamSession,
@@ -417,6 +418,33 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
         sess.store.shutdown()
     df = df.drop(columns=["epoch", "diff"])  # insert-only stream → all +1
     return _round(df, ["o_totalprice", "l_extendedprice"])
+
+
+def q_pattern_match(sf_dir: str) -> pd.DataFrame:
+    """CEP sequence detection: click→view→purchase chains per user within a
+    1-day window, emitted incrementally as the watermark finalizes starts.
+    Oracle: the equivalent relational self-join (all-combinations
+    semantics)."""
+    tbl = _read_table(sf_dir, "events",
+                      ["user_id", "event_type", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("cep"), num_shards=4)
+    sess.add(PatternMatch(name="p", input="events", key_cols=["user_id"],
+                          ts_col="ts", type_col="event_type",
+                          pattern=["click", "view", "purchase"],
+                          within=86400.0))
+    try:
+        parts = _epoch_split(tbl, 3)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        df = sess.sinks["p"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    return _round(df, ["ts_0", "ts_1", "ts_2"])
 
 
 def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
@@ -1033,6 +1061,7 @@ QUERIES = {
     "session_window": q_session_window,
     "stream_join": q_stream_join,
     "retraction_groupby": q_retraction_groupby,
+    "pattern_match": q_pattern_match,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1190,6 +1219,20 @@ ORACLES = {
         SELECT event_type, count(*)::BIGINT AS count,
                sum(round(value * 100)) / 100.0 AS sum
         FROM events WHERE event_id % 10 <> 0 GROUP BY event_type
+    """,
+    "pattern_match": """
+        SELECT a.user_id,
+               ROUND(epoch(a.ts), 6) AS ts_0,
+               ROUND(epoch(b.ts), 6) AS ts_1,
+               ROUND(epoch(c.ts), 6) AS ts_2
+        FROM events a
+        JOIN events b ON b.user_id = a.user_id AND b.ts > a.ts
+                     AND epoch(b.ts) <= epoch(a.ts) + 86400
+                     AND b.event_type = 'view'
+        JOIN events c ON c.user_id = a.user_id AND c.ts > b.ts
+                     AND epoch(c.ts) <= epoch(a.ts) + 86400
+                     AND c.event_type = 'purchase'
+        WHERE a.event_type = 'click'
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

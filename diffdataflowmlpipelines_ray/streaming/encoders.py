@@ -51,7 +51,11 @@ class IncrementalEncoderSession:
                  keep_input: bool = False, out_col: str = "features",
                  checkpoint_every: int = 1, pre_transform=None,
                  archive_input: bool = True, output_cols: list | None = None,
-                 epoch_aggs: list | None = None):
+                 epoch_aggs: list | None = None, fsync: bool = True):
+        #: fsync=False relaxes power-loss durability for latency-sensitive
+        #: jobs; crash-level exactly-once (manifest rename atomicity) holds
+        #: either way
+        self.fsync = fsync
         self.mce = MultiColumnEncoder(config)
         self.weight_col = weight_col
         self.keep_input = keep_input
@@ -90,14 +94,18 @@ class IncrementalEncoderSession:
         self.epoch_aggs = list(epoch_aggs or [])
         self.root = Path(root)
         self.epoch_agg_sinks = {
-            spec["name"]: ExactlyOnceParquetSink(Path(root) / spec["name"])
+            spec["name"]: ExactlyOnceParquetSink(Path(root) / spec["name"],
+                                                 fsync=fsync)
             for spec in self.epoch_aggs
         }
-        self.corrections_sink = ExactlyOnceParquetSink(self.root / "corrections")
-        self.effective_sink = ExactlyOnceParquetSink(self.root / "_effective")
+        self.corrections_sink = ExactlyOnceParquetSink(self.root / "corrections",
+                                                       fsync=fsync)
+        self.effective_sink = ExactlyOnceParquetSink(self.root / "_effective",
+                                                     fsync=fsync)
         self.store = ShardedStateStore(num_shards=num_shards)
-        self.sink = ExactlyOnceParquetSink(self.root / "encoded")
-        self.input_archive = ExactlyOnceParquetSink(self.root / "input")
+        self.sink = ExactlyOnceParquetSink(self.root / "encoded", fsync=fsync)
+        self.input_archive = ExactlyOnceParquetSink(self.root / "input",
+                                                    fsync=fsync)
         self.chk = CheckpointManager(self.root / "_checkpoints")
         self.checkpoint_every = checkpoint_every
         self.last_epoch = -1

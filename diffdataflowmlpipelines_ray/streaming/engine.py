@@ -48,6 +48,7 @@ __all__ = [
     "WindowSpec",
     "KeyedAggregation",
     "SessionWindowAggregation",
+    "PatternMatch",
     "StreamJoin",
     "StreamSession",
 ]
@@ -332,6 +333,69 @@ class SessionWindowAggregation:
 
 
 @dataclass
+class PatternMatch:
+    """CEP sequence detection: per-key ordered event-type chains.
+
+    A match is a strictly-increasing-event-time chain whose types equal
+    ``pattern`` and whose span fits in ``within`` seconds of the first
+    element — all-combinations semantics, the same multiset a relational
+    self-join produces (the SQL oracle).  Matches are emitted when the
+    watermark passes ``start + within`` (+ allowed lateness): no future
+    event can extend a finalized start, so emission is exactly-once and
+    swept events are dropped from shard state (retention = ``within``).
+    The reference has no CEP surface at all; this extends the north rule's
+    "structured-streaming / CEP engine" beyond windows + joins.
+    """
+
+    name: str
+    input: str
+    key_cols: Sequence[str]
+    ts_col: str
+    type_col: str
+    pattern: Sequence[str]
+    within: float
+    allowed_lateness: float = 0.0
+
+    def points_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
+        """→ ({key: [(ts, type)…]}, late).  Events at or before the last
+        finalize bound (watermark − within) can only serve already-emitted
+        starts — dropped as late."""
+        cols = list(self.key_cols) + [self.ts_col, self.type_col]
+        pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
+        ts = _ts_to_float(pdf[self.ts_col])
+        types = pdf[self.type_col].to_numpy()
+        bound = finalized_before - self.within - self.allowed_lateness
+        keep = ts > bound
+        late = int((~keep).sum())
+        pdf, ts, types = pdf[keep], ts[keep], types[keep]
+        out: dict[bytes, list] = {}
+        frame = pdf[list(self.key_cols)].copy()
+        frame["__pos"] = np.arange(len(frame))
+        for key, grp in frame.groupby(list(self.key_cols), sort=True, dropna=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            pos = grp["__pos"].to_numpy()
+            out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(),
+                                              types[pos].tolist()))
+        return out, late
+
+    def rows_to_table(self, items: list, epoch: int) -> pa.Table:
+        recs = []
+        for kb, chain in items:
+            key = pickle.loads(kb)
+            rec = dict(zip(self.key_cols, key))
+            for i, t in enumerate(chain):
+                rec[f"ts_{i}"] = t
+            rec["epoch"] = epoch
+            recs.append(rec)
+        if not recs:
+            names = (list(self.key_cols)
+                     + [f"ts_{i}" for i in range(len(self.pattern))]
+                     + ["epoch"])
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+@dataclass
 class StreamJoin:
     """Stateful symmetric hash join keyed by arbitrary columns.
 
@@ -420,7 +484,12 @@ class StreamSession:
 
     def __init__(self, root: str | Path, num_shards: int = 4,
                  checkpoint_every: int = 1,
-                 auto_watermark_delay: float | None = None):
+                 auto_watermark_delay: float | None = None,
+                 fsync: bool = True):
+        #: fsync=False relaxes commit durability (no power-loss guarantee)
+        #: for latency-sensitive jobs; exactly-once vs process crashes keeps
+        #: holding either way (manifest atomicity needs only rename)
+        self.fsync = fsync
         self.root = Path(root)
         self.store = ShardedStateStore(num_shards=num_shards)
         self.checkpoint_every = checkpoint_every
@@ -445,9 +514,11 @@ class StreamSession:
             getattr(op, "window", None) is not None
             or isinstance(op, SessionWindowAggregation)
         ):
-            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name)
-        elif isinstance(op, StreamJoin):
-            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name)
+            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
+                                                         fsync=self.fsync)
+        elif isinstance(op, (StreamJoin, PatternMatch)):
+            self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
+                                                         fsync=self.fsync)
         return self
 
     # ------------------------------------------------------------------ resume
@@ -762,6 +833,36 @@ class StreamSession:
                                 merged.get(k, []), sess_list
                             )
                     self.store.apply_session_points(name, epoch, merged, op.gap)
+            elif isinstance(op, PatternMatch):
+                if op.input not in inputs:
+                    continue
+                data = inputs[op.input]
+                if isinstance(data, pa.Table):
+                    points, late = op.points_batch(data, self.watermark)
+                    self.metrics["late_dropped"] += late
+                    self._observe_event_time(op, data)
+                    self.store.apply_pattern_points(name, epoch, points)
+                else:
+                    # distributed partial: per-block typed points (narrow),
+                    # merged per key (order-insensitive multiset union)
+                    wm = self.watermark
+
+                    def per_block(tbl: pa.Table) -> pa.Table:
+                        pts, late_n = op.points_batch(tbl, wm)
+                        blob = pickle.dumps((pts, late_n),
+                                            protocol=pickle.HIGHEST_PROTOCOL)
+                        return pa.table({"blob": pa.array([blob],
+                                                          type=pa.binary())})
+
+                    merged: dict[bytes, list] = {}
+                    rows = data.map_batches(per_block,
+                                            batch_format="pyarrow").take_all()
+                    for blob in sorted(r["blob"] for r in rows):
+                        pts, late_n = pickle.loads(blob)
+                        self.metrics["late_dropped"] += late_n
+                        for k, lst in pts.items():
+                            merged.setdefault(k, []).extend(lst)
+                    self.store.apply_pattern_points(name, epoch, merged)
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
@@ -865,6 +966,19 @@ class StreamSession:
                     )
                 else:
                     items = self.store.sweep_closed_sessions(name, bound, op.gap)
+                tbl = op.rows_to_table(items, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [tbl],
+                    meta={"watermark": self.watermark, "op": name,
+                          "metrics": dict(self.metrics)},
+                )
+                emitted[name] = tbl
+                self.metrics["emitted_rows"] += tbl.num_rows
+            elif isinstance(op, PatternMatch):
+                bound = self.watermark - op.allowed_lateness
+                items = self.store.sweep_pattern_matches(
+                    name, bound, list(op.pattern), op.within
+                )
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],

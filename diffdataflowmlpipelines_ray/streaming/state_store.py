@@ -61,6 +61,8 @@ class StateShard:
         self.session_points: dict[str, dict[bytes, dict]] = {}
         # join buffers: name -> side -> key -> list[(ts, row_tuple)]
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
+        # CEP pattern buffers: name -> key -> {(ts, type): count}
+        self.patterns: dict[str, dict[bytes, dict]] = {}
         # idempotency: table name -> applied-epoch high-water mark (epochs
         # arrive in increasing order; a replay/retry re-sends an epoch ≤ the
         # mark).  An int, not a set — a 10^12-sequence stream has millions of
@@ -255,6 +257,63 @@ class StateShard:
         emitted.sort()
         return _dumps(emitted)
 
+    # ---------------------------------------------------------- CEP patterns
+    def apply_pattern_points(self, name: str, epoch: int, payload: bytes) -> int:
+        """payload = pickled list[(key_bytes, [(ts, type), ...])] — buffer
+        per-key typed event points for watermark-driven pattern sweeps."""
+        if self._seen(f"pat:{name}", epoch):
+            return 0
+        store = self.patterns.setdefault(name, {})
+        n = 0
+        for key, points in pickle.loads(payload):
+            pts = store.setdefault(key, {})
+            for ts, typ in points:
+                n += 1
+                k = (float(ts), typ)
+                pts[k] = pts.get(k, 0) + 1
+        return n
+
+    def sweep_pattern_matches(self, name: str, watermark: float,
+                              pattern: list, within: float) -> bytes:
+        """Emit every ordered event-type chain matching ``pattern`` whose
+        START is finalizable (start ts ≤ watermark − within: no future event
+        can extend it), then drop those events.  All-combinations semantics
+        (each strictly-increasing-ts chain is one match) — the same multiset
+        a relational self-join oracle produces.  Cost per key is bounded by
+        window occupancy; a hot key with E events in one window can emit
+        O(E^len) chains, exactly like its SQL equivalent.
+        """
+        store = self.patterns.get(name, {})
+        bound = watermark - within
+        emitted = []
+        for key in list(store.keys()):
+            pts = store[key]
+            events = sorted(
+                (ts, typ) for (ts, typ), c in pts.items() for _ in range(c)
+            )
+            n = len(events)
+
+            def extend(start_ts, prev_ts, pos, level, chain):
+                if level == len(pattern):
+                    emitted.append((key, tuple(chain)))
+                    return
+                for j in range(pos, n):
+                    ts, typ = events[j]
+                    if ts > start_ts + within:
+                        break
+                    if ts > prev_ts and typ == pattern[level]:
+                        extend(start_ts, ts, j + 1, level + 1, chain + [ts])
+
+            for i, (ts, typ) in enumerate(events):
+                if typ == pattern[0] and ts <= bound:
+                    extend(ts, ts, i + 1, 1, [ts])
+            for k in [k for k in pts if k[0] <= bound]:
+                del pts[k]
+            if not pts:
+                del store[key]
+        emitted.sort()
+        return _dumps(emitted)
+
     # ------------------------------------------------------- stream-stream join
     def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
         """Symmetric hash join step for this shard — fully vectorized.
@@ -324,6 +383,7 @@ class StateShard:
                 "sessions": self.sessions,
                 "session_points": self.session_points,
                 "joins": self.joins,
+                "patterns": self.patterns,
                 "applied": self.applied,
             }
         )
@@ -334,6 +394,7 @@ class StateShard:
         self.sessions = st["sessions"]
         self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
+        self.patterns = st.get("patterns", {})
         applied = st["applied"]
         # tolerate snapshots from the earlier set-based format
         self.applied = {
@@ -347,6 +408,7 @@ class StateShard:
             "shard_id": self.shard_id,
             "agg_keys": {n: len(d) for n, d in self.aggs.items()},
             "session_keys": {n: len(d) for n, d in self.sessions.items()},
+            "pattern_keys": {n: len(d) for n, d in self.patterns.items()},
             "join_keys": {
                 n: {s: len(d) for s, d in sides.items()} for n, sides in self.joins.items()
             },
@@ -441,6 +503,30 @@ class ShardedStateStore:
             [s.sweep_closed_retractable_sessions.remote(name, watermark, gap)
              for s in self.shards]
         )
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    # --------------------------------------------------------------- patterns
+    def apply_pattern_points(self, name: str, epoch: int,
+                             per_key: dict[bytes, list]) -> int:
+        by_shard = self._scatter(sorted(per_key.items()))
+        refs = [
+            self.shards[sid].apply_pattern_points.remote(name, epoch,
+                                                         _dumps(items))
+            for sid, items in by_shard.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
+
+    def sweep_pattern_matches(self, name: str, watermark: float,
+                              pattern: list, within: float) -> list:
+        blobs = ray.get([
+            s.sweep_pattern_matches.remote(name, watermark, list(pattern),
+                                           within)
+            for s in self.shards
+        ])
         out = []
         for b in blobs:
             out.extend(pickle.loads(b))

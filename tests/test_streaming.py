@@ -796,3 +796,90 @@ class TestExactDedupCollisionPath:
         ids = sorted(r["doc_id"] for r in D.exact_dedup_ids(ds).take_all())
         # distinct texts must never merge even under total h1 collision
         assert ids == [1, 2, 4]
+
+
+class TestPatternMatch:
+    def _mk(self, tmp_path, name="cep", within=100.0, lateness=0.0):
+        from diffdataflowmlpipelines_ray.streaming.engine import PatternMatch
+
+        sess = StreamSession(tmp_path / name, num_shards=2)
+        sess.add(PatternMatch(name="p", input="e", key_cols=["k"],
+                              ts_col="ts", type_col="t",
+                              pattern=["a", "b", "c"], within=within,
+                              allowed_lateness=lateness))
+        return sess
+
+    def test_incremental_equals_selfjoin(self, ray_session, tmp_path):
+        rng = np.random.default_rng(7)
+        n = 600
+        tbl = pa.table({
+            "k": rng.integers(0, 5, n),
+            "ts": np.sort(rng.uniform(0, 1000, n)),
+            "t": rng.choice(["a", "b", "c", "x"], n),
+        })
+        sess = self._mk(tmp_path, within=100.0)
+        try:
+            for e, part in enumerate(split_epochs(tbl, 4)):
+                wm = float(np.max(part["ts"].to_numpy()))
+                sess.process_epoch(e, {"e": part}, watermark=wm)
+            sess.close(4)
+            got = sess.sinks["p"].read_committed_table().to_pandas()
+        finally:
+            sess.store.shutdown()
+        # brute-force reference: all (a,b,c) chains, strictly increasing ts,
+        # span <= within
+        pdf = tbl.to_pandas()
+        exp = 0
+        for k, g in pdf.groupby("k"):
+            g = g.sort_values("ts")
+            ats = g[g["t"] == "a"]["ts"].to_numpy()
+            bts = g[g["t"] == "b"]["ts"].to_numpy()
+            cts = g[g["t"] == "c"]["ts"].to_numpy()
+            for ta in ats:
+                for tb in bts[(bts > ta) & (bts <= ta + 100.0)]:
+                    exp += int(((cts > tb) & (cts <= ta + 100.0)).sum())
+        assert len(got) == exp
+        # chains are strictly increasing and within the window
+        assert (got["ts_1"] > got["ts_0"]).all()
+        assert (got["ts_2"] > got["ts_1"]).all()
+        assert (got["ts_2"] <= got["ts_0"] + 100.0).all()
+
+    def test_no_double_emission_across_watermarks(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path, within=10.0)
+        try:
+            t0 = pa.table({"k": [1, 1, 1], "ts": [1.0, 2.0, 3.0],
+                           "t": ["a", "b", "c"]})
+            sess.process_epoch(0, {"e": t0}, watermark=5.0)   # start not final
+            first = sess.sinks["p"].read_committed_table().num_rows
+            sess.process_epoch(1, {"e": pa.table(
+                {"k": [1], "ts": [8.0], "t": ["c"]})}, watermark=20.0)
+            second = sess.sinks["p"].read_committed_table()
+        finally:
+            sess.store.shutdown()
+        assert first == 0  # watermark 5 < start 1 + within 10
+        # finalized at wm=20: chains (1,2,3) and (1,2,8) — each exactly once
+        assert second.num_rows == 2
+
+    def test_dataset_epochs_and_resume(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        tbl = pa.table({"k": [1, 1, 1, 2], "ts": [1.0, 2.0, 3.0, 1.5],
+                        "t": ["a", "b", "c", "a"]})
+        root = tmp_path / "cepr"
+        sess = self._mk(tmp_path, name="cepr", within=5.0)
+        try:
+            sess.process_epoch(0, {"e": rd.from_arrow(tbl)}, watermark=2.0)
+            sess.checkpoint(0)
+        finally:
+            sess.store.shutdown()
+        # resume and finish
+        sess2 = self._mk(tmp_path, name="cepr", within=5.0)
+        try:
+            start = sess2.resume()
+            assert start == 1
+            out = sess2.advance_watermark(1, 50.0)
+            got = out["p"].to_pandas()
+        finally:
+            sess2.store.shutdown()
+        assert len(got) == 1
+        assert got.iloc[0]["ts_0"] == 1.0

@@ -92,7 +92,8 @@ def main():
     otbl = pa.table({"row_id": np.arange(n_init), "cat": cats})
     for label, kwargs in (
         ("durable", {}),
-        ("relaxed", {"checkpoint_every": 0, "archive_input": False}),
+        ("relaxed", {"checkpoint_every": 0, "archive_input": False,
+                     "fsync": False}),
     ):
         root2 = tempfile.mkdtemp(prefix="micro-ord-", dir="/tmp")
         sess2 = IncrementalEncoderSession([("cat", OrdinalEncoder())], root2,
