@@ -83,17 +83,23 @@ def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
     )
 
     def prep(tbl: pa.Table) -> pa.Table:
+        # tokenize FIRST, then tile the tokenized rows: the string
+        # tokenize+hash (the expensive part) runs once per distinct doc, not
+        # once per replica; copies share identical token arrays by
+        # construction (the determinism the bench relies on)
+        tok = derive_tokenized(tbl, vocab_size)
         if replicate > 1:
-            n = tbl.num_rows
-            base = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            n = tok.num_rows
             idx = np.tile(np.arange(n, dtype=np.int64), replicate)
-            tbl = tbl.take(pa.array(idx))  # one vectorized tile, no concat loop
-            new_ids = (np.repeat(np.arange(replicate, dtype=np.int64), n)
-                       * 100_000_000 + np.tile(base, replicate))
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index("doc_id"), "doc_id", pa.array(new_ids)
+            tok = tok.take(pa.array(idx))
+            rep_tag = pa.array(
+                np.repeat(np.arange(replicate, dtype=np.int64), n).astype(str)
             )
-        return derive_tokenized(tbl, vocab_size)
+            new_id = pc.binary_join_element_wise(rep_tag, tok["doc_id"], "_")
+            tok = tok.set_column(
+                tok.schema.get_field_index("doc_id"), "doc_id", new_id
+            )
+        return tok
 
     return ds.map_batches(prep, batch_format="pyarrow")
 
