@@ -665,6 +665,84 @@ class StreamSession:
             self._max_event_time = max(self._max_event_time,
                                        float(row["max_ts"]))
 
+    def _scatter_points_distributed(self, op, name: str, epoch: int, data,
+                                    kind: str) -> None:
+        """Shard-direct scatter for session/pattern Dataset epochs — the
+        list-payload sibling of ``_scatter_partials_distributed``: per-block
+        points (sessions pre-compressed to intervals, pattern events raw but
+        window-bounded) ride one ``groupby(shard)`` shuffle to a single
+        per-shard apply call; the driver sees only summary rows."""
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        wm = self.watermark
+        gap = getattr(op, "gap", None)
+        ts_col = op.ts_col
+        from .state_store import StateShard, shard_of
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            pts, late = op.points_batch(tbl, wm)
+            if kind == "session":
+                pts = {k: StateShard.build_sessions(v, gap)
+                       for k, v in pts.items()}
+            max_ts = -math.inf
+            if ts_col in tbl.column_names and tbl.num_rows:
+                ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
+                if ts.size:
+                    max_ts = float(ts.max())
+            sids, keys, blobs = [-1], [b""], [pickle.dumps(
+                (late, max_ts), protocol=pickle.HIGHEST_PROTOCOL)]
+            for k, v in pts.items():
+                sids.append(shard_of(k, num_shards))
+                keys.append(k)
+                blobs.append(pickle.dumps(v, protocol=pickle.HIGHEST_PROTOCOL))
+            return pa.table({
+                "__shard": pa.array(sids, type=pa.int64()),
+                "__key": pa.array(keys, type=pa.binary()),
+                "__acc": pa.array(blobs, type=pa.binary()),
+            })
+
+        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            if sid == -1:
+                lates, max_ts = 0, -math.inf
+                for blob in pdf["__acc"]:
+                    late, mt = pickle.loads(blob)
+                    lates += late
+                    max_ts = max(max_ts, mt)
+                return pd.DataFrame({"late": [lates], "max_ts": [max_ts],
+                                     "keys": [0]})
+            pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
+            merged: dict[bytes, list] = {}
+            for k, blob in zip(pdf["__key"], pdf["__acc"]):
+                v = pickle.loads(blob)
+                if k not in merged:
+                    merged[k] = v
+                elif kind == "session":
+                    merged[k] = StateShard.merge_session_lists(merged[k], v)
+                else:
+                    merged[k] = sorted(merged[k] + v)
+            payload = pickle.dumps(sorted(merged.items()),
+                                   protocol=pickle.HIGHEST_PROTOCOL)
+            if kind == "session":
+                n = ray.get(shards[sid].apply_session_points.remote(
+                    name, epoch, payload, gap))
+            else:
+                n = ray.get(shards[sid].apply_pattern_points.remote(
+                    name, epoch, payload))
+            return pd.DataFrame({"late": [0], "max_ts": [-math.inf],
+                                 "keys": [int(n)]})
+
+        summaries = (
+            data.map_batches(per_block, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(apply_group, batch_format="pandas")
+            .take_all()
+        )
+        for row in summaries:
+            self.metrics["late_dropped"] += int(row["late"])
+            self._max_event_time = max(self._max_event_time,
+                                       float(row["max_ts"]))
+
     def _distributed_join_epoch(self, op: "StreamJoin", name: str, epoch: int,
                                 left, right) -> int:
         """Distributed StreamJoin epoch (VERDICT r1 fix: the driver is out of
@@ -799,40 +877,12 @@ class StreamSession:
                     self._observe_event_time(op, data)
                     self.store.apply_session_points(name, epoch, points, op.gap)
                 else:
-                    # distributed partial: per-block local sessions (raw rows
-                    # compress to session intervals before leaving workers)
-                    from .state_store import StateShard
-
-                    wm, gap = self.watermark, op.gap
-
-                    ts_col = op.ts_col
-
-                    def per_block(tbl: pa.Table) -> pa.Table:
-                        pts, late_n = op.points_batch(tbl, wm)
-                        sessions = {
-                            k: StateShard.build_sessions(v, gap)
-                            for k, v in pts.items()
-                        }
-                        max_ts = -math.inf
-                        if tbl.num_rows and ts_col in tbl.column_names:
-                            ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
-                            if ts.size:
-                                max_ts = float(ts.max())
-                        blob = pickle.dumps((sessions, late_n, max_ts),
-                                            protocol=pickle.HIGHEST_PROTOCOL)
-                        return pa.table({"blob": pa.array([blob], type=pa.binary())})
-
-                    merged: dict[bytes, list] = {}
-                    rows = data.map_batches(per_block, batch_format="pyarrow").take_all()
-                    for blob in sorted(r["blob"] for r in rows):
-                        sessions, late_n, max_ts = pickle.loads(blob)
-                        self.metrics["late_dropped"] += late_n
-                        self._max_event_time = max(self._max_event_time, max_ts)
-                        for k, sess_list in sessions.items():
-                            merged[k] = StateShard.merge_session_lists(
-                                merged.get(k, []), sess_list
-                            )
-                    self.store.apply_session_points(name, epoch, merged, op.gap)
+                    # shard-direct: per-block local sessions (raw rows
+                    # compress to intervals before leaving workers) ride one
+                    # groupby(shard) shuffle straight to the shard actors —
+                    # no driver-side per-key merge
+                    self._scatter_points_distributed(op, name, epoch, data,
+                                                     kind="session")
             elif isinstance(op, PatternMatch):
                 if op.input not in inputs:
                     continue
@@ -843,26 +893,10 @@ class StreamSession:
                     self._observe_event_time(op, data)
                     self.store.apply_pattern_points(name, epoch, points)
                 else:
-                    # distributed partial: per-block typed points (narrow),
-                    # merged per key (order-insensitive multiset union)
-                    wm = self.watermark
-
-                    def per_block(tbl: pa.Table) -> pa.Table:
-                        pts, late_n = op.points_batch(tbl, wm)
-                        blob = pickle.dumps((pts, late_n),
-                                            protocol=pickle.HIGHEST_PROTOCOL)
-                        return pa.table({"blob": pa.array([blob],
-                                                          type=pa.binary())})
-
-                    merged: dict[bytes, list] = {}
-                    rows = data.map_batches(per_block,
-                                            batch_format="pyarrow").take_all()
-                    for blob in sorted(r["blob"] for r in rows):
-                        pts, late_n = pickle.loads(blob)
-                        self.metrics["late_dropped"] += late_n
-                        for k, lst in pts.items():
-                            merged.setdefault(k, []).extend(lst)
-                    self.store.apply_pattern_points(name, epoch, merged)
+                    # shard-direct: raw (window-bounded) pattern events ride
+                    # one groupby(shard) shuffle straight to the shard actors
+                    self._scatter_points_distributed(op, name, epoch, data,
+                                                     kind="pattern")
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
