@@ -246,26 +246,28 @@ def _distributed_pair_verify(pairs: pa.Table, sig_ds, id_col: str,
         occ.setdefault(int(hi[idx]), []).append((idx, 1))
     occ_ref = ray.put((occ, pa.array(sorted(occ))))
 
-    def emit(tbl: pa.Table) -> "pd.DataFrame":
+    def emit(tbl: pa.Table) -> pa.Table:
         o, wanted = ray.get(occ_ref)
         # Arrow prefilter: the python loop below touches only candidate docs
         tbl = tbl.filter(pc.is_in(tbl[id_col], value_set=wanted))
         ids = tbl[id_col].to_pylist()
-        sigs = tbl[sig_col].to_pandas().to_numpy()
-        rows_pi, rows_side, rows_id, rows_sig = [], [], [], []
+        rows_pi, rows_side, rows_id, take_idx = [], [], [], []
         for i, d in enumerate(ids):
             for pi, side in o.get(d, ()):
                 rows_pi.append(pi)
                 rows_side.append(side)
                 rows_id.append(d)
-                rows_sig.append(sigs[i])
-        return pd.DataFrame({
-            "__pi": pd.Series(rows_pi, dtype="int64"),
-            "__side": pd.Series(rows_side, dtype="int64"),
-            "__id": pd.Series(rows_id, dtype="int64"),
-            "__sig": pd.Series(rows_sig, dtype="object"),
-            "__bucket": pd.Series(np.asarray(rows_pi, dtype=np.int64)
-                                  % buckets, dtype="int64"),
+                take_idx.append(i)
+        sig_arr = tbl[sig_col].take(pa.array(take_idx, type=pa.int64()))
+        if isinstance(sig_arr, pa.ChunkedArray):
+            sig_arr = sig_arr.combine_chunks()
+        pis = np.asarray(rows_pi, dtype=np.int64)
+        return pa.table({
+            "__pi": pa.array(pis),
+            "__side": pa.array(rows_side, type=pa.int64()),
+            "__id": pa.array(rows_id, type=pa.int64()),
+            "__sig": sig_arr,
+            "__bucket": pa.array(pis % buckets),
         })
 
     def verify_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
