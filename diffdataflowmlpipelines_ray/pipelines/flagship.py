@@ -118,20 +118,19 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
     )
     start = session.resume()
     n_seq = 0
-    n_tok_total = 0
-    import pyarrow.parquet as pq
-
     for e, epoch_ds in enumerate(epochs):
         if e < start:
             continue
         manifest = session.process_epoch(e, epoch_ds)
         n_seq += manifest["rows"]
-        for f in manifest["files"]:  # columnar read of just n_tok: cheap
-            n_tok_total += int(
-                pq.read_table(Path(session.sink.root) / f["path"], columns=["n_tok"])[
-                    "n_tok"
-                ].to_numpy().sum()
-            )
+    # token count: ONE distributed columnar sum over the committed output —
+    # a per-epoch serial driver read here was pure non-scaling overhead
+    import ray.data as rd
+
+    n_tok_total = int(
+        rd.read_parquet(session.sink.committed_files(), columns=["n_tok"])
+        .sum("n_tok")
+    )
     session.close()
     return {
         "sequences": n_seq,

@@ -61,7 +61,13 @@ from ..streaming.engine import (
 __all__ = ["QUERIES", "ORACLES"]
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """``blocks``: fan a single parquet file out to N read blocks (a one-file
+    table otherwise yields ONE block → one task for the whole CPU-heavy
+    stage; `override_num_blocks` at the read is free, `repartition` is not)."""
+    if blocks:
+        return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                               override_num_blocks=blocks)
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -480,19 +486,19 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Winner ids only (the oracle's `min(doc_id) GROUP BY text`): the
     hash-only two-phase path, no row semi-join.  Full-row dedup (the
     semi-join back) is exercised by `dataprep`."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     from ..stages.dedup import exact_dedup_ids
 
     return exact_dedup_ids(ds, "text", "doc_id").to_pandas()
 
 
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     return minhash_dedup_groups(ds, threshold=0.7)
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     return simhash_dedup_groups(ds, max_hamming=3)
 
 
@@ -526,7 +532,7 @@ def q_ngram_jaccard_lsh(sf_dir: str) -> pa.Table:
     """n-gram Jaccard over MinHash-LSH candidate pairs (rows-only: the LSH
     seeds have no SQL twin; the Jaccard kernel itself is oracle-gated via
     ``ngram_jaccard``)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     pairs, _ = minhash_lsh_candidates(ds, params=MinHashParams())
     if pairs.num_rows == 0:
         return pa.table({"id_lo": pa.array([], type=pa.int64()),

@@ -177,8 +177,11 @@ class ExactlyOnceParquetSink:
         if edir.exists():
             shutil.rmtree(edir)  # leftovers from a crashed attempt
         os.replace(staging, edir)
-        files = []
-        for fpath in sorted(edir.glob("*.parquet")):
+        paths = sorted(edir.glob("*.parquet"))
+
+        def entry_of(fpath: Path) -> dict:
+            # fsync + footer read per file, run in a thread pool — a serial
+            # loop here is driver-side fixed cost that caps scaling
             if self.fsync:
                 _fsync_file(fpath)
             entry = {
@@ -188,7 +191,12 @@ class ExactlyOnceParquetSink:
             }
             if content_hash:
                 entry["sha256"] = _sha256_file(fpath)
-            files.append(entry)
+            return entry
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            files = list(pool.map(entry_of, paths))
         if self.fsync:
             _fsync_dir(edir)
             _fsync_dir(self.root / "data")
