@@ -380,10 +380,16 @@ def minhash_signatures(tbl: pa.Table, col: str, params: MinHashParams,
     sh, counts = _shingle_hashes(tok_hash, offsets, params.shingle)
     a, b = _perm_coeffs(params)
     n = len(tbl)
-    sigs = np.full((n, params.num_perm), _P61, dtype=np.uint64)
+    sigs = np.full((n, params.num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                   dtype=np.uint64)
     if sh.size:
-        # (P, T) permuted hashes → segmented min per doc
-        ph = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P61)
+        # (P, T) permuted hashes → segmented min per doc.  Wraparound
+        # multiply-add + xorshift mix instead of mod-prime: numpy has no
+        # fast 64-bit modulo (it costs ~10× the rest of the signature pass)
+        # and the min-of-permutation estimator only needs per-permutation
+        # pseudo-random total orders, which the mixed product provides.
+        ph = a[:, None] * sh[None, :] + b[:, None]
+        ph ^= ph >> np.uint64(33)
         bounds = np.concatenate([[0], np.cumsum(counts)])
         doc_ids = np.nonzero(counts > 0)[0]
         starts = bounds[:-1][counts > 0]
