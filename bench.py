@@ -34,7 +34,10 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "240"))
     if "--scaling-child" in sys.argv:
-        replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "2400"))
+        # sized so the ~5 s of per-run serial cost (epoch commits, manifest
+        # fsync, checkpoint) stays well under 10% of the 4N-point wall time —
+        # the criterion measures streaming throughput scaling, not fixed cost
+        replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "4800"))
 
     import ray
 
