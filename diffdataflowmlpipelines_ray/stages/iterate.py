@@ -14,10 +14,11 @@ node is the minimum node id of its component.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_ds"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -83,3 +84,158 @@ def connected_components(edges, max_iters: int = 64):
         )
     return pa.Table.from_pandas(labels.sort_values("id").reset_index(drop=True),
                                 preserve_index=False)
+
+
+def connected_components_ds(edges, buckets: int = 64, max_iters: int = 64):
+    """Dataset-native min-label fixpoint — the cluster-scale `iterate` path
+    for edge lists too large for one process.
+
+    Per round, TWO bucketed shuffles (the cheap low-cardinality-key pattern,
+    never a full-key-domain sort):
+      1. co-locate labels with edges by hash(src) bucket and emit each
+         edge's (dst, neighbor-label) candidates next to the label rows;
+      2. co-locate candidates + labels by hash(node) bucket and take the
+         per-node minimum, counting changes.
+    The loop ends at changed == 0; raises after ``max_iters`` instead of
+    returning wrong labels.  Returns pa.Table (id, component).
+
+    ``connected_components`` (driver pandas + pointer doubling) remains the
+    right tool for candidate-bounded inputs like verified dedup pairs; this
+    variant trades per-round latency for unbounded edge-list size.
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return pa.table({"id": pa.array([], type=pa.int64()),
+                             "component": pa.array([], type=pa.int64())})
+        edges = rd.from_arrow(edges)
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return ((arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % buckets).astype(np.int64)
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        lo = tbl["id_lo"].combine_chunks() if isinstance(
+            tbl["id_lo"], pa.ChunkedArray) else tbl["id_lo"]
+        hi = tbl["id_hi"].combine_chunks() if isinstance(
+            tbl["id_hi"], pa.ChunkedArray) else tbl["id_hi"]
+        src = pa.concat_arrays([lo, hi])
+        dst = pa.concat_arrays([hi, lo])
+        return pa.table({"src": src, "dst": dst})
+
+    E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: distinct node ids (bucketed dedupe), component = id
+    def node_block(tbl: pa.Table) -> pa.Table:
+        ids = pc.unique(tbl["src"])
+        arr = ids.to_numpy(zero_copy_only=False)
+        return pa.table({"id": ids, "__b": pa.array(bucket_of(arr))})
+
+    def dedupe(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop_duplicates("id")[["id"]].copy()
+        out["component"] = out["id"]
+        return out
+
+    L = (E.map_batches(node_block, batch_format="pyarrow")
+         .groupby("__b").map_groups(dedupe, batch_format="pandas")
+         .materialize())
+
+    for _ in range(max_iters):
+        # --- stage 1: labels ⋈ edges on src-bucket → neighbor candidates
+        def tag_label(tbl: pa.Table) -> pa.Table:
+            ids = tbl["id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": tbl["id"], "dst": pa.nulls(len(tbl), pa.int64()),
+                "comp": tbl["component"],
+                "__b": pa.array(bucket_of(ids)),
+            })
+
+        def tag_edge(tbl: pa.Table) -> pa.Table:
+            src = tbl["src"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": tbl["src"], "dst": tbl["dst"],
+                "comp": pa.nulls(len(tbl), pa.int64()),
+                "__b": pa.array(bucket_of(src)),
+            })
+
+        def propagate(pdf: pd.DataFrame) -> pd.DataFrame:
+            labs = pdf[pdf["dst"].isna()][["key", "comp"]]
+            eds = pdf[pdf["dst"].notna()][["key", "dst"]]
+            j = eds.merge(labs, on="key")[["dst", "comp"]].rename(
+                columns={"dst": "node"})
+            mine = labs.rename(columns={"key": "node"})
+            mine = mine.assign(own=1)  # carries the node's current label
+            j = j.assign(own=0)
+            return pd.concat([mine, j], ignore_index=True).astype(
+                {"node": "int64", "comp": "int64", "own": "int64"})
+
+        cand = (L.map_batches(tag_label, batch_format="pyarrow")
+                .union(E.map_batches(tag_edge, batch_format="pyarrow"))
+                .groupby("__b").map_groups(propagate, batch_format="pandas"))
+
+        # --- stage 2: per-node min over {own label} ∪ {neighbor labels}
+        def rebucket(tbl: pa.Table) -> pa.Table:
+            nodes = tbl["node"].to_numpy(zero_copy_only=False)
+            return tbl.append_column("__b2", pa.array(bucket_of(nodes)))
+
+        def reduce_min(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby("node")
+            new = g["comp"].min()
+            old = pdf[pdf["own"] == 1].set_index("node")["comp"]
+            changed = int((new.loc[old.index] < old).sum())
+            out = new.reset_index().rename(columns={"comp": "component",
+                                                    "node": "id"})
+            out["__changed"] = 0
+            if len(out):
+                out.loc[out.index[0], "__changed"] = changed
+            return out
+
+        L2 = (cand.map_batches(rebucket, batch_format="pyarrow")
+              .groupby("__b2").map_groups(reduce_min, batch_format="pandas")
+              .materialize())
+        changed_total = sum(
+            r["__changed"] for r in
+            L2.select_columns(["__changed"]).take_all()
+        )
+        L = L2.drop_columns(["__changed"]).materialize()
+        if changed_total == 0:
+            out = pa.concat_tables(
+                list(L.iter_batches(batch_format="pyarrow"))
+            )
+            return out.sort_by("id")
+
+        # --- stage 3: pointer doubling (component ← label[component]) so
+        # rounds stay O(log diameter) — one more bucketed shuffle
+        def tag_lookup(tbl: pa.Table) -> pa.Table:
+            ids = tbl["id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": tbl["id"], "node": pa.nulls(len(tbl), pa.int64()),
+                "comp": tbl["component"], "__b3": pa.array(bucket_of(ids)),
+            })
+
+        def tag_query(tbl: pa.Table) -> pa.Table:
+            comps = tbl["component"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": tbl["component"], "node": tbl["id"],
+                "comp": tbl["component"], "__b3": pa.array(bucket_of(comps)),
+            })
+
+        def shortcut(pdf: pd.DataFrame) -> pd.DataFrame:
+            lookup = pdf[pdf["node"].isna()][["key", "comp"]].rename(
+                columns={"comp": "__cc2"})
+            q = pdf[pdf["node"].notna()][["node", "key", "comp"]]
+            j = q.merge(lookup, on="key", how="left")
+            comp = j["__cc2"].fillna(j["comp"])
+            return pd.DataFrame({"id": j["node"].astype("int64"),
+                                 "component": comp.astype("int64")})
+
+        L = (L.map_batches(tag_lookup, batch_format="pyarrow")
+             .union(L.map_batches(tag_query, batch_format="pyarrow"))
+             .groupby("__b3").map_groups(shortcut, batch_format="pandas")
+             .materialize())
+    raise RuntimeError(
+        f"connected_components_ds did not converge in {max_iters} rounds"
+    )

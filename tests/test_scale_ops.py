@@ -275,3 +275,29 @@ class TestHashJoinSemiAnti:
         right = docs_ds({"doc_id": [2]})
         out = hash_join(left, right, ["doc_id"], ["doc_id"], how="semi")
         assert [r["doc_id"] for r in out.take_all()] == [2]
+
+
+class TestDistributedConnectedComponents:
+    def test_matches_driver_version_on_chain(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components,
+            connected_components_ds,
+        )
+
+        n = 120
+        edges = pa.table({"id_lo": list(range(n - 1)),
+                          "id_hi": list(range(1, n))})
+        a = connected_components(edges).to_pandas()
+        b = connected_components_ds(edges, buckets=8).to_pandas()
+        assert a.equals(b)
+        assert (b["component"] == 0).all()
+
+    def test_multi_component_dataset_input(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components_ds,
+        )
+
+        ds = docs_ds({"id_lo": [5, 6, 30, 31], "id_hi": [6, 7, 31, 32]})
+        out = connected_components_ds(ds, buckets=4).to_pandas().set_index("id")
+        assert out.loc[7, "component"] == 5
+        assert out.loc[32, "component"] == 30
