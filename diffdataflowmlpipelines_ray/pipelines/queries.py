@@ -482,6 +482,28 @@ def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
 
 
 # ====================================================================== dedup / text
+def q_connected_components(sf_dir: str) -> pd.DataFrame:
+    """The DD `iterate` primitive, oracle-gated: distributed min-label
+    fixpoint (`connected_components_ds` — bucketed neighbor-min + pointer
+    doubling rounds) over a deterministic SQL-expressible edge set: chains
+    (doc_id → doc_id+1) for doc_id % 10 < 4, i.e. components
+    {10k, …, 10k+4} with min-id label 10k."""
+    from ..stages.iterate import connected_components_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 < 4
+        return pa.table({"id_lo": pa.array(ids[keep]),
+                         "id_hi": pa.array(ids[keep] + 1)})
+
+    out = connected_components_ds(
+        ds.map_batches(edges, batch_format="pyarrow"), buckets=16
+    ).to_pandas()
+    return out.rename(columns={"id": "doc_id"})
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Winner ids only (the oracle's `min(doc_id) GROUP BY text`): the
     hash-only two-phase path, no row semi-join.  Full-row dedup (the
@@ -1068,6 +1090,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
+    "connected_components": q_connected_components,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1242,6 +1265,10 @@ ORACLES = {
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "connected_components": """
+        SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
+        FROM documents WHERE doc_id % 10 <= 4
     """,
     "ann_topk": """
         WITH q AS (

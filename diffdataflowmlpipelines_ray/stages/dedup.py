@@ -476,20 +476,28 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
+#: verified-pair count above which component resolution switches from the
+#: driver pandas fixpoint to the Dataset-native bucketed rounds
+_CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
 def _components_table(verified: list[tuple[int, int]], id_col: str) -> pa.Table:
     """Verified near-dup pairs → (id, group_id = component min id) via the
-    iterate-based ``connected_components`` (the DD fixpoint primitive) —
-    replaces the round-1 driver union-find."""
-    from .iterate import connected_components
+    iterate-based connected components (the DD fixpoint primitive) —
+    replaces the round-1 driver union-find.  Pair lists beyond
+    ``_CC_DRIVER_MAX_PAIRS`` resolve through the distributed
+    ``connected_components_ds`` rounds instead of driver pandas."""
+    from .iterate import connected_components, connected_components_ds
 
     if not verified:
         return pa.table({id_col: pa.array([], type=pa.int64()),
                          "group_id": pa.array([], type=pa.int64())})
     lo, hi = zip(*verified)
-    comp = connected_components(
-        pa.table({"id_lo": pa.array(lo, type=pa.int64()),
-                  "id_hi": pa.array(hi, type=pa.int64())})
-    )
+    edges = pa.table({"id_lo": pa.array(lo, type=pa.int64()),
+                      "id_hi": pa.array(hi, type=pa.int64())})
+    cc = (connected_components if len(verified) <= _CC_DRIVER_MAX_PAIRS
+          else connected_components_ds)
+    comp = cc(edges)
     return pa.table({id_col: comp["id"], "group_id": comp["component"]})
 
 
