@@ -805,6 +805,34 @@ def _antijoin_broadcast(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(anti, batch_format="pyarrow").to_pandas()
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time join: for every purchase event, the user's most recent
+    click at or before it (leakage-free feature lookup).  Oracle: DuckDB
+    ``ASOF JOIN``."""
+    from ..stages.relational import asof_join
+
+    def side(event_type: str, ts_name: str):
+        def f(tbl: pa.Table) -> pa.Table:
+            keep = pc.equal(tbl["event_type"], event_type)
+            sub = tbl.filter(keep)
+            ts = sub["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({
+                "user_id": sub["user_id"],
+                ts_name: pc.divide(pc.cast(ts, pa.float64()), 1e6),
+            })
+        return f
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    purchases = ev.map_batches(side("purchase", "purchase_ts"),
+                               batch_format="pyarrow")
+    clicks = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .map_batches(side("click", "click_ts"), batch_format="pyarrow")
+    out = asof_join(purchases, clicks, ["user_id"],
+                    left_ts="purchase_ts", right_ts="click_ts").to_pandas()
+    return _round(out[["user_id", "purchase_ts", "click_ts"]],
+                  ["purchase_ts", "click_ts"])
+
+
 def q_hash_join(sf_dir: str) -> pd.DataFrame:
     """Large-large partitioned hash join (no broadcast): orders ⋈ customer
     bucketed by key hash, then grouped per segment (same oracle as
@@ -1108,6 +1136,7 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
     "hash_join": q_hash_join,
+    "asof_join": q_asof_join,
     "supplier_region": q_supplier_region,
     "part_brand_stats": q_part_brand_stats,
     "union": q_union,
@@ -1348,6 +1377,15 @@ ORACLES = {
                sum(round(o.o_totalprice * 100)) / 100.0 AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "asof_join": """
+        SELECT p.user_id,
+               ROUND(epoch(p.ts), 6) AS purchase_ts,
+               ROUND(epoch(c.ts), 6) AS click_ts
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN
+             (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "supplier_region": """
         SELECT r.r_name, count(*)::BIGINT AS n,

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_join", "salted_two_phase_sum"]
+__all__ = ["hash_join", "asof_join", "salted_two_phase_sum"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -105,6 +105,57 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
 
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
+              buckets: int = 32, direction: str = "backward"):
+    """Point-in-time (as-of) equi-join: for each left row, the single right
+    row with the same key and the latest ``right_ts`` ≤ ``left_ts``
+    (``direction="backward"``; ``"forward"`` flips the inequality).  Inner
+    semantics — left rows with no match are dropped — matching DuckDB's
+    ``ASOF JOIN`` exactly, which is the SQL oracle.
+
+    The standard training-data primitive for leakage-free feature lookup
+    ("the feature value as of the example's event time").  Execution is the
+    same one-shuffle bucket co-location as ``hash_join``; inside a bucket a
+    single ``pd.merge_asof`` (C-speed, sorted merge) resolves every key at
+    once.  Key skew: one hot KEY lands in one bucket — same documented
+    tradeoff as ``hash_join``.
+    """
+    on = list(on)
+    l_cols = [f.name for f in left.schema().base_schema]
+    r_cols = [f.name for f in right.schema().base_schema]
+    overlap = (set(l_cols) & set(r_cols)) - set(on)
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns first: "
+                         f"{sorted(overlap)}")
+    # rename right keys so the unified schema has one copy of each key
+    renames = {c: f"__rk_{i}" for i, c in enumerate(on)}
+    right = right.rename_columns(renames)
+    r_on = [renames[c] for c in on]
+    r_cols = [renames.get(c, c) for c in r_cols]
+    unified = pa.schema(list(left.schema().base_schema)
+                        + [f for f in right.schema().base_schema])
+    l_tagged = _with_bucket(left, on, buckets, "l", unified)
+    r_tagged = _with_bucket(right, r_on, buckets, "r", unified)
+    r_out = [c for c in r_cols if c not in r_on]
+
+    def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        lt = pdf[pdf["__side"] == "l"][l_cols].sort_values(left_ts,
+                                                           kind="mergesort")
+        rt = pdf[pdf["__side"] == "r"][r_cols].sort_values(right_ts,
+                                                           kind="mergesort")
+        merged = pd.merge_asof(
+            lt, rt, left_on=left_ts, right_on=right_ts,
+            left_by=on, right_by=r_on, direction=direction,
+        )
+        matched = merged[merged[right_ts].notna()]
+        out_cols = list(dict.fromkeys(l_cols + r_out))
+        return matched[out_cols].reset_index(drop=True)
+
+    both = l_tagged.union(r_tagged)
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
 
 
 def salted_two_phase_sum(ds, key_cols: Sequence[str], value_col: str,

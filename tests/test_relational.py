@@ -264,3 +264,46 @@ class TestRayAggregateBridge:
                .to_pandas())
         for v in out["ad"]:
             assert abs(v - 5000) / 5000 < 0.05
+
+
+class TestAsofJoin:
+    def test_backward_matches_merge_asof(self, ray_session):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages.relational import asof_join
+
+        rng = np.random.default_rng(11)
+        n = 400
+        left = pa.table({"k": rng.integers(0, 8, n),
+                         "lt": np.round(rng.uniform(0, 100, n), 3)})
+        right = pa.table({"k": rng.integers(0, 8, n),
+                          "rt": np.round(rng.uniform(0, 100, n), 3),
+                          "val": rng.integers(0, 1000, n)})
+        got = asof_join(rd.from_arrow(left).repartition(3),
+                        rd.from_arrow(right).repartition(3),
+                        ["k"], left_ts="lt", right_ts="rt").to_pandas()
+        lp = left.to_pandas().sort_values("lt")
+        rp = right.to_pandas().sort_values("rt")
+        exp = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k",
+                            direction="backward")
+        exp = exp[exp["rt"].notna()]
+        g = got.sort_values(["k", "lt", "rt"]).reset_index(drop=True)
+        e = exp.sort_values(["k", "lt", "rt"]).reset_index(drop=True)
+        assert len(g) == len(e)
+        pd.testing.assert_frame_equal(
+            g[["k", "lt", "rt", "val"]], e[["k", "lt", "rt", "val"]],
+            check_dtype=False,
+        )
+
+    def test_forward_direction(self, ray_session):
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages.relational import asof_join
+
+        left = pa.table({"k": [1, 1], "lt": [5.0, 50.0]})
+        right = pa.table({"k": [1, 1], "rt": [10.0, 40.0], "v": [7, 8]})
+        got = asof_join(rd.from_arrow(left), rd.from_arrow(right), ["k"],
+                        left_ts="lt", right_ts="rt",
+                        direction="forward").to_pandas()
+        got = got.sort_values("lt").reset_index(drop=True)
+        # 5.0 → next right at 10.0 (v=7); 50.0 → no later right row
+        assert len(got) == 1
+        assert got.iloc[0]["v"] == 7
