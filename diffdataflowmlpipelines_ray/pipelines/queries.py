@@ -1063,6 +1063,70 @@ def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
                           "within_1pct": int(abs(est - exact) / exact < 0.01)}])
 
 
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval (range) join: clicks landing within one hour AFTER each
+    error event of the same user, counted per error.  One bucket-co-location
+    shuffle by user, vectorized per-bucket interval probe.  Oracle: the SQL
+    inequality join."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def split(tbl: pa.Table) -> pa.Table:
+        ts = pc.divide(
+            pc.cast(tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                    pa.float64()), 1e6)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": tbl["user_id"],
+            "t": ts,
+            "is_err": pc.equal(tbl["event_type"], "error"),
+            "is_click": pc.equal(tbl["event_type"], "click"),
+            "__b": pa.array((uid.astype(np.uint64)
+                             * np.uint64(0x9E3779B97F4A7C15)) % 64),
+        })
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        errs = pdf[pdf["is_err"]]
+        clicks = pdf[pdf["is_click"]].sort_values(["user_id", "t"])
+        if not len(errs):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "error_ts": pd.Series([], dtype="float64"),
+                "n_clicks_1h": pd.Series([], dtype="int64"),
+            })
+        out_rows = []
+        for uid, eg in errs.groupby("user_id", sort=False):
+            ct = clicks.loc[clicks["user_id"] == uid, "t"].to_numpy()
+            et = eg["t"].to_numpy()
+            lo = np.searchsorted(ct, et, side="right")  # strictly after
+            hi = np.searchsorted(ct, et + 3600.0, side="right")  # ≤ t+1h
+            for t0, n in zip(et, hi - lo):
+                out_rows.append((int(uid), float(t0), int(n)))
+        return pd.DataFrame(out_rows,
+                            columns=["user_id", "error_ts", "n_clicks_1h"])
+
+    out = (ev.map_batches(split, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    out["n_clicks_1h"] = out["n_clicks_1h"].astype(np.int64)
+    return _round(out, ["error_ts"])
+
+
+def q_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-hash Bernoulli sample (~5%) — reproducible
+    across engines and runs, unlike seeded RNG samplers; the oracle applies
+    the identical MD5-60bit predicate in SQL."""
+    from ..functions.hashing import stable_hash60_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def samp(tbl: pa.Table) -> pa.Table:
+        keys = [str(x) for x in tbl["doc_id"].to_pylist()]
+        h = stable_hash60_array(keys)
+        return tbl.filter(pa.array(h % 100 < 5))
+
+    return ds.map_batches(samp, batch_format="pyarrow").to_pandas()
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Seeded reservoir-free sampling (rows-only check: SQL can't reproduce
     Ray's sampler; determinism asserted by the fixed seed)."""
@@ -1141,6 +1205,8 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "union": q_union,
     "sample": q_sample,
+    "hash_sample": q_hash_sample,
+    "range_join": q_range_join,
     "topk_per_group": q_topk_per_group,
     "json_extract": q_json_extract,
     "grouped_meanvar": q_grouped_meanvar,
@@ -1405,6 +1471,22 @@ ORACLES = {
         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0
         UNION ALL
         SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "hash_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 5
+    """,
+    "range_join": """
+        SELECT e.user_id,
+               ROUND(epoch(e.ts), 6) AS error_ts,
+               count(c.ts)::BIGINT AS n_clicks_1h
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = e.user_id
+         AND epoch(c.ts) > epoch(e.ts)
+         AND epoch(c.ts) <= epoch(e.ts) + 3600
+        GROUP BY e.user_id, e.ts
     """,
     "topk_per_group": """
         SELECT l_returnflag, l_orderkey, l_linenumber,
