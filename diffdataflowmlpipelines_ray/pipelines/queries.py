@@ -1127,6 +1127,66 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(samp, batch_format="pyarrow").to_pandas()
 
 
+def q_rolling_features(sf_dir: str) -> pd.DataFrame:
+    """Per-key time-series features: previous value (lag 1) and 5-row
+    trailing mean per user ordered by event time — the leakage-safe rolling
+    shape every temporal feature pipeline needs.  One bucket co-location by
+    key; vectorized pandas rolling inside the bucket.  Oracle: SQL window
+    functions."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array(((uid.astype(np.uint64)
+                              * np.uint64(0x9E3779B97F4A7C15)) % 64)
+                            .astype(np.int64)))
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts"], kind="mergesort")
+        g = pdf.groupby("user_id", sort=False)["value"]
+        out = pd.DataFrame({
+            "user_id": pdf["user_id"],
+            "ts": pdf["ts"],
+            "lag1": g.shift(1),
+            "mean5": g.rolling(5, min_periods=1).mean()
+                      .reset_index(level=0, drop=True),
+        })
+        return out
+
+    df = (ev.map_batches(bucket, batch_format="pyarrow")
+          .groupby("__b").map_groups(roll, batch_format="pandas")
+          .to_pandas())
+    df["ts"] = df["ts"].astype("datetime64[us]").astype(np.int64) / 1e6
+    return _round(df, ["ts", "lag1", "mean5"])
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-group fixed-size sample: 20 docs per language,
+    ranked by content hash (reproducible across engines/runs — no RNG).
+    Oracle: QUALIFY row_number() over the identical MD5 ordering."""
+    from ..functions.hashing import stable_hash60_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_hash(tbl: pa.Table) -> pa.Table:
+        keys = [str(x) for x in tbl["doc_id"].to_pylist()]
+        return tbl.append_column("__h", pa.array(stable_hash60_array(keys)))
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial: keep each lang's 20 lowest hashes
+        return pdf.sort_values(["__h", "doc_id"]).groupby(
+            "lang", sort=False).head(20)
+
+    parts = (ds.map_batches(rank_hash, batch_format="pyarrow")
+             .map_batches(local_topk, batch_format="pandas")
+             .to_pandas())
+    out = (parts.sort_values(["__h", "doc_id"]).groupby("lang", sort=False)
+           .head(20)[["doc_id", "lang"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
 def q_sample(sf_dir: str) -> pd.DataFrame:
     """Seeded reservoir-free sampling (rows-only check: SQL can't reproduce
     Ray's sampler; determinism asserted by the fixed seed)."""
@@ -1206,7 +1266,9 @@ QUERIES = {
     "union": q_union,
     "sample": q_sample,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "range_join": q_range_join,
+    "rolling_features": q_rolling_features,
     "topk_per_group": q_topk_per_group,
     "json_extract": q_json_extract,
     "grouped_meanvar": q_grouped_meanvar,
@@ -1487,6 +1549,21 @@ ORACLES = {
          AND epoch(c.ts) > epoch(e.ts)
          AND epoch(c.ts) <= epoch(e.ts) + 3600
         GROUP BY e.user_id, e.ts
+    """,
+    "rolling_features": """
+        SELECT user_id, ROUND(epoch(ts), 6) AS ts,
+               ROUND(lag(value) OVER w, 6) AS lag1,
+               ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                     doc_id) <= 20
     """,
     "topk_per_group": """
         SELECT l_returnflag, l_orderkey, l_linenumber,
