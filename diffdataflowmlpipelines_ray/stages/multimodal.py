@@ -1,16 +1,20 @@
-"""Multimodal (image/audio/video) column plumbing with stubbed codecs.
+"""Multimodal (image/audio/video) column plumbing.
 
 Binary media are opaque ``binary`` columns with typed metadata columns
 (``media_type``, ``width``/``height``/``duration_ms``…).  The Ray-side
 plumbing — schema, actor-pool stages, small batch sizes for large payloads,
-output layout — is real and tested; the *codec* itself is stubbed because
-image/audio libraries are not in this container:
+output layout — is real and tested.  Codecs:
 
-- ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at the decode
-  call (the documented integration point: swap in PIL/torchvision there);
-- ``fake=True`` produces a deterministic feature vector derived from the
-  payload bytes (sha256-seeded), so downstream stages and tests exercise the
-  full pipeline shape.
+- **PPM (P6) and PGM (P5)** payloads decode for REAL — a pure-numpy parser
+  (``decode_ppm``) needs no external library, so the full
+  decode→feature-extract path runs genuinely on uncompressed images;
+- compressed formats (JPEG/PNG/…): ``DecodeImage(fake=False)`` raises
+  ``NotImplementedError`` at the decode call (the documented integration
+  point: swap in PIL/torchvision there — these libs are absent in this
+  container);
+- ``fake=True`` produces a deterministic sha256-seeded feature vector for
+  payloads of any format, so downstream stages and tests exercise the full
+  pipeline shape without codecs.
 
 Large-payload guidance baked in: media stages default to ``batch_size=32``
 (payload × batch × concurrency must fit the worker heap) and run as actor
@@ -24,8 +28,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["media_schema", "DecodeImage", "ResizeImage", "SampleFrames",
-           "decode_image_features", "MEDIA_BATCH_SIZE"]
+__all__ = ["media_schema", "decode_ppm", "image_features", "DecodeImage",
+           "ResizeImage", "SampleFrames", "decode_image_features",
+           "MEDIA_BATCH_SIZE"]
 
 MEDIA_BATCH_SIZE = 32
 
@@ -44,6 +49,53 @@ def media_schema(kind: str = "image") -> pa.Schema:
     else:
         extra = [pa.field("fps", pa.float32()), pa.field("duration_ms", pa.int32())]
     return pa.schema(common + extra)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary PPM (P6, RGB) / PGM (P5, gray).
+
+    Returns uint8 array of shape (h, w, 3) or (h, w).  Raises ValueError on
+    anything else (caller falls back to the library integration point).
+    Only maxval ≤ 255 is supported (1 byte/sample).
+    """
+    if not payload.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary PPM/PGM payload")
+    rgb = payload.startswith(b"P6")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * (3 if rgb else 1)
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape((h, w, 3) if rgb else (h, w))
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic visual features from decoded pixels: per-channel means
+    and a coarse intensity histogram, padded/truncated to ``dim``."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    chan_mean = img.reshape(-1, img.shape[2]).mean(axis=0) / 255.0
+    hist, _ = np.histogram(img, bins=max(4, dim - img.shape[2]),
+                           range=(0, 255))
+    hist = hist / max(1, hist.sum())
+    feats = np.concatenate([chan_mean, hist])
+    if feats.size < dim:
+        feats = np.concatenate([feats, np.zeros(dim - feats.size)])
+    return feats[:dim]
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
@@ -71,12 +123,14 @@ class DecodeImage:
         # actor), e.g. self.model = load_model(...)
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "swap in PIL/torchvision decode here"
-            )
-        return _fake_features(payload, self.dim)
+        if self.fake:
+            return _fake_features(payload, self.dim)
+        if payload.startswith((b"P6", b"P5")):  # real pure-numpy path
+            return image_features(decode_ppm(payload), self.dim)
+        raise NotImplementedError(
+            "compressed-image codec not available in this environment; "
+            "swap in PIL/torchvision decode here (PPM/PGM decode for real)"
+        )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         payloads = tbl[self.payload_col].to_pylist()

@@ -301,3 +301,54 @@ class TestDistributedConnectedComponents:
         out = connected_components_ds(ds, buckets=4).to_pandas().set_index("id")
         assert out.loc[7, "component"] == 5
         assert out.loc[32, "component"] == 30
+
+
+class TestRealPpmDecode:
+    @staticmethod
+    def _ppm(w, h, seed=0):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+        return header + pix.tobytes(), pix
+
+    def test_decode_roundtrip(self):
+        from diffdataflowmlpipelines_ray.stages.multimodal import decode_ppm
+
+        payload, pix = self._ppm(7, 5, seed=3)
+        out = decode_ppm(payload)
+        assert out.shape == (5, 7, 3)
+        assert (out == pix).all()
+
+    def test_pgm_gray(self):
+        from diffdataflowmlpipelines_ray.stages.multimodal import decode_ppm
+
+        pix = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        payload = b"P5\n4 3\n255\n" + pix.tobytes()
+        out = decode_ppm(payload)
+        assert out.shape == (3, 4)
+        assert (out == pix).all()
+
+    def test_real_decode_pipeline(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_image_features,
+        )
+
+        payloads, pixes = zip(*[self._ppm(8, 6, seed=i) for i in range(5)])
+        ds = docs_ds({
+            "media_id": [f"m{i}" for i in range(5)],
+            "payload": list(payloads),
+        })
+        out = decode_image_features(ds, dim=16, fake=False).take_all()
+        assert len(out) == 5
+        by_id = {r["media_id"]: np.asarray(r["features"]) for r in out}
+        # feature[0..2] are the channel means of the REAL pixels
+        for i in range(5):
+            expect = pixes[i].reshape(-1, 3).mean(axis=0) / 255.0
+            np.testing.assert_allclose(by_id[f"m{i}"][:3], expect, rtol=1e-6)
+
+    def test_compressed_formats_still_raise(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import DecodeImage
+
+        dec = DecodeImage(fake=False)
+        with pytest.raises(NotImplementedError):
+            dec._decode(b"\x89PNG\r\n....")
