@@ -587,6 +587,43 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
+def q_image_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal path with the REAL pure-numpy PPM decoder: deterministic
+    8×8 RGB payloads synthesized per doc (seeded by doc_id), decoded in the
+    actor-pool stage, channel-mean features extracted from actual pixels.
+    Rows-only (SQL cannot decode images); byte-exactness covered in pytest."""
+    from ..stages.multimodal import decode_image_features
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            rng = np.random.default_rng(int(d))
+            pix = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            payloads.append(b"P6\n8 8\n255\n" + pix.tobytes())
+        return pa.table({"media_id": pa.array([str(d) for d in ids]),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = decode_image_features(
+        ds.map_batches(synth, batch_format="pyarrow"), dim=8, fake=False
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        feats = tbl["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(tbl), -1)
+        return pa.table({"media_id": tbl["media_id"],
+                         "r_mean": pa.array(np.round(mat[:, 0], 6)),
+                         "g_mean": pa.array(np.round(mat[:, 1], 6)),
+                         "b_mean": pa.array(np.round(mat[:, 2], 6))})
+
+    return out.map_batches(project, batch_format="pyarrow").to_pandas()
+
+
 def q_token_count(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = add_text_stats(ds)
@@ -1251,6 +1288,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "image_decode": q_image_decode,
     "token_count": q_token_count,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
