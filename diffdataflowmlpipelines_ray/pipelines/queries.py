@@ -1008,6 +1008,80 @@ def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["avg_price"])
 
 
+def q_intersect(sf_dir: str) -> pd.DataFrame:
+    """Set intersection via the partitioned semi-join (distinct custkeys
+    appearing in BOTH orders and high-balance customers) — the set-op family
+    the reference leaves to join/antijoin composition (SURVEY §2.6)."""
+    from ..stages.relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def hi(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": tbl.filter(pc.greater(tbl["c_acctbal"], 5000.0))
+            ["c_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = hash_join(cust.map_batches(hi, batch_format="pyarrow"), orders,
+                    ["c_custkey"], ["o_custkey"], how="semi")
+    df = pd.DataFrame({"c_custkey": sorted(set(
+        r["c_custkey"] for r in out.take_all()))})
+    return df.astype({"c_custkey": "int64"})
+
+
+def q_except(sf_dir: str) -> pd.DataFrame:
+    """Set difference via the partitioned anti-join: high-balance customers
+    with NO orders."""
+    from ..stages.relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def hi(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": tbl.filter(pc.greater(tbl["c_acctbal"], 5000.0))
+            ["c_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = hash_join(cust.map_batches(hi, batch_format="pyarrow"), orders,
+                    ["c_custkey"], ["o_custkey"], how="anti")
+    df = pd.DataFrame({"c_custkey": sorted(set(
+        r["c_custkey"] for r in out.take_all()))})
+    return df.astype({"c_custkey": "int64"})
+
+
+def q_pivot(sf_dir: str) -> pd.DataFrame:
+    """Wide (pivoted) aggregation: per-user event counts as one column per
+    event type — block-local crosstab partials, tiny column-wise merge per
+    bucket.  Oracle: conditional-aggregation SQL."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(pdf["user_id"], pdf["event_type"])
+        for t in types:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[types].reset_index()
+        uid = ct["user_id"].to_numpy().astype(np.uint64)
+        ct["__b"] = ((uid * np.uint64(0x9E3779B97F4A7C15)) % 64).astype(
+            np.int64)
+        return ct
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("user_id", as_index=False)[types].sum()
+        out.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return out.astype("int64")
+
+    # user_id is high-cardinality: partial crosstabs merge per hash bucket,
+    # never in one driver frame
+    out = (ev.map_batches(partial, batch_format="pandas")
+           .groupby("__b").map_groups(merge_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_union(sf_dir: str) -> pd.DataFrame:
     """Multiset union (the reference's ``concat``, one_hot_encoder.rs:59):
     high-value orders ∪ automobile-segment customers' keys, duplicates kept."""
@@ -1366,6 +1440,9 @@ QUERIES = {
     "supplier_region": q_supplier_region,
     "part_brand_stats": q_part_brand_stats,
     "union": q_union,
+    "intersect": q_intersect,
+    "except": q_except,
+    "pivot": q_pivot,
     "sample": q_sample,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
@@ -1642,6 +1719,30 @@ ORACLES = {
         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000.0
         UNION ALL
         SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "intersect": """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        INTERSECT
+        SELECT o_custkey FROM orders
+    """,
+    "except": """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        EXCEPT
+        SELECT o_custkey FROM orders
+    """,
+    "pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_error
+        FROM events GROUP BY user_id
     """,
     "hash_sample": """
         SELECT doc_id, source FROM documents
