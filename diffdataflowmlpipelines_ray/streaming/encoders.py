@@ -185,6 +185,17 @@ class IncrementalEncoderSession:
                         merged[k] = acc
             # fused per-epoch grouped aggregates: strip from the encoder
             # deltas and commit directly (epoch == tumbling window)
+            if len(merged) > 1_000_000:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "IncrementalEncoderSession merged %d per-epoch keys on "
+                    "the driver; the fused epoch_aggs path is built for "
+                    "LOW-cardinality keys (encoder meta + coarse groups). "
+                    "Route high-cardinality keyed aggregation through "
+                    "StreamSession/KeyedAggregation (shard-direct scatter).",
+                    len(merged),
+                )
             if self.epoch_aggs:
                 win_items: dict[str, list] = {s["name"]: [] for s in self.epoch_aggs}
                 for k in [k for k in merged if pickle.loads(k)[0] == "__epoch_agg"]:
