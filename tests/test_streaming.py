@@ -942,3 +942,53 @@ class TestSparseCheckpointRecovery:
         g = got.groupby(key)[["count", "sum"]].sum().sort_index()
         r = ref.groupby(key)[["count", "sum"]].sum().sort_index()
         pd.testing.assert_frame_equal(g, r)
+
+
+class TestDistributedPathEdgeCases:
+    def test_retraction_cancels_through_dataset_join(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        sess = StreamSession(tmp_path / "djr", num_shards=2)
+        sess.add(StreamJoin(name="j", left_input="l", right_input="r",
+                            left_key=["k"], right_key=["k2"],
+                            left_cols=["lv"], right_cols=["rv"]))
+        try:
+            l0 = pa.table({"k": [1], "lv": [10.0], "diff": [1]})
+            r0 = pa.table({"k2": [1], "rv": [7.0], "diff": [1]})
+            sess.process_epoch(0, {"l": rd.from_arrow(l0),
+                                   "r": rd.from_arrow(r0)})
+            # retract the left row: the emitted match must carry diff = −1
+            l1 = pa.table({"k": [1], "lv": [10.0], "diff": [-1]})
+            sess.process_epoch(1, {"l": rd.from_arrow(l1),
+                                   "r": rd.from_arrow(pa.table(
+                                       {"k2": pa.array([], pa.int64()),
+                                        "rv": pa.array([], pa.float64()),
+                                        "diff": pa.array([], pa.int64())}))})
+            out = sess.sinks["j"].read_committed_table().to_pandas()
+        finally:
+            sess.store.shutdown()
+        # multiset-sums to zero: +1 match in epoch 0, −1 in epoch 1
+        assert out["diff"].sum() == 0
+        assert len(out) == 2
+
+    def test_late_rows_counted_through_dataset_scatter(self, ray_session,
+                                                       tmp_path):
+        import ray.data as rd
+
+        sess = StreamSession(tmp_path / "dlate", num_shards=2)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts",
+                                  aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        t0 = pa.table({"u": [1], "ts": [5.0], "v": [1.0]})
+        sess.process_epoch(0, {"e": rd.from_arrow(t0)}, watermark=20.0)
+        late = pa.table({"u": [1, 1], "ts": [7.0, 25.0], "v": [1.0, 1.0]})
+        sess.process_epoch(1, {"e": rd.from_arrow(late)})
+        try:
+            assert sess.metrics["late_dropped"] == 1  # via summary rows
+            sess.close()
+            out = sess.sinks["w"].read_committed_table().to_pandas()
+        finally:
+            if sess.store.shards:
+                sess.store.shutdown()
+        assert out["count"].sum() == 2  # late row never lands
