@@ -24,7 +24,6 @@ equal to what DD's accumulated deltas converge to (tested).
 
 from __future__ import annotations
 
-import math
 import pickle
 from pathlib import Path
 from typing import Sequence
