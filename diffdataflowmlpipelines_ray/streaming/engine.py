@@ -682,6 +682,9 @@ class StreamSession:
         def per_block(tbl: pa.Table) -> pa.Table:
             pts, late = op.points_batch(tbl, wm)
             if kind == "session":
+                # insert-only sessions compress to intervals per block;
+                # "session_delta" (retractable) and "pattern" payloads stay
+                # raw point lists (concatenation-mergeable)
                 pts = {k: StateShard.build_sessions(v, gap)
                        for k, v in pts.items()}
             max_ts = -math.inf
@@ -726,6 +729,9 @@ class StreamSession:
             if kind == "session":
                 n = ray.get(shards[sid].apply_session_points.remote(
                     name, epoch, payload, gap))
+            elif kind == "session_delta":
+                n = ray.get(shards[sid].apply_session_point_deltas.remote(
+                    name, epoch, payload))
             else:
                 n = ray.get(shards[sid].apply_pattern_points.remote(
                     name, epoch, payload))
@@ -865,12 +871,16 @@ class StreamSession:
                 if op.input not in inputs:
                     continue
                 data = inputs[op.input]
-                if op.retractable:
-                    data = self._as_table(data)
+                if op.retractable and isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
                     self._observe_event_time(op, data)
                     self.store.apply_session_point_deltas(name, epoch, points)
+                elif op.retractable:
+                    # Dataset epoch of (ts, value, diff) point deltas:
+                    # shard-direct like every other keyed payload
+                    self._scatter_points_distributed(op, name, epoch, data,
+                                                     kind="session_delta")
                 elif isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late

@@ -992,3 +992,41 @@ class TestDistributedPathEdgeCases:
             if sess.store.shards:
                 sess.store.shutdown()
         assert out["count"].sum() == 2  # late row never lands
+
+
+class TestRetractableSessionDatasetPath:
+    def test_dataset_deltas_match_table_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        pts = pa.table({
+            "u": [1, 1, 1, 1], "ts": [0.0, 50.0, 100.0, 200.0],
+            "v": [1.0, 1.0, 1.0, 1.0], "diff": [1, 1, 1, 1],
+        })
+        # retract the bridging 50.0 point → the session must SPLIT
+        retr = pa.table({"u": [1], "ts": [50.0], "v": [1.0], "diff": [-1]})
+
+        def run(root, as_dataset):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(SessionWindowAggregation(
+                name="s", input="e", key_cols=["u"], ts_col="ts",
+                value_col="v", gap=60.0, retractable=True,
+                weight_col="diff"))
+            try:
+                wrap = (lambda t: rd.from_arrow(t)) if as_dataset else (
+                    lambda t: t)
+                sess.process_epoch(0, {"e": wrap(pts)})
+                sess.process_epoch(1, {"e": wrap(retr)})
+                out = sess.advance_watermark(2, 1000.0)
+                return (out["s"].to_pandas()
+                        .sort_values("session_start").reset_index(drop=True))
+            finally:
+                sess.store.shutdown()
+
+        a = run(tmp_path / "t", False)
+        b = run(tmp_path / "d", True)
+        pd.testing.assert_frame_equal(
+            a[["u", "session_start", "session_end", "count"]],
+            b[["u", "session_start", "session_end", "count"]],
+        )
+        # the retraction split one session into [0,..] [100,..] [200,..]
+        assert len(a) == 3
