@@ -95,6 +95,21 @@ class WindowSpec:
     def session(gap: float, allowed_lateness: float = 0.0) -> "WindowSpec":
         return WindowSpec("session", gap=float(gap), allowed_lateness=allowed_lateness)
 
+    @property
+    def use_panes(self) -> bool:
+        """Sliding windows whose slide divides the size keep ONE tumbling
+        pane accumulator per (key, slide-bucket) instead of size/slide
+        replicated per-window entries; panes merge at emission.  State and
+        shuffle shrink by the overlap factor (hourly panes of a daily
+        window: 24×) with identical emissions."""
+        return (self.kind == "sliding" and self.slide < self.size
+                and self.size % self.slide == 0)
+
+    def assign_panes(self, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ts → (row_index, pane_start, pane_end) — one pane per row."""
+        start = np.floor(ts / self.slide) * self.slide
+        return np.arange(ts.size), start, start + self.slide
+
     def assign(self, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """ts → (row_index, window_start, window_end); sliding replicates rows."""
         if self.kind == "tumbling":
@@ -171,8 +186,16 @@ class KeyedAggregation:
         late = 0
         if self.window is not None:
             ts = _ts_to_float(pdf[self.ts_col])
-            idx, wstart, wend = self.window.assign(ts)
-            keep = wend + self.window.allowed_lateness > finalized_before
+            if self.window.use_panes:
+                idx, wstart, wend = self.window.assign_panes(ts)
+                # a row is late when even its NEWEST containing window
+                # (start = pane start) is already closed
+                newest_end = wstart + self.window.size
+                keep = (newest_end + self.window.allowed_lateness
+                        > finalized_before)
+            else:
+                idx, wstart, wend = self.window.assign(ts)
+                keep = wend + self.window.allowed_lateness > finalized_before
             late = int((~keep).sum())
             idx, wstart, wend = idx[keep], wstart[keep], wend[keep]
             frame = pdf.iloc[idx][list(self.key_cols)].assign(
@@ -993,7 +1016,12 @@ class StreamSession:
         for name, op in self.ops.items():
             if isinstance(op, KeyedAggregation) and op.window is not None:
                 bound = self.watermark - op.window.allowed_lateness
-                items = self.store.sweep_closed_windows(name, bound)
+                if op.window.use_panes:
+                    items = self.store.sweep_sliding_panes(
+                        name, bound, op.window.size, op.window.slide
+                    )
+                else:
+                    items = self.store.sweep_closed_windows(name, bound)
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],

@@ -63,6 +63,8 @@ class StateShard:
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
+        # pane-mode sliding windows: name -> last emitted sweep bound
+        self.pane_bounds: dict[str, float] = {}
         # idempotency: table name -> applied-epoch high-water mark (epochs
         # arrive in increasing order; a replay/retry re-sends an epoch ≤ the
         # mark).  An int, not a set — a 10^12-sequence stream has millions of
@@ -124,6 +126,54 @@ class StateShard:
             window_end = k[-1]
             if window_end <= close_before:
                 emitted.append((key, store.pop(key)))
+        emitted.sort()
+        return _dumps(emitted)
+
+    def sweep_sliding_panes(self, name: str, close_before: float,
+                            size: float, slide: float) -> bytes:
+        """Pane-mode sliding-window emission: state keys are
+        ``(key…, pane_start, pane_end)`` tumbling panes of width ``slide``;
+        a WINDOW [w, w+size) is emitted when its end lands in
+        (last_bound, close_before], merging its size/slide panes.  Panes
+        drop once their LAST containing window has been emitted, so state is
+        O(keys × panes), not O(keys × windows-per-row).  Monotone
+        ``last_bound`` (checkpointed) makes re-sweeps idempotent the same
+        way emission-and-removal does for the replicated path.
+        """
+        import math as _math
+
+        store = self.aggs.get(name, {})
+        last = self.pane_bounds.get(name, -_math.inf)
+        r = int(round(size / slide))
+        groups: dict[tuple, list] = {}
+        for kb in list(store.keys()):
+            kt = pickle.loads(kb)
+            groups.setdefault(kt[:-2], []).append((kt[-2], kb))
+        emitted = []
+        for base, panes in groups.items():
+            panes.sort()
+            ends = set()
+            for ps, _ in panes:
+                for j in range(r):
+                    we = ps - j * slide + size
+                    if last < we <= close_before:
+                        ends.add(we)
+            for we in sorted(ends):
+                ws = we - size
+                accs = [store[kb] for ps, kb in panes
+                        if ws <= ps < we and kb in store]
+                if not accs:
+                    continue
+                merged = accs[0].copy()
+                for a in accs[1:]:
+                    merged.merge(a)
+                new_key = pickle.dumps(base + (ws, we),
+                                       protocol=pickle.HIGHEST_PROTOCOL)
+                emitted.append((new_key, merged))
+            for ps, kb in panes:
+                if ps + size <= close_before:
+                    store.pop(kb, None)
+        self.pane_bounds[name] = max(last, close_before)
         emitted.sort()
         return _dumps(emitted)
 
@@ -384,6 +434,7 @@ class StateShard:
                 "session_points": self.session_points,
                 "joins": self.joins,
                 "patterns": self.patterns,
+                "pane_bounds": self.pane_bounds,
                 "applied": self.applied,
             }
         )
@@ -395,6 +446,7 @@ class StateShard:
         self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
         self.patterns = st.get("patterns", {})
+        self.pane_bounds = st.get("pane_bounds", {})
         applied = st["applied"]
         # tolerate snapshots from the earlier set-based format
         self.applied = {
@@ -465,6 +517,31 @@ class ShardedStateStore:
             out.extend(pickle.loads(b))
         out.sort(key=lambda kv: kv[0])
         return out
+
+    def sweep_sliding_panes(self, name: str, close_before: float,
+                            size: float, slide: float) -> list:
+        """Pane sweep + cross-shard window merge.
+
+        A base key's PANES hash to different shards (state keys include the
+        pane bounds), so each shard emits per-window PARTIAL accumulators;
+        they merge here by window key — O(emitted windows), which the driver
+        already collects for the sink commit.  Deterministic merge order via
+        (key, accumulator-bytes) sort."""
+        blobs = ray.get([
+            s.sweep_sliding_panes.remote(name, close_before, size, slide)
+            for s in self.shards
+        ])
+        parts: list = []
+        for b in blobs:
+            parts.extend(pickle.loads(b))
+        parts.sort(key=lambda kv: (kv[0], _dumps(kv[1])))
+        merged: dict[bytes, Any] = {}
+        for k, acc in parts:
+            if k in merged:
+                merged[k].merge(acc)
+            else:
+                merged[k] = acc
+        return sorted(merged.items())
 
     # --------------------------------------------------------------- sessions
     def apply_session_points(self, name: str, epoch: int,
