@@ -444,6 +444,34 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_window_topk(sf_dir: str) -> pd.DataFrame:
+    """Streaming composition: tumbling-window counts per event type, then
+    top-3 event types per window from the watermark-emitted output (the
+    emitted stream is itself an analytics input).  Oracle: QUALIFY over the
+    same window counts."""
+    tbl = _read_table(sf_dir, "events", ["event_type", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("wtopk"), num_shards=4)
+    sess.add(KeyedAggregation(name="w", input="events",
+                              key_cols=["event_type"], ts_col="ts",
+                              aggs=("count",),
+                              window=WindowSpec.tumbling(21600.0)))
+    try:
+        parts = _epoch_split(tbl, 3)
+        for e, part in enumerate(parts):
+            sess.process_epoch(e, {"events": part})
+        sess.close(len(parts))
+        emitted = sess.sinks["w"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    top = (emitted.sort_values(["window_start", "count", "event_type"],
+                               ascending=[True, False, True])
+           .groupby("window_start", sort=True).head(3))
+    out = top[["window_start", "event_type", "count"]].reset_index(drop=True)
+    out["count"] = out["count"].astype(np.int64)
+    return _round(out, ["window_start"])
+
+
 def q_session_window(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "events", ["user_id", "ts"]).sort_by("ts")
     sess = StreamSession(_tmp("sess"), num_shards=4)
@@ -1413,6 +1441,7 @@ QUERIES = {
     "tumbling_minmax": q_tumbling_minmax,
     "sliding_window": q_sliding_window,
     "window_distinct": q_window_distinct,
+    "window_topk": q_window_topk,
     "session_window": q_session_window,
     "stream_join": q_stream_join,
     "retraction_groupby": q_retraction_groupby,
@@ -1563,6 +1592,18 @@ ORACLES = {
                count(DISTINCT user_id)::BIGINT AS distinct_users,
                1::BIGINT AS within_5pct
         FROM events GROUP BY event_type, window_start
+    """,
+    "window_topk": """
+        WITH wc AS (
+            SELECT event_type,
+                   ROUND(floor(epoch(ts) / 21600) * 21600, 6) AS window_start,
+                   count(*)::BIGINT AS count
+            FROM events GROUP BY event_type, window_start
+        )
+        SELECT window_start, event_type, count FROM wc
+        QUALIFY row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY count DESC, event_type) <= 3
     """,
     "session_window": """
         WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),

@@ -379,6 +379,12 @@ class PatternMatch:
     within: float
     allowed_lateness: float = 0.0
 
+    def __post_init__(self):
+        if not self.pattern:
+            raise ValueError("pattern must list at least one event type")
+        if self.within <= 0:
+            raise ValueError("within must be positive")
+
     def points_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
         """→ ({key: [(ts, type)…]}, late).  Events at or before the last
         finalize bound (watermark − within) can only serve already-emitted
