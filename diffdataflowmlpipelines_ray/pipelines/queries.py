@@ -398,14 +398,16 @@ def q_window_distinct(sf_dir: str) -> pd.DataFrame:
         value_col="user_id", ts_col="ts",
         window=WindowSpec.tumbling(7200.0),
         make_acc=lambda vals, w: _HllExactAcc(vals),
-        # tolerance: 5% relative with an absolute floor of 2 — a single
-        # register collision on a 6-user window is 17% relative error, the
-        # sketch's inherent small-n variance, not a defect
+        # tolerance: 8% relative (≈5σ for p=12's 1.6% standard error) with
+        # an absolute floor of 3 — across thousands of emitted windows a 3σ
+        # band WILL produce expected statistical outliers (observed 1/2000
+        # at sf0.1), and a single register collision on a 6-user window is
+        # 17% relative; the bound must hold for every window at any sf
         finalize=lambda a: {
             "distinct_users": len(a.exact),
-            "within_5pct": int(
+            "within_tol": int(
                 abs(a.hll.estimate() - len(a.exact))
-                <= max(2.0, 0.05 * len(a.exact))
+                <= max(3.0, 0.08 * len(a.exact))
             ),
         },
     ))
@@ -420,7 +422,7 @@ def q_window_distinct(sf_dir: str) -> pd.DataFrame:
             sess.store.shutdown()
     df = df.drop(columns=["epoch", "window_end"])
     df["distinct_users"] = df["distinct_users"].astype(np.int64)
-    df["within_5pct"] = df["within_5pct"].astype(np.int64)
+    df["within_tol"] = df["within_tol"].astype(np.int64)
     return _round(df, ["window_start"])
 
 
@@ -1590,7 +1592,7 @@ ORACLES = {
         SELECT event_type,
                ROUND(floor(epoch(ts) / 7200) * 7200, 6) AS window_start,
                count(DISTINCT user_id)::BIGINT AS distinct_users,
-               1::BIGINT AS within_5pct
+               1::BIGINT AS within_tol
         FROM events GROUP BY event_type, window_start
     """,
     "window_topk": """
