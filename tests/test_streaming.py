@@ -1105,3 +1105,50 @@ class TestPaneBasedSliding:
         # [50,150):1 … every (window) exactly once, total count = rows×2
         assert counts.sum() == 6
         assert first >= 1
+
+
+class TestShardCountInvariance:
+    @pytest.mark.parametrize("shards", [1, 3, 5])
+    def test_pattern_and_pane_outputs_identical(self, ray_session, tmp_path,
+                                                shards):
+        from diffdataflowmlpipelines_ray.streaming.engine import PatternMatch
+
+        rng = np.random.default_rng(21)
+        n = 300
+        tbl = pa.table({
+            "k": rng.integers(0, 6, n),
+            "ts": np.sort(rng.uniform(0, 500, n)),
+            "t": rng.choice(["a", "b", "x"], n),
+            "v": rng.normal(size=n),
+        })
+        sess = StreamSession(tmp_path / f"si{shards}", num_shards=shards)
+        sess.add(PatternMatch(name="p", input="e", key_cols=["k"],
+                              ts_col="ts", type_col="t",
+                              pattern=["a", "b"], within=40.0))
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["k"],
+                                  value_col="v", ts_col="ts",
+                                  aggs=("count", "sum"),
+                                  window=WindowSpec.sliding(100.0, 25.0)))
+        try:
+            for e, part in enumerate(split_epochs(tbl, 4)):
+                wm = float(np.max(part["ts"].to_numpy()))
+                sess.process_epoch(e, {"e": part}, watermark=wm)
+            sess.close(4)
+            pat = (sess.sinks["p"].read_committed_table().to_pandas()
+                   .drop(columns=["epoch"])
+                   .sort_values(["k", "ts_0", "ts_1"]).reset_index(drop=True))
+            win = (sess.sinks["w"].read_committed_table().to_pandas()
+                   .groupby(["k", "window_start"])[["count", "sum"]].sum()
+                   .sort_index())
+        finally:
+            if sess.store.shards:
+                sess.store.shutdown()
+        if not hasattr(TestShardCountInvariance, "_ref"):
+            TestShardCountInvariance._ref = (pat, win)
+        else:
+            rp, rw = TestShardCountInvariance._ref
+            pd.testing.assert_frame_equal(pat, rp)
+            pd.testing.assert_frame_equal(
+                win.reset_index(), rw.reset_index(), check_exact=False,
+                rtol=1e-9,
+            )
