@@ -92,6 +92,7 @@ def main():
     otbl = pa.table({"row_id": np.arange(n_init), "cat": cats})
     for label, kwargs in (
         ("durable", {}),
+        ("durable_amortized", {"checkpoint_every": 10}),
         ("relaxed", {"checkpoint_every": 0, "archive_input": False,
                      "fsync": False}),
     ):
