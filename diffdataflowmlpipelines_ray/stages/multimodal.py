@@ -141,10 +141,28 @@ class DecodeImage:
         return tbl.append_column(self.out, list_array_from_2d(feats))
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) or (h, w) → binary PPM/PGM payload."""
+    if img.ndim == 3:
+        header = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    else:
+        header = f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (no image libraries)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum((np.arange(width) * w / width).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
 class ResizeImage:
-    """Stub resize: records the target size; real implementation would
-    re-encode the payload.  Keeps payload passthrough + metadata update so
-    pipeline plumbing (schema evolution) is exercised."""
+    """Resize stage: PPM/PGM payloads are REALLY resized (pure-numpy
+    nearest-neighbor decode→resize→re-encode); other formats pass through
+    with updated size metadata only (the library integration point, like
+    ``DecodeImage``)."""
 
     def __init__(self, width: int, height: int):
         self.width = width
@@ -152,6 +170,20 @@ class ResizeImage:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         n = len(tbl)
+        if "payload" in tbl.column_names:
+            payloads = tbl["payload"].to_pylist()
+            out = []
+            for p in payloads:
+                if p is not None and p.startswith((b"P6", b"P5")):
+                    out.append(encode_ppm(
+                        resize_nearest(decode_ppm(p), self.width, self.height)
+                    ))
+                else:
+                    out.append(p)  # metadata-only for undecodable formats
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("payload"), "payload",
+                pa.array(out, type=pa.binary()),
+            )
         tbl = tbl.drop_columns([c for c in ("width", "height") if c in tbl.column_names])
         return (
             tbl.append_column("width", pa.array([self.width] * n, type=pa.int32()))

@@ -352,3 +352,38 @@ class TestRealPpmDecode:
         dec = DecodeImage(fake=False)
         with pytest.raises(NotImplementedError):
             dec._decode(b"\x89PNG\r\n....")
+
+
+class TestRealResize:
+    def test_ppm_resize_roundtrip(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            MEDIA_BATCH_SIZE,
+            ResizeImage,
+            decode_ppm,
+        )
+
+        rng = np.random.default_rng(5)
+        pix = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+        payload = b"P6\n6 10\n255\n" + pix.tobytes()
+        ds = docs_ds({"media_id": ["a"], "payload": [payload]})
+        out = ds.map_batches(
+            ResizeImage, fn_constructor_kwargs={"width": 3, "height": 5},
+            batch_size=MEDIA_BATCH_SIZE, batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        img = decode_ppm(out[0]["payload"])
+        assert img.shape == (5, 3, 3)
+        # nearest-neighbor: top-left pixel preserved
+        assert (img[0, 0] == pix[0, 0]).all()
+        assert out[0]["width"] == 3 and out[0]["height"] == 5
+
+    def test_non_decodable_passthrough(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import ResizeImage
+
+        r = ResizeImage(4, 4)
+        import pyarrow as pa
+
+        tbl = pa.table({"media_id": ["x"], "payload": [b"\x89PNGxxxx"]})
+        out = r(tbl)
+        assert out["payload"].to_pylist() == [b"\x89PNGxxxx"]
+        assert out["width"].to_pylist() == [4]
