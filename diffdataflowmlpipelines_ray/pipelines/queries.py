@@ -84,7 +84,14 @@ def _round(df: pd.DataFrame, cols, nd: int = 6) -> pd.DataFrame:
 
 
 def _tmp(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"ddmlp-{prefix}-", dir="/tmp")
+    """Scratch sink root for a streaming query; cleaned up at interpreter
+    exit so repeated gate/bench runs don't accumulate /tmp litter."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"ddmlp-{prefix}-", dir="/tmp")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # ====================================================================== encoders
