@@ -1010,13 +1010,24 @@ class StreamSession:
         """
         emitted = emitted if emitted is not None else {}
         if epoch >= self._replay_floor:
-            dup = [n for n in self.ops
-                   if n in self.sinks and self.sinks[n].is_committed(epoch)
-                   and not isinstance(self.ops[n], StreamJoin)]
+            new_wm = max(self.watermark, watermark)
+            dup = []
+            for n in self.ops:
+                if (n not in self.sinks or isinstance(self.ops[n], StreamJoin)
+                        or not self.sinks[n].is_committed(epoch)):
+                    continue
+                committed_wm = self.sinks[n].manifest(epoch).get(
+                    "meta", {}).get("watermark")
+                # a pure RETRY (watermark ≤ the committed one) re-sweeps
+                # nothing new and stays a safe idempotent no-op; a HIGHER
+                # watermark would drain newly-closed windows into a no-op
+                # commit and lose them — refuse before touching any shard
+                if committed_wm is None or new_wm > committed_wm:
+                    dup.append(n)
             if dup:
                 raise RuntimeError(
-                    f"epoch {epoch} already committed for {dup}; a second "
-                    "watermark advance must use a new epoch id"
+                    f"epoch {epoch} already committed for {dup} at a lower "
+                    "watermark; advancing further must use a new epoch id"
                 )
         self.watermark = max(self.watermark, watermark)
         for name, op in self.ops.items():

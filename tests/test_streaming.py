@@ -1152,3 +1152,31 @@ class TestShardCountInvariance:
                 win.reset_index(), rw.reset_index(), check_exact=False,
                 rtol=1e-9,
             )
+
+
+class TestWindowedRetrySemantics:
+    def test_same_watermark_retry_is_noop(self, ray_session, tmp_path):
+        """An in-session retry of a committed windowed epoch with the SAME
+        watermark must stay a safe idempotent no-op (driver retry); only a
+        HIGHER watermark under a committed epoch raises."""
+        sess = StreamSession(tmp_path / "retry", num_shards=2)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts",
+                                  aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        tbl = pa.table({"u": [1, 1], "ts": [5.0, 25.0], "v": [1.0, 1.0]})
+        try:
+            sess.process_epoch(0, {"e": tbl}, watermark=20.0)
+            first = sess.sinks["w"].read_committed_table()
+            # retry: same epoch, same watermark → no-op, no raise
+            sess.advance_watermark(0, 20.0)
+            again = sess.sinks["w"].read_committed_table()
+            assert again.equals(first)
+            # higher watermark under the committed epoch → refuse
+            with pytest.raises(RuntimeError, match="lower"):
+                sess.advance_watermark(0, 40.0)
+            # fresh epoch closes the remaining window
+            out = sess.advance_watermark(1, 40.0)
+            assert out["w"].num_rows == 1
+        finally:
+            sess.store.shutdown()
