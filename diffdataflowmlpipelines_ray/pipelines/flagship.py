@@ -27,7 +27,6 @@ import pyarrow as pa
 from ..stages.encoders import OneHotEncoder, StandardScaler
 from ..sources.tokenized import epoch_datasets, tokenized_dataset
 from ..streaming.encoders import IncrementalEncoderSession
-from ..functions.vectors import list_array_from_2d
 
 __all__ = ["token_features_table", "run_flagship"]
 
@@ -38,7 +37,7 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
     """Vectorized per-sequence token features.
 
-    - ``tok_buckets``: list<float64> of token-id counts hashed into
+    - ``tok_buckets``: list<float32> of token-id counts hashed into
       ``n_buckets`` (a HashVectorizer over int tokens — no string round-trip)
     - ``fingerprint``: order-sensitive FNV-1a-style rolling hash of the token
       array (document fingerprint; deterministic, uint64 stored as int64)
@@ -51,7 +50,9 @@ def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
     n = len(tbl)
     lengths = np.diff(offsets)
     row_ids = np.repeat(np.arange(n), lengths)
-    dense = np.zeros((n, n_buckets), dtype=np.float64)
+    # float32: bucket counts are small integers (exact < 2^24) and the
+    # buckets column dominates sink bytes — half-width halves the write
+    dense = np.zeros((n, n_buckets), dtype=np.float32)
     if flat.size:
         np.add.at(dense, (row_ids, flat % n_buckets), 1.0)
     # rolling hash: h = (h ^ t) * prime per token, segmented per row
@@ -70,8 +71,12 @@ def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
             live = lengths > j
             idx = starts[live] + j
             fp[live] = (fp[live] ^ tok_u64[idx]) * _FNV_PRIME
+    n32 = np.ascontiguousarray(dense, dtype=np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * n_buckets, n_buckets,
+                              dtype=np.int32))
+    buckets_col = pa.ListArray.from_arrays(offs, pa.array(n32.reshape(-1)))
     return (
-        tbl.append_column("tok_buckets", list_array_from_2d(dense))
+        tbl.append_column("tok_buckets", buckets_col)
         .append_column("fingerprint", pa.array(fp.astype(np.int64)))
     )
 
