@@ -64,7 +64,7 @@ def run_bench() -> dict:
         pq.read_table(f"{sf_dir}/{t}.parquet")
 
     window_agg = os.environ.get("GRAFT_FLAGSHIP_WINDOW", "1") != "0"
-    reps = 1 if "--scaling-child" in sys.argv else 2
+    reps = 1 if "--scaling-child" in sys.argv else 3
     headline, res = None, None
     for _ in range(reps):  # min over repeats (headline too): single runs
         root = tempfile.mkdtemp(prefix="ddmlp-bench-", dir="/tmp")  # vary ±30%
