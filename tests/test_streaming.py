@@ -1180,3 +1180,30 @@ class TestWindowedRetrySemantics:
             assert out["w"].num_rows == 1
         finally:
             sess.store.shutdown()
+
+
+class TestWatermarkMonotonicity:
+    def test_backward_watermark_ignored(self, ray_session, tmp_path):
+        """A regressing watermark (out-of-order coordinator message) must
+        not reopen closed windows or produce duplicate emissions."""
+        sess = StreamSession(tmp_path / "wmono", num_shards=2)
+        sess.add(KeyedAggregation(name="w", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts",
+                                  aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        try:
+            t0 = pa.table({"u": [1, 1], "ts": [5.0, 25.0], "v": [1.0, 1.0]})
+            sess.process_epoch(0, {"e": t0}, watermark=20.0)
+            assert sess.watermark == 20.0
+            # backward watermark: ignored (frontier is monotone)
+            sess.process_epoch(1, {"e": pa.table(
+                {"u": [1], "ts": [26.0], "v": [1.0]})}, watermark=5.0)
+            assert sess.watermark == 20.0
+            sess.close(2)
+            out = sess.sinks["w"].read_committed_table().to_pandas()
+        finally:
+            if sess.store.shards:
+                sess.store.shutdown()
+        # [0,10) once; [20,30) once with both rows
+        counts = out.groupby("window_start")["count"].sum()
+        assert counts.to_dict() == {0.0: 1, 20.0: 2}
