@@ -514,7 +514,13 @@ class StreamSession:
     def __init__(self, root: str | Path, num_shards: int = 4,
                  checkpoint_every: int = 1,
                  auto_watermark_delay: float | None = None,
-                 fsync: bool = True):
+                 fsync: bool = True, pipelined: bool = False):
+        #: pipelined=True submits Table-epoch state applies WITHOUT blocking
+        #: (per-actor submission order keeps shard state serialized); every
+        #: read surface — sweeps, collect, checkpoint, join probe — fences
+        #: first, so emissions and snapshots always observe a consistent
+        #: frontier.  Cuts per-epoch latency for high-rate micro-batches.
+        self.pipelined = pipelined
         #: fsync=False relaxes commit durability (no power-loss guarantee)
         #: for latency-sensitive jobs; exactly-once vs process crashes keeps
         #: holding either way (manifest atomicity needs only rename)
@@ -891,7 +897,8 @@ class StreamSession:
                 data = inputs[op.input]
                 if isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)
-                    self.store.apply_deltas(name, epoch, merged)
+                    self.store.apply_deltas(name, epoch, merged,
+                                            wait=not self.pipelined)
                 else:  # Dataset epoch: shard-direct, no driver key merge
                     self._scatter_partials_distributed(
                         op, name, epoch, data, self.watermark
@@ -904,7 +911,8 @@ class StreamSession:
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
                     self._observe_event_time(op, data)
-                    self.store.apply_session_point_deltas(name, epoch, points)
+                    self.store.apply_session_point_deltas(
+                        name, epoch, points, wait=not self.pipelined)
                 elif op.retractable:
                     # Dataset epoch of (ts, value, diff) point deltas:
                     # shard-direct like every other keyed payload
@@ -914,7 +922,9 @@ class StreamSession:
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
                     self._observe_event_time(op, data)
-                    self.store.apply_session_points(name, epoch, points, op.gap)
+                    self.store.apply_session_points(name, epoch, points,
+                                                    op.gap,
+                                                    wait=not self.pipelined)
                 else:
                     # shard-direct: per-block local sessions (raw rows
                     # compress to intervals before leaving workers) ride one
@@ -930,7 +940,8 @@ class StreamSession:
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
                     self._observe_event_time(op, data)
-                    self.store.apply_pattern_points(name, epoch, points)
+                    self.store.apply_pattern_points(name, epoch, points,
+                                                    wait=not self.pipelined)
                 else:
                     # shard-direct: raw (window-bounded) pattern events ride
                     # one groupby(shard) shuffle straight to the shard actors

@@ -476,6 +476,16 @@ class ShardedStateStore:
         self.num_shards = num_shards
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(StateShard)
         self.shards = [actor_cls.remote(i, num_shards) for i in range(num_shards)]
+        #: in-flight apply refs when the session pipelines epochs (writes
+        #: are submitted without blocking; per-actor submission order keeps
+        #: them serialized).  Every READ surface fences first.
+        self._pending: list = []
+
+    def fence(self) -> None:
+        """Block until all pipelined applies have executed on their shards."""
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
 
     # --------------------------------------------------------------- routing
     def _scatter(self, items: list[tuple[bytes, Any]]) -> dict[int, list]:
@@ -486,7 +496,7 @@ class ShardedStateStore:
 
     # --------------------------------------------------------------- aggregates
     def apply_deltas(self, name: str, epoch: int, merged: dict[bytes, Any],
-                     return_merged: bool = False):
+                     return_merged: bool = False, wait: bool = True):
         by_shard = self._scatter(sorted(merged.items()))
         refs = [
             self.shards[sid].apply_delta.remote(name, epoch, _dumps(items),
@@ -494,6 +504,9 @@ class ShardedStateStore:
             for sid, items in by_shard.items()
         ]
         if not return_merged:
+            if not wait:  # pipelined: reads fence later
+                self._pending.extend(refs)
+                return None
             return sum(ray.get(refs)) if refs else 0
         out: list = []
         for b in ray.get(refs):
@@ -501,6 +514,7 @@ class ShardedStateStore:
         return out
 
     def collect(self, name: str) -> list[tuple[bytes, Any]]:
+        self.fence()
         blobs = ray.get([s.collect.remote(name) for s in self.shards])
         out: list[tuple[bytes, Any]] = []
         for b in blobs:
@@ -509,6 +523,7 @@ class ShardedStateStore:
         return out
 
     def sweep_closed_windows(self, name: str, close_before: float) -> list:
+        self.fence()
         blobs = ray.get(
             [s.sweep_closed_windows.remote(name, close_before) for s in self.shards]
         )
@@ -527,6 +542,7 @@ class ShardedStateStore:
         they merge here by window key — O(emitted windows), which the driver
         already collects for the sink commit.  Deterministic merge order via
         (key, accumulator-bytes) sort."""
+        self.fence()
         blobs = ray.get([
             s.sweep_sliding_panes.remote(name, close_before, size, slide)
             for s in self.shards
@@ -545,15 +561,20 @@ class ShardedStateStore:
 
     # --------------------------------------------------------------- sessions
     def apply_session_points(self, name: str, epoch: int,
-                             per_key: dict[bytes, list], gap: float) -> int:
+                             per_key: dict[bytes, list], gap: float,
+                             wait: bool = True):
         by_shard = self._scatter(sorted(per_key.items()))
         refs = [
             self.shards[sid].apply_session_points.remote(name, epoch, _dumps(items), gap)
             for sid, items in by_shard.items()
         ]
+        if not wait:
+            self._pending.extend(refs)
+            return None
         return sum(ray.get(refs)) if refs else 0
 
     def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> list:
+        self.fence()
         blobs = ray.get(
             [s.sweep_closed_sessions.remote(name, watermark, gap) for s in self.shards]
         )
@@ -564,7 +585,8 @@ class ShardedStateStore:
         return out
 
     def apply_session_point_deltas(self, name: str, epoch: int,
-                                   per_key: dict[bytes, list]) -> int:
+                                   per_key: dict[bytes, list],
+                                   wait: bool = True):
         by_shard = self._scatter(sorted(per_key.items()))
         refs = [
             self.shards[sid].apply_session_point_deltas.remote(
@@ -572,10 +594,14 @@ class ShardedStateStore:
             )
             for sid, items in by_shard.items()
         ]
+        if not wait:
+            self._pending.extend(refs)
+            return None
         return sum(ray.get(refs)) if refs else 0
 
     def sweep_closed_retractable_sessions(self, name: str, watermark: float,
                                           gap: float) -> list:
+        self.fence()
         blobs = ray.get(
             [s.sweep_closed_retractable_sessions.remote(name, watermark, gap)
              for s in self.shards]
@@ -588,17 +614,22 @@ class ShardedStateStore:
 
     # --------------------------------------------------------------- patterns
     def apply_pattern_points(self, name: str, epoch: int,
-                             per_key: dict[bytes, list]) -> int:
+                             per_key: dict[bytes, list],
+                             wait: bool = True):
         by_shard = self._scatter(sorted(per_key.items()))
         refs = [
             self.shards[sid].apply_pattern_points.remote(name, epoch,
                                                          _dumps(items))
             for sid, items in by_shard.items()
         ]
+        if not wait:
+            self._pending.extend(refs)
+            return None
         return sum(ray.get(refs)) if refs else 0
 
     def sweep_pattern_matches(self, name: str, watermark: float,
                               pattern: list, within: float) -> list:
+        self.fence()
         blobs = ray.get([
             s.sweep_pattern_matches.remote(name, watermark, list(pattern),
                                            within)
@@ -615,6 +646,7 @@ class ShardedStateStore:
                           per_shard: dict[int, dict]) -> list:
         """per_shard: sid → {"left": DataFrame|None, "right": DataFrame|None,
         "left_key": [...], "right_key": [...]} → list of matched DataFrames."""
+        self.fence()
         refs = [
             self.shards[sid].join_insert_probe.remote(name, epoch, _dumps(payload))
             for sid, payload in sorted(per_shard.items())
@@ -631,6 +663,7 @@ class ShardedStateStore:
 
     # --------------------------------------------------------------- checkpoint
     def dump_all(self) -> dict[int, bytes]:
+        self.fence()
         blobs = ray.get([s.dump.remote() for s in self.shards])
         return dict(enumerate(blobs))
 
@@ -638,6 +671,7 @@ class ShardedStateStore:
         ray.get([self.shards[sid].load.remote(blob) for sid, blob in blobs.items()])
 
     def stats(self) -> list[dict]:
+        self.fence()
         return ray.get([s.stats.remote() for s in self.shards])
 
     def shutdown(self) -> None:

@@ -1207,3 +1207,37 @@ class TestWatermarkMonotonicity:
         # [0,10) once; [20,30) once with both rows
         counts = out.groupby("window_start")["count"].sum()
         assert counts.to_dict() == {0.0: 1, 20.0: 2}
+
+
+class TestPipelinedApplies:
+    def test_pipelined_equals_blocking(self, ray_session, tmp_path):
+        tbl = events_table(300, seed=31).sort_by("ts")
+
+        def run(root, pipelined):
+            sess = StreamSession(root, num_shards=2, pipelined=pipelined)
+            sess.add(KeyedAggregation(name="g", input="e",
+                                      key_cols=["user_id"], value_col="value",
+                                      aggs=("count", "sum")))
+            sess.add(KeyedAggregation(name="w", input="e",
+                                      key_cols=["user_id"], value_col="value",
+                                      ts_col="ts", aggs=("count",),
+                                      window=WindowSpec.tumbling(100.0)))
+            try:
+                for e, part in enumerate(split_epochs(tbl, 6)):
+                    wm = float(np.max(part["ts"].to_numpy()))
+                    sess.process_epoch(e, {"e": part}, watermark=wm)
+                sess.close(6)
+                state = sess.state_table("g").to_pandas().sort_values(
+                    "user_id").reset_index(drop=True)
+                win = (sess.sinks["w"].read_committed_table().to_pandas()
+                       .groupby(["user_id", "window_start"])["count"].sum()
+                       .sort_index())
+                return state, win
+            finally:
+                if sess.store.shards:
+                    sess.store.shutdown()
+
+        s1, w1 = run(tmp_path / "blk", False)
+        s2, w2 = run(tmp_path / "pip", True)
+        pd.testing.assert_frame_equal(s1, s2)
+        pd.testing.assert_series_equal(w1, w2)
