@@ -1241,3 +1241,93 @@ class TestPipelinedApplies:
         s2, w2 = run(tmp_path / "pip", True)
         pd.testing.assert_frame_equal(s1, s2)
         pd.testing.assert_series_equal(w1, w2)
+
+
+class TestKitchenSinkSession:
+    def test_all_op_families_in_one_session(self, ray_session, tmp_path):
+        """Windows (pane sliding), sessions, stateful join, CEP pattern and
+        a plain keyed aggregate all share ONE session, one watermark and one
+        epoch schedule; every surface must match its batch recompute."""
+        from diffdataflowmlpipelines_ray.streaming.engine import PatternMatch
+
+        rng = np.random.default_rng(77)
+        n = 900
+        ev = pa.table({
+            "u": rng.integers(0, 8, n),
+            "ts": np.sort(rng.uniform(0, 900, n)),
+            "v": rng.normal(50, 5, n),
+            "t": rng.choice(["a", "b", "c"], n),
+        })
+        rt = pa.table({
+            "u": rng.integers(0, 8, 200),
+            "rts": np.sort(rng.uniform(0, 900, 200)),
+            "rv": rng.normal(size=200),
+        })
+        sess = StreamSession(tmp_path / "ks", num_shards=3)
+        sess.add(KeyedAggregation(name="agg", input="e", key_cols=["u"],
+                                  value_col="v", aggs=("count", "sum")))
+        sess.add(KeyedAggregation(name="slide", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts", aggs=("count",),
+                                  window=WindowSpec.sliding(100.0, 25.0)))
+        sess.add(SessionWindowAggregation(name="sess", input="e",
+                                          key_cols=["u"], ts_col="ts",
+                                          gap=15.0))
+        sess.add(PatternMatch(name="pat", input="e", key_cols=["u"],
+                              ts_col="ts", type_col="t",
+                              pattern=["a", "c"], within=30.0))
+        sess.add(StreamJoin(name="j", left_input="e", right_input="r",
+                            left_key=["u"], right_key=["u"],
+                            left_cols=["v"], right_cols=["rv"]))
+        try:
+            eps = split_epochs(ev, 5)
+            rps = split_epochs(rt, 5)
+            for e in range(5):
+                wm = float(np.max(eps[e]["ts"].to_numpy()))
+                sess.process_epoch(e, {"e": eps[e], "r": rps[e]},
+                                   watermark=wm)
+            # live state reads come BEFORE close() (close shuts the actors
+            # down after its final flush); sink reads work either way
+            agg = sess.state_table("agg").to_pandas().set_index("u")
+            sess.close(5)
+            slide = (sess.sinks["slide"].read_committed_table().to_pandas()
+                     .groupby(["u", "window_start"])["count"].sum())
+            sess_out = sess.sinks["sess"].read_committed_table().to_pandas()
+            pat = sess.sinks["pat"].read_committed_table().to_pandas()
+            join = sess.sinks["j"].read_committed_table().to_pandas()
+        finally:
+            if sess.store.shards:
+                sess.store.shutdown()
+
+        pdf = ev.to_pandas()
+        # 1) keyed aggregate == batch groupby
+        ref = pdf.groupby("u")["v"].agg(["count", "sum"])
+        assert (agg["count"].sort_index().to_numpy()
+                == ref["count"].sort_index().to_numpy()).all()
+        # 2) sliding windows == brute force
+        rows = []
+        for j4 in range(4):
+            t = pdf.copy()
+            t["window_start"] = (t["ts"] // 25.0 - j4) * 25.0
+            t = t[(t["ts"] >= t["window_start"])
+                  & (t["ts"] < t["window_start"] + 100.0)]
+            rows.append(t)
+        refw = (pd.concat(rows).groupby(["u", "window_start"]).size())
+        assert slide.sort_index().equals(refw.sort_index())
+        # 3) session count: gap-split brute force
+        n_sessions = 0
+        for _, g in pdf.groupby("u"):
+            ts = np.sort(g["ts"].to_numpy())
+            n_sessions += 1 + int((np.diff(ts) > 15.0).sum())
+        assert len(sess_out) == n_sessions
+        # 4) pattern count == all-combinations brute force
+        exp_pat = 0
+        for _, g in pdf.groupby("u"):
+            g = g.sort_values("ts")
+            ats = g[g["t"] == "a"]["ts"].to_numpy()
+            cts = g[g["t"] == "c"]["ts"].to_numpy()
+            for ta in ats:
+                exp_pat += int(((cts > ta) & (cts <= ta + 30.0)).sum())
+        assert len(pat) == exp_pat
+        # 5) join == batch inner join
+        exp_join = pdf.merge(rt.to_pandas(), on="u")
+        assert len(join) == len(exp_join)
