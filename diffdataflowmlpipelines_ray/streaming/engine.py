@@ -1114,7 +1114,11 @@ class StreamSession:
         )
 
     def close(self, epoch: int | None = None) -> dict:
-        """Final watermark → +inf: flush every window/session, commit, stop."""
+        """Final watermark → +inf: flush every window/session, commit, stop.
+
+        Stopping KILLS the shard actor pool: read live (non-windowed) state
+        via ``state_table`` BEFORE closing; sink outputs are durable files
+        and stay readable afterwards."""
         e = self.last_epoch + 1 if epoch is None else epoch
         out = self.advance_watermark(e, math.inf)
         self.checkpoint(e)
