@@ -1433,6 +1433,89 @@ def q_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": sorted(vals)})
 
 
+def q_grouped_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group bivariate statistics (population covariance, Pearson
+    correlation, OLS slope) from ONE invertible ``CoMomentAgg`` accumulator
+    per group — the bivariate extension of the reference's
+    ``VarianceAggregate`` Chan merge (standard_scaler.rs:35-48) — through the
+    native AggregateFn bridge.  One pass, no per-group row materialization."""
+    from ..stages.ray_aggregates import GroupedCorr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = ds.groupby("l_returnflag").aggregate(
+        GroupedCorr("l_quantity", "l_extendedprice", alias_name="cm")
+    ).to_pandas()
+    cm = out.pop("cm")
+    out["n"] = [int(d["n"]) for d in cm]
+    out["covar"] = np.round([d["covar"] for d in cm], 4)
+    out["corr"] = np.round([d["corr"] for d in cm], 6)
+    out["slope"] = np.round([d["slope"] for d in cm], 4)
+    return out
+
+
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE distributed pass:
+    the finest-level aggregate is the only shuffle (low-cardinality native
+    groupby); the coarser rollup levels re-aggregate the finest result on
+    the driver — exact because SUM/COUNT are associative, O(groups) driver
+    work.  Money sums accumulate as integer cents (exact at any merge
+    order)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        pdf = tbl.to_pandas()
+        pdf["cents"] = np.rint(pdf["l_extendedprice"] * 100).astype(np.int64)
+        pdf["n"] = 1
+        return pdf.groupby(["l_returnflag", "l_linestatus"],
+                           as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), cents=("cents", "sum"),
+            n=("n", "sum"))
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .sum(["sum_qty", "cents", "n"])
+            .to_pandas()
+            .rename(columns={"sum(sum_qty)": "sum_qty",
+                             "sum(cents)": "cents", "sum(n)": "n"}))
+    lvl1 = fine.groupby("l_returnflag", as_index=False)[
+        ["sum_qty", "cents", "n"]].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = fine[["sum_qty", "cents", "n"]].sum().to_frame().T
+    lvl0["l_returnflag"] = "ALL"
+    lvl0["l_linestatus"] = "ALL"
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["sum_price"] = out.pop("cents") / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_qty"] = out["sum_qty"].astype(np.float64)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"]]
+
+
+def q_sorted_limit(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER BY ... LIMIT k without a global sort: per-block partial
+    top-k (vectorized lexsort over (-price, key) — deterministic
+    tie-breaking) → driver merge of ≤ blocks×k rows.  The full dataset is
+    never shuffled or materialized."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"], blocks=16)
+    k = 100
+
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        price = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((key, -price))[:k]
+        return tbl.take(pa.array(np.sort(idx)))
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(block_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -1495,6 +1578,9 @@ QUERIES = {
     "token_id_freq_topk": q_token_id_freq_topk,
     "dataprep": q_dataprep,
     "distinct": q_distinct,
+    "grouped_corr": q_grouped_corr,
+    "rollup": q_rollup,
+    "sorted_limit": q_sorted_limit,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -1707,6 +1793,25 @@ ORACLES = {
                ROUND(sum(l_quantity) / count(*), 6) AS mean,
                ROUND(var_pop(l_quantity), 6) AS var
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_corr": """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "sorted_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

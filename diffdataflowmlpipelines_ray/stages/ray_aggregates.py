@@ -19,7 +19,7 @@ from ray.data.aggregate import AggregateFn
 from ..state.aggregates import MeanVarAgg, MinMaxAgg
 from .sketches_bridge import _hash_block
 
-__all__ = ["ChanMeanVar", "MinMaxRange", "ApproxDistinct"]
+__all__ = ["ChanMeanVar", "MinMaxRange", "ApproxDistinct", "GroupedCorr"]
 
 
 class ChanMeanVar(AggregateFn):
@@ -72,4 +72,26 @@ class ApproxDistinct(AggregateFn):
             accumulate_block=accumulate_block,
             finalize=lambda a: float(a.estimate()),
             name=alias_name or f"approx_distinct({on})",
+        )
+
+
+class GroupedCorr(AggregateFn):
+    """Per-group bivariate statistics — population covariance, Pearson
+    correlation, least-squares slope — from ONE ``CoMomentAgg`` accumulator
+    (bivariate Chan merge; no second pass, no per-group row materialization)."""
+
+    def __init__(self, x: str, y: str, alias_name: str | None = None):
+        from ..state.aggregates import CoMomentAgg
+
+        def accumulate_block(acc: CoMomentAgg, block) -> CoMomentAgg:
+            xs = block[x].to_numpy(zero_copy_only=False).astype(np.float64)
+            ys = block[y].to_numpy(zero_copy_only=False).astype(np.float64)
+            return acc.merged(CoMomentAgg.from_numpy(xs, ys))
+
+        super().__init__(
+            init=lambda k: CoMomentAgg(),
+            merge=lambda a, b: a.merged(b),
+            accumulate_block=accumulate_block,
+            finalize=lambda a: a.get(),
+            name=alias_name or f"corr({x},{y})",
         )

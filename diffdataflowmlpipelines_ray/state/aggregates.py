@@ -41,6 +41,7 @@ __all__ = [
     "PositionAssignmentAgg",
     "DocumentFrequencyAgg",
     "SumCountAgg",
+    "CoMomentAgg",
     "merge_all",
     "dumps",
     "loads",
@@ -570,3 +571,126 @@ class SumCountAgg(_Mergeable):
             raise ValueError("extremes not tracked")
         mn, rng = self.extremes.get()
         return mn, mn + rng
+
+
+class CoMomentAgg(_Mergeable):
+    """Bivariate co-moment aggregate: (mean_x, mean_y, M2x, M2y, Cxy, count).
+
+    The two-variable extension of ``MeanVarAgg``'s Chan merge (the reference
+    maintains only the univariate ``VarianceAggregate``,
+    standard_scaler.rs:11-61; the pairwise-merge update for the co-moment
+    ``Cxy = Σ(x−x̄)(y−ȳ)`` follows the same published Chan/Pébay formula with
+    ``dx·dy`` in place of ``dx²``).  One accumulator yields population
+    covariance, Pearson correlation and the least-squares slope/intercept per
+    group — merged per block, invertible for retractions like every other
+    monoid here.
+    """
+
+    def __init__(self, mean_x: float = 0.0, mean_y: float = 0.0,
+                 m2x: float = 0.0, m2y: float = 0.0, cxy: float = 0.0,
+                 count: int = 0):
+        self.mean_x = float(mean_x)
+        self.mean_y = float(mean_y)
+        self.m2x = float(m2x)
+        self.m2y = float(m2y)
+        self.cxy = float(cxy)
+        self.count = int(count)
+
+    def copy(self) -> "CoMomentAgg":
+        return CoMomentAgg(self.mean_x, self.mean_y, self.m2x, self.m2y,
+                           self.cxy, self.count)
+
+    @classmethod
+    def of(cls, x: float, y: float, mult: int = 1) -> "CoMomentAgg":
+        return cls(mean_x=float(x), mean_y=float(y), count=mult)
+
+    @classmethod
+    def from_numpy(cls, xs: np.ndarray, ys: np.ndarray,
+                   weights: np.ndarray | None = None) -> "CoMomentAgg":
+        """One partial per block, vectorized; ±1 diff weights split into a
+        positive partial merged with a negated negative partial (negation
+        commutes with the merge — property-tested like ``MeanVarAgg``)."""
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        if weights is None:
+            n = xs.size
+            if n == 0:
+                return cls()
+            mx = float(xs.mean())
+            my = float(ys.mean())
+            dx = xs - mx
+            dy = ys - my
+            return cls(mx, my, float((dx * dx).sum()), float((dy * dy).sum()),
+                       float((dx * dy).sum()), n)
+        weights = np.asarray(weights)
+        pos = weights > 0
+        neg = weights < 0
+        acc = cls()
+        if pos.any():
+            acc.merge(cls._weighted(xs[pos], ys[pos],
+                                    weights[pos].astype(np.float64)))
+        if neg.any():
+            part = cls._weighted(xs[neg], ys[neg],
+                                 (-weights[neg]).astype(np.float64))
+            part.negate()
+            acc.merge(part)
+        return acc
+
+    @classmethod
+    def _weighted(cls, xs: np.ndarray, ys: np.ndarray,
+                  w: np.ndarray) -> "CoMomentAgg":
+        c = float(w.sum())
+        if c == 0:
+            return cls()
+        mx = float((xs * w).sum() / c)
+        my = float((ys * w).sum() / c)
+        dx = xs - mx
+        dy = ys - my
+        return cls(mx, my, float((w * dx * dx).sum()),
+                   float((w * dy * dy).sum()), float((w * dx * dy).sum()),
+                   int(c))
+
+    def merge(self, other: "CoMomentAgg") -> None:
+        c1 = float(self.count)
+        c2 = float(other.count)
+        self.count += other.count
+        c_new = float(self.count)
+        if c_new == 0:
+            # mirror MeanVarAgg's zero-count convention: means keep their
+            # last value, centered moments add
+            self.m2x += other.m2x
+            self.m2y += other.m2y
+            self.cxy += other.cxy
+            return
+        dx = self.mean_x - other.mean_x
+        dy = self.mean_y - other.mean_y
+        w = c1 * c2 / c_new
+        self.mean_x = (self.mean_x * c1 + other.mean_x * c2) / c_new
+        self.mean_y = (self.mean_y * c1 + other.mean_y * c2) / c_new
+        self.m2x += other.m2x + dx * dx * w
+        self.m2y += other.m2y + dy * dy * w
+        self.cxy += other.cxy + dx * dy * w
+
+    def negate(self) -> None:
+        self.m2x = -self.m2x
+        self.m2y = -self.m2y
+        self.cxy = -self.cxy
+        self.count = -self.count
+
+    def is_zero(self) -> bool:
+        return self.count == 0
+
+    def is_identity(self) -> bool:
+        return (self.count == 0 and self.m2x == 0.0 and self.m2y == 0.0
+                and self.cxy == 0.0)
+
+    def get(self) -> dict:
+        """{covar (population), corr, slope, intercept, n} for the group."""
+        n = self.count
+        covar = self.cxy / n
+        denom = math.sqrt(self.m2x * self.m2y)
+        corr = self.cxy / denom if denom > 0 else float("nan")
+        slope = self.cxy / self.m2x if self.m2x > 0 else float("nan")
+        intercept = self.mean_y - slope * self.mean_x
+        return {"covar": covar, "corr": corr, "slope": slope,
+                "intercept": intercept, "n": n}

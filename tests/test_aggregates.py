@@ -210,3 +210,64 @@ def test_epoch_split_equivalence_property():
         acc.merge(MeanVarAgg.from_numpy(np.array(xs[lo:hi])))
     assert acc.get()[0] == pytest.approx(batch.get()[0])
     assert acc.get()[1] == pytest.approx(batch.get()[1])
+
+
+class TestCoMoment:
+    def _xy(self, n=400, seed=7):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(5, 2, n)
+        y = 3 * x + rng.normal(0, 1, n)
+        return x, y
+
+    def test_matches_numpy(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import CoMomentAgg
+
+        x, y = self._xy()
+        g = CoMomentAgg.from_numpy(x, y).get()
+        assert g["covar"] == pytest.approx(np.cov(x, y, bias=True)[0, 1])
+        assert g["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert g["slope"] == pytest.approx(slope)
+        assert g["intercept"] == pytest.approx(intercept)
+
+    def test_split_merge_equivalence(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import CoMomentAgg
+
+        x, y = self._xy()
+        batch = CoMomentAgg.from_numpy(x, y)
+        acc = CoMomentAgg()
+        rng = random.Random(3)
+        bounds = [0, *sorted(rng.sample(range(1, len(x)), 9)), len(x)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            acc.merge(CoMomentAgg.from_numpy(x[lo:hi], y[lo:hi]))
+        for k in ("covar", "corr", "slope", "n"):
+            assert acc.get()[k] == pytest.approx(batch.get()[k])
+
+    def test_retraction_restores_state(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import CoMomentAgg
+
+        x, y = self._xy()
+        full = CoMomentAgg.from_numpy(x, y)
+        tail = CoMomentAgg.from_numpy(x[250:], y[250:])
+        tail.negate()
+        full.merge(tail)
+        head = CoMomentAgg.from_numpy(x[:250], y[:250])
+        for k in ("covar", "corr", "slope"):
+            assert full.get()[k] == pytest.approx(head.get()[k])
+        assert full.count == 250
+
+    def test_weighted_diffs(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import CoMomentAgg
+
+        x, y = self._xy(50)
+        w = np.ones(50, dtype=np.int64)
+        w[40:] = -1  # retract the last ten inside the same block
+        blk = CoMomentAgg.from_numpy(x, y, weights=w)
+        expect = CoMomentAgg.from_numpy(x[:40], y[:40])
+        neg = CoMomentAgg.from_numpy(x[40:], y[40:])
+        neg.negate()
+        expect2 = expect.merged(neg)
+        # weighted single-block == merge of signed partials
+        for k in ("covar", "corr", "slope"):
+            assert blk.get()[k] == pytest.approx(expect2.get()[k])
+        assert blk.count == 30
