@@ -663,9 +663,37 @@ def q_ngram_jaccard_lsh(sf_dir: str) -> pa.Table:
     return ngram_jaccard_pairs(ds, pairs, n=3)
 
 
-def q_dedup_embedding(sf_dir: str) -> pa.Table:
+def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    """Embedding cosine near-dup over the fixture PLUS deterministically
+    planted near-duplicates (every 25th vector re-emitted scaled ×1.5 with
+    seeded 1e-3 relative jitter under id+10⁷) — the fixture's random vectors
+    have no organic pairs at 0.95, so the plant makes the gate prove the
+    LSH→verify path actually finds what it should.  Rows-only (hyperplane
+    seeds have no SQL twin); exact planted-pair recovery is pytest-gated."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dedup_pairs(ds, threshold=0.95)
+
+    def plant(tbl: pa.Table) -> pa.Table:
+        mat = list_column_to_2d(tbl["embedding"])
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 25 == 0
+        dup_ids = ids[keep] + 10_000_000
+        dups = mat[keep] * 1.5
+        for r, did in enumerate(dup_ids):
+            rng = np.random.default_rng(int(did))
+            dups[r] += rng.normal(0, 1e-3 * np.abs(dups[r]).mean(),
+                                  dups.shape[1])
+        all_ids = np.concatenate([ids, dup_ids])
+        all_vecs = np.concatenate([mat, dups])
+        return pa.table({
+            "vec_id": pa.array(all_ids, type=pa.int64()),
+            "embedding": pa.array(list(all_vecs),
+                                  type=pa.list_(pa.float64())),
+        })
+
+    out = embedding_dedup_pairs(ds.map_batches(plant, batch_format="pyarrow"),
+                                threshold=0.95).to_pandas()
+    out = _round(out, ["cosine"])
+    return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:

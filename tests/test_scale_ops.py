@@ -387,3 +387,22 @@ class TestRealResize:
         out = r(tbl)
         assert out["payload"].to_pylist() == [b"\x89PNGxxxx"]
         assert out["width"].to_pylist() == [4]
+
+
+class TestPlantedEmbeddingDedup:
+    def test_gate_query_recovers_exactly_the_planted_pairs(self, ray_session):
+        """The dedup_embedding gate query plants a ×1.5-scaled, 1e-3-jittered
+        copy of every 25th fixture vector; recovery must be exact — each
+        planted (id, id+10M) pair found, nothing else at threshold 0.95."""
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            q_dedup_embedding,
+        )
+        import pyarrow.parquet as pq
+
+        out = q_dedup_embedding(SF)
+        ids = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id"])["vec_id"].to_numpy()
+        planted = sorted(int(i) for i in ids if i % 25 == 0)
+        assert list(out["id_lo"]) == planted
+        assert list(out["id_hi"]) == [i + 10_000_000 for i in planted]
+        assert (out["cosine"] > 0.999).all()
