@@ -1461,6 +1461,37 @@ def q_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": sorted(vals)})
 
 
+def q_audio_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal audio path with the REAL pure-numpy WAV decoder: a
+    deterministic 16-bit PCM sine payload per doc (frequency/amplitude
+    seeded by doc_id), decoded in the actor-pool stage, genuine signal
+    features (RMS, zero-crossing rate, FFT dominant frequency) extracted
+    from actual samples.  Rows-only (SQL cannot decode audio); analytic
+    exactness (rms = A/√2, dom_freq = f) is pytest-gated."""
+    from ..stages.multimodal import decode_audio_features, encode_wav
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        rate = 8000
+        t = np.arange(1600) / rate  # 200 ms clips
+        payloads = [
+            encode_wav((0.25 + (d % 4) * 0.1)
+                       * np.sin(2 * np.pi * (250.0 + (d % 16) * 125.0) * t),
+                       rate)
+            for d in ids
+        ]
+        return pa.table({"media_id": pa.array([str(d) for d in ids]),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = decode_audio_features(
+        ds.map_batches(synth, batch_format="pyarrow"), fake=False
+    ).to_pandas()
+    out = _round(out, ["rms", "zcr", "peak", "dom_freq"], 4)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_grouped_corr(sf_dir: str) -> pd.DataFrame:
     """Per-group bivariate statistics (population covariance, Pearson
     correlation, OLS slope) from ONE invertible ``CoMomentAgg`` accumulator
@@ -1609,6 +1640,7 @@ QUERIES = {
     "grouped_corr": q_grouped_corr,
     "rollup": q_rollup,
     "sorted_limit": q_sorted_limit,
+    "audio_decode": q_audio_decode,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"

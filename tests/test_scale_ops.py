@@ -406,3 +406,58 @@ class TestPlantedEmbeddingDedup:
         assert list(out["id_lo"]) == planted
         assert list(out["id_hi"]) == [i + 10_000_000 for i in planted]
         assert (out["cosine"] > 0.999).all()
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip_and_analytic_features(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            audio_features,
+            decode_wav,
+            encode_wav,
+        )
+
+        rate = 8000
+        t = np.arange(1600) / rate
+        x = 0.4 * np.sin(2 * np.pi * 500.0 * t)
+        samples, r = decode_wav(encode_wav(x, rate))
+        assert r == rate
+        assert np.abs(samples - x).max() < 1e-4  # 16-bit quantization bound
+        f = audio_features(samples, r)
+        assert f["duration_ms"] == 200
+        assert f["rms"] == pytest.approx(0.4 / np.sqrt(2), rel=1e-3)
+        assert f["dom_freq"] == pytest.approx(500.0, abs=5.0)
+        assert f["peak"] == pytest.approx(0.4, rel=1e-3)
+
+    def test_unsupported_formats(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            DecodeAudio,
+            decode_wav,
+        )
+
+        with pytest.raises(ValueError):
+            decode_wav(b"ID3\x04mp3-ish bytes")
+        with pytest.raises(NotImplementedError):
+            DecodeAudio(fake=False)._one(b"ID3\x04mp3-ish bytes")
+
+    def test_actor_pool_stage_over_dataset(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_audio_features,
+            encode_wav,
+        )
+
+        rate = 4000
+        t = np.arange(400) / rate
+        rows = {"media_id": [str(i) for i in range(6)],
+                "payload": [encode_wav(0.3 * np.sin(2 * np.pi * (100 + 100 * i) * t), rate)
+                            for i in range(6)]}
+        out = decode_audio_features(
+            rd.from_arrow(pa.table({"media_id": rows["media_id"],
+                                    "payload": pa.array(rows["payload"], type=pa.binary())})),
+            fake=False,
+        ).to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert list(out.columns) == ["media_id", "sample_rate", "duration_ms",
+                                     "rms", "zcr", "peak", "dom_freq"]
+        assert (out["sample_rate"] == rate).all()
+        assert (out["duration_ms"] == 100).all()
+        expected = np.array([100 + 100 * int(m) for m in out["media_id"]])
+        assert np.allclose(out["dom_freq"], expected, atol=10.0)
