@@ -1461,6 +1461,23 @@ def q_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": sorted(vals)})
 
 
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: per-iteration
+    data movement = centroid broadcast down + k×(dim+2) partial floats per
+    block up; no shuffle, no row materialization.  Deterministic
+    hash-selected seeds (parallelism-invariant; pytest-gated).  Returns per-
+    cluster sizes — rows-only (iterative fixpoints have no SQL twin)."""
+    from ..stages.clustering import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=4)
+    fit = kmeans_fit(ds, n_clusters=8, max_iters=8)
+    return pd.DataFrame({
+        "cluster": np.arange(8, dtype=np.int64),
+        "size": fit["sizes"].astype(np.int64),
+        "iters": np.full(8, fit["iters"], dtype=np.int64),
+    })
+
+
 def q_audio_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal audio path with the REAL pure-numpy WAV decoder: a
     deterministic 16-bit PCM sine payload per doc (frequency/amplitude
@@ -1641,6 +1658,7 @@ QUERIES = {
     "rollup": q_rollup,
     "sorted_limit": q_sorted_limit,
     "audio_decode": q_audio_decode,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"

@@ -461,3 +461,50 @@ class TestAudioDecode:
         assert (out["duration_ms"] == 100).all()
         expected = np.array([100 + 100 * int(m) for m in out["media_id"]])
         assert np.allclose(out["dom_freq"], expected, atol=10.0)
+
+
+class TestKMeans:
+    def _blobs(self, n_per=60, seed=5):
+        rng = np.random.default_rng(seed)
+        centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.5, (n_per, 2)) for c in centers])
+        labels = np.repeat(np.arange(3), n_per)
+        return pts, labels
+
+    def _ds(self, pts, blocks=4):
+        from diffdataflowmlpipelines_ray.functions.vectors import (
+            list_array_from_2d,
+        )
+
+        tbl = pa.table({"vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+                        "embedding": list_array_from_2d(pts)})
+        return rd.from_arrow(tbl).repartition(blocks)
+
+    def test_recovers_separated_blobs(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.clustering import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        pts, labels = self._blobs()
+        fit = kmeans_fit(self._ds(pts), n_clusters=3, max_iters=30)
+        assert sorted(fit["sizes"].tolist()) == [60, 60, 60]
+        out = kmeans_assign(self._ds(pts), fit["centroids"]).to_pandas()
+        out = out.sort_values("vec_id").reset_index(drop=True)
+        # each true blob maps to exactly one cluster id
+        for b in range(3):
+            assert out.loc[labels == b, "cluster"].nunique() == 1
+        # inertia ≈ n · trace(cov) for tight blobs: well under a loose bound
+        assert fit["inertia"] < 180 * 2 * 0.5**2 * 3
+
+    def test_parallelism_invariant_fit(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.clustering import kmeans_fit
+
+        pts, _ = self._blobs()
+        f2 = kmeans_fit(self._ds(pts, blocks=2), n_clusters=3)
+        f8 = kmeans_fit(self._ds(pts, blocks=8), n_clusters=3)
+        a = f2["centroids"][np.lexsort(f2["centroids"].T)]
+        b = f8["centroids"][np.lexsort(f8["centroids"].T)]
+        assert np.allclose(a, b, atol=1e-8)
+        assert f2["iters"] == f8["iters"]
