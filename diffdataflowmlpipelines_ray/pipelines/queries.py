@@ -1461,6 +1461,54 @@ def q_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": sorted(vals)})
 
 
+def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
+    """Stream-table ENRICH join: per-epoch dim upserts into last-writer-wins
+    registers in the state shards; each epoch's events (Dataset → the fully
+    distributed probe path) are enriched with the key's CURRENT tier.  Epoch
+    e upserts tier = user_id·10 + e for users with user_id % 4 == e, plus a
+    deliberately STALE update (tier −999 at an older stamp) the LWW merge
+    must shadow.  Oracle: events quartiled by ntile(ts, event_id); a user's
+    tier at epoch e is the last upsert at-or-before e, i.e. user_id·10 +
+    (user_id % 4) once user_id % 4 ≤ e, else −1 (never enriched)."""
+    from ..streaming.engine import EnrichJoin
+
+    ev = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    uids = np.unique(ev["user_id"].to_numpy(zero_copy_only=False))
+
+    sess = StreamSession(_tmp("enrich"), num_shards=4)
+    sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                        key=["user_id"], dim_vals=["tier"],
+                        stream_cols=["event_id"], dim_ts="up_ts",
+                        dim_types=[pa.int64()]))
+    try:
+        k = 4
+        n = ev.num_rows
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]  # ntile
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        for e in range(k):
+            batch = uids[uids % k == e]
+            dim = pa.table({
+                "user_id": pa.array(np.concatenate([batch, batch]),
+                                    type=pa.int64()),
+                "tier": pa.array(np.concatenate(
+                    [batch * 10 + e, np.full(len(batch), -999)]),
+                    type=pa.int64()),
+                "up_ts": pa.array(np.concatenate(
+                    [np.full(len(batch), float(e)),
+                     np.full(len(batch), e - 0.5)])),
+            })
+            epoch_ev = ev.slice(int(offs[e]), int(sizes[e]))
+            sess.process_epoch(e, {"dim": dim,
+                                   "ev": rd.from_arrow(epoch_ev)})
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    df["tier"] = df["tier"].fillna(-1).astype(np.int64)
+    return df[["event_id", "user_id", "tier"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
 def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the embeddings table: per-iteration
     data movement = centroid broadcast down + k×(dim+2) partial floats per
@@ -1659,6 +1707,7 @@ QUERIES = {
     "sorted_limit": q_sorted_limit,
     "audio_decode": q_audio_decode,
     "kmeans_clusters": q_kmeans_clusters,
+    "stream_enrich": q_stream_enrich,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -1890,6 +1939,18 @@ ORACLES = {
     "sorted_limit": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "stream_enrich": """
+        WITH ev AS (
+            SELECT event_id, user_id,
+                   ntile(4) OVER (ORDER BY ts, event_id) - 1 AS ep
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CASE WHEN user_id % 4 <= ep
+                    THEN user_id * 10 + user_id % 4
+                    ELSE -1 END AS tier
+        FROM ev
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -42,6 +42,7 @@ __all__ = [
     "DocumentFrequencyAgg",
     "SumCountAgg",
     "CoMomentAgg",
+    "LastValueAgg",
     "merge_all",
     "dumps",
     "loads",
@@ -694,3 +695,42 @@ class CoMomentAgg(_Mergeable):
         intercept = self.mean_y - slope * self.mean_x
         return {"covar": covar, "corr": corr, "slope": slope,
                 "intercept": intercept, "n": n}
+
+
+class LastValueAgg(_Mergeable):
+    """Last-writer-wins register: (stamp, value) where ``merge`` keeps the
+    larger stamp — a commutative, associative, idempotent semilattice, so
+    upsert order across blocks/shards/retries cannot change the outcome.
+
+    This is the state element of a stream-table ENRICH join: the dim side's
+    per-key "current value".  Stamps are ``(event_time, tiebreak)`` tuples;
+    the tiebreak (e.g. the value tuple itself) makes equal-time upserts
+    deterministic.  A delete is an upsert of ``value=None`` (tombstone): it
+    must keep occupying the key to shadow older stamps, hence
+    ``is_identity`` is False for tombstones.
+    """
+
+    def __init__(self, stamp: tuple | None = None, value: tuple | None = None):
+        self.stamp = stamp
+        self.value = value
+
+    def copy(self) -> "LastValueAgg":
+        return LastValueAgg(self.stamp, self.value)
+
+    def merge(self, other: "LastValueAgg") -> None:
+        if other.stamp is not None and (self.stamp is None
+                                        or other.stamp > self.stamp):
+            self.stamp = other.stamp
+            self.value = other.value
+
+    def negate(self) -> None:
+        raise NotImplementedError(
+            "LastValueAgg is an upsert register, not a multiset — model "
+            "deletes as tombstone upserts (value=None)"
+        )
+
+    def is_zero(self) -> bool:
+        return self.stamp is None
+
+    def is_identity(self) -> bool:
+        return self.stamp is None

@@ -50,6 +50,7 @@ __all__ = [
     "SessionWindowAggregation",
     "PatternMatch",
     "StreamJoin",
+    "EnrichJoin",
     "StreamSession",
 ]
 
@@ -507,6 +508,66 @@ class StreamJoin:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+@dataclass
+class EnrichJoin:
+    """Stream-table enrichment join: a slowly-changing dimension table kept
+    as per-key last-writer-wins registers in the state shards; each epoch's
+    stream rows are enriched with the key's CURRENT dim values (left-join
+    semantics — unmatched keys get nulls).
+
+    Distinct from ``StreamJoin`` (which buffers both sides' histories and
+    emits all matched pairs): the dim side is an upsert stream — epoch-e
+    updates are visible to epoch-e events, and ``LastValueAgg``'s semilattice
+    merge makes the outcome independent of block/shard/retry order.  Dim
+    epochs are assumed small relative to the stream (the slowly-changing-
+    dimension contract); per-epoch dim rows are folded into per-key registers
+    before they leave the worker.
+    """
+
+    name: str
+    dim_input: str
+    stream_input: str
+    key: Sequence[str]                       # key cols on the stream side
+    dim_vals: Sequence[str] = ()             # dim cols attached to events
+    stream_cols: Sequence[str] = ()          # event cols carried through
+    dim_key: Sequence[str] | None = None     # dim-side names (default = key)
+    dim_ts: str = "ts"                       # LWW stamp column on dim side
+    #: Arrow types for ``dim_vals`` (same order).  Unmatched keys emit NULLs,
+    #: and pandas would otherwise promote int columns to float in null-bearing
+    #: epochs — an epoch-dependent schema the sink must never see; explicit
+    #: types pin it (Arrow ints are nullable).
+    dim_types: Sequence[Any] | None = None
+
+    def __post_init__(self):
+        overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
+        if overlap:
+            raise ValueError(f"dim_vals collide with stream columns: {overlap}")
+
+    # dim side → {key_bytes: LastValueAgg}; same partial contract as
+    # KeyedAggregation so the Table and shard-direct Dataset paths both work
+    def partial_batch(self, tbl: pa.Table, finalized_before: float
+                      ) -> tuple[dict, int]:
+        from ..state.aggregates import LastValueAgg
+
+        dk = list(self.dim_key or self.key)
+        cols = list(dict.fromkeys(dk + list(self.dim_vals) + [self.dim_ts]))
+        pdf = tbl.select(cols).to_pandas()
+        ts = _ts_to_float(pdf[self.dim_ts])
+        keys = list(zip(*[pdf[c] for c in dk])) if len(pdf) else []
+        vals = (list(zip(*[pdf[c] for c in self.dim_vals]))
+                if len(pdf) else [])
+        out: dict[bytes, Any] = {}
+        for k, t, v in zip(keys, ts, vals):
+            acc = LastValueAgg((float(t), v), v)
+            kb = _key_bytes(tuple(k))
+            cur = out.get(kb)
+            if cur is None:
+                out[kb] = acc
+            else:
+                cur.merge(acc)
+        return out, 0
+
+
 class StreamSession:
     """The per-job driver: owns the state store, per-op sinks, watermark and
     checkpoints.  See module docstring for the epoch data path."""
@@ -551,7 +612,7 @@ class StreamSession:
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
-        elif isinstance(op, (StreamJoin, PatternMatch)):
+        elif isinstance(op, (StreamJoin, PatternMatch, EnrichJoin)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         return self
@@ -881,6 +942,94 @@ class StreamSession:
         self.sinks[name].commit_files(epoch, files, meta={"kind": "join"})
         return sum(f["rows"] for f in files)
 
+    def _enrich_probe_epoch(self, op: "EnrichJoin", name: str, epoch: int,
+                            stream) -> int:
+        """Distributed enrich probe: stream blocks partition by the SAME
+        ``shard_of(key_bytes)`` mapping the dim registers live under; one
+        ``groupby(shard)`` shuffle co-locates each shard's events; the group
+        task asks its shard actor for the current register values of just its
+        UNIQUE keys, attaches the dim columns vectorized, and writes the
+        enriched rows straight into the sink's epoch directory.  The driver
+        commits only the manifest (same contract as the distributed
+        StreamJoin path)."""
+        import ray.data as rd
+
+        from .sink import write_epoch_part
+        from .state_store import shard_of
+
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        sk = list(op.key)
+        carry = list(dict.fromkeys(sk + list(op.stream_cols)))
+        dim_vals = list(op.dim_vals)
+        dim_types = list(op.dim_types) if op.dim_types is not None else None
+
+        def part(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.select(carry).to_pandas()
+            sids_out, blobs = [], []
+            if len(pdf):
+                uniq = pdf[sk].drop_duplicates()
+                kbs = [_key_bytes(t) for t in
+                       uniq.itertuples(index=False, name=None)]
+                uniq = uniq.assign(
+                    __sid=[shard_of(kb, num_shards) for kb in kbs])
+                pdf = pdf.merge(uniq, on=sk, how="left")
+                for s, grp in pdf.groupby("__sid"):
+                    sids_out.append(int(s))
+                    blobs.append(pickle.dumps(
+                        grp.drop(columns="__sid").reset_index(drop=True),
+                        protocol=pickle.HIGHEST_PROTOCOL))
+            return pa.table({
+                "__shard": pa.array(sids_out, type=pa.int64()),
+                "__blob": pa.array(blobs, type=pa.binary()),
+            })
+
+        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            ev = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+                           ignore_index=True)
+            uniq = ev[sk].drop_duplicates()
+            key_tuples = list(uniq.itertuples(index=False, name=None))
+            kbs = [_key_bytes(t) for t in key_tuples]
+            looked = pickle.loads(ray.get(shards[sid].enrich_probe.remote(
+                name, pickle.dumps(kbs, protocol=pickle.HIGHEST_PROTOCOL))))
+            val_by_kb = dict(looked)
+            cols = {c: [] for c in dim_vals}
+            for kb in kbs:
+                v = val_by_kb.get(kb)
+                for i, c in enumerate(dim_vals):
+                    cols[c].append(None if v is None else v[i])
+            lut = uniq.reset_index(drop=True)
+            for c in dim_vals:  # keep object dtype: no int→float promotion
+                lut[c] = pd.Series(cols[c], dtype="object")
+            out = ev.merge(lut, on=sk, how="left")
+            out["epoch"] = np.int64(epoch)
+            tbl_out = pa.Table.from_pandas(out, preserve_index=False)
+            if dim_types is not None:
+                for c, typ in zip(dim_vals, dim_types):
+                    i = tbl_out.schema.get_field_index(c)
+                    tbl_out = tbl_out.set_column(
+                        i, c, tbl_out[c].cast(typ))
+            entry = write_epoch_part(
+                sink_root, epoch, tbl_out,
+                tag=f"shard{sid:04d}", fsync=do_fsync,
+            )
+            return pd.DataFrame({"rows": [entry["rows"]],
+                                 "entry": [json.dumps(entry)]})
+
+        dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
+        entries = (
+            dsd.map_batches(part, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(probe_group, batch_format="pandas")
+            .take_all()
+        )
+        files = [json.loads(r["entry"]) for r in entries]
+        self.sinks[name].commit_files(epoch, files, meta={"kind": "enrich"})
+        return sum(f["rows"] for f in files)
+
     def process_epoch(self, epoch: int, inputs: dict[str, pa.Table | Any],
                       watermark: float | None = None) -> dict:
         """Apply one micro-batch; optionally advance the watermark after.
@@ -947,6 +1096,25 @@ class StreamSession:
                     # one groupby(shard) shuffle straight to the shard actors
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="pattern")
+            elif isinstance(op, EnrichJoin):
+                dim = inputs.get(op.dim_input)
+                if dim is not None:
+                    # upsert registers FIRST: epoch-e dim updates are visible
+                    # to epoch-e events (both paths block until applied, and
+                    # pipelined probes serialize behind the apply per actor)
+                    if isinstance(dim, pa.Table):
+                        merged = self._merged_partials(op, dim, self.watermark)
+                        self.store.apply_deltas(name, epoch, merged,
+                                                wait=not self.pipelined)
+                    else:
+                        self._scatter_partials_distributed(
+                            op, name, epoch, dim, self.watermark)
+                stream = inputs.get(op.stream_input)
+                if stream is not None:
+                    n = self._enrich_probe_epoch(op, name, epoch, stream)
+                    emitted[name] = self.sinks[name].read_committed(
+                        epochs=[epoch])
+                    self.metrics["emitted_rows"] += n
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
@@ -1024,7 +1192,8 @@ class StreamSession:
             new_wm = max(self.watermark, watermark)
             dup = []
             for n in self.ops:
-                if (n not in self.sinks or isinstance(self.ops[n], StreamJoin)
+                if (n not in self.sinks
+                        or isinstance(self.ops[n], (StreamJoin, EnrichJoin))
                         or not self.sinks[n].is_committed(epoch)):
                     continue
                 committed_wm = self.sinks[n].manifest(epoch).get(

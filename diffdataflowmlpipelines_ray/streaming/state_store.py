@@ -110,6 +110,18 @@ class StateShard:
         """All (key, acc) pairs of this shard (snapshot read)."""
         return _dumps(sorted(self.aggs.get(name, {}).items()))
 
+    def enrich_probe(self, name: str, payload: bytes) -> bytes:
+        """Point lookup of LastValueAgg registers (EnrichJoin probe):
+        payload = pickled list[key_bytes] → pickled list[(key_bytes,
+        value-tuple | None)].  Tombstones (value None) read as misses."""
+        keys = pickle.loads(payload)
+        store = self.aggs.get(name, {})
+        out = []
+        for kb in keys:
+            acc = store.get(kb)
+            out.append((kb, None if acc is None else acc.value))
+        return _dumps(out)
+
     def sweep_closed_windows(self, name: str, close_before: float) -> bytes:
         """Emit & drop keys whose window end ≤ close_before.
 

@@ -271,3 +271,24 @@ class TestCoMoment:
         for k in ("covar", "corr", "slope"):
             assert blk.get()[k] == pytest.approx(expect2.get()[k])
         assert blk.count == 30
+
+
+class TestLastValue:
+    def test_semilattice_properties(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import LastValueAgg
+
+        a = LastValueAgg((1.0, ("x",)), ("x",))
+        b = LastValueAgg((2.0, ("y",)), ("y",))
+        c = LastValueAgg((2.0, ("z",)), ("z",))  # equal time, tiebreak wins
+        assert a.merged(b) == b.merged(a)            # commutative
+        assert b.merged(b) == b                      # idempotent
+        assert a.merged(b).merged(c) == a.merged(b.merged(c))  # associative
+        assert b.merged(c).value == ("z",)           # deterministic tiebreak
+        assert LastValueAgg().merged(a).value == ("x",)
+        assert LastValueAgg().is_identity() and not a.is_identity()
+
+    def test_negate_unsupported(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import LastValueAgg
+
+        with pytest.raises(NotImplementedError):
+            LastValueAgg((0.0, ()), ()).negate()

@@ -1331,3 +1331,75 @@ class TestKitchenSinkSession:
         # 5) join == batch inner join
         exp_join = pdf.merge(rt.to_pandas(), on="u")
         assert len(join) == len(exp_join)
+
+
+class TestEnrichJoin:
+    def _op(self):
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        return EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                          key=["u"], dim_vals=["tier"], stream_cols=["eid"],
+                          dim_ts="up_ts", dim_types=[pa.int64()])
+
+    @staticmethod
+    def _dim(rows):
+        u, tier, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "tier": pa.array(tier, type=pa.int64()),
+                         "up_ts": pa.array(ts, type=pa.float64())})
+
+    @staticmethod
+    def _ev(pairs):
+        u, eid = zip(*pairs)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "eid": pa.array(eid, type=pa.int64())})
+
+    def _tiers(self, sess):
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+        return {int(r.eid): (None if pd.isna(r.tier) else int(r.tier))
+                for r in df.itertuples()}
+
+    def test_lww_upserts_and_left_join_nulls(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "en1", num_shards=3)
+        sess.add(self._op())
+        # epoch 0: u1→10, u2→20; a STALE u1→-999 at an older stamp must lose
+        sess.process_epoch(0, {"dim": self._dim([(1, 10, 0.0), (2, 20, 0.0),
+                                                 (1, -999, -1.0)]),
+                               "ev": self._ev([(1, 100), (2, 101), (3, 102)])})
+        # epoch 1: u1 re-upserts to 11; u3 appears
+        sess.process_epoch(1, {"dim": self._dim([(1, 11, 1.0), (3, 30, 1.0)]),
+                               "ev": self._ev([(1, 200), (2, 201), (3, 202)])})
+        got = self._tiers(sess)
+        sess.store.shutdown()
+        assert got == {100: 10, 101: 20, 102: None,
+                       200: 11, 201: 20, 202: 30}
+
+    def test_out_of_order_upsert_order_invariant(self, ray_session, tmp_path):
+        # the NEWER stamp arrives in an EARLIER epoch: the later, older-stamp
+        # upsert must not override it (semilattice, not last-epoch-wins)
+        sess = StreamSession(tmp_path / "en2", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {"dim": self._dim([(7, 70, 5.0)]),
+                               "ev": self._ev([(7, 1)])})
+        sess.process_epoch(1, {"dim": self._dim([(7, -1, 2.0)]),
+                               "ev": self._ev([(7, 2)])})
+        got = self._tiers(sess)
+        sess.store.shutdown()
+        assert got == {1: 70, 2: 70}
+
+    def test_resume_restores_registers(self, ray_session, tmp_path):
+        root = tmp_path / "en3"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {"dim": self._dim([(1, 10, 0.0), (2, 20, 0.0)]),
+                               "ev": self._ev([(1, 100)])})
+        sess.store.shutdown()  # crash after epoch 0's checkpoint
+
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(self._op())
+        assert sess2.resume() == 1
+        # epoch 1 events must observe epoch 0's registers from the checkpoint
+        sess2.process_epoch(1, {"ev": self._ev([(1, 200), (2, 201)])})
+        got = self._tiers(sess2)
+        sess2.store.shutdown()
+        assert got == {100: 10, 200: 10, 201: 20}
