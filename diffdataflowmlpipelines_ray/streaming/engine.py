@@ -537,6 +537,11 @@ class EnrichJoin:
     #: epochs — an epoch-dependent schema the sink must never see; explicit
     #: types pin it (Arrow ints are nullable).
     dim_types: Sequence[Any] | None = None
+    #: optional bool column on the dim side: rows where it is true DELETE the
+    #: key — upserted as a TOMBSTONE register (value None) so it keeps its
+    #: stamp and shadows older upserts arriving late/out of order; probes
+    #: read tombstoned keys as misses (nulls).
+    dim_delete_col: str | None = None
 
     def __post_init__(self):
         overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
@@ -550,15 +555,23 @@ class EnrichJoin:
         from ..state.aggregates import LastValueAgg
 
         dk = list(self.dim_key or self.key)
-        cols = list(dict.fromkeys(dk + list(self.dim_vals) + [self.dim_ts]))
+        cols = list(dict.fromkeys(
+            dk + list(self.dim_vals) + [self.dim_ts]
+            + ([self.dim_delete_col] if self.dim_delete_col else [])))
         pdf = tbl.select(cols).to_pandas()
         ts = _ts_to_float(pdf[self.dim_ts])
         keys = list(zip(*[pdf[c] for c in dk])) if len(pdf) else []
         vals = (list(zip(*[pdf[c] for c in self.dim_vals]))
                 if len(pdf) else [])
+        dels = (pdf[self.dim_delete_col].to_numpy(dtype=bool)
+                if self.dim_delete_col else np.zeros(len(pdf), dtype=bool))
         out: dict[bytes, Any] = {}
-        for k, t, v in zip(keys, ts, vals):
-            acc = LastValueAgg((float(t), v), v)
+        for k, t, v, d in zip(keys, ts, vals, dels):
+            if d:
+                v = None  # tombstone: keeps the stamp, reads as a miss
+            # tiebreak on pickled value bytes: totally ordered for any value
+            # types (incl. None/mixed), deterministic at equal stamps
+            acc = LastValueAgg((float(t), _key_bytes(v)), v)
             kb = _key_bytes(tuple(k))
             cur = out.get(kb)
             if cur is None:

@@ -1403,3 +1403,33 @@ class TestEnrichJoin:
         got = self._tiers(sess2)
         sess2.store.shutdown()
         assert got == {100: 10, 200: 10, 201: 20}
+
+    def test_tombstone_delete_shadows_and_misses(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "en4", num_shards=2)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["u"], dim_vals=["tier"], stream_cols=["eid"],
+                            dim_ts="up_ts", dim_types=[pa.int64()],
+                            dim_delete_col="del"))
+
+        def dim(rows):
+            u, tier, ts, dl = zip(*rows)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "tier": pa.array(tier, type=pa.int64()),
+                             "up_ts": pa.array(ts, type=pa.float64()),
+                             "del": pa.array(dl, type=pa.bool_())})
+
+        # epoch 0: set u1; epoch 1: DELETE u1 at ts=1, and a LATE stale
+        # upsert at ts=0.5 in the same epoch that the tombstone must shadow
+        sess.process_epoch(0, {"dim": dim([(1, 10, 0.0, False)]),
+                               "ev": self._ev([(1, 100)])})
+        sess.process_epoch(1, {"dim": dim([(1, 1, 1.0, True),
+                                           (1, -5, 0.5, False)]),
+                               "ev": self._ev([(1, 200)])})
+        # epoch 2: re-insert after the delete
+        sess.process_epoch(2, {"dim": dim([(1, 12, 2.0, False)]),
+                               "ev": self._ev([(1, 300)])})
+        got = self._tiers(sess)
+        sess.store.shutdown()
+        assert got == {100: 10, 200: None, 300: 12}
