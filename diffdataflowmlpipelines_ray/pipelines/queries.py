@@ -1640,6 +1640,69 @@ def q_sorted_limit(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+# ============================================================ corpus cleaning
+def q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4-style frequent-line removal over 3-word re-wrapped lines: drop
+    every line occurring ≥ 3 times corpus-wide.  Line counts move as
+    (hash, partial-count) rows through one bucket shuffle; text never
+    shuffles; the driver holds only the boilerplate-hash set."""
+    from ..stages.text_clean import remove_frequent_lines, rewrap_words
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    lines = rewrap_words(ds, words_per_line=3).materialize()
+    return remove_frequent_lines(lines, min_count=3).to_pandas()
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag documents sharing any 5-word n-gram
+    with the held-out set (doc_id % 97 == 0).  Small-side n-gram hashes are
+    broadcast once; the corpus pass is stateless vectorized map_batches."""
+    from ..stages.text_clean import contamination_set, flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def test_side(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 97 == 0))
+
+    test_ds = ds.map_batches(test_side, batch_format="pyarrow")
+    ref = ray.put(contamination_set(test_ds, n=5))
+    out = flag_contaminated(ds, ref, n=5)
+    return out.select_columns(["doc_id", "contaminated"]).to_pandas()
+
+
+def q_regex_mask(sf_dir: str) -> pd.DataFrame:
+    """PII-masking class of ops: RE2 regex redaction, vectorized per block
+    (same regex engine as DuckDB's regexp_replace → byte-exact oracle)."""
+    from ..stages.text_clean import mask_pattern
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = mask_pattern(ds, "text", r"\b(customer|part)\b", "<ENT>", "masked")
+    return out.select_columns(["doc_id", "masked"]).to_pandas()
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Batch sessionization of the events stream: 30-min-gap sessions per
+    user, numbered 1..N — one bucket shuffle by hash(user), vectorized
+    numbering inside buckets (exact integer-µs gap comparison)."""
+    from ..stages.relational import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"], blocks=8)
+    out = sessionize(ds, ["user_id"], "ts", gap=1800.0,
+                     order_cols=["event_id"])
+    return out.to_pandas()[["user_id", "event_id", "session_no"]]
+
+
+def q_distinct_per_group(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT part) per supplier: block-local pair dedupe →
+    one (group,value)-hash bucket shuffle → per-bucket counts; values never
+    reach the driver (the exact twin of approx_distinct's HLL)."""
+    from ..stages.relational import distinct_count_per_group
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return distinct_count_per_group(ds, ["l_suppkey"], "l_partkey")
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -1708,6 +1771,11 @@ QUERIES = {
     "audio_decode": q_audio_decode,
     "kmeans_clusters": q_kmeans_clusters,
     "stream_enrich": q_stream_enrich,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
+    "regex_mask": q_regex_mask,
+    "sessionize": q_sessionize,
+    "distinct_per_group": q_distinct_per_group,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -2137,5 +2205,52 @@ ORACLES = {
         JOIN (SELECT source, dense_rank() OVER (ORDER BY source) AS rk
               FROM (SELECT DISTINCT source FROM documents)) sr
           ON d.source = sr.source
+    """,
+    "line_dedup": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        lines AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS ln,
+                 array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+          FROM w, unnest(range(1, CAST(ceil(len(ws)/3.0) AS BIGINT) + 1)) AS t(i)
+        )
+        SELECT doc_id, ln, line
+        FROM (SELECT doc_id, ln, line,
+                     count(*) OVER (PARTITION BY line) AS cnt
+              FROM lines)
+        WHERE cnt < 3
+    """,
+    "decontaminate": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ng AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+               FROM w, unnest(range(1, GREATEST(len(ws) - 3, 1))) AS t(i)),
+        tng AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0)
+        SELECT d.doc_id, coalesce(f.hit, FALSE) AS contaminated
+        FROM documents d
+        LEFT JOIN (SELECT DISTINCT doc_id, TRUE AS hit
+                   FROM ng WHERE g IN (SELECT g FROM tng)) f USING (doc_id)
+    """,
+    "regex_mask": r"""
+        SELECT doc_id,
+               regexp_replace(text, '\b(customer|part)\b', '<ENT>', 'g')
+                 AS masked
+        FROM documents
+    """,
+    "sessionize": """
+        SELECT user_id, event_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_no
+        FROM (SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+    """,
+    "distinct_per_group": """
+        SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_distinct
+        FROM lineitem GROUP BY l_suppkey
     """,
 }

@@ -21,7 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_join", "asof_join", "salted_two_phase_sum"]
+__all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
+           "distinct_count_per_group"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -179,3 +180,95 @@ def salted_two_phase_sum(ds, key_cols: Sequence[str], value_col: str,
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = parts.groupby(keys, as_index=False).agg(sum=("s", "sum"), count=("n", "sum"))
     return out
+
+
+def sessionize(ds, key_cols: Sequence[str], ts_col: str, gap: float,
+               order_cols: Sequence[str] = (), buckets: int = 64):
+    """Batch sessionization: number each key's events into sessions split
+    where the gap to the previous event exceeds ``gap`` seconds.
+
+    Adds ``session_no`` (1-based per key).  The batch twin of the streaming
+    ``SessionWindowAggregation`` and of SQL's
+    ``sum(gap_flag) OVER (PARTITION BY key ORDER BY ts)``.
+
+    Scale: ONE bucket shuffle by hash(key) co-locates each key's rows (all
+    rows of a key land in the same bucket task); inside the bucket the
+    session numbering is a vectorized pandas sort + groupby-cumsum — no
+    full-key-domain sort, no driver-side state.  ``buckets`` scales
+    per-task memory as ``rows / buckets``; a single pathological key still
+    lands on one task (document: split such keys upstream by day).
+    ``ts_col`` may be a timestamp (compared in seconds) or numeric.
+    """
+    keys = list(key_cols)
+    order = [ts_col] + list(order_cols)
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return tbl.append_column(
+            "__bucket", pa.array((h % np.uint64(buckets)).astype(np.int64)))
+
+    def number_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + order, kind="mergesort")
+        tsc = pdf[ts_col]
+        if np.issubdtype(tsc.dtype, np.datetime64):
+            # exact integer µs — float seconds round by ~100 ns at 2024
+            # epochs, enough to flip a comparison right at the gap boundary
+            ts = tsc.to_numpy().astype("datetime64[us]").astype(np.int64)
+            gap_v = int(round(gap * 1e6))
+        else:
+            ts = tsc.to_numpy(dtype=np.float64)
+            gap_v = gap
+        same_key = np.ones(len(pdf), dtype=bool)
+        for k in keys:
+            kv = pdf[k].to_numpy()
+            same_key[1:] &= kv[1:] == kv[:-1]
+        same_key[:1] = False
+        new_sess = np.ones(len(pdf), dtype=np.int64)
+        new_sess[1:] = (~same_key[1:]
+                        | (ts[1:] - ts[:-1] > gap_v)).astype(np.int64)
+        grp_start = np.flatnonzero(~same_key)
+        # per-key cumulative session count, vectorized: global cumsum minus
+        # the cumsum just before each key's first row
+        cs = np.cumsum(new_sess)
+        base = np.repeat(cs[grp_start] - new_sess[grp_start],
+                         np.diff(np.append(grp_start, len(pdf))))
+        out = pdf.drop(columns="__bucket").copy()
+        out["session_no"] = cs - base
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(number_sessions,
+                                            batch_format="pandas"))
+
+
+def distinct_count_per_group(ds, group_cols: Sequence[str], value_col: str,
+                             buckets: int = 64) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT value) per group at any value cardinality.
+
+    Block-local distinct (group, value) pairs → ONE bucket shuffle keyed on
+    hash(group, value) → per-bucket exact dedupe + per-group partial counts
+    → driver merges O(groups × buckets) count rows (never the values).
+    The exact counterpart of the HLL ``approx_distinct`` sketch; use this
+    when the answer must be exact and groups are few, the sketch when an
+    ε-bound suffices."""
+    groups = list(group_cols)
+    cols = groups + [value_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas().drop_duplicates(cols)
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return pa.Table.from_pandas(
+            pdf.assign(__bucket=(h % np.uint64(buckets)).astype(np.int64)),
+            preserve_index=False)
+
+    def count_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.drop_duplicates(cols).groupby(groups, as_index=False)
+                .size().rename(columns={"size": "n_distinct"}))
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("__bucket").map_groups(count_bucket,
+                                             batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby(groups, as_index=False)["n_distinct"].sum()
+            .sort_values(groups).reset_index(drop=True))

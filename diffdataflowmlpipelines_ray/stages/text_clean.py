@@ -1,0 +1,223 @@
+"""Corpus-cleaning operators for LLM training-data pipelines.
+
+Four operators the reference has no counterpart for, but every large-scale
+text-data pipeline needs (C4/CCNet-style cleaning; SURVEY §2.6 scope):
+
+- ``explode_lines`` / ``rewrap_words``: document → (doc_id, ln, line) rows.
+- ``remove_frequent_lines``: C4-style boilerplate removal — drop every line
+  whose exact text occurs ≥ ``min_count`` times corpus-wide (nav bars,
+  cookie banners, licence headers).
+- ``contamination_set`` + ``flag_contaminated``: benchmark decontamination —
+  flag documents sharing any word n-gram with a held-out test set.
+- ``mask_pattern``: vectorized regex redaction (PII masking class of ops).
+
+Scale notes (100 TB):
+- line frequency is computed on 64-bit line hashes, pre-aggregated per block
+  (np.unique) before ONE bucket shuffle of (hash, partial_count) rows — the
+  corpus text never moves; the driver holds only the frequent-hash set
+  (boilerplate lines, O(thousands)) which is broadcast via one ``ray.put``.
+  A 64-bit collision could drop an innocent line with p ≈ n²/2⁶⁵ — the
+  standard trade; swap in 128-bit hashes if that ever matters.
+- contamination n-grams come from the SMALL held-out side (test sets are
+  MBs, not TBs): per-block distinct hashes union on the driver, broadcast
+  once; the corpus-side flag pass is a stateless ``map_batches`` doing one
+  vectorized ``np.isin`` per block.
+- n-gram hashing is fully vectorized: one split kernel, one word-hash pass,
+  one sliding-window polynomial mix over the flat hash array — no Python
+  loop over rows, no n-gram string materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.hashing import fast_hash64_array
+
+__all__ = [
+    "explode_lines",
+    "rewrap_words",
+    "remove_frequent_lines",
+    "contamination_set",
+    "flag_contaminated",
+    "mask_pattern",
+]
+
+
+# --------------------------------------------------------------- line explode
+def _explode(tbl: pa.Table, id_col: str, text_col: str, sep: str) -> pa.Table:
+    lists = pc.split_pattern(tbl[text_col], sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False), lens)
+    # 1-based line number within each document
+    ln = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+    return pa.table({id_col: pa.array(ids), "ln": pa.array(ln), "line": flat})
+
+
+def explode_lines(ds, id_col: str = "doc_id", text_col: str = "text",
+                  sep: str = "\n"):
+    """Dataset(id, text) → Dataset(id, ln, line): one row per line, ``ln``
+    1-based.  Stateless vectorized explode; block count is preserved."""
+    return ds.map_batches(lambda t: _explode(t, id_col, text_col, sep),
+                          batch_format="pyarrow")
+
+
+def rewrap_words(ds, id_col: str = "doc_id", text_col: str = "text",
+                 words_per_line: int = 3):
+    """Deterministically re-wrap each document into consecutive
+    ``words_per_line``-word lines → Dataset(id, ln, line).
+
+    Exists so single-line corpora (like the synthetic ``documents`` table)
+    still exercise line-level cleaning; SQL twin = list slicing over
+    ``string_split(text, ' ')``."""
+    k = words_per_line
+
+    def rewrap(tbl: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(tbl[text_col], " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        wlens = np.diff(offs)
+        nlines = -(-wlens // k)  # ceil
+        ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False), nlines)
+        total = int(nlines.sum())
+        ln = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.concatenate(([0], np.cumsum(nlines)[:-1])), nlines)
+              + 1)
+        # join each k-word slice; per-LINE loop is over total/k elements of
+        # short joins — the heavy split stays in the Arrow kernel
+        starts = np.repeat(offs[:-1], nlines) + (ln - 1) * k
+        ends = np.minimum(starts + k, np.repeat(offs[1:], nlines))
+        lines = [" ".join(words[s:e]) for s, e in zip(starts, ends)]
+        return pa.table({id_col: pa.array(ids), "ln": pa.array(ln),
+                         "line": pa.array(lines, type=pa.string())})
+
+    return ds.map_batches(rewrap, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- frequent-line removal
+def frequent_line_hashes(lines, line_col: str = "line", min_count: int = 2,
+                         buckets: int = 64) -> np.ndarray:
+    """Hashes of lines occurring ≥ ``min_count`` times corpus-wide.
+
+    Block-local (hash → count) partials via ``np.unique`` → one bucket
+    shuffle of the partial rows → exact per-bucket sums → the driver sees
+    only qualifying hashes.  Returns a SORTED uint64 array (ready for
+    ``np.isin``/searchsorted)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        h = fast_hash64_array(tbl[line_col])
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "__b": pa.array(((uh * np.uint64(0x9E3779B97F4A7C15))
+                             % np.uint64(buckets)).astype(np.int64)),
+            "h": pa.array(uh), "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def frequent(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = pdf.groupby("h", as_index=False)["cnt"].sum()
+        return tot[tot["cnt"] >= min_count][["h"]]
+
+    rows = (lines.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(frequent, batch_format="pandas")
+            .take_all())
+    return np.sort(np.array([r["h"] for r in rows], dtype=np.uint64))
+
+
+def remove_frequent_lines(lines, line_col: str = "line", min_count: int = 2,
+                          buckets: int = 64):
+    """C4-style boilerplate filter: drop every line whose text occurs
+    ≥ ``min_count`` times across the corpus.  Two streaming passes over
+    ``lines`` (materialize it first if recompute is expensive)."""
+    freq = frequent_line_hashes(lines, line_col, min_count, buckets)
+    ref = ray.put(freq)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        fr = ray.get(ref)
+        h = fast_hash64_array(tbl[line_col])
+        return tbl.filter(pa.array(~np.isin(h, fr)))
+
+    return lines.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ decontamination
+def _word_ngram_hashes(texts, n: int):
+    """Vectorized word-n-gram hashing: → (hashes uint64[m], doc_idx int64[m])
+    where ``doc_idx`` maps each n-gram to its row in ``texts``.  Documents
+    shorter than ``n`` words contribute nothing."""
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    wh = fast_hash64_array(flat)
+    if len(wh) < n:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    sw = np.lib.stride_tricks.sliding_window_view(wh, n)
+    coef = np.empty(n, dtype=np.uint64)
+    coef[0] = 1
+    for i in range(1, n):  # n iterations, not rows
+        coef[i] = coef[i - 1] * np.uint64(0x100000001B3)  # wraps mod 2^64
+    gh = (sw * coef[::-1]).sum(axis=1, dtype=np.uint64)
+    m = len(gh)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:m]
+    # a window starting at flat position i belongs to doc d iff it ends
+    # inside d: i + n ≤ offs[d+1]
+    valid = (np.arange(m, dtype=np.int64) + n) <= offs[doc_of + 1]
+    return gh[valid], doc_of[valid]
+
+
+def contamination_set(test_ds, text_col: str = "text", n: int = 5) -> np.ndarray:
+    """Distinct word-n-gram hashes of the (small) held-out side — per-block
+    distinct, driver union.  Returns a SORTED uint64 array to broadcast."""
+
+    def distinct(tbl: pa.Table) -> pa.Table:
+        gh, _ = _word_ngram_hashes(tbl[text_col], n)
+        return pa.table({"h": pa.array(np.unique(gh))})
+
+    rows = test_ds.map_batches(distinct, batch_format="pyarrow").take_all()
+    return np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+
+
+def flag_contaminated(ds, ngram_ref, text_col: str = "text", n: int = 5,
+                      out_col: str = "contaminated"):
+    """Add ``out_col``: does the document share ANY word n-gram with the
+    broadcast contamination set (``ray.put`` of ``contamination_set``)?"""
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        cset = ray.get(ngram_ref)
+        gh, doc_idx = _word_ngram_hashes(tbl[text_col], n)
+        hit = np.zeros(tbl.num_rows, dtype=bool)
+        if len(gh):
+            np.logical_or.at(hit, doc_idx, np.isin(gh, cset))
+        return tbl.append_column(out_col, pa.array(hit))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- redaction
+def mask_pattern(ds, col: str, pattern: str, replacement: str,
+                 out_col: str | None = None):
+    """Vectorized regex redaction (RE2 via Arrow — same engine DuckDB's
+    ``regexp_replace`` uses, so oracles match byte-for-byte).  The PII-
+    masking class of ops: emails/phones/IDs → placeholder tokens."""
+    out = out_col or col
+
+    def mask(tbl: pa.Table) -> pa.Table:
+        masked = pc.replace_substring_regex(tbl[col], pattern=pattern,
+                                            replacement=replacement)
+        if out in tbl.column_names:
+            return tbl.set_column(tbl.column_names.index(out), out, masked)
+        return tbl.append_column(out, masked)
+
+    return ds.map_batches(mask, batch_format="pyarrow")

@@ -1,0 +1,174 @@
+"""Corpus-cleaning operators: line dedup, decontamination, regex masking,
+sessionization, exact distinct-per-group."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from diffdataflowmlpipelines_ray.stages.relational import (
+    distinct_count_per_group,
+    sessionize,
+)
+from diffdataflowmlpipelines_ray.stages.text_clean import (
+    contamination_set,
+    explode_lines,
+    flag_contaminated,
+    mask_pattern,
+    remove_frequent_lines,
+    rewrap_words,
+)
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+class TestLines:
+    def test_explode_lines(self, ray_session):
+        ds = _docs([(1, "a\nb\nc"), (2, "x"), (3, "")])
+        df = explode_lines(ds).to_pandas().sort_values(
+            ["doc_id", "ln"]).reset_index(drop=True)
+        assert list(df.itertuples(index=False, name=None)) == [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x"), (3, 1, "")]
+
+    def test_rewrap_words(self, ray_session):
+        ds = _docs([(1, "a b c d e"), (2, "x y z")])
+        df = rewrap_words(ds, words_per_line=3).to_pandas().sort_values(
+            ["doc_id", "ln"]).reset_index(drop=True)
+        assert list(df.itertuples(index=False, name=None)) == [
+            (1, 1, "a b c"), (1, 2, "d e"), (2, 1, "x y z")]
+
+    def test_remove_frequent_lines(self, ray_session):
+        # "cookie banner" appears in 3 docs → dropped at min_count=3;
+        # "rare" appears twice → kept
+        ds = _docs([(1, "cookie banner\nbody one\nrare"),
+                    (2, "cookie banner\nbody two\nrare"),
+                    (3, "cookie banner\nbody three")])
+        lines = explode_lines(ds).materialize()
+        kept = remove_frequent_lines(lines, min_count=3).to_pandas()
+        assert "cookie banner" not in set(kept["line"])
+        assert (kept["line"] == "rare").sum() == 2
+        assert len(kept) == 5
+
+    def test_remove_frequent_counts_occurrences_not_docs(self, ray_session):
+        # the same line twice in ONE doc counts twice
+        ds = _docs([(1, "dup\ndup"), (2, "dup\nother")])
+        lines = explode_lines(ds).materialize()
+        kept = remove_frequent_lines(lines, min_count=3).to_pandas()
+        assert set(kept["line"]) == {"other"}
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, ray_session):
+        secret = "alpha beta gamma delta epsilon"  # the 5-gram to leak
+        ds = _docs([
+            (0, f"test doc with {secret} inside"),        # held-out
+            (1, f"corpus doc leaking {secret} verbatim"),  # contaminated
+            (2, "clean corpus doc nothing shared here at all"),
+            (3, "short"),                                  # < n words
+        ])
+        test_ds = ds.filter(lambda r: r["doc_id"] == 0)
+        ref = ray.put(contamination_set(test_ds, n=5))
+        out = flag_contaminated(ds, ref, n=5).to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "contaminated"])   # self-overlap
+        assert bool(out.loc[1, "contaminated"])
+        assert not bool(out.loc[2, "contaminated"])
+        assert not bool(out.loc[3, "contaminated"])
+
+    def test_ngrams_do_not_span_documents(self, ray_session):
+        # doc1 ends with the first 4 words, doc2 starts with the last —
+        # the would-be spanning 5-gram must NOT register
+        ds = _docs([(1, "p q alpha beta gamma delta"),
+                    (2, "epsilon r s t u")])
+        test = _docs([(9, "alpha beta gamma delta epsilon")])
+        ref = ray.put(contamination_set(test, n=5))
+        out = flag_contaminated(ds, ref, n=5).to_pandas()
+        assert not out["contaminated"].any()
+
+    def test_empty_contamination_set(self, ray_session):
+        ds = _docs([(1, "some words here worth checking")])
+        ref = ray.put(np.empty(0, dtype=np.uint64))
+        out = flag_contaminated(ds, ref, n=5).to_pandas()
+        assert not out["contaminated"].any()
+
+
+class TestMask:
+    def test_mask_pattern(self, ray_session):
+        ds = _docs([(1, "email me at bob@x.com or alice@y.org today")])
+        out = mask_pattern(
+            ds, "text", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>", "masked").to_pandas()
+        assert out.loc[0, "masked"] == "email me at <EMAIL> or <EMAIL> today"
+        assert out.loc[0, "text"].startswith("email me at bob@")  # untouched
+
+    def test_mask_in_place(self, ray_session):
+        ds = _docs([(1, "id 1234567 end")])
+        out = mask_pattern(ds, "text", r"\d{5,}", "<NUM>").to_pandas()
+        assert out.loc[0, "text"] == "id <NUM> end"
+
+
+class TestSessionize:
+    def test_gap_boundary_exact(self, ray_session):
+        # gaps of exactly 1800 s stay in-session (strict >), 1800.000001 splits
+        base = pd.Timestamp("2024-01-01")
+        ts = [base,
+              base + pd.Timedelta(seconds=1800),            # same session
+              base + pd.Timedelta(seconds=3600, microseconds=1),  # splits
+              base + pd.Timedelta(seconds=3700)]
+        ds = rd.from_arrow(pa.table({
+            "u": pa.array([7, 7, 7, 7], type=pa.int64()),
+            "eid": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }))
+        df = sessionize(ds, ["u"], "ts", gap=1800.0, order_cols=["eid"]
+                        ).to_pandas().sort_values("eid")
+        assert list(df["session_no"]) == [1, 1, 2, 2]
+
+    def test_multi_key_numbering(self, ray_session):
+        ds = rd.from_arrow(pa.table({
+            "u": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "eid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array([0.0, 10.0, 5000.0, 0.0, 9000.0]),
+        }))
+        df = sessionize(ds, ["u"], "ts", gap=1800.0, order_cols=["eid"]
+                        ).to_pandas().sort_values("eid")
+        assert list(df["session_no"]) == [1, 1, 2, 1, 2]
+
+    def test_matches_pandas_reference(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 3000
+        pdf = pd.DataFrame({
+            "u": rng.integers(0, 40, n),
+            "eid": np.arange(n),
+            "ts": rng.uniform(0, 500_000, n),
+        })
+        got = sessionize(rd.from_pandas(pdf), ["u"], "ts", gap=1800.0,
+                         order_cols=["eid"], buckets=8).to_pandas()
+        ref = pdf.sort_values(["u", "ts", "eid"]).copy()
+        new = (ref.groupby("u")["ts"].diff() > 1800.0) | \
+            ref.groupby("u")["ts"].diff().isna()
+        ref["session_no"] = new.astype(np.int64).groupby(ref["u"]).cumsum()
+        merged = got.merge(ref[["eid", "session_no"]], on="eid",
+                           suffixes=("", "_ref"))
+        assert (merged["session_no"] == merged["session_no_ref"]).all()
+
+
+class TestDistinctPerGroup:
+    def test_matches_pandas(self, ray_session):
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame({"g": rng.integers(0, 20, 5000),
+                            "v": rng.integers(0, 400, 5000)})
+        got = distinct_count_per_group(rd.from_pandas(pdf), ["g"], "v",
+                                       buckets=16)
+        ref = (pdf.groupby("g")["v"].nunique().reset_index()
+               .rename(columns={"v": "n_distinct"}))
+        merged = got.merge(ref, on="g", suffixes=("", "_ref"))
+        assert len(merged) == len(ref)
+        assert (merged["n_distinct"] == merged["n_distinct_ref"]).all()
