@@ -123,10 +123,17 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
     )
     start = session.resume()
     n_seq = 0
+    source = f"{sf_dir}/documents.parquet"
     for e, epoch_ds in enumerate(epochs):
         if e < start:
             continue
-        manifest = session.process_epoch(e, epoch_ds)
+        # input provenance stamped into every manifest this epoch commits:
+        # which source slice produced which output partition (a real
+        # deployment records the epoch's parquet paths/offsets here)
+        manifest = session.process_epoch(e, epoch_ds, lineage={
+            "source": source, "epoch": e, "n_epochs": n_epochs,
+            "replicate": replicate, "split": "contiguous-by-rank",
+        })
         n_seq += manifest["rows"]
     # token count: ONE distributed columnar sum over the committed output —
     # a per-epoch serial driver read here was pure non-scaling overhead

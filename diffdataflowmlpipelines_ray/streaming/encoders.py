@@ -125,11 +125,22 @@ class IncrementalEncoderSession:
         self._refresh_encoder_state()
         return latest + 1
 
+    def _meta(self, **kw) -> dict:
+        if getattr(self, "_lineage", None) is not None:
+            kw["lineage"] = self._lineage
+        return kw
+
     # -------------------------------------------------------------- epoch step
-    def process_epoch(self, epoch: int, data) -> pa.Table | dict:
+    def process_epoch(self, epoch: int, data,
+                      lineage: dict | None = None) -> pa.Table | dict:
         """fit-update on the epoch's deltas, then transform the epoch's
         insertions with the updated state; exactly-once commit of both the
         input archive (for refresh/lineage) and the encoded output.
+
+        ``lineage``: caller-supplied input provenance for this epoch
+        (source paths / shard ids / offsets) — stamped into every manifest
+        the epoch commits, so each output partition records the input slice
+        it came from.
 
         Small ``pa.Table`` epochs run driver-side; ``ray.data.Dataset``
         epochs are first committed to the input archive (single upstream
@@ -138,6 +149,7 @@ class IncrementalEncoderSession:
         Returns the encoded table (table path) or the sink manifest (Dataset
         path; use ``read_epoch_output``).
         """
+        self._lineage = lineage
         small = isinstance(data, pa.Table)
         # 0) archive the raw epoch (atomic; upstream executes exactly once).
         # Skipped when the source itself is durable (archive_input=False) —
@@ -146,10 +158,10 @@ class IncrementalEncoderSession:
         if not self.archive_input:
             epoch_data = data
         elif small:
-            self.input_archive.commit_tables(epoch, [data], meta={"kind": "input"})
+            self.input_archive.commit_tables(epoch, [data], meta=self._meta(kind="input"))
             epoch_data = data
         else:
-            self.input_archive.commit_dataset(epoch, data, meta={"kind": "input"})
+            self.input_archive.commit_dataset(epoch, data, meta=self._meta(kind="input"))
             import ray.data as rd
 
             epoch_data = rd.read_parquet(self.input_archive.committed_files([epoch]))
@@ -245,12 +257,12 @@ class IncrementalEncoderSession:
         if small:
             out_tbl = encode(epoch_data)
             result = self.sink.commit_tables(
-                epoch, [out_tbl], meta={"state_epoch": epoch, "kind": "encoded"}
+                epoch, [out_tbl], meta=self._meta(state_epoch=epoch, kind="encoded")
             )
         else:
             out_ds = epoch_data.map_batches(encode, batch_format="pyarrow")
             result = self.sink.commit_dataset(
-                epoch, out_ds, meta={"state_epoch": epoch, "kind": "encoded"}
+                epoch, out_ds, meta=self._meta(state_epoch=epoch, kind="encoded")
             )
         if self.emit_corrections:
             self._maybe_emit_corrections(epoch, encode)
@@ -309,12 +321,12 @@ class IncrementalEncoderSession:
             )
             changed_tbl = pa.Table.from_pandas(changed, preserve_index=False)
             # the re-encode is the new effective snapshot for rows < epoch
-            self.effective_sink.commit_tables(epoch, [new], meta={"kind": "effective"})
+            self.effective_sink.commit_tables(epoch, [new], meta=self._meta(kind="effective"))
         self._meta_snapshot = snap
         tbl = changed_tbl if changed_tbl is not None else pa.table(
             {"diff": pa.array([], type=pa.int64())}
         )
-        self.corrections_sink.commit_tables(epoch, [tbl], meta={"kind": "corrections"})
+        self.corrections_sink.commit_tables(epoch, [tbl], meta=self._meta(kind="corrections"))
 
     def read_epoch_output(self, epoch: int) -> pa.Table:
         return self.sink.read_committed_table([epoch])
@@ -344,7 +356,7 @@ class IncrementalEncoderSession:
             tbl = (pa.Table.from_pylist(recs) if recs
                    else pa.table({"epoch": pa.array([], type=pa.int64())}))
             self.epoch_agg_sinks[spec["name"]].commit_tables(
-                epoch, [tbl], meta={"kind": "epoch_agg"}
+                epoch, [tbl], meta=self._meta(kind="epoch_agg")
             )
 
     def _block_partials(self, tbl: pa.Table) -> dict[bytes, object]:

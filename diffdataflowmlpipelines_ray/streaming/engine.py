@@ -613,8 +613,17 @@ class StreamSession:
         self.watermark = -math.inf
         self.last_epoch = -1
         self._replay_floor = 0  # raised by resume(); see advance_watermark
+        #: per-epoch input lineage (set by process_epoch, stamped into every
+        #: sink manifest committed for that epoch — the audit trail from an
+        #: output partition back to the input slice that produced it)
+        self.current_lineage: dict | None = None
         self.metrics = {"late_dropped": 0, "epochs": 0, "input_rows": 0,
                         "emitted_rows": 0}
+
+    def _meta(self, **kw) -> dict:
+        if self.current_lineage is not None:
+            kw["lineage"] = self.current_lineage
+        return kw
 
     # ------------------------------------------------------------------ setup
     def add(self, op) -> "StreamSession":
@@ -952,7 +961,7 @@ class StreamSession:
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
-        self.sinks[name].commit_files(epoch, files, meta={"kind": "join"})
+        self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="join"))
         return sum(f["rows"] for f in files)
 
     def _enrich_probe_epoch(self, op: "EnrichJoin", name: str, epoch: int,
@@ -1040,17 +1049,25 @@ class StreamSession:
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
-        self.sinks[name].commit_files(epoch, files, meta={"kind": "enrich"})
+        self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 
     def process_epoch(self, epoch: int, inputs: dict[str, pa.Table | Any],
-                      watermark: float | None = None) -> dict:
+                      watermark: float | None = None,
+                      lineage: dict | None = None) -> dict:
         """Apply one micro-batch; optionally advance the watermark after.
 
         ``inputs``: {input_name: Arrow table | Ray Dataset}.  Deltas carry an
         optional ``diff`` column (+1/−1) for retractions (KeyedAggregation
         with ``weight_col='diff'``).
+
+        ``lineage``: caller-supplied description of WHERE this epoch's rows
+        came from (source paths / shard ids / offsets) — stamped verbatim
+        into every sink manifest this epoch commits (and into subsequent
+        watermark-advance commits until the next epoch), giving each output
+        partition a durable input-lineage record.
         """
+        self.current_lineage = lineage
         emitted: dict[str, pa.Table] = {}
         for name, op in self.ops.items():
             if isinstance(op, KeyedAggregation):
@@ -1149,7 +1166,7 @@ class StreamSession:
                 if payloads:
                     frames = self.store.join_insert_probe(name, epoch, payloads)
                     tbl = op.matches_to_table(frames, epoch)
-                    self.sinks[name].commit_tables(epoch, [tbl], meta={"kind": "join"})
+                    self.sinks[name].commit_tables(epoch, [tbl], meta=self._meta(kind="join"))
                     emitted[name] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows
 
@@ -1235,8 +1252,8 @@ class StreamSession:
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],
-                    meta={"watermark": self.watermark, "op": name,
-                          "metrics": dict(self.metrics)},
+                    meta=self._meta(watermark=self.watermark, op=name,
+                                    metrics=dict(self.metrics)),
                 )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
@@ -1251,8 +1268,8 @@ class StreamSession:
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],
-                    meta={"watermark": self.watermark, "op": name,
-                          "metrics": dict(self.metrics)},
+                    meta=self._meta(watermark=self.watermark, op=name,
+                                    metrics=dict(self.metrics)),
                 )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
@@ -1264,8 +1281,8 @@ class StreamSession:
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],
-                    meta={"watermark": self.watermark, "op": name,
-                          "metrics": dict(self.metrics)},
+                    meta=self._meta(watermark=self.watermark, op=name,
+                                    metrics=dict(self.metrics)),
                 )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows

@@ -261,6 +261,23 @@ class ExactlyOnceParquetSink:
     def total_rows(self) -> int:
         return sum(self.manifest(e)["rows"] for e in self.committed_epochs())
 
+    def lineage_report(self) -> dict[int, dict]:
+        """Per-epoch audit trail: output partitions ↔ the input slice that
+        produced them (the ``lineage`` dict the caller stamped at commit)
+        plus row counts and the metrics snapshot, straight from the durable
+        manifests — survives restarts, needs no engine state."""
+        out = {}
+        for e in self.committed_epochs():
+            m = self.manifest(e)
+            meta = m.get("meta") or {}
+            out[e] = {
+                "rows": m["rows"],
+                "files": [f["path"] for f in m["files"]],
+                "lineage": meta.get("lineage"),
+                "metrics": meta.get("metrics"),
+            }
+        return out
+
     def verify(self) -> bool:
         """Audit every committed file against its manifest (sha256 when
         recorded, else size)."""

@@ -1433,3 +1433,41 @@ class TestEnrichJoin:
         got = self._tiers(sess)
         sess.store.shutdown()
         assert got == {100: 10, 200: None, 300: 12}
+
+
+class TestLineage:
+    def test_lineage_stamped_into_manifests(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "lin", num_shards=1)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["user_id"],
+                                  value_col="value", ts_col="ts",
+                                  aggs=("count",),
+                                  window=WindowSpec.tumbling(10.0)))
+        for e in range(2):
+            t = pa.table({"user_id": [1, 2], "ts": [e * 10.0 + 1, e * 10.0 + 2],
+                          "value": [1.0, 1.0]})
+            sess.process_epoch(e, {"e": t}, watermark=(e + 1) * 10.0,
+                               lineage={"source": "s3://bucket/shard", "epoch": e,
+                                        "offset": e * 2})
+        sess.close()
+        rep = sess.sinks["win"].lineage_report()
+        assert {0, 1} <= set(rep)  # close() may commit a final flush epoch
+        for e in (0, 1):
+            assert rep[e]["lineage"]["offset"] == e * 2
+            assert rep[e]["metrics"] is not None
+            assert rep[e]["files"]
+
+    def test_flagship_manifests_carry_lineage(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.pipelines.flagship import run_flagship
+
+        run_flagship("/root/testdata/sf0.001", tmp_path / "fl", n_epochs=2)
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+
+        sink = ExactlyOnceParquetSink(tmp_path / "fl" / "encoded")
+        rep = sink.lineage_report()
+        assert sorted(rep) == [0, 1]
+        for e in (0, 1):
+            lin = rep[e]["lineage"]
+            assert lin["epoch"] == e and lin["source"].endswith(
+                "documents.parquet")
