@@ -1703,6 +1703,40 @@ def q_distinct_per_group(sf_dir: str) -> pd.DataFrame:
     return distinct_count_per_group(ds, ["l_suppkey"], "l_partkey")
 
 
+def q_grouped_median(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median + p90 (quantile_cont semantics): one bucket
+    shuffle by hash(group); the exact twin of approx_quantiles' sketch."""
+    from ..stages.relational import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_quantiles(ds, ["l_returnflag"], "l_quantity",
+                            qs=(0.5, 0.9))
+    return _round(out, ["q0_5", "q0_9"])
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative value over event time — integer-cent accumulation
+    so the running sum is exact and merge-order-independent."""
+    from ..stages.relational import running_total
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"],
+               blocks=8)
+    out = running_total(ds, ["user_id"], "ts", "value",
+                        order_cols=["event_id"])
+    return out.to_pandas()[["user_id", "event_id", "running"]]
+
+
+def q_latest_event(sf_dir: str) -> pd.DataFrame:
+    """Current state per entity: the latest event row per user (argmax by
+    (ts, event_id)) — per-block partial argmax, O(users) driver merge."""
+    from ..stages.relational import latest_per_key
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "value"], blocks=8)
+    out = latest_per_key(ds, ["user_id"], "ts", order_cols=["event_id"])
+    return out[["user_id", "event_id", "event_type", "value"]]
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -1776,6 +1810,9 @@ QUERIES = {
     "regex_mask": q_regex_mask,
     "sessionize": q_sessionize,
     "distinct_per_group": q_distinct_per_group,
+    "grouped_median": q_grouped_median,
+    "running_total": q_running_total,
+    "latest_event": q_latest_event,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -2252,5 +2289,24 @@ ORACLES = {
     "distinct_per_group": """
         SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_distinct
         FROM lineitem GROUP BY l_suppkey
+    """,
+    "grouped_median": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS q0_5,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS q0_9
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "running_total": """
+        SELECT user_id, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS running
+        FROM events
+    """,
+    "latest_event": """
+        SELECT user_id, event_id, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
     """,
 }

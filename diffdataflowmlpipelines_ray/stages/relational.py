@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
-           "distinct_count_per_group"]
+           "distinct_count_per_group", "grouped_quantiles", "running_total",
+           "latest_per_key"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -272,3 +273,83 @@ def distinct_count_per_group(ds, group_cols: Sequence[str], value_col: str,
              .to_pandas())
     return (parts.groupby(groups, as_index=False)["n_distinct"].sum()
             .sort_values(groups).reset_index(drop=True))
+
+
+def grouped_quantiles(ds, group_cols: Sequence[str], value_col: str,
+                      qs: Sequence[float] = (0.5,), buckets: int = 64):
+    """Exact per-group quantiles (linear interpolation — the quantile_cont
+    semantics).  One bucket shuffle by hash(group) co-locates each group's
+    values; the per-bucket task computes all requested quantiles vectorized.
+    Exactness requires the group's values in one task (rows/group must fit a
+    worker); for sketch-bounded memory at any group size use
+    ``approx_quantiles`` instead — this is its exact twin, like
+    ``distinct_count_per_group`` is HLL's."""
+    groups = list(group_cols)
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(groups).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return tbl.append_column(
+            "__bucket", pa.array((h % np.uint64(buckets)).astype(np.int64)))
+
+    def quant(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (pdf.groupby(groups)[value_col]
+               .quantile(list(qs), interpolation="linear").unstack())
+        out.columns = [f"q{str(q).replace('.', '_')}" for q in qs]
+        return out.reset_index()
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(quant, batch_format="pandas")
+            .to_pandas().sort_values(groups).reset_index(drop=True))
+
+
+def running_total(ds, key_cols: Sequence[str], ts_col: str, value_col: str,
+                  order_cols: Sequence[str] = (), out_col: str = "running",
+                  cents: bool = True, buckets: int = 64):
+    """Per-key running sum ordered by (ts, order_cols) — the cumulative
+    window function.  Same one-shuffle bucket co-location as ``sessionize``;
+    the numbering is a vectorized grouped cumsum.  ``cents=True`` accumulates
+    ROUND(value·100) as int64 so the running sum is EXACT and merge-order-
+    independent (float cumsum vs SQL's windowed sum can differ in ulps)."""
+    keys = list(key_cols)
+    order = [ts_col] + list(order_cols)
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return tbl.append_column(
+            "__bucket", pa.array((h % np.uint64(buckets)).astype(np.int64)))
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + order, kind="mergesort").drop(
+            columns="__bucket")
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        if cents:
+            iv = np.round(v * 100.0).astype(np.int64)
+            run = pdf.assign(__v=iv).groupby(keys)["__v"].cumsum()
+            pdf[out_col] = run.to_numpy() / 100.0
+        else:
+            pdf[out_col] = pdf.groupby(keys)[value_col].cumsum()
+        return pdf
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(cumsum, batch_format="pandas"))
+
+
+def latest_per_key(ds, key_cols: Sequence[str], ts_col: str,
+                   order_cols: Sequence[str] = ()) -> pd.DataFrame:
+    """The most recent row per key (argmax by (ts, order_cols) — "current
+    state of every entity").  Two-phase: each block keeps only ITS latest
+    row per key, the driver merges O(keys) candidates — no shuffle, no
+    full-data sort.  Deterministic for unique (ts, order) per key."""
+    keys = list(key_cols)
+    order = [ts_col] + list(order_cols)
+
+    def local_latest(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.sort_values(order, kind="mergesort")
+                .groupby(keys, as_index=False).tail(1))
+
+    parts = ds.map_batches(local_latest, batch_format="pandas").to_pandas()
+    return (parts.sort_values(order, kind="mergesort")
+            .groupby(keys, as_index=False).tail(1)
+            .sort_values(keys).reset_index(drop=True))

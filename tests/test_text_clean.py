@@ -172,3 +172,51 @@ class TestDistinctPerGroup:
         merged = got.merge(ref, on="g", suffixes=("", "_ref"))
         assert len(merged) == len(ref)
         assert (merged["n_distinct"] == merged["n_distinct_ref"]).all()
+
+
+class TestAnalytics:
+    def test_grouped_quantiles_match_pandas(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            grouped_quantiles,
+        )
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame({"g": rng.integers(0, 6, 4000),
+                            "v": rng.uniform(0, 100, 4000)})
+        got = grouped_quantiles(rd.from_pandas(pdf), ["g"], "v",
+                                qs=(0.25, 0.5), buckets=8)
+        ref = pdf.groupby("g")["v"].quantile([0.25, 0.5]).unstack()
+        for _, r in got.iterrows():
+            assert r["q0_25"] == pytest.approx(ref.loc[r["g"], 0.25])
+            assert r["q0_5"] == pytest.approx(ref.loc[r["g"], 0.5])
+
+    def test_running_total_exact_cents(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            running_total,
+        )
+        pdf = pd.DataFrame({
+            "u": [1, 1, 1, 2], "eid": [0, 1, 2, 3],
+            "ts": [0.0, 1.0, 2.0, 0.0],
+            "value": [0.1, 0.2, 0.3, 5.05],
+        })
+        got = (running_total(rd.from_pandas(pdf), ["u"], "ts", "value",
+                             order_cols=["eid"], buckets=4)
+               .to_pandas().sort_values("eid"))
+        # float 0.1+0.2 != 0.3 — cents accumulation must be exact
+        assert list(got["running"]) == [0.1, 0.3, 0.6, 5.05]
+
+    def test_latest_per_key(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            latest_per_key,
+        )
+        rng = np.random.default_rng(9)
+        n = 2000
+        pdf = pd.DataFrame({
+            "u": rng.integers(0, 30, n), "eid": np.arange(n),
+            "ts": rng.uniform(0, 1000, n),
+            "val": rng.uniform(0, 10, n),
+        })
+        got = latest_per_key(rd.from_pandas(pdf), ["u"], "ts",
+                             order_cols=["eid"])
+        ref = (pdf.sort_values(["ts", "eid"]).groupby("u", as_index=False)
+               .tail(1).sort_values("u").reset_index(drop=True))
+        assert list(got["eid"]) == list(ref["eid"])
