@@ -1737,6 +1737,35 @@ def q_latest_event(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "event_id", "event_type", "value"]]
 
 
+def q_global_median(sf_dir: str) -> pd.DataFrame:
+    """Exact global quartiles with NO sort and NO value co-location
+    (iterative histogram refinement — the unbounded-cardinality exact twin
+    of the approx_quantiles sketch)."""
+    from ..stages.relational import exact_global_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"], blocks=8)
+    got = exact_global_quantiles(ds, "l_extendedprice", qs=(0.25, 0.5, 0.75))
+    df = pd.DataFrame([{"q0_25": got[0.25], "q0_5": got[0.5],
+                        "q0_75": got[0.75]}])
+    return _round(df, ["q0_25", "q0_5", "q0_75"])
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Provably-exact top-50 tokens with NO shuffle: per-block candidate
+    summaries + exact recount + dropped-mass proof (raises if unprovable).
+    The shuffle-free twin of token_freq_topk's bucketed path."""
+    from ..functions.tokenize import tokenize_column
+    from ..state.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"], blocks=8)
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        return pa.table({"token": tokenize_column(tbl["text"]).flatten()})
+
+    return heavy_hitters(ds.map_batches(explode, batch_format="pyarrow"),
+                         "token", k=50)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -1813,6 +1842,8 @@ QUERIES = {
     "grouped_median": q_grouped_median,
     "running_total": q_running_total,
     "latest_event": q_latest_event,
+    "global_median": q_global_median,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -2308,5 +2339,17 @@ ORACLES = {
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "global_median": """
+        SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q0_25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS q0_5,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q0_75
+        FROM lineitem
+    """,
+    "heavy_hitters": f"""
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 50
     """,
 }

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
-           "latest_per_key"]
+           "latest_per_key", "exact_global_quantiles"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -353,3 +353,107 @@ def latest_per_key(ds, key_cols: Sequence[str], ts_col: str,
     return (parts.sort_values(order, kind="mergesort")
             .groupby(keys, as_index=False).tail(1)
             .sort_values(keys).reset_index(drop=True))
+
+
+def exact_global_quantiles(ds, col: str, qs: Sequence[float] = (0.5,),
+                           bins: int = 4096, cap: int = 200_000,
+                           max_rounds: int = 8) -> dict:
+    """EXACT global quantiles (quantile_cont interpolation) with NO sort and
+    NO value co-location — works at any cardinality, unlike
+    ``grouped_quantiles`` which needs a group's values in one task.
+
+    Iterative histogram refinement: each round is ONE streaming pass
+    computing, per block, a histogram for every still-active order
+    statistic's range; the driver narrows each range to the bin holding its
+    rank (offset arithmetic keeps ranks exact).  When a range holds ≤ ``cap``
+    values they are fetched (tiny filter pass) and the order statistic read
+    exactly.  Ranges of width 0 (massive duplicate value) resolve
+    immediately.  Passes: ~2 rounds + 1 fetch for real data; each moves only
+    O(blocks × bins) counts to the driver."""
+    import pyarrow.compute as pc
+
+    # pass 0: n, min, max in one scan
+    def nmm(tbl: pa.Table) -> pa.Table:
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "mn": pa.array([np.inf]), "mx": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    rows = ds.map_batches(nmm, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    gmin = min(r["mn"] for r in rows)
+    gmax = max(r["mx"] for r in rows)
+
+    # order statistics needed (0-based ranks) for quantile_cont at each q
+    ranks = sorted({int(np.floor((n - 1) * q)) for q in qs}
+                   | {min(int(np.floor((n - 1) * q)) + 1, n - 1) for q in qs})
+    # state per rank: [lo, hi, offset(=count of values < lo), count_in_range]
+    state = {k: [gmin, gmax, 0, n] for k in ranks}
+    resolved: dict[int, float] = {}
+
+    for _ in range(max_rounds):
+        active = {k: s for k, s in state.items()
+                  if k not in resolved and s[3] > cap and s[0] < s[1]}
+        for k, s in state.items():
+            if k not in resolved and s[0] >= s[1]:
+                resolved[k] = s[0]  # degenerate range: single value
+        if not active:
+            break
+        ranges = [(k, s[0], s[1]) for k, s in sorted(active.items())]
+
+        def hists(tbl: pa.Table) -> pa.Table:
+            v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out = {}
+            for i, (_k, lo, hi) in enumerate(ranges):
+                edges = np.linspace(lo, hi, bins + 1)
+                out[f"h{i}"] = pa.array(
+                    [np.histogram(v, bins=edges)[0].astype(np.int64)],
+                    type=pa.list_(pa.int64()))
+                out[f"b{i}"] = pa.array([int((v < lo).sum())], type=pa.int64())
+            return pa.table(out)
+
+        hrows = ds.map_batches(hists, batch_format="pyarrow").take_all()
+        for i, (k, lo, hi) in enumerate(ranges):
+            counts = np.sum([np.asarray(r[f"h{i}"]) for r in hrows], axis=0)
+            below = sum(int(r[f"b{i}"]) for r in hrows)
+            cum = np.cumsum(counts)
+            # rank k is the (k - below)-th value within [lo, hi]
+            j = int(np.searchsorted(cum, k - below + 1))
+            edges = np.linspace(lo, hi, bins + 1)
+            new_lo, new_hi = float(edges[j]), float(edges[j + 1])
+            new_off = below + (int(cum[j - 1]) if j else 0)
+            state[k] = [new_lo, new_hi, new_off, int(counts[j])]
+
+    # fetch pass: pull every unresolved range's values at once (≤ cap each)
+    pending = [k for k in ranks if k not in resolved]
+    if pending:
+        franges = [(k, state[k][0], state[k][1]) for k in pending]
+
+        def fetch(tbl: pa.Table) -> pa.Table:
+            v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols = {}
+            for i, (_k, lo, hi) in enumerate(franges):
+                cols[f"v{i}"] = pa.array(
+                    [v[(v >= lo) & (v <= hi)]], type=pa.list_(pa.float64()))
+            return pa.table(cols)
+
+        vrows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+        for i, (k, lo, hi) in enumerate(franges):
+            vals = np.sort(np.concatenate(
+                [np.asarray(r[f"v{i}"], dtype=np.float64) for r in vrows]))
+            resolved[k] = float(vals[k - state[k][2]])
+
+    out = {}
+    for q in qs:
+        r = (n - 1) * q
+        k0 = int(np.floor(r))
+        k1 = min(k0 + 1, n - 1)
+        frac = r - k0
+        out[q] = resolved[k0] + frac * (resolved[k1] - resolved[k0])
+    return out

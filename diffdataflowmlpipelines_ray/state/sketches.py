@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HyperLogLog", "approx_distinct", "HistogramSketch", "approx_quantiles"]
+__all__ = ["HyperLogLog", "approx_distinct", "HistogramSketch",
+           "approx_quantiles", "heavy_hitters"]
 
 
 class HyperLogLog:
@@ -187,3 +188,80 @@ def approx_quantiles(ds, col: str, qs, bins: int = 4096) -> list[float]:
         acc.counts += counts
         acc.n += n
     return [acc.quantile(float(q)) for q in qs]
+
+
+def heavy_hitters(ds, col: str, k: int, m: int | None = None):
+    """PROVABLY-exact top-k frequent values with NO shuffle: per-block
+    top-``m`` candidate summaries (one pass) + an exact recount of the
+    potential winners (second pass) + a proof check.
+
+    A value dropped from EVERY block's top-m has total count ≤ U = Σ per-
+    block smallest-kept counts; if the k-th recounted candidate's exact
+    count ≥ U, no non-candidate can displace it and the result equals the
+    exact top-k (the bucketed-shuffle ``token_freq_topk`` path computes the
+    same answer WITH a shuffle).  Raises when not provable — raise ``m``.
+    Driver holds O(blocks × m) candidate partials; corpus values never
+    move.  Returns pandas (col, cnt) sorted (cnt DESC, value ASC)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    m = m or max(8 * k, 256)
+
+    def top_block(tbl: pa.Table) -> pa.Table:
+        arr = tbl[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr)
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(-cnts, kind="stable")[:m]
+        # dropped values (if any) each have count ≤ the smallest KEPT count
+        bound = int(cnts[order[-1]]) if len(cnts) > m else 0
+        # one sentinel row (v = null) carries this block's bound
+        return pa.table({
+            "v": pa.array([vals[i] for i in order] + [None]),
+            "c": pa.array(np.append(cnts[order], bound)),
+        })
+
+    lower: dict = {}
+    U = 0
+    for r in ds.map_batches(top_block, batch_format="pyarrow").take_all():
+        if r["v"] is None:
+            U += int(r["c"])
+        else:
+            lower[r["v"]] = lower.get(r["v"], 0) + int(r["c"])
+    if not lower:
+        return pd.DataFrame({col: [], "cnt": []})
+    low_sorted = sorted(lower.items(), key=lambda kv: (-kv[1], kv[0]))
+    kth_lower = low_sorted[min(k, len(low_sorted)) - 1][1]
+    # only candidates that could still reach the top-k need the exact pass
+    cand_ref = ray.put({v for v, c in lower.items() if c + U >= kth_lower})
+
+    def recount(tbl: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        arr = tbl[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr)
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = [i for i, v in enumerate(vals) if v in cset]
+        return pa.table({"v": pa.array([vals[i] for i in keep]),
+                         "c": pa.array(cnts[keep])})
+
+    exact: dict = {}
+    for r in ds.map_batches(recount, batch_format="pyarrow").take_all():
+        exact[r["v"]] = exact.get(r["v"], 0) + int(r["c"])
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # strict >: a dropped value with count == U could TIE the k-th candidate
+    # and win the (cnt DESC, value ASC) tie-break; U == 0 means nothing was
+    # ever dropped, so the candidate set is complete regardless
+    if len(top) >= k and U > 0 and top[-1][1] <= U:
+        raise RuntimeError(
+            f"heavy_hitters not provably exact: kth count {top[-1][1]} <= "
+            f"dropped-mass bound {U}; raise m (currently {m})")
+    return pd.DataFrame({col: [v for v, _ in top],
+                         "cnt": np.array([c for _, c in top], dtype=np.int64)})

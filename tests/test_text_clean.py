@@ -220,3 +220,54 @@ class TestAnalytics:
         ref = (pdf.sort_values(["ts", "eid"]).groupby("u", as_index=False)
                .tail(1).sort_values("u").reset_index(drop=True))
         assert list(got["eid"]) == list(ref["eid"])
+
+
+class TestExactGlobalQuantiles:
+    def test_matches_numpy(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            exact_global_quantiles,
+        )
+        rng = np.random.default_rng(0)
+        for data in (rng.uniform(0, 1000, 50_000),
+                     np.repeat([5.0, 7.0], [30_000, 20_000]),  # heavy dups
+                     rng.normal(0, 1, 30_001)):
+            ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(8)
+            got = exact_global_quantiles(ds, "x", qs=(0.25, 0.5, 0.9),
+                                         cap=2000)
+            ref = np.quantile(data, [0.25, 0.5, 0.9], method="linear")
+            for q, r in zip((0.25, 0.5, 0.9), ref):
+                assert got[q] == pytest.approx(r, abs=1e-9)
+
+    def test_small_input_single_fetch(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            exact_global_quantiles,
+        )
+        data = np.array([3.0, 1.0, 2.0, 4.0])
+        ds = rd.from_pandas(pd.DataFrame({"x": data}))
+        got = exact_global_quantiles(ds, "x", qs=(0.5,))
+        assert got[0.5] == pytest.approx(2.5)
+
+
+class TestHeavyHitters:
+    def test_exact_on_zipf(self, ray_session):
+        from diffdataflowmlpipelines_ray.state.sketches import heavy_hitters
+        rng = np.random.default_rng(1)
+        vals = np.minimum(rng.zipf(1.5, 30_000), 5000).astype(str)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        got = heavy_hitters(ds, "v", k=10, m=64)
+        ref = (pd.Series(vals).value_counts().reset_index())
+        ref.columns = ["v", "cnt"]
+        ref = ref.sort_values(["cnt", "v"],
+                              ascending=[False, True]).head(10)
+        assert list(got["v"]) == list(ref["v"])
+        assert list(got["cnt"]) == list(ref["cnt"])
+
+    def test_raises_when_unprovable(self, ray_session):
+        from diffdataflowmlpipelines_ray.state.sketches import heavy_hitters
+        # near-uniform over many values with tiny m: dropped mass swamps
+        # the k-th count → must refuse rather than return a guess
+        rng = np.random.default_rng(2)
+        vals = rng.integers(0, 5000, 20_000).astype(str)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        with pytest.raises(RuntimeError, match="not provably exact"):
+            heavy_hitters(ds, "v", k=5, m=8)
