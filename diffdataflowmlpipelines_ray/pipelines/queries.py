@@ -1766,6 +1766,60 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                          "token", k=50)
 
 
+def q_maxabs_scaler(sf_dir: str) -> pd.DataFrame:
+    from ..stages.encoders import MaxAbsScaler
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = MaxAbsScaler().fit(ds, "l_extendedprice").transform(
+        ds, "l_extendedprice", "scaled")
+    df = out.select_columns(["l_orderkey", "l_linenumber", "scaled"]).to_pandas()
+    return _round(df, ["scaled"])
+
+
+def q_robust_scaler(sf_dir: str) -> pd.DataFrame:
+    """(x − median)/IQR from the invertible value-count map (discrete
+    l_quantity keeps the map tiny; continuous columns pair with round_to)."""
+    from ..stages.encoders import RobustScaler
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = RobustScaler().fit(ds, "l_quantity").transform(
+        ds, "l_quantity", "scaled")
+    df = out.select_columns(["l_orderkey", "l_linenumber", "scaled"]).to_pandas()
+    return _round(df, ["scaled"])
+
+
+def q_binarizer(sf_dir: str) -> pd.DataFrame:
+    from ..stages.encoders import Binarizer
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = Binarizer(25.0).transform(ds, "l_quantity", "bin")
+    return out.select_columns(["l_orderkey", "l_linenumber", "bin"]).to_pandas()
+
+
+def q_impute_mean(sf_dir: str) -> pd.DataFrame:
+    """SimpleImputer(mean): nulls (planted deterministically at
+    event_id % 13 == 0 so the fixture exercises the null path) filled with
+    the fitted mean of the remaining values."""
+    from ..stages.encoders import SimpleImputer
+
+    ds = _read(sf_dir, "events", ["event_id", "value"], blocks=8)
+
+    def plant_nulls(tbl: pa.Table) -> pa.Table:
+        ids = tbl["event_id"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(ids % 13 == 0, np.nan, v)
+        return pa.table({"event_id": tbl["event_id"],
+                         "value": pa.array(v)})
+
+    nds = ds.map_batches(plant_nulls, batch_format="pyarrow")
+    out = SimpleImputer().fit(nds, "value").transform(nds, "value", "imputed")
+    df = out.select_columns(["event_id", "imputed"]).to_pandas()
+    return _round(df, ["imputed"])
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -1844,6 +1898,10 @@ QUERIES = {
     "latest_event": q_latest_event,
     "global_median": q_global_median,
     "heavy_hitters": q_heavy_hitters,
+    "maxabs_scaler": q_maxabs_scaler,
+    "robust_scaler": q_robust_scaler,
+    "binarizer": q_binarizer,
+    "impute_mean": q_impute_mean,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -2351,5 +2409,36 @@ ORACLES = {
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token
         QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 50
+    """,
+    "maxabs_scaler": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice / s.m, 6) AS scaled
+        FROM lineitem,
+             (SELECT GREATEST(ABS(min(l_extendedprice)),
+                              ABS(max(l_extendedprice))) AS m
+              FROM lineitem) s
+    """,
+    "robust_scaler": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND((l_quantity - s.med) / (s.q3 - s.q1), 6) AS scaled
+        FROM lineitem,
+             (SELECT quantile_cont(l_quantity, 0.50) AS med,
+                     quantile_cont(l_quantity, 0.25) AS q1,
+                     quantile_cont(l_quantity, 0.75) AS q3
+              FROM lineitem) s
+    """,
+    "binarizer": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS bin
+        FROM lineitem
+    """,
+    "impute_mean": """
+        WITH m AS (SELECT event_id,
+                          CASE WHEN event_id % 13 = 0 THEN NULL
+                               ELSE value END AS v
+                   FROM events),
+        s AS (SELECT avg(v) AS mu FROM m)
+        SELECT m.event_id, ROUND(coalesce(m.v, s.mu), 6) AS imputed
+        FROM m, s
     """,
 }

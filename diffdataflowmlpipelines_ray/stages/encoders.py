@@ -49,6 +49,7 @@ from ..state.aggregates import (
     MeanVarAgg,
     MinMaxAgg,
     PositionAssignmentAgg,
+    SumCountAgg,
     dumps,
     loads,
     merge_all,
@@ -68,6 +69,10 @@ __all__ = [
     "Passthrough",
     "FunctionEncoder",
     "fit_partials",
+    "MaxAbsScaler",
+    "RobustScaler",
+    "Binarizer",
+    "SimpleImputer",
 ]
 
 #: rows per fit batch — large enough to amortize kernel launches, small
@@ -661,3 +666,137 @@ class FunctionEncoder(Encoder):
             res = [self.fn(v) for v in col.to_pylist()]
         arr = res if isinstance(res, (pa.Array, pa.ChunkedArray)) else pa.array(res)
         return tbl.append_column(out, arr)
+
+
+def _weighted_quantile_cont(counts: dict, q: float) -> float:
+    """quantile_cont over a value→count multiset (exact, interpolated)."""
+    vals = np.array(sorted(v for v, c in counts.items() if c > 0))
+    if not len(vals):
+        raise ValueError("empty aggregate")
+    cnts = np.array([counts[v] for v in vals], dtype=np.int64)
+    n = int(cnts.sum())
+    r = (n - 1) * q
+    k0 = int(np.floor(r))
+    k1 = min(k0 + 1, n - 1)
+    cum = np.cumsum(cnts)
+    v0 = float(vals[np.searchsorted(cum, k0 + 1)])
+    v1 = float(vals[np.searchsorted(cum, k1 + 1)])
+    return v0 + (r - k0) * (v1 - v0)
+
+
+class MaxAbsScaler(Encoder):
+    """x / max(|x|) — sklearn's ``MaxAbsScaler``, absent from the reference
+    but the natural sibling of MinMaxScaler (minmax_scaler.rs:129-166); built
+    on the same invertible value-count map, so retraction of the current
+    extreme exposes the next one and streaming reuses it unchanged."""
+
+    def __init__(self):
+        self.acc_: MinMaxAgg | None = None
+        self.maxabs_: float | None = None
+
+    def make_partial(self, tbl, column, weight_col=None):
+        return MinMaxAgg.from_numpy(_float_col(tbl, column),
+                                    _weights(tbl, weight_col))
+
+    def load_accumulator(self, acc: MinMaxAgg):
+        self.acc_ = acc
+        mn, rng = acc.get()
+        self.maxabs_ = max(abs(mn), abs(mn + rng)) or 1.0
+        return self
+
+    def fit(self, ds, column, weight_col=None):
+        return self.load_accumulator(fit_partials(
+            ds, [column], lambda t: self.make_partial(t, column, weight_col),
+            weight_col))
+
+    def transform_table(self, tbl, column, out):
+        if self.maxabs_ is None:
+            raise RuntimeError("called transform before fit")
+        return tbl.append_column(
+            out, pa.array(_float_col(tbl, column) / self.maxabs_))
+
+
+class RobustScaler(Encoder):
+    """(x − median) / IQR — sklearn's ``RobustScaler``; exact
+    ``quantile_cont`` quartiles derived from the SAME invertible value-count
+    map MinMaxScaler keeps, so the fit is incremental AND retractable.  The
+    map is O(distinct values): right for discrete/rounded columns (pair with
+    ``round_to`` upstream for continuous data); the multi-pass
+    ``exact_global_quantiles`` is the unbounded-cardinality batch path."""
+
+    def __init__(self):
+        self.acc_: MinMaxAgg | None = None
+        self.center_: float | None = None
+        self.scale_: float | None = None
+
+    def make_partial(self, tbl, column, weight_col=None):
+        return MinMaxAgg.from_numpy(_float_col(tbl, column),
+                                    _weights(tbl, weight_col))
+
+    def load_accumulator(self, acc: MinMaxAgg):
+        self.acc_ = acc
+        self.center_ = _weighted_quantile_cont(acc.counts, 0.5)
+        iqr = (_weighted_quantile_cont(acc.counts, 0.75)
+               - _weighted_quantile_cont(acc.counts, 0.25))
+        self.scale_ = iqr or 1.0
+        return self
+
+    def fit(self, ds, column, weight_col=None):
+        return self.load_accumulator(fit_partials(
+            ds, [column], lambda t: self.make_partial(t, column, weight_col),
+            weight_col))
+
+    def transform_table(self, tbl, column, out):
+        if self.center_ is None:
+            raise RuntimeError("called transform before fit")
+        x = _float_col(tbl, column)
+        return tbl.append_column(
+            out, pa.array((x - self.center_) / self.scale_))
+
+
+class Binarizer(Encoder):
+    """x > threshold → 1.0 else 0.0 — sklearn's ``Binarizer``; stateless."""
+
+    requires_fit = False
+
+    def __init__(self, threshold: float = 0.0):
+        self.threshold = float(threshold)
+
+    def transform_table(self, tbl, column, out):
+        x = _float_col(tbl, column)
+        return tbl.append_column(
+            out, pa.array((x > self.threshold).astype(np.float64)))
+
+
+class SimpleImputer(Encoder):
+    """null → fitted mean of the non-null values — sklearn's
+    ``SimpleImputer(strategy='mean')``.  The fit is a nan-aware
+    ``SumCountAgg`` (invertible: retractions adjust sum and count), so the
+    imputation constant updates incrementally like every other encoder."""
+
+    def __init__(self):
+        self.acc_: SumCountAgg | None = None
+        self.mean_: float | None = None
+
+    def make_partial(self, tbl, column, weight_col=None):
+        v = _float_col(tbl, column)
+        w = _weights(tbl, weight_col)
+        ok = ~np.isnan(v)
+        return SumCountAgg.from_numpy(v[ok], None if w is None else w[ok])
+
+    def load_accumulator(self, acc: SumCountAgg):
+        self.acc_ = acc
+        self.mean_ = acc.s / acc.count if acc.count else 0.0
+        return self
+
+    def fit(self, ds, column, weight_col=None):
+        return self.load_accumulator(fit_partials(
+            ds, [column], lambda t: self.make_partial(t, column, weight_col),
+            weight_col))
+
+    def transform_table(self, tbl, column, out):
+        if self.mean_ is None:
+            raise RuntimeError("called transform before fit")
+        x = _float_col(tbl, column)
+        return tbl.append_column(
+            out, pa.array(np.where(np.isnan(x), self.mean_, x)))

@@ -284,3 +284,53 @@ class TestBitwiseGoldens:
         committed = sess.sink.read_committed_table().sort_by("doc_id")
         sess.close()
         assert committed["tokens"].to_pylist() == tok.sort_by("doc_id")["tokens"].to_pylist()
+
+
+class TestSklearnParityEncoders:
+    def test_maxabs_negative_dominant(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import MaxAbsScaler
+
+        ds = ds_from({"row_id": [0, 1, 2], "x": [-10.0, 4.0, 5.0]})
+        out = MaxAbsScaler().fit_transform(ds, "x")
+        assert col(out, "x_enc") == [-1.0, 0.4, 0.5]
+
+    def test_maxabs_retraction_exposes_next_extreme(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import MaxAbsScaler
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        enc = MaxAbsScaler()
+        acc = MinMaxAgg.from_numpy(np.array([1.0, 2.0, -8.0]))
+        neg = MinMaxAgg.of(-8.0, -1)  # retract the dominant extreme
+        acc.merge(neg)
+        enc.load_accumulator(acc)
+        assert enc.maxabs_ == 2.0
+
+    def test_robust_scaler_matches_numpy(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import RobustScaler
+
+        rng = np.random.default_rng(4)
+        v = rng.integers(0, 30, 2000).astype(np.float64)
+        ds = ds_from({"row_id": list(range(len(v))), "x": v.tolist()})
+        out = np.array(col(RobustScaler().fit_transform(ds, "x"), "x_enc"))
+        med, q1, q3 = np.quantile(v, [0.5, 0.25, 0.75], method="linear")
+        assert out == pytest.approx((v - med) / (q3 - q1))
+
+    def test_binarizer_stateless(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import Binarizer
+
+        ds = ds_from({"row_id": [0, 1, 2], "x": [1.0, 5.0, 5.1]})
+        out = Binarizer(5.0).transform(ds, "x")  # no fit needed
+        assert col(out, "x_enc") == [0.0, 0.0, 1.0]
+
+    def test_impute_mean_and_incremental_update(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import SimpleImputer
+        from diffdataflowmlpipelines_ray.state.aggregates import SumCountAgg
+
+        ds = ds_from({"row_id": [0, 1, 2, 3],
+                      "x": [1.0, None, 3.0, None]})
+        enc = SimpleImputer().fit(ds, "x")
+        assert col(enc.transform(ds, "x"), "x_enc") == [1.0, 2.0, 3.0, 2.0]
+        # incremental: merge one more non-null value into the accumulator
+        enc.acc_.merge(SumCountAgg(8.0, 1))
+        enc.load_accumulator(enc.acc_)
+        assert enc.mean_ == 4.0
