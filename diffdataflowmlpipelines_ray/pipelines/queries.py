@@ -1766,6 +1766,35 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                          "token", k=50)
 
 
+def q_stream_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Time-bounded stream-stream join (attribution window): click × purchase
+    per user with |t_click − t_purchase| ≤ 1 day, streamed in 3 epochs —
+    the interval bound is enforced inside the shard probe, state keeps
+    full (retention-bounded) history, each pair emitted exactly once."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts"])
+    clicks = (ev.filter(pc.equal(ev["event_type"], "click"))
+              .select(["user_id", "event_id", "ts"])
+              .rename_columns(["user_id", "click_id", "ts"]))
+    purch = (ev.filter(pc.equal(ev["event_type"], "purchase"))
+             .select(["user_id", "event_id", "ts"])
+             .rename_columns(["user_id", "purchase_id", "pts"]))
+    sess = StreamSession(_tmp("ivj"), num_shards=4)
+    sess.add(StreamJoin(name="ij", left_input="c", right_input="p",
+                        left_key=["user_id"], right_key=["user_id"],
+                        left_cols=["click_id"], right_cols=["purchase_id"],
+                        left_ts="ts", right_ts="pts", max_dt=86400.0))
+    try:
+        cp = _epoch_split(clicks, 3)
+        pp = _epoch_split(purch, 3)
+        for e in range(3):
+            sess.process_epoch(e, {"c": cp[e], "p": pp[e]})
+        df = sess.sinks["ij"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return df.drop(columns=["epoch", "diff"])
+
+
 def q_maxabs_scaler(sf_dir: str) -> pd.DataFrame:
     from ..stages.encoders import MaxAbsScaler
 
@@ -1898,6 +1927,7 @@ QUERIES = {
     "latest_event": q_latest_event,
     "global_median": q_global_median,
     "heavy_hitters": q_heavy_hitters,
+    "stream_interval_join": q_stream_interval_join,
     "maxabs_scaler": q_maxabs_scaler,
     "robust_scaler": q_robust_scaler,
     "binarizer": q_binarizer,
@@ -2409,6 +2439,13 @@ ORACLES = {
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token
         QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 50
+    """,
+    "stream_interval_join": """
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND ABS(epoch(a.ts) - epoch(b.ts)) <= 86400
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
     """,
     "maxabs_scaler": """
         SELECT l_orderkey, l_linenumber,

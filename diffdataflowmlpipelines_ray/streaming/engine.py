@@ -445,6 +445,15 @@ class StreamJoin:
     left_ts: str | None = None
     right_ts: str | None = None
     retention: float | None = None
+    #: interval join: only emit pairs with |left_ts − right_ts| ≤ max_dt
+    #: (the time-bounded stream-stream join — funnels, attribution windows).
+    #: The bound is applied INSIDE the shard probe, so unmatched history
+    #: still ages out by ``retention`` exactly as before.
+    max_dt: float | None = None
+
+    def __post_init__(self):
+        if self.max_dt is not None and not (self.left_ts and self.right_ts):
+            raise ValueError("max_dt requires left_ts and right_ts")
 
     def _side_frame(self, tbl: pa.Table, side: str) -> pd.DataFrame:
         """One side's epoch rows → DataFrame of key + output cols + per-side
@@ -492,6 +501,7 @@ class StreamJoin:
                 payloads.setdefault(int(s), {
                     "left_key": list(self.left_key),
                     "right_key": list(self.right_key),
+                    "max_dt": self.max_dt,
                 })[side] = pdf[sid == s].reset_index(drop=True)
         return payloads
 
@@ -928,7 +938,8 @@ class StreamSession:
 
         def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["__shard"].iloc[0])
-            payload: dict[str, Any] = {"left_key": lk, "right_key": rk}
+            payload: dict[str, Any] = {"left_key": lk, "right_key": rk,
+                                        "max_dt": getattr(op, "max_dt", None)}
             for side in ("left", "right"):
                 blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
                 if blobs:

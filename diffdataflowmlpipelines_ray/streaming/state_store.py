@@ -392,6 +392,7 @@ class StateShard:
 
         sides = pickle.loads(payload)
         lk, rk = list(sides["left_key"]), list(sides["right_key"])
+        mdt = sides.get("max_dt")
         if self._seen(f"join:{name}", epoch):
             return _dumps(None)
         buf = self.joins.setdefault(name, {"left": None, "right": None})
@@ -402,6 +403,9 @@ class StateShard:
         def merge(a, b):
             res = a.merge(b, left_on=lk, right_on=rk,
                           suffixes=("", "__r"))
+            if mdt is not None and len(res):
+                keep = (res["__ts_left"] - res["__ts_right"]).abs() <= mdt
+                res = res[keep].reset_index(drop=True)
             return res
 
         if nr is not None and buf["left"] is not None:

@@ -1471,3 +1471,58 @@ class TestLineage:
             lin = rep[e]["lineage"]
             assert lin["epoch"] == e and lin["source"].endswith(
                 "documents.parquet")
+
+
+class TestIntervalJoin:
+    def _mk(self, tmp_path, max_dt, num_shards=2):
+        sess = StreamSession(tmp_path / "ivj", num_shards=num_shards)
+        sess.add(StreamJoin(name="ij", left_input="l", right_input="r",
+                            left_key=["u"], right_key=["u"],
+                            left_cols=["lid"], right_cols=["rid"],
+                            left_ts="lts", right_ts="rts", max_dt=max_dt))
+        return sess
+
+    def test_boundary_inclusive_and_cross_epoch(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path, max_dt=10.0)
+        l0 = pa.table({"u": [1, 1], "lid": [100, 101], "lts": [0.0, 50.0]})
+        r0 = pa.table({"u": [1], "rid": [200], "rts": [10.0]})   # dt=10 → in
+        sess.process_epoch(0, {"l": l0, "r": r0})
+        # epoch 1: right row matching the buffered epoch-0 left at dt=10.0001
+        r1 = pa.table({"u": [1, 1], "rid": [201, 202],
+                       "rts": [10.0001, 55.0]})
+        sess.process_epoch(1, {"r": r1})
+        df = sess.sinks["ij"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        pairs = set(zip(df["lid"], df["rid"]))
+        assert pairs == {(100, 200), (101, 202)}  # 201 out by 1e-4 s
+
+    def test_requires_ts_cols(self, ray_session, tmp_path):
+        with pytest.raises(ValueError, match="max_dt requires"):
+            StreamJoin(name="x", left_input="l", right_input="r",
+                       left_key=["u"], right_key=["u"],
+                       left_cols=["a"], right_cols=["b"], max_dt=5.0)
+
+    def test_distributed_epoch_path(self, ray_session, tmp_path):
+        import ray.data as rd
+        sess = self._mk(tmp_path, max_dt=10.0)
+        l0 = pa.table({"u": [1, 2], "lid": [1, 2], "lts": [0.0, 0.0]})
+        r0 = pa.table({"u": [1, 2], "rid": [11, 12], "rts": [5.0, 30.0]})
+        sess.process_epoch(0, {"l": rd.from_arrow(l0), "r": rd.from_arrow(r0)})
+        df = sess.sinks["ij"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert set(zip(df["lid"], df["rid"])) == {(1, 11)}
+
+    def test_retraction_cancels_within_window_only(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path, max_dt=10.0)
+        sess.process_epoch(0, {"l": pa.table({"u": [1], "lid": [1],
+                                              "lts": [0.0]}),
+                               "r": pa.table({"u": [1], "rid": [9],
+                                              "rts": [5.0]})})
+        # retract the left row: emits the SAME pair with diff −1
+        sess.process_epoch(1, {"l": pa.table({"u": [1], "lid": [1],
+                                              "lts": [0.0],
+                                              "diff": [-1]})})
+        df = sess.sinks["ij"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = df.groupby(["lid", "rid"])["diff"].sum()
+        assert (net == 0).all()
