@@ -81,7 +81,8 @@ def run_bench() -> dict:
     query_names = () if "--scaling-child" in sys.argv else (
         "q1_pricing_summary", "standard_scaler", "tumbling_window",
         "stream_join", "dedup_minhash", "ann_topk", "dedup_exact",
-        "token_count", "pattern_match", "top_revenue")
+        "token_count", "pattern_match", "top_revenue",
+        "sessionize", "line_dedup", "decontaminate")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

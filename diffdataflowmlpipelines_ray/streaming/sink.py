@@ -236,11 +236,34 @@ class ExactlyOnceParquetSink:
 
     # ------------------------------------------------------------ read
     def committed_files(self, epochs: list[int] | None = None) -> list[str]:
+        """Manifest-listed file paths.  Compacted epochs resolve to their
+        consolidated file (included once) — valid only when the requested
+        set covers the WHOLE compaction (always true for ``epochs=None``);
+        partial reads of a compaction go through ``read_committed_table``,
+        which prunes per-epoch row groups exactly."""
         eps = self.committed_epochs() if epochs is None else epochs
         out: list[str] = []
+        seen_cids: set[str] = set()
+        requested = set(eps)
         for e in eps:
-            for f in self.manifest(e)["files"]:
-                out.append(str(self.root / f["path"]))
+            m = self.manifest(e)
+            cid = m.get("compacted_into")
+            if cid is None:
+                for f in m["files"]:
+                    out.append(str(self.root / f["path"]))
+                continue
+            if cid in seen_cids:
+                continue
+            cm = self._compaction(cid)
+            if not requested.issuperset(cm["covers"]):
+                raise ValueError(
+                    f"epoch {e} lives in compaction {cid} covering "
+                    f"{cm['covers']}; read a full compaction via "
+                    "committed_files, or use read_committed_table(epochs=...) "
+                    "for exact per-epoch row-group reads")
+            seen_cids.add(cid)
+            if cm["file"]:
+                out.append(str(self.root / cm["file"]))
         return out
 
     def read_committed(self, epochs: list[int] | None = None, columns=None):
@@ -253,10 +276,27 @@ class ExactlyOnceParquetSink:
         return rd.read_parquet(files, columns=columns)
 
     def read_committed_table(self, epochs: list[int] | None = None) -> pa.Table:
-        files = self.committed_files(epochs)
-        if not files:
+        eps = self.committed_epochs() if epochs is None else epochs
+        parts: list[pa.Table] = []
+        pf_cache: dict[str, pq.ParquetFile] = {}
+        for e in eps:
+            m = self.manifest(e)
+            cid = m.get("compacted_into")
+            if cid is None:
+                parts.extend(pq.read_table(self.root / f["path"])
+                             for f in m["files"])
+                continue
+            cm = self._compaction(cid)
+            rg = cm["row_groups"].get(str(e))
+            if rg is None:
+                continue  # epoch committed zero rows
+            fp = str(self.root / cm["file"])
+            if fp not in pf_cache:
+                pf_cache[fp] = pq.ParquetFile(fp)
+            parts.append(pf_cache[fp].read_row_group(rg))
+        if not parts:
             return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        return pa.concat_tables(parts, promote_options="default")
 
     def total_rows(self) -> int:
         return sum(self.manifest(e)["rows"] for e in self.committed_epochs())
@@ -276,6 +316,8 @@ class ExactlyOnceParquetSink:
                 "lineage": meta.get("lineage"),
                 "metrics": meta.get("metrics"),
             }
+            if m.get("compacted_into"):
+                out[e]["compacted_into"] = m["compacted_into"]
         return out
 
     def verify(self) -> bool:
@@ -292,6 +334,107 @@ class ExactlyOnceParquetSink:
                 elif "size" in f and p.stat().st_size != f["size"]:
                     return False
         return True
+
+    # ------------------------------------------------------------ compaction
+    def _compaction_path(self, cid: str) -> Path:
+        return self.root / "_manifests" / f"compact-{cid}.json"
+
+    def _compaction(self, cid: str) -> dict:
+        with open(self._compaction_path(cid)) as f:
+            return json.load(f)
+
+    def compact(self, upto_epoch: int | None = None) -> dict:
+        """Merge committed epochs (≤ ``upto_epoch``) into ONE consolidated
+        parquet file — the small-file problem killer for long streams
+        (10⁶ epochs × K part files each would otherwise accumulate forever).
+
+        Each epoch becomes exactly one ROW GROUP of the compacted file, so
+        per-epoch reads stay exact (row-group pruning) with no schema
+        change.  Exactly-once is preserved end-to-end: epoch manifests KEEP
+        existing (``is_committed`` still true for replay idempotency) but
+        point at the compaction; crash at any step leaves a readable sink
+        (compaction manifest commits first, epoch manifests flip one
+        atomic rename at a time, originals are deleted only after all
+        flips).  Driver memory = one epoch's table at a time.
+        """
+        eps = [e for e in self.committed_epochs()
+               if (upto_epoch is None or e <= upto_epoch)
+               and "compacted_into" not in self.manifest(e)]
+        if len(eps) < 2:
+            return {"compacted_epochs": 0}
+        cid = f"{eps[0]:08d}-{eps[-1]:08d}-{uuid.uuid4().hex[:8]}"
+        cdir = self.root / "data" / f"compact-{cid}"
+        cdir.mkdir(parents=True, exist_ok=True)
+        fpath = cdir / "part-00000.parquet"
+        tmp = cdir / f".part.tmp-{uuid.uuid4().hex[:8]}"
+        writer = None
+        rg_of: dict[str, int | None] = {}
+        rg = 0
+        total = 0
+        for e in eps:
+            files = [self.root / f["path"] for f in self.manifest(e)["files"]]
+            if files:
+                tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                                       promote_options="default")
+            else:
+                tbl = None
+            if tbl is None or tbl.num_rows == 0:
+                rg_of[str(e)] = None
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, tbl.schema)
+            else:
+                tbl = tbl.cast(writer.schema)
+            # one row group per epoch → per-epoch reads prune exactly
+            writer.write_table(tbl, row_group_size=max(tbl.num_rows, 1))
+            rg_of[str(e)] = rg
+            rg += 1
+            total += tbl.num_rows
+        if writer is not None:
+            writer.close()
+            if self.fsync:
+                _fsync_file(tmp)
+            os.replace(tmp, fpath)
+            if self.fsync:
+                _fsync_dir(cdir)
+        cmanifest = {
+            "id": cid,
+            "file": str(fpath.relative_to(self.root)) if writer else None,
+            "covers": eps,
+            "row_groups": rg_of,
+            "rows": total,
+            "committed_at": time.time(),
+        }
+        cpath = self._compaction_path(cid)
+        ctmp = cpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ctmp, "w") as f:
+            json.dump(cmanifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ctmp, cpath)
+        if self.fsync:
+            _fsync_dir(cpath.parent)
+        # flip epoch manifests (each flip atomic; originals still on disk
+        # until every flip landed, so any crash state reads consistently)
+        for e in eps:
+            m = self.manifest(e)
+            m["files"] = []
+            m["compacted_into"] = cid
+            mpath = self._manifest_path(e)
+            mtmp = mpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+            with open(mtmp, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, mpath)
+        if self.fsync:
+            _fsync_dir(self.root / "_manifests")
+        import shutil as _sh
+
+        for e in eps:
+            _sh.rmtree(self._epoch_dir(e), ignore_errors=True)
+        return {"compacted_epochs": len(eps), "rows": total, "id": cid,
+                "file": cmanifest["file"]}
 
 
 class CheckpointManager:

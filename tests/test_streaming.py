@@ -1526,3 +1526,76 @@ class TestIntervalJoin:
         sess.store.shutdown()
         net = df.groupby(["lid", "rid"])["diff"].sum()
         assert (net == 0).all()
+
+
+class TestCompaction:
+    def _sink(self, tmp_path, n_epochs=4, rows_per=5):
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+        sink = ExactlyOnceParquetSink(tmp_path / "cpk", fsync=False)
+        for e in range(n_epochs):
+            if e == 2:  # a zero-row epoch
+                sink.commit_tables(e, [pa.table({"x": pa.array([], pa.int64()),
+                                                 "e": pa.array([], pa.int64())})],
+                                   meta={"lineage": {"epoch": e}})
+                continue
+            sink.commit_tables(e, [pa.table({
+                "x": pa.array(range(e * 100, e * 100 + rows_per)),
+                "e": pa.array([e] * rows_per)})],
+                meta={"lineage": {"epoch": e}})
+        return sink
+
+    def test_compact_preserves_reads_and_idempotency(self, ray_session,
+                                                     tmp_path):
+        sink = self._sink(tmp_path)
+        before_all = sink.read_committed_table().to_pandas().sort_values(
+            "x").reset_index(drop=True)
+        before_e1 = sink.read_committed_table(epochs=[1]).to_pandas()
+        res = sink.compact()
+        assert res["compacted_epochs"] == 4
+        after_all = sink.read_committed_table().to_pandas().sort_values(
+            "x").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before_all, after_all)
+        pd.testing.assert_frame_equal(
+            before_e1, sink.read_committed_table(epochs=[1]).to_pandas())
+        # replay idempotency: the epoch is still committed; a re-commit no-ops
+        assert sink.is_committed(1)
+        m = sink.commit_tables(1, [pa.table({"x": [999], "e": [1]})])
+        assert m.get("compacted_into")
+        assert 999 not in set(
+            sink.read_committed_table(epochs=[1]).to_pandas()["x"])
+        assert sink.total_rows() == 15
+        assert sink.lineage_report()[1]["compacted_into"] == res["id"]
+        # only ONE data file remains for the 4 epochs
+        assert len(sink.committed_files()) == 1
+        # zero-row epoch reads empty
+        assert sink.read_committed_table(epochs=[2]).num_rows == 0
+
+    def test_partial_compaction_and_new_epochs(self, ray_session, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.compact(upto_epoch=1)
+        # later epochs untouched; new epochs keep committing
+        sink.commit_tables(4, [pa.table({"x": [7], "e": [4]})])
+        got = sink.read_committed_table().to_pandas()
+        assert len(got) == 16
+        with pytest.raises(ValueError, match="compaction"):
+            sink.committed_files(epochs=[0])  # partial read of a compaction
+        # full compaction file + remaining epoch files
+        assert len(sink.committed_files()) == 1 + 2 + 1  # compact, e3, e4 (e2 empty file)
+
+    def test_streamsession_sink_compacts(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "sc", num_shards=1, fsync=False)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts", aggs=("sum",),
+                                  window=WindowSpec.tumbling(10.0)))
+        for e in range(3):
+            t = pa.table({"u": [1], "ts": [e * 10.0 + 1.0], "v": [2.0]})
+            sess.process_epoch(e, {"e": t}, watermark=(e + 1) * 10.0)
+        before = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.sinks["win"].compact()
+        after = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        pd.testing.assert_frame_equal(
+            before.sort_values("window_start").reset_index(drop=True),
+            after.sort_values("window_start").reset_index(drop=True))
