@@ -247,6 +247,8 @@ class ExactlyOnceParquetSink:
         requested = set(eps)
         for e in eps:
             m = self.manifest(e)
+            if m.get("expired"):
+                continue
             cid = m.get("compacted_into")
             if cid is None:
                 for f in m["files"]:
@@ -281,6 +283,8 @@ class ExactlyOnceParquetSink:
         pf_cache: dict[str, pq.ParquetFile] = {}
         for e in eps:
             m = self.manifest(e)
+            if m.get("expired"):
+                continue
             cid = m.get("compacted_into")
             if cid is None:
                 parts.extend(pq.read_table(self.root / f["path"])
@@ -359,7 +363,8 @@ class ExactlyOnceParquetSink:
         """
         eps = [e for e in self.committed_epochs()
                if (upto_epoch is None or e <= upto_epoch)
-               and "compacted_into" not in self.manifest(e)]
+               and "compacted_into" not in self.manifest(e)
+               and not self.manifest(e).get("expired")]
         if len(eps) < 2:
             return {"compacted_epochs": 0}
         cid = f"{eps[0]:08d}-{eps[-1]:08d}-{uuid.uuid4().hex[:8]}"
@@ -435,6 +440,63 @@ class ExactlyOnceParquetSink:
             _sh.rmtree(self._epoch_dir(e), ignore_errors=True)
         return {"compacted_epochs": len(eps), "rows": total, "id": cid,
                 "file": cmanifest["file"]}
+
+    def expire(self, before_epoch: int) -> dict:
+        """Retention: drop the DATA of epochs < ``before_epoch`` while
+        keeping their manifests (flagged ``expired``) so exactly-once
+        replay still no-ops and ``lineage_report`` keeps the historical
+        record.  Each manifest flips atomically BEFORE its data is deleted
+        (crash leaves only invisible orphans).  A compaction is dropped
+        only when EVERY epoch it covers is below the cut.  ``total_rows``
+        keeps counting expired epochs (it reports what was committed, not
+        what is readable)."""
+        plain: list[int] = []
+        by_cid: dict[str, list[int]] = {}
+        for e in self.committed_epochs():
+            if e >= before_epoch:
+                continue
+            m = self.manifest(e)
+            if m.get("expired"):
+                continue
+            cid = m.get("compacted_into")
+            if cid is None:
+                plain.append(e)
+            else:
+                by_cid.setdefault(cid, []).append(e)
+
+        import shutil as _sh
+
+        def flip(e: int) -> None:
+            m = self.manifest(e)
+            m["files"] = []
+            m["expired"] = True
+            mpath = self._manifest_path(e)
+            mtmp = mpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+            with open(mtmp, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, mpath)
+
+        expired = []
+        for e in plain:
+            flip(e)
+            _sh.rmtree(self._epoch_dir(e), ignore_errors=True)
+            expired.append(e)
+        for cid, eps in by_cid.items():
+            cm = self._compaction(cid)
+            if not all(c < before_epoch for c in cm["covers"]):
+                continue  # compaction straddles the cut — keep whole
+            for e in cm["covers"]:
+                flip(e)
+                expired.append(e)
+            if cm["file"]:
+                _sh.rmtree((self.root / cm["file"]).parent,
+                           ignore_errors=True)
+            self._compaction_path(cid).unlink(missing_ok=True)
+        if self.fsync and expired:
+            _fsync_dir(self.root / "_manifests")
+        return {"expired_epochs": sorted(set(expired))}
 
 
 class CheckpointManager:

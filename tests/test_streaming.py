@@ -1599,3 +1599,38 @@ class TestCompaction:
         pd.testing.assert_frame_equal(
             before.sort_values("window_start").reset_index(drop=True),
             after.sort_values("window_start").reset_index(drop=True))
+
+
+class TestExpire:
+    def test_expire_plain_and_compacted(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+        sink = ExactlyOnceParquetSink(tmp_path / "exp", fsync=False)
+        for e in range(6):
+            sink.commit_tables(e, [pa.table({"x": [e]})])
+        sink.compact(upto_epoch=2)  # epochs 0-2 → one compaction
+        res = sink.expire(before_epoch=4)
+        # compaction (0,1,2) fully below cut → dropped; epoch 3 plain → dropped
+        assert res["expired_epochs"] == [0, 1, 2, 3]
+        got = sorted(sink.read_committed_table().to_pandas()["x"])
+        assert got == [4, 5]
+        # exactly-once: expired epochs still committed; re-commit no-ops
+        assert sink.is_committed(0)
+        sink.commit_tables(0, [pa.table({"x": [999]})])
+        assert sorted(sink.read_committed_table().to_pandas()["x"]) == [4, 5]
+        # historical record intact
+        assert sink.total_rows() == 6
+        assert sink.lineage_report()[0]["files"] == []
+
+    def test_expire_keeps_straddling_compaction(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+        sink = ExactlyOnceParquetSink(tmp_path / "exp2", fsync=False)
+        for e in range(4):
+            sink.commit_tables(e, [pa.table({"x": [e]})])
+        sink.compact()  # covers 0-3
+        res = sink.expire(before_epoch=2)  # straddles → keep everything
+        assert res["expired_epochs"] == []
+        assert sorted(sink.read_committed_table().to_pandas()["x"]) == [0, 1, 2, 3]
