@@ -3,6 +3,7 @@
 documents.parquet
   → text quality stats (vectorized)      — drop low-quality docs
   → language ID (actor pool)             — keep target languages
+  → decontamination (broadcast n-grams)  — drop docs overlapping held-out
   → exact dedup (hash-bucketed)          — drop byte-identical repeats
   → MinHash near-dup groups              — keep one doc per dup group
   → tokenized-sequence derivation        — (doc_id, tokens, n_tok, source)
@@ -18,6 +19,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -59,8 +61,25 @@ def run_dataprep(sf_dir: str, root: str | Path, min_quality: float = 0.3,
     ).select_columns(["doc_id", "text", "source"]).materialize()
     n_lang = kept_lang.count()
 
+    # 2b) decontamination: drop every doc sharing a 5-gram with the
+    # held-out split (doc_id % 97 == 0) — small-side hash set broadcast once
+    from ..stages.text_clean import contamination_set, flag_contaminated
+
+    def held_out(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    cref = ray.put(contamination_set(
+        kept_lang.map_batches(held_out, batch_format="pyarrow"), n=5))
+    decont = flag_contaminated(kept_lang, cref, n=5).map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"]))
+                   .drop_columns(["contaminated"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_decont = decont.count()
+
     # 3) exact dedup
-    exact = exact_dedup(kept_lang, "text", "doc_id").materialize()
+    exact = exact_dedup(decont, "text", "doc_id").materialize()
     n_exact = exact.count()
 
     # 4) near-dup: keep the group representative (min doc_id per group)
@@ -95,12 +114,15 @@ def run_dataprep(sf_dir: str, root: str | Path, min_quality: float = 0.3,
     start = session.resume()
     for e, epoch_ds in enumerate(epochs):
         if e >= start:
-            session.process_epoch(e, epoch_ds)
+            session.process_epoch(e, epoch_ds, lineage={
+                "source": f"{sf_dir}/documents.parquet", "epoch": e,
+                "n_epochs": n_epochs, "funnel": "dataprep"})
     out_rows = session.sink.total_rows()
     session.close()
     return {
         "input_docs": n_input,
         "after_quality_lang": n_lang,
+        "after_decontamination": n_decont,
         "after_exact_dedup": n_exact,
         "near_dup_dropped": len(drop_ids),
         "output_rows": out_rows,

@@ -116,7 +116,9 @@ class TestDataPrep:
                            min_quality=0.2)
         assert res["input_docs"] == 500
         assert 0 < res["after_quality_lang"] <= 500
-        assert 0 < res["after_exact_dedup"] <= res["after_quality_lang"]
+        # decontamination drops at least the held-out docs (self-overlap)
+        assert 0 < res["after_decontamination"] < res["after_quality_lang"]
+        assert 0 < res["after_exact_dedup"] <= res["after_decontamination"]
         assert res["output_rows"] == res["after_exact_dedup"] - res["near_dup_dropped"]
         assert res["committed_epochs"] == [0, 1]
 
