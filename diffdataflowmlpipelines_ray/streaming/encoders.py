@@ -269,6 +269,7 @@ class IncrementalEncoderSession:
         self.last_epoch = epoch
         if self.checkpoint_every and epoch % self.checkpoint_every == 0:
             self.chk.save(epoch, self.store.dump_all(), extra={})
+            self.chk.prune(keep_last=2)
         return out_tbl if small else result
 
     def _prior_effective(self, epoch: int):

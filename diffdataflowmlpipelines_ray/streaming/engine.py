@@ -616,6 +616,8 @@ class StreamSession:
         #: it to (max event time seen − delay) — the standard bounded-
         #: out-of-orderness watermark generator
         self.auto_watermark_delay = auto_watermark_delay
+        #: complete checkpoints retained on disk (older ones pruned per save)
+        self.checkpoint_keep = 2
         self._max_event_time = -math.inf
         self.ops: dict[str, Any] = {}
         self.sinks: dict[str, ExactlyOnceParquetSink] = {}
@@ -1322,6 +1324,7 @@ class StreamSession:
             self.store.dump_all(),
             extra={"watermark": self.watermark, "metrics": dict(self.metrics)},
         )
+        self.chk.prune(keep_last=self.checkpoint_keep)
 
     def close(self, epoch: int | None = None) -> dict:
         """Final watermark → +inf: flush every window/session, commit, stop.

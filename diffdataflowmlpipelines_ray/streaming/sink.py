@@ -535,6 +535,26 @@ class CheckpointManager:
             return None
         return int(done[-1].parent.name.split("-")[1])
 
+    def prune(self, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` COMPLETE checkpoints plus
+        any incomplete (crash-orphaned) dirs older than the newest complete
+        one.  Called after every save — without it a 10⁶-epoch stream keeps
+        10⁶/K full state snapshots on disk."""
+        import shutil as _sh
+
+        done = sorted(int(p.parent.name.split("-")[1])
+                      for p in self.root.glob("epoch-*/DONE"))
+        drop = done[:-keep_last] if keep_last > 0 else list(done)
+        for e in drop:
+            _sh.rmtree(self._dir(e), ignore_errors=True)
+        if done:
+            newest = done[-1]
+            for d in self.root.glob("epoch-*"):
+                e = int(d.name.split("-")[1])
+                if e < newest and not (d / "DONE").exists():
+                    _sh.rmtree(d, ignore_errors=True)
+        return drop
+
     def load(self, epoch: int) -> tuple[dict[int, bytes], dict]:
         d = self._dir(epoch)
         marker = json.loads((d / "DONE").read_text())

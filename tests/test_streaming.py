@@ -1634,3 +1634,26 @@ class TestExpire:
         res = sink.expire(before_epoch=2)  # straddles → keep everything
         assert res["expired_epochs"] == []
         assert sorted(sink.read_committed_table().to_pandas()["x"]) == [0, 1, 2, 3]
+
+
+class TestCheckpointPrune:
+    def test_prune_keeps_newest_and_resume_works(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "pr", num_shards=1,
+                             checkpoint_every=1, fsync=False)
+        sess.add(KeyedAggregation(name="agg", input="e", key_cols=["u"],
+                                  value_col="v", aggs=("count", "sum")))
+        for e in range(5):
+            sess.process_epoch(e, {"e": pa.table({"u": [1], "v": [1.0]})})
+            sess.checkpoint(e)
+        dirs = sorted(p.name for p in (tmp_path / "pr" / "_checkpoints")
+                      .glob("epoch-*"))
+        assert dirs == ["epoch-00000003", "epoch-00000004"]
+        sess.store.shutdown()
+        # resume from the (pruned-to) latest
+        sess2 = StreamSession(tmp_path / "pr", num_shards=1, fsync=False)
+        sess2.add(KeyedAggregation(name="agg", input="e", key_cols=["u"],
+                                   value_col="v", aggs=("count", "sum")))
+        assert sess2.resume() == 5
+        tbl = sess2.state_table("agg").to_pandas()
+        sess2.store.shutdown()
+        assert tbl["count"].iloc[0] == 5
