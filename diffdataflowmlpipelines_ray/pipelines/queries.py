@@ -1467,9 +1467,12 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
     distributed probe path) are enriched with the key's CURRENT tier.  Epoch
     e upserts tier = user_id·10 + e for users with user_id % 4 == e, plus a
     deliberately STALE update (tier −999 at an older stamp) the LWW merge
-    must shadow.  Oracle: events quartiled by ntile(ts, event_id); a user's
-    tier at epoch e is the last upsert at-or-before e, i.e. user_id·10 +
-    (user_id % 4) once user_id % 4 ≤ e, else −1 (never enriched)."""
+    must shadow.  Epoch e ≥ 1 additionally DELETES users with
+    user_id % 8 == e−1 (tombstone at stamp e−0.5) and, in the SAME epoch,
+    attempts to resurrect them with an OLDER upsert (tier 777 at e−0.75)
+    that the tombstone must shadow.  Oracle: events quartiled by
+    ntile(ts, event_id); deleted users read −1 from their delete epoch on,
+    otherwise tier = user_id·10 + (user_id % 4) once user_id % 4 ≤ e."""
     from ..streaming.engine import EnrichJoin
 
     ev = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -1480,7 +1483,7 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
     sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
                         key=["user_id"], dim_vals=["tier"],
                         stream_cols=["event_id"], dim_ts="up_ts",
-                        dim_types=[pa.int64()]))
+                        dim_types=[pa.int64()], dim_delete_col="del"))
     try:
         k = 4
         n = ev.num_rows
@@ -1488,15 +1491,24 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
         offs = np.concatenate([[0], np.cumsum(sizes)])
         for e in range(k):
             batch = uids[uids % k == e]
+            gone = uids[uids % 8 == e - 1] if e >= 1 else uids[:0]
             dim = pa.table({
-                "user_id": pa.array(np.concatenate([batch, batch]),
+                "user_id": pa.array(np.concatenate([batch, batch,
+                                                    gone, gone]),
                                     type=pa.int64()),
                 "tier": pa.array(np.concatenate(
-                    [batch * 10 + e, np.full(len(batch), -999)]),
+                    [batch * 10 + e, np.full(len(batch), -999),
+                     np.zeros(len(gone)), np.full(len(gone), 777)]),
                     type=pa.int64()),
                 "up_ts": pa.array(np.concatenate(
                     [np.full(len(batch), float(e)),
-                     np.full(len(batch), e - 0.5)])),
+                     np.full(len(batch), e - 0.5),
+                     np.full(len(gone), e - 0.5),      # tombstone
+                     np.full(len(gone), e - 0.75)])),  # shadowed resurrect
+                "del": pa.array(np.concatenate(
+                    [np.zeros(2 * len(batch), dtype=bool),
+                     np.ones(len(gone), dtype=bool),
+                     np.zeros(len(gone), dtype=bool)])),
             })
             epoch_ev = ev.slice(int(offs[e]), int(sizes[e]))
             sess.process_epoch(e, {"dim": dim,
@@ -2171,7 +2183,9 @@ ORACLES = {
             FROM events
         )
         SELECT event_id, user_id,
-               CASE WHEN user_id % 4 <= ep
+               CASE WHEN user_id % 8 <= 2 AND ep >= user_id % 8 + 1
+                    THEN -1
+                    WHEN user_id % 4 <= ep
                     THEN user_id * 10 + user_id % 4
                     ELSE -1 END AS tier
         FROM ev
