@@ -326,9 +326,14 @@ class ExactlyOnceParquetSink:
 
     def verify(self) -> bool:
         """Audit every committed file against its manifest (sha256 when
-        recorded, else size)."""
+        recorded, else size); compacted epochs audit their consolidated
+        file (existence + readable row-group count)."""
+        cids: set[str] = set()
         for e in self.committed_epochs():
-            for f in self.manifest(e)["files"]:
+            m = self.manifest(e)
+            if m.get("compacted_into") and not m.get("expired"):
+                cids.add(m["compacted_into"])
+            for f in m["files"]:
                 p = self.root / f["path"]
                 if not p.exists():
                     return False
@@ -337,6 +342,17 @@ class ExactlyOnceParquetSink:
                         return False
                 elif "size" in f and p.stat().st_size != f["size"]:
                     return False
+        for cid in cids:
+            cm = self._compaction(cid)
+            if cm["file"] is None:
+                continue
+            fp = self.root / cm["file"]
+            if not fp.exists():
+                return False
+            need = max((rg for rg in cm["row_groups"].values()
+                        if rg is not None), default=-1) + 1
+            if pq.ParquetFile(fp).num_row_groups < need:
+                return False
         return True
 
     # ------------------------------------------------------------ compaction

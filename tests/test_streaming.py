@@ -1657,3 +1657,19 @@ class TestCheckpointPrune:
         tbl = sess2.state_table("agg").to_pandas()
         sess2.store.shutdown()
         assert tbl["count"].iloc[0] == 5
+
+
+class TestVerifyCompaction:
+    def test_verify_detects_missing_compaction_file(self, ray_session,
+                                                    tmp_path):
+        import shutil
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+        sink = ExactlyOnceParquetSink(tmp_path / "vc", fsync=False)
+        for e in range(3):
+            sink.commit_tables(e, [pa.table({"x": [e]})])
+        res = sink.compact()
+        assert sink.verify()
+        shutil.rmtree(tmp_path / "vc" / "data" / f"compact-{res['id']}")
+        assert not sink.verify()
