@@ -84,7 +84,7 @@ def rewrap_words(ds, id_col: str = "doc_id", text_col: str = "text",
         lists = pc.split_pattern(tbl[text_col], " ")
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
-        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        flat = lists.flatten()
         offs = lists.offsets.to_numpy(zero_copy_only=False)
         wlens = np.diff(offs)
         nlines = -(-wlens // k)  # ceil
@@ -93,25 +93,30 @@ def rewrap_words(ds, id_col: str = "doc_id", text_col: str = "text",
         ln = (np.arange(total, dtype=np.int64)
               - np.repeat(np.concatenate(([0], np.cumsum(nlines)[:-1])), nlines)
               + 1)
-        # join each k-word slice; per-LINE loop is over total/k elements of
-        # short joins — the heavy split stays in the Arrow kernel
+        # lines are CONTIGUOUS k-word slices, so their start positions (plus
+        # the final end) form a valid ListArray offset vector over the flat
+        # word array — the join is then ONE vectorized binary_join kernel
         starts = np.repeat(offs[:-1], nlines) + (ln - 1) * k
-        ends = np.minimum(starts + k, np.repeat(offs[1:], nlines))
-        lines = [" ".join(words[s:e]) for s, e in zip(starts, ends)]
+        line_offs = pa.array(np.append(starts, offs[-1]).astype(np.int32))
+        lines = pc.binary_join(pa.ListArray.from_arrays(line_offs, flat), " ")
         return pa.table({id_col: pa.array(ids), "ln": pa.array(ln),
-                         "line": pa.array(lines, type=pa.string())})
+                         "line": lines})
 
     return ds.map_batches(rewrap, batch_format="pyarrow")
 
 
 # ----------------------------------------------------- frequent-line removal
 def frequent_line_hashes(lines, line_col: str = "line", min_count: int = 2,
-                         buckets: int = 64) -> np.ndarray:
+                         buckets: int = 64,
+                         driver_merge_limit: int = 2_000_000) -> np.ndarray:
     """Hashes of lines occurring ≥ ``min_count`` times corpus-wide.
 
-    Block-local (hash → count) partials via ``np.unique`` → one bucket
-    shuffle of the partial rows → exact per-bucket sums → the driver sees
-    only qualifying hashes.  Returns a SORTED uint64 array (ready for
+    Block-local (hash → count) partials via ``np.unique``, then a
+    size-aware merge: when the partial table is small
+    (≤ ``driver_merge_limit`` rows, 24 B each) a single driver groupby-sum
+    finishes in milliseconds; above it, ONE bucket shuffle + per-bucket
+    exact sums (Ray's sort shuffle carries seconds of fixed cost that only
+    pays for itself at scale).  Returns a SORTED uint64 array (ready for
     ``np.isin``/searchsorted)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -123,12 +128,19 @@ def frequent_line_hashes(lines, line_col: str = "line", min_count: int = 2,
             "h": pa.array(uh), "cnt": pa.array(cnt.astype(np.int64)),
         })
 
+    P = lines.map_batches(partial, batch_format="pyarrow").materialize()
+    if P.count() <= driver_merge_limit:
+        tbl = pa.concat_tables(list(P.iter_batches(batch_format="pyarrow")))
+        pdf = tbl.select(["h", "cnt"]).to_pandas()
+        tot = pdf.groupby("h", as_index=False)["cnt"].sum()
+        return np.sort(tot.loc[tot["cnt"] >= min_count, "h"]
+                       .to_numpy(dtype=np.uint64))
+
     def frequent(pdf: pd.DataFrame) -> pd.DataFrame:
         tot = pdf.groupby("h", as_index=False)["cnt"].sum()
         return tot[tot["cnt"] >= min_count][["h"]]
 
-    rows = (lines.map_batches(partial, batch_format="pyarrow")
-            .groupby("__b").map_groups(frequent, batch_format="pandas")
+    rows = (P.groupby("__b").map_groups(frequent, batch_format="pandas")
             .take_all())
     return np.sort(np.array([r["h"] for r in rows], dtype=np.uint64))
 

@@ -271,3 +271,17 @@ class TestHeavyHitters:
         ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
         with pytest.raises(RuntimeError, match="not provably exact"):
             heavy_hitters(ds, "v", k=5, m=8)
+
+
+class TestFrequentLinePaths:
+    def test_driver_and_shuffle_merge_agree(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_clean import (
+            frequent_line_hashes,
+        )
+        rng = np.random.default_rng(6)
+        lines = [f"line {i % 50}" for i in rng.integers(0, 200, 3000)]
+        ds = rd.from_pandas(pd.DataFrame({"line": lines})).repartition(6)
+        fast = frequent_line_hashes(ds, min_count=5)
+        slow = frequent_line_hashes(ds, min_count=5, driver_merge_limit=0)
+        assert np.array_equal(fast, slow)
+        assert len(fast) > 0
