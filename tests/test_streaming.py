@@ -1673,3 +1673,39 @@ class TestVerifyCompaction:
         assert sink.verify()
         shutil.rmtree(tmp_path / "vc" / "data" / f"compact-{res['id']}")
         assert not sink.verify()
+
+
+class TestSinkLifecycleLongStream:
+    def test_compact_expire_prune_keep_storage_bounded(self, ray_session,
+                                                       tmp_path):
+        """40-epoch stream with periodic compaction + retention + checkpoint
+        pruning: storage (files, snapshot dirs) stays bounded while recent
+        epochs remain exactly readable — the 10⁶-epoch lifecycle in
+        miniature."""
+        sess = StreamSession(tmp_path / "life", num_shards=2,
+                             checkpoint_every=5, fsync=False)
+        sess.add(KeyedAggregation(name="win", input="e", key_cols=["u"],
+                                  value_col="v", ts_col="ts", aggs=("sum",),
+                                  window=WindowSpec.tumbling(10.0)))
+        sink = sess.sinks["win"]
+        for e in range(40):
+            t = pa.table({"u": [e % 3], "ts": [e * 10.0 + 1.0], "v": [1.0]})
+            sess.process_epoch(e, {"e": t}, watermark=(e + 1) * 10.0,
+                               lineage={"epoch": e})
+            if e and e % 10 == 0:
+                sink.compact(upto_epoch=e - 5)
+                sink.expire(before_epoch=e - 20)
+        # storage bounded: data files ≪ epochs, checkpoints pruned to 2
+        files = list((tmp_path / "life" / "win" / "data").rglob("*.parquet"))
+        assert len(files) < 20
+        chk_dirs = list((tmp_path / "life" / "_checkpoints").glob("epoch-*"))
+        assert len(chk_dirs) == 2
+        # recent epochs read exactly: one closed window per epoch, sum 1.0
+        recent = sink.read_committed_table(
+            epochs=list(range(35, 40))).to_pandas()
+        assert len(recent) == 5
+        assert (recent["sum"] == 1.0).all()
+        assert sink.verify()
+        # every manifest still present (exactly-once replay intact)
+        assert sink.committed_epochs() == list(range(40))
+        sess.store.shutdown()
