@@ -23,7 +23,8 @@ import pyarrow as pa
 
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
-           "latest_per_key", "exact_global_quantiles"]
+           "latest_per_key", "exact_global_quantiles", "build_bloom",
+           "bloom_prefilter"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -457,3 +458,60 @@ def exact_global_quantiles(ds, col: str, qs: Sequence[float] = (0.5,),
         frac = r - k0
         out[q] = resolved[k0] + frac * (resolved[k1] - resolved[k0])
     return out
+
+
+def _bloom_positions(h: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions from one 64-bit hash per row (double hashing)."""
+    h1 = h.astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(31))
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(nbits)).astype(np.int64)
+
+
+def build_bloom(ds, key_cols: Sequence[str], nbits: int = 1 << 23,
+                k: int = 4) -> np.ndarray:
+    """Bloom filter of a Dataset's key values → packed uint64 bit array
+    (nbits/64 words; 8 Mbit default ≈ 1 MB, FPR ≈ 2% at 1M keys).
+
+    Per-block local blooms OR-merge on the driver — O(blocks) 1 MB blobs,
+    never the keys themselves.  Broadcast the result once (``ray.put``) and
+    prune the probe side of a join BEFORE its shuffle: rows whose keys are
+    definitely absent never pay the exchange.  Conservative by
+    construction — false positives only, so join results are identical."""
+    keys = list(key_cols)
+    words = nbits // 64
+
+    def local(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        bits = np.zeros(words, dtype=np.uint64)
+        pos = _bloom_positions(h, nbits, k).reshape(-1)
+        np.bitwise_or.at(bits, pos // 64,
+                         np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa.table({"b": pa.array([bits.tobytes()], type=pa.binary())})
+
+    bloom = np.zeros(words, dtype=np.uint64)
+    for r in ds.map_batches(local, batch_format="pyarrow").take_all():
+        bloom |= np.frombuffer(r["b"], dtype=np.uint64)
+    return bloom
+
+
+def bloom_prefilter(ds, key_cols: Sequence[str], bloom_ref, nbits: int,
+                    k: int = 4):
+    """Drop rows whose keys are DEFINITELY not in the broadcast bloom
+    (``ray.put(build_bloom(...))``).  Stateless vectorized map_batches."""
+    import ray
+
+    keys = list(key_cols)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        pdf = tbl.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        pos = _bloom_positions(h, nbits, k)
+        hit = (bloom[pos // 64] & (np.uint64(1) << (pos % 64).astype(np.uint64))
+               ) != 0
+        return tbl.filter(pa.array(hit.all(axis=1)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -351,3 +351,37 @@ class TestRangeJoinAndRolling:
         # trailing mean is bounded by the min/max of values seen so far —
         # weak but structural; exactness is oracle-gated
         assert one["mean5"].notna().all()
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_join_identical(self, ray_session):
+        import ray
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            bloom_prefilter,
+            build_bloom,
+            hash_join,
+        )
+
+        rng = np.random.default_rng(8)
+        left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000),
+                             "lv": np.arange(20_000)})
+        right = pd.DataFrame({"rk": rng.integers(0, 500, 300),
+                              "rv": np.arange(300)})
+        lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+        rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+        bloom = build_bloom(rds, ["rk"], nbits=1 << 16)
+        ref = ray.put(bloom)
+        pruned = bloom_prefilter(lds, ["k"], ref, nbits=1 << 16)
+        # no false negatives: every true match key survives the prefilter
+        matches = set(left["k"]) & set(right["rk"])
+        kept = set(pruned.to_pandas()["k"])
+        assert matches <= kept
+        # prefilter actually prunes (most of the 100k key space misses)
+        assert len(kept) < len(set(left["k"]))
+        # join after prefilter == join without
+        a = (hash_join(pruned, rds, ["k"], ["rk"], buckets=8).to_pandas()
+             .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        b = (hash_join(lds, rds, ["k"], ["rk"], buckets=8).to_pandas()
+             .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
