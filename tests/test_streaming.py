@@ -1473,6 +1473,7 @@ class TestLineage:
                 "documents.parquet")
 
 
+
 class TestIntervalJoin:
     def _mk(self, tmp_path, max_dt, num_shards=2):
         sess = StreamSession(tmp_path / "ivj", num_shards=num_shards)
@@ -1709,3 +1710,43 @@ class TestSinkLifecycleLongStream:
         # every manifest still present (exactly-once replay intact)
         assert sink.committed_epochs() == list(range(40))
         sess.store.shutdown()
+
+
+class TestEnrichJoinDatasetTombstone:
+    def test_tombstone_on_dataset_dim_path(self, ray_session, tmp_path):
+        """Deletes must survive the DISTRIBUTED dim-scatter path (per-block
+        partial fold + shard-direct apply), not just driver Tables."""
+        import ray.data as rd
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "en5", num_shards=2)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["u"], dim_vals=["tier"], stream_cols=["eid"],
+                            dim_ts="up_ts", dim_types=[pa.int64()],
+                            dim_delete_col="del"))
+
+        def dim(rows):
+            u, tier, ts, dl = zip(*rows)
+            return rd.from_arrow(pa.table({
+                "u": pa.array(u, type=pa.int64()),
+                "tier": pa.array(tier, type=pa.int64()),
+                "up_ts": pa.array(ts, type=pa.float64()),
+                "del": pa.array(dl, type=pa.bool_())}))
+
+        def ev(pairs):
+            u, eid = zip(*pairs)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "eid": pa.array(eid, type=pa.int64())})
+
+        sess.process_epoch(0, {"dim": dim([(1, 10, 0.0, False),
+                                           (2, 20, 0.0, False)]),
+                               "ev": ev([(1, 100), (2, 101)])})
+        # delete u1 + a same-epoch STALE resurrect the tombstone shadows
+        sess.process_epoch(1, {"dim": dim([(1, 0, 1.0, True),
+                                           (1, 777, 0.5, False)]),
+                               "ev": ev([(1, 200), (2, 201)])})
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        got = {int(r.eid): (None if pd.isna(r.tier) else int(r.tier))
+               for r in df.itertuples()}
+        assert got == {100: 10, 101: 20, 200: None, 201: 20}
