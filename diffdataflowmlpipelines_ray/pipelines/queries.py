@@ -1629,6 +1629,44 @@ def q_rollup(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"]]
 
 
+def q_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): like rollup, ONE
+    distributed finest-level pass; all four grouping sets re-aggregate that
+    tiny result on the driver (associative sums; cents exact)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        pdf = tbl.to_pandas()
+        pdf["cents"] = np.rint(pdf["l_extendedprice"] * 100).astype(np.int64)
+        pdf["n"] = 1
+        return pdf.groupby(["l_returnflag", "l_linestatus"],
+                           as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), cents=("cents", "sum"),
+            n=("n", "sum"))
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .sum(["sum_qty", "cents", "n"])
+            .to_pandas()
+            .rename(columns={"sum(sum_qty)": "sum_qty",
+                             "sum(cents)": "cents", "sum(n)": "n"}))
+    vals = ["sum_qty", "cents", "n"]
+    by_rf = fine.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_rf["l_linestatus"] = "ALL"
+    by_ls = fine.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_ls["l_returnflag"] = "ALL"
+    total = fine[vals].sum().to_frame().T
+    total["l_returnflag"] = "ALL"
+    total["l_linestatus"] = "ALL"
+    out = pd.concat([fine, by_rf, by_ls, total], ignore_index=True)
+    out["sum_price"] = out.pop("cents") / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_qty"] = out["sum_qty"].astype(np.float64)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"]]
+
+
 def q_sorted_limit(sf_dir: str) -> pd.DataFrame:
     """Global ORDER BY ... LIMIT k without a global sort: per-block partial
     top-k (vectorized lexsort over (-price, key) — deterministic
@@ -1925,6 +1963,7 @@ QUERIES = {
     "distinct": q_distinct,
     "grouped_corr": q_grouped_corr,
     "rollup": q_rollup,
+    "cube": q_cube,
     "sorted_limit": q_sorted_limit,
     "audio_decode": q_audio_decode,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2171,6 +2210,14 @@ ORACLES = {
                sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
                count(*)::BIGINT AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     "sorted_limit": """
         SELECT o_orderkey, o_totalprice FROM orders
