@@ -1816,6 +1816,19 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                          "token", k=50)
 
 
+def q_target_encoder(sf_dir: str) -> pd.DataFrame:
+    """Mean-target category encoding (sklearn TargetEncoder): market
+    segment → fitted mean account balance; O(categories) invertible state."""
+    from ..stages.encoders import TargetEncoder
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+    enc = TargetEncoder("c_acctbal").fit(ds, "c_mktsegment")
+    out = enc.transform(ds, "c_mktsegment", "enc")
+    df = out.select_columns(["c_custkey", "enc"]).to_pandas()
+    return _round(df, ["enc"])
+
+
 def q_stream_interval_join(sf_dir: str) -> pd.DataFrame:
     """Time-bounded stream-stream join (attribution window): click × purchase
     per user with |t_click − t_purchase| ≤ 1 day, streamed in 3 epochs —
@@ -1978,6 +1991,7 @@ QUERIES = {
     "latest_event": q_latest_event,
     "global_median": q_global_median,
     "heavy_hitters": q_heavy_hitters,
+    "target_encoder": q_target_encoder,
     "stream_interval_join": q_stream_interval_join,
     "maxabs_scaler": q_maxabs_scaler,
     "robust_scaler": q_robust_scaler,
@@ -2500,6 +2514,13 @@ ORACLES = {
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token
         QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 50
+    """,
+    "target_encoder": """
+        SELECT c.c_custkey, ROUND(s.m, 6) AS enc
+        FROM customer c
+        JOIN (SELECT c_mktsegment, avg(c_acctbal) AS m
+              FROM customer GROUP BY c_mktsegment) s
+          USING (c_mktsegment)
     """,
     "stream_interval_join": """
         SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id

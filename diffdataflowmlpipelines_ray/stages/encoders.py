@@ -47,6 +47,7 @@ from ..functions.vectors import list_array_from_2d, list_column_to_2d
 from ..state.aggregates import (
     DocumentFrequencyAgg,
     MeanVarAgg,
+    CategoryMeanAgg,
     MinMaxAgg,
     PositionAssignmentAgg,
     SumCountAgg,
@@ -73,6 +74,7 @@ __all__ = [
     "RobustScaler",
     "Binarizer",
     "SimpleImputer",
+    "TargetEncoder",
 ]
 
 #: rows per fit batch — large enough to amortize kernel launches, small
@@ -800,3 +802,44 @@ class SimpleImputer(Encoder):
         x = _float_col(tbl, column)
         return tbl.append_column(
             out, pa.array(np.where(np.isnan(x), self.mean_, x)))
+
+
+class TargetEncoder(Encoder):
+    """Category → fitted mean of a numeric target (sklearn's
+    ``TargetEncoder`` / mean encoding, the workhorse categorical encoder
+    for tree models).  The fit is a per-category invertible (sum, count)
+    map (``CategoryMeanAgg``) — O(categories) state, incremental AND
+    retraction-safe like every other encoder here.  Unseen categories at
+    transform time read the fitted GLOBAL mean (sklearn's behavior)."""
+
+    def __init__(self, target_col: str):
+        self.target_col = target_col
+        self.acc_: CategoryMeanAgg | None = None
+        self.means_: dict | None = None
+        self.global_mean_: float | None = None
+
+    def make_partial(self, tbl, column, weight_col=None):
+        cats = tbl[column].to_pylist()
+        vals = _float_col(tbl, self.target_col)
+        return CategoryMeanAgg.from_numpy(cats, vals,
+                                          _weights(tbl, weight_col))
+
+    def load_accumulator(self, acc: CategoryMeanAgg):
+        self.acc_ = acc
+        self.means_, self.global_mean_ = acc.means()
+        return self
+
+    def fit(self, ds, column, weight_col=None):
+        return self.load_accumulator(fit_partials(
+            ds, [column, self.target_col],
+            lambda t: self.make_partial(t, column, weight_col), weight_col))
+
+    def transform_table(self, tbl, column, out):
+        if self.means_ is None:
+            raise RuntimeError("called transform before fit")
+        import pandas as pd
+
+        enc = (pd.Series(tbl[column].to_pandas())
+               .map(self.means_).fillna(self.global_mean_)
+               .to_numpy(dtype=np.float64))
+        return tbl.append_column(out, pa.array(enc))

@@ -46,6 +46,7 @@ __all__ = [
     "merge_all",
     "dumps",
     "loads",
+    "CategoryMeanAgg",
 ]
 
 
@@ -734,3 +735,58 @@ class LastValueAgg(_Mergeable):
 
     def is_identity(self) -> bool:
         return self.stamp is None
+
+
+class CategoryMeanAgg(_Mergeable):
+    """Per-category (sum, count) map — the TargetEncoder accumulator.
+
+    Invertible like every monoid here: retraction subtracts (sum, count)
+    for the retracted row's category, so the fitted per-category means and
+    the global mean adjust incrementally.  State is O(categories)."""
+
+    def __init__(self, m: dict | None = None):
+        # cat_key -> [value_sum, count]
+        self.m: dict = m or {}
+
+    def copy(self) -> "CategoryMeanAgg":
+        return CategoryMeanAgg({k: [s, c] for k, (s, c) in self.m.items()})
+
+    @classmethod
+    def from_numpy(cls, cats, values: np.ndarray,
+                   weights: np.ndarray | None = None) -> "CategoryMeanAgg":
+        import pandas as pd
+
+        values = np.asarray(values, dtype=np.float64)
+        w = (np.ones(len(values), dtype=np.int64) if weights is None
+             else np.asarray(weights, dtype=np.int64))
+        df = pd.DataFrame({"c": np.asarray(cats), "s": values * w, "n": w})
+        g = df.groupby("c", sort=False).agg(s=("s", "sum"), n=("n", "sum"))
+        return cls({k: [float(s), int(n)]
+                    for k, s, n in zip(g.index, g["s"], g["n"]) if n != 0 or s != 0.0})
+
+    def merge(self, other: "CategoryMeanAgg") -> None:
+        for k, (s, c) in other.m.items():
+            cur = self.m.get(k)
+            if cur is None:
+                self.m[k] = [s, c]
+            else:
+                cur[0] += s
+                cur[1] += c
+                if cur[1] == 0 and cur[0] == 0.0:
+                    del self.m[k]
+
+    def negate(self) -> None:
+        self.m = {k: [-s, -c] for k, (s, c) in self.m.items()}
+
+    def is_zero(self) -> bool:
+        return not any(c > 0 for _, c in self.m.values())
+
+    def is_identity(self) -> bool:
+        return not self.m
+
+    def means(self) -> tuple[dict, float]:
+        """({category: mean over live rows}, global mean)."""
+        out = {k: s / c for k, (s, c) in self.m.items() if c > 0}
+        ts = sum(s for s, c in self.m.values() if c > 0)
+        tc = sum(c for _, c in self.m.values() if c > 0)
+        return out, (ts / tc if tc else 0.0)

@@ -334,3 +334,32 @@ class TestSklearnParityEncoders:
         enc.acc_.merge(SumCountAgg(8.0, 1))
         enc.load_accumulator(enc.acc_)
         assert enc.mean_ == 4.0
+
+
+class TestTargetEncoder:
+    def test_means_and_unseen_fallback(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import TargetEncoder
+
+        ds = ds_from({"row_id": [0, 1, 2, 3],
+                      "cat": ["a", "a", "b", "b"],
+                      "y": [1.0, 3.0, 10.0, 30.0]})
+        enc = TargetEncoder("y").fit(ds, "cat")
+        assert col(enc.transform(ds, "cat"), "cat_enc") == [2.0, 2.0, 20.0, 20.0]
+        unseen = ds_from({"row_id": [0], "cat": ["zzz"], "y": [0.0]})
+        assert col(enc.transform(unseen, "cat"), "cat_enc") == [11.0]  # global
+
+    def test_retraction_adjusts_means(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import TargetEncoder
+        from diffdataflowmlpipelines_ray.state.aggregates import (
+            CategoryMeanAgg,
+        )
+
+        enc = TargetEncoder("y")
+        acc = CategoryMeanAgg.from_numpy(["a", "a", "b"], np.array([1.0, 3.0, 7.0]))
+        # retract the (a, 3.0) row
+        acc.merge(CategoryMeanAgg.from_numpy(["a"], np.array([3.0]),
+                                             np.array([-1])))
+        enc.load_accumulator(acc)
+        assert enc.means_["a"] == 1.0
+        assert enc.means_["b"] == 7.0
+        assert enc.global_mean_ == 4.0
