@@ -1829,6 +1829,32 @@ def q_target_encoder(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["enc"])
 
 
+def q_target_encoder_loo(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out target encoding for train rows: each row's own target
+    excluded from its category mean — the standard leakage guard.  Fitted
+    on integer CENTS so the per-category sums are merge-order exact (the
+    float-policy fix: raw float sums sit on 6-dp round boundaries)."""
+    from ..stages.encoders import TargetEncoder, target_encode_loo
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl["c_acctbal"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "cents", pa.array(np.rint(v * 100.0).astype(np.float64)))
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    enc = TargetEncoder("cents").fit(cds, "c_mktsegment")
+    out = target_encode_loo(cds, "c_mktsegment", "cents", enc, out="enc_c")
+    df = out.select_columns(["c_custkey", "enc_c"]).to_pandas()
+    enc_v = df.pop("enc_c").to_numpy() / 100.0
+    # cents-exact inputs land EXACTLY on 6-dp .5 boundaries (x/2^k values);
+    # match DuckDB's half-away ROUND, not np.round's banker's
+    df["enc"] = _half_away(enc_v * 1e6) / 1e6
+    return df
+
+
 def q_stream_interval_join(sf_dir: str) -> pd.DataFrame:
     """Time-bounded stream-stream join (attribution window): click × purchase
     per user with |t_click − t_purchase| ≤ 1 day, streamed in 3 epochs —
@@ -1992,6 +2018,7 @@ QUERIES = {
     "global_median": q_global_median,
     "heavy_hitters": q_heavy_hitters,
     "target_encoder": q_target_encoder,
+    "target_encoder_loo": q_target_encoder_loo,
     "stream_interval_join": q_stream_interval_join,
     "maxabs_scaler": q_maxabs_scaler,
     "robust_scaler": q_robust_scaler,
@@ -2514,6 +2541,20 @@ ORACLES = {
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token
         QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 50
+    """,
+    "target_encoder_loo": """
+        SELECT c_custkey,
+               ROUND(CASE WHEN cnt <= 1 THEN g.m
+                          ELSE (seg_sum_c - y_c) / (cnt - 1) / 100.0 END, 6)
+                 AS enc
+        FROM (SELECT c_custkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y_c,
+                     sum(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                       OVER (PARTITION BY c_mktsegment) AS seg_sum_c,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+              FROM customer),
+             (SELECT sum(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                     / count(*) / 100.0 AS m FROM customer) g
     """,
     "target_encoder": """
         SELECT c.c_custkey, ROUND(s.m, 6) AS enc

@@ -75,6 +75,7 @@ __all__ = [
     "Binarizer",
     "SimpleImputer",
     "TargetEncoder",
+    "target_encode_loo",
 ]
 
 #: rows per fit batch — large enough to amortize kernel launches, small
@@ -843,3 +844,31 @@ class TargetEncoder(Encoder):
                .map(self.means_).fillna(self.global_mean_)
                .to_numpy(dtype=np.float64))
         return tbl.append_column(out, pa.array(enc))
+
+
+def target_encode_loo(ds, cat_col: str, target_col: str,
+                      enc: "TargetEncoder", out: str = "enc_loo"):
+    """Leave-one-out variant of ``TargetEncoder.transform`` for TRAIN rows:
+    each row's own target is excluded from its category mean
+    ((sum − y)/(n − 1)), the standard leakage guard; singleton categories
+    and unseen values fall back to the fitted global mean.  Stateless
+    vectorized map_batches over the broadcast fitted state."""
+    if enc.acc_ is None:
+        raise RuntimeError("fit the TargetEncoder first")
+    sums = {k: s for k, (s, c) in enc.acc_.m.items() if c > 0}
+    cnts = {k: c for k, (s, c) in enc.acc_.m.items() if c > 0}
+    gmean = enc.global_mean_
+
+    def loo(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cat = pd.Series(tbl[cat_col].to_pandas())
+        y = _float_col(tbl, target_col)
+        s = cat.map(sums).to_numpy(dtype=np.float64)
+        n = cat.map(cnts).to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = (s - y) / (n - 1.0)
+        val = np.where(np.isnan(s) | (n <= 1.0), gmean, val)
+        return tbl.append_column(out, pa.array(val))
+
+    return ds.map_batches(loo, batch_format="pyarrow")

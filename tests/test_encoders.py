@@ -363,3 +363,22 @@ class TestTargetEncoder:
         assert enc.means_["a"] == 1.0
         assert enc.means_["b"] == 7.0
         assert enc.global_mean_ == 4.0
+
+
+class TestTargetEncoderLOO:
+    def test_loo_excludes_own_row(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import (
+            TargetEncoder,
+            target_encode_loo,
+        )
+
+        ds = ds_from({"row_id": [0, 1, 2, 3],
+                      "cat": ["a", "a", "a", "b"],
+                      "y": [1.0, 2.0, 6.0, 9.0]})
+        enc = TargetEncoder("y").fit(ds, "cat")
+        out = target_encode_loo(ds, "cat", "y", enc)
+        got = dict(zip(col(out, "row_id"), col(out, "enc_loo")))
+        assert got[0] == 4.0   # (2+6)/2
+        assert got[1] == 3.5   # (1+6)/2
+        assert got[2] == 1.5   # (1+2)/2
+        assert got[3] == 4.5   # singleton b -> global mean (1+2+6+9)/4
