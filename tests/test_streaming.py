@@ -1750,3 +1750,45 @@ class TestEnrichJoinDatasetTombstone:
         got = {int(r.eid): (None if pd.isna(r.tier) else int(r.tier))
                for r in df.itertuples()}
         assert got == {100: 10, 101: 20, 200: None, 201: 20}
+
+
+class TestResumeAfterCompaction:
+    def test_replay_noop_and_continue_after_compact(self, ray_session,
+                                                    tmp_path):
+        """Crash after compaction → resume: replayed epochs must no-op
+        against their (compacted) manifests, new epochs append normally,
+        and the full read stays exact."""
+        def mk():
+            s = StreamSession(tmp_path / "rc", num_shards=1,
+                              checkpoint_every=2, fsync=False)
+            s.add(KeyedAggregation(name="agg", input="e", key_cols=["u"],
+                                   value_col="v", ts_col="ts",
+                                   aggs=("count",),
+                                   window=WindowSpec.tumbling(10.0)))
+            return s
+
+        sess = mk()
+        for e in range(6):
+            t = pa.table({"u": [1], "ts": [e * 10.0 + 1.0], "v": [1.0]})
+            sess.process_epoch(e, {"e": t}, watermark=(e + 1) * 10.0)
+            sess.checkpoint(e)
+        sess.sinks["agg"].compact(upto_epoch=3)
+        sess.store.shutdown()  # crash — no close()
+
+        sess2 = mk()
+        start = sess2.resume()
+        assert start == 6
+        # replay attempt of an already-committed (now compacted) epoch: the
+        # sink manifest makes the commit a no-op
+        sess2.process_epoch(
+            3, {"e": pa.table({"u": [1], "ts": [31.0], "v": [99.0]})},
+            watermark=40.0)
+        for e in (6, 7):
+            t = pa.table({"u": [1], "ts": [e * 10.0 + 1.0], "v": [1.0]})
+            sess2.process_epoch(e, {"e": t}, watermark=(e + 1) * 10.0)
+        out = sess2.sinks["agg"].read_committed_table().to_pandas()
+        sess2.store.shutdown()
+        # exactly one window per epoch 0..7, each count 1 — no dupes/loss
+        assert len(out) == 8
+        assert (out["count"] == 1).all()
+        assert sorted(out["window_start"]) == [e * 10.0 for e in range(8)]
