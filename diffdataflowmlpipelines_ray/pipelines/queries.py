@@ -604,6 +604,29 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"id": "doc_id"})
 
 
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the deterministic chain edges (same edge set as
+    connected_components) — rows-only (iterative fixpoint, no SQL twin;
+    the update rule is pytest-verified against dense power iteration, and
+    the distributed `pagerank_ds` is pytest-equal to this driver twin)."""
+    from ..stages.iterate import pagerank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 < 4
+        return pa.table({"id_lo": pa.array(ids[keep]),
+                         "id_hi": pa.array(ids[keep] + 1)})
+
+    edge_tbl = pa.concat_tables(list(
+        ds.map_batches(edges, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    out = pagerank(edge_tbl, iters=30).to_pandas()
+    out = out.rename(columns={"id": "doc_id"})
+    return _round(out, ["rank"])
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Winner ids only (the oracle's `min(doc_id) GROUP BY text`): the
     hash-only two-phase path, no row semi-join.  Full-row dedup (the
@@ -1961,6 +1984,7 @@ QUERIES = {
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
     "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components", "connected_components_ds"]
+__all__ = ["connected_components", "connected_components_ds",
+           "pagerank", "pagerank_ds"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -239,3 +240,208 @@ def connected_components_ds(edges, buckets: int = 64, max_iters: int = 64):
     raise RuntimeError(
         f"connected_components_ds did not converge in {max_iters} rounds"
     )
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 50) -> pa.Table:
+    """Driver-side PageRank (vectorized numpy power iteration) for
+    candidate-bounded graphs — the fast twin of ``pagerank_ds`` exactly as
+    ``connected_components`` is to ``connected_components_ds``; identical
+    update rule (uniform dangling redistribution), so the two agree to
+    float tolerance at equal iteration counts."""
+    if not isinstance(edges, pa.Table):
+        edges = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = edges["id_lo"].to_numpy(zero_copy_only=False)
+    dst = edges["id_hi"].to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([src, dst]))
+    n = len(ids)
+    if n == 0:
+        return pa.table({"id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.float64())})
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, si, 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = float(r[deg == 0].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / deg[si])
+        r = (1.0 - damping) / n + damping * dangling / n \
+            + damping * contrib
+    return pa.table({"id": pa.array(ids.astype(np.int64)),
+                     "rank": pa.array(r)})
+
+
+def pagerank_ds(edges, damping: float = 0.85, iters: int = 20,
+                buckets: int = 32) -> pa.Table:
+    """Distributed PageRank over a directed edge list (id_lo → id_hi) — the
+    second ``iterate`` instance beside connected components.
+
+    State rows (id, rank, deg) stay in blocks; each iteration is TWO
+    bucketed shuffles (contribute by hash(src), re-sum by hash(dst)) plus
+    one narrow scan for the global dangling mass.  Dangling nodes' mass
+    redistributes uniformly (standard).  The driver holds one scalar per
+    round.  Returns pa.Table (id, rank); ranks sum to 1 up to float merge
+    noise (tolerance documented, bit equality across parallelism is NOT
+    promised — summation order varies)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return ((arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % buckets).astype(np.int64)
+
+    E = edges.map_batches(
+        lambda t: pa.table({"src": t["id_lo"], "dst": t["id_hi"]}),
+        batch_format="pyarrow").materialize()
+
+    # node universe + out-degree, one bucketed pass each
+    def nodes_block(tbl: pa.Table) -> pa.Table:
+        cols = []
+        for c in ("src", "dst"):
+            a = tbl[c]
+            cols.append(a.combine_chunks()
+                        if isinstance(a, pa.ChunkedArray) else a)
+        u = pc.unique(pa.concat_arrays(cols))
+        return pa.table({"id": u, "__b": pa.array(
+            bucket_of(u.to_numpy(zero_copy_only=False)))})
+
+    def deg_block(tbl: pa.Table) -> pa.Table:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"id": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64)),
+                         "__b": pa.array(bucket_of(u))})
+
+    def node_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (pdf.groupby("id", as_index=False)["deg"].sum()
+               if "deg" in pdf else pdf.drop_duplicates("id")[["id"]])
+        return out
+
+    nodes = (E.map_batches(nodes_block, batch_format="pyarrow")
+             .groupby("__b").map_groups(
+                 lambda p: p.drop_duplicates("id")[["id"]],
+                 batch_format="pandas").materialize())
+    degs = (E.map_batches(deg_block, batch_format="pyarrow")
+            .groupby("__b").map_groups(node_state, batch_format="pandas")
+            .materialize())
+    n = nodes.count()
+
+    # initial state (id, rank, deg): left-join degrees onto the universe
+    def with_deg(pdf: pd.DataFrame) -> pd.DataFrame:
+        un = pdf[pdf["deg"].isna()][["id"]].drop_duplicates("id")
+        dg = pdf[pdf["deg"].notna()][["id", "deg"]]
+        st = un.merge(dg, on="id", how="left").fillna({"deg": 0})
+        st["rank"] = 1.0 / n
+        return st.astype({"id": "int64", "deg": "int64"})
+
+    def tag_by_id(tbl: pa.Table, with_null_deg: bool) -> pa.Table:
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        cols = {"id": tbl["id"],
+                "deg": (pa.nulls(tbl.num_rows, pa.float64())
+                        if with_null_deg
+                        else pc.cast(tbl["deg"], pa.float64())),
+                "__b": pa.array(bucket_of(ids))}
+        return pa.table(cols)
+
+    S = (nodes.map_batches(lambda t: tag_by_id(t, True),
+                           batch_format="pyarrow")
+         .union(degs.map_batches(lambda t: tag_by_id(t, False),
+                                 batch_format="pyarrow"))
+         .groupby("__b").map_groups(with_deg, batch_format="pandas")
+         .materialize())
+
+    def tag_edge(tbl: pa.Table) -> pa.Table:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        return pa.table({"id": tbl["src"],
+                         "dst": pc.cast(tbl["dst"], pa.float64()),
+                         "rank": pa.nulls(tbl.num_rows, pa.float64()),
+                         "deg": pa.nulls(tbl.num_rows, pa.float64()),
+                         "__b": pa.array(bucket_of(src))})
+
+    Et = E.map_batches(tag_edge, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def tag_state(tbl: pa.Table) -> pa.Table:
+            ids = tbl["id"].to_numpy(zero_copy_only=False)
+            return pa.table({"id": tbl["id"],
+                             "dst": pa.nulls(tbl.num_rows, pa.float64()),
+                             "rank": pc.cast(tbl["rank"], pa.float64()),
+                             "deg": pc.cast(tbl["deg"], pa.float64()),
+                             "__b": pa.array(bucket_of(ids))})
+
+        def contrib(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = pdf[pdf["rank"].notna()][["id", "rank", "deg"]]
+            eds = pdf[pdf["dst"].notna()][["id", "dst"]]
+            j = eds.merge(st, on="id")
+            out = pd.DataFrame({
+                "node": j["dst"].astype(np.int64),
+                "c": (j["rank"] / j["deg"]).to_numpy(dtype=np.float64),
+            })
+            dang = float(st.loc[st["deg"] == 0, "rank"].sum())
+            return pd.concat(
+                [out, pd.DataFrame({"node": [-1], "c": [dang]})],
+                ignore_index=True)
+
+        C = (S.map_batches(tag_state, batch_format="pyarrow")
+             .union(Et)
+             .groupby("__b").map_groups(contrib, batch_format="pandas")
+             .materialize())
+        def only_dangling(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return tbl.filter(_pc.equal(tbl["node"], -1)).select(["c"])
+
+        dangling = sum(
+            r["c"] for r in
+            C.map_batches(only_dangling, batch_format="pyarrow").take_all())
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def tag_contrib(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            tbl = tbl.filter(_pc.not_equal(tbl["node"], -1))
+            nodes_ = tbl["node"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": tbl["node"], "c": tbl["c"],
+                             "__deg": pa.nulls(tbl.num_rows, pa.float64()),
+                             "__b2": pa.array(bucket_of(nodes_))})
+
+        def tag_old(tbl: pa.Table) -> pa.Table:
+            ids = tbl["id"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": tbl["id"],
+                             "c": pa.nulls(tbl.num_rows, pa.float64()),
+                             "__deg": pc.cast(tbl["deg"], pa.float64()),
+                             "__b2": pa.array(bucket_of(ids))})
+
+        Cp = C.map_batches(tag_contrib, batch_format="pyarrow")
+
+        def new_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = pdf[pdf["__deg"].notna()][["node", "__deg"]]
+            cs = pdf[pdf["c"].notna() & (pdf["node"] >= 0)]
+            summed = cs.groupby("node", as_index=False)["c"].sum()
+            out = st.merge(summed, on="node", how="left").fillna({"c": 0.0})
+            return pd.DataFrame({
+                "id": out["node"].astype(np.int64),
+                "rank": base + damping * out["c"].to_numpy(),
+                "deg": out["__deg"].astype(np.int64),
+            })
+
+        S = (S.map_batches(lambda t: tag_old(
+                pa.table({"id": t["id"], "deg": t["deg"]})),
+                batch_format="pyarrow")
+             .union(Cp.map_batches(
+                 lambda t: t.select(["node", "c", "__deg", "__b2"]),
+                 batch_format="pyarrow"))
+             .groupby("__b2").map_groups(new_rank, batch_format="pandas")
+             .materialize())
+
+    out = pa.concat_tables(list(
+        S.map_batches(lambda t: t.select(["id", "rank"]),
+                      batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    return out.sort_by("id")

@@ -508,3 +508,46 @@ class TestKMeans:
         b = f8["centroids"][np.lexsort(f8["centroids"].T)]
         assert np.allclose(a, b, atol=1e-8)
         assert f2["iters"] == f8["iters"]
+
+
+class TestPageRank:
+    EDGES = pa.table({"id_lo": pa.array([0, 0, 1, 2, 3, 1], type=pa.int64()),
+                      "id_hi": pa.array([1, 2, 2, 0, 2, 4], type=pa.int64())})
+
+    def test_driver_matches_power_iteration(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import pagerank
+
+        out = pagerank(self.EDGES, iters=50)
+        ranks = dict(zip(out["id"].to_pylist(), out["rank"].to_pylist()))
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+        # hub 0 and sink-heavy 2 dominate; source 3 is weakest
+        assert ranks[0] > ranks[1] > ranks[3]
+        assert ranks[2] > ranks[4] > ranks[3]
+        # hand-rolled dense power iteration (same rule) agrees
+        ids = [0, 1, 2, 3, 4]
+        deg = {0: 2, 1: 2, 2: 1, 3: 1}
+        import numpy as _np
+        r = {v: 0.2 for v in ids}
+        for _ in range(50):
+            dang = sum(r[v] for v in ids if v not in deg)
+            nr = {v: 0.15 / 5 + 0.85 * dang / 5 for v in ids}
+            for a, b in zip(self.EDGES["id_lo"].to_pylist(),
+                            self.EDGES["id_hi"].to_pylist()):
+                nr[b] += 0.85 * r[a] / deg[a]
+            r = nr
+        for v in ids:
+            assert ranks[v] == pytest.approx(r[v], abs=1e-12)
+
+    def test_ds_variant_matches_driver(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            pagerank,
+            pagerank_ds,
+        )
+
+        a = pagerank(self.EDGES, iters=3)
+        b = pagerank_ds(self.EDGES, iters=3, buckets=4)
+        da = dict(zip(a["id"].to_pylist(), a["rank"].to_pylist()))
+        db = dict(zip(b["id"].to_pylist(), b["rank"].to_pylist()))
+        assert set(da) == set(db)
+        for k in da:
+            assert da[k] == pytest.approx(db[k], abs=1e-12)
