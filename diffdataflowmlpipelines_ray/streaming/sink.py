@@ -388,6 +388,15 @@ class ExactlyOnceParquetSink:
         cdir.mkdir(parents=True, exist_ok=True)
         fpath = cdir / "part-00000.parquet"
         tmp = cdir / f".part.tmp-{uuid.uuid4().hex[:8]}"
+        # schema evolution: unify across ALL covered epochs from the file
+        # footers (cheap metadata reads) so early epochs missing a
+        # later-added column compact as typed nulls
+        schemas = []
+        for e in eps:
+            for f in self.manifest(e)["files"]:
+                schemas.append(pq.read_schema(self.root / f["path"]))
+        unified = pa.unify_schemas(schemas, promote_options="permissive") \
+            if schemas else None
         writer = None
         rg_of: dict[str, int | None] = {}
         rg = 0
@@ -402,10 +411,15 @@ class ExactlyOnceParquetSink:
             if tbl is None or tbl.num_rows == 0:
                 rg_of[str(e)] = None
                 continue
+            cols = {}
+            for fld in unified:
+                if fld.name in tbl.column_names:
+                    cols[fld.name] = tbl[fld.name].cast(fld.type)
+                else:
+                    cols[fld.name] = pa.nulls(tbl.num_rows, fld.type)
+            tbl = pa.table(cols)
             if writer is None:
-                writer = pq.ParquetWriter(tmp, tbl.schema)
-            else:
-                tbl = tbl.cast(writer.schema)
+                writer = pq.ParquetWriter(tmp, unified)
             # one row group per epoch → per-epoch reads prune exactly
             writer.write_table(tbl, row_group_size=max(tbl.num_rows, 1))
             rg_of[str(e)] = rg

@@ -1792,3 +1792,24 @@ class TestResumeAfterCompaction:
         assert len(out) == 8
         assert (out["count"] == 1).all()
         assert sorted(out["window_start"]) == [e * 10.0 for e in range(8)]
+
+
+class TestSchemaEvolution:
+    def test_added_column_promotes_on_read(self, ray_session, tmp_path):
+        """A later epoch adds a column: read_committed_table promotes the
+        union schema (old epochs read null for the new column), and
+        compaction preserves exactly that."""
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+        sink = ExactlyOnceParquetSink(tmp_path / "se", fsync=False)
+        sink.commit_tables(0, [pa.table({"x": [1, 2]})])
+        sink.commit_tables(1, [pa.table({"x": [3], "extra": ["v"]})])
+        t = sink.read_committed_table()
+        assert set(t.column_names) == {"x", "extra"}
+        df = t.to_pandas().sort_values("x")
+        assert list(df["extra"].isna()) == [True, True, False]
+        sink.compact()
+        t2 = sink.read_committed_table().to_pandas().sort_values("x")
+        assert list(t2["extra"].isna()) == [True, True, False]
+        assert sorted(t2["x"]) == [1, 2, 3]
