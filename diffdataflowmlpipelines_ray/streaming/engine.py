@@ -552,6 +552,11 @@ class EnrichJoin:
     #: stamp and shadows older upserts arriving late/out of order; probes
     #: read tombstoned keys as misses (nulls).
     dim_delete_col: str | None = None
+    #: register TTL in event time: on each watermark advance, dim registers
+    #: whose LWW stamp is older than ``watermark − dim_ttl`` are dropped
+    #: (including tombstones).  Bounds shard state for unbounded key spaces;
+    #: an expired key re-enriches as a miss, exactly like a never-seen key.
+    dim_ttl: float | None = None
 
     def __post_init__(self):
         overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
@@ -1301,6 +1306,9 @@ class StreamSession:
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, StreamJoin) and op.retention is not None:
                 self.store.join_expire(name, self.watermark - op.retention)
+            elif isinstance(op, EnrichJoin) and op.dim_ttl is not None:
+                self.store.sweep_stale_registers(
+                    name, self.watermark - op.dim_ttl)
         return emitted
 
     # ------------------------------------------------------------- inspection

@@ -122,6 +122,20 @@ class StateShard:
             out.append((kb, None if acc is None else acc.value))
         return _dumps(out)
 
+    def sweep_stale_registers(self, name: str, before_stamp: float) -> int:
+        """Drop LastValueAgg registers (EnrichJoin dim state) whose stamp is
+        older than ``before_stamp`` — the register-TTL sweep that bounds
+        dim-side state for unbounded key spaces (stale keys re-enrich as
+        misses, exactly like never-seen keys).  Tombstones age out the same
+        way.  Returns the number of dropped registers."""
+        store = self.aggs.get(name, {})
+        dead = [k for k, acc in store.items()
+                if getattr(acc, "stamp", None) is not None
+                and acc.stamp[0] < before_stamp]
+        for k in dead:
+            del store[k]
+        return len(dead)
+
     def sweep_closed_windows(self, name: str, close_before: float) -> bytes:
         """Emit & drop keys whose window end ≤ close_before.
 
@@ -537,6 +551,13 @@ class ShardedStateStore:
             out.extend(pickle.loads(b))
         out.sort(key=lambda kv: kv[0])
         return out
+
+    def sweep_stale_registers(self, name: str, before_stamp: float) -> int:
+        self.fence()
+        return sum(ray.get([
+            s.sweep_stale_registers.remote(name, before_stamp)
+            for s in self.shards
+        ]))
 
     def sweep_closed_windows(self, name: str, close_before: float) -> list:
         self.fence()

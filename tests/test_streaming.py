@@ -1434,6 +1434,32 @@ class TestEnrichJoin:
         sess.store.shutdown()
         assert got == {100: 10, 200: None, 300: 12}
 
+    def test_dim_ttl_expires_stale_registers(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "en5", num_shards=2)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["u"], dim_vals=["tier"], stream_cols=["eid"],
+                            dim_ts="up_ts", dim_types=[pa.int64()],
+                            dim_ttl=5.0))
+        # epoch 0 @ wm 0: u1 stamped at ts=0, u2 at ts=4
+        sess.process_epoch(0, {"dim": self._dim([(1, 10, 0.0), (2, 20, 4.0)]),
+                               "ev": self._ev([(1, 100), (2, 101)])},
+                           watermark=0.0)
+        # epoch 1 @ wm 6: u1's stamp (0) < 6−5 → expired; u2 (4) survives
+        sess.process_epoch(1, {"ev": self._ev([(1, 200), (2, 201)])},
+                           watermark=6.0)
+        # epoch 2: after expiry, u1 reads as a miss; u2 still enriches
+        sess.process_epoch(2, {"ev": self._ev([(1, 300), (2, 301)])})
+        got = self._tiers(sess)
+        keys = sum(st["agg_keys"].get("en", 0) for st in sess.store.stats())
+        sess.store.shutdown()
+        # epoch-1 events are enriched BEFORE the wm-6 sweep runs (watermark
+        # advances after the epoch's probe), so 200 still sees tier 10
+        assert got == {100: 10, 101: 20, 200: 10, 201: 20,
+                       300: None, 301: 20}
+        assert keys == 1  # only u2's register remains in shard state
+
 
 class TestLineage:
     def test_lineage_stamped_into_manifests(self, ray_session, tmp_path):
