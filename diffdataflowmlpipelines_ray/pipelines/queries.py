@@ -1311,6 +1311,26 @@ def q_grouped_meanvar(sf_dir: str) -> pd.DataFrame:
     return _round(out, ["mean", "var"])
 
 
+def q_grouped_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-group order-4 moments (mean, var_pop, sample skewness, sample
+    excess kurtosis) from ONE exactly-invertible power-sum accumulator per
+    group — merge is vector addition, so partials combine in any order/sign
+    (the order-4 closure of standard_scaler.rs:11-61's variance monoid)."""
+    from ..stages.ray_aggregates import GroupedMoments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(
+        GroupedMoments("l_quantity", alias_name="mo")
+    ).to_pandas()
+    mo = out.pop("mo")
+    out["n"] = [int(d["n"]) for d in mo]
+    out["mean"] = [d["mean"] for d in mo]
+    out["var_pop"] = [d["var_pop"] for d in mo]
+    out["skew"] = [d["skew"] for d in mo]
+    out["kurt"] = [d["kurt"] for d in mo]
+    return _round(out, ["mean", "var_pop", "skew", "kurt"])
+
+
 def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct l_partkey (no shuffle: one sketch per block,
     register-max merge) — oracle-gated via the exact count plus a ≤1%
@@ -2025,6 +2045,7 @@ QUERIES = {
     "dataprep": q_dataprep,
     "distinct": q_distinct,
     "grouped_corr": q_grouped_corr,
+    "grouped_moments": q_grouped_moments,
     "rollup": q_rollup,
     "cube": q_cube,
     "sorted_limit": q_sorted_limit,
@@ -2266,6 +2287,14 @@ ORACLES = {
                ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar,
                ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
                ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_moments": """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               ROUND(avg(l_quantity), 6) AS mean,
+               ROUND(var_pop(l_quantity), 6) AS var_pop,
+               ROUND(skewness(l_quantity), 6) AS skew,
+               ROUND(kurtosis(l_quantity), 6) AS kurt
         FROM lineitem GROUP BY l_returnflag
     """,
     "rollup": """

@@ -75,6 +75,28 @@ class ApproxDistinct(AggregateFn):
         )
 
 
+class GroupedMoments(AggregateFn):
+    """Per-group order-4 moment statistics — mean, population variance,
+    bias-corrected sample skewness and excess kurtosis (DuckDB
+    skewness()/kurtosis() estimators) — from ONE exactly-invertible
+    power-sum ``MomentsAgg`` accumulator per group (merge = vector add)."""
+
+    def __init__(self, on: str, alias_name: str | None = None):
+        from ..state.aggregates import MomentsAgg
+
+        def accumulate_block(acc: MomentsAgg, block) -> MomentsAgg:
+            v = block[on].to_numpy(zero_copy_only=False).astype(np.float64)
+            return acc.merged(MomentsAgg.from_numpy(v))
+
+        super().__init__(
+            init=lambda k: MomentsAgg(),
+            merge=lambda a, b: a.merged(b),
+            accumulate_block=accumulate_block,
+            finalize=lambda a: a.get(),
+            name=alias_name or f"moments({on})",
+        )
+
+
 class GroupedCorr(AggregateFn):
     """Per-group bivariate statistics — population covariance, Pearson
     correlation, least-squares slope — from ONE ``CoMomentAgg`` accumulator

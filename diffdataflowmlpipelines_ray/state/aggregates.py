@@ -698,6 +698,102 @@ class CoMomentAgg(_Mergeable):
                 "intercept": intercept, "n": n}
 
 
+class MomentsAgg(_Mergeable):
+    """Order-4 moment aggregate as raw power sums ``(n, Σx, Σx², Σx³, Σx⁴)``.
+
+    Power sums are the *exactly* invertible representation of higher moments:
+    merge is plain component-wise addition and ``negate`` flips every sum, so
+    retraction is exact (no Chan/Pébay cross terms, no approximate inverse) —
+    the order-4 extension of the reference's ``VarianceAggregate`` monoid
+    (standard_scaler.rs:11-61) taken to the abelian-group closure the
+    differential model wants.  Central moments are recovered at read time
+    (binomial expansion), from which ``get`` derives population variance plus
+    the bias-corrected sample skewness / excess kurtosis that DuckDB's
+    ``skewness()`` / ``kurtosis()`` compute (verified to 1e-13 in tests).
+    Trade-off: raw sums cancel catastrophically when ``|mean| ≫ stddev``;
+    fine for feature-scaled / bounded columns, callers with extreme means
+    should center first.
+    """
+
+    __slots__ = ("count", "s1", "s2", "s3", "s4")
+
+    def __init__(self, count: int = 0, s1: float = 0.0, s2: float = 0.0,
+                 s3: float = 0.0, s4: float = 0.0):
+        self.count = int(count)
+        self.s1 = float(s1)
+        self.s2 = float(s2)
+        self.s3 = float(s3)
+        self.s4 = float(s4)
+
+    def copy(self) -> "MomentsAgg":
+        return MomentsAgg(self.count, self.s1, self.s2, self.s3, self.s4)
+
+    @classmethod
+    def of(cls, value: float, mult: int = 1) -> "MomentsAgg":
+        v = float(value)
+        return cls(mult, mult * v, mult * v * v, mult * v ** 3, mult * v ** 4)
+
+    @classmethod
+    def from_numpy(cls, values: np.ndarray,
+                   weights: np.ndarray | None = None) -> "MomentsAgg":
+        """One partial per block, vectorized; ±1 ``diff`` weights just sign
+        the power sums (the representation is already a group)."""
+        v = np.asarray(values, dtype=np.float64)
+        if v.size == 0:
+            return cls()
+        if weights is None:
+            return cls(v.size, float(v.sum()), float((v * v).sum()),
+                       float((v ** 3).sum()), float((v ** 4).sum()))
+        w = np.asarray(weights, dtype=np.float64)
+        return cls(int(w.sum()), float((w * v).sum()),
+                   float((w * v * v).sum()), float((w * v ** 3).sum()),
+                   float((w * v ** 4).sum()))
+
+    def merge(self, other: "MomentsAgg") -> None:
+        self.count += other.count
+        self.s1 += other.s1
+        self.s2 += other.s2
+        self.s3 += other.s3
+        self.s4 += other.s4
+
+    def negate(self) -> None:
+        self.count = -self.count
+        self.s1 = -self.s1
+        self.s2 = -self.s2
+        self.s3 = -self.s3
+        self.s4 = -self.s4
+
+    def is_zero(self) -> bool:
+        return self.count == 0
+
+    def is_identity(self) -> bool:
+        return (self.count == 0 and self.s1 == 0.0 and self.s2 == 0.0
+                and self.s3 == 0.0 and self.s4 == 0.0)
+
+    def get(self) -> dict:
+        """{n, mean, var_pop, skew, kurt}: skew/kurt are the bias-corrected
+        sample estimators DuckDB's skewness()/kurtosis() return (NaN below
+        their minimum group sizes of 3/4 rows, like DuckDB emits NULL)."""
+        n = float(self.count)
+        if n <= 0:
+            return {"n": self.count, "mean": float("nan"),
+                    "var_pop": float("nan"), "skew": float("nan"),
+                    "kurt": float("nan")}
+        mean = self.s1 / n
+        m2 = (self.s2 - n * mean ** 2) / n
+        m3 = (self.s3 - 3.0 * mean * self.s2 + 2.0 * n * mean ** 3) / n
+        m4 = (self.s4 - 4.0 * mean * self.s3 + 6.0 * mean ** 2 * self.s2
+              - 3.0 * n * mean ** 4) / n
+        skew = kurt = float("nan")
+        if m2 > 0 and n > 2:
+            skew = (m3 / m2 ** 1.5) * math.sqrt(n * (n - 1.0)) / (n - 2.0)
+        if m2 > 0 and n > 3:
+            g2 = m4 / m2 ** 2 - 3.0
+            kurt = (n - 1.0) * ((n + 1.0) * g2 + 6.0) / ((n - 2.0) * (n - 3.0))
+        return {"n": self.count, "mean": mean, "var_pop": max(m2, 0.0),
+                "skew": skew, "kurt": kurt}
+
+
 class LastValueAgg(_Mergeable):
     """Last-writer-wins register: (stamp, value) where ``merge`` keeps the
     larger stamp — a commutative, associative, idempotent semilattice, so

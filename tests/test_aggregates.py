@@ -273,6 +273,75 @@ class TestCoMoment:
         assert blk.count == 30
 
 
+class TestMoments:
+    def _x(self, n=1000, seed=11):
+        return np.random.default_rng(seed).gamma(2.0, 3.0, n)
+
+    def test_matches_duckdb_estimators(self):
+        import duckdb
+
+        from diffdataflowmlpipelines_ray.state.aggregates import MomentsAgg
+
+        x = self._x()
+        g = MomentsAgg.from_numpy(x).get()
+        sk, ku, mn, vp = duckdb.sql(
+            "SELECT skewness(c), kurtosis(c), avg(c), var_pop(c) "
+            "FROM (SELECT unnest(?::DOUBLE[]) AS c)", params=[list(x)]
+        ).fetchone()
+        assert g["mean"] == pytest.approx(mn, abs=1e-10)
+        assert g["var_pop"] == pytest.approx(vp, abs=1e-8)
+        assert g["skew"] == pytest.approx(sk, abs=1e-10)
+        assert g["kurt"] == pytest.approx(ku, abs=1e-9)
+
+    def test_split_merge_equivalence(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import MomentsAgg
+
+        x = self._x()
+        batch = MomentsAgg.from_numpy(x)
+        acc = MomentsAgg()
+        rng = random.Random(5)
+        bounds = [0, *sorted(rng.sample(range(1, len(x)), 9)), len(x)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            acc.merge(MomentsAgg.from_numpy(x[lo:hi]))
+        for k in ("mean", "var_pop", "skew", "kurt", "n"):
+            assert acc.get()[k] == pytest.approx(batch.get()[k])
+
+    def test_retraction_is_exact(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import MomentsAgg
+
+        x = self._x()
+        full = MomentsAgg.from_numpy(x)
+        tail = MomentsAgg.from_numpy(x[600:])
+        tail.negate()
+        full.merge(tail)
+        head = MomentsAgg.from_numpy(x[:600])
+        # power sums subtract exactly — componentwise float equality,
+        # stronger than the approx guarantee Chan-style inverses give
+        for k in ("count", "s1", "s2", "s3", "s4"):
+            assert getattr(full, k) == pytest.approx(getattr(head, k),
+                                                     rel=1e-12)
+        for k in ("mean", "var_pop", "skew", "kurt"):
+            assert full.get()[k] == pytest.approx(head.get()[k])
+
+    def test_weighted_diffs_and_small_group_nans(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import MomentsAgg
+
+        x = self._x(50)
+        w = np.ones(50, dtype=np.int64)
+        w[40:] = -1
+        blk = MomentsAgg.from_numpy(x, weights=w)
+        expect = MomentsAgg.from_numpy(x[:40]).merged(
+            MomentsAgg.from_numpy(x[40:]).negated())
+        for k in ("mean", "var_pop", "skew", "kurt"):
+            assert blk.get()[k] == pytest.approx(expect.get()[k])
+        assert blk.count == 30
+        # DuckDB returns NULL below n=3 (skew) / n=4 (kurt); we emit NaN
+        g2 = MomentsAgg.from_numpy(x[:2]).get()
+        assert math.isnan(g2["skew"]) and math.isnan(g2["kurt"])
+        g3 = MomentsAgg.from_numpy(x[:3]).get()
+        assert not math.isnan(g3["skew"]) and math.isnan(g3["kurt"])
+
+
 class TestLastValue:
     def test_semilattice_properties(self):
         from diffdataflowmlpipelines_ray.state.aggregates import LastValueAgg
