@@ -1564,6 +1564,37 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
         "event_id").reset_index(drop=True)
 
 
+def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
+    """Streaming exactly-once dedup: events quartiled by (ts, event_id) into
+    4 Dataset epochs; only each user's FIRST event (by ts, then event_id)
+    is emitted — in-epoch duplicates die in their block's pre-reduction,
+    cross-epoch duplicates die at the shard's FirstSeenReg claim.  Oracle:
+    row_number() = 1 per user."""
+    from ..streaming.engine import StreamDedup
+
+    ev = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+
+    sess = StreamSession(_tmp("sdedup"), num_shards=4)
+    sess.add(StreamDedup(name="dd", input="ev", key=["user_id"],
+                         ts_col="ts", order_cols=["event_id"],
+                         carry=["event_id"]))
+    try:
+        k = 4
+        n = ev.num_rows
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        off = 0
+        for e in range(k):
+            sess.process_epoch(
+                e, {"ev": rd.from_arrow(ev.slice(off, sizes[e]))})
+            off += sizes[e]
+        df = sess.sinks["dd"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return df[["user_id", "event_id"]].sort_values(
+        "user_id").reset_index(drop=True)
+
+
 def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the embeddings table: per-iteration
     data movement = centroid broadcast down + k×(dim+2) partial floats per
@@ -2052,6 +2083,7 @@ QUERIES = {
     "audio_decode": q_audio_decode,
     "kmeans_clusters": q_kmeans_clusters,
     "stream_enrich": q_stream_enrich,
+    "stream_dedup": q_stream_dedup,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "regex_mask": q_regex_mask,
@@ -2330,6 +2362,12 @@ ORACLES = {
                     THEN user_id * 10 + user_id % 4
                     ELSE -1 END AS tier
         FROM ev
+    """,
+    "stream_dedup": """
+        SELECT user_id, event_id
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -698,6 +698,28 @@ class CoMomentAgg(_Mergeable):
                 "intercept": intercept, "n": n}
 
 
+class FirstSeenReg:
+    """Streaming-dedup "seen" register: the ``(stamp, epoch)`` under which a
+    key FIRST occurred.  ``stamp = (event_time, tiebreak)`` — event_time in
+    slot 0 so the register-TTL sweep (``sweep_stale_registers``) ages dedup
+    state out exactly like EnrichJoin dim registers.  Not a monoid: keys are
+    claimed first-wins by the shard's ``dedup_filter`` (one offer per
+    (shard, epoch), deterministic per-key min), and a replay of the claiming
+    epoch re-wins idempotently."""
+
+    __slots__ = ("stamp", "epoch")
+
+    def __init__(self, stamp: tuple, epoch: int):
+        self.stamp = stamp
+        self.epoch = epoch
+
+    def __getstate__(self):
+        return (self.stamp, self.epoch)
+
+    def __setstate__(self, st):
+        self.stamp, self.epoch = st
+
+
 class MomentsAgg(_Mergeable):
     """Order-4 moment aggregate as raw power sums ``(n, Σx, Σx², Σx³, Σx⁴)``.
 

@@ -42,7 +42,7 @@ import ray
 
 from ..state.aggregates import SumCountAgg
 from .sink import CheckpointManager, ExactlyOnceParquetSink
-from .state_store import ShardedStateStore
+from .state_store import ShardedStateStore, shard_of
 
 __all__ = [
     "WindowSpec",
@@ -51,6 +51,7 @@ __all__ = [
     "PatternMatch",
     "StreamJoin",
     "EnrichJoin",
+    "StreamDedup",
     "StreamSession",
 ]
 
@@ -596,6 +597,30 @@ class EnrichJoin:
         return out, 0
 
 
+@dataclass
+class StreamDedup:
+    """Streaming exactly-once deduplication: only the FIRST event per key
+    (ordered by ``(ts_col, *order_cols)``) is emitted; later occurrences —
+    in the same epoch or any later epoch — are dropped.  State is one tiny
+    ``FirstSeenReg`` per distinct key in the shards; ``ttl`` bounds it in
+    event time (a key idle longer than the dedup window re-emits, the
+    standard streaming-dedup contract, cf. Flink deduplication with state
+    TTL).  Deterministic and replay-idempotent: each (shard, epoch) offers
+    its per-key MINIMUM stamp exactly once, and a replayed epoch re-wins its
+    own claims, so retries emit identical rows into existing manifests.
+    Not retractable (dedup is not a monoid) — retracting an emitted first
+    occurrence would need the full per-key history, which is exactly the
+    state this operator exists to avoid."""
+
+    name: str
+    input: str
+    key: Sequence[str]
+    ts_col: str = "ts"
+    order_cols: Sequence[str] = ()   # deterministic tiebreak after ts
+    carry: Sequence[str] = ()        # extra cols emitted on the winning row
+    ttl: float | None = None         # dedup window in event time
+
+
 class StreamSession:
     """The per-job driver: owns the state store, per-op sinks, watermark and
     checkpoints.  See module docstring for the epoch data path."""
@@ -651,7 +676,8 @@ class StreamSession:
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
-        elif isinstance(op, (StreamJoin, PatternMatch, EnrichJoin)):
+        elif isinstance(op, (StreamJoin, PatternMatch, EnrichJoin,
+                             StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         return self
@@ -1070,6 +1096,138 @@ class StreamSession:
         self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 
+    @staticmethod
+    def _dedup_winners_frame(op: "StreamDedup", pdf: pd.DataFrame
+                             ) -> pd.DataFrame:
+        """Per-key minimum-(ts, tiebreak) candidate rows of a slice: stable
+        sort by (float ts, *order_cols) then first-per-key.  Adds ``__ts``
+        (float event time) and ``__kb`` (key bytes) working columns."""
+        sk = list(op.key)
+        pdf = pdf.assign(__ts=_ts_to_float(pdf[op.ts_col]))
+        pdf = pdf.sort_values(["__ts", *op.order_cols], kind="mergesort")
+        win = pdf.drop_duplicates(subset=sk, keep="first").copy()
+        win["__kb"] = [_key_bytes(t) for t in
+                       win[sk].itertuples(index=False, name=None)]
+        return win
+
+    @staticmethod
+    def _dedup_claims(op: "StreamDedup", win: pd.DataFrame
+                      ) -> list[tuple[bytes, tuple]]:
+        """(key_bytes, stamp) claim list for a winners frame; stamp =
+        (float event time, tiebreak bytes from order_cols)."""
+        if op.order_cols:
+            tbs = [_key_bytes(t) for t in
+                   win[list(op.order_cols)].itertuples(index=False,
+                                                       name=None)]
+        else:
+            tbs = [b""] * len(win)
+        return [(kb, (float(ts), tb)) for kb, ts, tb in
+                zip(win["__kb"], win["__ts"], tbs)]
+
+    def _dedup_table_epoch(self, op: "StreamDedup", name: str, epoch: int,
+                           tbl: pa.Table) -> pa.Table:
+        """Driver micro-batch path: fold the epoch to per-key min candidates,
+        one ``dedup_filter`` claim per shard, emit the winning rows."""
+        cols = list(dict.fromkeys(
+            list(op.key) + [op.ts_col] + list(op.order_cols)
+            + list(op.carry)))
+        self._observe_event_time(op, tbl)
+        win = self._dedup_winners_frame(op, tbl.select(cols).to_pandas())
+        shard_items: dict[int, list] = {}
+        for kb, stamp in self._dedup_claims(op, win):
+            sid = shard_of(kb, self.store.num_shards)
+            shard_items.setdefault(sid, []).append((kb, stamp))
+        winners = (self.store.dedup_filter(name, epoch, shard_items)
+                   if shard_items else set())
+        out = win[win["__kb"].isin(winners)].drop(columns=["__ts", "__kb"])
+        out["epoch"] = np.int64(epoch)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    def _dedup_probe_epoch(self, op: "StreamDedup", name: str, epoch: int,
+                           stream) -> int:
+        """Distributed path (mirrors ``_enrich_probe_epoch``): per-block
+        pre-reduction to per-key min candidates, ONE ``groupby(shard)``
+        shuffle of candidates only (duplicates die in their block), the
+        per-shard group re-reduces across blocks and makes the shard's
+        single claim call, winners are written straight to the sink's epoch
+        directory by the workers; the driver commits only the manifest."""
+        import ray.data as rd
+
+        from .sink import write_epoch_part
+
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        cols = list(dict.fromkeys(
+            list(op.key) + [op.ts_col] + list(op.order_cols)
+            + list(op.carry)))
+        mk_win, mk_claims = self._dedup_winners_frame, self._dedup_claims
+
+        def part(tbl: pa.Table) -> pa.Table:
+            sids_out, blobs, maxts = [], [], []
+            if tbl.num_rows:
+                pdf = tbl.select(cols).to_pandas()
+                # block max BEFORE the per-key reduction: dropped duplicates
+                # still advance the auto-watermark
+                ts_all = _ts_to_float(pdf[op.ts_col])
+                block_max = float(ts_all.max()) if ts_all.size else -math.inf
+                win = mk_win(op, pdf)
+                win["__sid"] = [shard_of(kb, num_shards)
+                                for kb in win["__kb"]]
+                for s, grp in win.groupby("__sid"):
+                    sids_out.append(int(s))
+                    blobs.append(pickle.dumps(
+                        grp.drop(columns="__sid").reset_index(drop=True),
+                        protocol=pickle.HIGHEST_PROTOCOL))
+                    maxts.append(block_max)
+            return pa.table({
+                "__shard": pa.array(sids_out, type=pa.int64()),
+                "__blob": pa.array(blobs, type=pa.binary()),
+                "__maxts": pa.array(maxts, type=pa.float64()),
+            })
+
+        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            grp_max = float(pdf["__maxts"].max())
+            cand = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+                             ignore_index=True)
+            # cross-block re-reduction: the shard claim must see the per-key
+            # min over the WHOLE (shard, epoch) slice for determinism
+            cand = (cand.sort_values(["__ts", *op.order_cols],
+                                     kind="mergesort")
+                    .drop_duplicates(subset=list(op.key), keep="first"))
+            items = mk_claims(op, cand)
+            winners = pickle.loads(ray.get(shards[sid].dedup_filter.remote(
+                name, epoch,
+                pickle.dumps(items, protocol=pickle.HIGHEST_PROTOCOL))))
+            out = cand[cand["__kb"].isin(set(winners))].drop(
+                columns=["__ts", "__kb"])
+            out["epoch"] = np.int64(epoch)
+            tbl_out = pa.Table.from_pandas(out.reset_index(drop=True),
+                                           preserve_index=False)
+            entry = write_epoch_part(sink_root, epoch, tbl_out,
+                                     tag=f"shard{sid:04d}", fsync=do_fsync)
+            return pd.DataFrame({"rows": [entry["rows"]],
+                                 "entry": [json.dumps(entry)],
+                                 "max_ts": [grp_max]})
+
+        dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
+        entries = (
+            dsd.map_batches(part, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(probe_group, batch_format="pandas")
+            .take_all()
+        )
+        files = [json.loads(r["entry"]) for r in entries]
+        for r in entries:  # auto-watermark works for Dataset epochs too
+            self._max_event_time = max(self._max_event_time,
+                                       float(r["max_ts"]))
+        self.sinks[name].commit_files(epoch, files,
+                                      meta=self._meta(kind="dedup"))
+        return sum(f["rows"] for f in files)
+
     def process_epoch(self, epoch: int, inputs: dict[str, pa.Table | Any],
                       watermark: float | None = None,
                       lineage: dict | None = None) -> dict:
@@ -1163,6 +1321,21 @@ class StreamSession:
                     emitted[name] = self.sinks[name].read_committed(
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
+            elif isinstance(op, StreamDedup):
+                data = inputs.get(op.input)
+                if data is None:
+                    continue
+                if isinstance(data, pa.Table):
+                    tbl = self._dedup_table_epoch(op, name, epoch, data)
+                    self.sinks[name].commit_tables(
+                        epoch, [tbl], meta=self._meta(kind="dedup"))
+                    emitted[name] = tbl
+                    self.metrics["emitted_rows"] += tbl.num_rows
+                else:
+                    n = self._dedup_probe_epoch(op, name, epoch, data)
+                    emitted[name] = self.sinks[name].read_committed(
+                        epochs=[epoch])
+                    self.metrics["emitted_rows"] += n
             elif isinstance(op, StreamJoin):
                 left_tbl = inputs.get(op.left_input)
                 right_tbl = inputs.get(op.right_input)
@@ -1241,7 +1414,8 @@ class StreamSession:
             dup = []
             for n in self.ops:
                 if (n not in self.sinks
-                        or isinstance(self.ops[n], (StreamJoin, EnrichJoin))
+                        or isinstance(self.ops[n], (StreamJoin, EnrichJoin,
+                                                    StreamDedup))
                         or not self.sinks[n].is_committed(epoch)):
                     continue
                 committed_wm = self.sinks[n].manifest(epoch).get(
@@ -1309,6 +1483,9 @@ class StreamSession:
             elif isinstance(op, EnrichJoin) and op.dim_ttl is not None:
                 self.store.sweep_stale_registers(
                     name, self.watermark - op.dim_ttl)
+            elif isinstance(op, StreamDedup) and op.ttl is not None:
+                self.store.sweep_stale_registers(
+                    name, self.watermark - op.ttl)
         return emitted
 
     # ------------------------------------------------------------- inspection

@@ -122,6 +122,31 @@ class StateShard:
             out.append((kb, None if acc is None else acc.value))
         return _dumps(out)
 
+    def dedup_filter(self, name: str, epoch: int, payload: bytes) -> bytes:
+        """First-seen-wins claim for streaming dedup.
+
+        payload = pickled list[(key_bytes, stamp)] — ONE offer per key (the
+        caller pre-reduces to the per-key minimum ``(ts, tiebreak)`` stamp
+        over the whole (shard, epoch) slice, so the outcome is independent
+        of block order).  Unseen keys are claimed under this epoch and WIN;
+        a claim from an earlier epoch makes the key a duplicate; a replay of
+        the claiming epoch (same stamp) re-wins idempotently, so retried
+        epochs emit the identical winner set into their existing manifests.
+        Returns pickled list of winning key_bytes."""
+        from ..state.aggregates import FirstSeenReg
+
+        items = pickle.loads(payload)
+        store = self.aggs.setdefault(name, {})
+        winners = []
+        for kb, stamp in items:
+            cur = store.get(kb)
+            if cur is None:
+                store[kb] = FirstSeenReg(stamp, epoch)
+                winners.append(kb)
+            elif cur.epoch == epoch and cur.stamp == stamp:
+                winners.append(kb)
+        return _dumps(winners)
+
     def sweep_stale_registers(self, name: str, before_stamp: float) -> int:
         """Drop LastValueAgg registers (EnrichJoin dim state) whose stamp is
         older than ``before_stamp`` — the register-TTL sweep that bounds
@@ -558,6 +583,18 @@ class ShardedStateStore:
             s.sweep_stale_registers.remote(name, before_stamp)
             for s in self.shards
         ]))
+
+    def dedup_filter(self, name: str, epoch: int,
+                     shard_items: dict[int, list]) -> set:
+        """Driver-path dedup claim: {shard_id: [(key_bytes, stamp)]} → the
+        set of winning key_bytes across shards (see StateShard.dedup_filter)."""
+        self.fence()
+        refs = [self.shards[sid].dedup_filter.remote(name, epoch, _dumps(items))
+                for sid, items in shard_items.items()]
+        out: set = set()
+        for blob in ray.get(refs):
+            out.update(pickle.loads(blob))
+        return out
 
     def sweep_closed_windows(self, name: str, close_before: float) -> list:
         self.fence()

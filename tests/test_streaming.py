@@ -1461,6 +1461,97 @@ class TestEnrichJoin:
         assert keys == 1  # only u2's register remains in shard state
 
 
+class TestStreamDedup:
+    def _op(self, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import StreamDedup
+
+        return StreamDedup(name="dd", input="ev", key=["u"], ts_col="ts",
+                           order_cols=["eid"], carry=["eid"], **kw)
+
+    @staticmethod
+    def _ev(rows):
+        u, ts, eid = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "eid": pa.array(eid, type=pa.int64())})
+
+    def _emitted(self, sess):
+        df = sess.sinks["dd"].read_committed_table().to_pandas()
+        return sorted(zip(df["u"], df["eid"]))
+
+    def test_first_seen_wins_within_and_across_epochs(self, ray_session,
+                                                      tmp_path):
+        sess = StreamSession(tmp_path / "dd1", num_shards=3)
+        sess.add(self._op())
+        # epoch 0: u1 twice (ts tie broken by eid), u2 once
+        sess.process_epoch(0, {"ev": self._ev([(1, 5.0, 11), (1, 5.0, 10),
+                                               (2, 1.0, 20)])})
+        # epoch 1: u1/u2 again (dup), u3 new
+        sess.process_epoch(1, {"ev": self._ev([(1, 0.5, 12), (2, 9.0, 21),
+                                               (3, 2.0, 30)])})
+        got = self._emitted(sess)
+        sess.store.shutdown()
+        assert got == [(1, 10), (2, 20), (3, 30)]
+
+    def test_dataset_path_matches_table_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        n = 600
+        rows = list(zip(rng.integers(0, 80, n).tolist(),
+                        rng.uniform(0, 100, n).round(3).tolist(),
+                        range(n)))
+        halves = [rows[:300], rows[300:]]
+
+        outs = []
+        for as_ds in (False, True):
+            sess = StreamSession(tmp_path / f"dd2_{as_ds}", num_shards=4)
+            sess.add(self._op())
+            for e, chunk in enumerate(halves):
+                data = self._ev(chunk)
+                if as_ds:
+                    data = rd.from_arrow(data).repartition(5)
+                sess.process_epoch(e, {"ev": data})
+            outs.append(self._emitted(sess))
+            sess.store.shutdown()
+        assert outs[0] == outs[1]
+        assert len(outs[0]) == len({u for u, _, _ in rows})
+
+    def test_replayed_epoch_is_idempotent(self, ray_session, tmp_path):
+        root = tmp_path / "dd3"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {"ev": self._ev([(1, 1.0, 10), (2, 2.0, 20)])})
+        sess.process_epoch(1, {"ev": self._ev([(1, 3.0, 11), (3, 4.0, 30)])})
+        before = self._emitted(sess)
+        sess.store.shutdown()
+
+        # duplicate delivery of epoch 1 after resume: the claims re-win
+        # deterministically and the existing manifest absorbs the commit —
+        # the sink stays exactly-once
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(self._op())
+        assert sess2.resume() == 2
+        sess2.process_epoch(1, {"ev": self._ev([(1, 3.0, 11), (3, 4.0, 30)])})
+        after = self._emitted(sess2)
+        sess2.store.shutdown()
+        assert after == before == [(1, 10), (2, 20), (3, 30)]
+
+    def test_ttl_reopens_dedup_window(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "dd4", num_shards=2)
+        sess.add(self._op(ttl=5.0))
+        sess.process_epoch(0, {"ev": self._ev([(1, 0.0, 10), (2, 6.0, 20)])},
+                           watermark=4.0)
+        # wm 10: u1's register (ts 0 < 10−5) ages out; u2 (ts 6) survives
+        sess.process_epoch(1, {"ev": self._ev([(9, 9.5, 90)])},
+                           watermark=10.0)
+        # u1 re-emits (window reopened); u2 still suppressed
+        sess.process_epoch(2, {"ev": self._ev([(1, 11.0, 12), (2, 11.0, 22)])})
+        got = self._emitted(sess)
+        sess.store.shutdown()
+        assert got == [(1, 10), (1, 12), (2, 20), (9, 90)]
+
+
 class TestLineage:
     def test_lineage_stamped_into_manifests(self, ray_session, tmp_path):
         sess = StreamSession(tmp_path / "lin", num_shards=1)
