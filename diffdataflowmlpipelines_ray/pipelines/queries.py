@@ -914,6 +914,99 @@ def q_top_revenue(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem): revenue of BUILDING
+    customers' pre-cutoff orders from post-cutoff shipments, top 10 orders.
+
+    Scale-first three-table plan: the filtered customer KEY SET broadcasts
+    once (ray.put — 1/5 of custkeys; past a threshold this side would flip
+    to ``hash_join(how='semi')`` like q_antijoin); orders and lineitem are
+    column-pruned and predicate-filtered at the read; lineitem pre-combines
+    revenue cents per order INSIDE each block before the only wide ops —
+    one native groupby(l_orderkey) sum and ONE bucketed join against the
+    filtered orders; the top-10 is per-block partial top-k, so the joined
+    result is never globally sorted and never driver-resident."""
+    from ..stages.relational import hash_join
+
+    cut = np.datetime64("1998-01-01")
+
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    kref = ray.put(keys.combine_chunks())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def o_filter(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pc.and_(pc.less(tbl["o_orderdate"],
+                               pa.scalar(np.datetime64(cut, "us"))),
+                       pc.is_in(tbl["o_custkey"], value_set=ks))
+        return tbl.filter(mask).drop_columns(["o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["l_shipdate"].to_numpy() > cut]
+        pdf = pdf.assign(revenue_cents=_half_away(
+            pdf["l_extendedprice"].to_numpy()
+            * (1.0 - pdf["l_discount"].to_numpy()) * 100.0))
+        return pdf.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    # ONE fused bucket shuffle: revenue partials and filtered orders bucket
+    # by hash(orderkey) % B; each bucket task completes the per-order sum
+    # (an orderkey lives in exactly one bucket), joins its orders slice, and
+    # emits its LOCAL top-10 — the driver merges B × 10 rows, nothing more.
+    B = 16
+
+    def tag(tbl: pa.Table, side: str) -> pa.Table:
+        key = tbl["l_orderkey" if side == "l" else "o_orderkey"]
+        k = key.to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = tbl.num_rows
+        cols = {
+            "l_orderkey": key,
+            "revenue_cents": (pc.cast(tbl["revenue_cents"], pa.float64())
+                              if side == "l"
+                              else pa.nulls(n, type=pa.float64())),
+            "o_orderdate": (tbl["o_orderdate"] if side == "r"
+                            else pa.nulls(n, type=pa.timestamp("us"))),
+            "o_orderpriority": (tbl["o_orderpriority"] if side == "r"
+                                else pa.nulls(n, type=pa.string())),
+            "__side": pa.array([side] * n, type=pa.string()),
+            "__b": pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                             % np.uint64(B)).astype(np.int64)),
+        }
+        return pa.table(cols)
+
+    rev = (li.map_batches(li_partial, batch_format="pandas")
+           .map_batches(lambda t: tag(t, "l"), batch_format="pyarrow"))
+    orf = (orders.map_batches(o_filter, batch_format="pyarrow")
+           .map_batches(lambda t: tag(t, "r"), batch_format="pyarrow"))
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lt = pdf[pdf["__side"] == "l"]
+        agg = lt.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        rt = pdf[pdf["__side"] == "r"]
+        j = agg.merge(rt[["l_orderkey", "o_orderdate", "o_orderpriority"]],
+                      on="l_orderkey")
+        return j.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    parts = (rev.union(orf).groupby("__b")
+             .map_groups(bucket_topk, batch_format="pandas").to_pandas())
+    df = parts.sort_values(["revenue_cents", "l_orderkey"],
+                           ascending=[False, True]).head(10)
+    df = df.reset_index(drop=True)
+    df["revenue"] = df.pop("revenue_cents") / 100.0
+    df["o_orderdate_us"] = (df.pop("o_orderdate")
+                            .astype("datetime64[us]").astype(np.int64))
+    return df[["l_orderkey", "revenue", "o_orderdate_us", "o_orderpriority"]]
+
+
 def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer with the small side broadcast (ray.put once,
     vectorized pandas map per batch — no shuffle), two-phase aggregate."""
@@ -2051,6 +2144,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
+    "shipping_priority": q_shipping_priority,
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
     "hash_join": q_hash_join,
@@ -2368,6 +2462,22 @@ ORACLES = {
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) = 1
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0
+                   AS revenue,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+          AND l_orderkey = o_orderkey
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -49,6 +49,23 @@ def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a real ``pa.Schema``.  Datasets coming out of
+    pandas-block stages (e.g. native ``groupby().sum``) report a
+    PandasBlockSchema (plain name/dtype lists) — coerce those so join
+    unification works on any upstream."""
+    s = ds.schema()
+    base = s.base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))
+        fields.append(pa.field(n, t))
+    return pa.schema(fields)
+
+
 def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
               buckets: int = 32, how: str = "inner"):
     """Partitioned equi-join of two Datasets → Dataset of joined rows.
@@ -70,8 +87,8 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
         raise ValueError(f"unknown how={how!r}")
     left_on = list(left_on)
     right_on = list(right_on)
-    l_cols = [f.name for f in left.schema().base_schema]
-    r_cols = [f.name for f in right.schema().base_schema]
+    l_cols = [f.name for f in _arrow_schema(left)]
+    r_cols = [f.name for f in _arrow_schema(right)]
     if how in ("semi", "anti"):
         # only the right KEY columns matter; prune the rest at the source and
         # rename them so same-named keys on both sides are fine
@@ -82,8 +99,8 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     unified = pa.schema(list(lschema) + [f for f in rschema if f.name in r_cols])
     # union both sides into one dataset so ONE groupby shuffle co-locates
     # matching buckets; sides are distinguished by a tag column
@@ -126,8 +143,8 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
     tradeoff as ``hash_join``.
     """
     on = list(on)
-    l_cols = [f.name for f in left.schema().base_schema]
-    r_cols = [f.name for f in right.schema().base_schema]
+    l_cols = [f.name for f in _arrow_schema(left)]
+    r_cols = [f.name for f in _arrow_schema(right)]
     overlap = (set(l_cols) & set(r_cols)) - set(on)
     if overlap:
         raise ValueError(f"rename overlapping non-key columns first: "
@@ -137,8 +154,8 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
     right = right.rename_columns(renames)
     r_on = [renames[c] for c in on]
     r_cols = [renames.get(c, c) for c in r_cols]
-    unified = pa.schema(list(left.schema().base_schema)
-                        + [f for f in right.schema().base_schema])
+    unified = pa.schema(list(_arrow_schema(left))
+                        + [f for f in _arrow_schema(right)])
     l_tagged = _with_bucket(left, on, buckets, "l", unified)
     r_tagged = _with_bucket(right, r_on, buckets, "r", unified)
     r_out = [c for c in r_cols if c not in r_on]
