@@ -1140,6 +1140,174 @@ def q_hash_join(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_left_join(sf_dir: str) -> pd.DataFrame:
+    """Left outer join with REAL misses: orders ⟕ (customer with
+    non-negative balance) — orders of the 122 negative-balance customers get
+    a null segment, folded to 'UNKNOWN'.  Same one-shuffle bucketed plan as
+    the inner join; null-padded integer columns stay int64 (see
+    ``hash_join`` nullable_int)."""
+    from ..stages.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+            .map_batches(lambda t: t.filter(
+                pc.greater_equal(t["c_acctbal"], 0.0))
+                .drop_columns(["c_acctbal"]),
+                batch_format="pyarrow"))
+    joined = hash_join(orders, cust, ["o_custkey"], ["c_custkey"],
+                       buckets=16, how="left")
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            segment=pdf["c_mktsegment"].fillna("UNKNOWN"),
+            total_cents=_half_away(
+                pdf["o_totalprice"].to_numpy(dtype=np.float64) * 100.0),
+            n=1,
+        )
+        return pdf.groupby("segment", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+
+    df = _two_phase(joined, ["segment"], partial)
+    df["n"] = df["n"].astype(np.int64)
+    df["total"] = df.pop("total_cents") / 100.0
+    return df
+
+
+def q_outer_join(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year spend per customer via FULL OUTER join: 1995 spend and
+    1996 spend are aggregated independently (per-block pre-combine → native
+    distributed groupby sum — no driver merge), then full-outer joined so
+    customers active in only one year survive with the other year's spend as
+    0.  Exercises ``hash_join(how='outer')`` end-to-end on two
+    shuffle-aggregated (PandasBlockSchema) upstreams."""
+    from ..stages.relational import hash_join
+
+    def year_spend(year: int, key_out: str, col_out: str):
+        lo = np.datetime64(f"{year}-01-01")
+        hi = np.datetime64(f"{year + 1}-01-01")
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+
+        def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = pdf["o_orderdate"].to_numpy()
+            pdf = pdf[(d >= lo) & (d < hi)]
+            pdf = pdf.assign(cents=_half_away(
+                pdf["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64))
+            return pdf.groupby("o_custkey", as_index=False).agg(
+                cents=("cents", "sum"))
+
+        agg = (ds.map_batches(partial, batch_format="pandas")
+               .groupby("o_custkey").sum("cents"))
+        return agg.map_batches(
+            lambda t: t.rename_columns([key_out, col_out]),
+            batch_format="pyarrow")
+
+    a = year_spend(1995, "ck95", "spend95_cents")
+    b = year_spend(1996, "ck96", "spend96_cents")
+    j = hash_join(a, b, ["ck95"], ["ck96"], buckets=16, how="outer")
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        ck = pdf["ck95"].fillna(pdf["ck96"]).astype(np.int64)
+        s95 = pdf["spend95_cents"].fillna(0).astype(np.int64)
+        s96 = pdf["spend96_cents"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": ck,
+            "spend_1995": s95 / 100.0,
+            "spend_1996": s96 / 100.0,
+            "delta": (s96 - s95) / 100.0,
+        })
+
+    return (j.map_batches(finish, batch_format="pandas").to_pandas()
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+def q_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-partition lag window: for every event after a user's first, the
+    change in ``value`` vs that user's previous event (ordered by ts,
+    event_id).  ONE shuffle — users bucket by hash, each bucket task sorts
+    its slice and runs a vectorized per-user diff; no global sort, no
+    driver-side state (the window never spans buckets because a user lives
+    in exactly one bucket)."""
+    B = 16
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(B))
+        return tbl.append_column("__b", pa.array(b.astype(np.int64)))
+
+    def bucket_lag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        delta = pdf.groupby("user_id")["value"].diff()
+        out = pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "delta": np.round(delta, 6),
+        })
+        return out[delta.notna()]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_lag, batch_format="pandas")
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+def q_grouped_mode(sf_dir: str) -> pd.DataFrame:
+    """Most-frequent event_type per user with a deterministic tie-break
+    (count desc, then lexicographically smallest type).  Per-block
+    pre-count collapses each block to ≤ users × types rows BEFORE the one
+    bucket shuffle; each bucket task merges counts and takes its users'
+    argmax — mode never needs the raw rows co-located."""
+    B = 16
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def precount(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby(["user_id", "event_type"], as_index=False).agg(
+            cnt=("event_type", "size"))
+        u = out["user_id"].to_numpy().astype(np.uint64)
+        out["__b"] = ((u * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(B)).astype(np.int64)
+        return out
+
+    def bucket_mode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = pdf.groupby(["user_id", "event_type"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        tot = tot.sort_values(["user_id", "cnt", "event_type"],
+                              ascending=[True, False, True])
+        top = tot.groupby("user_id", as_index=False).head(1)
+        return top.rename(columns={"event_type": "mode_event_type"})
+
+    df = (ds.map_batches(precount, batch_format="pandas")
+          .groupby("__b").map_groups(bucket_mode, batch_format="pandas")
+          .to_pandas().sort_values("user_id").reset_index(drop=True))
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df[["user_id", "mode_event_type", "cnt"]]
+
+
+def q_string_agg(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key string aggregation: each user's event_type sequence
+    joined with ',' in (ts, event_id) order — the classic session-sequence
+    feature for behavioural models.  Same single user-bucket shuffle as
+    ``lag_delta``; the concat inside a bucket is one pandas groupby-apply
+    over presorted rows."""
+    B = 16
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(B))
+        return tbl.append_column("__b", pa.array(b.astype(np.int64)))
+
+    def bucket_concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        seq = pdf.groupby("user_id")["event_type"].agg(",".join)
+        return seq.rename("seq").reset_index()
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_concat, batch_format="pandas")
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
 def q_supplier_region(sf_dir: str) -> pd.DataFrame:
     """supplier ⋈ nation ⋈ region via two chained broadcast lookups (both
     dimension tables ray.put once), two-phase aggregate per region."""
@@ -2148,6 +2316,11 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
     "hash_join": q_hash_join,
+    "left_join": q_left_join,
+    "outer_join": q_outer_join,
+    "lag_delta": q_lag_delta,
+    "grouped_mode": q_grouped_mode,
+    "string_agg": q_string_agg,
     "asof_join": q_asof_join,
     "supplier_region": q_supplier_region,
     "part_brand_stats": q_part_brand_stats,
@@ -2512,6 +2685,61 @@ ORACLES = {
                sum(round(o.o_totalprice * 100)) / 100.0 AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "left_join": """
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               count(*)::BIGINT AS n,
+               sum(round(o.o_totalprice * 100)) / 100.0 AS total
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                   WHERE c_acctbal >= 0) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "outer_join": """
+        WITH a AS (
+            SELECT o_custkey, sum(round(o_totalprice * 100))::BIGINT AS c95
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+            GROUP BY o_custkey
+        ), b AS (
+            SELECT o_custkey, sum(round(o_totalprice * 100))::BIGINT AS c96
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT coalesce(a.o_custkey, b.o_custkey) AS c_custkey,
+               coalesce(a.c95, 0) / 100.0 AS spend_1995,
+               coalesce(b.c96, 0) / 100.0 AS spend_1996,
+               (coalesce(b.c96, 0) - coalesce(a.c95, 0)) / 100.0 AS delta
+        FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        ORDER BY c_custkey
+    """,
+    "lag_delta": """
+        SELECT event_id, user_id, ROUND(delta, 6) AS delta FROM (
+            SELECT event_id, user_id,
+                   value - lag(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS delta
+            FROM events)
+        WHERE delta IS NOT NULL
+        ORDER BY event_id
+    """,
+    "grouped_mode": """
+        SELECT user_id, event_type AS mode_event_type, cnt FROM (
+            SELECT user_id, event_type, count(*)::BIGINT AS cnt
+            FROM events GROUP BY user_id, event_type)
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) = 1
+        ORDER BY user_id
+    """,
+    "string_agg": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "asof_join": """
         SELECT p.user_id,

@@ -72,6 +72,10 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
 
     ``how``:
     - ``"inner"`` — joined rows with both sides' columns;
+    - ``"left"``  — every left row, right columns null on no match;
+    - ``"outer"`` — full outer: unmatched rows of BOTH sides survive with the
+      other side's columns null (integer columns come back as
+      int64-with-nulls, not float64 — see ``nullable_int`` below);
     - ``"semi"``  — left rows with ≥1 match (left columns only);
     - ``"anti"``  — left rows with NO match (left columns only).  This is the
       large-side anti-join path: neither side is broadcast or driver-held,
@@ -83,7 +87,7 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     one bucket — for pathological single-key skew, broadcast the hot key's
     small side separately; documented tradeoff).
     """
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unknown how={how!r}")
     left_on = list(left_on)
     right_on = list(right_on)
@@ -107,14 +111,25 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     l_tagged = _with_bucket(left, left_on, buckets, "l", unified)
     r_tagged = _with_bucket(right, right_on, buckets, "r", unified)
 
+    # Columns that can become null under left/outer semantics must leave
+    # every bucket with ONE dtype (a bucket where everything matched would
+    # otherwise emit int64 while its neighbour emits float64 from NaN
+    # padding) — integer columns go through pandas' nullable Int64, which
+    # Arrow round-trips back to int64-with-nulls.
+    nullable_int = {f.name: "Int64" for f in unified
+                    if pa.types.is_integer(f.type)}
+
     def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         lt = pdf[pdf["__side"] == "l"]
         rt = pdf[pdf["__side"] == "r"]
-        if how == "inner":
+        if how in ("inner", "left", "outer"):
             # merge on empty frames still yields the joined schema/dtypes
-            return lt[list(l_cols)].merge(
-                rt[list(r_cols)], left_on=left_on, right_on=right_on
+            out = lt[list(l_cols)].merge(
+                rt[list(r_cols)], left_on=left_on, right_on=right_on, how=how
             )
+            if how != "inner" and nullable_int:
+                out = out.astype(nullable_int)
+            return out
         keys = rt[list(right_on)].drop_duplicates()
         keys.columns = left_on  # positional key alignment
         marked = lt[list(l_cols)].merge(

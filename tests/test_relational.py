@@ -42,6 +42,42 @@ class TestHashJoin:
         with pytest.raises(ValueError, match="rename overlapping"):
             hash_join(ds, ds, ["k"], ["k"])
 
+    @pytest.mark.parametrize("how", ["left", "outer"])
+    def test_left_outer_match_pandas(self, ray_session, how):
+        rng = np.random.default_rng(1)
+        # disjoint key tails on both sides force unmatched rows each way
+        left = pa.table({"lk": rng.integers(0, 40, 300),
+                         "lval": np.arange(300)})
+        right = pa.table({"rk": rng.integers(20, 60, 200),
+                          "rval": np.arange(200) * 2})
+        out = hash_join(rd.from_arrow(left).repartition(3),
+                        rd.from_arrow(right).repartition(2),
+                        ["lk"], ["rk"], buckets=8, how=how).to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(),
+                                     left_on="lk", right_on="rk", how=how)
+        key = ["lk", "lval", "rk", "rval"]
+        # null-padded int columns: engine emits Int64, pandas merge float64;
+        # fillna(-1) (all real values >= 0) so NaN rows sort deterministically
+        a = (out[key].astype("Float64").fillna(-1.0)
+             .sort_values(key).reset_index(drop=True))
+        b = (exp[key].astype("Float64").fillna(-1.0)
+             .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        if how == "left":
+            assert len(out) >= 300  # every left row survives
+            assert out["rval"].isna().any()
+        else:
+            assert out["lval"].isna().any() and out["rval"].isna().any()
+
+    def test_left_join_int_columns_stay_int(self, ray_session):
+        left = rd.from_arrow(pa.table({"lk": [1, 2], "lval": [10, 20]}))
+        right = rd.from_arrow(pa.table({"rk": [1], "rval": [7]}))
+        out = hash_join(left, right, ["lk"], ["rk"], how="left")
+        t = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        assert pa.types.is_integer(t.schema.field("rval").type)
+
 
 class TestSkew:
     def test_salted_sum_hot_key(self, ray_session):
