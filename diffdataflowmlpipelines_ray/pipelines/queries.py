@@ -1308,6 +1308,41 @@ def q_string_agg(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("user_id").reset_index(drop=True))
 
 
+def q_global_rank(sf_dir: str) -> pd.DataFrame:
+    """EXACT global row_number over (value, event_id) with NO global sort:
+    deterministic equi-depth range partitioning from merged fine histograms,
+    per-partition local sort + exact prefix offsets (see
+    ``relational.global_rank``).  The distributed window-rank primitive —
+    only histogram counts ever reach the driver."""
+    from ..stages.relational import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = global_rank(ds, "value", tiebreak=["event_id"], partitions=16)
+    df = (out.select_columns(["event_id", "rnk"]).to_pandas()
+          .sort_values("event_id").reset_index(drop=True))
+    df["rnk"] = df["rnk"].astype(np.int64)
+    return df
+
+
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Percentile-threshold corpus filter: keep documents at or above the
+    25th length percentile.  The threshold comes from
+    ``exact_global_quantiles`` (histogram refinement — exact quantile_cont,
+    no sort, no value co-location), then one stateless filter pass; the
+    standard "drop the shortest quartile" quality gate at corpus scale."""
+    from ..stages.relational import exact_global_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    thr = exact_global_quantiles(ds, "n_chars", qs=(0.25,))[0.25]
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.greater_equal(
+            pc.cast(tbl["n_chars"], pa.float64()), thr))
+
+    return (ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_supplier_region(sf_dir: str) -> pd.DataFrame:
     """supplier ⋈ nation ⋈ region via two chained broadcast lookups (both
     dimension tables ray.put once), two-phase aggregate per region."""
@@ -2321,6 +2356,8 @@ QUERIES = {
     "lag_delta": q_lag_delta,
     "grouped_mode": q_grouped_mode,
     "string_agg": q_string_agg,
+    "global_rank": q_global_rank,
+    "quality_filter": q_quality_filter,
     "asof_join": q_asof_join,
     "supplier_region": q_supplier_region,
     "part_brand_stats": q_part_brand_stats,
@@ -2740,6 +2777,19 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "global_rank": """
+        SELECT event_id,
+               row_number() OVER (ORDER BY value, event_id) AS rnk
+        FROM events
+        ORDER BY event_id
+    """,
+    "quality_filter": """
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25)
+                          FROM documents)
+        ORDER BY doc_id
     """,
     "asof_join": """
         SELECT p.user_id,

@@ -23,8 +23,8 @@ import pyarrow as pa
 
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
-           "latest_per_key", "exact_global_quantiles", "build_bloom",
-           "bloom_prefilter"]
+           "latest_per_key", "exact_global_quantiles", "global_rank",
+           "build_bloom", "bloom_prefilter"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -490,6 +490,88 @@ def exact_global_quantiles(ds, col: str, qs: Sequence[float] = (0.5,),
         frac = r - k0
         out[q] = resolved[k0] + frac * (resolved[k1] - resolved[k0])
     return out
+
+
+def global_rank(ds, col: str, tiebreak: Sequence[str] = (),
+                partitions: int = 16, bins: int = 4096,
+                rank_col: str = "rnk"):
+    """EXACT global row_number over a total order (``col`` asc, then
+    ``tiebreak`` asc) WITHOUT a global sort: the distributed window-rank
+    primitive (SQL ``row_number() OVER (ORDER BY col, tiebreak)``).
+
+    Plan (all deterministic — no sampling):
+    1. one streaming pass merges per-block fine histograms of ``col``
+       (``bins`` uniform bins; O(blocks × bins) counts to the driver, never
+       values);
+    2. the driver picks ~equi-depth partition edges from the fine bin edges
+       — partition row-counts are EXACT because tagging uses the identical
+       ``searchsorted(edges, v, side='right')`` binning, so prefix sums of
+       those counts are each partition's global rank offset;
+    3. one range shuffle co-locates each value range; every partition task
+       sorts only its slice and adds its offset.
+
+    Ranks of rows with equal ``col`` are resolved by the ``tiebreak``
+    columns INSIDE one partition — equal values always land in the same
+    partition, which is also this plan's skew limit: a single value
+    repeated n/2 times makes one partition hold n/2 rows (document upstream
+    salting by a tiebreak prefix if that is real).  Each partition holds
+    ~1/partitions of the data, so per-task memory scales like
+    ``repartition``, not like a driver sort."""
+    order = [col, *tiebreak]
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(v):
+            z = np.zeros(1, dtype=np.int64)
+            return pa.table({"n": z, "mn": [np.inf], "mx": [-np.inf]})
+        return pa.table({"n": [np.int64(len(v))],
+                         "mn": [float(v.min())], "mx": [float(v.max())]})
+
+    rows = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in rows))
+    if n == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(rank_col, pa.nulls(0, pa.int64())),
+            batch_format="pyarrow")
+    gmin = min(r["mn"] for r in rows)
+    gmax = max(r["mx"] for r in rows)
+    # interior edges of `bins` uniform bins over [gmin, gmax]
+    fine = np.linspace(gmin, gmax, bins + 1)[1:-1]
+
+    def bincounts(tbl: pa.Table) -> pa.Table:
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(fine, v, side="right")
+        c = np.bincount(b, minlength=bins)
+        return pa.table({"c": [c.astype(np.int64)]})
+
+    crows = ds.map_batches(bincounts, batch_format="pyarrow").take_all()
+    counts = np.sum([np.asarray(r["c"]) for r in crows], axis=0)
+    # equi-depth edges: cut where cumulative count crosses i*n/P
+    cum = np.cumsum(counts)
+    targets = (np.arange(1, partitions) * n) // partitions
+    edge_idx = np.unique(np.searchsorted(cum, targets, side="left"))
+    edge_idx = edge_idx[edge_idx < bins - 1]
+    part_edges = fine[edge_idx]  # interior partition edges (may dedupe)
+    # exact per-partition counts from the fine histogram
+    splits = np.concatenate([[0], edge_idx + 1, [bins]])
+    pcounts = np.array([counts[a:b].sum()
+                        for a, b in zip(splits[:-1], splits[1:])])
+    offsets = np.concatenate([[0], np.cumsum(pcounts)[:-1]])
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.searchsorted(part_edges, v, side="right")
+        return tbl.append_column("__p", pa.array(p.astype(np.int64)))
+
+    def rank_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["__p"].iloc[0])
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf = pdf.drop(columns=["__p"])
+        pdf[rank_col] = offsets[p] + 1 + np.arange(len(pdf), dtype=np.int64)
+        return pdf
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__p").map_groups(rank_part, batch_format="pandas"))
 
 
 def _bloom_positions(h: np.ndarray, nbits: int, k: int) -> np.ndarray:

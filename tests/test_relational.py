@@ -79,6 +79,31 @@ class TestHashJoin:
         assert pa.types.is_integer(t.schema.field("rval").type)
 
 
+class TestGlobalRank:
+    def test_matches_lexsort(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import global_rank
+        rng = np.random.default_rng(7)
+        # heavy duplication: 5000 rows over only 40 distinct values, plus a
+        # hot value owning ~25% of rows (equal values must co-locate)
+        v = rng.integers(0, 40, 5000).astype(np.float64)
+        v[rng.random(5000) < 0.25] = 17.0
+        ids = rng.permutation(5000)
+        ds = rd.from_arrow(pa.table({"id": ids, "v": v})).repartition(6)
+        out = global_rank(ds, "v", tiebreak=["id"], partitions=8).to_pandas()
+        order = np.lexsort((ids, v))
+        exp = pd.DataFrame({"id": ids[order],
+                            "rnk": np.arange(1, 5001, dtype=np.int64)})
+        got = out.sort_values("rnk").reset_index(drop=True)
+        assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+        assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+
+    def test_empty_input(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import global_rank
+        ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())}))
+        assert global_rank(ds, "v").count() == 0
+
+
 class TestSkew:
     def test_salted_sum_hot_key(self, ray_session):
         # 90% of rows share one key (the skew variant of FIXTURES F0)
