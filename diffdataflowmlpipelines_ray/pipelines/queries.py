@@ -1343,6 +1343,107 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_ntile_deciles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(10) over the exact global order (value, event_id): decile id
+    from the ``global_rank`` prefix-offset rank via the SQL ntile fill rule
+    (first n%k tiles take one extra row), then a tiny per-tile aggregate.
+    Order-independent stats (count/min/max) so float summation order can
+    never perturb the oracle hash."""
+    from ..stages.relational import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ranked = global_rank(ds, "value", tiebreak=["event_id"], partitions=16)
+    n = ds.count()
+    k = 10
+    q, rem = divmod(n, k)
+
+    def tile_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf["rnk"].to_numpy() - 1  # 0-based
+        big = rem * (q + 1)
+        tile = np.where(r < big, r // (q + 1) if q + 1 else 0,
+                        rem + (r - big) // q) + 1
+        pdf = pdf.assign(tile=tile.astype(np.int64))
+        return pdf.groupby("tile", as_index=False).agg(
+            n=("value", "size"), vmin=("value", "min"), vmax=("value", "max"))
+
+    parts = (ranked.map_batches(tile_stats, batch_format="pandas")
+             .to_pandas())
+    df = parts.groupby("tile", as_index=False).agg(
+        n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+    df["n"] = df["n"].astype(np.int64)
+    df["vmin"] = np.round(df["vmin"], 6)
+    df["vmax"] = np.round(df["vmax"], 6)
+    return df.sort_values("tile").reset_index(drop=True)
+
+
+def q_vec_stats(sf_dir: str) -> pd.DataFrame:
+    """Vectorized stats over an embedding (list<float>) column: per-vector
+    sum/min/max via ONE numpy reshape per block — no per-row Python, no
+    list explosion, no shuffle.  The first oracle-exact vector-column query
+    (DuckDB side uses list lambdas)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        col = tbl["embedding"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        # float32 storage: widen to float64 BEFORE reducing/rounding (the
+        # oracle casts to DOUBLE too — round(float32) disagrees at 1e-6)
+        flat = (col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # rebase: sliced arrays keep raw offsets
+        widths = np.diff(offs)
+        if len(set(widths.tolist())) == 1 and len(widths):
+            m = flat.reshape(len(widths), widths[0])
+            s, mn, mx = m.sum(axis=1), m.min(axis=1), m.max(axis=1)
+        else:  # ragged fallback: segmented reductions
+            s = np.add.reduceat(flat, offs[:-1])
+            mn = np.minimum.reduceat(flat, offs[:-1])
+            mx = np.maximum.reduceat(flat, offs[:-1])
+        return pa.table({"vec_id": tbl["vec_id"],
+                         "vsum": np.round(s, 6),
+                         "vmin": np.round(mn, 6),
+                         "vmax": np.round(mx, 6)})
+
+    return (ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def q_segment_max_order(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery / argmax-join-back shape: the order(s) hitting
+    each market segment's maximum total price.  Phase 1 computes per-segment
+    max from per-block partials (5 segments — tiny driver merge); phase 2
+    re-streams orders once, filtering against the broadcast (segment → max)
+    map.  The fact table is read twice but never shuffled."""
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(pd.Series(seg_of))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = pdf["o_custkey"].map(ray.get(ref))
+        pdf = pdf.assign(segment=seg)
+        return pdf.groupby("segment", as_index=False).agg(
+            mx=("o_totalprice", "max"))
+
+    parts = ds.map_batches(partial_max, batch_format="pandas").to_pandas()
+    mx = parts.groupby("segment")["mx"].max().to_dict()
+    mref = ray.put(mx)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)
+        seg = pdf["o_custkey"].map(ray.get(ref))
+        keep = pdf["o_totalprice"].to_numpy() == seg.map(m).to_numpy()
+        out = pdf[keep].assign(segment=seg[keep])
+        return out[["segment", "o_orderkey", "o_totalprice"]]
+
+    return (ds.map_batches(pick, batch_format="pandas").to_pandas()
+            .sort_values(["segment", "o_orderkey"]).reset_index(drop=True))
+
+
 def q_supplier_region(sf_dir: str) -> pd.DataFrame:
     """supplier ⋈ nation ⋈ region via two chained broadcast lookups (both
     dimension tables ray.put once), two-phase aggregate per region."""
@@ -2358,6 +2459,9 @@ QUERIES = {
     "string_agg": q_string_agg,
     "global_rank": q_global_rank,
     "quality_filter": q_quality_filter,
+    "ntile_deciles": q_ntile_deciles,
+    "vec_stats": q_vec_stats,
+    "segment_max_order": q_segment_max_order,
     "asof_join": q_asof_join,
     "supplier_region": q_supplier_region,
     "part_brand_stats": q_part_brand_stats,
@@ -2790,6 +2894,35 @@ ORACLES = {
         WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25)
                           FROM documents)
         ORDER BY doc_id
+    """,
+    "ntile_deciles": """
+        SELECT tile, count(*)::BIGINT AS n,
+               ROUND(min(value), 6) AS vmin, ROUND(max(value), 6) AS vmax
+        FROM (SELECT value,
+                     ntile(10) OVER (ORDER BY value, event_id) AS tile
+              FROM events)
+        GROUP BY tile ORDER BY tile
+    """,
+    "vec_stats": """
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))), 6)
+                   AS vsum,
+               ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6)
+                   AS vmin,
+               ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6)
+                   AS vmax
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    "segment_max_order": """
+        SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice = (
+            SELECT max(o2.o_totalprice)
+            FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+            WHERE c2.c_mktsegment = c.c_mktsegment)
+        ORDER BY segment, o.o_orderkey
     """,
     "asof_join": """
         SELECT p.user_id,
