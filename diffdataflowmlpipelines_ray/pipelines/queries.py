@@ -2409,6 +2409,57 @@ def q_impute_mean(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["imputed"])
 
 
+def q_linreg(sf_dir: str) -> pd.DataFrame:
+    """Multivariate OLS (l_extendedprice ~ l_quantity + l_discount) via the
+    centered normal equations from ONE no-shuffle moments pass
+    (stages/linalg.py) — the d-dimensional generalisation of the reference's
+    Chan-merge variance accumulator (standard_scaler.rs:35-48).  The oracle
+    solves the same 2×2 system in SQL from DuckDB's covar_pop aggregates."""
+    from ..stages.linalg import column_moments, linreg_fit
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"], blocks=8)
+    m = column_moments(ds, ["l_quantity", "l_discount", "l_extendedprice"])
+    fit = linreg_fit(m, x_idx=[0, 1], y_idx=2)
+    return pd.DataFrame({
+        "n": [int(fit["n"])],
+        "b_quantity": [round(float(fit["coef"][0]), 4)],
+        "b_discount": [round(float(fit["coef"][1]), 4)],
+        "intercept": [round(fit["intercept"], 4)],
+        "r2": [round(fit["r2"], 6)],
+    })
+
+
+def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PCA over the embeddings table: one distributed moments pass, then an
+    eigh of the d×d covariance on the driver plus a broadcast projection
+    pass.  Returns per-component explained variance/ratio and the projected
+    sum-of-squares (which must equal the eigenvalue × (n−1) — an internal
+    consistency proof).  Rows-only: eigendecomposition has no SQL twin;
+    exactness vs numpy on the full matrix is pytest-gated
+    (test_scale_ops.py)."""
+    from ..stages.linalg import pca_fit, pca_transform, vector_moments
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+    model = pca_fit(vector_moments(ds, "embedding"), n_components=8)
+    proj = pca_transform(ds, model, "embedding", out="pc")
+
+    def ssq(tbl: pa.Table) -> pa.Table:
+        from ..functions.vectors import list_column_to_2d
+        p = list_column_to_2d(tbl["pc"])
+        return pa.table({"ssq": pa.array([(p * p).sum(axis=0)])})
+
+    parts = proj.map_batches(ssq, batch_format="pyarrow").take_all()
+    total = np.sum([np.asarray(r["ssq"]) for r in parts], axis=0)
+    return pd.DataFrame({
+        "component": np.arange(8, dtype=np.int64),
+        "explained_variance": np.round(model["explained_variance"], 6),
+        "explained_variance_ratio": np.round(
+            model["explained_variance_ratio"], 6),
+        "proj_ssq_over_nm1": np.round(total / (model["n"] - 1), 6),
+    })
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -2490,6 +2541,8 @@ QUERIES = {
     "sorted_limit": q_sorted_limit,
     "audio_decode": q_audio_decode,
     "kmeans_clusters": q_kmeans_clusters,
+    "linreg": q_linreg,
+    "pca_embeddings": q_pca_embeddings,
     "stream_enrich": q_stream_enrich,
     "stream_dedup": q_stream_dedup,
     "line_dedup": q_line_dedup,
@@ -2728,6 +2781,31 @@ ORACLES = {
                ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
                ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "linreg": """
+        WITH s AS (
+          SELECT count(*)::BIGINT AS n,
+                 covar_pop(l_quantity, l_quantity)       AS sqq,
+                 covar_pop(l_quantity, l_discount)       AS sqd,
+                 covar_pop(l_discount, l_discount)       AS sdd,
+                 covar_pop(l_quantity, l_extendedprice)  AS sqy,
+                 covar_pop(l_discount, l_extendedprice)  AS sdy,
+                 var_pop(l_extendedprice)                AS syy,
+                 avg(l_quantity) AS mq, avg(l_discount) AS md,
+                 avg(l_extendedprice) AS my
+          FROM lineitem
+        ), b AS (
+          SELECT n, mq, md, my, syy, sqy, sdy,
+                 (sdd*sqy - sqd*sdy) / (sqq*sdd - sqd*sqd) AS bq,
+                 (sqq*sdy - sqd*sqy) / (sqq*sdd - sqd*sqd) AS bd
+          FROM s
+        )
+        SELECT n,
+               ROUND(bq, 4) AS b_quantity,
+               ROUND(bd, 4) AS b_discount,
+               ROUND(my - bq*mq - bd*md, 4) AS intercept,
+               ROUND((bq*sqy + bd*sdy) / syy, 6) AS r2
+        FROM b
     """,
     "grouped_moments": """
         SELECT l_returnflag, count(*)::BIGINT AS n,

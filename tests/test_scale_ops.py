@@ -551,3 +551,84 @@ class TestPageRank:
         assert set(da) == set(db)
         for k in da:
             assert da[k] == pytest.approx(db[k], abs=1e-12)
+
+
+class TestLinalg:
+    """Distributed moments → PCA / OLS vs exact numpy on the full matrix."""
+
+    @staticmethod
+    def _mat(n=400, d=5, seed=7):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, d))
+        base[:, 2] = 2.5 * base[:, 0] - base[:, 1] + 0.1 * base[:, 2]
+        return base
+
+    def _ds(self, mat, blocks):
+        return rd.from_arrow(pa.table({
+            "row_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            **{f"c{j}": pa.array(mat[:, j]) for j in range(mat.shape[1])},
+        })).repartition(blocks)
+
+    def test_moments_match_numpy_any_partitioning(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import column_moments
+        mat = self._mat()
+        cols = [f"c{j}" for j in range(mat.shape[1])]
+        ref_cov = np.cov(mat, rowvar=False, ddof=0)
+        for blocks in (1, 3, 11):
+            m = column_moments(self._ds(mat, blocks), cols)
+            assert m.n == len(mat)
+            np.testing.assert_allclose(m.mean, mat.mean(axis=0),
+                                       rtol=0, atol=1e-12)
+            np.testing.assert_allclose(m.cov(), ref_cov, rtol=1e-12)
+
+    def test_pca_matches_full_eigh(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import (
+            column_moments, pca_fit)
+        mat = self._mat()
+        cols = [f"c{j}" for j in range(mat.shape[1])]
+        model = pca_fit(column_moments(self._ds(mat, 4), cols))
+        vals, vecs = np.linalg.eigh(np.cov(mat, rowvar=False, ddof=1))
+        order = np.argsort(vals)[::-1]
+        np.testing.assert_allclose(model["explained_variance"], vals[order],
+                                   rtol=1e-9)
+        for k, comp in enumerate(model["components"]):
+            ref = vecs[:, order[k]]
+            # direction equal up to the documented sign convention
+            assert (np.allclose(comp, ref, atol=1e-9)
+                    or np.allclose(comp, -ref, atol=1e-9))
+            assert comp[np.abs(comp).argmax()] > 0
+
+    def test_pca_transform_variance_identity(self, ray_session):
+        from diffdataflowmlpipelines_ray.functions.vectors import (
+            list_column_to_2d)
+        from diffdataflowmlpipelines_ray.stages.linalg import (
+            pca_fit, pca_transform, vector_moments)
+        mat = self._mat(d=6)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(list(mat)),
+        })).repartition(3)
+        model = pca_fit(vector_moments(ds, "embedding"), n_components=3)
+        tbl = pa.concat_tables(list(
+            pca_transform(ds, model, "embedding").iter_batches(
+                batch_format="pyarrow")))
+        proj = list_column_to_2d(tbl["pc"])
+        # projected per-component variance == eigenvalue (ddof=1)
+        np.testing.assert_allclose(
+            (proj * proj).sum(axis=0) / (len(mat) - 1),
+            model["explained_variance"], rtol=1e-9)
+
+    def test_linreg_matches_lstsq(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import (
+            column_moments, linreg_fit)
+        mat = self._mat()
+        cols = [f"c{j}" for j in range(mat.shape[1])]
+        fit = linreg_fit(column_moments(self._ds(mat, 5), cols),
+                         x_idx=[0, 1, 3], y_idx=2)
+        X = np.column_stack([mat[:, [0, 1, 3]], np.ones(len(mat))])
+        beta, *_ = np.linalg.lstsq(X, mat[:, 2], rcond=None)
+        np.testing.assert_allclose(fit["coef"], beta[:3], rtol=1e-8)
+        assert abs(fit["intercept"] - beta[3]) < 1e-8
+        resid = X @ beta - mat[:, 2]
+        r2_ref = 1.0 - (resid @ resid) / ((mat[:, 2] - mat[:, 2].mean()) ** 2).sum()
+        assert abs(fit["r2"] - r2_ref) < 1e-9
