@@ -2460,6 +2460,33 @@ def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_logreg_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed IRLS logistic regression on the embeddings table
+    (y = label ≥ 5): per iteration one broadcast of β down and one
+    no-shuffle map_batches pass of O(d²)-float partials up
+    (stages/linalg.py logreg_fit) — rows never move.  Rows-only (iterative
+    Newton has no SQL twin); exact equivalence to a single-machine IRLS on
+    the full matrix and partitioning-invariance are pytest-gated
+    (test_scale_ops.py)."""
+    from ..stages.linalg import logreg_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+               blocks=8)
+
+    def label(tbl: pa.Table) -> np.ndarray:
+        return (tbl["label"].to_numpy(zero_copy_only=False) >= 5
+                ).astype(np.float64)
+
+    fit = logreg_fit(ds, "embedding", label, max_iters=15)
+    return pd.DataFrame({
+        "n": [int(fit["n"])],
+        "iters": [int(fit["iters"])],
+        "log_loss": [round(fit["log_loss"], 6)],
+        "train_accuracy": [round(fit["train_accuracy"], 6)],
+        "coef_l2": [round(float(np.linalg.norm(fit["coef"])), 4)],
+    })
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -2543,6 +2570,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "linreg": q_linreg,
     "pca_embeddings": q_pca_embeddings,
+    "logreg_embeddings": q_logreg_embeddings,
     "stream_enrich": q_stream_enrich,
     "stream_dedup": q_stream_dedup,
     "line_dedup": q_line_dedup,

@@ -31,6 +31,7 @@ from ..functions.vectors import list_array_from_2d, list_column_to_2d
 __all__ = [
     "Moments", "column_moments", "vector_moments",
     "pca_fit", "pca_transform", "linreg_fit",
+    "logreg_fit", "logreg_predict",
 ]
 
 
@@ -153,6 +154,93 @@ def pca_transform(ds, model: dict, emb_col: str = "embedding",
         return tbl.append_column(out, list_array_from_2d(proj))
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    # numerically safe logistic (no overflow for |z| large)
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logreg_fit(ds, emb_col: str, label_fn, max_iters: int = 25,
+               tol: float = 1e-8, ridge: float = 1e-6) -> dict:
+    """Binary logistic regression by distributed IRLS (Newton).
+
+    Per iteration: broadcast β once (``ray.put``), ONE ``map_batches`` pass
+    emits per-block partials — gradient Xᵀ(y−p) ((d+1,) incl. intercept),
+    Hessian XᵀWX ((d+1)², W = p(1−p)), log-loss and correct-count scalars —
+    merged on the driver in deterministic sorted order, then one (d+1)×(d+1)
+    ridge-damped solve.  Data never moves; per-block uplink is O(d²) floats.
+    Same no-shuffle shape as ``kmeans_fit`` (stages/clustering.py).
+
+    ``label_fn(tbl) -> float64 {0,1} array`` derives the target from the
+    block, so the label can be a threshold over any column.  Converges when
+    ‖Δβ‖∞ < ``tol``."""
+    # probe width with a 1-row sample (schema-only; no full read)
+    first = ds.take(1)[0]
+    d = len(np.asarray(first[emb_col])) + 1
+    beta = np.zeros(d)
+    loss = float("inf")
+    n_total = 0
+    acc = 0.0
+    iters_run = 0
+    for it in range(max_iters):
+        ref = ray.put(beta)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            b = ray.get(ref)
+            x = list_column_to_2d(tbl[emb_col])
+            X = np.column_stack([x, np.ones(len(x))])
+            y = np.asarray(label_fn(tbl), dtype=np.float64)
+            p = _sigmoid(X @ b)
+            g = X.T @ (y - p)
+            w = p * (1.0 - p)
+            H = (X * w[:, None]).T @ X
+            eps = 1e-12
+            ll = float(-(y * np.log(p + eps)
+                         + (1 - y) * np.log(1 - p + eps)).sum())
+            correct = float(((p >= 0.5) == (y >= 0.5)).sum())
+            flat = np.concatenate([g, H.reshape(-1),
+                                   [ll, correct, float(len(x))]])
+            return pa.table({"part": list_array_from_2d(flat[None, :])})
+
+        rows = [np.asarray(r["part"], dtype=np.float64)
+                for r in ds.map_batches(partial,
+                                        batch_format="pyarrow").take_all()]
+        rows.sort(key=lambda a: (a[-1], a[0]))   # deterministic merge order
+        tot = np.zeros(d + d * d + 3)
+        for r in rows:
+            tot += r
+        g = tot[:d]
+        H = tot[d:d + d * d].reshape(d, d)
+        loss = float(tot[-3])
+        n_total = int(tot[-1])
+        acc = float(tot[-2]) / max(n_total, 1)
+        step = np.linalg.solve(H + ridge * np.eye(d), g)
+        beta = beta + step
+        iters_run = it + 1
+        if float(np.abs(step).max()) < tol:
+            break
+    return {"coef": beta[:-1], "intercept": float(beta[-1]),
+            "log_loss": loss / max(n_total, 1), "train_accuracy": acc,
+            "iters": iters_run, "n": n_total}
+
+
+def logreg_predict(ds, model: dict, emb_col: str = "embedding",
+                   out: str = "score"):
+    """Stateless scoring pass: σ(x·β + b) per row, model broadcast once."""
+    ref = ray.put((np.asarray(model["coef"]), float(model["intercept"])))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        coef, b = ray.get(ref)
+        x = list_column_to_2d(tbl[emb_col])
+        return tbl.append_column(out, pa.array(_sigmoid(x @ coef + b)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def linreg_fit(moments: Moments, x_idx: list[int], y_idx: int) -> dict:

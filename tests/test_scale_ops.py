@@ -632,3 +632,75 @@ class TestLinalg:
         resid = X @ beta - mat[:, 2]
         r2_ref = 1.0 - (resid @ resid) / ((mat[:, 2] - mat[:, 2].mean()) ** 2).sum()
         assert abs(fit["r2"] - r2_ref) < 1e-9
+
+
+class TestLogReg:
+    @staticmethod
+    def _reference_irls(X, y, max_iters, ridge=1e-6, tol=1e-8):
+        """Single-machine IRLS — the exact algorithm logreg_fit distributes."""
+        Xb = np.column_stack([X, np.ones(len(X))])
+        beta = np.zeros(Xb.shape[1])
+        for _ in range(max_iters):
+            z = Xb @ beta
+            # same safe sigmoid as the engine
+            p = np.empty_like(z)
+            pos = z >= 0
+            p[pos] = 1 / (1 + np.exp(-z[pos]))
+            ez = np.exp(z[~pos])
+            p[~pos] = ez / (1 + ez)
+            g = Xb.T @ (y - p)
+            w = p * (1 - p)
+            H = (Xb * w[:, None]).T @ Xb
+            step = np.linalg.solve(H + ridge * np.eye(len(beta)), g)
+            beta = beta + step
+            if np.abs(step).max() < tol:
+                break
+        return beta
+
+    def _ds(self, X, y, blocks):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array(list(X.astype(np.float64))),
+            "label": pa.array(y.astype(np.int32)),
+        })).repartition(blocks)
+
+    def test_matches_single_machine_irls(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import logreg_fit
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(300, 6))
+        y = (X[:, 0] + 0.5 * X[:, 3] + 0.2 * rng.normal(size=300) > 0
+             ).astype(np.int64)
+
+        def label(tbl):   # local closure: cloudpickled by value
+            return (tbl["label"].to_numpy(zero_copy_only=False) >= 1
+                    ).astype(np.float64)
+
+        fit = logreg_fit(self._ds(X, y, 4), "embedding", label,
+                         max_iters=8)
+        ref = self._reference_irls(X, y.astype(np.float64), max_iters=8)
+        np.testing.assert_allclose(fit["coef"], ref[:-1], rtol=1e-7)
+        assert abs(fit["intercept"] - ref[-1]) < 1e-7
+        assert fit["n"] == 300
+
+    def test_partitioning_invariant_and_separable(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import (
+            logreg_fit, logreg_predict)
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(240, 4))
+        y = (X[:, 1] > 0).astype(np.int64)   # separable on one axis
+
+        def label(tbl):   # local closure: cloudpickled by value
+            return (tbl["label"].to_numpy(zero_copy_only=False) >= 1
+                    ).astype(np.float64)
+
+        fits = [logreg_fit(self._ds(X, y, b), "embedding", label,
+                           max_iters=6) for b in (2, 7)]
+        np.testing.assert_allclose(fits[0]["coef"], fits[1]["coef"],
+                                   rtol=1e-9)
+        assert fits[0]["train_accuracy"] >= 0.99
+        scored = pa.concat_tables(list(
+            logreg_predict(self._ds(X, y, 3), fits[0],
+                           "embedding").iter_batches(
+                batch_format="pyarrow")))
+        s = scored.sort_by("vec_id")["score"].to_numpy(zero_copy_only=False)
+        assert (((s >= 0.5) == (y >= 1)).mean()) >= 0.99
