@@ -13,7 +13,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["list_array_from_2d", "list_column_to_2d", "hstack_to_list_array"]
+__all__ = ["list_array_from_2d", "list_column_to_2d", "hstack_to_list_array",
+           "half_away"]
+
+
+def half_away(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero — DuckDB's ROUND semantics.  ``np.round``
+    and ``np.rint`` are banker's (half-to-even), which lands on the other
+    side of exact .5 boundaries (e.g. cents built from 2-decimal money)."""
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
 
 
 def list_array_from_2d(arr: np.ndarray) -> pa.ListArray:

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.vectors import half_away as _half_away
 from ..functions.vectors import list_column_to_2d
 from ..stages.dedup import (
     MinHashParams,
@@ -278,12 +279,6 @@ def q_feature_matrix_vec(sf_dir: str) -> pd.DataFrame:
 def _epoch_split(tbl: pa.Table, k: int) -> list[pa.Table]:
     bounds = np.linspace(0, tbl.num_rows, k + 1).astype(int)
     return [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
-
-
-def _half_away(x: np.ndarray) -> np.ndarray:
-    """Round half away from zero — DuckDB's ROUND (np.round is banker's,
-    which lands on the other side for exact .5-cent products)."""
-    return np.floor(np.abs(x) + 0.5) * np.sign(x)
 
 
 def _cents_acc(values: np.ndarray, weights):
@@ -2074,7 +2069,8 @@ def q_rollup(sf_dir: str) -> pd.DataFrame:
 
     def partial(tbl: pa.Table) -> pd.DataFrame:
         pdf = tbl.to_pandas()
-        pdf["cents"] = np.rint(pdf["l_extendedprice"] * 100).astype(np.int64)
+        pdf["cents"] = _half_away(
+            pdf["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
         pdf["n"] = 1
         return pdf.groupby(["l_returnflag", "l_linestatus"],
                            as_index=False).agg(
@@ -2110,7 +2106,8 @@ def q_cube(sf_dir: str) -> pd.DataFrame:
 
     def partial(tbl: pa.Table) -> pd.DataFrame:
         pdf = tbl.to_pandas()
-        pdf["cents"] = np.rint(pdf["l_extendedprice"] * 100).astype(np.int64)
+        pdf["cents"] = _half_away(
+            pdf["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
         pdf["n"] = 1
         return pdf.groupby(["l_returnflag", "l_linestatus"],
                            as_index=False).agg(
@@ -2313,7 +2310,7 @@ def q_target_encoder_loo(sf_dir: str) -> pd.DataFrame:
     def cents(tbl: pa.Table) -> pa.Table:
         v = tbl["c_acctbal"].to_numpy(zero_copy_only=False)
         return tbl.append_column(
-            "cents", pa.array(np.rint(v * 100.0).astype(np.float64)))
+            "cents", pa.array(_half_away(v * 100.0).astype(np.float64)))
 
     cds = ds.map_batches(cents, batch_format="pyarrow")
     enc = TargetEncoder("cents").fit(cds, "c_mktsegment")

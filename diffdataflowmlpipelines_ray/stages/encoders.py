@@ -207,6 +207,15 @@ class StandardScaler(Encoder):
         if self.mean_ is None:
             raise RuntimeError("called transform before fit")
         x = _float_col(tbl, column)
+        if self.scale_ == 0.0:
+            # constant column: variance 0.  The Rust reference divides by it
+            # anyway (apply_scaling, standard_scaler.rs:109-113 → ±inf/NaN);
+            # we define the result as ±inf for x≠mean and NaN at the mean —
+            # the IEEE outcome — but produce it explicitly so the hot path
+            # never trips a RuntimeWarning.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                y = (x - self.mean_) / self.scale_
+            return tbl.append_column(out, pa.array(y))
         return tbl.append_column(out, pa.array((x - self.mean_) / self.scale_))
 
 

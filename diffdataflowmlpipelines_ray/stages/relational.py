@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.vectors import half_away
+
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank",
@@ -358,7 +360,9 @@ def running_total(ds, key_cols: Sequence[str], ts_col: str, value_col: str,
             columns="__bucket")
         v = pdf[value_col].to_numpy(dtype=np.float64)
         if cents:
-            iv = np.round(v * 100.0).astype(np.int64)
+            # half-away, not np.round's banker's: matches DuckDB ROUND on
+            # exact .5-cent products (same policy as the query oracles)
+            iv = half_away(v * 100.0).astype(np.int64)
             run = pdf.assign(__v=iv).groupby(keys)["__v"].cumsum()
             pdf[out_col] = run.to_numpy() / 100.0
         else:

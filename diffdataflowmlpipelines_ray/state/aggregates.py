@@ -689,6 +689,12 @@ class CoMomentAgg(_Mergeable):
     def get(self) -> dict:
         """{covar (population), corr, slope, intercept, n} for the group."""
         n = self.count
+        if n <= 0:
+            # fully-retracted group (reachable via negate/merge): NaN stats,
+            # matching MomentsAgg.get()'s n<=0 convention
+            nan = float("nan")
+            return {"covar": nan, "corr": nan, "slope": nan,
+                    "intercept": nan, "n": n}
         covar = self.cxy / n
         denom = math.sqrt(self.m2x * self.m2y)
         corr = self.cxy / denom if denom > 0 else float("nan")

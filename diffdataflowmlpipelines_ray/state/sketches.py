@@ -214,22 +214,28 @@ def heavy_hitters(ds, col: str, k: int, m: int | None = None):
         arr = tbl[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        # nulls are excluded from the count (SQL COUNT(col) semantics); a
+        # null-valued count row would otherwise be mistaken for the bound
+        # sentinel and corrupt both U and the candidate set
+        arr = arr.drop_null()
         vc = pc.value_counts(arr)
         vals = vc.field("values").to_pylist()
         cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(-cnts, kind="stable")[:m]
         # dropped values (if any) each have count ≤ the smallest KEPT count
         bound = int(cnts[order[-1]]) if len(cnts) > m else 0
-        # one sentinel row (v = null) carries this block's bound
+        # the block's bound rides in an explicit flag column, not a null
+        # value sentinel
         return pa.table({
             "v": pa.array([vals[i] for i in order] + [None]),
             "c": pa.array(np.append(cnts[order], bound)),
+            "is_bound": pa.array([False] * len(order) + [True]),
         })
 
     lower: dict = {}
     U = 0
     for r in ds.map_batches(top_block, batch_format="pyarrow").take_all():
-        if r["v"] is None:
+        if r["is_bound"]:
             U += int(r["c"])
         else:
             lower[r["v"]] = lower.get(r["v"], 0) + int(r["c"])

@@ -558,6 +558,12 @@ class EnrichJoin:
     #: (including tombstones).  Bounds shard state for unbounded key spaces;
     #: an expired key re-enriches as a miss, exactly like a never-seen key.
     dim_ttl: float | None = None
+    #: optional event-time column on the STREAM side: when set, the probe
+    #: ships each group's max stream event time back so the session's
+    #: ``auto_watermark_delay`` advances (and ``dim_ttl`` sweeps fire) from
+    #: EnrichJoin traffic alone.  Without it, an EnrichJoin-only session
+    #: needs explicit watermarks for TTL sweeps.
+    stream_ts: str | None = None
 
     def __post_init__(self):
         overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
@@ -577,7 +583,10 @@ class EnrichJoin:
         pdf = tbl.select(cols).to_pandas()
         ts = _ts_to_float(pdf[self.dim_ts])
         keys = list(zip(*[pdf[c] for c in dk])) if len(pdf) else []
-        vals = (list(zip(*[pdf[c] for c in self.dim_vals]))
+        # dim_vals=() is an existence register (semi-join style): zip(*[])
+        # would silently truncate EVERY upsert/tombstone to zero rows
+        vals = ([()] * len(pdf) if not self.dim_vals
+                else list(zip(*[pdf[c] for c in self.dim_vals]))
                 if len(pdf) else [])
         dels = (pdf[self.dim_delete_col].to_numpy(dtype=bool)
                 if self.dim_delete_col else np.zeros(len(pdf), dtype=bool))
@@ -1028,14 +1037,24 @@ class StreamSession:
         sink_root = str(self.sinks[name].root)
         do_fsync = self.sinks[name].fsync
         sk = list(op.key)
-        carry = list(dict.fromkeys(sk + list(op.stream_cols)))
+        carry = list(dict.fromkeys(
+            sk + list(op.stream_cols)
+            + ([op.stream_ts] if op.stream_ts else [])))
         dim_vals = list(op.dim_vals)
         dim_types = list(op.dim_types) if op.dim_types is not None else None
+        stream_ts = op.stream_ts
 
         def part(tbl: pa.Table) -> pa.Table:
             pdf = tbl.select(carry).to_pandas()
-            sids_out, blobs = [], []
+            sids_out, blobs, maxts = [], [], []
             if len(pdf):
+                # block max BEFORE partitioning so every event advances the
+                # auto-watermark (same plumbing as the dedup probe)
+                block_max = -math.inf
+                if stream_ts is not None:
+                    ts_all = _ts_to_float(pdf[stream_ts])
+                    if ts_all.size:
+                        block_max = float(ts_all.max())
                 uniq = pdf[sk].drop_duplicates()
                 kbs = [_key_bytes(t) for t in
                        uniq.itertuples(index=False, name=None)]
@@ -1047,13 +1066,16 @@ class StreamSession:
                     blobs.append(pickle.dumps(
                         grp.drop(columns="__sid").reset_index(drop=True),
                         protocol=pickle.HIGHEST_PROTOCOL))
+                    maxts.append(block_max)
             return pa.table({
                 "__shard": pa.array(sids_out, type=pa.int64()),
                 "__blob": pa.array(blobs, type=pa.binary()),
+                "__maxts": pa.array(maxts, type=pa.float64()),
             })
 
         def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["__shard"].iloc[0])
+            grp_max = float(pdf["__maxts"].max())
             ev = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
                            ignore_index=True)
             uniq = ev[sk].drop_duplicates()
@@ -1062,14 +1084,15 @@ class StreamSession:
             looked = pickle.loads(ray.get(shards[sid].enrich_probe.remote(
                 name, pickle.dumps(kbs, protocol=pickle.HIGHEST_PROTOCOL))))
             val_by_kb = dict(looked)
-            cols = {c: [] for c in dim_vals}
-            for kb in kbs:
-                v = val_by_kb.get(kb)
-                for i, c in enumerate(dim_vals):
-                    cols[c].append(None if v is None else v[i])
+            # one list comprehension over unique keys, then a columnwise
+            # unzip — no per-(key, col) Python inner loop
+            vals = [val_by_kb.get(kb) for kb in kbs]
             lut = uniq.reset_index(drop=True)
-            for c in dim_vals:  # keep object dtype: no int→float promotion
-                lut[c] = pd.Series(cols[c], dtype="object")
+            for i, c in enumerate(dim_vals):
+                # keep object dtype: no int→float promotion on miss-nulls
+                lut[c] = pd.Series(
+                    [None if v is None else v[i] for v in vals],
+                    dtype="object")
             out = ev.merge(lut, on=sk, how="left")
             out["epoch"] = np.int64(epoch)
             tbl_out = pa.Table.from_pandas(out, preserve_index=False)
@@ -1083,7 +1106,8 @@ class StreamSession:
                 tag=f"shard{sid:04d}", fsync=do_fsync,
             )
             return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)]})
+                                 "entry": [json.dumps(entry)],
+                                 "max_ts": [grp_max]})
 
         dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
         entries = (
@@ -1093,6 +1117,9 @@ class StreamSession:
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
+        for r in entries:  # auto-watermark + dim_ttl sweeps fire from
+            self._max_event_time = max(self._max_event_time,  # enrich traffic
+                                       float(r["max_ts"]))
         self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 

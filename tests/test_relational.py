@@ -446,3 +446,58 @@ class TestBloomPrefilter:
         b = (hash_join(lds, rds, ["k"], ["rk"], buckets=8).to_pandas()
              .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestAdviceR3Fixes:
+    """Regression tests for the round-3 ADVICE findings."""
+
+    def test_running_total_cents_half_away(self, ray_session):
+        # 0.125 → 12.5 cents sits EXACTLY on the .5 boundary: DuckDB ROUND
+        # gives 13, banker's np.round gives 12 — the oracle mismatch the
+        # advice flagged.  Both rows share one key so the cumsum exposes it.
+        from diffdataflowmlpipelines_ray.stages.relational import running_total
+
+        ds = rd.from_arrow(pa.table({
+            "k": ["a", "a"], "ts": [1.0, 2.0], "v": [0.125, 0.125]}))
+        out = running_total(ds, ["k"], "ts", "v").to_pandas()
+        out = out.sort_values("ts")
+        assert out["running"].tolist() == [0.13, 0.26]
+
+    def test_comoment_fully_retracted_get_is_nan(self):
+        from diffdataflowmlpipelines_ray.state.aggregates import CoMomentAgg
+
+        x = np.array([1.0, 2.0, 3.0]); y = np.array([2.0, 1.0, 5.0])
+        acc = CoMomentAgg.from_numpy(x, y)
+        neg = CoMomentAgg.from_numpy(x, y)
+        neg.negate()
+        acc.merge(neg)
+        g = acc.get()          # must not raise ZeroDivisionError
+        assert g["n"] == 0
+        for f in ("covar", "corr", "slope", "intercept"):
+            assert np.isnan(g[f])
+
+    def test_heavy_hitters_null_values_excluded(self, ray_session):
+        from diffdataflowmlpipelines_ray.state.sketches import heavy_hitters
+
+        # nulls outnumber every real value; they must neither corrupt the
+        # proof bound U nor appear as a winner
+        vals = ["a"] * 30 + ["b"] * 20 + ["c"] * 5 + [None] * 100
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+        got = heavy_hitters(ds, "v", k=2, m=64)
+        assert got["v"].tolist() == ["a", "b"]
+        assert got["cnt"].tolist() == [30, 20]
+
+    def test_standard_scaler_constant_column_no_warning(self, ray_session):
+        import warnings
+
+        from diffdataflowmlpipelines_ray.stages.encoders import StandardScaler
+
+        ds = rd.from_arrow(pa.table({"x": [5.0] * 10}))
+        sc = StandardScaler().fit(ds, "x")
+        tbl = pa.table({"x": [5.0, 6.0, 4.0]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")     # any RuntimeWarning → fail
+            out = sc.transform_table(tbl, "x", "y")
+        y = out["y"].to_numpy(zero_copy_only=False)
+        assert np.isnan(y[0])                  # x == mean → 0/0
+        assert y[1] == np.inf and y[2] == -np.inf

@@ -1930,3 +1930,68 @@ class TestSchemaEvolution:
         t2 = sink.read_committed_table().to_pandas().sort_values("x")
         assert list(t2["extra"].isna()) == [True, True, False]
         assert sorted(t2["x"]) == [1, 2, 3]
+
+
+class TestEnrichJoinAdviceR3:
+    """Round-3 ADVICE regressions: empty dim_vals must still maintain
+    registers, and stream-side event time must drive the auto-watermark."""
+
+    @staticmethod
+    def _dim(rows):
+        u, tier, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "tier": pa.array(tier, type=pa.int64()),
+                         "up_ts": pa.array(ts, type=pa.float64())})
+
+    @staticmethod
+    def _ev_ts(rows):
+        u, eid, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "eid": pa.array(eid, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def test_empty_dim_vals_registers_kept(self, ray_session, tmp_path):
+        # dim_vals=() is an existence register; the old zip(*[]) path
+        # silently truncated every upsert to zero rows
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "enr0", num_shards=2)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["u"], dim_vals=(), stream_cols=["eid"],
+                            dim_ts="up_ts"))
+        sess.process_epoch(0, {"dim": self._dim([(1, 10, 0.0), (2, 20, 0.0)]),
+                               "ev": self._ev_ts([(1, 100, 0.0)])})
+        keys = sum(st["agg_keys"].get("en", 0) for st in sess.store.stats())
+        sess.store.shutdown()
+        assert keys == 2
+
+    def test_stream_ts_drives_auto_watermark_ttl(self, ray_session, tmp_path):
+        # EnrichJoin-only session, NO explicit watermarks: stream event time
+        # must advance the auto-watermark so dim_ttl sweeps fire
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "enr1", num_shards=2,
+                             auto_watermark_delay=1.0)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["u"], dim_vals=["tier"], stream_cols=["eid"],
+                            dim_ts="up_ts", dim_types=[pa.int64()],
+                            dim_ttl=5.0, stream_ts="ts"))
+        # epoch 0: u1 stamped at 0, u2 at 4; events at ts≤1 → wm 0
+        sess.process_epoch(0, {"dim": self._dim([(1, 10, 0.0), (2, 20, 4.0)]),
+                               "ev": self._ev_ts([(1, 100, 1.0),
+                                                  (2, 101, 1.0)])})
+        # epoch 1: events at ts 7 → wm 6 → u1 (stamp 0 < 6−5) expires AFTER
+        # this epoch's probe
+        sess.process_epoch(1, {"ev": self._ev_ts([(1, 200, 7.0),
+                                                  (2, 201, 7.0)])})
+        # epoch 2: u1 reads as a miss, u2 still enriches
+        sess.process_epoch(2, {"ev": self._ev_ts([(1, 300, 7.5),
+                                                  (2, 301, 7.5)])})
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+        got = {int(r.eid): (None if pd.isna(r.tier) else int(r.tier))
+               for r in df.itertuples()}
+        keys = sum(st["agg_keys"].get("en", 0) for st in sess.store.stats())
+        sess.store.shutdown()
+        assert got == {100: 10, 101: 20, 200: 10, 201: 20,
+                       300: None, 301: 20}
+        assert keys == 1
