@@ -673,12 +673,8 @@ def q_ngram_jaccard_lsh(sf_dir: str) -> pa.Table:
     seeds have no SQL twin; the Jaccard kernel itself is oracle-gated via
     ``ngram_jaccard``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
-    pairs, _ = minhash_lsh_candidates(ds, params=MinHashParams())
-    if pairs.num_rows == 0:
-        return pa.table({"id_lo": pa.array([], type=pa.int64()),
-                         "id_hi": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    return ngram_jaccard_pairs(ds, pairs, n=3)
+    pairs_ds, _ = minhash_lsh_candidates(ds, params=MinHashParams())
+    return ngram_jaccard_pairs(ds, pairs_ds, n=3)
 
 
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:

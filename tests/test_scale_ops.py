@@ -704,3 +704,82 @@ class TestLogReg:
                 batch_format="pyarrow")))
         s = scored.sort_by("vec_id")["score"].to_numpy(zero_copy_only=False)
         assert (((s >= 0.5) == (y >= 1)).mean()) >= 0.99
+
+
+class TestPairVerifyExchangeTier:
+    """The fully-distributed (no-driver-pair-structure) verify tier never
+    triggers at test scale (pairs ≤ _PAIR_BROADCAST_MAX) — force it by
+    patching the tier constant to 0 and assert exact equality with the
+    broadcast tier on a corpus with planted near-dups and cross-band
+    duplicate candidates."""
+
+    def _corpus(self, n=60):
+        rng = np.random.default_rng(7)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                 "theta", "iota", "kappa"]
+        texts, ids = [], []
+        for i in range(n):
+            toks = list(rng.choice(words, size=20))
+            texts.append(" ".join(toks))
+            ids.append(i)
+            if i % 5 == 0:  # planted near-dup: one token changed
+                toks2 = list(toks)
+                toks2[3] = "variant"
+                texts.append(" ".join(toks2))
+                ids.append(i + 1000)
+        return docs_ds({"doc_id": ids, "text": texts}).repartition(6)
+
+    def test_exchange_equals_broadcast(self, ray_session, monkeypatch):
+        from diffdataflowmlpipelines_ray.stages import dedup as D
+
+        ds = self._corpus()
+        broadcast = D.minhash_dedup_groups(ds, threshold=0.5)
+        monkeypatch.setattr(D, "_PAIR_BROADCAST_MAX", 0)
+        exchange = D.minhash_dedup_groups(self._corpus(), threshold=0.5)
+        b = sorted(zip(broadcast["doc_id"].to_pylist(),
+                       broadcast["group_id"].to_pylist()))
+        e = sorted(zip(exchange["doc_id"].to_pylist(),
+                       exchange["group_id"].to_pylist()))
+        assert b == e
+        assert len(b) > 0  # planted dups actually found
+
+    def test_exchange_scores_equal_broadcast(self, ray_session, monkeypatch):
+        from diffdataflowmlpipelines_ray.stages import dedup as D
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 16))
+        vecs[20:] = vecs[:20] + rng.normal(scale=1e-3, size=(20, 16))
+        ids = list(range(40))
+        ds = docs_ds({"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+                     ).repartition(4)
+        broadcast = D.embedding_dedup_pairs(ds, threshold=0.99)
+        monkeypatch.setattr(D, "_PAIR_BROADCAST_MAX", 0)
+        exchange = D.embedding_dedup_pairs(ds, threshold=0.99)
+        b = sorted(zip(broadcast["id_lo"].to_pylist(),
+                       broadcast["id_hi"].to_pylist(),
+                       np.round(broadcast["cosine"].to_pylist(), 12)))
+        e = sorted(zip(exchange["id_lo"].to_pylist(),
+                       exchange["id_hi"].to_pylist(),
+                       np.round(exchange["cosine"].to_pylist(), 12)))
+        assert b == e
+        assert len(b) >= 20  # every planted near-identical pair verified
+
+    def test_exchange_hard_cap_logged(self, ray_session, monkeypatch, caplog):
+        import logging
+
+        from diffdataflowmlpipelines_ray.stages import dedup as D
+
+        # 10 candidate pairs, cap 2 per bucket → dropped pairs, logged
+        pairs = pa.table({"id_lo": list(range(10)),
+                          "id_hi": [i + 100 for i in range(10)]})
+        sig = docs_ds({"doc_id": list(range(10)) + [i + 100 for i in range(10)],
+                       "text": ["same text here"] * 20})
+        monkeypatch.setattr(D, "_PAIR_BROADCAST_MAX", 0)
+
+        def always_ok(sa, sb):
+            return np.ones(len(sa), dtype=bool)
+
+        out = D._distributed_pair_verify(
+            pairs, sig, "doc_id", always_ok, sig_col="text",
+            buckets=1, max_pairs_per_bucket=2).to_pandas()
+        assert len(out) == 2  # deterministic sorted survivors
