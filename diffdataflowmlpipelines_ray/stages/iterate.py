@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds"]
@@ -87,7 +88,147 @@ def connected_components(edges, max_iters: int = 64):
                                 preserve_index=False)
 
 
+#: stitch-graph size at or below which the contracted graph resolves on the
+#: driver (measured count, same size-aware tiering as the dedup pair verify)
+_CC_STITCH_DRIVER_MAX = 2_000_000
+
+
 def connected_components_ds(edges, buckets: int = 64, max_iters: int = 64):
+    """Cluster-scale connected components: **two-level contraction**, not a
+    per-edge-round fixpoint over the full graph.
+
+    1. **Local contraction** — every edge block resolves its OWN components
+       with the vectorized driver algorithm (``connected_components`` on the
+       in-memory block): output is a (node, rep) mapping, O(nodes-in-block)
+       rows.  No shuffle; this collapses intra-block structure (in practice
+       almost all of it — near-dup groups are discovered together).
+    2. **Stitch** — one ``groupby(hash(node))`` shuffle: a node holding
+       different reps in different blocks proves those reps are connected,
+       so the group emits (min_rep, other_rep) stitch edges plus the node's
+       chosen (node, min_rep) mapping.  The stitch graph is the CONTRACTED
+       graph: O(cross-block adjacency), typically orders of magnitude
+       smaller than the input.
+    3. **Resolve** — stitch edges ≤ ``_CC_STITCH_DRIVER_MAX`` (metadata
+       count) solve on the driver and broadcast the rep→component map;
+       larger stitch graphs run the bucketed ``_cc_rounds`` fixpoint and
+       join labels back to the mapping by rep-hash bucket — fully
+       distributed, no driver structure.
+
+    Replaces the always-rounds design whose 3 shuffles × O(diameter) rounds
+    dominated wall time (VERDICT r2: 70 s at sf0.01 → this path is 2
+    executions for the common case).  Exact and deterministic: labels are
+    component-minimum ids, pytest-equal to ``connected_components``.
+    Returns pa.Table (id, component).
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return pa.table({"id": pa.array([], type=pa.int64()),
+                             "component": pa.array([], type=pa.int64())})
+        edges = rd.from_arrow(edges)
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return ((arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % buckets).astype(np.int64)
+
+    def local_cc(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "rep": pa.array([], type=pa.int64()),
+                             "__b": pa.array([], type=pa.int64())})
+        comp = connected_components(tbl, max_iters=max_iters)
+        node = comp["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": comp["id"], "rep": comp["component"],
+            "__b": pa.array(bucket_of(node)),
+        })
+
+    def stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (pdf.drop_duplicates(["node", "rep"])
+               .sort_values(["node", "rep"], kind="mergesort"))
+        r0 = pdf.groupby("node")["rep"].transform("min")
+        mapping = pdf.drop_duplicates("node")[["node", "rep"]]
+        extra = pdf[pdf["rep"].to_numpy() != r0.to_numpy()]
+        return pd.DataFrame({
+            "flag": np.concatenate([np.zeros(len(mapping), np.int8),
+                                    np.ones(len(extra), np.int8)]),
+            "a": np.concatenate([mapping["node"].to_numpy(dtype=np.int64),
+                                 r0[extra.index].to_numpy(dtype=np.int64)]),
+            "b": np.concatenate([mapping["rep"].to_numpy(dtype=np.int64),
+                                 extra["rep"].to_numpy(dtype=np.int64)]),
+        })
+
+    parts = (edges.map_batches(local_cc, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(stitch_group, batch_format="pandas")
+             .materialize())
+
+    def only_stitch(tbl: pa.Table) -> pa.Table:
+        keep = pc.equal(tbl["flag"], 1)
+        t = tbl.filter(keep)
+        return pa.table({"id_lo": t["a"], "id_hi": t["b"]})
+
+    def only_mapping(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl["flag"], 0))
+        return pa.table({"node": t["a"], "rep": t["b"]})
+
+    stitch = parts.map_batches(only_stitch,
+                               batch_format="pyarrow").materialize()
+    n_stitch = stitch.count()
+    mapping = parts.map_batches(only_mapping, batch_format="pyarrow")
+
+    if n_stitch == 0:
+        out = pa.concat_tables(
+            list(mapping.iter_batches(batch_format="pyarrow")))
+        return pa.table({"id": out["node"],
+                         "component": out["rep"]}).sort_by("id")
+
+    if n_stitch <= _CC_STITCH_DRIVER_MAX:
+        labels = connected_components(stitch, max_iters=max_iters)
+        comp_map = dict(zip(labels["id"].to_pylist(),
+                            labels["component"].to_pylist()))
+        import ray
+        map_ref = ray.put(comp_map)
+
+        def relabel(tbl: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            rep = tbl["rep"].to_numpy(zero_copy_only=False)
+            comp = np.array([m.get(int(r), int(r)) for r in rep],
+                            dtype=np.int64)
+            return pa.table({"id": tbl["node"], "component": pa.array(comp)})
+
+        out = pa.concat_tables(list(
+            mapping.map_batches(relabel, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")))
+        return out.sort_by("id")
+
+    # huge stitch graph: distributed rounds on the CONTRACTED graph, then a
+    # bucketed join of labels back onto the node→rep mapping
+    labels = _cc_rounds(stitch, buckets=buckets, max_iters=max_iters)
+    from .relational import hash_join
+
+    lab_ds = rd.from_arrow(pa.table({"__rep": labels["id"],
+                                     "__comp": labels["component"]}))
+    joined = hash_join(mapping, lab_ds, ["rep"], ["__rep"], buckets=buckets,
+                       how="left")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        comp = tbl["__comp"].to_numpy(zero_copy_only=False)
+        rep = tbl["rep"].to_numpy(zero_copy_only=False)
+        comp = np.where(np.isnan(comp.astype(np.float64)), rep, comp)
+        return pa.table({"id": tbl["node"],
+                         "component": pa.array(comp.astype(np.int64))})
+
+    out = pa.concat_tables(list(
+        joined.map_batches(finish, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    return out.sort_by("id")
+
+
+def _cc_rounds(edges, buckets: int = 64, max_iters: int = 64):
     """Dataset-native min-label fixpoint — the cluster-scale `iterate` path
     for edge lists too large for one process.
 

@@ -501,3 +501,49 @@ class TestAdviceR3Fixes:
         y = out["y"].to_numpy(zero_copy_only=False)
         assert np.isnan(y[0])                  # x == mean → 0/0
         assert y[1] == np.inf and y[2] == -np.inf
+
+
+class TestCCTwoLevel:
+    """connected_components_ds = local contraction + stitch + tiered
+    resolve; both tiers must equal the driver algorithm."""
+
+    def _random_edges(self, n_nodes=300, n_edges=400, seed=11):
+        rng = np.random.default_rng(seed)
+        lo = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        hi = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = lo != hi
+        return pa.table({"id_lo": pa.array(lo[keep]),
+                         "id_hi": pa.array(hi[keep])})
+
+    def test_driver_tier_equals_driver_algorithm(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components, connected_components_ds)
+
+        edges = self._random_edges()
+        want = connected_components(edges).to_pandas()
+        got = connected_components_ds(
+            rd.from_arrow(edges).repartition(7)).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_rounds_tier_equals_driver_algorithm(self, ray_session,
+                                                 monkeypatch):
+        # small graph: the rounds tier costs multiple Ray executions per
+        # round, so keep the contracted graph's diameter tiny
+        from diffdataflowmlpipelines_ray.stages import iterate as it
+
+        monkeypatch.setattr(it, "_CC_STITCH_DRIVER_MAX", 0)
+        edges = self._random_edges(n_nodes=40, n_edges=50, seed=12)
+        want = it.connected_components(edges).to_pandas()
+        got = it.connected_components_ds(
+            rd.from_arrow(edges).repartition(3), buckets=2).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_no_stitch_needed(self, ray_session):
+        # components fully inside one block: stitch graph is empty
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components, connected_components_ds)
+
+        edges = pa.table({"id_lo": [1, 2, 10], "id_hi": [2, 3, 11]})
+        want = connected_components(edges).to_pandas()
+        got = connected_components_ds(edges).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
