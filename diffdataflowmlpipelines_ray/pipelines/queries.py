@@ -211,6 +211,30 @@ def q_hash_vectorizer(sf_dir: str) -> pd.DataFrame:
     return out.map_batches(explode, batch_format="pyarrow").to_pandas()
 
 
+def q_hash_vectorizer_fast(sf_dir: str) -> pd.DataFrame:
+    """Production-path feature hashing: ``HashVectorizer(stable=False)``
+    buckets tokens with the vectorized xxhash instead of the per-string MD5
+    loop.  Rows-only (xxhash has no DuckDB twin); determinism across runs
+    and count conservation vs the stable path are pytest-gated
+    (test_encoders.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = HashVectorizer(n_features=64, stable=False)
+    out = enc.transform(ds, "text", "vec")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        dense = list_column_to_2d(tbl["vec"])
+        rows, buckets = np.nonzero(dense)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].take(pa.array(rows)),
+                "bucket": pa.array(buckets.astype(np.int64)),
+                "cnt": pa.array(dense[rows, buckets].astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
 def q_polynomial(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
     enc = PolynomialFeaturesEncoder(1, 3)
@@ -2489,6 +2513,7 @@ QUERIES = {
     "count_vectorizer": q_count_vectorizer,
     "tfidf": q_tfidf,
     "hash_vectorizer": q_hash_vectorizer,
+    "hash_vectorizer_fast": q_hash_vectorizer_fast,
     "polynomial": q_polynomial,
     "feature_matrix": q_feature_matrix,
     "feature_matrix_vec": q_feature_matrix_vec,

@@ -57,12 +57,22 @@ _P61 = (1 << 61) - 1
 
 
 # --------------------------------------------------------------------- exact
-def add_content_hash(ds, col: str = "text", out: str = "content_hash"):
-    """Vectorized 60-bit content hash column (stable, DuckDB-reproducible)."""
+def add_content_hash(ds, col: str = "text", out: str = "content_hash",
+                     stable: bool = True):
+    """Content-hash column per document.
+
+    ``stable=True`` (default): 60-bit MD5-derived hash, reproducible in
+    DuckDB (``STABLE_HASH_SQL``) — the oracle/golden path.  ``stable=False``:
+    vectorized xxhash (``fast_hash64_array``) — the production fingerprint
+    path, ~100× faster per string; deterministic per polars build + seed.
+    """
 
     def h(tbl: pa.Table) -> pa.Table:
-        vals = tbl[col].to_pylist()
-        return tbl.append_column(out, pa.array(stable_hash60_array(vals)))
+        if stable:
+            vals = tbl[col].to_pylist()
+            return tbl.append_column(out, pa.array(stable_hash60_array(vals)))
+        return tbl.append_column(
+            out, pa.array(fast_hash64_array(tbl[col]).astype(np.int64)))
 
     return ds.map_batches(h, batch_format="pyarrow")
 

@@ -587,20 +587,33 @@ class HashVectorizer(Encoder):
     Stateless (no fit).  The reference's unspecified Rust ``DefaultHasher``
     is replaced by the documented ``stable_hash60`` (MD5-60bit, reproducible
     in DuckDB) per SURVEY §7.5.
+
+    ``stable=False`` swaps the MD5 loop for the vectorized xxhash
+    (``fast_hash64_array``, ~100× faster per token) — the production path
+    when no SQL oracle must reproduce the bucket assignment; determinism is
+    per polars build + seed instead of forever-stable MD5.
     """
 
     requires_fit = False
 
-    def __init__(self, n_features: int, binary: bool = False):
+    def __init__(self, n_features: int, binary: bool = False,
+                 stable: bool = True):
         self.n_features = int(n_features)
         self.binary = binary
+        self.stable = stable
 
     def transform_table(self, tbl, column, out):
         toks = tokenize_column(tbl[column])
         flat, row_ids = flatten_tokens(toks, np.arange(len(tbl)))
         dense = np.zeros((len(tbl), self.n_features), dtype=np.float64)
         if len(flat):
-            buckets = stable_hash60_array(flat.to_pylist()) % self.n_features
+            if self.stable:
+                h = stable_hash60_array(flat.to_pylist())
+            else:
+                from ..functions.hashing import fast_hash64_array
+
+                h = fast_hash64_array(flat).astype(np.int64) & ((1 << 62) - 1)
+            buckets = h % self.n_features
             np.add.at(dense, (row_ids, buckets), 1.0)
         if self.binary:
             dense = (dense > 0).astype(np.float64)

@@ -382,3 +382,24 @@ class TestTargetEncoderLOO:
         assert got[1] == 3.5   # (1+6)/2
         assert got[2] == 1.5   # (1+2)/2
         assert got[3] == 4.5   # singleton b -> global mean (1+2+6+9)/4
+
+
+class TestHashVectorizerFastPath:
+    def test_fast_conserves_counts_and_is_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.encoders import HashVectorizer
+
+        t = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["a b c a", "d e", "f f f g"]})
+        ds = rd.from_arrow(t)
+        stable = HashVectorizer(64).transform(ds, "text", "v").to_pandas()
+        fast = HashVectorizer(64, stable=False).transform(
+            ds, "text", "v").to_pandas()
+        fast2 = HashVectorizer(64, stable=False).transform(
+            ds, "text", "v").to_pandas()
+        # same total token mass per doc, deterministic across runs
+        for a, b in zip(fast["v"], fast2["v"]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(stable["v"], fast["v"]):
+            assert np.asarray(a).sum() == np.asarray(b).sum()
