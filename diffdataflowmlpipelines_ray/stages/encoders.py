@@ -331,6 +331,23 @@ class _CategoricalFitMixin:
         return agg
 
     def _fit_map(self, ds, column, weight_col):
+        max_categories = getattr(self, "max_categories", None)
+        if max_categories is not None:
+            if weight_col is not None:
+                raise NotImplementedError(
+                    "max_categories requires the batch (unweighted) fit")
+
+            def val_counts(tbl: pa.Table) -> pa.Table:
+                arr = tbl[column]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                vc = pc.value_counts(arr.drop_null())
+                return pa.table({"v": vc.field("values"),
+                                 "c": vc.field("counts").cast(pa.int64())})
+
+            values = _capped_value_set(ds.select_columns([column]),
+                                       val_counts, None, max_categories)
+            return PositionAssignmentAgg.from_sorted_values(values)
         if weight_col is None:
             # distinct → sorted slot assignment (reference `distinct()` then
             # PositionAssignmentAggregate, one_hot_encoder.rs:22-28)
@@ -357,9 +374,14 @@ class OrdinalEncoder(_CategoricalFitMixin, Encoder):
 
     transform = broadcast dict lookup (the reference's join/antijoin pair
     :34-52 collapses to one vectorized ``index_in`` with a −1 default).
+
+    ``max_categories`` keeps only the most frequent values (count DESC,
+    value ASC; computed distributed) — dropped values encode as unseen
+    (−1).  Default None preserves reference semantics.
     """
 
-    def __init__(self):
+    def __init__(self, max_categories: int | None = None):
+        self.max_categories = max_categories
         self.acc_: PositionAssignmentAgg | None = None
         self.mapping_: dict | None = None
         # broadcast-friendly arrays, built lazily per process
@@ -401,9 +423,15 @@ class OneHotEncoder(_CategoricalFitMixin, Encoder):
     Unseen values get the all-zero vector of the current length (the
     antijoin branch :50-57).  Vector length follows the ×1.5 growth /
     0.66-compress policy via PositionAssignmentAgg.
+
+    ``max_categories`` keeps only the most frequent values (count DESC,
+    value ASC; computed distributed) — dropped values get the all-zero
+    vector like any unseen value.  Default None preserves reference
+    semantics.
     """
 
-    def __init__(self):
+    def __init__(self, max_categories: int | None = None):
+        self.max_categories = max_categories
         self.acc_: PositionAssignmentAgg | None = None
         self.mapping_: dict | None = None
         self.len_: int | None = None
@@ -441,6 +469,51 @@ class OneHotEncoder(_CategoricalFitMixin, Encoder):
         return tbl.append_column(out, list_array_from_2d(dense))
 
 
+def _capped_value_set(ds, per_block_counts, min_count: int | None,
+                      max_values: int | None, buckets: int = 32) -> set:
+    """Distributed value-frequency pruning for vocabulary-style fits.
+
+    ``per_block_counts(tbl) -> pa.Table(v, c)`` emits each block's value
+    counts (pre-aggregated — a hot value is one row per block).  One
+    ``groupby(hash(v) % buckets)`` shuffle gives exact global counts; each
+    bucket filters ``c >= min_count`` and keeps its top ``max_values`` by
+    (count DESC, value ASC) — safe because a value aggregates entirely
+    inside one bucket, so the global top-k is a subset of the per-bucket
+    top-k union.  The driver merges ≤ buckets × max_values rows (or all
+    values ≥ min_count when no cap) instead of the full value domain —
+    the VERDICT r2 "open-vocabulary cap" fix; reference semantics
+    (unbounded, count_vectorizer.rs:25-38) remain the default upstream.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import fast_hash64_array
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        part = per_block_counts(tbl)
+        h = fast_hash64_array(part["v"].cast(pa.string()))
+        return part.append_column(
+            "__b", pa.array((h % np.uint64(buckets)).astype(np.int64)))
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("v", as_index=False)["c"].sum()
+        if min_count is not None:
+            g = g[g["c"] >= min_count]
+        if max_values is not None:
+            g = (g.sort_values(["c", "v"], ascending=[False, True],
+                               kind="mergesort").head(max_values))
+        return g[["v", "c"]]
+
+    pdf = (ds.map_batches(tag, batch_format="pyarrow",
+                          batch_size=DEFAULT_FIT_BATCH)
+           .groupby("__b")
+           .map_groups(reduce_group, batch_format="pandas")
+           .to_pandas())
+    if max_values is not None and len(pdf) > max_values:
+        pdf = (pdf.sort_values(["c", "v"], ascending=[False, True],
+                               kind="mergesort").head(max_values))
+    return set(pdf["v"])
+
+
 class CountVectorizer(Encoder):
     """Whitespace-tokenized bag-of-words over a global vocab
     — count_vectorizer.rs:12-70.
@@ -449,10 +522,19 @@ class CountVectorizer(Encoder):
     position-assignment algebra (new_with_vec, :25-38).
     transform: per-row counts (or 0/1 with ``binary``); OOV tokens silently
     dropped (:62-64).
+
+    ``min_df`` / ``max_features`` prune the vocabulary by exact document
+    frequency (computed distributed, ties broken token-ascending like the
+    count sort) — tokens outside the pruned vocab behave exactly like OOV.
+    Defaults (None) preserve the reference's unbounded vocabulary.  Caps
+    require the batch (unweighted) fit path.
     """
 
-    def __init__(self, binary: bool = False):
+    def __init__(self, binary: bool = False, min_df: int | None = None,
+                 max_features: int | None = None):
         self.binary = binary
+        self.min_df = min_df
+        self.max_features = max_features
         self.acc_: PositionAssignmentAgg | None = None
         self.vocab_: dict | None = None
         self.len_: int | None = None
@@ -487,6 +569,30 @@ class CountVectorizer(Encoder):
         return self._value_set, self._slots
 
     def fit(self, ds, column, weight_col=None):
+        capped = self.min_df is not None or self.max_features is not None
+        if capped and weight_col is not None:
+            raise NotImplementedError(
+                "min_df/max_features require the batch (unweighted) fit")
+        if capped:
+            def df_counts(tbl: pa.Table) -> pa.Table:
+                import pandas as pd
+
+                toks = tokenize_column(tbl[column])
+                flat, row_ids = flatten_tokens(toks, np.arange(len(tbl)))
+                if not len(flat):
+                    return pa.table({"v": pa.array([], type=pa.string()),
+                                     "c": pa.array([], type=pa.int64())})
+                # document frequency: each token counts once per doc
+                pdf = pd.DataFrame({"v": flat.to_pandas(), "r": row_ids})
+                df = (pdf.drop_duplicates(["v", "r"])
+                      .groupby("v", sort=False).size())
+                return pa.table({"v": pa.array(df.index, type=pa.string()),
+                                 "c": pa.array(df.to_numpy(dtype=np.int64))})
+
+            vocab = _capped_value_set(ds.select_columns([column]), df_counts,
+                                      self.min_df, self.max_features)
+            return self.load_accumulator(
+                PositionAssignmentAgg.from_sorted_values(vocab))
         if weight_col is None:
             def per_block(tbl: pa.Table) -> pa.Table:
                 toks = tokenize_column(tbl[column])

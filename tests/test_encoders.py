@@ -403,3 +403,72 @@ class TestHashVectorizerFastPath:
             assert np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(stable["v"], fast["v"]):
             assert np.asarray(a).sum() == np.asarray(b).sum()
+
+
+class TestVocabularyCaps:
+    """min_df / max_features / max_categories: distributed pruning with
+    reference-default (unbounded) semantics when unset."""
+
+    def _docs(self):
+        import ray.data as rd
+
+        # 'hot' in 6 docs, 'warm' in 3, 'cold' in 1, 'rare' in 1
+        texts = (["hot warm"] * 3 + ["hot"] * 3 + ["cold hot rare"] * 0
+                 + ["cold rare"])
+        texts = ["hot warm", "hot warm", "hot warm", "hot", "hot", "hot",
+                 "cold rare"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return rd.from_arrow(t).repartition(3)
+
+    def test_count_vectorizer_min_df(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import CountVectorizer
+
+        cv = CountVectorizer(min_df=2).fit(self._docs(), "text")
+        assert set(cv.vocab_) == {"hot", "warm"}
+
+    def test_count_vectorizer_max_features(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import CountVectorizer
+
+        cv = CountVectorizer(max_features=1).fit(self._docs(), "text")
+        assert set(cv.vocab_) == {"hot"}   # highest document frequency
+        # pruned tokens behave as OOV: transform drops them
+        out = cv.transform(self._docs(), "text", "v").to_pandas()
+        assert all(np.asarray(v).sum() <= 2 for v in out["v"])
+
+    def test_count_vectorizer_default_unbounded(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import CountVectorizer
+
+        cv = CountVectorizer().fit(self._docs(), "text")
+        assert set(cv.vocab_) == {"hot", "warm", "cold", "rare"}
+
+    def test_ordinal_max_categories(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.encoders import OrdinalEncoder
+
+        vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 1
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(3)
+        enc = OrdinalEncoder(max_categories=2).fit(ds, "x")
+        assert set(enc.mapping_) == {"a", "b"}
+        out = enc.transform(ds, "x", "code").to_pandas()
+        assert (out.loc[out["x"] == "c", "code"] == -1.0).all()
+
+    def test_onehot_max_categories_zero_vector(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.encoders import OneHotEncoder
+
+        vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 1
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(3)
+        enc = OneHotEncoder(max_categories=2).fit(ds, "x")
+        assert set(enc.mapping_) == {"a", "b"}
+        out = enc.transform(ds, "x", "v").to_pandas()
+        c_rows = out[out["x"] == "c"]["v"]
+        assert all(np.asarray(v).sum() == 0 for v in c_rows)
+
+    def test_capped_weighted_fit_rejected(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import CountVectorizer
+
+        with pytest.raises(NotImplementedError):
+            CountVectorizer(min_df=2).fit(self._docs(), "text",
+                                          weight_col="w")
