@@ -150,8 +150,110 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Skew-stress bench (BASELINE.md): the SAME flagship job on a uniform
+    stream vs one with a 90%-hot ``source`` key, plus ``dedup_minhash`` on
+    the fixture corpus vs one where 20% of docs are a single boilerplate
+    paragraph (one giant LSH group → the star-cap path).  Pass bar: skewed
+    throughput within 1.5× of uniform at the same scale."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "240"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from diffdataflowmlpipelines_ray.pipelines import queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.flagship import run_flagship
+    from diffdataflowmlpipelines_ray.sources.tokenized import tokenized_dataset
+
+    tokenized_dataset(sf_dir, replicate=1,
+                      parallelism=num_cpus * 2).materialize()  # warm pool
+
+    def flagship_once(hot):
+        best = None
+        for _ in range(2):
+            root = tempfile.mkdtemp(prefix="ddmlp-skew-", dir="/tmp")
+            t0 = time.perf_counter()
+            res = run_flagship(sf_dir, root, n_epochs=4,
+                               num_shards=max(2, num_cpus // 4),
+                               replicate=replicate,
+                               parallelism=num_cpus * 2,
+                               hot_source_frac=hot)
+            dt = time.perf_counter() - t0
+            shutil.rmtree(root, ignore_errors=True)
+            best = dt if best is None else min(best, dt)
+        return best, res
+
+    # one UNTIMED full pass first: worker spawn + import + shuffle-pool
+    # warmup otherwise lands entirely on whichever variant runs first
+    warm_root = tempfile.mkdtemp(prefix="ddmlp-skew-", dir="/tmp")
+    run_flagship(sf_dir, warm_root, n_epochs=4,
+                 num_shards=max(2, num_cpus // 4),
+                 replicate=max(1, replicate // 4),
+                 parallelism=num_cpus * 2)
+    shutil.rmtree(warm_root, ignore_errors=True)
+
+    uni_s, res = flagship_once(None)
+    hot_s, _ = flagship_once(0.9)
+
+    # boilerplate-hot documents corpus for the dedup path
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    boiler = ("lorem ipsum boilerplate navigation footer subscribe to our "
+              "newsletter terms of service privacy policy all rights "
+              "reserved contact us about careers press")
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    text = np.asarray(docs["text"].to_pylist(), dtype=object)
+    text[ids % 5 == 0] = boiler
+    skew_dir = tempfile.mkdtemp(prefix="ddmlp-skewdocs-", dir="/tmp")
+    pq.write_table(
+        docs.set_column(docs.schema.get_field_index("text"), "text",
+                        pa.array(text, type=pa.string())),
+        f"{skew_dir}/documents.parquet")
+
+    def dedup_once(d):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            Q.QUERIES["dedup_minhash"](d)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    dd_uni = dedup_once(sf_dir)
+    dd_hot = dedup_once(skew_dir)
+    shutil.rmtree(skew_dir, ignore_errors=True)
+
+    out = {
+        "metric": "skew stress: hot source key (90%) + boilerplate dedup (20%)",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_uniform_sec": round(uni_s, 3),
+        "flagship_hotkey_sec": round(hot_s, 3),
+        "flagship_slowdown": round(hot_s / uni_s, 3),
+        "sequences_per_sec_hot": round(res["sequences"] / hot_s, 1),
+        "dedup_minhash_uniform_sec": round(dd_uni, 3),
+        "dedup_minhash_boilerplate_sec": round(dd_hot, 3),
+        "dedup_slowdown": round(dd_hot / dd_uni, 3),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

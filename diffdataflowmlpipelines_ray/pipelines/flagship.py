@@ -84,7 +84,8 @@ def token_features_table(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
 def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
                  num_shards: int = 4, n_buckets: int = 64,
                  replicate: int = 1, parallelism: int | None = None,
-                 window_agg: bool = True) -> dict:
+                 window_agg: bool = True,
+                 hot_source_frac: float | None = None) -> dict:
     """Run the full flagship stream; returns counters + the session.
 
     Alongside the incremental encoders, a watermark-driven tumbling-window
@@ -92,7 +93,8 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
     the reference's epochs ARE degenerate tumbling windows, SURVEY §2.1)
     runs over the same stream and commits to its own exactly-once sink.
     """
-    ds = tokenized_dataset(sf_dir, replicate=replicate, parallelism=parallelism)
+    ds = tokenized_dataset(sf_dir, replicate=replicate, parallelism=parallelism,
+                           hot_source_frac=hot_source_frac)
     # materialize the tokenized stream once; epochs stream from the object
     # store (a real deployment reads one parquet directory per epoch)
     epochs = epoch_datasets(ds.materialize(), n_epochs)

@@ -55,7 +55,8 @@ def derive_tokenized(tbl: pa.Table, vocab_size: int = VOCAB_SIZE) -> pa.Table:
 
 
 def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
-                      replicate: int = 1, parallelism: int | None = None):
+                      replicate: int = 1, parallelism: int | None = None,
+                      hot_source_frac: float | None = None):
     """Ray Dataset of tokenized sequences derived from ``documents.parquet``
     (columns pruned at the read).
 
@@ -64,6 +65,11 @@ def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
     ``parallelism`` repartitions the small source table before the CPU-heavy
     tokenize stage so it fans out across the cluster (a single parquet file
     otherwise yields a single block → a single task).
+
+    ``hot_source_frac``: deterministically rewrite that fraction of rows'
+    ``source`` to one hot key (``"web"``) — the skew-stress input for the
+    keyed window aggregate / OneHot fit / shard state paths (BASELINE.md
+    skew bench).
     """
     import math
 
@@ -99,6 +105,15 @@ def tokenized_dataset(sf_dir: str, vocab_size: int = VOCAB_SIZE,
             tok = tok.set_column(
                 tok.schema.get_field_index("doc_id"), "doc_id", new_id
             )
+        if hot_source_frac:
+            # deterministic by doc_id hash: the same rows are hot on every
+            # run and at every parallelism; Arrow if_else, no Python rows
+            h = fast_hash64_array(tok["doc_id"], seed=7)
+            hot = pa.array((h % np.uint64(1000))
+                           < np.uint64(int(hot_source_frac * 1000)))
+            src = pc.if_else(hot, pa.scalar("web"), tok["source"])
+            tok = tok.set_column(
+                tok.schema.get_field_index("source"), "source", src)
         return tok
 
     return ds.map_batches(prep, batch_format="pyarrow")
