@@ -572,6 +572,35 @@ def q_pattern_match(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["ts_0", "ts_1", "ts_2"])
 
 
+def q_absence_detect(sf_dir: str) -> pd.DataFrame:
+    """CEP negation (timeout detection): clicks with NO purchase by the
+    same user within 1 day, emitted incrementally as the watermark
+    finalizes each click — the complement of `pattern_match`.  Oracle:
+    relational NOT EXISTS over the same interval."""
+    from ..streaming.engine import AbsenceDetect
+
+    tbl = _read_table(sf_dir, "events",
+                      ["user_id", "event_type", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("absn"), num_shards=4)
+    sess.add(AbsenceDetect(name="a", input="events", key_cols=["user_id"],
+                           ts_col="ts", type_col="event_type",
+                           first="click", absent="purchase",
+                           within=86400.0))
+    try:
+        parts = _epoch_split(tbl, 3)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        df = sess.sinks["a"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    return _round(df, ["ts"])
+
+
 def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
     ones = pa.array(np.ones(tbl.num_rows, dtype=np.int64))
@@ -1336,6 +1365,35 @@ def q_global_rank(sf_dir: str) -> pd.DataFrame:
     df = (out.select_columns(["event_id", "rnk"]).to_pandas()
           .sort_values("event_id").reset_index(drop=True))
     df["rnk"] = df["rnk"].astype(np.int64)
+    return df
+
+
+def q_grouped_mad(sf_dir: str) -> pd.DataFrame:
+    """Per-group median absolute deviation (robust scale) — DuckDB ``mad``
+    semantics (interpolated medians); one hash(group) bucket shuffle, two
+    vectorized quantile passes in the bucket task."""
+    from ..stages.relational import grouped_mad
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_mad(ds, ["event_type"], "value")
+    out["mad"] = np.round(out["mad"], 6)
+    return out
+
+
+def q_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact global percent_rank over (acctbal, custkey) — (rank − 1)/(n − 1)
+    on the distributed ``global_rank`` (no global sort; the custkey tiebreak
+    makes every row its own peer group, so window percent_rank equals the
+    row_number form)."""
+    from ..stages.relational import global_rank
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = global_rank(ds, "c_acctbal", tiebreak=["c_custkey"], partitions=16)
+    df = (out.select_columns(["c_custkey", "rnk"]).to_pandas()
+          .sort_values("c_custkey").reset_index(drop=True))
+    n = len(df)
+    df["pr"] = np.round((df.pop("rnk").to_numpy(dtype=np.float64) - 1.0)
+                        / (n - 1), 6)
     return df
 
 
@@ -2527,6 +2585,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
+    "absence_detect": q_absence_detect,
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
@@ -2554,6 +2613,8 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "string_agg": q_string_agg,
     "global_rank": q_global_rank,
+    "grouped_mad": q_grouped_mad,
+    "percent_rank": q_percent_rank,
     "quality_filter": q_quality_filter,
     "ntile_deciles": q_ntile_deciles,
     "vec_stats": q_vec_stats,
@@ -2768,6 +2829,16 @@ ORACLES = {
                      AND epoch(c.ts) <= epoch(a.ts) + 86400
                      AND c.event_type = 'purchase'
         WHERE a.event_type = 'click'
+    """,
+    "absence_detect": """
+        SELECT a.user_id, ROUND(epoch(a.ts), 6) AS ts
+        FROM events a
+        WHERE a.event_type = 'click'
+          AND NOT EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+              AND b.ts > a.ts
+              AND epoch(b.ts) <= epoch(a.ts) + 86400)
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
@@ -3011,6 +3082,17 @@ ORACLES = {
                row_number() OVER (ORDER BY value, event_id) AS rnk
         FROM events
         ORDER BY event_id
+    """,
+    "grouped_mad": """
+        SELECT event_type, ROUND(mad(value), 6) AS mad
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "percent_rank": """
+        SELECT c_custkey,
+               ROUND(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),
+                     6) AS pr
+        FROM customer
+        ORDER BY c_custkey
     """,
     "quality_filter": """
         SELECT doc_id, n_chars

@@ -25,7 +25,7 @@ from ..functions.vectors import half_away
 
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
-           "latest_per_key", "exact_global_quantiles", "global_rank",
+           "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
            "build_bloom", "bloom_prefilter"]
 
 
@@ -335,6 +335,34 @@ def grouped_quantiles(ds, group_cols: Sequence[str], value_col: str,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(quant, batch_format="pandas")
+            .to_pandas().sort_values(groups).reset_index(drop=True))
+
+
+def grouped_mad(ds, group_cols: Sequence[str], value_col: str,
+                buckets: int = 64, out_col: str = "mad"):
+    """Exact per-group median absolute deviation (DuckDB ``mad`` semantics:
+    median(|x − median(x)|), interpolated medians) — the robust-scale twin
+    of ``grouped_quantiles``, same one-shuffle group co-location, two
+    vectorized quantile passes inside the bucket task."""
+    groups = list(group_cols)
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(groups).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return tbl.append_column(
+            "__bucket", pa.array((h % np.uint64(buckets)).astype(np.int64)))
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        def one(v: pd.Series) -> float:
+            x = v.to_numpy(dtype=np.float64)
+            med = np.quantile(x, 0.5)
+            return float(np.quantile(np.abs(x - med), 0.5))
+
+        out = pdf.groupby(groups)[value_col].apply(one).rename(out_col)
+        return out.reset_index()
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(mad, batch_format="pandas")
             .to_pandas().sort_values(groups).reset_index(drop=True))
 
 

@@ -49,6 +49,7 @@ __all__ = [
     "KeyedAggregation",
     "SessionWindowAggregation",
     "PatternMatch",
+    "AbsenceDetect",
     "StreamJoin",
     "EnrichJoin",
     "StreamDedup",
@@ -427,6 +428,77 @@ class PatternMatch:
 
 
 @dataclass
+class AbsenceDetect:
+    """CEP negation: emit each ``first``-type event with NO ``absent``-type
+    event on the same key within ``within`` seconds after it — timeout /
+    non-occurrence detection ("click with no purchase inside the window",
+    "heartbeat with no follow-up").
+
+    Watermark-driven and exactly-once: a ``first`` event at ``t`` is
+    finalizable only when the watermark passes ``t + within`` (no future
+    ``absent`` event can still cancel it), at which point it either emits
+    (no canceller in state) or is dropped, and state older than the bound
+    is swept — retention = ``within``, the same contract as
+    ``PatternMatch``.  Multiset semantics: ``k`` copies of an uncancelled
+    ``first`` event emit ``k`` rows, exactly like the relational
+    ``NOT EXISTS`` oracle.
+    """
+
+    name: str
+    input: str
+    key_cols: Sequence[str]
+    ts_col: str
+    type_col: str
+    first: str            # the event type being watched
+    absent: str           # the type whose ABSENCE within the window emits
+    within: float
+    allowed_lateness: float = 0.0
+
+    def __post_init__(self):
+        if self.within <= 0:
+            raise ValueError("within must be positive")
+        if self.first == self.absent:
+            raise ValueError("first and absent must be distinct types")
+
+    def points_batch(self, tbl: pa.Table, finalized_before: float
+                     ) -> tuple[dict, int]:
+        """→ ({key: [(ts, type)…]}, late) — only the two watched types are
+        buffered; events at or before the finalize bound are late."""
+        cols = list(self.key_cols) + [self.ts_col, self.type_col]
+        pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
+        ts = _ts_to_float(pdf[self.ts_col])
+        types = pdf[self.type_col].to_numpy()
+        bound = finalized_before - self.within - self.allowed_lateness
+        keep = (ts > bound) & ((types == self.first) | (types == self.absent))
+        late = int(((ts <= bound) & ((types == self.first)
+                                     | (types == self.absent))).sum())
+        pdf, ts, types = pdf[keep], ts[keep], types[keep]
+        out: dict[bytes, list] = {}
+        frame = pdf[list(self.key_cols)].copy()
+        frame["__pos"] = np.arange(len(frame))
+        for key, grp in frame.groupby(list(self.key_cols), sort=True,
+                                      dropna=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            pos = grp["__pos"].to_numpy()
+            out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(),
+                                              types[pos].tolist()))
+        return out, late
+
+    def rows_to_table(self, items: list, epoch: int) -> pa.Table:
+        recs = []
+        for kb, ts in items:
+            key = pickle.loads(kb)
+            rec = dict(zip(self.key_cols, key))
+            rec["ts"] = ts
+            rec["epoch"] = epoch
+            recs.append(rec)
+        if not recs:
+            names = list(self.key_cols) + ["ts", "epoch"]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+@dataclass
 class StreamJoin:
     """Stateful symmetric hash join keyed by arbitrary columns.
 
@@ -685,8 +757,8 @@ class StreamSession:
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
-        elif isinstance(op, (StreamJoin, PatternMatch, EnrichJoin,
-                             StreamDedup)):
+        elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
+                             EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         return self
@@ -1314,7 +1386,7 @@ class StreamSession:
                     # no driver-side per-key merge
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="session")
-            elif isinstance(op, PatternMatch):
+            elif isinstance(op, (PatternMatch, AbsenceDetect)):
                 if op.input not in inputs:
                     continue
                 data = inputs[op.input]
@@ -1496,6 +1568,19 @@ class StreamSession:
                 bound = self.watermark - op.allowed_lateness
                 items = self.store.sweep_pattern_matches(
                     name, bound, list(op.pattern), op.within
+                )
+                tbl = op.rows_to_table(items, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [tbl],
+                    meta=self._meta(watermark=self.watermark, op=name,
+                                    metrics=dict(self.metrics)),
+                )
+                emitted[name] = tbl
+                self.metrics["emitted_rows"] += tbl.num_rows
+            elif isinstance(op, AbsenceDetect):
+                bound = self.watermark - op.allowed_lateness
+                items = self.store.sweep_absence(
+                    name, bound, op.first, op.absent, op.within
                 )
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(

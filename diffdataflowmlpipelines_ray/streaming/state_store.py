@@ -415,6 +415,37 @@ class StateShard:
         emitted.sort()
         return _dumps(emitted)
 
+    def sweep_absence(self, name: str, watermark: float, first: str,
+                      absent: str, within: float) -> bytes:
+        """Emit (key, ts) for every finalizable ``first`` event (ts ≤
+        watermark − within) with NO ``absent`` event in (ts, ts + within],
+        then drop events at or before the bound.  Multiset semantics: count
+        copies emit count rows.  Shares the pattern point state — events
+        arrive via ``apply_pattern_points`` under this op's name."""
+        store = self.patterns.get(name, {})
+        bound = watermark - within
+        emitted = []
+        for key in list(store.keys()):
+            pts = store[key]
+            absents = sorted(ts for (ts, typ), c in pts.items()
+                             if typ == absent and c > 0)
+            import bisect
+
+            for (ts, typ), c in sorted(pts.items()):
+                if typ != first or ts > bound:
+                    continue
+                # any canceller in (ts, ts + within]?
+                i = bisect.bisect_right(absents, ts)
+                if i < len(absents) and absents[i] <= ts + within:
+                    continue
+                emitted.extend([(key, float(ts))] * c)
+            for k in [k for k in pts if k[0] <= bound]:
+                del pts[k]
+            if not pts:
+                del store[key]
+        emitted.sort()
+        return _dumps(emitted)
+
     # ------------------------------------------------------- stream-stream join
     def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
         """Symmetric hash join step for this shard — fully vectorized.
@@ -707,6 +738,19 @@ class ShardedStateStore:
         blobs = ray.get([
             s.sweep_pattern_matches.remote(name, watermark, list(pattern),
                                            within)
+            for s in self.shards
+        ])
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    def sweep_absence(self, name: str, watermark: float, first: str,
+                      absent: str, within: float) -> list:
+        self.fence()
+        blobs = ray.get([
+            s.sweep_absence.remote(name, watermark, first, absent, within)
             for s in self.shards
         ])
         out = []

@@ -547,3 +547,19 @@ class TestCCTwoLevel:
         want = connected_components(edges).to_pandas()
         got = connected_components_ds(edges).to_pandas()
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestGroupedMad:
+    def test_matches_numpy(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import grouped_mad
+
+        rng = np.random.default_rng(5)
+        g = rng.choice(["a", "b", "c"], 500)
+        v = rng.normal(size=500) * 10
+        ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(4)
+        out = grouped_mad(ds, ["g"], "v").set_index("g")["mad"]
+        for key in "abc":
+            x = v[g == key]
+            med = np.quantile(x, 0.5)
+            want = np.quantile(np.abs(x - med), 0.5)
+            assert out[key] == pytest.approx(want, rel=1e-12)

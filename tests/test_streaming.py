@@ -1995,3 +1995,86 @@ class TestEnrichJoinAdviceR3:
         assert got == {100: 10, 101: 20, 200: 10, 201: 20,
                        300: None, 301: 20}
         assert keys == 1
+
+
+class TestAbsenceDetect:
+    """CEP negation: first-type events with NO absent-type event within the
+    window, watermark-finalized, exactly-once."""
+
+    @staticmethod
+    def _ev(rows):
+        u, typ, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "event_type": pa.array(typ, type=pa.string()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def _op(self, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import AbsenceDetect
+
+        return AbsenceDetect(name="ab", input="ev", key_cols=["u"],
+                             ts_col="ts", type_col="event_type",
+                             first="click", absent="purchase",
+                             within=10.0, **kw)
+
+    def test_emits_only_uncancelled_and_is_incremental(self, ray_session,
+                                                       tmp_path):
+        sess = StreamSession(tmp_path / "ab1", num_shards=3)
+        sess.add(self._op())
+        # u1: click@1 cancelled by purchase@5; u2: click@2 uncancelled;
+        # u3: click@3 with purchase@20 OUTSIDE the window → emits
+        sess.process_epoch(0, {"ev": self._ev([
+            (1, "click", 1.0), (1, "purchase", 5.0),
+            (2, "click", 2.0), (3, "click", 3.0),
+            (2, "view", 4.0),                      # irrelevant type ignored
+        ])}, watermark=4.0)   # nothing finalizable yet (4 < ts+10)
+        assert sess.sinks["ab"].read_committed_table().num_rows == 0
+        sess.process_epoch(1, {"ev": self._ev([(3, "purchase", 20.0)])},
+                           watermark=13.0)  # finalizes ts ≤ 3
+        mid = sess.sinks["ab"].read_committed_table().to_pandas()
+        # u2@2 and u3@3 emit (u3's purchase@20 is outside (3, 13])
+        got_mid = sorted(zip(mid["u"], mid["ts"]))
+        assert got_mid == [(2, 2.0), (3, 3.0)]
+        sess.process_epoch(2, {"ev": self._ev([(4, "click", 30.0)])},
+                           watermark=100.0)  # flush everything
+        df = sess.sinks["ab"].read_committed_table().to_pandas()
+        keys = sum(st["agg_keys"].get("ab", 0) for st in sess.store.stats())
+        sess.store.shutdown()
+        got = sorted(zip(df["u"], df["ts"]))
+        assert got == [(2, 2.0), (3, 3.0), (4, 30.0)]
+
+    def test_multiset_and_late_drop(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "ab2", num_shards=2)
+        sess.add(self._op(allowed_lateness=0.0))
+        # two copies of the same uncancelled click → two rows
+        sess.process_epoch(0, {"ev": self._ev([
+            (7, "click", 1.0), (7, "click", 1.0)])}, watermark=12.0)
+        # a late click at ts 0.5 (≤ 12−10) arrives after finalization → drop
+        sess.process_epoch(1, {"ev": self._ev([(7, "click", 0.5)])},
+                           watermark=50.0)
+        df = sess.sinks["ab"].read_committed_table().to_pandas()
+        late = sess.metrics["late_dropped"]
+        sess.store.shutdown()
+        assert sorted(df["ts"]) == [1.0, 1.0]
+        assert late >= 1
+
+    def test_dataset_epoch_path_matches_table_path(self, ray_session,
+                                                   tmp_path):
+        import ray.data as rd
+
+        rows = [(u, "click", float(u)) for u in range(1, 21)]
+        rows += [(u, "purchase", float(u) + 5.0) for u in range(1, 21, 2)]
+        sess_t = StreamSession(tmp_path / "abT", num_shards=3)
+        sess_t.add(self._op())
+        sess_t.process_epoch(0, {"ev": self._ev(rows)}, watermark=1000.0)
+        want = (sess_t.sinks["ab"].read_committed_table().to_pandas()
+                [["u", "ts"]].sort_values(["u", "ts"]).reset_index(drop=True))
+        sess_t.store.shutdown()
+
+        sess_d = StreamSession(tmp_path / "abD", num_shards=3)
+        sess_d.add(self._op())
+        sess_d.process_epoch(0, {"ev": rd.from_arrow(self._ev(rows))
+                                 .repartition(4)}, watermark=1000.0)
+        got = (sess_d.sinks["ab"].read_committed_table().to_pandas()
+               [["u", "ts"]].sort_values(["u", "ts"]).reset_index(drop=True))
+        sess_d.store.shutdown()
+        pd.testing.assert_frame_equal(got, want)
