@@ -21,34 +21,76 @@ import pyarrow as pa
 
 import ray
 
-from ..functions.hashing import stable_hash60_array
+from ..functions.hashing import fast_hash64_array
 from ..functions.vectors import list_array_from_2d, list_column_to_2d
 
 __all__ = ["kmeans_fit", "kmeans_assign"]
 
 
 def _init_centroids(ds, emb_col: str, id_col: str, k: int) -> np.ndarray:
-    """k seed vectors = rows with the k smallest stable id hashes.
+    """Deterministic farthest-point (max-min) seeding — the greedy twin of
+    k-means++ with no RNG state.
 
-    Per-block partial top-k (k rows each) → driver merge of ≤ blocks×k rows;
-    deterministic and parallelism-invariant (ties cannot happen: the hash is
-    of distinct ids)."""
+    Seed 1 = the row with the globally smallest id hash; each further seed
+    = the row maximizing its distance to the chosen set (tiebreak: smaller
+    id hash).  Every pass is map-only (per-block partial argmax, the
+    centroid set broadcast once via ``ray.put``; distances via the
+    ‖x‖²+‖c‖²−2x·c matmul form, O(n·k) memory per block, never n×k×d);
+    the driver merges ≤ blocks candidate rows per pass.  k−1 extra passes
+    buy seeds that split well-separated clusters correctly — the smallest-
+    hash-only init (r2) could drop two seeds in one blob and converge to a
+    bad local optimum.  Parallelism-invariant: block boundaries cannot
+    change an argmax with a total-order tiebreak.  Vectorized xxhash — this
+    touches EVERY row and no SQL oracle reproduces the seeding (kmeans
+    queries are rows-only)."""
+    import ray
 
-    def block_topk(tbl: pa.Table) -> pa.Table:
+    def hashes(tbl: pa.Table) -> np.ndarray:
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        h = stable_hash60_array(ids.astype(str))
-        idx = np.argsort(h)[:k]
-        return pa.table({
-            "__h": pa.array(h[idx]),
-            emb_col: tbl.take(pa.array(idx))[emb_col],
-        })
+        return fast_hash64_array(ids.astype(str))
 
-    parts = pa.concat_tables(
-        list(ds.map_batches(block_topk, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow"))
-    )
-    order = np.argsort(parts["__h"].to_numpy(zero_copy_only=False))[:k]
-    return list_column_to_2d(parts[emb_col].take(pa.array(order)))
+    def first_block(tbl: pa.Table) -> pa.Table:
+        h = hashes(tbl)
+        i = int(np.argmin(h))
+        return pa.table({"__h": pa.array(h[i : i + 1]),
+                         emb_col: tbl.take(pa.array([i]))[emb_col]})
+
+    # k map-only passes re-reading the (column-pruned) source — same access
+    # pattern as the Lloyd iterations; materializing 100 TB into the object
+    # store to save re-reads would force a full spill instead
+    mat = ds
+    parts = pa.concat_tables(list(
+        mat.map_batches(first_block, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    i0 = int(np.argmin(parts["__h"].to_numpy(zero_copy_only=False)))
+    cents = [list_column_to_2d(parts[emb_col].take(pa.array([i0])))[0]]
+
+    for _ in range(k - 1):
+        cref = ray.put(np.stack(cents))
+
+        def far_block(tbl: pa.Table) -> pa.Table:
+            X = list_column_to_2d(tbl[emb_col])
+            C = ray.get(cref)
+            d2 = ((X * X).sum(1)[:, None] + (C * C).sum(1)[None, :]
+                  - 2.0 * (X @ C.T)).min(axis=1)
+            h = hashes(tbl)
+            # per-block best: max distance, tie → smaller hash
+            best = np.lexsort((h, -d2))[0]
+            return pa.table({
+                "__d": pa.array(d2[best : best + 1]),
+                "__h": pa.array(h[best : best + 1]),
+                emb_col: tbl.take(pa.array([int(best)]))[emb_col],
+            })
+
+        cand = pa.concat_tables(list(
+            mat.map_batches(far_block, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")))
+        d = cand["__d"].to_numpy(zero_copy_only=False)
+        h = cand["__h"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((h, -d))[0]
+        cents.append(list_column_to_2d(
+            cand[emb_col].take(pa.array([int(best)])))[0])
+    return np.stack(cents)
 
 
 def kmeans_fit(ds, emb_col: str = "embedding", id_col: str = "vec_id",

@@ -2078,3 +2078,40 @@ class TestAbsenceDetect:
                [["u", "ts"]].sort_values(["u", "ts"]).reset_index(drop=True))
         sess_d.store.shutdown()
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestAbsenceDetectResume:
+    def test_crash_resume_pending_firsts_survive(self, ray_session, tmp_path):
+        """A pending (not yet finalizable) click must survive a crash: after
+        resume it still cancels on a purchase, and an uncancelled one still
+        emits exactly once."""
+        from diffdataflowmlpipelines_ray.streaming.engine import AbsenceDetect
+
+        def op():
+            return AbsenceDetect(name="ab", input="ev", key_cols=["u"],
+                                 ts_col="ts", type_col="event_type",
+                                 first="click", absent="purchase",
+                                 within=10.0)
+
+        def ev(rows):
+            u, typ, ts = zip(*rows)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "event_type": pa.array(typ, type=pa.string()),
+                             "ts": pa.array(ts, type=pa.float64())})
+
+        root = tmp_path / "abr"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(op())
+        sess.process_epoch(0, {"ev": ev([(1, "click", 1.0),
+                                         (2, "click", 2.0)])}, watermark=3.0)
+        sess.store.shutdown()  # crash after epoch-0 checkpoint
+
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(op())
+        assert sess2.resume() == 1
+        # u1's click cancels post-resume; u2's does not
+        sess2.process_epoch(1, {"ev": ev([(1, "purchase", 5.0)])},
+                            watermark=50.0)
+        df = sess2.sinks["ab"].read_committed_table().to_pandas()
+        sess2.store.shutdown()
+        assert sorted(zip(df["u"], df["ts"])) == [(2, 2.0)]
