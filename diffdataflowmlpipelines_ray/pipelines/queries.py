@@ -652,6 +652,41 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"id": "doc_id"})
 
 
+def q_incremental_components(sf_dir: str) -> pd.DataFrame:
+    """Incremental iterate: the chain edge set streams in 3 epochs SPLIT BY
+    doc_id % 3 so every chain's edges arrive across different epochs —
+    components merge incrementally and the op emits ±1 label deltas
+    (retraction of the old label + insert of the new).  The materialized
+    running sum must equal the batch `connected_components` oracle."""
+    from ..streaming.engine import IncrementalComponents
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 < 4
+        return pa.table({"id_lo": pa.array(ids[keep]),
+                         "id_hi": pa.array(ids[keep] + 1)})
+
+    etbl = pa.concat_tables(list(
+        ds.map_batches(edges, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    lo = etbl["id_lo"].to_numpy(zero_copy_only=False)
+    sess = StreamSession(_tmp("icc"), num_shards=4)
+    sess.add(IncrementalComponents(name="cc", input="e"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"e": etbl.filter(pa.array(lo % 3 == e))})
+        df = sess.sinks["cc"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = df.groupby(["id", "component"])["diff"].sum().reset_index()
+    net = net[net["diff"] != 0].drop(columns="diff")
+    return (net.rename(columns={"id": "doc_id"})
+            .sort_values("doc_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -2587,6 +2622,7 @@ QUERIES = {
     "pattern_match": q_pattern_match,
     "absence_detect": q_absence_detect,
     "connected_components": q_connected_components,
+    "incremental_components": q_incremental_components,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -2844,6 +2880,10 @@ ORACLES = {
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
     """,
     "connected_components": """
+        SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
+        FROM documents WHERE doc_id % 10 <= 4
+    """,
+    "incremental_components": """
         SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
         FROM documents WHERE doc_id % 10 <= 4
     """,

@@ -50,6 +50,7 @@ __all__ = [
     "SessionWindowAggregation",
     "PatternMatch",
     "AbsenceDetect",
+    "IncrementalComponents",
     "StreamJoin",
     "EnrichJoin",
     "StreamDedup",
@@ -499,6 +500,50 @@ class AbsenceDetect:
 
 
 @dataclass
+class IncrementalComponents:
+    """Incremental connected components — the DD ``iterate`` primitive
+    maintained ACROSS epochs instead of recomputed: each epoch's new edges
+    update a union-find with min-id labels, and the op emits a consolidated
+    multiset delta of ``(diff ±1, id, component)`` rows — the timestamped
+    retraction stream whose running sum is the current component table
+    (materialize with ``SUM(diff) GROUP BY id, component`` and keep net>0).
+
+    State is ONE union-find in one designated shard (a connected component
+    is global by nature): the candidate-bounded regime — verified dedup
+    pairs, entity-resolution graphs — the same bound as the batch driver
+    tier; unbounded raw-corpus graphs belong to the batch two-level
+    ``connected_components_ds``.  Deterministic (sorted edge application)
+    and replay-idempotent (epoch high-water mark + idempotent sink)."""
+
+    name: str
+    input: str
+    lo_col: str = "id_lo"
+    hi_col: str = "id_hi"
+
+    def edges_from(self, tbl: pa.Table) -> list:
+        lo = tbl[self.lo_col].to_numpy(zero_copy_only=False)
+        hi = tbl[self.hi_col].to_numpy(zero_copy_only=False)
+        return list(zip(lo.tolist(), hi.tolist()))
+
+    def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
+        if not deltas:
+            return pa.table({
+                "diff": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64()),
+                "component": pa.array([], type=pa.int64()),
+                "epoch": pa.array([], type=pa.int64()),
+            })
+        d, n, c = zip(*deltas)
+        k = len(deltas)
+        return pa.table({
+            "diff": pa.array(list(d), type=pa.int64()),
+            "id": pa.array(list(n), type=pa.int64()),
+            "component": pa.array(list(c), type=pa.int64()),
+            "epoch": pa.array([epoch] * k, type=pa.int64()),
+        })
+
+
+@dataclass
 class StreamJoin:
     """Stateful symmetric hash join keyed by arbitrary columns.
 
@@ -758,7 +803,7 @@ class StreamSession:
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
-                             EnrichJoin, StreamDedup)):
+                             IncrementalComponents, EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         return self
@@ -1401,6 +1446,20 @@ class StreamSession:
                     # one groupby(shard) shuffle straight to the shard actors
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="pattern")
+            elif isinstance(op, IncrementalComponents):
+                if op.input not in inputs:
+                    continue
+                # edge deltas are narrow (16 B/row) and the union-find is one
+                # logical graph: the epoch's edges collapse to a Table and
+                # ride one actor call to the op's designated shard
+                tbl = self._as_table(inputs[op.input])
+                deltas = self.store.apply_cc_edges(
+                    op.name, epoch, op.edges_from(tbl))
+                out_tbl = op.rows_to_table(deltas, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [out_tbl], meta=self._meta(kind="cc"))
+                emitted[name] = out_tbl
+                self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, EnrichJoin):
                 dim = inputs.get(op.dim_input)
                 if dim is not None:

@@ -65,6 +65,9 @@ class StateShard:
         self.patterns: dict[str, dict[bytes, dict]] = {}
         # pane-mode sliding windows: name -> last emitted sweep bound
         self.pane_bounds: dict[str, float] = {}
+        # incremental connected components: name -> union-find
+        # {"parent": {}, "members": {}, "label": {}}
+        self.graphs: dict[str, dict] = {}
         # idempotency: table name -> applied-epoch high-water mark (epochs
         # arrive in increasing order; a replay/retry re-sends an epoch ≤ the
         # mark).  An int, not a set — a 10^12-sequence stream has millions of
@@ -446,6 +449,74 @@ class StateShard:
         emitted.sort()
         return _dumps(emitted)
 
+    # --------------------------------------------- incremental iterate (CC)
+    def apply_cc_edges(self, name: str, epoch: int, payload: bytes) -> bytes:
+        """Incremental connected components — the DD ``iterate`` primitive
+        maintained across epochs.  State is a union-find with min-id labels
+        and per-root member lists (smaller-into-larger merges); each epoch's
+        new edges produce a CONSOLIDATED multiset delta of label rows:
+        ``(+1, id, new_label)`` / ``(−1, id, old_label)`` — the timestamped
+        retraction stream whose running sum IS the current component table.
+        Deterministic (edges applied in sorted order, deltas sorted) and
+        replay-idempotent (epoch high-water mark; replays return an empty
+        delta and the sink skips the already-committed epoch).
+
+        One logical graph lives in ONE shard by design: union-find state is
+        O(nodes-in-edge-stream), the candidate-bounded regime (verified
+        dedup pairs, entity graphs) — the same bound as the batch driver
+        tier (``_CC_DRIVER_MAX_PAIRS``); unbounded raw-corpus graphs belong
+        to the batch ``connected_components_ds`` contraction path."""
+        if self._seen(f"cc:{name}", epoch):
+            return _dumps([])
+        g = self.graphs.setdefault(
+            name, {"parent": {}, "members": {}, "label": {}})
+        parent, members, label = g["parent"], g["members"], g["label"]
+        net: dict[tuple, int] = {}
+
+        def emit(diff, node, lab):
+            k = (node, lab)
+            net[k] = net.get(k, 0) + diff
+            if net[k] == 0:
+                del net[k]
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for lo, hi in sorted(pickle.loads(payload)):
+            for node in (int(lo), int(hi)):
+                if node not in parent:
+                    parent[node] = node
+                    members[node] = [node]
+                    label[node] = node
+                    emit(1, node, node)
+            ra, rb = find(int(lo)), find(int(hi))
+            if ra == rb:
+                continue
+            if len(members[ra]) < len(members[rb]):
+                ra, rb = rb, ra
+            la, lb = label[ra], label[rb]
+            new_label = min(la, lb)
+            if la != new_label:
+                for node in members[ra]:
+                    emit(-1, node, la)
+                    emit(1, node, new_label)
+            if lb != new_label:
+                for node in members[rb]:
+                    emit(-1, node, lb)
+                    emit(1, node, new_label)
+            parent[rb] = ra
+            members[ra].extend(members[rb])
+            del members[rb]
+            label[ra] = new_label
+            del label[rb]
+        out = sorted((node, lab, diff) for (node, lab), diff in net.items())
+        return _dumps([(d, n, lb) for n, lb, d in out])
+
     # ------------------------------------------------------- stream-stream join
     def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
         """Symmetric hash join step for this shard — fully vectorized.
@@ -521,6 +592,7 @@ class StateShard:
                 "joins": self.joins,
                 "patterns": self.patterns,
                 "pane_bounds": self.pane_bounds,
+                "graphs": self.graphs,
                 "applied": self.applied,
             }
         )
@@ -533,6 +605,7 @@ class StateShard:
         self.joins = st["joins"]
         self.patterns = st.get("patterns", {})
         self.pane_bounds = st.get("pane_bounds", {})
+        self.graphs = st.get("graphs", {})
         applied = st["applied"]
         # tolerate snapshots from the earlier set-based format
         self.applied = {
@@ -745,6 +818,15 @@ class ShardedStateStore:
             out.extend(pickle.loads(b))
         out.sort(key=lambda kv: (kv[0], kv[1]))
         return out
+
+    def apply_cc_edges(self, name: str, epoch: int, edges: list) -> list:
+        """Route the epoch's edge delta to the op's single designated shard
+        (union-find is one logical graph; see StateShard.apply_cc_edges)."""
+        self.fence()
+        sid = shard_of(name.encode(), self.num_shards)
+        blob = ray.get(self.shards[sid].apply_cc_edges.remote(
+            name, epoch, _dumps(sorted(map(tuple, edges)))))
+        return pickle.loads(blob)
 
     def sweep_absence(self, name: str, watermark: float, first: str,
                       absent: str, within: float) -> list:

@@ -2115,3 +2115,67 @@ class TestAbsenceDetectResume:
         df = sess2.sinks["ab"].read_committed_table().to_pandas()
         sess2.store.shutdown()
         assert sorted(zip(df["u"], df["ts"])) == [(2, 2.0)]
+
+
+class TestIncrementalComponents:
+    """The DD iterate primitive maintained across epochs: ±1 label deltas
+    whose running sum equals the batch component table."""
+
+    @staticmethod
+    def _edges(pairs):
+        lo, hi = zip(*pairs)
+        return pa.table({"id_lo": pa.array(lo, type=pa.int64()),
+                         "id_hi": pa.array(hi, type=pa.int64())})
+
+    def _net(self, sess):
+        df = sess.sinks["cc"].read_committed_table().to_pandas()
+        net = (df.groupby(["id", "component"])["diff"].sum()
+               .reset_index())
+        net = net[net["diff"] != 0]
+        assert (net["diff"] == 1).all()   # multiset state is 0/1
+        return sorted(zip(net["id"], net["component"]))
+
+    def test_cross_epoch_merge_emits_retractions(self, ray_session,
+                                                 tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            IncrementalComponents)
+
+        sess = StreamSession(tmp_path / "icc", num_shards=3)
+        sess.add(IncrementalComponents(name="cc", input="e"))
+        # epoch 0: {1,2} and {5,6} separate components
+        sess.process_epoch(0, {"e": self._edges([(1, 2), (5, 6)])})
+        assert self._net(sess) == [(1, 1), (2, 1), (5, 5), (6, 5)]
+        # epoch 1: edge (2,5) merges them → 5,6 must be RELABELED to 1
+        sess.process_epoch(1, {"e": self._edges([(2, 5)])})
+        df = sess.sinks["cc"].read_committed_table().to_pandas()
+        e1 = df[df["epoch"] == 1]
+        # the merge epoch carries retractions of the old label
+        assert ((e1["diff"] == -1) & (e1["component"] == 5)).sum() == 2
+        assert self._net(sess) == [(1, 1), (2, 1), (5, 1), (6, 1)]
+        sess.store.shutdown()
+
+    def test_matches_batch_cc_and_resumes(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            connected_components)
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            IncrementalComponents)
+
+        rng = np.random.default_rng(9)
+        pairs = [(int(a), int(b)) for a, b in
+                 zip(rng.integers(0, 60, 80), rng.integers(0, 60, 80))
+                 if a != b]
+        root = tmp_path / "icc2"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(IncrementalComponents(name="cc", input="e"))
+        sess.process_epoch(0, {"e": self._edges(pairs[:30])})
+        sess.store.shutdown()  # crash after checkpoint
+
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(IncrementalComponents(name="cc", input="e"))
+        assert sess2.resume() == 1
+        sess2.process_epoch(1, {"e": self._edges(pairs[30:])})
+        got = self._net(sess2)
+        sess2.store.shutdown()
+        batch = connected_components(self._edges(pairs)).to_pandas()
+        want = sorted(zip(batch["id"], batch["component"]))
+        assert got == want
