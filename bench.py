@@ -82,7 +82,9 @@ def run_bench() -> dict:
         "q1_pricing_summary", "standard_scaler", "tumbling_window",
         "stream_join", "dedup_minhash", "ann_topk", "dedup_exact",
         "token_count", "pattern_match", "top_revenue",
-        "sessionize", "line_dedup", "decontaminate")
+        "sessionize", "line_dedup", "decontaminate",
+        # round-3 additions
+        "connected_components", "absence_detect", "hash_vectorizer_fast")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -2853,18 +2853,26 @@ ORACLES = {
         FROM events WHERE event_id % 10 <> 0 GROUP BY event_type
     """,
     "pattern_match": """
-        SELECT a.user_id,
-               ROUND(epoch(a.ts), 6) AS ts_0,
-               ROUND(epoch(b.ts), 6) AS ts_1,
+        -- hash-join-first (materialized per-type CTEs): the flat 3-way
+        -- inequality-join form makes DuckDB pick a quadratic plan on the
+        -- full events table at sf0.1+ (measured >30 min); this form is
+        -- semantically identical and runs in milliseconds
+        WITH a AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'click'),
+             b AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'view'),
+             c AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'purchase'),
+             ab AS MATERIALIZED (
+                SELECT a.user_id, a.ts AS ta, b.ts AS tb
+                FROM a JOIN b USING (user_id)
+                WHERE b.ts > a.ts AND epoch(b.ts) <= epoch(a.ts) + 86400)
+        SELECT ab.user_id,
+               ROUND(epoch(ab.ta), 6) AS ts_0,
+               ROUND(epoch(ab.tb), 6) AS ts_1,
                ROUND(epoch(c.ts), 6) AS ts_2
-        FROM events a
-        JOIN events b ON b.user_id = a.user_id AND b.ts > a.ts
-                     AND epoch(b.ts) <= epoch(a.ts) + 86400
-                     AND b.event_type = 'view'
-        JOIN events c ON c.user_id = a.user_id AND c.ts > b.ts
-                     AND epoch(c.ts) <= epoch(a.ts) + 86400
-                     AND c.event_type = 'purchase'
-        WHERE a.event_type = 'click'
+        FROM ab JOIN c USING (user_id)
+        WHERE c.ts > ab.tb AND epoch(c.ts) <= epoch(ab.ta) + 86400
     """,
     "absence_detect": """
         SELECT a.user_id, ROUND(epoch(a.ts), 6) AS ts
