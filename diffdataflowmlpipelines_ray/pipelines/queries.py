@@ -387,6 +387,65 @@ def q_tumbling_minmax(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start", "min", "max"])
 
 
+def q_stream_union(sf_dir: str) -> pd.DataFrame:
+    """Multi-source stream UNION with per-source watermark alignment: events
+    split by parity into sources A and B that advance at DIFFERENT paces —
+    A reports a watermark every epoch, B only on epochs 0 and 2 — and the
+    session frontier is min(A, B) over non-idle sources, so a tumbling
+    window only closes once BOTH sources have passed it (the Flink/Beam
+    multi-input rule; emission timing is pytest-asserted, the final
+    multiset is oracle-checked here).  After B's last slice the query marks
+    it idle (``mark_source_idle``) so A's tail windows can close without B.
+    Oracle: batch tumbling aggregate over the parity-labeled union."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_id", "event_type", "ts", "value"]).sort_by("ts")
+    lab = pc.if_else(
+        pc.equal(pc.bit_wise_and(tbl["event_id"],
+                                 pa.scalar(1, pa.int64())),
+                 pa.scalar(0, pa.int64())),
+        pa.scalar("A"), pa.scalar("B"))
+    tbl = tbl.append_column("stream", lab)
+    a_parts = _epoch_split(tbl.filter(pc.equal(tbl["stream"], "A")), 4)
+    b_parts = _epoch_split(tbl.filter(pc.equal(tbl["stream"], "B")), 2)
+
+    def _maxts(t: pa.Table) -> float:
+        return float(np.max(
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            / 1e6)
+
+    sess = StreamSession(_tmp("sunion"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["stream", "event_type"],
+        value_col="value", ts_col="ts", aggs=("count", "sum"),
+        window=WindowSpec.tumbling(1800.0),
+        make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0},
+    ))
+    try:
+        feeds = [  # (A slice, B slice | None): B is the slow source
+            (a_parts[0], b_parts[0]), (a_parts[1], None),
+            (a_parts[2], b_parts[1]), (a_parts[3], None),
+        ]
+        for e, (ap, bp) in enumerate(feeds):
+            wms = {"A": _maxts(ap)}
+            parts = [ap]
+            if bp is not None:
+                wms["B"] = _maxts(bp)
+                parts.append(bp)
+            sess.process_epoch(e, {"events": pa.concat_tables(parts)},
+                               source_watermarks=wms)
+        sess.mark_source_idle("B")  # B is done; release A's tail windows
+        sess.process_epoch(len(feeds), {}, source_watermarks={})
+        sess.close(len(feeds) + 1)
+        df = sess.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
 class _HllExactAcc:
     """Windowed-sketch accumulator: HLL estimate + (verification-only) exact
     set.  At production scale you would carry the sketch alone — the exact
@@ -599,6 +658,38 @@ def q_absence_detect(sf_dir: str) -> pd.DataFrame:
             sess.store.shutdown()
     df = df.drop(columns=["epoch"])
     return _round(df, ["ts"])
+
+
+def q_kleene_pattern(sf_dir: str) -> pd.DataFrame:
+    """CEP Kleene-plus (``A B+ C``): view → one-or-more clicks → purchase
+    per user within half a day, one row per (view, purchase) pair carrying
+    the aggregated click count — MATCH_RECOGNIZE's ``A B+ C`` with
+    ``count(B)`` as the measure, emitted incrementally as the watermark
+    finalizes each start.  Oracle: the relational a⋈c pair join with an
+    inner b-count (hash-join-first, like ``pattern_match``)."""
+    from ..streaming.engine import KleenePattern
+
+    tbl = _read_table(sf_dir, "events",
+                      ["user_id", "event_type", "ts"]).sort_by("ts")
+    sess = StreamSession(_tmp("kleene"), num_shards=4)
+    sess.add(KleenePattern(name="k", input="events", key_cols=["user_id"],
+                           ts_col="ts", type_col="event_type",
+                           first="view", mid="click", last="purchase",
+                           within=43200.0))
+    try:
+        parts = _epoch_split(tbl, 3)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        df = sess.sinks["k"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    df["b_count"] = df["b_count"].astype(np.int64)
+    return _round(df, ["a_ts", "c_ts"])
 
 
 def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
@@ -1147,6 +1238,28 @@ def q_antijoin(sf_dir: str) -> pd.DataFrame:
     if df.empty:  # preserve schema for the comparator even with zero rows
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return df
+
+
+def q_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Customers WITH at least one urgent order — the semi-join complement
+    of ``antijoin``, through the same partitioned ``hash_join(how='semi')``
+    path: right side prunes to its key column at the read, both sides
+    shuffle once by key bucket, nothing is broadcast or driver-held.
+    Oracle: ``EXISTS`` subquery."""
+    from ..stages.relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    df = hash_join(cust, urgent, ["c_custkey"], ["o_custkey"],
+                   how="semi").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                           "c_mktsegment": pd.Series([], dtype="object")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
 
 
 def _antijoin_broadcast(sf_dir: str) -> pd.DataFrame:
@@ -2069,6 +2182,54 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
         "event_id").reset_index(drop=True)
 
 
+def q_temporal_join(sf_dir: str) -> pd.DataFrame:
+    """Event-time TEMPORAL dim join (Flink temporal-table join; DuckDB
+    ``ASOF JOIN`` twin): orders collapse to one dim VERSION per
+    (custkey, orderdate) — cents-exact price, max at stamp ties — and each
+    stream event (key ``user_id``, probe time ``ts``) reads the version
+    valid AT ITS EVENT TIME from ``VersionedValueAgg`` histories in the
+    state shards; events before a key's first version read null.  Both
+    sides split into 4 epochs BY KEY HASH so every key's full history
+    arrives with its probes (the temporal-join contract) while the engine
+    still exercises multi-epoch incremental upserts + distributed AS-OF
+    probes.  Oracle: ``ASOF LEFT JOIN``."""
+    from ..streaming.engine import TemporalEnrichJoin
+
+    opd = _read_table(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    opd["price_cents"] = _half_away(
+        opd["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    dim_all = (opd.groupby(["o_custkey", "o_orderdate"], as_index=False)
+               ["price_cents"].max()
+               .rename(columns={"o_custkey": "user_id", "o_orderdate": "vts"}))
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts"]).to_pandas()
+
+    sess = StreamSession(_tmp("tjoin"), num_shards=4)
+    sess.add(TemporalEnrichJoin(
+        name="tj", dim_input="dim", stream_input="ev", key=["user_id"],
+        dim_vals=["price_cents"], stream_cols=["event_id"], dim_ts="vts",
+        dim_types=[pa.int64()], stream_ts="ts"))
+    try:
+        for e in range(4):
+            dim_e = dim_all[dim_all["user_id"] % 4 == e]
+            ev_e = ev[ev["user_id"] % 4 == e]
+            sess.process_epoch(e, {
+                "dim": pa.Table.from_pandas(dim_e, preserve_index=False),
+                "ev": rd.from_arrow(
+                    pa.Table.from_pandas(ev_e, preserve_index=False)),
+            })
+        df = sess.sinks["tj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    # misses → −1 (both sides): integer column, no NaN/nullable ambiguity
+    # in the value-hash comparator
+    df["price_cents"] = df["price_cents"].fillna(-1).astype(np.int64)
+    return df[["event_id", "user_id", "price_cents"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
 def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
     """Streaming exactly-once dedup: events quartiled by (ts, event_id) into
     4 Dataset epochs; only each user's FIRST event (by ts, then event_id)
@@ -2613,6 +2774,7 @@ QUERIES = {
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
     "tumbling_minmax": q_tumbling_minmax,
+    "stream_union": q_stream_union,
     "sliding_window": q_sliding_window,
     "window_distinct": q_window_distinct,
     "window_topk": q_window_topk,
@@ -2621,6 +2783,7 @@ QUERIES = {
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
     "absence_detect": q_absence_detect,
+    "kleene_pattern": q_kleene_pattern,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
     "pagerank": q_pagerank,
@@ -2642,6 +2805,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
+    "semi_join": q_semi_join,
     "hash_join": q_hash_join,
     "left_join": q_left_join,
     "outer_join": q_outer_join,
@@ -2687,6 +2851,7 @@ QUERIES = {
     "pca_embeddings": q_pca_embeddings,
     "logreg_embeddings": q_logreg_embeddings,
     "stream_enrich": q_stream_enrich,
+    "temporal_join": q_temporal_join,
     "stream_dedup": q_stream_dedup,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -2789,6 +2954,14 @@ ORACLES = {
                sum(round(value * 100)) / 100.0 AS sum
         FROM events GROUP BY event_type, window_start
     """,
+    "stream_union": """
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS stream,
+               event_type,
+               ROUND(floor(epoch(ts) / 1800) * 1800, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum
+        FROM events GROUP BY stream, event_type, window_start
+    """,
     "tumbling_minmax": """
         SELECT event_type,
                ROUND(floor(epoch(ts) / 7200) * 7200, 6) AS window_start,
@@ -2873,6 +3046,29 @@ ORACLES = {
                ROUND(epoch(c.ts), 6) AS ts_2
         FROM ab JOIN c USING (user_id)
         WHERE c.ts > ab.tb AND epoch(c.ts) <= epoch(ab.ta) + 86400
+    """,
+    "kleene_pattern": """
+        -- hash-join-first per-type CTEs (same plan-shape lesson as
+        -- pattern_match): pair (view, purchase) per user within half a
+        -- day, inner-join clicks strictly between and count them — B+
+        -- with an aggregated middle
+        WITH a AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'view'),
+             b AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'click'),
+             c AS MATERIALIZED (SELECT user_id, ts FROM events
+                                WHERE event_type = 'purchase'),
+             ac AS MATERIALIZED (
+                SELECT a.user_id, a.ts AS ta, c.ts AS tc
+                FROM a JOIN c USING (user_id)
+                WHERE c.ts > a.ts AND epoch(c.ts) <= epoch(a.ts) + 43200)
+        SELECT ac.user_id,
+               ROUND(epoch(ac.ta), 6) AS a_ts,
+               ROUND(epoch(ac.tc), 6) AS c_ts,
+               count(*)::BIGINT AS b_count
+        FROM ac JOIN b USING (user_id)
+        WHERE b.ts > ac.ta AND b.ts < ac.tc
+        GROUP BY ac.user_id, a_ts, c_ts
     """,
     "absence_detect": """
         SELECT a.user_id, ROUND(epoch(a.ts), 6) AS ts
@@ -3000,6 +3196,19 @@ ORACLES = {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    "temporal_join": """
+        WITH dim AS (
+            SELECT o_custkey AS user_id, o_orderdate AS vts,
+                   MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS price_cents
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               COALESCE(d.price_cents, -1) AS price_cents
+        FROM events e
+        ASOF LEFT JOIN dim d
+          ON e.user_id = d.user_id AND e.ts >= d.vts
+    """,
     "stream_enrich": """
         WITH ev AS (
             SELECT event_id, user_id,
@@ -3063,6 +3272,12 @@ ORACLES = {
     "antijoin": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     "hash_join": """
         SELECT c.c_mktsegment, count(*)::BIGINT AS n,

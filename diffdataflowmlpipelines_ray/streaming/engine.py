@@ -37,6 +37,7 @@ from typing import Any, Callable, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -500,6 +501,86 @@ class AbsenceDetect:
 
 
 @dataclass
+class KleenePattern:
+    """CEP Kleene-plus sequence (``A B+ C``): per key, emit one match per
+    (``first``, ``last``) event pair with ``first.ts < last.ts ≤ first.ts +
+    within`` and AT LEAST ONE ``mid`` event strictly between them, carrying
+    the aggregated middle count ``b_count`` — MATCH_RECOGNIZE's ``A B+ C``
+    with one row per (A, C) pair and ``count(B)`` as the measure.
+    Non-contiguous (other event types may interleave), multiset semantics
+    (duplicate a/c events multiply rows; duplicate b events add to the
+    count) — exactly the relational a⋈c join with an inner b-count, which
+    is the SQL oracle.  The middle is AGGREGATED rather than exploded by
+    design: all-subsets ``B+`` emits 2^|B|−1 rows per pair, which neither a
+    streaming engine nor its SQL twin should materialize.
+
+    Watermark-driven and exactly-once like ``PatternMatch``: a start
+    finalizes when the watermark passes ``first.ts + within`` (no future
+    event can extend it), swept events drop (retention = ``within``).
+    Shares the pattern point state (``apply_pattern_points``), so Table and
+    shard-direct Dataset epochs both work unchanged.
+    """
+
+    name: str
+    input: str
+    key_cols: Sequence[str]
+    ts_col: str
+    type_col: str
+    first: str            # A
+    mid: str              # B (one-or-more, aggregated)
+    last: str             # C
+    within: float
+    allowed_lateness: float = 0.0
+
+    def __post_init__(self):
+        if self.within <= 0:
+            raise ValueError("within must be positive")
+        if len({self.first, self.mid, self.last}) != 3:
+            raise ValueError("first/mid/last must be three distinct types")
+
+    def points_batch(self, tbl: pa.Table, finalized_before: float
+                     ) -> tuple[dict, int]:
+        """→ ({key: [(ts, type)…]}, late) — only the three watched types
+        are buffered; events at or before the finalize bound are late."""
+        cols = list(self.key_cols) + [self.ts_col, self.type_col]
+        pdf = tbl.select(dict.fromkeys(cols)).to_pandas()
+        ts = _ts_to_float(pdf[self.ts_col])
+        types = pdf[self.type_col].to_numpy()
+        bound = finalized_before - self.within - self.allowed_lateness
+        watched = ((types == self.first) | (types == self.mid)
+                   | (types == self.last))
+        keep = (ts > bound) & watched
+        late = int(((ts <= bound) & watched).sum())
+        pdf, ts, types = pdf[keep], ts[keep], types[keep]
+        out: dict[bytes, list] = {}
+        frame = pdf[list(self.key_cols)].copy()
+        frame["__pos"] = np.arange(len(frame))
+        for key, grp in frame.groupby(list(self.key_cols), sort=True,
+                                      dropna=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            pos = grp["__pos"].to_numpy()
+            out[_key_bytes(key_t)] = list(zip(ts[pos].tolist(),
+                                              types[pos].tolist()))
+        return out, late
+
+    def rows_to_table(self, items: list, epoch: int) -> pa.Table:
+        recs = []
+        for kb, (a_ts, c_ts, nb) in items:
+            key = pickle.loads(kb)
+            rec = dict(zip(self.key_cols, key))
+            rec["a_ts"] = a_ts
+            rec["c_ts"] = c_ts
+            rec["b_count"] = nb
+            rec["epoch"] = epoch
+            recs.append(rec)
+        if not recs:
+            names = list(self.key_cols) + ["a_ts", "c_ts", "b_count",
+                                           "epoch"]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+
+@dataclass
 class IncrementalComponents:
     """Incremental connected components — the DD ``iterate`` primitive
     maintained ACROSS epochs instead of recomputed: each epoch's new edges
@@ -723,6 +804,69 @@ class EnrichJoin:
         return out, 0
 
 
+class TemporalEnrichJoin(EnrichJoin):
+    """Event-time TEMPORAL dim join (Flink temporal-table join; DuckDB
+    ``ASOF JOIN``): the dim side keeps a per-key VERSION HISTORY
+    (``VersionedValueAgg``) in the state shards, and each stream event is
+    enriched with the dim version valid AT ITS EVENT TIME — the version
+    with the largest ``dim_ts ≤ stream_ts`` — instead of the key's current
+    value.  Left-join semantics: events before the key's first version (or
+    landing on a tombstone) read nulls.
+
+    Inherits ``EnrichJoin``'s shape: dim epochs fold into per-key
+    accumulators before leaving the worker, stream epochs probe through the
+    same shard-of(key) partitioning with worker-written sink parts.  The
+    version-union semilattice makes results independent of block/shard/
+    replay order; they match a batch ASOF join whenever each key's probed
+    versions arrive in an epoch ≤ the probing epoch (the temporal-join
+    contract — a dim version arriving AFTER a probe it should have matched
+    is late data, exactly as in Flink).
+
+    ``stream_ts`` is REQUIRED (it is the probe time).  ``dim_ttl`` is the
+    history horizon: on each watermark advance, versions older than
+    ``watermark − dim_ttl`` are COMPACTED to the single still-reachable one
+    (not dropped like EnrichJoin's LWW registers — the latest old version
+    stays probe-able for event times at/after the horizon).
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.stream_ts:
+            raise ValueError("TemporalEnrichJoin requires stream_ts: it is "
+                             "the AS-OF probe time")
+
+    # dim side → {key_bytes: VersionedValueAgg}; same partial contract as
+    # EnrichJoin so Table and shard-direct Dataset dim epochs both work
+    def partial_batch(self, tbl: pa.Table, finalized_before: float
+                      ) -> tuple[dict, int]:
+        from ..state.aggregates import VersionedValueAgg
+
+        dk = list(self.dim_key or self.key)
+        cols = list(dict.fromkeys(
+            dk + list(self.dim_vals) + [self.dim_ts]
+            + ([self.dim_delete_col] if self.dim_delete_col else [])))
+        pdf = tbl.select(cols).to_pandas()
+        ts = _ts_to_float(pdf[self.dim_ts])
+        keys = list(zip(*[pdf[c] for c in dk])) if len(pdf) else []
+        vals = ([()] * len(pdf) if not self.dim_vals
+                else list(zip(*[pdf[c] for c in self.dim_vals]))
+                if len(pdf) else [])
+        dels = (pdf[self.dim_delete_col].to_numpy(dtype=bool)
+                if self.dim_delete_col else np.zeros(len(pdf), dtype=bool))
+        out: dict[bytes, Any] = {}
+        for k, t, v, d in zip(keys, ts, vals, dels):
+            if d:
+                v = None  # tombstone version: probes at/after t miss
+            acc = VersionedValueAgg({(float(t), _key_bytes(v)): v})
+            kb = _key_bytes(tuple(k))
+            cur = out.get(kb)
+            if cur is None:
+                out[kb] = acc
+            else:
+                cur.merge(acc)
+        return out, 0
+
+
 @dataclass
 class StreamDedup:
     """Streaming exactly-once deduplication: only the FIRST event per key
@@ -775,8 +919,19 @@ class StreamSession:
         #: complete checkpoints retained on disk (older ones pruned per save)
         self.checkpoint_keep = 2
         self._max_event_time = -math.inf
+        #: per-SOURCE watermarks (multi-input frontier alignment): each
+        #: source reported via ``process_epoch(source_watermarks=...)``
+        #: ratchets its own watermark, and the session watermark advances to
+        #: the MINIMUM over non-idle tracked sources — the Flink/Beam rule
+        #: that makes a union/join of streams wait for its slowest input.
+        #: ``mark_source_idle`` excludes a stalled source from the min until
+        #: it next reports data or a watermark.
+        self.source_watermarks: dict[str, float] = {}
+        self.idle_sources: set[str] = set()
         self.ops: dict[str, Any] = {}
         self.sinks: dict[str, ExactlyOnceParquetSink] = {}
+        #: late-data side-output sinks, one per routed input (``route_late``)
+        self._late_sinks: dict[str, ExactlyOnceParquetSink] = {}
         self.chk = CheckpointManager(self.root / "_checkpoints")
         self.watermark = -math.inf
         self.last_epoch = -1
@@ -803,7 +958,8 @@ class StreamSession:
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
-                             IncrementalComponents, EnrichJoin, StreamDedup)):
+                             KleenePattern, IncrementalComponents,
+                             EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
         return self
@@ -821,6 +977,8 @@ class StreamSession:
         self.watermark = extra.get("watermark", -math.inf)
         self.last_epoch = latest
         self.metrics.update(extra.get("metrics", {}))
+        self.source_watermarks = dict(extra.get("source_watermarks", {}))
+        self.idle_sources = set(extra.get("idle_sources", ()))
         # epochs below this floor are replays: their sink commits already
         # exist and re-sweeping state for them must stay a silent no-op
         self._replay_floor = max(
@@ -1240,6 +1398,105 @@ class StreamSession:
         self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 
+    def _temporal_probe_epoch(self, op: "TemporalEnrichJoin", name: str,
+                              epoch: int, stream) -> int:
+        """Distributed AS-OF probe (mirrors ``_enrich_probe_epoch``): stream
+        blocks partition by the dim registers' ``shard_of(key_bytes)``
+        mapping; the group task asks its shard for the version valid at each
+        UNIQUE ``(key, event_time)`` pair and attaches the dim columns with
+        one vectorized merge — per-shard probe cost is O(unique pairs), not
+        O(rows), and the driver commits only the manifest."""
+        import ray.data as rd
+
+        from .sink import write_epoch_part
+        from .state_store import shard_of
+
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        sk = list(op.key)
+        stream_ts = op.stream_ts
+        carry = list(dict.fromkeys(sk + list(op.stream_cols) + [stream_ts]))
+        dim_vals = list(op.dim_vals)
+        dim_types = list(op.dim_types) if op.dim_types is not None else None
+
+        def part(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.select(carry).to_pandas()
+            sids_out, blobs, maxts = [], [], []
+            if len(pdf):
+                ts_all = _ts_to_float(pdf[stream_ts])
+                block_max = float(ts_all.max()) if ts_all.size else -math.inf
+                pdf = pdf.assign(__tsf=ts_all)
+                uniq = pdf[sk].drop_duplicates()
+                kbs = [_key_bytes(t) for t in
+                       uniq.itertuples(index=False, name=None)]
+                uniq = uniq.assign(
+                    __sid=[shard_of(kb, num_shards) for kb in kbs])
+                pdf = pdf.merge(uniq, on=sk, how="left")
+                for s, grp in pdf.groupby("__sid"):
+                    sids_out.append(int(s))
+                    blobs.append(pickle.dumps(
+                        grp.drop(columns="__sid").reset_index(drop=True),
+                        protocol=pickle.HIGHEST_PROTOCOL))
+                    maxts.append(block_max)
+            return pa.table({
+                "__shard": pa.array(sids_out, type=pa.int64()),
+                "__blob": pa.array(blobs, type=pa.binary()),
+                "__maxts": pa.array(maxts, type=pa.float64()),
+            })
+
+        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            grp_max = float(pdf["__maxts"].max())
+            ev = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+                           ignore_index=True)
+            uniq = ev[sk + ["__tsf"]].drop_duplicates()
+            pair_keys = [(_key_bytes(t[:-1]), float(t[-1])) for t in
+                         uniq.itertuples(index=False, name=None)]
+            looked = pickle.loads(ray.get(shards[sid].temporal_probe.remote(
+                name,
+                pickle.dumps(pair_keys, protocol=pickle.HIGHEST_PROTOCOL))))
+            val_by_pair = dict(looked)
+            vals = [val_by_pair.get(p) for p in pair_keys]
+            lut = uniq.reset_index(drop=True)
+            for i, c in enumerate(dim_vals):
+                # keep object dtype: no int→float promotion on miss-nulls
+                lut[c] = pd.Series(
+                    [None if v is None else v[i] for v in vals],
+                    dtype="object")
+            out = ev.merge(lut, on=sk + ["__tsf"], how="left").drop(
+                columns="__tsf")
+            out["epoch"] = np.int64(epoch)
+            tbl_out = pa.Table.from_pandas(out, preserve_index=False)
+            if dim_types is not None:
+                for c, typ in zip(dim_vals, dim_types):
+                    i = tbl_out.schema.get_field_index(c)
+                    tbl_out = tbl_out.set_column(
+                        i, c, tbl_out[c].cast(typ))
+            entry = write_epoch_part(
+                sink_root, epoch, tbl_out,
+                tag=f"shard{sid:04d}", fsync=do_fsync,
+            )
+            return pd.DataFrame({"rows": [entry["rows"]],
+                                 "entry": [json.dumps(entry)],
+                                 "max_ts": [grp_max]})
+
+        dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
+        entries = (
+            dsd.map_batches(part, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(probe_group, batch_format="pandas")
+            .take_all()
+        )
+        files = [json.loads(r["entry"]) for r in entries]
+        for r in entries:  # probe traffic advances the auto-watermark
+            self._max_event_time = max(self._max_event_time,
+                                       float(r["max_ts"]))
+        self.sinks[name].commit_files(epoch, files,
+                                      meta=self._meta(kind="temporal"))
+        return sum(f["rows"] for f in files)
+
     @staticmethod
     def _dedup_winners_frame(op: "StreamDedup", pdf: pd.DataFrame
                              ) -> pd.DataFrame:
@@ -1374,12 +1631,23 @@ class StreamSession:
 
     def process_epoch(self, epoch: int, inputs: dict[str, pa.Table | Any],
                       watermark: float | None = None,
-                      lineage: dict | None = None) -> dict:
+                      lineage: dict | None = None,
+                      source_watermarks: dict[str, float] | None = None
+                      ) -> dict:
         """Apply one micro-batch; optionally advance the watermark after.
 
         ``inputs``: {input_name: Arrow table | Ray Dataset}.  Deltas carry an
         optional ``diff`` column (+1/−1) for retractions (KeyedAggregation
         with ``weight_col='diff'``).
+
+        ``source_watermarks``: {source_name: watermark} per-source frontier
+        reports.  Each source's watermark only ratchets upward; the SESSION
+        watermark then advances to the minimum over all non-idle tracked
+        sources (multi-input alignment — a union or join of streams is only
+        as complete as its slowest input).  A source that reports here, or
+        appears in ``inputs`` with data, is un-idled.  An explicit
+        ``watermark=`` still overrides (single-source sessions keep their
+        API unchanged).
 
         ``lineage``: caller-supplied description of WHERE this epoch's rows
         came from (source paths / shard ids / offsets) — stamped verbatim
@@ -1431,7 +1699,7 @@ class StreamSession:
                     # no driver-side per-key merge
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="session")
-            elif isinstance(op, (PatternMatch, AbsenceDetect)):
+            elif isinstance(op, (PatternMatch, AbsenceDetect, KleenePattern)):
                 if op.input not in inputs:
                     continue
                 data = inputs[op.input]
@@ -1475,7 +1743,10 @@ class StreamSession:
                             op, name, epoch, dim, self.watermark)
                 stream = inputs.get(op.stream_input)
                 if stream is not None:
-                    n = self._enrich_probe_epoch(op, name, epoch, stream)
+                    if isinstance(op, TemporalEnrichJoin):
+                        n = self._temporal_probe_epoch(op, name, epoch, stream)
+                    else:
+                        n = self._enrich_probe_epoch(op, name, epoch, stream)
                     emitted[name] = self.sinks[name].read_committed(
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
@@ -1518,6 +1789,19 @@ class StreamSession:
                     self.sinks[name].commit_tables(epoch, [tbl], meta=self._meta(kind="join"))
                     emitted[name] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows
+
+        if source_watermarks:
+            for s, wm in source_watermarks.items():
+                self.source_watermarks[s] = max(
+                    self.source_watermarks.get(s, -math.inf), float(wm))
+                self.idle_sources.discard(s)
+        for s in inputs:
+            self.idle_sources.discard(s)  # fresh data un-idles a source
+        if watermark is None and self.source_watermarks:
+            live = [wm for s, wm in self.source_watermarks.items()
+                    if s not in self.idle_sources]
+            if live:  # all-idle → frontier holds (no source vouches for it)
+                watermark = min(live)
 
         if watermark is None and self.auto_watermark_delay is not None:
             # keyed/session op paths above already fed _max_event_time for
@@ -1636,6 +1920,19 @@ class StreamSession:
                 )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
+            elif isinstance(op, KleenePattern):
+                bound = self.watermark - op.allowed_lateness
+                items = self.store.sweep_kleene_matches(
+                    name, bound, op.first, op.mid, op.last, op.within
+                )
+                tbl = op.rows_to_table(items, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [tbl],
+                    meta=self._meta(watermark=self.watermark, op=name,
+                                    metrics=dict(self.metrics)),
+                )
+                emitted[name] = tbl
+                self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, AbsenceDetect):
                 bound = self.watermark - op.allowed_lateness
                 items = self.store.sweep_absence(
@@ -1651,6 +1948,11 @@ class StreamSession:
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, StreamJoin) and op.retention is not None:
                 self.store.join_expire(name, self.watermark - op.retention)
+            elif isinstance(op, TemporalEnrichJoin) and op.dim_ttl is not None:
+                # compact, don't drop: the latest below-horizon version stays
+                # probe-able for event times at/after the horizon
+                self.store.compact_version_registers(
+                    name, self.watermark - op.dim_ttl)
             elif isinstance(op, EnrichJoin) and op.dim_ttl is not None:
                 self.store.sweep_stale_registers(
                     name, self.watermark - op.dim_ttl)
@@ -1674,11 +1976,93 @@ class StreamSession:
         return {"metrics": dict(self.metrics), "watermark": self.watermark,
                 "shards": self.store.stats()}
 
+    def route_late(self, epoch: int, inputs: dict,
+                   ts_cols: dict[str, str], lateness: float = 0.0) -> dict:
+        """Late-data SIDE OUTPUT (the Beam pattern): split each named input
+        at the CURRENT session watermark − ``lateness`` — rows with event
+        time ≤ that bound are droppably late (their windows/starts already
+        finalized) — commit them to a per-input side sink
+        (``<root>/_late_<input>``, exactly-once like every sink) stamped
+        with the epoch and the watermark that condemned them, and return
+        the on-time remainder to feed ``process_epoch``.  Instead of
+        silently counting drops, the late rows stay queryable for repair /
+        backfill / monitoring.
+
+        Late rows are assumed FEW (they are the out-of-orderness tail), so
+        a Dataset input pays one extra filter pass and the late slice
+        collects to the driver for the side commit; the on-time side stays
+        a lazy Dataset.  Replays re-commit identically (idempotent sink).
+        Metrics: ``late_routed`` counts rows diverted here (the ops' own
+        ``late_dropped`` then stays 0 for routed inputs, since they never
+        see the late rows)."""
+        bound = self.watermark - lateness
+        out: dict[str, Any] = dict(inputs)
+        for name, ts_col in ts_cols.items():
+            data = inputs.get(name)
+            if data is None:
+                continue
+            if isinstance(data, pa.Table):
+                ts = _ts_to_float(data.select([ts_col]).to_pandas()[ts_col])
+                mask = pa.array(ts > bound)
+                on_time, late_tbl = data.filter(mask), data.filter(
+                    pc.invert(mask))
+            else:
+                # bind per-iteration via default args: ``on_time`` is LAZY
+                # (executes after this loop moves on), so a plain closure
+                # over the loop variables would read the wrong input's col
+                def flt(tbl: pa.Table, keep_on_time: bool,
+                        _c=ts_col, _b=bound) -> pa.Table:
+                    ts = _ts_to_float(tbl.select([_c]).to_pandas()[_c])
+                    m = pa.array(ts > _b)
+                    return tbl.filter(m if keep_on_time else pc.invert(m))
+
+                on_time = data.map_batches(
+                    lambda t, _f=flt: _f(t, True), batch_format="pyarrow")
+                late_tbl = self._as_table(data.map_batches(
+                    lambda t, _f=flt: _f(t, False), batch_format="pyarrow"))
+            n_late = late_tbl.num_rows
+            if n_late:
+                late_tbl = late_tbl.append_column(
+                    "late_epoch", pa.array([epoch] * n_late,
+                                           type=pa.int64()))
+                late_tbl = late_tbl.append_column(
+                    "watermark", pa.array([self.watermark] * n_late,
+                                          type=pa.float64()))
+                sink = self._late_sinks.get(name)
+                if sink is None:
+                    sink = ExactlyOnceParquetSink(
+                        self.root / f"_late_{name}", fsync=self.fsync)
+                    self._late_sinks[name] = sink
+                sink.commit_tables(epoch, [late_tbl],
+                                   meta=self._meta(kind="late"))
+                self.metrics["late_routed"] = (
+                    self.metrics.get("late_routed", 0) + n_late)
+            out[name] = on_time
+        return out
+
+    def late_output(self, input_name: str) -> pa.Table:
+        """All late rows routed off ``input_name`` so far (durable read)."""
+        sink = self._late_sinks.get(input_name)
+        if sink is None:
+            sink = ExactlyOnceParquetSink(self.root / f"_late_{input_name}",
+                                          fsync=self.fsync)
+            self._late_sinks[input_name] = sink
+        return sink.read_committed_table()
+
+    def mark_source_idle(self, source: str) -> None:
+        """Exclude a stalled source from the per-source watermark minimum
+        (the Flink idle-source marker): without this, one silent input pins
+        the session frontier forever.  The source re-joins the minimum the
+        next time it reports data or a watermark."""
+        self.idle_sources.add(source)
+
     def checkpoint(self, epoch: int) -> None:
         self.chk.save(
             epoch,
             self.store.dump_all(),
-            extra={"watermark": self.watermark, "metrics": dict(self.metrics)},
+            extra={"watermark": self.watermark, "metrics": dict(self.metrics),
+                   "source_watermarks": dict(self.source_watermarks),
+                   "idle_sources": sorted(self.idle_sources)},
         )
         self.chk.prune(keep_last=self.checkpoint_keep)
 

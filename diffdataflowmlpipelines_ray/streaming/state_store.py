@@ -31,6 +31,8 @@ import hashlib
 import pickle
 from typing import Any
 
+import numpy as np
+
 import ray
 
 __all__ = ["StateShard", "ShardedStateStore", "shard_of"]
@@ -124,6 +126,42 @@ class StateShard:
             acc = store.get(kb)
             out.append((kb, None if acc is None else acc.value))
         return _dumps(out)
+
+    def temporal_probe(self, name: str, payload: bytes) -> bytes:
+        """AS-OF lookup of VersionedValueAgg registers (TemporalEnrichJoin
+        probe): payload = pickled list[(key_bytes, ts_float)] → pickled
+        list[((key_bytes, ts_float), value-tuple | None)].  Each pair reads
+        the dim version with the largest stamp ≤ its event time; tombstone
+        versions and never-seen keys read as misses."""
+        pairs = pickle.loads(payload)
+        store = self.aggs.get(name, {})
+        out = []
+        for kb, t in pairs:
+            acc = store.get(kb)
+            out.append(((kb, t), None if acc is None else acc.lookup(t)))
+        return _dumps(out)
+
+    def compact_version_registers(self, name: str, before_stamp: float) -> int:
+        """Collapse VersionedValueAgg histories below the watermark horizon:
+        of the versions with ``ts < before_stamp`` only the LATEST is still
+        reachable by an in-contract probe (every probe time ≥ horizon lands
+        on it or newer), so the older ones drop.  A key whose entire
+        remaining history is that one tombstone drops outright (any probe
+        reads a miss either way).  Returns the number of dropped versions —
+        the sweep that bounds per-key state to O(versions inside the
+        horizon) + 1 for slowly-changing dims with unbounded history."""
+        store = self.aggs.get(name, {})
+        dropped = 0
+        for kb in list(store.keys()):
+            versions = store[kb].versions
+            old = sorted(s for s in versions if s[0] < before_stamp)
+            for s in old[:-1]:
+                del versions[s]
+                dropped += 1
+            if old and len(versions) == 1 and versions[old[-1]] is None:
+                del store[kb]
+                dropped += 1
+        return dropped
 
     def dedup_filter(self, name: str, epoch: int, payload: bytes) -> bytes:
         """First-seen-wins claim for streaming dedup.
@@ -449,6 +487,67 @@ class StateShard:
         emitted.sort()
         return _dumps(emitted)
 
+    def sweep_kleene_matches(self, name: str, watermark: float, first: str,
+                             mid: str, last: str, within: float) -> bytes:
+        """Kleene-plus CEP (``A B+ C``): emit one row per (first, last) pair
+        on the same key with ``first.ts < last.ts ≤ first.ts + within`` and
+        AT LEAST ONE ``mid`` event strictly between them, carrying the
+        aggregated middle count — MATCH_RECOGNIZE ``A B+ C`` with one row
+        per (A, C) pair and ``count(B)`` as the measure (non-contiguous:
+        other event types may interleave), the same multiset as the
+        relational a⋈c join with an inner b-count.  Multiset semantics:
+        duplicate a/c events multiply rows, duplicate b events add to the
+        count.  A start is finalizable at ``first.ts ≤ watermark − within``;
+        swept events drop (retention = ``within``, the PatternMatch
+        contract).  Per-key cost is O(E log E + matches) via sorted arrays
+        + prefix sums — no exponential subset enumeration (that is exactly
+        why the middle is aggregated, not exploded: ``B+`` under
+        all-subsets semantics emits 2^|B|−1 rows per pair)."""
+        store = self.patterns.get(name, {})
+        bound = watermark - within
+        emitted = []
+        for key in list(store.keys()):
+            pts = store[key]
+            a_l, b_l, c_l = [], [], []
+            for (ts, typ), c in pts.items():
+                if c <= 0:
+                    continue
+                if typ == first:
+                    a_l.append((ts, c))
+                elif typ == mid:
+                    b_l.append((ts, c))
+                elif typ == last:
+                    c_l.append((ts, c))
+            if a_l and b_l and c_l:
+                b_l.sort()
+                c_l.sort()
+                b_ts = np.array([t for t, _ in b_l])
+                b_cum = np.concatenate(
+                    [[0], np.cumsum([c for _, c in b_l])])
+                c_ts = np.array([t for t, _ in c_l])
+                for a_t, a_c in sorted(a_l):
+                    if a_t > bound:
+                        break  # later starts are not finalizable yet
+                    lo = int(np.searchsorted(c_ts, a_t, side="right"))
+                    hi = int(np.searchsorted(c_ts, a_t + within,
+                                             side="right"))
+                    for j in range(lo, hi):
+                        c_t, c_c = c_l[j]
+                        nb = int(
+                            b_cum[np.searchsorted(b_ts, c_t, side="left")]
+                            - b_cum[np.searchsorted(b_ts, a_t,
+                                                    side="right")])
+                        if nb >= 1:
+                            emitted.extend(
+                                [(key, (float(a_t), float(c_t), nb))]
+                                * (a_c * c_c))
+            for k in [k for k in pts if k[0] <= bound]:
+                del pts[k]
+            if not pts:
+                del store[key]
+        emitted.sort()
+        return _dumps(emitted)
+
     # --------------------------------------------- incremental iterate (CC)
     def apply_cc_edges(self, name: str, epoch: int, payload: bytes) -> bytes:
         """Incremental connected components — the DD ``iterate`` primitive
@@ -688,6 +787,13 @@ class ShardedStateStore:
             for s in self.shards
         ]))
 
+    def compact_version_registers(self, name: str, before_stamp: float) -> int:
+        self.fence()
+        return sum(ray.get([
+            s.compact_version_registers.remote(name, before_stamp)
+            for s in self.shards
+        ]))
+
     def dedup_filter(self, name: str, epoch: int,
                      shard_items: dict[int, list]) -> set:
         """Driver-path dedup claim: {shard_id: [(key_bytes, stamp)]} → the
@@ -827,6 +933,20 @@ class ShardedStateStore:
         blob = ray.get(self.shards[sid].apply_cc_edges.remote(
             name, epoch, _dumps(sorted(map(tuple, edges)))))
         return pickle.loads(blob)
+
+    def sweep_kleene_matches(self, name: str, watermark: float, first: str,
+                             mid: str, last: str, within: float) -> list:
+        self.fence()
+        blobs = ray.get([
+            s.sweep_kleene_matches.remote(name, watermark, first, mid, last,
+                                          within)
+            for s in self.shards
+        ])
+        out = []
+        for b in blobs:
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
 
     def sweep_absence(self, name: str, watermark: float, first: str,
                       absent: str, within: float) -> list:

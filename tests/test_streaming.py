@@ -10,6 +10,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import ray.data as rd
+
 from diffdataflowmlpipelines_ray.streaming.engine import (
     KeyedAggregation,
     SessionWindowAggregation,
@@ -2179,3 +2181,415 @@ class TestIncrementalComponents:
         batch = connected_components(self._edges(pairs)).to_pandas()
         want = sorted(zip(batch["id"], batch["component"]))
         assert got == want
+
+
+class TestTemporalEnrichJoin:
+    def _op(self, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            TemporalEnrichJoin,
+        )
+
+        return TemporalEnrichJoin(
+            name="tj", dim_input="dim", stream_input="ev", key=["u"],
+            dim_vals=["v"], stream_cols=["eid"], dim_ts="vts",
+            dim_types=[pa.int64()], stream_ts="ts", **kw)
+
+    @staticmethod
+    def _dim(rows):  # (u, v, vts)
+        u, v, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "vts": pa.array(ts, type=pa.float64())})
+
+    @staticmethod
+    def _ev(rows):  # (u, eid, ts)
+        u, eid, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "eid": pa.array(eid, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def _vals(self, sess):
+        df = sess.sinks["tj"].read_committed_table().to_pandas()
+        return {int(r.eid): (None if pd.isna(r.v) else int(r.v))
+                for r in df.itertuples()}
+
+    def test_asof_lookup_per_event_time(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "tj1", num_shards=3)
+        sess.add(self._op())
+        # u1 versions: @10→100, @20→200; u2: @15→555
+        sess.process_epoch(0, {
+            "dim": self._dim([(1, 100, 10.0), (1, 200, 20.0),
+                              (2, 555, 15.0)]),
+            "ev": self._ev([(1, 1, 5.0), (1, 2, 10.0), (1, 3, 12.0),
+                            (1, 4, 25.0), (2, 5, 14.0), (2, 6, 16.0),
+                            (3, 7, 50.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        # boundary ts==vts matches (ASOF >=); pre-first-version and
+        # never-seen keys read null
+        assert got == {1: None, 2: 100, 3: 100, 4: 200,
+                       5: None, 6: 555, 7: None}
+
+    def test_matches_pandas_merge_asof(self, ray_session, tmp_path):
+        rng = np.random.default_rng(42)
+        n_dim, n_ev = 300, 800
+        dim = pd.DataFrame({
+            "u": rng.integers(0, 40, n_dim),
+            "v": rng.integers(0, 10_000, n_dim),
+            "vts": np.round(rng.uniform(0, 100, n_dim), 3),
+        }).drop_duplicates(["u", "vts"])
+        ev = pd.DataFrame({
+            "u": rng.integers(0, 50, n_ev),
+            "eid": np.arange(n_ev),
+            "ts": np.round(rng.uniform(0, 120, n_ev), 3),
+        })
+        sess = StreamSession(tmp_path / "tj2", num_shards=4)
+        sess.add(self._op())
+        for e in range(4):  # key-hash epochs: history arrives with probes
+            de = dim[dim["u"] % 4 == e]
+            ee = ev[ev["u"] % 4 == e]
+            sess.process_epoch(e, {
+                "dim": pa.Table.from_pandas(de, preserve_index=False),
+                "ev": rd.from_arrow(
+                    pa.Table.from_pandas(ee, preserve_index=False))})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        want_df = pd.merge_asof(
+            ev.sort_values("ts", kind="mergesort"),
+            dim.sort_values(["vts", "v"], kind="mergesort"),
+            left_on="ts", right_on="vts", by="u", direction="backward")
+        want = {int(r.eid): (None if pd.isna(r.v) else int(r.v))
+                for r in want_df.itertuples()}
+        assert got == want
+
+    def test_tombstone_version_window(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            TemporalEnrichJoin,
+        )
+
+        sess = StreamSession(tmp_path / "tj3", num_shards=2)
+        sess.add(TemporalEnrichJoin(
+            name="tj", dim_input="dim", stream_input="ev", key=["u"],
+            dim_vals=["v"], stream_cols=["eid"], dim_ts="vts",
+            dim_types=[pa.int64()], stream_ts="ts", dim_delete_col="del"))
+
+        def dim(rows):  # (u, v, vts, del)
+            u, v, ts, dl = zip(*rows)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "v": pa.array(v, type=pa.int64()),
+                             "vts": pa.array(ts, type=pa.float64()),
+                             "del": pa.array(dl, type=pa.bool_())})
+
+        # v@10=100, DELETE@20, v@30=300: the tombstone opens a miss window
+        # [20, 30) without touching versions on either side
+        sess.process_epoch(0, {
+            "dim": dim([(1, 100, 10.0, False), (1, 0, 20.0, True),
+                        (1, 300, 30.0, False)]),
+            "ev": self._ev([(1, 1, 15.0), (1, 2, 20.0), (1, 3, 25.0),
+                            (1, 4, 30.0), (1, 5, 35.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        assert got == {1: 100, 2: None, 3: None, 4: 300, 5: 300}
+
+    def test_out_of_order_versions_across_epochs(self, ray_session, tmp_path):
+        # the NEWER version arrives in an EARLIER epoch; the older version
+        # arriving later must slot UNDER it, not override (version union)
+        sess = StreamSession(tmp_path / "tj4", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {"dim": self._dim([(7, 700, 20.0)])})
+        sess.process_epoch(1, {"dim": self._dim([(7, 70, 10.0)])})
+        sess.process_epoch(2, {
+            "ev": self._ev([(7, 1, 15.0), (7, 2, 25.0), (7, 3, 5.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        assert got == {1: 70, 2: 700, 3: None}
+
+    def test_compaction_keeps_reachable_version(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "tj5", num_shards=2)
+        sess.add(self._op(dim_ttl=10.0))
+        sess.process_epoch(0, {
+            "dim": self._dim([(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0),
+                              (1, 4, 40.0), (2, 9, 5.0)])},
+            watermark=45.0)
+        # horizon = 45 − 10 = 35: versions @10/@20 drop, @30 survives as the
+        # latest below-horizon version, @40 is inside the horizon
+        n_versions = {
+            kb: len(acc.versions) for kb, acc in sess.store.collect("tj")}
+        assert sorted(n_versions.values()) == [1, 2]  # u2: {@5}; u1: {@30, @40}
+        sess.process_epoch(1, {
+            "ev": self._ev([(1, 1, 35.0), (1, 2, 41.0), (2, 3, 36.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        assert got == {1: 3, 2: 4, 3: 9}
+
+    def test_lone_tombstone_compacts_away(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            TemporalEnrichJoin,
+        )
+
+        sess = StreamSession(tmp_path / "tj6", num_shards=2)
+        sess.add(TemporalEnrichJoin(
+            name="tj", dim_input="dim", stream_input="ev", key=["u"],
+            dim_vals=["v"], stream_cols=["eid"], dim_ts="vts",
+            dim_types=[pa.int64()], stream_ts="ts", dim_delete_col="del",
+            dim_ttl=5.0))
+        dim = pa.table({"u": pa.array([1, 1], type=pa.int64()),
+                        "v": pa.array([10, 0], type=pa.int64()),
+                        "vts": pa.array([1.0, 2.0]),
+                        "del": pa.array([False, True])})
+        sess.process_epoch(0, {"dim": dim}, watermark=20.0)
+        # only a below-horizon tombstone remained → the key drops outright
+        assert sess.store.collect("tj") == []
+        sess.process_epoch(1, {"ev": self._ev([(1, 1, 21.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        assert got == {1: None}
+
+    def test_resume_restores_histories(self, ray_session, tmp_path):
+        root = tmp_path / "tj7"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {
+            "dim": self._dim([(1, 100, 10.0), (1, 200, 20.0)]),
+            "ev": self._ev([(1, 1, 15.0)])})
+        sess.store.shutdown()  # crash after epoch 0's checkpoint
+
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(self._op())
+        assert sess2.resume() == 1
+        sess2.process_epoch(1, {"ev": self._ev([(1, 2, 12.0), (1, 3, 22.0)])})
+        got = self._vals(sess2)
+        sess2.store.shutdown()
+        assert got == {1: 100, 2: 100, 3: 200}
+
+    def test_dataset_dim_epoch(self, ray_session, tmp_path):
+        # dim arriving as a Ray Dataset rides the shard-direct scatter path
+        sess = StreamSession(tmp_path / "tj8", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {
+            "dim": rd.from_arrow(self._dim(
+                [(1, 100, 10.0), (1, 200, 20.0), (2, 555, 15.0)])),
+            "ev": self._ev([(1, 1, 15.0), (2, 2, 15.0), (1, 3, 20.0)])})
+        got = self._vals(sess)
+        sess.store.shutdown()
+        assert got == {1: 100, 2: 555, 3: 200}
+
+    def test_requires_stream_ts(self, ray_session):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            TemporalEnrichJoin,
+        )
+
+        with pytest.raises(ValueError, match="stream_ts"):
+            TemporalEnrichJoin(
+                name="tj", dim_input="dim", stream_input="ev", key=["u"],
+                dim_vals=["v"], stream_cols=["eid"], dim_ts="vts")
+
+
+class TestSourceWatermarks:
+    """Per-source watermark alignment: the session frontier is the MIN over
+    non-idle tracked sources (multi-input union/join completeness)."""
+
+    def _sess(self, root):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            KeyedAggregation,
+            WindowSpec,
+        )
+
+        sess = StreamSession(root, num_shards=2)
+        sess.add(KeyedAggregation(
+            name="win", input="ev", key_cols=["k"], value_col="v",
+            ts_col="ts", aggs=("count",),
+            window=WindowSpec.tumbling(10.0)))
+        return sess
+
+    @staticmethod
+    def _ev(rows):  # (k, ts, v)
+        k, ts, v = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "v": pa.array(v, type=pa.float64())})
+
+    def test_min_alignment_gates_emission(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "sw1")
+        # window [0,10) is fully fed, A is far ahead — but B lags at 5,
+        # so the frontier (min) must hold the window open
+        out0 = sess.process_epoch(0, {"ev": self._ev([(1, 2.0, 1.0),
+                                                      (1, 7.0, 1.0)])},
+                                  source_watermarks={"A": 25.0, "B": 5.0})
+        assert out0["win"].num_rows == 0
+        # B catches up past the window end → it closes now
+        out1 = sess.process_epoch(1, {}, source_watermarks={"B": 12.0})
+        sess.store.shutdown()
+        df = out1["win"].to_pandas()
+        assert len(df) == 1 and int(df["count"].iloc[0]) == 2
+        assert float(df["window_start"].iloc[0]) == 0.0
+
+    def test_idle_source_releases_frontier(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "sw2")
+        out0 = sess.process_epoch(0, {"ev": self._ev([(1, 2.0, 1.0)])},
+                                  source_watermarks={"A": 25.0, "B": 5.0})
+        assert out0["win"].num_rows == 0
+        sess.mark_source_idle("B")  # B stalled: only A vouches now
+        out1 = sess.process_epoch(1, {}, source_watermarks={})
+        assert out1["win"].num_rows == 1
+        # B waking up with DATA re-enters the min (its stale wm=5 holds the
+        # frontier again, so the new window [10,20) stays open despite A=35)
+        out2 = sess.process_epoch(
+            2, {"ev": self._ev([(1, 12.0, 1.0)])},
+            source_watermarks={"A": 35.0})
+        assert out2["win"].num_rows == 0
+        sess.store.shutdown()
+
+    def test_watermarks_only_ratchet_up(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "sw3")
+        sess.process_epoch(0, {"ev": self._ev([(1, 2.0, 1.0)])},
+                           source_watermarks={"A": 15.0, "B": 15.0})
+        # a LATE lower report from B must not regress its watermark
+        out = sess.process_epoch(1, {}, source_watermarks={"B": 3.0})
+        sess.store.shutdown()
+        assert sess.source_watermarks == {"A": 15.0, "B": 15.0}
+        assert out["win"].num_rows == 0  # already emitted at epoch 0
+
+    def test_all_idle_holds_frontier(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "sw4")
+        sess.process_epoch(0, {"ev": self._ev([(1, 2.0, 1.0)])},
+                           source_watermarks={"A": 25.0})
+        sess.mark_source_idle("A")
+        before = sess.watermark
+        out = sess.process_epoch(1, {}, source_watermarks={})
+        sess.store.shutdown()
+        # nobody vouches for the frontier → no advance, nothing emitted
+        assert sess.watermark == before
+        assert "win" not in out or out["win"].num_rows == 0
+
+    def test_resume_restores_source_state(self, ray_session, tmp_path):
+        root = tmp_path / "sw5"
+        sess = self._sess(root)
+        sess.process_epoch(0, {"ev": self._ev([(1, 2.0, 1.0)])},
+                           source_watermarks={"A": 25.0, "B": 5.0})
+        sess.mark_source_idle("B")
+        sess.checkpoint(0)
+        sess.store.shutdown()
+
+        sess2 = self._sess(root)
+        assert sess2.resume() == 1
+        assert sess2.source_watermarks == {"A": 25.0, "B": 5.0}
+        assert sess2.idle_sources == {"B"}
+        # with B idle the frontier advances on A alone after resume
+        out = sess2.process_epoch(1, {}, source_watermarks={})
+        sess2.store.shutdown()
+        assert out["win"].num_rows == 1
+
+
+class TestKleenePattern:
+    def _sess(self, root, within=15.0):
+        from diffdataflowmlpipelines_ray.streaming.engine import KleenePattern
+
+        sess = StreamSession(root, num_shards=2)
+        sess.add(KleenePattern(name="k", input="ev", key_cols=["u"],
+                               ts_col="ts", type_col="t",
+                               first="a", mid="b", last="c", within=within))
+        return sess
+
+    @staticmethod
+    def _ev(rows):  # (u, ts, t)
+        u, ts, t = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "t": pa.array(t, type=pa.string())})
+
+    def _matches(self, sess):
+        df = sess.sinks["k"].read_committed_table().to_pandas()
+        return sorted((int(r.u), float(r.a_ts), float(r.c_ts), int(r.b_count))
+                      for r in df.itertuples())
+
+    def test_pairs_with_aggregated_middle(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "kl1")
+        sess.process_epoch(0, {"ev": self._ev([
+            (1, 0.0, "a"), (1, 5.0, "b"), (1, 7.0, "b"), (1, 10.0, "c"),
+            (1, 20.0, "c"),          # outside within=15 of a@0
+            (2, 0.0, "a"), (2, 10.0, "c"),   # no b → no match
+            (3, 0.0, "b"), (3, 5.0, "c"),    # no a → no match
+        ])})
+        out = sess.close()
+        sess.store.shutdown()
+        assert self._matches(sess) == [(1, 0.0, 10.0, 2)]
+
+    def test_multiset_copies_multiply(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "kl2")
+        # two copies of the SAME a and c, two b's between → 2×2 = 4 rows,
+        # each counting both b's
+        sess.process_epoch(0, {"ev": self._ev([
+            (1, 0.0, "a"), (1, 0.0, "a"), (1, 3.0, "b"), (1, 4.0, "b"),
+            (1, 9.0, "c"), (1, 9.0, "c")])})
+        sess.close()
+        sess.store.shutdown()
+        assert self._matches(sess) == [(1, 0.0, 9.0, 2)] * 4
+
+    def test_incremental_finalization_and_retention(self, ray_session,
+                                                    tmp_path):
+        sess = self._sess(tmp_path / "kl3")
+        # epoch 0: a@0, b@5 — watermark 10 < a+within(15): nothing final
+        out0 = sess.process_epoch(0, {"ev": self._ev([(1, 0.0, "a"),
+                                                      (1, 5.0, "b")])},
+                                  watermark=10.0)
+        assert out0["k"].num_rows == 0
+        # epoch 1: c@12 joins in; watermark 16 finalizes a@0 → emit; a
+        # SECOND start a@14 stays pending
+        out1 = sess.process_epoch(1, {"ev": self._ev([(1, 12.0, "c"),
+                                                      (1, 14.0, "a")])},
+                                  watermark=16.0)
+        assert [(r["a_ts"], r["c_ts"], r["b_count"]) for r in
+                out1["k"].to_pylist()] == [(0.0, 12.0, 1)]
+        # epoch 2: b@20, c@25 complete the second start
+        sess.process_epoch(2, {"ev": self._ev([(1, 20.0, "b"),
+                                               (1, 25.0, "c")])},
+                           watermark=30.0)
+        sess.store.shutdown()
+        assert self._matches(sess) == [(1, 0.0, 12.0, 1),
+                                       (1, 14.0, 25.0, 1)]
+
+    def test_matches_brute_force_random(self, ray_session, tmp_path):
+        rng = np.random.default_rng(11)
+        n = 400
+        rows = list(zip(rng.integers(0, 12, n).tolist(),
+                        np.round(rng.uniform(0, 200, n), 2).tolist(),
+                        rng.choice(["a", "b", "c", "x"], n).tolist()))
+        within = 25.0
+        sess = self._sess(tmp_path / "kl4", within=within)
+        tbl = self._ev(rows)
+        # 3 Dataset epochs split by time (shard-direct points path)
+        srt = sorted(rows, key=lambda r: r[1])
+        cuts = [len(srt) // 3, 2 * len(srt) // 3, len(srt)]
+        lo = 0
+        for e, hi in enumerate(cuts):
+            part = self._ev(srt[lo:hi])
+            sess.process_epoch(e, {"ev": rd.from_arrow(part)},
+                               watermark=float(srt[hi - 1][1]))
+            lo = hi
+        sess.close(len(cuts))
+        got = self._matches(sess)
+        sess.store.shutdown()
+        want = []
+        by_u = {}
+        for u, ts, t in rows:
+            by_u.setdefault(u, []).append((ts, t))
+        for u, evs in by_u.items():
+            a_l = [ts for ts, t in evs if t == "a"]
+            b_l = sorted(ts for ts, t in evs if t == "b")
+            c_l = [ts for ts, t in evs if t == "c"]
+            for ta in a_l:
+                for tc in c_l:
+                    if ta < tc <= ta + within:
+                        nb = sum(1 for tb in b_l if ta < tb < tc)
+                        if nb >= 1:
+                            want.append((u, ta, tc, nb))
+        assert got == sorted(want)
+
+    def test_distinct_types_required(self, ray_session):
+        from diffdataflowmlpipelines_ray.streaming.engine import KleenePattern
+
+        with pytest.raises(ValueError, match="distinct"):
+            KleenePattern(name="k", input="ev", key_cols=["u"], ts_col="ts",
+                          type_col="t", first="a", mid="a", last="c",
+                          within=10.0)
