@@ -692,6 +692,46 @@ def q_kleene_pattern(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["a_ts", "c_ts"])
 
 
+def q_late_routing(sf_dir: str) -> pd.DataFrame:
+    """Late-data SIDE OUTPUT: events arrive in event_id order (NOT event-
+    time order) as 4 epochs, the watermark after each epoch is the running
+    max event time, and ``route_late`` diverts each epoch's droppably-late
+    rows (event time ≤ the watermark carried over from PRIOR epochs) into a
+    durable per-input side sink instead of silently dropping them — the
+    Beam late-data pattern, queryable for repair/backfill.  Returns the
+    routed rows; oracle: a window cumulative-max over the ntile arrival
+    epochs."""
+    pdf = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"]
+                      ).sort_by("event_id").to_pandas()
+    k, n = 4, len(pdf)
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]  # ntile
+    ep0 = np.repeat(np.arange(k), sizes)
+    # every 50th event arrives ONE epoch late (events are time-ordered by
+    # event_id in the fixture, so these are exactly the droppably-late set)
+    ep = np.where(pdf["event_id"].to_numpy() % 50 == 0,
+                  np.minimum(ep0 + 1, k - 1), ep0)
+
+    sess = StreamSession(_tmp("later"), num_shards=2)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["user_id"], value_col="ts",
+        ts_col="ts", aggs=("count",), window=WindowSpec.tumbling(3600.0)))
+    try:
+        for e in range(k):
+            part = pa.Table.from_pandas(pdf[ep == e], preserve_index=False)
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64))
+                       / 1e6)
+            routed = sess.route_late(e, {"events": part}, {"events": "ts"})
+            sess.process_epoch(e, routed,
+                               watermark=max(wm, sess.watermark))
+        late = sess.late_output("events").to_pandas()
+    finally:
+        sess.store.shutdown()
+    late["late_epoch"] = late["late_epoch"].astype(np.int64)
+    return late[["event_id", "user_id", "late_epoch"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
 def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
     ones = pa.array(np.ones(tbl.num_rows, dtype=np.int64))
@@ -2784,6 +2824,7 @@ QUERIES = {
     "pattern_match": q_pattern_match,
     "absence_detect": q_absence_detect,
     "kleene_pattern": q_kleene_pattern,
+    "late_routing": q_late_routing,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
     "pagerank": q_pagerank,
@@ -3069,6 +3110,27 @@ ORACLES = {
         FROM ac JOIN b USING (user_id)
         WHERE b.ts > ac.ta AND b.ts < ac.tc
         GROUP BY ac.user_id, a_ts, c_ts
+    """,
+    "late_routing": """
+        -- arrival epochs = ntile(4) by event_id with every 50th event
+        -- delayed one epoch; a row is droppably late iff its event time
+        -- <= the running max event time of PRIOR arrival epochs
+        WITH ev AS (
+            SELECT event_id, user_id, epoch(ts) AS tsf,
+                   ntile(4) OVER (ORDER BY event_id) - 1 AS ep0
+            FROM events),
+        ev2 AS (
+            SELECT event_id, user_id, tsf,
+                   CASE WHEN event_id % 50 = 0
+                        THEN LEAST(ep0 + 1, 3) ELSE ep0 END AS ep
+            FROM ev),
+        w AS (
+            SELECT event_id, user_id, tsf, ep,
+                   max(tsf) OVER (ORDER BY ep RANGE BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS wm_prev
+            FROM ev2)
+        SELECT event_id, user_id, ep::BIGINT AS late_epoch
+        FROM w WHERE wm_prev IS NOT NULL AND tsf <= wm_prev
     """,
     "absence_detect": """
         SELECT a.user_id, ROUND(epoch(a.ts), 6) AS ts

@@ -2593,3 +2593,80 @@ class TestKleenePattern:
             KleenePattern(name="k", input="ev", key_cols=["u"], ts_col="ts",
                           type_col="t", first="a", mid="a", last="c",
                           within=10.0)
+
+
+class TestRouteLate:
+    def _sess(self, root):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            KeyedAggregation,
+            WindowSpec,
+        )
+
+        sess = StreamSession(root, num_shards=2)
+        sess.add(KeyedAggregation(
+            name="win", input="ev", key_cols=["k"], value_col="v",
+            ts_col="ts", aggs=("count",),
+            window=WindowSpec.tumbling(10.0)))
+        return sess
+
+    @staticmethod
+    def _ev(rows):  # (k, ts, v)
+        k, ts, v = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "v": pa.array(v, type=pa.float64())})
+
+    def test_side_output_and_on_time_split(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "rl1")
+        sess.process_epoch(0, {"ev": self._ev([(1, 5.0, 1.0),
+                                               (1, 22.0, 1.0)])},
+                           watermark=22.0)
+        # epoch 1 arrives with two droppably-late rows (ts ≤ 22) and one
+        # on-time row; route_late diverts the former, feeds the latter
+        epoch1 = self._ev([(1, 3.0, 1.0), (1, 22.0, 1.0), (1, 25.0, 1.0)])
+        routed = sess.route_late(1, {"ev": epoch1}, {"ev": "ts"})
+        assert routed["ev"].num_rows == 1
+        sess.process_epoch(1, routed, watermark=40.0)
+        late = sess.late_output("ev").to_pandas()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert sorted(late["ts"]) == [3.0, 22.0]
+        assert set(late["late_epoch"]) == {1}
+        assert set(late["watermark"]) == {22.0}
+        # the late rows never reached the operator: window [0,10) counted
+        # only the on-time epoch-0 row, [20,30) counts 22@e0 + 25@e1
+        got = {(float(r.window_start), int(r.count))
+               for r in out.itertuples()}
+        assert got == {(0.0, 1), (20.0, 2)}
+        assert sess.metrics["late_routed"] == 2
+        assert sess.metrics["late_dropped"] == 0  # routed, not dropped
+
+    def test_dataset_input_lazy_split(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "rl2")
+        sess.process_epoch(0, {"ev": self._ev([(1, 15.0, 1.0)])},
+                           watermark=15.0)
+        epoch1 = rd.from_arrow(self._ev(
+            [(1, 9.0, 1.0), (2, 16.0, 1.0), (2, 30.0, 1.0)]))
+        routed = sess.route_late(1, {"ev": epoch1}, {"ev": "ts"})
+        sess.process_epoch(1, routed, watermark=50.0)
+        late = sess.late_output("ev").to_pandas()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert late["ts"].tolist() == [9.0]
+        got = {(int(r.k), float(r.window_start), int(r.count))
+               for r in out.itertuples()}
+        assert got == {(1, 10.0, 1), (2, 10.0, 1), (2, 30.0, 1)}
+
+    def test_replay_is_idempotent(self, ray_session, tmp_path):
+        root = tmp_path / "rl3"
+        sess = self._sess(root)
+        sess.process_epoch(0, {"ev": self._ev([(1, 20.0, 1.0)])},
+                           watermark=20.0)
+        epoch1 = self._ev([(1, 4.0, 1.0), (1, 25.0, 1.0)])
+        sess.route_late(1, {"ev": epoch1}, {"ev": "ts"})
+        n1 = sess.late_output("ev").num_rows
+        # replaying the SAME epoch re-commits into the existing manifest
+        sess.route_late(1, {"ev": epoch1}, {"ev": "ts"})
+        n2 = sess.late_output("ev").num_rows
+        sess.store.shutdown()
+        assert n1 == n2 == 1
