@@ -692,6 +692,59 @@ def q_kleene_pattern(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["a_ts", "c_ts"])
 
 
+def q_stream_outer_join(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER interval stream-stream join (Flink's outer interval
+    join): views join purchases by user within ±30 min; a view whose join
+    window closes (watermark > ts + max_dt) with NO match emits once into
+    the ``__unmatched`` side sink — matched ∪ unmatched equals the
+    relational LEFT JOIN multiset under the interval predicate.  Three
+    time-split epochs, so matches that straddle an epoch boundary prove
+    the never-matched tracking survives buffering.  Oracle: LEFT JOIN with
+    COALESCE(−1) for the null side."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts"]).sort_by("ts")
+    views = ev.filter(pc.equal(ev["event_type"], "view"))
+    buys = ev.filter(pc.equal(ev["event_type"], "purchase"))
+
+    sess = StreamSession(_tmp("soj"), num_shards=4)
+    sess.add(StreamJoin(
+        name="j", left_input="l", right_input="r",
+        left_key=["user_id"], right_key=["u_r"],
+        left_cols=["l_event"], right_cols=["r_event"],
+        left_ts="ts", right_ts="ts_r", max_dt=1800.0,
+        emit_unmatched=True))
+    try:
+        k = 3
+        lp = _epoch_split(views, k)
+        rp = _epoch_split(buys, k)
+        for e in range(k):
+            lt = lp[e].rename_columns(["l_event", "user_id", "event_type",
+                                       "ts"]).drop_columns(["event_type"])
+            rt = rp[e].rename_columns(["r_event", "u_r", "event_type",
+                                       "ts_r"]).drop_columns(["event_type"])
+            wm = -np.inf
+            for t, c in ((lp[e], "ts"), (rp[e], "ts")):
+                if t.num_rows:
+                    wm = max(wm, float(np.max(
+                        t[c].to_numpy().astype("datetime64[us]")
+                        .astype(np.int64)) / 1e6))
+            sess.process_epoch(e, {"l": lt, "r": rt}, watermark=wm)
+        sess.close(k)
+        matched = sess.sinks["j"].read_committed_table().to_pandas()
+        unmatched = sess.sinks["j__unmatched"].read_committed_table(
+        ).to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    out = pd.concat([
+        matched[["l_event", "r_event"]],
+        pd.DataFrame({"l_event": unmatched["l_event"],
+                      "r_event": -1}),
+    ], ignore_index=True)
+    out = out.astype({"l_event": np.int64, "r_event": np.int64})
+    return out.sort_values(["l_event", "r_event"]).reset_index(drop=True)
+
+
 def q_late_routing(sf_dir: str) -> pd.DataFrame:
     """Late-data SIDE OUTPUT: events arrive in event_id order (NOT event-
     time order) as 4 epochs, the watermark after each epoch is the running
@@ -2825,6 +2878,7 @@ QUERIES = {
     "absence_detect": q_absence_detect,
     "kleene_pattern": q_kleene_pattern,
     "late_routing": q_late_routing,
+    "stream_outer_join": q_stream_outer_join,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
     "pagerank": q_pagerank,
@@ -3110,6 +3164,17 @@ ORACLES = {
         FROM ac JOIN b USING (user_id)
         WHERE b.ts > ac.ta AND b.ts < ac.tc
         GROUP BY ac.user_id, a_ts, c_ts
+    """,
+    "stream_outer_join": """
+        WITH l AS MATERIALIZED (SELECT user_id, event_id, ts FROM events
+                                WHERE event_type = 'view'),
+             r AS MATERIALIZED (SELECT user_id, event_id, ts FROM events
+                                WHERE event_type = 'purchase')
+        SELECT l.event_id AS l_event,
+               COALESCE(r.event_id, -1) AS r_event
+        FROM l LEFT JOIN r
+          ON r.user_id = l.user_id
+         AND abs(epoch(r.ts) - epoch(l.ts)) <= 1800
     """,
     "late_routing": """
         -- arrival epochs = ntile(4) by event_id with every 50th event

@@ -649,10 +649,28 @@ class StreamJoin:
     #: The bound is applied INSIDE the shard probe, so unmatched history
     #: still ages out by ``retention`` exactly as before.
     max_dt: float | None = None
+    #: LEFT OUTER interval join (Flink's outer interval join): when set,
+    #: left rows whose join window has closed (watermark > left_ts +
+    #: max_dt) with NO match emit once into the ``<name>__unmatched`` side
+    #: sink (left columns + event time), then drop from the buffer —
+    #: matched ∪ unmatched is exactly the relational LEFT JOIN multiset
+    #: under the interval predicate, provided right rows arrive
+    #: watermark-consistently (a right row older than the watermark at
+    #: arrival may miss already-finalized lefts — the standard streaming
+    #: outer-join contract).  Requires ``max_dt``; not retraction-aware
+    #: (a diff=−1 row marks its key matched like any other match).
+    emit_unmatched: bool = False
 
     def __post_init__(self):
         if self.max_dt is not None and not (self.left_ts and self.right_ts):
             raise ValueError("max_dt requires left_ts and right_ts")
+        if self.emit_unmatched:
+            if self.max_dt is None:
+                raise ValueError("emit_unmatched requires max_dt: an "
+                                 "unbounded join never finalizes a left row")
+            if self.retention is not None and self.retention < self.max_dt:
+                raise ValueError("retention < max_dt would expire left rows "
+                                 "before their unmatched sweep")
 
     def _side_frame(self, tbl: pa.Table, side: str) -> pd.DataFrame:
         """One side's epoch rows → DataFrame of key + output cols + per-side
@@ -713,6 +731,24 @@ class StreamJoin:
         cat = pd.concat(frames, ignore_index=True)
         df = cat[names].copy()
         df["diff"] = (cat["__diff_left"] * cat["__diff_right"]).astype(np.int64)
+        df["epoch"] = np.int64(epoch)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def unmatched_to_table(self, frames: list, epoch: int) -> pa.Table:
+        """Swept never-matched left rows → left columns + the left event
+        time (as ``left_ts``'s column name) + epoch.  No null-padded right
+        columns: the side sink keeps the left schema, and a reader
+        null-pads at union time (the ``stream_outer_join`` query does)."""
+        names = list(dict.fromkeys(list(self.left_key) + list(self.left_cols)))
+        if not frames:
+            cols = {n: pa.array([]) for n in names}
+            cols[self.left_ts] = pa.array([], type=pa.float64())
+            cols["epoch"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        cat = pd.concat(frames, ignore_index=True)
+        df = cat[names].copy()
+        if self.left_ts not in df.columns:  # else keep the carried original
+            df[self.left_ts] = cat["__ts_left"].astype(np.float64)
         df["epoch"] = np.int64(epoch)
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -962,6 +998,12 @@ class StreamSession:
                              EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
+            if isinstance(op, StreamJoin) and op.emit_unmatched:
+                # outer join: finalized never-matched lefts get their OWN
+                # sink (left schema, no null padding) — committing them into
+                # the match sink would double-commit its per-epoch manifest
+                self.sinks[f"{op.name}__unmatched"] = ExactlyOnceParquetSink(
+                    self.root / f"{op.name}__unmatched", fsync=self.fsync)
         return self
 
     # ------------------------------------------------------------------ resume
@@ -1854,13 +1896,18 @@ class StreamSession:
         if epoch >= self._replay_floor:
             new_wm = max(self.watermark, watermark)
             dup = []
-            for n in self.ops:
-                if (n not in self.sinks
-                        or isinstance(self.ops[n], (StreamJoin, EnrichJoin,
-                                                    StreamDedup))
-                        or not self.sinks[n].is_committed(epoch)):
+            sweep_sinks = []  # (display name, sink) pairs that commit sweeps
+            for n, o in self.ops.items():
+                if isinstance(o, StreamJoin):
+                    if o.emit_unmatched:  # its unmatched side sink sweeps
+                        sweep_sinks.append((n, f"{n}__unmatched"))
+                elif not isinstance(o, (EnrichJoin, StreamDedup)):
+                    sweep_sinks.append((n, n))
+            for n, sn in sweep_sinks:
+                if sn not in self.sinks or not self.sinks[sn].is_committed(
+                        epoch):
                     continue
-                committed_wm = self.sinks[n].manifest(epoch).get(
+                committed_wm = self.sinks[sn].manifest(epoch).get(
                     "meta", {}).get("watermark")
                 # a pure RETRY (watermark ≤ the committed one) re-sweeps
                 # nothing new and stays a safe idempotent no-op; a HIGHER
@@ -1946,8 +1993,22 @@ class StreamSession:
                 )
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
-            elif isinstance(op, StreamJoin) and op.retention is not None:
-                self.store.join_expire(name, self.watermark - op.retention)
+            elif isinstance(op, StreamJoin):
+                if op.emit_unmatched:
+                    # sweep BEFORE expiry so retention == max_dt cannot
+                    # silently delete a left row owed an unmatched emission
+                    frames = self.store.sweep_join_unmatched(
+                        name, self.watermark - op.max_dt)
+                    tbl = op.unmatched_to_table(frames, epoch)
+                    self.sinks[f"{name}__unmatched"].commit_tables(
+                        epoch, [tbl],
+                        meta=self._meta(watermark=self.watermark, op=name,
+                                        kind="join_unmatched"),
+                    )
+                    emitted[f"{name}__unmatched"] = tbl
+                    self.metrics["emitted_rows"] += tbl.num_rows
+                if op.retention is not None:
+                    self.store.join_expire(name, self.watermark - op.retention)
             elif isinstance(op, TemporalEnrichJoin) and op.dim_ttl is not None:
                 # compact, don't drop: the latest below-horizon version stays
                 # probe-able for event times at/after the horizon

@@ -63,6 +63,8 @@ class StateShard:
         self.session_points: dict[str, dict[bytes, dict]] = {}
         # join buffers: name -> side -> key -> list[(ts, row_tuple)]
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
+        # per-join-name monotone left-row id counter (outer-join tracking)
+        self._join_lid: dict[str, int] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
         # pane-mode sliding windows: name -> last emitted sweep bound
@@ -638,15 +640,34 @@ class StateShard:
         buf = self.joins.setdefault(name, {"left": None, "right": None})
         nl = sides.get("left")
         nr = sides.get("right")
+        # per-left-row identity + matched flag: the outer-join sweep
+        # (``sweep_join_unmatched``) emits never-matched lefts once their
+        # window closes.  Tracked unconditionally (2 narrow columns);
+        # buffers from older checkpoints backfill below.
+        if nl is not None and len(nl):
+            n0 = self._join_lid.get(name, 0)
+            nl = nl.assign(
+                __lid=np.arange(n0, n0 + len(nl), dtype=np.int64),
+                __matched=False)
+            self._join_lid[name] = n0 + len(nl)
+        old_left = buf["left"]
+        if old_left is not None and "__lid" not in old_left.columns:
+            old_left = old_left.assign(
+                __lid=np.arange(-len(old_left), 0, dtype=np.int64),
+                __matched=False)
+            buf["left"] = old_left
         outs = []
+        matched_lids: set = set()
 
-        def merge(a, b):
+        def merge(a, b, a_is_left=True):
             res = a.merge(b, left_on=lk, right_on=rk,
                           suffixes=("", "__r"))
             if mdt is not None and len(res):
                 keep = (res["__ts_left"] - res["__ts_right"]).abs() <= mdt
                 res = res[keep].reset_index(drop=True)
-            return res
+            if len(res):
+                matched_lids.update(res["__lid"].tolist())
+            return res.drop(columns=["__lid", "__matched"])
 
         if nr is not None and buf["left"] is not None:
             outs.append(merge(buf["left"], nr))
@@ -659,9 +680,33 @@ class StateShard:
                 buf[side] = new if buf[side] is None else pd.concat(
                     [buf[side], new], ignore_index=True
                 )
+        if matched_lids and buf["left"] is not None:
+            hit = buf["left"]["__lid"].isin(matched_lids)
+            if hit.any():
+                buf["left"] = buf["left"].assign(
+                    __matched=buf["left"]["__matched"] | hit)
         if not outs:
             return _dumps(None)
         return _dumps(pd.concat(outs, ignore_index=True))
+
+    def sweep_join_unmatched(self, name: str, bound: float) -> bytes:
+        """Outer-join finalization: emit buffered LEFT rows with event time
+        ≤ ``bound`` (watermark − max_dt: their join window is closed) that
+        never matched, then drop ALL left rows at/below the bound (matched
+        or not — nothing on-time can pair with them anymore).  Deleting the
+        swept rows makes re-sweeps naturally idempotent."""
+        buf = self.joins.get(name)
+        if buf is None or buf.get("left") is None:
+            return _dumps(None)
+        df = buf["left"]
+        if "__lid" not in df.columns:
+            return _dumps(None)
+        closed = df["__ts_left"] <= bound
+        out = df[closed & ~df["__matched"]].drop(
+            columns=["__lid", "__matched"]).reset_index(drop=True)
+        kept = df[~closed]
+        buf["left"] = kept.reset_index(drop=True) if len(kept) else None
+        return _dumps(out if len(out) else None)
 
     def join_expire(self, name: str, expire_before: float) -> int:
         """Drop buffered rows with event time < expire_before (watermark −
@@ -689,6 +734,7 @@ class StateShard:
                 "sessions": self.sessions,
                 "session_points": self.session_points,
                 "joins": self.joins,
+                "join_lid": self._join_lid,
                 "patterns": self.patterns,
                 "pane_bounds": self.pane_bounds,
                 "graphs": self.graphs,
@@ -702,6 +748,14 @@ class StateShard:
         self.sessions = st["sessions"]
         self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
+        self._join_lid = st.get("join_lid", {})
+        for jn, sides in self.joins.items():  # pre-lid snapshots: resume the
+            left = sides.get("left")          # counter above any live id
+            if left is not None and "__lid" in getattr(left, "columns", ()):
+                if len(left):
+                    self._join_lid[jn] = max(
+                        self._join_lid.get(jn, 0),
+                        int(left["__lid"].max()) + 1)
         self.patterns = st.get("patterns", {})
         self.pane_bounds = st.get("pane_bounds", {})
         self.graphs = st.get("graphs", {})
@@ -980,6 +1034,17 @@ class ShardedStateStore:
 
     def join_expire(self, name: str, expire_before: float) -> int:
         return sum(ray.get([s.join_expire.remote(name, expire_before) for s in self.shards]))
+
+    def sweep_join_unmatched(self, name: str, bound: float) -> list:
+        """Finalized never-matched LEFT rows from every shard (outer join)."""
+        self.fence()
+        out = []
+        for b in ray.get([s.sweep_join_unmatched.remote(name, bound)
+                          for s in self.shards]):
+            df = pickle.loads(b)
+            if df is not None and len(df):
+                out.append(df)
+        return out
 
     # --------------------------------------------------------------- checkpoint
     def dump_all(self) -> dict[int, bytes]:

@@ -2670,3 +2670,126 @@ class TestRouteLate:
         n2 = sess.late_output("ev").num_rows
         sess.store.shutdown()
         assert n1 == n2 == 1
+
+
+class TestStreamOuterJoin:
+    def _sess(self, root, **kw):
+        sess = StreamSession(root, num_shards=2, **kw)
+        sess.add(StreamJoin(
+            name="j", left_input="l", right_input="r",
+            left_key=["u"], right_key=["u_r"],
+            left_cols=["lid"], right_cols=["rid"],
+            left_ts="ts", right_ts="ts_r", max_dt=10.0,
+            emit_unmatched=True))
+        return sess
+
+    @staticmethod
+    def _l(rows):  # (u, lid, ts)
+        u, lid, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "lid": pa.array(lid, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    @staticmethod
+    def _r(rows):  # (u, rid, ts)
+        u, rid, ts = zip(*rows)
+        return pa.table({"u_r": pa.array(u, type=pa.int64()),
+                         "rid": pa.array(rid, type=pa.int64()),
+                         "ts_r": pa.array(ts, type=pa.float64())})
+
+    def _result(self, sess):
+        m = sess.sinks["j"].read_committed_table().to_pandas()
+        um = sess.sinks["j__unmatched"].read_committed_table().to_pandas()
+        return (sorted(zip(m["lid"].astype(int), m["rid"].astype(int))),
+                sorted(um["lid"].astype(int)))
+
+    def test_matched_and_unmatched_split(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "oj1")
+        # epoch 0: l1@0 (will match r in epoch 1), l2@2 (never matches),
+        # l3@0 matches r3@5 immediately
+        sess.process_epoch(0, {"l": self._l([(1, 1, 0.0), (2, 2, 2.0),
+                                             (3, 3, 0.0)]),
+                               "r": self._r([(3, 30, 5.0)])},
+                           watermark=5.0)
+        # epoch 1: r1@8 matches buffered l1 (dt=8 ≤ 10); watermark 30
+        # finalizes everything (bound 20 ≥ all left ts)
+        out = sess.process_epoch(1, {"r": self._r([(1, 10, 8.0)])},
+                                 watermark=30.0)
+        matched, unmatched = self._result(sess)
+        sess.store.shutdown()
+        assert matched == [(1, 10), (3, 30)]
+        assert unmatched == [2]
+        assert out["j__unmatched"].num_rows == 1
+
+    def test_multimatch_left_never_unmatched(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "oj2")
+        sess.process_epoch(0, {"l": self._l([(1, 1, 0.0)]),
+                               "r": self._r([(1, 10, 3.0), (1, 11, 6.0)])},
+                           watermark=50.0)
+        matched, unmatched = self._result(sess)
+        sess.store.shutdown()
+        assert matched == [(1, 10), (1, 11)]
+        assert unmatched == []
+
+    def test_premature_sweep_does_not_fire(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "oj3")
+        # watermark 5 < l.ts + max_dt = 10: the window is still open, no
+        # unmatched emission yet
+        out = sess.process_epoch(0, {"l": self._l([(1, 1, 0.0)])},
+                                 watermark=5.0)
+        assert out["j__unmatched"].num_rows == 0
+        # a right match arrives late in wall time but on time in event time
+        sess.process_epoch(1, {"r": self._r([(1, 10, 9.0)])},
+                           watermark=40.0)
+        matched, unmatched = self._result(sess)
+        sess.store.shutdown()
+        assert matched == [(1, 10)] and unmatched == []
+
+    def test_resume_restores_matched_flags(self, ray_session, tmp_path):
+        root = tmp_path / "oj4"
+        sess = self._sess(root, checkpoint_every=1)
+        sess.process_epoch(0, {"l": self._l([(1, 1, 0.0), (2, 2, 0.0)]),
+                               "r": self._r([(1, 10, 3.0)])},
+                           watermark=3.0)
+        sess.store.shutdown()  # crash; l1 matched, l2 still open
+
+        sess2 = self._sess(root, checkpoint_every=1)
+        assert sess2.resume() == 1
+        sess2.process_epoch(1, {}, watermark=40.0)
+        matched, unmatched = self._result(sess2)
+        sess2.store.shutdown()
+        # l1's matched flag survived the checkpoint: only l2 emits unmatched
+        assert matched == [(1, 10)] and unmatched == [2]
+
+    def test_dataset_epochs_match_table_epochs(self, ray_session, tmp_path):
+        rng = np.random.default_rng(5)
+        nl, nr = 120, 80
+        lrows = list(zip(rng.integers(0, 20, nl).tolist(),
+                         range(nl),
+                         np.round(rng.uniform(0, 100, nl), 2).tolist()))
+        rrows = list(zip(rng.integers(0, 20, nr).tolist(),
+                         range(1000, 1000 + nr),
+                         np.round(rng.uniform(0, 100, nr), 2).tolist()))
+
+        def run(as_dataset):
+            sess = self._sess(tmp_path / f"oj5_{as_dataset}")
+            for e in range(2):
+                l = self._l([r for i, r in enumerate(lrows) if i % 2 == e])
+                r = self._r([r for i, r in enumerate(rrows) if i % 2 == e])
+                if as_dataset:
+                    l, r = rd.from_arrow(l), rd.from_arrow(r)
+                sess.process_epoch(e, {"l": l, "r": r})
+            sess.close(2)
+            got = self._result(sess)
+            sess.store.shutdown()
+            return got
+
+        assert run(False) == run(True)
+
+    def test_emit_unmatched_requires_max_dt(self, ray_session):
+        with pytest.raises(ValueError, match="max_dt"):
+            StreamJoin(name="j", left_input="l", right_input="r",
+                       left_key=["u"], right_key=["u_r"],
+                       left_cols=["lid"], right_cols=["rid"],
+                       left_ts="ts", right_ts="ts_r",
+                       emit_unmatched=True)
