@@ -84,7 +84,8 @@ def run_bench() -> dict:
         "token_count", "pattern_match", "top_revenue",
         "sessionize", "line_dedup", "decontaminate",
         # round-3 additions
-        "connected_components", "absence_detect", "hash_vectorizer_fast")
+        "connected_components", "absence_detect", "hash_vectorizer_fast",
+        "upsert_changelog")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -871,6 +871,44 @@ def q_incremental_components(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_upsert_changelog(sf_dir: str) -> pd.DataFrame:
+    """Arrange + consolidate (UpsertToRetract): orders become a CDC upsert
+    stream — key = o_orderkey % 997, LWW stamp = o_orderkey (globally
+    unique, so register updates are tie-free and SQL-expressible), value =
+    total price in cents, 'F'-status rows are DELETES (tombstones) —
+    arriving in 3 epochs split by o_orderkey % 3, so per-key stamps
+    interleave across epochs and stale/out-of-order offers are exercised.
+    Returns the emitted changelog ITSELF (diff, k, v, epoch) — oracle-exact
+    against a cumulative-argmax register simulation in SQL (stronger than
+    the net-state-only check: every retraction row must match)."""
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("upsert"), num_shards=4)
+    sess.add(UpsertToRetract(name="chg", input="u", key=["k"], vals=["v"],
+                             key_types=[pa.int64()], val_types=[pa.int64()],
+                             ts_col="ts", delete_col="del"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["chg"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return (df.sort_values(["epoch", "k", "diff", "v"])
+            .reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -2881,6 +2919,7 @@ QUERIES = {
     "stream_outer_join": q_stream_outer_join,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
+    "upsert_changelog": q_upsert_changelog,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3217,6 +3256,53 @@ ORACLES = {
     "incremental_components": """
         SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
         FROM documents WHERE doc_id % 10 <= 4
+    """,
+    "upsert_changelog": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        -- per (key, epoch): the epoch's winning offer (pre-reduced to the
+        -- max stamp — the engine consolidates intra-epoch churn away)
+        offers AS MATERIALIZED (
+            SELECT k, e, max(stamp) AS ostamp FROM u GROUP BY k, e
+        ),
+        -- register stamp after each offer-epoch = cumulative max stamp;
+        -- the epoch APPLIED iff the cumulative max advanced
+        regs AS MATERIALIZED (
+            SELECT k, e, ostamp,
+                   MAX(ostamp) OVER (PARTITION BY k ORDER BY e
+                       ROWS UNBOUNDED PRECEDING) AS rstamp,
+                   MAX(ostamp) OVER (PARTITION BY k ORDER BY e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_rstamp
+            FROM offers
+        ),
+        vals AS MATERIALIZED (
+            SELECT r.k, r.e,
+                   CASE WHEN cv.is_del THEN NULL ELSE cv.v END AS curval,
+                   CASE WHEN pv.stamp IS NULL OR pv.is_del THEN NULL
+                        ELSE pv.v END AS prevval
+            FROM regs r
+            JOIN u cv ON cv.k = r.k AND cv.stamp = r.rstamp
+            LEFT JOIN u pv ON pv.k = r.k AND pv.stamp = r.prev_rstamp
+            WHERE r.rstamp > COALESCE(r.prev_rstamp, -1)
+              AND (CASE WHEN cv.is_del THEN NULL ELSE cv.v END)
+                  IS DISTINCT FROM
+                  (CASE WHEN pv.stamp IS NULL OR pv.is_del THEN NULL
+                        ELSE pv.v END)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, k, curval AS v,
+               CAST(e AS BIGINT) AS epoch
+        FROM vals WHERE curval IS NOT NULL
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), k, prevval, CAST(e AS BIGINT)
+        FROM vals WHERE prevval IS NOT NULL
+        ORDER BY epoch, k, diff, v
     """,
     "ann_topk": """
         WITH q AS (

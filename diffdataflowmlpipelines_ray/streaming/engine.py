@@ -52,6 +52,7 @@ __all__ = [
     "PatternMatch",
     "AbsenceDetect",
     "IncrementalComponents",
+    "UpsertToRetract",
     "StreamJoin",
     "EnrichJoin",
     "StreamDedup",
@@ -61,6 +62,46 @@ __all__ = [
 
 def _key_bytes(key_tuple: tuple) -> bytes:
     return pickle.dumps(key_tuple, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _lww_partials(tbl: pa.Table, key_cols: Sequence[str],
+                  val_cols: Sequence[str], ts_col: str,
+                  delete_col: str | None) -> dict:
+    """Per-block LWW offers: fold an upsert slice into ``{key_bytes:
+    LastValueAgg}`` — one register per key, per-key MAX ``(ts, tiebreak)``
+    stamp, delete rows as tombstones (value None, stamp kept).  Shared by
+    ``EnrichJoin`` (dim side) and ``UpsertToRetract``; the semilattice merge
+    makes block/shard/retry order irrelevant."""
+    from ..state.aggregates import LastValueAgg
+
+    key_cols = list(key_cols)
+    cols = list(dict.fromkeys(
+        key_cols + list(val_cols) + [ts_col]
+        + ([delete_col] if delete_col else [])))
+    pdf = tbl.select(cols).to_pandas()
+    ts = _ts_to_float(pdf[ts_col])
+    keys = list(zip(*[pdf[c] for c in key_cols])) if len(pdf) else []
+    # val_cols=() is an existence register (semi-join style): zip(*[])
+    # would silently truncate EVERY upsert/tombstone to zero rows
+    vals = ([()] * len(pdf) if not val_cols
+            else list(zip(*[pdf[c] for c in val_cols]))
+            if len(pdf) else [])
+    dels = (pdf[delete_col].to_numpy(dtype=bool)
+            if delete_col else np.zeros(len(pdf), dtype=bool))
+    out: dict[bytes, Any] = {}
+    for k, t, v, d in zip(keys, ts, vals, dels):
+        if d:
+            v = None  # tombstone: keeps the stamp, reads as a miss
+        # tiebreak on pickled value bytes: totally ordered for any value
+        # types (incl. None/mixed), deterministic at equal stamps
+        acc = LastValueAgg((float(t), _key_bytes(v)), v)
+        kb = _key_bytes(tuple(k))
+        cur = out.get(kb)
+        if cur is None:
+            out[kb] = acc
+        else:
+            cur.merge(acc)
+    return out
 
 
 def _ts_to_float(series: pd.Series) -> np.ndarray:
@@ -625,6 +666,67 @@ class IncrementalComponents:
 
 
 @dataclass
+class UpsertToRetract:
+    """Arrange + consolidate (the differential-dataflow changelog primitive):
+    an UPSERT stream keyed by ``key`` — each row offers ``vals`` at LWW stamp
+    ``(ts_col, tiebreak)``, delete rows (``delete_col``) are tombstones —
+    becomes a consolidated RETRACTION changelog: per epoch, each key whose
+    latest value changed emits ``(+1, key, new_vals)`` and, when a prior
+    value existed, ``(−1, key, old_vals)``; a winning tombstone emits only
+    the retraction; intra-epoch churn consolidates away (only the epoch's
+    net per-key winner is offered); stale offers (older stamp than the
+    register) emit nothing.  The changelog's running sum — ``SUM(diff)
+    GROUP BY key, vals HAVING net > 0`` — IS the latest-value-per-key table,
+    which is what downstream differential operators consume instead of
+    rescanning the upsert history (reference parity: the upsert→retraction
+    adapter every CDC ingest needs).
+
+    State: per-key ``LastValueAgg`` registers hash-partitioned across ALL
+    shards (unlike ``IncrementalComponents``' single global graph) —
+    per-key state, so it scales horizontally; checkpointed with the shard
+    snapshot and replay-idempotent via the epoch high-water mark.
+
+    ``key_types`` / ``val_types`` are REQUIRED Arrow types: empty epochs and
+    distributed per-shard parts must emit the same schema the sink saw
+    before (type inference over an empty delta list cannot)."""
+
+    name: str
+    input: str
+    key: Sequence[str]
+    vals: Sequence[str]
+    key_types: Sequence[Any]
+    val_types: Sequence[Any]
+    ts_col: str = "ts"
+    delete_col: str | None = None
+
+    def __post_init__(self):
+        if len(self.key_types) != len(self.key):
+            raise ValueError("key_types must match key")
+        if len(self.val_types) != len(self.vals):
+            raise ValueError("val_types must match vals")
+
+    # same partial contract as KeyedAggregation/EnrichJoin: both the Table
+    # and shard-direct Dataset paths fold blocks into per-key LWW offers
+    def partial_batch(self, tbl: pa.Table, finalized_before: float
+                      ) -> tuple[dict, int]:
+        return _lww_partials(tbl, self.key, self.vals, self.ts_col,
+                             self.delete_col), 0
+
+    def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
+        """``(diff, key_bytes, value_tuple)`` deltas → the changelog table
+        ``(diff, *key, *vals, epoch)`` with pinned types."""
+        keys = [pickle.loads(kb) for _, kb, _ in deltas]
+        arrays: dict[str, pa.Array] = {
+            "diff": pa.array([d for d, _, _ in deltas], type=pa.int64())}
+        for i, (c, t) in enumerate(zip(self.key, self.key_types)):
+            arrays[c] = pa.array([k[i] for k in keys], type=t)
+        for i, (c, t) in enumerate(zip(self.vals, self.val_types)):
+            arrays[c] = pa.array([v[i] for _, _, v in deltas], type=t)
+        arrays["epoch"] = pa.array([epoch] * len(deltas), type=pa.int64())
+        return pa.table(arrays)
+
+
+@dataclass
 class StreamJoin:
     """Stateful symmetric hash join keyed by arbitrary columns.
 
@@ -808,36 +910,9 @@ class EnrichJoin:
     # KeyedAggregation so the Table and shard-direct Dataset paths both work
     def partial_batch(self, tbl: pa.Table, finalized_before: float
                       ) -> tuple[dict, int]:
-        from ..state.aggregates import LastValueAgg
-
         dk = list(self.dim_key or self.key)
-        cols = list(dict.fromkeys(
-            dk + list(self.dim_vals) + [self.dim_ts]
-            + ([self.dim_delete_col] if self.dim_delete_col else [])))
-        pdf = tbl.select(cols).to_pandas()
-        ts = _ts_to_float(pdf[self.dim_ts])
-        keys = list(zip(*[pdf[c] for c in dk])) if len(pdf) else []
-        # dim_vals=() is an existence register (semi-join style): zip(*[])
-        # would silently truncate EVERY upsert/tombstone to zero rows
-        vals = ([()] * len(pdf) if not self.dim_vals
-                else list(zip(*[pdf[c] for c in self.dim_vals]))
-                if len(pdf) else [])
-        dels = (pdf[self.dim_delete_col].to_numpy(dtype=bool)
-                if self.dim_delete_col else np.zeros(len(pdf), dtype=bool))
-        out: dict[bytes, Any] = {}
-        for k, t, v, d in zip(keys, ts, vals, dels):
-            if d:
-                v = None  # tombstone: keeps the stamp, reads as a miss
-            # tiebreak on pickled value bytes: totally ordered for any value
-            # types (incl. None/mixed), deterministic at equal stamps
-            acc = LastValueAgg((float(t), _key_bytes(v)), v)
-            kb = _key_bytes(tuple(k))
-            cur = out.get(kb)
-            if cur is None:
-                out[kb] = acc
-            else:
-                cur.merge(acc)
-        return out, 0
+        return _lww_partials(tbl, dk, self.dim_vals, self.dim_ts,
+                             self.dim_delete_col), 0
 
 
 class TemporalEnrichJoin(EnrichJoin):
@@ -995,7 +1070,7 @@ class StreamSession:
                                                          fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
-                             EnrichJoin, StreamDedup)):
+                             UpsertToRetract, EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
             if isinstance(op, StreamJoin) and op.emit_unmatched:
@@ -1151,6 +1226,89 @@ class StreamSession:
             self.metrics["late_dropped"] += int(row["late"])
             self._max_event_time = max(self._max_event_time,
                                        float(row["max_ts"]))
+
+    def _upsert_retract_distributed(self, op: "UpsertToRetract", name: str,
+                                    epoch: int, data) -> int:
+        """Distributed UpsertToRetract epoch — the changelog sibling of
+        ``_scatter_partials_distributed``: per-block LWW offers ride one
+        ``groupby(shard)`` shuffle; the per-shard group task merges them
+        (deterministic key order), makes the single
+        ``apply_upsert_retract`` actor call, and writes the emitted deltas
+        straight into the sink's epoch directory (``write_epoch_part``) —
+        neither the epoch's upserts nor its changelog ever reside in driver
+        memory; the driver commits only the manifest.  Returns committed
+        delta rows."""
+        from .sink import write_epoch_part
+
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        ts_col = op.ts_col
+        finalized_before = self.watermark
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            part, _late = op.partial_batch(tbl, finalized_before)
+            max_ts = -math.inf
+            if ts_col and ts_col in tbl.column_names and tbl.num_rows:
+                ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
+                if ts.size:
+                    max_ts = float(ts.max())
+            sids, keys, accs = [-1], [b""], [pickle.dumps(
+                max_ts, protocol=pickle.HIGHEST_PROTOCOL)]
+            for k, acc in part.items():
+                sids.append(shard_of(k, num_shards))
+                keys.append(k)
+                accs.append(pickle.dumps(acc,
+                                         protocol=pickle.HIGHEST_PROTOCOL))
+            return pa.table({
+                "__shard": pa.array(sids, type=pa.int64()),
+                "__key": pa.array(keys, type=pa.binary()),
+                "__acc": pa.array(accs, type=pa.binary()),
+            })
+
+        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            if sid == -1:
+                max_ts = max(pickle.loads(b) for b in pdf["__acc"])
+                return pd.DataFrame({"rows": [0], "max_ts": [max_ts],
+                                     "entry": [""]})
+            pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
+            merged: dict[bytes, Any] = {}
+            for k, blob in zip(pdf["__key"], pdf["__acc"]):
+                acc = pickle.loads(blob)
+                if k in merged:
+                    merged[k].merge(acc)
+                else:
+                    merged[k] = acc
+            payload = pickle.dumps(sorted(merged.items()),
+                                   protocol=pickle.HIGHEST_PROTOCOL)
+            deltas = pickle.loads(ray.get(
+                shards[sid].apply_upsert_retract.remote(name, epoch,
+                                                        payload)))
+            deltas.sort(key=lambda d: (d[1], d[0]))
+            entry = write_epoch_part(
+                sink_root, epoch, op.rows_to_table(deltas, epoch),
+                tag=f"shard{sid:04d}", fsync=do_fsync)
+            return pd.DataFrame({"rows": [entry["rows"]],
+                                 "max_ts": [-math.inf],
+                                 "entry": [json.dumps(entry)]})
+
+        summaries = (
+            data.map_batches(per_block, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(apply_group, batch_format="pandas")
+            .take_all()
+        )
+        files = []
+        for row in summaries:
+            self._max_event_time = max(self._max_event_time,
+                                       float(row["max_ts"]))
+            if row["entry"]:
+                files.append(json.loads(row["entry"]))
+        self.sinks[name].commit_files(epoch, files,
+                                      meta=self._meta(kind="upsert"))
+        return sum(f["rows"] for f in files)
 
     def _scatter_points_distributed(self, op, name: str, epoch: int, data,
                                     kind: str) -> None:
@@ -1770,6 +1928,25 @@ class StreamSession:
                     epoch, [out_tbl], meta=self._meta(kind="cc"))
                 emitted[name] = out_tbl
                 self.metrics["emitted_rows"] += out_tbl.num_rows
+            elif isinstance(op, UpsertToRetract):
+                if op.input not in inputs:
+                    continue
+                data = inputs[op.input]
+                if isinstance(data, pa.Table):
+                    merged = self._merged_partials(op, data, self.watermark)
+                    deltas = self.store.apply_upsert_retract(name, epoch,
+                                                             merged)
+                    out_tbl = op.rows_to_table(deltas, epoch)
+                    self.sinks[name].commit_tables(
+                        epoch, [out_tbl], meta=self._meta(kind="upsert"))
+                    emitted[name] = out_tbl
+                    self.metrics["emitted_rows"] += out_tbl.num_rows
+                else:
+                    n = self._upsert_retract_distributed(op, name, epoch,
+                                                         data)
+                    emitted[name] = self.sinks[name].read_committed(
+                        epochs=[epoch])
+                    self.metrics["emitted_rows"] += n
             elif isinstance(op, EnrichJoin):
                 dim = inputs.get(op.dim_input)
                 if dim is not None:

@@ -489,6 +489,42 @@ class StateShard:
         emitted.sort()
         return _dumps(emitted)
 
+    def apply_upsert_retract(self, name: str, epoch: int,
+                             payload: bytes) -> bytes:
+        """Upsert→retraction changelog (DD arrange + consolidate): payload =
+        pickled list[(key_bytes, LastValueAgg)] — ONE offer per key (the
+        same partial contract as ``apply_delta``: the caller pre-merges the
+        (shard, epoch) slice to the per-key MAX ``(ts, tiebreak)`` stamp),
+        so the outcome is independent of block order.  Each offer that
+        BEATS the key's register emits the consolidated delta ``(+1, key,
+        new_value)`` plus ``(−1, key, old_value)`` when one existed; a
+        tombstone offer (``value is None``) emits only the retraction; a
+        stale offer (stamp ≤ register) emits nothing but the register keeps
+        the loser's stamp shadowed (LWW — late/out-of-order upserts cannot
+        resurrect).  The emitted multiset's running sum IS the
+        latest-value-per-key table.  Replay-idempotent via the epoch
+        high-water mark (a replayed epoch returns an empty delta and the
+        idempotent sink skips its commit).  Deterministic: offers apply in
+        sorted key order."""
+        if self._seen(f"upsert:{name}", epoch):
+            return _dumps([])
+        store = self.aggs.setdefault(name, {})
+        deltas = []
+        for kb, acc in sorted(pickle.loads(payload), key=lambda kv: kv[0]):
+            cur = store.get(kb)
+            if cur is None:
+                store[kb] = acc
+                if acc.value is not None:
+                    deltas.append((1, kb, acc.value))
+            elif acc.stamp > cur.stamp:
+                if acc.value != cur.value:
+                    if cur.value is not None:
+                        deltas.append((-1, kb, cur.value))
+                    if acc.value is not None:
+                        deltas.append((1, kb, acc.value))
+                cur.stamp, cur.value = acc.stamp, acc.value
+        return _dumps(deltas)
+
     def sweep_kleene_matches(self, name: str, watermark: float, first: str,
                              mid: str, last: str, within: float) -> bytes:
         """Kleene-plus CEP (``A B+ C``): emit one row per (first, last) pair
@@ -497,9 +533,9 @@ class StateShard:
         aggregated middle count — MATCH_RECOGNIZE ``A B+ C`` with one row
         per (A, C) pair and ``count(B)`` as the measure (non-contiguous:
         other event types may interleave), the same multiset as the
-        relational a⋈c join with an inner b-count.  Multiset semantics:
+        relational a-c join with an inner b-count.  Multiset semantics:
         duplicate a/c events multiply rows, duplicate b events add to the
-        count.  A start is finalizable at ``first.ts ≤ watermark − within``;
+        count.  A start is finalizable at ``first.ts <= watermark − within``;
         swept events drop (retention = ``within``, the PatternMatch
         contract).  Per-key cost is O(E log E + matches) via sorted arrays
         + prefix sums — no exponential subset enumeration (that is exactly
@@ -977,6 +1013,24 @@ class ShardedStateStore:
         for b in blobs:
             out.extend(pickle.loads(b))
         out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    def apply_upsert_retract(self, name: str, epoch: int,
+                             merged: dict[bytes, Any]) -> list:
+        """Scatter per-key LWW offers to their shards, gather the emitted
+        consolidated deltas ``(diff, key_bytes, value)`` (retraction before
+        addition per key; sorted by key for a deterministic table)."""
+        self.fence()
+        by_shard = self._scatter(sorted(merged.items()))
+        refs = [
+            self.shards[sid].apply_upsert_retract.remote(
+                name, epoch, _dumps(items))
+            for sid, items in by_shard.items()
+        ]
+        out: list = []
+        for b in ray.get(refs):
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda d: (d[1], d[0]))
         return out
 
     def apply_cc_edges(self, name: str, epoch: int, edges: list) -> list:

@@ -2793,3 +2793,151 @@ class TestStreamOuterJoin:
                        left_cols=["lid"], right_cols=["rid"],
                        left_ts="ts", right_ts="ts_r",
                        emit_unmatched=True)
+
+
+class TestUpsertToRetract:
+    """Arrange + consolidate: an upsert stream becomes a consolidated
+    retraction changelog whose running sum is the latest-value-per-key
+    table (LWW by (ts, tiebreak) stamp; deletes are tombstones)."""
+
+    def _op(self, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        base = dict(name="chg", input="u", key=["k"], vals=["v"],
+                    key_types=[pa.int64()], val_types=[pa.int64()],
+                    ts_col="ts", delete_col="del")
+        base.update(kw)
+        return UpsertToRetract(**base)
+
+    @staticmethod
+    def _ups(rows):
+        k, v, ts, d = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d)})
+
+    @staticmethod
+    def _rows(tbl):
+        return sorted(zip(tbl["diff"].to_pylist(), tbl["k"].to_pylist(),
+                          tbl["v"].to_pylist()))
+
+    def test_changelog_semantics(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "u1", num_shards=3)
+        sess.add(self._op())
+        # epoch 0: inserts (k=1 twice — consolidates to its max-ts value)
+        t0 = sess.process_epoch(0, {"u": self._ups(
+            [(1, 10, 1.0, False), (1, 11, 2.0, False),
+             (2, 20, 1.0, False), (3, 30, 1.0, False)])})["chg"]
+        assert self._rows(t0) == [(1, 1, 11), (1, 2, 20), (1, 3, 30)]
+        # epoch 1: update k=2; STALE offer for k=1 (older stamp — shadowed);
+        # tombstone k=3 (retraction only); same-value re-upsert emits nothing
+        t1 = sess.process_epoch(1, {"u": self._ups(
+            [(2, 21, 3.0, False), (1, 99, 0.5, False),
+             (3, 0, 3.0, True)])})["chg"]
+        assert self._rows(t1) == [(-1, 2, 20), (-1, 3, 30), (1, 2, 21)]
+        # epoch 2: re-insert after tombstone (+1 only), same-value update
+        # for k=2 at a newer stamp (no emission, stamp still advances)
+        t2 = sess.process_epoch(2, {"u": self._ups(
+            [(3, 33, 4.0, False), (2, 21, 4.0, False)])})["chg"]
+        assert self._rows(t2) == [(1, 3, 33)]
+        # epoch 3: k=2 offer between the two applied stamps is stale
+        t3 = sess.process_epoch(3, {"u": self._ups(
+            [(2, 77, 3.5, False)])})["chg"]
+        assert t3.num_rows == 0
+        sess.store.shutdown()
+
+    def test_tombstone_on_absent_key_emits_nothing(self, ray_session,
+                                                   tmp_path):
+        sess = StreamSession(tmp_path / "u2", num_shards=2)
+        sess.add(self._op())
+        t0 = sess.process_epoch(0, {"u": self._ups([(7, 0, 1.0, True)])})[
+            "chg"]
+        assert t0.num_rows == 0
+        # but the tombstone HOLDS the stamp: an older insert cannot win
+        t1 = sess.process_epoch(1, {"u": self._ups([(7, 70, 0.5, False)])})[
+            "chg"]
+        assert t1.num_rows == 0
+        t2 = sess.process_epoch(2, {"u": self._ups([(7, 71, 2.0, False)])})[
+            "chg"]
+        assert self._rows(t2) == [(1, 7, 71)]
+        sess.store.shutdown()
+
+    def test_running_sum_is_latest_per_key(self, ray_session, tmp_path):
+        rng = np.random.default_rng(17)
+        n = 400
+        rows = list(zip(rng.integers(0, 25, n).tolist(),
+                        rng.integers(0, 50, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.15).tolist()))
+        sess = StreamSession(tmp_path / "u3", num_shards=4)
+        sess.add(self._op())
+        for e in range(5):
+            sess.process_epoch(e, {"u": self._ups(rows[e::5])})
+        df = sess.sinks["chg"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = df.groupby(["k", "v"])["diff"].sum().reset_index()
+        net = net[net["diff"] != 0]
+        assert (net["diff"] == 1).all()
+        got = sorted(zip(net["k"], net["v"]))
+        pdf = pd.DataFrame(rows, columns=["k", "v", "ts", "del"])
+        last = pdf.sort_values("ts").groupby("k").tail(1)
+        want = sorted(zip(last[~last["del"]]["k"], last[~last["del"]]["v"]))
+        assert got == want
+
+    def test_dataset_path_matches_table_path(self, ray_session, tmp_path):
+        rng = np.random.default_rng(23)
+        n = 300
+        rows = list(zip(rng.integers(0, 20, n).tolist(),
+                        rng.integers(0, 40, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.2).tolist()))
+
+        def run(as_dataset):
+            sess = StreamSession(
+                tmp_path / f"u4-{as_dataset}", num_shards=3)
+            sess.add(self._op())
+            for e in range(3):
+                t = self._ups(rows[e::3])
+                if as_dataset:
+                    t = rd.from_arrow(t).repartition(4)
+                sess.process_epoch(e, {"u": t})
+            out = [
+                sorted(map(tuple, sess.sinks["chg"].read_committed_table(
+                    epochs=[e]).to_pandas().itertuples(index=False)))
+                for e in range(3)]
+            sess.store.shutdown()
+            return out
+
+        assert run(False) == run(True)
+
+    def test_crash_resume_and_replay(self, ray_session, tmp_path):
+        root = tmp_path / "u5"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {"u": self._ups(
+            [(1, 10, 1.0, False), (2, 20, 2.0, False)])})
+        sess.store.shutdown()  # crash after checkpoint
+
+        sess2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess2.add(self._op())
+        assert sess2.resume() == 1
+        # replaying epoch 0 emits nothing (high-water mark) and the sink
+        # keeps its manifest
+        r0 = sess2.process_epoch(0, {"u": self._ups(
+            [(1, 10, 1.0, False), (2, 20, 2.0, False)])})["chg"]
+        assert r0.num_rows == 0
+        # resumed registers still hold stamps: update beats, stale loses
+        t1 = sess2.process_epoch(1, {"u": self._ups(
+            [(1, 11, 3.0, False), (2, 99, 0.5, False)])})["chg"]
+        assert self._rows(t1) == [(-1, 1, 10), (1, 1, 11)]
+        df = sess2.sinks["chg"].read_committed_table().to_pandas()
+        sess2.store.shutdown()
+        net = df.groupby(["k", "v"])["diff"].sum().reset_index()
+        net = net[net["diff"] != 0]
+        assert sorted(zip(net["k"], net["v"])) == [(1, 11), (2, 20)]
+
+    def test_type_validation(self, ray_session):
+        with pytest.raises(ValueError, match="val_types"):
+            self._op(val_types=[])
