@@ -909,6 +909,54 @@ def q_upsert_changelog(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_cdc_groupby(sf_dir: str) -> pd.DataFrame:
+    """The namesake differential-dataflow composition, via IN-SESSION
+    CHAINING: UpsertToRetract("chg") turns the orders CDC upsert stream into
+    a retraction changelog, and KeyedAggregation(input="chg",
+    weight_col="diff") consumes it IN THE SAME process_epoch call — an
+    incrementally-maintained GROUP BY over the mutable latest-per-key table
+    (group g = k % 10, net live-key count + sum of current prices).  No
+    rescan of the upsert history ever happens; each epoch updates the
+    aggregate by ±1 deltas only.  Oracle: aggregate over the final
+    latest-per-key state in SQL."""
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("cdc"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="agg", input="chg", key_cols=["g"], value_col="v",
+        aggs=("count", "sum"), weight_col="diff",
+        finalize=lambda a: {"n_live": a.count, "sum_price": a.s / 100.0},
+    ))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.state_table("agg").to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"]).sort_values("g").reset_index(drop=True)
+    df["n_live"] = df["n_live"].astype(np.int64)
+    return _round(df, ["sum_price"], 2)
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -2920,6 +2968,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
     "upsert_changelog": q_upsert_changelog,
+    "cdc_groupby": q_cdc_groupby,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3303,6 +3352,26 @@ ORACLES = {
         SELECT CAST(-1 AS BIGINT), k, prevval, CAST(e AS BIGINT)
         FROM vals WHERE prevval IS NOT NULL
         ORDER BY epoch, k, diff, v
+    """,
+    "cdc_groupby": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS (
+            SELECT k, v, is_del,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY stamp DESC) AS rn
+            FROM u
+        )
+        SELECT k % 10 AS g,
+               COUNT(*)::BIGINT AS n_live,
+               ROUND(SUM(v) / 100.0, 2) AS sum_price
+        FROM latest WHERE rn = 1 AND NOT is_del
+        GROUP BY g ORDER BY g
     """,
     "ann_topk": """
         WITH q AS (

@@ -712,6 +712,21 @@ class UpsertToRetract:
         return _lww_partials(tbl, self.key, self.vals, self.ts_col,
                              self.delete_col), 0
 
+    def state_to_table(self, items: list, epoch: int) -> pa.Table:
+        """``collect()`` registers → the MATERIALIZED latest-per-key table
+        (tombstones excluded) — equal to the changelog's running sum, read
+        straight from shard state without replaying the sink (this is the
+        ``state_table`` surface for this op)."""
+        live = [(pickle.loads(kb), acc.value) for kb, acc in items
+                if acc.value is not None]
+        arrays: dict[str, pa.Array] = {}
+        for i, (c, t) in enumerate(zip(self.key, self.key_types)):
+            arrays[c] = pa.array([k[i] for k, _ in live], type=t)
+        for i, (c, t) in enumerate(zip(self.vals, self.val_types)):
+            arrays[c] = pa.array([v[i] for _, v in live], type=t)
+        arrays["epoch"] = pa.array([epoch] * len(live), type=pa.int64())
+        return pa.table(arrays)
+
     def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
         """``(diff, key_bytes, value_tuple)`` deltas → the changelog table
         ``(diff, *key, *vals, epoch)`` with pinned types."""
@@ -1856,12 +1871,30 @@ class StreamSession:
         partition a durable input-lineage record.
         """
         self.current_lineage = lineage
-        emitted: dict[str, pa.Table] = {}
+        # In-session dataflow chaining: an op that emits DURING the epoch
+        # (changelog, joins, enrich, dedup, components) publishes its output
+        # under its own name, so ops declared AFTER it can consume it as an
+        # input in the SAME process_epoch call — e.g. UpsertToRetract("chg")
+        # feeding KeyedAggregation(input="chg", weight_col="diff") is an
+        # incrementally-maintained GROUP BY over a CDC table.  Watermark-
+        # driven emissions (window closes, sweeps) happen AFTER the loop and
+        # do not chain within the epoch — feed those back explicitly.
+        # Caller inputs shadow nothing: op names must not collide with
+        # source names (ops dict + inputs dict share the namespace here).
+        avail: dict[str, Any] = dict(inputs)
+        chain_to = avail  # close over for the mirroring dict below
+
+        class _ChainedEmits(dict):
+            def __setitem__(self, k, v):
+                super().__setitem__(k, v)
+                chain_to[k] = v
+
+        emitted: dict[str, pa.Table] = _ChainedEmits()
         for name, op in self.ops.items():
             if isinstance(op, KeyedAggregation):
-                if op.input not in inputs:
+                if op.input not in avail:
                     continue
-                data = inputs[op.input]
+                data = avail[op.input]
                 if isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)
                     self.store.apply_deltas(name, epoch, merged,
@@ -1871,9 +1904,9 @@ class StreamSession:
                         op, name, epoch, data, self.watermark
                     )
             elif isinstance(op, SessionWindowAggregation):
-                if op.input not in inputs:
+                if op.input not in avail:
                     continue
-                data = inputs[op.input]
+                data = avail[op.input]
                 if op.retractable and isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
@@ -1900,9 +1933,9 @@ class StreamSession:
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="session")
             elif isinstance(op, (PatternMatch, AbsenceDetect, KleenePattern)):
-                if op.input not in inputs:
+                if op.input not in avail:
                     continue
-                data = inputs[op.input]
+                data = avail[op.input]
                 if isinstance(data, pa.Table):
                     points, late = op.points_batch(data, self.watermark)
                     self.metrics["late_dropped"] += late
@@ -1915,12 +1948,12 @@ class StreamSession:
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="pattern")
             elif isinstance(op, IncrementalComponents):
-                if op.input not in inputs:
+                if op.input not in avail:
                     continue
                 # edge deltas are narrow (16 B/row) and the union-find is one
                 # logical graph: the epoch's edges collapse to a Table and
                 # ride one actor call to the op's designated shard
-                tbl = self._as_table(inputs[op.input])
+                tbl = self._as_table(avail[op.input])
                 deltas = self.store.apply_cc_edges(
                     op.name, epoch, op.edges_from(tbl))
                 out_tbl = op.rows_to_table(deltas, epoch)
@@ -1929,9 +1962,9 @@ class StreamSession:
                 emitted[name] = out_tbl
                 self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, UpsertToRetract):
-                if op.input not in inputs:
+                if op.input not in avail:
                     continue
-                data = inputs[op.input]
+                data = avail[op.input]
                 if isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)
                     deltas = self.store.apply_upsert_retract(name, epoch,
@@ -1948,7 +1981,7 @@ class StreamSession:
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
             elif isinstance(op, EnrichJoin):
-                dim = inputs.get(op.dim_input)
+                dim = avail.get(op.dim_input)
                 if dim is not None:
                     # upsert registers FIRST: epoch-e dim updates are visible
                     # to epoch-e events (both paths block until applied, and
@@ -1960,7 +1993,7 @@ class StreamSession:
                     else:
                         self._scatter_partials_distributed(
                             op, name, epoch, dim, self.watermark)
-                stream = inputs.get(op.stream_input)
+                stream = avail.get(op.stream_input)
                 if stream is not None:
                     if isinstance(op, TemporalEnrichJoin):
                         n = self._temporal_probe_epoch(op, name, epoch, stream)
@@ -1970,7 +2003,7 @@ class StreamSession:
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
             elif isinstance(op, StreamDedup):
-                data = inputs.get(op.input)
+                data = avail.get(op.input)
                 if data is None:
                     continue
                 if isinstance(data, pa.Table):
@@ -1985,8 +2018,8 @@ class StreamSession:
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
             elif isinstance(op, StreamJoin):
-                left_tbl = inputs.get(op.left_input)
-                right_tbl = inputs.get(op.right_input)
+                left_tbl = avail.get(op.left_input)
+                right_tbl = avail.get(op.right_input)
                 if any(d is not None and not isinstance(d, pa.Table)
                        for d in (left_tbl, right_tbl)):
                     # Dataset epoch: distributed partition + shard-side probe
@@ -2201,9 +2234,11 @@ class StreamSession:
 
     # ------------------------------------------------------------- inspection
     def state_table(self, name: str) -> pa.Table:
-        """Current (non-windowed) per-key aggregates as an Arrow table."""
+        """Current (non-windowed) per-key aggregates as an Arrow table —
+        for ``UpsertToRetract``, the materialized latest-per-key table."""
         op = self.ops[name]
-        return op.rows_to_table(self.store.collect(name), self.last_epoch)
+        fn = getattr(op, "state_to_table", None) or op.rows_to_table
+        return fn(self.store.collect(name), self.last_epoch)
 
     def read_output(self, name: str) -> pa.Table:
         return self.sinks[name].read_committed_table()

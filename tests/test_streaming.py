@@ -2941,3 +2941,134 @@ class TestUpsertToRetract:
     def test_type_validation(self, ray_session):
         with pytest.raises(ValueError, match="val_types"):
             self._op(val_types=[])
+
+
+class TestInSessionChaining:
+    """Ops that emit during the epoch publish their output under their own
+    name, so later-declared ops consume it in the SAME process_epoch call."""
+
+    def _ups(self, rows):
+        k, v, ts, d = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "g": pa.array([x % 3 for x in k], type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d)})
+
+    def _chg_op(self):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        return UpsertToRetract(
+            name="chg", input="u", key=["k"], vals=["v", "g"],
+            key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+            ts_col="ts", delete_col="del")
+
+    def _agg_op(self):
+        return KeyedAggregation(
+            name="agg", input="chg", key_cols=["g"], value_col="v",
+            aggs=("count", "sum"), weight_col="diff")
+
+    @staticmethod
+    def _state(sess):
+        df = sess.state_table("agg").to_pandas()
+        return sorted(zip(df["g"], df["count"], df["sum"]))
+
+    def _rand_rows(self, seed, n=240):
+        rng = np.random.default_rng(seed)
+        return list(zip(rng.integers(0, 30, n).tolist(),
+                        rng.integers(1, 100, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.2).tolist()))
+
+    def test_chained_equals_manual_feed(self, ray_session, tmp_path):
+        rows = self._rand_rows(5)
+        # chained: one session, one call per epoch
+        s1 = StreamSession(tmp_path / "c1", num_shards=3)
+        s1.add(self._chg_op())
+        s1.add(self._agg_op())
+        for e in range(4):
+            out = s1.process_epoch(e, {"u": self._ups(rows[e::4])})
+            assert "chg" in out
+        got = self._state(s1)
+        s1.store.shutdown()
+        # manual: separate sessions, changelog fed by hand
+        s2 = StreamSession(tmp_path / "c2p", num_shards=3)
+        s2.add(self._chg_op())
+        s3 = StreamSession(tmp_path / "c2a", num_shards=3)
+        s3.add(self._agg_op())
+        for e in range(4):
+            chg = s2.process_epoch(e, {"u": self._ups(rows[e::4])})["chg"]
+            s3.process_epoch(e, {"chg": chg})
+        want = self._state(s3)
+        s2.store.shutdown()
+        s3.store.shutdown()
+        assert got == want
+        # and equals the brute-force aggregate over latest-per-key state
+        pdf = pd.DataFrame(rows, columns=["k", "v", "ts", "del"])
+        last = pdf.sort_values("ts").groupby("k").tail(1)
+        live = last[~last["del"]].assign(g=lambda d: d["k"] % 3)
+        bf = live.groupby("g").agg(count=("v", "size"), s=("v", "sum"))
+        assert got == sorted(zip(bf.index, bf["count"],
+                                 bf["s"].astype(float)))
+
+    def test_dataset_epoch_chains_too(self, ray_session, tmp_path):
+        rows = self._rand_rows(11)
+        s1 = StreamSession(tmp_path / "d1", num_shards=3)
+        s1.add(self._chg_op())
+        s1.add(self._agg_op())
+        for e in range(3):
+            s1.process_epoch(
+                e, {"u": rd.from_arrow(self._ups(rows[e::3])).repartition(3)})
+        got = self._state(s1)
+        s1.store.shutdown()
+        s2 = StreamSession(tmp_path / "d2", num_shards=3)
+        s2.add(self._chg_op())
+        s2.add(self._agg_op())
+        for e in range(3):
+            s2.process_epoch(e, {"u": self._ups(rows[e::3])})
+        want = self._state(s2)
+        s2.store.shutdown()
+        assert got == want
+
+    def test_declaration_order_gates_chaining(self, ray_session, tmp_path):
+        # consumer declared BEFORE the producer sees nothing in-epoch
+        sess = StreamSession(tmp_path / "o1", num_shards=2)
+        sess.add(self._agg_op())   # first: upstream of chg in declaration
+        sess.add(self._chg_op())
+        sess.process_epoch(0, {"u": self._ups([(1, 10, 1.0, False)])})
+        assert sess.state_table("agg").num_rows == 0
+        sess.store.shutdown()
+
+
+class TestUpsertStateTable:
+    def test_state_table_is_changelog_running_sum(self, ray_session,
+                                                  tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        rng = np.random.default_rng(31)
+        n = 200
+        rows = list(zip(rng.integers(0, 20, n).tolist(),
+                        rng.integers(0, 50, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.2).tolist()))
+        sess = StreamSession(tmp_path / "st", num_shards=3)
+        sess.add(UpsertToRetract(
+            name="chg", input="u", key=["k"], vals=["v"],
+            key_types=[pa.int64()], val_types=[pa.int64()],
+            ts_col="ts", delete_col="del"))
+        for e in range(4):
+            k, v, ts, d = zip(*rows[e::4])
+            sess.process_epoch(e, {"u": pa.table(
+                {"k": pa.array(k, type=pa.int64()),
+                 "v": pa.array(v, type=pa.int64()),
+                 "ts": pa.array(ts, type=pa.float64()),
+                 "del": pa.array(d)})})
+        st = sess.state_table("chg").to_pandas()
+        chg = sess.sinks["chg"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = chg.groupby(["k", "v"])["diff"].sum().reset_index()
+        net = net[net["diff"] != 0]
+        assert sorted(zip(st["k"], st["v"])) == sorted(zip(net["k"],
+                                                           net["v"]))
