@@ -957,6 +957,55 @@ def q_cdc_groupby(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["sum_price"], 2)
 
 
+def q_agg_changelog(sf_dir: str) -> pd.DataFrame:
+    """Two-level differential chain: CDC upserts → UpsertToRetract("chg")
+    → KeyedAggregation(emit_changelog=True) — the AGGREGATE emits its own
+    ±1 changelog (old aggregate retracted, new added, per touched group
+    whose finalized value changed), i.e. DD's arrangement-as-output: any
+    keyed fold becomes an upstream for further differential consumers.
+    Returns the aggregate's full changelog — oracle-exact against a
+    per-epoch cumulative-state + LAG transition simulation in SQL
+    (including the no-emission case where two key updates inside one group
+    cancel to the same (count, sum) pair)."""
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("aggchg"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="agg", input="chg", key_cols=["g"], value_col="v",
+        aggs=("count", "sum"), weight_col="diff", emit_changelog=True,
+        finalize=lambda a: {"n_live": a.count, "sum_cents": a.s},
+    ))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["agg"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "n_live", "sum_cents", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["diff", "g", "n_live", "sum_cents", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -2969,6 +3018,7 @@ QUERIES = {
     "incremental_components": q_incremental_components,
     "upsert_changelog": q_upsert_changelog,
     "cdc_groupby": q_cdc_groupby,
+    "agg_changelog": q_agg_changelog,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3372,6 +3422,56 @@ ORACLES = {
                ROUND(SUM(v) / 100.0, 2) AS sum_price
         FROM latest WHERE rn = 1 AND NOT is_del
         GROUP BY g ORDER BY g
+    """,
+    "agg_changelog": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        -- grouped-aggregate STATE after each epoch: aggregate over the
+        -- latest-per-key live rows among arrivals with e <= epoch
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g, COUNT(*)::BIGINT AS n_live,
+                   SUM(v)::BIGINT AS sum_cents
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        -- per (g, epoch) transition: emit iff the (n_live, sum_cents)
+        -- pair changed (two in-group updates cancelling to the same pair
+        -- emit nothing — exactly the engine's finalized-value compare)
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.n_live, s.sum_cents,
+                   LAG(s.n_live) OVER w AS p_n,
+                   LAG(s.sum_cents) OVER w AS p_s
+            FROM grid LEFT JOIN state s USING (epoch, g)
+            WINDOW w AS (PARTITION BY grid.g ORDER BY grid.epoch)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, n_live, sum_cents,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE n_live IS NOT NULL
+          AND (n_live IS DISTINCT FROM p_n
+               OR sum_cents IS DISTINCT FROM p_s)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_n, p_s, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_n IS NOT NULL
+          AND (n_live IS DISTINCT FROM p_n
+               OR sum_cents IS DISTINCT FROM p_s)
+        ORDER BY epoch, g, diff
     """,
     "ann_topk": """
         WITH q AS (

@@ -199,6 +199,14 @@ class KeyedAggregation:
     weight_col: str | None = None
     make_acc: Callable | None = None  # custom: (values, weights) -> acc
     finalize: Callable | None = None  # custom: acc -> dict[str, scalar]
+    #: unwindowed only: emit the aggregate's OWN ±1 changelog each epoch —
+    #: for every key the epoch touched whose finalized value changed,
+    #: ``(−1, key, old_aggs)`` + ``(+1, key, new_aggs)`` rows go to the
+    #: op's sink (pure insert/retraction when the key appears/reaches the
+    #: monoid identity).  The running sum is the current grouped-aggregate
+    #: table, so the output chains into further differential ops
+    #: (``weight_col="diff"`` downstream) — DD's arrangement-as-output.
+    emit_changelog: bool = False
 
     def __post_init__(self):
         bad = set(self.aggs) - set(_AGG_FIELDS)
@@ -206,6 +214,9 @@ class KeyedAggregation:
             raise ValueError(f"unknown aggs {bad}")
         if self.window and self.window.kind != "session" and self.ts_col is None:
             raise ValueError("windowed aggregation needs ts_col")
+        if self.emit_changelog and self.window is not None:
+            raise ValueError("emit_changelog requires window=None (windowed "
+                             "aggregates already emit exactly once on close)")
         self._track_extremes = bool({"min", "max"} & set(self.aggs))
 
     # --------------------------------------------------------------- partials
@@ -312,6 +323,27 @@ class KeyedAggregation:
             if self.window is not None:
                 names += ["window_start", "window_end"]
             names += [a for a in self.aggs] + ["epoch"]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+    def changelog_to_table(self, pairs: list, epoch: int) -> pa.Table:
+        """``(key_bytes, old_acc, new_acc)`` per touched key → ±1 delta rows
+        (retraction of the old finalized aggregate before the addition of
+        the new; keys whose finalized value did not change emit nothing)."""
+        recs = []
+        for kb, old, new in pairs:
+            of = None if old is None else self._finalize_acc(old)
+            nf = None if new is None else self._finalize_acc(new)
+            if of == nf:
+                continue
+            base = dict(zip(self.key_cols, pickle.loads(kb)))
+            if of is not None:
+                recs.append({**base, **of, "diff": -1, "epoch": epoch})
+            if nf is not None:
+                recs.append({**base, **nf, "diff": 1, "epoch": epoch})
+        if not recs:
+            names = (list(self.key_cols) + [a for a in self.aggs]
+                     + ["diff", "epoch"])
             return pa.table({n: pa.array([]) for n in names})
         return pa.Table.from_pylist(recs)
 
@@ -1080,6 +1112,7 @@ class StreamSession:
         if isinstance(op, (KeyedAggregation, SessionWindowAggregation)) and (
             getattr(op, "window", None) is not None
             or isinstance(op, SessionWindowAggregation)
+            or getattr(op, "emit_changelog", False)
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
@@ -1242,24 +1275,26 @@ class StreamSession:
             self._max_event_time = max(self._max_event_time,
                                        float(row["max_ts"]))
 
-    def _upsert_retract_distributed(self, op: "UpsertToRetract", name: str,
-                                    epoch: int, data) -> int:
-        """Distributed UpsertToRetract epoch — the changelog sibling of
-        ``_scatter_partials_distributed``: per-block LWW offers ride one
+    def _changelog_distributed(self, op, name: str, epoch: int, data,
+                               shard_method: str, to_table, kind: str
+                               ) -> int:
+        """Distributed changelog epoch (UpsertToRetract and
+        ``KeyedAggregation(emit_changelog=True)``) — the changelog sibling
+        of ``_scatter_partials_distributed``: per-block partials ride one
         ``groupby(shard)`` shuffle; the per-shard group task merges them
-        (deterministic key order), makes the single
-        ``apply_upsert_retract`` actor call, and writes the emitted deltas
-        straight into the sink's epoch directory (``write_epoch_part``) —
-        neither the epoch's upserts nor its changelog ever reside in driver
-        memory; the driver commits only the manifest.  Returns committed
-        delta rows."""
+        (deterministic key order), makes the single ``shard_method`` actor
+        call, converts the returned deltas with ``to_table``, and writes
+        them straight into the sink's epoch directory
+        (``write_epoch_part``) — neither the epoch's input nor its
+        changelog ever reside in driver memory; the driver commits only
+        the manifest.  Returns committed delta rows."""
         from .sink import write_epoch_part
 
         num_shards = self.store.num_shards
         shards = self.store.shards
         sink_root = str(self.sinks[name].root)
         do_fsync = self.sinks[name].fsync
-        ts_col = op.ts_col
+        ts_col = getattr(op, "ts_col", None)
         finalized_before = self.watermark
 
         def per_block(tbl: pa.Table) -> pa.Table:
@@ -1298,13 +1333,14 @@ class StreamSession:
                     merged[k] = acc
             payload = pickle.dumps(sorted(merged.items()),
                                    protocol=pickle.HIGHEST_PROTOCOL)
-            deltas = pickle.loads(ray.get(
-                shards[sid].apply_upsert_retract.remote(name, epoch,
-                                                        payload)))
-            deltas.sort(key=lambda d: (d[1], d[0]))
+            deltas = pickle.loads(ray.get(getattr(
+                shards[sid], shard_method).remote(name, epoch, payload)))
+            tbl = to_table(deltas, epoch)
+            if not tbl.num_rows:  # empty parts add nothing; skip the file
+                return pd.DataFrame({"rows": [0], "max_ts": [-math.inf],
+                                     "entry": [""]})
             entry = write_epoch_part(
-                sink_root, epoch, op.rows_to_table(deltas, epoch),
-                tag=f"shard{sid:04d}", fsync=do_fsync)
+                sink_root, epoch, tbl, tag=f"shard{sid:04d}", fsync=do_fsync)
             return pd.DataFrame({"rows": [entry["rows"]],
                                  "max_ts": [-math.inf],
                                  "entry": [json.dumps(entry)]})
@@ -1322,7 +1358,7 @@ class StreamSession:
             if row["entry"]:
                 files.append(json.loads(row["entry"]))
         self.sinks[name].commit_files(epoch, files,
-                                      meta=self._meta(kind="upsert"))
+                                      meta=self._meta(kind=kind))
         return sum(f["rows"] for f in files)
 
     def _scatter_points_distributed(self, op, name: str, epoch: int, data,
@@ -1895,7 +1931,29 @@ class StreamSession:
                 if op.input not in avail:
                     continue
                 data = avail[op.input]
-                if isinstance(data, pa.Table):
+                if op.emit_changelog:
+                    # the aggregate's OWN ±1 changelog: old/new finalized
+                    # values per touched key, committed per epoch (chains
+                    # into later-declared differential consumers)
+                    if isinstance(data, pa.Table):
+                        merged = self._merged_partials(op, data,
+                                                       self.watermark)
+                        pairs = self.store.apply_delta_changelog(
+                            name, epoch, merged)
+                        out_tbl = op.changelog_to_table(pairs, epoch)
+                        self.sinks[name].commit_tables(
+                            epoch, [out_tbl],
+                            meta=self._meta(kind="agg_changelog"))
+                        emitted[name] = out_tbl
+                        self.metrics["emitted_rows"] += out_tbl.num_rows
+                    else:
+                        n = self._changelog_distributed(
+                            op, name, epoch, data, "apply_delta_changelog",
+                            op.changelog_to_table, kind="agg_changelog")
+                        emitted[name] = self.sinks[name].read_committed(
+                            epochs=[epoch])
+                        self.metrics["emitted_rows"] += n
+                elif isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)
                     self.store.apply_deltas(name, epoch, merged,
                                             wait=not self.pipelined)
@@ -1975,8 +2033,9 @@ class StreamSession:
                     emitted[name] = out_tbl
                     self.metrics["emitted_rows"] += out_tbl.num_rows
                 else:
-                    n = self._upsert_retract_distributed(op, name, epoch,
-                                                         data)
+                    n = self._changelog_distributed(
+                        op, name, epoch, data, "apply_upsert_retract",
+                        op.rows_to_table, kind="upsert")
                     emitted[name] = self.sinks[name].read_committed(
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n

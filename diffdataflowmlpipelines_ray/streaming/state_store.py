@@ -113,6 +113,36 @@ class StateShard:
             return _dumps([(k, store.get(k)) for k, _ in items])
         return len(items)
 
+    def apply_delta_changelog(self, name: str, epoch: int,
+                              payload: bytes) -> bytes:
+        """Changelog variant of ``apply_delta`` (DD's output changelog of a
+        keyed fold): apply the epoch's partials and return ``(key_bytes,
+        old_acc | None, new_acc | None)`` for every TOUCHED key — the
+        caller finalizes both sides and emits ±1 delta rows whose running
+        sum is the current grouped-aggregate table, turning any keyed
+        aggregation into an upstream for further differential operators.
+        ``new_acc`` is None when the merge reached the monoid identity (the
+        key was deleted — pure retraction); a replayed epoch returns []
+        (same ``agg:`` high-water mark as ``apply_delta``, so one op uses
+        either surface consistently).  Deterministic: sorted key order."""
+        if self._seen(f"agg:{name}", epoch):
+            return _dumps([])
+        store = self.aggs.setdefault(name, {})
+        out = []
+        for key, acc in sorted(pickle.loads(payload), key=lambda kv: kv[0]):
+            cur = store.get(key)
+            old = None if cur is None else (
+                cur.copy() if hasattr(cur, "copy")
+                else pickle.loads(pickle.dumps(cur)))
+            if cur is None:
+                store[key] = acc
+            else:
+                cur.merge(acc)
+                if hasattr(cur, "is_identity") and cur.is_identity():
+                    del store[key]
+            out.append((key, old, store.get(key)))
+        return _dumps(out)
+
     def collect(self, name: str) -> bytes:
         """All (key, acc) pairs of this shard (snapshot read)."""
         return _dumps(sorted(self.aggs.get(name, {}).items()))
@@ -1013,6 +1043,23 @@ class ShardedStateStore:
         for b in blobs:
             out.extend(pickle.loads(b))
         out.sort(key=lambda kv: (kv[0], kv[1]))
+        return out
+
+    def apply_delta_changelog(self, name: str, epoch: int,
+                              merged: dict[bytes, Any]) -> list:
+        """Scatter the epoch's partials, gather ``(key_bytes, old_acc,
+        new_acc)`` for every touched key (sorted by key)."""
+        self.fence()
+        by_shard = self._scatter(sorted(merged.items()))
+        refs = [
+            self.shards[sid].apply_delta_changelog.remote(
+                name, epoch, _dumps(items))
+            for sid, items in by_shard.items()
+        ]
+        out: list = []
+        for b in ray.get(refs):
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda kv: kv[0])
         return out
 
     def apply_upsert_retract(self, name: str, epoch: int,

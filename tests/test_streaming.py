@@ -3072,3 +3072,121 @@ class TestUpsertStateTable:
         net = net[net["diff"] != 0]
         assert sorted(zip(st["k"], st["v"])) == sorted(zip(net["k"],
                                                            net["v"]))
+
+
+class TestAggChangelog:
+    """KeyedAggregation(emit_changelog=True): the aggregate's own ±1
+    changelog — old finalized value retracted, new added, per touched key
+    whose finalized value changed."""
+
+    def _op(self, **kw):
+        base = dict(name="agg", input="d", key_cols=["g"], value_col="v",
+                    aggs=("count", "sum"), weight_col="diff",
+                    emit_changelog=True)
+        base.update(kw)
+        return KeyedAggregation(**base)
+
+    @staticmethod
+    def _deltas(rows):
+        g, v, d = zip(*rows)
+        return pa.table({"g": pa.array(g, type=pa.int64()),
+                         "v": pa.array(v, type=pa.float64()),
+                         "diff": pa.array(d, type=pa.int64())})
+
+    @staticmethod
+    def _rows(tbl):
+        return sorted(zip(tbl["diff"].to_pylist(), tbl["g"].to_pylist(),
+                          tbl["count"].to_pylist(), tbl["sum"].to_pylist()))
+
+    def test_emits_old_and_new(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "a1", num_shards=3)
+        sess.add(self._op())
+        t0 = sess.process_epoch(0, {"d": self._deltas(
+            [(1, 10.0, 1), (1, 20.0, 1), (2, 5.0, 1)])})["agg"]
+        assert self._rows(t0) == [(1, 1, 2, 30.0), (1, 2, 1, 5.0)]
+        # epoch 1: group 1 gains a row; group 2 retracts to identity
+        # (pure retraction, no +1); group 3 appears
+        t1 = sess.process_epoch(1, {"d": self._deltas(
+            [(1, 5.0, 1), (2, 5.0, -1), (3, 7.0, 1)])})["agg"]
+        assert self._rows(t1) == [(-1, 1, 2, 30.0), (-1, 2, 1, 5.0),
+                                  (1, 1, 3, 35.0), (1, 3, 1, 7.0)]
+        sess.store.shutdown()
+
+    def test_cancelling_updates_emit_nothing(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "a2", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {"d": self._deltas([(1, 10.0, 1),
+                                                  (1, 20.0, 1)])})
+        # same group touched, but +30 and −30 cancel: finalized (count,
+        # sum) pair unchanged → NO changelog rows
+        t1 = sess.process_epoch(1, {"d": self._deltas(
+            [(1, 30.0, 1), (1, 30.0, -1)])})["agg"]
+        assert t1.num_rows == 0
+        sess.store.shutdown()
+
+    def test_requires_unwindowed(self, ray_session):
+        with pytest.raises(ValueError, match="emit_changelog"):
+            self._op(window=WindowSpec.tumbling(10.0), ts_col="ts")
+
+    def test_dataset_matches_table_and_resume(self, ray_session, tmp_path):
+        rng = np.random.default_rng(41)
+        n = 200
+        # integer-valued floats: float sums are then EXACT regardless of
+        # merge order (block order differs between Table and Dataset paths;
+        # fractional values would differ in ulps — the repo-wide policy)
+        rows = list(zip(rng.integers(0, 8, n).tolist(),
+                        rng.integers(1, 900, n).astype(float).tolist(),
+                        rng.choice([1, 1, 1, -1], n).tolist()))
+
+        def run(as_dataset, root):
+            sess = StreamSession(root, num_shards=3, checkpoint_every=1)
+            sess.add(self._op())
+            for e in range(3):
+                t = self._deltas(rows[e::3])
+                if as_dataset:
+                    t = rd.from_arrow(t).repartition(3)
+                sess.process_epoch(e, {"d": t})
+            out = sess.sinks["agg"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            return sorted(map(tuple, out[["diff", "g", "count", "sum",
+                                          "epoch"]].itertuples(index=False)))
+
+        a = run(False, tmp_path / "a3t")
+        b = run(True, tmp_path / "a3d")
+        assert a == b
+        # crash-resume: replay of a committed epoch emits nothing
+        root = tmp_path / "a3r"
+        s1 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        s1.add(self._op())
+        s1.process_epoch(0, {"d": self._deltas(rows[0::3])})
+        s1.store.shutdown()
+        s2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+        s2.add(self._op())
+        assert s2.resume() == 1
+        r0 = s2.process_epoch(0, {"d": self._deltas(rows[0::3])})["agg"]
+        assert r0.num_rows == 0
+        t1 = s2.process_epoch(1, {"d": self._deltas(rows[1::3])})["agg"]
+        assert t1.num_rows > 0  # state survived; transitions keep flowing
+        s2.store.shutdown()
+
+    def test_running_sum_is_current_state(self, ray_session, tmp_path):
+        rng = np.random.default_rng(47)
+        n = 300
+        rows = list(zip(rng.integers(0, 10, n).tolist(),
+                        rng.integers(1, 20, n).astype(float).tolist(),
+                        rng.choice([1, 1, -1], n).tolist()))
+        sess = StreamSession(tmp_path / "a4", num_shards=3)
+        sess.add(self._op())
+        for e in range(4):
+            sess.process_epoch(e, {"d": self._deltas(rows[e::4])})
+        chg = sess.sinks["agg"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = chg.groupby(["g", "count", "sum"])["diff"].sum().reset_index()
+        net = net[net["diff"] != 0]
+        assert (net["diff"] == 1).all()
+        pdf = pd.DataFrame(rows, columns=["g", "v", "d"])
+        bf = pdf.assign(wv=pdf["v"] * pdf["d"]).groupby("g").agg(
+            count=("d", "sum"), sum=("wv", "sum"))
+        bf = bf[(bf["count"] != 0) | (bf["sum"] != 0)]
+        assert (sorted(zip(net["g"], net["count"], net["sum"]))
+                == sorted(zip(bf.index, bf["count"], bf["sum"])))
