@@ -1006,6 +1006,58 @@ def q_agg_changelog(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def q_cdc_scaler(sf_dir: str) -> pd.DataFrame:
+    """ML over CDC — the reference's namesake loop end-to-end: orders CDC
+    upserts → UpsertToRetract changelog → IncrementalEncoderSession fitting
+    a StandardScaler with ``weight_col="diff"`` (retractions UNDO the old
+    value's contribution to mean/M2, insertions add the new one).  After
+    the final epoch the incrementally-maintained fit must equal a batch
+    fit over the CURRENT live latest-per-key table — oracle: AVG /
+    var_pop over that state in SQL.  No epoch ever rescans history; the
+    model updates from ±1 deltas alone."""
+    from ..stages.encoders import StandardScaler
+    from ..streaming.encoders import IncrementalEncoderSession
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # value = price cents / 1e5: keeps the variance O(1–10) so float
+    # agreement with DuckDB survives ROUND(…, 6) (raw-cents variance is
+    # ~1e13 — beyond float64's absolute precision at 6 decimals)
+    v = (_half_away(tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64) / 1e5)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": pa.array(v, type=pa.float64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("cdcsc"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v"],
+        key_types=[pa.int64()], val_types=[pa.float64()],
+        ts_col="ts", delete_col="del"))
+    enc = IncrementalEncoderSession(
+        [("v", StandardScaler())], _tmp("cdcsc-enc"), num_shards=2,
+        weight_col="diff")
+    try:
+        for e in range(3):
+            chg = sess.process_epoch(e, {"u": ups.filter(
+                pa.array(ok % 3 == e))})["chg"]
+            chg = chg.append_column(
+                "row_id", pa.array(np.arange(chg.num_rows), type=pa.int64()))
+            enc.process_epoch(e, chg)
+        scaler = enc.mce.config[0][1]
+        out = pd.DataFrame({"mean_v": [scaler.mean_],
+                            "var_v": [scaler.scale_]})
+    finally:
+        enc.close()
+        sess.store.shutdown()
+    return _round(out, ["mean_v", "var_v"])
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -3019,6 +3071,7 @@ QUERIES = {
     "upsert_changelog": q_upsert_changelog,
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,
+    "cdc_scaler": q_cdc_scaler,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3472,6 +3525,24 @@ ORACLES = {
           AND (n_live IS DISTINCT FROM p_n
                OR sum_cents IS DISTINCT FROM p_s)
         ORDER BY epoch, g, diff
+    """,
+    "cdc_scaler": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100000.0 AS v,
+                   o_orderkey AS stamp,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS (
+            SELECT k, v, is_del,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY stamp DESC) AS rn
+            FROM u
+        )
+        SELECT ROUND(AVG(v), 6) AS mean_v,
+               ROUND(var_pop(v), 6) AS var_v
+        FROM latest WHERE rn = 1 AND NOT is_del
     """,
     "ann_topk": """
         WITH q AS (

@@ -3190,3 +3190,49 @@ class TestAggChangelog:
         bf = bf[(bf["count"] != 0) | (bf["sum"] != 0)]
         assert (sorted(zip(net["g"], net["count"], net["sum"]))
                 == sorted(zip(bf.index, bf["count"], bf["sum"])))
+
+
+class TestCdcScalerLoop:
+    def test_changelog_driven_fit_equals_batch(self, ray_session, tmp_path):
+        """CDC → UpsertToRetract changelog → IncrementalEncoderSession:
+        the retraction-weighted incremental StandardScaler fit equals a
+        numpy fit over the live latest-per-key values."""
+        from diffdataflowmlpipelines_ray.stages.encoders import (
+            StandardScaler)
+        from diffdataflowmlpipelines_ray.streaming.encoders import (
+            IncrementalEncoderSession)
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        rng = np.random.default_rng(53)
+        n = 250
+        rows = list(zip(rng.integers(0, 40, n).tolist(),
+                        rng.normal(10, 3, n).round(3).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.2).tolist()))
+        sess = StreamSession(tmp_path / "cs", num_shards=3)
+        sess.add(UpsertToRetract(
+            name="chg", input="u", key=["k"], vals=["v"],
+            key_types=[pa.int64()], val_types=[pa.float64()],
+            ts_col="ts", delete_col="del"))
+        enc = IncrementalEncoderSession(
+            [("v", StandardScaler())], tmp_path / "cs-enc", num_shards=2,
+            weight_col="diff")
+        for e in range(4):
+            k, v, ts, d = zip(*rows[e::4])
+            chg = sess.process_epoch(e, {"u": pa.table(
+                {"k": pa.array(k, type=pa.int64()),
+                 "v": pa.array(v, type=pa.float64()),
+                 "ts": pa.array(ts, type=pa.float64()),
+                 "del": pa.array(d)})})["chg"]
+            chg = chg.append_column("row_id", pa.array(
+                np.arange(chg.num_rows), type=pa.int64()))
+            enc.process_epoch(e, chg)
+        scaler = enc.mce.config[0][1]
+        enc.close()
+        sess.store.shutdown()
+        pdf = pd.DataFrame(rows, columns=["k", "v", "ts", "del"])
+        last = pdf.sort_values("ts").groupby("k").tail(1)
+        live = last[~last["del"]]["v"].to_numpy()
+        assert scaler.mean_ == pytest.approx(live.mean(), rel=1e-9)
+        assert scaler.scale_ == pytest.approx(live.var(), rel=1e-9)
