@@ -85,7 +85,8 @@ def run_bench() -> dict:
         "sessionize", "line_dedup", "decontaminate",
         # round-3 additions
         "connected_components", "absence_detect", "hash_vectorizer_fast",
-        "upsert_changelog", "cdc_groupby", "agg_changelog", "cdc_scaler")
+        "upsert_changelog", "cdc_groupby", "agg_changelog", "cdc_scaler",
+        "retractable_minmax")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

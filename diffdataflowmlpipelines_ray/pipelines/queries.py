@@ -1058,6 +1058,60 @@ def q_cdc_scaler(sf_dir: str) -> pd.DataFrame:
     return _round(out, ["mean_v", "var_v"])
 
 
+def q_retractable_minmax(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped MIN/MAX — the classic non-invertible aggregate
+    that needs an arrangement: ``MinMaxAgg``'s value→count map (reference
+    minmax_scaler.rs semantics) as the ``KeyedAggregation`` monoid, fed by
+    the CDC changelog with ``weight_col="diff"``.  Retracting the current
+    extreme EXPOSES the next one (its count hits zero); the op emits the
+    min/max transition changelog per group.  Oracle: per-epoch cumulative
+    state + LAG transition simulation with MIN/MAX in SQL."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+
+    def _mm(a):
+        mn, rng = a.get()
+        return {"min_v": mn, "max_v": mn + rng}
+
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ), type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rmm"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="mm", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy, finalize=_mm,
+        aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["mm"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    for c in ("min_v", "max_v"):
+        df[c] = df[c].astype(np.int64)  # cents are integral floats
+    return (df[["diff", "g", "min_v", "max_v", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -3072,6 +3126,7 @@ QUERIES = {
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
+    "retractable_minmax": q_retractable_minmax,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3543,6 +3598,47 @@ ORACLES = {
         SELECT ROUND(AVG(v), 6) AS mean_v,
                ROUND(var_pop(v), 6) AS var_v
         FROM latest WHERE rn = 1 AND NOT is_del
+    """,
+    "retractable_minmax": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g, MIN(v) AS min_v, MAX(v) AS max_v
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.min_v, s.max_v,
+                   LAG(s.min_v) OVER w AS p_mn, LAG(s.max_v) OVER w AS p_mx
+            FROM grid LEFT JOIN state s USING (epoch, g)
+            WINDOW w AS (PARTITION BY grid.g ORDER BY grid.epoch)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, min_v, max_v,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE min_v IS NOT NULL
+          AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_mn, p_mx, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_mn IS NOT NULL
+          AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
+        ORDER BY epoch, g, diff
     """,
     "ann_topk": """
         WITH q AS (

@@ -3236,3 +3236,45 @@ class TestCdcScalerLoop:
         live = last[~last["del"]]["v"].to_numpy()
         assert scaler.mean_ == pytest.approx(live.mean(), rel=1e-9)
         assert scaler.scale_ == pytest.approx(live.var(), rel=1e-9)
+
+
+class TestRetractableMinMax:
+    def test_retracting_extreme_exposes_next(self, ray_session, tmp_path):
+        """MinMaxAgg as the KeyedAggregation monoid: deleting the current
+        max emits a changelog transition to the next-highest live value."""
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        def mm(a):
+            mn, rng = a.get()
+            return {"min_v": mn, "max_v": mn + rng}
+
+        sess = StreamSession(tmp_path / "mm", num_shards=2)
+        sess.add(KeyedAggregation(
+            name="mm", input="d", key_cols=["g"], value_col="v",
+            weight_col="diff", make_acc=MinMaxAgg.from_numpy, finalize=mm,
+            aggs=(), emit_changelog=True))
+
+        def deltas(rows):
+            g, v, d = zip(*rows)
+            return pa.table({"g": pa.array(g, type=pa.int64()),
+                             "v": pa.array(v, type=pa.float64()),
+                             "diff": pa.array(d, type=pa.int64())})
+
+        t0 = sess.process_epoch(0, {"d": deltas(
+            [(1, 5.0, 1), (1, 9.0, 1), (1, 7.0, 1)])})["mm"]
+        rows0 = sorted(zip(t0["diff"].to_pylist(), t0["min_v"].to_pylist(),
+                           t0["max_v"].to_pylist()))
+        assert rows0 == [(1, 5.0, 9.0)]
+        # retract the max → next-highest (7) exposed
+        t1 = sess.process_epoch(1, {"d": deltas([(1, 9.0, -1)])})["mm"]
+        rows1 = sorted(zip(t1["diff"].to_pylist(), t1["min_v"].to_pylist(),
+                           t1["max_v"].to_pylist()))
+        assert rows1 == [(-1, 5.0, 9.0), (1, 5.0, 7.0)]
+        # retract everything → pure retraction, key gone
+        t2 = sess.process_epoch(2, {"d": deltas(
+            [(1, 5.0, -1), (1, 7.0, -1)])})["mm"]
+        rows2 = list(zip(t2["diff"].to_pylist(), t2["min_v"].to_pylist(),
+                         t2["max_v"].to_pylist()))
+        assert rows2 == [(-1, 5.0, 7.0)]
+        assert sess.state_table("mm").num_rows == 0
+        sess.store.shutdown()
