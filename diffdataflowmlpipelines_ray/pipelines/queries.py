@@ -1112,6 +1112,74 @@ def q_retractable_minmax(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def q_cdc_join(sf_dir: str) -> pd.DataFrame:
+    """Fully incremental equi-join of TWO mutable CDC tables — the DD
+    bilinear join over arrangements: orders upserts and customer upserts
+    each become retraction changelogs (UpsertToRetract), and both chain
+    into a diff-weighted StreamJoin in the same process_epoch call; each
+    emitted pair carries diff = diff_left · diff_right, so retractions
+    cancel earlier emissions and dead×dead pairs net to zero (bilinearity).
+    The join output's running sum equals the equi-join of the two CURRENT
+    live states — which is the oracle (latest-per-key both sides, JOIN,
+    COUNT(*) multiset)."""
+    from ..streaming.engine import StreamJoin, StreamSession, UpsertToRetract
+
+    orders = _read_table(sf_dir, "orders",
+                         ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    cust = _read_table(sf_dir, "customer",
+                       ["c_custkey", "c_acctbal", "c_mktsegment"])
+    ok = orders["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    l_ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            orders["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "g": pa.array(k % 100, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            orders["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_ups = pa.table({
+        "ck": pa.array(ck % 100, type=pa.int64()),
+        "bal": pa.array(_half_away(
+            cust["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ck.astype(np.float64), type=pa.float64()),
+        "del": pa.array(cust["c_mktsegment"].to_numpy(zero_copy_only=False)
+                        == "BUILDING"),
+    })
+    sess = StreamSession(_tmp("cdcj"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="lchg", input="lu", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(UpsertToRetract(
+        name="rchg", input="ru", key=["ck"], vals=["bal"],
+        key_types=[pa.int64()], val_types=[pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(StreamJoin(
+        name="j", left_input="lchg", right_input="rchg",
+        left_key=["g"], right_key=["ck"],
+        left_cols=["k", "v"], right_cols=["bal"]))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "lu": l_ups.filter(pa.array(ok % 3 == e)),
+                "ru": r_ups.filter(pa.array(ck % 3 == e))})
+        df = sess.sinks["j"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = (df.groupby(["g", "k", "v", "bal"])["diff"].sum().reset_index()
+           .rename(columns={"diff": "n"}))
+    net = net[net["n"] != 0]
+    for c in net.columns:
+        net[c] = net[c].astype(np.int64)
+    return (net.sort_values(["g", "k", "v", "bal"])
+            .reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -3127,6 +3195,7 @@ QUERIES = {
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
     "retractable_minmax": q_retractable_minmax,
+    "cdc_join": q_cdc_join,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3639,6 +3708,32 @@ ORACLES = {
         FROM tr WHERE p_mn IS NOT NULL
           AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
         ORDER BY epoch, g, diff
+    """,
+    "cdc_join": """
+        WITH lo AS (
+            SELECT k, v, k % 100 AS g FROM (
+                SELECT o_orderkey % 997 AS k,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                       (o_orderstatus = 'F') AS is_del,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey % 997
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1 AND NOT is_del
+        ),
+        lc AS (
+            SELECT ck, bal FROM (
+                SELECT c_custkey % 100 AS ck,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+                       (c_mktsegment = 'BUILDING') AS is_del,
+                       ROW_NUMBER() OVER (PARTITION BY c_custkey % 100
+                                          ORDER BY c_custkey DESC) AS rn
+                FROM customer)
+            WHERE rn = 1 AND NOT is_del
+        )
+        SELECT lo.g, lo.k, lo.v, lc.bal, COUNT(*)::BIGINT AS n
+        FROM lo JOIN lc ON lo.g = lc.ck
+        GROUP BY lo.g, lo.k, lo.v, lc.bal
+        ORDER BY lo.g, lo.k, lo.v, lc.bal
     """,
     "ann_topk": """
         WITH q AS (

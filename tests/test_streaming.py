@@ -3278,3 +3278,103 @@ class TestRetractableMinMax:
         assert rows2 == [(-1, 5.0, 7.0)]
         assert sess.state_table("mm").num_rows == 0
         sess.store.shutdown()
+
+
+class TestCdcJoin:
+    """Bilinear join over two changelogs: diff = diff_l · diff_r, so
+    retractions cancel earlier emissions and dead×dead pairs net to 0."""
+
+    def _sess(self, root):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        sess = StreamSession(root, num_shards=3)
+        sess.add(UpsertToRetract(
+            name="lchg", input="lu", key=["k"], vals=["v", "g"],
+            key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+            ts_col="ts", delete_col="del"))
+        sess.add(UpsertToRetract(
+            name="rchg", input="ru", key=["ck"], vals=["bal"],
+            key_types=[pa.int64()], val_types=[pa.int64()],
+            ts_col="ts", delete_col="del"))
+        sess.add(StreamJoin(
+            name="j", left_input="lchg", right_input="rchg",
+            left_key=["g"], right_key=["ck"],
+            left_cols=["k", "v"], right_cols=["bal"]))
+        return sess
+
+    @staticmethod
+    def _l(rows):
+        k, v, g, ts, d = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "g": pa.array(g, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d)})
+
+    @staticmethod
+    def _r(rows):
+        ck, bal, ts, d = zip(*rows)
+        return pa.table({"ck": pa.array(ck, type=pa.int64()),
+                         "bal": pa.array(bal, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d)})
+
+    def test_net_join_equals_live_state_join(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "cj")
+        # epoch 0: left keys 1,2 (group 5), right bucket 5
+        sess.process_epoch(0, {
+            "lu": self._l([(1, 10, 5, 1.0, False), (2, 20, 5, 1.0, False)]),
+            "ru": self._r([(5, 100, 1.0, False)])})
+        # epoch 1: left key 1 value updated; right bucket 5 balance updated
+        sess.process_epoch(1, {
+            "lu": self._l([(1, 11, 5, 2.0, False)]),
+            "ru": self._r([(5, 101, 2.0, False)])})
+        # epoch 2: left key 2 deleted; dead×dead interactions must cancel
+        sess.process_epoch(2, {
+            "lu": self._l([(2, 0, 5, 3.0, True)]),
+            "ru": self._r([(5, 102, 3.0, False)])})
+        df = sess.sinks["j"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = (df.groupby(["g", "k", "v", "bal"])["diff"].sum()
+               .reset_index())
+        net = net[net["diff"] != 0]
+        assert (net["diff"] == 1).all()
+        # live: left {1: (11, g5)}; right {5: 102} → single pair
+        assert sorted(map(tuple, net[["g", "k", "v", "bal"]]
+                          .itertuples(index=False))) == [(5, 1, 11, 102)]
+
+    def test_random_stream_matches_batch_join(self, ray_session, tmp_path):
+        rng = np.random.default_rng(61)
+        n = 240
+        lrows = list(zip(rng.integers(0, 30, n).tolist(),
+                         rng.integers(1, 99, n).tolist(),
+                         rng.integers(0, 6, n).tolist(),
+                         rng.permutation(n).astype(float).tolist(),
+                         (rng.random(n) < 0.2).tolist()))
+        m = 120
+        rrows = list(zip(rng.integers(0, 6, m).tolist(),
+                         rng.integers(1, 99, m).tolist(),
+                         rng.permutation(m).astype(float).tolist(),
+                         (rng.random(m) < 0.2).tolist()))
+        sess = self._sess(tmp_path / "cj2")
+        for e in range(4):
+            sess.process_epoch(e, {"lu": self._l(lrows[e::4]),
+                                   "ru": self._r(rrows[e::4])})
+        df = sess.sinks["j"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = (df.groupby(["g", "k", "v", "bal"])["diff"].sum()
+               .reset_index())
+        net = net[net["diff"] != 0]
+        assert (net["diff"] > 0).all()
+        got = sorted(net[["g", "k", "v", "bal", "diff"]]
+                     .itertuples(index=False, name=None))
+        lp = pd.DataFrame(lrows, columns=["k", "v", "g", "ts", "del"])
+        rp = pd.DataFrame(rrows, columns=["ck", "bal", "ts", "del"])
+        llast = lp.sort_values("ts").groupby("k").tail(1)
+        rlast = rp.sort_values("ts").groupby("ck").tail(1)
+        bj = (llast[~llast["del"]].merge(
+            rlast[~rlast["del"]], left_on="g", right_on="ck")
+            .groupby(["g", "k", "v", "bal"]).size().reset_index(name="n"))
+        want = sorted(bj.itertuples(index=False, name=None))
+        assert got == want
