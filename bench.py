@@ -86,7 +86,8 @@ def run_bench() -> dict:
         # round-3 additions
         "connected_components", "absence_detect", "hash_vectorizer_fast",
         "upsert_changelog", "cdc_groupby", "agg_changelog", "cdc_scaler",
-        "retractable_minmax")
+        "retractable_minmax", "cdc_join", "distinct_changelog",
+        "retractable_topk")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -365,6 +365,42 @@ def q_tumbling_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_stream_metrics(sf_dir: str) -> pd.DataFrame:
+    """The observability surface, verified against ground truth: run the
+    tumbling-window pipeline and return the SESSION METRICS — epochs
+    processed, input rows consumed, rows emitted by window closes, late
+    rows dropped.  Each is SQL-checkable: emitted_rows must equal the
+    number of distinct (key, hour-window) pairs (every window closes
+    exactly once — mid-stream when the watermark passes it, else at the
+    final flush), input_rows is COUNT(*), and the in-order feed makes
+    late_dropped 0."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_type", "ts", "value"]).sort_by("ts")
+    sess = StreamSession(_tmp("smet"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["event_type"],
+        value_col="value", ts_col="ts", aggs=("count", "sum"),
+        window=WindowSpec.tumbling(3600.0)))
+    try:
+        parts = _epoch_split(tbl, 3)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]")
+                              .astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        m = sess.metrics
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    return pd.DataFrame({
+        "epochs": [np.int64(m["epochs"])],
+        "input_rows": [np.int64(m["input_rows"])],
+        "emitted_rows": [np.int64(m["emitted_rows"])],
+        "late_dropped": [np.int64(m["late_dropped"])],
+    })
+
+
 def q_tumbling_minmax(sf_dir: str) -> pd.DataFrame:
     """Tumbling windows with min/max aggregates — exercises the invertible
     extremes tracking (MinMaxAgg) inside windowed state."""
@@ -1178,6 +1214,107 @@ def q_cdc_join(sf_dir: str) -> pd.DataFrame:
         net[c] = net[c].astype(np.int64)
     return (net.sort_values(["g", "k", "v", "bal"])
             .reset_index(drop=True))
+
+
+def _topk3_finalize(a) -> dict:
+    """MinMaxAgg value→count map → top-3 live DISTINCT values (desc) as a
+    comma string — the retractable grouped top-k's finalized form."""
+    live = sorted((v for v, c in a.counts.items() if c > 0), reverse=True)
+    return {"topk": ",".join(str(int(v)) for v in live[:3])}
+
+
+def q_retractable_topk(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped TOP-K (k=3) through the changelog chain — the
+    DD hierarchical-reduce showpiece: ``MinMaxAgg``'s value→count map as
+    the ``KeyedAggregation`` monoid over the CDC changelog, finalized to
+    the top-3 live distinct values per group.  Retracting a top-3 member
+    EXPOSES the next live value; the op emits the top-k transition
+    changelog (old set retracted, new added) only when the set changes.
+    Oracle: per-epoch cumulative live state → ROW_NUMBER ≤ 3 →
+    STRING_AGG + LAG transition simulation."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ), type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rtk"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="tk", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_topk3_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["tk"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["diff", "g", "topk", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
+def q_distinct_changelog(sf_dir: str) -> pd.DataFrame:
+    """DD's ``threshold``/``distinct`` over a live CDC table: orders
+    upserts → ``UpsertToRetract`` changelog → ``KeyedAggregation`` with
+    ``threshold_fn=int(m>0)`` on the projected value column.  The output
+    multiset has each value with multiplicity f(net count): +1 emits only
+    when a value FIRST becomes live somewhere in the table, −1 only when
+    its last live copy retracts; interior multiplicity churn emits
+    nothing.  The running sum is ``SELECT DISTINCT v FROM live_state``.
+    Oracle: per-epoch live distinct set + LAG presence transitions."""
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64) % 211, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("dchg"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v"],
+        key_types=[pa.int64()], val_types=[pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="d", input="chg", key_cols=["v"], aggs=(),
+        weight_col="diff", emit_changelog=True,
+        threshold_fn=lambda m: int(m > 0)))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["d"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("v", "diff", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["v", "diff", "epoch"]]
+            .sort_values(["epoch", "v", "diff"]).reset_index(drop=True))
 
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
@@ -3175,6 +3312,7 @@ QUERIES = {
     "feature_matrix_vec": q_feature_matrix_vec,
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
+    "stream_metrics": q_stream_metrics,
     "tumbling_minmax": q_tumbling_minmax,
     "stream_union": q_stream_union,
     "sliding_window": q_sliding_window,
@@ -3196,6 +3334,8 @@ QUERIES = {
     "cdc_scaler": q_cdc_scaler,
     "retractable_minmax": q_retractable_minmax,
     "cdc_join": q_cdc_join,
+    "distinct_changelog": q_distinct_changelog,
+    "retractable_topk": q_retractable_topk,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3356,6 +3496,15 @@ ORACLES = {
                sum(round(value * 100)) / 100.0 AS sum,
                sum(round(value * 100)) / 100.0 / count(*) AS mean
         FROM events GROUP BY user_id
+    """,
+    "stream_metrics": """
+        SELECT CAST(3 AS BIGINT) AS epochs,
+               (SELECT COUNT(*) FROM events) AS input_rows,
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT event_type,
+                          FLOOR(epoch(ts) / 3600) FROM events))
+                   AS emitted_rows,
+               CAST(0 AS BIGINT) AS late_dropped
     """,
     "tumbling_window": """
         SELECT event_type,
@@ -3708,6 +3857,97 @@ ORACLES = {
         FROM tr WHERE p_mn IS NOT NULL
           AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
         ORDER BY epoch, g, diff
+    """,
+    "retractable_topk": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT DISTINCT epoch, k % 10 AS g, v
+            FROM latest WHERE rn = 1 AND NOT is_del
+        ),
+        ranked AS (
+            SELECT epoch, g, v, ROW_NUMBER() OVER (
+                PARTITION BY epoch, g ORDER BY v DESC) AS r
+            FROM state
+        ),
+        tk AS MATERIALIZED (
+            SELECT epoch, g,
+                   STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY v DESC)
+                       AS topk
+            FROM ranked WHERE r <= 3 GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, tk.topk,
+                   LAG(tk.topk) OVER (PARTITION BY grid.g
+                                      ORDER BY grid.epoch) AS p_tk
+            FROM grid LEFT JOIN tk USING (epoch, g)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, topk,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE topk IS NOT NULL AND topk IS DISTINCT FROM p_tk
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_tk, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_tk IS NOT NULL AND topk IS DISTINCT FROM p_tk
+        ORDER BY epoch, g, diff
+    """,
+    "distinct_changelog": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) % 211 AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        live AS MATERIALIZED (
+            SELECT DISTINCT epoch, v FROM latest WHERE rn = 1 AND NOT is_del
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, vs.v
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT v FROM u) vs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.v,
+                   (live.v IS NOT NULL) AS pres,
+                   COALESCE(LAG(live.v IS NOT NULL) OVER (
+                       PARTITION BY grid.v ORDER BY grid.epoch),
+                       FALSE) AS prev
+            FROM grid LEFT JOIN live
+              ON live.epoch = grid.epoch AND live.v = grid.v
+        )
+        SELECT CAST(v AS BIGINT) AS v, CAST(1 AS BIGINT) AS diff,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE pres AND NOT prev
+        UNION ALL
+        SELECT CAST(v AS BIGINT), CAST(-1 AS BIGINT), CAST(epoch AS BIGINT)
+        FROM tr WHERE prev AND NOT pres
+        ORDER BY epoch, v, diff
     """,
     "cdc_join": """
         WITH lo AS (

@@ -207,6 +207,17 @@ class KeyedAggregation:
     #: table, so the output chains into further differential ops
     #: (``weight_col="diff"`` downstream) — DD's arrangement-as-output.
     emit_changelog: bool = False
+    #: DD's ``threshold`` operator (``distinct`` = ``lambda m: int(m > 0)``):
+    #: the output is the SET-like collection where each key's multiplicity
+    #: is ``threshold_fn(net input count)``.  The changelog emits one row
+    #: per touched key with ``diff = f(new_count) − f(old_count)`` when
+    #: nonzero — so for distinct, +1 only when a key first becomes live and
+    #: −1 only when its last copy retracts; interior count churn (2→1)
+    #: emits NOTHING.  Requires ``emit_changelog=True``, no window, no
+    #: value_col, ``aggs=()`` (output schema = keys + diff + epoch); the
+    #: callable must be deterministic with ``f(0) == 0`` and picklable
+    #: (it ships to the shard-group workers on Dataset epochs).
+    threshold_fn: Callable[[int], int] | None = None
 
     def __post_init__(self):
         bad = set(self.aggs) - set(_AGG_FIELDS)
@@ -217,6 +228,16 @@ class KeyedAggregation:
         if self.emit_changelog and self.window is not None:
             raise ValueError("emit_changelog requires window=None (windowed "
                              "aggregates already emit exactly once on close)")
+        if self.threshold_fn is not None:
+            if not self.emit_changelog or self.window is not None:
+                raise ValueError("threshold_fn requires emit_changelog=True "
+                                 "and window=None")
+            if self.value_col or tuple(self.aggs) or self.make_acc:
+                raise ValueError("threshold_fn folds multiplicities only: "
+                                 "no value_col / aggs / make_acc")
+            if self.threshold_fn(0) != 0:
+                raise ValueError("threshold_fn(0) must be 0 (absent keys "
+                                 "have multiplicity 0)")
         self._track_extremes = bool({"min", "max"} & set(self.aggs))
 
     # --------------------------------------------------------------- partials
@@ -329,7 +350,24 @@ class KeyedAggregation:
     def changelog_to_table(self, pairs: list, epoch: int) -> pa.Table:
         """``(key_bytes, old_acc, new_acc)`` per touched key → ±1 delta rows
         (retraction of the old finalized aggregate before the addition of
-        the new; keys whose finalized value did not change emit nothing)."""
+        the new; keys whose finalized value did not change emit nothing).
+
+        With ``threshold_fn`` the row is the key alone and the diff is
+        ``f(new_count) − f(old_count)`` (skipped when 0) — DD threshold."""
+        if self.threshold_fn is not None:
+            recs = []
+            f = self.threshold_fn
+            for kb, old, new in pairs:
+                d = (f(0 if new is None else int(new.count))
+                     - f(0 if old is None else int(old.count)))
+                if d == 0:
+                    continue
+                recs.append({**dict(zip(self.key_cols, pickle.loads(kb))),
+                             "diff": d, "epoch": epoch})
+            if not recs:
+                return pa.table({n: pa.array([]) for n in
+                                 list(self.key_cols) + ["diff", "epoch"]})
+            return pa.Table.from_pylist(recs)
         recs = []
         for kb, old, new in pairs:
             of = None if old is None else self._finalize_acc(old)
@@ -1918,6 +1956,12 @@ class StreamSession:
         # Caller inputs shadow nothing: op names must not collide with
         # source names (ops dict + inputs dict share the namespace here).
         avail: dict[str, Any] = dict(inputs)
+        # caller-fed Table micro-batches count toward input_rows here;
+        # Dataset epochs stream worker-side without a driver row count (an
+        # extra count() pass would re-execute the plan) — their volumes are
+        # recorded per-op in the sink manifests instead
+        self.metrics["input_rows"] += sum(
+            t.num_rows for t in inputs.values() if isinstance(t, pa.Table))
         chain_to = avail  # close over for the mirroring dict below
 
         class _ChainedEmits(dict):

@@ -101,7 +101,15 @@ class StateShard:
             for key, acc in items:
                 cur = store.get(key)
                 if cur is None:
-                    store[key] = acc
+                    # a fresh partial that already nets to the identity
+                    # (an insert and its retraction cancelled inside the
+                    # epoch) must not enter the store: a stored identity
+                    # is indistinguishable from "present with count 0" to
+                    # state_table readers and would emit a spurious +1
+                    # changelog row
+                    if not (hasattr(acc, "is_identity")
+                            and acc.is_identity()):
+                        store[key] = acc
                 else:
                     cur.merge(acc)
                     # delete only true identities: `is_zero` can hold while
@@ -135,7 +143,10 @@ class StateShard:
                 cur.copy() if hasattr(cur, "copy")
                 else pickle.loads(pickle.dumps(cur)))
             if cur is None:
-                store[key] = acc
+                # same fresh-identity guard as apply_delta: a cancelled
+                # insert on a never-seen key stays absent (emits nothing)
+                if not (hasattr(acc, "is_identity") and acc.is_identity()):
+                    store[key] = acc
             else:
                 cur.merge(acc)
                 if hasattr(cur, "is_identity") and cur.is_identity():

@@ -3378,3 +3378,172 @@ class TestCdcJoin:
             .groupby(["g", "k", "v", "bal"]).size().reset_index(name="n"))
         want = sorted(bj.itertuples(index=False, name=None))
         assert got == want
+
+
+class TestThresholdDistinct:
+    """DD's threshold operator: output multiplicity = f(net input count);
+    distinct = f(m) = int(m > 0).  Emits diff = f(new) − f(old) only when
+    it changes — interior count churn is silent."""
+
+    def _op(self, f=None, **kw):
+        # lambdas (cloudpickle-by-value): module-level test functions can't
+        # be re-imported inside Ray Data worker processes
+        f = f or (lambda m: int(m > 0))
+        base = dict(name="d", input="chg", key_cols=["v"], aggs=(),
+                    weight_col="diff", emit_changelog=True, threshold_fn=f)
+        base.update(kw)
+        return KeyedAggregation(**base)
+
+    @staticmethod
+    def _t(rows):
+        v, d = zip(*rows)
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "diff": pa.array(d, type=pa.int64())})
+
+    def test_distinct_transitions(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "th1", num_shards=2)
+        sess.add(self._op())
+        t0 = sess.process_epoch(0, {"chg": self._t(
+            [(1, 1), (1, 1), (2, 1)])})["d"]
+        assert sorted(zip(t0["v"].to_pylist(), t0["diff"].to_pylist())) == [
+            (1, 1), (2, 1)]
+        # 2→1 on v=1 is silent; 1→0 on v=2 emits the −1
+        t1 = sess.process_epoch(1, {"chg": self._t(
+            [(1, -1), (2, -1)])})["d"]
+        assert list(zip(t1["v"].to_pylist(), t1["diff"].to_pylist())) == [
+            (2, -1)]
+        # an insert cancelled by its retraction inside the epoch on a
+        # NEVER-seen key emits nothing and leaves no state behind
+        t2 = sess.process_epoch(2, {"chg": self._t(
+            [(3, 1), (3, -1)])})["d"]
+        assert t2.num_rows == 0
+        assert sess.state_table("d").num_rows == 1  # only v=1 lives
+        sess.store.shutdown()
+
+    def test_general_threshold_at_least_k(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "th2", num_shards=2)
+        sess.add(self._op(f=lambda m: int(m >= 2)))
+        assert sess.process_epoch(
+            0, {"chg": self._t([(7, 1)])})["d"].num_rows == 0  # m=1 < 2
+        t1 = sess.process_epoch(1, {"chg": self._t([(7, 1)])})["d"]
+        assert list(zip(t1["v"].to_pylist(), t1["diff"].to_pylist())) == [
+            (7, 1)]  # crossed the 2-threshold
+        assert sess.process_epoch(
+            2, {"chg": self._t([(7, 1)])})["d"].num_rows == 0  # 2→3 silent
+        t3 = sess.process_epoch(3, {"chg": self._t([(7, -1), (7, -1)])})["d"]
+        assert list(zip(t3["v"].to_pylist(), t3["diff"].to_pylist())) == [
+            (7, -1)]  # 3→1 drops below
+        sess.store.shutdown()
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError, match="emit_changelog"):
+            KeyedAggregation(name="x", input="i", key_cols=["v"], aggs=(),
+                             threshold_fn=lambda m: int(m > 0))
+        with pytest.raises(ValueError, match="multiplicities"):
+            self._op(value_col="w")
+        with pytest.raises(ValueError, match="multiplicities"):
+            self._op(aggs=("count",))
+        with pytest.raises(ValueError, match="threshold_fn.0. must be 0"):
+            self._op(f=lambda m: 1)
+
+    def test_dataset_epochs_match_table(self, ray_session, tmp_path):
+        rng = np.random.default_rng(83)
+        n = 300
+        rows = list(zip(rng.integers(0, 40, n).tolist(),
+                        rng.choice([1, 1, 1, -1], n).tolist()))
+
+        def run(as_dataset, root):
+            sess = StreamSession(root, num_shards=3, checkpoint_every=1)
+            sess.add(self._op())
+            for e in range(3):
+                t = self._t(rows[e::3])
+                if as_dataset:
+                    t = rd.from_arrow(t).repartition(3)
+                sess.process_epoch(e, {"chg": t})
+            out = sess.sinks["d"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            return sorted(map(tuple, out[["v", "diff", "epoch"]]
+                              .itertuples(index=False)))
+
+        a = run(False, tmp_path / "th3t")
+        b = run(True, tmp_path / "th3d")
+        assert a == b
+        # net sum of the changelog == distinct over the net-live values
+        net = pd.DataFrame(a, columns=["v", "diff", "epoch"]).groupby(
+            "v")["diff"].sum()
+        net = net[net != 0]
+        assert (net == 1).all()
+        pdf = pd.DataFrame(rows, columns=["v", "d"])
+        live = pdf.groupby("v")["d"].sum()
+        assert sorted(net.index) == sorted(live[live > 0].index)
+
+    def test_fresh_identity_never_enters_plain_agg_state(
+            self, ray_session, tmp_path):
+        # the apply_delta twin of the guard: a cancelled fresh key must not
+        # surface as a count-0 row in the aggregate's state table
+        sess = StreamSession(tmp_path / "th5", num_shards=2)
+        sess.add(KeyedAggregation(name="a", input="chg", key_cols=["v"],
+                                  aggs=("count",), weight_col="diff"))
+        sess.process_epoch(0, {"chg": self._t([(5, 1), (6, 1), (6, -1)])})
+        st = sess.state_table("a")
+        assert st.num_rows == 1 and st["v"].to_pylist() == [5]
+        sess.store.shutdown()
+
+
+class TestRetractableTopK:
+    """Grouped top-k over the changelog chain: MinMaxAgg's value→count map
+    finalized to the top-3 live distinct values; retracting a member
+    exposes the next live value."""
+
+    def _sess(self, root):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _topk3_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        sess = StreamSession(root, num_shards=2)
+        sess.add(KeyedAggregation(
+            name="tk", input="chg", key_cols=["g"], value_col="v",
+            weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+            finalize=_topk3_finalize, aggs=(), emit_changelog=True))
+        return sess
+
+    @staticmethod
+    def _t(rows):
+        g, v, d = zip(*rows)
+        return pa.table({"g": pa.array(g, type=pa.int64()),
+                         "v": pa.array(v, type=pa.float64()),
+                         "diff": pa.array(d, type=pa.int64())})
+
+    @staticmethod
+    def _rows(tbl):
+        return sorted(zip(tbl["diff"].to_pylist(), tbl["g"].to_pylist(),
+                          tbl["topk"].to_pylist()))
+
+    def test_retraction_exposes_next(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "tk1")
+        t0 = sess.process_epoch(0, {"chg": self._t(
+            [(1, 40.0, 1), (1, 30.0, 1), (1, 20.0, 1), (1, 10.0, 1)])})["tk"]
+        assert self._rows(t0) == [(1, 1, "40,30,20")]
+        # 4th value (10) is OUTSIDE the top-3 but lives in the arrangement:
+        # retracting 30 exposes it
+        t1 = sess.process_epoch(1, {"chg": self._t([(1, 30.0, -1)])})["tk"]
+        assert self._rows(t1) == [(-1, 1, "40,30,20"), (1, 1, "40,20,10")]
+        # a change below the top-3 emits nothing
+        t2 = sess.process_epoch(2, {"chg": self._t([(1, 5.0, 1)])})["tk"]
+        assert t2.num_rows == 0
+        # duplicate of a live value: count 1→2, set unchanged, silent;
+        # then one copy retracts (2→1), still silent
+        t3 = sess.process_epoch(3, {"chg": self._t([(1, 40.0, 1)])})["tk"]
+        assert t3.num_rows == 0
+        t4 = sess.process_epoch(4, {"chg": self._t([(1, 40.0, -1)])})["tk"]
+        assert t4.num_rows == 0
+        sess.store.shutdown()
+
+    def test_group_death_is_pure_retraction(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "tk2")
+        sess.process_epoch(0, {"chg": self._t([(7, 3.0, 1), (7, 9.0, 1)])})
+        t1 = sess.process_epoch(1, {"chg": self._t(
+            [(7, 3.0, -1), (7, 9.0, -1)])})["tk"]
+        assert self._rows(t1) == [(-1, 7, "9,3")]
+        assert sess.state_table("tk").num_rows == 0
+        sess.store.shutdown()
