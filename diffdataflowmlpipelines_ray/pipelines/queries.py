@@ -1271,6 +1271,51 @@ def q_retractable_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def q_changelog_compact(sf_dir: str) -> pd.DataFrame:
+    """Changelog consolidation (DD arrangement compaction) end-to-end:
+    orders CDC → ``UpsertToRetract`` changelog over 3 epochs, then the
+    sink CONSOLIDATES epochs ≤ 1 into a SUM(diff) net snapshot (the
+    operation that keeps a 10¹²-delta stream's sink bounded) — and the
+    running sum of what remains (snapshot + epoch-2 tail) must still be
+    the live latest-per-key table, which is the oracle."""
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("ccpt"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v"],
+        key_types=[pa.int64()], val_types=[pa.int64()],
+        ts_col="ts", delete_col="del"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        sink = sess.sinks["chg"]
+        pre = sink.read_committed_table().num_rows
+        res = sink.consolidate(upto_epoch=1)
+        assert res["consolidated_epochs"] == 2, res
+        df = sink.read_committed_table().to_pandas()
+        assert len(df) <= pre
+    finally:
+        sess.store.shutdown()
+    net = df.groupby(["k", "v"])["diff"].sum().reset_index()
+    net = net[net["diff"] != 0].drop(columns=["diff"])
+    for c in net.columns:
+        net[c] = net[c].astype(np.int64)
+    return net.sort_values(["k", "v"]).reset_index(drop=True)
+
+
 def q_distinct_changelog(sf_dir: str) -> pd.DataFrame:
     """DD's ``threshold``/``distinct`` over a live CDC table: orders
     upserts → ``UpsertToRetract`` changelog → ``KeyedAggregation`` with
@@ -3336,6 +3381,7 @@ QUERIES = {
     "cdc_join": q_cdc_join,
     "distinct_changelog": q_distinct_changelog,
     "retractable_topk": q_retractable_topk,
+    "changelog_compact": q_changelog_compact,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3907,6 +3953,17 @@ ORACLES = {
         SELECT CAST(-1 AS BIGINT), g, p_tk, CAST(epoch AS BIGINT)
         FROM tr WHERE p_tk IS NOT NULL AND topk IS DISTINCT FROM p_tk
         ORDER BY epoch, g, diff
+    """,
+    "changelog_compact": """
+        SELECT k, v FROM (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   (o_orderstatus = 'F') AS is_del,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderkey % 997
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders)
+        WHERE rn = 1 AND NOT is_del
+        ORDER BY k, v
     """,
     "distinct_changelog": """
         WITH u AS (

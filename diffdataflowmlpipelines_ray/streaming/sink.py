@@ -106,6 +106,11 @@ class ExactlyOnceParquetSink:
         self.fsync = fsync
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+        # finish any consolidation whose manifest committed but whose
+        # epoch-manifest flips / original-data deletion didn't (crash
+        # window) — reads are already correct before this runs (the
+        # consolidation owner map overrides epoch manifests); this is GC
+        self._gc_consolidations()
 
     # ------------------------------------------------------------ frontier
     def _manifest_path(self, epoch: int) -> Path:
@@ -245,7 +250,23 @@ class ExactlyOnceParquetSink:
         out: list[str] = []
         seen_cids: set[str] = set()
         requested = set(eps)
+        owner = self._consolidation_owner()
         for e in eps:
+            cm_own = owner.get(e)
+            if cm_own is not None:
+                cid = cm_own["id"]
+                if cid in seen_cids:
+                    continue
+                if not requested.issuperset(int(c) for c in
+                                            cm_own["covers"]):
+                    raise ValueError(
+                        f"epoch {e} was consolidated into {cid} covering "
+                        f"{cm_own['covers']}; its per-epoch history is "
+                        "gone — read the whole consolidation")
+                seen_cids.add(cid)
+                out.extend(str(self.root / f["path"])
+                           for f in cm_own["files"])
+                continue
             m = self.manifest(e)
             if m.get("expired"):
                 continue
@@ -281,7 +302,19 @@ class ExactlyOnceParquetSink:
         eps = self.committed_epochs() if epochs is None else epochs
         parts: list[pa.Table] = []
         pf_cache: dict[str, pq.ParquetFile] = {}
+        seen_cids: set[str] = set()
+        owner = self._consolidation_owner()
         for e in eps:
+            cm_own = owner.get(e)
+            if cm_own is not None:
+                # consolidated history reads as ONE net snapshot at its
+                # snapshot epoch; other covered epochs read empty
+                if (e == cm_own["snapshot_epoch"]
+                        and cm_own["id"] not in seen_cids):
+                    seen_cids.add(cm_own["id"])
+                    parts.extend(pq.read_table(self.root / f["path"])
+                                 for f in cm_own["files"])
+                continue
             m = self.manifest(e)
             if m.get("expired"):
                 continue
@@ -342,9 +375,19 @@ class ExactlyOnceParquetSink:
                         return False
                 elif "size" in f and p.stat().st_size != f["size"]:
                     return False
+        for cm in self._consolidation_manifests():
+            cids.discard(cm["id"])
+            for fent in cm.get("files") or []:
+                p = self.root / fent["path"]
+                if not p.exists():
+                    return False
+                if "sha256" in fent and _sha256_file(p) != fent["sha256"]:
+                    return False
+                if "size" in fent and p.stat().st_size != fent["size"]:
+                    return False
         for cid in cids:
             cm = self._compaction(cid)
-            if cm["file"] is None:
+            if cm.get("file") is None:
                 continue
             fp = self.root / cm["file"]
             if not fp.exists():
@@ -471,6 +514,234 @@ class ExactlyOnceParquetSink:
         return {"compacted_epochs": len(eps), "rows": total, "id": cid,
                 "file": cmanifest["file"]}
 
+    # ------------------------------------------------------ consolidation
+    def _consolidation_manifests(self) -> list[dict]:
+        out = []
+        for p in sorted((self.root / "_manifests").glob("compact-*.json")):
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if m.get("kind") == "consolidation":
+                out.append(m)
+        out.sort(key=lambda m: m["committed_at"])
+        return out
+
+    def _consolidation_owner(self) -> dict[int, dict]:
+        """epoch → OWNING consolidation manifest (newest commit wins —
+        consolidations chain).  Authoritative over the epoch manifests'
+        own ``compacted_into`` (those flip lazily during GC): from the
+        instant a consolidation manifest lands, its covered epochs read
+        through it, so every crash state reads exactly."""
+        owner: dict[int, dict] = {}
+        for cm in self._consolidation_manifests():
+            for e in cm["covers"]:
+                owner[int(e)] = cm
+        return owner
+
+    def _gc_consolidations(self) -> None:
+        """Finish consolidation bookkeeping: flip covered epoch manifests
+        to their owner (atomic each), drop the original epoch data, and
+        delete compaction/consolidation payloads no manifest references
+        anymore.  Pure GC — reads are exact whether or not this ran."""
+        cms = self._consolidation_manifests()
+        if not cms:
+            return
+        owner: dict[int, dict] = {}
+        for cm in cms:
+            for e in cm["covers"]:
+                owner[int(e)] = cm
+        flipped = False
+        for e, cm in sorted(owner.items()):
+            if not self.is_committed(e):
+                continue
+            m = self.manifest(e)
+            if m.get("compacted_into") == cm["id"] or m.get("expired"):
+                continue
+            m["files"] = []
+            m["compacted_into"] = cm["id"]
+            mpath = self._manifest_path(e)
+            mtmp = mpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+            with open(mtmp, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, mpath)
+            flipped = True
+            shutil.rmtree(self._epoch_dir(e), ignore_errors=True)
+        if flipped and self.fsync:
+            _fsync_dir(self.root / "_manifests")
+        referenced = {self.manifest(e).get("compacted_into")
+                      for e in self.committed_epochs()}
+        for p in (self.root / "_manifests").glob("compact-*.json"):
+            try:
+                with open(p) as f:
+                    cm = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if cm["id"] in referenced:
+                continue
+            # superseded by a newer consolidation (or a crashed commit
+            # whose originals are all still live): payload unreachable
+            for fent in cm.get("files") or []:
+                shutil.rmtree((self.root / fent["path"]).parent,
+                              ignore_errors=True)
+            if cm.get("file"):
+                shutil.rmtree((self.root / cm["file"]).parent,
+                              ignore_errors=True)
+            p.unlink(missing_ok=True)
+
+    def consolidate(self, diff_col: str = "diff",
+                    upto_epoch: int | None = None,
+                    exclude_cols: tuple = ("epoch",),
+                    distributed_over_rows: int = 5_000_000) -> dict:
+        """DD arrangement compaction for changelog sinks: replace the
+        committed ±diff history (epochs ≤ ``upto_epoch``) with its NET
+        state — one snapshot holding ``SUM(diff_col)`` per distinct row,
+        net ≠ 0 only, stamped at the last covered epoch.  Afterwards
+        ``read_committed_table()`` returns snapshot + later deltas, so
+        the running sum (the live table every changelog consumer
+        maintains) is bit-identical while sink storage drops from
+        O(delta history) to O(live rows) — the operation that keeps a
+        10¹²-row changelog stream's sink bounded.
+
+        Commit point = ONE atomic rename of the consolidation manifest.
+        Epoch-manifest flips and original-data deletion are GC that a
+        crash leaves for the next open to finish; readers consult the
+        consolidation owner map FIRST, so every intermediate state reads
+        exactly.  Exactly-once replay is preserved (covered epochs stay
+        committed).  Consolidations chain — a later call may cover an
+        earlier snapshot.  Per-epoch read granularity of covered history
+        is gone by design; ``lineage_report`` keeps the audit record.
+
+        Grouping covers every column except ``diff_col`` and
+        ``exclude_cols`` (scalar-typed).  Above ``distributed_over_rows``
+        readable rows the net is computed as a Ray Dataset groupby (one
+        shuffle, worker-written snapshot parts); below, a driver-side
+        Arrow ``group_by`` (latency path)."""
+        import pyarrow.compute as pc
+
+        self._gc_consolidations()
+        owner = self._consolidation_owner()
+        eps = [e for e in self.committed_epochs()
+               if (upto_epoch is None or e <= upto_epoch)
+               and not self.manifest(e).get("expired")]
+        if len(eps) < 2:
+            return {"consolidated_epochs": 0}
+        readable = 0
+        seen: set[str] = set()
+        for e in eps:
+            cm0 = owner.get(e)
+            if cm0 is not None:
+                if cm0["id"] not in seen:
+                    seen.add(cm0["id"])
+                    readable += cm0["rows"]
+            else:
+                readable += self.manifest(e)["rows"]
+        snapshot_epoch = int(eps[-1])
+        cid = f"{eps[0]:08d}-{eps[-1]:08d}-{uuid.uuid4().hex[:8]}"
+        cdir = self.root / "data" / f"consol-{cid}"
+
+        def finish_tbl(net: pa.Table, diff_type, epoch_type,
+                       col_order: list[str]) -> pa.Table:
+            scol = f"{diff_col}_sum"
+            net = net.filter(pc.not_equal(net[scol], 0))
+            cols = {n: net[n] for n in net.column_names if n != scol}
+            cols[diff_col] = net[scol].cast(diff_type)
+            if epoch_type is not None:
+                cols["epoch"] = pa.nulls(net.num_rows, epoch_type).fill_null(
+                    snapshot_epoch)
+            return pa.table({n: cols[n] for n in col_order if n in cols})
+
+        entries: list[dict] = []
+        if readable <= distributed_over_rows:
+            tbl = self.read_committed_table(eps)
+            net_rows = 0
+            if tbl.num_rows:
+                keys = [c for c in tbl.column_names
+                        if c != diff_col and c not in exclude_cols]
+                net = finish_tbl(
+                    tbl.group_by(keys).aggregate([(diff_col, "sum")]),
+                    tbl[diff_col].type,
+                    tbl["epoch"].type if "epoch" in tbl.column_names
+                    else None,
+                    tbl.column_names)
+                if net.num_rows:
+                    cdir.mkdir(parents=True, exist_ok=True)
+                    fpath = cdir / "part-00000.parquet"
+                    tmp = cdir / f".part.tmp-{uuid.uuid4().hex[:8]}"
+                    pq.write_table(net, tmp)
+                    if self.fsync:
+                        _fsync_file(tmp)
+                    os.replace(tmp, fpath)
+                    if self.fsync:
+                        _fsync_dir(cdir)
+                    entries.append({
+                        "path": str(fpath.relative_to(self.root)),
+                        "rows": net.num_rows,
+                        "sha256": _sha256_file(fpath),
+                    })
+                    net_rows = net.num_rows
+        else:
+            ds = self.read_committed(eps)
+            schema = ds.schema()
+            names = list(schema.names)
+            diff_type = schema.base_schema.field(diff_col).type
+            epoch_type = (schema.base_schema.field("epoch").type
+                          if "epoch" in names else None)
+            keys = [c for c in names
+                    if c != diff_col and c not in exclude_cols]
+            net_ds = (ds.groupby(keys).sum(diff_col)
+                      .map_batches(
+                          lambda t: finish_tbl(
+                              t.rename_columns([
+                                  n if n != f"sum({diff_col})"
+                                  else f"{diff_col}_sum"
+                                  for n in t.column_names]),
+                              diff_type, epoch_type, names),
+                          batch_format="pyarrow"))
+            staging = self.root / "data" / f".staging-consol-{cid}"
+            net_ds.write_parquet(str(staging))
+            os.replace(staging, cdir)
+            for fpath in sorted(cdir.glob("*.parquet")):
+                if self.fsync:
+                    _fsync_file(fpath)
+                md = pq.read_metadata(fpath)
+                if md.num_rows == 0:
+                    fpath.unlink()
+                    continue
+                entries.append({
+                    "path": str(fpath.relative_to(self.root)),
+                    "rows": md.num_rows,
+                    "size": fpath.stat().st_size,
+                })
+            if self.fsync and cdir.exists():
+                _fsync_dir(cdir)
+            net_rows = sum(f["rows"] for f in entries)
+        cmanifest = {
+            "id": cid,
+            "kind": "consolidation",
+            "file": None,  # legacy-compaction reader compat
+            "covers": [int(e) for e in eps],
+            "snapshot_epoch": snapshot_epoch,
+            "files": entries,
+            "rows": net_rows,
+            "committed_at": time.time(),
+        }
+        cpath = self._compaction_path(cid)
+        ctmp = cpath.with_suffix(f".json.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ctmp, "w") as f:
+            json.dump(cmanifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ctmp, cpath)  # ← the commit
+        if self.fsync:
+            _fsync_dir(cpath.parent)
+        self._gc_consolidations()
+        return {"consolidated_epochs": len(eps), "rows": net_rows,
+                "id": cid, "snapshot_epoch": snapshot_epoch}
+
     def expire(self, before_epoch: int) -> dict:
         """Retention: drop the DATA of epochs < ``before_epoch`` while
         keeping their manifests (flagged ``expired``) so exactly-once
@@ -520,8 +791,11 @@ class ExactlyOnceParquetSink:
             for e in cm["covers"]:
                 flip(e)
                 expired.append(e)
-            if cm["file"]:
+            if cm.get("file"):
                 _sh.rmtree((self.root / cm["file"]).parent,
+                           ignore_errors=True)
+            for fent in cm.get("files") or []:  # consolidation snapshots
+                _sh.rmtree((self.root / fent["path"]).parent,
                            ignore_errors=True)
             self._compaction_path(cid).unlink(missing_ok=True)
         if self.fsync and expired:

@@ -3547,3 +3547,128 @@ class TestRetractableTopK:
         assert self._rows(t1) == [(-1, 7, "9,3")]
         assert sess.state_table("tk").num_rows == 0
         sess.store.shutdown()
+
+
+class TestConsolidation:
+    """DD arrangement compaction for changelog sinks: history ≤ E nets to
+    a SUM(diff) snapshot; the running sum every consumer maintains is
+    bit-identical, storage drops to O(live rows)."""
+
+    def _delta_sink(self, root, n_epochs=4):
+        sink = ExactlyOnceParquetSink(root, fsync=False)
+        rng = np.random.default_rng(19)
+        for e in range(n_epochs):
+            k = rng.integers(0, 12, 40)
+            v = rng.integers(1, 5, 40)
+            d = rng.choice([1, 1, 1, -1], 40)
+            sink.commit_tables(e, [pa.table({
+                "k": pa.array(k, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+                "diff": pa.array(d, type=pa.int64()),
+                "epoch": pa.array([e] * 40, type=pa.int64())})],
+                meta={"lineage": {"epoch": e}})
+        return sink
+
+    @staticmethod
+    def _net(df):
+        net = df.groupby(["k", "v"])["diff"].sum().reset_index()
+        return (net[net["diff"] != 0]
+                .sort_values(["k", "v"]).reset_index(drop=True))
+
+    def test_net_preserved_snapshot_chain_replay(self, ray_session,
+                                                 tmp_path):
+        sink = self._delta_sink(tmp_path / "c1")
+        before = self._net(sink.read_committed_table().to_pandas())
+        res = sink.consolidate(upto_epoch=2)
+        assert res["consolidated_epochs"] == 3
+        assert res["snapshot_epoch"] == 2
+        after = sink.read_committed_table().to_pandas()
+        pd.testing.assert_frame_equal(before, self._net(after))
+        # covered history reads as the snapshot at its last epoch only
+        assert sink.read_committed_table([0]).num_rows == 0
+        assert sink.read_committed_table([2]).num_rows == res["rows"]
+        assert sink.read_committed_table([3]).num_rows == 40  # untouched
+        assert sink.verify()
+        # exactly-once: covered epochs stay committed, re-commit no-ops
+        m = sink.commit_tables(1, [pa.table({"k": [99], "v": [1],
+                                             "diff": [1], "epoch": [1]})])
+        assert m["rows"] != 1 or 99 not in set(
+            sink.read_committed_table().to_pandas()["k"])
+        # chain: a second consolidation covers the first snapshot
+        res2 = sink.consolidate()
+        assert res2["consolidated_epochs"] == 4
+        after2 = sink.read_committed_table().to_pandas()
+        pd.testing.assert_frame_equal(before, self._net(after2))
+        # pure net state now: ONE row per surviving (k, v), diff = net sum
+        assert not after2.duplicated(["k", "v"]).any()
+        assert (after2["diff"] != 0).all()
+        assert (after2["epoch"] == 3).all()
+        # superseded payloads GC'd: exactly one compact manifest remains
+        assert len(list((sink.root / "_manifests").glob(
+            "compact-*.json"))) == 1
+
+    def test_crash_window_reads_exact_then_recovers(self, ray_session,
+                                                    tmp_path):
+        sink = self._delta_sink(tmp_path / "c2")
+        before = self._net(sink.read_committed_table().to_pandas())
+        # crash right after the consolidation manifest commit: GC never ran
+        sink._gc_consolidations = lambda: None
+        sink.consolidate(upto_epoch=2)
+        # originals still on disk, epoch manifests unflipped — reads must
+        # already be exact through the owner map
+        assert any(sink.manifest(e).get("compacted_into") is None
+                   for e in (0, 1, 2))
+        pd.testing.assert_frame_equal(
+            before, self._net(sink.read_committed_table().to_pandas()))
+        # next open finishes the GC
+        sink2 = ExactlyOnceParquetSink(tmp_path / "c2", fsync=False)
+        assert all(sink2.manifest(e).get("compacted_into")
+                   for e in (0, 1, 2))
+        assert not (sink2.root / "data" / "epoch=00000000").exists()
+        pd.testing.assert_frame_equal(
+            before, self._net(sink2.read_committed_table().to_pandas()))
+        assert sink2.verify()
+
+    def test_distributed_tier_matches_driver(self, ray_session, tmp_path):
+        a = self._delta_sink(tmp_path / "c3a")
+        b = self._delta_sink(tmp_path / "c3b")
+        a.consolidate(upto_epoch=2)
+        b.consolidate(upto_epoch=2, distributed_over_rows=0)  # force Ray tier
+        ta = a.read_committed_table().to_pandas()
+        tb = b.read_committed_table().to_pandas()
+        cols = ["k", "v", "diff", "epoch"]
+        pd.testing.assert_frame_equal(
+            ta[cols].sort_values(cols).reset_index(drop=True),
+            tb[cols].sort_values(cols).reset_index(drop=True))
+
+    def test_consolidate_over_legacy_compaction(self, ray_session,
+                                                tmp_path):
+        sink = self._delta_sink(tmp_path / "c4")
+        before = self._net(sink.read_committed_table().to_pandas())
+        sink.compact(upto_epoch=2)  # small-file merge first
+        sink.consolidate(upto_epoch=3)  # covers the compacted epochs
+        after = sink.read_committed_table().to_pandas()
+        pd.testing.assert_frame_equal(before, self._net(after))
+        # the fully-covered compaction payload is gone
+        assert not list((sink.root / "data").glob("compact-*"))
+        assert sink.verify()
+
+    def test_empty_net_snapshot(self, ray_session, tmp_path):
+        sink = ExactlyOnceParquetSink(tmp_path / "c5", fsync=False)
+        t = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                      "diff": pa.array([1, 1], type=pa.int64()),
+                      "epoch": pa.array([0, 0], type=pa.int64())})
+        sink.commit_tables(0, [t])
+        sink.commit_tables(1, [pa.table({
+            "k": pa.array([1, 2], type=pa.int64()),
+            "diff": pa.array([-1, -1], type=pa.int64()),
+            "epoch": pa.array([1, 1], type=pa.int64())})])
+        sink.commit_tables(2, [pa.table({
+            "k": pa.array([5], type=pa.int64()),
+            "diff": pa.array([1], type=pa.int64()),
+            "epoch": pa.array([2], type=pa.int64())})])
+        res = sink.consolidate(upto_epoch=1)
+        assert res["rows"] == 0
+        got = sink.read_committed_table().to_pandas()
+        assert got["k"].tolist() == [5]
+        assert sink.verify()
