@@ -1362,6 +1362,78 @@ def q_distinct_changelog(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "v", "diff"]).reset_index(drop=True))
 
 
+def q_cdc_matview(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained materialized VIEW over two mutable CDC
+    tables — the full DD story in one four-operator in-session DAG:
+    orders upserts → ``UpsertToRetract`` ┐
+    customer upserts → ``UpsertToRetract`` ┴→ bilinear ``StreamJoin``
+    (diff = diff_l·diff_r) → ``KeyedAggregation(emit_changelog)`` summing
+    the join deltas.  Every epoch the view updates from ±1 deltas only —
+    no base-table rescan, no join recompute — and the aggregate
+    changelog's running sum must equal ``SELECT g, COUNT(*), SUM(v)
+    FROM live_orders JOIN live_customers GROUP BY g``, which is the
+    oracle verbatim."""
+    from ..streaming.engine import (KeyedAggregation, StreamJoin,
+                                    StreamSession, UpsertToRetract)
+
+    orders = _read_table(sf_dir, "orders",
+                         ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    cust = _read_table(sf_dir, "customer",
+                       ["c_custkey", "c_acctbal", "c_mktsegment"])
+    ok = orders["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    l_ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            orders["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "g": pa.array(k % 100, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            orders["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_ups = pa.table({
+        "ck": pa.array(ck % 100, type=pa.int64()),
+        "bal": pa.array(_half_away(
+            cust["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ck.astype(np.float64), type=pa.float64()),
+        "del": pa.array(cust["c_mktsegment"].to_numpy(zero_copy_only=False)
+                        == "BUILDING"),
+    })
+    sess = StreamSession(_tmp("cmv"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="lchg", input="lu", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(UpsertToRetract(
+        name="rchg", input="ru", key=["ck"], vals=["bal"],
+        key_types=[pa.int64()], val_types=[pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(StreamJoin(
+        name="j", left_input="lchg", right_input="rchg",
+        left_key=["g"], right_key=["ck"],
+        left_cols=["k", "v"], right_cols=["bal"]))
+    sess.add(KeyedAggregation(
+        name="view", input="j", key_cols=["g"], value_col="v",
+        aggs=("count", "sum"), weight_col="diff", emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "lu": l_ups.filter(pa.array(ok % 3 == e)),
+                "ru": r_ups.filter(pa.array(ck % 3 == e))})
+        df = sess.sinks["view"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = (df.groupby(["g", "count", "sum"])["diff"].sum().reset_index())
+    net = net[net["diff"] != 0].drop(columns=["diff"])
+    net = net.rename(columns={"count": "n_pairs", "sum": "sum_v"})
+    for c in net.columns:
+        net[c] = net[c].astype(np.int64)  # integral cents: float sum exact
+    return net.sort_values(["g"]).reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the deterministic chain edges (same edge set as
     connected_components) — rows-only (iterative fixpoint, no SQL twin;
@@ -3382,6 +3454,7 @@ QUERIES = {
     "distinct_changelog": q_distinct_changelog,
     "retractable_topk": q_retractable_topk,
     "changelog_compact": q_changelog_compact,
+    "cdc_matview": q_cdc_matview,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3953,6 +4026,33 @@ ORACLES = {
         SELECT CAST(-1 AS BIGINT), g, p_tk, CAST(epoch AS BIGINT)
         FROM tr WHERE p_tk IS NOT NULL AND topk IS DISTINCT FROM p_tk
         ORDER BY epoch, g, diff
+    """,
+    "cdc_matview": """
+        WITH lo AS (
+            SELECT k, v, k % 100 AS g FROM (
+                SELECT o_orderkey % 997 AS k,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                       (o_orderstatus = 'F') AS is_del,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey % 997
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1 AND NOT is_del
+        ),
+        lc AS (
+            SELECT ck, bal FROM (
+                SELECT c_custkey % 100 AS ck,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+                       (c_mktsegment = 'BUILDING') AS is_del,
+                       ROW_NUMBER() OVER (PARTITION BY c_custkey % 100
+                                          ORDER BY c_custkey DESC) AS rn
+                FROM customer)
+            WHERE rn = 1 AND NOT is_del
+        )
+        SELECT lo.g, COUNT(*)::BIGINT AS n_pairs,
+               SUM(lo.v)::BIGINT AS sum_v
+        FROM lo JOIN lc ON lo.g = lc.ck
+        GROUP BY lo.g
+        ORDER BY lo.g
     """,
     "changelog_compact": """
         SELECT k, v FROM (

@@ -3672,3 +3672,70 @@ class TestConsolidation:
         got = sink.read_committed_table().to_pandas()
         assert got["k"].tolist() == [5]
         assert sink.verify()
+
+
+class TestCdcMatview:
+    """Four differential operators in one in-session DAG: two CDC
+    changelogs → bilinear join → aggregate changelog = an incrementally
+    maintained materialized view."""
+
+    def test_view_tracks_live_join_aggregate(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        sess = StreamSession(tmp_path / "mv", num_shards=2)
+        sess.add(UpsertToRetract(
+            name="lchg", input="lu", key=["k"], vals=["v", "g"],
+            key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+            ts_col="ts", delete_col="del"))
+        sess.add(UpsertToRetract(
+            name="rchg", input="ru", key=["ck"], vals=["bal"],
+            key_types=[pa.int64()], val_types=[pa.int64()],
+            ts_col="ts", delete_col="del"))
+        sess.add(StreamJoin(
+            name="j", left_input="lchg", right_input="rchg",
+            left_key=["g"], right_key=["ck"],
+            left_cols=["k", "v"], right_cols=["bal"]))
+        sess.add(KeyedAggregation(
+            name="view", input="j", key_cols=["g"], value_col="v",
+            aggs=("count", "sum"), weight_col="diff",
+            emit_changelog=True))
+
+        def l(rows):
+            k, v, g, ts, d = zip(*rows)
+            return pa.table({"k": pa.array(k, type=pa.int64()),
+                             "v": pa.array(v, type=pa.int64()),
+                             "g": pa.array(g, type=pa.int64()),
+                             "ts": pa.array(ts, type=pa.float64()),
+                             "del": pa.array(d)})
+
+        def r(rows):
+            ck, bal, ts, d = zip(*rows)
+            return pa.table({"ck": pa.array(ck, type=pa.int64()),
+                             "bal": pa.array(bal, type=pa.int64()),
+                             "ts": pa.array(ts, type=pa.float64()),
+                             "del": pa.array(d)})
+
+        def view():
+            df = sess.sinks["view"].read_committed_table().to_pandas()
+            net = df.groupby(["g", "count", "sum"])["diff"].sum()
+            net = net[net != 0].reset_index()
+            assert (net["diff"] == 1).all()
+            return sorted(map(tuple, net[["g", "count", "sum"]]
+                              .itertuples(index=False)))
+
+        # epoch 0: two orders in g5, dim row for bucket 5
+        sess.process_epoch(0, {
+            "lu": l([(1, 10, 5, 1.0, False), (2, 20, 5, 1.0, False)]),
+            "ru": r([(5, 100, 1.0, False)])})
+        assert view() == [(5, 2, 30.0)]
+        # epoch 1: order 1's value updates — view must move 30 → 31
+        sess.process_epoch(1, {"lu": l([(1, 11, 5, 2.0, False)])})
+        assert view() == [(5, 2, 31.0)]
+        # epoch 2: order 2 deleted — count drops, sum drops
+        sess.process_epoch(2, {"lu": l([(2, 0, 5, 3.0, True)])})
+        assert view() == [(5, 1, 11.0)]
+        # epoch 3: dim row deleted — the whole group leaves the view
+        sess.process_epoch(3, {"ru": r([(5, 0, 4.0, True)])})
+        assert view() == []
+        sess.store.shutdown()
