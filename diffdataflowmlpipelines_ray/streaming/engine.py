@@ -906,6 +906,7 @@ class StreamJoin:
                     "left_key": list(self.left_key),
                     "right_key": list(self.right_key),
                     "max_dt": self.max_dt,
+                    "track": self.emit_unmatched,
                 })[side] = pdf[sid == s].reset_index(drop=True)
         return payloads
 
@@ -1544,8 +1545,10 @@ class StreamSession:
 
         def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["__shard"].iloc[0])
-            payload: dict[str, Any] = {"left_key": lk, "right_key": rk,
-                                        "max_dt": getattr(op, "max_dt", None)}
+            payload: dict[str, Any] = {
+                "left_key": lk, "right_key": rk,
+                "max_dt": getattr(op, "max_dt", None),
+                "track": getattr(op, "emit_unmatched", False)}
             for side in ("left", "right"):
                 blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
                 if blobs:

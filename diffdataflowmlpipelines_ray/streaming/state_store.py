@@ -719,16 +719,19 @@ class StateShard:
         nr = sides.get("right")
         # per-left-row identity + matched flag: the outer-join sweep
         # (``sweep_join_unmatched``) emits never-matched lefts once their
-        # window closes.  Tracked unconditionally (2 narrow columns);
-        # buffers from older checkpoints backfill below.
-        if nl is not None and len(nl):
+        # window closes.  Tracked only when the op needs it
+        # (emit_unmatched → payload["track"]): the lid set + isin over the
+        # left buffer is per-epoch work an inner join shouldn't pay.
+        # Buffers from older checkpoints backfill below.
+        track = sides.get("track", True)
+        if track and nl is not None and len(nl):
             n0 = self._join_lid.get(name, 0)
             nl = nl.assign(
                 __lid=np.arange(n0, n0 + len(nl), dtype=np.int64),
                 __matched=False)
             self._join_lid[name] = n0 + len(nl)
         old_left = buf["left"]
-        if old_left is not None and "__lid" not in old_left.columns:
+        if track and old_left is not None and "__lid" not in old_left.columns:
             old_left = old_left.assign(
                 __lid=np.arange(-len(old_left), 0, dtype=np.int64),
                 __matched=False)
@@ -742,9 +745,10 @@ class StateShard:
             if mdt is not None and len(res):
                 keep = (res["__ts_left"] - res["__ts_right"]).abs() <= mdt
                 res = res[keep].reset_index(drop=True)
-            if len(res):
+            if track and len(res):
                 matched_lids.update(res["__lid"].tolist())
-            return res.drop(columns=["__lid", "__matched"])
+            return res.drop(columns=["__lid", "__matched"],
+                            errors="ignore")
 
         if nr is not None and buf["left"] is not None:
             outs.append(merge(buf["left"], nr))
@@ -757,7 +761,7 @@ class StateShard:
                 buf[side] = new if buf[side] is None else pd.concat(
                     [buf[side], new], ignore_index=True
                 )
-        if matched_lids and buf["left"] is not None:
+        if track and matched_lids and buf["left"] is not None:
             hit = buf["left"]["__lid"].isin(matched_lids)
             if hit.any():
                 buf["left"] = buf["left"].assign(
