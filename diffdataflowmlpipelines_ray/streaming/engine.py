@@ -1095,7 +1095,14 @@ class StreamSession:
     def __init__(self, root: str | Path, num_shards: int = 4,
                  checkpoint_every: int = 1,
                  auto_watermark_delay: float | None = None,
-                 fsync: bool = True, pipelined: bool = False):
+                 fsync: bool = True, pipelined: bool = False,
+                 consolidate_every: int | None = None):
+        #: every N epochs, net each changelog sink's committed history into
+        #: a SUM(diff) snapshot (``ExactlyOnceParquetSink.consolidate``) —
+        #: bounds sink storage at O(live rows) for unbounded CDC streams;
+        #: consumers keep the exact running sum but lose per-epoch replay
+        #: granularity of the consolidated span (by design)
+        self.consolidate_every = consolidate_every
         #: pipelined=True submits Table-epoch state applies WITHOUT blocking
         #: (per-actor submission order keeps shard state serialized); every
         #: read surface — sweeps, collect, checkpoint, join probe — fences
@@ -2188,7 +2195,30 @@ class StreamSession:
         self.metrics["epochs"] += 1
         if self.checkpoint_every and (epoch % self.checkpoint_every == 0):
             self.checkpoint(epoch)
+        if (self.consolidate_every
+                and epoch >= self._replay_floor
+                and (epoch + 1) % self.consolidate_every == 0):
+            # DD arrangement compaction on a cadence: net the changelog
+            # sinks' committed ±diff history into a snapshot — running sum
+            # (the live table) unchanged, sink storage drops to O(live
+            # rows).  Replays skip this (their history may already be a
+            # snapshot; re-netting it is pointless work).
+            for name in self._changelog_sink_names():
+                self.sinks[name].consolidate(upto_epoch=epoch)
         return emitted
+
+    def _changelog_sink_names(self) -> list[str]:
+        """Sinks holding pure ±diff changelogs (safe to consolidate):
+        UpsertToRetract, IncrementalComponents, and any
+        KeyedAggregation(emit_changelog=True) incl. threshold/distinct."""
+        out = []
+        for name, op in self.ops.items():
+            if name not in self.sinks:
+                continue
+            if isinstance(op, (UpsertToRetract, IncrementalComponents)) or \
+                    getattr(op, "emit_changelog", False):
+                out.append(name)
+        return out
 
     @staticmethod
     def _as_table(data) -> pa.Table:

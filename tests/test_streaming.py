@@ -3739,3 +3739,38 @@ class TestCdcMatview:
         sess.process_epoch(3, {"ru": r([(5, 0, 4.0, True)])})
         assert view() == []
         sess.store.shutdown()
+
+
+class TestAutoConsolidation:
+    """StreamSession(consolidate_every=N): changelog sinks net to a
+    snapshot on a cadence; the running sum is unchanged."""
+
+    def test_cadence_nets_history(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        def run(root, every):
+            sess = StreamSession(root, num_shards=2,
+                                 consolidate_every=every)
+            sess.add(UpsertToRetract(
+                name="chg", input="u", key=["k"], vals=["v"],
+                key_types=[pa.int64()], val_types=[pa.int64()],
+                ts_col="ts", delete_col="del"))
+            rng = np.random.default_rng(29)
+            for e in range(6):
+                n = 30
+                sess.process_epoch(e, {"u": pa.table({
+                    "k": pa.array(rng.integers(0, 10, n), type=pa.int64()),
+                    "v": pa.array(rng.integers(1, 50, n), type=pa.int64()),
+                    "ts": pa.array(np.arange(n) + e * n, type=pa.float64()),
+                    "del": pa.array(rng.random(n) < 0.2)})})
+            df = sess.sinks["chg"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            net = df.groupby(["k", "v"])["diff"].sum()
+            net = net[net != 0].reset_index()
+            return len(df), sorted(map(tuple, net.itertuples(index=False)))
+
+        rows_plain, net_plain = run(tmp_path / "p", None)
+        rows_cons, net_cons = run(tmp_path / "c", 2)
+        assert net_plain == net_cons          # live table identical
+        assert rows_cons < rows_plain         # history actually netted
