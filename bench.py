@@ -87,7 +87,8 @@ def run_bench() -> dict:
         "connected_components", "absence_detect", "hash_vectorizer_fast",
         "upsert_changelog", "cdc_groupby", "agg_changelog", "cdc_scaler",
         "retractable_minmax", "cdc_join", "distinct_changelog",
-        "retractable_topk", "changelog_compact", "cdc_matview")
+        "retractable_topk", "changelog_compact", "cdc_matview",
+        "lineage_audit", "resume_replay", "stream_metrics")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

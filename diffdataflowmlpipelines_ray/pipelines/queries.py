@@ -401,6 +401,97 @@ def q_stream_metrics(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_lineage_audit(sf_dir: str) -> pd.DataFrame:
+    """The per-partition lineage surface, verified against ground truth:
+    each epoch commits with a caller-stamped lineage record (source +
+    epoch + input row count), and this query reads those records BACK
+    from the durable sink manifests (``lineage_report`` — no engine
+    state) and returns them.  Oracle: the same per-epoch input counts
+    straight from SQL."""
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("lina"), num_shards=2)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v"],
+        key_types=[pa.int64()], val_types=[pa.int64()],
+        ts_col="ts", delete_col="del"))
+    try:
+        for e in range(3):
+            part = ups.filter(pa.array(ok % 3 == e))
+            sess.process_epoch(e, {"u": part}, lineage={
+                "src": "orders", "epoch": e, "in_rows": part.num_rows})
+        rep = sess.sinks["chg"].lineage_report()
+    finally:
+        sess.store.shutdown()
+    return pd.DataFrame({
+        "epoch": [np.int64(e) for e in sorted(rep)],
+        "src": [rep[e]["lineage"]["src"] for e in sorted(rep)],
+        "in_rows": [np.int64(rep[e]["lineage"]["in_rows"])
+                    for e in sorted(rep)],
+    })
+
+
+def q_resume_replay(sf_dir: str) -> pd.DataFrame:
+    """Checkpoint-resume verified against SQL ground truth: a session
+    processes two epochs of the tumbling-window pipeline and dies; a NEW
+    session on the same root restores the checkpoint, replays the last
+    epoch (exactly-once: the committed manifest makes it a no-op),
+    processes the final epoch, and flushes.  The result must equal the
+    batch GROUP BY over ALL events — any state loss, double count, or
+    replay leak breaks the oracle."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_type", "ts", "value"]).sort_by("ts")
+    root = _tmp("resum")
+    parts = _epoch_split(tbl, 3)
+
+    def mkop():
+        return KeyedAggregation(
+            name="win", input="events", key_cols=["event_type"],
+            value_col="value", ts_col="ts", aggs=("count", "sum"),
+            window=WindowSpec.tumbling(3600.0), make_acc=_cents_acc,
+            finalize=lambda a: {"count": a.count, "sum": a.s / 100.0})
+
+    def wm(part):
+        return float(np.max(part["ts"].to_numpy()
+                            .astype("datetime64[us]")
+                            .astype(np.int64)) / 1e6)
+
+    s1 = StreamSession(root, num_shards=2, checkpoint_every=1)
+    s1.add(mkop())
+    for e in range(2):
+        s1.process_epoch(e, {"events": parts[e]}, watermark=wm(parts[e]))
+    s1.store.shutdown()  # crash
+    s2 = StreamSession(root, num_shards=2, checkpoint_every=1)
+    s2.add(mkop())
+    nxt = s2.resume()
+    assert nxt == 2, nxt
+    try:
+        # the driver replays its last uncommitted-looking input first —
+        # exactly-once makes the duplicate feed a no-op
+        s2.process_epoch(1, {"events": parts[1]}, watermark=wm(parts[1]))
+        s2.process_epoch(2, {"events": parts[2]}, watermark=wm(parts[2]))
+        s2.close(3)
+        df = s2.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if s2.store.shards:
+            s2.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
 def q_tumbling_minmax(sf_dir: str) -> pd.DataFrame:
     """Tumbling windows with min/max aggregates — exercises the invertible
     extremes tracking (MinMaxAgg) inside windowed state."""
@@ -3430,6 +3521,8 @@ QUERIES = {
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
     "stream_metrics": q_stream_metrics,
+    "lineage_audit": q_lineage_audit,
+    "resume_replay": q_resume_replay,
     "tumbling_minmax": q_tumbling_minmax,
     "stream_union": q_stream_union,
     "sliding_window": q_sliding_window,
@@ -3615,6 +3708,19 @@ ORACLES = {
                sum(round(value * 100)) / 100.0 AS sum,
                sum(round(value * 100)) / 100.0 / count(*) AS mean
         FROM events GROUP BY user_id
+    """,
+    "lineage_audit": """
+        SELECT CAST(o_orderkey % 3 AS BIGINT) AS epoch,
+               'orders' AS src,
+               COUNT(*)::BIGINT AS in_rows
+        FROM orders GROUP BY epoch ORDER BY epoch
+    """,
+    "resume_replay": """
+        SELECT event_type,
+               ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum
+        FROM events GROUP BY event_type, window_start
     """,
     "stream_metrics": """
         SELECT CAST(3 AS BIGINT) AS epochs,
