@@ -88,7 +88,8 @@ def run_bench() -> dict:
         "upsert_changelog", "cdc_groupby", "agg_changelog", "cdc_scaler",
         "retractable_minmax", "cdc_join", "distinct_changelog",
         "retractable_topk", "changelog_compact", "cdc_matview",
-        "lineage_audit", "resume_replay", "stream_metrics")
+        "lineage_audit", "resume_replay", "stream_metrics",
+        "retractable_median")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -1239,6 +1239,72 @@ def q_retractable_minmax(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def _median_finalize(a) -> dict:
+    """MinMaxAgg value→count map → exact multiset median of the live
+    values (DuckDB MEDIAN semantics: mean of the two middle values when
+    the live count is even) — the holistic aggregate the arrangement
+    makes retractable."""
+    items = sorted((v, c) for v, c in a.counts.items() if c > 0)
+    n = sum(c for _, c in items)
+    lo_pos, hi_pos = (n - 1) // 2, n // 2
+    lo = hi = None
+    cum = 0
+    for v, c in items:
+        if lo is None and cum + c > lo_pos:
+            lo = v
+        if cum + c > hi_pos:
+            hi = v
+            break
+        cum += c
+    return {"med": (lo + hi) / 2.0}
+
+
+def q_retractable_median(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped MEDIAN — the HOLISTIC aggregate no monoid can
+    maintain, made incremental by the same value→count arrangement as
+    MIN/MAX: every epoch's upserts/deletes shift the live multiset and
+    the op emits the median transition changelog per group.  Oracle:
+    per-epoch cumulative live state + MEDIAN + LAG in SQL."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ), type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rmed"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="med", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_median_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["med"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    df["med"] = np.round(df["med"], 6)
+    return (df[["diff", "g", "med", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def q_cdc_join(sf_dir: str) -> pd.DataFrame:
     """Fully incremental equi-join of TWO mutable CDC tables — the DD
     bilinear join over arrangements: orders upserts and customer upserts
@@ -3546,6 +3612,7 @@ QUERIES = {
     "cdc_join": q_cdc_join,
     "distinct_changelog": q_distinct_changelog,
     "retractable_topk": q_retractable_topk,
+    "retractable_median": q_retractable_median,
     "changelog_compact": q_changelog_compact,
     "cdc_matview": q_cdc_matview,
     "pagerank": q_pagerank,
@@ -4081,6 +4148,46 @@ ORACLES = {
         SELECT CAST(-1 AS BIGINT), g, p_mn, p_mx, CAST(epoch AS BIGINT)
         FROM tr WHERE p_mn IS NOT NULL
           AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
+        ORDER BY epoch, g, diff
+    """,
+    "retractable_median": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g,
+                   ROUND(MEDIAN(v), 6) AS med
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.med,
+                   LAG(s.med) OVER (PARTITION BY grid.g
+                                    ORDER BY grid.epoch) AS p_med
+            FROM grid LEFT JOIN state s USING (epoch, g)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, med,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE med IS NOT NULL AND med IS DISTINCT FROM p_med
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_med, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_med IS NOT NULL AND med IS DISTINCT FROM p_med
         ORDER BY epoch, g, diff
     """,
     "retractable_topk": """

@@ -3774,3 +3774,45 @@ class TestAutoConsolidation:
         rows_cons, net_cons = run(tmp_path / "c", 2)
         assert net_plain == net_cons          # live table identical
         assert rows_cons < rows_plain         # history actually netted
+
+
+class TestRetractableMedian:
+    """Holistic aggregate via the value→count arrangement: the exact
+    multiset median stays maintainable under retraction."""
+
+    def test_median_shifts_under_retraction(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _median_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        sess = StreamSession(tmp_path / "md", num_shards=2)
+        sess.add(KeyedAggregation(
+            name="med", input="chg", key_cols=["g"], value_col="v",
+            weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+            finalize=_median_finalize, aggs=(), emit_changelog=True))
+
+        def t(rows):
+            g, v, d = zip(*rows)
+            return pa.table({"g": pa.array(g, type=pa.int64()),
+                             "v": pa.array(v, type=pa.float64()),
+                             "diff": pa.array(d, type=pa.int64())})
+
+        def rows(tbl):
+            return sorted(zip(tbl["diff"].to_pylist(),
+                              tbl["med"].to_pylist()))
+
+        # odd count {1,2,9} → 2; duplicate values count as multiset copies
+        t0 = sess.process_epoch(0, {"chg": t(
+            [(1, 1.0, 1), (1, 2.0, 1), (1, 9.0, 1)])})["med"]
+        assert rows(t0) == [(1, 2.0)]
+        # even count {1,2,2,9} → (2+2)/2 = 2: finalized value UNCHANGED →
+        # the changelog stays silent (dict-compare semantics)
+        t1 = sess.process_epoch(1, {"chg": t([(1, 2.0, 1)])})["med"]
+        assert t1.num_rows == 0
+        # retract a 2 → {1,2,9} → 2 again, still silent
+        t2 = sess.process_epoch(2, {"chg": t([(1, 2.0, -1)])})["med"]
+        assert t2.num_rows == 0
+        # retract the median itself → {1,9} → interpolated 5.0
+        t3 = sess.process_epoch(3, {"chg": t([(1, 2.0, -1)])})["med"]
+        assert rows(t3) == [(-1, 2.0), (1, 5.0)]
+        sess.store.shutdown()
