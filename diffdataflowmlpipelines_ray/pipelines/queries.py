@@ -1305,6 +1305,56 @@ def q_retractable_median(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def _ndistinct_finalize(a) -> dict:
+    """MinMaxAgg value→count map → number of live distinct values."""
+    return {"nd": sum(1 for c in a.counts.values() if c > 0)}
+
+
+def q_retractable_ndistinct(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped COUNT(DISTINCT v) — another non-monoid
+    aggregate the value→count arrangement maintains for free: the live
+    distinct count per group shifts only when a value's net multiplicity
+    crosses zero, and the op emits the transition changelog.  Oracle:
+    per-epoch cumulative live state + COUNT(DISTINCT) + LAG."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array((_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64) % 37).astype(np.float64), type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rnd"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="nd", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_ndistinct_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["nd"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "nd", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["diff", "g", "nd", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def q_cdc_join(sf_dir: str) -> pd.DataFrame:
     """Fully incremental equi-join of TWO mutable CDC tables — the DD
     bilinear join over arrangements: orders upserts and customer upserts
@@ -3613,6 +3663,7 @@ QUERIES = {
     "distinct_changelog": q_distinct_changelog,
     "retractable_topk": q_retractable_topk,
     "retractable_median": q_retractable_median,
+    "retractable_ndistinct": q_retractable_ndistinct,
     "changelog_compact": q_changelog_compact,
     "cdc_matview": q_cdc_matview,
     "pagerank": q_pagerank,
@@ -4148,6 +4199,46 @@ ORACLES = {
         SELECT CAST(-1 AS BIGINT), g, p_mn, p_mx, CAST(epoch AS BIGINT)
         FROM tr WHERE p_mn IS NOT NULL
           AND (min_v IS DISTINCT FROM p_mn OR max_v IS DISTINCT FROM p_mx)
+        ORDER BY epoch, g, diff
+    """,
+    "retractable_ndistinct": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) % 37 AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g,
+                   COUNT(DISTINCT v)::BIGINT AS nd
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.nd,
+                   LAG(s.nd) OVER (PARTITION BY grid.g
+                                   ORDER BY grid.epoch) AS p_nd
+            FROM grid LEFT JOIN state s USING (epoch, g)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, nd,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE nd IS NOT NULL AND nd IS DISTINCT FROM p_nd
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_nd, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_nd IS NOT NULL AND nd IS DISTINCT FROM p_nd
         ORDER BY epoch, g, diff
     """,
     "retractable_median": """
