@@ -89,7 +89,8 @@ def run_bench() -> dict:
         "retractable_minmax", "cdc_join", "distinct_changelog",
         "retractable_topk", "changelog_compact", "cdc_matview",
         "lineage_audit", "resume_replay", "stream_metrics",
-        "retractable_median", "retractable_ndistinct")
+        "retractable_median", "retractable_ndistinct",
+        "stream_full_outer_join")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -872,6 +872,57 @@ def q_stream_outer_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_event", "r_event"]).reset_index(drop=True)
 
 
+def q_stream_full_outer_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER interval stream-stream join: both sides' never-matched
+    rows sweep into their own side sinks when their join window closes —
+    matched ∪ left-unmatched ∪ right-unmatched equals the relational
+    FULL JOIN multiset under the interval predicate.  Oracle: FULL JOIN
+    with COALESCE(−1) on both null sides."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts"]).sort_by("ts")
+    views = ev.filter(pc.equal(ev["event_type"], "view"))
+    buys = ev.filter(pc.equal(ev["event_type"], "purchase"))
+
+    sess = StreamSession(_tmp("sfoj"), num_shards=4)
+    sess.add(StreamJoin(
+        name="j", left_input="l", right_input="r",
+        left_key=["user_id"], right_key=["u_r"],
+        left_cols=["l_event"], right_cols=["r_event"],
+        left_ts="ts", right_ts="ts_r", max_dt=1800.0,
+        emit_unmatched="full"))
+    try:
+        k = 3
+        lp = _epoch_split(views, k)
+        rp = _epoch_split(buys, k)
+        for e in range(k):
+            lt = lp[e].rename_columns(["l_event", "user_id", "event_type",
+                                       "ts"]).drop_columns(["event_type"])
+            rt = rp[e].rename_columns(["r_event", "u_r", "event_type",
+                                       "ts_r"]).drop_columns(["event_type"])
+            wm = -np.inf
+            for t, c in ((lp[e], "ts"), (rp[e], "ts")):
+                if t.num_rows:
+                    wm = max(wm, float(np.max(
+                        t[c].to_numpy().astype("datetime64[us]")
+                        .astype(np.int64)) / 1e6))
+            sess.process_epoch(e, {"l": lt, "r": rt}, watermark=wm)
+        sess.close(k)
+        matched = sess.sinks["j"].read_committed_table().to_pandas()
+        ul = sess.sinks["j__unmatched"].read_committed_table().to_pandas()
+        ur = sess.sinks["j__unmatched_right"].read_committed_table(
+        ).to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    out = pd.concat([
+        matched[["l_event", "r_event"]],
+        pd.DataFrame({"l_event": ul["l_event"], "r_event": -1}),
+        pd.DataFrame({"l_event": -1, "r_event": ur["r_event"]}),
+    ], ignore_index=True)
+    out = out.astype({"l_event": np.int64, "r_event": np.int64})
+    return out.sort_values(["l_event", "r_event"]).reset_index(drop=True)
+
+
 def q_late_routing(sf_dir: str) -> pd.DataFrame:
     """Late-data SIDE OUTPUT: events arrive in event_id order (NOT event-
     time order) as 4 epochs, the watermark after each epoch is the running
@@ -3664,6 +3715,7 @@ QUERIES = {
     "retractable_topk": q_retractable_topk,
     "retractable_median": q_retractable_median,
     "retractable_ndistinct": q_retractable_ndistinct,
+    "stream_full_outer_join": q_stream_full_outer_join,
     "changelog_compact": q_changelog_compact,
     "cdc_matview": q_cdc_matview,
     "pagerank": q_pagerank,
@@ -3980,6 +4032,17 @@ ORACLES = {
         SELECT l.event_id AS l_event,
                COALESCE(r.event_id, -1) AS r_event
         FROM l LEFT JOIN r
+          ON r.user_id = l.user_id
+         AND abs(epoch(r.ts) - epoch(l.ts)) <= 1800
+    """,
+    "stream_full_outer_join": """
+        WITH l AS MATERIALIZED (SELECT user_id, event_id, ts FROM events
+                                WHERE event_type = 'view'),
+             r AS MATERIALIZED (SELECT user_id, event_id, ts FROM events
+                                WHERE event_type = 'purchase')
+        SELECT COALESCE(l.event_id, -1) AS l_event,
+               COALESCE(r.event_id, -1) AS r_event
+        FROM l FULL JOIN r
           ON r.user_id = l.user_id
          AND abs(epoch(r.ts) - epoch(l.ts)) <= 1800
     """,

@@ -846,17 +846,33 @@ class StreamJoin:
     #: arrival may miss already-finalized lefts — the standard streaming
     #: outer-join contract).  Requires ``max_dt``; not retraction-aware
     #: (a diff=−1 row marks its key matched like any other match).
-    emit_unmatched: bool = False
+    #: ``True``/``"left"`` = LEFT OUTER, ``"right"`` = RIGHT OUTER,
+    #: ``"full"`` = FULL OUTER (both sides' never-matched rows sweep into
+    #: their own side sinks: ``<name>__unmatched`` for left,
+    #: ``<name>__unmatched_right`` for right).
+    emit_unmatched: bool | str = False
+
+    def unmatched_sides(self) -> tuple[str, ...]:
+        if not self.emit_unmatched:
+            return ()
+        if self.emit_unmatched is True or self.emit_unmatched == "left":
+            return ("left",)
+        if self.emit_unmatched == "right":
+            return ("right",)
+        if self.emit_unmatched in ("full", "both"):
+            return ("left", "right")
+        raise ValueError(f"emit_unmatched={self.emit_unmatched!r}: use "
+                         "True/'left'/'right'/'full'")
 
     def __post_init__(self):
         if self.max_dt is not None and not (self.left_ts and self.right_ts):
             raise ValueError("max_dt requires left_ts and right_ts")
-        if self.emit_unmatched:
+        if self.unmatched_sides():
             if self.max_dt is None:
                 raise ValueError("emit_unmatched requires max_dt: an "
-                                 "unbounded join never finalizes a left row")
+                                 "unbounded join never finalizes a row")
             if self.retention is not None and self.retention < self.max_dt:
-                raise ValueError("retention < max_dt would expire left rows "
+                raise ValueError("retention < max_dt would expire rows "
                                  "before their unmatched sweep")
 
     def _side_frame(self, tbl: pa.Table, side: str) -> pd.DataFrame:
@@ -906,7 +922,8 @@ class StreamJoin:
                     "left_key": list(self.left_key),
                     "right_key": list(self.right_key),
                     "max_dt": self.max_dt,
-                    "track": self.emit_unmatched,
+                    "track": "left" in self.unmatched_sides(),
+                    "track_right": "right" in self.unmatched_sides(),
                 })[side] = pdf[sid == s].reset_index(drop=True)
         return payloads
 
@@ -922,21 +939,25 @@ class StreamJoin:
         df["epoch"] = np.int64(epoch)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def unmatched_to_table(self, frames: list, epoch: int) -> pa.Table:
-        """Swept never-matched left rows → left columns + the left event
-        time (as ``left_ts``'s column name) + epoch.  No null-padded right
-        columns: the side sink keeps the left schema, and a reader
-        null-pads at union time (the ``stream_outer_join`` query does)."""
-        names = list(dict.fromkeys(list(self.left_key) + list(self.left_cols)))
+    def unmatched_to_table(self, frames: list, epoch: int,
+                           side: str = "left") -> pa.Table:
+        """Swept never-matched rows of one side → that side's columns + its
+        event time (as its ts column name) + epoch.  No null-padded other
+        side: each side sink keeps its own schema, and a reader null-pads
+        at union time (the ``stream_outer_join`` query does)."""
+        key_cols = self.left_key if side == "left" else self.right_key
+        out_cols = self.left_cols if side == "left" else self.right_cols
+        ts_col = self.left_ts if side == "left" else self.right_ts
+        names = list(dict.fromkeys(list(key_cols) + list(out_cols)))
         if not frames:
             cols = {n: pa.array([]) for n in names}
-            cols[self.left_ts] = pa.array([], type=pa.float64())
+            cols[ts_col] = pa.array([], type=pa.float64())
             cols["epoch"] = pa.array([], type=pa.int64())
             return pa.table(cols)
         cat = pd.concat(frames, ignore_index=True)
         df = cat[names].copy()
-        if self.left_ts not in df.columns:  # else keep the carried original
-            df[self.left_ts] = cat["__ts_left"].astype(np.float64)
+        if ts_col not in df.columns:  # else keep the carried original
+            df[ts_col] = cat[f"__ts_{side}"].astype(np.float64)
         df["epoch"] = np.int64(epoch)
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1167,12 +1188,18 @@ class StreamSession:
                              UpsertToRetract, EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
-            if isinstance(op, StreamJoin) and op.emit_unmatched:
-                # outer join: finalized never-matched lefts get their OWN
-                # sink (left schema, no null padding) — committing them into
-                # the match sink would double-commit its per-epoch manifest
-                self.sinks[f"{op.name}__unmatched"] = ExactlyOnceParquetSink(
-                    self.root / f"{op.name}__unmatched", fsync=self.fsync)
+            if isinstance(op, StreamJoin):
+                # outer join: finalized never-matched rows get their OWN
+                # side sink per tracked side (own schema, no null padding)
+                # — committing them into the match sink would double-commit
+                # its per-epoch manifest
+                for s, suffix in (("left", "__unmatched"),
+                                  ("right", "__unmatched_right")):
+                    if s in op.unmatched_sides():
+                        self.sinks[f"{op.name}{suffix}"] = \
+                            ExactlyOnceParquetSink(
+                                self.root / f"{op.name}{suffix}",
+                                fsync=self.fsync)
         return self
 
     # ------------------------------------------------------------------ resume
@@ -1552,10 +1579,13 @@ class StreamSession:
 
         def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["__shard"].iloc[0])
+            us = (op.unmatched_sides()
+                  if hasattr(op, "unmatched_sides") else ())
             payload: dict[str, Any] = {
                 "left_key": lk, "right_key": rk,
                 "max_dt": getattr(op, "max_dt", None),
-                "track": getattr(op, "emit_unmatched", False)}
+                "track": "left" in us,
+                "track_right": "right" in us}
             for side in ("left", "right"):
                 blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
                 if blobs:
@@ -2245,8 +2275,11 @@ class StreamSession:
             sweep_sinks = []  # (display name, sink) pairs that commit sweeps
             for n, o in self.ops.items():
                 if isinstance(o, StreamJoin):
-                    if o.emit_unmatched:  # its unmatched side sink sweeps
+                    # its unmatched side sinks sweep
+                    if "left" in o.unmatched_sides():
                         sweep_sinks.append((n, f"{n}__unmatched"))
+                    if "right" in o.unmatched_sides():
+                        sweep_sinks.append((n, f"{n}__unmatched_right"))
                 elif not isinstance(o, (EnrichJoin, StreamDedup)):
                     sweep_sinks.append((n, n))
             for n, sn in sweep_sinks:
@@ -2340,18 +2373,21 @@ class StreamSession:
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, StreamJoin):
-                if op.emit_unmatched:
+                for s, suffix in (("left", "__unmatched"),
+                                  ("right", "__unmatched_right")):
+                    if s not in op.unmatched_sides():
+                        continue
                     # sweep BEFORE expiry so retention == max_dt cannot
-                    # silently delete a left row owed an unmatched emission
+                    # silently delete a row owed an unmatched emission
                     frames = self.store.sweep_join_unmatched(
-                        name, self.watermark - op.max_dt)
-                    tbl = op.unmatched_to_table(frames, epoch)
-                    self.sinks[f"{name}__unmatched"].commit_tables(
+                        name, self.watermark - op.max_dt, side=s)
+                    tbl = op.unmatched_to_table(frames, epoch, side=s)
+                    self.sinks[f"{name}{suffix}"].commit_tables(
                         epoch, [tbl],
                         meta=self._meta(watermark=self.watermark, op=name,
                                         kind="join_unmatched"),
                     )
-                    emitted[f"{name}__unmatched"] = tbl
+                    emitted[f"{name}{suffix}"] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows
                 if op.retention is not None:
                     self.store.join_expire(name, self.watermark - op.retention)

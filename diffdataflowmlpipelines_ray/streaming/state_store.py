@@ -65,6 +65,7 @@ class StateShard:
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
         # per-join-name monotone left-row id counter (outer-join tracking)
         self._join_lid: dict[str, int] = {}
+        self._join_rid: dict[str, int] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
         # pane-mode sliding windows: name -> last emitted sweep bound
@@ -724,20 +725,35 @@ class StateShard:
         # left buffer is per-epoch work an inner join shouldn't pay.
         # Buffers from older checkpoints backfill below.
         track = sides.get("track", True)
+        track_r = sides.get("track_right", False)
         if track and nl is not None and len(nl):
             n0 = self._join_lid.get(name, 0)
             nl = nl.assign(
                 __lid=np.arange(n0, n0 + len(nl), dtype=np.int64),
                 __matched=False)
             self._join_lid[name] = n0 + len(nl)
+        if track_r and nr is not None and len(nr):
+            n0 = self._join_rid.get(name, 0)
+            nr = nr.assign(
+                __rid=np.arange(n0, n0 + len(nr), dtype=np.int64),
+                __matched_r=False)
+            self._join_rid[name] = n0 + len(nr)
         old_left = buf["left"]
         if track and old_left is not None and "__lid" not in old_left.columns:
             old_left = old_left.assign(
                 __lid=np.arange(-len(old_left), 0, dtype=np.int64),
                 __matched=False)
             buf["left"] = old_left
+        old_right = buf["right"]
+        if track_r and old_right is not None \
+                and "__rid" not in old_right.columns:
+            old_right = old_right.assign(
+                __rid=np.arange(-len(old_right), 0, dtype=np.int64),
+                __matched_r=False)
+            buf["right"] = old_right
         outs = []
         matched_lids: set = set()
+        matched_rids: set = set()
 
         def merge(a, b, a_is_left=True):
             res = a.merge(b, left_on=lk, right_on=rk,
@@ -747,8 +763,11 @@ class StateShard:
                 res = res[keep].reset_index(drop=True)
             if track and len(res):
                 matched_lids.update(res["__lid"].tolist())
-            return res.drop(columns=["__lid", "__matched"],
-                            errors="ignore")
+            if track_r and len(res):
+                matched_rids.update(res["__rid"].tolist())
+            return res.drop(
+                columns=["__lid", "__matched", "__rid", "__matched_r"],
+                errors="ignore")
 
         if nr is not None and buf["left"] is not None:
             outs.append(merge(buf["left"], nr))
@@ -766,27 +785,36 @@ class StateShard:
             if hit.any():
                 buf["left"] = buf["left"].assign(
                     __matched=buf["left"]["__matched"] | hit)
+        if track_r and matched_rids and buf["right"] is not None:
+            hit = buf["right"]["__rid"].isin(matched_rids)
+            if hit.any():
+                buf["right"] = buf["right"].assign(
+                    __matched_r=buf["right"]["__matched_r"] | hit)
         if not outs:
             return _dumps(None)
         return _dumps(pd.concat(outs, ignore_index=True))
 
-    def sweep_join_unmatched(self, name: str, bound: float) -> bytes:
-        """Outer-join finalization: emit buffered LEFT rows with event time
-        ≤ ``bound`` (watermark − max_dt: their join window is closed) that
-        never matched, then drop ALL left rows at/below the bound (matched
-        or not — nothing on-time can pair with them anymore).  Deleting the
-        swept rows makes re-sweeps naturally idempotent."""
+    def sweep_join_unmatched(self, name: str, bound: float,
+                             side: str = "left") -> bytes:
+        """Outer-join finalization: emit buffered rows of ``side`` with
+        event time ≤ ``bound`` (watermark − max_dt: their join window is
+        closed) that never matched, then drop ALL of that side's rows
+        at/below the bound (matched or not — nothing on-time can pair with
+        them anymore).  Deleting the swept rows makes re-sweeps naturally
+        idempotent."""
+        idc, flagc = (("__lid", "__matched") if side == "left"
+                      else ("__rid", "__matched_r"))
         buf = self.joins.get(name)
-        if buf is None or buf.get("left") is None:
+        if buf is None or buf.get(side) is None:
             return _dumps(None)
-        df = buf["left"]
-        if "__lid" not in df.columns:
+        df = buf[side]
+        if idc not in df.columns:
             return _dumps(None)
-        closed = df["__ts_left"] <= bound
-        out = df[closed & ~df["__matched"]].drop(
-            columns=["__lid", "__matched"]).reset_index(drop=True)
+        closed = df[f"__ts_{side}"] <= bound
+        out = df[closed & ~df[flagc]].drop(
+            columns=[idc, flagc]).reset_index(drop=True)
         kept = df[~closed]
-        buf["left"] = kept.reset_index(drop=True) if len(kept) else None
+        buf[side] = kept.reset_index(drop=True) if len(kept) else None
         return _dumps(out if len(out) else None)
 
     def join_expire(self, name: str, expire_before: float) -> int:
@@ -816,6 +844,7 @@ class StateShard:
                 "session_points": self.session_points,
                 "joins": self.joins,
                 "join_lid": self._join_lid,
+                "join_rid": self._join_rid,
                 "patterns": self.patterns,
                 "pane_bounds": self.pane_bounds,
                 "graphs": self.graphs,
@@ -830,6 +859,7 @@ class StateShard:
         self.session_points = st.get("session_points", {})
         self.joins = st["joins"]
         self._join_lid = st.get("join_lid", {})
+        self._join_rid = st.get("join_rid", {})
         for jn, sides in self.joins.items():  # pre-lid snapshots: resume the
             left = sides.get("left")          # counter above any live id
             if left is not None and "__lid" in getattr(left, "columns", ()):
@@ -837,6 +867,12 @@ class StateShard:
                     self._join_lid[jn] = max(
                         self._join_lid.get(jn, 0),
                         int(left["__lid"].max()) + 1)
+            right = sides.get("right")
+            if right is not None and "__rid" in getattr(right, "columns", ()):
+                if len(right):
+                    self._join_rid[jn] = max(
+                        self._join_rid.get(jn, 0),
+                        int(right["__rid"].max()) + 1)
         self.patterns = st.get("patterns", {})
         self.pane_bounds = st.get("pane_bounds", {})
         self.graphs = st.get("graphs", {})
@@ -1151,11 +1187,12 @@ class ShardedStateStore:
     def join_expire(self, name: str, expire_before: float) -> int:
         return sum(ray.get([s.join_expire.remote(name, expire_before) for s in self.shards]))
 
-    def sweep_join_unmatched(self, name: str, bound: float) -> list:
-        """Finalized never-matched LEFT rows from every shard (outer join)."""
+    def sweep_join_unmatched(self, name: str, bound: float,
+                             side: str = "left") -> list:
+        """Finalized never-matched rows of ``side`` from every shard."""
         self.fence()
         out = []
-        for b in ray.get([s.sweep_join_unmatched.remote(name, bound)
+        for b in ray.get([s.sweep_join_unmatched.remote(name, bound, side)
                           for s in self.shards]):
             df = pickle.loads(b)
             if df is not None and len(df):

@@ -3816,3 +3816,78 @@ class TestRetractableMedian:
         t3 = sess.process_epoch(3, {"chg": t([(1, 2.0, -1)])})["med"]
         assert rows(t3) == [(-1, 2.0), (1, 5.0)]
         sess.store.shutdown()
+
+
+class TestFullOuterJoin:
+    """emit_unmatched='full': both sides' never-matched rows sweep into
+    their own side sinks; matched ∪ both unmatched = the FULL JOIN
+    multiset under the interval predicate."""
+
+    def _sess(self, root, **kw):
+        sess = StreamSession(root, num_shards=2, **kw)
+        sess.add(StreamJoin(
+            name="j", left_input="l", right_input="r",
+            left_key=["k"], right_key=["k"],
+            left_cols=["lv"], right_cols=["rv"],
+            left_ts="lt", right_ts="rt", max_dt=5.0,
+            emit_unmatched="full"))
+        return sess
+
+    @staticmethod
+    def _L(rows):
+        k, lv, lt = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "lv": pa.array(lv, type=pa.int64()),
+                         "lt": pa.array(lt, type=pa.float64())})
+
+    @staticmethod
+    def _R(rows):
+        k, rv, rt = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "rv": pa.array(rv, type=pa.int64()),
+                         "rt": pa.array(rt, type=pa.float64())})
+
+    def test_both_sides_sweep(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "fo1")
+        sess.process_epoch(0, {
+            "l": self._L([(1, 10, 1.0), (2, 20, 1.0)]),
+            "r": self._R([(1, 100, 2.0), (3, 300, 2.0)])}, watermark=2.0)
+        # a LATE-epoch match within the window: right k=2 arrives at
+        # t=4 — still inside left k=2's ±5 window (not yet swept)
+        sess.process_epoch(1, {"r": self._R([(2, 200, 4.0)])},
+                           watermark=4.0)
+        sess.process_epoch(2, {}, watermark=50.0)  # close everything
+        m = sess.sinks["j"].read_committed_table().to_pandas()
+        ul = sess.sinks["j__unmatched"].read_committed_table().to_pandas()
+        ur = sess.sinks["j__unmatched_right"].read_committed_table(
+        ).to_pandas()
+        sess.store.shutdown()
+        assert sorted(zip(m["k"], m["lv"], m["rv"])) == [
+            (1, 10, 100), (2, 20, 200)]
+        assert len(ul) == 0                      # every left matched
+        assert sorted(zip(ur["k"], ur["rv"])) == [(3, 300)]
+
+    def test_resume_keeps_right_flags(self, ray_session, tmp_path):
+        root = tmp_path / "fo2"
+        s1 = self._sess(root, checkpoint_every=1)
+        s1.process_epoch(0, {
+            "l": self._L([(1, 10, 1.0)]),
+            "r": self._R([(1, 100, 2.0), (7, 700, 2.0)])}, watermark=2.0)
+        s1.store.shutdown()  # crash after checkpoint
+        s2 = self._sess(root, checkpoint_every=1)
+        assert s2.resume() == 1
+        s2.process_epoch(1, {}, watermark=50.0)
+        ur = s2.sinks["j__unmatched_right"].read_committed_table(
+        ).to_pandas()
+        s2.store.shutdown()
+        # matched right row (k=1) must NOT re-emit as unmatched after
+        # resume; only the never-matched k=7 sweeps
+        assert sorted(zip(ur["k"], ur["rv"])) == [(7, 700)]
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError, match="emit_unmatched="):
+            StreamJoin(name="x", left_input="l", right_input="r",
+                       left_key=["k"], right_key=["k"],
+                       left_cols=[], right_cols=[],
+                       left_ts="lt", right_ts="rt", max_dt=1.0,
+                       emit_unmatched="sideways").unmatched_sides()
