@@ -102,3 +102,94 @@ class TestWindowAssignProperty:
                     np.floor(t / 10.0) - j) * 10.0
             )
             assert (idx == i).sum() == n_windows
+
+
+class TestThresholdProperty:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.lists(st.tuples(st.integers(0, 5),
+                                       st.sampled_from([1, -1])),
+                             min_size=0, max_size=15),
+                    min_size=1, max_size=6))
+    def test_changelog_sum_equals_threshold_of_net(self, epochs):
+        """For ANY delta stream (including nets that go negative), the
+        threshold changelog's running sum per key equals f(net count)
+        after every epoch — the semantic contract of DD's threshold."""
+        import pickle
+
+        import pyarrow as pa
+
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            KeyedAggregation)
+
+        op = KeyedAggregation(name="d", input="chg", key_cols=["v"],
+                              aggs=(), weight_col="diff",
+                              emit_changelog=True,
+                              threshold_fn=lambda m: int(m > 0))
+        shard = StateShard(0, 1)
+        net: dict[int, int] = {}
+        running: dict[int, int] = {}
+        for e, rows in enumerate(epochs):
+            if rows:
+                v, d = zip(*rows)
+                tbl = pa.table({"v": pa.array(v, type=pa.int64()),
+                                "diff": pa.array(d, type=pa.int64())})
+                partials, _ = op.partial_batch(tbl, float("-inf"))
+            else:
+                partials = {}
+            payload = pickle.dumps(sorted(partials.items()),
+                                   protocol=pickle.HIGHEST_PROTOCOL)
+            pairs = pickle.loads(
+                shard.apply_delta_changelog("d", e, payload))
+            out = op.changelog_to_table(pairs, e)
+            for kb, diff in zip(out["v"].to_pylist(),
+                                out["diff"].to_pylist()):
+                running[kb] = running.get(kb, 0) + diff
+            for k, d2 in rows:
+                net[k] = net.get(k, 0) + d2
+            for k in set(net) | set(running):
+                assert running.get(k, 0) == int(net.get(k, 0) > 0), (
+                    e, k, net, running)
+
+
+class TestConsolidationProperty:
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(st.tuples(st.integers(0, 4),
+                                       st.sampled_from([1, 1, -1])),
+                             min_size=0, max_size=10),
+                    min_size=2, max_size=5),
+           st.integers(0, 10))
+    def test_any_cut_preserves_running_sum(self, epochs, cut_seed):
+        """consolidate(upto_epoch=ANY cut) leaves the sink's running sum
+        (net diff per key) bit-identical — the consumer-facing contract."""
+        import shutil
+        import tempfile
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from diffdataflowmlpipelines_ray.streaming.sink import (
+            ExactlyOnceParquetSink)
+
+        root = tempfile.mkdtemp(prefix="consol-prop-", dir="/tmp")
+        try:
+            sink = ExactlyOnceParquetSink(root, fsync=False)
+            for e, rows in enumerate(epochs):
+                k = [r[0] for r in rows]
+                d = [r[1] for r in rows]
+                sink.commit_tables(e, [pa.table({
+                    "k": pa.array(k, type=pa.int64()),
+                    "diff": pa.array(d, type=pa.int64()),
+                    "epoch": pa.array([e] * len(rows), type=pa.int64())})])
+            before = sink.read_committed_table().to_pandas()
+            net_b = before.groupby("k")["diff"].sum()
+            net_b = net_b[net_b != 0].to_dict()
+            cut = cut_seed % len(epochs)
+            sink.consolidate(upto_epoch=cut)
+            after = sink.read_committed_table().to_pandas()
+            net_a = after.groupby("k")["diff"].sum() if len(after) else \
+                pd.Series(dtype="int64")
+            net_a = net_a[net_a != 0].to_dict()
+            assert net_a == net_b
+            assert sink.verify()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
