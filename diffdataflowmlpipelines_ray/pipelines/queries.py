@@ -1859,6 +1859,38 @@ def q_image_decode(sf_dir: str) -> pd.DataFrame:
     return out.map_batches(project, batch_format="pyarrow").to_pandas()
 
 
+def q_token_stream_agg(sf_dir: str) -> pd.DataFrame:
+    """The north rule's INPUT table through the incremental engine with a
+    SQL oracle: the tokenized-sequence stream (doc_id, tokens, n_tok,
+    source — the BASELINE.json input_hint schema) feeds a keyed
+    aggregation over 3 epochs, and the per-source (sequence count, total
+    tokens) running sum must equal the batch GROUP BY where ``n_tok`` is
+    re-derived in SQL from the whitespace tokenizer.  Ties the token
+    payload to the oracle-checked streaming path (the flagship itself is
+    rows-only by necessity: xxhash token IDS have no SQL twin; the
+    COUNTS do)."""
+    from ..sources.tokenized import epoch_tables, tokenized_dataset
+
+    ds = tokenized_dataset(sf_dir).drop_columns(["tokens"])
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    sess = StreamSession(_tmp("tksa"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="agg", input="t", key_cols=["source"], value_col="n_tok",
+        aggs=("count", "sum"), emit_changelog=True))
+    try:
+        for e, part in enumerate(epoch_tables(tbl, 3)):
+            sess.process_epoch(e, {"t": part})
+        df = sess.sinks["agg"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = df.groupby(["source", "count", "sum"])["diff"].sum().reset_index()
+    net = net[net["diff"] != 0].drop(columns=["diff"])
+    net = net.rename(columns={"count": "n_seq", "sum": "sum_tok"})
+    net["n_seq"] = net["n_seq"].astype(np.int64)
+    net["sum_tok"] = net["sum_tok"].astype(np.int64)
+    return net.sort_values("source").reset_index(drop=True)
+
+
 def q_token_count(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = add_text_stats(ds)
@@ -3729,6 +3761,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "token_count": q_token_count,
+    "token_stream_agg": q_token_stream_agg,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4517,6 +4550,11 @@ ORACLES = {
     """,
     "token_count": f"""
         SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens FROM documents
+    """,
+    "token_stream_agg": f"""
+        SELECT source, COUNT(*)::BIGINT AS n_seq,
+               SUM(len({_TOKENS}))::BIGINT AS sum_tok
+        FROM documents GROUP BY source ORDER BY source
     """,
     "text_stats": f"""
         SELECT doc_id,
