@@ -218,6 +218,14 @@ class KeyedAggregation:
     #: callable must be deterministic with ``f(0) == 0`` and picklable
     #: (it ships to the shard-group workers on Dataset epochs).
     threshold_fn: Callable[[int], int] | None = None
+    #: tumbling windows only: besides the exactly-once emission when the
+    #: watermark closes a window, emit a PER-EPOCH changelog of the still-
+    #: open windows into the ``<name>__early`` side sink — Beam's
+    #: accumulating-with-retractions early firing, DD-style: each touched
+    #: (key, window) retracts its previous partial aggregate (−1) and adds
+    #: the new one (+1), so a consumer's running sum is always the current
+    #: speculative result.  The final on-close emission is unchanged.
+    early_firing: bool = False
 
     def __post_init__(self):
         bad = set(self.aggs) - set(_AGG_FIELDS)
@@ -228,6 +236,14 @@ class KeyedAggregation:
         if self.emit_changelog and self.window is not None:
             raise ValueError("emit_changelog requires window=None (windowed "
                              "aggregates already emit exactly once on close)")
+        if self.early_firing:
+            if self.window is None or self.window.kind != "tumbling":
+                raise ValueError("early_firing requires a tumbling window "
+                                 "(sliding panes / sessions have no single "
+                                 "open-window accumulator to changelog)")
+            if self.emit_changelog:
+                raise ValueError("early_firing IS the windowed changelog; "
+                                 "emit_changelog applies to unwindowed aggs")
         if self.threshold_fn is not None:
             if not self.emit_changelog or self.window is not None:
                 raise ValueError("threshold_fn requires emit_changelog=True "
@@ -368,20 +384,22 @@ class KeyedAggregation:
                 return pa.table({n: pa.array([]) for n in
                                  list(self.key_cols) + ["diff", "epoch"]})
             return pa.Table.from_pylist(recs)
+        key_names = list(self.key_cols)
+        if self.window is not None:  # early firing: keys carry the window
+            key_names += ["window_start", "window_end"]
         recs = []
         for kb, old, new in pairs:
             of = None if old is None else self._finalize_acc(old)
             nf = None if new is None else self._finalize_acc(new)
             if of == nf:
                 continue
-            base = dict(zip(self.key_cols, pickle.loads(kb)))
+            base = dict(zip(key_names, pickle.loads(kb)))
             if of is not None:
                 recs.append({**base, **of, "diff": -1, "epoch": epoch})
             if nf is not None:
                 recs.append({**base, **nf, "diff": 1, "epoch": epoch})
         if not recs:
-            names = (list(self.key_cols) + [a for a in self.aggs]
-                     + ["diff", "epoch"])
+            names = key_names + [a for a in self.aggs] + ["diff", "epoch"]
             return pa.table({n: pa.array([]) for n in names})
         return pa.Table.from_pylist(recs)
 
@@ -1183,6 +1201,9 @@ class StreamSession:
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
+            if getattr(op, "early_firing", False):
+                self.sinks[f"{op.name}__early"] = ExactlyOnceParquetSink(
+                    self.root / f"{op.name}__early", fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
                              UpsertToRetract, EnrichJoin, StreamDedup)):
@@ -1349,8 +1370,8 @@ class StreamSession:
                                        float(row["max_ts"]))
 
     def _changelog_distributed(self, op, name: str, epoch: int, data,
-                               shard_method: str, to_table, kind: str
-                               ) -> int:
+                               shard_method: str, to_table, kind: str,
+                               state_name: str | None = None) -> int:
         """Distributed changelog epoch (UpsertToRetract and
         ``KeyedAggregation(emit_changelog=True)``) — the changelog sibling
         of ``_scatter_partials_distributed``: per-block partials ride one
@@ -1360,9 +1381,14 @@ class StreamSession:
         them straight into the sink's epoch directory
         (``write_epoch_part``) — neither the epoch's input nor its
         changelog ever reside in driver memory; the driver commits only
-        the manifest.  Returns committed delta rows."""
+        the manifest.  Returns committed delta rows.
+
+        ``state_name`` lets a SIDE sink (early firing's ``<op>__early``)
+        ride the op's own shard state: data commits under ``name``'s sink
+        while the shard call targets ``state_name``."""
         from .sink import write_epoch_part
 
+        state = name if state_name is None else state_name
         num_shards = self.store.num_shards
         shards = self.store.shards
         sink_root = str(self.sinks[name].root)
@@ -1407,7 +1433,7 @@ class StreamSession:
             payload = pickle.dumps(sorted(merged.items()),
                                    protocol=pickle.HIGHEST_PROTOCOL)
             deltas = pickle.loads(ray.get(getattr(
-                shards[sid], shard_method).remote(name, epoch, payload)))
+                shards[sid], shard_method).remote(state, epoch, payload)))
             tbl = to_table(deltas, epoch)
             if not tbl.num_rows:  # empty parts add nothing; skip the file
                 return pd.DataFrame({"rows": [0], "max_ts": [-math.inf],
@@ -2036,6 +2062,31 @@ class StreamSession:
                             op.changelog_to_table, kind="agg_changelog")
                         emitted[name] = self.sinks[name].read_committed(
                             epochs=[epoch])
+                        self.metrics["emitted_rows"] += n
+                elif op.early_firing:
+                    # same single state apply, but through the changelog
+                    # surface: the touched open windows' (old, new) partial
+                    # aggregates emit as ±1 rows into the __early side sink;
+                    # the on-close emission later reads the SAME store
+                    if isinstance(data, pa.Table):
+                        merged = self._merged_partials(op, data,
+                                                       self.watermark)
+                        pairs = self.store.apply_delta_changelog(
+                            name, epoch, merged)
+                        out_tbl = op.changelog_to_table(pairs, epoch)
+                        self.sinks[f"{name}__early"].commit_tables(
+                            epoch, [out_tbl],
+                            meta=self._meta(kind="early_firing"))
+                        emitted[f"{name}__early"] = out_tbl
+                        self.metrics["emitted_rows"] += out_tbl.num_rows
+                    else:
+                        n = self._changelog_distributed(
+                            op, f"{name}__early", epoch, data,
+                            "apply_delta_changelog", op.changelog_to_table,
+                            kind="early_firing", state_name=name)
+                        emitted[f"{name}__early"] = \
+                            self.sinks[f"{name}__early"].read_committed(
+                                epochs=[epoch])
                         self.metrics["emitted_rows"] += n
                 elif isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)

@@ -3891,3 +3891,87 @@ class TestFullOuterJoin:
                        left_cols=[], right_cols=[],
                        left_ts="lt", right_ts="rt", max_dt=1.0,
                        emit_unmatched="sideways").unmatched_sides()
+
+
+class TestEarlyFiring:
+    """Beam's accumulating-with-retractions early firing: per-epoch ±1
+    changelog of the open tumbling windows in the __early side sink; the
+    exactly-once on-close emission is unchanged."""
+
+    def _op(self, **kw):
+        base = dict(name="w", input="e", key_cols=["g"], value_col="v",
+                    ts_col="ts", aggs=("count", "sum"),
+                    window=WindowSpec.tumbling(10.0), early_firing=True)
+        base.update(kw)
+        return KeyedAggregation(**base)
+
+    @staticmethod
+    def _t(rows):
+        g, v, ts = zip(*rows)
+        return pa.table({"g": pa.array(g, type=pa.int64()),
+                         "v": pa.array(v, type=pa.float64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def test_running_sum_tracks_open_windows_and_close_unchanged(
+            self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "ef1", num_shards=2)
+        sess.add(self._op())
+        e0 = sess.process_epoch(0, {"e": self._t(
+            [(1, 5.0, 1.0), (1, 7.0, 2.0)])})["w__early"]
+        assert sorted(zip(e0["diff"].to_pylist(), e0["count"].to_pylist(),
+                          e0["sum"].to_pylist())) == [(1, 2, 12.0)]
+        e1 = sess.process_epoch(1, {"e": self._t([(1, 3.0, 4.0)])})[
+            "w__early"]
+        assert sorted(zip(e1["diff"].to_pylist(), e1["count"].to_pylist(),
+                          e1["sum"].to_pylist())) == [
+            (-1, 2, 12.0), (1, 3, 15.0)]
+        # an epoch that touches a DIFFERENT window leaves this one silent
+        e2 = sess.process_epoch(2, {"e": self._t([(1, 9.0, 15.0)])})[
+            "w__early"]
+        assert sorted(zip(e2["diff"].to_pylist(),
+                          e2["window_start"].to_pylist())) == [(1, 10.0)]
+        # close: the final exactly-once emission is the usual one
+        sess.advance_watermark(3, 100.0)
+        fin = sess.sinks["w"].read_committed_table().to_pandas()
+        assert sorted(zip(fin["window_start"], fin["count"],
+                          fin["sum"])) == [(0.0, 3, 15.0), (10.0, 1, 9.0)]
+        # and the early changelog's running sum equals that final state
+        early = sess.sinks["w__early"].read_committed_table().to_pandas()
+        net = early.groupby(["g", "window_start", "count", "sum"])[
+            "diff"].sum().reset_index()
+        net = net[net["diff"] != 0]
+        assert sorted(zip(net["window_start"], net["count"],
+                          net["sum"])) == [(0.0, 3, 15.0), (10.0, 1, 9.0)]
+        sess.store.shutdown()
+
+    def test_dataset_matches_table(self, ray_session, tmp_path):
+        rng = np.random.default_rng(53)
+        n = 120
+        rows = list(zip(rng.integers(0, 4, n).tolist(),
+                        rng.integers(1, 50, n).astype(float).tolist(),
+                        (rng.random(n) * 40).tolist()))
+
+        def run(as_dataset, root):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(self._op())
+            for e in range(3):
+                t = self._t(rows[e::3])
+                if as_dataset:
+                    t = rd.from_arrow(t).repartition(2)
+                sess.process_epoch(e, {"e": t})
+            out = sess.sinks["w__early"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            # integer-valued floats → exact sums regardless of block order
+            return sorted(map(tuple, out[["diff", "g", "window_start",
+                                          "count", "sum", "epoch"]]
+                              .itertuples(index=False)))
+
+        assert run(False, tmp_path / "ef2t") == run(True, tmp_path / "ef2d")
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError, match="tumbling"):
+            self._op(window=WindowSpec.sliding(20.0, 10.0))
+        with pytest.raises(ValueError, match="tumbling"):
+            self._op(window=None)
+        with pytest.raises(ValueError, match="emit_changelog|early_firing"):
+            self._op(emit_changelog=True)
