@@ -738,6 +738,38 @@ def q_session_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["session_start"])
 
 
+def q_retractable_session(sf_dir: str) -> pd.DataFrame:
+    """Retractable SESSION windows — the hardest window retraction case:
+    removing a bridging event can SPLIT a session in two.  The shards
+    keep the raw point multiset per key; inserts stream in over three
+    epochs, then a fourth epoch RETRACTS every event_id % 7 == 0 row
+    (diff = −1), and the flushed sessions must equal gap-sessionization
+    over the LIVE events only — which is the oracle."""
+    tbl = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = tbl.append_column("diff", pa.array(np.ones(len(eid), np.int64)))
+    sess = StreamSession(_tmp("rsess"), num_shards=4)
+    sess.add(SessionWindowAggregation(
+        name="s", input="events", key_cols=["user_id"], ts_col="ts",
+        gap=1800.0, retractable=True, weight_col="diff"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "events": base.filter(pa.array(eid % 3 == e))})
+        retract = tbl.filter(pa.array(eid % 7 == 0)).append_column(
+            "diff", pa.array(
+                -np.ones(int((eid % 7 == 0).sum()), np.int64)))
+        sess.process_epoch(3, {"events": retract})
+        sess.close(4)
+        df = sess.sinks["s"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df[["user_id", "session_start", "count"]].copy()
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["session_start"])
+
+
 def q_stream_join(sf_dir: str) -> pd.DataFrame:
     orders = _read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     lineitem = _read_table(
@@ -3754,6 +3786,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
+    "retractable_session": q_retractable_session,
     "lineage_audit": q_lineage_audit,
     "resume_replay": q_resume_replay,
     "tumbling_minmax": q_tumbling_minmax,
@@ -3945,6 +3978,28 @@ ORACLES = {
                sum(round(value * 100)) / 100.0 AS sum,
                sum(round(value * 100)) / 100.0 / count(*) AS mean
         FROM events GROUP BY user_id
+    """,
+    "retractable_session": """
+        WITH e AS (SELECT user_id, epoch(ts) AS t FROM events
+                   WHERE event_id % 7 <> 0),
+        marked AS (
+            SELECT user_id, t,
+                   CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                              ORDER BY t) > 1800
+                             OR lag(t) OVER (PARTITION BY user_id
+                                             ORDER BY t) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+        ),
+        sessions AS (
+            SELECT user_id, t,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, ROUND(min(t), 6) AS session_start,
+               count(*)::BIGINT AS count
+        FROM sessions GROUP BY user_id, sid
     """,
     "early_firing": """
         WITH u AS (

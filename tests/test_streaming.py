@@ -3975,3 +3975,35 @@ class TestEarlyFiring:
             self._op(window=None)
         with pytest.raises(ValueError, match="emit_changelog|early_firing"):
             self._op(emit_changelog=True)
+
+
+class TestRetractableSessionSplit:
+    """Retracting the bridging event SPLITS a session in two — the raw
+    point multiset in the shards makes the re-sessionization exact."""
+
+    def test_bridge_retraction_splits(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "rs", num_shards=2)
+        sess.add(SessionWindowAggregation(
+            name="s", input="e", key_cols=["u"], ts_col="ts", gap=10.0,
+            retractable=True, weight_col="diff"))
+
+        def t(rows):
+            u, ts, d = zip(*rows)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "ts": pa.array(ts, type=pa.float64()),
+                             "diff": pa.array(d, type=pa.int64())})
+
+        # one session 0..25 bridged by the event at t=12
+        sess.process_epoch(0, {"e": t([(1, 0.0, 1), (1, 5.0, 1),
+                                       (1, 12.0, 1), (1, 21.0, 1),
+                                       (1, 25.0, 1)])})
+        # retract the bridge: 0,5 and 21,25 are now > gap apart
+        sess.process_epoch(1, {"e": t([(1, 12.0, -1)])})
+        sess.close(2)
+        df = sess.sinks["s"].read_committed_table().to_pandas()
+        if sess.store.shards:
+            sess.store.shutdown()
+        got = sorted(zip(df["session_start"], df["session_end"],
+                         df["count"].astype(int)))
+        # session_end = last event ts + gap (the close bound)
+        assert got == [(0.0, 15.0, 2), (21.0, 35.0, 2)]
