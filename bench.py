@@ -90,7 +90,8 @@ def run_bench() -> dict:
         "retractable_topk", "changelog_compact", "cdc_matview",
         "lineage_audit", "resume_replay", "stream_metrics",
         "retractable_median", "retractable_ndistinct",
-        "stream_full_outer_join", "token_stream_agg", "early_firing", "retractable_session")
+        "stream_full_outer_join", "token_stream_agg", "early_firing",
+        "retractable_session", "cdc_tfidf")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

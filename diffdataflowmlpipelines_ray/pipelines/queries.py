@@ -1301,6 +1301,79 @@ def q_cdc_scaler(sf_dir: str) -> pd.DataFrame:
     return _round(out, ["mean_v", "var_v"])
 
 
+def q_cdc_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Incremental TF-IDF over a MUTABLE corpus — the tokens-payload twin of
+    ``cdc_scaler``: document CDC upserts → UpsertToRetract changelog →
+    ``IncrementalEncoderSession`` fitting a TfidfTransformer with
+    ``weight_col="diff"``.  The vectorizer (fixed vocab over the full
+    corpus) runs as the session's ``pre_transform`` with
+    ``pre_transform_in_fit=True``, so retraction rows re-derive the SAME
+    term-count vector and their negative partial cancels the original DF
+    contribution exactly.  Three insert epochs, then a tombstone epoch
+    deletes every 7th doc; the maintained model (per-term document
+    frequency + idf = ln(N/df)) must equal a batch fit over the LIVE
+    corpus — oracle: DF over live docs in SQL.  No epoch rescans history."""
+    from ..functions.tokenize import tokenize_column
+    from ..stages.encoders import CountVectorizer, TfidfTransformer
+    from ..state.aggregates import PositionAssignmentAgg
+    from ..streaming.encoders import IncrementalEncoderSession
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # static vocabulary over the full corpus (sorted unique tokens — the
+    # unweighted CountVectorizer fit); the DYNAMIC part is the DF model
+    vocab = set(tokenize_column(docs["text"]).flatten().unique().to_pylist())
+    cv = CountVectorizer().load_accumulator(
+        PositionAssignmentAgg.from_sorted_values(vocab))
+
+    ups = pa.table({
+        "doc_id": docs["doc_id"],
+        "text": docs["text"],
+        "ts": pa.array(did.astype(np.float64), type=pa.float64()),
+        "del": pa.array(np.zeros(len(did), dtype=bool)),
+    })
+    dels = ups.filter(pa.array(did % 7 == 0)) \
+              .set_column(2, "ts", pa.array((did[did % 7 == 0] + 1e9)
+                                            .astype(np.float64))) \
+              .set_column(3, "del", pa.array(np.ones(int((did % 7 == 0).sum()),
+                                                     dtype=bool)))
+    sess = StreamSession(_tmp("cdctf"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["doc_id"], vals=["text"],
+        key_types=[pa.int64()], val_types=[pa.string()],
+        ts_col="ts", delete_col="del"))
+    enc = IncrementalEncoderSession(
+        [("vec", TfidfTransformer(reference_compat=False))], _tmp("cdctf-enc"),
+        num_shards=2, weight_col="diff",
+        pre_transform=lambda t: cv.transform_table(t, "text", "vec"),
+        pre_transform_in_fit=True)
+    try:
+        for e in range(4):
+            feed = dels if e == 3 else ups.filter(pa.array(did % 3 == e))
+            chg = sess.process_epoch(e, {"u": feed})["chg"]
+            chg = chg.append_column(
+                "row_id", pa.array(np.arange(chg.num_rows), type=pa.int64()))
+            enc.process_epoch(e, chg)
+        tf = enc.mce.config[0][1]
+        slots = sorted(cv.vocab_.items(), key=lambda kv: kv[1])
+        freq = tf.freq_
+        n_docs = int(tf.n_docs_)
+        out = pd.DataFrame({
+            "term": [t for t, _ in slots],
+            "df_t": freq[: len(slots)].astype(np.int64),
+            "n_docs": np.int64(n_docs),
+        })
+        out = out[out["df_t"] > 0].copy()
+        out["idf_t"] = np.log(n_docs / out["df_t"].to_numpy(dtype=np.float64))
+    finally:
+        enc.close()
+        sess.store.shutdown()
+    out = out[["term", "df_t", "idf_t", "n_docs"]] \
+        .sort_values("term").reset_index(drop=True)
+    return _round(out, ["idf_t"])
+
+
 def q_retractable_minmax(sf_dir: str) -> pd.DataFrame:
     """Retractable grouped MIN/MAX — the classic non-invertible aggregate
     that needs an arrangement: ``MinMaxAgg``'s value→count map (reference
@@ -3808,6 +3881,7 @@ QUERIES = {
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
+    "cdc_tfidf": q_cdc_tfidf,
     "retractable_minmax": q_retractable_minmax,
     "cdc_join": q_cdc_join,
     "distinct_changelog": q_distinct_changelog,
@@ -4383,6 +4457,23 @@ ORACLES = {
         SELECT ROUND(AVG(v), 6) AS mean_v,
                ROUND(var_pop(v), 6) AS var_v
         FROM latest WHERE rn = 1 AND NOT is_del
+    """,
+    "cdc_tfidf": f"""
+        WITH live AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM live),
+        tok AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, UNNEST({_TOKENS}) AS term FROM live
+            )
+        ),
+        df AS (SELECT term, COUNT(*) AS df_t FROM tok GROUP BY term)
+        SELECT df.term, df.df_t,
+               ROUND(ln(n.n_docs * 1.0 / df.df_t), 6) AS idf_t,
+               n.n_docs
+        FROM df, n
+        ORDER BY df.term
     """,
     "retractable_minmax": """
         WITH u AS (

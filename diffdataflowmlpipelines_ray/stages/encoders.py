@@ -683,7 +683,9 @@ class TfidfTransformer(Encoder):
         freq = freq[:L].astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             idf = np.log(self.n_docs_ / freq)
-        tfidf = np.where((tf == 0.0) | (freq == 0.0)[None, :], 0.0, tf * idf[None, :])
+            # inf·0 inside the unselected branch is masked by the where
+            tfidf = np.where((tf == 0.0) | (freq == 0.0)[None, :], 0.0,
+                             tf * idf[None, :])
         return tbl.append_column(out, list_array_from_2d(tfidf))
 
 

@@ -50,7 +50,8 @@ class IncrementalEncoderSession:
                  keep_input: bool = False, out_col: str = "features",
                  checkpoint_every: int = 1, pre_transform=None,
                  archive_input: bool = True, output_cols: list | None = None,
-                 epoch_aggs: list | None = None, fsync: bool = True):
+                 epoch_aggs: list | None = None, fsync: bool = True,
+                 pre_transform_in_fit: bool = False):
         #: fsync=False relaxes power-loss durability for latency-sensitive
         #: jobs; crash-level exactly-once (manifest rename atomicity) holds
         #: either way
@@ -62,6 +63,14 @@ class IncrementalEncoderSession:
         #: optional per-block stage fused into the encode pass (e.g. token
         #: feature derivation) — runs distributed, never archived twice
         self.pre_transform = pre_transform
+        #: True when a stateful encoder fits on a pre_transform-DERIVED
+        #: column (e.g. TF-IDF over a vectorizer's output): the fit partial
+        #: pass then applies pre_transform too, to ALL rows — including
+        #: retraction rows (diff < 0), whose derived values must be
+        #: recomputed identically so the negative partial cancels the
+        #: original contribution exactly.  Default False: encoders that fit
+        #: on raw input columns (flagship) skip the double derivation cost.
+        self.pre_transform_in_fit = bool(pre_transform_in_fit)
         #: False when the epoch source is already durable (e.g. one parquet
         #: directory per epoch): replay re-reads the source instead of an
         #: engine-side archive, halving sink IO.  ``refresh()`` then needs the
@@ -361,6 +370,8 @@ class IncrementalEncoderSession:
             )
 
     def _block_partials(self, tbl: pa.Table) -> dict[bytes, object]:
+        if self.pre_transform_in_fit and self.pre_transform is not None:
+            tbl = self.pre_transform(tbl)
         out = {
             _kb(i): enc.make_partial(tbl, col, self.weight_col)
             for i, col, enc in self._stateful

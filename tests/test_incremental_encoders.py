@@ -302,3 +302,77 @@ class TestStreamingSlotSemantics:
         assert sess.mce.config[0][1].mean_ == pytest.approx(2.0)
         assert sess.sink.committed_epochs() == [0, 1]
         sess.close()
+
+
+class TestPreTransformInFit:
+    """pre_transform_in_fit=True: a stateful encoder fits on a column the
+    pre_transform DERIVES (TF-IDF over a vectorizer's output) — retraction
+    rows re-derive the identical vector so the negative partial cancels the
+    original DF contribution exactly."""
+
+    def _mk(self, tmp_path, name, num_shards=1):
+        from diffdataflowmlpipelines_ray.stages.encoders import (
+            CountVectorizer, TfidfTransformer)
+        from diffdataflowmlpipelines_ray.state.aggregates import (
+            PositionAssignmentAgg)
+
+        cv = CountVectorizer().load_accumulator(
+            PositionAssignmentAgg.from_sorted_values({"aa", "bb", "cc", "dd"}))
+        sess = IncrementalEncoderSession(
+            [("vec", TfidfTransformer(reference_compat=False))],
+            tmp_path / name, num_shards=num_shards, weight_col="diff",
+            pre_transform=lambda t: cv.transform_table(t, "text", "vec"),
+            pre_transform_in_fit=True)
+        return cv, sess
+
+    def test_retraction_cancels_df_exactly(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.stages.encoders import TfidfTransformer
+
+        cv, sess = self._mk(tmp_path, "tf1")
+        docs = ["aa bb", "bb cc", "aa aa cc", "dd"]
+        sess.process_epoch(0, pa.table({
+            "row_id": list(range(4)), "text": docs, "diff": [1] * 4}))
+        # retract doc 0 and doc 3
+        sess.process_epoch(1, pa.table({
+            "row_id": [0, 3], "text": ["aa bb", "dd"], "diff": [-1, -1]}))
+        tf = sess.mce.config[0][1]
+        # live corpus: {"bb cc", "aa aa cc"} → df: aa=1 bb=1 cc=2 dd=0
+        assert tf.n_docs_ == 2
+        # width is the slot-map CAPACITY (×1.5 growth); slots 0-3 are the vocab
+        np.testing.assert_array_equal(tf.freq_[:4], [1, 1, 2, 0])
+        assert not tf.freq_[4:].any()
+        # batch fit over the live docs only must be bit-identical
+        batch = TfidfTransformer(reference_compat=False)
+        live = cv.transform_table(
+            pa.table({"text": ["bb cc", "aa aa cc"]}), "text", "vec")
+        batch.load_accumulator(batch.make_partial(live, "vec"))
+        np.testing.assert_array_equal(tf.freq_, batch.freq_)
+        assert tf.n_docs_ == batch.n_docs_
+        sess.close()
+
+    def test_dataset_epoch_applies_pre_in_fit(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        cv, sess = self._mk(tmp_path, "tf2", num_shards=2)
+        tbl = pa.table({
+            "row_id": list(range(6)),
+            "text": ["aa bb", "bb cc", "cc", "aa", "dd dd", "bb"],
+            "diff": [1, 1, 1, 1, 1, 1],
+        })
+        sess.process_epoch(0, rd.from_arrow(tbl))
+        tf = sess.mce.config[0][1]
+        assert tf.n_docs_ == 6
+        np.testing.assert_array_equal(tf.freq_[:4], [2, 3, 2, 1])
+        assert not tf.freq_[4:].any()
+        sess.close()
+
+    def test_default_fit_skips_pre(self, ray_session, tmp_path):
+        """pre_transform_in_fit defaults False: fit sees raw columns only
+        (the flagship path — derivation cost is paid once, in encode)."""
+        sess = IncrementalEncoderSession(
+            [("x", StandardScaler())], tmp_path / "tf3", num_shards=1,
+            pre_transform=lambda t: t.append_column(
+                "derived", pa.array([0.0] * len(t))))
+        sess.process_epoch(0, pa.table({"row_id": [0, 1], "x": [1.0, 3.0]}))
+        assert sess.mce.config[0][1].mean_ == pytest.approx(2.0)
+        sess.close()
