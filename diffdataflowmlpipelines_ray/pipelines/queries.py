@@ -738,6 +738,39 @@ def q_session_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["session_start"])
 
 
+def q_session_early_firing(sf_dir: str) -> pd.DataFrame:
+    """Early firing for MERGING windows — Beam's hardest trigger case,
+    DD-style: ``SessionWindowAggregation(early_firing=True)`` emits a ±1
+    changelog of each epoch's touched OPEN sessions into the ``__early``
+    side sink.  A gap-bridging arrival retracts BOTH prior partial
+    sessions and adds the merged one; when the watermark finally closes a
+    session, its −1 in the early stream pairs with the exactly-once final
+    emission, so main + early running sums are always ONE consistent
+    sessionization.  Oracle: per-epoch gap-sessionization over the arrival
+    prefix, diffed between consecutive epochs in SQL."""
+    tbl = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sess = StreamSession(_tmp("sessearly"), num_shards=4)
+    sess.add(SessionWindowAggregation(
+        name="s", input="events", key_cols=["user_id"], ts_col="ts",
+        gap=1800.0, early_firing=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "events": tbl.filter(pa.array(eid % 3 == e))})
+        sess.close(3)
+        df = sess.sinks["s__early"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df[["diff", "user_id", "session_start", "count", "epoch"]].copy()
+    for c in ("diff", "user_id", "count", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    df = _round(df, ["session_start"])
+    return df.sort_values(
+        ["epoch", "user_id", "session_start", "diff"]).reset_index(drop=True)
+
+
 def q_retractable_session(sf_dir: str) -> pd.DataFrame:
     """Retractable SESSION windows — the hardest window retraction case:
     removing a bridging event can SPLIT a session in two.  The shards
@@ -3860,6 +3893,7 @@ QUERIES = {
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
     "retractable_session": q_retractable_session,
+    "session_early_firing": q_session_early_firing,
     "lineage_audit": q_lineage_audit,
     "resume_replay": q_resume_replay,
     "tumbling_minmax": q_tumbling_minmax,
@@ -4052,6 +4086,63 @@ ORACLES = {
                sum(round(value * 100)) / 100.0 AS sum,
                sum(round(value * 100)) / 100.0 / count(*) AS mean
         FROM events GROUP BY user_id
+    """,
+    "session_early_firing": """
+        WITH e AS (SELECT user_id, epoch(ts) AS t, event_id % 3 AS ae
+                   FROM events),
+        pref AS MATERIALIZED (
+            SELECT ep.ep AS epoch, user_id, t
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN e ON e.ae <= ep.ep
+        ),
+        marked AS (
+            SELECT epoch, user_id, t,
+                   CASE WHEN t - lag(t) OVER (PARTITION BY epoch, user_id
+                                              ORDER BY t) > 1800
+                             OR lag(t) OVER (PARTITION BY epoch, user_id
+                                             ORDER BY t) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM pref
+        ),
+        sids AS (
+            SELECT epoch, user_id, t,
+                   sum(new_s) OVER (PARTITION BY epoch, user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, user_id, min(t) AS session_start,
+                   count(*)::BIGINT AS count
+            FROM sids GROUP BY epoch, user_id, sid
+        ),
+        adds AS (
+            SELECT s.epoch, 1 AS diff, s.user_id, s.session_start, s.count
+            FROM state s
+            WHERE s.epoch = 0 OR NOT EXISTS (
+                SELECT 1 FROM state p
+                WHERE p.epoch = s.epoch - 1 AND p.user_id = s.user_id
+                  AND p.session_start = s.session_start
+                  AND p.count = s.count)
+        ),
+        rets AS (
+            SELECT p.epoch + 1 AS epoch, -1 AS diff, p.user_id,
+                   p.session_start, p.count
+            FROM state p
+            WHERE p.epoch < 2 AND NOT EXISTS (
+                SELECT 1 FROM state s
+                WHERE s.epoch = p.epoch + 1 AND s.user_id = p.user_id
+                  AND s.session_start = p.session_start
+                  AND s.count = p.count)
+        ),
+        closes AS (
+            SELECT 3 AS epoch, -1 AS diff, user_id, session_start, count
+            FROM state WHERE epoch = 2
+        )
+        SELECT diff, user_id, ROUND(session_start, 6) AS session_start,
+               count, epoch
+        FROM (SELECT * FROM adds UNION ALL SELECT * FROM rets
+              UNION ALL SELECT * FROM closes)
+        ORDER BY epoch, user_id, session_start, diff
     """,
     "retractable_session": """
         WITH e AS (SELECT user_id, epoch(ts) AS t FROM events

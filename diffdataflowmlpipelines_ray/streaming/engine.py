@@ -423,6 +423,16 @@ class SessionWindowAggregation:
     #: retraction can SPLIT a session); pair with ``weight_col`` diffs.
     retractable: bool = False
     weight_col: str | None = None
+    #: early firing for MERGING windows (Beam's hardest case): besides the
+    #: exactly-once emission when the watermark closes a session, each
+    #: epoch emits a ±1 changelog of the OPEN sessions the epoch touched
+    #: into the ``<name>__early`` side sink — a gap-bridging arrival
+    #: retracts BOTH prior partial sessions and adds the merged one; in
+    #: retractable mode a deleted bridge point retracts the joined session
+    #: and adds the two halves.  The close sweep additionally retracts each
+    #: finally-emitted session from the early stream, so main sink + early
+    #: stream running sums always form ONE consistent sessionization.
+    early_firing: bool = False
 
     def points_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
         """→ ({key: [(ts, value)…]}, late) — or (ts, value, diff) triples in
@@ -482,6 +492,35 @@ class SessionWindowAggregation:
             recs.append(rec)
         if not recs:
             names = list(self.key_cols) + [
+                "session_start", "session_end", "sum", "count", "first_ts",
+                "last_ts", "epoch",
+            ]
+            return pa.table({n: pa.array([]) for n in names})
+        return pa.Table.from_pylist(recs)
+
+    def early_rows_to_table(self, items: list, epoch: int) -> pa.Table:
+        """(key_bytes, ±1, session tuple) rows → the early-changelog table
+        (same columns as the final emission, plus ``diff``)."""
+        recs = []
+        for kb, diff, sess in items:
+            key = pickle.loads(kb)
+            s, c, mn_ts, mx_ts = sess[2]
+            rec = {"diff": int(diff)}
+            rec.update(dict(zip(self.key_cols, key)))
+            rec.update(
+                {
+                    "session_start": sess[0],
+                    "session_end": sess[1],
+                    "sum": s,
+                    "count": c,
+                    "first_ts": mn_ts,
+                    "last_ts": mx_ts,
+                    "epoch": epoch,
+                }
+            )
+            recs.append(rec)
+        if not recs:
+            names = ["diff"] + list(self.key_cols) + [
                 "session_start", "session_end", "sum", "count", "first_ts",
                 "last_ts", "epoch",
             ]
@@ -2125,6 +2164,17 @@ class StreamSession:
                     # no driver-side per-key merge
                     self._scatter_points_distributed(op, name, epoch, data,
                                                      kind="session")
+                if op.early_firing:
+                    # speculative changelog of the epoch's touched OPEN
+                    # sessions (fences the applies above first); a cross-
+                    # epoch merge retracts both prior partials
+                    rows = self.store.emit_early_sessions(
+                        name, op.gap, op.retractable)
+                    out_tbl = op.early_rows_to_table(rows, epoch)
+                    self.sinks[f"{name}__early"].commit_tables(
+                        epoch, [out_tbl], meta=self._meta(kind="session_early"))
+                    emitted[f"{name}__early"] = out_tbl
+                    self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, (PatternMatch, AbsenceDetect, KleenePattern)):
                 if op.input not in avail:
                     continue
@@ -2333,6 +2383,13 @@ class StreamSession:
                         sweep_sinks.append((n, f"{n}__unmatched_right"))
                 elif not isinstance(o, (EnrichJoin, StreamDedup)):
                     sweep_sinks.append((n, n))
+                    if isinstance(o, SessionWindowAggregation) and \
+                            o.early_firing:
+                        # the early side sink ALSO sweep-commits on advance
+                        # (close retractions) — same fresh-epoch guard; an
+                        # advance must use a fresh epoch id, not one the
+                        # per-epoch early commit already used
+                        sweep_sinks.append((n, f"{n}__early"))
             for n, sn in sweep_sinks:
                 if sn not in self.sinks or not self.sinks[sn].is_committed(
                         epoch):
@@ -2372,10 +2429,23 @@ class StreamSession:
                 bound = self.watermark - op.allowed_lateness
                 if op.retractable:
                     items = self.store.sweep_closed_retractable_sessions(
-                        name, bound, op.gap
+                        name, bound, op.gap, early=op.early_firing
                     )
                 else:
-                    items = self.store.sweep_closed_sessions(name, bound, op.gap)
+                    items = self.store.sweep_closed_sessions(
+                        name, bound, op.gap, early=op.early_firing)
+                if op.early_firing:
+                    items, early_rets = items
+                    # each finally-emitted session leaves the speculative
+                    # set: its −1 in the early stream keeps main + early
+                    # running sums one consistent sessionization
+                    ret_tbl = op.early_rows_to_table(early_rets, epoch)
+                    self.sinks[f"{name}__early"].commit_tables(
+                        epoch, [ret_tbl],
+                        meta=self._meta(watermark=self.watermark, op=name),
+                    )
+                    emitted[f"{name}__early"] = ret_tbl
+                    self.metrics["emitted_rows"] += ret_tbl.num_rows
                 tbl = op.rows_to_table(items, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [tbl],

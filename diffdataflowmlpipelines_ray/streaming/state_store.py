@@ -61,6 +61,15 @@ class StateShard:
         self.sessions: dict[str, dict[bytes, list[list]]] = {}
         # retractable sessions: name -> key -> {(ts, value): count}
         self.session_points: dict[str, dict[bytes, dict]] = {}
+        # early-fired session snapshot: name -> key -> [session tuple…] —
+        # the last speculative (open-session) state emitted per key; the
+        # next emit diffs against it (a cross-epoch merge retracts BOTH
+        # prior partial sessions).  O(live open sessions), same order as
+        # the session state itself.
+        self.session_early: dict[str, dict[bytes, list]] = {}
+        # keys the current epoch's session apply touched (transient;
+        # drained by emit_early_sessions, empty on replayed epochs)
+        self._session_touched: dict[str, set] = {}
         # join buffers: name -> side -> key -> list[(ts, row_tuple)]
         self.joins: dict[str, dict[str, dict[bytes, list]]] = {}
         # per-join-name monotone left-row id counter (outer-join tracking)
@@ -360,6 +369,7 @@ class StateShard:
         if self._seen(f"sess:{name}", epoch):
             return 0
         store = self.sessions.setdefault(name, {})
+        touched = self._session_touched.setdefault(name, set())
         n = 0
         for key, items in pickle.loads(payload):
             n += len(items)
@@ -368,6 +378,7 @@ class StateShard:
             else:
                 new_sessions = items
             store[key] = self.merge_session_lists(store.get(key, []), new_sessions)
+            touched.add(key)
         return n
 
     # -------------------------------------------- retractable session windows
@@ -382,8 +393,10 @@ class StateShard:
         if self._seen(f"sessp:{name}", epoch):
             return 0
         store = self.session_points.setdefault(name, {})
+        touched = self._session_touched.setdefault(name, set())
         n = 0
         for key, points in pickle.loads(payload):
+            touched.add(key)
             pts = store.setdefault(key, {})
             for ts, value, diff in points:
                 n += 1
@@ -397,8 +410,88 @@ class StateShard:
                 del store[key]
         return n
 
+    # ------------------------------------------------ early-fired sessions
+    @staticmethod
+    def _session_tuple(s: list) -> tuple:
+        """[start, end, [sum, count, mn, mx]] → hashable identity."""
+        return (s[0], s[1], tuple(s[2]))
+
+    def _live_sessions(self, name: str, key: bytes, gap: float,
+                       retractable: bool) -> list[list]:
+        """Current open sessions of one key, derived the same way the
+        close sweep derives them (deterministic: build_sessions sorts)."""
+        if not retractable:
+            return self.sessions.get(name, {}).get(key, [])
+        pts = self.session_points.get(name, {}).get(key, {})
+        flat = []
+        for (ts, value), c in pts.items():
+            if c > 0:
+                flat.extend([(ts, value)] * c)
+        return self.build_sessions(flat, gap)
+
+    def emit_early_sessions(self, name: str, gap: float,
+                            retractable: bool) -> bytes:
+        """Speculative per-epoch session changelog (Beam's accumulating-
+        with-retractions early firing for MERGING windows): for every key
+        this epoch's apply touched, diff the current open-session list
+        against the last emitted snapshot — a point that bridges two
+        sessions retracts BOTH prior partials (−1, −1) and adds the merged
+        one (+1); in retractable mode a deleted bridge point retracts the
+        joined session and adds the two halves.  Replayed epochs touch no
+        keys and emit nothing; the side sink's exactly-once commit makes
+        the call idempotent either way."""
+        touched = self._session_touched.get(name)
+        if touched:
+            touched = sorted(touched)
+            self._session_touched[name] = set()
+        else:
+            return _dumps([])
+        snap = self.session_early.setdefault(name, {})
+        rows = []
+        for key in touched:
+            cur = [self._session_tuple(s)
+                   for s in self._live_sessions(name, key, gap, retractable)]
+            prev = snap.get(key, [])
+            prev_set, cur_set = set(prev), set(cur)
+            for s in prev:
+                if s not in cur_set:
+                    rows.append((key, -1, s))
+            for s in cur:
+                if s not in prev_set:
+                    rows.append((key, 1, s))
+            if cur:
+                snap[key] = cur
+            else:
+                snap.pop(key, None)
+        if not snap:
+            self.session_early.pop(name, None)
+        rows.sort()
+        return _dumps(rows)
+
+    def _retract_closed_early(self, name: str, emitted: list) -> list:
+        """Close sweep × early firing: every finally-emitted session leaves
+        the speculative (open) set — emit its −1 in the early stream so
+        main + early running sums stay one consistent sessionization."""
+        snap = self.session_early.get(name)
+        if not snap:
+            return []
+        rows = []
+        for key, s in emitted:
+            st = self._session_tuple(s)
+            held = snap.get(key)
+            if held and st in held:
+                held.remove(st)
+                rows.append((key, -1, st))
+                if not held:
+                    snap.pop(key, None)
+        if not snap:
+            self.session_early.pop(name, None)
+        rows.sort()
+        return rows
+
     def sweep_closed_retractable_sessions(self, name: str, watermark: float,
-                                          gap: float) -> bytes:
+                                          gap: float,
+                                          early: bool = False) -> bytes:
         """Derive sessions from the live point multiset; emit & drop the
         points of every session whose end (last ts + gap) ≤ watermark."""
         store = self.session_points.get(name, {})
@@ -423,9 +516,12 @@ class StateShard:
             if not pts:
                 del store[key]
         emitted.sort()
+        if early:
+            return _dumps((emitted, self._retract_closed_early(name, emitted)))
         return _dumps(emitted)
 
-    def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> bytes:
+    def sweep_closed_sessions(self, name: str, watermark: float, gap: float,
+                              early: bool = False) -> bytes:
         """Emit & drop sessions whose end (last ts + gap) ≤ watermark."""
         store = self.sessions.get(name, {})
         emitted = []
@@ -441,6 +537,8 @@ class StateShard:
             else:
                 del store[key]
         emitted.sort()
+        if early:
+            return _dumps((emitted, self._retract_closed_early(name, emitted)))
         return _dumps(emitted)
 
     # ---------------------------------------------------------- CEP patterns
@@ -842,6 +940,7 @@ class StateShard:
                 "aggs": self.aggs,
                 "sessions": self.sessions,
                 "session_points": self.session_points,
+                "session_early": self.session_early,
                 "joins": self.joins,
                 "join_lid": self._join_lid,
                 "join_rid": self._join_rid,
@@ -857,6 +956,8 @@ class StateShard:
         self.aggs = st["aggs"]
         self.sessions = st["sessions"]
         self.session_points = st.get("session_points", {})
+        self.session_early = st.get("session_early", {})
+        self._session_touched = {}
         self.joins = st["joins"]
         self._join_lid = st.get("join_lid", {})
         self._join_rid = st.get("join_rid", {})
@@ -1028,16 +1129,46 @@ class ShardedStateStore:
             return None
         return sum(ray.get(refs)) if refs else 0
 
-    def sweep_closed_sessions(self, name: str, watermark: float, gap: float) -> list:
+    def sweep_closed_sessions(self, name: str, watermark: float, gap: float,
+                              early: bool = False):
         self.fence()
         blobs = ray.get(
-            [s.sweep_closed_sessions.remote(name, watermark, gap) for s in self.shards]
+            [s.sweep_closed_sessions.remote(name, watermark, gap, early)
+             for s in self.shards]
         )
+        return self._collect_session_sweep(blobs, early)
+
+    @staticmethod
+    def _collect_session_sweep(blobs: list, early: bool):
         out = []
+        rets = []
         for b in blobs:
-            out.extend(pickle.loads(b))
+            part = pickle.loads(b)
+            if early:
+                out.extend(part[0])
+                rets.extend(part[1])
+            else:
+                out.extend(part)
         out.sort(key=lambda kv: (kv[0], kv[1]))
+        if early:
+            rets.sort()
+            return out, rets
         return out
+
+    def emit_early_sessions(self, name: str, gap: float,
+                            retractable: bool) -> list:
+        """Per-epoch speculative session changelog across all shards —
+        ordered after the epoch's applies (fence) so diffs see them."""
+        self.fence()
+        blobs = ray.get(
+            [s.emit_early_sessions.remote(name, gap, retractable)
+             for s in self.shards]
+        )
+        rows = []
+        for b in blobs:
+            rows.extend(pickle.loads(b))
+        rows.sort()
+        return rows
 
     def apply_session_point_deltas(self, name: str, epoch: int,
                                    per_key: dict[bytes, list],
@@ -1055,17 +1186,14 @@ class ShardedStateStore:
         return sum(ray.get(refs)) if refs else 0
 
     def sweep_closed_retractable_sessions(self, name: str, watermark: float,
-                                          gap: float) -> list:
+                                          gap: float, early: bool = False):
         self.fence()
         blobs = ray.get(
-            [s.sweep_closed_retractable_sessions.remote(name, watermark, gap)
+            [s.sweep_closed_retractable_sessions.remote(
+                name, watermark, gap, early)
              for s in self.shards]
         )
-        out = []
-        for b in blobs:
-            out.extend(pickle.loads(b))
-        out.sort(key=lambda kv: (kv[0], kv[1]))
-        return out
+        return self._collect_session_sweep(blobs, early)
 
     # --------------------------------------------------------------- patterns
     def apply_pattern_points(self, name: str, epoch: int,

@@ -4007,3 +4007,145 @@ class TestRetractableSessionSplit:
                          df["count"].astype(int)))
         # session_end = last event ts + gap (the close bound)
         assert got == [(0.0, 15.0, 2), (21.0, 35.0, 2)]
+
+
+class TestSessionEarlyFiring:
+    """Early firing for MERGING windows: per-epoch ±1 changelog of touched
+    OPEN sessions in the __early side sink; merges retract both prior
+    partials, closes retract the final speculative value."""
+
+    @staticmethod
+    def _t(rows, diff=False):
+        if diff:
+            u, ts, d = zip(*rows)
+            return pa.table({"u": pa.array(u, type=pa.int64()),
+                             "ts": pa.array(ts, type=pa.float64()),
+                             "diff": pa.array(d, type=pa.int64())})
+        u, ts = zip(*rows)
+        return pa.table({"u": pa.array(u, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def _mk(self, root, retractable=False, num_shards=2):
+        sess = StreamSession(root, num_shards=num_shards, checkpoint_every=1)
+        sess.add(SessionWindowAggregation(
+            name="s", input="e", key_cols=["u"], ts_col="ts", gap=10.0,
+            early_firing=True, retractable=retractable,
+            weight_col="diff" if retractable else None))
+        return sess
+
+    def test_merge_retracts_both_partials(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path / "m")
+        # u=1: two separate sessions; u=2: one session (untouched later)
+        sess.process_epoch(0, {"e": self._t([(1, 0.0), (1, 30.0), (2, 5.0)])})
+        e0 = sess.sinks["s__early"].read_committed_table().to_pandas()
+        assert sorted(zip(e0["diff"], e0["u"], e0["session_start"])) == [
+            (1, 1, 0.0), (1, 1, 30.0), (1, 2, 5.0)]
+        # bridge 12.0→22.0 chains 30.0's session onto a new one; 0.0 stays
+        sess.process_epoch(1, {"e": self._t([(1, 12.0), (1, 22.0)])})
+        e1 = sess.sinks["s__early"].read_committed_table(
+            epochs=[1]).to_pandas()
+        got = sorted(zip(e1["diff"], e1["u"], e1["session_start"],
+                         e1["count"].astype(int)))
+        # -1 for the swallowed 30.0 partial, +1 for the merged 12..40
+        assert got == [(-1, 1, 30.0, 1), (1, 1, 12.0, 3)]
+        # untouched key 2 and untouched session 0.0 emit NOTHING
+        assert not ((e1["u"] == 2).any())
+        assert not ((e1["session_start"] == 0.0).any())
+        sess.store.shutdown()
+
+    def test_retractable_split_emits_changelog(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path / "r", retractable=True)
+        pts = [(1, 0.0, 1), (1, 5.0, 1), (1, 12.0, 1), (1, 21.0, 1),
+               (1, 25.0, 1)]
+        sess.process_epoch(0, {"e": self._t(pts, diff=True)})
+        e0 = sess.sinks["s__early"].read_committed_table().to_pandas()
+        assert list(zip(e0["diff"], e0["session_start"],
+                        e0["count"].astype(int))) == [(1, 0.0, 5)]
+        # retract the bridge: the joined session splits into two halves
+        sess.process_epoch(1, {"e": self._t([(1, 12.0, -1)], diff=True)})
+        e1 = sess.sinks["s__early"].read_committed_table(
+            epochs=[1]).to_pandas()
+        got = sorted(zip(e1["diff"], e1["session_start"],
+                         e1["count"].astype(int)))
+        assert got == [(-1, 0.0, 5), (1, 0.0, 2), (1, 21.0, 2)]
+        sess.store.shutdown()
+
+    def test_close_retraction_nets_zero_and_matches_final(self, ray_session,
+                                                          tmp_path):
+        sess = self._mk(tmp_path / "c")
+        sess.process_epoch(0, {"e": self._t([(1, 0.0), (1, 30.0), (2, 5.0)])})
+        sess.process_epoch(1, {"e": self._t([(1, 12.0), (1, 22.0)])})
+        sess.close(2)
+        early = sess.sinks["s__early"].read_committed_table().to_pandas()
+        net = early.groupby(["u", "session_start", "count"])["diff"].sum()
+        assert (net == 0).all()
+        final = sess.sinks["s"].read_committed_table().to_pandas()
+        closes = early[(early["epoch"] == 2)]
+        a = closes.sort_values(["u", "session_start"]).reset_index(drop=True)
+        b = final.sort_values(["u", "session_start"]).reset_index(drop=True)
+        for c in ("u", "session_start", "session_end", "sum", "count",
+                  "first_ts", "last_ts"):
+            assert list(a[c]) == list(b[c]), c
+        assert (a["diff"] == -1).all()
+        sess.store.shutdown()
+
+    def test_dataset_epochs_equal_table_epochs(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        feeds = [self._t([(1, 0.0), (1, 30.0), (2, 5.0)]),
+                 self._t([(1, 12.0), (1, 22.0), (2, 8.0)])]
+        sa = self._mk(tmp_path / "dt")
+        sb = self._mk(tmp_path / "db")
+        for e, f in enumerate(feeds):
+            sa.process_epoch(e, {"e": f})
+            sb.process_epoch(e, {"e": rd.from_arrow(f)})
+        sa.close(2)
+        sb.close(2)
+        cols = ["epoch", "diff", "u", "session_start", "session_end", "sum",
+                "count"]
+        a = (sa.sinks["s__early"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        b = (sb.sinks["s__early"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        sa.store.shutdown()
+        sb.store.shutdown()
+
+    def test_crash_resume_early_changelog_identical(self, ray_session,
+                                                    tmp_path):
+        feeds = [self._t([(1, 0.0), (1, 30.0)]),
+                 self._t([(1, 12.0), (1, 22.0)]),
+                 self._t([(2, 100.0)])]
+
+        def run(root, crash_after=None):
+            sess = self._mk(root)
+            start = sess.resume()
+            for e in range(start, 3):
+                sess.process_epoch(e, {"e": feeds[e]})
+                if crash_after is not None and e == crash_after:
+                    sess.store.shutdown()
+                    return sess
+            sess.close(3)
+            return sess
+
+        run(tmp_path / "cr", crash_after=1)
+        s2 = run(tmp_path / "cr")
+        s3 = run(tmp_path / "clean")
+        cols = ["epoch", "diff", "u", "session_start", "count"]
+        a = (s2.sinks["s__early"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        b = (s3.sinks["s__early"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert s2.sinks["s__early"].verify()
+        s2.store.shutdown()
+        s3.store.shutdown()
+
+    def test_double_advance_guard_covers_early_sink(self, ray_session,
+                                                    tmp_path):
+        sess = self._mk(tmp_path / "g")
+        sess.process_epoch(0, {"e": self._t([(1, 0.0)])})
+        sess.advance_watermark(1, 20.0)
+        with pytest.raises(RuntimeError, match="already committed"):
+            sess.advance_watermark(1, 50.0)
+        sess.store.shutdown()
