@@ -91,7 +91,8 @@ def run_bench() -> dict:
         "lineage_audit", "resume_replay", "stream_metrics",
         "retractable_median", "retractable_ndistinct",
         "stream_full_outer_join", "token_stream_agg", "early_firing",
-        "retractable_session", "cdc_tfidf", "session_early_firing")
+        "retractable_session", "cdc_tfidf", "session_early_firing",
+        "cdc_ann")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

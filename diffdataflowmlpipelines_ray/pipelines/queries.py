@@ -1407,6 +1407,54 @@ def q_cdc_tfidf(sf_dir: str) -> pd.DataFrame:
     return _round(out, ["idf_t"])
 
 
+def q_cdc_ann(sf_dir: str) -> pd.DataFrame:
+    """Similarity search over a CDC-MAINTAINED vector index: embedding
+    upserts stream through ``UpsertToRetract`` (epochs 0–2 insert, epoch 2
+    also UPDATES every 11th vector to its negation at a later stamp,
+    epoch 3 tombstone-deletes every 5th) — the live LWW registers spread
+    across the shards ARE the index partitions.  ``vector_topk`` probes
+    them per shard (vectorized cosine over shard-resident state, partial
+    top-k merged on the driver: shards × queries × k rows of traffic, the
+    corpus never moves).  Oracle: brute-force cosine top-k over the live
+    (updated, undeleted) vectors in SQL."""
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    vid = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+
+    def feed(mask, emb, ts_off=0.0, dele=False):
+        n = int(mask.sum())
+        return pa.table({
+            "vec_id": pa.array(vid[mask], type=pa.int64()),
+            "embedding": pa.array(list(emb[mask]),
+                                  type=pa.list_(pa.float32())),
+            "ts": pa.array(vid[mask].astype(np.float64) + ts_off),
+            "del": pa.array(np.full(n, dele)),
+        })
+
+    sess = StreamSession(_tmp("cdcann"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="vs", input="u", key=["vec_id"], vals=["embedding"],
+        key_types=[pa.int64()], val_types=[pa.list_(pa.float32())],
+        ts_col="ts", delete_col="del"))
+    try:
+        for e in range(3):
+            parts = [feed(vid % 3 == e, mat)]
+            if e == 2:  # later-stamped update: negate every 11th vector
+                parts.append(feed(vid % 11 == 0, -mat, ts_off=1e6))
+            sess.process_epoch(e, {"u": pa.concat_tables(parts)})
+        sess.process_epoch(3, {"u": feed(vid % 5 == 0, mat, ts_off=2e9,
+                                         dele=True)})
+        qids = vid[np.argsort(vid)[:4]].tolist()
+        Q = mat[np.argsort(vid)[:4]].astype(np.float64)
+        out = sess.vector_topk("vs", qids, Q, k=5).to_pandas()
+    finally:
+        sess.store.shutdown()
+    return (out[["query_id", "vec_id", "rank"]].astype(np.int64)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def q_retractable_minmax(sf_dir: str) -> pd.DataFrame:
     """Retractable grouped MIN/MAX — the classic non-invertible aggregate
     that needs an arrangement: ``MinMaxAgg``'s value→count map (reference
@@ -3916,6 +3964,7 @@ QUERIES = {
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
     "cdc_tfidf": q_cdc_tfidf,
+    "cdc_ann": q_cdc_ann,
     "retractable_minmax": q_retractable_minmax,
     "cdc_join": q_cdc_join,
     "distinct_changelog": q_distinct_changelog,
@@ -4565,6 +4614,32 @@ ORACLES = {
                n.n_docs
         FROM df, n
         ORDER BY df.term
+    """,
+    "cdc_ann": """
+        WITH live AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 11 = 0
+                        THEN list_transform(embedding, x -> -x)
+                        ELSE embedding END AS embedding
+            FROM embeddings WHERE vec_id % 5 <> 0
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[],
+                                          e.embedding::DOUBLE[]) AS cos
+            FROM q, live e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
     """,
     "retractable_minmax": """
         WITH u AS (

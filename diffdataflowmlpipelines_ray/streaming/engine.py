@@ -2533,6 +2533,33 @@ class StreamSession:
         fn = getattr(op, "state_to_table", None) or op.rows_to_table
         return fn(self.store.collect(name), self.last_epoch)
 
+    def vector_topk(self, name: str, query_ids, query_mat, k: int = 5,
+                    exclude_self: bool = True) -> pa.Table:
+        """Similarity probe over a CDC-MAINTAINED vector index: ``name``
+        must be an ``UpsertToRetract`` op whose value is an embedding (one
+        list<float> val or d float vals) — its live LWW registers, spread
+        across the shards, ARE the index partitions; upserts/updates/
+        tombstones keep it current and this scans it.  Per-shard
+        brute-force cosine partial top-k (vectorized matmul over shard-
+        resident state), merged to the global top-k per query; driver
+        traffic = shards × queries × k rows.  ``exclude_self`` drops a hit
+        whose single-column key equals the query id (the ann_topk
+        convention)."""
+        op = self.ops[name]
+        if not isinstance(op, UpsertToRetract):
+            raise ValueError("vector_topk probes UpsertToRetract state")
+        rows = self.store.vector_topk(name, list(query_ids), query_mat, k,
+                                      exclude_self)
+        arrays: dict[str, pa.Array] = {
+            "query_id": pa.array([q for q, _, _, _ in rows], type=pa.int64())}
+        for i, (c, t) in enumerate(zip(op.key, op.key_types)):
+            arrays[c] = pa.array([key[i] for _, key, _, _ in rows], type=t)
+        arrays["cos"] = pa.array([c for _, _, c, _ in rows],
+                                 type=pa.float64())
+        arrays["rank"] = pa.array([r for _, _, _, r in rows],
+                                  type=pa.int64())
+        return pa.table(arrays)
+
     def read_output(self, name: str) -> pa.Table:
         return self.sinks[name].read_committed_table()
 

@@ -47,6 +47,21 @@ def _dumps(obj) -> bytes:
     return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def _register_values_differ(a, b) -> bool:
+    """LWW register value inequality, safe for ARRAY-valued registers
+    (embedding vectors ride UpsertToRetract as list<float> vals, whose
+    pandas cells are numpy arrays — plain ``!=`` raises on those)."""
+    if a is None or b is None:
+        return (a is None) != (b is None)
+    try:
+        return bool(a != b)
+    except ValueError:
+        pass
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return any(not np.array_equal(x, y) for x, y in zip(a, b))
+    return True
+
+
 class StateShard:
     """One shard of every state table.  Runs as a Ray actor (see
     ``ShardedStateStore``); all methods take/return pickled payloads to keep
@@ -657,13 +672,52 @@ class StateShard:
                 if acc.value is not None:
                     deltas.append((1, kb, acc.value))
             elif acc.stamp > cur.stamp:
-                if acc.value != cur.value:
+                if _register_values_differ(acc.value, cur.value):
                     if cur.value is not None:
                         deltas.append((-1, kb, cur.value))
                     if acc.value is not None:
                         deltas.append((1, kb, acc.value))
                 cur.stamp, cur.value = acc.stamp, acc.value
         return _dumps(deltas)
+
+    def vector_topk(self, name: str, payload: bytes) -> bytes:
+        """Brute-force cosine top-k over THIS shard's live LWW registers —
+        the probe side of a CDC-maintained vector index: the registers of
+        an ``UpsertToRetract`` op whose value is an embedding (one
+        list<float> val or d float vals) ARE the index partition; upserts,
+        updates and tombstone deletes maintain it, this scans it.  payload
+        = pickled (query_ids, Q float64 matrix, k, exclude_self); returns
+        per-shard partial top-k rows (query_id, key_tuple, cos) — the
+        caller merges shards × k rows, never the corpus."""
+        qids, Q, k, exclude_self = pickle.loads(payload)
+        store = self.aggs.get(name, {})
+        keys, vecs = [], []
+        for kb, acc in store.items():
+            if acc.value is None:
+                continue
+            v = acc.value
+            arr = (np.asarray(v[0], dtype=np.float64)
+                   if len(v) == 1 and np.ndim(v[0]) == 1
+                   else np.asarray(v, dtype=np.float64))
+            keys.append(pickle.loads(kb))
+            vecs.append(arr)
+        if not keys:
+            return _dumps([])
+        V = np.vstack(vecs)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        S = Qn @ Vn.T  # (q, n_shard)
+        out = []
+        kk = min(k + (1 if exclude_self else 0), S.shape[1])
+        for qi, qid in enumerate(qids):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk] if kk < S.shape[1] \
+                else np.arange(S.shape[1])
+            for j in idx:
+                key = keys[int(j)]
+                if exclude_self and len(key) == 1 and key[0] == qid:
+                    continue
+                out.append((qid, key, float(S[qi, int(j)])))
+        return _dumps(out)
 
     def sweep_kleene_matches(self, name: str, watermark: float, first: str,
                              mid: str, last: str, within: float) -> bytes:
@@ -1257,6 +1311,29 @@ class ShardedStateStore:
         for b in ray.get(refs):
             out.extend(pickle.loads(b))
         out.sort(key=lambda d: (d[1], d[0]))
+        return out
+
+    def vector_topk(self, name: str, query_ids, Q, k: int,
+                    exclude_self: bool = True) -> list:
+        """Probe the CDC-maintained vector index: per-shard brute-force
+        cosine partial top-k over live registers, merged here to the global
+        top-k per query with a (−cos, key) total order.  Driver traffic =
+        shards × queries × k rows; the corpus never moves."""
+        self.fence()
+        Q = np.asarray(Q, dtype=np.float64)
+        payload = _dumps((list(query_ids), Q, int(k), bool(exclude_self)))
+        blobs = ray.get(
+            [s.vector_topk.remote(name, payload) for s in self.shards]
+        )
+        per_q: dict = {}
+        for b in blobs:
+            for qid, key, cos in pickle.loads(b):
+                per_q.setdefault(qid, []).append((-cos, key))
+        out = []
+        for qid in query_ids:
+            cand = sorted(per_q.get(qid, []))[:k]
+            for rank, (neg, key) in enumerate(cand, start=1):
+                out.append((qid, key, -neg, rank))
         return out
 
     def apply_cc_edges(self, name: str, epoch: int, edges: list) -> list:

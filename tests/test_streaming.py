@@ -4149,3 +4149,112 @@ class TestSessionEarlyFiring:
         with pytest.raises(RuntimeError, match="already committed"):
             sess.advance_watermark(1, 50.0)
         sess.store.shutdown()
+
+
+class TestCdcVectorIndex:
+    """vector_topk probes UpsertToRetract registers as a CDC-maintained
+    vector index: upserts/updates/tombstones keep it current; the probe is
+    per-shard partial top-k, merged."""
+
+    @staticmethod
+    def _feed(ids, mat, ts, dele=False):
+        import numpy as _np
+        return pa.table({
+            "vid": pa.array(ids, type=pa.int64()),
+            "emb": pa.array([list(map(float, r)) for r in mat],
+                            type=pa.list_(pa.float32())),
+            "ts": pa.array([float(t) for t in ts]),
+            "del": pa.array(_np.full(len(ids), dele)),
+        })
+
+    def _mk(self, root, num_shards=3):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            UpsertToRetract)
+
+        sess = StreamSession(root, num_shards=num_shards, checkpoint_every=1)
+        sess.add(UpsertToRetract(
+            name="vs", input="u", key=["vid"], vals=["emb"],
+            key_types=[pa.int64()], val_types=[pa.list_(pa.float32())],
+            ts_col="ts", delete_col="del"))
+        return sess
+
+    def test_update_and_delete_change_topk(self, ray_session, tmp_path):
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=8)
+        near = q + 0.01 * rng.normal(size=8)       # id 1: nearest
+        near2 = q + 0.2 * rng.normal(size=8)       # id 2: second
+        far = -q                                    # id 3: antipodal
+        sess = self._mk(tmp_path / "v")
+        sess.process_epoch(0, {"u": self._feed(
+            [1, 2, 3], np.vstack([near, near2, far]), [1, 1, 1])})
+        top = sess.vector_topk("vs", [99], q[None, :], k=2).to_pandas()
+        assert list(top["vid"]) == [1, 2]
+        # UPDATE id 1 away (negate, later stamp): id 2 becomes nearest;
+        # the negated 1 (cos ≈ −0.9999) still beats the antipodal 3 (−1)
+        sess.process_epoch(1, {"u": self._feed([1], [-near], [5])})
+        top = sess.vector_topk("vs", [99], q[None, :], k=2).to_pandas()
+        assert list(top["vid"]) == [2, 1]
+        # DELETE id 2: only 3 and the negated 1 remain
+        sess.process_epoch(2, {"u": self._feed([2], [near2], [9], dele=True)})
+        top = sess.vector_topk("vs", [99], q[None, :], k=5).to_pandas()
+        assert sorted(top["vid"]) == [1, 3]
+        sess.store.shutdown()
+
+    def test_probe_equals_brute_force_over_live(self, ray_session, tmp_path):
+        rng = np.random.default_rng(11)
+        n, d = 80, 12
+        mat = rng.normal(size=(n, d))
+        ids = np.arange(n)
+        sess = self._mk(tmp_path / "bf", num_shards=4)
+        sess.process_epoch(0, {"u": self._feed(ids, mat, ids)})
+        # delete a third, update a quarter
+        dele = ids[ids % 3 == 0]
+        sess.process_epoch(1, {"u": self._feed(
+            dele, mat[dele], dele + 100, dele=True)})
+        # update only undeleted ids (a later-stamped upsert would otherwise
+        # legitimately RE-INSERT a tombstoned key — LWW semantics)
+        upd = ids[(ids % 4 == 1) & (ids % 3 != 0)]
+        mat2 = mat.copy()
+        mat2[upd] = rng.normal(size=(len(upd), d))
+        sess.process_epoch(2, {"u": self._feed(upd, mat2[upd], upd + 200)})
+        live = ids[ids % 3 != 0]
+        Q = rng.normal(size=(3, d))
+        got = sess.vector_topk("vs", [900, 901, 902], Q, k=7).to_pandas()
+        # float32 round-trip through the registers, like the index stores
+        L = mat2[live].astype(np.float32).astype(np.float64)
+        Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Ln.T
+        for qi, qid in enumerate([900, 901, 902]):
+            order = sorted(zip(-S[qi], live))[:7]
+            want = [int(v) for _, v in order]
+            assert list(got[got["query_id"] == qid]["vid"]) == want
+        sess.store.shutdown()
+
+    def test_resume_restores_index(self, ray_session, tmp_path):
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(10, 6))
+        sess = self._mk(tmp_path / "rs")
+        sess.process_epoch(0, {"u": self._feed(
+            np.arange(10), mat, np.arange(10))})
+        want = sess.vector_topk("vs", [50], mat[:1], k=4).to_pandas()
+        sess.store.shutdown()
+        sess2 = self._mk(tmp_path / "rs")
+        assert sess2.resume() == 1
+        got = sess2.vector_topk("vs", [50], mat[:1], k=4).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        sess2.store.shutdown()
+
+    def test_exclude_self_and_wrong_op(self, ray_session, tmp_path):
+        mat = np.eye(3)
+        sess = self._mk(tmp_path / "x")
+        sess.add(KeyedAggregation(name="agg", input="u", key_cols=["vid"]))
+        sess.process_epoch(0, {"u": self._feed([0, 1, 2], mat, [1, 1, 1])})
+        top = sess.vector_topk("vs", [0], mat[:1], k=3).to_pandas()
+        assert 0 not in list(top["vid"])  # self excluded
+        incl = sess.vector_topk("vs", [0], mat[:1], k=3,
+                                exclude_self=False).to_pandas()
+        assert list(incl["vid"])[0] == 0
+        with pytest.raises(ValueError, match="UpsertToRetract"):
+            sess.vector_topk("agg", [0], mat[:1])
+        sess.store.shutdown()
