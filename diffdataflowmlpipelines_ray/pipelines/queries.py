@@ -434,6 +434,40 @@ def q_early_firing(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_early_firing_sliding(sf_dir: str) -> pd.DataFrame:
+    """Early firing on SLIDING windows: a row lands in size/slide open
+    windows, and each epoch every touched (key, window) emits its
+    previous partial as −1 and its new partial as +1.  Speculation gives
+    up the pane optimization (one accumulator per OPEN window — the
+    overlap factor is the documented price); the on-close emission stays
+    identical to the pane path (pytest-equal).  Oracle: the full early
+    changelog vs per-epoch cumulative per-window state + LAG."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_id", "event_type", "ts", "value"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sess = StreamSession(_tmp("earlyfs"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="w", input="e", key_cols=["event_type"], value_col="value",
+        ts_col="ts", aggs=("count", "sum"),
+        window=WindowSpec.sliding(7200.0, 3600.0), early_firing=True,
+        make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0}))
+    try:
+        for e in range(3):  # watermark never advances: all windows open
+            sess.process_epoch(e, {"e": tbl.filter(pa.array(eid % 3 == e))})
+        df = sess.sinks["w__early"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "count", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    df = df.drop(columns=["window_end"])
+    df = _round(df, ["window_start", "sum"])
+    return (df[["diff", "event_type", "window_start", "count", "sum",
+                "epoch"]]
+            .sort_values(["epoch", "event_type", "window_start", "diff"])
+            .reset_index(drop=True))
+
+
 def q_lineage_audit(sf_dir: str) -> pd.DataFrame:
     """The per-partition lineage surface, verified against ground truth:
     each epoch commits with a caller-stamped lineage record (source +
@@ -3940,6 +3974,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
+    "early_firing_sliding": q_early_firing_sliding,
     "retractable_session": q_retractable_session,
     "session_early_firing": q_session_early_firing,
     "lineage_audit": q_lineage_audit,
@@ -4222,6 +4257,48 @@ ORACLES = {
                    CAST(ROUND(value * 100) AS BIGINT) AS vc,
                    event_id % 3 AS e
             FROM events
+        ),
+        state AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.g, u.ws,
+                   COUNT(*)::BIGINT AS count,
+                   ROUND(SUM(u.vc) / 100.0, 6) AS sum
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+            GROUP BY ep.ep, u.g, u.ws
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gw.g, gw.ws
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT g, ws FROM u) gw
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, grid.ws, s.count, s.sum,
+                   LAG(s.count) OVER w AS p_c, LAG(s.sum) OVER w AS p_s
+            FROM grid LEFT JOIN state s USING (epoch, g, ws)
+            WINDOW w AS (PARTITION BY grid.g, grid.ws ORDER BY grid.epoch)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g AS event_type,
+               ROUND(ws, 6) AS window_start, count, sum,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE count IS NOT NULL
+          AND (count IS DISTINCT FROM p_c OR sum IS DISTINCT FROM p_s)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, ROUND(ws, 6), p_c, p_s,
+               CAST(epoch AS BIGINT)
+        FROM tr WHERE p_c IS NOT NULL
+          AND (count IS DISTINCT FROM p_c OR sum IS DISTINCT FROM p_s)
+        ORDER BY epoch, event_type, window_start, diff
+    """,
+    "early_firing_sliding": """
+        WITH raw AS (
+            SELECT event_type AS g, epoch(ts) AS t,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                   event_id % 3 AS e
+            FROM events
+        ),
+        u AS (
+            SELECT g, floor(t / 3600) * 3600 - j.j * 3600 AS ws, vc, e
+            FROM raw, (SELECT UNNEST([0, 1]) AS j) j
         ),
         state AS MATERIALIZED (
             SELECT ep.ep AS epoch, u.g, u.ws,

@@ -218,13 +218,17 @@ class KeyedAggregation:
     #: callable must be deterministic with ``f(0) == 0`` and picklable
     #: (it ships to the shard-group workers on Dataset epochs).
     threshold_fn: Callable[[int], int] | None = None
-    #: tumbling windows only: besides the exactly-once emission when the
+    #: tumbling/sliding windows: besides the exactly-once emission when the
     #: watermark closes a window, emit a PER-EPOCH changelog of the still-
     #: open windows into the ``<name>__early`` side sink — Beam's
     #: accumulating-with-retractions early firing, DD-style: each touched
     #: (key, window) retracts its previous partial aggregate (−1) and adds
     #: the new one (+1), so a consumer's running sum is always the current
     #: speculative result.  The final on-close emission is unchanged.
+    #: Sliding windows give up the pane optimization here: speculation
+    #: needs one accumulator PER OPEN WINDOW (a row lands in size/slide
+    #: windows), so state/traffic grow by the overlap factor — the
+    #: documented price of per-epoch speculative results.
     early_firing: bool = False
 
     def __post_init__(self):
@@ -237,10 +241,11 @@ class KeyedAggregation:
             raise ValueError("emit_changelog requires window=None (windowed "
                              "aggregates already emit exactly once on close)")
         if self.early_firing:
-            if self.window is None or self.window.kind != "tumbling":
-                raise ValueError("early_firing requires a tumbling window "
-                                 "(sliding panes / sessions have no single "
-                                 "open-window accumulator to changelog)")
+            if self.window is None or self.window.kind not in (
+                    "tumbling", "sliding"):
+                raise ValueError("early_firing requires a tumbling or "
+                                 "sliding window (sessions speculate via "
+                                 "SessionWindowAggregation(early_firing))")
             if self.emit_changelog:
                 raise ValueError("early_firing IS the windowed changelog; "
                                  "emit_changelog applies to unwindowed aggs")
@@ -280,7 +285,7 @@ class KeyedAggregation:
         late = 0
         if self.window is not None:
             ts = _ts_to_float(pdf[self.ts_col])
-            if self.window.use_panes:
+            if self.window.use_panes and not self.early_firing:
                 idx, wstart, wend = self.window.assign_panes(ts)
                 # a row is late when even its NEWEST containing window
                 # (start = pane start) is already closed
@@ -2411,7 +2416,7 @@ class StreamSession:
         for name, op in self.ops.items():
             if isinstance(op, KeyedAggregation) and op.window is not None:
                 bound = self.watermark - op.window.allowed_lateness
-                if op.window.use_panes:
+                if op.window.use_panes and not op.early_firing:
                     items = self.store.sweep_sliding_panes(
                         name, bound, op.window.size, op.window.slide
                     )

@@ -3969,9 +3969,10 @@ class TestEarlyFiring:
         assert run(False, tmp_path / "ef2t") == run(True, tmp_path / "ef2d")
 
     def test_validation(self, ray_session):
-        with pytest.raises(ValueError, match="tumbling"):
-            self._op(window=WindowSpec.sliding(20.0, 10.0))
-        with pytest.raises(ValueError, match="tumbling"):
+        # sliding is allowed since r3 (per-window accumulators); sessions
+        # and unwindowed aggs are not
+        self._op(window=WindowSpec.sliding(20.0, 10.0))
+        with pytest.raises(ValueError, match="tumbling or sliding"):
             self._op(window=None)
         with pytest.raises(ValueError, match="emit_changelog|early_firing"):
             self._op(emit_changelog=True)
@@ -4258,3 +4259,99 @@ class TestCdcVectorIndex:
         with pytest.raises(ValueError, match="UpsertToRetract"):
             sess.vector_topk("agg", [0], mat[:1])
         sess.store.shutdown()
+
+
+class TestEarlyFiringSliding:
+    """Early firing on sliding windows: one accumulator per OPEN window
+    (pane optimization deliberately given up for speculation); the early
+    changelog covers every containing window, and the close path emits
+    exactly what the pane-mode run emits."""
+
+    @staticmethod
+    def _t(rows):
+        g, v, ts = zip(*rows)
+        return pa.table({"g": pa.array(g, type=pa.int64()),
+                         "v": pa.array(v, type=pa.float64()),
+                         "ts": pa.array(ts, type=pa.float64())})
+
+    def _op(self, early, **kw):
+        base = dict(name="w", input="e", key_cols=["g"], value_col="v",
+                    ts_col="ts", aggs=("count", "sum"),
+                    window=WindowSpec.sliding(20.0, 10.0),
+                    early_firing=early)
+        base.update(kw)
+        return KeyedAggregation(**base)
+
+    def test_row_touches_every_containing_window(self, ray_session,
+                                                 tmp_path):
+        sess = StreamSession(tmp_path / "s1", num_shards=2)
+        sess.add(self._op(True))
+        # ts=15 lands in windows [0,20) and [10,30)
+        e0 = sess.process_epoch(0, {"e": self._t([(1, 3.0, 15.0)])})[
+            "w__early"]
+        assert sorted(zip(e0["diff"].to_pylist(),
+                          e0["window_start"].to_pylist())) == [
+            (1, 0.0), (1, 10.0)]
+        # ts=25 lands in [10,30) and [20,40): retracts only the shared one
+        e1 = sess.process_epoch(1, {"e": self._t([(1, 5.0, 25.0)])})[
+            "w__early"]
+        got = sorted(zip(e1["diff"].to_pylist(),
+                         e1["window_start"].to_pylist(),
+                         e1["sum"].to_pylist()))
+        assert got == [(-1, 10.0, 3.0), (1, 10.0, 8.0), (1, 20.0, 5.0)]
+        sess.store.shutdown()
+
+    def test_close_equals_pane_mode_run(self, ray_session, tmp_path):
+        rng = np.random.default_rng(21)
+        rows = [(int(g), float(v), float(ts))
+                for g, v, ts in zip(rng.integers(0, 5, 200),
+                                    rng.normal(size=200),
+                                    rng.uniform(0, 300, 200))]
+        feeds = [self._t(rows[i::3]) for i in range(3)]
+
+        def run(root, early):
+            sess = StreamSession(root, num_shards=2)
+            sess.add(self._op(early))
+            for e, f in enumerate(feeds):
+                sess.process_epoch(e, {"e": f})
+            sess.close(3)
+            out = sess.sinks["w"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            cols = ["g", "window_start", "window_end", "count", "sum"]
+            return (out[cols].sort_values(cols[:3])
+                    .reset_index(drop=True).round(9))
+
+        a = run(tmp_path / "early", True)   # per-window accumulators
+        b = run(tmp_path / "pane", False)   # pane-merge path
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_early_running_sum_equals_state(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "rs", num_shards=2)
+        sess.add(self._op(True))
+        rng = np.random.default_rng(9)
+        for e in range(3):
+            rows = [(int(g), float(v), float(ts))
+                    for g, v, ts in zip(rng.integers(0, 3, 40),
+                                        rng.normal(size=40),
+                                        rng.uniform(0, 100, 40))]
+            sess.process_epoch(e, {"e": self._t(rows)})
+        early = sess.sinks["w__early"].read_committed_table().to_pandas()
+        net = (early.assign(c=early["count"] * early["diff"],
+                            s=early["sum"] * early["diff"])
+               .groupby(["g", "window_start"])[["diff", "c", "s"]].sum())
+        live = net[net["diff"] > 0]
+        assert (net["diff"].isin([0, 1])).all()
+        # running sum == one copy of the current speculative aggregate
+        state = sess.state_table("w").to_pandas().set_index(
+            ["g", "window_start"])
+        for (g, ws), r in live.iterrows():
+            assert r["c"] == state.loc[(g, ws)]["count"]
+            assert abs(r["s"] - state.loc[(g, ws)]["sum"]) < 1e-9
+        sess.store.shutdown()
+
+    def test_session_window_rejected(self):
+        with pytest.raises(ValueError, match="tumbling or sliding"):
+            KeyedAggregation(name="w", input="e", key_cols=["g"],
+                             value_col="v",
+                             window=WindowSpec.session(10.0),
+                             early_firing=True)
