@@ -1181,6 +1181,52 @@ def q_incremental_components(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_incremental_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Incremental PageRank with RETRACTION — the iterate op maintained
+    across epochs: chain edges stream in 3 epochs, a 4th epoch DELETES
+    every edge with id_lo % 5 == 0 (diff = −1), and each epoch the
+    designated shard warm-starts the power iteration from the previous
+    ranks and emits the rank changelog.  The materialized running sum
+    (net > 0) is the current rank table.  Rows-only: the converged
+    fixpoint has no fixed-iteration SQL twin (the batch `pagerank` oracle
+    pins the shared update rule); pytest asserts equality with a
+    from-scratch fixpoint after EVERY epoch, including the deletion."""
+    from ..streaming.engine import IncrementalPageRank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 < 4
+        return pa.table({"src": pa.array(ids[keep]),
+                         "dst": pa.array(ids[keep] + 1)})
+
+    etbl = pa.concat_tables(list(
+        ds.map_batches(edges, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    lo = etbl["src"].to_numpy(zero_copy_only=False)
+    etbl = etbl.append_column(
+        "diff", pa.array(np.ones(len(lo), dtype=np.int64)))
+    sess = StreamSession(_tmp("ipr"), num_shards=4)
+    sess.add(IncrementalPageRank(name="pr", input="e", weight_col="diff"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"e": etbl.filter(pa.array(lo % 3 == e))})
+        retract = etbl.filter(pa.array(lo % 5 == 0)).set_column(
+            2, "diff", pa.array(-np.ones(int((lo % 5 == 0).sum()),
+                                         dtype=np.int64)))
+        sess.process_epoch(3, {"e": retract})
+        df = sess.sinks["pr"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = df.groupby(["id", "rank"])["diff"].sum().reset_index()
+    net = net[net["diff"] > 0].drop(columns="diff")
+    net = net.rename(columns={"id": "doc_id"})
+    net["doc_id"] = net["doc_id"].astype(np.int64)
+    return (_round(net, ["rank"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_upsert_changelog(sf_dir: str) -> pd.DataFrame:
     """Arrange + consolidate (UpsertToRetract): orders become a CDC upsert
     stream — key = o_orderkey % 997, LWW stamp = o_orderkey (globally
@@ -3994,6 +4040,7 @@ QUERIES = {
     "stream_outer_join": q_stream_outer_join,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
+    "incremental_pagerank": q_incremental_pagerank,
     "upsert_changelog": q_upsert_changelog,
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,

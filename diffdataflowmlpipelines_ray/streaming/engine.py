@@ -52,6 +52,7 @@ __all__ = [
     "PatternMatch",
     "AbsenceDetect",
     "IncrementalComponents",
+    "IncrementalPageRank",
     "UpsertToRetract",
     "StreamJoin",
     "EnrichJoin",
@@ -798,6 +799,64 @@ class IncrementalComponents:
 
 
 @dataclass
+class IncrementalPageRank:
+    """Incremental PageRank — the ``iterate`` primitive maintained ACROSS
+    epochs WITH retraction, the capability union-find components cannot
+    offer (union is monotone; rank maintenance is not): the designated
+    shard keeps the live directed edge multiset and the current ranks,
+    each epoch applies ±``weight_col`` edge deltas (a −1 removes an edge
+    copy — deletions are first-class) and warm-starts the power iteration
+    from the previous ranks, so a small delta converges in a few sweeps
+    instead of recomputing from scratch.  Emits the consolidated changelog
+    ``(−1, id, old_rank)`` / ``(+1, id, new_rank)`` whose running sum IS
+    the current rank table.  Same update rule as the batch ``pagerank``
+    (stages/iterate.py) — converged ranks agree with a from-scratch
+    fixpoint to ``tol``.  One logical graph in ONE shard: the
+    candidate-bounded regime (entity graphs, verified dedup pairs), the
+    same contract as ``IncrementalComponents``."""
+
+    name: str
+    input: str
+    src_col: str = "src"
+    dst_col: str = "dst"
+    #: ±diff per edge row; None = insert-only stream
+    weight_col: str | None = None
+    damping: float = 0.85
+    #: convergence bound on max |Δrank| per sweep; raises past max_iters
+    tol: float = 1e-12
+    max_iters: int = 500
+    #: changelog suppression: silent when a node's rank moved ≤ this (the
+    #: stored state keeps the emitted value, so running sum == state)
+    emit_tol: float = 1e-9
+
+    def edges_from(self, tbl: pa.Table) -> list:
+        src = tbl[self.src_col].to_numpy(zero_copy_only=False)
+        dst = tbl[self.dst_col].to_numpy(zero_copy_only=False)
+        if self.weight_col and self.weight_col in tbl.column_names:
+            d = tbl[self.weight_col].to_numpy(zero_copy_only=False)
+        else:
+            d = np.ones(len(src), dtype=np.int64)
+        return list(zip(src.tolist(), dst.tolist(), d.tolist()))
+
+    def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
+        if not deltas:
+            return pa.table({
+                "diff": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.float64()),
+                "epoch": pa.array([], type=pa.int64()),
+            })
+        d, n, r = zip(*deltas)
+        k = len(deltas)
+        return pa.table({
+            "diff": pa.array(list(d), type=pa.int64()),
+            "id": pa.array(list(n), type=pa.int64()),
+            "rank": pa.array(list(r), type=pa.float64()),
+            "epoch": pa.array([epoch] * k, type=pa.int64()),
+        })
+
+
+@dataclass
 class UpsertToRetract:
     """Arrange + consolidate (the differential-dataflow changelog primitive):
     an UPSERT stream keyed by ``key`` — each row offers ``vals`` at LWW stamp
@@ -1250,6 +1309,7 @@ class StreamSession:
                     self.root / f"{op.name}__early", fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
+                             IncrementalPageRank,
                              UpsertToRetract, EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
@@ -2207,6 +2267,20 @@ class StreamSession:
                 out_tbl = op.rows_to_table(deltas, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [out_tbl], meta=self._meta(kind="cc"))
+                emitted[name] = out_tbl
+                self.metrics["emitted_rows"] += out_tbl.num_rows
+            elif isinstance(op, IncrementalPageRank):
+                if op.input not in avail:
+                    continue
+                # same designated-shard contract as components; the rank
+                # changelog commits per epoch and chains like any changelog
+                tbl = self._as_table(avail[op.input])
+                deltas = self.store.apply_pagerank_edges(
+                    op.name, epoch, op.edges_from(tbl), op.damping,
+                    op.tol, op.max_iters, op.emit_tol)
+                out_tbl = op.rows_to_table(deltas, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [out_tbl], meta=self._meta(kind="pagerank"))
                 emitted[name] = out_tbl
                 self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, UpsertToRetract):

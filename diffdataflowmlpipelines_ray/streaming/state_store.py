@@ -848,6 +848,85 @@ class StateShard:
         out = sorted((node, lab, diff) for (node, lab), diff in net.items())
         return _dumps([(d, n, lb) for n, lb, d in out])
 
+    def apply_pagerank_edges(self, name: str, epoch: int, payload: bytes,
+                             damping: float, tol: float, max_iters: int,
+                             emit_tol: float) -> bytes:
+        """Incremental PageRank — the second ``iterate`` op maintained
+        ACROSS epochs, WITH retraction (the capability union-find CC cannot
+        offer: union is monotone, rank recomputation is not).  State is the
+        live directed edge multiset plus the current rank vector in ONE
+        designated shard (candidate-bounded regime, the CC contract); each
+        epoch applies ±diff edge deltas and WARM-STARTS the power iteration
+        from the previous ranks — a small delta converges in a few sweeps
+        instead of a from-scratch run.  Same update rule as the batch
+        ``pagerank`` (uniform dangling redistribution, multi-edges weight
+        by multiplicity).  Emits the consolidated changelog
+        ``(−1, id, old_rank)`` / ``(+1, id, new_rank)`` for nodes whose
+        rank moved > ``emit_tol`` plus node arrivals/departures; stored
+        state keeps the EMITTED value for silent nodes so the changelog's
+        running sum equals the stored rank table exactly (staleness is
+        bounded by emit_tol vs the current fixpoint).  Deterministic and
+        replay-idempotent; raises if max_iters doesn't converge."""
+        if self._seen(f"pr:{name}", epoch):
+            return _dumps([])
+        g = self.graphs.setdefault(name, {"pr_edges": {}, "pr_ranks": {}})
+        edges, ranks = g["pr_edges"], g["pr_ranks"]
+        for u, v, d in sorted(pickle.loads(payload)):
+            k = (int(u), int(v))
+            c = edges.get(k, 0) + int(d)
+            if c == 0:
+                edges.pop(k, None)
+            else:
+                edges[k] = c
+        old = dict(ranks)
+        live = [(u, v, c) for (u, v), c in edges.items() if c > 0]
+        if not live:
+            ranks.clear()
+            return _dumps([(-1, i, r) for i, r in sorted(old.items())])
+        src = np.array([u for u, _, _ in live], dtype=np.int64)
+        dst = np.array([v for _, v, _ in live], dtype=np.int64)
+        w = np.array([c for _, _, c in live], dtype=np.float64)
+        ids = np.unique(np.concatenate([src, dst]))
+        n = len(ids)
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        outw = np.zeros(n)
+        np.add.at(outw, si, w)
+        r = np.array([old.get(int(i), 1.0 / n) for i in ids])
+        r /= r.sum()
+        safe_out = np.where(outw > 0, outw, 1.0)
+        for _ in range(max_iters):
+            dangling = float(r[outw == 0].sum())
+            contrib = np.zeros(n)
+            np.add.at(contrib, di, r[si] * w / safe_out[si])
+            r_new = ((1.0 - damping) / n + damping * dangling / n
+                     + damping * contrib)
+            done = np.abs(r_new - r).max() < tol
+            r = r_new
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"IncrementalPageRank({name}) did not converge within "
+                f"{max_iters} iterations at tol={tol}")
+        new = dict(zip((int(i) for i in ids), r.tolist()))
+        deltas = []
+        for i in sorted(set(old) | set(new)):
+            o, nv = old.get(i), new.get(i)
+            if o is None:
+                deltas.append((1, i, nv))
+                ranks[i] = nv
+            elif nv is None:
+                deltas.append((-1, i, o))
+                ranks.pop(i, None)
+            elif abs(nv - o) > emit_tol:
+                deltas.append((-1, i, o))
+                deltas.append((1, i, nv))
+                ranks[i] = nv
+            # else: silent — stored state keeps the emitted value, so the
+            # changelog running sum stays exactly the rank table
+        return _dumps(deltas)
+
     # ------------------------------------------------------- stream-stream join
     def join_insert_probe(self, name: str, epoch: int, payload: bytes) -> bytes:
         """Symmetric hash join step for this shard — fully vectorized.
@@ -1343,6 +1422,18 @@ class ShardedStateStore:
         sid = shard_of(name.encode(), self.num_shards)
         blob = ray.get(self.shards[sid].apply_cc_edges.remote(
             name, epoch, _dumps(sorted(map(tuple, edges)))))
+        return pickle.loads(blob)
+
+    def apply_pagerank_edges(self, name: str, epoch: int, edges: list,
+                             damping: float, tol: float, max_iters: int,
+                             emit_tol: float) -> list:
+        """Route the epoch's ±diff edge delta to the op's designated shard
+        (one logical graph; see StateShard.apply_pagerank_edges)."""
+        self.fence()
+        sid = shard_of(name.encode(), self.num_shards)
+        blob = ray.get(self.shards[sid].apply_pagerank_edges.remote(
+            name, epoch, _dumps(sorted(map(tuple, edges))),
+            damping, tol, max_iters, emit_tol))
         return pickle.loads(blob)
 
     def sweep_kleene_matches(self, name: str, watermark: float, first: str,

@@ -4355,3 +4355,124 @@ class TestEarlyFiringSliding:
                              value_col="v",
                              window=WindowSpec.session(10.0),
                              early_firing=True)
+
+
+class TestIncrementalPageRank:
+    """IncrementalPageRank: warm-started fixpoint maintenance across
+    epochs with edge retraction; the changelog's running sum is the rank
+    table and equals a from-scratch fixpoint after every epoch."""
+
+    @staticmethod
+    def _t(edges):
+        s, d, w = zip(*edges)
+        return pa.table({"src": pa.array(s, type=pa.int64()),
+                         "dst": pa.array(d, type=pa.int64()),
+                         "diff": pa.array(w, type=pa.int64())})
+
+    @staticmethod
+    def _fixpoint(edge_multiset, damping=0.85, tol=1e-12):
+        live = [(u, v, c) for (u, v), c in edge_multiset.items() if c > 0]
+        if not live:
+            return {}
+        src = np.array([u for u, _, _ in live])
+        dst = np.array([v for _, v, _ in live])
+        w = np.array([c for _, _, c in live], dtype=float)
+        ids = np.unique(np.concatenate([src, dst]))
+        n = len(ids)
+        si, di = np.searchsorted(ids, src), np.searchsorted(ids, dst)
+        outw = np.zeros(n)
+        np.add.at(outw, si, w)
+        safe = np.where(outw > 0, outw, 1.0)
+        r = np.full(n, 1.0 / n)
+        for _ in range(10000):
+            dang = float(r[outw == 0].sum())
+            contrib = np.zeros(n)
+            np.add.at(contrib, di, r[si] * w / safe[si])
+            r_new = (1 - damping) / n + damping * dang / n \
+                + damping * contrib
+            if np.abs(r_new - r).max() < tol:
+                return dict(zip(ids.tolist(), r_new.tolist()))
+            r = r_new
+        raise AssertionError("reference fixpoint did not converge")
+
+    def _mk(self, root):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            IncrementalPageRank)
+
+        sess = StreamSession(root, num_shards=3, checkpoint_every=1)
+        sess.add(IncrementalPageRank(name="pr", input="e",
+                                     weight_col="diff"))
+        return sess
+
+    def test_matches_fixpoint_every_epoch_incl_deletion(self, ray_session,
+                                                        tmp_path):
+        rng = np.random.default_rng(17)
+        all_edges = [(int(u), int(v), 1)
+                     for u, v in rng.integers(0, 30, (60, 2)) if u != v]
+        feeds = [all_edges[0::3], all_edges[1::3], all_edges[2::3],
+                 [(u, v, -1) for u, v, _ in all_edges if u % 4 == 0]]
+        sess = self._mk(tmp_path / "pr")
+        ms: dict = {}
+        for e, f in enumerate(feeds):
+            for u, v, w in f:
+                ms[(u, v)] = ms.get((u, v), 0) + w
+            sess.process_epoch(e, {"e": self._t(f)})
+            chg = sess.sinks["pr"].read_committed_table().to_pandas()
+            net = chg.groupby(["id", "rank"])["diff"].sum().reset_index()
+            live = net[net["diff"] > 0]
+            assert (live.groupby("id").size() == 1).all()
+            got = dict(zip(live["id"], live["rank"]))
+            want = self._fixpoint(ms)
+            assert set(got) == set(want)
+            for i, r in want.items():
+                assert abs(got[i] - r) < 5e-9, (e, i)
+        sess.store.shutdown()
+
+    def test_deleting_all_edges_retracts_all_ranks(self, ray_session,
+                                                   tmp_path):
+        sess = self._mk(tmp_path / "empty")
+        sess.process_epoch(0, {"e": self._t([(1, 2, 1), (2, 3, 1)])})
+        sess.process_epoch(1, {"e": self._t([(1, 2, -1), (2, 3, -1)])})
+        chg = sess.sinks["pr"].read_committed_table().to_pandas()
+        net = chg.groupby(["id", "rank"])["diff"].sum()
+        assert (net == 0).all()  # every rank fully retracted
+        sess.store.shutdown()
+
+    def test_crash_resume_changelog_identical(self, ray_session, tmp_path):
+        feeds = [[(1, 2, 1), (2, 3, 1)], [(3, 1, 1)], [(2, 3, -1)]]
+
+        def run(root, crash_after=None):
+            sess = self._mk(root)
+            start = sess.resume()
+            for e in range(start, 3):
+                sess.process_epoch(e, {"e": self._t(feeds[e])})
+                if crash_after is not None and e == crash_after:
+                    sess.store.shutdown()
+                    return sess
+            return sess
+
+        run(tmp_path / "cr", crash_after=1)
+        s2 = run(tmp_path / "cr")
+        s3 = run(tmp_path / "clean")
+        cols = ["epoch", "diff", "id", "rank"]
+        a = (s2.sinks["pr"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        b = (s3.sinks["pr"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        s2.store.shutdown()
+        s3.store.shutdown()
+
+    def test_nonconvergence_raises(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            IncrementalPageRank)
+
+        sess = StreamSession(tmp_path / "nc", num_shards=1)
+        sess.add(IncrementalPageRank(name="pr", input="e",
+                                     weight_col="diff", max_iters=1))
+        # asymmetric graph: the uniform warm start is NOT the fixpoint
+        # (a symmetric cycle would legitimately converge in one sweep)
+        with pytest.raises(Exception, match="did not converge"):
+            sess.process_epoch(0, {"e": self._t(
+                [(1, 2, 1), (1, 3, 1), (2, 3, 1)])})
+        sess.store.shutdown()
