@@ -92,7 +92,8 @@ def run_bench() -> dict:
         "retractable_median", "retractable_ndistinct",
         "stream_full_outer_join", "token_stream_agg", "early_firing",
         "retractable_session", "cdc_tfidf", "session_early_firing",
-        "cdc_ann", "early_firing_sliding", "incremental_pagerank")
+        "cdc_ann", "early_firing_sliding", "incremental_pagerank",
+        "windowed_stream_join", "retractable_quantile")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

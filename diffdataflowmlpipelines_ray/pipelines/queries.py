@@ -863,6 +863,54 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["o_totalprice", "l_extendedprice"])
 
 
+def q_windowed_stream_join(sf_dir: str) -> pd.DataFrame:
+    """Windowed stream-stream join (Spark Structured Streaming's window
+    join) by COMPOSITION: both streams derive their tumbling window bucket
+    and the bucket joins as part of the key — clicks ⋈ purchases per user
+    within the same hour, with per-(user, window) state co-located on one
+    shard and expirable by retention once the watermark passes the window.
+    Zero new engine surface: the window is just a key column, which is
+    exactly how the DD reference would arrange it.  Oracle: the relational
+    join on (user, hour-bucket) with type filters."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_id", "user_id", "event_type", "ts"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False)
+    tsf = ts.astype("datetime64[us]").astype(np.int64) / 1e6
+    ws = np.floor(tsf / 3600.0) * 3600.0
+    both = pa.table({
+        "user_id": tbl["user_id"],
+        "ws": pa.array(ws, type=pa.float64()),
+        "t": pa.array(tsf, type=pa.float64()),
+        "et": tbl["event_type"],
+    })
+    et = tbl["event_type"].to_numpy(zero_copy_only=False)
+    clicks = both.filter(pa.array(et == "click")).drop_columns(["et"])
+    buys = both.filter(pa.array(et == "purchase")).drop_columns(["et"]) \
+        .rename_columns(["user_id", "ws", "rt"])
+    cid = eid[et == "click"]
+    bid = eid[et == "purchase"]
+    sess = StreamSession(_tmp("wjoin"), num_shards=4)
+    sess.add(StreamJoin(name="wj", left_input="c", right_input="p",
+                        left_key=["user_id", "ws"],
+                        right_key=["user_id", "ws"],
+                        left_cols=["t"], right_cols=["rt"]))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "c": clicks.filter(pa.array(cid % 3 == e)),
+                "p": buys.filter(pa.array(bid % 3 == e))})
+        df = sess.sinks["wj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch", "diff"])
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df = _round(df, ["ws", "t", "rt"])
+    return (df[["user_id", "ws", "t", "rt"]]
+            .sort_values(["user_id", "ws", "t", "rt"])
+            .reset_index(drop=True))
+
+
 def q_pattern_match(sf_dir: str) -> pd.DataFrame:
     """CEP sequence detection: click→view→purchase chains per user within a
     1-day window, emitted incrementally as the watermark finalizes starts.
@@ -1652,6 +1700,76 @@ def q_retractable_median(sf_dir: str) -> pd.DataFrame:
         df[c] = df[c].astype(np.int64)
     df["med"] = np.round(df["med"], 6)
     return (df[["diff", "g", "med", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
+def _quantile_finalize(a) -> dict:
+    """MinMaxAgg value→count map → exact interpolated p25/p75 of the live
+    multiset (DuckDB ``quantile_cont`` semantics: position p·(n−1),
+    linear interpolation — dyadic p keeps the arithmetic exact)."""
+    items = sorted((v, c) for v, c in a.counts.items() if c > 0)
+    n = sum(c for _, c in items)
+
+    def q(p):
+        pos = p * (n - 1)
+        lo_i, frac = int(np.floor(pos)), pos - int(np.floor(pos))
+        lo = hi = None
+        cum = 0
+        for v, c in items:
+            if lo is None and cum + c > lo_i:
+                lo = v
+            if cum + c > min(lo_i + 1, n - 1):
+                hi = v
+                break
+            cum += c
+        return lo + frac * (hi - lo)
+
+    return {"q25": q(0.25), "q75": q(0.75)}
+
+
+def q_retractable_quantile(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped QUANTILE (p25/p75) — the same value→count
+    arrangement as median, finalized to interpolated order statistics:
+    upserts/deletes shift the live multiset and the op emits the quantile
+    transition changelog per group.  Oracle: per-epoch cumulative live
+    state + quantile_cont + LAG in SQL."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ), type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rqt"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="qt", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_quantile_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["qt"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    df = _round(df, ["q25", "q75"])
+    return (df[["diff", "g", "q25", "q75", "epoch"]]
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
@@ -4032,6 +4150,7 @@ QUERIES = {
     "window_topk": q_window_topk,
     "session_window": q_session_window,
     "stream_join": q_stream_join,
+    "windowed_stream_join": q_windowed_stream_join,
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
     "absence_detect": q_absence_detect,
@@ -4052,6 +4171,7 @@ QUERIES = {
     "distinct_changelog": q_distinct_changelog,
     "retractable_topk": q_retractable_topk,
     "retractable_median": q_retractable_median,
+    "retractable_quantile": q_retractable_quantile,
     "retractable_ndistinct": q_retractable_ndistinct,
     "stream_full_outer_join": q_stream_full_outer_join,
     "changelog_compact": q_changelog_compact,
@@ -4467,6 +4587,19 @@ ORACLES = {
         )
         SELECT user_id, ROUND(min(t), 6) AS session_start, count(*)::BIGINT AS count
         FROM sessions GROUP BY user_id, sid
+    """,
+    "windowed_stream_join": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch(ts) AS t,
+                   floor(epoch(ts) / 3600) * 3600 AS ws
+            FROM events
+        )
+        SELECT a.user_id, ROUND(a.ws, 6) AS ws,
+               ROUND(a.t, 6) AS t, ROUND(b.t, 6) AS rt
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND a.ws = b.ws
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        ORDER BY a.user_id, ws, t, rt
     """,
     "stream_join": """
         SELECT o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
@@ -4884,6 +5017,49 @@ ORACLES = {
         UNION ALL
         SELECT CAST(-1 AS BIGINT), g, p_med, CAST(epoch AS BIGINT)
         FROM tr WHERE p_med IS NOT NULL AND med IS DISTINCT FROM p_med
+        ORDER BY epoch, g, diff
+    """,
+    "retractable_quantile": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g,
+                   ROUND(quantile_cont(v, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(v, 0.75), 6) AS q75
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.q25, s.q75,
+                   LAG(s.q25) OVER w AS p25, LAG(s.q75) OVER w AS p75
+            FROM grid LEFT JOIN state s USING (epoch, g)
+            WINDOW w AS (PARTITION BY grid.g ORDER BY grid.epoch)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, q25, q75,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE q25 IS NOT NULL
+          AND (q25 IS DISTINCT FROM p25 OR q75 IS DISTINCT FROM p75)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p25, p75, CAST(epoch AS BIGINT)
+        FROM tr WHERE p25 IS NOT NULL
+          AND (q25 IS DISTINCT FROM p25 OR q75 IS DISTINCT FROM p75)
         ORDER BY epoch, g, diff
     """,
     "retractable_topk": """

@@ -4476,3 +4476,34 @@ class TestIncrementalPageRank:
             sess.process_epoch(0, {"e": self._t(
                 [(1, 2, 1), (1, 3, 1), (2, 3, 1)])})
         sess.store.shutdown()
+
+
+class TestRetractableQuantile:
+    def test_finalize_matches_numpy_linear(self):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _quantile_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        rng = np.random.default_rng(4)
+        for _ in range(20):
+            vals = rng.integers(-50, 50, rng.integers(1, 40))
+            acc = MinMaxAgg.from_numpy(vals.astype(float))
+            got = _quantile_finalize(acc)
+            assert got["q25"] == pytest.approx(
+                np.percentile(vals, 25, method="linear"), abs=1e-9)
+            assert got["q75"] == pytest.approx(
+                np.percentile(vals, 75, method="linear"), abs=1e-9)
+
+    def test_retraction_moves_quantile(self):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _quantile_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        acc = MinMaxAgg.from_numpy(np.array([1.0, 2.0, 3.0, 4.0, 100.0]))
+        assert _quantile_finalize(acc)["q75"] == 4.0
+        neg = MinMaxAgg.from_numpy(np.array([100.0]))
+        neg.negate()
+        acc.merge(neg)  # retract the outlier: quantiles re-interpolate
+        got = _quantile_finalize(acc)
+        assert got["q25"] == pytest.approx(1.75)
+        assert got["q75"] == pytest.approx(3.25)
