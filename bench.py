@@ -93,7 +93,8 @@ def run_bench() -> dict:
         "stream_full_outer_join", "token_stream_agg", "early_firing",
         "retractable_session", "cdc_tfidf", "session_early_firing",
         "cdc_ann", "early_firing_sliding", "incremental_pagerank",
-        "windowed_stream_join", "retractable_quantile")
+        "windowed_stream_join", "retractable_quantile",
+        "retractable_mode")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

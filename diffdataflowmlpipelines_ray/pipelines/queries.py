@@ -1773,6 +1773,66 @@ def q_retractable_quantile(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def _mode_finalize(a) -> dict:
+    """MinMaxAgg value→count map → live multiset MODE with a deterministic
+    tie-break (highest net count, smallest value wins ties — mirrored in
+    the SQL oracle's ORDER BY cnt DESC, v)."""
+    best_v, best_c = None, 0
+    for v, c in sorted(a.counts.items()):
+        if c > 0 and c > best_c:
+            best_v, best_c = v, c
+    return {"mode_v": best_v, "mode_n": best_c}
+
+
+def q_retractable_mode(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped MODE — the frequency-based holistic aggregate
+    from the same value→count arrangement: retracting copies of the
+    current mode EXPOSES the runner-up when its net count drops below;
+    duplicate churn that doesn't change the winner emits nothing.
+    Deterministic tie-break (smallest value at equal counts).  Oracle:
+    per-epoch cumulative live state + windowed argmax + LAG in SQL."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    # coarse value domain so modes have real multiplicity: price in
+    # thousands-of-dollars buckets
+    v = np.floor(_half_away(
+        tbl["o_totalprice"].to_numpy(zero_copy_only=False)) / 1000.0)
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(v, type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rmode"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="md", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_mode_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["md"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch", "mode_n"):
+        df[c] = df[c].astype(np.int64)
+    df["mode_v"] = df["mode_v"].astype(np.int64)  # integral buckets
+    return (df[["diff", "g", "mode_v", "mode_n", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def _ndistinct_finalize(a) -> dict:
     """MinMaxAgg value→count map → number of live distinct values."""
     return {"nd": sum(1 for c in a.counts.values() if c > 0)}
@@ -4172,6 +4232,7 @@ QUERIES = {
     "retractable_topk": q_retractable_topk,
     "retractable_median": q_retractable_median,
     "retractable_quantile": q_retractable_quantile,
+    "retractable_mode": q_retractable_mode,
     "retractable_ndistinct": q_retractable_ndistinct,
     "stream_full_outer_join": q_stream_full_outer_join,
     "changelog_compact": q_changelog_compact,
@@ -5017,6 +5078,55 @@ ORACLES = {
         UNION ALL
         SELECT CAST(-1 AS BIGINT), g, p_med, CAST(epoch AS BIGINT)
         FROM tr WHERE p_med IS NOT NULL AND med IS DISTINCT FROM p_med
+        ORDER BY epoch, g, diff
+    """,
+    "retractable_mode": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   floor(ROUND(o_totalprice) / 1000.0) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        counts AS (
+            SELECT epoch, k % 10 AS g, v, COUNT(*)::BIGINT AS cnt
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g, v
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, g,
+                   CAST(v AS BIGINT) AS mode_v, cnt AS mode_n
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY epoch, g
+                      ORDER BY cnt DESC, v) AS r FROM counts)
+            WHERE r = 1
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.mode_v, s.mode_n,
+                   LAG(s.mode_v) OVER w AS pv, LAG(s.mode_n) OVER w AS pn
+            FROM grid LEFT JOIN state s USING (epoch, g)
+            WINDOW w AS (PARTITION BY grid.g ORDER BY grid.epoch)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, mode_v, mode_n,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE mode_v IS NOT NULL
+          AND (mode_v IS DISTINCT FROM pv OR mode_n IS DISTINCT FROM pn)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, pv, pn, CAST(epoch AS BIGINT)
+        FROM tr WHERE pv IS NOT NULL
+          AND (mode_v IS DISTINCT FROM pv OR mode_n IS DISTINCT FROM pn)
         ORDER BY epoch, g, diff
     """,
     "retractable_quantile": """

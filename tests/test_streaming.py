@@ -4507,3 +4507,20 @@ class TestRetractableQuantile:
         got = _quantile_finalize(acc)
         assert got["q25"] == pytest.approx(1.75)
         assert got["q75"] == pytest.approx(3.25)
+
+
+class TestRetractableMode:
+    def test_retraction_exposes_runner_up_and_tiebreak(self):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _mode_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        acc = MinMaxAgg.from_numpy(np.array([5.0, 5.0, 5.0, 2.0, 2.0, 9.0]))
+        assert _mode_finalize(acc) == {"mode_v": 5.0, "mode_n": 3}
+        neg = MinMaxAgg.from_numpy(np.array([5.0, 5.0]))
+        neg.negate()
+        acc.merge(neg)  # 5 drops to 1 copy: 2 (count 2) takes over
+        assert _mode_finalize(acc) == {"mode_v": 2.0, "mode_n": 2}
+        acc.merge(MinMaxAgg.from_numpy(np.array([9.0])))
+        # tie 2x'2' vs 2x'9': smallest value wins deterministically
+        assert _mode_finalize(acc) == {"mode_v": 2.0, "mode_n": 2}
