@@ -193,3 +193,87 @@ class TestConsolidationProperty:
             assert sink.verify()
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestSessionEarlyFiringProperty:
+    """For ANY insert stream split across epochs, the early changelog's
+    running sum per key equals gap-sessionization over the points seen so
+    far, after EVERY epoch; closing retracts everything to net zero and
+    the final emission is exactly the full sessionization.  (Values are
+    1.0 so session sums are small integers — float-exact, order-free.)"""
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3), ts_floats,
+                              st.integers(0, 3)),
+                    min_size=1, max_size=50))
+    def test_running_sum_tracks_open_sessions(self, rows):
+        import pickle as p
+        from collections import Counter
+
+        gap = 25.0
+        shard = StateShard(0, 1)
+        seen: dict = {}
+        net: Counter = Counter()
+        for e in range(4):
+            per_key: dict = {}
+            for k, ts, ea in rows:
+                if ea == e:
+                    kb = p.dumps((k,), protocol=p.HIGHEST_PROTOCOL)
+                    per_key.setdefault(kb, []).append((ts, 1.0))
+            payload = p.dumps(sorted(per_key.items()),
+                              protocol=p.HIGHEST_PROTOCOL)
+            shard.apply_session_points("s", e, payload, gap)
+            for kb, pts in per_key.items():
+                seen.setdefault(kb, []).extend(pts)
+            for kb, d, sess in p.loads(
+                    shard.emit_early_sessions("s", gap, False)):
+                net[(kb, sess)] += d
+            for kb, pts in seen.items():
+                want = Counter(
+                    (kb, StateShard._session_tuple(s))
+                    for s in StateShard.build_sessions(pts, gap))
+                got = Counter({kk: v for kk, v in net.items()
+                               if kk[0] == kb and v != 0})
+                assert got == want
+        emitted, rets = p.loads(
+            shard.sweep_closed_sessions("s", float("inf"), gap, True))
+        for kb, d, sess in rets:
+            net[(kb, sess)] += d
+        assert all(v == 0 for v in net.values())
+        want_final = sorted(
+            (kb, StateShard._session_tuple(s))
+            for kb, pts in seen.items()
+            for s in StateShard.build_sessions(pts, gap))
+        got_final = sorted((kb, StateShard._session_tuple(s))
+                           for kb, s in emitted)
+        assert got_final == want_final
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(ts_floats, st.booleans()), min_size=1,
+                    max_size=30))
+    def test_retractable_split_running_sum(self, rows):
+        """Insert everything, then retract a marked subset: the early
+        changelog's running sum equals sessionization over the LIVE
+        multiset — including bridge deletions that split sessions."""
+        import pickle as p
+        from collections import Counter
+
+        gap = 20.0
+        shard = StateShard(0, 1)
+        kb = p.dumps((1,), protocol=p.HIGHEST_PROTOCOL)
+        net: Counter = Counter()
+
+        def apply(epoch, pts):
+            payload = p.dumps([(kb, pts)], protocol=p.HIGHEST_PROTOCOL)
+            shard.apply_session_point_deltas("s", epoch, payload)
+            for _, d, sess in p.loads(
+                    shard.emit_early_sessions("s", gap, True)):
+                net[sess] += d
+
+        apply(0, [(ts, 1.0, 1) for ts, _ in rows])
+        apply(1, [(ts, 1.0, -1) for ts, rm in rows if rm])
+        live = [(ts, 1.0) for ts, rm in rows if not rm]
+        want = Counter(StateShard._session_tuple(s)
+                       for s in StateShard.build_sessions(live, gap))
+        got = Counter({s: v for s, v in net.items() if v != 0})
+        assert got == want
