@@ -911,6 +911,46 @@ def q_windowed_stream_join(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_stream_near_dup(sf_dir: str) -> pd.DataFrame:
+    """STREAMING MinHash-LSH near-dup detection, exactly-once: documents
+    plus planted duplicate copies (every 17th doc re-appears under a new
+    id, usually in a DIFFERENT epoch) stream through `StreamNearDup` —
+    per-epoch signatures + band buckets, bucket member registers
+    hash-partitioned in the shards, candidate pairs emitted incrementally
+    as later arrivals hit existing members — chained in-session into
+    `StreamDedup` on (id_lo, id_hi) for exactly-once distinct pairs.
+    Rows-only (minhash seeds have no SQL twin — the batch `dedup_minhash`
+    contract): the detected set is the planted identical copies (every
+    band collides — detection guaranteed, not probabilistic) PLUS the
+    corpus's planted high-Jaccard near-dups (J≈0.99 at sf0.01), both
+    pinned by pytest (identical-pair superset + disjoint-docs-silent +
+    Table==Dataset + crash-resume)."""
+    from ..streaming.engine import StreamDedup, StreamNearDup
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    planted = docs.filter(pa.array(did % 17 == 0))
+    pid = (planted["doc_id"].to_numpy(zero_copy_only=False)
+           .astype(np.int64))
+    planted = planted.set_column(
+        0, "doc_id", pa.array(pid + 10_000_000, type=pa.int64()))
+    allid = np.concatenate([did, pid + 1])  # copies shift one epoch over
+    corpus = pa.concat_tables([docs, planted])
+    sess = StreamSession(_tmp("snd"), num_shards=4)
+    sess.add(StreamNearDup(name="nd", input="docs", threshold=0.9))
+    sess.add(StreamDedup(name="pairs", input="nd",
+                         key=["id_lo", "id_hi"], ts_col="epoch"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {
+                "docs": corpus.filter(pa.array(allid % 3 == e))})
+        df = sess.sinks["pairs"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return (df[["id_lo", "id_hi"]].astype(np.int64)
+            .sort_values(["id_lo", "id_hi"]).reset_index(drop=True))
+
+
 def q_pattern_match(sf_dir: str) -> pd.DataFrame:
     """CEP sequence detection: click→view→purchase chains per user within a
     1-day window, emitted incrementally as the watermark finalizes starts.
@@ -4211,6 +4251,7 @@ QUERIES = {
     "session_window": q_session_window,
     "stream_join": q_stream_join,
     "windowed_stream_join": q_windowed_stream_join,
+    "stream_near_dup": q_stream_near_dup,
     "retraction_groupby": q_retraction_groupby,
     "pattern_match": q_pattern_match,
     "absence_detect": q_absence_detect,

@@ -53,6 +53,7 @@ __all__ = [
     "AbsenceDetect",
     "IncrementalComponents",
     "IncrementalPageRank",
+    "StreamNearDup",
     "UpsertToRetract",
     "StreamJoin",
     "EnrichJoin",
@@ -857,6 +858,74 @@ class IncrementalPageRank:
 
 
 @dataclass
+class StreamNearDup:
+    """Streaming MinHash-LSH near-duplicate detection: per-block (and on
+    Dataset epochs, fully distributed) signature + band derivation, with
+    the band-bucket member registers hash-partitioned across the shards —
+    horizontal state, like every keyed table.  A new doc joining a bucket
+    is compared against the bucket's existing members (signature
+    agreement = Jaccard estimate) and pairs estimated ≥ ``threshold``
+    emit as candidate detections, incrementally, across epochs.  The
+    output is a MULTISET (one pair can fire from several bands/shards/
+    epochs) — chain ``StreamDedup`` on (id_lo, id_hi) in the SAME session
+    for exactly-once distinct pairs.  ``bucket_cap`` star-caps hot
+    boilerplate buckets (overflow docs still compare against members but
+    can't be found by later arrivals; drops logged) — the batch LSH
+    contract (stages/dedup.py).  State per doc = bands × signature bytes;
+    event-time expiry is intentionally absent (near-dup is corpus-global);
+    bound state by corpus, not time."""
+
+    name: str
+    input: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    num_perm: int = 64
+    bands: int = 16
+    shingle: int = 3
+    threshold: float = 0.9
+    bucket_cap: int = 64
+
+    def _params(self):
+        from ..stages.dedup import MinHashParams
+        return MinHashParams(num_perm=self.num_perm, bands=self.bands,
+                             shingle=self.shingle)
+
+    def points_batch(self, tbl: pa.Table, finalized_before: float
+                     ) -> tuple[dict, int]:
+        """One block → {band_bucket_bytes: [(doc_id, sig_bytes)]}."""
+        from ..stages.dedup import _P61, minhash_signatures
+
+        params = self._params()
+        sig_tbl = minhash_signatures(tbl, self.text_col, params,
+                                     self.id_col)
+        ids = sig_tbl[self.id_col].to_numpy(zero_copy_only=False)
+        sig = np.asarray(
+            sig_tbl["sig"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False),
+            dtype=np.uint64).reshape(len(sig_tbl), -1)
+        r = params.rows_per_band
+        mix = (np.arange(1, r + 1, dtype=np.uint64)
+               * np.uint64(0xC2B2AE3D27D4EB4F)) | 1
+        out: dict[bytes, list] = {}
+        for bi in range(params.bands):
+            chunk = sig[:, bi * r: (bi + 1) * r]
+            bh = (chunk * mix[None, :]).sum(axis=1) % np.uint64(_P61)
+            for j in range(len(ids)):
+                kb = _key_bytes((bi, int(bh[j])))
+                out.setdefault(kb, []).append(
+                    (int(ids[j]), sig[j].tobytes()))
+        return out, 0
+
+    def rows_to_table(self, pairs: list, epoch: int) -> pa.Table:
+        return pa.table({
+            "id_lo": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "id_hi": pa.array([p[1] for p in pairs], type=pa.int64()),
+            "est": pa.array([p[2] for p in pairs], type=pa.float64()),
+            "epoch": pa.array([epoch] * len(pairs), type=pa.int64()),
+        })
+
+
+@dataclass
 class UpsertToRetract:
     """Arrange + consolidate (the differential-dataflow changelog primitive):
     an UPSERT stream keyed by ``key`` — each row offers ``vals`` at LWW stamp
@@ -1309,7 +1378,7 @@ class StreamSession:
                     self.root / f"{op.name}__early", fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
-                             IncrementalPageRank,
+                             IncrementalPageRank, StreamNearDup,
                              UpsertToRetract, EnrichJoin, StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
@@ -1647,6 +1716,60 @@ class StreamSession:
             self.metrics["late_dropped"] += int(row["late"])
             self._max_event_time = max(self._max_event_time,
                                        float(row["max_ts"]))
+
+    def _neardup_distributed(self, op: "StreamNearDup", name: str,
+                             epoch: int, data) -> tuple[list, int]:
+        """Dataset-epoch StreamNearDup: per-block signature + band-bucket
+        derivation in ``map_batches``, ONE ``groupby(shard)`` shuffle to
+        the bucket registers, one actor call per (shard, epoch); the
+        driver collects only the emitted candidate pairs (the op's
+        output) and the drop counts."""
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        wm = self.watermark
+        threshold, cap = op.threshold, op.bucket_cap
+        from .state_store import shard_of
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            offers, _ = op.points_batch(tbl, wm)
+            sids, keys, blobs = [], [], []
+            for k, v in offers.items():
+                sids.append(shard_of(k, num_shards))
+                keys.append(k)
+                blobs.append(pickle.dumps(v,
+                                          protocol=pickle.HIGHEST_PROTOCOL))
+            return pa.table({
+                "__shard": pa.array(sids, type=pa.int64()),
+                "__key": pa.array(keys, type=pa.binary()),
+                "__acc": pa.array(blobs, type=pa.binary()),
+            })
+
+        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["__shard"].iloc[0])
+            merged: dict[bytes, list] = {}
+            for k, blob in sorted(zip(pdf["__key"], pdf["__acc"])):
+                v = pickle.loads(blob)
+                merged[k] = sorted(merged.get(k, []) + v)
+            blob = ray.get(shards[sid].apply_neardup_offers.remote(
+                name, epoch,
+                pickle.dumps(sorted(merged.items()),
+                             protocol=pickle.HIGHEST_PROTOCOL),
+                threshold, cap))
+            pairs, drops = pickle.loads(blob)
+            return pd.DataFrame({
+                "id_lo": [p[0] for p in pairs] + [-1],
+                "id_hi": [p[1] for p in pairs] + [-1],
+                "est": [p[2] for p in pairs] + [float(drops)],
+            })
+
+        rows = (data.map_batches(per_block, batch_format="pyarrow")
+                .groupby("__shard")
+                .map_groups(apply_group, batch_format="pandas")
+                .take_all())
+        pairs = sorted((int(r["id_lo"]), int(r["id_hi"]), float(r["est"]))
+                       for r in rows if r["id_lo"] >= 0)
+        drops = int(sum(r["est"] for r in rows if r["id_lo"] < 0))
+        return pairs, drops
 
     def _distributed_join_epoch(self, op: "StreamJoin", name: str, epoch: int,
                                 left, right) -> int:
@@ -2267,6 +2390,33 @@ class StreamSession:
                 out_tbl = op.rows_to_table(deltas, epoch)
                 self.sinks[name].commit_tables(
                     epoch, [out_tbl], meta=self._meta(kind="cc"))
+                emitted[name] = out_tbl
+                self.metrics["emitted_rows"] += out_tbl.num_rows
+            elif isinstance(op, StreamNearDup):
+                if op.input not in avail:
+                    continue
+                data = avail[op.input]
+                if isinstance(data, pa.Table):
+                    offers, _ = op.points_batch(data, self.watermark)
+                    pairs, drops = self.store.apply_neardup(
+                        name, epoch, offers, op.threshold, op.bucket_cap)
+                else:
+                    # distributed: signatures + band buckets derive per
+                    # block, offers ride one groupby(shard) shuffle to the
+                    # bucket registers; the driver sees only emitted pairs
+                    pairs, drops = self._neardup_distributed(
+                        op, name, epoch, data)
+                if drops:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "StreamNearDup(%s) epoch %d: %d offers dropped by "
+                        "bucket_cap=%d (hot buckets)", name, epoch, drops,
+                        op.bucket_cap)
+                out_tbl = op.rows_to_table(pairs, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [out_tbl], meta=self._meta(kind="neardup",
+                                                      drops=drops))
                 emitted[name] = out_tbl
                 self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, IncrementalPageRank):

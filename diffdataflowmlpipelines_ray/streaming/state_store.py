@@ -92,6 +92,9 @@ class StateShard:
         self._join_rid: dict[str, int] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
+        # streaming near-dup: name -> band-bucket -> [(doc_id, sig bytes)]
+        self.neardup: dict[str, dict[bytes, list]] = {}
+        self.neardup_drops: dict[str, int] = {}
         # pane-mode sliding windows: name -> last emitted sweep bound
         self.pane_bounds: dict[str, float] = {}
         # incremental connected components: name -> union-find
@@ -848,6 +851,49 @@ class StateShard:
         out = sorted((node, lab, diff) for (node, lab), diff in net.items())
         return _dumps([(d, n, lb) for n, lb, d in out])
 
+    def apply_neardup_offers(self, name: str, epoch: int,
+                             payload: bytes, threshold: float,
+                             cap: int) -> bytes:
+        """Streaming MinHash-LSH near-dup: payload = pickled
+        list[(band_bucket_bytes, [(doc_id, sig_bytes)…])].  Each bucket
+        keeps its member list (doc id + full signature); a new doc joining
+        a bucket compares signatures against the existing members
+        (agreement fraction = Jaccard estimate) and every pair estimated
+        ≥ ``threshold`` emits a candidate detection — the same pair can
+        fire from several bands (and shards), so the output is a MULTISET;
+        chain ``StreamDedup`` on (id_lo, id_hi) for exactly-once distinct
+        pairs.  Buckets cap at ``cap`` members (hot boilerplate buckets):
+        an overflow doc is still compared against the members but cannot
+        be FOUND by later arrivals in that bucket — the batch star-cap
+        contract, drops counted.  Deterministic (sorted buckets/offers)
+        and replay-idempotent via the epoch high-water mark."""
+        if self._seen(f"nd:{name}", epoch):
+            return _dumps(([], 0))
+        store = self.neardup.setdefault(name, {})
+        drops = 0
+        pairs = set()
+        for bucket, offers in pickle.loads(payload):
+            members = store.setdefault(bucket, [])
+            have = {d for d, _ in members}
+            for doc_id, sig in sorted(offers):
+                if doc_id in have:
+                    continue
+                a = np.frombuffer(sig, dtype=np.uint64)
+                for mid, msig in members:
+                    b = np.frombuffer(msig, dtype=np.uint64)
+                    est = float((a == b).mean())
+                    if est >= threshold:
+                        lo, hi = ((doc_id, mid) if doc_id < mid
+                                  else (mid, doc_id))
+                        pairs.add((lo, hi, est))
+                if len(members) < cap:
+                    members.append((doc_id, sig))
+                    have.add(doc_id)
+                else:
+                    drops += 1
+        self.neardup_drops[name] = self.neardup_drops.get(name, 0) + drops
+        return _dumps((sorted(pairs), drops))
+
     def apply_pagerank_edges(self, name: str, epoch: int, payload: bytes,
                              damping: float, tol: float, max_iters: int,
                              emit_tol: float) -> bytes:
@@ -1078,6 +1124,8 @@ class StateShard:
                 "join_lid": self._join_lid,
                 "join_rid": self._join_rid,
                 "patterns": self.patterns,
+                "neardup": self.neardup,
+                "neardup_drops": self.neardup_drops,
                 "pane_bounds": self.pane_bounds,
                 "graphs": self.graphs,
                 "applied": self.applied,
@@ -1108,6 +1156,8 @@ class StateShard:
                         self._join_rid.get(jn, 0),
                         int(right["__rid"].max()) + 1)
         self.patterns = st.get("patterns", {})
+        self.neardup = st.get("neardup", {})
+        self.neardup_drops = st.get("neardup_drops", {})
         self.pane_bounds = st.get("pane_bounds", {})
         self.graphs = st.get("graphs", {})
         applied = st["applied"]
@@ -1423,6 +1473,28 @@ class ShardedStateStore:
         blob = ray.get(self.shards[sid].apply_cc_edges.remote(
             name, epoch, _dumps(sorted(map(tuple, edges)))))
         return pickle.loads(blob)
+
+    def apply_neardup(self, name: str, epoch: int,
+                      per_bucket: dict[bytes, list], threshold: float,
+                      cap: int) -> tuple[list, int]:
+        """Scatter band-bucket offers to their shards (buckets are the
+        partition unit — horizontal state like every keyed table), gather
+        the emitted candidate pairs and the star-cap drop count."""
+        self.fence()
+        by_shard = self._scatter(sorted(per_bucket.items()))
+        refs = [
+            self.shards[sid].apply_neardup_offers.remote(
+                name, epoch, _dumps(items), threshold, cap)
+            for sid, items in by_shard.items()
+        ]
+        pairs: list = []
+        drops = 0
+        for b in ray.get(refs):
+            p, d = pickle.loads(b)
+            pairs.extend(p)
+            drops += d
+        pairs.sort()
+        return pairs, drops
 
     def apply_pagerank_edges(self, name: str, epoch: int, edges: list,
                              damping: float, tol: float, max_iters: int,

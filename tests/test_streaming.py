@@ -4524,3 +4524,114 @@ class TestRetractableMode:
         acc.merge(MinMaxAgg.from_numpy(np.array([9.0])))
         # tie 2x'2' vs 2x'9': smallest value wins deterministically
         assert _mode_finalize(acc) == {"mode_v": 2.0, "mode_n": 2}
+
+
+class TestStreamNearDup:
+    """Streaming MinHash-LSH near-dup: incremental cross-epoch detection
+    against shard-resident band-bucket registers; StreamDedup chain gives
+    exactly-once distinct pairs."""
+
+    DUP = ("the quick brown fox jumps over the lazy dog and then naps "
+           "in the warm afternoon sun near the old barn door")
+
+    @staticmethod
+    def _docs(rows):
+        ids, texts = zip(*rows)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts)})
+
+    def _mk(self, root, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            StreamDedup, StreamNearDup)
+
+        sess = StreamSession(root, num_shards=3, checkpoint_every=1)
+        sess.add(StreamNearDup(name="nd", input="docs", threshold=0.9,
+                               **kw))
+        sess.add(StreamDedup(name="pairs", input="nd",
+                             key=["id_lo", "id_hi"], ts_col="epoch"))
+        return sess
+
+    def _distinct(self, rng, n):
+        # long random token soups: pairwise similarity ~0
+        words = ["w%03d" % i for i in range(600)]
+        return [" ".join(rng.choice(words, 40)) for _ in range(n)]
+
+    def test_cross_epoch_detection_superset_and_silence(self, ray_session,
+                                                        tmp_path):
+        rng = np.random.default_rng(7)
+        others = self._distinct(rng, 6)
+        sess = self._mk(tmp_path / "a")
+        sess.process_epoch(0, {"docs": self._docs(
+            [(1, self.DUP), (10, others[0]), (11, others[1])])})
+        sess.process_epoch(1, {"docs": self._docs(
+            [(2, self.DUP), (12, others[2]), (13, others[3])])})
+        sess.process_epoch(2, {"docs": self._docs(
+            [(3, self.DUP), (14, others[4]), (15, others[5])])})
+        got = sess.sinks["pairs"].read_committed_table().to_pandas()
+        pairs = set(zip(got["id_lo"], got["id_hi"]))
+        # every identical pair detected (all bands collide: guaranteed)
+        assert {(1, 2), (1, 3), (2, 3)} <= pairs
+        # dissimilar docs never pair
+        assert all(lo in (1, 2, 3) and hi in (1, 2, 3)
+                   for lo, hi in pairs)
+        sess.store.shutdown()
+
+    def test_dataset_equals_table(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        others = self._distinct(rng, 4)
+        feeds = [self._docs([(1, self.DUP), (10, others[0]),
+                             (11, others[1])]),
+                 self._docs([(2, self.DUP), (12, others[2]),
+                             (13, others[3])])]
+        sa, sb = self._mk(tmp_path / "t"), self._mk(tmp_path / "d")
+        for e, f in enumerate(feeds):
+            sa.process_epoch(e, {"docs": f})
+            sb.process_epoch(e, {"docs": rd.from_arrow(f)})
+        cols = ["epoch", "id_lo", "id_hi", "est"]
+        a = (sa.sinks["nd"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        b = (sb.sinks["nd"].read_committed_table().to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        sa.store.shutdown()
+        sb.store.shutdown()
+
+    def test_crash_resume_no_duplicate_pairs(self, ray_session, tmp_path):
+        rng = np.random.default_rng(5)
+        others = self._distinct(rng, 3)
+        feeds = [self._docs([(1, self.DUP), (10, others[0])]),
+                 self._docs([(2, self.DUP), (11, others[1])]),
+                 self._docs([(3, self.DUP), (12, others[2])])]
+
+        def run(root, crash_after=None):
+            sess = self._mk(root)
+            start = sess.resume()
+            for e in range(start, 3):
+                sess.process_epoch(e, {"docs": feeds[e]})
+                if crash_after is not None and e == crash_after:
+                    sess.store.shutdown()
+                    return sess
+            return sess
+
+        run(tmp_path / "cr", crash_after=1)
+        s2 = run(tmp_path / "cr")
+        got = s2.sinks["pairs"].read_committed_table().to_pandas()
+        assert sorted(zip(got["id_lo"], got["id_hi"])) == [
+            (1, 2), (1, 3), (2, 3)]
+        assert s2.sinks["pairs"].verify()
+        s2.store.shutdown()
+
+    def test_bucket_cap_drops_logged_but_members_still_found(
+            self, ray_session, tmp_path):
+        # cap=1: second identical doc compares against the first (pair
+        # emitted) but is NOT retained; a third doc then only pairs with
+        # the retained first
+        sess = self._mk(tmp_path / "cap", bucket_cap=1)
+        sess.process_epoch(0, {"docs": self._docs([(1, self.DUP)])})
+        sess.process_epoch(1, {"docs": self._docs([(2, self.DUP)])})
+        sess.process_epoch(2, {"docs": self._docs([(3, self.DUP)])})
+        got = sess.sinks["pairs"].read_committed_table().to_pandas()
+        assert sorted(zip(got["id_lo"], got["id_hi"])) == [(1, 2), (1, 3)]
+        sess.store.shutdown()
