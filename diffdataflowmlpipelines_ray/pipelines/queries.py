@@ -468,6 +468,47 @@ def q_early_firing_sliding(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_early_firing_topk(sf_dir: str) -> pd.DataFrame:
+    """Speculative windowed TOP-K — the live-dashboard pattern, pure
+    composition: tumbling windows × the ``MinMaxAgg`` value arrangement ×
+    early firing.  Each epoch every touched open (key, window) emits its
+    previous top-3 as −1 and its new top-3 as +1, so a consumer's running
+    sum is always the CURRENT speculative leaderboard per window.
+    Oracle: per-epoch cumulative per-window distinct values → top-3
+    string + LAG in SQL."""
+    from ..state.aggregates import MinMaxAgg
+
+    tbl = _read_table(sf_dir, "events",
+                      ["event_id", "event_type", "ts", "value"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    feed = pa.table({
+        "event_type": tbl["event_type"],
+        "vc": pa.array(_half_away(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ), type=pa.float64()),
+        "ts": tbl["ts"],
+    })
+    sess = StreamSession(_tmp("eftk"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="wt", input="e", key_cols=["event_type"], value_col="vc",
+        ts_col="ts", window=WindowSpec.tumbling(3600.0),
+        make_acc=MinMaxAgg.from_numpy, finalize=_topk3_finalize,
+        aggs=(), early_firing=True))
+    try:
+        for e in range(3):  # watermark never advances: all windows open
+            sess.process_epoch(e, {"e": feed.filter(pa.array(eid % 3 == e))})
+        df = sess.sinks["wt__early"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    df = df.drop(columns=["window_end"])
+    df = _round(df, ["window_start"])
+    return (df[["diff", "event_type", "window_start", "topk", "epoch"]]
+            .sort_values(["epoch", "event_type", "window_start", "diff"])
+            .reset_index(drop=True))
+
+
 def q_lineage_audit(sf_dir: str) -> pd.DataFrame:
     """The per-partition lineage surface, verified against ground truth:
     each epoch commits with a caller-stamped lineage record (source +
@@ -4239,6 +4280,7 @@ QUERIES = {
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
     "early_firing_sliding": q_early_firing_sliding,
+    "early_firing_topk": q_early_firing_topk,
     "retractable_session": q_retractable_session,
     "session_early_firing": q_session_early_firing,
     "lineage_audit": q_lineage_audit,
@@ -4556,6 +4598,51 @@ ORACLES = {
                CAST(epoch AS BIGINT)
         FROM tr WHERE p_c IS NOT NULL
           AND (count IS DISTINCT FROM p_c OR sum IS DISTINCT FROM p_s)
+        ORDER BY epoch, event_type, window_start, diff
+    """,
+    "early_firing_topk": """
+        WITH u AS (
+            SELECT event_type AS g,
+                   floor(epoch(ts) / 3600) * 3600 AS ws,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                   event_id % 3 AS e
+            FROM events
+        ),
+        vals AS MATERIALIZED (
+            SELECT DISTINCT ep.ep AS epoch, u.g, u.ws, u.vc
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        ranked AS (
+            SELECT epoch, g, ws, vc, ROW_NUMBER() OVER (
+                PARTITION BY epoch, g, ws ORDER BY vc DESC) AS r
+            FROM vals
+        ),
+        tk AS MATERIALIZED (
+            SELECT epoch, g, ws,
+                   STRING_AGG(CAST(vc AS VARCHAR), ',' ORDER BY vc DESC)
+                       AS topk
+            FROM ranked WHERE r <= 3 GROUP BY epoch, g, ws
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gw.g, gw.ws
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT g, ws FROM u) gw
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, grid.ws, tk.topk,
+                   LAG(tk.topk) OVER (PARTITION BY grid.g, grid.ws
+                                      ORDER BY grid.epoch) AS p_tk
+            FROM grid LEFT JOIN tk USING (epoch, g, ws)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g AS event_type,
+               ROUND(ws, 6) AS window_start, topk,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE topk IS NOT NULL AND topk IS DISTINCT FROM p_tk
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, ROUND(ws, 6), p_tk,
+               CAST(epoch AS BIGINT)
+        FROM tr WHERE p_tk IS NOT NULL AND topk IS DISTINCT FROM p_tk
         ORDER BY epoch, event_type, window_start, diff
     """,
     "early_firing_sliding": """

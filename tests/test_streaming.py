@@ -4635,3 +4635,33 @@ class TestStreamNearDup:
         got = sess.sinks["pairs"].read_committed_table().to_pandas()
         assert sorted(zip(got["id_lo"], got["id_hi"])) == [(1, 2), (1, 3)]
         sess.store.shutdown()
+
+
+class TestEarlyFiringTopK:
+    def test_speculative_leaderboard(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _topk3_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        sess = StreamSession(tmp_path / "tk", num_shards=2)
+        sess.add(KeyedAggregation(
+            name="wt", input="e", key_cols=["g"], value_col="v",
+            ts_col="ts", window=WindowSpec.tumbling(100.0),
+            make_acc=MinMaxAgg.from_numpy, finalize=_topk3_finalize,
+            aggs=(), early_firing=True))
+
+        def t(vals):
+            return pa.table({"g": pa.array([1] * len(vals), pa.int64()),
+                             "v": pa.array([float(v) for v in vals]),
+                             "ts": pa.array([5.0] * len(vals))})
+
+        e0 = sess.process_epoch(0, {"e": t([10, 30, 20])})["wt__early"]
+        assert e0["topk"].to_pylist() == ["30,20,10"]
+        # a new max enters: previous leaderboard retracted, new added
+        e1 = sess.process_epoch(1, {"e": t([99])})["wt__early"]
+        got = sorted(zip(e1["diff"].to_pylist(), e1["topk"].to_pylist()))
+        assert got == [(-1, "30,20,10"), (1, "99,30,20")]
+        # a sub-top-3 value changes nothing visible
+        e2 = sess.process_epoch(2, {"e": t([1])})["wt__early"]
+        assert e2.num_rows == 0
+        sess.store.shutdown()
