@@ -95,6 +95,11 @@ class StateShard:
         # streaming near-dup: name -> band-bucket -> [(doc_id, sig bytes)]
         self.neardup: dict[str, dict[bytes, list]] = {}
         self.neardup_drops: dict[str, int] = {}
+        # last emitted (epoch, blob) per op: a RETRIED distributed group
+        # task re-calls the apply and must get the SAME pairs back, not an
+        # empty replay — its first result died with the failed task
+        # (transient; driver-level resume recomputes epochs fresh)
+        self.neardup_last: dict[str, tuple] = {}
         # pane-mode sliding windows: name -> last emitted sweep bound
         self.pane_bounds: dict[str, float] = {}
         # incremental connected components: name -> union-find
@@ -868,6 +873,9 @@ class StateShard:
         contract, drops counted.  Deterministic (sorted buckets/offers)
         and replay-idempotent via the epoch high-water mark."""
         if self._seen(f"nd:{name}", epoch):
+            cached = self.neardup_last.get(name)
+            if cached is not None and cached[0] == epoch:
+                return cached[1]
             return _dumps(([], 0))
         store = self.neardup.setdefault(name, {})
         drops = 0
@@ -892,7 +900,9 @@ class StateShard:
                 else:
                     drops += 1
         self.neardup_drops[name] = self.neardup_drops.get(name, 0) + drops
-        return _dumps((sorted(pairs), drops))
+        blob = _dumps((sorted(pairs), drops))
+        self.neardup_last[name] = (epoch, blob)
+        return blob
 
     def apply_pagerank_edges(self, name: str, epoch: int, payload: bytes,
                              damping: float, tol: float, max_iters: int,
@@ -1158,6 +1168,7 @@ class StateShard:
         self.patterns = st.get("patterns", {})
         self.neardup = st.get("neardup", {})
         self.neardup_drops = st.get("neardup_drops", {})
+        self.neardup_last = {}  # cache is per-lifetime; state just rewound
         self.pane_bounds = st.get("pane_bounds", {})
         self.graphs = st.get("graphs", {})
         applied = st["applied"]

@@ -4665,3 +4665,31 @@ class TestEarlyFiringTopK:
         e2 = sess.process_epoch(2, {"e": t([1])})["wt__early"]
         assert e2.num_rows == 0
         sess.store.shutdown()
+
+
+class TestNearDupRetrySafety:
+    def test_retried_apply_returns_identical_pairs(self):
+        """A retried distributed group task re-calls the shard apply for
+        the same epoch; it must get the SAME pairs back (its first result
+        died with the failed task), not an empty replay."""
+        import pickle as p
+
+        from diffdataflowmlpipelines_ray.streaming.state_store import (
+            StateShard)
+
+        shard = StateShard(0, 1)
+        sig_a = np.arange(64, dtype=np.uint64).tobytes()
+        payload = p.dumps(
+            [(b"bucket", [(1, sig_a), (2, sig_a)])],
+            protocol=p.HIGHEST_PROTOCOL)
+        first = shard.apply_neardup_offers("nd", 0, payload, 0.9, 64)
+        again = shard.apply_neardup_offers("nd", 0, payload, 0.9, 64)
+        assert first == again
+        pairs, _ = p.loads(first)
+        assert [(lo, hi) for lo, hi, _ in pairs] == [(1, 2)]
+        # a LATER epoch's replay of an OLD epoch stays empty (sink owns it)
+        shard.apply_neardup_offers("nd", 1, p.dumps(
+            [(b"bucket", [(3, sig_a)])], protocol=p.HIGHEST_PROTOCOL),
+            0.9, 64)
+        stale = shard.apply_neardup_offers("nd", 0, payload, 0.9, 64)
+        assert p.loads(stale) == ([], 0)
