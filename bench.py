@@ -94,7 +94,8 @@ def run_bench() -> dict:
         "retractable_session", "cdc_tfidf", "session_early_firing",
         "cdc_ann", "early_firing_sliding", "incremental_pagerank",
         "windowed_stream_join", "retractable_quantile",
-        "retractable_mode", "stream_near_dup", "early_firing_topk")
+        "retractable_mode", "stream_near_dup", "early_firing_topk",
+        "retractable_stringagg")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -1914,6 +1914,62 @@ def q_retractable_mode(sf_dir: str) -> pd.DataFrame:
             .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
 
 
+def _stringagg_finalize(a) -> dict:
+    """MinMaxAgg value→count map → ordered concat of the live multiset
+    (each value repeated by its net count, ascending — DuckDB
+    STRING_AGG(… ORDER BY v) over the live rows)."""
+    parts = []
+    for v, c in sorted(a.counts.items()):
+        if c > 0:
+            parts.extend([str(int(v))] * c)
+    return {"agg": ",".join(parts)}
+
+
+def q_retractable_stringagg(sf_dir: str) -> pd.DataFrame:
+    """Retractable grouped STRING_AGG — the order-sensitive multiset
+    concat from the value→count arrangement: deletes remove exactly their
+    copies from the concatenation, duplicates keep their multiplicity.
+    Oracle: per-epoch cumulative live state + STRING_AGG(ORDER BY) + LAG
+    in SQL."""
+    from ..state.aggregates import MinMaxAgg
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    v = np.floor(_half_away(
+        tbl["o_totalprice"].to_numpy(zero_copy_only=False)) / 10000.0)
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(v, type=pa.float64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("rsa"), num_shards=4)
+    sess.add(UpsertToRetract(
+        name="chg", input="u", key=["k"], vals=["v", "g"],
+        key_types=[pa.int64()], val_types=[pa.float64(), pa.int64()],
+        ts_col="ts", delete_col="del"))
+    sess.add(KeyedAggregation(
+        name="sa", input="chg", key_cols=["g"], value_col="v",
+        weight_col="diff", make_acc=MinMaxAgg.from_numpy,
+        finalize=_stringagg_finalize, aggs=(), emit_changelog=True))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        df = sess.sinks["sa"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    for c in ("diff", "g", "epoch"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["diff", "g", "agg", "epoch"]]
+            .sort_values(["epoch", "g", "diff"]).reset_index(drop=True))
+
+
 def _ndistinct_finalize(a) -> dict:
     """MinMaxAgg value→count map → number of live distinct values."""
     return {"nd": sum(1 for c in a.counts.values() if c > 0)}
@@ -4316,6 +4372,7 @@ QUERIES = {
     "retractable_median": q_retractable_median,
     "retractable_quantile": q_retractable_quantile,
     "retractable_mode": q_retractable_mode,
+    "retractable_stringagg": q_retractable_stringagg,
     "retractable_ndistinct": q_retractable_ndistinct,
     "stream_full_outer_join": q_stream_full_outer_join,
     "changelog_compact": q_changelog_compact,
@@ -5206,6 +5263,47 @@ ORACLES = {
         UNION ALL
         SELECT CAST(-1 AS BIGINT), g, p_med, CAST(epoch AS BIGINT)
         FROM tr WHERE p_med IS NOT NULL AND med IS DISTINCT FROM p_med
+        ORDER BY epoch, g, diff
+    """,
+    "retractable_stringagg": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   floor(ROUND(o_totalprice) / 10000.0) AS v,
+                   o_orderkey AS stamp,
+                   o_orderkey % 3 AS e,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS MATERIALIZED (
+            SELECT ep.ep AS epoch, u.k, u.v, u.is_del,
+                   ROW_NUMBER() OVER (PARTITION BY ep.ep, u.k
+                                      ORDER BY u.stamp DESC) AS rn
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            JOIN u ON u.e <= ep.ep
+        ),
+        state AS MATERIALIZED (
+            SELECT epoch, k % 10 AS g,
+                   STRING_AGG(CAST(CAST(v AS BIGINT) AS VARCHAR), ','
+                              ORDER BY v) AS agg
+            FROM latest WHERE rn = 1 AND NOT is_del GROUP BY epoch, g
+        ),
+        grid AS MATERIALIZED (
+            SELECT ep.ep AS epoch, gs.g
+            FROM (SELECT UNNEST([0, 1, 2]) AS ep) ep
+            CROSS JOIN (SELECT DISTINCT k % 10 AS g FROM u) gs
+        ),
+        tr AS MATERIALIZED (
+            SELECT grid.epoch, grid.g, s.agg,
+                   LAG(s.agg) OVER (PARTITION BY grid.g
+                                    ORDER BY grid.epoch) AS p_agg
+            FROM grid LEFT JOIN state s USING (epoch, g)
+        )
+        SELECT CAST(1 AS BIGINT) AS diff, g, agg,
+               CAST(epoch AS BIGINT) AS epoch
+        FROM tr WHERE agg IS NOT NULL AND agg IS DISTINCT FROM p_agg
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), g, p_agg, CAST(epoch AS BIGINT)
+        FROM tr WHERE p_agg IS NOT NULL AND agg IS DISTINCT FROM p_agg
         ORDER BY epoch, g, diff
     """,
     "retractable_mode": """

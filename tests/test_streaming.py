@@ -4693,3 +4693,17 @@ class TestNearDupRetrySafety:
             0.9, 64)
         stale = shard.apply_neardup_offers("nd", 0, payload, 0.9, 64)
         assert p.loads(stale) == ([], 0)
+
+
+class TestRetractableStringAgg:
+    def test_delete_removes_exact_copies(self):
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _stringagg_finalize)
+        from diffdataflowmlpipelines_ray.state.aggregates import MinMaxAgg
+
+        acc = MinMaxAgg.from_numpy(np.array([3.0, 1.0, 3.0, 2.0]))
+        assert _stringagg_finalize(acc) == {"agg": "1,2,3,3"}
+        neg = MinMaxAgg.from_numpy(np.array([3.0]))
+        neg.negate()
+        acc.merge(neg)  # one copy of 3 retracts; the other stays
+        assert _stringagg_finalize(acc) == {"agg": "1,2,3"}
