@@ -906,14 +906,20 @@ class StreamNearDup:
         r = params.rows_per_band
         mix = (np.arange(1, r + 1, dtype=np.uint64)
                * np.uint64(0xC2B2AE3D27D4EB4F)) | 1
+        sig_bytes = [row.tobytes() for row in sig]  # once per doc
         out: dict[bytes, list] = {}
         for bi in range(params.bands):
             chunk = sig[:, bi * r: (bi + 1) * r]
             bh = (chunk * mix[None, :]).sum(axis=1) % np.uint64(_P61)
-            for j in range(len(ids)):
-                kb = _key_bytes((bi, int(bh[j])))
-                out.setdefault(kb, []).append(
-                    (int(ids[j]), sig[j].tobytes()))
+            # group rows by band hash: one key / one list per BUCKET
+            order = np.argsort(bh, kind="stable")
+            sh = bh[order]
+            cuts = np.concatenate(
+                [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]])
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                kb = _key_bytes((bi, int(sh[s])))
+                out.setdefault(kb, []).extend(
+                    (int(ids[j]), sig_bytes[j]) for j in order[s:e])
         return out, 0
 
     def rows_to_table(self, pairs: list, epoch: int) -> pa.Table:

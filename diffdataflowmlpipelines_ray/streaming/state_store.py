@@ -883,20 +883,30 @@ class StateShard:
         for bucket, offers in pickle.loads(payload):
             members = store.setdefault(bucket, [])
             have = {d for d, _ in members}
+            # one (members × perms) matrix per bucket per call: each offer
+            # compares against ALL members in one vectorized pass (hot
+            # boilerplate buckets would otherwise pay a per-member loop)
+            mat = (np.frombuffer(b"".join(s for _, s in members),
+                                 dtype=np.uint64).reshape(len(members), -1)
+                   if members else None)
+            mids = [d for d, _ in members]
             for doc_id, sig in sorted(offers):
                 if doc_id in have:
                     continue
                 a = np.frombuffer(sig, dtype=np.uint64)
-                for mid, msig in members:
-                    b = np.frombuffer(msig, dtype=np.uint64)
-                    est = float((a == b).mean())
-                    if est >= threshold:
+                if mat is not None and len(mat):
+                    est = (mat == a[None, :]).mean(axis=1)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        mid = mids[int(j)]
                         lo, hi = ((doc_id, mid) if doc_id < mid
                                   else (mid, doc_id))
-                        pairs.add((lo, hi, est))
+                        pairs.add((lo, hi, float(est[int(j)])))
                 if len(members) < cap:
                     members.append((doc_id, sig))
                     have.add(doc_id)
+                    mat = (a[None, :] if mat is None
+                           else np.vstack([mat, a[None, :]]))
+                    mids.append(doc_id)
                 else:
                     drops += 1
         self.neardup_drops[name] = self.neardup_drops.get(name, 0) + drops
