@@ -4707,3 +4707,53 @@ class TestRetractableStringAgg:
         neg.negate()
         acc.merge(neg)  # one copy of 3 retracts; the other stays
         assert _stringagg_finalize(acc) == {"agg": "1,2,3"}
+
+
+class TestEnrichJoinVectorValues:
+    """Feature-store pattern: EnrichJoin attaches EMBEDDING (list<float>)
+    dim values to a stream — LWW registers hold vectors (array-safe since
+    the cdc_ann work), updates and tombstones behave like scalar dims."""
+
+    def test_embedding_enrichment_with_update_and_delete(self, ray_session,
+                                                         tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "fe", num_shards=2)
+        sess.add(EnrichJoin(
+            name="en", dim_input="dim", stream_input="ev", key=["k"],
+            dim_vals=["emb"], stream_cols=["x"],
+            dim_types=[pa.list_(pa.float32())], dim_delete_col="del"))
+
+        def dim(rows):
+            ks, vecs, ts, dels = zip(*rows)
+            return pa.table({
+                "k": pa.array(ks, type=pa.int64()),
+                "emb": pa.array([None if v is None else list(v)
+                                 for v in vecs],
+                                type=pa.list_(pa.float32())),
+                "ts": pa.array([float(t) for t in ts]),
+                "del": pa.array(list(dels))})
+
+        def ev(ks):
+            return pa.table({"k": pa.array(ks, type=pa.int64()),
+                             "x": pa.array(range(len(ks)), pa.int64())})
+
+        def committed(e):
+            t = sess.sinks["en"].read_committed_table([e])
+            return {k: v for k, v in zip(t["k"].to_pylist(),
+                                         t["emb"].to_pylist())}
+
+        v1, v2 = [1.0, 2.0, 3.0], [9.0, 8.0, 7.0]
+        sess.process_epoch(0, {"dim": dim([(1, v1, 1.0, False)]),
+                               "ev": ev([1, 2])})
+        got = committed(0)
+        assert got[1] == v1 and got[2] is None  # unmatched key → null vec
+        # update the vector (later stamp): visible to the same epoch's events
+        sess.process_epoch(1, {"dim": dim([(1, v2, 5.0, False)]),
+                               "ev": ev([1])})
+        assert committed(1) == {1: v2}
+        # tombstone: the key reads as a miss again
+        sess.process_epoch(2, {"dim": dim([(1, None, 9.0, True)]),
+                               "ev": ev([1])})
+        assert committed(2) == {1: None}
+        sess.store.shutdown()
