@@ -600,6 +600,55 @@ def q_resume_replay(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_rescale_resume(sf_dir: str) -> pd.DataFrame:
+    """Savepoint RESCALE verified against SQL ground truth: a session with 2
+    state shards processes two epochs of the tumbling-window pipeline and
+    dies; a NEW session built with 5 shards restores the same checkpoint —
+    ``rescale_blobs`` re-buckets every key's accumulator to the 5-shard
+    routing (Flink's savepoint --rescale; the state-side half of the north
+    rule's "run at N and 4N nodes") — replays the last epoch (exactly-once
+    no-op) and finishes the stream.  The result must equal the batch GROUP
+    BY over ALL events: a key routed to the wrong shard after rescale
+    double-counts or drops and breaks the oracle."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_type", "ts", "value"]).sort_by("ts")
+    root = _tmp("rescl")
+    parts = _epoch_split(tbl, 3)
+
+    def mkop():
+        return KeyedAggregation(
+            name="win", input="events", key_cols=["event_type"],
+            value_col="value", ts_col="ts", aggs=("count", "sum"),
+            window=WindowSpec.tumbling(3600.0), make_acc=_cents_acc,
+            finalize=lambda a: {"count": a.count, "sum": a.s / 100.0})
+
+    def wm(part):
+        return float(np.max(part["ts"].to_numpy()
+                            .astype("datetime64[us]")
+                            .astype(np.int64)) / 1e6)
+
+    s1 = StreamSession(root, num_shards=2, checkpoint_every=1)
+    s1.add(mkop())
+    for e in range(2):
+        s1.process_epoch(e, {"events": parts[e]}, watermark=wm(parts[e]))
+    s1.store.shutdown()  # crash
+    s2 = StreamSession(root, num_shards=5, checkpoint_every=1)  # RESCALED
+    s2.add(mkop())
+    nxt = s2.resume()
+    assert nxt == 2, nxt
+    try:
+        s2.process_epoch(1, {"events": parts[1]}, watermark=wm(parts[1]))
+        s2.process_epoch(2, {"events": parts[2]}, watermark=wm(parts[2]))
+        s2.close(3)
+        df = s2.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if s2.store.shards:
+            s2.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
 def q_tumbling_minmax(sf_dir: str) -> pd.DataFrame:
     """Tumbling windows with min/max aggregates — exercises the invertible
     extremes tracking (MinMaxAgg) inside windowed state."""
@@ -4341,6 +4390,7 @@ QUERIES = {
     "session_early_firing": q_session_early_firing,
     "lineage_audit": q_lineage_audit,
     "resume_replay": q_resume_replay,
+    "rescale_resume": q_rescale_resume,
     "tumbling_minmax": q_tumbling_minmax,
     "stream_union": q_stream_union,
     "sliding_window": q_sliding_window,
@@ -4751,6 +4801,13 @@ ORACLES = {
         FROM orders GROUP BY epoch ORDER BY epoch
     """,
     "resume_replay": """
+        SELECT event_type,
+               ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               sum(round(value * 100)) / 100.0 AS sum
+        FROM events GROUP BY event_type, window_start
+    """,
+    "rescale_resume": """
         SELECT event_type,
                ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
                count(*)::BIGINT AS count,

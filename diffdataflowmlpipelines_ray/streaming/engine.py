@@ -28,6 +28,7 @@ Data path per epoch:
 from __future__ import annotations
 
 import json
+import logging
 import math
 import pickle
 from dataclasses import dataclass
@@ -43,7 +44,7 @@ import ray
 
 from ..state.aggregates import SumCountAgg
 from .sink import CheckpointManager, ExactlyOnceParquetSink
-from .state_store import ShardedStateStore, shard_of
+from .state_store import ShardedStateStore, rescale_blobs, shard_of
 
 __all__ = [
     "WindowSpec",
@@ -1411,6 +1412,14 @@ class StreamSession:
         if latest is None:
             return 0
         blobs, extra = self.chk.load(latest)
+        if set(blobs) != set(range(self.store.num_shards)):
+            # savepoint rescale: the checkpoint was taken at a different
+            # shard count — re-bucket every keyed family with this
+            # session's routing rule before loading (see rescale_blobs)
+            logging.getLogger(__name__).info(
+                "resume: rescaling checkpoint from %d to %d shards",
+                len(blobs), self.store.num_shards)
+            blobs = rescale_blobs(blobs, self.store.num_shards)
         self.store.load_all(blobs)
         self.watermark = extra.get("watermark", -math.inf)
         self.last_epoch = latest

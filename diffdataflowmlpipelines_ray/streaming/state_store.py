@@ -35,7 +35,7 @@ import numpy as np
 
 import ray
 
-__all__ = ["StateShard", "ShardedStateStore", "shard_of"]
+__all__ = ["StateShard", "ShardedStateStore", "shard_of", "rescale_blobs"]
 
 
 def shard_of(key_bytes: bytes, num_shards: int) -> int:
@@ -1013,6 +1013,9 @@ class StateShard:
         if self._seen(f"join:{name}", epoch):
             return _dumps(None)
         buf = self.joins.setdefault(name, {"left": None, "right": None})
+        # remember the key columns in the checkpointed buffer: rescale-on-
+        # resume re-partitions buffered rows by hash(key cols) % new_shards
+        buf["lk"], buf["rk"] = lk, rk
         nl = sides.get("left")
         nr = sides.get("right")
         # per-left-row identity + matched flag: the outer-join sweep
@@ -1121,8 +1124,8 @@ class StateShard:
         if buf is None:
             return 0
         dropped = 0
-        for side in list(buf.keys()):
-            df = buf[side]
+        for side in ("left", "right"):
+            df = buf.get(side)
             if df is None:
                 continue
             ts_col = f"__ts_{side}"
@@ -1196,7 +1199,9 @@ class StateShard:
             "session_keys": {n: len(d) for n, d in self.sessions.items()},
             "pattern_keys": {n: len(d) for n, d in self.patterns.items()},
             "join_keys": {
-                n: {s: len(d) for s, d in sides.items()} for n, sides in self.joins.items()
+                n: {s: len(sides[s]) for s in ("left", "right")
+                    if sides.get(s) is not None}
+                for n, sides in self.joins.items()
             },
         }
 
@@ -1605,3 +1610,135 @@ class ShardedStateStore:
         for s in self.shards:
             ray.kill(s, no_restart=True)
         self.shards = []
+
+
+# --------------------------------------------------------------- rescale
+def _applied_mark(v) -> int:
+    """Normalize an applied-epoch entry (older set format tolerated)."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, set) and v:
+        return max(v)
+    return -1
+
+
+def rescale_blobs(blobs: dict[int, bytes], new_num_shards: int) -> dict[int, bytes]:
+    """Re-partition checkpointed shard state to a DIFFERENT shard count.
+
+    The savepoint-rescale operation (Flink's ``savepoint --rescale``, the
+    "run at N and 4N nodes" contract of the north rule applied to STATE):
+    a checkpoint taken with N shards loads into a session built with M
+    shards by re-bucketing every keyed family with the same routing rule a
+    fresh M-shard run would use — so post-resume traffic finds each key's
+    accumulator exactly where the scatter will send its next delta:
+
+    - ``aggs`` / ``sessions`` / ``session_points`` / ``session_early`` /
+      ``patterns``: key_bytes → ``shard_of(key, M)`` (the `_scatter` rule)
+    - ``neardup``: band-bucket bytes → ``shard_of(bucket, M)``; bucket
+      member lists move whole (arrival-order semantics preserved)
+    - join buffers: rows re-split by ``hash_pandas_object(key cols) % M``
+      (the ``shard_payloads`` rule); the key columns ride in the
+      checkpointed buffer (``lk``/``rk``).  Per-row outer-join identity
+      tags (``__lid``/``__rid``) are renumbered per target shard — they
+      are opaque uniqueness tags, only the ``__matched`` flags carry
+      semantics — and the shard counters resume above them
+    - ``graphs`` (incremental CC / PageRank): whole graph to its
+      designated shard ``shard_of(name, M)``
+    - ``applied`` high-water marks: per-table max across sources,
+      replicated to every target shard (replays below the resume floor
+      are no-ops against the sink's committed manifests anyway)
+    - ``pane_bounds``: per-name max, replicated (sweeps broadcast the
+      same bound to all shards in a fresh run)
+
+    Pure function over blob bytes — no actors touched; the caller loads
+    the result with ``ShardedStateStore.load_all``.
+    """
+    import pandas as pd
+
+    m = new_num_shards
+    states = [pickle.loads(b) for _, b in sorted(blobs.items())]
+    out: list[dict] = [
+        {
+            "shard_id": i,
+            "aggs": {}, "sessions": {}, "session_points": {},
+            "session_early": {}, "joins": {}, "join_lid": {},
+            "join_rid": {}, "patterns": {}, "neardup": {},
+            "neardup_drops": {}, "pane_bounds": {}, "graphs": {},
+            "applied": {},
+        }
+        for i in range(m)
+    ]
+
+    for fam in ("aggs", "sessions", "session_points", "session_early",
+                "patterns", "neardup"):
+        for st in states:
+            for name, d in (st.get(fam) or {}).items():
+                for k, v in d.items():
+                    out[shard_of(k, m)][fam].setdefault(name, {})[k] = v
+
+    # graphs: one logical graph per name on its designated shard
+    for st in states:
+        for name, g in (st.get("graphs") or {}).items():
+            if g:
+                out[shard_of(name.encode(), m)]["graphs"][name] = g
+
+    # scalar families: max / sum, replicated or designated
+    applied: dict[str, int] = {}
+    panes: dict[str, float] = {}
+    drops: dict[str, int] = {}
+    for st in states:
+        for t, v in (st.get("applied") or {}).items():
+            applied[t] = max(applied.get(t, -1), _applied_mark(v))
+        for t, v in (st.get("pane_bounds") or {}).items():
+            panes[t] = max(panes.get(t, -float("inf")), v)
+        for t, v in (st.get("neardup_drops") or {}).items():
+            drops[t] = drops.get(t, 0) + int(v)
+    for o in out:
+        o["applied"] = dict(applied)
+        o["pane_bounds"] = dict(panes)
+    for t, v in drops.items():
+        out[shard_of(t.encode(), m)]["neardup_drops"][t] = v
+
+    # join buffers: re-split rows by the shard_payloads hash rule
+    for st in states:
+        for name, buf in (st.get("joins") or {}).items():
+            keys_of = {"left": buf.get("lk"), "right": buf.get("rk")}
+            for side in ("left", "right"):
+                df = buf.get(side)
+                if df is None or not len(df):
+                    continue
+                keys = keys_of[side]
+                if not keys:
+                    raise ValueError(
+                        f"cannot rescale join '{name}': checkpoint predates "
+                        "key-column tracking (re-checkpoint at the old shard "
+                        "count first)")
+                h = pd.util.hash_pandas_object(
+                    df[list(keys)], index=False).to_numpy()
+                sid = (h % np.uint64(m)).astype(np.int64)
+                for s in np.unique(sid):
+                    tbuf = out[int(s)]["joins"].setdefault(
+                        name, {"left": None, "right": None,
+                               "lk": buf.get("lk"), "rk": buf.get("rk")})
+                    part = df[sid == s]
+                    tbuf[side] = (part if tbuf[side] is None
+                                  else pd.concat([tbuf[side], part]))
+    for o in out:
+        for name, buf in o["joins"].items():
+            for side, idc, ctr in (("left", "__lid", "join_lid"),
+                                   ("right", "__rid", "join_rid")):
+                df = buf.get(side)
+                if df is None:
+                    continue
+                df = df.reset_index(drop=True)
+                if idc in df.columns:
+                    # deterministic order, then fresh contiguous ids: the
+                    # tags only need uniqueness within (shard, name)
+                    df = df.sort_values(
+                        [f"__ts_{side}", idc], kind="stable"
+                    ).reset_index(drop=True)
+                    df[idc] = np.arange(len(df), dtype=np.int64)
+                    o[ctr][name] = len(df)
+                buf[side] = df
+
+    return {i: _dumps(o) for i, o in enumerate(out)}
