@@ -1443,6 +1443,54 @@ def q_upsert_changelog(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Time-travel read of the exactly-once changelog sink
+    (``snapshot_at``): the orders CDC upsert stream flows through
+    UpsertToRetract for 3 epochs, the first two epochs are then
+    CONSOLIDATED into a net snapshot (history compaction), and the query
+    reads the live table AS OF epoch 1 — the state a consumer that
+    stopped at epoch 1 held — straight from the durable manifests.
+    Travel BELOW the consolidation horizon (epoch 0) correctly raises:
+    that granularity was traded away, never silently approximated.
+    Oracle: LWW winners among the first two epoch slices, tombstones
+    excluded."""
+    from ..streaming.engine import StreamSession, UpsertToRetract
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("ttrav"), num_shards=4)
+    sess.add(UpsertToRetract(name="chg", input="u", key=["k"], vals=["v"],
+                             key_types=[pa.int64()], val_types=[pa.int64()],
+                             ts_col="ts", delete_col="del"))
+    try:
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+        sink = sess.sinks["chg"]
+        res = sink.consolidate(upto_epoch=1)
+        assert res["consolidated_epochs"] == 2, res
+        try:
+            sink.snapshot_at(0)
+            raise AssertionError("snapshot below the consolidation "
+                                 "horizon must raise")
+        except ValueError:
+            pass
+        snap = sink.snapshot_at(1).to_pandas()
+    finally:
+        sess.store.shutdown()
+    return (snap.sort_values(["k", "v"]).reset_index(drop=True)
+            [["k", "v", "diff"]])
+
+
 def q_cdc_groupby(sf_dir: str) -> pd.DataFrame:
     """The namesake differential-dataflow composition, via IN-SESSION
     CHAINING: UpsertToRetract("chg") turns the orders CDC upsert stream into
@@ -4410,6 +4458,7 @@ QUERIES = {
     "incremental_components": q_incremental_components,
     "incremental_pagerank": q_incremental_pagerank,
     "upsert_changelog": q_upsert_changelog,
+    "time_travel": q_time_travel,
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
@@ -5022,6 +5071,20 @@ ORACLES = {
     "incremental_components": """
         SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
         FROM documents WHERE doc_id % 10 <= 4
+    """,
+    "time_travel": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders WHERE o_orderkey % 3 <= 1
+        ),
+        win AS (SELECT k, MAX(stamp) AS s FROM u GROUP BY k)
+        SELECT u.k, u.v, CAST(1 AS BIGINT) AS diff
+        FROM u JOIN win ON u.k = win.k AND u.stamp = win.s
+        WHERE NOT u.is_del
+        ORDER BY u.k, u.v
     """,
     "upsert_changelog": """
         WITH u AS (

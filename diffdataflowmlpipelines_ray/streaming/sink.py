@@ -335,6 +335,78 @@ class ExactlyOnceParquetSink:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="default")
 
+    def snapshot_at(self, epoch: int, diff_col: str = "diff",
+                    exclude_cols: tuple = ("epoch",),
+                    as_dataset: bool = False):
+        """Time-travel read: the NET live table *as of* ``epoch`` — the
+        running ``SUM(diff_col)`` per distinct row over every committed
+        epoch ≤ ``epoch``, net ≠ 0 only.  For a changelog sink this is the
+        exact historical state any consumer that stopped reading at that
+        epoch would hold; the per-epoch manifests (and the row-group-exact
+        reads through legacy compactions) make it reproducible after the
+        fact, restart-safe, with no engine state.
+
+        History limits are explicit, never silent: a consolidation whose
+        cover extends PAST the requested epoch has traded that granularity
+        away (``consolidate`` docs) and raises, as does retention-expired
+        history below the horizon — a time-travel read must be the exact
+        state, not a best effort.  ``as_dataset=True`` computes the net as
+        a Ray Dataset groupby (one shuffle) for histories too large to net
+        on the driver."""
+        import pyarrow.compute as pc
+
+        eps = [e for e in self.committed_epochs() if e <= epoch]
+        owner = self._consolidation_owner()
+        for e in eps:
+            cm = owner.get(e)
+            if cm is not None:
+                beyond = sorted(int(c) for c in cm["covers"]
+                                if int(c) > epoch)
+                if beyond:
+                    raise ValueError(
+                        f"epoch {e} was consolidated into {cm['id']} "
+                        f"together with later epochs {beyond}; history at "
+                        f"epoch {epoch} is gone — snapshot at ≥ "
+                        f"{beyond[-1]}, or consolidate only up to the "
+                        "epochs you still need to travel to")
+                continue  # consolidation owns this epoch's read (its
+                # manifest may be GC-flipped; the net snapshot is exact)
+            if self.manifest(e).get("expired"):
+                raise ValueError(
+                    f"epoch {e} ≤ {epoch} was retention-expired; the "
+                    f"snapshot at {epoch} would be incomplete")
+
+        def net_of(tbl: pa.Table, diff_type, names) -> pa.Table:
+            scol = f"{diff_col}_sum"
+            tbl = tbl.filter(pc.not_equal(tbl[scol], 0))
+            cols = {n: tbl[n] for n in tbl.column_names if n != scol}
+            cols[diff_col] = tbl[scol].cast(diff_type)
+            return pa.table({n: cols[n] for n in names if n in cols})
+
+        if as_dataset:
+            ds = self.read_committed(eps)
+            schema = ds.schema()
+            names = list(schema.names)
+            diff_type = schema.base_schema.field(diff_col).type
+            keys = [c for c in names
+                    if c != diff_col and c not in exclude_cols]
+            return (ds.groupby(keys).sum(diff_col)
+                    .map_batches(
+                        lambda t: net_of(
+                            t.rename_columns([
+                                n if n != f"sum({diff_col})"
+                                else f"{diff_col}_sum"
+                                for n in t.column_names]),
+                            diff_type, names),
+                        batch_format="pyarrow"))
+        tbl = self.read_committed_table(eps)
+        if not tbl.num_rows:
+            return tbl
+        keys = [c for c in tbl.column_names
+                if c != diff_col and c not in exclude_cols]
+        return net_of(tbl.group_by(keys).aggregate([(diff_col, "sum")]),
+                      tbl[diff_col].type, tbl.column_names)
+
     def total_rows(self) -> int:
         return sum(self.manifest(e)["rows"] for e in self.committed_epochs())
 

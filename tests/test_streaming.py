@@ -233,6 +233,52 @@ class TestExactlyOnceSink:
         assert sink.read_committed_table()["a"].to_pylist() == [1, 2, 3]
         assert sink.verify()
 
+    def test_snapshot_at_time_travel(self, ray_session, tmp_path):
+        """snapshot_at(e) = net SUM(diff) over committed epochs ≤ e; exact
+        through consolidations and Dataset-path equal; history limits
+        (consolidation horizon, retention expiry) raise, never approximate."""
+        sink = ExactlyOnceParquetSink(tmp_path / "tt")
+
+        def ep(ks, vs, ds_, e):
+            return pa.table({"k": pa.array(ks, type=pa.int64()),
+                             "v": pa.array(vs, type=pa.int64()),
+                             "diff": pa.array(ds_, type=pa.int64()),
+                             "epoch": pa.array([e] * len(ks),
+                                               type=pa.int64())})
+
+        sink.commit_tables(0, [ep([1, 2], [10, 20], [1, 1], 0)])
+        sink.commit_tables(1, [ep([1, 1], [10, 11], [-1, 1], 1)])  # k1 → 11
+        sink.commit_tables(2, [ep([2], [20], [-1], 2)])            # drop k2
+
+        def rows(t):
+            return sorted(zip(t["k"].to_pylist(), t["v"].to_pylist(),
+                              t["diff"].to_pylist()))
+
+        assert rows(sink.snapshot_at(0)) == [(1, 10, 1), (2, 20, 1)]
+        assert rows(sink.snapshot_at(1)) == [(1, 11, 1), (2, 20, 1)]
+        assert rows(sink.snapshot_at(2)) == [(1, 11, 1)]
+        # Dataset path computes the same net
+        ds_net = sink.snapshot_at(1, as_dataset=True)
+        got = pa.concat_tables(b for b in ds_net.iter_batches(
+            batch_format="pyarrow"))
+        assert rows(got) == [(1, 11, 1), (2, 20, 1)]
+        # consolidate epochs ≤ 1: travel to 0 is gone, 1 and 2 still exact
+        assert sink.consolidate(upto_epoch=1)["consolidated_epochs"] == 2
+        with pytest.raises(ValueError, match="consolidated"):
+            sink.snapshot_at(0)
+        assert rows(sink.snapshot_at(1)) == [(1, 11, 1), (2, 20, 1)]
+        assert rows(sink.snapshot_at(2)) == [(1, 11, 1)]
+
+    def test_snapshot_at_expired_history_raises(self, tmp_path):
+        sink = ExactlyOnceParquetSink(tmp_path / "ttx")
+        sink.commit_tables(0, [pa.table({"k": [1], "diff": [1],
+                                         "epoch": [0]})])
+        sink.commit_tables(1, [pa.table({"k": [2], "diff": [1],
+                                         "epoch": [1]})])
+        sink.expire(before_epoch=1)
+        with pytest.raises(ValueError, match="expired"):
+            sink.snapshot_at(1)
+
     def test_stray_files_invisible(self, tmp_path):
         sink = ExactlyOnceParquetSink(tmp_path / "sink")
         sink.commit_tables(0, [pa.table({"a": [1]})])
