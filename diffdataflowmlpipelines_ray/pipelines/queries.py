@@ -1443,6 +1443,66 @@ def q_upsert_changelog(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_shared_arrangement(sf_dir: str) -> pd.DataFrame:
+    """Differential dataflow's signature economy — arrange once, read from
+    many operators: ONE UpsertToRetract arrangement (orders CDC upserts,
+    key = o_orderkey % 997, price in cents, 'F' rows tombstone) feeds BOTH
+    its retraction changelog AND an EnrichJoin's probes
+    (``share_from="chg"``) — the enrich op holds no dim state of its own
+    (asserted against shard stats).  Events arrive in 3 epochs (ntile by
+    ts/event_id) probing key = user_id % 997; epoch-e dim updates are
+    visible to epoch-e events.  Oracle: per event, the max-stamp upsert
+    among epochs ≤ its epoch; tombstone winners read NULL."""
+    from ..streaming.engine import EnrichJoin, StreamSession, UpsertToRetract
+
+    orders = _read_table(sf_dir, "orders",
+                         ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = orders["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": pa.array(_half_away(
+            orders["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            orders["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    ev = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    uid = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ev = pa.table({
+        "k": pa.array(uid % 997, type=pa.int64()),
+        "event_id": ev["event_id"],
+    })
+    sess = StreamSession(_tmp("shar"), num_shards=4)
+    sess.add(UpsertToRetract(name="chg", input="u", key=["k"], vals=["v"],
+                             key_types=[pa.int64()], val_types=[pa.int64()],
+                             ts_col="ts", delete_col="del"))
+    sess.add(EnrichJoin(name="en", dim_input="", stream_input="ev",
+                        key=["k"], dim_vals=["price"],
+                        stream_cols=["event_id"], share_from="chg"))
+    try:
+        k = 3
+        n = ev.num_rows
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]  # ntile
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        for e in range(k):
+            sess.process_epoch(e, {
+                "u": ups.filter(pa.array(ok % 3 == e)),
+                "ev": ev.slice(int(offs[e]), int(sizes[e]))})
+        # the shared-ness claim itself: no second dim table anywhere
+        keys = {nm for st in sess.store.stats()
+                for nm in st["agg_keys"] if st["agg_keys"][nm]}
+        assert "chg" in keys and "en" not in keys, keys
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    df["price"] = df["price"].astype("Int64").astype("float64")
+    return (df[["event_id", "k", "price"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def q_time_travel(sf_dir: str) -> pd.DataFrame:
     """Time-travel read of the exactly-once changelog sink
     (``snapshot_at``): the orders CDC upsert stream flows through
@@ -4459,6 +4519,7 @@ QUERIES = {
     "incremental_pagerank": q_incremental_pagerank,
     "upsert_changelog": q_upsert_changelog,
     "time_travel": q_time_travel,
+    "shared_arrangement": q_shared_arrangement,
     "cdc_groupby": q_cdc_groupby,
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
@@ -5071,6 +5132,30 @@ ORACLES = {
     "incremental_components": """
         SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS component
         FROM documents WHERE doc_id % 10 <= 4
+    """,
+    "shared_arrangement": """
+        WITH ev AS MATERIALIZED (
+            SELECT event_id, user_id % 997 AS k,
+                   ntile(3) OVER (ORDER BY ts, event_id) - 1 AS e
+            FROM events
+        ),
+        u AS MATERIALIZED (
+            SELECT o_orderkey % 997 AS k, o_orderkey % 3 AS de,
+                   o_orderkey AS stamp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        w AS MATERIALIZED (
+            SELECT ev.event_id, ev.k, max(u.stamp) AS s
+            FROM ev LEFT JOIN u ON u.k = ev.k AND u.de <= ev.e
+            GROUP BY ev.event_id, ev.k
+        )
+        SELECT w.event_id, w.k,
+               CAST(CASE WHEN u.is_del THEN NULL ELSE u.v END
+                    AS DOUBLE) AS price
+        FROM w LEFT JOIN u ON u.k = w.k AND u.stamp = w.s
+        ORDER BY w.event_id
     """,
     "time_travel": """
         WITH u AS (

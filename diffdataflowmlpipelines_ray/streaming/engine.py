@@ -1204,11 +1204,28 @@ class EnrichJoin:
     #: EnrichJoin traffic alone.  Without it, an EnrichJoin-only session
     #: needs explicit watermarks for TTL sweeps.
     stream_ts: str | None = None
+    #: SHARED ARRANGEMENT (differential dataflow's signature economy —
+    #: arrange once, read from many operators): the name of an
+    #: ``UpsertToRetract`` op in the same session whose per-key LWW
+    #: registers serve as this join's dim side.  This op then maintains NO
+    #: dim state of its own — the one arrangement simultaneously feeds the
+    #: changelog the owner emits AND every enrich probe here, and a dim
+    #: update/tombstone is visible to both in the same epoch.
+    #: ``dim_input`` is unused (pass ""); ``dim_vals`` names the OUTPUT
+    #: columns for the owner's ``vals`` tuple (same length/order);
+    #: ``dim_types`` defaults to the owner's ``val_types``.  ``dim_ttl``
+    #: must be None — state lifetime belongs to the arrangement's owner.
+    share_from: str | None = None
 
     def __post_init__(self):
         overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
         if overlap:
             raise ValueError(f"dim_vals collide with stream columns: {overlap}")
+        if self.share_from and self.dim_ttl is not None:
+            raise ValueError(
+                "share_from + dim_ttl: a shared arrangement's state "
+                "lifetime belongs to its owning UpsertToRetract op — "
+                "sweeping it from the reader would corrupt the owner")
 
     # dim side → {key_bytes: LastValueAgg}; same partial contract as
     # KeyedAggregation so the Table and shard-direct Dataset paths both work
@@ -1249,6 +1266,11 @@ class TemporalEnrichJoin(EnrichJoin):
         if not self.stream_ts:
             raise ValueError("TemporalEnrichJoin requires stream_ts: it is "
                              "the AS-OF probe time")
+        if self.share_from:
+            raise ValueError(
+                "share_from is LWW-register sharing (EnrichJoin); a "
+                "temporal join needs the version-history arrangement, "
+                "which UpsertToRetract does not keep")
 
     # dim side → {key_bytes: VersionedValueAgg}; same partial contract as
     # EnrichJoin so Table and shard-direct Dataset dim epochs both work
@@ -1372,6 +1394,21 @@ class StreamSession:
 
     # ------------------------------------------------------------------ setup
     def add(self, op) -> "StreamSession":
+        src_name = getattr(op, "share_from", None)
+        if src_name:
+            src = self.ops.get(src_name)
+            if not isinstance(src, UpsertToRetract):
+                raise ValueError(
+                    f"share_from={src_name!r}: add the owning "
+                    "UpsertToRetract op to the session first (the shared "
+                    "arrangement is its register table)")
+            if len(op.dim_vals) != len(src.vals):
+                raise ValueError(
+                    f"share_from: dim_vals ({len(op.dim_vals)}) must name "
+                    f"every column of the owner's vals ({len(src.vals)}) "
+                    "in order")
+            if op.dim_types is None:
+                op.dim_types = list(src.val_types)
         self.ops[op.name] = op
         if isinstance(op, (KeyedAggregation, SessionWindowAggregation)) and (
             getattr(op, "window", None) is not None
@@ -1908,6 +1945,8 @@ class StreamSession:
         shards = self.store.shards
         sink_root = str(self.sinks[name].root)
         do_fsync = self.sinks[name].fsync
+        # shared arrangement: probe the owning op's register table
+        probe_name = op.share_from or name
         sk = list(op.key)
         carry = list(dict.fromkeys(
             sk + list(op.stream_cols)
@@ -1954,7 +1993,8 @@ class StreamSession:
             key_tuples = list(uniq.itertuples(index=False, name=None))
             kbs = [_key_bytes(t) for t in key_tuples]
             looked = pickle.loads(ray.get(shards[sid].enrich_probe.remote(
-                name, pickle.dumps(kbs, protocol=pickle.HIGHEST_PROTOCOL))))
+                probe_name,
+                pickle.dumps(kbs, protocol=pickle.HIGHEST_PROTOCOL))))
             val_by_kb = dict(looked)
             # one list comprehension over unique keys, then a columnwise
             # unzip — no per-(key, col) Python inner loop
@@ -2469,7 +2509,10 @@ class StreamSession:
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n
             elif isinstance(op, EnrichJoin):
-                dim = avail.get(op.dim_input)
+                # shared arrangement: the owner op applied its upserts
+                # earlier this epoch (add order = processing order), so
+                # probes read the epoch-current registers; no dim state here
+                dim = None if op.share_from else avail.get(op.dim_input)
                 if dim is not None:
                     # upsert registers FIRST: epoch-e dim updates are visible
                     # to epoch-e events (both paths block until applied, and

@@ -1509,6 +1509,118 @@ class TestEnrichJoin:
         assert keys == 1  # only u2's register remains in shard state
 
 
+class TestSharedArrangement:
+    """share_from: ONE UpsertToRetract arrangement read by two operators —
+    the owner's changelog emission and an EnrichJoin's probes — with no
+    second copy of the dim state anywhere."""
+
+    @staticmethod
+    def _ups(rows):  # (k, v, ts, del)
+        k, v, ts, d = zip(*rows) if rows else ((), (), (), ())
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d, type=pa.bool_())})
+
+    @staticmethod
+    def _ev(rows):  # (k, eid)
+        k, eid = zip(*rows) if rows else ((), ())
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "eid": pa.array(eid, type=pa.int64())})
+
+    def _mk(self, root, num_shards=3):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            EnrichJoin, UpsertToRetract)
+
+        sess = StreamSession(root, num_shards=num_shards, checkpoint_every=1)
+        sess.add(UpsertToRetract(name="chg", input="u", key=["k"],
+                                 vals=["v"], key_types=[pa.int64()],
+                                 val_types=[pa.int64()], ts_col="ts",
+                                 delete_col="del"))
+        sess.add(EnrichJoin(name="en", dim_input="", stream_input="ev",
+                            key=["k"], dim_vals=["price"],
+                            stream_cols=["eid"], share_from="chg"))
+        return sess
+
+    def _enriched(self, sess):
+        df = sess.sinks["en"].read_committed_table().to_pandas()
+        return {int(e): (None if pd.isna(p) else int(p))
+                for e, p in zip(df["eid"], df["price"])}
+
+    def test_one_arrangement_two_readers(self, ray_session, tmp_path):
+        sess = self._mk(tmp_path / "sa")
+        # epoch 0: k1=10, k2=20; same-epoch events see them; k3 misses
+        sess.process_epoch(0, {
+            "u": self._ups([(1, 10, 1.0, False), (2, 20, 1.0, False)]),
+            "ev": self._ev([(1, 100), (2, 101), (3, 102)])})
+        # epoch 1: k1 updated, k2 tombstoned — both visible same-epoch
+        sess.process_epoch(1, {
+            "u": self._ups([(1, 11, 2.0, False), (2, 0, 2.0, True)]),
+            "ev": self._ev([(1, 200), (2, 201)])})
+        got = self._enriched(sess)
+        chg = sess.sinks["chg"].read_committed_table().to_pandas()
+        # the dim state lives ONLY under the owner's table name
+        keys = {n for st in sess.store.stats()
+                for n in st["agg_keys"] if st["agg_keys"][n]}
+        sess.store.shutdown()
+        assert got == {100: 10, 101: 20, 102: None, 200: 11, 201: None}
+        # the SAME arrangement emitted the owner's changelog
+        net = chg.groupby(["k", "v"])["diff"].sum()
+        assert dict(net[net > 0].reset_index()
+                    .set_index("k")["v"]) == {1: 11}
+        assert "chg" in keys and "en" not in keys
+
+    def test_share_survives_resume_and_rescale(self, ray_session, tmp_path):
+        root = tmp_path / "sar"
+        s1 = self._mk(root, num_shards=2)
+        s1.process_epoch(0, {
+            "u": self._ups([(i, i * 10, 1.0, False) for i in range(20)]),
+            "ev": self._ev([(1, 100)])})
+        s1.store.shutdown()
+        s2 = self._mk(root, num_shards=5)  # rescaled resume
+        assert s2.resume() == 1
+        s2.process_epoch(1, {"ev": self._ev([(i, 200 + i)
+                                             for i in range(22)])})
+        got = self._enriched(s2)
+        s2.store.shutdown()
+        for i in range(20):
+            assert got[200 + i] == i * 10
+        assert got[220] is None and got[221] is None
+
+    def test_validation(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            EnrichJoin, TemporalEnrichJoin, UpsertToRetract)
+
+        sess = StreamSession(tmp_path / "sv", num_shards=1)
+        with pytest.raises(ValueError, match="add the owning"):
+            sess.add(EnrichJoin(name="e1", dim_input="", stream_input="ev",
+                                key=["k"], dim_vals=["p"],
+                                share_from="nope"))
+        sess.add(UpsertToRetract(name="chg", input="u", key=["k"],
+                                 vals=["a", "b"],
+                                 key_types=[pa.int64()],
+                                 val_types=[pa.int64(), pa.int64()],
+                                 ts_col="ts"))
+        with pytest.raises(ValueError, match="must name every column"):
+            sess.add(EnrichJoin(name="e2", dim_input="", stream_input="ev",
+                                key=["k"], dim_vals=["p"],
+                                share_from="chg"))
+        with pytest.raises(ValueError, match="dim_ttl"):
+            EnrichJoin(name="e3", dim_input="", stream_input="ev",
+                       key=["k"], dim_vals=["p", "q"], dim_ttl=10.0,
+                       share_from="chg")
+        with pytest.raises(ValueError, match="version-history"):
+            TemporalEnrichJoin(name="e4", dim_input="", stream_input="ev",
+                               key=["k"], dim_vals=["p", "q"],
+                               stream_ts="ts", share_from="chg")
+        # dim_types inherit from the owner on a valid share
+        op = EnrichJoin(name="e5", dim_input="", stream_input="ev",
+                        key=["k"], dim_vals=["p", "q"], share_from="chg")
+        sess.add(op)
+        assert op.dim_types == [pa.int64(), pa.int64()]
+        sess.store.shutdown()
+
+
 class TestStreamDedup:
     def _op(self, **kw):
         from diffdataflowmlpipelines_ray.streaming.engine import StreamDedup
