@@ -95,7 +95,8 @@ def run_bench() -> dict:
         "cdc_ann", "early_firing_sliding", "incremental_pagerank",
         "windowed_stream_join", "retractable_quantile",
         "retractable_mode", "stream_near_dup", "early_firing_topk",
-        "retractable_stringagg")
+        "retractable_stringagg", "rescale_resume", "time_travel",
+        "shared_arrangement")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
