@@ -1599,6 +1599,71 @@ def q_cdc_groupby(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["sum_price"], 2)
 
 
+def q_view_bootstrap(sf_dir: str) -> pd.DataFrame:
+    """Bootstrap (hydrate) a NEW materialized view mid-stream — the
+    Materialize/Flink pattern of standing up a new derived view on a
+    long-running changelog WITHOUT replaying its history: session 1 runs
+    only UpsertToRetract("chg") for two epochs and dies; session 2 resumes
+    the same root, adds a NEW KeyedAggregation view the first session
+    never had, and hydrates it from ``sink.snapshot_at(1)`` — the net
+    changelog as of the crash — fed as one weighted epoch on the "chg"
+    stream (legal exactly because the owner emits nothing that epoch; the
+    engine rejects the ambiguous both-fed-and-emitted case).  The final
+    epoch's live upserts then chain through normally.  The view's state
+    must equal a from-scratch run over the whole history — the
+    ``cdc_groupby`` oracle."""
+    from ..streaming.engine import (KeyedAggregation, StreamSession,
+                                    UpsertToRetract)
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ok % 997
+    ups = pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(_half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), type=pa.int64()),
+        "g": pa.array(k % 10, type=pa.int64()),
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    root = _tmp("boot")
+
+    def mkchg():
+        return UpsertToRetract(
+            name="chg", input="u", key=["k"], vals=["v", "g"],
+            key_types=[pa.int64()], val_types=[pa.int64(), pa.int64()],
+            ts_col="ts", delete_col="del")
+
+    s1 = StreamSession(root, num_shards=3, checkpoint_every=1)
+    s1.add(mkchg())
+    for e in range(2):
+        s1.process_epoch(e, {"u": ups.filter(pa.array(ok % 3 == e))})
+    s1.store.shutdown()  # the long-running job "has been up for months"
+
+    s2 = StreamSession(root, num_shards=3, checkpoint_every=1)
+    s2.add(mkchg())
+    s2.add(KeyedAggregation(          # the NEW view, unknown to session 1
+        name="agg", input="chg", key_cols=["g"], value_col="v",
+        aggs=("count", "sum"), weight_col="diff",
+        finalize=lambda a: {"n_live": a.count, "sum_price": a.s / 100.0}))
+    nxt = s2.resume()
+    assert nxt == 2, nxt
+    try:
+        snap = s2.sinks["chg"].snapshot_at(1)   # net history, O(live keys)
+        s2.process_epoch(2, {"chg": snap.drop_columns(["epoch"])
+                             if "epoch" in snap.column_names else snap})
+        s2.process_epoch(3, {"u": ups.filter(pa.array(ok % 3 == 2))})
+        df = s2.state_table("agg").to_pandas()
+    finally:
+        s2.store.shutdown()
+    df = df.drop(columns=["epoch"]).sort_values("g").reset_index(drop=True)
+    df["n_live"] = df["n_live"].astype(np.int64)
+    return _round(df, ["sum_price"], 2)
+
+
 def q_agg_changelog(sf_dir: str) -> pd.DataFrame:
     """Two-level differential chain: CDC upserts → UpsertToRetract("chg")
     → KeyedAggregation(emit_changelog=True) — the AGGREGATE emits its own
@@ -4521,6 +4586,7 @@ QUERIES = {
     "time_travel": q_time_travel,
     "shared_arrangement": q_shared_arrangement,
     "cdc_groupby": q_cdc_groupby,
+    "view_bootstrap": q_view_bootstrap,
     "agg_changelog": q_agg_changelog,
     "cdc_scaler": q_cdc_scaler,
     "cdc_tfidf": q_cdc_tfidf,
@@ -5219,6 +5285,26 @@ ORACLES = {
         ORDER BY epoch, k, diff, v
     """,
     "cdc_groupby": """
+        WITH u AS (
+            SELECT o_orderkey % 997 AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS stamp,
+                   (o_orderstatus = 'F') AS is_del
+            FROM orders
+        ),
+        latest AS (
+            SELECT k, v, is_del,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY stamp DESC) AS rn
+            FROM u
+        )
+        SELECT k % 10 AS g,
+               COUNT(*)::BIGINT AS n_live,
+               ROUND(SUM(v) / 100.0, 2) AS sum_price
+        FROM latest WHERE rn = 1 AND NOT is_del
+        GROUP BY g ORDER BY g
+    """,
+    "view_bootstrap": """
         WITH u AS (
             SELECT o_orderkey % 997 AS k,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,

@@ -2314,6 +2314,16 @@ class StreamSession:
 
         class _ChainedEmits(dict):
             def __setitem__(self, k, v):
+                # feeding an op's OUTPUT name from the caller is the view-
+                # bootstrap pattern (hydrate a new downstream op from a
+                # snapshot) — legal exactly when the op emits nothing that
+                # epoch; if it DOES emit, silently replacing the caller's
+                # rows (or theirs replacing ours) would corrupt the chain
+                if k in inputs:
+                    raise ValueError(
+                        f"input {k!r} was fed by the caller AND emitted by "
+                        "an op this epoch — hydrate in an epoch where the "
+                        "op has no input of its own")
                 super().__setitem__(k, v)
                 chain_to[k] = v
 

@@ -3189,6 +3189,57 @@ class TestInSessionChaining:
         s2.store.shutdown()
         assert got == want
 
+    def test_view_bootstrap_hydration(self, ray_session, tmp_path):
+        """A NEW downstream view added after a restart hydrates from
+        snapshot_at and then tails the live changelog — final state equals
+        the from-scratch chained run."""
+        rows = self._rand_rows(11)
+        # from-scratch reference
+        s0 = StreamSession(tmp_path / "ref", num_shards=3)
+        s0.add(self._chg_op())
+        s0.add(self._agg_op())
+        for e in range(4):
+            s0.process_epoch(e, {"u": self._ups(rows[e::4])})
+        want = self._state(s0)
+        s0.store.shutdown()
+        # changelog-only session runs epochs 0-2, dies
+        root = tmp_path / "boot"
+        s1 = StreamSession(root, num_shards=3, checkpoint_every=1)
+        s1.add(self._chg_op())
+        for e in range(3):
+            s1.process_epoch(e, {"u": self._ups(rows[e::4])})
+        s1.store.shutdown()
+        # resumed session adds the NEW view, hydrates, tails epoch 3
+        s2 = StreamSession(root, num_shards=3, checkpoint_every=1)
+        s2.add(self._chg_op())
+        s2.add(self._agg_op())
+        assert s2.resume() == 3
+        snap = s2.sinks["chg"].snapshot_at(2)
+        if "epoch" in snap.column_names:
+            snap = snap.drop_columns(["epoch"])
+        s2.process_epoch(3, {"chg": snap})       # hydration epoch
+        s2.process_epoch(4, {"u": self._ups(rows[3::4])})
+        got = self._state(s2)
+        s2.store.shutdown()
+        assert got == want
+
+    def test_fed_and_emitted_collision_raises(self, ray_session, tmp_path):
+        """Feeding an op's output name while the op ALSO emits that epoch
+        is ambiguous and must raise, not silently drop either side."""
+        rows = self._rand_rows(13, n=40)
+        sess = StreamSession(tmp_path / "coll", num_shards=2)
+        sess.add(self._chg_op())
+        sess.add(self._agg_op())
+        with pytest.raises(ValueError, match="fed by the caller AND"):
+            sess.process_epoch(0, {
+                "u": self._ups(rows[:20]),
+                "chg": pa.table({
+                    "diff": pa.array([1], type=pa.int64()),
+                    "k": pa.array([1], type=pa.int64()),
+                    "v": pa.array([5], type=pa.int64()),
+                    "g": pa.array([1], type=pa.int64())})})
+        sess.store.shutdown()
+
     def test_declaration_order_gates_chaining(self, ray_session, tmp_path):
         # consumer declared BEFORE the producer sees nothing in-epoch
         sess = StreamSession(tmp_path / "o1", num_shards=2)
