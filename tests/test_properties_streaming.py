@@ -277,3 +277,77 @@ class TestSessionEarlyFiringProperty:
                        for s in StateShard.build_sessions(live, gap))
         got = Counter({s: v for s, v in net.items() if v != 0})
         assert got == want
+
+
+class TestRescaleAlgebra:
+    """rescale_blobs (savepoint rescale) as a pure function: for ANY
+    weighted keyed delta stream split across epochs and ANY shard move
+    n0→n1 (up, down, identity), rescaling mid-stream preserves the exact
+    final state a single-shard reference accumulates."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 30),                # key
+                           st.floats(-50, 50, allow_nan=False),
+                           st.integers(-3, 3)),               # weight
+                 min_size=1, max_size=120),
+        st.integers(1, 6),
+        st.integers(1, 6),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_keyed_state_rescale_roundtrip(self, rows, n0, n1, seed):
+        import pickle
+
+        from diffdataflowmlpipelines_ray.state.aggregates import SumCountAgg
+        from diffdataflowmlpipelines_ray.streaming.state_store import (
+            rescale_blobs, shard_of)
+
+        rng = np.random.default_rng(seed)
+        cut = int(rng.integers(0, len(rows) + 1))   # the "crash point"
+        halves = [rows[:cut], rows[cut:]]
+
+        def partials(batch):
+            out = {}
+            for k, v, w in batch:
+                kb = pickle.dumps((k,), protocol=pickle.HIGHEST_PROTOCOL)
+                acc = out.setdefault(kb, SumCountAgg())
+                add = SumCountAgg(s=v * w, count=w)
+                acc.merge(add)
+            return out
+
+        def apply_to(shards, n, batch, epoch):
+            by = {}
+            for kb, acc in partials(batch).items():
+                by.setdefault(shard_of(kb, n), []).append((kb, acc))
+            for sid, items in by.items():
+                shards[sid].apply_delta(
+                    "t", epoch, pickle.dumps(sorted(items)))
+
+        # phase 1 at n0 shards
+        s0 = [StateShard(i, n0) for i in range(n0)]
+        apply_to(s0, n0, halves[0], 0)
+        blobs = {i: sh.dump() for i, sh in enumerate(s0)}
+        # rescale to n1, continue
+        s1 = [StateShard(i, n1) for i in range(n1)]
+        for sid, blob in rescale_blobs(blobs, n1).items():
+            s1[sid].load(blob)
+        apply_to(s1, n1, halves[1], 1)
+        got = {}
+        for sh in s1:
+            for kb, acc in pickle.loads(sh.collect("t")):
+                assert kb not in got, "key on two shards after rescale"
+                got[kb] = (acc.s, acc.count)
+        # reference: single shard, no rescale
+        ref_sh = StateShard(0, 1)
+        apply_to([ref_sh], 1, halves[0], 0)
+        apply_to([ref_sh], 1, halves[1], 1)
+        ref = {kb: (acc.s, acc.count)
+               for kb, acc in pickle.loads(ref_sh.collect("t"))}
+        assert set(got) == set(ref)
+        for kb in ref:
+            assert got[kb][1] == ref[kb][1]
+            assert got[kb][0] == pytest.approx(ref[kb][0])
+        # routing invariant: every key sits where shard_of(·, n1) says
+        for i, sh in enumerate(s1):
+            for kb, _ in pickle.loads(sh.collect("t")):
+                assert shard_of(kb, n1) == i
