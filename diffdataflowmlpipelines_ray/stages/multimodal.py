@@ -11,10 +11,15 @@ output layout — is real and tested.  Codecs:
 - **RIFF/WAVE PCM** audio decodes for REAL too (``decode_wav``: 8/16/32-bit
   PCM + float32, mono/stereo) feeding genuine signal features (RMS,
   zero-crossing rate, dominant frequency via FFT);
-- compressed formats (JPEG/PNG/…): ``DecodeImage(fake=False)`` raises
-  ``NotImplementedError`` at the decode call (the documented integration
-  point: swap in PIL/torchvision there — these libs are absent in this
-  container);
+- **PNG** (8-bit gray / RGB / RGBA / gray+alpha / palette, non-interlaced)
+  decodes for REAL — ``decode_png``: stdlib ``zlib`` inflate + spec
+  unfiltering (Sub as a vectorized per-lane cumulative sum; Average/Paeth
+  exact per-pixel).  ``encode_png`` round-trips with any single filter
+  type, so the decoder is tested against real spec-filtered data;
+- remaining compressed formats (JPEG/MP3/…): ``DecodeImage(fake=False)``
+  raises ``NotImplementedError`` at the decode call (the documented
+  integration point: swap in PIL/torchvision there — these libs are
+  absent in this container);
 - ``fake=True`` produces a deterministic sha256-seeded feature vector for
   payloads of any format, so downstream stages and tests exercise the full
   pipeline shape without codecs.
@@ -31,7 +36,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["media_schema", "decode_ppm", "image_features", "DecodeImage",
+__all__ = ["media_schema", "decode_ppm", "decode_png", "encode_png",
+           "image_features", "DecodeImage",
            "ResizeImage", "SampleFrames", "decode_image_features",
            "decode_wav", "encode_wav", "audio_features", "DecodeAudio",
            "decode_audio_features", "MEDIA_BATCH_SIZE"]
@@ -102,6 +108,157 @@ def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     return feats[:dim]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib+numpy PNG decoder (zlib inflate + spec unfiltering).
+
+    Supports the mainline of the format: bit depth 8, color types 0
+    (gray), 2 (RGB), 3 (palette→RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Returns uint8 (h, w) for gray, (h, w, c) otherwise.
+    Raises ValueError on anything else (interlaced / 16-bit → the library
+    integration point).  Filters 0/1/2 unfilter fully vectorized (Sub is a
+    per-lane cumulative sum mod 256); Average/Paeth rows fall back to a
+    per-pixel loop — correctness over speed on the rare encoder choices.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = len(_PNG_SIG), None, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"PNG variant unsupported by the pure decoder (depth={depth}, "
+            f"interlace={interlace}) — library integration point")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(filters[y])
+        cur = scan[y].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride,
+                                                              dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:   # Sub: per-lane cumulative sum mod 256
+            rec = cur.reshape(-1, bpp).cumsum(axis=0).reshape(stride)
+        elif f == 2:   # Up
+            rec = cur + prev
+        elif f in (3, 4):  # Average / Paeth: left-dependent, per-pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(0, stride, bpp):
+                left = rec[x - bpp:x] if x else np.zeros(bpp, dtype=np.int64)
+                up = prev[x:x + bpp]
+                if f == 3:
+                    rec[x:x + bpp] = cur[x:x + bpp] + (left + up) // 2
+                else:
+                    ul = (prev[x - bpp:x] if x
+                          else np.zeros(bpp, dtype=np.int64))
+                    p = left + up - ul
+                    pa_, pb, pc = (np.abs(p - left), np.abs(p - up),
+                                   np.abs(p - ul))
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                    rec[x:x + bpp] = cur[x:x + bpp] + pred
+                rec[x:x + bpp] &= 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    elif channels == 1:
+        img = img[:, :, 0]
+    return img
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w[, c]) → PNG payload (pure stdlib; single filter type
+    applied to every row — 0/1/2/3/4 all supported so the decoder's
+    unfilter paths are testable against real spec-filtered data)."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int64)
+    bpp = c
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        if filter_type == 0:
+            ft = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            ft = cur - left
+        elif filter_type == 2:
+            ft = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            ft = cur - (left + prev) // 2
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                 prev[:-bpp]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            ft = cur - pred
+        else:
+            raise ValueError(f"filter {filter_type}")
+        lines.append(bytes([filter_type]) + (ft & 0xFF).astype(np.uint8)
+                     .tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: sha256(payload) seeds a
     reproducible feature vector."""
@@ -131,9 +288,12 @@ class DecodeImage:
             return _fake_features(payload, self.dim)
         if payload.startswith((b"P6", b"P5")):  # real pure-numpy path
             return image_features(decode_ppm(payload), self.dim)
+        if payload.startswith(_PNG_SIG):        # real stdlib inflate path
+            return image_features(decode_png(payload), self.dim)
         raise NotImplementedError(
-            "compressed-image codec not available in this environment; "
-            "swap in PIL/torchvision decode here (PPM/PGM decode for real)"
+            "codec not available in this environment for this payload; "
+            "swap in PIL/torchvision decode here (PPM/PGM and 8-bit "
+            "non-interlaced PNG decode for real)"
         )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -181,6 +341,10 @@ class ResizeImage:
                 if p is not None and p.startswith((b"P6", b"P5")):
                     out.append(encode_ppm(
                         resize_nearest(decode_ppm(p), self.width, self.height)
+                    ))
+                elif p is not None and p.startswith(_PNG_SIG):
+                    out.append(encode_png(
+                        resize_nearest(decode_png(p), self.width, self.height)
                     ))
                 else:
                     out.append(p)  # metadata-only for undecodable formats

@@ -354,6 +354,141 @@ class TestRealPpmDecode:
             dec._decode(b"\x89PNG\r\n....")
 
 
+class TestRealPngDecode:
+    """Pure stdlib+numpy PNG codec (multimodal.decode_png/encode_png):
+    every spec filter type and mainline color type round-trips, the real
+    DecodeImage/ResizeImage paths consume PNG payloads, and the unsupported
+    variants stay explicit errors (the library integration point)."""
+
+    @staticmethod
+    def _img(h, w, c, seed=0):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if c == 1 else (h, w, c)
+        return rng.integers(0, 256, shape, dtype=np.uint8)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_rgb_roundtrip_every_filter(self, filter_type):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        pix = self._img(9, 7, 3, seed=filter_type)
+        out = decode_png(encode_png(pix, filter_type=filter_type))
+        assert out.shape == (9, 7, 3)
+        assert (out == pix).all()
+
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_color_types_roundtrip(self, channels):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        pix = self._img(5, 6, channels, seed=channels)
+        # Paeth stresses left/up/up-left reconstruction on every color type
+        out = decode_png(encode_png(pix, filter_type=4))
+        assert out.shape == pix.shape
+        assert (out == pix).all()
+
+    def test_palette_decode(self):
+        import struct
+        import zlib
+
+        from diffdataflowmlpipelines_ray.stages.multimodal import decode_png
+
+        palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                           dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)
+                                  & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"PLTE", palette.tobytes())
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        out = decode_png(payload)
+        assert out.shape == (2, 3, 3)
+        assert (out == palette[idx]).all()
+
+    def test_real_decode_pipeline_png(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_image_features,
+            encode_png,
+        )
+
+        pixes = [self._img(8, 6, 3, seed=10 + i) for i in range(4)]
+        ds = docs_ds({
+            "media_id": [f"p{i}" for i in range(4)],
+            "payload": [encode_png(p, filter_type=i % 5)
+                        for i, p in enumerate(pixes)],
+        })
+        out = decode_image_features(ds, dim=16, fake=False).take_all()
+        by_id = {r["media_id"]: np.asarray(r["features"]) for r in out}
+        for i in range(4):
+            expect = pixes[i].reshape(-1, 3).mean(axis=0) / 255.0
+            np.testing.assert_allclose(by_id[f"p{i}"][:3], expect, rtol=1e-6)
+
+    def test_png_resize(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            ResizeImage,
+            decode_png,
+            encode_png,
+        )
+
+        pix = self._img(10, 6, 3, seed=20)
+        tbl = pa.table({"media_id": ["a"],
+                        "payload": [encode_png(pix, filter_type=2)]})
+        out = ResizeImage(3, 5)(tbl)
+        img = decode_png(out["payload"].to_pylist()[0])
+        assert img.shape == (5, 3, 3)
+        assert (img[0, 0] == pix[0, 0]).all()
+
+    def test_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)
+                                  & 0xFFFFFFFF))
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JFIF....")
+        # 16-bit depth → explicit integration point
+        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        p16 = (sig + chunk(b"IHDR", ihdr16)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(p16)
+        # interlaced → explicit integration point
+        ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        p_i = (sig + chunk(b"IHDR", ihdr_i)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(p_i)
+        # truncated chunk payload: cut inside the IDAT data region
+        good = encode_png(self._img(3, 3, 3, seed=1))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:good.index(b"IDAT") + 6])
+        # JPEG still raises NotImplementedError in the decode stage
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)._decode(b"\xff\xd8\xff\xe0JFIF")
+
+
 class TestRealResize:
     def test_ppm_resize_roundtrip(self, ray_session):
         from diffdataflowmlpipelines_ray.stages.multimodal import (
