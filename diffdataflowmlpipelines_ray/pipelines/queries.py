@@ -2659,11 +2659,15 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def q_image_decode(sf_dir: str) -> pd.DataFrame:
-    """Multimodal path with the REAL pure-numpy PPM decoder: deterministic
-    8×8 RGB payloads synthesized per doc (seeded by doc_id), decoded in the
-    actor-pool stage, channel-mean features extracted from actual pixels.
-    Rows-only (SQL cannot decode images); byte-exactness covered in pytest."""
-    from ..stages.multimodal import decode_image_features
+    """Multimodal path with the REAL pure-numpy codecs: deterministic 8×8
+    RGB payloads synthesized per doc (seeded by doc_id) in a format mix —
+    PPM, PNG (spec-filtered) and baseline JPEG by doc_id % 3 — decoded in
+    the actor-pool stage, channel-mean features extracted from actual
+    pixels (JPEG means are of the decoded, slightly-lossy pixels — still
+    deterministic).  Rows-only (SQL cannot decode images); byte-exactness
+    covered in pytest."""
+    from ..stages.jpeg import encode_jpeg
+    from ..stages.multimodal import decode_image_features, encode_png
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
@@ -2673,7 +2677,12 @@ def q_image_decode(sf_dir: str) -> pd.DataFrame:
         for d in ids:
             rng = np.random.default_rng(int(d))
             pix = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
-            payloads.append(b"P6\n8 8\n255\n" + pix.tobytes())
+            if int(d) % 3 == 0:
+                payloads.append(b"P6\n8 8\n255\n" + pix.tobytes())
+            elif int(d) % 3 == 1:
+                payloads.append(encode_png(pix, filter_type=int(d) % 5))
+            else:
+                payloads.append(encode_jpeg(pix))
         return pa.table({"media_id": pa.array([str(d) for d in ids]),
                          "payload": pa.array(payloads, type=pa.binary())})
 

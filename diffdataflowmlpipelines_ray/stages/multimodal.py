@@ -16,8 +16,14 @@ output layout — is real and tested.  Codecs:
   unfiltering (Sub as a vectorized per-lane cumulative sum; Average/Paeth
   exact per-pixel).  ``encode_png`` round-trips with any single filter
   type, so the decoder is tested against real spec-filtered data;
-- remaining compressed formats (JPEG/MP3/…): ``DecodeImage(fake=False)``
-  raises ``NotImplementedError`` at the decode call (the documented
+- **JPEG (baseline sequential, SOF0)** decodes for REAL — ``decode_jpeg``
+  (`stages/jpeg.py`): pure stdlib+numpy marker/DQT/DHT parsing, Huffman
+  entropy decode with restart intervals, vectorized block IDCT, 4:4:4 /
+  4:2:2 / 4:2:0 chroma upsampling, YCbCr→RGB; validated against
+  real-world JPEGs (CPython test fixtures) AND round-tripped against
+  ``encode_jpeg``'s spec-compliant bitstreams;
+- remaining compressed formats (progressive JPEG, MP3/…):
+  ``DecodeImage(fake=False)`` raises at the decode call (the documented
   integration point: swap in PIL/torchvision there — these libs are
   absent in this container);
 - ``fake=True`` produces a deterministic sha256-seeded feature vector for
@@ -290,10 +296,14 @@ class DecodeImage:
             return image_features(decode_ppm(payload), self.dim)
         if payload.startswith(_PNG_SIG):        # real stdlib inflate path
             return image_features(decode_png(payload), self.dim)
+        if payload.startswith(b"\xff\xd8"):     # real baseline-JPEG path
+            from .jpeg import decode_jpeg
+
+            return image_features(decode_jpeg(payload), self.dim)
         raise NotImplementedError(
             "codec not available in this environment for this payload; "
-            "swap in PIL/torchvision decode here (PPM/PGM and 8-bit "
-            "non-interlaced PNG decode for real)"
+            "swap in PIL/torchvision decode here (PPM/PGM, 8-bit "
+            "non-interlaced PNG and baseline JPEG decode for real)"
         )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -323,10 +333,10 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 class ResizeImage:
-    """Resize stage: PPM/PGM payloads are REALLY resized (pure-numpy
-    nearest-neighbor decode→resize→re-encode); other formats pass through
-    with updated size metadata only (the library integration point, like
-    ``DecodeImage``)."""
+    """Resize stage: PPM/PGM, PNG and baseline-JPEG payloads are REALLY
+    resized (pure-numpy nearest-neighbor decode→resize→re-encode in the
+    source format); other formats pass through with updated size metadata
+    only (the library integration point, like ``DecodeImage``)."""
 
     def __init__(self, width: int, height: int):
         self.width = width
@@ -345,6 +355,12 @@ class ResizeImage:
                 elif p is not None and p.startswith(_PNG_SIG):
                     out.append(encode_png(
                         resize_nearest(decode_png(p), self.width, self.height)
+                    ))
+                elif p is not None and p.startswith(b"\xff\xd8"):
+                    from .jpeg import decode_jpeg, encode_jpeg
+
+                    out.append(encode_jpeg(
+                        resize_nearest(decode_jpeg(p), self.width, self.height)
                     ))
                 else:
                     out.append(p)  # metadata-only for undecodable formats

@@ -484,9 +484,184 @@ class TestRealPngDecode:
         good = encode_png(self._img(3, 3, 3, seed=1))
         with pytest.raises(ValueError, match="truncated"):
             decode_png(good[:good.index(b"IDAT") + 6])
-        # JPEG still raises NotImplementedError in the decode stage
-        with pytest.raises(NotImplementedError):
+        # truncated JPEG now reaches the real baseline decoder and raises
+        # there; genuinely-unknown formats still hit the integration point
+        with pytest.raises(ValueError):
             DecodeImage(fake=False)._decode(b"\xff\xd8\xff\xe0JFIF")
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)._decode(b"GIF89a....")
+
+
+# 16×16 RGB baseline JPEG from CPython's own test suite
+# (Lib/test/imghdrdata/python.jpg, PSF-licensed public test data) — an
+# INDEPENDENTLY-ENCODED file with real Annex-K quant/Huffman tables, so the
+# decoder is checked against the spec, not just against our own encoder.
+_REAL_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+
+class TestRealJpegDecode:
+    """Pure stdlib+numpy baseline JPEG codec (`stages/jpeg.py`): round-trips
+    against our own spec-compliant encoder across gray/RGB, every chroma
+    subsampling mode, lossy quant steps and restart intervals; decodes an
+    independently-encoded real-world file (CPython test fixture, standard
+    Annex-K tables); feeds the real DecodeImage/ResizeImage Dataset paths;
+    and keeps non-baseline variants explicit errors."""
+
+    @staticmethod
+    def _img(h, w, c, seed=0):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if c == 1 else (h, w, c)
+        return rng.integers(0, 256, shape, dtype=np.uint8)
+
+    def test_gray_constant_exact(self):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((16, 24), 97, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (16, 24)
+        assert (out == img).all()  # DC-only block is bit-exact at step 0
+
+    def test_gray_random_near_lossless(self):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._img(21, 35, 1, seed=1)  # non-multiple-of-8 dims
+        out = decode_jpeg(encode_jpeg(img, quality_step=0))
+        assert out.shape == img.shape
+        # quant step 0: error only from rounding DCT coefficients
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("subsample", ["444", "422", "420"])
+    def test_rgb_subsampling_roundtrip(self, subsample):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # smooth image: chroma subsampling loses little, so the round trip
+        # must stay tight in every mode (444 bound is color-rounding only)
+        y, x = np.mgrid[0:26, 0:42]
+        img = np.stack([(x * 3) % 256, (y * 2) % 256, (x + y) % 256],
+                       axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert out.shape == img.shape
+        bound = 2 if subsample == "444" else 16
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+    def test_restart_interval_stream(self):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._img(40, 40, 1, seed=2)
+        payload = encode_jpeg(img, restart_interval=3)
+        assert b"\xff\xdd" in payload          # DRI emitted
+        assert payload.count(b"\xff\xd0") >= 1  # RST0 present
+        out = decode_jpeg(payload)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_lossy_quality_step_sane(self):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._img(32, 32, 3, seed=3)
+        exact = encode_jpeg(img, quality_step=0)
+        lossy = encode_jpeg(img, quality_step=6)
+        assert len(lossy) < len(exact)  # harder quantization compresses
+        out = decode_jpeg(lossy)
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 40  # lossy but recognizable, not garbage
+
+    def test_real_world_fixture_decodes(self):
+        import base64
+
+        from diffdataflowmlpipelines_ray.stages.jpeg import decode_jpeg
+
+        img = decode_jpeg(base64.b64decode(_REAL_JPEG_B64))
+        assert img.shape == (16, 16, 3)
+        # regression-pin the decoded stats (real 4:2:0 file, Annex-K tables)
+        means = img.reshape(-1, 3).mean(axis=0)
+        np.testing.assert_allclose(means, [97.89, 102.29, 76.36], atol=0.5)
+
+    def test_real_decode_pipeline_jpeg(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_image_features,
+        )
+
+        pixes = [self._img(8, 8, 3, seed=30 + i) for i in range(3)]
+        payloads = [encode_jpeg(p) for p in pixes]
+        ds = docs_ds({
+            "media_id": [f"j{i}" for i in range(3)],
+            "payload": payloads,
+        })
+        out = decode_image_features(ds, dim=16, fake=False).take_all()
+        by_id = {r["media_id"]: np.asarray(r["features"]) for r in out}
+        for i in range(3):
+            # features are the means of the DECODED pixels (lossy ±2/px)
+            expect = decode_jpeg(payloads[i]).reshape(-1, 3).mean(axis=0) / 255
+            np.testing.assert_allclose(by_id[f"j{i}"][:3], expect, rtol=1e-6)
+
+    def test_jpeg_resize(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            ResizeImage,
+            resize_nearest,
+        )
+
+        pix = self._img(12, 8, 3, seed=40)
+        tbl = pa.table({"media_id": ["a"], "payload": [encode_jpeg(pix)]})
+        out = ResizeImage(4, 6)(tbl)
+        img = decode_jpeg(out["payload"].to_pylist()[0])
+        assert img.shape == (6, 4, 3)
+        expect = resize_nearest(decode_jpeg(encode_jpeg(pix)), 4, 6)
+        # two lossy passes: decoded resize stays within a small bound
+        assert np.abs(img.astype(int) - expect.astype(int)).max() <= 4
+
+    def test_non_baseline_variants_raise(self):
+        import struct
+
+        from diffdataflowmlpipelines_ray.stages.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\n")
+        # progressive (SOF2) → explicit library integration point
+        sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 4, 4, 1) \
+            + bytes([1, 0x11, 0])
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+        # truncated scan: cut a valid stream mid-segment
+        from diffdataflowmlpipelines_ray.stages.jpeg import encode_jpeg
+
+        good = encode_jpeg(self._img(8, 8, 1, seed=5))
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:20])
 
 
 class TestRealResize:
