@@ -2597,13 +2597,22 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return _round(out, ["jaccard"])
 
 
-def q_ngram_jaccard_lsh(sf_dir: str) -> pa.Table:
-    """n-gram Jaccard over MinHash-LSH candidate pairs (rows-only: the LSH
-    seeds have no SQL twin; the Jaccard kernel itself is oracle-gated via
-    ``ngram_jaccard``)."""
+def q_ngram_jaccard_lsh(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs at word-3-gram Jaccard ≥ 0.8, found via MinHash-LSH
+    candidate generation + exact distributed verify.  Oracle-exact since r3:
+    the SQL twin computes ALL J ≥ 0.8 pairs exactly (shared-shingle blocking
+    join — J > 0 requires ≥1 shared gram — then per-pair intersection
+    counts), so the gate verifies BOTH the Jaccard kernel and that the LSH
+    banding reaches full recall at this threshold on the corpus (the
+    candidates the bands miss would show as oracle rows the engine lacks).
+    The sub-threshold candidate scores the LSH emits have no SQL twin and
+    are covered by ``ngram_jaccard``/pytest."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     pairs_ds, _ = minhash_lsh_candidates(ds, params=MinHashParams())
-    return ngram_jaccard_pairs(ds, pairs_ds, n=3)
+    out = ngram_jaccard_pairs(ds, pairs_ds, n=3).to_pandas()
+    out = out[out["jaccard"] >= 0.8]
+    out = _round(out, ["jaccard"])
+    return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
@@ -6253,6 +6262,35 @@ ORACLES = {
     """,
     "distinct": """
         SELECT DISTINCT l_returnflag FROM lineitem
+    """,
+    "ngram_jaccard_lsh": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                        WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(
+                             range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   END AS grams
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, len(grams) AS ng FROM g),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        -- shared-shingle blocking: J > 0 requires >=1 common gram, so the
+        -- gram equi-join enumerates every pair that can clear the threshold
+        p AS (
+            SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, COUNT(*) AS i
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_lo, id_hi,
+               ROUND(i::DOUBLE / (sa.ng + sb.ng - i), 6) AS jaccard
+        FROM p
+        JOIN sizes sa ON sa.doc_id = id_lo
+        JOIN sizes sb ON sb.doc_id = id_hi
+        WHERE i::DOUBLE / (sa.ng + sb.ng - i) >= 0.8
+        ORDER BY id_lo, id_hi
     """,
     "ngram_jaccard": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
