@@ -96,7 +96,8 @@ def run_bench() -> dict:
         "windowed_stream_join", "retractable_quantile",
         "retractable_mode", "stream_near_dup", "early_firing_topk",
         "retractable_stringagg", "rescale_resume", "time_travel",
-        "shared_arrangement")
+        "shared_arrangement", "broadcast_rules", "view_bootstrap",
+        "window_rollup")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

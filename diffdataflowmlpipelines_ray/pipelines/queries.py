@@ -365,6 +365,60 @@ def q_tumbling_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_window_rollup(sf_dir: str) -> pd.DataFrame:
+    """Cascading window rollup (Flink's minute→hour two-tier pattern) as
+    CHAINED JOBS: tier 1 aggregates events into 15-minute windows; its
+    exactly-once sink is the durable topic a SECOND session tails, rolling
+    the closed 15-minute rows up into hour windows (count = contributing
+    quarter-hours, sum = hour revenue from the cent-exact partial sums).
+    Each session owns its frontier, so tier 1 drains fully before tier 2
+    closes — the one-session variant cannot stage its drain (one watermark
+    closes both tiers together); chaining through the sink is the same
+    topology as two Flink jobs joined by a topic, with the sink's manifests
+    giving the hand-off exactly-once semantics for free.  Tier-2 watermark
+    = tier-1 watermark − 900 (a closed quarter-hour's start is at least one
+    window below tier-1's frontier — the frontier translation rule)."""
+    tbl = _read_table(sf_dir, "events",
+                      ["event_type", "ts", "value"]).sort_by("ts")
+    s1 = StreamSession(_tmp("roll1"), num_shards=4)
+    s1.add(KeyedAggregation(
+        name="t1", input="events", key_cols=["event_type"],
+        value_col="value", ts_col="ts", aggs=("count", "sum"),
+        window=WindowSpec.tumbling(900.0), make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0}))
+    s2 = StreamSession(_tmp("roll2"), num_shards=4)
+    s2.add(KeyedAggregation(
+        name="t2", input="t1_closed", key_cols=["event_type"],
+        value_col="sum", ts_col="window_start", aggs=("count", "sum"),
+        window=WindowSpec.tumbling(3600.0), make_acc=_cents_acc,
+        finalize=lambda a: {"count": a.count, "sum": a.s / 100.0}))
+    try:
+        parts = _epoch_split(tbl, 4)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64))
+                       / 1e6)
+            s1.process_epoch(e, {"events": part}, watermark=wm)
+            closed = s1.sinks["t1"].read_committed_table([e])
+            s2.process_epoch(
+                e, {"t1_closed": closed} if closed.num_rows else {},
+                watermark=wm - 900.0)
+        s1.close(len(parts))
+        final = s1.sinks["t1"].read_committed_table([len(parts)])
+        s2.process_epoch(len(parts),
+                         {"t1_closed": final} if final.num_rows else {})
+        s2.close(len(parts) + 1)
+        df = s2.sinks["t2"].read_committed_table().to_pandas()
+    finally:
+        for s in (s1, s2):
+            if s.store.shards:
+                s.store.shutdown()
+    assert s2.metrics["late_dropped"] == 0  # the frontier translation holds
+    df = df.drop(columns=["epoch", "window_end"])
+    df["count"] = df["count"].astype(np.int64)
+    return _round(df, ["window_start"])
+
+
 def q_stream_metrics(sf_dir: str) -> pd.DataFrame:
     """The observability surface, verified against ground truth: run the
     tumbling-window pipeline and return the SESSION METRICS — epochs
@@ -3982,6 +4036,71 @@ def q_stream_enrich(sf_dir: str) -> pd.DataFrame:
         "event_id").reset_index(drop=True)
 
 
+def q_broadcast_rules(sf_dir: str) -> pd.DataFrame:
+    """Flink's broadcast-state pattern (`BroadcastEnrich`): a tiny rule
+    stream — per-event-type value thresholds, upserted/retired over three
+    epochs with LWW stamps and a deliberately-stale update the merge must
+    shadow — is replicated to the event stream as one `ray.put` per epoch,
+    and the events (Dataset epochs) are tagged where they live with NO
+    shuffle (the scale-correct plan for global rule lookups; a constant-key
+    EnrichJoin would funnel every event through one shard).  Rule schedule:
+    epoch 0 installs (1, click≥10, hot_click) and (2, view≥5, hot_view);
+    epoch 1 raises rule 2 to view≥15/hot_view2 (shadowing a stale thr=999
+    offer at an older stamp) and adds (3, error≥8, hot_error); epoch 2
+    retires rule 1 (tombstone shadowing an older resurrect).  Oracle: the
+    same rule-state-per-epoch as a closed-form VALUES table joined to
+    events quartiled by event_id % 3."""
+    from ..streaming.engine import BroadcastEnrich
+
+    ev = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def apply(events: pa.Table, rules: list) -> pa.Table:
+        pdf = events.to_pandas()
+        rdf = pd.DataFrame(rules) if rules else pd.DataFrame(
+            columns=["rule_id", "rtype", "thr", "label"])
+        out = pdf.merge(rdf, left_on="event_type", right_on="rtype")
+        out = out[out["value"] >= out["thr"]]
+        out = out[["event_id", "rule_id", "label"]].astype(
+            {"rule_id": np.int64})
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    sess = StreamSession(_tmp("bcast"), num_shards=4)
+    sess.add(BroadcastEnrich(
+        name="tagged", rules_input="rules", stream_input="ev",
+        rule_key=["rule_id"], rule_vals=["rtype", "thr", "label"],
+        apply=apply, rule_ts="rts", rule_delete_col="del_"))
+    rule_epochs = {
+        0: [(1, "click", 10.0, "hot_click", 0.0, False),
+            (2, "view", 5.0, "hot_view", 0.0, False)],
+        1: [(2, "view", 15.0, "hot_view2", 1.0, False),
+            (2, "view", 999.0, "stale", 0.5, False),   # LWW must shadow
+            (3, "error", 8.0, "hot_error", 1.0, False)],
+        2: [(1, "", 0.0, "", 2.0, True),               # retire rule 1
+            (1, "click", 0.0, "resurrect", 1.5, False)],  # shadowed
+    }
+    try:
+        ids = ev["event_id"].to_numpy(zero_copy_only=False)
+        for e in range(3):
+            rows = rule_epochs[e]
+            rules = pa.table({
+                "rule_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "rtype": pa.array([r[1] for r in rows]),
+                "thr": pa.array([r[2] for r in rows], type=pa.float64()),
+                "label": pa.array([r[3] for r in rows]),
+                "rts": pa.array([r[4] for r in rows], type=pa.float64()),
+                "del_": pa.array([r[5] for r in rows], type=pa.bool_()),
+            })
+            epoch_ev = ev.filter(pa.array(ids % 3 == e))
+            sess.process_epoch(e, {"rules": rules,
+                                   "ev": rd.from_arrow(epoch_ev)})
+        df = sess.sinks["tagged"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return df[["event_id", "rule_id", "label", "epoch"]].sort_values(
+        ["event_id", "rule_id"]).reset_index(drop=True)
+
+
 def q_temporal_join(sf_dir: str) -> pd.DataFrame:
     """Event-time TEMPORAL dim join (Flink temporal-table join; DuckDB
     ``ASOF JOIN`` twin): orders collapse to one dim VERSION per
@@ -4573,6 +4692,7 @@ QUERIES = {
     "feature_matrix_vec": q_feature_matrix_vec,
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
+    "window_rollup": q_window_rollup,
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
     "early_firing_sliding": q_early_firing_sliding,
@@ -4687,6 +4807,7 @@ QUERIES = {
     "pca_embeddings": q_pca_embeddings,
     "logreg_embeddings": q_logreg_embeddings,
     "stream_enrich": q_stream_enrich,
+    "broadcast_rules": q_broadcast_rules,
     "temporal_join": q_temporal_join,
     "stream_dedup": q_stream_dedup,
     "line_dedup": q_line_dedup,
@@ -5023,6 +5144,19 @@ ORACLES = {
                count(*)::BIGINT AS count,
                sum(round(value * 100)) / 100.0 AS sum
         FROM events GROUP BY event_type, window_start
+    """,
+    "window_rollup": """
+        WITH m AS (
+            SELECT event_type,
+                   floor(epoch(ts) / 900) * 900 AS mstart,
+                   sum(round(value * 100)) AS cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               ROUND(floor(mstart / 3600) * 3600, 6) AS window_start,
+               count(*)::BIGINT AS count,
+               sum(cents) / 100.0 AS sum
+        FROM m GROUP BY event_type, window_start
     """,
     "stream_union": """
         SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS stream,
@@ -5971,6 +6105,25 @@ ORACLES = {
     "sorted_limit": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "broadcast_rules": """
+        WITH state(epoch, rule_id, rtype, thr, label) AS (VALUES
+            (0, 1, 'click', 10.0, 'hot_click'),
+            (0, 2, 'view',   5.0, 'hot_view'),
+            (1, 1, 'click', 10.0, 'hot_click'),
+            (1, 2, 'view',  15.0, 'hot_view2'),
+            (1, 3, 'error',  8.0, 'hot_error'),
+            (2, 2, 'view',  15.0, 'hot_view2'),
+            (2, 3, 'error',  8.0, 'hot_error')
+        ),
+        ev AS (SELECT event_id, event_type, value,
+                      event_id % 3 AS epoch
+               FROM events)
+        SELECT ev.event_id, s.rule_id, s.label, ev.epoch
+        FROM ev JOIN state s
+          ON s.epoch = ev.epoch AND s.rtype = ev.event_type
+         AND ev.value >= s.thr
+        ORDER BY ev.event_id, s.rule_id
     """,
     "temporal_join": """
         WITH dim AS (

@@ -58,6 +58,7 @@ __all__ = [
     "UpsertToRetract",
     "StreamJoin",
     "EnrichJoin",
+    "BroadcastEnrich",
     "StreamDedup",
     "StreamSession",
 ]
@@ -1328,6 +1329,78 @@ class StreamDedup:
     ttl: float | None = None         # dedup window in event time
 
 
+@dataclass
+class BroadcastEnrich:
+    """Flink's broadcast-state pattern: a LOW-VOLUME control/rule stream is
+    kept as per-rule LWW registers in the state shards and, each epoch, the
+    CURRENT rule set is shipped to the event stream as ONE object-store
+    broadcast (`ray.put` once, read in every task) — the event blocks
+    evaluate the rules where they already live, with **no shuffle at all**,
+    and write their sink parts worker-side.
+
+    This is the scale-correct plan for global (non-keyed) rule lookups.
+    The alternative — an ``EnrichJoin`` on a constant key — hash-routes
+    EVERY event through the one shard that owns the constant key: the
+    classic hot-key collapse.  Broadcast state inverts it: the rules move
+    (they are tiny by contract), the events never do.
+
+    Semantics: rule epochs are upserts keyed by ``rule_key`` with LWW by
+    ``(rule_ts, tiebreak)``; ``rule_delete_col`` rows retire a rule
+    (tombstone — shadows late out-of-order upserts, excluded from the
+    snapshot).  Epoch-e rule changes are visible to epoch-e events
+    (add order = processing order, as with shared arrangements).  ``apply``
+    is the user hook: ``apply(events: pa.Table, rules: list[dict]) ->
+    pa.Table`` — filter, tag, route, fan out (1→N is fine); rules arrive
+    sorted by ``rule_key`` so the hook is deterministic.  Rule registers
+    ride the normal checkpoint / resume / savepoint-rescale machinery
+    (they are ordinary keyed registers, hash-partitioned by rule key)."""
+
+    name: str
+    rules_input: str
+    stream_input: str
+    rule_key: Sequence[str]
+    rule_vals: Sequence[str]
+    #: (event_block, current_rules) -> output block.  MUST be a pure
+    #: function of its arguments (it runs in retried tasks).
+    apply: Callable[[pa.Table, list], pa.Table] = None  # type: ignore
+    rule_ts: str = "ts"
+    rule_delete_col: str | None = None
+    #: optional event-time column on the STREAM side: block maxima feed the
+    #: session auto-watermark (same plumbing as the enrich probe)
+    stream_ts: str | None = None
+    #: hard cap on materialized rule rows per epoch — broadcast state is
+    #: small BY CONTRACT; a rule stream that trips this wants EnrichJoin
+    max_rule_rows: int = 1_000_000
+
+    def __post_init__(self):
+        if not callable(self.apply):
+            raise ValueError("BroadcastEnrich requires an apply(events, "
+                             "rules) callable")
+        if not self.rule_key:
+            raise ValueError("rule_key must name at least one column")
+
+    # rule side → {key_bytes: LastValueAgg}; same partial contract as the
+    # EnrichJoin dim side so Table and Dataset rule epochs both work
+    def partial_batch(self, tbl: pa.Table, finalized_before: float
+                      ) -> tuple[dict, int]:
+        return _lww_partials(tbl, list(self.rule_key), self.rule_vals,
+                             self.rule_ts, self.rule_delete_col), 0
+
+    def rules_snapshot(self, collected: list) -> list[dict]:
+        """Live rules from the register dump: tombstones drop, order is the
+        rule-key sort (deterministic input to ``apply``)."""
+        rules = []
+        for kb, acc in collected:
+            if acc.value is None:
+                continue  # retired rule
+            k = pickle.loads(kb)
+            d = dict(zip(self.rule_key, k))
+            d.update(zip(self.rule_vals, acc.value))
+            rules.append(d)
+        rules.sort(key=lambda d: tuple(d[c] for c in self.rule_key))
+        return rules
+
+
 class StreamSession:
     """The per-job driver: owns the state store, per-op sinks, watermark and
     checkpoints.  See module docstring for the epoch data path."""
@@ -1423,7 +1496,8 @@ class StreamSession:
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
                              IncrementalPageRank, StreamNearDup,
-                             UpsertToRetract, EnrichJoin, StreamDedup)):
+                             UpsertToRetract, EnrichJoin, BroadcastEnrich,
+                             StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
                                                          fsync=self.fsync)
             if isinstance(op, StreamJoin):
@@ -2035,6 +2109,62 @@ class StreamSession:
         self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 
+    def _broadcast_apply_epoch(self, op: "BroadcastEnrich", name: str,
+                               epoch: int, stream) -> int:
+        """The no-shuffle half of broadcast state: snapshot the live rules
+        from the shards (tiny by contract), ``ray.put`` them ONCE, and map
+        the event blocks where they already live — each task reads the one
+        broadcast copy, runs the user hook, and writes its sink part
+        directly.  No groupby, no repartition: event bytes never cross
+        workers.  The driver commits only the manifest."""
+        import uuid
+
+        import ray.data as rd
+
+        from .sink import write_epoch_part
+
+        rules = op.rules_snapshot(self.store.collect(name))
+        rules_ref = ray.put(rules)
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        apply_fn = op.apply
+        stream_ts = op.stream_ts
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            max_ts = -math.inf
+            if stream_ts and stream_ts in tbl.column_names and tbl.num_rows:
+                ts = _ts_to_float(tbl.select([stream_ts])
+                                  .to_pandas()[stream_ts])
+                if ts.size:
+                    max_ts = float(ts.max())
+            out = apply_fn(tbl, ray.get(rules_ref))
+            rows, entry = 0, None
+            if out is not None and out.num_rows:
+                out = out.append_column(
+                    "epoch", pa.array([epoch] * out.num_rows,
+                                      type=pa.int64()))
+                entry = write_epoch_part(
+                    sink_root, epoch, out,
+                    tag=f"b{uuid.uuid4().hex[:12]}", fsync=do_fsync)
+                rows = entry["rows"]
+            return pa.table({
+                "rows": pa.array([rows], type=pa.int64()),
+                "entry": pa.array([json.dumps(entry) if entry else ""],
+                                  type=pa.string()),
+                "max_ts": pa.array([max_ts], type=pa.float64()),
+            })
+
+        dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
+        summaries = dsd.map_batches(per_block, batch_format="pyarrow"
+                                    ).take_all()
+        files = [json.loads(r["entry"]) for r in summaries if r["entry"]]
+        for r in summaries:
+            self._max_event_time = max(self._max_event_time,
+                                       float(r["max_ts"]))
+        self.sinks[name].commit_files(epoch, files,
+                                      meta=self._meta(kind="broadcast"))
+        return sum(f["rows"] for f in files)
+
     def _temporal_probe_epoch(self, op: "TemporalEnrichJoin", name: str,
                               epoch: int, stream) -> int:
         """Distributed AS-OF probe (mirrors ``_enrich_probe_epoch``): stream
@@ -2540,6 +2670,37 @@ class StreamSession:
                         n = self._temporal_probe_epoch(op, name, epoch, stream)
                     else:
                         n = self._enrich_probe_epoch(op, name, epoch, stream)
+                    emitted[name] = self.sinks[name].read_committed(
+                        epochs=[epoch])
+                    self.metrics["emitted_rows"] += n
+            elif isinstance(op, BroadcastEnrich):
+                rules = avail.get(op.rules_input)
+                if rules is not None:
+                    if not isinstance(rules, pa.Table):
+                        # broadcast state is tiny by contract: materialize
+                        # the rule epoch, enforcing the documented cap
+                        parts = [p for p in ray.get(rules.to_arrow_refs())
+                                 if p.num_rows]
+                        rules = (pa.concat_tables(parts) if parts
+                                 else None)
+                    if rules is not None and \
+                            rules.num_rows > op.max_rule_rows:
+                        raise ValueError(
+                            f"BroadcastEnrich {name!r}: rule epoch has "
+                            f"{rules.num_rows} rows > max_rule_rows="
+                            f"{op.max_rule_rows} — a rule stream this "
+                            "large wants a keyed EnrichJoin, not "
+                            "broadcast state")
+                    if rules is not None:
+                        # upsert registers FIRST: epoch-e rule changes are
+                        # visible to epoch-e events
+                        merged = self._merged_partials(op, rules,
+                                                       self.watermark)
+                        self.store.apply_deltas(name, epoch, merged,
+                                                wait=True)
+                stream = avail.get(op.stream_input)
+                if stream is not None:
+                    n = self._broadcast_apply_epoch(op, name, epoch, stream)
                     emitted[name] = self.sinks[name].read_committed(
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n

@@ -4966,3 +4966,206 @@ class TestEnrichJoinVectorValues:
                                "ev": ev([1])})
         assert committed(2) == {1: None}
         sess.store.shutdown()
+
+
+class TestBroadcastEnrich:
+    """Flink's broadcast-state pattern: tiny rule stream replicated per
+    epoch (one ray.put), events tagged with NO shuffle; LWW upserts +
+    tombstones on the rule side, same-epoch visibility, checkpoint-resume
+    (incl. savepoint rescale) and the small-rules contract cap."""
+
+    @staticmethod
+    def _rules(rows):
+        return pa.table({
+            "rule_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cat": pa.array([r[1] for r in rows]),
+            "thr": pa.array([r[2] for r in rows], type=pa.float64()),
+            "label": pa.array([r[3] for r in rows]),
+            "rts": pa.array([r[4] for r in rows], type=pa.float64()),
+            "del_": pa.array([r[5] for r in rows], type=pa.bool_()),
+        })
+
+    @staticmethod
+    def _events(rows):
+        return pa.table({
+            "uid": pa.array([r[0] for r in rows]),
+            "cat": pa.array([r[1] for r in rows]),
+            "amount": pa.array([r[2] for r in rows], type=pa.float64()),
+        })
+
+    def _op(self):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            BroadcastEnrich,
+        )
+
+        # local closure: cloudpickle ships it by VALUE, so Ray workers need
+        # not import the test module (library users' module-level hooks
+        # follow the normal map_batches importability contract)
+        def apply(events, rules):
+            pdf = events.to_pandas()
+            rdf = (pd.DataFrame(rules) if rules else
+                   pd.DataFrame(columns=["rule_id", "cat", "thr", "label"]))
+            out = pdf.merge(rdf, left_on="cat", right_on="cat")
+            out = out[out["amount"] >= out["thr"]]
+            out = out[["uid", "rule_id", "label"]]
+            out["rule_id"] = out["rule_id"].astype(np.int64)
+            return pa.Table.from_pandas(out.reset_index(drop=True),
+                                        preserve_index=False)
+
+        return BroadcastEnrich(
+            name="tag", rules_input="rules", stream_input="ev",
+            rule_key=["rule_id"], rule_vals=["cat", "thr", "label"],
+            apply=apply, rule_ts="rts", rule_delete_col="del_")
+
+    def _committed(self, sess, epochs=None):
+        t = sess.sinks["tag"].read_committed_table(epochs)
+        return sorted(zip(t["uid"].to_pylist(), t["rule_id"].to_pylist(),
+                          t["label"].to_pylist(), t["epoch"].to_pylist()))
+
+    def test_lww_tombstone_same_epoch_visibility(self, ray_session,
+                                                 tmp_path):
+        sess = StreamSession(tmp_path / "b1", num_shards=3)
+        sess.add(self._op())
+        # epoch 0: two rules; u1 matches rule 1 only (12 >= 10, cat a)
+        sess.process_epoch(0, {
+            "rules": self._rules([(1, "a", 10.0, "big_a", 0.0, False),
+                                  (2, "b", 5.0, "big_b", 0.0, False)]),
+            "ev": self._events([("u1", "a", 12.0), ("u2", "b", 4.0)])})
+        assert self._committed(sess, [0]) == [("u1", 1, "big_a", 0)]
+        # epoch 1: rule 1 retired (tombstone shadows an older resurrect);
+        # rule 3 added — BOTH visible to this same epoch's events
+        sess.process_epoch(1, {
+            "rules": self._rules([(1, "", 0.0, "", 1.0, True),
+                                  (1, "a", 0.0, "resurrect", 0.5, False),
+                                  (3, "a", 1.0, "any_a", 1.0, False)]),
+            "ev": self._events([("u3", "a", 2.0), ("u4", "b", 6.0)])})
+        assert self._committed(sess, [1]) == [("u3", 3, "any_a", 1),
+                                              ("u4", 2, "big_b", 1)]
+        sess.store.shutdown()
+
+    def test_table_equals_dataset_events(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        outs = []
+        for variant in ("table", "dataset"):
+            sess = StreamSession(tmp_path / f"b2{variant}", num_shards=2)
+            sess.add(self._op())
+            ev = self._events([("u%d" % i, "ab"[i % 2], float(i))
+                               for i in range(40)])
+            sess.process_epoch(0, {
+                "rules": self._rules([(1, "a", 10.0, "big_a", 0.0, False),
+                                      (2, "b", 20.0, "big_b", 0.0, False)]),
+                "ev": ev if variant == "table" else rd.from_arrow(ev)})
+            outs.append(self._committed(sess))
+            sess.store.shutdown()
+        assert outs[0] == outs[1] and len(outs[0]) == 25
+
+    def test_crash_resume_and_rescale(self, ray_session, tmp_path):
+        root = tmp_path / "b3"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {
+            "rules": self._rules([(1, "a", 10.0, "big_a", 0.0, False)]),
+            "ev": self._events([("u1", "a", 12.0)])})
+        sess.store.shutdown()
+        # resume into a DIFFERENT shard count: rule registers re-bucket
+        sess2 = StreamSession(root, num_shards=5, checkpoint_every=1)
+        sess2.add(self._op())
+        nxt = sess2.resume()
+        assert nxt == 1
+        # replay epoch 0 (exactly-once no-op), then a fresh epoch with NO
+        # rule input — the restored rules must still tag events
+        sess2.process_epoch(0, {
+            "rules": self._rules([(1, "a", 10.0, "big_a", 0.0, False)]),
+            "ev": self._events([("u1", "a", 12.0)])})
+        sess2.process_epoch(1, {"ev": self._events([("u9", "a", 99.0)])})
+        assert self._committed(sess2) == [("u1", 1, "big_a", 0),
+                                          ("u9", 1, "big_a", 1)]
+        sess2.store.shutdown()
+
+    def test_rule_cap_and_validation(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            BroadcastEnrich,
+        )
+
+        with pytest.raises(ValueError, match="apply"):
+            BroadcastEnrich(name="x", rules_input="r", stream_input="e",
+                            rule_key=["k"], rule_vals=["v"], apply=None)
+        with pytest.raises(ValueError, match="rule_key"):
+            BroadcastEnrich(name="x", rules_input="r", stream_input="e",
+                            rule_key=[], rule_vals=["v"],
+                            apply=lambda t, r: t)
+        sess = StreamSession(tmp_path / "b4", num_shards=2)
+        op = self._op()
+        op.max_rule_rows = 2
+        sess.add(op)
+        with pytest.raises(ValueError, match="max_rule_rows"):
+            sess.process_epoch(0, {
+                "rules": self._rules([(i, "a", 1.0, "l", 0.0, False)
+                                      for i in range(3)]),
+                "ev": self._events([])})
+        sess.store.shutdown()
+
+    def test_empty_rules_and_no_shuffle_output_schema(self, ray_session,
+                                                      tmp_path):
+        sess = StreamSession(tmp_path / "b5", num_shards=2)
+        sess.add(self._op())
+        # no rules yet: apply sees [], emits nothing; manifest still commits
+        sess.process_epoch(0, {"ev": self._events([("u1", "a", 5.0)])})
+        assert sess.sinks["tag"].read_committed_table([0]).num_rows == 0
+        assert sess.sinks["tag"].is_committed(0)
+        sess.store.shutdown()
+
+
+class TestWindowRollup:
+    """Cascading window rollup as chained jobs: tier-1's exactly-once sink
+    is the topic tier-2 tails; tier-2 watermark = tier-1 watermark − tier-1
+    window size (frontier translation).  Pins the staged drain (tier 1
+    flushes fully before tier 2 closes) and zero late drops."""
+
+    def test_two_tier_equals_direct(self, ray_session, tmp_path):
+        s1 = StreamSession(tmp_path / "c1", num_shards=2)
+        s1.add(KeyedAggregation(name="t1", input="ev", key_cols=["k"],
+                                value_col="v", ts_col="ts",
+                                aggs=("count", "sum"),
+                                window=WindowSpec.tumbling(10.0)))
+        s2 = StreamSession(tmp_path / "c2", num_shards=2)
+        s2.add(KeyedAggregation(name="t2", input="t1c", key_cols=["k"],
+                                value_col="sum", ts_col="window_start",
+                                aggs=("count", "sum"),
+                                window=WindowSpec.tumbling(40.0)))
+        rng = np.random.default_rng(3)
+        ts = np.sort(rng.uniform(0, 120, 300))
+        vals = rng.integers(1, 5, 300).astype(np.float64)
+        keys = [("ab")[i % 2] for i in range(300)]
+        tbl = pa.table({"k": keys, "v": vals, "ts": ts})
+        parts = [tbl.slice(0, 100), tbl.slice(100, 100), tbl.slice(200, 100)]
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()))
+            s1.process_epoch(e, {"ev": part}, watermark=wm)
+            closed = s1.sinks["t1"].read_committed_table([e])
+            s2.process_epoch(e, {"t1c": closed} if closed.num_rows else {},
+                             watermark=wm - 10.0)
+        s1.close(3)
+        final = s1.sinks["t1"].read_committed_table([3])
+        s2.process_epoch(3, {"t1c": final} if final.num_rows else {})
+        s2.close(4)
+        out = s2.sinks["t2"].read_committed_table().to_pandas()
+        assert s2.metrics["late_dropped"] == 0
+        # direct hour aggregation over the raw events
+        pdf = tbl.to_pandas()
+        pdf["ws"] = (pdf["ts"] // 40.0) * 40.0
+        pdf["ms"] = (pdf["ts"] // 10.0) * 10.0
+        direct = (pdf.groupby(["k", "ws"])
+                  .agg(sum=("v", "sum"), count=("ms", "nunique"))
+                  .reset_index())
+        got = (out[["k", "window_start", "count", "sum"]]
+               .sort_values(["k", "window_start"]).reset_index(drop=True))
+        want = (direct.rename(columns={"ws": "window_start"})
+                [["k", "window_start", "count", "sum"]]
+                .sort_values(["k", "window_start"]).reset_index(drop=True))
+        got["count"] = got["count"].astype(np.int64)
+        want["count"] = want["count"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        for s in (s1, s2):
+            s.store.shutdown()
