@@ -1217,6 +1217,20 @@ class EnrichJoin:
     #: ``dim_types`` defaults to the owner's ``val_types``.  ``dim_ttl``
     #: must be None — state lifetime belongs to the arrangement's owner.
     share_from: str | None = None
+    #: probe plan for Dataset stream epochs.  ``"shuffle"`` (default): one
+    #: ``groupby(shard)`` exchange co-locates each shard's events, one
+    #: probe call per (shard, epoch) — the cheapest plan when keys are
+    #: well-spread.  ``"block"`` is the async-lookup plan (Flink's lookup
+    #: join): events NEVER move — each block asks the shards for just its
+    #: own unique keys (one parallel actor call per touched shard per
+    #: block) and writes its sink part in place.  Choose it when the key
+    #: distribution is skewed: under a hot key the shuffle plan funnels
+    #: every one of that key's events through the single task owning its
+    #: shard group, while block mode spreads them across all input blocks
+    #: and each block pays one tiny register lookup.  Results are
+    #: identical (gated in pytest); probe cost is O(unique keys/block ×
+    #: blocks) actor traffic instead of O(events) shuffle bytes.
+    probe_mode: str = "shuffle"
 
     def __post_init__(self):
         overlap = set(self.dim_vals) & (set(self.stream_cols) | set(self.key))
@@ -1227,6 +1241,9 @@ class EnrichJoin:
                 "share_from + dim_ttl: a shared arrangement's state "
                 "lifetime belongs to its owning UpsertToRetract op — "
                 "sweeping it from the reader would corrupt the owner")
+        if self.probe_mode not in ("shuffle", "block"):
+            raise ValueError(f"probe_mode {self.probe_mode!r}: use "
+                             "'shuffle' or 'block'")
 
     # dim side → {key_bytes: LastValueAgg}; same partial contract as
     # KeyedAggregation so the Table and shard-direct Dataset paths both work
@@ -1272,6 +1289,10 @@ class TemporalEnrichJoin(EnrichJoin):
                 "share_from is LWW-register sharing (EnrichJoin); a "
                 "temporal join needs the version-history arrangement, "
                 "which UpsertToRetract does not keep")
+        if self.probe_mode == "block":
+            raise ValueError(
+                "probe_mode='block' is implemented for the LWW enrich "
+                "probe; the AS-OF probe uses the shuffle plan")
 
     # dim side → {key_bytes: VersionedValueAgg}; same partial contract as
     # EnrichJoin so Table and shard-direct Dataset dim epochs both work
@@ -2109,6 +2130,92 @@ class StreamSession:
         self.sinks[name].commit_files(epoch, files, meta=self._meta(kind="enrich"))
         return sum(f["rows"] for f in files)
 
+    def _enrich_block_probe_epoch(self, op: "EnrichJoin", name: str,
+                                  epoch: int, stream) -> int:
+        """Async-lookup enrich (``probe_mode="block"``): events NEVER move —
+        each block looks up just its own unique keys from the shards (one
+        parallel actor call per touched shard) and writes its enriched rows
+        in place.  The skew-proof plan: a hot key's events stay spread
+        across the input blocks instead of funneling through the one task
+        that owns the key's shard group in the shuffle plan."""
+        import uuid
+
+        import ray.data as rd
+
+        from .sink import write_epoch_part
+        from .state_store import shard_of
+
+        num_shards = self.store.num_shards
+        shards = self.store.shards
+        sink_root = str(self.sinks[name].root)
+        do_fsync = self.sinks[name].fsync
+        probe_name = op.share_from or name
+        sk = list(op.key)
+        carry = list(dict.fromkeys(
+            sk + list(op.stream_cols)
+            + ([op.stream_ts] if op.stream_ts else [])))
+        dim_vals = list(op.dim_vals)
+        dim_types = list(op.dim_types) if op.dim_types is not None else None
+        stream_ts = op.stream_ts
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.select(carry).to_pandas()
+            max_ts = -math.inf
+            rows, entry = 0, None
+            if len(pdf):
+                if stream_ts is not None:
+                    ts_all = _ts_to_float(pdf[stream_ts])
+                    if ts_all.size:
+                        max_ts = float(ts_all.max())
+                uniq = pdf[sk].drop_duplicates().reset_index(drop=True)
+                kbs = [_key_bytes(t) for t in
+                       uniq.itertuples(index=False, name=None)]
+                by_shard: dict[int, list[bytes]] = {}
+                for kb in kbs:
+                    by_shard.setdefault(shard_of(kb, num_shards),
+                                        []).append(kb)
+                refs = [shards[s].enrich_probe.remote(
+                    probe_name,
+                    pickle.dumps(ks, protocol=pickle.HIGHEST_PROTOCOL))
+                    for s, ks in sorted(by_shard.items())]
+                val_by_kb = dict(kv for blob in ray.get(refs)
+                                 for kv in pickle.loads(blob))
+                vals = [val_by_kb.get(kb) for kb in kbs]
+                lut = uniq
+                for i, c in enumerate(dim_vals):
+                    lut[c] = pd.Series(
+                        [None if v is None else v[i] for v in vals],
+                        dtype="object")
+                out = pdf.merge(lut, on=sk, how="left")
+                out["epoch"] = np.int64(epoch)
+                tbl_out = pa.Table.from_pandas(out, preserve_index=False)
+                if dim_types is not None:
+                    for c, typ in zip(dim_vals, dim_types):
+                        i = tbl_out.schema.get_field_index(c)
+                        tbl_out = tbl_out.set_column(
+                            i, c, tbl_out[c].cast(typ))
+                entry = write_epoch_part(
+                    sink_root, epoch, tbl_out,
+                    tag=f"b{uuid.uuid4().hex[:12]}", fsync=do_fsync)
+                rows = entry["rows"]
+            return pa.table({
+                "rows": pa.array([rows], type=pa.int64()),
+                "entry": pa.array([json.dumps(entry) if entry else ""],
+                                  type=pa.string()),
+                "max_ts": pa.array([max_ts], type=pa.float64()),
+            })
+
+        dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
+        summaries = dsd.map_batches(per_block, batch_format="pyarrow"
+                                    ).take_all()
+        files = [json.loads(r["entry"]) for r in summaries if r["entry"]]
+        for r in summaries:
+            self._max_event_time = max(self._max_event_time,
+                                       float(r["max_ts"]))
+        self.sinks[name].commit_files(epoch, files,
+                                      meta=self._meta(kind="enrich"))
+        return sum(f["rows"] for f in files)
+
     def _broadcast_apply_epoch(self, op: "BroadcastEnrich", name: str,
                                epoch: int, stream) -> int:
         """The no-shuffle half of broadcast state: snapshot the live rules
@@ -2668,6 +2775,9 @@ class StreamSession:
                 if stream is not None:
                     if isinstance(op, TemporalEnrichJoin):
                         n = self._temporal_probe_epoch(op, name, epoch, stream)
+                    elif op.probe_mode == "block":
+                        n = self._enrich_block_probe_epoch(op, name, epoch,
+                                                           stream)
                     else:
                         n = self._enrich_probe_epoch(op, name, epoch, stream)
                     emitted[name] = self.sinks[name].read_committed(

@@ -5169,3 +5169,62 @@ class TestWindowRollup:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         for s in (s1, s2):
             s.store.shutdown()
+
+
+class TestEnrichBlockProbe:
+    """probe_mode='block' (async-lookup enrich): events never move — each
+    block fetches its own unique keys from the shards.  Must be result-
+    identical to the shuffle plan on upserts, tombstones, misses and
+    int-typed dim values."""
+
+    def _run(self, tmp_path, mode):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / f"ebp_{mode}", num_shards=3)
+        sess.add(EnrichJoin(name="en", dim_input="dim", stream_input="ev",
+                            key=["uid"], dim_vals=["tier"],
+                            stream_cols=["eid"], dim_ts="up_ts",
+                            dim_types=[pa.int64()], dim_delete_col="del",
+                            probe_mode=mode))
+        rng = np.random.default_rng(11)
+        out = []
+        for e in range(3):
+            uids = rng.integers(0, 40, 12)
+            dim = pa.table({
+                "uid": pa.array(uids, type=pa.int64()),
+                "tier": pa.array(uids * 10 + e, type=pa.int64()),
+                "up_ts": pa.array(np.full(12, float(e))),
+                "del": pa.array(uids % 7 == e, type=pa.bool_()),
+            })
+            ev_uid = rng.integers(0, 50, 200)  # some keys never upserted
+            ev = pa.table({
+                "uid": pa.array(ev_uid, type=pa.int64()),
+                "eid": pa.array(np.arange(200) + 1000 * e, type=pa.int64()),
+            })
+            sess.process_epoch(e, {"dim": dim, "ev": rd.from_arrow(ev)})
+            t = sess.sinks["en"].read_committed_table([e])
+            out.extend(sorted(zip(t["eid"].to_pylist(),
+                                  t["uid"].to_pylist(),
+                                  [x if x is not None else -1
+                                   for x in t["tier"].to_pylist()])))
+        sess.store.shutdown()
+        return out
+
+    def test_block_equals_shuffle(self, ray_session, tmp_path):
+        assert self._run(tmp_path, "block") == self._run(tmp_path, "shuffle")
+
+    def test_validation(self, ray_session):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            EnrichJoin,
+            TemporalEnrichJoin,
+        )
+
+        with pytest.raises(ValueError, match="probe_mode"):
+            EnrichJoin(name="x", dim_input="d", stream_input="s",
+                       key=["k"], dim_vals=["v"], probe_mode="bogus")
+        with pytest.raises(ValueError, match="shuffle plan"):
+            TemporalEnrichJoin(name="x", dim_input="d", stream_input="s",
+                               key=["k"], dim_vals=["v"], stream_ts="ts",
+                               probe_mode="block")
