@@ -2671,11 +2671,17 @@ def q_ngram_jaccard_lsh(sf_dir: str) -> pd.DataFrame:
 
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
     """Embedding cosine near-dup over the fixture PLUS deterministically
-    planted near-duplicates (every 25th vector re-emitted scaled ×1.5 with
-    seeded 1e-3 relative jitter under id+10⁷) — the fixture's random vectors
-    have no organic pairs at 0.95, so the plant makes the gate prove the
-    LSH→verify path actually finds what it should.  Rows-only (hyperplane
-    seeds have no SQL twin); exact planted-pair recovery is pytest-gated."""
+    planted near-duplicates (every 25th vector re-emitted under id+10⁷,
+    scaled ×1.5 with an arithmetic per-element perturbation
+    ``×(1 + 0.01·sin(0.7·id + 1.3·j))``, j 1-based — SQL-expressible, so
+    DuckDB reconstructs the exact same planted vectors).  Oracle-exact
+    since r3: the SQL twin computes ALL pairs at exact cosine ≥ 0.95 by
+    brute force (``list_cosine_similarity`` self-join), so the gate
+    verifies BOTH the cosine verify kernel and that the OR-amplified
+    hyperplane LSH (8 tables × 12 planes — single-table recall at the
+    planted pairs' cosine ≈0.99998 is only ~0.95) reaches full recall on
+    the corpus.  The fixture's organic random vectors have no pairs near
+    0.95, so the threshold comparison is ulp-stable across engines."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(tbl: pa.Table) -> pa.Table:
@@ -2683,11 +2689,10 @@ def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
         ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
         keep = ids % 25 == 0
         dup_ids = ids[keep] + 10_000_000
-        dups = mat[keep] * 1.5
-        for r, did in enumerate(dup_ids):
-            rng = np.random.default_rng(int(did))
-            dups[r] += rng.normal(0, 1e-3 * np.abs(dups[r]).mean(),
-                                  dups.shape[1])
+        j = np.arange(1, mat.shape[1] + 1, dtype=np.float64)[None, :]
+        factor = 1.0 + 0.01 * np.sin(
+            0.7 * ids[keep].astype(np.float64)[:, None] + 1.3 * j)
+        dups = mat[keep] * 1.5 * factor
         all_ids = np.concatenate([ids, dup_ids])
         all_vecs = np.concatenate([mat, dups])
         return pa.table({
@@ -2697,7 +2702,7 @@ def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
         })
 
     out = embedding_dedup_pairs(ds.map_batches(plant, batch_format="pyarrow"),
-                                threshold=0.95).to_pandas()
+                                threshold=0.95, n_tables=8).to_pandas()
     out = _round(out, ["cosine"])
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
@@ -6443,6 +6448,33 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_lo
         JOIN sizes sb ON sb.doc_id = id_hi
         WHERE i::DOUBLE / (sa.ng + sb.ng - i) >= 0.8
+        ORDER BY id_lo, id_hi
+    """,
+    # dedup_embedding oracle: reconstructs the planted near-duplicates with
+    # the same arithmetic perturbation the Ray query applies, then computes
+    # ALL pairs at exact cosine >= 0.95 by brute force — full-recall check
+    # of the OR-amplified hyperplane LSH plus the cosine verify kernel.
+    "dedup_embedding": """
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 10000000 AS vec_id,
+                   list_transform(v, (x, j) -> x * 1.5 *
+                       (1 + 0.01 * sin(0.7 * CAST(vec_id AS DOUBLE)
+                                       + 1.3 * j))) AS v
+            FROM base WHERE vec_id % 25 = 0
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        pairs AS (
+            SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+                   list_cosine_similarity(a.v, b.v) AS cos
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        )
+        SELECT id_lo, id_hi, ROUND(cos, 6) AS cosine
+        FROM pairs WHERE cos >= 0.95
         ORDER BY id_lo, id_hi
     """,
     "ngram_jaccard": f"""

@@ -903,24 +903,48 @@ def ngram_jaccard_pairs(ds, pairs: pa.Table, col: str = "text",
 # --------------------------------------------------------------- embeddings
 def embedding_lsh_candidates(ds, emb_col: str = "embedding",
                              id_col: str = "vec_id", n_planes: int = 12,
-                             seed: int = 42):
+                             seed: int = 42, n_tables: int = 1):
     """Random-hyperplane bucket candidates: docs sharing the full n-plane
-    sign signature (cosine-similar vectors collide with high probability)."""
+    sign signature (cosine-similar vectors collide with high probability).
+
+    ``n_tables`` > 1 is the OR-amplified (banded) form: ``n_tables``
+    independent plane sets, a pair is a candidate if it collides in ANY
+    table.  One table's miss probability per pair is
+    ``1 − (1 − θ/π)^n_planes`` (θ the pair's angle), so near-dup recall of
+    a single table is only ~0.95 even at cosine 0.9999; ``n_tables=8``
+    drives it to 1 − 1e-10, which is what lets ``q_dedup_embedding``'s
+    oracle assert FULL recall against the exact all-pairs SQL.  Each row
+    emits ``n_tables`` signature rows (one shuffle, composite
+    table-prefixed bucket key); duplicates across tables are dropped
+    downstream by ``_distributed_pair_verify``."""
 
     def sig(tbl: pa.Table, planes: np.ndarray) -> pa.Table:
         mat = np.asarray(tbl[emb_col].combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         ), dtype=np.float64).reshape(len(tbl), -1)
-        signs = (mat @ planes.T) > 0
-        bucket = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pa.table({id_col: tbl[id_col], "bucket": pa.array(bucket.astype(np.int64))})
+        ids_all, buckets_all = [], []
+        shift = np.arange(n_planes, dtype=np.uint64)[None, :]
+        for t in range(n_tables):
+            sub = planes[t * n_planes:(t + 1) * n_planes]
+            signs = (mat @ sub.T) > 0
+            bucket = (signs.astype(np.uint64) << shift).sum(
+                axis=1, dtype=np.uint64)
+            # high bits carry the table id → one groupby key, disjoint
+            # bucket spaces per table
+            bucket |= np.uint64(t) << np.uint64(n_planes)
+            ids_all.append(tbl[id_col])
+            buckets_all.append(pa.array(bucket.astype(np.int64)))
+        return pa.table({
+            id_col: pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in ids_all]),
+            "bucket": pa.concat_arrays(buckets_all),
+        })
 
     first = ds.take(1)[0][emb_col]
     dim = len(first)
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables * n_planes, dim))
 
     sig_ds = ds.map_batches(lambda t: sig(t, planes), batch_format="pyarrow")
 
@@ -935,11 +959,14 @@ def embedding_lsh_candidates(ds, emb_col: str = "embedding",
 
 def embedding_dedup_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id",
                           threshold: float = 0.95, n_planes: int = 12,
-                          seed: int = 42) -> pa.Table:
+                          seed: int = 42, n_tables: int = 1) -> pa.Table:
     """Cosine near-dup pairs: LSH candidates → exact cosine verify, computed
     WHERE the vectors live (distributed pairs⋈payload; no driver-side
-    vector dict)."""
-    pairs = embedding_lsh_candidates(ds, emb_col, id_col, n_planes, seed)
+    vector dict).  ``n_tables`` OR-amplifies recall (see
+    ``embedding_lsh_candidates``); cross-table duplicate candidates are
+    deduped inside the verify."""
+    pairs = embedding_lsh_candidates(ds, emb_col, id_col, n_planes, seed,
+                                     n_tables)
 
     def cosine_ok(va: np.ndarray, vb: np.ndarray):
         A = np.stack(va)
