@@ -2772,6 +2772,62 @@ def q_image_decode(sf_dir: str) -> pd.DataFrame:
     return out.map_batches(project, batch_format="pyarrow").to_pandas()
 
 
+def q_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Video path with the REAL pure-stdlib container + codec: every 10th
+    doc synthesizes a deterministic MJPEG/AVI (3 + doc_id % 5 frames of
+    seeded 8×8 RGB at 12.5 fps, muxed by ``encode_avi_mjpeg``),
+    ``SampleFrames`` demuxes the RIFF container and picks 3 evenly-spaced
+    frames (1→N flat-map carrying each frame's JPEG payload, frame_no and
+    fps-derived ts_ms), and the actor-pool ``DecodeImage`` stage decodes
+    the sampled JPEGs to channel-mean features from actual pixels.
+    Rows-only (SQL cannot demux video); container round-trip byte-equality
+    and sampling determinism are pytest-gated."""
+    from ..stages.avi import encode_avi_mjpeg
+    from ..stages.multimodal import (MEDIA_BATCH_SIZE, DecodeImage,
+                                     SampleFrames)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % 10 == 0]
+        payloads = []
+        for d in ids:
+            rng = np.random.default_rng(int(d))
+            frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                      for _ in range(3 + int(d) % 5)]
+            payloads.append(encode_avi_mjpeg(frames, fps=12.5))
+        return pa.table({"media_id": pa.array([str(d) for d in ids]),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    frames_ds = (ds.map_batches(synth, batch_format="pyarrow")
+                 .map_batches(SampleFrames,
+                              fn_constructor_kwargs={"n_frames": 3},
+                              batch_size=MEDIA_BATCH_SIZE,
+                              batch_format="pyarrow", concurrency=2))
+    out = frames_ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"dim": 8, "fake": False},
+        batch_size=MEDIA_BATCH_SIZE, batch_format="pyarrow", concurrency=2)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        feats = tbl["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(tbl), -1)
+        return pa.table({"media_id": tbl["media_id"],
+                         "frame_no": tbl["frame_no"],
+                         "ts_ms": tbl["ts_ms"],
+                         "r_mean": pa.array(np.round(mat[:, 0], 6)),
+                         "g_mean": pa.array(np.round(mat[:, 1], 6)),
+                         "b_mean": pa.array(np.round(mat[:, 2], 6))})
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+    df["media_id"] = df["media_id"].astype(np.int64)
+    return (df.sort_values(["media_id", "frame_no"])
+            .reset_index(drop=True))
+
+
 def q_token_stream_agg(sf_dir: str) -> pd.DataFrame:
     """The north rule's INPUT table through the incremental engine with a
     SQL oracle: the tokenized-sequence stream (doc_id, tokens, n_tok,
@@ -4756,6 +4812,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
+    "video_frames": q_video_frames,
     "token_count": q_token_count,
     "token_stream_agg": q_token_stream_agg,
     "text_stats": q_text_stats,

@@ -22,9 +22,13 @@ output layout — is real and tested.  Codecs:
   4:2:2 / 4:2:0 chroma upsampling, YCbCr→RGB; validated against
   real-world JPEGs (CPython test fixtures) AND round-tripped against
   ``encode_jpeg``'s spec-compliant bitstreams;
-- remaining compressed formats (progressive JPEG, MP3/…):
+- **MJPEG/AVI video** demuxes for REAL (``stages/avi.py``: pure-stdlib
+  RIFF mux/demux) — ``SampleFrames`` extracts per-frame baseline-JPEG
+  payloads with frame numbers and fps-derived event times, feeding the
+  real ``DecodeImage``/``ResizeImage`` paths;
+- remaining compressed formats (progressive JPEG, MP3, MP4/H.264, …):
   ``DecodeImage(fake=False)`` raises at the decode call (the documented
-  integration point: swap in PIL/torchvision there — these libs are
+  integration point: swap in PIL/torchvision/PyAV there — these libs are
   absent in this container);
 - ``fake=True`` produces a deterministic sha256-seeded feature vector for
   payloads of any format, so downstream stages and tests exercise the full
@@ -376,17 +380,69 @@ class ResizeImage:
 
 
 class SampleFrames:
-    """Stub video frame sampler: expands each video row into ``n_frames``
-    frame rows (1→N flat-map shape with deterministic frame ids)."""
+    """Video frame sampler (1→N flat-map): MJPEG/AVI payloads demux for
+    REAL (``stages/avi.py``, pure stdlib) — each selected frame row carries
+    the frame's complete baseline-JPEG payload (decodable by
+    ``DecodeImage``/``ResizeImage`` downstream), its ``frame_no`` and its
+    event-time ``ts_ms`` from the container's fps.  Selection:
+    ``mode="uniform"`` picks ``n_frames`` evenly spaced frames
+    (deterministic linspace rounding, always includes frame 0);
+    ``mode="stride"`` keeps every ``stride``-th frame.  Non-AVI payloads
+    (MP4/H.264, WebM/VP9 — no pure-Python decode path) expand to
+    ``n_frames`` metadata-only rows with the payload nulled, the PyAV/
+    ffmpeg integration point, so the pipeline SHAPE stays uniform across
+    codecs and a mixed corpus never crashes the stage."""
 
-    def __init__(self, n_frames: int = 4):
+    def __init__(self, n_frames: int = 4, mode: str = "uniform",
+                 stride: int = 1, payload_col: str = "payload"):
+        if mode not in ("uniform", "stride"):
+            raise ValueError(f"mode {mode!r}: use 'uniform' or 'stride'")
         self.n_frames = n_frames
+        self.mode = mode
+        self.stride = max(1, stride)
+        self.payload_col = payload_col
+
+    def _pick(self, n_avail: int) -> np.ndarray:
+        if self.mode == "stride":
+            return np.arange(0, n_avail, self.stride, dtype=np.int64)
+        k = min(self.n_frames, n_avail)
+        return np.unique(np.round(
+            np.linspace(0, n_avail - 1, k)).astype(np.int64))
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        idx = np.repeat(np.arange(len(tbl)), self.n_frames)
-        frame_no = np.tile(np.arange(self.n_frames), len(tbl))
-        out = tbl.take(pa.array(idx))
-        return out.append_column("frame_no", pa.array(frame_no, type=pa.int32()))
+        from .avi import demux_avi
+
+        take_idx: list[int] = []
+        frame_no: list[int] = []
+        ts_ms: list[int] = []
+        payloads: list[bytes | None] = []
+        col = tbl[self.payload_col].to_pylist() \
+            if self.payload_col in tbl.column_names else [None] * len(tbl)
+        for i, p in enumerate(col):
+            if p is not None and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                info, frames = demux_avi(p)
+                ms_per = 1000.0 / info.fps if info.fps else 0.0
+                for j in self._pick(len(frames)):
+                    take_idx.append(i)
+                    frame_no.append(int(j))
+                    ts_ms.append(int(round(j * ms_per)))
+                    payloads.append(frames[j])
+            else:
+                # metadata-only expansion — the real-decoder integration
+                # point for codecs with no pure-Python path
+                for j in range(self.n_frames):
+                    take_idx.append(i)
+                    frame_no.append(j)
+                    ts_ms.append(0)
+                    payloads.append(None)
+        out = tbl.take(pa.array(take_idx, type=pa.int64()))
+        if self.payload_col in out.column_names:
+            out = out.set_column(
+                out.schema.get_field_index(self.payload_col),
+                self.payload_col, pa.array(payloads, type=pa.binary()))
+        return (out.append_column("frame_no",
+                                  pa.array(frame_no, type=pa.int32()))
+                .append_column("ts_ms", pa.array(ts_ms, type=pa.int32())))
 
 
 def decode_image_features(ds, dim: int = 64, concurrency: int = 2,
