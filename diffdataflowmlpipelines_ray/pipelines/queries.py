@@ -4259,13 +4259,17 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q_audio_decode(sf_dir: str) -> pd.DataFrame:
-    """Multimodal audio path with the REAL pure-numpy WAV decoder: a
-    deterministic 16-bit PCM sine payload per doc (frequency/amplitude
-    seeded by doc_id), decoded in the actor-pool stage, genuine signal
-    features (RMS, zero-crossing rate, FFT dominant frequency) extracted
-    from actual samples.  Rows-only (SQL cannot decode audio); analytic
-    exactness (rms = A/√2, dom_freq = f) is pytest-gated."""
-    from ..stages.multimodal import decode_audio_features, encode_wav
+    """Multimodal audio path with the REAL pure-numpy WAV decoders in a
+    format mix: a deterministic sine payload per doc (frequency/amplitude
+    seeded by doc_id) encoded as 16-bit PCM for even docs and as IMA
+    ADPCM (the 4-bit compressed-WAV codec, format 0x11) for odd docs,
+    decoded in the actor-pool stage, genuine signal features (RMS,
+    zero-crossing rate, FFT dominant frequency) extracted from actual
+    samples.  Rows-only (SQL cannot decode audio); analytic exactness
+    (rms = A/√2, dom_freq = f) and the ADPCM decoder's scalar-reference
+    equality are pytest-gated."""
+    from ..stages.multimodal import (decode_audio_features, encode_wav,
+                                     encode_wav_ima_adpcm)
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
@@ -4274,9 +4278,10 @@ def q_audio_decode(sf_dir: str) -> pd.DataFrame:
         rate = 8000
         t = np.arange(1600) / rate  # 200 ms clips
         payloads = [
-            encode_wav((0.25 + (d % 4) * 0.1)
-                       * np.sin(2 * np.pi * (250.0 + (d % 16) * 125.0) * t),
-                       rate)
+            (encode_wav if d % 2 == 0 else encode_wav_ima_adpcm)(
+                (0.25 + (d % 4) * 0.1)
+                * np.sin(2 * np.pi * (250.0 + (d % 16) * 125.0) * t),
+                rate)
             for d in ids
         ]
         return pa.table({"media_id": pa.array([str(d) for d in ids]),

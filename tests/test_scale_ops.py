@@ -1200,3 +1200,100 @@ class TestVideoAvi:
             demux_avi(bytes(avi))
         with pytest.raises(ValueError, match="truncated"):
             demux_avi(bytes(encode_avi_mjpeg(self._frames(2, h=8, w=8)))[:60])
+
+
+class TestImaAdpcm:
+    """IMA ADPCM (WAV format 0x11): the real compressed-audio decode path.
+    The block-vectorized decoder is pinned against an independent scalar
+    spec implementation; the encoder is the fixture generator (same
+    strategy as encode_png/encode_jpeg)."""
+
+    _STEPS = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767]
+    _ITAB = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+    def _scalar_decode(self, data: bytes, ba: int):
+        out = []
+        for b in range(len(data) // ba):
+            blk = data[b * ba:(b + 1) * ba]
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = min(88, blk[2])
+            out.append(pred)
+            for byte in blk[4:]:
+                for nib in (byte & 0xF, byte >> 4):
+                    step = self._STEPS[idx]
+                    d = step >> 3
+                    if nib & 1:
+                        d += step >> 2
+                    if nib & 2:
+                        d += step >> 1
+                    if nib & 4:
+                        d += step
+                    pred = pred - d if nib & 8 else pred + d
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + self._ITAB[nib]))
+                    out.append(pred)
+        return np.array(out, dtype=np.int16)
+
+    def _data_chunk(self, wav: bytes) -> bytes:
+        pos = 12
+        while pos + 8 <= len(wav):
+            cid = wav[pos:pos + 4]
+            size = int.from_bytes(wav[pos + 4:pos + 8], "little")
+            if cid == b"data":
+                return wav[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        raise AssertionError("no data chunk")
+
+    def test_vectorized_equals_scalar_reference(self):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            _decode_ima_adpcm, encode_wav_ima_adpcm)
+
+        rng = np.random.default_rng(5)
+        # rough noisy speech-like signal exercises every nibble value
+        x = np.clip(np.cumsum(rng.normal(0, 0.02, 3000)), -1, 1)
+        data = self._data_chunk(encode_wav_ima_adpcm(x, 8000))
+        assert np.array_equal(_decode_ima_adpcm(data, 256),
+                              self._scalar_decode(data, 256))
+
+    def test_roundtrip_quality_and_fact_trim(self):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_wav, encode_wav_ima_adpcm)
+
+        rate = 8000
+        t = np.arange(4001) / rate  # NOT a block multiple → fact trims pad
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        y, r = decode_wav(encode_wav_ima_adpcm(x, rate))
+        assert r == rate and y.size == x.size
+        rel = np.sqrt(((y - x) ** 2).mean()) / np.sqrt((x ** 2).mean())
+        assert rel < 0.05  # ~30 dB SNR from the 4-bit codec
+
+    def test_stage_decodes_adpcm_features(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            DecodeAudio, encode_wav_ima_adpcm)
+
+        rate = 8000
+        t = np.arange(1600) / rate
+        wav = encode_wav_ima_adpcm(0.4 * np.sin(2 * np.pi * 500 * t), rate)
+        out = DecodeAudio(fake=False)(pa.table({"payload": [wav]}))
+        assert out["sample_rate"].to_pylist() == [rate]
+        assert out["duration_ms"].to_pylist() == [200]
+        assert abs(out["dom_freq"].to_pylist()[0] - 500.0) < 6.0
+        assert abs(out["rms"].to_pylist()[0] - 0.4 / np.sqrt(2)) < 0.01
+
+    def test_stereo_adpcm_raises(self):
+        from diffdataflowmlpipelines_ray.stages.multimodal import (
+            decode_wav, encode_wav_ima_adpcm)
+
+        wav = bytearray(encode_wav_ima_adpcm(np.zeros(100), 8000))
+        i = wav.find(b"fmt ") + 8
+        wav[i + 2:i + 4] = (2).to_bytes(2, "little")  # nChannels = 2
+        with pytest.raises(ValueError, match="mono"):
+            decode_wav(bytes(wav))
