@@ -341,7 +341,9 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 class ResizeImage:
     """Resize stage: PPM/PGM, PNG and baseline-JPEG payloads are REALLY
     resized (pure-numpy nearest-neighbor decode→resize→re-encode in the
-    source format); other formats pass through with updated size metadata
+    source format), and MJPEG/AVI videos are resized FRAME-BY-FRAME
+    (demux → per-frame JPEG decode → resize → re-encode → re-mux at the
+    original fps); other formats pass through with updated size metadata
     only (the library integration point, like ``DecodeImage``)."""
 
     def __init__(self, width: int, height: int):
@@ -368,6 +370,16 @@ class ResizeImage:
                     out.append(encode_jpeg(
                         resize_nearest(decode_jpeg(p), self.width, self.height)
                     ))
+                elif p is not None and p[:4] == b"RIFF" \
+                        and p[8:12] == b"AVI ":
+                    from .avi import demux_avi, encode_avi_mjpeg
+                    from .jpeg import decode_jpeg
+
+                    info, frames = demux_avi(p)
+                    out.append(encode_avi_mjpeg(
+                        [resize_nearest(decode_jpeg(f), self.width,
+                                        self.height) for f in frames],
+                        fps=info.fps or 10.0))
                 else:
                     out.append(p)  # metadata-only for undecodable formats
             tbl = tbl.set_column(

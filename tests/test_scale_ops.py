@@ -1182,6 +1182,23 @@ class TestVideoAvi:
         out = DecodeImage(dim=8, fake=False)(real)
         assert out["features"].to_pylist()[0] is not None
 
+    def test_resize_video(self, ray_session):
+        """ResizeImage resizes MJPEG/AVI frame-by-frame and re-muxes at the
+        source fps."""
+        from diffdataflowmlpipelines_ray.stages.avi import (demux_avi,
+                                                            encode_avi_mjpeg)
+        from diffdataflowmlpipelines_ray.stages.jpeg import decode_jpeg
+        from diffdataflowmlpipelines_ray.stages.multimodal import ResizeImage
+
+        avi = encode_avi_mjpeg(self._frames(3, h=16, w=16), fps=25.0)
+        out = ResizeImage(8, 8)(pa.table(
+            {"media_id": ["v"], "payload": [avi]}))
+        info, frames = demux_avi(out["payload"].to_pylist()[0])
+        assert (info.width, info.height, info.n_frames) == (8, 8, 3)
+        assert abs(info.fps - 25.0) < 1e-9
+        assert all(decode_jpeg(f).shape == (8, 8, 3) for f in frames)
+        assert out["width"].to_pylist() == [8]
+
     def test_errors(self):
         from diffdataflowmlpipelines_ray.stages.avi import (demux_avi,
                                                             encode_avi_mjpeg)
