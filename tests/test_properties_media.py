@@ -1,0 +1,139 @@
+"""Hypothesis properties for the pure-stdlib media codecs.
+
+The codecs' unit tests pin hand-picked fixtures; these properties assert the
+structural invariants for ARBITRARY inputs: container mux/demux is lossless
+byte-for-byte on any frame set, frame sampling is a deterministic function
+of (n_frames, mode) alone, and the block-vectorized ADPCM decoder equals a
+scalar spec implementation on any signal and any block size.
+
+No Ray session — everything here is the in-process kernel layer, so the
+whole file runs in seconds (the pattern of test_properties_streaming.py's
+pure-StateShard properties).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from diffdataflowmlpipelines_ray.stages.avi import demux_avi, encode_avi_mjpeg
+from diffdataflowmlpipelines_ray.stages.jpeg import encode_jpeg
+from diffdataflowmlpipelines_ray.stages.multimodal import (
+    SampleFrames,
+    _decode_ima_adpcm,
+    decode_wav,
+    encode_wav_ima_adpcm,
+)
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_ITAB = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+
+def _scalar_ima_decode(data: bytes, ba: int) -> np.ndarray:
+    out = []
+    for b in range(len(data) // ba):
+        blk = data[b * ba:(b + 1) * ba]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = min(88, blk[2])
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = _IMA_STEPS[idx]
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = max(-32768, min(32767, pred - d if nib & 8
+                                       else pred + d))
+                idx = max(0, min(88, idx + _IMA_ITAB[nib]))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+class TestAviProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 3), st.integers(1, 3),
+           st.integers(0, 2**32 - 1),
+           st.floats(1.0, 120.0, allow_nan=False))
+    def test_mux_demux_lossless_any_frames(self, n, hb, wb, seed, fps):
+        """Any frame count, any (8-multiple) size, any fps: demux returns
+        the encoder's exact JPEG payloads and the declared metadata."""
+        rng = np.random.default_rng(seed)
+        h, w = hb * 8, wb * 8
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        info, out = demux_avi(encode_avi_mjpeg(frames, fps=fps))
+        assert (info.width, info.height, info.n_frames) == (w, h, n)
+        assert abs(info.fps - round(fps * 1000) / 1000) < 1e-9
+        assert out == [encode_jpeg(f) for f in frames]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 8), st.integers(1, 7))
+    def test_sampling_selector_invariants(self, n_avail, k, stride):
+        """The frame selector (pure function of counts): uniform-k always
+        includes frame 0 (and the last frame when it picks ≥2), emits
+        sorted unique indices, at most k of them; stride emits exactly the
+        arithmetic sequence."""
+        sf = SampleFrames(n_frames=k)
+        picks = sf._pick(n_avail)
+        assert picks[0] == 0
+        if min(k, n_avail) >= 2:
+            assert picks[-1] == n_avail - 1
+        assert 1 <= picks.size <= min(k, n_avail)
+        assert np.all(np.diff(picks) > 0)
+        sf2 = SampleFrames(mode="stride", stride=stride)
+        assert sf2._pick(n_avail).tolist() == \
+            list(range(0, n_avail, stride))
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(2, 9), st.integers(1, 5), st.integers(0, 2**32 - 1))
+    def test_sample_stage_matches_selector(self, n, k, seed):
+        """The Dataset-facing stage emits exactly the selector's frames
+        with fps-consistent event times."""
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        avi = encode_avi_mjpeg(frames, fps=20.0)
+        out = SampleFrames(n_frames=k)(
+            pa.table({"media_id": ["v"], "payload": [avi]}))
+        picks = SampleFrames(n_frames=k)._pick(n)
+        assert out["frame_no"].to_pylist() == picks.tolist()
+        assert out["ts_ms"].to_pylist() == \
+            [int(round(j * 50.0)) for j in picks]
+        assert out["payload"].to_pylist() == [encode_jpeg(frames[j])
+                                              for j in picks]
+
+
+class TestAdpcmProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 2000), st.integers(0, 2**32 - 1),
+           st.sampled_from([12, 64, 256, 505]))
+    def test_vectorized_decoder_equals_scalar_spec(self, n, seed, ba):
+        """For ANY signal length, ANY content, ANY block size: the
+        block-vectorized decoder is bit-identical to the scalar spec
+        recursion, and fact-trimmed decode has exactly the input length."""
+        rng = np.random.default_rng(seed)
+        x = np.clip(rng.normal(0, 0.3, n).cumsum() / 10, -1, 1)
+        wav = encode_wav_ima_adpcm(x, 8000, block_align=ba)
+        pos, data = 12, None
+        while pos + 8 <= len(wav):
+            cid = wav[pos:pos + 4]
+            size = int.from_bytes(wav[pos + 4:pos + 8], "little")
+            if cid == b"data":
+                data = wav[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        assert np.array_equal(_decode_ima_adpcm(data, ba),
+                              _scalar_ima_decode(data, ba))
+        y, rate = decode_wav(wav)
+        assert rate == 8000 and y.size == n
+        assert float(np.abs(y).max()) <= 1.0
