@@ -2773,16 +2773,18 @@ def q_image_decode(sf_dir: str) -> pd.DataFrame:
 
 
 def q_video_frames(sf_dir: str) -> pd.DataFrame:
-    """Video path with the REAL pure-stdlib container + codec: every 10th
-    doc synthesizes a deterministic MJPEG/AVI (3 + doc_id % 5 frames of
-    seeded 8×8 RGB at 12.5 fps, muxed by ``encode_avi_mjpeg``),
-    ``SampleFrames`` demuxes the RIFF container and picks 3 evenly-spaced
-    frames (1→N flat-map carrying each frame's JPEG payload, frame_no and
-    fps-derived ts_ms), and the actor-pool ``DecodeImage`` stage decodes
-    the sampled JPEGs to channel-mean features from actual pixels.
-    Rows-only (SQL cannot demux video); container round-trip byte-equality
-    and sampling determinism are pytest-gated."""
+    """Video path with the REAL pure-stdlib containers + codec in a format
+    mix: every 10th doc synthesizes a deterministic video (3 + doc_id % 5
+    frames of seeded 8×8 RGB at 12.5 fps) muxed as MJPEG/AVI for even
+    picks and Photo-JPEG MP4 for odd picks, ``SampleFrames`` demuxes the
+    container (RIFF walk / ISO-BMFF sample tables) and picks 3
+    evenly-spaced frames (1→N flat-map carrying each frame's JPEG payload,
+    frame_no and fps-derived ts_ms), and the actor-pool ``DecodeImage``
+    stage decodes the sampled JPEGs to channel-mean features from actual
+    pixels.  Rows-only (SQL cannot demux video); container round-trip
+    byte-equality and sampling determinism are pytest-gated."""
     from ..stages.avi import encode_avi_mjpeg
+    from ..stages.mp4 import encode_mp4_mjpeg
     from ..stages.multimodal import (MEDIA_BATCH_SIZE, DecodeImage,
                                      SampleFrames)
 
@@ -2796,7 +2798,8 @@ def q_video_frames(sf_dir: str) -> pd.DataFrame:
             rng = np.random.default_rng(int(d))
             frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
                       for _ in range(3 + int(d) % 5)]
-            payloads.append(encode_avi_mjpeg(frames, fps=12.5))
+            mux = encode_avi_mjpeg if (d // 10) % 2 == 0 else encode_mp4_mjpeg
+            payloads.append(mux(frames, fps=12.5))
         return pa.table({"media_id": pa.array([str(d) for d in ids]),
                          "payload": pa.array(payloads, type=pa.binary())})
 

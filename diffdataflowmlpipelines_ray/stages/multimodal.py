@@ -271,6 +271,24 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _demux_video(payload: bytes | None):
+    """(VideoInfo, jpeg frames) for the REAL container paths — MJPEG/AVI
+    and Photo-JPEG MP4 — or None for anything else (the PyAV/ffmpeg
+    integration point).  Unsupported CODECS inside a recognized container
+    still raise (honest gate), only unrecognized containers fall through."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi import demux_avi
+
+        return demux_avi(payload)
+    if payload[4:8] == b"ftyp":
+        from .mp4 import demux_mp4
+
+        return demux_mp4(payload)
+    return None
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: sha256(payload) seeds a
     reproducible feature vector."""
@@ -370,13 +388,15 @@ class ResizeImage:
                     out.append(encode_jpeg(
                         resize_nearest(decode_jpeg(p), self.width, self.height)
                     ))
-                elif p is not None and p[:4] == b"RIFF" \
-                        and p[8:12] == b"AVI ":
-                    from .avi import demux_avi, encode_avi_mjpeg
+                elif (vid := _demux_video(p)) is not None:
+                    from .avi import encode_avi_mjpeg
                     from .jpeg import decode_jpeg
+                    from .mp4 import encode_mp4_mjpeg
 
-                    info, frames = demux_avi(p)
-                    out.append(encode_avi_mjpeg(
+                    info, frames = vid
+                    remux = (encode_avi_mjpeg if p[:4] == b"RIFF"
+                             else encode_mp4_mjpeg)
+                    out.append(remux(
                         [resize_nearest(decode_jpeg(f), self.width,
                                         self.height) for f in frames],
                         fps=info.fps or 10.0))
@@ -394,18 +414,20 @@ class ResizeImage:
 
 
 class SampleFrames:
-    """Video frame sampler (1→N flat-map): MJPEG/AVI payloads demux for
-    REAL (``stages/avi.py``, pure stdlib) — each selected frame row carries
-    the frame's complete baseline-JPEG payload (decodable by
-    ``DecodeImage``/``ResizeImage`` downstream), its ``frame_no`` and its
-    event-time ``ts_ms`` from the container's fps.  Selection:
-    ``mode="uniform"`` picks ``n_frames`` evenly spaced frames
-    (deterministic linspace rounding, always includes frame 0);
-    ``mode="stride"`` keeps every ``stride``-th frame.  Non-AVI payloads
-    (MP4/H.264, WebM/VP9 — no pure-Python decode path) expand to
-    ``n_frames`` metadata-only rows with the payload nulled, the PyAV/
-    ffmpeg integration point, so the pipeline SHAPE stays uniform across
-    codecs and a mixed corpus never crashes the stage."""
+    """Video frame sampler (1→N flat-map): MJPEG/AVI (``stages/avi.py``)
+    AND Photo-JPEG MP4 (``stages/mp4.py``) payloads demux for REAL (pure
+    stdlib) — each selected frame row carries the frame's complete
+    baseline-JPEG payload (decodable by ``DecodeImage``/``ResizeImage``
+    downstream), its ``frame_no`` and its event-time ``ts_ms`` from the
+    container's fps.  Selection: ``mode="uniform"`` picks ``n_frames``
+    evenly spaced frames (deterministic linspace rounding, always includes
+    frame 0); ``mode="stride"`` keeps every ``stride``-th frame.
+    Unrecognized containers (WebM/VP9, raw streams) expand to ``n_frames``
+    metadata-only rows with the payload nulled — the PyAV/ffmpeg
+    integration point — so the pipeline SHAPE stays uniform across codecs
+    and a mixed corpus never crashes the stage; recognized containers
+    with undecodable CODECS (H.264 in MP4/AVI) raise instead: silence
+    there would mask real data loss."""
 
     def __init__(self, n_frames: int = 4, mode: str = "uniform",
                  stride: int = 1, payload_col: str = "payload"):
@@ -424,8 +446,6 @@ class SampleFrames:
             np.linspace(0, n_avail - 1, k)).astype(np.int64))
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        from .avi import demux_avi
-
         take_idx: list[int] = []
         frame_no: list[int] = []
         ts_ms: list[int] = []
@@ -433,8 +453,9 @@ class SampleFrames:
         col = tbl[self.payload_col].to_pylist() \
             if self.payload_col in tbl.column_names else [None] * len(tbl)
         for i, p in enumerate(col):
-            if p is not None and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                info, frames = demux_avi(p)
+            demuxed = _demux_video(p)
+            if demuxed is not None:
+                info, frames = demuxed
                 ms_per = 1000.0 / info.fps if info.fps else 0.0
                 for j in self._pick(len(frames)):
                     take_idx.append(i)

@@ -1161,8 +1161,8 @@ class TestVideoAvi:
 
         avi = encode_avi_mjpeg(self._frames(5, h=8, w=8), fps=5.0)
         ds = docs_ds({"media_id": ["a", "b"],
-                      "payload": [avi, b"\x00\x00\x00 ftypisom-not-avi"],
-                      "media_type": ["video/avi", "video/mp4"]})
+                      "payload": [avi, b"\x1aE\xdf\xa3webm-no-pure-path"],
+                      "media_type": ["video/avi", "video/webm"]})
         sampled = ds.map_batches(
             SampleFrames, fn_constructor_kwargs={"n_frames": 2},
             batch_size=MEDIA_BATCH_SIZE, batch_format="pyarrow",
@@ -1314,3 +1314,53 @@ class TestImaAdpcm:
         wav[i + 2:i + 4] = (2).to_bytes(2, "little")  # nChannels = 2
         with pytest.raises(ValueError, match="mono"):
             decode_wav(bytes(wav))
+
+
+class TestVideoMp4:
+    """Photo-JPEG MP4 (stages/mp4.py): the ISO-BMFF container path."""
+
+    def _frames(self, n, h=16, w=24, seed=9):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)]
+
+    def test_mux_demux_roundtrip(self):
+        from diffdataflowmlpipelines_ray.stages.jpeg import encode_jpeg
+        from diffdataflowmlpipelines_ray.stages.mp4 import (demux_mp4,
+                                                            encode_mp4_mjpeg)
+
+        frames = self._frames(6)
+        info, out = demux_mp4(encode_mp4_mjpeg(frames, fps=30.0))
+        assert (info.width, info.height, info.n_frames) == (24, 16, 6)
+        assert abs(info.fps - 30.0) < 0.02 and info.codec == "jpeg"
+        assert out == [encode_jpeg(f) for f in frames]
+
+    def test_sample_and_resize_stages(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.jpeg import decode_jpeg
+        from diffdataflowmlpipelines_ray.stages.mp4 import (demux_mp4,
+                                                            encode_mp4_mjpeg)
+        from diffdataflowmlpipelines_ray.stages.multimodal import ResizeImage
+
+        mp4 = encode_mp4_mjpeg(self._frames(9, h=8, w=8), fps=20.0)
+        t = pa.table({"media_id": ["v"], "payload": [mp4]})
+        out = SampleFrames(n_frames=3)(t)
+        assert out["frame_no"].to_pylist() == [0, 4, 8]
+        assert out["ts_ms"].to_pylist() == [0, 200, 400]
+        assert all(p.startswith(b"\xff\xd8")
+                   for p in out["payload"].to_pylist())
+        rz = ResizeImage(4, 4)(t)
+        info, frames = demux_mp4(rz["payload"].to_pylist()[0])
+        assert (info.width, info.height, info.n_frames) == (4, 4, 9)
+        assert all(decode_jpeg(f).shape == (4, 4, 3) for f in frames)
+
+    def test_codec_and_container_gates(self):
+        from diffdataflowmlpipelines_ray.stages.mp4 import (demux_mp4,
+                                                            encode_mp4_mjpeg)
+
+        mp4 = encode_mp4_mjpeg(self._frames(2, h=8, w=8))
+        with pytest.raises(NotImplementedError, match="PyAV/ffmpeg"):
+            demux_mp4(mp4.replace(b"jpeg", b"avc1", 1))
+        with pytest.raises(ValueError, match="not an ISO-BMFF"):
+            demux_mp4(b"\x1aE\xdf\xa3webm-like")
+        with pytest.raises(ValueError, match="truncated"):
+            demux_mp4(mp4[:-20])
