@@ -365,6 +365,46 @@ def q_tumbling_window(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["window_start"])
 
 
+def q_window_median(sf_dir: str) -> pd.DataFrame:
+    """HOLISTIC aggregate inside an event-time window: exact per-
+    (event_type, hour-window) MEDIAN from the same value→count arrangement
+    the retractable median/quantile/mode family uses, held per open window
+    in the shards and finalized when the watermark closes the window — the
+    composition (windowed × holistic) the per-op queries don't cover.
+    Cent-integer arithmetic end-to-end so the even-count midpoint mean is
+    exact on both sides.  Oracle: DuckDB MEDIAN over the same hour
+    buckets."""
+    from ..state.aggregates import MinMaxAgg
+
+    tbl = _read_table(sf_dir, "events",
+                      ["event_type", "ts", "value"]).sort_by("ts")
+    sess = StreamSession(_tmp("wmed"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["event_type"],
+        value_col="value", ts_col="ts", aggs=(),
+        window=WindowSpec.tumbling(3600.0),
+        make_acc=lambda values, weights: MinMaxAgg.from_numpy(
+            _half_away(values * 100.0), weights),
+        finalize=lambda a: {"median": _median_finalize(a)["med"] / 100.0},
+    ))
+    try:
+        parts = _epoch_split(tbl, 4)
+        for e, part in enumerate(parts):
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]")
+                              .astype(np.int64)) / 1e6)
+            sess.process_epoch(e, {"events": part}, watermark=wm)
+        sess.close(len(parts))
+        df = sess.sinks["win"].read_committed_table().to_pandas()
+    finally:
+        if sess.store.shards:
+            sess.store.shutdown()
+    df = df.drop(columns=["epoch", "window_end"])
+    df = _round(df, ["window_start", "median"])
+    return (df.sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+
+
 def q_window_rollup(sf_dir: str) -> pd.DataFrame:
     """Cascading window rollup (Flink's minute→hour two-tier pattern) as
     CHAINED JOBS: tier 1 aggregates events into 15-minute windows; its
@@ -2803,11 +2843,14 @@ def q_video_frames(sf_dir: str) -> pd.DataFrame:
         return pa.table({"media_id": pa.array([str(d) for d in ids]),
                          "payload": pa.array(payloads, type=pa.binary())})
 
+    # concurrency sized so the two chained actor pools (1 + 2) never
+    # reserve every CPU of a small session — the read/task stages upstream
+    # still need a slot (a 4-CPU test session deadlocks at 2 + 2)
     frames_ds = (ds.map_batches(synth, batch_format="pyarrow")
                  .map_batches(SampleFrames,
                               fn_constructor_kwargs={"n_frames": 3},
                               batch_size=MEDIA_BATCH_SIZE,
-                              batch_format="pyarrow", concurrency=2))
+                              batch_format="pyarrow", concurrency=1))
     out = frames_ds.map_batches(
         DecodeImage, fn_constructor_kwargs={"dim": 8, "fake": False},
         batch_size=MEDIA_BATCH_SIZE, batch_format="pyarrow", concurrency=2)
@@ -4761,6 +4804,7 @@ QUERIES = {
     "feature_matrix_vec": q_feature_matrix_vec,
     "incremental_groupby": q_incremental_groupby,
     "tumbling_window": q_tumbling_window,
+    "window_median": q_window_median,
     "window_rollup": q_window_rollup,
     "stream_metrics": q_stream_metrics,
     "early_firing": q_early_firing,
@@ -5214,6 +5258,13 @@ ORACLES = {
                count(*)::BIGINT AS count,
                sum(round(value * 100)) / 100.0 AS sum
         FROM events GROUP BY event_type, window_start
+    """,
+    "window_median": """
+        SELECT event_type,
+               ROUND(floor(epoch(ts) / 3600) * 3600, 6) AS window_start,
+               ROUND(MEDIAN(round(value * 100)) / 100.0, 6) AS median
+        FROM events GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
     """,
     "window_rollup": """
         WITH m AS (

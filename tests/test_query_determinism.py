@@ -20,6 +20,7 @@ def canon(res) -> pd.DataFrame:
 @pytest.mark.parametrize("name", [
     "dedup_minhash", "dedup_simhash", "fingerprint", "lang_id",
     "ngram_jaccard", "ann_ivf", "token_freq_topk",
+    "image_decode", "audio_decode", "video_frames",
 ])
 def test_rows_only_queries_deterministic(ray_session, name):
     from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
