@@ -2766,6 +2766,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
+def q_ann_ivf_full(sf_dir: str) -> pd.DataFrame:
+    """The IVF machinery under an EXACT oracle: with ``nprobe ==
+    n_clusters`` every inverted list is probed, so the result must equal
+    brute-force cosine top-k bit-for-bit — the gate verifies the centroid
+    assignment, per-list candidate routing, partial-top-k merge and
+    deterministic tie-break (cos desc, id asc) end-to-end.  The pruning
+    configuration (``ann_ivf``, nprobe < n_clusters) stays rows-only with
+    a pytest recall bound, as approximation demands."""
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    out = ivf_topk(ds, mat[:4], k=5, n_clusters=8, nprobe=8,
+                   query_ids=ids[:4]).to_pandas()
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
 def q_image_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal path with the REAL pure-numpy codecs: deterministic 8×8
     RGB payloads synthesized per doc (seeded by doc_id) in a format mix —
@@ -4863,6 +4880,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_full": q_ann_ivf_full,
     "image_decode": q_image_decode,
     "video_frames": q_video_frames,
     "token_count": q_token_count,
@@ -6118,6 +6136,22 @@ ORACLES = {
         ORDER BY lo.g, lo.k, lo.v, lc.bal
     """,
     "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "ann_ivf_full": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
             WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
