@@ -4322,15 +4322,17 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q_audio_decode(sf_dir: str) -> pd.DataFrame:
-    """Multimodal audio path with the REAL pure-numpy WAV decoders in a
-    format mix: a deterministic sine payload per doc (frequency/amplitude
-    seeded by doc_id) encoded as 16-bit PCM for even docs and as IMA
-    ADPCM (the 4-bit compressed-WAV codec, format 0x11) for odd docs,
-    decoded in the actor-pool stage, genuine signal features (RMS,
-    zero-crossing rate, FFT dominant frequency) extracted from actual
-    samples.  Rows-only (SQL cannot decode audio); analytic exactness
-    (rms = A/√2, dom_freq = f) and the ADPCM decoder's scalar-reference
-    equality are pytest-gated."""
+    """Multimodal audio path with the REAL pure-numpy decoders in a
+    three-codec mix: a deterministic sine payload per doc (frequency/
+    amplitude seeded by doc_id) encoded as 16-bit PCM WAV (doc_id % 3 ==
+    0), IMA ADPCM (== 1, the 4-bit lossy compressed-WAV codec) or FLAC
+    (== 2, the canonical lossless codec, `stages/flac.py`), decoded in the
+    actor-pool stage, genuine signal features (RMS, zero-crossing rate,
+    FFT dominant frequency) extracted from actual samples.  Rows-only
+    (SQL cannot decode audio); analytic exactness (rms = A/√2, dom_freq =
+    f), the ADPCM decoder's scalar-reference equality and FLAC's
+    bit-exact losslessness are pytest-gated."""
+    from ..stages.flac import encode_flac
     from ..stages.multimodal import (decode_audio_features, encode_wav,
                                      encode_wav_ima_adpcm)
 
@@ -4340,8 +4342,9 @@ def q_audio_decode(sf_dir: str) -> pd.DataFrame:
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         rate = 8000
         t = np.arange(1600) / rate  # 200 ms clips
+        encoders = {0: encode_wav, 1: encode_wav_ima_adpcm, 2: encode_flac}
         payloads = [
-            (encode_wav if d % 2 == 0 else encode_wav_ima_adpcm)(
+            encoders[int(d) % 3](
                 (0.25 + (d % 4) * 0.1)
                 * np.sin(2 * np.pi * (250.0 + (d % 16) * 125.0) * t),
                 rate)

@@ -1,0 +1,515 @@
+"""Pure-stdlib FLAC codec (RFC 9639 / xiph spec subset) — lossless audio.
+
+The audio analogue of ``stages/jpeg.py``: a real, spec-conformant decoder
+for the canonical lossless codec, plus an encoder used as the fixture
+generator so the decoder is tested against genuinely rice-coded,
+fixed-predicted bitstreams.  Because FLAC is LOSSLESS the tests can pin
+**bit-exact** round trips (``decode(encode(x)) == x``), a stronger gate
+than the lossy codecs' SNR bounds.
+
+Decoder scope (raises ``ValueError`` outside it — the soundfile/libFLAC
+integration point):
+
+- STREAMINFO parse (sample rate, channels, bits/sample, total samples);
+  other metadata blocks skipped.
+- Frames: fixed and variable blocking strategies, all blocksize codes
+  (incl. 8/16-bit explicit and the end-of-stream partial block), UTF-8
+  coded frame/sample numbers, sample-rate-from-STREAMINFO.
+- Subframes: CONSTANT, VERBATIM, FIXED orders 0–4, LPC orders 1–32,
+  wasted bits; residuals in both partitioned-Rice methods (4- and 5-bit
+  parameters) including the raw-bits escape.
+- Channel assignments: independent, left/side, right/side, mid/side
+  (side channels carry the spec's +1 bit).
+- Bits/sample 8, 16, 24 (what the encoder and real-world files use).
+- Frame CRCs are not re-verified (decode-what's-there, like the JPEG
+  path); the bit reader is Python-serial by design — the actor-pool media
+  stage parallelizes across payloads, and this docstring marks the
+  C-decoder swap point for throughput-critical audio pipelines.
+
+Encoder scope: 16-bit, mono/stereo independent channels, fixed blocksize,
+per-subframe best-of (CONSTANT / FIXED 0–4 / VERBATIM fallback),
+single-partition Rice residuals with a size-optimal parameter, correct
+CRC-8/CRC-16 — a valid stream any FLAC player decodes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_flac", "encode_flac"]
+
+
+# ------------------------------------------------------------------ bit io
+class _BitReader:
+    def __init__(self, buf: bytes, pos_bits: int = 0):
+        self.buf = buf
+        self.pos = pos_bits  # absolute bit position
+
+    def read(self, n: int) -> int:
+        """n-bit unsigned big-endian."""
+        end = self.pos + n
+        byte_lo, byte_hi = self.pos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.buf[byte_lo:byte_hi], "big")
+        shift = (byte_hi << 3) - end
+        self.pos = end
+        return (chunk >> shift) & ((1 << n) - 1)
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        """Count 0 bits until the terminating 1 bit."""
+        n = 0
+        buf, pos = self.buf, self.pos
+        # skip whole zero bytes fast
+        while True:
+            byte = buf[pos >> 3]
+            rem = 8 - (pos & 7)
+            window = byte & ((1 << rem) - 1)
+            if window == 0:
+                n += rem
+                pos += rem
+                continue
+            lead = rem - window.bit_length()
+            n += lead
+            pos += lead + 1
+            self.pos = pos
+            return n
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+
+class _BitWriter:
+    def __init__(self):
+        self.chunks: list[tuple[int, int]] = []
+        self.bits = 0
+
+    def write(self, value: int, n: int):
+        self.chunks.append((value & ((1 << n) - 1), n))
+        self.bits += n
+
+    def write_signed(self, value: int, n: int):
+        self.write(value + (1 << n) if value < 0 else value, n)
+
+    def unary(self, q: int):
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self):
+        pad = (-self.bits) % 8
+        if pad:
+            self.write(0, pad)
+
+    def getvalue(self) -> bytes:
+        acc, nbits = 0, 0
+        for v, n in self.chunks:
+            acc = (acc << n) | v
+            nbits += n
+        assert nbits % 8 == 0
+        return acc.to_bytes(nbits // 8, "big")
+
+
+# ------------------------------------------------------------------- CRCs
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+# ----------------------------------------------------------------- decode
+def _read_utf8_number(r: _BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_more = 0
+    mask = 0x40
+    while first & mask:
+        n_more += 1
+        mask >>= 1
+    val = first & (mask - 1)
+    for _ in range(n_more):
+        val = (val << 6) | (r.read(8) & 0x3F)
+    return val
+
+
+def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC residual method {method} reserved")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = r.read(4)
+    n_part = 1 << po
+    if blocksize % n_part:
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    idx = 0
+    for p in range(n_part):
+        count = blocksize // n_part - (order if p == 0 else 0)
+        param = r.read(plen)
+        if param == escape:
+            nbits = r.read(5)
+            for i in range(count):
+                out[idx + i] = r.read_signed(nbits) if nbits else 0
+        else:
+            for i in range(count):
+                q = r.unary()
+                v = (q << param) | r.read(param)
+                out[idx + i] = (v >> 1) ^ -(v & 1)  # zigzag
+        idx += count
+    return out
+
+
+def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        out = np.full(blocksize, r.read_signed(eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([r.read_signed(eff) for _ in range(blocksize)],
+                       dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        warm = [r.read_signed(eff) for _ in range(order)]
+        res = _read_residual(r, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        coef = _FIXED_COEF[order]
+        for i in range(order, blocksize):
+            acc = res[i - order]
+            for j, c in enumerate(coef):
+                acc += c * out[i - 1 - j]
+            out[i] = acc
+    elif stype >= 32:  # LPC
+        order = stype - 31
+        warm = [r.read_signed(eff) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("FLAC LPC precision code 1111 invalid")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coef = [r.read_signed(precision) for _ in range(order)]
+        res = _read_residual(r, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += coef[j] * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"FLAC subframe type {stype} reserved")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+_BLOCKSIZE_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+                   **{n: 256 << (n - 8) for n in range(8, 16)}}
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC payload → (samples float64 in [-1, 1], sample_rate).
+
+    Shape (n,) mono, (n, channels) otherwise — the ``decode_wav``
+    contract, so ``DecodeAudio`` treats both identically."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    while pos + 4 <= len(payload):
+        head = payload[pos]
+        last, btype = head >> 7, head & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + payload[pos + 1:pos + 4])
+        body = payload[pos + 4:pos + 4 + length]
+        if btype == 0:
+            if length < 34:
+                raise ValueError("FLAC STREAMINFO truncated")
+            bits = int.from_bytes(body[10:18], "big")
+            sample_rate = bits >> 44
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            info = (sample_rate, channels, bps, total)
+        pos += 4 + length
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    sample_rate, channels, bps, total = info
+    if bps not in (8, 16, 24):
+        raise ValueError(f"FLAC {bps}-bit unsupported by the pure decoder")
+
+    r = _BitReader(payload, pos * 8)
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    got = 0
+    end_bits = len(payload) * 8
+    while r.pos + 32 <= end_bits and (not total or got < total):
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("FLAC frame sync lost")
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)  # reserved
+        _read_utf8_number(r)
+        if bs_code == 0b0110:
+            blocksize = r.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = r.read(16) + 1
+        elif bs_code in _BLOCKSIZE_CODE:
+            blocksize = _BLOCKSIZE_CODE[bs_code]
+        else:
+            raise ValueError(f"FLAC blocksize code {bs_code} reserved")
+        if sr_code == 0b1100:
+            r.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("FLAC sample-rate code invalid")
+        ss_map = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+        if ss_code not in ss_map:
+            raise ValueError(f"FLAC sample-size code {ss_code} reserved")
+        fbps = ss_map[ss_code]
+        r.read(8)  # header CRC-8 (not re-verified)
+
+        if chan_code < 8:
+            if chan_code + 1 != channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            sub = [_read_subframe(r, blocksize, fbps)
+                   for _ in range(channels)]
+        elif chan_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo")
+            a_bits = fbps + (1 if chan_code == 9 else 0)
+            b_bits = fbps + (1 if chan_code in (8, 10) else 0)
+            first = _read_subframe(r, blocksize, a_bits)
+            second = _read_subframe(r, blocksize, b_bits)
+            if chan_code == 8:      # left/side
+                sub = [first, first - second]
+            elif chan_code == 9:    # right/side
+                sub = [first + second, second]
+            else:                   # mid/side
+                side = second
+                mid = (first << 1) | (side & 1)
+                sub = [(mid + side) >> 1, (mid - side) >> 1]
+        else:
+            raise ValueError(f"FLAC channel assignment {chan_code} reserved")
+        r.align()
+        r.read(16)  # frame CRC-16 (not re-verified)
+        for c in range(channels):
+            chans[c].append(sub[c])
+        got += blocksize
+
+    full = [np.concatenate(c) if c else np.zeros(0, dtype=np.int64)
+            for c in chans]
+    if total:
+        full = [f[:total] for f in full]
+    scale = float(1 << (bps - 1))
+    x = np.stack(full, axis=1).astype(np.float64) / scale
+    return (x[:, 0] if channels == 1 else x), sample_rate
+
+
+# ----------------------------------------------------------------- encode
+def _rice_param(res: np.ndarray) -> int:
+    """Size-optimal single-partition Rice parameter (scan 0..14)."""
+    zz = (np.abs(res.astype(np.int64)) << 1) - (res < 0)
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = int((zz >> k).sum()) + res.size * (k + 1)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray):
+    w.write(0, 2)   # 4-bit Rice method
+    w.write(0, 4)   # partition order 0
+    k = _rice_param(res)
+    w.write(k, 4)
+    for v in res.tolist():
+        zz = (abs(v) << 1) - 1 if v < 0 else v << 1
+        w.unary(zz >> k)
+        if k:
+            w.write(zz & ((1 << k) - 1), k)
+
+
+def _encode_subframe_lpc(w: _BitWriter, x: np.ndarray, bps: int,
+                         order: int, precision: int = 12):
+    """Quantized-LPC subframe (Levinson-Durbin + exact integer residual).
+
+    Coefficient quality only affects SIZE — the decoder inverts the exact
+    integer recursion, so the round trip is lossless for ANY quantized
+    coefficients; that's what lets the pytest pin the LPC decode path
+    bit-exactly."""
+    d = x.astype(np.float64)
+    n = d.size
+    ac = np.array([float((d[:n - k] * d[k:]).sum())
+                   for k in range(order + 1)])
+    if ac[0] == 0:
+        ac[0] = 1.0
+    # Levinson-Durbin
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err if err else 0.0
+        a[:i] = a[:i] - k * a[i - 1::-1][-i:] if i else a[:i]
+        a[i] = k
+        err *= (1 - k * k) or 1e-9
+    cmax = float(np.abs(a).max()) or 1.0
+    shift = max(1, min(15, precision - 1 - int(np.ceil(np.log2(cmax + 1e-9)))
+                       - 1))
+    qlp = np.clip(np.rint(a * (1 << shift)),
+                  -(1 << (precision - 1)),
+                  (1 << (precision - 1)) - 1).astype(np.int64)
+    xi = x.astype(np.int64)
+    # exact integer residual, the decoder's recursion inverted
+    res = np.empty(n - order, dtype=np.int64)
+    for i in range(order, n):
+        acc = 0
+        for j in range(order):
+            acc += int(qlp[j]) * int(xi[i - 1 - j])
+        res[i - order] = int(xi[i]) - (acc >> shift)
+    w.write(0, 1)
+    w.write(32 + order - 1, 6)  # LPC
+    w.write(0, 1)
+    for v in xi[:order].tolist():
+        w.write_signed(v, bps)
+    w.write(precision - 1, 4)
+    w.write_signed(shift, 5)
+    for c in qlp.tolist():
+        w.write_signed(c, precision)
+    _write_residual(w, res)
+
+
+def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int,
+                     lpc_order: int | None = None):
+    if np.all(x == x[0]):
+        w.write(0, 1)
+        w.write(0, 6)   # CONSTANT
+        w.write(0, 1)
+        w.write_signed(int(x[0]), bps)
+        return
+    if lpc_order is not None and x.size > lpc_order:
+        _encode_subframe_lpc(w, x, bps, lpc_order)
+        return
+    best_order, best_res, best_cost = None, None, None
+    d = x.astype(np.int64)
+    for order in range(5):
+        if x.size <= order:
+            break
+        res = d.copy()
+        for _ in range(order):
+            res = np.diff(res)   # order-o fixed-predictor residual
+        cost = int(np.minimum(np.abs(res), 1 << 40).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    # verbatim fallback if residuals would blow past rice's comfort zone
+    if int(np.abs(best_res).max(initial=0)) > (1 << 28):
+        w.write(0, 1)
+        w.write(1, 6)   # VERBATIM
+        w.write(0, 1)
+        for v in d.tolist():
+            w.write_signed(v, bps)
+        return
+    order = best_order
+    w.write(0, 1)
+    w.write(8 + order, 6)  # FIXED
+    w.write(0, 1)
+    for v in d[:order].tolist():
+        w.write_signed(int(v), bps)
+    _write_residual(w, best_res)
+
+
+def encode_flac(samples: np.ndarray, rate: int,
+                block_size: int = 4096,
+                lpc_order: int | None = None) -> bytes:
+    """float samples in [-1, 1] (mono or (n, ch≤2)) → FLAC bytes (16-bit).
+
+    Lossless vs the quantized int16 signal: ``decode_flac(encode_flac(x))``
+    reproduces ``round(x·32767)`` bit-exactly (pinned in pytest).
+    ``lpc_order`` forces quantized-LPC subframes of that order (1–32)
+    instead of the best fixed predictor — still lossless (the residual is
+    the exact integer recursion the decoder inverts), used to exercise the
+    LPC decode path against real data."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    if channels > 2:
+        raise ValueError("FLAC encoder supports mono/stereo")
+    if n == 0:
+        raise ValueError("FLAC encoder needs at least one sample")
+    q = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int64)
+    bps = 16
+
+    frames = []
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = q[start:start + block_size]
+        bs = blk.shape[0]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)           # reserved
+        w.write(0, 1)           # fixed blocksize strategy
+        w.write(0b0111, 4)      # 16-bit blocksize-1 follows
+        w.write(0b0000, 4)      # sample rate from STREAMINFO
+        w.write(channels - 1, 4)
+        w.write(0b100, 3)       # 16 bits/sample
+        w.write(0, 1)
+        # UTF-8 frame number
+        if fi < 0x80:
+            w.write(fi, 8)
+        elif fi < 0x800:
+            w.write(0xC0 | (fi >> 6), 8)
+            w.write(0x80 | (fi & 0x3F), 8)
+        else:
+            w.write(0xE0 | (fi >> 12), 8)
+            w.write(0x80 | ((fi >> 6) & 0x3F), 8)
+            w.write(0x80 | (fi & 0x3F), 8)
+        w.write(bs - 1, 16)
+        header = w.getvalue() if w.bits % 8 == 0 else None
+        assert header is not None  # header fields are byte-aligned by spec
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        for c in range(channels):
+            _encode_subframe(body, blk[:, c], bps, lpc_order)
+        body.align()
+        frame = header + body.getvalue()
+        frame += struct.pack(">H", _crc16(frame))
+        frames.append(frame)
+
+    si_bits = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | n
+    streaminfo = (struct.pack(">HH", block_size, block_size)
+                  + b"\x00\x00\x00" * 2                    # frame sizes unknown
+                  + si_bits.to_bytes(8, "big")
+                  + bytes(16))                             # md5 unset
+    meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return b"fLaC" + meta + b"".join(frames)

@@ -10,8 +10,11 @@ output layout — is real and tested.  Codecs:
   decode→feature-extract path runs genuinely on uncompressed images;
 - **RIFF/WAVE PCM** audio decodes for REAL too (``decode_wav``: 8/16/32-bit
   PCM + float32, mono/stereo, plus **IMA ADPCM** — the classic 4-bit
-  compressed-WAV codec, block-vectorized) feeding genuine signal features
-  (RMS, zero-crossing rate, dominant frequency via FFT);
+  compressed-WAV codec, block-vectorized) and so does **FLAC**
+  (``stages/flac.py``: the canonical LOSSLESS codec — rice-coded
+  fixed/LPC prediction, all channel decorrelation modes; bit-exact round
+  trips pinned in pytest), feeding genuine signal features (RMS,
+  zero-crossing rate, dominant frequency via FFT);
 - **PNG** (8-bit gray / RGB / RGBA / gray+alpha / palette, non-interlaced)
   decodes for REAL — ``decode_png``: stdlib ``zlib`` inflate + spec
   unfiltering (Sub as a vectorized per-lane cumulative sum; Average/Paeth
@@ -731,9 +734,15 @@ class DecodeAudio:
         if payload[:4] == b"RIFF":
             samples, rate = decode_wav(payload)
             return {"sample_rate": rate, **audio_features(samples, rate)}
+        if payload[:4] == b"fLaC":  # real lossless path (stages/flac.py)
+            from .flac import decode_flac
+
+            samples, rate = decode_flac(payload)
+            return {"sample_rate": rate, **audio_features(samples, rate)}
         raise NotImplementedError(
             "compressed-audio codec not available in this environment; "
-            "swap in soundfile/librosa decode here (WAV/PCM decodes for real)"
+            "swap in soundfile/librosa decode here (WAV PCM+ADPCM and "
+            "FLAC decode for real)"
         )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:

@@ -114,6 +114,31 @@ class TestAviProperties:
                                               for j in picks]
 
 
+class TestFlacProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 3000), st.integers(0, 2**32 - 1),
+           st.sampled_from([192, 555, 4096]),
+           st.sampled_from([None, 1, 2, 4, 8]),
+           st.booleans())
+    def test_lossless_any_signal(self, n, seed, block, lpc, stereo):
+        """FLAC is lossless: for ANY signal length/content, ANY block
+        size, fixed or LPC prediction, mono or stereo, the decode
+        reproduces the quantized int16 signal bit-exactly."""
+        from diffdataflowmlpipelines_ray.stages.flac import (decode_flac,
+                                                             encode_flac)
+
+        rng = np.random.default_rng(seed)
+        x = np.clip(rng.normal(0, 0.25, n).cumsum() / 8, -1, 1)
+        if stereo:
+            x = np.stack([x, x[::-1]], axis=1)
+        y, rate = decode_flac(encode_flac(x, 8000, block_size=block,
+                                          lpc_order=lpc))
+        assert rate == 8000 and y.shape == x.shape
+        assert np.array_equal(
+            np.rint(y * 32768),
+            np.clip(np.rint(x * 32767), -32768, 32767))
+
+
 class TestAdpcmProperties:
     @settings(max_examples=30, deadline=None)
     @given(st.integers(1, 2000), st.integers(0, 2**32 - 1),

@@ -1364,3 +1364,85 @@ class TestVideoMp4:
             demux_mp4(b"\x1aE\xdf\xa3webm-like")
         with pytest.raises(ValueError, match="truncated"):
             demux_mp4(mp4[:-20])
+
+
+class TestFlac:
+    """FLAC (stages/flac.py): the lossless codec — round trips must be
+    BIT-EXACT vs the quantized int16 signal, a stronger gate than the
+    lossy codecs' SNR bounds."""
+
+    def _sig(self, n=9001, seed=0):
+        rate = 8000
+        t = np.arange(n) / rate
+        x = 0.4 * np.sin(2 * np.pi * 440 * t) \
+            + 0.05 * np.random.default_rng(seed).normal(size=n)
+        return np.clip(x, -1, 1), rate
+
+    @staticmethod
+    def _q(x):
+        return np.clip(np.rint(np.asarray(x) * 32767), -32768, 32767)
+
+    def test_fixed_predictors_lossless_mono_stereo(self):
+        from diffdataflowmlpipelines_ray.stages.flac import (decode_flac,
+                                                             encode_flac)
+
+        x, rate = self._sig()  # multi-frame (block 4096), odd tail
+        y, r = decode_flac(encode_flac(x, rate))
+        assert r == rate and y.size == x.size
+        assert np.array_equal(np.rint(y * 32768), self._q(x))
+        st = np.stack([x, np.roll(x, 100)], axis=1)
+        y2, _ = decode_flac(encode_flac(st, rate))
+        assert y2.shape == st.shape
+        assert np.array_equal(np.rint(y2 * 32768), self._q(st))
+
+    def test_lpc_subframes_lossless_every_order_band(self):
+        """Quantized-LPC subframes: coefficient quality only affects size,
+        the integer recursion must invert bit-exactly at any order."""
+        from diffdataflowmlpipelines_ray.stages.flac import (decode_flac,
+                                                             encode_flac)
+
+        x, rate = self._sig(n=5000, seed=3)
+        sizes = []
+        for order in (1, 2, 4, 8, 12, 32):
+            flac = encode_flac(x, rate, lpc_order=order)
+            y, _ = decode_flac(flac)
+            assert np.array_equal(np.rint(y * 32768), self._q(x)), order
+            sizes.append(len(flac))
+        # higher order predicts the sine better → smaller streams
+        assert sizes[-2] < sizes[0]
+
+    def test_constant_ramp_and_tiny_blocks(self):
+        from diffdataflowmlpipelines_ray.stages.flac import (decode_flac,
+                                                             encode_flac)
+
+        for sig in (np.zeros(5000), np.full(300, 0.5),
+                    np.linspace(-1, 1, 777)):
+            y, _ = decode_flac(encode_flac(sig, 8000, block_size=256))
+            assert np.array_equal(np.rint(y * 32768), self._q(sig))
+
+    def test_stage_decodes_flac_features(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.flac import encode_flac
+        from diffdataflowmlpipelines_ray.stages.multimodal import DecodeAudio
+
+        rate = 8000
+        t = np.arange(1600) / rate
+        flac = encode_flac(0.4 * np.sin(2 * np.pi * 500 * t), rate)
+        out = DecodeAudio(fake=False)(pa.table({"payload": [flac]}))
+        assert out["sample_rate"].to_pylist() == [rate]
+        assert out["duration_ms"].to_pylist() == [200]
+        assert abs(out["dom_freq"].to_pylist()[0] - 500.0) < 6.0
+        # lossless → rms is EXACTLY the quantized sine's rms
+        x = np.rint(0.4 * np.sin(2 * np.pi * 500 * t) * 32767) / 32768.0
+        assert abs(out["rms"].to_pylist()[0]
+                   - float(np.sqrt((x * x).mean()))) < 1e-12
+
+    def test_errors(self):
+        from diffdataflowmlpipelines_ray.stages.flac import (decode_flac,
+                                                             encode_flac)
+
+        with pytest.raises(ValueError, match="not a FLAC"):
+            decode_flac(b"RIFFxxxxWAVE")
+        with pytest.raises(ValueError, match="at least one sample"):
+            encode_flac(np.zeros(0), 8000)
+        with pytest.raises(ValueError, match="mono/stereo"):
+            encode_flac(np.zeros((10, 3)), 8000)
