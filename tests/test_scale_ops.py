@@ -1446,3 +1446,70 @@ class TestFlac:
             encode_flac(np.zeros(0), 8000)
         with pytest.raises(ValueError, match="mono/stereo"):
             encode_flac(np.zeros((10, 3)), 8000)
+
+    def _handcraft(self, subframe_bits, n_samples, bps=16):
+        """Minimal 1-frame mono FLAC around handcrafted subframe bits —
+        exercises decoder paths the encoder never emits."""
+        import struct
+
+        from diffdataflowmlpipelines_ray.stages import flac as F
+
+        w = F._BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 2)
+        w.write(0b0110, 4)      # 8-bit blocksize-1 follows
+        w.write(0b0000, 4)      # rate from STREAMINFO
+        w.write(0, 4)           # mono
+        w.write(0b100, 3)       # 16 bit
+        w.write(0, 1)
+        w.write(0, 8)           # frame number 0 (UTF-8)
+        w.write(n_samples - 1, 8)
+        header = w.getvalue()
+        header += bytes([F._crc8(header)])
+        body = F._BitWriter()
+        subframe_bits(body)
+        body.align()
+        frame = header + body.getvalue()
+        frame += struct.pack(">H", F._crc16(frame))
+        si_bits = (8000 << 44) | (0 << 41) | ((bps - 1) << 36) | n_samples
+        streaminfo = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+                      + si_bits.to_bytes(8, "big") + bytes(16))
+        meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        return b"fLaC" + meta + frame
+
+    def test_wasted_bits_decode(self):
+        """CONSTANT subframe with 2 wasted bits: value 5 at eff=14 bits
+        must decode as 5<<2 = 20 for every sample."""
+        from diffdataflowmlpipelines_ray.stages.flac import decode_flac
+
+        def sub(w):
+            w.write(0, 1)
+            w.write(0, 6)        # CONSTANT
+            w.write(1, 1)        # wasted flag
+            w.write(0b01, 2)     # unary 1 → wasted = 2
+            w.write_signed(5, 14)
+
+        y, rate = decode_flac(self._handcraft(sub, 4))
+        assert rate == 8000
+        assert np.array_equal(np.rint(y * 32768), np.full(4, 20))
+
+    def test_escape_residual_decode(self):
+        """FIXED order 0 with the Rice ESCAPE partition (raw 6-bit
+        residuals) must decode verbatim."""
+        from diffdataflowmlpipelines_ray.stages.flac import decode_flac
+
+        vals = [-3, 5, 0, -32]
+
+        def sub(w):
+            w.write(0, 1)
+            w.write(8, 6)        # FIXED order 0
+            w.write(0, 1)
+            w.write(0, 2)        # method 0 (4-bit params)
+            w.write(0, 4)        # partition order 0
+            w.write(0b1111, 4)   # ESCAPE
+            w.write(6, 5)        # raw bit length
+            for v in vals:
+                w.write_signed(v, 6)
+
+        y, _ = decode_flac(self._handcraft(sub, 4))
+        assert np.array_equal(np.rint(y * 32768), np.array(vals))
