@@ -3240,6 +3240,48 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered semi-join — the shuffle-avoidance pattern for a
+    probe side too large to move and a build side too large to broadcast
+    exactly: lineitems of URGENT orders, aggregated per return flag.
+
+    Plan: (1) ``build_bloom`` over the filtered orders keys — per-block
+    1 MB bitmaps OR-merged on the driver, never the keys; (2) broadcast
+    the bloom once and drop definitely-absent lineitems BEFORE any
+    exchange (at sf0.01 urgent orders are ~20% of keys, so ~4/5 of the
+    probe side never pays the shuffle); (3) exact partitioned
+    ``hash_join(how='semi')`` on the survivors kills the bloom's false
+    positives, so the result is EXACT — the bloom is conservative by
+    construction and only prunes guaranteed non-matches.  (4) two-phase
+    count/sum per flag.  l_quantity is whole-valued, so the float64 sum
+    is order-independent and matches DuckDB bit-for-bit."""
+    from ..stages.relational import build_bloom, bloom_prefilter, hash_join
+
+    nbits = 1 << 20
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    bloom_ref = ray.put(build_bloom(urgent, ["o_orderkey"], nbits=nbits))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                    "l_quantity"])
+    pruned = bloom_prefilter(li, ["l_orderkey"], bloom_ref, nbits=nbits)
+    hits = hash_join(pruned, urgent, ["l_orderkey"], ["o_orderkey"],
+                     how="semi")
+    # two-phase aggregate: per-block partials, tiny final groupby
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas().groupby("l_returnflag", as_index=False).agg(
+            cnt=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    df = (hits.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("l_returnflag", as_index=False)
+          .agg(cnt=("cnt", "sum"), sum_qty=("sum_qty", "sum")))
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _antijoin_broadcast(sf_dir: str) -> pd.DataFrame:
     """Small-right-side path: one `ray.put` of the distinct key set, Arrow
     is_in filter per batch — zero shuffle."""
@@ -4897,6 +4939,7 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "antijoin": q_antijoin,
     "semi_join": q_semi_join,
+    "bloom_semi_join": q_bloom_semi_join,
     "hash_join": q_hash_join,
     "left_join": q_left_join,
     "outer_join": q_outer_join,
@@ -6365,6 +6408,15 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "bloom_semi_join": """
+        SELECT l_returnflag, count(*)::BIGINT AS cnt,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "hash_join": """
         SELECT c.c_mktsegment, count(*)::BIGINT AS n,

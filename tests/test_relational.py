@@ -4,6 +4,7 @@ hypothesis-based algebra properties."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -446,6 +447,35 @@ class TestBloomPrefilter:
         b = (hash_join(lds, rds, ["k"], ["rk"], buckets=8).to_pandas()
              .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+    def test_bloom_semi_join_query_matches_plain_semi(self, ray_session):
+        """The gate query's bloom-prefiltered plan must equal the plain
+        semi-join plan (bloom false positives are killed by the exact
+        join, false negatives are impossible)."""
+        from diffdataflowmlpipelines_ray.pipelines.queries import (
+            _read,
+            q_bloom_semi_join,
+        )
+        from diffdataflowmlpipelines_ray.stages.relational import hash_join
+
+        sf = "/root/testdata/sf0.001"
+        got = q_bloom_semi_join(sf)
+        orders = _read(sf, "orders", ["o_orderkey", "o_orderpriority"])
+        urgent = orders.map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_orderkey"]),
+            batch_format="pyarrow")
+        li = _read(sf, "lineitem",
+                   ["l_orderkey", "l_returnflag", "l_quantity"])
+        plain = (hash_join(li, urgent, ["l_orderkey"], ["o_orderkey"],
+                           how="semi").to_pandas()
+                 .groupby("l_returnflag", as_index=False)
+                 .agg(cnt=("l_quantity", "size"),
+                      sum_qty=("l_quantity", "sum"))
+                 .sort_values("l_returnflag").reset_index(drop=True))
+        plain["cnt"] = plain["cnt"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, plain)
 
 
 class TestAdviceR3Fixes:
