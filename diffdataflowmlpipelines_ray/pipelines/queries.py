@@ -2948,6 +2948,52 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return add_lang_id(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
 
 
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed byte-level BPE training over the documents corpus: one
+    streaming two-phase word histogram (the corpus never reaches the
+    driver), then incremental merge learning over the bounded word-type
+    table.  Output: the learned merge table (rank, left/right symbol ids,
+    merged token rendered as text).  Rows-only: BPE's sequential merge
+    recursion has no SQL twin; determinism (count-desc / lowest-pair
+    tie-break) makes the table bit-stable across runs and partitionings,
+    which pytest pins."""
+    from ..stages.bpe import learn_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    model = learn_bpe(ds, "text", num_merges=128, min_count=2)
+    toks = [model.vocab[256 + r].decode("utf-8", errors="backslashreplace")
+            for r in range(len(model.merges))]
+    return pd.DataFrame({
+        "rank": np.arange(len(model.merges), dtype=np.int64),
+        "left": np.array([a for a, _ in model.merges], dtype=np.int64),
+        "right": np.array([b for _, b in model.merges], dtype=np.int64),
+        "token": toks,
+    })
+
+
+def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Train (128 merges) then tokenize the full corpus with the
+    actor-pool ``EncodeBpe`` stage — merge table broadcast once per actor,
+    per-actor word cache.  Output: per-doc BPE token counts plus the raw
+    byte length, so compression (bytes/token) is visible.  Rows-only;
+    deterministic given the deterministic trainer."""
+    from ..stages.bpe import EncodeBpe, learn_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = learn_bpe(ds, "text", num_merges=128, min_count=2)
+    ref = ray.put(model.merges)
+    out = (ds.map_batches(EncodeBpe, fn_constructor_args=(ref, "text"),
+                          concurrency=2, batch_format="pyarrow")
+           .map_batches(lambda b: pa.table({
+               "doc_id": b["doc_id"],
+               "n_bpe_tokens": b["n_bpe_tokens"],
+               "n_bytes": pc.binary_length(
+                   pc.cast(b["text"], pa.binary())),
+           }), batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from ..stages.text_stats import add_fingerprint
 
@@ -4933,6 +4979,8 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
