@@ -2994,6 +2994,23 @@ def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicate-span statistics (Lee et al. 2022): per
+    document, the word 8-gram windows duplicated ANYWHERE in the corpus
+    and the exact interval-union word coverage a span-removal pass would
+    cut.  Corpus text moves zero times — 28 B window-hash rows shuffle,
+    dup membership returns via broadcast searchsorted (or a partitioned
+    semi-join past 2M dup pairs).  Oracle: DuckDB recomputes every window
+    by list slicing and flags duplicates by STRING equality, so the gate
+    also proves the dual-seed polynomial window hashing is collision-free
+    on the corpus."""
+    from ..stages.text_clean import dup_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (dup_span_stats(ds, k=8).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from ..stages.text_stats import add_fingerprint
 
@@ -4981,6 +4998,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "dup_spans": q_dup_spans,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
@@ -6456,6 +6474,39 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "dup_spans": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+        idx AS (SELECT doc_id, w,
+                       unnest(generate_series(1, greatest(len(w) - 7, 0)))
+                           AS i
+                FROM words),
+        wins AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS win
+                 FROM idx),
+        counts AS (SELECT win, count(*) AS c FROM wins GROUP BY win),
+        flagged AS (SELECT w.doc_id, w.i FROM wins w
+                    JOIN counts c USING (win) WHERE c.c >= 2),
+        perdoc AS (SELECT doc_id, count(*) AS n_dup_windows
+                   FROM flagged GROUP BY doc_id),
+        pos AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS p
+                FROM words),
+        cover AS (SELECT pos.doc_id, pos.p FROM pos
+                  WHERE EXISTS (SELECT 1 FROM flagged f
+                                WHERE f.doc_id = pos.doc_id
+                                  AND f.i BETWEEN pos.p - 7 AND pos.p)),
+        coverd AS (SELECT doc_id, count(*) AS n_dup_words
+                   FROM cover GROUP BY doc_id)
+        SELECT wo.doc_id, len(wo.w)::BIGINT AS n_words,
+               greatest(len(wo.w) - 7, 0)::BIGINT AS n_windows,
+               coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+               coalesce(c.n_dup_words, 0)::BIGINT AS n_dup_words
+        FROM words wo LEFT JOIN perdoc p USING (doc_id)
+                      LEFT JOIN coverd c USING (doc_id)
+        ORDER BY wo.doc_id
     """,
     "bloom_semi_join": """
         SELECT l_returnflag, count(*)::BIGINT AS cnt,

@@ -20,6 +20,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.vectors import half_away
 
@@ -116,32 +117,39 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     # Columns that can become null under left/outer semantics must leave
     # every bucket with ONE dtype (a bucket where everything matched would
     # otherwise emit int64 while its neighbour emits float64 from NaN
-    # padding) — integer columns go through pandas' nullable Int64, which
-    # Arrow round-trips back to int64-with-nulls.
-    nullable_int = {f.name: "Int64" for f in unified
-                    if pa.types.is_integer(f.type)}
+    # padding) — integer columns go through pandas' nullable Int64/UInt64,
+    # which Arrow round-trips back to int-with-nulls.  The cast happens
+    # BEFORE the merge so big values (> 2⁵³, e.g. 64-bit hash keys) never
+    # take a precision-losing float64 round trip.
+    nullable_int = {f.name: ("UInt64" if pa.types.is_unsigned_integer(f.type)
+                             else "Int64")
+                    for f in unified if pa.types.is_integer(f.type)}
 
-    def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        lt = pdf[pdf["__side"] == "l"]
-        rt = pdf[pdf["__side"] == "r"]
+    def join_bucket(tbl: pa.Table) -> pd.DataFrame:
+        # Split sides while still Arrow and DROP the other side's columns
+        # first: converting the union block (null-padded across sides) to
+        # pandas whole would degrade every int column to float64 —
+        # silently corrupting 64-bit keys (values > 2⁵³).
+        mask_l = pc.equal(tbl["__side"], "l")
+        lt = tbl.filter(mask_l).select(list(l_cols)).to_pandas()
+        rt = tbl.filter(pc.invert(mask_l)).select(list(r_cols)).to_pandas()
         if how in ("inner", "left", "outer"):
-            # merge on empty frames still yields the joined schema/dtypes
-            out = lt[list(l_cols)].merge(
-                rt[list(r_cols)], left_on=left_on, right_on=right_on, how=how
-            )
             if how != "inner" and nullable_int:
-                out = out.astype(nullable_int)
-            return out
+                lt = lt.astype({c: t for c, t in nullable_int.items()
+                                if c in lt.columns})
+                rt = rt.astype({c: t for c, t in nullable_int.items()
+                                if c in rt.columns})
+            # merge on empty frames still yields the joined schema/dtypes
+            return lt.merge(rt, left_on=left_on, right_on=right_on, how=how)
         keys = rt[list(right_on)].drop_duplicates()
         keys.columns = left_on  # positional key alignment
-        marked = lt[list(l_cols)].merge(
-            keys, on=left_on, how="left", indicator=True
-        )
+        marked = lt.merge(keys, on=left_on, how="left", indicator=True)
         want = "both" if how == "semi" else "left_only"
         return marked[marked["_merge"] == want].drop(columns=["_merge"])
 
     both = l_tagged.union(r_tagged)
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pyarrow")
 
 
 def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
@@ -177,11 +185,14 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
     r_tagged = _with_bucket(right, r_on, buckets, "r", unified)
     r_out = [c for c in r_cols if c not in r_on]
 
-    def join_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        lt = pdf[pdf["__side"] == "l"][l_cols].sort_values(left_ts,
-                                                           kind="mergesort")
-        rt = pdf[pdf["__side"] == "r"][r_cols].sort_values(right_ts,
-                                                           kind="mergesort")
+    def join_bucket(tbl: pa.Table) -> pd.DataFrame:
+        # Arrow-side split before pandas (same reason as hash_join: the
+        # union's null padding would float-degrade int columns)
+        mask_l = pc.equal(tbl["__side"], "l")
+        lt = (tbl.filter(mask_l).select(list(l_cols)).to_pandas()
+              .sort_values(left_ts, kind="mergesort"))
+        rt = (tbl.filter(pc.invert(mask_l)).select(list(r_cols)).to_pandas()
+              .sort_values(right_ts, kind="mergesort"))
         merged = pd.merge_asof(
             lt, rt, left_on=left_ts, right_on=right_ts,
             left_by=on, right_by=r_on, direction=direction,
@@ -192,7 +203,7 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
 
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 def salted_two_phase_sum(ds, key_cols: Sequence[str], value_col: str,

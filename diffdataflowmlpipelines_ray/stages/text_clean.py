@@ -45,6 +45,7 @@ __all__ = [
     "contamination_set",
     "flag_contaminated",
     "mask_pattern",
+    "dup_span_stats",
 ]
 
 
@@ -233,3 +234,184 @@ def mask_pattern(ds, col: str, pattern: str, replacement: str,
         return tbl.append_column(out, masked)
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicate-span statistics
+def _dual_window_hashes(texts, k: int):
+    """SQL-parity tokenization (``\\s+`` split, empties dropped — exactly
+    ``tokenize_column``) → per-document 1-based window start positions and
+    TWO independent 64-bit window hashes.
+
+    Window equality must mirror word-sequence equality: each window hash is
+    a polynomial mix over per-word hashes, and the two combos start from
+    word hashes with DIFFERENT seeds — a single-word 64-bit collision
+    therefore breaks at most one combo, giving dedup_exact-grade 128-bit
+    confidence without materializing window strings."""
+    from ..functions.tokenize import tokenize_column
+
+    toks = tokenize_column(texts)
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+    if len(flat) < k:
+        return empty
+
+    def combine(wh: np.ndarray, base: int) -> np.ndarray:
+        sw = np.lib.stride_tricks.sliding_window_view(wh, k)
+        coef = np.array([pow(base, i, 1 << 64) for i in range(k)],
+                        dtype=np.uint64)
+        return (sw * coef[::-1]).sum(axis=1, dtype=np.uint64)
+
+    g1 = combine(fast_hash64_array(flat, seed=42), 0x100000001B3)
+    g2 = combine(fast_hash64_array(flat, seed=9001),
+                 0x9E3779B97F4A7C15)
+    m = len(g1)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:m]
+    valid = (np.arange(m, dtype=np.int64) + k) <= offs[doc_of + 1]
+    pos = np.arange(m, dtype=np.int64) - offs[doc_of] + 1  # 1-based in doc
+    return doc_of[valid], pos[valid], g1[valid], g2[valid]
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 8, buckets: int = 64,
+                   broadcast_limit: int = 2_000_000):
+    """ExactSubstr-style duplicate-span analysis (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, how much of it is covered by word ``k``-grams that occur ≥ 2
+    times ANYWHERE in the corpus (including elsewhere in the same doc).
+
+    → Dataset(id, n_words, n_windows, n_dup_windows, n_dup_words) where
+    ``n_dup_words`` is the exact interval-union length of the flagged
+    windows — the number of word positions a span-removal pass would cut.
+
+    Scale plan (the corpus text moves ZERO times):
+    1. one streaming pass emits (id, pos, h1, h2) window rows — 28 B each;
+    2. block-local ``np.unique`` pre-counts collapse in-block repeats, one
+       small ``groupby.sum`` finds globally-duplicated window hashes;
+    3. membership goes back to the window rows either by ONE broadcast
+       (sorted dup array + searchsorted, when the dup set ≤
+       ``broadcast_limit``) or a partitioned semi-join (no driver
+       structure, when boilerplate-heavy corpora blow past it);
+    4. per-doc finish: one ``groupby(id)`` over FLAGGED windows only
+       (duplicated spans, not the corpus) computes counts + exact
+       interval-union coverage vectorized.
+    """
+
+    def windows(tbl: pa.Table) -> pa.Table:
+        d, p, g1, g2 = _dual_window_hashes(tbl[text_col], k)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)[d]
+        return pa.table({id_col: pa.array(ids), "pos": pa.array(p),
+                         "h1": pa.array(g1), "h2": pa.array(g2)})
+
+    W = ds.map_batches(windows, batch_format="pyarrow").materialize()
+
+    # --- global duplicate detection on (h1, h2): block partials, tiny sum
+    def partial(tbl: pa.Table) -> pa.Table:
+        pair = np.stack([tbl["h1"].to_numpy(zero_copy_only=False),
+                         tbl["h2"].to_numpy(zero_copy_only=False)], axis=1)
+        u, cnt = np.unique(pair, axis=0, return_counts=True) if len(pair) \
+            else (np.empty((0, 2), dtype=np.uint64),
+                  np.empty(0, dtype=np.int64))
+        return pa.table({
+            "__b": pa.array(((u[:, 0] * np.uint64(0x9E3779B97F4A7C15))
+                             % np.uint64(buckets)).astype(np.int64)),
+            "h1": pa.array(u[:, 0]), "h2": pa.array(u[:, 1]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    def dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = pdf.groupby(["h1", "h2"], as_index=False)["cnt"].sum()
+        return tot.loc[tot["cnt"] >= 2, ["h1", "h2"]]
+
+    D = (W.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(dups, batch_format="pandas")
+          # normalize to Arrow blocks: hash_join's column ops need them
+          .map_batches(lambda t: t, batch_format="pyarrow")
+          .materialize())
+
+    if D.count() <= broadcast_limit:
+        dup_pdf = D.to_pandas()
+        if len(dup_pdf) == 0:  # empty datasets lose their column names
+            s1 = s2 = np.empty(0, dtype=np.uint64)
+        else:
+            order = np.lexsort((dup_pdf["h2"].to_numpy(dtype=np.uint64),
+                                dup_pdf["h1"].to_numpy(dtype=np.uint64)))
+            s1 = dup_pdf["h1"].to_numpy(dtype=np.uint64)[order]
+            s2 = dup_pdf["h2"].to_numpy(dtype=np.uint64)[order]
+        ref = ray.put((s1, s2))
+
+        def flag(tbl: pa.Table) -> pa.Table:
+            a1, a2 = ray.get(ref)
+            h1 = tbl["h1"].to_numpy(zero_copy_only=False)
+            h2 = tbl["h2"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(a1, h1, side="left")
+            hi = np.searchsorted(a1, h1, side="right")
+            hit = np.zeros(len(h1), dtype=bool)
+            one = hi - lo == 1  # almost every h1 range is 0 or 1 wide
+            hit[one] = a2[lo[one]] == h2[one]
+            for i in np.flatnonzero(hi - lo > 1):  # h1 collisions: ~never
+                hit[i] = h2[i] in a2[lo[i]:hi[i]]
+            return tbl.filter(pa.array(hit))
+
+        flagged = W.map_batches(flag, batch_format="pyarrow")
+    else:
+        from .relational import hash_join
+
+        flagged = hash_join(W, D, ["h1", "h2"], ["h1", "h2"], how="semi",
+                            buckets=buckets)
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(pdf["pos"].to_numpy(dtype=np.int64))
+        ends = pos + k - 1
+        new = np.ones(len(pos), dtype=bool)
+        if len(pos) > 1:
+            new[1:] = pos[1:] > np.maximum.accumulate(ends)[:-1]
+        seg_end = np.maximum.reduceat(ends, np.flatnonzero(new))
+        covered = int((seg_end - pos[new] + 1).sum())
+        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]],
+                             "n_dup_windows": [np.int64(len(pos))],
+                             "n_dup_words": [np.int64(covered)]})
+
+    flagged = flagged.materialize()  # duplicated windows only, feeds groupby
+
+    per = flagged.groupby(id_col).map_groups(per_doc, batch_format="pandas")
+
+    def doc_stats(tbl: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokenize_column
+
+        toks = tokenize_column(tbl[text_col])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        return pa.table({id_col: tbl[id_col],
+                         "n_words": pa.array(lens),
+                         "n_windows": pa.array(np.maximum(lens - k + 1, 0))})
+
+    from .relational import hash_join
+
+    docs = ds.map_batches(doc_stats, batch_format="pyarrow")
+    if flagged.count() == 0:  # no duplicated window anywhere
+        return docs.map_batches(
+            lambda t: t.append_column(
+                "n_dup_windows", pa.array(np.zeros(t.num_rows, np.int64))
+            ).append_column(
+                "n_dup_words", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+    per = per.map_batches(  # avoid key-name overlap in the left join
+        lambda t: t.rename_columns(["__rid", "n_dup_windows",
+                                    "n_dup_words"]),
+        batch_format="pyarrow")
+    joined = hash_join(docs, per, [id_col], ["__rid"], how="left",
+                       buckets=buckets)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: tbl[id_col],
+            "n_words": tbl["n_words"],
+            "n_windows": tbl["n_windows"],
+            "n_dup_windows": pc.fill_null(
+                pc.cast(tbl["n_dup_windows"], pa.int64()), 0),
+            "n_dup_words": pc.fill_null(
+                pc.cast(tbl["n_dup_words"], pa.int64()), 0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

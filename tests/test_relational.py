@@ -478,6 +478,48 @@ class TestBloomPrefilter:
         pd.testing.assert_frame_equal(got, plain)
 
 
+class TestJoin64BitKeys:
+    """Regression: the union null-padding used to convert int/uint64
+    columns to float64 inside join_bucket, silently corrupting keys above
+    2^53 (semi joins lost ~all matches on hash keys).  Sides are now split
+    in Arrow before pandas sees them."""
+
+    def _sides(self):
+        rng = np.random.default_rng(3)
+        # keys far above 2^53 so any float64 round trip changes them
+        keys = rng.integers(2**63, 2**64, 500, dtype=np.uint64)
+        left = pa.table({"k": pa.array(keys),
+                         "lv": pa.array(np.arange(500, dtype=np.int64))})
+        right_keys = keys[::2]  # every other key matches
+        right = pa.table({"rk": pa.array(right_keys),
+                          "rv": pa.array(np.arange(250, dtype=np.int64))})
+        return (rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right).repartition(3), keys, right_keys)
+
+    def test_semi_anti_exact_on_huge_uint64(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import hash_join
+
+        lds, rds, keys, rkeys = self._sides()
+        semi = hash_join(lds, rds, ["k"], ["rk"], how="semi").to_pandas()
+        anti = hash_join(lds, rds, ["k"], ["rk"], how="anti").to_pandas()
+        assert len(semi) == 250 and len(anti) == 250
+        assert semi["k"].dtype == np.uint64  # no float degradation
+        assert set(semi["k"].to_numpy(dtype=np.uint64)) == set(rkeys)
+        assert set(anti["k"].to_numpy(dtype=np.uint64)) == set(keys[1::2])
+
+    def test_left_join_values_exact_on_huge_uint64(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import hash_join
+
+        lds, rds, keys, rkeys = self._sides()
+        out = hash_join(lds, rds, ["k"], ["rk"], how="left").to_pandas()
+        assert len(out) == 500
+        matched = out[out["rv"].notna()]
+        assert len(matched) == 250
+        # the key columns survive bit-exact (UInt64, not via float64)
+        got = matched["k"].to_numpy(dtype=np.uint64)
+        assert set(got) == set(rkeys)
+
+
 class TestAdviceR3Fixes:
     """Regression tests for the round-3 ADVICE findings."""
 

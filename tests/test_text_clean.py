@@ -285,3 +285,60 @@ class TestFrequentLinePaths:
         slow = frequent_line_hashes(ds, min_count=5, driver_merge_limit=0)
         assert np.array_equal(fast, slow)
         assert len(fast) > 0
+
+
+class TestDupSpans:
+    def _ds(self, texts):
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts})).repartition(3)
+
+    def test_planted_cross_doc_span(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_clean import dup_span_stats
+
+        span = "alpha beta gamma delta"          # 4 words, k=4 → 1 window
+        texts = [f"one two {span} three four",   # window at pos 3
+                 f"{span} five six seven eight", # window at pos 1
+                 "no duplicated material here at all"]
+        out = (dup_span_stats(self._ds(texts), k=4).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # doc 0: 8 words, 5 windows; only the planted one (pos 3) is dup;
+        # coverage = 4 words
+        assert out.loc[0, ["n_words", "n_windows", "n_dup_windows",
+                           "n_dup_words"]].tolist() == [8, 5, 1, 4]
+        assert out.loc[1, ["n_dup_windows", "n_dup_words"]].tolist() == [1, 4]
+        assert out.loc[2, ["n_dup_windows", "n_dup_words"]].tolist() == [0, 0]
+
+    def test_within_doc_repeat_and_interval_union(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_clean import dup_span_stats
+
+        # "a b c a b c a b c" with k=3: windows (a b c) at 1,4,7 (dup ×3),
+        # (b c a) at 2,5 (dup ×2), (c a b) at 3,6 (dup ×2) → ALL 7 windows
+        # duplicated, coverage = the whole 9 words (overlapping union)
+        out = dup_span_stats(self._ds(["a b c a b c a b c"]),
+                             k=3).to_pandas()
+        assert out.iloc[0][["n_words", "n_windows", "n_dup_windows",
+                            "n_dup_words"]].tolist() == [9, 7, 7, 9]
+
+    def test_short_doc_contributes_nothing(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_clean import dup_span_stats
+
+        out = (dup_span_stats(self._ds(["one two", "one two"]), k=4)
+               .to_pandas().sort_values("doc_id"))
+        assert (out["n_windows"] == 0).all()
+        assert (out["n_dup_windows"] == 0).all()
+
+    def test_broadcast_and_semijoin_paths_agree(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_clean import dup_span_stats
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+                 for _ in range(60)]
+        texts += texts[:10]  # guarantee full-doc duplicates
+        a = (dup_span_stats(self._ds(texts), k=5).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (dup_span_stats(self._ds(texts), k=5, broadcast_limit=0)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_dup_windows"].sum() > 0
