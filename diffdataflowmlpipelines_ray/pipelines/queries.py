@@ -2994,6 +2994,36 @@ def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy string-match join (record linkage): probe customers
+    (c_custkey < 1000) against ALL customer names with the 9th character
+    deterministically corrupted ('Customer#…' → 'CustomerX…'), keeping
+    every pair within Levenshtein distance 2.  Exercises the full
+    AllPairs-style plan — rarest-first prefix-gram blocking (one gram
+    shuffle), batched vectorized DP verification, distributed pair
+    dedup.  Oracle: DuckDB's ``levenshtein`` over the brute-force cross
+    join — the gate therefore also proves the prefix filter is
+    recall-lossless on this corpus."""
+    from ..stages.fuzzy import fuzzy_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    probe = cust.map_batches(
+        lambda b: b.filter(pc.less(b["c_custkey"], 1000))
+                   .rename_columns(["l_key", "l_name"]),
+        batch_format="pyarrow")
+    target = cust.map_batches(
+        lambda b: pa.table({
+            "r_key": b["c_custkey"],
+            "r_name": pc.utf8_replace_slice(b["c_name"], start=8, stop=9,
+                                            replacement="X")}),
+        batch_format="pyarrow")
+    out = fuzzy_join(probe, target, "l_name", "r_name", "l_key", "r_key",
+                     max_dist=2).to_pandas()
+    out = out.rename(columns={"lid": "l_key", "rid": "r_key"})
+    return (out.sort_values(["l_key", "r_key"]).reset_index(drop=True)
+            .astype("int64"))
+
+
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicate-span statistics (Lee et al. 2022): per
     document, the word 8-gram windows duplicated ANYWHERE in the corpus
@@ -4999,6 +5029,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "dup_spans": q_dup_spans,
+    "fuzzy_join": q_fuzzy_join,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
@@ -6474,6 +6505,20 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "fuzzy_join": """
+        WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
+                   FROM customer WHERE c_custkey < 1000),
+        r AS (SELECT c_custkey AS r_key,
+                     substr(c_name, 1, 8) || 'X' || substr(c_name, 10)
+                         AS r_name
+              FROM customer)
+        SELECT l_key, r_key,
+               levenshtein(l_name, r_name)::BIGINT AS dist
+        FROM l, r
+        WHERE abs(length(l_name) - length(r_name)) <= 2
+          AND levenshtein(l_name, r_name) <= 2
+        ORDER BY l_key, r_key
     """,
     "dup_spans": r"""
         WITH words AS (

@@ -1,0 +1,195 @@
+"""Fuzzy string-match join (entity resolution / record linkage): all pairs
+within Levenshtein distance ``max_dist``, exactly.
+
+The AllPairs/PPJoin-style plan (Bayardo et al. 2007; Xiao et al. 2008),
+factored onto Ray Data:
+
+1. **Prefix-filter blocking** — each string's DISTINCT character bigrams,
+   globally ordered rarest-first (one tiny two-phase gram-frequency count,
+   broadcast).  One edit changes at most ``q = 2`` distinct bigrams, so
+   strings within distance ``k`` share all but ``k·q`` of either side's
+   gram set; by the prefix-filter theorem the pair is then guaranteed to
+   collide on at least one of the FIRST ``k·q + 1`` grams of each side
+   under any common total order.  Emitting ≤ ``k·q+1`` gram rows per
+   string bounds the blocking exchange at a small constant × corpus size,
+   and rarest-first ordering keeps buckets small.
+2. **One ``groupby(gram)`` shuffle** — candidates are generated where the
+   gram rows land; a length-difference ≤ ``k`` filter prunes before any
+   pair materializes.
+3. **Batched verification** — candidate pairs are grouped by their exact
+   (len_a, len_b) and the full Levenshtein DP runs VECTORIZED across all
+   pairs of a shape group (``len_a × len_b`` vector steps over the whole
+   pair batch — never a per-pair Python DP).  Matches DuckDB's
+   ``levenshtein`` (unit costs) exactly, which is the SQL oracle.
+4. **Pair dedup** — the same pair can collide on several grams; block-
+   local ``drop_duplicates`` then one pair-bucket shuffle finishes the
+   exact distinct without any driver structure.
+
+Skew note: a corpus where thousands of strings share their 5 rarest grams
+(near-identical keys) concentrates candidate generation; the documented
+mitigation is raising ``q``/prefix length or salting verification — recall
+is never affected, only balance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+__all__ = ["levenshtein_batch", "fuzzy_join"]
+
+_Q = 2  # bigrams
+
+
+def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Exact Levenshtein distance for each (a[i], b[i]) pair — vectorized
+    across pairs (grouped by shape; the DP loop is over string POSITIONS,
+    each step a whole-batch numpy op)."""
+    n = len(a)
+    la = np.fromiter((len(x) for x in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    shapes = {}
+    for i in range(n):
+        shapes.setdefault((la[i], lb[i]), []).append(i)
+    for (m, p), idx in shapes.items():
+        ix = np.asarray(idx, dtype=np.int64)
+        if m == 0 or p == 0:
+            out[ix] = max(m, p)
+            continue
+        am = np.frombuffer("".join(a[i] for i in idx).encode("utf-32-le"),
+                           dtype=np.uint32).reshape(len(ix), m)
+        bm = np.frombuffer("".join(b[i] for i in idx).encode("utf-32-le"),
+                           dtype=np.uint32).reshape(len(ix), p)
+        prev = np.broadcast_to(np.arange(p + 1, dtype=np.int64),
+                               (len(ix), p + 1)).copy()
+        for i in range(1, m + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            ai = am[:, i - 1][:, None]      # (P, 1)
+            sub = prev[:, :-1] + (ai != bm)  # diagonal + mismatch cost
+            dele = prev[:, 1:] + 1
+            best = np.minimum(sub, dele)
+            # insertion needs the just-computed left neighbour — a scan:
+            # cur[j] = min(best[j], cur[j-1]+1).  The running minimum
+            # telescopes, so one pass of np.minimum.accumulate over
+            # (best[j] - j) gives it in vector form.
+            shifted = np.minimum.accumulate(
+                np.concatenate([cur[:, :1], best], axis=1)
+                - np.arange(p + 1, dtype=np.int64), axis=1)
+            cur[:, 1:] = (shifted + np.arange(p + 1, dtype=np.int64))[:, 1:]
+            prev = cur
+        out[ix] = prev[:, -1]
+    return out
+
+
+def _distinct_grams(s: str) -> set[str]:
+    if len(s) < _Q:
+        return {s} if s else set()
+    return {s[i:i + _Q] for i in range(len(s) - _Q + 1)}
+
+
+def fuzzy_join(left, right, left_on: str, right_on: str,
+               left_id: str, right_id: str, max_dist: int = 2,
+               buckets: int = 64):
+    """All (left, right) pairs with ``levenshtein ≤ max_dist`` →
+    Dataset(left_id, right_id, dist).  Exact — the prefix filter is
+    recall-lossless for edit distance (see module docstring)."""
+    prefix_len = max_dist * _Q + 1
+
+    # --- tiny global gram-frequency table (both sides), broadcast
+    def gram_partial(tbl: pa.Table, col: str) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in tbl[col].to_pylist():
+            c.update(_distinct_grams(s or ""))
+        if not c:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g, nn = zip(*c.items())
+        return pa.table({"g": pa.array(g), "n": pa.array(nn,
+                                                         type=pa.int64())})
+
+    freq_rows = (left.map_batches(lambda t: gram_partial(t, left_on),
+                                  batch_format="pyarrow")
+                 .union(right.map_batches(
+                     lambda t: gram_partial(t, right_on),
+                     batch_format="pyarrow"))
+                 .groupby("g").sum("n").take_all())
+    rank = {r["g"]: (r["sum(n)"], r["g"]) for r in freq_rows}
+    rank_ref = ray.put(rank)
+
+    # --- prefix-gram rows: ≤ prefix_len rows per string
+    def emit(tbl: pa.Table, col: str, idc: str, side: str) -> pa.Table:
+        rk = ray.get(rank_ref)
+        ids = tbl[idc].to_pylist()
+        names = tbl[col].to_pylist()
+        og, oid, onm = [], [], []
+        for i, s in zip(ids, names):
+            grams = sorted(_distinct_grams(s or ""), key=lambda g: rk[g])
+            # prefix-filter guarantee needs max(|G(a)|,|G(b)|) > k·q; a
+            # pair where BOTH gram sets are ≤ k·q can intersect nowhere
+            # (e.g. "aa" vs "bb" at k=2) — those rare degenerate strings
+            # all block together on a sentinel gram instead.
+            if len(grams) <= max_dist * _Q:
+                grams = grams + ["\x00"]
+            for g in grams[:prefix_len]:
+                og.append(g)
+                oid.append(i)
+                onm.append(s)
+        return pa.table({"g": pa.array(og, type=pa.string()),
+                         "id": pa.array(oid),
+                         "nm": pa.array(onm, type=pa.string()),
+                         "side": pa.array([side] * len(og),
+                                          type=pa.string())})
+
+    lg = left.map_batches(lambda t: emit(t, left_on, left_id, "l"),
+                          batch_format="pyarrow")
+    rg = right.map_batches(lambda t: emit(t, right_on, right_id, "r"),
+                           batch_format="pyarrow")
+
+    # --- one gram shuffle → candidates → batched verify inside the group
+    def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        lt = pdf[pdf["side"] == "l"]
+        rt = pdf[pdf["side"] == "r"]
+        if lt.empty or rt.empty:
+            return pd.DataFrame({"lid": pd.Series([], dtype="int64"),
+                                 "rid": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        cand = lt[["id", "nm"]].merge(rt[["id", "nm"]], how="cross",
+                                      suffixes=("_l", "_r"))
+        ld = cand["nm_l"].str.len().to_numpy()
+        rd = cand["nm_r"].str.len().to_numpy()
+        cand = cand[np.abs(ld - rd) <= max_dist]
+        cand = cand.drop_duplicates(["id_l", "id_r"])
+        if cand.empty:
+            return pd.DataFrame({"lid": pd.Series([], dtype="int64"),
+                                 "rid": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        d = levenshtein_batch(cand["nm_l"].tolist(), cand["nm_r"].tolist())
+        keep = d <= max_dist
+        return pd.DataFrame({"lid": cand["id_l"].to_numpy()[keep],
+                             "rid": cand["id_r"].to_numpy()[keep],
+                             "dist": d[keep]})
+
+    verified = (lg.union(rg).groupby("g")
+                .map_groups(candidates, batch_format="pandas"))
+
+    # --- exact distinct pairs: block-local dedup, one pair-bucket shuffle
+    def local(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas().drop_duplicates(["lid", "rid"])
+        h = pd.util.hash_pandas_object(pdf[["lid", "rid"]],
+                                       index=False).to_numpy()
+        pdf["__b"] = (h % np.uint64(buckets)).astype(np.int64)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.drop_duplicates(["lid", "rid"])
+                [["lid", "rid", "dist"]])
+
+    return (verified.map_batches(local, batch_format="pyarrow")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
