@@ -4516,6 +4516,54 @@ def q_grouped_corr(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_grouped_linreg(sf_dir: str) -> pd.DataFrame:
+    """Per-group least-squares regression (slope, intercept, R²) of
+    extended price on discount — the SAME single invertible ``CoMomentAgg``
+    pass as ``grouped_corr`` (one accumulator per group, no row
+    re-materialization), finalized with the regression identities
+    slope = Cxy/M2x, intercept = ȳ − slope·x̄, R² = corr².  Oracle:
+    DuckDB's ``regr_slope`` / ``regr_intercept`` / ``regr_r2``."""
+    from ..stages.ray_aggregates import GroupedCorr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_linestatus", "l_discount", "l_extendedprice"])
+    out = ds.groupby("l_linestatus").aggregate(
+        GroupedCorr("l_discount", "l_extendedprice", alias_name="cm")
+    ).to_pandas()
+    cm = out.pop("cm")
+    out["n"] = [int(d["n"]) for d in cm]
+    out["slope"] = np.round([d["slope"] for d in cm], 4)
+    out["intercept"] = np.round([d["intercept"] for d in cm], 4)
+    out["r2"] = np.round([d["corr"] ** 2 for d in cm], 6)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q_grouped_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal.  Two-phase: block-local (user, type)
+    counts collapse repeats before ONE shuffle of count rows; the per-user
+    finish sums counts per type and computes −Σ p·log₂p.  Oracle: DuckDB's
+    ``entropy()`` (same log₂ convention), both sides rounded to 6 dp."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = (tbl.to_pandas().groupby(["user_id", "event_type"])
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def ent(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf.groupby("event_type")["n"].sum().to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "ent": [float(-(p * np.log2(p)).sum())]})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("user_id").map_groups(ent, batch_format="pandas")
+          .to_pandas())
+    df["ent"] = np.round(df["ent"], 6)
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE distributed pass:
     the finest-level aggregate is the only shuffle (low-cardinality native
@@ -5072,6 +5120,8 @@ QUERIES = {
     "dataprep": q_dataprep,
     "distinct": q_distinct,
     "grouped_corr": q_grouped_corr,
+    "grouped_linreg": q_grouped_linreg,
+    "grouped_entropy": q_grouped_entropy,
     "grouped_moments": q_grouped_moments,
     "rollup": q_rollup,
     "cube": q_cube,
@@ -6343,6 +6393,18 @@ ORACLES = {
                ROUND(sum(l_quantity) / count(*), 6) AS mean,
                ROUND(var_pop(l_quantity), 6) AS var
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_linreg": """
+        SELECT l_linestatus, count(*)::BIGINT AS n,
+               round(regr_slope(l_extendedprice, l_discount), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_discount), 4)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_discount), 6) AS r2
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "grouped_entropy": """
+        SELECT user_id, round(entropy(event_type), 6) AS ent
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "grouped_corr": """
         SELECT l_returnflag, count(*)::BIGINT AS n,
