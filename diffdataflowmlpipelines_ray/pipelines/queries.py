@@ -2756,6 +2756,46 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
+def q_ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 64-dim vectors →
+    16 uint8 codes (16× compression), asymmetric-distance scan, exact
+    re-rank of the global ADC top-4k candidates.  Rows-only (PQ is lossy
+    by design); pytest pins recall ≥ 0.9 vs brute force and
+    partitioning-invariance; ``ann_pq_full`` puts the same machinery
+    under an exact oracle."""
+    from ..stages.similarity import pq_topk
+
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    out = pq_topk(ds, mat[:8], k=10, m=16, n_codes=64, refine=4,
+                  query_ids=ids[:8]).to_pandas()
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def q_ann_pq_full(sf_dir: str) -> pd.DataFrame:
+    """The PQ machinery under an EXACT oracle: ``refine`` set so the
+    candidate set covers EVERY row — the exact re-rank then ranks the
+    whole corpus and the result must equal brute-force cosine top-k
+    bit-for-bit, gating the subspace encode, ADC lookup tables, two-stage
+    (ADC-candidacy, exact-rank) merge and deterministic tie-break
+    end-to-end.  The compressing configuration (``ann_pq``) stays
+    rows-only with its pytest recall bound, as lossy quantization
+    demands."""
+    from ..stages.similarity import pq_topk
+
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    k = 5
+    refine = tbl.num_rows // k + 1  # cand_k ≥ n: full exact coverage
+    out = pq_topk(ds, mat[:4], k=k, m=16, n_codes=64, refine=refine,
+                  query_ids=ids[:4]).to_pandas()
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     ds = rd.from_arrow(tbl)
@@ -5066,6 +5106,8 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
+    "ann_pq_full": q_ann_pq_full,
     "ann_ivf_full": q_ann_ivf_full,
     "image_decode": q_image_decode,
     "video_frames": q_video_frames,
@@ -6329,6 +6371,22 @@ ORACLES = {
         ORDER BY lo.g, lo.k, lo.v, lc.bal
     """,
     "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "ann_pq_full": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
             WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)

@@ -1,6 +1,7 @@
 """Dedup family, ANN, text analysis, multimodal plumbing tests."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -140,6 +141,77 @@ class TestSimilarity:
             a = set(approx[approx["query_id"] == qid]["vec_id"])
             hits += len(e & a)
         assert hits / 25 >= 0.5
+
+
+class TestProductQuantization:
+    def _load(self):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        ds = rd.from_arrow(tbl).repartition(3)
+        mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        return ds, mat, ids
+
+    def test_refined_recall_bound(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.similarity import pq_topk
+
+        ds, mat, ids = self._load()
+        exact = brute_force_topk(ds, mat[:8], k=10,
+                                 query_ids=ids[:8]).to_pandas()
+        approx = pq_topk(ds, mat[:8], k=10, m=16, n_codes=64, refine=4,
+                         query_ids=ids[:8]).to_pandas()
+        hits = sum(
+            len(set(exact[exact["query_id"] == q]["vec_id"])
+                & set(approx[approx["query_id"] == q]["vec_id"]))
+            for q in ids[:8])
+        assert hits / 80 >= 0.9  # seeded → deterministic (observed 0.95)
+
+    def test_partitioning_invariant(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.similarity import pq_topk
+
+        ds, mat, ids = self._load()
+        a = pq_topk(ds.repartition(2), mat[:6], k=8, m=16, n_codes=64,
+                    refine=3, query_ids=ids[:6]).to_pandas()
+        b = pq_topk(ds.repartition(8), mat[:6], k=8, m=16, n_codes=64,
+                    refine=3, query_ids=ids[:6]).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_full_refine_equals_brute_force(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.similarity import pq_topk
+
+        ds, mat, ids = self._load()
+        n = len(ids)
+        exact = brute_force_topk(ds, mat[:4], k=5,
+                                 query_ids=ids[:4]).to_pandas()
+        full = pq_topk(ds, mat[:4], k=5, m=16, n_codes=64,
+                       refine=n // 5 + 1, query_ids=ids[:4]).to_pandas()
+        pd.testing.assert_frame_equal(
+            exact[["query_id", "vec_id", "rank"]].reset_index(drop=True),
+            full[["query_id", "vec_id", "rank"]].reset_index(drop=True))
+
+    def test_memorizing_codebook_is_exact_adc(self, ray_session):
+        # n distinct vectors ≤ n_codes: seeded init picks every point as
+        # its own centroid and Lloyd's is a fixed point → ADC scores ARE
+        # the exact dot products, so even refine=0 equals brute force
+        from diffdataflowmlpipelines_ray.stages.similarity import pq_topk
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(24, 16))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(24, dtype=np.int64)),
+            "embedding": pa.array(list(mat.astype(np.float32)),
+                                  type=pa.list_(pa.float32()))})
+        ds = rd.from_arrow(tbl).repartition(2)
+        q = mat[:3].astype(np.float64)
+        exact = brute_force_topk(ds, q, k=4,
+                                 query_ids=np.arange(3)).to_pandas()
+        adc = pq_topk(ds, q, k=4, m=4, n_codes=24, refine=0,
+                      sample_size=10_000,
+                      query_ids=np.arange(3)).to_pandas()
+        pd.testing.assert_frame_equal(
+            exact[["query_id", "vec_id", "rank"]].reset_index(drop=True),
+            adc[["query_id", "vec_id", "rank"]].reset_index(drop=True))
 
 
 class TestTextStats:
