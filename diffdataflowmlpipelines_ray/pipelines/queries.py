@@ -3064,6 +3064,67 @@ def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
             .astype("int64"))
 
 
+def q_keywords_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-document keyword extraction: top-3 terms by exact TF-IDF
+    (tf · ln(N/df)).  Every (doc, term, tf) row is computed block-locally
+    (a document IS one row, so its term counts never cross blocks) and the
+    per-doc top-3 finishes in the same block — the ONLY exchange in the
+    whole query is the tiny document-frequency count, and the df map comes
+    back as one broadcast (vocabulary-bounded; the `min_df`/`max_features`
+    tier documented on CountVectorizer applies when a web-scale vocab
+    outgrows it).  Oracle: the same tf·ln(N/df) in SQL with
+    (score DESC, term) ranking, both sides rounded to 6 dp before
+    ranking."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = float(_parquet_rows(sf_dir, "documents"))
+
+    def tf_part(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl["text"])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ids = np.repeat(tbl["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pdf = pd.DataFrame({"doc_id": ids,
+                            "term": toks.flatten().to_pandas()})
+        out = (pdf.groupby(["doc_id", "term"], as_index=False)
+               .size().rename(columns={"size": "tf"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    TF = ds.map_batches(tf_part, batch_format="pyarrow").materialize()
+
+    # df: each (doc, term) row exists exactly once globally, so per-block
+    # term counts sum to the document frequency
+    def df_part(tbl: pa.Table) -> pa.Table:
+        t, c = np.unique(tbl["term"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"term": pa.array(t),
+                         "n": pa.array(c.astype(np.int64))})
+
+    df_rows = (TF.map_batches(df_part, batch_format="pyarrow")
+               .groupby("term").sum("n").take_all())
+    df_map = {r["term"]: r["sum(n)"] for r in df_rows}
+    ref = ray.put(df_map)
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        pdf = tbl.to_pandas()
+        dfv = pdf["term"].map(dfm).to_numpy(dtype=np.float64)
+        pdf["score"] = np.round(
+            pdf["tf"].to_numpy(dtype=np.float64) * np.log(n_docs / dfv), 6)
+        pdf = pdf.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True])
+        pdf = pdf.groupby("doc_id").head(3)
+        pdf["rank"] = pdf.groupby("doc_id").cumcount() + 1
+        return pa.Table.from_pandas(
+            pdf[["doc_id", "term", "score", "rank"]], preserve_index=False)
+
+    out = (TF.map_batches(topk, batch_format="pyarrow").to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicate-span statistics (Lee et al. 2022): per
     document, the word 8-gram windows duplicated ANYWHERE in the corpus
@@ -5120,6 +5181,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "dup_spans": q_dup_spans,
     "fuzzy_join": q_fuzzy_join,
+    "keywords_tfidf": q_keywords_tfidf,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
@@ -6625,6 +6687,26 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "keywords_tfidf": r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM words GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM words GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+            FROM tf JOIN dfreq USING (term), n)
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank
     """,
     "fuzzy_join": """
         WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
