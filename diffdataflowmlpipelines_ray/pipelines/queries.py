@@ -3064,6 +3064,35 @@ def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
             .astype("int64"))
 
 
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the deterministic orders-derived graph
+    (edge {o_custkey, o_orderkey mod 1500}, self-loops dropped, distinct):
+    the degree-oriented node-iterator — orientation bounds every node's
+    out-degree by O(√m), wedges are generated in one groupby(src) and
+    closed by a partitioned semi-join against the oriented edges, counted
+    where they land.  Oracle: the 3-way SQL self-join."""
+    from ..stages.iterate import triangle_count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .groupby("u")
+             .map_groups(lambda p: p.drop_duplicates(),
+                         batch_format="pandas"))
+    n = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
 def q_keywords_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-document keyword extraction: top-3 terms by exact TF-IDF
     (tf · ln(N/df)).  Every (doc, term, tf) row is computed block-locally
@@ -5182,6 +5211,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "fuzzy_join": q_fuzzy_join,
     "keywords_tfidf": q_keywords_tfidf,
+    "triangle_count": q_triangle_count,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
@@ -6687,6 +6717,15 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "triangle_count": """
+        WITH edges AS (
+            SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS u,
+                            greatest(o_custkey, o_orderkey % 1500) AS v
+            FROM orders WHERE o_custkey <> o_orderkey % 1500)
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+                      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
     """,
     "keywords_tfidf": r"""
         WITH words AS (

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["connected_components", "connected_components_ds",
+__all__ = ["triangle_count", "connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds"]
 
 
@@ -586,3 +586,84 @@ def pagerank_ds(edges, damping: float = 0.85, iters: int = 20,
                       batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")))
     return out.sort_by("id")
+
+
+def triangle_count(edges, u_col: str = "u", v_col: str = "v",
+                   node_broadcast_limit: int = 5_000_000) -> int:
+    """Exact triangle count of an undirected simple graph (Dataset of
+    DISTINCT edges, ``u < v``) — the degree-oriented node-iterator plan
+    (Schank & Wagner 2005; the MapReduce formulation in Suri & Vassilvitskii
+    2011 "Counting Triangles and the Curse of the Last Reducer"):
+
+    1. degrees via one two-phase count;
+    2. every edge oriented low→high under the total order (degree, node) —
+       the orientation that bounds any node's OUT-degree by O(√m), which is
+       exactly what kills the hub-wedge explosion a naive node-iterator
+       suffers (the "curse of the last reducer");
+    3. one ``groupby(src)`` emits each node's out-neighbour pairs (wedges,
+       ordered under the same total order);
+    4. wedges ⋈ oriented edges (partitioned semi-join) — each surviving
+       wedge row IS one triangle, counted distributed, never collected.
+
+    The degree map broadcasts when nodes ≤ ``node_broadcast_limit``
+    (nodes ≪ edges on real graphs); past it, swap in the hash_join-by-node
+    tier — the documented trade on every broadcast in this repo.
+    """
+
+    def deg_part(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl[u_col].to_numpy(zero_copy_only=False),
+            tbl[v_col].to_numpy(zero_copy_only=False)])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n),
+                         "n": pa.array(c.astype(np.int64))})
+
+    import ray
+
+    deg_rows = (edges.map_batches(deg_part, batch_format="pyarrow")
+                .groupby("node").sum("n").take_all())
+    if len(deg_rows) > node_broadcast_limit:
+        raise NotImplementedError(
+            "degree map exceeds the broadcast tier — wire the "
+            "hash_join-by-node orientation for this graph size")
+    deg = {r["node"]: r["sum(n)"] for r in deg_rows}
+    ref = ray.put(deg)
+
+    def orient(tbl: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        u = tbl[u_col].to_numpy(zero_copy_only=False)
+        v = tbl[v_col].to_numpy(zero_copy_only=False)
+        du = np.fromiter((d[x] for x in u), dtype=np.int64, count=len(u))
+        dv = np.fromiter((d[x] for x in v), dtype=np.int64, count=len(v))
+        # src = smaller (deg, node) endpoint
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({"src": pa.array(np.where(u_first, u, v)),
+                         "dst": pa.array(np.where(u_first, v, u)),
+                         "dd": pa.array(np.where(u_first, dv, du)),
+                         })
+
+    O = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        # out-neighbours sorted under the same (deg, node) order so the
+        # wedge (b, c) is itself oriented and matches the edge table
+        order = np.lexsort((pdf["dst"].to_numpy(),
+                            pdf["dd"].to_numpy()))
+        d = pdf["dst"].to_numpy()[order]
+        k = len(d)
+        if k < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype=d.dtype),
+                                 "dst": pd.Series([], dtype=d.dtype)})
+        i, j = np.triu_indices(k, 1)
+        return pd.DataFrame({"src": d[i], "dst": d[j]})
+
+    W = O.groupby("src").map_groups(wedges, batch_format="pandas")
+
+    from .relational import hash_join
+
+    closed = hash_join(
+        W, O.map_batches(lambda t: t.select(["src", "dst"])
+                         .rename_columns(["es", "ed"]),
+                         batch_format="pyarrow"),
+        ["src", "dst"], ["es", "ed"], how="semi")
+    return closed.count()

@@ -635,3 +635,38 @@ class TestGroupedMad:
             med = np.quantile(x, 0.5)
             want = np.quantile(np.abs(x - med), 0.5)
             assert out[key] == pytest.approx(want, rel=1e-12)
+
+
+class TestTriangleCount:
+    def test_matches_adjacency_cube(self, ray_session):
+        """trace(A³)/6 on a random graph — independent linear-algebra
+        reference for the degree-oriented wedge+semi-join plan."""
+        from diffdataflowmlpipelines_ray.stages.iterate import triangle_count
+
+        rng = np.random.default_rng(9)
+        n = 100
+        A = np.triu(rng.random((n, n)) < 0.1, 1)
+        A = A | A.T
+        want = int(np.trace(np.linalg.matrix_power(
+            A.astype(np.int64), 3)) // 6)
+        iu, ju = np.where(np.triu(A, 1))
+        ds = rd.from_arrow(pa.table({
+            "u": pa.array(iu.astype(np.int64)),
+            "v": pa.array(ju.astype(np.int64))})).repartition(6)
+        assert triangle_count(ds) == want
+        assert want > 50  # the graph genuinely has triangles
+
+    def test_triangle_free_and_complete(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import triangle_count
+
+        # star graph: no triangles
+        star = rd.from_arrow(pa.table({
+            "u": pa.array(np.zeros(10, dtype=np.int64)),
+            "v": pa.array(np.arange(1, 11, dtype=np.int64))}))
+        assert triangle_count(star) == 0
+        # K5: C(5,3) = 10 triangles
+        iu, ju = np.triu_indices(5, 1)
+        k5 = rd.from_arrow(pa.table({
+            "u": pa.array(iu.astype(np.int64)),
+            "v": pa.array(ju.astype(np.int64))})).repartition(3)
+        assert triangle_count(k5) == 10
