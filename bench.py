@@ -97,7 +97,12 @@ def run_bench() -> dict:
         "retractable_mode", "stream_near_dup", "early_firing_topk",
         "retractable_stringagg", "rescale_resume", "time_travel",
         "shared_arrangement", "broadcast_rules", "view_bootstrap",
-        "window_rollup")
+        "window_rollup",
+        # round-3 continued-session additions
+        "bloom_semi_join", "bpe_encode", "dup_spans", "fuzzy_join",
+        "ann_pq", "triangle_count", "keywords_tfidf", "grouped_entropy",
+        "grouped_linreg", "window_median", "temporal_join", "late_routing",
+        "stream_union", "kleene_pattern", "incremental_components")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
