@@ -3064,6 +3064,44 @@ def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
             .astype("int64"))
 
 
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """LLM context-window packing: concatenate the corpus in doc_id order
+    and assign every document its token offset and the 512-token context
+    windows it spans (GPT-style sequence packing).  The global token
+    offset is a DISTRIBUTED SCAN (`ordered_prefix_sum`): one streaming
+    pass emits per-block totals, the driver scans the O(blocks) totals,
+    a second pass adds in-block cumsums — integer arithmetic end-to-end,
+    exact at any block split.  Oracle: SUM() OVER (ORDER BY doc_id)."""
+    from ..functions.tokenize import tokenize_column
+    from ..stages.relational import ordered_prefix_sum
+
+    L = 512
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl["text"])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        return pa.table({"doc_id": tbl["doc_id"],
+                         "n_tok": pa.array(lens)})
+
+    scanned = ordered_prefix_sum(ds.map_batches(ntok,
+                                                batch_format="pyarrow"),
+                                 "doc_id", "n_tok", out_col="tok_offset",
+                                 exclusive=True)
+
+    def windows(tbl: pa.Table) -> pa.Table:
+        off = tbl["tok_offset"].to_numpy(zero_copy_only=False)
+        n = tbl["n_tok"].to_numpy(zero_copy_only=False)
+        start = off // L
+        end = np.where(n > 0, (off + np.maximum(n, 1) - 1) // L, start)
+        return (tbl.append_column("start_seq", pa.array(start))
+                .append_column("end_seq", pa.array(end)))
+
+    return (scanned.map_batches(windows, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count of the deterministic orders-derived graph
     (edge {o_custkey, o_orderkey mod 1500}, self-loops dropped, distinct):
@@ -5212,6 +5250,7 @@ QUERIES = {
     "fuzzy_join": q_fuzzy_join,
     "keywords_tfidf": q_keywords_tfidf,
     "triangle_count": q_triangle_count,
+    "pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "top_revenue": q_top_revenue,
     "shipping_priority": q_shipping_priority,
@@ -6717,6 +6756,25 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
+    """,
+    "pack_sequences": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents),
+        s AS (
+            SELECT doc_id, n_tok,
+                   (SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok)::BIGINT AS tok_offset
+            FROM t)
+        SELECT doc_id, n_tok, tok_offset,
+               (tok_offset // 512)::BIGINT AS start_seq,
+               (CASE WHEN n_tok > 0
+                     THEN (tok_offset + n_tok - 1) // 512
+                     ELSE tok_offset // 512 END)::BIGINT AS end_seq
+        FROM s ORDER BY doc_id
     """,
     "triangle_count": """
         WITH edges AS (

@@ -27,7 +27,7 @@ from ..functions.vectors import half_away
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
-           "build_bloom", "bloom_prefilter"]
+           "build_bloom", "bloom_prefilter", "ordered_prefix_sum"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -672,3 +672,61 @@ def bloom_prefilter(ds, key_cols: Sequence[str], bloom_ref, nbits: int,
         return tbl.filter(pa.array(hit.all(axis=1)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def ordered_prefix_sum(ds, order_col: str, value_col: str,
+                       out_col: str = "prefix", exclusive: bool = True):
+    """Distributed scan: cumulative sum of ``value_col`` under the GLOBAL
+    order of ``order_col`` (which must be unique — verified).
+
+    The classic two-pass prefix-sum: sort once (range-partitioned blocks),
+    then (1) one streaming pass emits each block's (first key, last key,
+    total) — O(blocks) driver rows; (2) the driver computes the exclusive
+    block offsets (a scan over block TOTALS, thousands of entries for a
+    100-TB input) and broadcasts the tiny first-key→offset map; (3) a
+    second streaming pass adds the in-block cumsum to the block's offset.
+    Values accumulate as int64 when integral (exact at any split)."""
+    vt = next(f.type for f in _arrow_schema(ds) if f.name == value_col)
+    if not pa.types.is_integer(vt):
+        raise ValueError(f"{value_col} must be integer (got {vt}) — float "
+                         "prefix sums are split-order dependent")
+    S = ds.sort(order_col).materialize()
+
+    def meta(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "dups": pa.array([], pa.bool_())})
+        k = tbl[order_col]
+        kn = k.to_numpy(zero_copy_only=False)
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first": [k[0].as_py()], "last": [k[-1].as_py()],
+                         "total": [int(v.sum())],
+                         "dups": [bool(len(np.unique(kn)) != len(kn))]})
+
+    mt = (pa.concat_tables(list(
+        S.map_batches(meta, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+        .sort_values("first").reset_index(drop=True))
+    # uniqueness check: no in-block duplicates, disjoint ranges across blocks
+    if mt["dups"].any() or (mt["first"].iloc[1:].to_numpy()
+                            <= mt["last"].iloc[:-1].to_numpy()).any():
+        raise ValueError(f"{order_col} values are not unique — a prefix "
+                         "sum under a tied order is ambiguous")
+    offsets = dict(zip(mt["first"],
+                       np.concatenate([[0], mt["total"].cumsum()[:-1]])
+                       .astype(np.int64)))
+    import ray
+    ref = ray.put(offsets)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)[tbl[order_col][0].as_py()]
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.cumsum(v) + off
+        return tbl.append_column(
+            out_col, pa.array(c - v if exclusive else c))
+
+    return S.map_batches(scan, batch_size=None, batch_format="pyarrow")

@@ -670,3 +670,48 @@ class TestTriangleCount:
             "u": pa.array(iu.astype(np.int64)),
             "v": pa.array(ju.astype(np.int64))})).repartition(3)
         assert triangle_count(k5) == 10
+
+
+class TestOrderedPrefixSum:
+    def test_scan_exact_and_split_invariant(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            ordered_prefix_sum,
+        )
+
+        rng = np.random.default_rng(2)
+        ids = rng.permutation(5000).astype(np.int64)
+        vals = rng.integers(0, 100, 5000).astype(np.int64)
+        order = np.argsort(ids)
+        want_ex = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+        for nblocks in (1, 7):
+            ds = (rd.from_arrow(pa.table({"id": pa.array(ids),
+                                          "v": pa.array(vals)}))
+                  .repartition(nblocks))
+            out = (ordered_prefix_sum(ds, "id", "v", exclusive=True)
+                   .to_pandas().sort_values("id"))
+            assert np.array_equal(out["prefix"].to_numpy(), want_ex)
+            inc = (ordered_prefix_sum(ds, "id", "v", exclusive=False)
+                   .to_pandas().sort_values("id"))
+            assert np.array_equal(inc["prefix"].to_numpy(),
+                                  np.cumsum(vals[order]))
+
+    def test_duplicate_order_keys_raise(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            ordered_prefix_sum,
+        )
+
+        dup = rd.from_arrow(pa.table({
+            "id": pa.array(np.zeros(100, np.int64)),
+            "v": pa.array(np.ones(100, np.int64))})).repartition(4)
+        with pytest.raises(ValueError, match="not unique"):
+            ordered_prefix_sum(dup, "id", "v").to_pandas()
+
+    def test_float_values_rejected(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            ordered_prefix_sum,
+        )
+
+        ds = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                     "v": pa.array([1.5, 2.5])}))
+        with pytest.raises(ValueError, match="must be integer"):
+            ordered_prefix_sum(ds, "id", "v")
