@@ -3192,6 +3192,37 @@ def q_keywords_tfidf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself — the CCNet/Gopher-style perplexity
+    quality filter.  The model is never broadcast or driver-held: counting
+    is block-pre-aggregated narrow rows, scoring re-joins the sharded
+    count tables by hash bucket (`stages/lm.py` module docstring has the
+    100-TB plan).  Integer micro-nats end-to-end, so the distributed sum
+    is bit-equal to the SQL twin regardless of block splits."""
+    from ..stages.lm import bigram_logprob_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_logprob_scores(ds).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+    out["nats_micro"] = out["nats_micro"].astype(np.int64)
+    return out
+
+
+def q_naive_bayes(sf_dir: str) -> pd.DataFrame:
+    """Multinomial naive Bayes (class = `lang`, features = whitespace
+    token counts, add-one smoothing), fit and predicted on the documents
+    table in one distributed plan — per-class counts pivot wide and stay
+    sharded, scoring is a partitioned join, the argmax is exact integer
+    micro-nat arithmetic with a deterministic smallest-class tie-break."""
+    from ..stages.lm import naive_bayes_predict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (naive_bayes_predict(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicate-span statistics (Lee et al. 2022): per
     document, the word 8-gram windows duplicated ANYWHERE in the corpus
@@ -5249,6 +5280,8 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "fuzzy_join": q_fuzzy_join,
     "keywords_tfidf": q_keywords_tfidf,
+    "perplexity": q_perplexity,
+    "naive_bayes": q_naive_bayes,
     "triangle_count": q_triangle_count,
     "pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6804,6 +6837,67 @@ ORACLES = {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, term) AS rank
         FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank
+    """,
+    "perplexity": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        v AS (SELECT CAST(count(DISTINCT t.x) AS DOUBLE) AS v
+              FROM toks, UNNEST(arr) AS t(x)),
+        bg AS (SELECT doc_id, arr[i.i + 1] AS w1, arr[i.i + 2] AS w2
+               FROM toks, UNNEST(range(len(arr) - 1)) AS i(i)),
+        cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS cw
+                FROM cnt GROUP BY 1),
+        term AS (SELECT b.doc_id,
+                        CAST(round(ln((c.c + 1.0) / (x.cw + v.v)) * 1e6)
+                             AS BIGINT) AS mn
+                 FROM bg b JOIN cnt c USING (w1, w2)
+                           JOIN ctx x USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(mn) AS BIGINT) AS nats_micro
+        FROM term GROUP BY doc_id ORDER BY doc_id
+    """,
+    "naive_bayes": r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        tokrows AS (SELECT doc_id, lang, t.x AS tok
+                    FROM toks, UNNEST(arr) AS t(x)),
+        v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+              FROM tokrows),
+        cls AS (SELECT lang AS cl, CAST(count(*) AS DOUBLE) AS nd
+                FROM documents GROUP BY lang),
+        ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        ccnt AS (SELECT lang AS cl, tok, count(*) AS c
+                 FROM tokrows GROUP BY 1, 2),
+        ctot AS (SELECT cl, CAST(sum(c) AS DOUBLE) AS tot
+                 FROM ccnt GROUP BY cl),
+        dt AS (SELECT doc_id, tok, count(*) AS k
+               FROM tokrows GROUP BY 1, 2),
+        scored AS (
+            SELECT d.doc_id, x.cl,
+                   sum(d.k * CAST(round(ln((COALESCE(c.c, 0) + 1.0)
+                                           / (x.tot + v.v)) * 1e6)
+                                  AS BIGINT)) AS s
+            FROM dt d CROSS JOIN ctot x CROSS JOIN v
+                 LEFT JOIN ccnt c ON c.cl = x.cl AND c.tok = d.tok
+            GROUP BY d.doc_id, x.cl),
+        with_prior AS (
+            SELECT s.doc_id, s.cl,
+                   s.s + CAST(round(ln(cls.nd / ntot.n) * 1e6) AS BIGINT)
+                       AS score
+            FROM scored s JOIN cls ON cls.cl = s.cl CROSS JOIN ntot)
+        SELECT doc_id, cl AS pred
+        FROM (SELECT doc_id, cl,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cl) AS rn
+              FROM with_prior)
+        WHERE rn = 1 ORDER BY doc_id
     """,
     "fuzzy_join": """
         WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
