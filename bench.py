@@ -102,7 +102,8 @@ def run_bench() -> dict:
         "bloom_semi_join", "bpe_encode", "dup_spans", "fuzzy_join",
         "ann_pq", "triangle_count", "keywords_tfidf", "grouped_entropy",
         "grouped_linreg", "window_median", "temporal_join", "late_routing",
-        "stream_union", "kleene_pattern", "incremental_components")
+        "stream_union", "kleene_pattern", "incremental_components",
+        "pack_sequences", "perplexity", "naive_bayes")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -3223,6 +3223,107 @@ def q_naive_bayes(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition quality rules (Rae et al.
+    2021 Table A1): duplicate-token fraction and top-bigram fraction per
+    document plus the keep decision.  Map-only — a document is one row, so
+    the operator has ZERO exchanges at any corpus size; the fractions are
+    IEEE divisions of the same int64s the SQL twin divides."""
+    from ..stages.text_stats import add_repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    out = (add_repetition_stats(ds).to_pandas()
+           .drop(columns=["text"]).sort_values("doc_id")
+           .reset_index(drop=True))
+    return out
+
+
+def q_balance_downsample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-stratified rebalancing downsample: every language
+    thinned to ~the smallest language's size via the MD5-derived 60-bit
+    row hash — pure integer arithmetic, so WHICH rows survive is
+    partition-independent and bit-equal to the SQL twin.  Group sizes are
+    a two-phase count broadcast as one #langs-sized dict; the filter pass
+    is stateless map-only (`stages/text_clean.py balance_downsample`)."""
+    from ..stages.text_clean import balance_downsample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"], blocks=8)
+    return (balance_downsample(ds, group_col="lang").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_PAGERANK_INT_ITERS = 5
+
+
+def q_pagerank_exact(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact PageRank (`stages/iterate.py pagerank_int_ds`) over
+    the deterministic chain graph — the oracle-gated twin of the float
+    `pagerank` query: int64 rank units with floor-division damping make
+    the distributed power iteration order-independent and bit-equal to
+    the unrolled-CTE DuckDB twin at the same iteration count.  Size-tiered
+    like `connected_components`: candidate-bounded graphs run the numpy
+    driver twin (identical integer arithmetic, pytest-equal), unbounded
+    edge lists the per-round hash-join Dataset plan."""
+    from ..stages.iterate import (PR_INT_DRIVER_MAX_EDGES, pagerank_int,
+                                  pagerank_int_ds)
+
+    ds = _read(sf_dir, "documents", ["doc_id"], blocks=8)
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 < 4
+        return pa.table({"id_lo": pa.array(ids[keep]),
+                         "id_hi": pa.array(ids[keep] + 1)})
+
+    E = ds.map_batches(edges, batch_format="pyarrow").materialize()
+    if E.count() <= PR_INT_DRIVER_MAX_EDGES:
+        res = pagerank_int(
+            pa.concat_tables(list(E.iter_batches(batch_format="pyarrow"))),
+            iters=_PAGERANK_INT_ITERS).to_pandas()
+    else:
+        res = pagerank_int_ds(E, iters=_PAGERANK_INT_ITERS).to_pandas()
+    out = (res.rename(columns={"id": "doc_id"})
+           .sort_values("doc_id").reset_index(drop=True))
+    out["rank_micro"] = out["rank_micro"].astype(np.int64)
+    return out
+
+
+def _pagerank_int_sql(iters: int) -> str:
+    """Unrolled-CTE DuckDB twin of ``pagerank_int_ds`` on the chain graph:
+    one (dangling-scan, contribution-sum, update) CTE triple per
+    iteration, all arithmetic int64 floor division — bit-equal to the Ray
+    plan regardless of summation order."""
+    ctes = [r"""
+        edges AS (SELECT doc_id AS src, doc_id + 1 AS dst
+                  FROM documents WHERE doc_id % 10 < 4),
+        nodes AS (SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+        outdeg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+        nd AS (SELECT n.id, COALESCE(o.d, 0) AS d
+               FROM nodes n LEFT JOIN outdeg o USING (id)),
+        p AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT id, d, 1000000000000 // p.n AS r
+               FROM nd CROSS JOIN p)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        g{i} AS (SELECT COALESCE(SUM(r), 0) AS dang
+                 FROM r{i - 1} WHERE d = 0),
+        c{i} AS (SELECT e.dst AS id, SUM((s.r * 85) // (100 * s.d)) AS c
+                 FROM edges e JOIN r{i - 1} s ON s.id = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nd.id, nd.d,
+                        (15 * 1000000000000) // (100 * p.n)
+                        + (85 * g{i}.dang) // (100 * p.n)
+                        + COALESCE(c{i}.c, 0) AS r
+                 FROM nd LEFT JOIN c{i} USING (id)
+                 CROSS JOIN p CROSS JOIN g{i})""")
+    return ("WITH" + ",".join(ctes)
+            + f"""
+        SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro
+        FROM r{iters} ORDER BY doc_id""")
+
+
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicate-span statistics (Lee et al. 2022): per
     document, the word 8-gram windows duplicated ANYWHERE in the corpus
@@ -5282,6 +5383,9 @@ QUERIES = {
     "keywords_tfidf": q_keywords_tfidf,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
+    "repetition_filter": q_repetition_filter,
+    "balance_downsample": q_balance_downsample,
+    "pagerank_exact": q_pagerank_exact,
     "triangle_count": q_triangle_count,
     "pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6899,6 +7003,50 @@ ORACLES = {
               FROM with_prior)
         WHERE rn = 1 ORDER BY doc_id
     """,
+    "repetition_filter": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens
+                 FROM toks),
+        tk AS (SELECT doc_id, t.x AS tok FROM toks, UNNEST(arr) AS t(x)),
+        dst AS (SELECT doc_id, COUNT(DISTINCT tok) AS ndist
+                FROM tk GROUP BY doc_id),
+        bg AS (SELECT doc_id, arr[i.i + 1] AS w1, arr[i.i + 2] AS w2
+               FROM toks, UNNEST(range(len(arr) - 1)) AS i(i)),
+        bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c
+               FROM bg GROUP BY 1, 2, 3),
+        tb AS (SELECT doc_id, MAX(c) AS mc FROM bc GROUP BY doc_id),
+        m AS (SELECT b.doc_id, b.n_tokens,
+                     CASE WHEN b.n_tokens > 0
+                          THEN CAST(b.n_tokens - COALESCE(d.ndist, 0)
+                                    AS DOUBLE) / b.n_tokens
+                          ELSE 0.0 END AS dup_token_frac,
+                     CASE WHEN b.n_tokens > 1
+                          THEN CAST(COALESCE(t.mc, 0) AS DOUBLE)
+                               / (b.n_tokens - 1)
+                          ELSE 0.0 END AS top_bigram_frac
+              FROM base b LEFT JOIN dst d USING (doc_id)
+                          LEFT JOIN tb t USING (doc_id))
+        SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+               CAST(CASE WHEN dup_token_frac <= 0.6
+                          AND top_bigram_frac <= 0.05
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m ORDER BY doc_id
+    """,
+    "balance_downsample": """
+        WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+                     GROUP BY lang),
+        m AS (SELECT MIN(n) AS mn FROM cnt)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN cnt USING (lang) CROSS JOIN m
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000000) * cnt.n < m.mn * 1000000
+        ORDER BY d.doc_id
+    """,
+    "pagerank_exact": _pagerank_int_sql(_PAGERANK_INT_ITERS),
     "fuzzy_join": """
         WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
                    FROM customer WHERE c_custkey < 1000),

@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["triangle_count", "connected_components", "connected_components_ds",
-           "pagerank", "pagerank_ds"]
+           "pagerank", "pagerank_ds", "pagerank_int", "pagerank_int_ds",
+           "PR_INT_DRIVER_MAX_EDGES"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -667,3 +668,159 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
                          batch_format="pyarrow"),
         ["src", "dst"], ["es", "ed"], how="semi")
     return closed.count()
+
+
+def pagerank_int_ds(edges, iters: int = 5, total: int = 10**12,
+                    damp_num: int = 85, damp_den: int = 100,
+                    buckets: int = 16):
+    """Integer-exact distributed PageRank → Dataset ``(id, rank_micro)``.
+
+    The float ``pagerank``/``pagerank_ds`` pair is rows-only at the gate
+    because a distributed float sum has no defined order.  This variant
+    makes the WHOLE power iteration order-independent by running it in
+    int64 "rank units" (``total`` units of mass, damping as the rational
+    ``damp_num/damp_den``), with every division a floor division:
+
+        r0(v)      = total // n
+        contrib(u) = (r(u) * damp_num) // (damp_den * deg(u))   per edge
+        base       = ((damp_den - damp_num) * total) // (damp_den * n)
+        dshare     = (damp_num * dangling) // (damp_den * n)
+        r'(v)      = base + dshare + Σ_in contrib
+
+    Integer sums commute, so the result is bit-equal across any block
+    split AND bit-equal to a DuckDB twin applying the same ``//`` algebra
+    (positive operands: trunc == floor on both sides).  Rounding loses
+    < 1 unit of mass per edge per round — at total=1e12 a relative error
+    ~1e-9, far inside float PageRank's own convergence tolerance.
+
+    Scale: per round, ONE partitioned hash-join of the edge list against
+    the rank state (both sharded by key bucket, nothing broadcast) and one
+    narrow groupby-sum of pre-aggregable (id, c, deg) rows; the driver
+    holds one scalar (the dangling mass) per round.  O(iters) rounds of
+    O(E) exchange — the same exchange schedule as ``pagerank_ds``.
+    """
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    E = edges.map_batches(
+        lambda t: pa.table({"src": t["id_lo"], "dst": t["id_hi"]}),
+        batch_format="pyarrow").materialize()
+
+    # node universe with out-degree (deg=0 for pure sinks): block partials
+    # (src,1)+(dst,0) pre-aggregated, one narrow groupby-sum
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(src, return_counts=True)
+        ud = np.unique(dst)
+        return pa.table({
+            "id": pa.array(np.concatenate([us, ud])),
+            "deg": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)]))})
+
+    nodedeg = (E.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("id").sum("deg")
+               .map_batches(lambda t: t.rename_columns(["id", "deg"]),
+                            batch_format="pyarrow").materialize())
+    n = nodedeg.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"id": pa.array([], type=pa.int64()),
+                                       "rank_micro": pa.array(
+                                           [], type=pa.int64())}))
+    r0 = total // n
+    state = nodedeg.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+
+    base = ((damp_den - damp_num) * total) // (damp_den * n)
+
+    for _ in range(iters):
+        def dang_partial(tbl: pa.Table) -> pa.Table:
+            deg = tbl["deg"].to_numpy(zero_copy_only=False)
+            r = tbl["r"].to_numpy(zero_copy_only=False)
+            return pa.table({"d": pa.array(
+                [int(r[deg == 0].sum())], type=pa.int64())})
+
+        dang = sum(row["d"] for row in state.map_batches(
+            dang_partial, batch_format="pyarrow").take_all())
+        dshare = (damp_num * dang) // (damp_den * n)
+
+        j = hash_join(E, state, ["src"], ["id"], buckets=buckets)
+
+        def contrib(tbl: pa.Table) -> pa.Table:
+            r = tbl["r"].to_numpy(zero_copy_only=False)
+            deg = tbl["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": tbl["dst"],
+                "c": pa.array((r * damp_num) // (damp_den * deg)),
+                "deg": pa.array(np.zeros(tbl.num_rows, np.int64))})
+
+        def zeros(tbl: pa.Table) -> pa.Table:
+            return pa.table({"id": tbl["id"],
+                             "c": pa.array(np.zeros(tbl.num_rows, np.int64)),
+                             "deg": tbl["deg"]})
+
+        summed = (j.map_batches(contrib, batch_format="pyarrow")
+                  .union(state.map_batches(zeros, batch_format="pyarrow"))
+                  .groupby("id").sum(["c", "deg"])
+                  .map_batches(lambda t: t.rename_columns(
+                      ["id", "c", "deg"]), batch_format="pyarrow"))
+
+        b, d = base, dshare
+
+        def finish(tbl: pa.Table, b=b, d=d) -> pa.Table:
+            c = tbl["c"].to_numpy(zero_copy_only=False)
+            return pa.table({"id": tbl["id"], "deg": tbl["deg"],
+                             "r": pa.array(b + d + c)})
+
+        state = summed.map_batches(finish,
+                                   batch_format="pyarrow").materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"id": t["id"], "rank_micro": t["r"]}),
+        batch_format="pyarrow")
+
+
+#: Edge-count ceiling for the driver tier of integer PageRank — same
+#: size-tiering contract as ``_CC_DRIVER_MAX_PAIRS``: below it a graph fits
+#: one process comfortably (16 B/edge) and the numpy loop beats O(iters)
+#: distributed rounds' fixed stage costs by ~100×; above it the Dataset
+#: plan takes over with IDENTICAL integer arithmetic (pytest-equal).
+PR_INT_DRIVER_MAX_EDGES = 2_000_000
+
+
+def pagerank_int(edges, iters: int = 5, total: int = 10**12,
+                 damp_num: int = 85, damp_den: int = 100) -> pa.Table:
+    """Driver-tier twin of ``pagerank_int_ds`` — the same floor-division
+    update rule in vectorized numpy, bit-equal by construction (integer
+    ops have no summation-order freedom).  For candidate-bounded graphs
+    only; the query layer switches on ``PR_INT_DRIVER_MAX_EDGES``."""
+    if not isinstance(edges, pa.Table):
+        edges = pa.concat_tables(list(edges.iter_batches(
+            batch_format="pyarrow")))
+    src = edges["id_lo"].to_numpy(zero_copy_only=False)
+    dst = edges["id_hi"].to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([src, dst]))
+    n = len(ids)
+    if n == 0:
+        return pa.table({"id": pa.array([], type=pa.int64()),
+                         "rank_micro": pa.array([], type=pa.int64())})
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, si, 1)
+    r = np.full(n, total // n, dtype=np.int64)
+    base = ((damp_den - damp_num) * total) // (damp_den * n)
+    for _ in range(iters):
+        dang = int(r[deg == 0].sum())
+        dshare = (damp_num * dang) // (damp_den * n)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, (r[si] * damp_num) // (damp_den * deg[si]))
+        r = base + dshare + acc
+    return pa.table({"id": pa.array(ids.astype(np.int64)),
+                     "rank_micro": pa.array(r)})

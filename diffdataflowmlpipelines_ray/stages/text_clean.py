@@ -46,6 +46,7 @@ __all__ = [
     "flag_contaminated",
     "mask_pattern",
     "dup_span_stats",
+    "balance_downsample",
 ]
 
 
@@ -415,3 +416,58 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                 pc.cast(tbl["n_dup_words"], pa.int64()), 0)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- balance downsample
+def balance_downsample(ds, group_col: str = "lang", id_col: str = "doc_id",
+                       scale: int = 1_000_000):
+    """Deterministic hash-based stratified downsample that rebalances the
+    corpus: every group is thinned to (approximately) the size of the
+    SMALLEST group — the classic over-represented-language / majority-class
+    downsample of training-data prep, with none of ``random_shuffle``'s
+    nondeterminism.
+
+    A row survives iff
+
+        (stable_hash60(str(id)) % scale) * count(group) < min_count * scale
+
+    — pure int64 arithmetic, so the decision is reproducible run-to-run,
+    independent of partitioning, and bit-equal to the SQL twin (DuckDB
+    computes the identical MD5-derived hash; ``functions/hashing.py``
+    module docstring).  In expectation each group keeps ``min_count`` rows;
+    the realized count is binomial around it (hash ≈ uniform), which is the
+    standard contract for hash sampling — exactness of WHICH rows, not of
+    the count.
+
+    Scale: group sizes are a two-phase count (block partials → one tiny
+    groupby over #groups rows) broadcast as one dict — #groups is
+    vocabulary-small (languages, sources) by contract.  The filter pass is
+    stateless map-only; rows never shuffle.  ``stable_hash60_array`` is the
+    MD5 loop kept for oracle parity — swap ``fast_hash64_array`` here when
+    no SQL twin must reproduce the choice (same trade as HashVectorizer).
+    """
+    from ..functions.hashing import stable_hash60_array
+
+    def partial_counts(tbl: pa.Table) -> pa.Table:
+        arr = tbl[group_col]
+        vc = pc.value_counts(arr)
+        return pa.table({"g": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = {r["g"]: r["n"] for r in
+              ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("g").sum("n")
+              .map_batches(lambda t: t.rename_columns(["g", "n"]),
+                           batch_format="pyarrow").take_all()}
+    if not counts:
+        return ds
+    m = min(counts.values())
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash60_array([str(i) for i in ids]) % scale
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        n_g = np.array([counts[x] for x in g], dtype=np.int64)
+        return tbl.filter(pa.array(h * n_g < m * scale))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ..functions.tokenize import tokenize_column
 
 __all__ = ["text_stats_table", "add_text_stats", "LangId", "add_lang_id",
-           "add_fingerprint"]
+           "add_fingerprint", "repetition_stats_table", "add_repetition_stats"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
@@ -73,6 +73,77 @@ def text_stats_table(tbl: pa.Table, col: str = "text") -> pa.Table:
 
 def add_text_stats(ds, col: str = "text"):
     return ds.map_batches(lambda t: text_stats_table(t, col), batch_format="pyarrow")
+
+
+def repetition_stats_table(
+    tbl: pa.Table, id_col: str = "doc_id", col: str = "text",
+    dup_max: float = 0.6, top_bigram_max: float = 0.05,
+) -> pa.Table:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
+    Table A1): the quality rules that catch boilerplate and degenerate
+    keyboard-mash text the cross-document dedup family cannot see.
+
+    Per document:
+    - ``dup_token_frac``  = (n_tokens − n_distinct_tokens) / n_tokens —
+      the fraction of token occurrences that are repeats beyond the first;
+    - ``top_bigram_frac`` = occurrences of the document's most frequent
+      word 2-gram / (n_tokens − 1) — loopy templates score high;
+    - ``keep``            = 1 iff both are under their thresholds.
+
+    Scale: a document is one row, so every statistic is computed inside
+    the block where the document lives — the whole operator is map-only,
+    ZERO exchanges at any corpus size.  Fractions are IEEE divisions of
+    the same two int64s the SQL twin divides, hence bit-equal.
+    """
+    import pandas as pd
+
+    toks = tokenize_column(tbl[col])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.diff(offsets)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False), n_tokens)
+    n = len(tbl)
+
+    # distinct tokens per document (doc lives in this block by construction)
+    if len(flat):
+        pdf = pd.DataFrame({"d": ids, "t": flat})
+        nd = pdf.groupby("d")["t"].nunique()
+        nd = nd.reindex(tbl[id_col].to_numpy(zero_copy_only=False),
+                        fill_value=0).to_numpy()
+    else:
+        nd = np.zeros(n, dtype=np.int64)
+
+    # most frequent bigram count per document
+    top = np.zeros(n, dtype=np.int64)
+    if len(flat) >= 2:
+        same = ids[:-1] == ids[1:]
+        if same.any():
+            bdf = pd.DataFrame({"d": ids[:-1][same], "w1": flat[:-1][same],
+                                "w2": flat[1:][same]})
+            mc = (bdf.groupby(["d", "w1", "w2"]).size()
+                  .groupby(level=0).max())
+            top = mc.reindex(tbl[id_col].to_numpy(zero_copy_only=False),
+                             fill_value=0).to_numpy()
+
+    nt = n_tokens.astype(np.float64)
+    dup_frac = np.where(n_tokens > 0,
+                        (n_tokens - nd) / np.maximum(nt, 1.0), 0.0)
+    nb = (n_tokens - 1).astype(np.float64)
+    top_frac = np.where(n_tokens > 1, top / np.maximum(nb, 1.0), 0.0)
+    keep = ((dup_frac <= dup_max) & (top_frac <= top_bigram_max)
+            ).astype(np.int64)
+    return (tbl.append_column("n_tokens", pa.array(n_tokens))
+            .append_column("dup_token_frac", pa.array(dup_frac))
+            .append_column("top_bigram_frac", pa.array(top_frac))
+            .append_column("keep", pa.array(keep)))
+
+
+def add_repetition_stats(ds, id_col: str = "doc_id", col: str = "text",
+                         dup_max: float = 0.6, top_bigram_max: float = 0.05):
+    return ds.map_batches(
+        lambda t: repetition_stats_table(t, id_col, col, dup_max,
+                                         top_bigram_max),
+        batch_format="pyarrow")
 
 
 class LangId:
