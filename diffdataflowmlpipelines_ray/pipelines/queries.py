@@ -3303,16 +3303,16 @@ def _pagerank_int_sql(iters: int) -> str:
         nd AS (SELECT n.id, COALESCE(o.d, 0) AS d
                FROM nodes n LEFT JOIN outdeg o USING (id)),
         p AS (SELECT COUNT(*) AS n FROM nodes),
-        r0 AS (SELECT id, d, 1000000000000 // p.n AS r
+        r0 AS MATERIALIZED (SELECT id, d, 1000000000000 // p.n AS r
                FROM nd CROSS JOIN p)"""]
     for i in range(1, iters + 1):
         ctes.append(f"""
-        g{i} AS (SELECT COALESCE(SUM(r), 0) AS dang
+        g{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dang
                  FROM r{i - 1} WHERE d = 0),
-        c{i} AS (SELECT e.dst AS id, SUM((s.r * 85) // (100 * s.d)) AS c
+        c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM((s.r * 85) // (100 * s.d)) AS c
                  FROM edges e JOIN r{i - 1} s ON s.id = e.src
                  GROUP BY e.dst),
-        r{i} AS (SELECT nd.id, nd.d,
+        r{i} AS MATERIALIZED (SELECT nd.id, nd.d,
                         (15 * 1000000000000) // (100 * p.n)
                         + (85 * g{i}.dang) // (100 * p.n)
                         + COALESCE(c{i}.c, 0) AS r
@@ -3322,6 +3322,84 @@ def _pagerank_int_sql(iters: int) -> str:
             + f"""
         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro
         FROM r{iters} ORDER BY doc_id""")
+
+
+_KCORE_K = 2
+_KCORE_SQL_ROUNDS = 16
+
+
+def q_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition (k=2) of a deterministic tree-plus-triangles
+    graph over doc ids — the spam/community peel that needs GENUINE
+    multi-round fixpoint iteration (4–5 peel waves here, unlike the dense
+    orders graph where one wave suffices).  The k-core is the unique
+    maximal min-degree-≥k subgraph, so peel order is irrelevant and the
+    unrolled-CTE SQL twin matches exactly.  Size-tiered like
+    `connected_components`/`pagerank_exact`: numpy driver peel under 2M
+    edges, else the Dataset plan (`stages/iterate.py kcore_ds`: one
+    narrow degree groupby + two partitioned semi-joins per round)."""
+    from ..stages.iterate import KCORE_DRIVER_MAX_EDGES, kcore, kcore_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id"], blocks=8)
+    hi = ds.max("doc_id")
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        tu = ids[ids >= 1] // 2                      # binary-tree edges
+        tv = ids[ids >= 1]
+        m = ids[(ids % 30 == 0) & (ids + 20 <= hi)]  # disjoint triangles
+        u = np.concatenate([tu, m, m, m + 10])
+        v = np.concatenate([tv, m + 10, m + 20, m + 20])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    edges = (ds.map_batches(mk_edges, batch_format="pyarrow")
+             .groupby("u")                            # global edge dedup
+             .map_groups(lambda p: p.drop_duplicates(),
+                         batch_format="pandas").materialize())
+    if edges.count() <= KCORE_DRIVER_MAX_EDGES:
+        res = kcore(pa.concat_tables(list(
+            edges.iter_batches(batch_format="pyarrow"))),
+            k=_KCORE_K).to_pandas()
+    else:
+        res = kcore_ds(edges, k=_KCORE_K).to_pandas()
+    out = (res.rename(columns={"id": "doc_id"})
+           .sort_values("doc_id").reset_index(drop=True))
+    out["core_deg"] = out["core_deg"].astype(np.int64)
+    return out
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB twin of the k-core peel on the
+    tree-plus-triangles doc graph: one (degree, thin) CTE pair per wave.
+    ``rounds`` must cover the graph's true peel depth (≈ tree height / 2;
+    16 covers corpora to ~10⁸ docs) — too few rounds would leave SQL
+    short of the fixpoint and fail the gate loudly."""
+    ctes = ["""
+        e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT doc_id // 2 AS u, doc_id AS v FROM documents
+            WHERE doc_id >= 1
+            UNION ALL SELECT doc_id, doc_id + 10 FROM documents
+            WHERE doc_id % 30 = 0
+              AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents)
+            UNION ALL SELECT doc_id, doc_id + 20 FROM documents
+            WHERE doc_id % 30 = 0
+              AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents)
+            UNION ALL SELECT doc_id + 10, doc_id + 20 FROM documents
+            WHERE doc_id % 30 = 0
+              AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents)))"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+        d{i} AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+                    SELECT u AS id FROM e{i - 1}
+                    UNION ALL SELECT v FROM e{i - 1}) GROUP BY id),
+        e{i} AS MATERIALIZED (SELECT u, v FROM e{i - 1}
+                 WHERE u IN (SELECT id FROM d{i} WHERE d >= {k})
+                   AND v IN (SELECT id FROM d{i} WHERE d >= {k}))""")
+    return ("WITH" + ",".join(ctes) + f"""
+        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM (SELECT u AS id FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds})
+        GROUP BY id ORDER BY doc_id""")
 
 
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
@@ -5386,6 +5464,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "balance_downsample": q_balance_downsample,
     "pagerank_exact": q_pagerank_exact,
+    "kcore": q_kcore,
     "triangle_count": q_triangle_count,
     "pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7047,6 +7126,7 @@ ORACLES = {
         ORDER BY d.doc_id
     """,
     "pagerank_exact": _pagerank_int_sql(_PAGERANK_INT_ITERS),
+    "kcore": _kcore_sql(_KCORE_K, _KCORE_SQL_ROUNDS),
     "fuzzy_join": """
         WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
                    FROM customer WHERE c_custkey < 1000),

@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 
 __all__ = ["triangle_count", "connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds", "pagerank_int", "pagerank_int_ds",
-           "PR_INT_DRIVER_MAX_EDGES"]
+           "PR_INT_DRIVER_MAX_EDGES", "kcore", "kcore_ds",
+           "KCORE_DRIVER_MAX_EDGES"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -824,3 +825,98 @@ def pagerank_int(edges, iters: int = 5, total: int = 10**12,
         r = base + dshare + acc
     return pa.table({"id": pa.array(ids.astype(np.int64)),
                      "rank_micro": pa.array(r)})
+
+
+#: Same size-tiering contract as PR_INT_DRIVER_MAX_EDGES.
+KCORE_DRIVER_MAX_EDGES = 2_000_000
+
+
+def kcore(edges, k: int = 2, max_iters: int = 64) -> pa.Table:
+    """Driver-tier k-core decomposition: iteratively peel nodes of degree
+    < k until fixpoint → pa.Table ``(id, core_deg)`` of the surviving
+    subgraph (the k-core is the unique maximal subgraph of min degree ≥ k,
+    so the result is independent of peel order).  For candidate-bounded
+    graphs; ``kcore_ds`` is the unbounded twin with identical semantics."""
+    if not isinstance(edges, pa.Table):
+        edges = pa.concat_tables(list(edges.iter_batches(
+            batch_format="pyarrow")))
+    eu = edges["u"].to_numpy(zero_copy_only=False).copy()
+    ev = edges["v"].to_numpy(zero_copy_only=False).copy()
+    for _ in range(max_iters):
+        if len(eu) == 0:
+            break
+        ids, inv = np.unique(np.concatenate([eu, ev]), return_inverse=True)
+        deg = np.bincount(inv)
+        bad = ids[deg < k]
+        if len(bad) == 0:
+            return pa.table({"id": pa.array(ids.astype(np.int64)),
+                             "core_deg": pa.array(deg.astype(np.int64))})
+        live = ~(np.isin(eu, bad) | np.isin(ev, bad))
+        eu, ev = eu[live], ev[live]
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_iters} rounds")
+    return pa.table({"id": pa.array([], type=pa.int64()),
+                     "core_deg": pa.array([], type=pa.int64())})
+
+
+def kcore_ds(edges, k: int = 2, buckets: int = 32, max_iters: int = 64):
+    """Distributed k-core peel over an unbounded undirected edge list
+    ``(u, v)`` → Dataset ``(id, core_deg)``.
+
+    Per round: ONE narrow groupby-sum of block-pre-aggregated
+    (endpoint, partial-count) rows computes degrees, then the edge list is
+    thinned by TWO partitioned semi-joins against the still-live node set
+    (neither side broadcast or driver-held — a 10¹⁰-node removal wave
+    stays a Dataset).  The driver sees one scalar per round (the live edge
+    count); convergence is edge-count fixpoint, ``max_iters`` raises
+    rather than returning a non-core (the ``connected_components_ds``
+    contract).  Round count is bounded by the graph's degeneracy ordering
+    depth — O(log n) for trees/web-like graphs."""
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def dedup_block(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(["u", "v"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    E = edges.map_batches(dedup_block, batch_format="pyarrow").materialize()
+    n_edges = E.count()
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False)])
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table({"id": pa.array(ids),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    for _ in range(max_iters):
+        deg = (E.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("id").sum("d")
+               .map_batches(lambda t: t.rename_columns(["id", "d"]),
+                            batch_format="pyarrow"))
+        live = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["d"], k)),
+            batch_format="pyarrow").materialize()
+        E2 = hash_join(
+            hash_join(E, live.map_batches(
+                lambda t: t.select(["id"]), batch_format="pyarrow"),
+                ["u"], ["id"], buckets=buckets, how="semi"),
+            live.map_batches(lambda t: t.select(["id"]),
+                             batch_format="pyarrow"),
+            ["v"], ["id"], buckets=buckets, how="semi").materialize()
+        n2 = E2.count()
+        if n2 == n_edges:
+            return live.map_batches(
+                lambda t: t.rename_columns(["id", "core_deg"]),
+                batch_format="pyarrow")
+        E, n_edges = E2, n2
+        if n_edges == 0:
+            return rd.from_arrow(pa.table(
+                {"id": pa.array([], type=pa.int64()),
+                 "core_deg": pa.array([], type=pa.int64())}))
+    raise RuntimeError(f"kcore_ds did not converge in {max_iters} rounds")

@@ -125,7 +125,17 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
                              else "Int64")
                     for f in unified if pa.types.is_integer(f.type)}
 
-    def join_bucket(tbl: pa.Table) -> pd.DataFrame:
+    # The bucket UDF returns ARROW with this exact schema (not pandas):
+    # Ray emits zero-column empty blocks for empty sort partitions, and a
+    # downstream shuffle concatenating those with typed PANDAS blocks
+    # NaN-promotes every int64 to float64 — silently corrupting 64-bit
+    # keys and breaking chained joins (observed: the second semi-join of a
+    # k-core peel matching nothing).  A fixed Arrow schema keeps every
+    # block typed end-to-end.
+    out_schema = (pa.schema(list(lschema)) if how in ("semi", "anti")
+                  else unified)
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
         # Split sides while still Arrow and DROP the other side's columns
         # first: converting the union block (null-padded across sides) to
         # pandas whole would degrade every int column to float64 —
@@ -140,12 +150,16 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
                 rt = rt.astype({c: t for c, t in nullable_int.items()
                                 if c in rt.columns})
             # merge on empty frames still yields the joined schema/dtypes
-            return lt.merge(rt, left_on=left_on, right_on=right_on, how=how)
-        keys = rt[list(right_on)].drop_duplicates()
-        keys.columns = left_on  # positional key alignment
-        marked = lt.merge(keys, on=left_on, how="left", indicator=True)
-        want = "both" if how == "semi" else "left_only"
-        return marked[marked["_merge"] == want].drop(columns=["_merge"])
+            out = lt.merge(rt, left_on=left_on, right_on=right_on, how=how)
+        else:
+            keys = rt[list(right_on)].drop_duplicates()
+            keys.columns = left_on  # positional key alignment
+            marked = lt.merge(keys, on=left_on, how="left", indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            out = (marked[marked["_merge"] == want]
+                   .drop(columns=["_merge"]))
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,

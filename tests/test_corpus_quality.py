@@ -134,3 +134,38 @@ def test_pagerank_int_mass_and_dangling(ray_session):
     s = sum(r.values())
     assert s <= total
     assert s >= total - 10_000                          # bounded rounding loss
+
+
+# ------------------------------------------------------------------- k-core
+def test_kcore_driver_equals_distributed(ray_session):
+    from diffdataflowmlpipelines_ray.stages.iterate import kcore, kcore_ds
+
+    rng = np.random.default_rng(11)
+    # sparse random graph + a planted K5 so the 3-core is non-empty
+    u = rng.integers(0, 80, size=150).astype(np.int64)
+    v = rng.integers(0, 80, size=150).astype(np.int64)
+    k5 = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    eu = np.concatenate([np.minimum(u, v), [a for a, _ in k5]])
+    ev = np.concatenate([np.maximum(u, v), [b for _, b in k5]])
+    keep = eu != ev
+    E = (pd.DataFrame({"u": eu[keep], "v": ev[keep]})
+         .drop_duplicates().reset_index(drop=True))
+    tbl = pa.Table.from_pandas(E, preserve_index=False)
+
+    drv = kcore(tbl, k=3).to_pandas().sort_values("id").reset_index(drop=True)
+    dist = (kcore_ds(ray.data.from_arrow(tbl).repartition(4), k=3)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+    # the planted K5 always survives a 3-core with degree 4 each
+    got = dict(zip(drv["id"], drv["core_deg"]))
+    assert all(got[100 + i] >= 4 for i in range(5))
+
+
+def test_kcore_tree_peels_to_empty(ray_session):
+    from diffdataflowmlpipelines_ray.stages.iterate import kcore, kcore_ds
+
+    ids = np.arange(1, 64, dtype=np.int64)      # pure binary tree: no 2-core
+    tbl = pa.table({"u": pa.array(ids // 2), "v": pa.array(ids)})
+    assert kcore(tbl, k=2).num_rows == 0
+    assert kcore_ds(ray.data.from_arrow(tbl).repartition(3),
+                    k=2).count() == 0

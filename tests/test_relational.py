@@ -715,3 +715,26 @@ class TestOrderedPrefixSum:
                                      "v": pa.array([1.5, 2.5])}))
         with pytest.raises(ValueError, match="must be integer"):
             ordered_prefix_sum(ds, "id", "v")
+
+
+def test_chained_hash_join_preserves_int_dtypes(ray_session):
+    """Regression: Ray emits zero-column empty blocks for empty sort
+    partitions; a second join shuffling those alongside typed PANDAS
+    blocks NaN-promoted int64 keys to float64 — bucket hashes then
+    diverged between sides and the chained join matched NOTHING (caught
+    by the k-core peel).  join_bucket now returns fixed-schema Arrow."""
+    import ray.data as rd
+
+    from diffdataflowmlpipelines_ray.stages.relational import hash_join
+
+    E = rd.from_arrow(pa.table(
+        {"u": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+         "v": pa.array([2, 3, 4, 5, 6], type=pa.int64())})).repartition(2)
+    live = rd.from_arrow(pa.table({"id": pa.array([2, 3, 4],
+                                                  type=pa.int64())}))
+    j2 = hash_join(hash_join(E, live, ["u"], ["id"], buckets=8, how="semi"),
+                   live, ["v"], ["id"], buckets=8, how="semi").materialize()
+    for b in j2.iter_batches(batch_format="pyarrow", batch_size=None):
+        assert all(str(t) == "int64" for t in b.schema.types), b.schema
+    got = sorted(map(tuple, j2.to_pandas().to_numpy()))
+    assert got == [(2, 3), (3, 4)]
