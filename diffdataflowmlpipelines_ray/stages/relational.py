@@ -199,7 +199,13 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
     r_tagged = _with_bucket(right, r_on, buckets, "r", unified)
     r_out = [c for c in r_cols if c not in r_on]
 
-    def join_bucket(tbl: pa.Table) -> pd.DataFrame:
+    # fixed Arrow output schema — same zero-column-empty-block hazard as
+    # hash_join (see comment there)
+    out_cols_order = list(dict.fromkeys(l_cols + r_out))
+    by_name = {f.name: f for f in unified}
+    out_schema = pa.schema([by_name[c] for c in out_cols_order])
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
         # Arrow-side split before pandas (same reason as hash_join: the
         # union's null padding would float-degrade int columns)
         mask_l = pc.equal(tbl["__side"], "l")
@@ -212,8 +218,9 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
             left_by=on, right_by=r_on, direction=direction,
         )
         matched = merged[merged[right_ts].notna()]
-        out_cols = list(dict.fromkeys(l_cols + r_out))
-        return matched[out_cols].reset_index(drop=True)
+        out = matched[out_cols_order].reset_index(drop=True)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,
