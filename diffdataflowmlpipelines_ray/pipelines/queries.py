@@ -3324,6 +3324,21 @@ def _pagerank_int_sql(iters: int) -> str:
         FROM r{iters} ORDER BY doc_id""")
 
 
+def q_cap_per_group(sf_dir: str) -> pd.DataFrame:
+    """Domain capping: at most 10 documents per source, chosen by the
+    deterministic (stable_hash60(id), id) rank rather than file order —
+    the per-host page cap of web-corpus prep as an unbiased sample.  Each
+    block pre-selects its local top-10 per group, so the one exchange
+    moves ≤ blocks × groups × 10 narrow rows (`stages/relational.py
+    cap_per_group`); bit-equal to the ROW_NUMBER SQL twin."""
+    from ..stages.relational import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"], blocks=8)
+    out = (cap_per_group(ds, "source", "doc_id", n=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "source"]]
+
+
 _KCORE_K = 2
 _KCORE_SQL_ROUNDS = 16
 
@@ -5465,6 +5480,7 @@ QUERIES = {
     "balance_downsample": q_balance_downsample,
     "pagerank_exact": q_pagerank_exact,
     "kcore": q_kcore,
+    "cap_per_group": q_cap_per_group,
     "triangle_count": q_triangle_count,
     "pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7127,6 +7143,17 @@ ORACLES = {
     """,
     "pagerank_exact": _pagerank_int_sql(_PAGERANK_INT_ITERS),
     "kcore": _kcore_sql(_KCORE_K, _KCORE_SQL_ROUNDS),
+    "cap_per_group": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 15))::BIGINT,
+                                doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id
+    """,
     "fuzzy_join": """
         WITH l AS (SELECT c_custkey AS l_key, c_name AS l_name
                    FROM customer WHERE c_custkey < 1000),

@@ -27,7 +27,8 @@ from ..functions.vectors import half_away
 __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
-           "build_bloom", "bloom_prefilter", "ordered_prefix_sum"]
+           "build_bloom", "bloom_prefilter", "ordered_prefix_sum",
+           "cap_per_group"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -751,3 +752,43 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
             out_col, pa.array(c - v if exclusive else c))
 
     return S.map_batches(scan, batch_size=None, batch_format="pyarrow")
+
+
+def cap_per_group(ds, group_col: str, id_col: str, n: int,
+                  buckets: int = 32):
+    """Deterministic per-group cap: keep at most ``n`` rows per group, the
+    ones ranked first under the (stable_hash60(id), id) order — the
+    domain-capping primitive of web-corpus prep ("at most N pages per
+    host"), done as an UNBIASED deterministic sample rather than
+    first-N-in-file order (file order correlates with crawl time).
+
+    Scale: each block pre-selects its local top-``n`` per group, so the
+    single groupby exchange moves ≤ blocks × groups_per_block × n NARROW
+    (group, id, h) rows — never the payload, never more than n rows per
+    group per block; the final per-group head-n runs where the group
+    lands.  The hash order makes the result partition-invariant and
+    bit-equal to a ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, id)``
+    SQL twin (MD5-derived hash, DuckDB-reproducible —
+    ``functions/hashing.py``).  Returns (group_col, id_col) winner rows;
+    semi-join back by id for full payloads.
+    """
+    from ..functions.hashing import stable_hash60_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash60_array([str(i) for i in ids])
+        pdf = pd.DataFrame({group_col: tbl[group_col].to_numpy(
+            zero_copy_only=False), id_col: ids, "__h": h})
+        top = (pdf.sort_values([group_col, "__h", id_col],
+                               kind="mergesort")
+               .groupby(group_col, sort=False).head(n))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.sort_values([group_col, "__h", id_col],
+                                kind="mergesort")
+                .groupby(group_col, sort=False).head(n)
+                [[group_col, id_col]])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(finish, batch_format="pandas"))

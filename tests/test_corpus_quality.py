@@ -169,3 +169,37 @@ def test_kcore_tree_peels_to_empty(ray_session):
     assert kcore(tbl, k=2).num_rows == 0
     assert kcore_ds(ray.data.from_arrow(tbl).repartition(3),
                     k=2).count() == 0
+
+
+# ------------------------------------------------------------- per-group cap
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_cap_per_group_matches_reference(ray_session, blocks):
+    from diffdataflowmlpipelines_ray.stages.relational import cap_per_group
+
+    rng = np.random.default_rng(5)
+    n = 300
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1]),
+    })
+    # brute-force reference: rank by (h, id) within group, head 7
+    ref = docs.copy()
+    ref["h"] = [_h60(str(i)) for i in ref["doc_id"]]
+    ref = (ref.sort_values(["source", "h", "doc_id"])
+           .groupby("source").head(7))
+    expect = set(map(tuple, ref[["source", "doc_id"]].to_numpy()))
+
+    ds = ray.data.from_pandas(docs).repartition(blocks)
+    got = cap_per_group(ds, "source", "doc_id", n=7).to_pandas()
+    assert set(map(tuple, got[["source", "doc_id"]].to_numpy())) == expect
+    assert got.groupby("source").size().max() <= 7
+
+
+def test_cap_per_group_small_groups_untouched(ray_session):
+    from diffdataflowmlpipelines_ray.stages.relational import cap_per_group
+
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "source": ["x", "x", "y", "y"]})
+    got = cap_per_group(ray.data.from_pandas(docs), "source", "doc_id",
+                        n=10).to_pandas()
+    assert len(got) == 4                       # cap above group size: no-op
