@@ -103,7 +103,9 @@ def run_bench() -> dict:
         "ann_pq", "triangle_count", "keywords_tfidf", "grouped_entropy",
         "grouped_linreg", "window_median", "temporal_join", "late_routing",
         "stream_union", "kleene_pattern", "incremental_components",
-        "pack_sequences", "perplexity", "naive_bayes")
+        "pack_sequences", "perplexity", "naive_bayes",
+        "repetition_filter", "balance_downsample", "pagerank_exact",
+        "kcore", "cap_per_group")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

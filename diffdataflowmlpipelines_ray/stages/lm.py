@@ -109,8 +109,19 @@ def _vocab_size(docs, text_col: str = "text") -> int:
             .groupby("tok").count().count())
 
 
+#: Distinct-bigram / distinct-(token × class) ceiling for the broadcast
+#: scoring tier.  Under it the count table is one ``ray.put`` (≤ ~24 MB)
+#: and scoring is a single in-block pandas merge per batch — 2 shuffles
+#: total instead of 6.  Above it NOTHING model-shaped touches the driver:
+#: the partitioned hash-join exchange plan takes over (identical integer
+#: arithmetic, pytest-equal).  Same tiering contract as
+#: ``_PAIR_BROADCAST_MAX`` / ``PR_INT_DRIVER_MAX_EDGES``.
+LM_BROADCAST_MAX = 500_000
+
+
 def bigram_logprob_scores(docs, id_col: str = "doc_id",
-                          text_col: str = "text", buckets: int = 16):
+                          text_col: str = "text", buckets: int = 16,
+                          broadcast_max: int = LM_BROADCAST_MAX):
     """Per-document add-one-smoothed bigram log-probability.
 
     Returns a Dataset of ``(doc_id, n_bigrams, nats_micro)``:
@@ -119,14 +130,72 @@ def bigram_logprob_scores(docs, id_col: str = "doc_id",
     total micro-nats of surprise; perplexity is
     ``exp(-nats_micro / 1e6 / n_bigrams)``, left to the consumer because
     exp() would re-introduce float drift into the gate.
+
+    Two scoring tiers on the measured distinct-bigram count (the model is
+    count algebra either way, so both are bit-exact and partition
+    invariant):
+
+    - ``≤ broadcast_max``: the (w1, w2, c) table broadcasts once; the
+      scoring pass re-tokenizes each document IN ITS OWN BLOCK, merges
+      against the broadcast counts (one C-speed pandas hash merge per
+      batch) and finishes with an in-batch per-doc integer sum — no join
+      exchange, no final groupby, because a document never leaves its row.
+    - above: the original exchange plan — score rows join the SHARDED
+      count tables by hash bucket (nothing model-shaped on the driver).
     """
+    import ray
+
     from .relational import hash_join
 
     db = doc_bigram_counts(docs, id_col, text_col).materialize()
     vocab = _vocab_size(docs, text_col)
+    v = float(vocab)
 
     cnt = db.groupby(["w1", "w2"]).sum("k").map_batches(
-        lambda t: t.rename_columns(["bw1", "bw2", "c"]), batch_format="pyarrow")
+        lambda t: t.rename_columns(["bw1", "bw2", "c"]),
+        batch_format="pyarrow").materialize()
+
+    if cnt.count() <= broadcast_max:
+        cnt_df = pa.concat_tables(list(cnt.iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+        cnt_df.columns = ["w1", "w2", "c"]
+        ctx_df = (cnt_df.groupby("w1", as_index=False)["c"].sum()
+                  .rename(columns={"c": "cw"}))
+        model_ref = ray.put((cnt_df, ctx_df))
+
+        def score_block(tbl: pa.Table) -> pa.Table:
+            cnt_d, ctx_d = ray.get(model_ref)
+            toks = tokenize_column(tbl[text_col])
+            offsets = toks.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False),
+                            lens)
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "n_bigrams": pa.array([], type=pa.int64()),
+                              "nats_micro": pa.array([], type=pa.int64())})
+            if len(flat) < 2:
+                return empty
+            same = ids[:-1] == ids[1:]
+            if not same.any():
+                return empty
+            g = (pd.DataFrame({"doc_id": ids[:-1][same],
+                               "w1": flat[:-1][same],
+                               "w2": flat[1:][same]})
+                 .groupby(["doc_id", "w1", "w2"], as_index=False)
+                 .size().rename(columns={"size": "k"}))
+            m = g.merge(cnt_d, on=["w1", "w2"]).merge(ctx_d, on="w1")
+            k = m["k"].to_numpy(dtype=np.int64)
+            mn = _micronats((m["c"].to_numpy(dtype=np.float64) + 1.0)
+                            / (m["cw"].to_numpy(dtype=np.float64) + v))
+            out = (pd.DataFrame({"doc_id": m["doc_id"], "n_bigrams": k,
+                                 "nats_micro": k * mn})
+                   .groupby("doc_id", as_index=False).sum())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return docs.map_batches(score_block, batch_format="pyarrow")
+
     ctx = cnt.groupby("bw1").sum("c").map_batches(
         lambda t: t.rename_columns(["w1c", "cw"]), batch_format="pyarrow")
 
@@ -135,8 +204,6 @@ def bigram_logprob_scores(docs, id_col: str = "doc_id",
         lambda t: t.select(["doc_id", "w1", "k", "c"]),
         batch_format="pyarrow")
     j2 = hash_join(j1, ctx, ["w1"], ["w1c"], buckets=buckets)
-
-    v = float(vocab)
 
     def term(tbl: pa.Table) -> pa.Table:
         c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -154,8 +221,13 @@ def bigram_logprob_scores(docs, id_col: str = "doc_id",
                 batch_format="pyarrow"))
 
 
-def doc_token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Dataset of documents → ``(doc_id, tok, k)`` rows, block-pre-agg'd."""
+def doc_token_counts(docs, id_col: str = "doc_id", text_col: str = "text",
+                     carry: tuple = ()):
+    """Dataset of documents → ``(doc_id[, *carry], tok, k)`` rows,
+    block-pre-agg'd.  ``carry`` names per-document columns (e.g. the
+    class label) replicated onto the count rows — free at explode time
+    and it DESIGNS OUT the doc→label join the scorer would otherwise
+    pay (a full-corpus exchange)."""
 
     def explode(tbl: pa.Table) -> pa.Table:
         toks = tokenize_column(tbl[text_col])
@@ -163,8 +235,12 @@ def doc_token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
         lens = np.diff(offsets)
         ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False), lens)
         flat = toks.flatten().to_numpy(zero_copy_only=False)
-        pdf = pd.DataFrame({"doc_id": ids, "tok": flat})
-        out = (pdf.groupby(["doc_id", "tok"], as_index=False)
+        cols = {"doc_id": ids}
+        for c in carry:
+            cols[c] = np.repeat(tbl[c].to_numpy(zero_copy_only=False), lens)
+        cols["tok"] = flat
+        pdf = pd.DataFrame(cols)
+        out = (pdf.groupby(["doc_id", *carry, "tok"], as_index=False)
                .size().rename(columns={"size": "k"}))
         out["k"] = out["k"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -174,7 +250,8 @@ def doc_token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 def naive_bayes_predict(docs, label_col: str = "lang",
                         id_col: str = "doc_id", text_col: str = "text",
-                        buckets: int = 16):
+                        buckets: int = 16,
+                        broadcast_max: int = LM_BROADCAST_MAX):
     """Multinomial naive Bayes, fit and predicted on the corpus itself.
 
     Class = ``label_col``; features = whitespace token counts; add-one
@@ -187,28 +264,37 @@ def naive_bayes_predict(docs, label_col: str = "lang",
     smallest class, so the result is deterministic and matches the SQL
     twin bit-for-bit).
 
-    Distributed plan: per-class token counts are ONE groupby over the
-    block-pre-aggregated (doc, tok, k) rows pivoted wide (one row per
-    token, one int64 column per class) — vocabulary-bounded, sharded,
-    joined back to the doc-token rows by hash bucket.  Class priors /
-    totals are a handful of scalars (one per class), the only
-    driver-resident state.
+    Distributed plan: the class label rides the explode (``carry`` —
+    free, designs out a full-corpus doc→label join), so per-class token
+    counts are ONE groupby over block-pre-aggregated rows pivoted wide
+    (one row per token, one int64 column per class) — vocabulary-bounded
+    and sharded.  Class priors / totals are #classes scalars, the only
+    unconditional driver state.  Scoring is tiered like
+    ``bigram_logprob_scores``: wide table ≤ ``broadcast_max`` rows →
+    broadcast once, score each document in its own block (one pandas
+    merge per batch, in-batch per-doc integer sums, no exchange); above →
+    partitioned hash-join against the sharded wide table.
     """
+    import ray
+
     from .relational import hash_join
 
-    dt = doc_token_counts(docs, id_col, text_col).materialize()
+    dt = doc_token_counts(docs, id_col, text_col,
+                          carry=(label_col,)).materialize()
 
-    # (doc_id, label) — one row per doc; labels per doc are unique by schema
-    lab = docs.map_batches(
-        lambda t: t.select([id_col, label_col]).rename_columns(
-            ["ldoc", label_col]), batch_format="pyarrow")
+    # class census: block-local value counts → driver sum (#classes rows,
+    # no shuffle — a label's domain is vocabulary-small by contract)
+    def class_partial(tbl: pa.Table) -> pa.Table:
+        vc = pc.value_counts(tbl[label_col])
+        return pa.table({"cl": vc.field("values"),
+                         "nd": pc.cast(vc.field("counts"), pa.int64())})
 
-    # attach labels to token rows (partitioned join on doc_id)
-    dtl = hash_join(dt, lab, [id_col], ["ldoc"], buckets=buckets)
-
-    # per (class, token) counts, pivoted wide by class
-    classes = sorted(r[label_col] for r in
-                     docs.groupby(label_col).count().take_all())
+    ndocs: dict = {}
+    for row in docs.map_batches(class_partial,
+                                batch_format="pyarrow").take_all():
+        ndocs[row["cl"]] = ndocs.get(row["cl"], 0) + row["nd"]
+    classes = sorted(ndocs)
+    n_total = sum(ndocs.values())
 
     def pivot_block(tbl: pa.Table) -> pa.Table:
         pdf = tbl.to_pandas()
@@ -221,13 +307,13 @@ def naive_bayes_predict(docs, label_col: str = "lang",
             out[f"c_{c}"] = col
         return pa.table(out)
 
-    wide = (dtl.map_batches(pivot_block, batch_format="pyarrow")
+    wide = (dt.map_batches(pivot_block, batch_format="pyarrow")
             .groupby("tok").sum([f"c_{c}" for c in classes])
             .map_batches(lambda t: t.rename_columns(
                 ["wtok"] + [f"c_{c}" for c in classes]),
                 batch_format="pyarrow").materialize())
 
-    # per-class token totals + doc counts: one tiny aggregate each
+    # per-class token totals: one tiny aggregate
     totals = {c: 0 for c in classes}
     for row in (wide.map_batches(
             lambda t: pa.table({f"c_{c}": [pc.sum(t[f"c_{c}"]).as_py() or 0]
@@ -235,19 +321,60 @@ def naive_bayes_predict(docs, label_col: str = "lang",
             .take_all()):
         for c in classes:
             totals[c] += row[f"c_{c}"]
-    ndocs = {r[label_col]: r["count()"] for r in
-             docs.groupby(label_col).count().take_all()}
-    n_total = sum(ndocs.values())
     vocab = wide.count()
     v = float(vocab)
 
     prior_mn = {c: int(_micronats(np.array([ndocs[c] / n_total]))[0])
                 for c in classes}
-
-    # score: join doc-token rows to the wide count table, per-class terms
-    j = hash_join(dt, wide, ["tok"], ["wtok"], buckets=buckets)
-
     tot = {c: float(totals[c]) for c in classes}
+
+    if vocab <= broadcast_max:
+        wide_df = pa.concat_tables(list(wide.iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+        wide_df.columns = ["tok"] + [f"c_{c}" for c in classes]
+        model_ref = ray.put(wide_df)
+
+        def score_block(tbl: pa.Table) -> pa.Table:
+            wd = ray.get(model_ref)
+            toks = tokenize_column(tbl[text_col])
+            offsets = toks.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False),
+                            lens)
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            if not len(flat):
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "pred": pa.array([], type=pa.string())})
+            g = (pd.DataFrame({"doc_id": ids, "tok": flat})
+                 .groupby(["doc_id", "tok"], as_index=False)
+                 .size().rename(columns={"size": "k"}))
+            m = g.merge(wd, on="tok")
+            k = m["k"].to_numpy(dtype=np.int64)
+            terms = {"doc_id": m["doc_id"]}
+            for c in classes:
+                cc = m[f"c_{c}"].to_numpy(dtype=np.float64)
+                terms[f"s_{c}"] = k * _micronats((cc + 1.0) / (tot[c] + v))
+            s = (pd.DataFrame(terms)
+                 .groupby("doc_id", as_index=False).sum())
+            n = len(s)
+            best = np.full(n, "", dtype=object)
+            best_s = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            for c in classes:          # ascending: ties → smallest class
+                sc = s[f"s_{c}"].to_numpy(dtype=np.int64) + prior_mn[c]
+                better = sc > best_s
+                best_s = np.where(better, sc, best_s)
+                best[better] = c
+            return pa.table({
+                "doc_id": pa.array(s["doc_id"].to_numpy(dtype=np.int64)),
+                "pred": pa.array(best.tolist(), type=pa.string())})
+
+        return docs.map_batches(score_block, batch_format="pyarrow")
+
+    # exchange tier: join doc-token rows to the sharded wide table
+    j = hash_join(dt.map_batches(
+        lambda t: t.select(["doc_id", "tok", "k"]), batch_format="pyarrow"),
+        wide, ["tok"], ["wtok"], buckets=buckets)
 
     def score(tbl: pa.Table) -> pa.Table:
         k = tbl["k"].to_numpy(zero_copy_only=False).astype(np.int64)

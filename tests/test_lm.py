@@ -72,11 +72,12 @@ def _ref_naive_bayes(docs: pd.DataFrame) -> dict:
 
 
 @pytest.mark.parametrize("blocks", [1, 4])
-def test_bigram_scores_match_reference(ray_session, blocks):
+@pytest.mark.parametrize("bmax", [500_000, 0])   # broadcast vs exchange tier
+def test_bigram_scores_match_reference(ray_session, blocks, bmax):
     from diffdataflowmlpipelines_ray.stages.lm import bigram_logprob_scores
 
     ds = ray.data.from_pandas(_DOCS).repartition(blocks)
-    got = bigram_logprob_scores(ds).to_pandas()
+    got = bigram_logprob_scores(ds, broadcast_max=bmax).to_pandas()
     gotd = {int(r.doc_id): (int(r.n_bigrams), int(r.nats_micro))
             for r in got.itertuples()}
     assert gotd == _ref_perplexity(_DOCS)
@@ -85,11 +86,12 @@ def test_bigram_scores_match_reference(ray_session, blocks):
 
 
 @pytest.mark.parametrize("blocks", [1, 4])
-def test_naive_bayes_matches_reference(ray_session, blocks):
+@pytest.mark.parametrize("bmax", [500_000, 0])   # broadcast vs exchange tier
+def test_naive_bayes_matches_reference(ray_session, blocks, bmax):
     from diffdataflowmlpipelines_ray.stages.lm import naive_bayes_predict
 
     ds = ray.data.from_pandas(_DOCS).repartition(blocks)
-    got = naive_bayes_predict(ds).to_pandas()
+    got = naive_bayes_predict(ds, broadcast_max=bmax).to_pandas()
     gotd = {int(r.doc_id): r.pred for r in got.itertuples()}
     assert gotd == _ref_naive_bayes(_DOCS)
     assert 3 not in gotd                     # empty doc has no features
