@@ -5385,6 +5385,67 @@ def q_logreg_embeddings(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) with a min-count floor — the corpus-analysis
+    op above raw frequency.  Per-term int64 micro-nats make the PMI
+    exact integer arithmetic (`stages/lm.py pmi_collocations` has the
+    tiered 100-TB plan: broadcast marginals under LM_BROADCAST_MAX,
+    sharded hash-joins above; ranking is block-local top-k → one
+    blocks×k final sort)."""
+    from ..stages.lm import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    out = pmi_collocations(ds, min_count=5, k=50).to_pandas()
+    out["pair_count"] = out["pair_count"].astype(np.int64)
+    out["pmi_micro"] = out["pmi_micro"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto-frontier (skyline) of users jointly maximal in activity
+    (event count), spend (cent-exact value sum) and recency (last event
+    time) — Börzsönyi et al. 2001 over per-user aggregates.  Block-local
+    skyline → one-task merge (`stages/skyline.py`); integer columns
+    end-to-end so domination comparisons are exact."""
+    from ..functions.vectors import half_away
+    from ..stages.skyline import skyline
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "ts"], blocks=8)
+
+    def agg_block(tbl: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "cents": half_away(
+                tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            "last_us": tbl["ts"].to_numpy().astype(
+                "datetime64[us]").astype(np.int64),
+        })
+        out = (pdf.groupby("user_id", as_index=False)
+               .agg(n_events=("cents", "size"), cents=("cents", "sum"),
+                    last_us=("last_us", "max")))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [np.int64(pdf["n_events"].sum())],
+            "cents": [np.int64(pdf["cents"].sum())],
+            "last_us": [np.int64(pdf["last_us"].max())],
+        })
+
+    per_user = (ds.map_batches(agg_block, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(merge_group, batch_format="pandas"))
+    out = (skyline(per_user, ["n_events", "cents", "last_us"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in ("user_id", "n_events", "cents", "last_us"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -5477,6 +5538,8 @@ QUERIES = {
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
+    "collocations": q_collocations,
+    "skyline": q_skyline,
     "balance_downsample": q_balance_downsample,
     "pagerank_exact": q_pagerank_exact,
     "kcore": q_kcore,
@@ -7036,6 +7099,57 @@ ORACLES = {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, term) AS rank
         FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank
+    """,
+    "collocations": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        bg AS (SELECT arr[i.i + 1] AS w1, arr[i.i + 2] AS w2
+               FROM toks, UNNEST(range(len(arr) - 1)) AS i(i)),
+        cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        uni AS (SELECT t.x AS tok, count(*) AS cu
+                FROM toks, UNNEST(arr) AS t(x) GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        u AS (SELECT CAST(sum(cu) AS DOUBLE) AS u FROM uni),
+        term AS (
+            SELECT c.w1, c.w2, c.c AS pair_count,
+                   CAST(round(ln(CAST(c.c AS DOUBLE)) * 1e6) AS BIGINT)
+                   - CAST(round(ln(n.n) * 1e6) AS BIGINT)
+                   - (CAST(round(ln(CAST(u1.cu AS DOUBLE)) * 1e6)
+                           AS BIGINT)
+                      - CAST(round(ln(u.u) * 1e6) AS BIGINT))
+                   - (CAST(round(ln(CAST(u2.cu AS DOUBLE)) * 1e6)
+                           AS BIGINT)
+                      - CAST(round(ln(u.u) * 1e6) AS BIGINT))
+                       AS pmi_micro
+            FROM cnt c
+            JOIN uni u1 ON u1.tok = c.w1
+            JOIN uni u2 ON u2.tok = c.w2
+            CROSS JOIN n CROSS JOIN u
+            WHERE c.c >= 5)
+        SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+               pmi_micro
+        FROM term ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    """,
+    "skyline": """
+        WITH agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY user_id)
+        SELECT user_id, n_events, cents, last_us
+        FROM agg p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM agg q
+            WHERE q.n_events >= p.n_events AND q.cents >= p.cents
+              AND q.last_us >= p.last_us
+              AND (q.n_events > p.n_events OR q.cents > p.cents
+                   OR q.last_us > p.last_us))
+        ORDER BY user_id
     """,
     "perplexity": r"""
         WITH toks AS (

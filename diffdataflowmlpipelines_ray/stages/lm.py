@@ -56,7 +56,8 @@ from ..functions.tokenize import tokenize_column
 from ..functions.vectors import half_away
 
 __all__ = ["doc_bigram_counts", "bigram_logprob_scores",
-           "doc_token_counts", "naive_bayes_predict"]
+           "doc_token_counts", "naive_bayes_predict",
+           "pmi_collocations"]
 
 
 def _micronats(p: np.ndarray) -> np.ndarray:
@@ -404,3 +405,123 @@ def naive_bayes_predict(docs, label_col: str = "lang",
                          "pred": pa.array(best.tolist(), type=pa.string())})
 
     return scored.map_batches(argmax, batch_format="pyarrow")
+
+
+def pmi_collocations(docs, min_count: int = 5, k: int = 50,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = 16,
+                     broadcast_max: int = LM_BROADCAST_MAX):
+    """Top-``k`` bigram collocations by pointwise mutual information.
+
+    The classic corpus-analysis op (Church & Hanks 1990): rank adjacent
+    word pairs by ``PMI = ln(p(w1,w2) / (p(w1) p(w2)))`` with the joint
+    from the bigram distribution and the marginals from the unigram
+    distribution, keeping pairs seen at least ``min_count`` times (raw
+    PMI without a count floor degenerates to hapax pairs).
+
+    Returns a Dataset of ``(w1, w2, pair_count, pmi_micro)`` — the top-k
+    by ``(pmi_micro DESC, w1, w2)``; the tie-break is total because
+    (w1, w2) is unique in the bigram table, so the result set is exact
+    and partition-invariant.
+
+    Exactness: each ln() is individually rounded half-away to 6 dp and
+    carried as int64 micro-nats (the :func:`bigram_logprob_scores`
+    contract), so ``pmi_micro = mn(c12) - mn(N) - (mn(c1) - mn(U))
+    - (mn(c2) - mn(U))`` is exact integer arithmetic bit-equal to the
+    DuckDB twin applying the same per-term ROUND(LN(x)*1e6).
+
+    100-TB plan: the only text-bounded pass is the block-local bigram /
+    unigram pre-aggregation inside :func:`doc_bigram_counts` /
+    :func:`doc_token_counts`; the global count tables are
+    vocabulary-bounded groupby-sums.  Attaching marginals is tiered on
+    the measured vocab size (the ``LM_BROADCAST_MAX`` contract): under
+    it the unigram table is one ``ray.put`` and each surviving bigram
+    scores in its own block; above it two partitioned hash-joins keep
+    the marginal table sharded.  Ranking is block-local top-k → one
+    ``blocks × k``-row final sort, never a global sort of the pair
+    table.
+    """
+    import ray
+
+    from .relational import hash_join
+
+    cnt = (doc_bigram_counts(docs, id_col, text_col)
+           .groupby(["w1", "w2"]).sum("k")
+           .map_batches(lambda t: t.rename_columns(["w1", "w2", "c"]),
+                        batch_format="pyarrow").materialize())
+    n_total = int(cnt.sum("c") or 0)
+    uni = (doc_token_counts(docs, id_col, text_col)
+           .groupby("tok").sum("k")
+           .map_batches(lambda t: t.rename_columns(["tok", "cu"]),
+                        batch_format="pyarrow").materialize())
+    u_total = int(uni.sum("cu") or 0)
+
+    _empty = pa.table({"w1": pa.array([], type=pa.string()),
+                       "w2": pa.array([], type=pa.string()),
+                       "pair_count": pa.array([], type=pa.int64()),
+                       "pmi_micro": pa.array([], type=pa.int64()),
+                       "__neg": pa.array([], type=pa.int64())})
+    if n_total == 0:
+        return docs.map_batches(lambda t: _empty.select(
+            ["w1", "w2", "pair_count", "pmi_micro"]),
+            batch_format="pyarrow").limit(0)
+
+    mn_n = int(half_away(np.array([np.log(float(n_total)) * 1e6]))[0])
+    mn_u = int(half_away(np.array([np.log(float(u_total)) * 1e6]))[0])
+
+    def survivors(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.greater_equal(tbl["c"], min_count))
+
+    surv = cnt.map_batches(survivors, batch_format="pyarrow")
+
+    def _finish(pdf: pd.DataFrame) -> pa.Table:
+        """(w1, w2, c, c1, c2) pandas → block-local top-k pmi table."""
+        if not len(pdf):
+            return _empty
+        mn_c = half_away(np.log(pdf["c"].to_numpy(
+            dtype=np.float64)) * 1e6).astype(np.int64)
+        mn_1 = half_away(np.log(pdf["c1"].to_numpy(
+            dtype=np.float64)) * 1e6).astype(np.int64)
+        mn_2 = half_away(np.log(pdf["c2"].to_numpy(
+            dtype=np.float64)) * 1e6).astype(np.int64)
+        pmi = mn_c - mn_n - (mn_1 - mn_u) - (mn_2 - mn_u)
+        out = pd.DataFrame({"w1": pdf["w1"].to_numpy(),
+                            "w2": pdf["w2"].to_numpy(),
+                            "pair_count": pdf["c"].to_numpy(
+                                dtype=np.int64),
+                            "pmi_micro": pmi,
+                            "__neg": -pmi})
+        out = out.sort_values(["__neg", "w1", "w2"]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            _empty.schema)
+
+    if uni.count() <= broadcast_max:
+        uni_df = pa.concat_tables(list(uni.iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+        uni_ref = ray.put(uni_df)
+
+        def score_block(tbl: pa.Table) -> pa.Table:
+            u = ray.get(uni_ref)
+            pdf = tbl.to_pandas()
+            m = (pdf.merge(u.rename(columns={"tok": "w1", "cu": "c1"}),
+                           on="w1")
+                 .merge(u.rename(columns={"tok": "w2", "cu": "c2"}),
+                        on="w2"))
+            return _finish(m)
+
+        ranked = surv.map_batches(score_block, batch_format="pyarrow")
+    else:
+        u1 = uni.map_batches(lambda t: t.rename_columns(["t1", "c1"]),
+                             batch_format="pyarrow")
+        u2 = uni.map_batches(lambda t: t.rename_columns(["t2", "c2"]),
+                             batch_format="pyarrow")
+        j = hash_join(hash_join(surv, u1, ["w1"], ["t1"],
+                                buckets=buckets),
+                      u2, ["w2"], ["t2"], buckets=buckets)
+        ranked = j.map_batches(lambda t: _finish(t.to_pandas()),
+                               batch_format="pyarrow")
+
+    return (ranked.sort(["__neg", "w1", "w2"]).limit(k)
+            .map_batches(lambda t: t.select(
+                ["w1", "w2", "pair_count", "pmi_micro"]),
+                batch_format="pyarrow"))

@@ -110,3 +110,65 @@ def test_naive_bayes_tie_breaks_to_smallest_class(ray_session):
     got = naive_bayes_predict(ray.data.from_pandas(docs)).to_pandas()
     assert set(got["pred"]) == {"a"}
     assert _ref_naive_bayes(docs) == {i: "a" for i in range(3)}
+
+
+# ---------------------------------------------------------------- PMI
+
+def _ref_pmi(docs: pd.DataFrame, min_count: int, k: int) -> pd.DataFrame:
+    """Counter-arithmetic PMI reference, same micro-nat rounding."""
+    bg, uni = Counter(), Counter()
+    for t in docs["text"]:
+        toks = t.split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n, u = sum(bg.values()), sum(uni.values())
+    rows = []
+    for (w1, w2), c in bg.items():
+        if c < min_count:
+            continue
+        pmi = (_half_away(math.log(c) * 1e6)
+               - _half_away(math.log(n) * 1e6)
+               - (_half_away(math.log(uni[w1]) * 1e6)
+                  - _half_away(math.log(u) * 1e6))
+               - (_half_away(math.log(uni[w2]) * 1e6)
+                  - _half_away(math.log(u) * 1e6)))
+        rows.append((w1, w2, c, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return pd.DataFrame(rows[:k], columns=["w1", "w2", "pair_count",
+                                           "pmi_micro"])
+
+
+_PMI_DOCS = pd.DataFrame({
+    "doc_id": range(8),
+    "text": ["new york new york city", "new york is big",
+             "san francisco and new york", "san francisco fog",
+             "the cat sat on the mat", "the dog sat on the rug",
+             "a b a b a b a b", "new york san francisco"],
+})
+
+
+@pytest.mark.parametrize("blocks,bmax", [(1, 500_000), (7, 500_000),
+                                         (7, 0)])
+def test_pmi_collocations_match_reference(ray_session, blocks, bmax):
+    """Both tiers (broadcast / sharded-join), several partitionings."""
+    from diffdataflowmlpipelines_ray.stages.lm import pmi_collocations
+
+    ds = ray.data.from_pandas(_PMI_DOCS).repartition(blocks)
+    got = pmi_collocations(ds, min_count=2, k=5,
+                           broadcast_max=bmax).to_pandas()
+    want = _ref_pmi(_PMI_DOCS, min_count=2, k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"pair_count": "int64",
+                                           "pmi_micro": "int64"}),
+        want.astype({"pair_count": "int64", "pmi_micro": "int64"}))
+
+
+def test_pmi_min_count_filters_hapax(ray_session):
+    from diffdataflowmlpipelines_ray.stages.lm import pmi_collocations
+
+    ds = ray.data.from_pandas(_PMI_DOCS)
+    got = pmi_collocations(ds, min_count=3, k=50).to_pandas()
+    assert (got["pair_count"] >= 3).all()
+    # ("a","b") occurs 4x — must survive; hapax pairs must not
+    assert (("a", "b") in set(zip(got["w1"], got["w2"])))
+    assert (("is", "big") not in set(zip(got["w1"], got["w2"])))
