@@ -5446,6 +5446,74 @@ def q_skyline(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_knn_classify(sf_dir: str) -> pd.DataFrame:
+    """k-NN classification over the embeddings table: each probe vector's
+    label predicted by majority vote of its 7 cosine-nearest neighbours
+    (ties → smaller label), neighbours from the gate-proven
+    `brute_force_topk` kernel.  Neighbour labels are attached by a
+    PARTITIONED hash-join (the id→label map is corpus-sized and is never
+    broadcast or driver-held); only the O(probes × k) vote table reaches
+    the driver."""
+    from ..stages.relational import hash_join
+    from ..stages.similarity import brute_force_topk
+
+    tbl = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    nb = brute_force_topk(ds, mat[:20], k=7, query_ids=ids[:20])
+    lab = _read(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        lambda t: t.rename_columns(["nid", "label"]),
+        batch_format="pyarrow")
+    j = hash_join(rd.from_arrow(nb.select(["query_id", "vec_id"])),
+                  lab, ["vec_id"], ["nid"], buckets=8).to_pandas()
+    votes = (j.groupby(["query_id", "label"], as_index=False).size()
+             .sort_values(["query_id", "size", "label"],
+                          ascending=[True, False, True]))
+    out = (votes.groupby("query_id", sort=True).head(1)
+           [["query_id", "label"]]
+           .rename(columns={"label": "pred"}).reset_index(drop=True))
+    return out.astype(np.int64)
+
+
+_BFS_MAX_HOPS = 64
+
+
+def q_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """Single-source BFS hop counts from doc 0 over the deterministic
+    tree-plus-triangles doc graph (the `kcore` graph — genuinely
+    multi-wave: ~2·log₂(n) levels).  Size-tiered like the other graph
+    ops: numpy driver BFS under `BFS_DRIVER_MAX_EDGES`, else the
+    `bfs_hops_ds` frontier-join plan (pytest-pinned equal).  The SQL twin
+    is a genuinely recursive DuckDB CTE with the same `max_hops` cap."""
+    from ..stages.iterate import (BFS_DRIVER_MAX_EDGES, bfs_hops,
+                                  bfs_hops_ds)
+
+    ds = _read(sf_dir, "documents", ["doc_id"], blocks=8)
+    hi = ds.max("doc_id")
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        tu = ids[ids >= 1] // 2                      # binary-tree edges
+        tv = ids[ids >= 1]
+        m = ids[(ids % 30 == 0) & (ids + 20 <= hi)]  # disjoint triangles
+        u = np.concatenate([tu, m, m, m + 10])
+        v = np.concatenate([tv, m + 10, m + 20, m + 20])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    edges = (ds.map_batches(mk_edges, batch_format="pyarrow")
+             .materialize())
+    if edges.count() <= BFS_DRIVER_MAX_EDGES:
+        res = bfs_hops(edges, source=0, max_hops=_BFS_MAX_HOPS)
+        out = res.to_pandas()
+    else:
+        out = bfs_hops_ds(edges, source=0,
+                          max_hops=_BFS_MAX_HOPS).to_pandas()
+    out = (out.rename(columns={"id": "doc_id"})
+           .sort_values("doc_id").reset_index(drop=True))
+    return out.astype(np.int64)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -5540,6 +5608,8 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "collocations": q_collocations,
     "skyline": q_skyline,
+    "knn_classify": q_knn_classify,
+    "bfs_hops": q_bfs_hops,
     "balance_downsample": q_balance_downsample,
     "pagerank_exact": q_pagerank_exact,
     "kcore": q_kcore,
@@ -7099,6 +7169,60 @@ ORACLES = {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, term) AS rank
         FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank
+    """,
+    "knn_classify": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 20)),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[],
+                                          e.embedding::DOUBLE[]) AS cos
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        knn AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id)
+                           AS rn
+                FROM scored) WHERE rn <= 7),
+        votes AS (
+            SELECT k.query_id, e.label, count(*) AS c
+            FROM knn k JOIN embeddings e USING (vec_id)
+            GROUP BY 1, 2)
+        SELECT query_id, CAST(label AS BIGINT) AS pred
+        FROM (SELECT query_id, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, label) AS rn
+              FROM votes)
+        WHERE rn = 1 ORDER BY query_id
+    """,
+    "bfs_hops": """
+        WITH RECURSIVE e AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT doc_id // 2 AS u, doc_id AS v FROM documents
+                WHERE doc_id >= 1
+                UNION ALL SELECT doc_id, doc_id + 10 FROM documents
+                WHERE doc_id % 30 = 0
+                  AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents)
+                UNION ALL SELECT doc_id, doc_id + 20 FROM documents
+                WHERE doc_id % 30 = 0
+                  AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents)
+                UNION ALL SELECT doc_id + 10, doc_id + 20 FROM documents
+                WHERE doc_id % 30 = 0
+                  AND doc_id + 20 <= (SELECT MAX(doc_id) FROM documents))
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        walk(id, d) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT sym.v, walk.d + 1
+            FROM walk JOIN sym ON sym.u = walk.id
+            WHERE walk.d < 64)
+        SELECT id AS doc_id, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY id ORDER BY doc_id
     """,
     "collocations": r"""
         WITH toks AS (

@@ -22,7 +22,8 @@ import pyarrow.compute as pc
 __all__ = ["triangle_count", "connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds", "pagerank_int", "pagerank_int_ds",
            "PR_INT_DRIVER_MAX_EDGES", "kcore", "kcore_ds",
-           "KCORE_DRIVER_MAX_EDGES"]
+           "KCORE_DRIVER_MAX_EDGES", "bfs_hops", "bfs_hops_ds",
+           "BFS_DRIVER_MAX_EDGES"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -920,3 +921,109 @@ def kcore_ds(edges, k: int = 2, buckets: int = 32, max_iters: int = 64):
                 {"id": pa.array([], type=pa.int64()),
                  "core_deg": pa.array([], type=pa.int64())}))
     raise RuntimeError(f"kcore_ds did not converge in {max_iters} rounds")
+
+
+#: Driver-tier ceiling for BFS — same contract as
+#: ``KCORE_DRIVER_MAX_EDGES`` / ``PR_INT_DRIVER_MAX_EDGES``: under it the
+#: whole (narrow, two-int64-column) edge list fits one process and the
+#: level loop is pure numpy; above it nothing edge-shaped touches the
+#: driver and ``bfs_hops_ds`` runs the same frontier algebra as
+#: partitioned exchanges.
+BFS_DRIVER_MAX_EDGES = 2_000_000
+
+
+def bfs_hops(edges, source: int, max_hops: int = 64) -> pa.Table:
+    """Single-source BFS hop counts (driver numpy tier).
+
+    ``edges``: pa.Table with int64 columns ``u, v`` (undirected; direction
+    and multi-edges are irrelevant to hop counts).  Returns ``(id, hops)``
+    for every node within ``max_hops`` of ``source`` — unreachable nodes
+    are absent by contract, and ``max_hops`` is part of the operator's
+    semantics (the SQL twin carries the same cap).  O(E) numpy work per
+    level, levels = eccentricity of the source.
+    """
+    if isinstance(edges, pa.Table):
+        tbl = edges
+    else:
+        tbl = pa.concat_tables(list(edges.iter_batches(
+            batch_format="pyarrow")))
+    u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    su = np.concatenate([u, v])
+    sv = np.concatenate([v, u])
+    visited = np.array([source], dtype=np.int64)
+    out_id = [np.array([source], dtype=np.int64)]
+    out_d = [np.zeros(1, dtype=np.int64)]
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = np.unique(sv[np.isin(su, frontier)])
+        nxt = nxt[~np.isin(nxt, visited)]
+        if not len(nxt):
+            break
+        visited = np.concatenate([visited, nxt])
+        out_id.append(nxt)
+        out_d.append(np.full(len(nxt), d, dtype=np.int64))
+        frontier = nxt
+    ids = np.concatenate(out_id)
+    ds_ = np.concatenate(out_d)
+    order = np.argsort(ids, kind="stable")
+    return pa.table({"id": pa.array(ids[order]),
+                     "hops": pa.array(ds_[order])})
+
+
+def bfs_hops_ds(edges, source: int, max_hops: int = 64,
+                buckets: int = 16):
+    """Distributed BFS: frontier-expansion rounds as partitioned joins.
+
+    Per level: ONE partitioned hash-join of the (narrow) frontier against
+    the symmetrized edge list, a block-local + one-exchange distinct of
+    the neighbor candidates, and ONE partitioned anti-join against the
+    settled distance table — nothing broadcast, nothing driver-held; one
+    scalar (new-frontier size) reaches the driver per level.  Level-
+    synchronous BFS is exact for hop counts because every node is first
+    reached at its true distance.  Same result as :func:`bfs_hops`
+    (pytest-pinned equal).
+    """
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        uu = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([uu, vv])),
+                         "v": pa.array(np.concatenate([vv, uu]))})
+
+    E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    seed = pa.table({"id": pa.array([source], type=pa.int64()),
+                     "hops": pa.array([0], type=pa.int64())})
+    dist = rd.from_arrow(seed).materialize()
+    frontier = dist
+
+    def block_distinct(tbl: pa.Table) -> pa.Table:
+        ids = np.unique(tbl["v"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        return pa.table({"id": pa.array(ids)})
+
+    for d in range(1, max_hops + 1):
+        cand = hash_join(
+            frontier.map_batches(
+                lambda t: t.select(["id"]).rename_columns(["fid"]),
+                batch_format="pyarrow"),
+            E, ["fid"], ["u"], buckets=buckets)
+        nbr = (cand.map_batches(block_distinct, batch_format="pyarrow")
+               .groupby("id")
+               .map_groups(lambda p: p.head(1), batch_format="pandas"))
+        new = hash_join(nbr, dist.map_batches(
+            lambda t: t.select(["id"]), batch_format="pyarrow"),
+            ["id"], ["id"], buckets=buckets, how="anti")
+        new = new.map_batches(
+            lambda t, _d=d: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, _d,
+                                         dtype=np.int64))),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            return dist
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist

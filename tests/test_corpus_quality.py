@@ -203,3 +203,65 @@ def test_cap_per_group_small_groups_untouched(ray_session):
     got = cap_per_group(ray.data.from_pandas(docs), "source", "doc_id",
                         n=10).to_pandas()
     assert len(got) == 4                       # cap above group size: no-op
+
+
+# -------------------------------------------------------------------- BFS
+def _bfs_ref(E: pd.DataFrame, src: int, max_hops: int) -> dict:
+    """Dict-and-set BFS reference."""
+    adj = {}
+    for a, b in zip(E["u"], E["v"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    dist = {src: 0}
+    frontier = [src]
+    for d in range(1, max_hops + 1):
+        nxt = {n for f in frontier for n in adj.get(f, ())
+               if n not in dist}
+        if not nxt:
+            break
+        for n in nxt:
+            dist[n] = d
+        frontier = sorted(nxt)
+    return dist
+
+
+def test_bfs_driver_equals_distributed_with_cycles(ray_session):
+    from diffdataflowmlpipelines_ray.stages.iterate import (bfs_hops,
+                                                            bfs_hops_ds)
+
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 60, size=120).astype(np.int64)
+    v = rng.integers(0, 60, size=120).astype(np.int64)
+    keep = u != v
+    # an island unreachable from 0 must be absent from the result
+    iu = np.array([900, 901], dtype=np.int64)
+    iv = np.array([901, 902], dtype=np.int64)
+    E = (pd.DataFrame({"u": np.concatenate([u[keep], iu]),
+                       "v": np.concatenate([v[keep], iv])})
+         .drop_duplicates().reset_index(drop=True))
+    tbl = pa.Table.from_pandas(E, preserve_index=False)
+
+    drv = bfs_hops(tbl, source=0).to_pandas()
+    dist = (bfs_hops_ds(ray.data.from_arrow(tbl).repartition(4), source=0)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        drv.astype(np.int64), dist.astype(np.int64))
+    want = _bfs_ref(E, 0, 64)
+    got = dict(zip(drv["id"], drv["hops"]))
+    assert got == want
+    assert 900 not in got and 902 not in got
+
+
+def test_bfs_line_graph_and_hop_cap(ray_session):
+    from diffdataflowmlpipelines_ray.stages.iterate import (bfs_hops,
+                                                            bfs_hops_ds)
+
+    E = pd.DataFrame({"u": np.arange(0, 9, dtype=np.int64),
+                      "v": np.arange(1, 10, dtype=np.int64)})
+    tbl = pa.Table.from_pandas(E, preserve_index=False)
+    drv = bfs_hops(tbl, source=0, max_hops=4).to_pandas()
+    assert dict(zip(drv["id"], drv["hops"])) == {i: i for i in range(5)}
+    dist = (bfs_hops_ds(ray.data.from_arrow(tbl).repartition(3),
+                        source=0, max_hops=4).to_pandas())
+    assert (dist.sort_values("id").reset_index(drop=True)
+            .equals(drv.astype(dist.dtypes.to_dict())))
