@@ -1367,6 +1367,51 @@ def q_late_routing(sf_dir: str) -> pd.DataFrame:
         "event_id").reset_index(drop=True)
 
 
+def q_late_window_split(sf_dir: str) -> pd.DataFrame:
+    """OPERATOR-level late side output (``KeyedAggregation(late_output=
+    True)``): the WINDOW-AWARE refinement of ``route_late`` — a row behind
+    the watermark is routed to the ``<op>__late`` sink only when even its
+    NEWEST containing tumbling window is already finalized; a
+    behind-the-watermark row whose window is still open stays on time and
+    feeds the aggregation.  Same arrival schedule as ``late_routing``
+    (ntile-4 epochs, every 50th event one epoch late), so the two queries'
+    oracles differ in exactly the window-end condition.  Returns the routed
+    rows stamped with their arrival epoch (read per-epoch from the
+    exactly-once side sink's manifests)."""
+    pdf = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"]
+                      ).sort_by("event_id").to_pandas()
+    k, n = 4, len(pdf)
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]  # ntile
+    ep0 = np.repeat(np.arange(k), sizes)
+    ep = np.where(pdf["event_id"].to_numpy() % 50 == 0,
+                  np.minimum(ep0 + 1, k - 1), ep0)
+
+    sess = StreamSession(_tmp("latew"), num_shards=2)
+    sess.add(KeyedAggregation(
+        name="win", input="events", key_cols=["user_id"], value_col="ts",
+        ts_col="ts", aggs=("count",), window=WindowSpec.tumbling(3600.0),
+        late_output=True))
+    try:
+        for e in range(k):
+            part = pa.Table.from_pandas(pdf[ep == e], preserve_index=False)
+            wm = float(np.max(part["ts"].to_numpy()
+                              .astype("datetime64[us]").astype(np.int64))
+                       / 1e6)
+            sess.process_epoch(e, {"events": part},
+                               watermark=max(wm, sess.watermark))
+        parts = []
+        for e in range(k):
+            t = sess.sinks["win__late"].read_committed_table(epochs=[e])
+            if t.num_rows:
+                parts.append(t.to_pandas().assign(late_epoch=e))
+    finally:
+        sess.store.shutdown()
+    late = pd.concat(parts, ignore_index=True)
+    late["late_epoch"] = late["late_epoch"].astype(np.int64)
+    return late[["event_id", "user_id", "late_epoch"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
 def q_retraction_groupby(sf_dir: str) -> pd.DataFrame:
     tbl = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
     ones = pa.array(np.ones(tbl.num_rows, dtype=np.int64))
@@ -5554,6 +5599,7 @@ QUERIES = {
     "absence_detect": q_absence_detect,
     "kleene_pattern": q_kleene_pattern,
     "late_routing": q_late_routing,
+    "late_window_split": q_late_window_split,
     "stream_outer_join": q_stream_outer_join,
     "connected_components": q_connected_components,
     "incremental_components": q_incremental_components,
@@ -6199,6 +6245,28 @@ ORACLES = {
             FROM ev2)
         SELECT event_id, user_id, ep::BIGINT AS late_epoch
         FROM w WHERE wm_prev IS NOT NULL AND tsf <= wm_prev
+    """,
+    "late_window_split": """
+        -- operator-level late_output: same arrival schedule as
+        -- late_routing, but a row is routed late iff its tumbling
+        -- window's END (not its own ts) is <= the prior-epoch watermark
+        WITH ev AS (
+            SELECT event_id, user_id, epoch(ts) AS tsf,
+                   ntile(4) OVER (ORDER BY event_id) - 1 AS ep0
+            FROM events),
+        ev2 AS (
+            SELECT event_id, user_id, tsf,
+                   CASE WHEN event_id % 50 = 0
+                        THEN LEAST(ep0 + 1, 3) ELSE ep0 END AS ep
+            FROM ev),
+        w AS (
+            SELECT event_id, user_id, tsf, ep,
+                   max(tsf) OVER (ORDER BY ep RANGE BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS wm_prev
+            FROM ev2)
+        SELECT event_id, user_id, ep::BIGINT AS late_epoch
+        FROM w WHERE wm_prev IS NOT NULL
+          AND floor(tsf / 3600) * 3600 + 3600 <= wm_prev
     """,
     "absence_detect": """
         SELECT a.user_id, ROUND(epoch(a.ts), 6) AS ts

@@ -234,6 +234,15 @@ class KeyedAggregation:
     #: windows), so state/traffic grow by the overlap factor — the
     #: documented price of per-epoch speculative results.
     early_firing: bool = False
+    #: route late rows to a ``<name>__late`` side sink instead of silently
+    #: dropping them (Flink's side-output pattern): a row whose NEWEST
+    #: containing window is already finalized (end + allowed_lateness ≤
+    #: watermark) is written — with its full original columns — into its
+    #: own exactly-once sink, one commit per epoch, so a downstream
+    #: backfill/repair job can reprocess exactly what the windows missed.
+    #: Table epochs split on the driver; Dataset epochs split per block
+    #: with worker-written parts (only manifest entries reach the driver).
+    late_output: bool = False
 
     def __post_init__(self):
         bad = set(self.aggs) - set(_AGG_FIELDS)
@@ -253,6 +262,14 @@ class KeyedAggregation:
             if self.emit_changelog:
                 raise ValueError("early_firing IS the windowed changelog; "
                                  "emit_changelog applies to unwindowed aggs")
+        if self.late_output:
+            if self.window is None or self.window.kind not in (
+                    "tumbling", "sliding"):
+                raise ValueError("late_output requires a tumbling or "
+                                 "sliding window")
+            if self.early_firing or self.emit_changelog:
+                raise ValueError("late_output is not supported together "
+                                 "with early_firing / emit_changelog")
         if self.threshold_fn is not None:
             if not self.emit_changelog or self.window is not None:
                 raise ValueError("threshold_fn requires emit_changelog=True "
@@ -264,6 +281,27 @@ class KeyedAggregation:
                 raise ValueError("threshold_fn(0) must be 0 (absent keys "
                                  "have multiplicity 0)")
         self._track_extremes = bool({"min", "max"} & set(self.aggs))
+
+    # ------------------------------------------------------------ late split
+    def split_late(self, tbl: pa.Table,
+                   finalized_before: float) -> tuple[pa.Table, pa.Table]:
+        """Row-level (on_time, late) split for ``late_output`` routing.
+
+        A row is LATE when even its NEWEST containing window is already
+        finalized — the same rule ``partial_batch`` drops by, applied at
+        row granularity so the late rows keep their full original columns
+        for the side sink.  A sliding-window row that still lands in ≥1
+        open window is ON TIME here; ``partial_batch`` then drops it from
+        its closed windows only (unchanged semantics)."""
+        ts = _ts_to_float(tbl.select([self.ts_col]).to_pandas()[self.ts_col])
+        w = self.window
+        if w.kind == "tumbling":
+            newest_end = np.floor(ts / w.size) * w.size + w.size
+        else:  # sliding
+            newest_end = np.floor(ts / w.slide) * w.slide + w.size
+        keep = newest_end + w.allowed_lateness > finalized_before
+        mask = pa.array(keep)
+        return tbl.filter(mask), tbl.filter(pc.invert(mask))
 
     # --------------------------------------------------------------- partials
     def partial_batch(self, tbl: pa.Table, finalized_before: float) -> tuple[dict, int]:
@@ -1478,8 +1516,8 @@ class StreamSession:
         #: sink manifest committed for that epoch — the audit trail from an
         #: output partition back to the input slice that produced it)
         self.current_lineage: dict | None = None
-        self.metrics = {"late_dropped": 0, "epochs": 0, "input_rows": 0,
-                        "emitted_rows": 0}
+        self.metrics = {"late_dropped": 0, "late_routed": 0, "epochs": 0,
+                        "input_rows": 0, "emitted_rows": 0}
 
     def _meta(self, **kw) -> dict:
         if self.current_lineage is not None:
@@ -1514,6 +1552,9 @@ class StreamSession:
             if getattr(op, "early_firing", False):
                 self.sinks[f"{op.name}__early"] = ExactlyOnceParquetSink(
                     self.root / f"{op.name}__early", fsync=self.fsync)
+            if getattr(op, "late_output", False):
+                self.sinks[f"{op.name}__late"] = ExactlyOnceParquetSink(
+                    self.root / f"{op.name}__late", fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
                              IncrementalPageRank, StreamNearDup,
@@ -1631,17 +1672,40 @@ class StreamSession:
         num_shards = self.store.num_shards
         shards = self.store.shards
         ts_col = getattr(op, "ts_col", None)
+        from .sink import write_epoch_part
         from .state_store import shard_of
 
+        # late_output: each block splits off its late rows and writes them
+        # as a worker-side part of the <name>__late sink — only the tiny
+        # manifest entries ride back in the summary row; on REPLAY of an
+        # already-committed epoch nothing is rewritten (strays without a
+        # manifest entry are invisible anyway)
+        late_root: str | None = None
+        late_skip = False
+        if getattr(op, "late_output", False):
+            lsink = self.sinks[f"{name}__late"]
+            late_root = str(lsink.root)
+            late_skip = lsink.is_committed(epoch)
+        do_fsync = self.fsync
+
         def per_block(tbl: pa.Table) -> pa.Table:
-            part, late = op.partial_batch(tbl, finalized_before)
+            import uuid
+
+            entries: list[dict] = []
             max_ts = -math.inf
             if ts_col and ts_col in tbl.column_names and tbl.num_rows:
                 ts = _ts_to_float(tbl.select([ts_col]).to_pandas()[ts_col])
                 if ts.size:
                     max_ts = float(ts.max())
+            if late_root is not None:
+                tbl, late_tbl = op.split_late(tbl, finalized_before)
+                if late_tbl.num_rows and not late_skip:
+                    entries.append(write_epoch_part(
+                        late_root, epoch, late_tbl,
+                        tag=f"b{uuid.uuid4().hex[:12]}", fsync=do_fsync))
+            part, late = op.partial_batch(tbl, finalized_before)
             sids, keys, accs = [-1], [b""], [pickle.dumps(
-                (late, max_ts), protocol=pickle.HIGHEST_PROTOCOL)]
+                (late, max_ts, entries), protocol=pickle.HIGHEST_PROTOCOL)]
             for k, acc in part.items():
                 sids.append(shard_of(k, num_shards))
                 keys.append(k)
@@ -1656,12 +1720,15 @@ class StreamSession:
             sid = int(pdf["__shard"].iloc[0])
             if sid == -1:
                 lates, max_ts = 0, -math.inf
+                entries: list[dict] = []
                 for blob in pdf["__acc"]:
-                    late, mt = pickle.loads(blob)
+                    late, mt, ents = pickle.loads(blob)
                     lates += late
                     max_ts = max(max_ts, mt)
+                    entries.extend(ents)
                 return pd.DataFrame({"late": [lates], "max_ts": [max_ts],
-                                     "keys": [0]})
+                                     "keys": [0],
+                                     "entries": [pickle.dumps(entries)]})
             pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
             merged: dict[bytes, Any] = {}
             for k, blob in zip(pdf["__key"], pdf["__acc"]):
@@ -1674,7 +1741,8 @@ class StreamSession:
                                    protocol=pickle.HIGHEST_PROTOCOL)
             n = ray.get(shards[sid].apply_delta.remote(name, epoch, payload))
             return pd.DataFrame({"late": [0], "max_ts": [-math.inf],
-                                 "keys": [int(n)]})
+                                 "keys": [int(n)],
+                                 "entries": [pickle.dumps([])]})
 
         import ray
 
@@ -1684,10 +1752,18 @@ class StreamSession:
             .map_groups(apply_group, batch_format="pandas")
             .take_all()
         )
+        late_entries: list[dict] = []
         for row in summaries:
             self.metrics["late_dropped"] += int(row["late"])
             self._max_event_time = max(self._max_event_time,
                                        float(row["max_ts"]))
+            if row.get("entries") is not None:
+                late_entries.extend(pickle.loads(row["entries"]))
+        if late_root is not None and not late_skip:
+            self.sinks[f"{name}__late"].commit_files(
+                epoch, late_entries, meta=self._meta(kind="late_rows"))
+            self.metrics["late_routed"] += sum(
+                e["rows"] for e in late_entries)
 
     def _changelog_distributed(self, op, name: str, epoch: int, data,
                                shard_method: str, to_table, kind: str,
@@ -2618,6 +2694,15 @@ class StreamSession:
                                 epochs=[epoch])
                         self.metrics["emitted_rows"] += n
                 elif isinstance(data, pa.Table):
+                    if op.late_output:
+                        data, late_tbl = op.split_late(data, self.watermark)
+                        lsink = self.sinks[f"{name}__late"]
+                        if not lsink.is_committed(epoch):
+                            self.metrics["late_routed"] += late_tbl.num_rows
+                        lsink.commit_tables(
+                            epoch, [late_tbl],
+                            meta=self._meta(kind="late_rows"))
+                        emitted[f"{name}__late"] = late_tbl
                     merged = self._merged_partials(op, data, self.watermark)
                     self.store.apply_deltas(name, epoch, merged,
                                             wait=not self.pipelined)

@@ -2830,6 +2830,130 @@ class TestRouteLate:
         assert n1 == n2 == 1
 
 
+class TestOpLateOutput:
+    """Operator-level ``late_output=True``: the WINDOW-AWARE side output.
+
+    Unlike ``route_late`` (which condemns every row with ts ≤ watermark),
+    the op splits at window granularity — a row whose newest containing
+    window is still open is ON TIME even when its ts is behind the
+    watermark."""
+
+    def _sess(self, root, window=None):
+        sess = StreamSession(root, num_shards=2)
+        sess.add(KeyedAggregation(
+            name="win", input="ev", key_cols=["k"], value_col="v",
+            ts_col="ts", aggs=("count",),
+            window=window or WindowSpec.tumbling(10.0),
+            late_output=True))
+        return sess
+
+    @staticmethod
+    def _ev(rows):  # (k, ts, v)
+        k, ts, v = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "v": pa.array(v, type=pa.float64())})
+
+    def test_window_aware_split_table(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "ol1")
+        sess.process_epoch(0, {"ev": self._ev([(1, 5.0, 1.0),
+                                               (1, 22.0, 1.0)])},
+                           watermark=22.0)
+        # ts=3 → window [0,10) finalized → LATE; ts=22 is ≤ watermark but
+        # its window [20,30) is still open → ON TIME (route_late would
+        # have condemned it)
+        sess.process_epoch(1, {"ev": self._ev(
+            [(1, 3.0, 1.0), (1, 22.0, 1.0), (1, 25.0, 1.0)])},
+            watermark=40.0)
+        late = sess.sinks["win__late"].read_committed_table().to_pandas()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert late["ts"].tolist() == [3.0]
+        assert list(late.columns) == ["k", "ts", "v"]  # full original cols
+        got = {(float(r.window_start), int(r.count))
+               for r in out.itertuples()}
+        assert got == {(0.0, 1), (20.0, 3)}
+        assert sess.metrics["late_routed"] == 1
+        assert sess.metrics["late_dropped"] == 0
+
+    def test_dataset_epoch_worker_parts(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "ol2")
+        sess.process_epoch(0, {"ev": self._ev([(1, 15.0, 1.0)])},
+                           watermark=15.0)
+        ds = rd.from_arrow(self._ev(
+            [(1, 9.0, 1.0), (2, 3.0, 1.0), (2, 16.0, 1.0),
+             (2, 30.0, 1.0)])).repartition(3)
+        sess.process_epoch(1, {"ev": ds}, watermark=50.0)
+        late = sess.sinks["win__late"].read_committed_table().to_pandas()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        assert sorted(late["ts"]) == [3.0, 9.0]
+        assert sess.metrics["late_routed"] == 2
+        got = {(int(r.k), float(r.window_start), int(r.count))
+               for r in out.itertuples()}
+        assert got == {(1, 10.0, 1), (2, 10.0, 1), (2, 30.0, 1)}
+
+    def test_sliding_row_in_open_window_is_on_time(self, ray_session,
+                                                   tmp_path):
+        # sliding(20, 10): ts=14 spans [0,20) and [10,30); at wm=25 the
+        # first is closed, the second open → the row is NOT routed late;
+        # partial_batch drops only its closed-window assignment
+        sess = self._sess(tmp_path / "ol3",
+                          window=WindowSpec.sliding(20.0, 10.0))
+        sess.process_epoch(0, {"ev": self._ev([(1, 12.0, 1.0)])},
+                           watermark=25.0)
+        sess.process_epoch(1, {"ev": self._ev([(1, 14.0, 1.0),
+                                               (1, 2.0, 1.0)])},
+                           watermark=60.0)
+        late = sess.sinks["win__late"].read_committed_table().to_pandas()
+        out = sess.sinks["win"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        # ts=2: newest window [0,20) closed → routed
+        assert late["ts"].tolist() == [2.0]
+        got = {(float(r.window_start), int(r.count))
+               for r in out.itertuples()}
+        # ts=12@e0 into [0,20)+[10,30); ts=14@e1 only into open [10,30)
+        assert got == {(0.0, 1), (10.0, 2)}
+        assert sess.metrics["late_routed"] == 1
+
+    def test_replay_idempotent(self, ray_session, tmp_path):
+        root = tmp_path / "ol4"
+        sess = self._sess(root)
+        sess.process_epoch(0, {"ev": self._ev([(1, 20.0, 1.0)])},
+                           watermark=20.0)
+        ep1 = {"ev": self._ev([(1, 4.0, 1.0), (1, 25.0, 1.0)])}
+        sess.process_epoch(1, ep1)
+        n1 = sess.sinks["win__late"].read_committed_table().num_rows
+        sess.process_epoch(1, ep1)  # driver-retry replay
+        n2 = sess.sinks["win__late"].read_committed_table().num_rows
+        sess.store.shutdown()
+        assert n1 == n2 == 1
+
+    def test_replay_idempotent_dataset(self, ray_session, tmp_path):
+        sess = self._sess(tmp_path / "ol5")
+        sess.process_epoch(0, {"ev": self._ev([(1, 20.0, 1.0)])},
+                           watermark=20.0)
+        mk = lambda: rd.from_arrow(self._ev(
+            [(1, 4.0, 1.0), (1, 25.0, 1.0)])).repartition(2)
+        sess.process_epoch(1, {"ev": mk()})
+        n1 = sess.sinks["win__late"].read_committed_table().num_rows
+        sess.process_epoch(1, {"ev": mk()})  # replay: strays invisible
+        n2 = sess.sinks["win__late"].read_committed_table().num_rows
+        sess.store.shutdown()
+        assert n1 == n2 == 1
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError, match="late_output requires"):
+            KeyedAggregation(name="w", input="e", key_cols=["k"],
+                             value_col="v", ts_col="ts", aggs=("sum",),
+                             late_output=True)
+        with pytest.raises(ValueError, match="not supported together"):
+            KeyedAggregation(name="w", input="e", key_cols=["k"],
+                             value_col="v", ts_col="ts", aggs=("sum",),
+                             window=WindowSpec.tumbling(10.0),
+                             early_firing=True, late_output=True)
+
+
 class TestStreamOuterJoin:
     def _sess(self, root, **kw):
         sess = StreamSession(root, num_shards=2, **kw)
