@@ -3237,6 +3237,23 @@ def q_keywords_tfidf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 ranked retrieval (Lucene ≥0 idf variant) for four fixed
+    term queries, top-10 each.  Two map-only passes + one tiny exchange
+    (`stages/retrieval.py` has the 100-TB plan: per-block corpus-stats
+    summaries fold to O(query-terms) driver scalars, scoring is block-
+    local against one broadcast idf table, candidates pre-select per block
+    so only blocks × queries × k narrow rows shuffle).  Both twins round
+    scores to 6 dp BEFORE ranking; ties break by ascending doc_id."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, {0: ["hash", "join"],
+                          1: ["filter", "scan", "column"],
+                          2: ["merge", "sort", "order"],
+                          3: ["customer", "data"]}, k=10)
+
+
 def q_perplexity(sf_dir: str) -> pd.DataFrame:
     """Per-document cross-entropy under an add-one-smoothed bigram LM
     trained on the corpus itself — the CCNet/Gopher-style perplexity
@@ -5649,6 +5666,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "fuzzy_join": q_fuzzy_join,
     "keywords_tfidf": q_keywords_tfidf,
+    "bm25_topk": q_bm25,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7237,6 +7255,47 @@ ORACLES = {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, term) AS rank
         FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank
+    """,
+    "bm25_topk": r"""
+        -- Okapi BM25 (Lucene idf) for 4 fixed term queries, top-10 each;
+        -- scores rounded to 6 dp before ranking, ties by doc_id
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents),
+        q(query_id, term) AS (VALUES
+            (0, 'hash'), (0, 'join'),
+            (1, 'filter'), (1, 'scan'), (1, 'column'),
+            (2, 'merge'), (2, 'sort'), (2, 'order'),
+            (3, 'customer'), (3, 'data')),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+               FROM words GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT sum(dl) FROM dl)
+                         / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM words WHERE term IN (SELECT term FROM q)
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM words WHERE term IN (SELECT term FROM q)
+                  GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.dl / s.avgdl))), 6)
+                       AS score
+            FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+                 JOIN dl ON dl.doc_id = tf.doc_id, stats s
+            GROUP BY q.query_id, tf.doc_id)
+        SELECT query_id::BIGINT AS query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
     """,
     "knn_classify": """
         WITH q AS (

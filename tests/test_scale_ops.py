@@ -1585,3 +1585,72 @@ class TestFlac:
 
         y, _ = decode_flac(self._handcraft(sub, 4))
         assert np.array_equal(np.rint(y * 32768), np.array(vals))
+
+
+class TestBm25:
+    K1, B = 1.2, 0.75
+
+    def _brute(self, texts, ids, queries, k):
+        """Independent scalar BM25 reference (same Lucene idf variant)."""
+        import math
+
+        toks = [t.split() for t in texts]
+        n = len(texts)
+        avgdl = sum(len(t) for t in toks) / n
+        out = []
+        for qid, terms in sorted(queries.items()):
+            scored = []
+            for did, tk in zip(ids, toks):
+                s = 0.0
+                hit = False
+                for term in set(terms):
+                    tf = tk.count(term)
+                    if tf == 0:
+                        continue
+                    hit = True
+                    df = sum(1 for t2 in toks if term in t2)
+                    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                    s += idf * tf * (self.K1 + 1) / (
+                        tf + self.K1 * (1 - self.B + self.B * len(tk) / avgdl))
+                if hit:
+                    scored.append((round(s, 6), did))
+            scored.sort(key=lambda p: (-p[0], p[1]))
+            for r, (s, did) in enumerate(scored[:k], 1):
+                out.append((qid, did, s, r))
+        return out
+
+    def _run(self, texts, ids, queries, k, parts):
+        from diffdataflowmlpipelines_ray.stages.retrieval import bm25_topk
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts)})).repartition(parts)
+        got = bm25_topk(ds, queries, k=k)
+        return [(int(r.query_id), int(r.doc_id), float(r.score), int(r.rank))
+                for r in got.itertuples()]
+
+    def test_matches_reference_any_partitioning(self, ray_session):
+        texts = ["hash join hash", "join filter scan", "", "sort merge",
+                 "hash hash hash join", "filter filter", "scan",
+                 "merge sort order hash", "the quick brown fox"]
+        ids = [3, 1, 4, 1 + 10, 5, 9, 2, 6, 8]
+        queries = {0: ["hash", "join"], 1: ["filter", "scan"],
+                   2: ["sort", "merge", "order"]}
+        want = self._brute(texts, ids, queries, 4)
+        assert self._run(texts, ids, queries, 4, 1) == want
+        assert self._run(texts, ids, queries, 4, 5) == want
+
+    def test_no_matching_docs_empty(self, ray_session):
+        got = self._run(["aa bb", "cc"], [1, 2], {7: ["zz"]}, 3, 2)
+        assert got == []
+
+    def test_tie_break_by_doc_id(self, ray_session):
+        # identical docs → identical scores; winners must be ascending ids
+        got = self._run(["x y", "x y", "x y"], [30, 10, 20],
+                        {0: ["x"]}, 2, 3)
+        assert [(d, r) for _, d, _, r in got] == [(10, 1), (20, 2)]
+
+    def test_duplicate_query_terms_count_once(self, ray_session):
+        a = self._run(["x x y", "y"], [1, 2], {0: ["x", "x", "y"]}, 2, 1)
+        b = self._run(["x x y", "y"], [1, 2], {0: ["x", "y"]}, 2, 1)
+        assert a == b
