@@ -105,7 +105,8 @@ def run_bench() -> dict:
         "stream_union", "kleene_pattern", "incremental_components",
         "pack_sequences", "perplexity", "naive_bayes",
         "repetition_filter", "balance_downsample", "pagerank_exact",
-        "kcore", "cap_per_group", "bm25_topk", "late_window_split")
+        "kcore", "cap_per_group", "bm25_topk", "late_window_split",
+        "dsir_weights")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -3254,6 +3254,19 @@ def q_bm25(sf_dir: str) -> pd.DataFrame:
                           3: ["customer", "data"]}, k=10)
 
 
+def q_dsir(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with target = English
+    docs: per-doc log-likelihood ratio of the target vs raw hashed
+    unigram∪bigram bucket models (m=256, add-one smoothing), in exact
+    int64 micro-nats (`stages/dsir.py` has the two-map-pass 100-TB plan —
+    O(blocks × m) fit traffic, zero shuffles).  Oracle recomputes the
+    identical MD5 bucket hash and smoothed ln-ratio in SQL."""
+    from ..stages.dsir import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_weights(ds, "lang", "en", m=256)
+
+
 def q_perplexity(sf_dir: str) -> pd.DataFrame:
     """Per-document cross-entropy under an add-one-smoothed bigram LM
     trained on the corpus itself — the CCNet/Gopher-style perplexity
@@ -5667,6 +5680,7 @@ QUERIES = {
     "fuzzy_join": q_fuzzy_join,
     "keywords_tfidf": q_keywords_tfidf,
     "bm25_topk": q_bm25,
+    "dsir_weights": q_dsir,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7296,6 +7310,41 @@ ORACLES = {
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, doc_id) AS rank
         FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+    "dsir_weights": r"""
+        -- DSIR: per-doc ln-ratio of target (lang='en') vs raw hashed
+        -- unigram+bigram bucket models, add-one smoothed, m=256 buckets,
+        -- int64 micro-nats (round = half-away, matching half_away)
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        uni AS (SELECT doc_id, lang, t.x AS f
+                FROM toks, UNNEST(arr) AS t(x)),
+        bg AS (SELECT doc_id, lang,
+                      arr[i.i + 1] || ' ' || arr[i.i + 2] AS f
+               FROM toks, UNNEST(range(len(arr) - 1)) AS i(i)),
+        feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+        raw AS (SELECT b, count(*)::DOUBLE AS c FROM feats GROUP BY b),
+        tgt AS (SELECT b, count(*)::DOUBLE AS c FROM feats
+                WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM feats
+                        WHERE lang = 'en')::DOUBLE AS t,
+                       (SELECT count(*) FROM feats)::DOUBLE AS r),
+        ratio AS (
+            SELECT r.b,
+                   CAST(round((ln((COALESCE(tg.c, 0) + 1.0) / (tot.t + 256))
+                               - ln((r.c + 1.0) / (tot.r + 256))) * 1e6)
+                        AS BIGINT) AS mr
+            FROM raw r LEFT JOIN tgt tg USING (b) CROSS JOIN tot)
+        SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+               sum(ratio.mr)::BIGINT AS weight_micro
+        FROM feats f JOIN ratio USING (b)
+        GROUP BY f.doc_id ORDER BY f.doc_id
     """,
     "knn_classify": """
         WITH q AS (

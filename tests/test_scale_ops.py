@@ -1654,3 +1654,69 @@ class TestBm25:
         a = self._run(["x x y", "y"], [1, 2], {0: ["x", "x", "y"]}, 2, 1)
         b = self._run(["x x y", "y"], [1, 2], {0: ["x", "y"]}, 2, 1)
         assert a == b
+
+
+class TestDsir:
+    def _brute(self, texts, langs, ids, m=64):
+        """Independent scalar DSIR reference."""
+        import math
+
+        from diffdataflowmlpipelines_ray.functions.hashing import stable_hash60
+
+        feats = []
+        for t in texts:
+            tk = t.split()
+            fs = list(tk) + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+            feats.append([stable_hash60(f) % m for f in fs])
+        raw = [0] * m
+        tgt = [0] * m
+        for fs, lg in zip(feats, langs):
+            for b in fs:
+                raw[b] += 1
+                if lg == "en":
+                    tgt[b] += 1
+        T, R = sum(tgt), sum(raw)
+        ratio = [round(abs(x)) * (1 if x >= 0 else -1) if abs(
+            x - int(x)) != 0.5 else int(math.copysign(math.ceil(abs(x)), x))
+            for x in ((math.log((tc + 1) / (T + m))
+                       - math.log((rc + 1) / (R + m))) * 1e6
+                      for tc, rc in zip(tgt, raw))]
+        out = []
+        for did, fs in zip(ids, feats):
+            if fs:
+                out.append((did, len(fs), sum(ratio[b] for b in fs)))
+        return sorted(out)
+
+    def _run(self, texts, langs, ids, parts, m=64):
+        from diffdataflowmlpipelines_ray.stages.dsir import dsir_weights
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs)})).repartition(parts)
+        got = dsir_weights(ds, "lang", "en", m=m)
+        return [(int(r.doc_id), int(r.n_feats), int(r.weight_micro))
+                for r in got.itertuples()]
+
+    def test_matches_reference_any_partitioning(self, ray_session):
+        texts = ["alpha beta alpha", "omega psi", "", "alpha omega beta",
+                 "beta beta beta gamma", "psi psi omega alpha"]
+        langs = ["en", "de", "en", "en", "de", "fr"]
+        ids = [4, 1, 9, 2, 7, 5]
+        want = self._brute(texts, langs, ids)
+        assert self._run(texts, langs, ids, 1) == want
+        assert self._run(texts, langs, ids, 5) == want
+
+    def test_target_like_doc_scores_higher(self, ray_session):
+        # target docs say alpha, non-target say omega; a fresh alpha doc
+        # must outweigh a fresh omega doc
+        texts = (["alpha alpha"] * 5 + ["omega omega"] * 5
+                 + ["alpha", "omega"])
+        langs = ["en"] * 5 + ["de"] * 5 + ["de", "en"]
+        ids = list(range(12))
+        got = dict((d, w) for d, _, w in self._run(texts, langs, ids, 3))
+        assert got[10] > got[11]  # "alpha" doc > "omega" doc
+
+    def test_empty_docs_absent(self, ray_session):
+        got = self._run(["", "x y"], ["en", "en"], [1, 2], 2)
+        assert [d for d, _, _ in got] == [2]
