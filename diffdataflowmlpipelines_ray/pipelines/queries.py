@@ -3254,6 +3254,33 @@ def q_bm25(sf_dir: str) -> pd.DataFrame:
                           3: ["customer", "data"]}, k=10)
 
 
+def q_hist_tree(sf_dir: str) -> pd.DataFrame:
+    """Distributed histogram regression tree (the GBDT `hist` building
+    block, `stages/tree.py`): depth-2, 8 equal-width bins, label =
+    discount percentage points (small-integer units keep the IEEE score
+    expression exact — see the module determinism contract), features =
+    (l_quantity, l_extendedprice, l_tax).  Returns one row per tree node
+    with the chosen split, exact integer populations, and the IEEE
+    leaf-mean prediction.  Oracle: the identical binning, cumulative
+    histogram, score expression and (score DESC, f, bin) tie-break
+    unrolled in SQL."""
+    from ..stages.tree import hist_tree
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_tax", "l_discount"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        y = _half_away(tbl["l_discount"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100.0).astype(np.int64)
+        return tbl.drop_columns(["l_discount"]).append_column(
+            "y", pa.array(y))
+
+    out = hist_tree(ds.map_batches(prep, batch_format="pyarrow"),
+                    ["l_quantity", "l_extendedprice", "l_tax"], "y",
+                    depth=2, bins=8)
+    return out
+
+
 def q_dsir(sf_dir: str) -> pd.DataFrame:
     """DSIR importance weights (Xie et al. 2023) with target = English
     docs: per-doc log-likelihood ratio of the target vs raw hashed
@@ -5681,6 +5708,7 @@ QUERIES = {
     "keywords_tfidf": q_keywords_tfidf,
     "bm25_topk": q_bm25,
     "dsir_weights": q_dsir,
+    "hist_tree": q_hist_tree,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7310,6 +7338,98 @@ ORACLES = {
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, doc_id) AS rank
         FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+    "hist_tree": """
+        -- depth-2 histogram regression tree, unrolled: identical binning
+        -- (clip(floor((x-min)/w),0,7)), cumulative histograms, IEEE score
+        -- (sl*sl)/nl + (sr*sr)/nr over exact integer sums, and
+        -- (score DESC, f, bin) tie-break as stages/tree.py
+        WITH base AS MATERIALIZED (
+            SELECT l_quantity::DOUBLE AS f0, l_extendedprice::DOUBLE AS f1,
+                   l_tax::DOUBLE AS f2,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem),
+        st AS MATERIALIZED (
+            SELECT min(f0) AS lo0, (max(f0) - min(f0)) / 8 AS w0,
+                   min(f1) AS lo1, (max(f1) - min(f1)) / 8 AS w1,
+                   min(f2) AS lo2, (max(f2) - min(f2)) / 8 AS w2
+            FROM base),
+        binned AS MATERIALIZED (
+            SELECT y,
+                   CAST(LEAST(GREATEST(floor((f0 - lo0) / w0), 0), 7)
+                        AS BIGINT) AS b0,
+                   CAST(LEAST(GREATEST(floor((f1 - lo1) / w1), 0), 7)
+                        AS BIGINT) AS b1,
+                   CAST(LEAST(GREATEST(floor((f2 - lo2) / w2), 0), 7)
+                        AS BIGINT) AS b2
+            FROM base, st),
+        tot0 AS MATERIALIZED (
+            SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM binned),
+        lf0 AS (SELECT 0 AS f, b0 AS bin, y FROM binned
+                UNION ALL SELECT 1, b1, y FROM binned
+                UNION ALL SELECT 2, b2, y FROM binned),
+        h0 AS (SELECT f, bin, count(*)::BIGINT AS c, sum(y)::BIGINT AS s
+               FROM lf0 GROUP BY 1, 2),
+        c0 AS (SELECT f, bin,
+                      sum(c) OVER (PARTITION BY f ORDER BY bin)::BIGINT
+                          AS nl,
+                      sum(s) OVER (PARTITION BY f ORDER BY bin)::BIGINT
+                          AS sl
+               FROM h0),
+        best0 AS MATERIALIZED (
+            SELECT f, bin FROM c0, tot0 t
+            WHERE nl > 0 AND t.n - nl > 0
+            ORDER BY (sl::DOUBLE * sl / nl)
+                     + ((t.s - sl)::DOUBLE * (t.s - sl) / (t.n - nl))
+                     DESC, f, bin
+            LIMIT 1),
+        a1 AS MATERIALIZED (
+            SELECT y, b0, b1, b2,
+                   CASE WHEN (CASE best0.f WHEN 0 THEN b0
+                              WHEN 1 THEN b1 ELSE b2 END) <= best0.bin
+                        THEN 1 ELSE 2 END AS node
+            FROM binned, best0),
+        tot1 AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+            FROM a1 GROUP BY node),
+        lf1 AS (SELECT node, 0 AS f, b0 AS bin, y FROM a1
+                UNION ALL SELECT node, 1, b1, y FROM a1
+                UNION ALL SELECT node, 2, b2, y FROM a1),
+        h1 AS (SELECT node, f, bin, count(*)::BIGINT AS c,
+                      sum(y)::BIGINT AS s
+               FROM lf1 GROUP BY 1, 2, 3),
+        c1 AS (SELECT node, f, bin,
+                      sum(c) OVER (PARTITION BY node, f
+                                   ORDER BY bin)::BIGINT AS nl,
+                      sum(s) OVER (PARTITION BY node, f
+                                   ORDER BY bin)::BIGINT AS sl
+               FROM h1),
+        best1 AS MATERIALIZED (
+            SELECT node, f, bin, nl, sl, n - nl AS nr, s - sl AS sr
+            FROM (SELECT c1.node, c1.f, c1.bin, c1.nl, c1.sl, t.n, t.s,
+                         row_number() OVER (PARTITION BY c1.node ORDER BY
+                             (sl::DOUBLE * sl / nl)
+                             + ((t.s - sl)::DOUBLE * (t.s - sl)
+                                / (t.n - nl)) DESC, f, bin) AS rn
+                  FROM c1 JOIN tot1 t USING (node)
+                  WHERE nl > 0 AND t.n - nl > 0)
+            WHERE rn = 1)
+        SELECT CAST(0 AS BIGINT) AS node, 'split' AS kind,
+               b.f::BIGINT AS feature_idx, b.bin::BIGINT AS bin,
+               t.n, t.s AS label_sum, t.s / t.n AS pred
+        FROM best0 b, tot0 t
+        UNION ALL
+        SELECT t.node, 'split', b.f, b.bin, t.n, t.s, t.s / t.n
+        FROM tot1 t JOIN best1 b USING (node)
+        UNION ALL
+        SELECT 2 * b.node + 1, 'leaf', CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), b.nl, b.sl, b.sl / b.nl
+        FROM best1 b
+        UNION ALL
+        SELECT 2 * b.node + 2, 'leaf', CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), b.nr, b.sr, b.sr / b.nr
+        FROM best1 b
+        ORDER BY node
     """,
     "dsir_weights": r"""
         -- DSIR: per-doc ln-ratio of target (lang='en') vs raw hashed

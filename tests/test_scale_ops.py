@@ -1720,3 +1720,104 @@ class TestDsir:
     def test_empty_docs_absent(self, ray_session):
         got = self._run(["", "x y"], ["en", "en"], [1, 2], 2)
         assert [d for d, _, _ in got] == [2]
+
+
+class TestHistTree:
+    def _brute(self, X, y, depth, bins):
+        """Independent single-machine reference (plain loops)."""
+        import math
+
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.int64)
+        F = X.shape[1]
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        w = (hi - lo) / bins
+        binm = np.zeros(X.shape, dtype=np.int64)
+        for j in range(F):
+            if w[j] != 0:
+                binm[:, j] = np.clip(
+                    np.floor((X[:, j] - lo[j]) / w[j]), 0, bins - 1)
+        splits, pop = {}, {}
+        node = np.zeros(len(y), dtype=np.int64)
+        pop[0] = (len(y), int(y.sum()))
+        for level in range(depth):
+            live = [0] if level == 0 else [
+                c for nid in splits
+                if int(math.log2(nid + 1)) == level - 1
+                for c in (2 * nid + 1, 2 * nid + 2)]
+            for nid in sorted(live):
+                on = node == nid
+                n_tot, s_tot = int(on.sum()), int(y[on].sum())
+                if n_tot < 2:
+                    continue
+                best, arg = -math.inf, None
+                for f in range(F):
+                    for b in range(bins):
+                        left = on & (binm[:, f] <= b)
+                        nl, sl = int(left.sum()), int(y[left].sum())
+                        nr, sr = n_tot - nl, s_tot - sl
+                        if nl == 0 or nr == 0:
+                            continue
+                        sc = (float(sl) * sl) / nl + (float(sr) * sr) / nr
+                        if sc > best:
+                            best, arg = sc, (f, b)
+                if arg is None:
+                    continue
+                f, b = arg
+                splits[nid] = arg
+                left = on & (binm[:, f] <= b)
+                pop[2 * nid + 1] = (int(left.sum()), int(y[left].sum()))
+                pop[2 * nid + 2] = (n_tot - pop[2 * nid + 1][0],
+                                    s_tot - pop[2 * nid + 1][1])
+                node[left] = 2 * nid + 1
+                node[on & ~left] = 2 * nid + 2
+        rows = []
+        for nid in sorted(pop):
+            n, s = pop[nid]
+            if nid in splits:
+                rows.append((nid, "split", *splits[nid], n, s, s / n))
+            else:
+                rows.append((nid, "leaf", -1, -1, n, s,
+                             s / n if n else float("nan")))
+        return rows
+
+    def _run(self, X, y, depth, bins, parts):
+        from diffdataflowmlpipelines_ray.stages.tree import hist_tree
+
+        X = np.asarray(X, dtype=np.float64)
+        cols = {f"f{j}": pa.array(X[:, j]) for j in range(X.shape[1])}
+        cols["y"] = pa.array(np.asarray(y, dtype=np.int64))
+        ds = rd.from_arrow(pa.table(cols)).repartition(parts)
+        out = hist_tree(ds, [f"f{j}" for j in range(X.shape[1])], "y",
+                        depth=depth, bins=bins)
+        return [(int(r.node), r.kind, int(r.feature_idx), int(r.bin),
+                 int(r.n), int(r.label_sum), float(r.pred))
+                for r in out.itertuples()]
+
+    def test_matches_reference_any_partitioning(self, ray_session):
+        rng = np.random.default_rng(7)
+        X = rng.uniform(0, 10, size=(300, 3))
+        y = (X[:, 0] > 5).astype(np.int64) * 3 + (X[:, 2] > 2) * 2
+        want = self._brute(X, y, 2, 8)
+        assert self._run(X, y, 2, 8, 1) == want
+        assert self._run(X, y, 2, 8, 7) == want
+
+    def test_depth3_matches_reference(self, ray_session):
+        rng = np.random.default_rng(11)
+        X = rng.uniform(-5, 5, size=(400, 2))
+        y = rng.integers(0, 20, size=400)
+        assert self._run(X, y, 3, 4, 5) == self._brute(X, y, 3, 4)
+
+    def test_pure_split_recovers_step(self, ray_session):
+        # y jumps at x=0: the root split must land at the boundary bin
+        X = np.linspace(-8, 8, 64).reshape(-1, 1)
+        y = (X[:, 0] >= 0).astype(np.int64) * 10
+        got = self._run(X, y, 1, 8, 2)
+        root = got[0]
+        assert root[1] == "split" and root[2] == 0 and root[3] == 3
+        leaves = {g[0]: g for g in got[1:]}
+        assert leaves[1][5] == 0 and leaves[2][5] == 320  # pure leaves
+
+    def test_constant_features_leaf(self, ray_session):
+        got = self._run(np.ones((10, 2)), np.arange(10), 2, 8, 2)
+        assert got == [(0, "leaf", -1, -1, 10, 45, 4.5)]
