@@ -3281,6 +3281,139 @@ def q_hist_tree(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_HIST_BOOST_ROUNDS = 3
+
+
+def q_hist_boost(sf_dir: str) -> pd.DataFrame:
+    """Gradient-boosted histogram trees (squared loss, lr = 1/2, 3 rounds
+    of the depth-2/8-bin tree from `hist_tree`) on exact int64
+    micro-residuals: every residual, split decision and floor-divided
+    leaf value is integer arithmetic, so the per-round sum of absolute
+    residuals is bit-equal to the fully-unrolled SQL twin (generated like
+    `pagerank_exact`'s) at any block split.  Returns (round, n,
+    sae_micro) per round."""
+    from ..stages.tree import hist_boost
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_tax", "l_discount"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        y = _half_away(tbl["l_discount"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100.0).astype(np.int64)
+        return tbl.drop_columns(["l_discount"]).append_column(
+            "y", pa.array(y))
+
+    _, history = hist_boost(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_quantity", "l_extendedprice", "l_tax"], "y",
+        rounds=_HIST_BOOST_ROUNDS, depth=2, bins=8)
+    return history
+
+
+def _hist_boost_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of ``q_hist_boost``: one depth-2 tree block
+    per round over the running integer micro-residual, Python-style floor
+    division emulated (DuckDB ``//`` truncates toward zero), the same
+    IEEE score expression and (score DESC, f, bin) tie-break as
+    ``stages/tree.py``.  Assumes every node splits (the lineitem fixture
+    does; the Ray side handles early leaves generally)."""
+    head = """
+        base AS MATERIALIZED (
+            SELECT l_quantity::DOUBLE AS f0, l_extendedprice::DOUBLE AS f1,
+                   l_tax::DOUBLE AS f2,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem),
+        st AS MATERIALIZED (
+            SELECT min(f0) AS lo0, (max(f0) - min(f0)) / 8 AS w0,
+                   min(f1) AS lo1, (max(f1) - min(f1)) / 8 AS w1,
+                   min(f2) AS lo2, (max(f2) - min(f2)) / 8 AS w2
+            FROM base),
+        r0 AS MATERIALIZED (
+            SELECT y * 1000000 AS r,
+                   CAST(LEAST(GREATEST(floor((f0 - lo0) / w0), 0), 7)
+                        AS BIGINT) AS b0,
+                   CAST(LEAST(GREATEST(floor((f1 - lo1) / w1), 0), 7)
+                        AS BIGINT) AS b1,
+                   CAST(LEAST(GREATEST(floor((f2 - lo2) / w2), 0), 7)
+                        AS BIGINT) AS b2
+            FROM base, st)"""
+    ctes = [head]
+    for t in range(rounds):
+        ctes.append(f"""
+        tA{t} AS MATERIALIZED (
+            SELECT count(*)::BIGINT AS n, sum(r)::BIGINT AS s FROM r{t}),
+        lA{t} AS (SELECT 0 AS f, b0 AS bin, r FROM r{t}
+                  UNION ALL SELECT 1, b1, r FROM r{t}
+                  UNION ALL SELECT 2, b2, r FROM r{t}),
+        hA{t} AS (SELECT f, bin, count(*)::BIGINT AS c,
+                         sum(r)::BIGINT AS s
+                  FROM lA{t} GROUP BY 1, 2),
+        cA{t} AS (SELECT f, bin,
+                         sum(c) OVER (PARTITION BY f
+                                      ORDER BY bin)::BIGINT AS nl,
+                         sum(s) OVER (PARTITION BY f
+                                      ORDER BY bin)::BIGINT AS sl
+                  FROM hA{t}),
+        bA{t} AS MATERIALIZED (
+            SELECT f, bin FROM cA{t}, tA{t} t
+            WHERE nl > 0 AND t.n - nl > 0
+            ORDER BY (sl::DOUBLE * sl / nl)
+                     + ((t.s - sl)::DOUBLE * (t.s - sl) / (t.n - nl))
+                     DESC, f, bin
+            LIMIT 1),
+        a{t} AS MATERIALIZED (
+            SELECT r.r, r.b0, r.b1, r.b2,
+                   CASE WHEN (CASE b.f WHEN 0 THEN r.b0
+                              WHEN 1 THEN r.b1 ELSE r.b2 END) <= b.bin
+                        THEN 1 ELSE 2 END AS node
+            FROM r{t} r, bA{t} b),
+        tB{t} AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS n, sum(r)::BIGINT AS s
+            FROM a{t} GROUP BY node),
+        lB{t} AS (SELECT node, 0 AS f, b0 AS bin, r FROM a{t}
+                  UNION ALL SELECT node, 1, b1, r FROM a{t}
+                  UNION ALL SELECT node, 2, b2, r FROM a{t}),
+        hB{t} AS (SELECT node, f, bin, count(*)::BIGINT AS c,
+                         sum(r)::BIGINT AS s
+                  FROM lB{t} GROUP BY 1, 2, 3),
+        cB{t} AS (SELECT node, f, bin,
+                         sum(c) OVER (PARTITION BY node, f
+                                      ORDER BY bin)::BIGINT AS nl,
+                         sum(s) OVER (PARTITION BY node, f
+                                      ORDER BY bin)::BIGINT AS sl
+                  FROM hB{t}),
+        bB{t} AS MATERIALIZED (
+            SELECT node, f, bin,
+                   (sl) // (2 * nl)
+                   - CASE WHEN (sl) % (2 * nl) <> 0 AND sl < 0
+                          THEN 1 ELSE 0 END AS vl,
+                   (s - sl) // (2 * (n - nl))
+                   - CASE WHEN (s - sl) % (2 * (n - nl)) <> 0
+                               AND s - sl < 0
+                          THEN 1 ELSE 0 END AS vr
+            FROM (SELECT c.node, c.f, c.bin, c.nl, c.sl, t.n, t.s,
+                         row_number() OVER (PARTITION BY c.node ORDER BY
+                             (sl::DOUBLE * sl / nl)
+                             + ((t.s - sl)::DOUBLE * (t.s - sl)
+                                / (t.n - nl)) DESC, f, bin) AS rn
+                  FROM cB{t} c JOIN tB{t} t USING (node)
+                  WHERE nl > 0 AND t.n - nl > 0)
+            WHERE rn = 1),
+        r{t + 1} AS MATERIALIZED (
+            SELECT a.b0, a.b1, a.b2,
+                   a.r - CASE WHEN (CASE b.f WHEN 0 THEN a.b0
+                                    WHEN 1 THEN a.b1 ELSE a.b2 END)
+                                   <= b.bin
+                              THEN b.vl ELSE b.vr END AS r
+            FROM a{t} a JOIN bB{t} b USING (node)),
+        m{t} AS (SELECT {t}::BIGINT AS round, count(*)::BIGINT AS n,
+                        sum(abs(r))::BIGINT AS sae_micro FROM r{t + 1})""")
+    unions = " UNION ALL ".join(f"SELECT * FROM m{t}"
+                                for t in range(rounds))
+    return ("WITH" + ",".join(ctes)
+            + f" SELECT * FROM ({unions}) ORDER BY round")
+
+
 def q_dsir(sf_dir: str) -> pd.DataFrame:
     """DSIR importance weights (Xie et al. 2023) with target = English
     docs: per-doc log-likelihood ratio of the target vs raw hashed
@@ -5709,6 +5842,7 @@ QUERIES = {
     "bm25_topk": q_bm25,
     "dsir_weights": q_dsir,
     "hist_tree": q_hist_tree,
+    "hist_boost": q_hist_boost,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7431,6 +7565,7 @@ ORACLES = {
         FROM best1 b
         ORDER BY node
     """,
+    "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "dsir_weights": r"""
         -- DSIR: per-doc ln-ratio of target (lang='en') vs raw hashed
         -- unigram+bigram bucket models, add-one smoothed, m=256 buckets,

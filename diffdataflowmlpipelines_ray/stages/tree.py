@@ -49,7 +49,7 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["hist_tree"]
+__all__ = ["hist_tree", "hist_boost"]
 
 
 def _bin_matrix(tbl: pa.Table, features: list[str], fmin: np.ndarray,
@@ -85,17 +85,9 @@ def _node_of(binm: np.ndarray, splits: dict[int, tuple[int, int]],
     return node
 
 
-def hist_tree(ds, features: list[str], label_col: str,
-              depth: int = 2, bins: int = 8) -> pd.DataFrame:
-    """Fit the tree; returns one row per materialised node:
-    (node, kind, feature_idx, bin, n, label_sum, pred) — ``kind`` is
-    'split' or 'leaf', feature_idx/bin are −1 for leaves, ``pred`` is the
-    IEEE division label_sum/n.  Node ids: root 0, children of i are
-    2i+1 / 2i+2."""
-    F, B = len(features), bins
-    ds = ds.materialize()
-
-    # ---- pass 0: global per-feature min/max
+def _global_minmax(ds, features: list[str], bins: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-feature (fmin, bin width) from one partials pass."""
     def minmax_part(tbl: pa.Table) -> pa.Table:
         lo, hi = [], []
         for f in features:
@@ -105,13 +97,25 @@ def hist_tree(ds, features: list[str], label_col: str,
         return pa.table({"lo": pa.array([np.array(lo).tobytes()]),
                          "hi": pa.array([np.array(hi).tobytes()])})
 
+    F = len(features)
     fmin = np.full(F, math.inf)
     fmax = np.full(F, -math.inf)
     for row in ds.map_batches(minmax_part, batch_format="pyarrow").take_all():
         fmin = np.minimum(fmin, np.frombuffer(row["lo"]))
         fmax = np.maximum(fmax, np.frombuffer(row["hi"]))
-    w = (fmax - fmin) / B  # the same double division the SQL twin does
+    # the same double division the SQL twin does
+    return fmin, (fmax - fmin) / bins
 
+
+def _fit_levels(ds, features: list[str], label_fn, depth: int, bins: int,
+                fmin: np.ndarray, w: np.ndarray
+                ) -> tuple[dict[int, tuple[int, int]],
+                           dict[int, tuple[int, int]]]:
+    """The per-level histogram loop shared by ``hist_tree`` (raw label
+    column) and ``hist_boost`` (residual labels).  ``label_fn(tbl, binm)``
+    returns the block's int64 labels; (splits, pop) come back exactly as
+    documented on ``hist_tree``."""
+    F, B = len(features), bins
     splits: dict[int, tuple[int, int]] = {}
     # node → (n, label_sum); root's filled from the level-0 histogram
     pop: dict[int, tuple[int, int]] = {}
@@ -130,8 +134,7 @@ def hist_tree(ds, features: list[str], label_col: str,
             sp, slots, lo, wd = ray.get(ref)
             binm = _bin_matrix(tbl, features, lo, wd, B)
             node = _node_of(binm, sp, _level)
-            lab = tbl[label_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)
+            lab = label_fn(tbl, binm)
             slot = np.full(len(node), -1, dtype=np.int64)
             for nid, i in slots.items():
                 slot[node == nid] = i
@@ -179,6 +182,25 @@ def hist_tree(ds, features: list[str], label_col: str,
             pop[2 * nid + 1] = (int(nl[fj, b]), int(sl[fj, b]))
             pop[2 * nid + 2] = (int(nr[fj, b]), int(sr[fj, b]))
 
+    return splits, pop
+
+
+def hist_tree(ds, features: list[str], label_col: str,
+              depth: int = 2, bins: int = 8) -> pd.DataFrame:
+    """Fit the tree; returns one row per materialised node:
+    (node, kind, feature_idx, bin, n, label_sum, pred) — ``kind`` is
+    'split' or 'leaf', feature_idx/bin are −1 for leaves, ``pred`` is the
+    IEEE division label_sum/n.  Node ids: root 0, children of i are
+    2i+1 / 2i+2."""
+    ds = ds.materialize()
+    fmin, w = _global_minmax(ds, features, bins)
+
+    def label_fn(tbl: pa.Table, _binm) -> np.ndarray:
+        return tbl[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+
+    splits, pop = _fit_levels(ds, features, label_fn, depth, bins, fmin, w)
+
     rows = []
     for nid in sorted(pop):
         n_tot, s_tot = pop[nid]
@@ -194,6 +216,80 @@ def hist_tree(ds, features: list[str], label_col: str,
                         ).astype({"node": np.int64, "feature_idx": np.int64,
                                   "bin": np.int64, "n": np.int64,
                                   "label_sum": np.int64})
+
+
+def _predict_micro(binm: np.ndarray,
+                   trees: list[tuple[dict, dict, int]]) -> np.ndarray:
+    """Σ over trees of the leaf value each row lands in (int64 micro)."""
+    out = np.zeros(binm.shape[0], dtype=np.int64)
+    for splits, leaf_vals, depth in trees:
+        node = _node_of(binm, splits, depth)
+        for nid, v in leaf_vals.items():
+            out[node == nid] += v
+    return out
+
+
+def hist_boost(ds, features: list[str], label_col: str, rounds: int = 3,
+               depth: int = 2, bins: int = 8, lr_num: int = 1,
+               lr_den: int = 2, scale: int = 1_000_000
+               ) -> tuple[list[tuple[dict, dict, int]], pd.DataFrame]:
+    """Gradient-boosted ensemble of histogram trees (squared loss).
+
+    Labels scale to int64 micro-units (``y·scale``); each round fits
+    ``_fit_levels`` on the EXACT integer residuals ``y·scale − F(x)`` and
+    sets leaf values by the rational learning rate
+    ``v = (s·lr_num) // (n·lr_den)`` (Python big-int floor division) — so
+    every residual, split decision and leaf value is integer-exact and
+    partition-invariant at any block split, the same determinism contract
+    as ``hist_tree`` without its ``(Σ|label|)² < 2⁵³`` caveat (scores are
+    driver-computed floats from exact int sums, bitwise reproducible).
+
+    Per round: ``depth`` histogram passes + one metric pass, all map-only
+    with O(blocks) driver rows.  Returns ``(trees, history)`` where
+    ``history`` has one row per round: (round, n, sae_micro) — the sum of
+    absolute residuals AFTER the round's update."""
+    ds = ds.materialize()
+    fmin, w = _global_minmax(ds, features, bins)
+    trees: list[tuple[dict, dict, int]] = []
+    hist_rows = []
+
+    for t in range(rounds):
+        ref = ray.put(list(trees))
+
+        def label_fn(tbl: pa.Table, binm, _r=ref) -> np.ndarray:
+            y = tbl[label_col].to_numpy(zero_copy_only=False).astype(
+                np.int64) * scale
+            return y - _predict_micro(binm, ray.get(_r))
+
+        splits, pop = _fit_levels(ds, features, label_fn, depth, bins,
+                                  fmin, w)
+        leaf_vals = {nid: (s * lr_num) // (n * lr_den)
+                     for nid, (n, s) in pop.items()
+                     if nid not in splits and n > 0}
+        trees.append((splits, leaf_vals, depth))
+
+        ref2 = ray.put(list(trees))
+
+        def metric_part(tbl: pa.Table, _r=ref2) -> pa.Table:
+            binm = _bin_matrix(tbl, features, fmin, w, bins)
+            y = tbl[label_col].to_numpy(zero_copy_only=False).astype(
+                np.int64) * scale
+            resid = y - _predict_micro(binm, ray.get(_r))
+            return pa.table({"n": pa.array([tbl.num_rows],
+                                           type=pa.int64()),
+                             "sae": pa.array([int(np.abs(resid).sum())],
+                                             type=pa.int64())})
+
+        n_tot, sae = 0, 0
+        for row in ds.map_batches(metric_part,
+                                  batch_format="pyarrow").take_all():
+            n_tot += int(row["n"])
+            sae += int(row["sae"])
+        hist_rows.append((t, n_tot, sae))
+
+    history = pd.DataFrame(hist_rows, columns=["round", "n", "sae_micro"]
+                           ).astype(np.int64)
+    return trees, history
 
 
 def _depth_of(nid: int) -> int:

@@ -1821,3 +1821,100 @@ class TestHistTree:
     def test_constant_features_leaf(self, ray_session):
         got = self._run(np.ones((10, 2)), np.arange(10), 2, 8, 2)
         assert got == [(0, "leaf", -1, -1, 10, 45, 4.5)]
+
+
+class TestHistBoost:
+    def _ds(self, X, y, parts):
+        X = np.asarray(X, dtype=np.float64)
+        cols = {f"f{j}": pa.array(X[:, j]) for j in range(X.shape[1])}
+        cols["y"] = pa.array(np.asarray(y, dtype=np.int64))
+        return rd.from_arrow(pa.table(cols)).repartition(parts)
+
+    def _brute(self, X, y, rounds, depth, bins, scale=1_000_000):
+        """Independent reference: reuse TestHistTree's looped fitter on
+        explicit integer residuals with Python floor-div leaf values."""
+        import math
+
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.int64)
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        w = (hi - lo) / bins
+        binm = np.zeros(X.shape, dtype=np.int64)
+        for j in range(X.shape[1]):
+            if w[j] != 0:
+                binm[:, j] = np.clip(
+                    np.floor((X[:, j] - lo[j]) / w[j]), 0, bins - 1)
+        r = y * scale
+        hist = []
+        for t in range(rounds):
+            node = np.zeros(len(y), dtype=np.int64)
+            for level in range(depth):
+                for nid in sorted(set(node)):
+                    on = node == nid
+                    n_tot, s_tot = int(on.sum()), int(r[on].sum())
+                    if n_tot < 2:
+                        continue
+                    best, arg = -math.inf, None
+                    for f in range(X.shape[1]):
+                        for b in range(bins):
+                            left = on & (binm[:, f] <= b)
+                            nl, sl = int(left.sum()), int(r[left].sum())
+                            if nl == 0 or nl == n_tot:
+                                continue
+                            sr, nr = s_tot - sl, n_tot - nl
+                            sc = (float(sl) * sl) / nl \
+                                + (float(sr) * sr) / nr
+                            if sc > best:
+                                best, arg = sc, (f, b)
+                    if arg is None:
+                        continue
+                    f, b = arg
+                    left = on & (binm[:, f] <= b)
+                    node[left] = 2 * nid + 1
+                    node[on & ~left] = 2 * nid + 2
+            upd = np.zeros(len(y), dtype=np.int64)
+            for nid in sorted(set(node)):
+                on = node == nid
+                upd[on] = int(r[on].sum()) // (2 * int(on.sum()))
+            r = r - upd
+            hist.append((t, len(y), int(np.abs(r).sum())))
+        return hist
+
+    def test_matches_reference_any_partitioning(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.tree import hist_boost
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(0, 4, size=(200, 2))
+        y = (X[:, 0] * 2 + X[:, 1]).astype(np.int64)
+        want = self._brute(X, y, 3, 2, 4)
+        for parts in (1, 6):
+            _, hist = hist_boost(self._ds(X, y, parts), ["f0", "f1"],
+                                 "y", rounds=3, depth=2, bins=4)
+            got = [(int(r.round), int(r.n), int(r.sae_micro))
+                   for r in hist.itertuples()]
+            assert got == want
+
+    def test_error_decreases(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.tree import hist_boost
+
+        rng = np.random.default_rng(5)
+        X = rng.uniform(0, 8, size=(300, 2))
+        y = (X[:, 0] > 4).astype(np.int64) * 7 + (X[:, 1] > 2) * 2
+        _, hist = hist_boost(self._ds(X, y, 4), ["f0", "f1"], "y",
+                             rounds=4, depth=2, bins=8)
+        sae = hist["sae_micro"].tolist()
+        assert sae == sorted(sae, reverse=True) and sae[-1] < sae[0]
+
+    def test_learnable_signal_fits_exactly(self, ray_session):
+        # a bin-aligned step target is exactly representable by one tree;
+        # with lr=1/2 the residual halves (floor) each round
+        from diffdataflowmlpipelines_ray.stages.tree import hist_boost
+
+        X = np.repeat([1.0, 9.0], 32).reshape(-1, 1)
+        y = np.repeat([0, 8], 32)
+        _, hist = hist_boost(self._ds(X, y, 2), ["f0"], "y",
+                             rounds=3, depth=1, bins=2)
+        # residual on the high half: 8e6 -> 4e6 -> 2e6 -> 1e6
+        assert hist["sae_micro"].tolist() == [4_000_000 * 32,
+                                              2_000_000 * 32,
+                                              1_000_000 * 32]
