@@ -3445,6 +3445,22 @@ def q_perplexity(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_kneser_ney(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (D = 3/4 rational) — the
+    production n-gram smoothing, trained on the corpus itself
+    (`stages/lm.py kn_logprob_scores` has the tiered broadcast/exchange
+    plan).  Every term is ln of a ratio of exact int64 count expressions,
+    micro-nat rounded before the per-doc sum, so the gate is bit-exact at
+    any block split."""
+    from ..stages.lm import kn_logprob_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = kn_logprob_scores(ds).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": np.int64, "n_bigrams": np.int64,
+                       "nats_micro": np.int64})
+
+
 def q_naive_bayes(sf_dir: str) -> pd.DataFrame:
     """Multinomial naive Bayes (class = `lang`, features = whitespace
     token counts, add-one smoothing), fit and predicted on the documents
@@ -5843,6 +5859,7 @@ QUERIES = {
     "dsir_weights": q_dsir,
     "hist_tree": q_hist_tree,
     "hist_boost": q_hist_boost,
+    "kneser_ney": q_kneser_ney,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7566,6 +7583,34 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "kneser_ney": r"""
+        -- interpolated KN, D = 3/4: term = ln(((4c-3)N + 3·n1f·n1b)
+        --                                     / (4·cw·N)) in micro-nats
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        bg AS (SELECT doc_id, arr[i.i + 1] AS w1, arr[i.i + 2] AS w2
+               FROM toks, UNNEST(range(len(arr) - 1)) AS i(i)),
+        cnt AS (SELECT w1, w2, count(*)::BIGINT AS c
+                FROM bg GROUP BY 1, 2),
+        fwd AS (SELECT w1, sum(c)::BIGINT AS cw, count(*)::BIGINT AS n1f
+                FROM cnt GROUP BY w1),
+        bwd AS (SELECT w2, count(*)::BIGINT AS n1b FROM cnt GROUP BY w2),
+        nt AS (SELECT count(*)::BIGINT AS n FROM cnt),
+        term AS (
+            SELECT b.doc_id,
+                   CAST(round(ln(((4 * c.c - 3) * nt.n
+                                  + 3 * f.n1f * w.n1b)::DOUBLE
+                                 / (4 * f.cw * nt.n)) * 1e6)
+                        AS BIGINT) AS mn
+            FROM bg b JOIN cnt c USING (w1, w2) JOIN fwd f USING (w1)
+                 JOIN bwd w USING (w2) CROSS JOIN nt)
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(mn)::BIGINT AS nats_micro
+        FROM term GROUP BY doc_id ORDER BY doc_id
+    """,
     "dsir_weights": r"""
         -- DSIR: per-doc ln-ratio of target (lang='en') vs raw hashed
         -- unigram+bigram bucket models, add-one smoothed, m=256 buckets,

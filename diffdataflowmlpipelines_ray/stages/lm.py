@@ -222,6 +222,135 @@ def bigram_logprob_scores(docs, id_col: str = "doc_id",
                 batch_format="pyarrow"))
 
 
+def kn_logprob_scores(docs, id_col: str = "doc_id",
+                      text_col: str = "text", buckets: int = 16,
+                      broadcast_max: int = LM_BROADCAST_MAX):
+    """Per-document interpolated Kneser–Ney bigram log-probability — the
+    production n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999),
+    discount D = 3/4 kept RATIONAL so every term is integer count algebra:
+
+        P_KN(w2|w1) = (c(w1w2) − D)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    Trained on the corpus itself, every scored bigram has c ≥ 1 > D, so
+    with D = 3/4 the term is ln(num/den) over the exact int64s
+
+        num = (4·c − 3)·N₊₊ + 3·N1+(w1·)·N1+(·w2),  den = 4·c(w1·)·N₊₊
+
+    — both twins evaluate the identical IEEE ``ln(num/den)`` and
+    half-away-round to int64 micro-nats before the per-doc sum, the same
+    determinism contract as ``bigram_logprob_scores``.  Returns a Dataset
+    of ``(doc_id, n_bigrams, nats_micro)``.
+
+    Same two scoring tiers as the add-one LM: under ``broadcast_max``
+    distinct bigrams the model (counts + the three KN census tables)
+    broadcasts once and each document scores in its own block; above it
+    the partitioned hash-join exchange plan runs with one extra narrow
+    join for the backward census (nothing model-shaped on the driver).
+    """
+    import ray
+
+    from .relational import hash_join
+
+    db = doc_bigram_counts(docs, id_col, text_col).materialize()
+
+    cnt = db.groupby(["w1", "w2"]).sum("k").map_batches(
+        lambda t: t.rename_columns(["bw1", "bw2", "c"]),
+        batch_format="pyarrow").materialize()
+    n_types = cnt.count()  # N1+(··): distinct bigram types
+
+    if n_types <= broadcast_max:
+        cnt_df = pa.concat_tables(list(cnt.iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+        cnt_df.columns = ["w1", "w2", "c"]
+        fwd = (cnt_df.groupby("w1", as_index=False)
+               .agg(cw=("c", "sum"), n1f=("c", "size")))
+        bwd = (cnt_df.groupby("w2", as_index=False)
+               .agg(n1b=("c", "size")))
+        model_ref = ray.put((cnt_df, fwd, bwd))
+
+        def score_block(tbl: pa.Table) -> pa.Table:
+            cnt_d, fwd_d, bwd_d = ray.get(model_ref)
+            toks = tokenize_column(tbl[text_col])
+            offsets = toks.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False),
+                            lens)
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "n_bigrams": pa.array([], type=pa.int64()),
+                              "nats_micro": pa.array([], type=pa.int64())})
+            if len(flat) < 2:
+                return empty
+            same = ids[:-1] == ids[1:]
+            if not same.any():
+                return empty
+            g = (pd.DataFrame({"doc_id": ids[:-1][same],
+                               "w1": flat[:-1][same],
+                               "w2": flat[1:][same]})
+                 .groupby(["doc_id", "w1", "w2"], as_index=False)
+                 .size().rename(columns={"size": "k"}))
+            m = (g.merge(cnt_d, on=["w1", "w2"])
+                 .merge(fwd_d, on="w1").merge(bwd_d, on="w2"))
+            k = m["k"].to_numpy(dtype=np.int64)
+            mn = _kn_micronats(
+                m["c"].to_numpy(dtype=np.int64),
+                m["cw"].to_numpy(dtype=np.int64),
+                m["n1f"].to_numpy(dtype=np.int64),
+                m["n1b"].to_numpy(dtype=np.int64), n_types)
+            out = (pd.DataFrame({"doc_id": m["doc_id"], "n_bigrams": k,
+                                 "nats_micro": k * mn})
+                   .groupby("doc_id", as_index=False).sum())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return docs.map_batches(score_block, batch_format="pyarrow")
+
+    fwd = (cnt.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+        .groupby("bw1").sum(["c", "one"])
+        .map_batches(lambda t: t.rename_columns(["w1f", "cw", "n1f"]),
+                     batch_format="pyarrow"))
+    bwd = cnt.groupby("bw2").count().map_batches(
+        lambda t: t.rename_columns(["w2b", "n1b"]),
+        batch_format="pyarrow")
+
+    j1 = hash_join(db, cnt, ["w1", "w2"], ["bw1", "bw2"],
+                   buckets=buckets).map_batches(
+        lambda t: t.select(["doc_id", "w1", "w2", "k", "c"]),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, fwd, ["w1"], ["w1f"], buckets=buckets)
+    j3 = hash_join(j2, bwd, ["w2"], ["w2b"], buckets=buckets)
+
+    def term(tbl: pa.Table) -> pa.Table:
+        k = tbl["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = _kn_micronats(
+            tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl["cw"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl["n1f"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl["n1b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_types)
+        return pa.table({"doc_id": tbl["doc_id"],
+                         "n_bigrams": pa.array(k),
+                         "nats_micro": pa.array(k * mn)})
+
+    return (j3.map_batches(term, batch_format="pyarrow")
+            .groupby("doc_id").sum(["n_bigrams", "nats_micro"])
+            .map_batches(lambda t: t.rename_columns(
+                ["doc_id", "n_bigrams", "nats_micro"]),
+                batch_format="pyarrow"))
+
+
+def _kn_micronats(c: np.ndarray, cw: np.ndarray, n1f: np.ndarray,
+                  n1b: np.ndarray, n_types: int) -> np.ndarray:
+    """The exact-integer KN term: round(ln(num/den)·1e6), D = 3/4."""
+    num = (4 * c - 3) * n_types + 3 * n1f * n1b
+    den = 4 * cw * n_types
+    return _micronats(num.astype(np.float64) / den.astype(np.float64))
+
+
 def doc_token_counts(docs, id_col: str = "doc_id", text_col: str = "text",
                      carry: tuple = ()):
     """Dataset of documents → ``(doc_id[, *carry], tok, k)`` rows,

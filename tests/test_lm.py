@@ -172,3 +172,58 @@ def test_pmi_min_count_filters_hapax(ray_session):
     # ("a","b") occurs 4x — must survive; hapax pairs must not
     assert (("a", "b") in set(zip(got["w1"], got["w2"])))
     assert (("is", "big") not in set(zip(got["w1"], got["w2"])))
+
+
+def _ref_kneser_ney(docs: pd.DataFrame) -> dict:
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    bg = Counter((a, b) for v in toks.values() for a, b in zip(v, v[1:]))
+    ctx, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in bg.items():
+        ctx[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nt = len(bg)
+    out = {}
+    for d, v in toks.items():
+        if len(v) < 2:
+            continue
+        tot = 0
+        for a, b in zip(v, v[1:]):
+            num = (4 * bg[(a, b)] - 3) * nt + 3 * n1f[a] * n1b[b]
+            den = 4 * ctx[a] * nt
+            tot += _half_away(math.log(num / den) * 1e6)
+        out[d] = (len(v) - 1, tot)
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+@pytest.mark.parametrize("bmax", [500_000, 0])   # broadcast vs exchange tier
+def test_kneser_ney_matches_reference(ray_session, blocks, bmax):
+    from diffdataflowmlpipelines_ray.stages.lm import kn_logprob_scores
+
+    ds = ray.data.from_pandas(_DOCS).repartition(blocks)
+    got = kn_logprob_scores(ds, broadcast_max=bmax).to_pandas()
+    gotd = {int(r.doc_id): (int(r.n_bigrams), int(r.nats_micro))
+            for r in got.itertuples()}
+    assert gotd == _ref_kneser_ney(_DOCS)
+    assert {2, 3, 9}.isdisjoint(gotd)
+
+
+def test_kneser_ney_seen_bigram_likelier_than_continuation(ray_session):
+    """A corpus where 'x y' is frequent: P_KN(y|x) must exceed the pure
+    continuation weight of an equally-frequent but never-after-x token."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["x y x y x y", "z w z w", "x y"],
+    })
+    from diffdataflowmlpipelines_ray.stages.lm import kn_logprob_scores
+
+    got = kn_logprob_scores(ray.data.from_pandas(docs).repartition(2)
+                            ).to_pandas()
+    ref = _ref_kneser_ney(docs)
+    gotd = {int(r.doc_id): (int(r.n_bigrams), int(r.nats_micro))
+            for r in got.itertuples()}
+    assert gotd == ref
+    # doc 2 = one 'x y' bigram: its per-bigram score must beat doc 1's
+    # average (z/w less attested), sanity on the smoothing direction
+    assert gotd[2][1] > gotd[1][1] // gotd[1][0]
