@@ -106,7 +106,8 @@ def run_bench() -> dict:
         "pack_sequences", "perplexity", "naive_bayes",
         "repetition_filter", "balance_downsample", "pagerank_exact",
         "kcore", "cap_per_group", "bm25_topk", "late_window_split",
-        "dsir_weights", "hist_tree", "hist_boost", "kneser_ney")
+        "dsir_weights", "hist_tree", "hist_boost", "kneser_ney",
+        "chunk_tokens")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

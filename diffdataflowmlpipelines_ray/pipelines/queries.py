@@ -5351,6 +5351,22 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_chunk_tokens(sf_dir: str) -> pd.DataFrame:
+    """RAG chunking: 32-token windows at stride 24 (8-token overlap) over
+    every document — map-only, zero exchanges, fully vectorized
+    (`stages/text_clean.py chunk_tokens`: gather-index arithmetic + the
+    ListArray/binary_join rewrap).  Oracle: DuckDB list_slice +
+    array_to_string over the identical window arithmetic."""
+    from ..stages.text_clean import chunk_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_tokens(ds, size=32, stride=24).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+            .astype({"doc_id": np.int64, "chunk_id": np.int64,
+                     "n_tokens": np.int64}))
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """Batch sessionization of the events stream: 30-min-gap sessions per
     user, numbered 1..N — one bucket shuffle by hash(user), vectorized
@@ -5860,6 +5876,7 @@ QUERIES = {
     "hist_tree": q_hist_tree,
     "hist_boost": q_hist_boost,
     "kneser_ney": q_kneser_ney,
+    "chunk_tokens": q_chunk_tokens,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7583,6 +7600,27 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "chunk_tokens": r"""
+        -- 32-token windows at stride 24: chunk i covers tokens
+        -- [i*24, min(i*24+32, n)); (n-1)//24 + 1 chunks per non-empty doc
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        c AS (
+            SELECT doc_id, i.i::BIGINT AS chunk_id,
+                   LEAST(32, len(arr) - i.i * 24)::BIGINT AS n_tokens,
+                   array_to_string(
+                       list_slice(arr, i.i * 24 + 1,
+                                  LEAST(i.i * 24 + 32, len(arr))),
+                       ' ') AS chunk
+            FROM toks,
+                 UNNEST(range((len(arr) + 23) // 24)) AS i(i)
+            WHERE len(arr) > 0 AND (len(arr) - 1) // 24 >= i.i)
+        SELECT doc_id, chunk_id, n_tokens, chunk
+        FROM c ORDER BY doc_id, chunk_id
+    """,
     "kneser_ney": r"""
         -- interpolated KN, D = 3/4: term = ln(((4c-3)N + 3·n1f·n1b)
         --                                     / (4·cw·N)) in micro-nats

@@ -47,7 +47,69 @@ __all__ = [
     "mask_pattern",
     "dup_span_stats",
     "balance_downsample",
+    "chunk_tokens",
 ]
+
+
+def chunk_tokens(ds, size: int = 64, stride: int = 48,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """RAG-style document chunking: fixed-size overlapping token windows.
+
+    Chunk ``i`` of a document covers whitespace tokens
+    ``[i·stride, min(i·stride + size, n))`` for every start < n, so
+    consecutive chunks overlap by ``size − stride`` tokens and the last
+    chunk may be short; empty documents emit nothing.  Returns
+    ``(doc_id, chunk_id, n_tokens, chunk)`` rows.
+
+    Map-only with ZERO exchanges at any corpus size — a document is one
+    row, so its windows are cut inside its own block — and fully
+    vectorized: one gather-index arithmetic pass builds every chunk's
+    token slice, one ``pa.ListArray`` rewrap + ``pc.binary_join`` emits
+    the chunk strings (the ``rewrap_words`` Arrow trick; no Python loop
+    over chunks)."""
+    from ..functions.tokenize import tokenize_column
+
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+
+    def chunker(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl[text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lens = np.diff(offsets)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+        total_c = int(n_chunks.sum())
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "chunk_id": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "chunk": pa.array([], type=pa.string())})
+        if total_c == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        excl = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        ci = np.arange(total_c) - np.repeat(excl, n_chunks)
+        starts = ci * stride
+        clens = np.minimum(size, lens[doc_idx] - starts)
+        base = offsets[:-1][doc_idx] + starts
+        tot = int(clens.sum())
+        cexcl = np.concatenate([[0], np.cumsum(clens)[:-1]])
+        gather = np.repeat(base, clens) \
+            + (np.arange(tot) - np.repeat(cexcl, clens))
+        flat = toks.flatten()
+        chunk_off = np.concatenate([[0], np.cumsum(clens)]).astype(
+            np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(chunk_off, type=pa.int32()),
+            flat.take(pa.array(gather)))
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx].astype(np.int64)),
+            "chunk_id": pa.array(ci.astype(np.int64)),
+            "n_tokens": pa.array(clens.astype(np.int64)),
+            "chunk": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(chunker, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- line explode

@@ -342,3 +342,59 @@ class TestDupSpans:
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
         assert a["n_dup_windows"].sum() > 0
+
+
+class TestChunkTokens:
+    def _run(self, texts, ids, size, stride, parts):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import (
+            chunk_tokens,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts)})).repartition(parts)
+        out = chunk_tokens(ds, size=size, stride=stride).to_pandas()
+        return sorted((int(r.doc_id), int(r.chunk_id), int(r.n_tokens),
+                       r.chunk) for r in out.itertuples())
+
+    def _brute(self, texts, ids, size, stride):
+        out = []
+        for did, t in zip(ids, texts):
+            tk = t.split()
+            i = 0
+            while i * stride < len(tk):
+                w = tk[i * stride:i * stride + size]
+                out.append((did, i, len(w), " ".join(w)))
+                i += 1
+        return sorted(out)
+
+    def test_matches_brute_force(self, ray_session):
+        texts = ["a b c d e f g", "x y", "", "one",
+                 " ".join(f"t{i}" for i in range(25))]
+        ids = [3, 1, 7, 2, 5]
+        for size, stride in [(4, 3), (5, 5), (3, 1)]:
+            want = self._brute(texts, ids, size, stride)
+            assert self._run(texts, ids, size, stride, 1) == want
+            assert self._run(texts, ids, size, stride, 4) == want
+
+    def test_overlap_consistency(self, ray_session):
+        # consecutive chunks share exactly size - stride tokens
+        got = self._run([" ".join(f"w{i}" for i in range(10))], [0], 4, 2, 1)
+        chunks = [g[3].split() for g in got]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[2:] == b[:len(a) - 2]
+
+    def test_invalid_stride_raises(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import (
+            chunk_tokens,
+        )
+
+        ds = rd.from_items([{"doc_id": 0, "text": "a"}])
+        with pytest.raises(ValueError):
+            chunk_tokens(ds, size=4, stride=5)
+        with pytest.raises(ValueError):
+            chunk_tokens(ds, size=4, stride=0)
