@@ -5351,6 +5351,19 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve at 5 doc-id prefix checkpoints
+    (`stages/text_stats.py vocab_growth`): the only exchange is a
+    groupby(token).min(doc_id) over block-pre-deduped rows — a token
+    leaves a block once regardless of frequency; the curve itself folds
+    from O(blocks × checkpoints) searchsorted partials."""
+    from ..stages.text_stats import vocab_growth
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = vocab_growth(ds, n_checkpoints=5)
+    return out.astype(np.int64)
+
+
 def q_chunk_tokens(sf_dir: str) -> pd.DataFrame:
     """RAG chunking: 32-token windows at stride 24 (8-token overlap) over
     every document — map-only, zero exchanges, fully vectorized
@@ -5877,6 +5890,7 @@ QUERIES = {
     "hist_boost": q_hist_boost,
     "kneser_ney": q_kneser_ney,
     "chunk_tokens": q_chunk_tokens,
+    "vocab_growth": q_vocab_growth,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7600,6 +7614,23 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "vocab_growth": r"""
+        -- distinct-token and total-token counts over doc-id prefixes at
+        -- checkpoints k_i = ((i+1)*(max_id+1))//5 - 1
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents),
+        mx AS (SELECT max(doc_id) AS m FROM documents),
+        cp AS (SELECT ((i.i + 1) * (mx.m + 1)) // 5 - 1 AS checkpoint
+               FROM mx, UNNEST(range(5)) AS i(i))
+        SELECT cp.checkpoint::BIGINT AS checkpoint,
+               count(w.w)::BIGINT AS n_tokens,
+               count(DISTINCT w.w)::BIGINT AS vocab
+        FROM cp LEFT JOIN words w ON w.doc_id <= cp.checkpoint
+        GROUP BY cp.checkpoint ORDER BY cp.checkpoint
+    """,
     "chunk_tokens": r"""
         -- 32-token windows at stride 24: chunk i covers tokens
         -- [i*24, min(i*24+32, n)); (n-1)//24 + 1 chunks per non-empty doc

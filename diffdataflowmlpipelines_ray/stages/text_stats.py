@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 from ..functions.tokenize import tokenize_column
 
 __all__ = ["text_stats_table", "add_text_stats", "LangId", "add_lang_id",
-           "add_fingerprint", "repetition_stats_table", "add_repetition_stats"]
+           "add_fingerprint", "repetition_stats_table",
+           "add_repetition_stats", "vocab_growth"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
@@ -233,3 +234,77 @@ def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
         return tbl.append_column(out, pa.array(out_fp.astype(np.int64)))
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def vocab_growth(ds, n_checkpoints: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text") -> "pd.DataFrame":
+    """Heaps-law vocabulary-growth curve: distinct-token and total-token
+    counts over the doc-id-ordered corpus prefix at ``n_checkpoints``
+    evenly spaced cut points (k_i = ((i+1)·(max_id+1)) // n − 1).
+
+    100-TB plan: the only exchange is a ``groupby(token).min(doc_id)``
+    over BLOCK-PRE-DEDUPED (token, min_doc) rows — each token leaves a
+    block once regardless of its frequency, so shuffle volume is bounded
+    by Σ per-block vocab, not corpus tokens.  A token's first-occurrence
+    doc then lands in the prefix histogram via one `np.searchsorted`
+    partials pass (O(blocks × checkpoints) ints to the driver); token
+    totals per checkpoint ride the same partials pattern on the raw
+    lengths.  Returns (checkpoint, n_tokens, vocab) — Heaps' law is
+    ``vocab ≈ K·n_tokens^β``, left to the consumer.
+    """
+    import pandas as pd
+
+    from ..functions.tokenize import tokenize_column
+
+    ds = ds.materialize()
+
+    def max_id_part(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        m = int(ids.max()) if len(ids) else -1
+        return pa.table({"m": pa.array([m], type=pa.int64())})
+
+    max_id = max(int(r["m"]) for r in
+                 ds.map_batches(max_id_part,
+                                batch_format="pyarrow").take_all())
+    cps = np.array([((i + 1) * (max_id + 1)) // n_checkpoints - 1
+                    for i in range(n_checkpoints)], dtype=np.int64)
+
+    def tok_min_part(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl[text_col])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ids = np.repeat(tbl[id_col].to_numpy(zero_copy_only=False), lens)
+        pdf = pd.DataFrame({"tok": toks.flatten().to_pandas(), "d": ids})
+        out = pdf.groupby("tok", as_index=False)["d"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    first = (ds.map_batches(tok_min_part, batch_format="pyarrow")
+             .groupby("tok").min("d"))
+
+    def vocab_hist(tbl: pa.Table) -> pa.Table:
+        d = np.sort(tbl["min(d)"].to_numpy(zero_copy_only=False))
+        return pa.table({"v": pa.array(
+            [np.searchsorted(d, cps, side="right").astype(np.int64)
+             .tobytes()])})
+
+    vocab = np.zeros(n_checkpoints, dtype=np.int64)
+    for row in first.map_batches(vocab_hist,
+                                 batch_format="pyarrow").take_all():
+        vocab += np.frombuffer(row["v"], dtype=np.int64)
+
+    def tok_total_part(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl[text_col])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        tot = np.array([int(lens[ids <= k].sum()) for k in cps],
+                       dtype=np.int64)
+        return pa.table({"t": pa.array([tot.tobytes()])})
+
+    totals = np.zeros(n_checkpoints, dtype=np.int64)
+    for row in ds.map_batches(tok_total_part,
+                              batch_format="pyarrow").take_all():
+        totals += np.frombuffer(row["t"], dtype=np.int64)
+
+    return pd.DataFrame({"checkpoint": cps, "n_tokens": totals,
+                         "vocab": vocab})

@@ -1918,3 +1918,43 @@ class TestHistBoost:
         assert hist["sae_micro"].tolist() == [4_000_000 * 32,
                                               2_000_000 * 32,
                                               1_000_000 * 32]
+
+
+class TestVocabGrowth:
+    def test_matches_brute_force(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_stats import (
+            vocab_growth,
+        )
+
+        texts = ["a b c", "a b", "d e f g", "", "a h", "i j k l m",
+                 "a a a", "n", "b d", "o p"]
+        ids = list(range(10))
+        for parts in (1, 4):
+            ds = rd.from_arrow(pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts)})).repartition(parts)
+            out = vocab_growth(ds, n_checkpoints=5)
+            got = [(int(r.checkpoint), int(r.n_tokens), int(r.vocab))
+                   for r in out.itertuples()]
+            want = []
+            for i in range(5):
+                k = (i + 1) * 2 - 1
+                pre = [t for d, t in zip(ids, texts) if d <= k]
+                toks = [w for t in pre for w in t.split()]
+                want.append((k, len(toks), len(set(toks))))
+            assert got == want
+
+    def test_monotone(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.text_stats import (
+            vocab_growth,
+        )
+
+        rng = np.random.default_rng(2)
+        texts = [" ".join(f"w{rng.integers(0, 50)}" for _ in range(20))
+                 for _ in range(40)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(texts)})).repartition(3)
+        out = vocab_growth(ds, n_checkpoints=4)
+        assert out["vocab"].is_monotonic_increasing
+        assert out["n_tokens"].is_monotonic_increasing
