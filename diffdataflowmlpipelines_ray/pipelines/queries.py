@@ -5351,6 +5351,20 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-α=1/2 data-mixture sampling over `source`
+    (`stages/text_clean.py mixture_sample`): p_s ∝ √n_s proportions,
+    largest achievable corpus without upsampling; survivor rule is exact
+    int64 hash vs the identical IEEE √·×·÷ threshold chain in both
+    twins, so WHICH rows survive is bit-stable at any partitioning."""
+    from ..stages.text_clean import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = mixture_sample(ds, group_col="source").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64}))
+
+
 def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
     """Heaps-law vocabulary-growth curve at 5 doc-id prefix checkpoints
     (`stages/text_stats.py vocab_growth`): the only exchange is a
@@ -5891,6 +5905,7 @@ QUERIES = {
     "kneser_ney": q_kneser_ney,
     "chunk_tokens": q_chunk_tokens,
     "vocab_growth": q_vocab_growth,
+    "mixture_sample": q_mixture_sample,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7614,6 +7629,19 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "mixture_sample": """
+        -- alpha=1/2 mixture: keep iff h < sqrt(n_s)*T/n_s*1e6 with
+        -- T = min over sources of sqrt(n_s); identical IEEE chain
+        WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+                     GROUP BY source),
+        cap AS (SELECT MIN(sqrt(n::DOUBLE)) AS t FROM cnt)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cnt USING (source) CROSS JOIN cap
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000000)
+              < sqrt(cnt.n::DOUBLE) * cap.t / cnt.n::DOUBLE * 1000000
+        ORDER BY d.doc_id
+    """,
     "vocab_growth": r"""
         -- distinct-token and total-token counts over doc-id prefixes at
         -- checkpoints k_i = ((i+1)*(max_id+1))//5 - 1

@@ -48,6 +48,7 @@ __all__ = [
     "dup_span_stats",
     "balance_downsample",
     "chunk_tokens",
+    "mixture_sample",
 ]
 
 
@@ -531,5 +532,60 @@ def balance_downsample(ds, group_col: str = "lang", id_col: str = "doc_id",
         g = tbl[group_col].to_numpy(zero_copy_only=False)
         n_g = np.array([counts[x] for x in g], dtype=np.int64)
         return tbl.filter(pa.array(h * n_g < m * scale))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
+                   scale: int = 1_000_000):
+    """Temperature-based data-mixture sampling (α = 1/2) — the
+    pretraining-mixture primitive (GPT-3 / PaLM style): target sampling
+    weights p_s ∝ n_s^α flatten the source distribution, and the corpus
+    is thinned to the LARGEST dataset achievable under those proportions
+    without upsampling, i.e. keep fraction
+
+        t_s = √n_s · T / n_s        with  T = min_s √n_s
+
+    (α = 0 degenerates to ``balance_downsample``; α = 1 keeps
+    everything).  A row survives iff
+
+        (stable_hash60(str(id)) % scale) < ((√n_s · T) / n_s) · scale
+
+    — the hash side is exact int64, the threshold side is the identical
+    IEEE sqrt/multiply/divide chain in numpy and DuckDB, so the decision
+    is partition-invariant, run-to-run stable, and bit-equal to the SQL
+    twin (the ``balance_downsample`` contract with an irrational
+
+    threshold: correctly-rounded ops on identical operands).
+
+    Scale: identical plan to ``balance_downsample`` — two-phase group
+    census broadcast as one #sources dict, then a stateless map-only
+    filter; rows never shuffle.
+    """
+    from ..functions.hashing import stable_hash60_array
+
+    def partial_counts(tbl: pa.Table) -> pa.Table:
+        vc = pc.value_counts(tbl[group_col])
+        return pa.table({"g": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = {r["g"]: r["n"] for r in
+              ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("g").sum("n")
+              .map_batches(lambda t: t.rename_columns(["g", "n"]),
+                           batch_format="pyarrow").take_all()}
+    if not counts:
+        return ds
+    t_cap = min(np.sqrt(np.float64(n)) for n in counts.values())
+    thr = {g: (np.sqrt(np.float64(n)) * t_cap) / np.float64(n) * scale
+           for g, n in counts.items()}
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        h = (stable_hash60_array([str(i) for i in ids]) % scale).astype(
+            np.float64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        t = np.array([thr[x] for x in g], dtype=np.float64)
+        return tbl.filter(pa.array(h < t))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -398,3 +398,51 @@ class TestChunkTokens:
             chunk_tokens(ds, size=4, stride=5)
         with pytest.raises(ValueError):
             chunk_tokens(ds, size=4, stride=0)
+
+
+class TestMixtureSample:
+    def _run(self, ids, groups, parts):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import (
+            mixture_sample,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": pa.array(groups)})).repartition(parts)
+        out = mixture_sample(ds).to_pandas()
+        return sorted(out["doc_id"].tolist())
+
+    def test_partition_invariant_and_matches_brute(self, ray_session):
+        from diffdataflowmlpipelines_ray.functions.hashing import (
+            stable_hash60,
+        )
+
+        rng = np.random.default_rng(9)
+        groups = (["big"] * 400 + ["mid"] * 100 + ["small"] * 25)
+        rng.shuffle(groups)
+        ids = list(range(len(groups)))
+        n = {g: groups.count(g) for g in set(groups)}
+        t_cap = min(np.sqrt(np.float64(c)) for c in n.values())
+        want = sorted(
+            i for i, g in zip(ids, groups)
+            if (stable_hash60(str(i)) % 1_000_000)
+            < (np.sqrt(np.float64(n[g])) * t_cap) / np.float64(n[g])
+            * 1_000_000)
+        assert self._run(ids, groups, 1) == want
+        assert self._run(ids, groups, 5) == want
+
+    def test_sqrt_proportions(self, ray_session):
+        # expected survivors ∝ sqrt(n_s): big keeps ~sqrt(400*25)=100,
+        # small keeps all 25 (threshold = 1e6 exactly? sqrt(25)*5/25*1e6
+        # = 1e6 — hash < 1e6 always true), mid ~sqrt(100*25)=50
+        groups = ["big"] * 400 + ["mid"] * 100 + ["small"] * 25
+        ids = list(range(len(groups)))
+        kept = self._run(ids, groups, 3)
+        by = {"big": 0, "mid": 0, "small": 0}
+        for i in kept:
+            by[groups[i]] += 1
+        assert by["small"] == 25           # smallest source keeps all
+        assert 70 <= by["big"] <= 130      # binomial around 100
+        assert 30 <= by["mid"] <= 70       # binomial around 50
