@@ -5351,6 +5351,33 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_als(sf_dir: str) -> pd.DataFrame:
+    """Distributed ALS matrix factorization (`stages/linalg.py
+    als_factorize`) on a (user, item, rating) view of events — nothing
+    broadcast or driver-held: each half-step is two partitioned
+    hash-joins + a narrow per-id ridge solve, factors ride as flat float
+    columns.  Rows-only (iterative least squares has no SQL twin);
+    determinism is pytest-pinned (bit-equal factors at any
+    partitioning).  Returns the item-factor table."""
+    from ..stages.linalg import als_factorize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "user": pc.cast(tbl["user_id"], pa.int64()),
+            "item": pa.array(tbl["event_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64) % 50),
+            "rating": pc.cast(tbl["value"], pa.float64()),
+        })
+
+    _, V, rmse = als_factorize(
+        ds.map_batches(prep, batch_format="pyarrow"), k=4, rounds=2)
+    V = V.copy()
+    V["rmse"] = rmse
+    return V
+
+
 def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Temperature-α=1/2 data-mixture sampling over `source`
     (`stages/text_clean.py mixture_sample`): p_s ∝ √n_s proportions,
@@ -5906,6 +5933,7 @@ QUERIES = {
     "chunk_tokens": q_chunk_tokens,
     "vocab_growth": q_vocab_growth,
     "mixture_sample": q_mixture_sample,
+    "als_factors": q_als,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,

@@ -256,3 +256,187 @@ def linreg_fit(moments: Moments, x_idx: list[int], y_idx: int) -> dict:
     intercept = float(moments.mean[y_idx] - beta @ moments.mean[xi])
     r2 = float(beta @ cxy / cyy) if cyy > 0 else 0.0
     return {"coef": beta, "intercept": intercept, "r2": r2, "n": moments.n}
+
+
+# --------------------------------------------------------------------- ALS
+def _als_init_factors(ids: np.ndarray, k: int, tag: str) -> np.ndarray:
+    """Deterministic per-id factor init in [−0.05, 0.05): derived from the
+    stable 60-bit hash of ``f"{tag}:{id}:{dim}"`` so it is identical at
+    any partitioning (no RNG state to coordinate)."""
+    from ..functions.hashing import stable_hash60
+
+    out = np.empty((len(ids), k), dtype=np.float64)
+    for i, v in enumerate(ids):
+        for j in range(k):
+            h = stable_hash60(f"{tag}:{v}:{j}") % 1_000_000
+            out[i, j] = (h / 1_000_000 - 0.5) * 0.1
+    return out
+
+
+#: users+items ceiling for the ALS broadcast tier — same tiering contract
+#: as ``LM_BROADCAST_MAX`` (stages/lm.py): under it both factor tables are
+#: one ``ray.put`` and each half-step is ONE groupby; above it nothing
+#: factor-shaped touches the driver and the join-exchange plan runs.
+ALS_BROADCAST_MAX = 500_000
+
+
+def als_factorize(ratings, user_col: str = "user", item_col: str = "item",
+                  rating_col: str = "rating", k: int = 8, rounds: int = 3,
+                  lam: float = 0.1, buckets: int = 16,
+                  broadcast_max: int = ALS_BROADCAST_MAX):
+    """Distributed ALS matrix factorization (explicit feedback, ridge λ).
+
+    Half-steps:  V ← per-item ridge solve over (ratings + user factors);
+    U ← symmetric.  Factors ride as flat float columns (f0..f{k−1}),
+    never Python objects, and every per-id solve SORTS its rows by the
+    joined id before accumulating Xᵀ X — so the normal equations are
+    bit-identical at any partitioning and the whole factorization is
+    deterministic (``np.linalg.solve`` on identical inputs).  Init is
+    hash-derived per id: no RNG state, no driver id list.
+
+    Two plans on the measured id-space size (pytest-equal bit-for-bit):
+
+    - ``users+items ≤ broadcast_max``: both factor tables are one
+      ``ray.put``; each half-step is a single ``groupby`` whose solves
+      merge the broadcast table in-block — 2 shuffles/round.
+    - above: NOTHING factor-shaped touches the driver — each half-step
+      is a partitioned ``hash_join`` (ratings ⋈ factors) + a narrow
+      groupby solve; with 10⁹ users / 10⁸ items both tables stay
+      sharded Datasets end-to-end.
+
+    Returns ``(U, V, rmse)``: pandas factor tables (bounded output by
+    caller's id-space contract) and the final training RMSE (float
+    partials — reported, not part of the exactness contract)."""
+    import pandas as pd
+
+    from .relational import hash_join
+
+    fcols = [f"f{j}" for j in range(k)]
+    ratings = ratings.materialize()
+
+    def init_groups(col: str, tag: str, out_id: str):
+        def init(pdf: pd.DataFrame) -> pd.DataFrame:
+            uid = pdf[col].iloc[0]
+            vec = _als_init_factors(np.array([uid]), k, tag)[0]
+            out = {out_id: [uid]}
+            for j, c in enumerate(fcols):
+                out[c] = [vec[j]]
+            return pd.DataFrame(out)
+
+        return (ratings.groupby(col)
+                .map_groups(init, batch_format="pandas").materialize())
+
+    def solve_pdf(pdf: pd.DataFrame, group_col: str, join_id: str,
+                  out_id: str) -> pd.DataFrame:
+        # sort on (id, rating) — duplicate (group, join-id) pairs would
+        # otherwise accumulate in plan-dependent order across tiers
+        pdf = pdf.sort_values([join_id, rating_col], kind="mergesort")
+        X = pdf[fcols].to_numpy(dtype=np.float64)
+        r = pdf[rating_col].to_numpy(dtype=np.float64)
+        A = X.T @ X + lam * np.eye(k)
+        x = np.linalg.solve(A, X.T @ r)
+        out = {out_id: [pdf[group_col].iloc[0]]}
+        for j, c in enumerate(fcols):
+            out[c] = [x[j]]
+        return pd.DataFrame(out)
+
+    U = init_groups(user_col, "u", "uid")
+    n_users = U.count()
+    n_items = (ratings.groupby(item_col).count()).count()
+
+    if n_users + n_items <= broadcast_max:
+        import ray
+
+        U_df = (U.to_pandas().sort_values("uid")
+                .reset_index(drop=True))
+
+        def half_step(fac_df: pd.DataFrame, fac_id: str, group_col: str,
+                      join_col: str, out_id: str) -> pd.DataFrame:
+            ref = ray.put(fac_df)
+
+            def solve_g(pdf: pd.DataFrame) -> pd.DataFrame:
+                fac = ray.get(ref)
+                m = pdf[[group_col, join_col, rating_col]].merge(
+                    fac, left_on=join_col, right_on=fac_id)
+                return solve_pdf(m, group_col, join_col, out_id)
+
+            out = (ratings.groupby(group_col)
+                   .map_groups(solve_g, batch_format="pandas")
+                   .to_pandas())
+            return out.sort_values(out_id).reset_index(drop=True)
+
+        V_df = None
+        for _ in range(rounds):
+            V_df = half_step(U_df, "uid", item_col, user_col, "iid")
+            U_df = half_step(V_df, "iid", user_col, item_col, "uid")
+
+        u_ref = ray.put((U_df, V_df))
+
+        def rmse_block(tbl: pa.Table) -> pa.Table:
+            u_d, v_d = ray.get(u_ref)
+            pdf = tbl.to_pandas()
+            m = (pdf.merge(u_d, left_on=user_col, right_on="uid")
+                 .merge(v_d, left_on=item_col, right_on="iid",
+                        suffixes=("_u", "_v")))
+            pred = np.zeros(len(m))
+            for c in fcols:
+                pred += (m[f"{c}_u"].to_numpy(dtype=np.float64)
+                         * m[f"{c}_v"].to_numpy(dtype=np.float64))
+            err = m[rating_col].to_numpy(dtype=np.float64) - pred
+            return pa.table({"n": pa.array([len(m)], type=pa.int64()),
+                             "sse": pa.array([float(err @ err)])})
+
+        n_tot, sse = 0, 0.0
+        for row in ratings.map_batches(rmse_block,
+                                       batch_format="pyarrow").take_all():
+            n_tot += int(row["n"])
+            sse += float(row["sse"])
+        rmse = float(np.sqrt(sse / n_tot)) if n_tot else float("nan")
+        return (U_df.rename(columns={"uid": user_col}),
+                V_df.rename(columns={"iid": item_col}), rmse)
+
+    def solve_groups(attached, group_col: str, join_id: str, out_id: str):
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            return solve_pdf(pdf, group_col, join_id, out_id)
+
+        return (attached.groupby(group_col)
+                .map_groups(solve, batch_format="pandas"))
+
+    V = None
+    for _ in range(rounds):
+        at_i = hash_join(ratings, U, [user_col], ["uid"], buckets=buckets)
+        V = solve_groups(at_i, item_col, user_col, "iid").materialize()
+        at_u = hash_join(ratings, V, [item_col], ["iid"], buckets=buckets)
+        U = solve_groups(at_u, user_col, item_col, "uid").materialize()
+
+    def rmse_part(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        pred = np.zeros(len(pdf))
+        for c in fcols:
+            pred += (pdf[f"{c}_u"].to_numpy(dtype=np.float64)
+                     * pdf[f"{c}_v"].to_numpy(dtype=np.float64))
+        err = pdf[rating_col].to_numpy(dtype=np.float64) - pred
+        return pa.table({"n": pa.array([len(pdf)], type=pa.int64()),
+                         "sse": pa.array([float(err @ err)])})
+
+    Ur = U.map_batches(
+        lambda t: t.rename_columns(
+            ["uid"] + [f"{c}_u" for c in fcols]), batch_format="pyarrow")
+    Vr = V.map_batches(
+        lambda t: t.rename_columns(
+            ["iid"] + [f"{c}_v" for c in fcols]), batch_format="pyarrow")
+    both = hash_join(hash_join(ratings, Ur, [user_col], ["uid"],
+                               buckets=buckets),
+                     Vr, [item_col], ["iid"], buckets=buckets)
+    n_tot, sse = 0, 0.0
+    for row in both.map_batches(rmse_part,
+                                batch_format="pyarrow").take_all():
+        n_tot += int(row["n"])
+        sse += float(row["sse"])
+    rmse = float(np.sqrt(sse / n_tot)) if n_tot else float("nan")
+
+    U_df = (U.to_pandas().sort_values("uid").reset_index(drop=True)
+            .rename(columns={"uid": user_col}))
+    V_df = (V.to_pandas().sort_values("iid").reset_index(drop=True)
+            .rename(columns={"iid": item_col}))
+    return U_df, V_df, rmse

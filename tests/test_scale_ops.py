@@ -1958,3 +1958,52 @@ class TestVocabGrowth:
         out = vocab_growth(ds, n_checkpoints=4)
         assert out["vocab"].is_monotonic_increasing
         assert out["n_tokens"].is_monotonic_increasing
+
+
+class TestAls:
+    def _ratings(self, n_u=12, n_i=8, parts=3):
+        # exactly rank-1: r(u, i) = a_u * b_i
+        a = np.linspace(0.5, 2.0, n_u)
+        b = np.linspace(1.0, 3.0, n_i)
+        u, i = np.meshgrid(np.arange(n_u), np.arange(n_i), indexing="ij")
+        return rd.from_arrow(pa.table({
+            "user": pa.array(u.ravel().astype(np.int64)),
+            "item": pa.array(i.ravel().astype(np.int64)),
+            "rating": pa.array((a[u] * b[i]).ravel()),
+        })).repartition(parts)
+
+    def test_partition_invariant(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import als_factorize
+
+        u1, v1, r1 = als_factorize(self._ratings(parts=1), k=4, rounds=2)
+        u4, v4, r4 = als_factorize(self._ratings(parts=4), k=4, rounds=2)
+        pd.testing.assert_frame_equal(u1, u4)
+        pd.testing.assert_frame_equal(v1, v4)
+        assert r1 == r4
+
+    def test_rank1_recovery(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import als_factorize
+
+        _, _, rmse = als_factorize(self._ratings(), k=4, rounds=4,
+                                   lam=1e-6)
+        assert rmse < 1e-3  # exactly-rank-1 data fits to noise level
+
+    def test_factor_shapes_and_ids(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.linalg import als_factorize
+
+        U, V, _ = als_factorize(self._ratings(), k=3, rounds=1)
+        assert U["user"].tolist() == list(range(12))
+        assert V["item"].tolist() == list(range(8))
+        assert list(U.columns) == ["user", "f0", "f1", "f2"]
+        assert list(V.columns) == ["item", "f0", "f1", "f2"]
+
+    def test_tiers_bit_equal(self, ray_session):
+        # broadcast tier (default) vs join-exchange tier (broadcast_max=0)
+        from diffdataflowmlpipelines_ray.stages.linalg import als_factorize
+
+        ub, vb, rb = als_factorize(self._ratings(parts=3), k=3, rounds=2)
+        ue, ve, re_ = als_factorize(self._ratings(parts=3), k=3, rounds=2,
+                                    broadcast_max=0)
+        pd.testing.assert_frame_equal(ub, ue)
+        pd.testing.assert_frame_equal(vb, ve)
+        assert abs(rb - re_) < 1e-12
