@@ -107,7 +107,8 @@ def run_bench() -> dict:
         "repetition_filter", "balance_downsample", "pagerank_exact",
         "kcore", "cap_per_group", "bm25_topk", "late_window_split",
         "dsir_weights", "hist_tree", "hist_boost", "kneser_ney",
-        "chunk_tokens", "vocab_growth", "mixture_sample", "als_factors")
+        "chunk_tokens", "vocab_growth", "mixture_sample", "als_factors",
+        "hash_split")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

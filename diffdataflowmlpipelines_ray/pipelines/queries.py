@@ -5351,6 +5351,19 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/test/val split (`stages/text_clean.py
+    hash_split`): membership = first cumulative integer threshold
+    exceeding the row's MD5-derived hash — partition-invariant,
+    follows the row on re-reads, bit-equal to a SQL CASE."""
+    from ..stages.text_clean import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = hash_split(ds).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64}))
+
+
 def q_als(sf_dir: str) -> pd.DataFrame:
     """Distributed ALS matrix factorization (`stages/linalg.py
     als_factorize`) on a (user, item, rating) view of events — nothing
@@ -5934,6 +5947,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "mixture_sample": q_mixture_sample,
     "als_factors": q_als,
+    "hash_split": q_hash_split,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7657,6 +7671,17 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "hash_split": """
+        SELECT doc_id,
+               CASE WHEN h < 800000 THEN 'train'
+                    WHEN h < 900000 THEN 'test'
+                    ELSE 'val' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 1000000 AS h
+              FROM documents)
+        ORDER BY doc_id
+    """,
     "mixture_sample": """
         -- alpha=1/2 mixture: keep iff h < sqrt(n_s)*T/n_s*1e6 with
         -- T = min over sources of sqrt(n_s); identical IEEE chain

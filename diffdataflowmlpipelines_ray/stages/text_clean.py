@@ -49,6 +49,7 @@ __all__ = [
     "balance_downsample",
     "chunk_tokens",
     "mixture_sample",
+    "hash_split",
 ]
 
 
@@ -589,3 +590,38 @@ def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
         return tbl.filter(pa.array(h < t))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, fractions: dict[str, float] | None = None,
+               id_col: str = "doc_id", out_col: str = "split",
+               scale: int = 1_000_000):
+    """Deterministic train/test/validation split: the reproducible
+    replacement for random splitting in every ML data-prep pipeline.
+
+    Each row lands in the first named bucket whose cumulative integer
+    threshold (``round(cum_fraction · scale)``, half-away like the query
+    oracles) exceeds ``stable_hash60(str(id)) % scale`` — pure int64
+    comparisons, so membership is partition-invariant, run-to-run stable,
+    follows the row on re-reads (no split files to version), and
+    bit-equal to a SQL CASE over the same MD5 hash.  Fractions must sum
+    to 1.  Stateless map-only; rows never shuffle."""
+    from ..functions.vectors import half_away
+
+    from ..functions.hashing import stable_hash60_array
+
+    fractions = fractions or {"train": 0.8, "test": 0.1, "val": 0.1}
+    names = list(fractions)
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    cums = np.cumsum([fractions[n] for n in names])
+    thr = half_away(cums * scale).astype(np.int64)
+    thr[-1] = scale  # guard float dust: the last bucket is exhaustive
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash60_array([str(i) for i in ids]) % scale
+        idx = np.searchsorted(thr, h, side="right")
+        lab = np.array(names, dtype=object)[idx]
+        return tbl.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

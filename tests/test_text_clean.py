@@ -446,3 +446,32 @@ class TestMixtureSample:
         assert by["small"] == 25           # smallest source keeps all
         assert 70 <= by["big"] <= 130      # binomial around 100
         assert 30 <= by["mid"] <= 70       # binomial around 50
+
+
+class TestHashSplit:
+    def test_partition_invariant_exhaustive_and_disjoint(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import hash_split
+
+        ids = list(range(300))
+        mk = lambda p: rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64())})).repartition(p)
+        a = hash_split(mk(1)).to_pandas().sort_values("doc_id")
+        b = hash_split(mk(5)).to_pandas().sort_values("doc_id")
+        assert a["split"].tolist() == b["split"].tolist()
+        assert set(a["split"]) <= {"train", "test", "val"}
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.7 < frac["train"] < 0.9  # binomial around 0.8
+
+    def test_custom_fractions_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import hash_split
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(
+            range(100), type=pa.int64())}))
+        out = hash_split(ds, {"a": 0.5, "b": 0.5}).to_pandas()
+        assert set(out["split"]) <= {"a", "b"}
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(ds, {"a": 0.5, "b": 0.4})
