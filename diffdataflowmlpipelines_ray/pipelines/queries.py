@@ -119,6 +119,24 @@ def q_kbins(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["l_orderkey", "l_linenumber", "bin"]).to_pandas()
 
 
+def q_kbins_quantile(sf_dir: str) -> pd.DataFrame:
+    """sklearn `strategy='quantile'` KBins: equal-population bins whose
+    edges are the exact distributed order statistics
+    (`stages/encoders.py KBinsQuantileDiscretizer` over
+    `exact_global_quantiles` histogram refinement); bin(x) = #{edges ≤ x}
+    in both twins."""
+    from ..stages.encoders import KBinsQuantileDiscretizer
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    enc = KBinsQuantileDiscretizer(8).fit(ds, "l_extendedprice")
+    out = enc.transform(ds, "l_extendedprice", "bin").to_pandas()
+    out["bin"] = out["bin"].astype(np.int64)
+    return (out[["l_orderkey", "l_linenumber", "bin"]]
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 def q_ordinal_encoder(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     enc = OrdinalEncoder().fit(ds, "source")
@@ -5948,6 +5966,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "als_factors": q_als,
     "hash_split": q_hash_split,
+    "kbins_quantile": q_kbins_quantile,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7671,6 +7690,18 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "kbins_quantile": """
+        -- equal-population bins: edges = quantile_cont at i/8,
+        -- bin(x) = count of edges <= x
+        WITH e AS (
+            SELECT unnest(quantile_cont(l_extendedprice,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+            FROM lineitem)
+        SELECT l.l_orderkey, l.l_linenumber,
+               (SELECT count(*) FROM e
+                WHERE e.edge <= l.l_extendedprice)::BIGINT AS bin
+        FROM lineitem l ORDER BY l_orderkey, l_linenumber
+    """,
     "hash_split": """
         SELECT doc_id,
                CASE WHEN h < 800000 THEN 'train'

@@ -61,6 +61,7 @@ __all__ = [
     "StandardScaler",
     "MinMaxScaler",
     "KBinsDiscretizer",
+    "KBinsQuantileDiscretizer",
     "OrdinalEncoder",
     "OneHotEncoder",
     "CountVectorizer",
@@ -290,6 +291,49 @@ class KBinsDiscretizer(Encoder):
         bins = np.trunc(scaled * self.k)
         bins = np.minimum(bins, self.k - 1)
         return tbl.append_column(out, pa.array(bins))
+
+
+class KBinsQuantileDiscretizer(Encoder):
+    """sklearn-parity ``KBinsDiscretizer(strategy='quantile')``: equal-
+    POPULATION bins.  Edges are the exact distributed order statistics at
+    p = 1/k … (k−1)/k via ``exact_global_quantiles`` (histogram
+    refinement — quantile_cont interpolation, no sort, no value
+    co-location; O(blocks × bins) counts per round), and
+    ``bin(x) = #{edges ≤ x}`` (numpy ``searchsorted(side='right')`` ==
+    the SQL twin's count-of-edges-≤-x), so fit AND transform are exact
+    at any cardinality and partitioning.
+
+    Quantiles are holistic, not a mergeable monoid, so this encoder is
+    batch-fit only — the streaming counterpart is the retractable
+    quantile arrangement (``state/aggregates.py``), which maintains the
+    same order statistics incrementally."""
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.edges_: np.ndarray | None = None
+
+    def make_partial(self, tbl, column, weight_col=None):
+        raise NotImplementedError(
+            "quantile bins are holistic — batch fit() only; stream via "
+            "the retractable quantile arrangement")
+
+    def load_accumulator(self, acc):
+        raise NotImplementedError("see make_partial")
+
+    def fit(self, ds, column, weight_col=None):
+        from .relational import exact_global_quantiles
+
+        qs = tuple((i + 1) / self.k for i in range(self.k - 1))
+        qd = exact_global_quantiles(ds, column, qs=qs)
+        self.edges_ = np.array([qd[q] for q in qs], dtype=np.float64)
+        return self
+
+    def transform_table(self, tbl, column, out):
+        if self.edges_ is None:
+            raise RuntimeError("called transform before fit")
+        x = _float_col(tbl, column)
+        bins = np.searchsorted(self.edges_, x, side="right")
+        return tbl.append_column(out, pa.array(bins.astype(np.float64)))
 
 
 class _CategoricalFitMixin:

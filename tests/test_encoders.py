@@ -472,3 +472,36 @@ class TestVocabularyCaps:
         with pytest.raises(NotImplementedError):
             CountVectorizer(min_df=2).fit(self._docs(), "text",
                                           weight_col="w")
+
+
+class TestKBinsQuantile:
+    def test_equal_population_and_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.encoders import (
+            KBinsQuantileDiscretizer,
+        )
+
+        rng = np.random.default_rng(4)
+        x = rng.lognormal(3, 1.2, 2000)  # heavy-tailed: uniform bins fail
+        ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(5)
+        enc = KBinsQuantileDiscretizer(4).fit(ds, "v")
+        edges = np.quantile(x, [0.25, 0.5, 0.75], method="linear")
+        assert np.allclose(enc.edges_, edges, rtol=0, atol=1e-9)
+        out = enc.transform(ds, "v", "bin").to_pandas()
+        counts = out["bin"].value_counts()
+        # equal-population: each bin holds ~1/4 of the data
+        assert counts.min() >= 450 and counts.max() <= 550
+        want = np.searchsorted(edges, out["v"].to_numpy(), side="right")
+        assert (out["bin"].to_numpy() == want).all()
+
+    def test_streaming_protocol_raises(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.encoders import (
+            KBinsQuantileDiscretizer,
+        )
+
+        enc = KBinsQuantileDiscretizer(4)
+        with pytest.raises(NotImplementedError):
+            enc.make_partial(pa.table({"v": [1.0]}), "v")
+        with pytest.raises(RuntimeError):
+            enc.transform_table(pa.table({"v": [1.0]}), "v", "bin")
