@@ -5369,6 +5369,19 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
+    """Seeded deterministic global permutation (`stages/relational.py
+    deterministic_shuffle`): reproducible training-data shuffle — one
+    range-partitioned sort on (hash, id), then the two-pass contiguous
+    rank attach (O(blocks) metas → exclusive offsets broadcast)."""
+    from ..stages.relational import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = deterministic_shuffle(ds, seed=7).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "rank": np.int64}))
+
+
 def q_hash_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic 80/10/10 train/test/val split (`stages/text_clean.py
     hash_split`): membership = first cumulative integer threshold
@@ -5967,6 +5980,7 @@ QUERIES = {
     "als_factors": q_als,
     "hash_split": q_hash_split,
     "kbins_quantile": q_kbins_quantile,
+    "shuffle_rank": q_shuffle_rank,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7690,6 +7704,14 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "shuffle_rank": """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(md5('7:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) - 1 AS rank
+        FROM documents ORDER BY doc_id
+    """,
     "kbins_quantile": """
         -- equal-population bins: edges = quantile_cont at i/8,
         -- bin(x) = count of edges <= x

@@ -28,7 +28,7 @@ __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
            "build_bloom", "bloom_prefilter", "ordered_prefix_sum",
-           "cap_per_group"]
+           "cap_per_group", "deterministic_shuffle"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -792,3 +792,63 @@ def cap_per_group(ds, group_col: str, id_col: str, n: int,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(finish, batch_format="pandas"))
+
+
+def deterministic_shuffle(ds, seed: int = 0, id_col: str = "doc_id",
+                          out_col: str = "rank"):
+    """Seeded deterministic GLOBAL permutation — the reproducible
+    training-data shuffle: every row gets a contiguous 0-based ``rank``
+    under the total order ``(stable_hash60(f"{seed}:{id}"), id)``.  The
+    hash order decorrelates rank from ingest/crawl order; the id
+    tie-break makes the permutation well-defined even under 60-bit hash
+    collisions (guaranteed at 10⁹+ rows), so the result is bit-equal to
+    the SQL ``ROW_NUMBER() OVER (ORDER BY h, id)`` twin at any
+    partitioning and identical across reruns — shuffle epoch ``e`` is
+    just ``seed=e``, no RNG state to checkpoint.
+
+    Scale: ONE range-partitioned sort (the op's intrinsic all-to-all),
+    then the two-pass rank attach — per-block (first key, count) metas
+    fold to O(blocks) driver rows, exclusive offsets broadcast back, a
+    second streaming pass adds ``offset + arange`` in place.  Only the
+    narrow (h, id) columns plus payload move once."""
+    from ..functions.hashing import stable_hash60_array
+
+    def add_h(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash60_array([f"{seed}:{i}" for i in ids])
+        return tbl.append_column("__h", pa.array(h))
+
+    S = (ds.map_batches(add_h, batch_format="pyarrow")
+         .sort(["__h", id_col]).materialize())
+
+    def meta(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"fh": pa.array([], pa.int64()),
+                             "fi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"fh": [tbl["__h"][0].as_py()],
+                         "fi": [tbl[id_col][0].as_py()],
+                         "n": [tbl.num_rows]})
+
+    mt = (pa.concat_tables(list(
+        S.map_batches(meta, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+        .sort_values(["fh", "fi"]).reset_index(drop=True))
+    starts = np.concatenate([[0], np.cumsum(mt["n"].to_numpy())[:-1]])
+    offsets = {(int(h), int(i)): int(s)
+               for h, i, s in zip(mt["fh"], mt["fi"], starts)}
+
+    import ray
+
+    ref = ray.put(offsets)
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)[(int(tbl["__h"][0].as_py()),
+                            int(tbl[id_col][0].as_py()))]
+        rank = off + np.arange(tbl.num_rows, dtype=np.int64)
+        return tbl.append_column(out_col, pa.array(rank))
+
+    return (S.map_batches(attach, batch_size=None, batch_format="pyarrow")
+            .drop_columns(["__h"]))

@@ -738,3 +738,57 @@ def test_chained_hash_join_preserves_int_dtypes(ray_session):
         assert all(str(t) == "int64" for t in b.schema.types), b.schema
     got = sorted(map(tuple, j2.to_pandas().to_numpy()))
     assert got == [(2, 3), (3, 4)]
+
+
+class TestDeterministicShuffle:
+    def test_permutation_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.functions.hashing import (
+            stable_hash60,
+        )
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            deterministic_shuffle,
+        )
+
+        ids = list(range(200))
+        want = [i for _, i in sorted(
+            (stable_hash60(f"3:{i}"), i) for i in ids)]
+        for parts in (1, 6):
+            ds = rd.from_arrow(pa.table({
+                "doc_id": pa.array(ids, type=pa.int64())})).repartition(
+                parts)
+            out = (deterministic_shuffle(ds, seed=3).to_pandas()
+                   .sort_values("rank"))
+            assert out["doc_id"].tolist() == want
+            assert sorted(out["rank"]) == ids  # contiguous 0..n-1
+
+    def test_seed_changes_order(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            deterministic_shuffle,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(100), type=pa.int64())}))
+        a = (deterministic_shuffle(ds, seed=0).to_pandas()
+             .sort_values("doc_id")["rank"].tolist())
+        b = (deterministic_shuffle(ds, seed=1).to_pandas()
+             .sort_values("doc_id")["rank"].tolist())
+        assert a != b
+
+    def test_payload_columns_preserved(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            deterministic_shuffle,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+            "text": pa.array(["c", "a", "b"])}))
+        out = (deterministic_shuffle(ds).to_pandas()
+               .sort_values("doc_id"))
+        assert out["text"].tolist() == ["a", "b", "c"]
+        assert set(out.columns) == {"doc_id", "text", "rank"}
