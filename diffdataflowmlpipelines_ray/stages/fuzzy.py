@@ -92,16 +92,40 @@ def _distinct_grams(s: str) -> set[str]:
     return {s[i:i + _Q] for i in range(len(s) - _Q + 1)}
 
 
+#: candidate-pair budget per verify task: gram groups whose expected cross
+#: product exceeds this are SALTED — the bigger side hash-partitions into
+#: ceil(pairs/target) subgroups, the smaller side replicates into each —
+#: so no single task owns a hot gram's whole cross product (the
+#: last-reducer fix; recall unaffected, every pair still co-located once).
+_FUZZY_SALT_TARGET = 50_000
+
+
+def _gram_code(g: str) -> int:
+    """Exact int encoding of a ≤2-char gram (prefix grams are 2-char
+    bigrams, or the whole string / sentinel below length q)."""
+    c0 = ord(g[0]) if len(g) > 0 else 0x10FFFF + 1
+    c1 = ord(g[1]) if len(g) > 1 else 0x10FFFF + 2
+    return c0 * 0x110003 + c1
+
+
 def fuzzy_join(left, right, left_on: str, right_on: str,
                left_id: str, right_id: str, max_dist: int = 2,
                buckets: int = 64):
     """All (left, right) pairs with ``levenshtein ≤ max_dist`` →
     Dataset(left_id, right_id, dist).  Exact — the prefix filter is
-    recall-lossless for edit distance (see module docstring)."""
+    recall-lossless for edit distance (see module docstring).
+
+    Each pair is VERIFIED exactly once: rows carry their prefix-gram
+    codes, and inside gram group ``g`` a pair runs the DP only when no
+    rarer gram is shared by both prefixes (the pair's min-shared gram is
+    its unique verification site) — without this, a pair sharing ``p``
+    prefix grams costs ``p`` DPs.  Hot gram groups are salted (see
+    ``_FUZZY_SALT_TARGET``)."""
     prefix_len = max_dist * _Q + 1
 
-    # --- tiny global gram-frequency table (both sides), broadcast
-    def gram_partial(tbl: pa.Table, col: str) -> pa.Table:
+    # --- tiny PER-SIDE gram-frequency tables, broadcast (rank = total;
+    # per-side counts size the salting)
+    def gram_partial(tbl: pa.Table, col: str, side: str) -> pa.Table:
         from collections import Counter
 
         c: Counter = Counter()
@@ -109,26 +133,41 @@ def fuzzy_join(left, right, left_on: str, right_on: str,
             c.update(_distinct_grams(s or ""))
         if not c:
             return pa.table({"g": pa.array([], type=pa.string()),
+                             "side": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
         g, nn = zip(*c.items())
-        return pa.table({"g": pa.array(g), "n": pa.array(nn,
-                                                         type=pa.int64())})
+        return pa.table({"g": pa.array(g),
+                         "side": pa.array([side] * len(g),
+                                          type=pa.string()),
+                         "n": pa.array(nn, type=pa.int64())})
 
-    freq_rows = (left.map_batches(lambda t: gram_partial(t, left_on),
-                                  batch_format="pyarrow")
-                 .union(right.map_batches(
-                     lambda t: gram_partial(t, right_on),
-                     batch_format="pyarrow"))
-                 .groupby("g").sum("n").take_all())
-    rank = {r["g"]: (r["sum(n)"], r["g"]) for r in freq_rows}
-    rank_ref = ray.put(rank)
+    freq_rows = (left.map_batches(
+        lambda t: gram_partial(t, left_on, "l"), batch_format="pyarrow")
+        .union(right.map_batches(
+            lambda t: gram_partial(t, right_on, "r"),
+            batch_format="pyarrow"))
+        .groupby(["g", "side"]).sum("n").take_all())
+    nl: dict = {}
+    nr: dict = {}
+    for r in freq_rows:
+        (nl if r["side"] == "l" else nr)[r["g"]] = int(r["sum(n)"])
+    rank = {g: (nl.get(g, 0) + nr.get(g, 0), g)
+            for g in set(nl) | set(nr)}
+    # prefix-count-based salting: replicate the smaller side of a hot gram
+    salt: dict = {}
+    for g in rank:
+        pairs = nl.get(g, 0) * nr.get(g, 0)
+        if pairs > _FUZZY_SALT_TARGET:
+            s = int(-(-pairs // _FUZZY_SALT_TARGET))
+            salt[g] = (s, "l" if nl.get(g, 0) <= nr.get(g, 0) else "r")
+    rank_ref = ray.put((rank, salt))
 
-    # --- prefix-gram rows: ≤ prefix_len rows per string
+    # --- prefix-gram rows: ≤ prefix_len (× salt replication) per string
     def emit(tbl: pa.Table, col: str, idc: str, side: str) -> pa.Table:
-        rk = ray.get(rank_ref)
+        rk, sl = ray.get(rank_ref)
         ids = tbl[idc].to_pylist()
         names = tbl[col].to_pylist()
-        og, oid, onm = [], [], []
+        og, oid, onm, ocodes = [], [], [], []
         for i, s in zip(ids, names):
             grams = sorted(_distinct_grams(s or ""), key=lambda g: rk[g])
             # prefix-filter guarantee needs max(|G(a)|,|G(b)|) > k·q; a
@@ -137,13 +176,28 @@ def fuzzy_join(left, right, left_on: str, right_on: str,
             # all block together on a sentinel gram instead.
             if len(grams) <= max_dist * _Q:
                 grams = grams + ["\x00"]
-            for g in grams[:prefix_len]:
-                og.append(g)
-                oid.append(i)
-                onm.append(s)
+            pref = grams[:prefix_len]
+            codes = np.full(prefix_len, -1, dtype=np.int64)
+            for j, g in enumerate(pref):
+                codes[j] = _gram_code(g)
+            cb = codes.tobytes()
+            for g in pref:
+                sg = sl.get(g)
+                if sg is None:
+                    keys = [g]
+                elif sg[1] == side:   # this side replicates
+                    keys = [f"{g}#{x}" for x in range(sg[0])]
+                else:                 # this side hash-partitions
+                    keys = [f"{g}#{hash((i,)) % sg[0]}"]
+                for key in keys:
+                    og.append(key)
+                    oid.append(i)
+                    onm.append(s)
+                    ocodes.append(cb)
         return pa.table({"g": pa.array(og, type=pa.string()),
                          "id": pa.array(oid),
                          "nm": pa.array(onm, type=pa.string()),
+                         "pc": pa.array(ocodes, type=pa.binary()),
                          "side": pa.array([side] * len(og),
                                           type=pa.string())})
 
@@ -154,26 +208,51 @@ def fuzzy_join(left, right, left_on: str, right_on: str,
 
     # --- one gram shuffle → candidates → batched verify inside the group
     def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        lt = pdf[pdf["side"] == "l"]
-        rt = pdf[pdf["side"] == "r"]
+        empty = pd.DataFrame({"lid": pd.Series([], dtype="int64"),
+                              "rid": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        lt = pdf[pdf["side"] == "l"].reset_index(drop=True)
+        rt = pdf[pdf["side"] == "r"].reset_index(drop=True)
         if lt.empty or rt.empty:
-            return pd.DataFrame({"lid": pd.Series([], dtype="int64"),
-                                 "rid": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        cand = lt[["id", "nm"]].merge(rt[["id", "nm"]], how="cross",
-                                      suffixes=("_l", "_r"))
-        ld = cand["nm_l"].str.len().to_numpy()
-        rd = cand["nm_r"].str.len().to_numpy()
-        cand = cand[np.abs(ld - rd) <= max_dist]
-        cand = cand.drop_duplicates(["id_l", "id_r"])
-        if cand.empty:
-            return pd.DataFrame({"lid": pd.Series([], dtype="int64"),
-                                 "rid": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        d = levenshtein_batch(cand["nm_l"].tolist(), cand["nm_r"].tolist())
+            return empty
+        gram = pdf["g"].iloc[0].split("#", 1)[0]
+        gcode = _gram_code(gram)
+        P = prefix_len
+
+        def mask_before(side_df: pd.DataFrame) -> np.ndarray:
+            codes = np.frombuffer(
+                b"".join(side_df["pc"]), dtype=np.int64
+            ).reshape(len(side_df), P)
+            pos = np.argmax(codes == gcode, axis=1)
+            return np.where(np.arange(P)[None, :] < pos[:, None],
+                            codes, -1)
+
+        bl = mask_before(lt)
+        br = mask_before(rt)
+        li, ri = np.meshgrid(np.arange(len(lt)), np.arange(len(rt)),
+                             indexing="ij")
+        li, ri = li.ravel(), ri.ravel()
+        ld = lt["nm"].str.len().to_numpy()[li]
+        rd = rt["nm"].str.len().to_numpy()[ri]
+        keep = np.abs(ld - rd) <= max_dist
+        li, ri = li[keep], ri[keep]
+        if not len(li):
+            return empty
+        # min-shared-gram rule: verify HERE only if no rarer gram is
+        # shared by both prefixes (that group verifies the pair instead)
+        A = bl[li]               # (P, prefix_len) grams rarer than g, -1 pad
+        B = br[ri]
+        dup = ((A[:, :, None] == B[:, None, :])
+               & (A[:, :, None] != -1)).any(axis=(1, 2))
+        li, ri = li[~dup], ri[~dup]
+        if not len(li):
+            return empty
+        a = lt["nm"].to_numpy()[li]
+        b = rt["nm"].to_numpy()[ri]
+        d = levenshtein_batch(list(a), list(b))
         keep = d <= max_dist
-        return pd.DataFrame({"lid": cand["id_l"].to_numpy()[keep],
-                             "rid": cand["id_r"].to_numpy()[keep],
+        return pd.DataFrame({"lid": lt["id"].to_numpy()[li][keep],
+                             "rid": rt["id"].to_numpy()[ri][keep],
                              "dist": d[keep]})
 
     verified = (lg.union(rg).groupby("g")

@@ -72,3 +72,34 @@ class TestFuzzyJoin:
         # (aa,bb)=2 and (aa,"")=2 match; zzzzzzzz matches nothing
         assert out[["lid", "rid", "dist"]].values.tolist() == [
             [0, 0, 2], [0, 1, 2]]
+
+
+def test_hot_gram_salting_preserves_result(ray_session):
+    """A corpus where every string shares one scorching-hot gram must salt
+    (expected pairs ≫ _FUZZY_SALT_TARGET triggers the subgroup split) and
+    still return the exact brute-force pair set."""
+    import ray.data as rd
+
+    import diffdataflowmlpipelines_ray.stages.fuzzy as fz
+
+    old = fz._FUZZY_SALT_TARGET
+    fz._FUZZY_SALT_TARGET = 50     # force salting at toy scale
+    try:
+        names = [f"ZZ-{i:03d}" for i in range(60)]   # all share 'ZZ'/'Z-'
+        lt = rd.from_items([{"k": i, "s": s}
+                            for i, s in enumerate(names)]).repartition(3)
+        rt = rd.from_items([{"k": 1000 + i, "s": s[:5] + "X"}
+                            for i, s in enumerate(names)]).repartition(2)
+        got = sorted(
+            (int(r["lid"]), int(r["rid"]), int(r["dist"]))
+            for r in fz.fuzzy_join(lt, rt, "s", "s", "k", "k",
+                                   max_dist=2).take_all())
+        want = []
+        for i, a in enumerate(names):
+            for j, b in enumerate(n[:5] + "X" for n in names):
+                d = fz.levenshtein_batch([a], [b])[0]
+                if d <= 2:
+                    want.append((i, 1000 + j, int(d)))
+        assert got == sorted(want)
+    finally:
+        fz._FUZZY_SALT_TARGET = old
