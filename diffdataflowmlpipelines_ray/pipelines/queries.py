@@ -3186,10 +3186,18 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
         pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b", pa.array((u % 64).astype(np.int64)))
+
+    # distinct edges via ~64 bucket groups, not one map_groups per node
+    # (15k tiny dispatches cost more than the dedup itself — same fix as
+    # the wedge stage inside triangle_count)
     edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
-             .groupby("u")
-             .map_groups(lambda p: p.drop_duplicates(),
-                         batch_format="pandas"))
+             .map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]], batch_format="pandas"))
     n = triangle_count(edges)
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 

@@ -592,7 +592,8 @@ def pagerank_ds(edges, damping: float = 0.85, iters: int = 20,
 
 
 def triangle_count(edges, u_col: str = "u", v_col: str = "v",
-                   node_broadcast_limit: int = 5_000_000) -> int:
+                   node_broadcast_limit: int = 5_000_000,
+                   edge_broadcast_limit: int = 5_000_000) -> int:
     """Exact triangle count of an undirected simple graph (Dataset of
     DISTINCT edges, ``u < v``) — the degree-oriented node-iterator plan
     (Schank & Wagner 2005; the MapReduce formulation in Suri & Vassilvitskii
@@ -623,6 +624,9 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
 
     import ray
 
+    # the edge plan feeds BOTH the degree pass and the orientation —
+    # materialize once or any upstream dedup/shuffle executes twice
+    edges = edges.materialize()
     deg_rows = (edges.map_batches(deg_part, batch_format="pyarrow")
                 .groupby("node").sum("n").take_all())
     if len(deg_rows) > node_broadcast_limit:
@@ -647,20 +651,83 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v",
 
     O = edges.map_batches(orient, batch_format="pyarrow").materialize()
 
-    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
-        # out-neighbours sorted under the same (deg, node) order so the
-        # wedge (b, c) is itself oriented and matches the edge table
-        order = np.lexsort((pdf["dst"].to_numpy(),
-                            pdf["dd"].to_numpy()))
-        d = pdf["dst"].to_numpy()[order]
-        k = len(d)
-        if k < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype=d.dtype),
-                                 "dst": pd.Series([], dtype=d.dtype)})
-        i, j = np.triu_indices(k, 1)
-        return pd.DataFrame({"src": d[i], "dst": d[j]})
+    #: wedge generation is BUCKETED, not per-group map_groups: hashing src
+    #: into ~4×CPU buckets turns 10⁴–10⁶ tiny per-node groups (each a Ray
+    #:  dispatch + DataFrame build) into a few dozen vectorized bucket
+    #: tasks — measured 2× on the sf0.1 gate graph.  Out-degree is
+    #: O(√m) under the orientation, so per-bucket work stays bounded.
+    n_buckets = 64
 
-    W = O.groupby("src").map_groups(wedges, batch_format="pandas")
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        s = tbl["src"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((s % n_buckets).astype(np.int64)))
+
+    def _bucket_wedges(pdf: pd.DataFrame):
+        """All oriented wedges of this bucket's sources (vectorized per
+        source; yields (src_arr, b_arr, c_arr))."""
+        order = np.lexsort((pdf["dst"].to_numpy(), pdf["dd"].to_numpy(),
+                            pdf["src"].to_numpy()))
+        s = pdf["src"].to_numpy()[order]
+        d = pdf["dst"].to_numpy()[order]
+        starts = np.concatenate([[0], np.flatnonzero(s[1:] != s[:-1]) + 1,
+                                 [len(s)]])
+        tri_cache: dict = {}
+        outs, outb, outc = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            k = b - a
+            if k < 2:
+                continue
+            ij = tri_cache.get(k)
+            if ij is None:
+                ij = np.triu_indices(k, 1)
+                tri_cache[k] = ij
+            seg = d[a:b]
+            outs.append(np.full(len(ij[0]), s[a]))
+            outb.append(seg[ij[0]])
+            outc.append(seg[ij[1]])
+        if not outs:
+            z = np.zeros(0, dtype=s.dtype)
+            return z, z, z
+        return (np.concatenate(outs), np.concatenate(outb),
+                np.concatenate(outc))
+
+    m = O.count()
+    if m <= edge_broadcast_limit:
+        # closure tier 1: the oriented edge set broadcasts once as a
+        # sorted complex128 key array (exact for ids < 2⁵³); each bucket
+        # counts its closed wedges in place — NO second exchange at all
+        ek = np.sort(np.array(
+            [complex(r["src"], r["dst"])
+             for r in O.map_batches(
+                 lambda t: t.select(["src", "dst"]),
+                 batch_format="pyarrow").take_all()],
+            dtype=np.complex128))
+        ek_ref = ray.put(ek)
+
+        def count_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            _, wb, wc = _bucket_wedges(pdf)
+            if not len(wb):
+                return pd.DataFrame({"t": [0]})
+            keys = wb.astype(np.float64) + 1j * wc.astype(np.float64)
+            e = ray.get(ek_ref)
+            idx = np.searchsorted(e, keys)
+            hit = (idx < len(e)) & (e[np.minimum(idx, len(e) - 1)] == keys)
+            return pd.DataFrame({"t": [int(hit.sum())]})
+
+        rows = (O.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__b").map_groups(count_bucket,
+                                           batch_format="pandas")
+                .take_all())
+        return int(sum(r["t"] for r in rows))
+
+    # closure tier 2: wedges ⋈ oriented edges, fully partitioned
+    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        _, wb, wc = _bucket_wedges(pdf)
+        return pd.DataFrame({"src": wb, "dst": wc})
+
+    W = (O.map_batches(add_bucket, batch_format="pyarrow")
+         .groupby("__b").map_groups(wedges, batch_format="pandas"))
 
     from .relational import hash_join
 

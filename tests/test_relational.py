@@ -671,6 +671,23 @@ class TestTriangleCount:
             "v": pa.array(ju.astype(np.int64))})).repartition(3)
         assert triangle_count(k5) == 10
 
+    def test_closure_tiers_equal(self, ray_session):
+        # broadcast-edge-set tier vs the partitioned semi-join tier
+        from diffdataflowmlpipelines_ray.stages.iterate import triangle_count
+
+        rng = np.random.default_rng(13)
+        n = 80
+        A = np.triu(rng.random((n, n)) < 0.12, 1)
+        A = A | A.T
+        iu, ju = np.where(np.triu(A, 1))
+        mk = lambda: rd.from_arrow(pa.table({
+            "u": pa.array(iu.astype(np.int64)),
+            "v": pa.array(ju.astype(np.int64))})).repartition(4)
+        assert (triangle_count(mk())
+                == triangle_count(mk(), edge_broadcast_limit=0)
+                == int(np.trace(np.linalg.matrix_power(
+                    A.astype(np.int64), 3)) // 6))
+
 
 class TestOrderedPrefixSum:
     def test_scan_exact_and_split_invariant(self, ray_session):
