@@ -5221,14 +5221,26 @@ def q_grouped_entropy(sf_dir: str) -> pd.DataFrame:
                .size().reset_index(name="n"))
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
-    def ent(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = pdf.groupby("event_type")["n"].sum().to_numpy(dtype=np.float64)
-        p = c / c.sum()
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
-                             "ent": [float(-(p * np.log2(p)).sum())]})
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    # per-user finish in ~64 bucket groups (C-speed pandas transforms),
+    # not one map_groups dispatch per user
+    def ent_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["user_id", "event_type"], as_index=False)["n"]
+             .sum())
+        tot = g.groupby("user_id")["n"].transform("sum").to_numpy(
+            dtype=np.float64)
+        p = g["n"].to_numpy(dtype=np.float64) / tot
+        g["__t"] = -(p * np.log2(p))
+        out = g.groupby("user_id", as_index=False)["__t"].sum()
+        return out.rename(columns={"__t": "ent"})
 
     df = (ds.map_batches(partial, batch_format="pyarrow")
-          .groupby("user_id").map_groups(ent, batch_format="pandas")
+          .map_batches(add_b, batch_format="pyarrow")
+          .groupby("__b").map_groups(ent_bucket, batch_format="pandas")
           .to_pandas())
     df["ent"] = np.round(df["ent"], 6)
     return df.sort_values("user_id").reset_index(drop=True)

@@ -426,21 +426,38 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         flagged = hash_join(W, D, ["h1", "h2"], ["h1", "h2"], how="semi",
                             buckets=buckets)
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pos = np.sort(pdf["pos"].to_numpy(dtype=np.int64))
-        ends = pos + k - 1
-        new = np.ones(len(pos), dtype=bool)
-        if len(pos) > 1:
-            new[1:] = pos[1:] > np.maximum.accumulate(ends)[:-1]
-        seg_end = np.maximum.reduceat(ends, np.flatnonzero(new))
-        covered = int((seg_end - pos[new] + 1).sum())
-        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]],
-                             "n_dup_windows": [np.int64(len(pos))],
-                             "n_dup_words": [np.int64(covered)]})
+    # per-doc interval union runs in ~64 BUCKET groups, not one map_groups
+    # dispatch per document (10⁴–10⁶ tiny groups cost more in Ray dispatch
+    # + DataFrame builds than the union itself — the triangle_count lesson)
+    def add_doc_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl[id_col].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((d % 64).astype(np.int64)))
 
-    flagged = flagged.materialize()  # duplicated windows only, feeds groupby
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["pos"].to_numpy(dtype=np.int64),
+                            pdf[id_col].to_numpy()))
+        docs = pdf[id_col].to_numpy()[order]
+        pos = pdf["pos"].to_numpy(dtype=np.int64)[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1, [len(docs)]])
+        ids, nw, nd = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            p = pos[a:b]
+            ends = p + k - 1
+            new = np.ones(len(p), dtype=bool)
+            if len(p) > 1:
+                new[1:] = p[1:] > np.maximum.accumulate(ends)[:-1]
+            seg_end = np.maximum.reduceat(ends, np.flatnonzero(new))
+            ids.append(docs[a])
+            nw.append(len(p))
+            nd.append(int((seg_end - p[new] + 1).sum()))
+        return pd.DataFrame({id_col: ids,
+                             "n_dup_windows": np.array(nw, dtype=np.int64),
+                             "n_dup_words": np.array(nd, dtype=np.int64)})
 
-    per = flagged.groupby(id_col).map_groups(per_doc, batch_format="pandas")
+    per = (flagged.map_batches(add_doc_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
 
     def doc_stats(tbl: pa.Table) -> pa.Table:
         from ..functions.tokenize import tokenize_column
