@@ -288,19 +288,23 @@ def als_factorize(ratings, user_col: str = "user", item_col: str = "item",
 
     Half-steps:  V ← per-item ridge solve over (ratings + user factors);
     U ← symmetric.  Factors ride as flat float columns (f0..f{k−1}),
-    never Python objects, and every per-id solve SORTS its rows by the
-    joined id before accumulating Xᵀ X — so the normal equations are
-    bit-identical at any partitioning and the whole factorization is
-    deterministic (``np.linalg.solve`` on identical inputs).  Init is
-    hash-derived per id: no RNG state, no driver id list.
+    never Python objects.  Solves run BUCKETED and BATCHED: ids hash
+    into ~n_buckets groups, and one task per bucket accumulates every
+    id's normal equations with ``np.add.at`` over rows sorted by
+    (id, joined-id, rating) and solves them all with ONE stacked
+    ``np.linalg.solve((G,k,k),(G,k))`` — never one Ray dispatch per id
+    (10⁹ users would mean 10⁹ dispatches), and bit-identical at any
+    partitioning or plan tier because the accumulation order is the
+    sorted row order in both.  Init is hash-derived per id: no RNG
+    state, no driver id list.
 
     Two plans on the measured id-space size (pytest-equal bit-for-bit):
 
     - ``users+items ≤ broadcast_max``: both factor tables are one
-      ``ray.put``; each half-step is a single ``groupby`` whose solves
-      merge the broadcast table in-block — 2 shuffles/round.
+      ``ray.put``; each half-step is a single bucket ``groupby`` whose
+      tasks merge the broadcast table in-block — 2 shuffles/round.
     - above: NOTHING factor-shaped touches the driver — each half-step
-      is a partitioned ``hash_join`` (ratings ⋈ factors) + a narrow
+      is a partitioned ``hash_join`` (ratings ⋈ factors) + the bucket
       groupby solve; with 10⁹ users / 10⁸ items both tables stay
       sharded Datasets end-to-end.
 
@@ -312,32 +316,53 @@ def als_factorize(ratings, user_col: str = "user", item_col: str = "item",
     from .relational import hash_join
 
     fcols = [f"f{j}" for j in range(k)]
+    n_buckets = 64
     ratings = ratings.materialize()
 
+    def _add_bucket(col: str):
+        def add(tbl: pa.Table) -> pa.Table:
+            key = tbl[col].to_numpy(zero_copy_only=False)
+            b = (pd.util.hash_pandas_object(pd.Series(key), index=False)
+                 .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+            return tbl.append_column("__b", pa.array(b))
+        return add
+
     def init_groups(col: str, tag: str, out_id: str):
-        def init(pdf: pd.DataFrame) -> pd.DataFrame:
-            uid = pdf[col].iloc[0]
-            vec = _als_init_factors(np.array([uid]), k, tag)[0]
-            out = {out_id: [uid]}
+        def init_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = np.unique(pdf[col].to_numpy())
+            mat = _als_init_factors(ids, k, tag)
+            out = {out_id: ids}
             for j, c in enumerate(fcols):
-                out[c] = [vec[j]]
+                out[c] = mat[:, j]
             return pd.DataFrame(out)
 
-        return (ratings.groupby(col)
-                .map_groups(init, batch_format="pandas").materialize())
+        return (ratings.map_batches(_add_bucket(col),
+                                    batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(init_bucket, batch_format="pandas")
+                .materialize())
 
-    def solve_pdf(pdf: pd.DataFrame, group_col: str, join_id: str,
-                  out_id: str) -> pd.DataFrame:
-        # sort on (id, rating) — duplicate (group, join-id) pairs would
-        # otherwise accumulate in plan-dependent order across tiers
-        pdf = pdf.sort_values([join_id, rating_col], kind="mergesort")
+    def solve_bucket_pdf(pdf: pd.DataFrame, group_col: str, join_id: str,
+                         out_id: str) -> pd.DataFrame:
+        """ALL of one bucket's ids solved in one stacked call.  Rows sort
+        by (id, joined-id, rating) so accumulation order — and therefore
+        every float — is identical across tiers and partitionings."""
+        pdf = pdf.sort_values([group_col, join_id, rating_col],
+                              kind="mergesort")
+        g = pdf[group_col].to_numpy()
+        uniq, gidx = np.unique(g, return_inverse=True)
         X = pdf[fcols].to_numpy(dtype=np.float64)
         r = pdf[rating_col].to_numpy(dtype=np.float64)
-        A = X.T @ X + lam * np.eye(k)
-        x = np.linalg.solve(A, X.T @ r)
-        out = {out_id: [pdf[group_col].iloc[0]]}
+        G = len(uniq)
+        A = np.zeros((G, k, k))
+        np.add.at(A, gidx, X[:, :, None] * X[:, None, :])
+        A += lam * np.eye(k)[None, :, :]
+        b = np.zeros((G, k))
+        np.add.at(b, gidx, X * r[:, None])
+        sol = np.linalg.solve(A, b[:, :, None])[:, :, 0]
+        out = {out_id: uniq}
         for j, c in enumerate(fcols):
-            out[c] = [x[j]]
+            out[c] = sol[:, j]
         return pd.DataFrame(out)
 
     U = init_groups(user_col, "u", "uid")
@@ -358,9 +383,11 @@ def als_factorize(ratings, user_col: str = "user", item_col: str = "item",
                 fac = ray.get(ref)
                 m = pdf[[group_col, join_col, rating_col]].merge(
                     fac, left_on=join_col, right_on=fac_id)
-                return solve_pdf(m, group_col, join_col, out_id)
+                return solve_bucket_pdf(m, group_col, join_col, out_id)
 
-            out = (ratings.groupby(group_col)
+            out = (ratings.map_batches(_add_bucket(group_col),
+                                       batch_format="pyarrow")
+                   .groupby("__b")
                    .map_groups(solve_g, batch_format="pandas")
                    .to_pandas())
             return out.sort_values(out_id).reset_index(drop=True)
@@ -397,9 +424,11 @@ def als_factorize(ratings, user_col: str = "user", item_col: str = "item",
 
     def solve_groups(attached, group_col: str, join_id: str, out_id: str):
         def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-            return solve_pdf(pdf, group_col, join_id, out_id)
+            return solve_bucket_pdf(pdf, group_col, join_id, out_id)
 
-        return (attached.groupby(group_col)
+        return (attached.map_batches(_add_bucket(group_col),
+                                     batch_format="pyarrow")
+                .groupby("__b")
                 .map_groups(solve, batch_format="pandas"))
 
     V = None
