@@ -3644,9 +3644,16 @@ def q_kcore(sf_dir: str) -> pd.DataFrame:
         v = np.concatenate([tv, m + 10, m + 20, m + 20])
         return pa.table({"u": pa.array(u), "v": pa.array(v)})
 
+    def _bkt(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b", pa.array((u % 64).astype(np.int64)))
+
+    # global edge dedup in 64 bucket groups, not one dispatch per node
     edges = (ds.map_batches(mk_edges, batch_format="pyarrow")
-             .groupby("u")                            # global edge dedup
-             .map_groups(lambda p: p.drop_duplicates(),
+             .map_batches(_bkt, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]],
                          batch_format="pandas").materialize())
     if edges.count() <= KCORE_DRIVER_MAX_EDGES:
         res = kcore(pa.concat_tables(list(
@@ -5813,17 +5820,23 @@ def q_skyline(sf_dir: str) -> pd.DataFrame:
         out["n_events"] = out["n_events"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [pdf["user_id"].iloc[0]],
-            "n_events": [np.int64(pdf["n_events"].sum())],
-            "cents": [np.int64(pdf["cents"].sum())],
-            "last_us": [np.int64(pdf["last_us"].max())],
-        })
+    def _bkt(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b", pa.array((u % 64).astype(np.int64)))
+
+    # per-user merge in 64 bucket groups (one C-speed pandas agg per
+    # bucket), not one map_groups dispatch per user
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (pdf.groupby("user_id", as_index=False)
+               .agg(n_events=("n_events", "sum"), cents=("cents", "sum"),
+                    last_us=("last_us", "max")))
+        return out.astype({"n_events": np.int64, "cents": np.int64,
+                           "last_us": np.int64})
 
     per_user = (ds.map_batches(agg_block, batch_format="pyarrow")
-                .groupby("user_id")
-                .map_groups(merge_group, batch_format="pandas"))
+                .map_batches(_bkt, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(merge_bucket, batch_format="pandas"))
     out = (skyline(per_user, ["n_events", "cents", "last_us"])
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     for c in ("user_id", "n_events", "cents", "last_us"):

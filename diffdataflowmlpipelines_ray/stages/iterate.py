@@ -1078,9 +1078,17 @@ def bfs_hops_ds(edges, source: int, max_hops: int = 64,
                 lambda t: t.select(["id"]).rename_columns(["fid"]),
                 batch_format="pyarrow"),
             E, ["fid"], ["u"], buckets=buckets)
+        def _nbkt(tbl: pa.Table) -> pa.Table:
+            n = tbl["id"].to_numpy(zero_copy_only=False)
+            return tbl.append_column(
+                "__b", pa.array((n % 64).astype(np.int64)))
+
+        # frontier distinct in 64 bucket groups, not one dispatch per node
         nbr = (cand.map_batches(block_distinct, batch_format="pyarrow")
-               .groupby("id")
-               .map_groups(lambda p: p.head(1), batch_format="pandas"))
+               .map_batches(_nbkt, batch_format="pyarrow")
+               .groupby("__b")
+               .map_groups(lambda p: p.drop_duplicates(["id"])[["id"]],
+                           batch_format="pandas"))
         new = hash_join(nbr, dist.map_batches(
             lambda t: t.select(["id"]), batch_format="pyarrow"),
             ["id"], ["id"], buckets=buckets, how="anti")
