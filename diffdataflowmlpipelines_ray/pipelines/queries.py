@@ -5396,6 +5396,20 @@ def q_regex_mask(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "masked"]).to_pandas()
 
 
+def q_profile(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANALYZE TABLE over events (`stages/profile.py`):
+    per-column counts + EXACT distinct cardinality (block-pre-deduped
+    value exchange — a value leaves its block once) + numeric min/max
+    from O(blocks) partials."""
+    from ..stages.profile import profile_columns
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    return profile_columns(
+        ds, ["event_id", "user_id", "event_type", "value"],
+        numeric_cols=["event_id", "user_id", "value"])
+
+
 def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
     """Seeded deterministic global permutation (`stages/relational.py
     deterministic_shuffle`): reproducible training-data shuffle — one
@@ -6014,6 +6028,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "kbins_quantile": q_kbins_quantile,
     "shuffle_rank": q_shuffle_rank,
+    "profile_table": q_profile,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7737,6 +7752,24 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "profile_table": """
+        SELECT 'event_id' AS column, count(*)::BIGINT AS n,
+               (count(*) - count(event_id))::BIGINT AS n_null,
+               count(DISTINCT event_id)::BIGINT AS n_distinct,
+               min(event_id)::DOUBLE AS min_num,
+               max(event_id)::DOUBLE AS max_num FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id), min(user_id)::DOUBLE,
+               max(user_id)::DOUBLE FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type), NULL, NULL FROM events
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT value), min(value)::DOUBLE,
+               max(value)::DOUBLE FROM events
+    """,
     "shuffle_rank": """
         SELECT doc_id,
                row_number() OVER (

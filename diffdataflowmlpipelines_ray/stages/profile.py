@@ -1,0 +1,83 @@
+"""Dataset profiling — the distributed ``ANALYZE TABLE`` primitive every
+ingestion pipeline runs before training: per-column row/null counts, EXACT
+distinct cardinality, and numeric min/max, as one tidy stats table.
+
+100-TB plan: counts and min/max fold from one map pass of O(blocks)
+partial rows.  Distinct counts are EXACT (not sketched): per block each
+column's values pre-dedup with ``np.unique``, then one narrow
+``groupby(value)`` exchange per profiled column counts survivors — a
+value leaves its block once regardless of frequency, so the exchange is
+bounded by Σ per-block cardinality (the HLL sketch in
+``state/sketches.py`` is the approximate tier when even that is too
+much; this operator is the exact twin the gate can oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(ds, columns: list[str],
+                    numeric_cols: list[str]) -> "object":
+    """→ pandas DataFrame (column, n, n_null, n_distinct, min_num,
+    max_num); min/max only for ``numeric_cols`` (NaN elsewhere), computed
+    as float64.  Distinct counts include nulls as SQL ``COUNT(DISTINCT)``
+    does NOT — nulls are excluded there, and here."""
+    import pandas as pd
+
+    ds = ds.materialize()
+
+    def part(tbl: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = tbl[c]
+            n = len(col)
+            n_null = col.null_count
+            if c in numeric_cols and n > n_null:
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[~np.isnan(v)]
+                mn, mx = (float(v.min()), float(v.max())) if len(v) else (
+                    math.inf, -math.inf)
+            else:
+                mn, mx = math.inf, -math.inf
+            rows.append((c, n, n_null, mn, mx))
+        col_, n_, nn_, mn_, mx_ = zip(*rows)
+        return pa.table({"column": pa.array(col_),
+                         "n": pa.array(n_, type=pa.int64()),
+                         "n_null": pa.array(nn_, type=pa.int64()),
+                         "mn": pa.array(mn_), "mx": pa.array(mx_)})
+
+    agg: dict = {c: [0, 0, math.inf, -math.inf] for c in columns}
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        a = agg[r["column"]]
+        a[0] += int(r["n"])
+        a[1] += int(r["n_null"])
+        a[2] = min(a[2], float(r["mn"]))
+        a[3] = max(a[3], float(r["mx"]))
+
+    def distinct_count(c: str) -> int:
+        def uniq(tbl: pa.Table) -> pa.Table:
+            col = tbl[c].drop_null()
+            return pa.table({"v": pc.unique(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)})
+
+        return (ds.map_batches(uniq, batch_format="pyarrow")
+                .groupby("v").count().count())
+
+    out = []
+    for c in columns:
+        n, n_null, mn, mx = agg[c]
+        isnum = c in numeric_cols
+        out.append((c, n, n_null, distinct_count(c),
+                    mn if isnum and mn != math.inf else float("nan"),
+                    mx if isnum and mx != -math.inf else float("nan")))
+    return pd.DataFrame(out, columns=["column", "n", "n_null",
+                                      "n_distinct", "min_num", "max_num"]
+                        ).astype({"n": np.int64, "n_null": np.int64,
+                                  "n_distinct": np.int64})

@@ -2007,3 +2007,31 @@ class TestAls:
         pd.testing.assert_frame_equal(ub, ue)
         pd.testing.assert_frame_equal(vb, ve)
         assert abs(rb - re_) < 1e-12
+
+
+class TestProfile:
+    def test_matches_pandas_reference(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.profile import (
+            profile_columns,
+        )
+
+        tbl = pa.table({
+            "a": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+            "s": pa.array(["x", None, "x", "y", "z"]),
+            "f": pa.array([1.5, np.nan, 2.5, 2.5, -1.0]),
+        })
+        for parts in (1, 3):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            out = profile_columns(ds, ["a", "s", "f"],
+                                  numeric_cols=["a", "f"])
+            got = {r.column: (int(r.n), int(r.n_null), int(r.n_distinct),
+                              r.min_num, r.max_num)
+                   for r in out.itertuples()}
+            assert got["a"][:3] == (5, 1, 3)
+            assert got["a"][3:] == (1.0, 5.0)
+            assert got["s"][:3] == (5, 1, 3)
+            assert np.isnan(got["s"][3]) and np.isnan(got["s"][4])
+            # NaN floats: arrow null_count treats NaN as a VALUE — n_null
+            # stays 0 but min/max must skip it
+            assert got["f"][0] == 5 and got["f"][1] == 0
+            assert got["f"][3] == -1.0 and got["f"][4] == 2.5
