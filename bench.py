@@ -108,7 +108,8 @@ def run_bench() -> dict:
         "kcore", "cap_per_group", "bm25_topk", "late_window_split",
         "dsir_weights", "hist_tree", "hist_boost", "kneser_ney",
         "chunk_tokens", "vocab_growth", "mixture_sample", "als_factors",
-        "hash_split", "kbins_quantile", "shuffle_rank", "profile_table")
+        "hash_split", "kbins_quantile", "shuffle_rank", "profile_table",
+        "psi_drift")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

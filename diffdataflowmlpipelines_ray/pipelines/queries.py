@@ -5410,6 +5410,20 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         numeric_cols=["event_id", "user_id", "value"])
 
 
+def q_psi(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index between the click-value and
+    purchase-value distributions (`stages/profile.py psi`): equal-width
+    bins over the reference min/max, add-one smoothing, per-bin micro-nat
+    terms and their exact int64 sum — the model-monitoring drift
+    primitive, O(blocks × bins) traffic, zero shuffles."""
+    from ..stages.profile import psi
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    ref = ev.filter(expr="event_type == 'click'")
+    new = ev.filter(expr="event_type == 'purchase'")
+    return psi(ref, new, "value", bins=10)
+
+
 def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
     """Seeded deterministic global permutation (`stages/relational.py
     deterministic_shuffle`): reproducible training-data shuffle — one
@@ -6029,6 +6043,7 @@ QUERIES = {
     "kbins_quantile": q_kbins_quantile,
     "shuffle_rank": q_shuffle_rank,
     "profile_table": q_profile,
+    "psi_drift": q_psi,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7752,6 +7767,39 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "psi_drift": """
+        -- PSI over 10 reference-minmax bins, add-one smoothing, per-bin
+        -- micro terms rounded half-away; total = exact int sum of terms
+        WITH ref AS (SELECT value::DOUBLE AS v FROM events
+                     WHERE event_type = 'click'),
+        nw AS (SELECT value::DOUBLE AS v FROM events
+               WHERE event_type = 'purchase'),
+        st AS (SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM ref),
+        ha AS (SELECT CAST(LEAST(GREATEST(floor((v - lo) / w), 0), 9)
+                           AS BIGINT) AS bin, count(*)::BIGINT AS c
+               FROM ref, st GROUP BY 1),
+        hb AS (SELECT CAST(LEAST(GREATEST(floor((v - lo) / w), 0), 9)
+                           AS BIGINT) AS bin, count(*)::BIGINT AS c
+               FROM nw, st GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM ref)::BIGINT AS na,
+                       (SELECT count(*) FROM nw)::BIGINT AS nb),
+        b AS (SELECT i.i::BIGINT AS bin FROM UNNEST(range(10)) AS i(i)),
+        t AS (SELECT b.bin,
+                     COALESCE(ha.c, 0) AS n_ref,
+                     COALESCE(hb.c, 0) AS n_new,
+                     CAST(round(
+                         ((COALESCE(ha.c, 0) + 1.0) / (tot.na + 10)
+                          - (COALESCE(hb.c, 0) + 1.0) / (tot.nb + 10))
+                         * ln(((COALESCE(ha.c, 0) + 1.0) / (tot.na + 10))
+                              / ((COALESCE(hb.c, 0) + 1.0)
+                                 / (tot.nb + 10))) * 1e6)
+                          AS BIGINT) AS term_micro
+              FROM b LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+                   CROSS JOIN tot)
+        SELECT bin, n_ref, n_new, term_micro,
+               (SELECT sum(term_micro) FROM t)::BIGINT AS psi_micro
+        FROM t ORDER BY bin
+    """,
     "profile_table": """
         SELECT 'event_id' AS column, count(*)::BIGINT AS n,
                (count(*) - count(event_id))::BIGINT AS n_null,

@@ -19,7 +19,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_columns"]
+from ..functions.vectors import half_away
+
+__all__ = ["profile_columns", "psi"]
 
 
 def profile_columns(ds, columns: list[str],
@@ -81,3 +83,68 @@ def profile_columns(ds, columns: list[str],
                                       "n_distinct", "min_num", "max_num"]
                         ).astype({"n": np.int64, "n_null": np.int64,
                                   "n_distinct": np.int64})
+
+
+def psi(ds_ref, ds_new, col: str, bins: int = 10):
+    """Population Stability Index — the model-monitoring drift score
+    between a reference and a new sample of one numeric column:
+
+        PSI = Σ_bins (p_ref_i − p_new_i) · ln(p_ref_i / p_new_i)
+
+    Equal-width bins span the REFERENCE min/max (values outside clamp to
+    the edge bins, the standard convention), and both distributions use
+    add-one smoothing so empty bins stay finite.  Returns a pandas
+    DataFrame of per-bin rows (bin, n_ref, n_new, term) plus the total in
+    every row (psi) — all counts exact int64, every float the identical
+    IEEE expression on those ints in both twins (same determinism
+    contract as `repetition_filter`), so the gate is bit-exact.
+
+    Plan: ONE map pass per side emitting a (bins,)-histogram per block —
+    O(blocks × bins) ints to the driver, zero shuffles at any size."""
+    import pandas as pd
+
+    ds_ref = ds_ref.materialize()  # feeds both the min/max and hist pass
+    lohi = [math.inf, -math.inf]
+    for r in ds_ref.map_batches(
+            lambda t: pa.table({
+                "lo": pa.array([float(np.nanmin(
+                    t[col].to_numpy(zero_copy_only=False)))
+                    if t.num_rows else math.inf]),
+                "hi": pa.array([float(np.nanmax(
+                    t[col].to_numpy(zero_copy_only=False)))
+                    if t.num_rows else -math.inf])}),
+            batch_format="pyarrow").take_all():
+        lohi[0] = min(lohi[0], float(r["lo"]))
+        lohi[1] = max(lohi[1], float(r["hi"]))
+    lo, hi = lohi
+    w = (hi - lo) / bins  # the same double division as the SQL twin
+
+    def hist(ds):
+        def part(tbl: pa.Table) -> pa.Table:
+            v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            b = (np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(
+                np.int64) if w != 0.0 else np.zeros(len(v), np.int64))
+            return pa.table({"h": pa.array(
+                [np.bincount(b, minlength=bins).astype(np.int64)
+                 .tobytes()])})
+
+        out = np.zeros(bins, dtype=np.int64)
+        for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+            out += np.frombuffer(r["h"], dtype=np.int64)
+        return out
+
+    ca, cb = hist(ds_ref), hist(ds_new)
+    na, nb = int(ca.sum()), int(cb.sum())
+    pa_ = (ca + 1.0) / (na + bins)
+    pb_ = (cb + 1.0) / (nb + bins)
+    term = (pa_ - pb_) * np.log(pa_ / pb_)
+    tm = half_away(term * 1e6).astype(np.int64)
+    # the total is the SUM OF THE ROUNDED per-bin micro terms — an exact
+    # int64 sum, so the twin's SQL SUM is order-free and bit-equal
+    return pd.DataFrame({
+        "bin": np.arange(bins, dtype=np.int64),
+        "n_ref": ca, "n_new": cb,
+        "term_micro": tm,
+        "psi_micro": np.full(bins, int(tm.sum()), dtype=np.int64),
+    })

@@ -2035,3 +2035,31 @@ class TestProfile:
             # stays 0 but min/max must skip it
             assert got["f"][0] == 5 and got["f"][1] == 0
             assert got["f"][3] == -1.0 and got["f"][4] == 2.5
+
+    def test_psi_drift_detection(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.profile import psi
+
+        rng = np.random.default_rng(6)
+        ref = rd.from_arrow(pa.table({
+            "v": pa.array(rng.normal(0, 1, 3000))})).repartition(3)
+        same = rd.from_arrow(pa.table({
+            "v": pa.array(rng.normal(0, 1, 3000))})).repartition(2)
+        shifted = rd.from_arrow(pa.table({
+            "v": pa.array(rng.normal(2.0, 1, 3000))})).repartition(2)
+        lo = psi(ref, same, "v")
+        hi = psi(ref, shifted, "v")
+        # identical-distribution PSI ≈ 0 (< 0.1 rule of thumb); a 2σ
+        # shift is a major-drift signal (> 0.25)
+        assert lo["psi_micro"].iloc[0] < 100_000
+        assert hi["psi_micro"].iloc[0] > 250_000
+        assert (lo["n_ref"].sum() == 3000 and lo["n_new"].sum() == 3000)
+
+    def test_psi_identical_counts_zero(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.profile import psi
+
+        t = pa.table({"v": pa.array(np.linspace(0, 9, 100))})
+        ds1 = rd.from_arrow(t).repartition(2)
+        ds2 = rd.from_arrow(t).repartition(5)
+        out = psi(ds1, ds2, "v", bins=5)
+        assert (out["term_micro"] == 0).all()
+        assert out["psi_micro"].iloc[0] == 0
