@@ -5410,6 +5410,21 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         numeric_cols=["event_id", "user_id", "value"])
 
 
+def q_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide → long reshape (`stages/relational.py unpivot`), the inverse
+    of `pivot`: map-only ×3 row expansion, nothing shuffles."""
+    from ..stages.relational import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_tax",
+                "l_discount"])
+    out = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_tax", "l_discount"]).to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber", "variable"])
+            .reset_index(drop=True)
+            .astype({"l_orderkey": np.int64, "l_linenumber": np.int64}))
+
+
 def q_psi(sf_dir: str) -> pd.DataFrame:
     """Population Stability Index between the click-value and
     purchase-value distributions (`stages/profile.py psi`): equal-width
@@ -6044,6 +6059,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "profile_table": q_profile,
     "psi_drift": q_psi,
+    "unpivot": q_unpivot,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7767,6 +7783,17 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+               l_quantity::DOUBLE AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax::DOUBLE
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               l_discount::DOUBLE FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, variable
+    """,
     "psi_drift": """
         -- PSI over 10 reference-minmax bins, add-one smoothing, per-bin
         -- micro terms rounded half-away; total = exact int sum of terms

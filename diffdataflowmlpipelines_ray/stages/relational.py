@@ -28,7 +28,7 @@ __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
            "build_bloom", "bloom_prefilter", "ordered_prefix_sum",
-           "cap_per_group", "deterministic_shuffle"]
+           "cap_per_group", "deterministic_shuffle", "unpivot"]
 
 
 def _with_bucket(ds, key_cols: Sequence[str], buckets: int, tag: str,
@@ -852,3 +852,31 @@ def deterministic_shuffle(ds, seed: int = 0, id_col: str = "doc_id",
 
     return (S.map_batches(attach, batch_size=None, batch_format="pyarrow")
             .drop_columns(["__h"]))
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_col: str = "variable", val_col: str = "value"):
+    """Wide → long reshape (pandas ``melt`` / SQL ``UNPIVOT``), the
+    inverse of :func:`pivot`: each input row emits one
+    ``(*id_cols, variable, value)`` row per value column, variables in
+    the given column order.  Values cast to float64 (one common type is
+    the price of the long form, as in SQL).  Stateless map-only — blocks
+    expand in place by ×len(value_cols), nothing shuffles."""
+    ids = list(id_cols)
+    vals = list(value_cols)
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols: dict = {}
+        for c in ids:
+            a = tbl[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.tile(a, len(vals)))
+        cols[var_col] = pa.array(np.repeat(np.array(vals, dtype=object),
+                                           n).reshape(len(vals), n)
+                                 .ravel().tolist(), type=pa.string())
+        cols[val_col] = pa.array(np.concatenate(
+            [tbl[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in vals]))
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -809,3 +809,23 @@ class TestDeterministicShuffle:
                .sort_values("doc_id"))
         assert out["text"].tolist() == ["a", "b", "c"]
         assert set(out.columns) == {"doc_id", "text", "rank"}
+
+
+class TestUnpivot:
+    def test_round_trip_and_order(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.relational import unpivot
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], type=pa.int64()),
+            "a": pa.array([10.0, 20.0]),
+            "b": pa.array([1.5, 2.5])})).repartition(2)
+        out = (unpivot(ds, ["k"], ["a", "b"]).to_pandas()
+               .sort_values(["k", "variable"]).reset_index(drop=True))
+        assert out.values.tolist() == [
+            [1, "a", 10.0], [1, "b", 1.5],
+            [2, "a", 20.0], [2, "b", 2.5]]
+        # inverse of pivot: re-widening recovers the input
+        wide = out.pivot(index="k", columns="variable",
+                         values="value").reset_index()
+        assert wide["a"].tolist() == [10.0, 20.0]
+        assert wide["b"].tolist() == [1.5, 2.5]
