@@ -5410,6 +5410,94 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         numeric_cols=["event_id", "user_id", "value"])
 
 
+_HITS_ITERS = 4
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact HITS hubs/authorities (Kleinberg 1999) on the
+    directed orders-derived graph — L1 normalization to 1e12 units by
+    floor division each half-step keeps every operation integer, so the
+    result has no summation-order freedom and the unrolled HUGEINT SQL
+    twin is bit-equal (the `pagerank_exact` contract).  Size-tiered:
+    numpy driver twin under `HITS_DRIVER_MAX_EDGES`, the hash-join
+    exchange plan above (pytest-equal)."""
+    from ..stages.iterate import (
+        HITS_DRIVER_MAX_EDGES,
+        hits_int,
+        hits_int_ds,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        s = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        d = tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500
+        keep = s != d
+        pdf = pd.DataFrame({"src": s[keep], "dst": d[keep]}
+                           ).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def _bkt(tbl: pa.Table) -> pa.Table:
+        u = tbl["src"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    E = (orders.map_batches(mk_edges, batch_format="pyarrow")
+         .map_batches(_bkt, batch_format="pyarrow")
+         .groupby("__b")
+         .map_groups(lambda p: p.drop_duplicates(["src", "dst"])
+                     [["src", "dst"]], batch_format="pandas")
+         .materialize())
+    if E.count() <= HITS_DRIVER_MAX_EDGES:
+        res = hits_int(pa.concat_tables(list(
+            E.iter_batches(batch_format="pyarrow"))),
+            iters=_HITS_ITERS).to_pandas()
+    else:
+        res = hits_int_ds(E, iters=_HITS_ITERS).to_pandas()
+    return (res.sort_values("id").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HUGEINT DuckDB twin of ``q_hits`` (positive operands, so
+    DuckDB's truncating ``//`` equals the floor division of the Ray
+    plan)."""
+    ctes = ["""
+        e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+            FROM orders WHERE o_custkey <> o_orderkey % 1500),
+        nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        p AS (SELECT count(*)::HUGEINT AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT id, 1000000000000::HUGEINT // p.n AS s
+            FROM nodes, p)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+        ar{t} AS (SELECT n.id, COALESCE(x.s, 0)::HUGEINT AS s
+                  FROM nodes n LEFT JOIN (
+                      SELECT e.dst AS id, SUM(h{t - 1}.s)::HUGEINT AS s
+                      FROM e JOIN h{t - 1} ON h{t - 1}.id = e.src
+                      GROUP BY e.dst) x USING (id)),
+        at{t} AS (SELECT SUM(s)::HUGEINT AS t FROM ar{t}),
+        a{t} AS MATERIALIZED (
+            SELECT id, s * 1000000000000 // at{t}.t AS s
+            FROM ar{t}, at{t}),
+        hr{t} AS (SELECT n.id, COALESCE(x.s, 0)::HUGEINT AS s
+                  FROM nodes n LEFT JOIN (
+                      SELECT e.src AS id, SUM(a{t}.s)::HUGEINT AS s
+                      FROM e JOIN a{t} ON a{t}.id = e.dst
+                      GROUP BY e.src) x USING (id)),
+        ht{t} AS (SELECT SUM(s)::HUGEINT AS t FROM hr{t}),
+        h{t} AS MATERIALIZED (
+            SELECT id, s * 1000000000000 // ht{t}.t AS s
+            FROM hr{t}, ht{t})""")
+    return ("WITH" + ",".join(ctes) + f"""
+        SELECT h{iters}.id, h{iters}.s::BIGINT AS hub_units,
+               a{iters}.s::BIGINT AS auth_units
+        FROM h{iters} JOIN a{iters} USING (id) ORDER BY id""")
+
+
 def q_unpivot(sf_dir: str) -> pd.DataFrame:
     """Wide → long reshape (`stages/relational.py unpivot`), the inverse
     of `pivot`: map-only ×3 row expansion, nothing shuffles."""
@@ -6060,6 +6148,7 @@ QUERIES = {
     "profile_table": q_profile,
     "psi_drift": q_psi,
     "unpivot": q_unpivot,
+    "hits": q_hits,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7783,6 +7872,7 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "hits": _hits_sql(_HITS_ITERS),
     "unpivot": """
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
                l_quantity::DOUBLE AS value FROM lineitem

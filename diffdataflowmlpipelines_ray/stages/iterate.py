@@ -23,7 +23,8 @@ __all__ = ["triangle_count", "connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds", "pagerank_int", "pagerank_int_ds",
            "PR_INT_DRIVER_MAX_EDGES", "kcore", "kcore_ds",
            "KCORE_DRIVER_MAX_EDGES", "bfs_hops", "bfs_hops_ds",
-           "BFS_DRIVER_MAX_EDGES"]
+           "BFS_DRIVER_MAX_EDGES", "hits_int", "hits_int_ds",
+           "HITS_DRIVER_MAX_EDGES"]
 
 
 def connected_components(edges, max_iters: int = 64):
@@ -1102,3 +1103,163 @@ def bfs_hops_ds(edges, source: int, max_hops: int = 64,
         dist = dist.union(new).materialize()
         frontier = new
     return dist
+
+
+#: Same size-tiering contract as PR_INT_DRIVER_MAX_EDGES.
+HITS_DRIVER_MAX_EDGES = 2_000_000
+
+
+def hits_int(edges, iters: int = 4, total: int = 10**12) -> pa.Table:
+    """Integer-exact HITS (Kleinberg 1999) on a DIRECTED edge list →
+    pa.Table ``(id, hub_units, auth_units)``.
+
+    Hub/authority mutual recursion with L1 normalization to ``total``
+    integer units via floor division each half-step — every operation is
+    integer, so (like ``pagerank_int``) the result has NO summation-order
+    freedom: bit-equal across the driver tier, the distributed tier, and
+    the unrolled SQL twin.  The normalization product ``a_i · total``
+    runs in Python big ints (object dtype) — numpy int64 would overflow
+    at ~9e6 in-degree; DuckDB mirrors it in HUGEINT.
+
+    Both scores start at ``total // n``; a node with no in-edges has
+    authority 0 after normalization input (and symmetric for hubs)."""
+    if not isinstance(edges, pa.Table):
+        edges = pa.concat_tables(list(edges.iter_batches(
+            batch_format="pyarrow")))
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([src, dst]))
+    n = len(ids)
+    if n == 0:
+        return pa.table({"id": pa.array([], type=pa.int64()),
+                         "hub_units": pa.array([], type=pa.int64()),
+                         "auth_units": pa.array([], type=pa.int64())})
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    h = np.full(n, total // n, dtype=np.int64)
+    a = np.full(n, total // n, dtype=np.int64)
+
+    def l1_norm(x: np.ndarray) -> np.ndarray:
+        s = int(x.sum())
+        if s == 0:
+            raise ValueError("HITS normalization over an all-zero vector")
+        return np.array([(int(v) * total) // s for v in x],
+                        dtype=np.int64)
+
+    for _ in range(iters):
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, h[si])
+        a = l1_norm(acc)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, si, a[di])
+        h = l1_norm(acc)
+    return pa.table({"id": pa.array(ids.astype(np.int64)),
+                     "hub_units": pa.array(h),
+                     "auth_units": pa.array(a)})
+
+
+def hits_int_ds(edges, iters: int = 4, total: int = 10**12,
+                buckets: int = 16) -> pa.Table:
+    """Distributed twin of :func:`hits_int`: per half-step ONE partitioned
+    hash-join (edge list ⋈ score table by src or dst) and ONE narrow
+    pre-aggregated groupby-sum; the L1 total is a scalar to the driver
+    and the big-int normalization runs block-local on object dtype.
+    Bit-equal to the driver tier (pytest) — integer ops commute."""
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+    edges = edges.materialize()
+
+    def node_part(tbl: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            tbl["src"].to_numpy(zero_copy_only=False),
+            tbl["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"id": pa.array(u.astype(np.int64))})
+
+    nodes = (edges.map_batches(node_part, batch_format="pyarrow")
+             .groupby("id").count()
+             .map_batches(lambda t: t.select(["id"]),
+                          batch_format="pyarrow").materialize())
+    n = nodes.count()
+    init = total // n
+
+    def mk_scores(ds, col: str):
+        return ds.map_batches(
+            lambda t: pa.table({
+                "nid": t["id"],
+                col: pa.array(np.full(t.num_rows, init, dtype=np.int64)),
+            }), batch_format="pyarrow").materialize()
+
+    def push(score_ds, score_col: str, join_on: str, group_on: str):
+        """Σ score over edges joined on ``join_on``, grouped by the other
+        endpoint; returns (Dataset (nid, raw), total_scalar)."""
+        j = hash_join(edges, score_ds, [join_on], ["nid"],
+                      buckets=buckets)
+
+        def pre(tbl: pa.Table) -> pa.Table:
+            pdf = pd.DataFrame({
+                "g": tbl[group_on].to_numpy(zero_copy_only=False),
+                "s": tbl[score_col].to_numpy(zero_copy_only=False)})
+            out = pdf.groupby("g", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        raw = (j.map_batches(pre, batch_format="pyarrow")
+               .groupby("g").sum("s")
+               .map_batches(lambda t: t.rename_columns(["nid", "raw"]),
+                            batch_format="pyarrow").materialize())
+        def tot_part(tbl: pa.Table) -> pa.Table:
+            # empty sort partitions surface as zero-column blocks
+            s = (int(tbl["raw"].to_numpy(zero_copy_only=False).sum())
+                 if "raw" in tbl.column_names else 0)
+            return pa.table({"t": pa.array([s], type=pa.int64())})
+
+        tot = sum(int(r["t"]) for r in raw.map_batches(
+            tot_part, batch_format="pyarrow").take_all())
+        return raw, tot
+
+    def normalize(raw, tot: int, col: str):
+        """Zero-score nodes are simply ABSENT here — a 0 row contributes
+        nothing to the next push's join+sum, so dropping it is exact;
+        zeros materialize only in the final output assembly."""
+        if tot == 0:
+            raise ValueError("HITS normalization over an all-zero vector")
+
+        def norm(tbl: pa.Table) -> pa.Table:
+            if "raw" not in tbl.column_names:  # zero-column empty block
+                return pa.table({"nid": pa.array([], type=pa.int64()),
+                                 col: pa.array([], type=pa.int64())})
+            v = tbl["raw"].to_numpy(zero_copy_only=False)
+            out = np.array([(int(x) * total) // tot for x in v],
+                           dtype=np.int64)
+            return pa.table({"nid": pc.cast(tbl["nid"], pa.int64()),
+                             col: pa.array(out)})
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    H = mk_scores(nodes, "h")
+    A = None
+    for _ in range(iters):
+        raw_a, ta = push(H, "h", "src", "dst")
+        A = normalize(raw_a, ta, "a")
+        raw_h, th = push(A, "a", "dst", "src")
+        H = normalize(raw_h, th, "h")
+
+    # final assembly: every node appears, absent scores are exact zeros
+    out = (hash_join(
+        hash_join(nodes,
+                  H.map_batches(lambda t: t.rename_columns(["hid", "h"]),
+                                batch_format="pyarrow"),
+                  ["id"], ["hid"], buckets=buckets, how="left"),
+        A.map_batches(lambda t: t.rename_columns(["aid", "a"]),
+                      batch_format="pyarrow"),
+        ["id"], ["aid"], buckets=buckets, how="left")
+        .to_pandas())
+    out = pd.DataFrame({
+        "id": out["id"].astype(np.int64),
+        "hub_units": out["h"].fillna(0).astype(np.int64),
+        "auth_units": out["a"].fillna(0).astype(np.int64),
+    }).sort_values("id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -829,3 +829,37 @@ class TestUnpivot:
                          values="value").reset_index()
         assert wide["a"].tolist() == [10.0, 20.0]
         assert wide["b"].tolist() == [1.5, 2.5]
+
+
+class TestHits:
+    def test_driver_equals_distributed(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import (
+            hits_int,
+            hits_int_ds,
+        )
+
+        rng = np.random.default_rng(17)
+        src = rng.integers(0, 60, 300).astype(np.int64)
+        dst = rng.integers(0, 60, 300).astype(np.int64)
+        keep = src != dst
+        tbl = pa.table({"src": pa.array(src[keep]),
+                        "dst": pa.array(dst[keep])})
+        a = hits_int(tbl, iters=2).to_pandas()
+        b = hits_int_ds(rd.from_arrow(tbl).repartition(4),
+                        iters=2).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_star_graph(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.iterate import hits_int
+
+        # center 0 → leaves 1..5: all hub mass on 0, authority split
+        # evenly over the leaves, center authority 0
+        tbl = pa.table({"src": pa.array([0] * 5, type=pa.int64()),
+                        "dst": pa.array([1, 2, 3, 4, 5],
+                                        type=pa.int64())})
+        out = hits_int(tbl).to_pandas().set_index("id")
+        assert out.loc[0, "hub_units"] == 10**12
+        assert out.loc[0, "auth_units"] == 0
+        for leaf in range(1, 6):
+            assert out.loc[leaf, "auth_units"] == 10**12 // 5
+            assert out.loc[leaf, "hub_units"] == 0
