@@ -5540,6 +5540,26 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """A-Res weighted sampling without replacement (top-100 by
+    u^(1/(n_chars+1)) keys, `stages/text_clean.py weighted_sample`):
+    longer documents proportionally likelier, reproducible via the
+    seeded hash, per-block pre-top-k so only blocks × k candidates
+    merge."""
+    from ..stages.text_clean import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        w = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64) + 1
+        return pa.table({"doc_id": tbl["doc_id"], "w": pa.array(w)})
+
+    ids = weighted_sample(ds.map_batches(prep, batch_format="pyarrow"),
+                          "w", k=100, seed=3)
+    return pd.DataFrame({"doc_id": ids.astype(np.int64)})
+
+
 def q_hash_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic 80/10/10 train/test/val split (`stages/text_clean.py
     hash_split`): membership = first cumulative integer threshold
@@ -6149,6 +6169,7 @@ QUERIES = {
     "psi_drift": q_psi,
     "unpivot": q_unpivot,
     "hits": q_hits,
+    "weighted_sample": q_weighted_sample,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7873,6 +7894,18 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "weighted_sample": """
+        -- A-Res keys u^(1/w): u = (h+1)/(scale+1) from the seeded MD5
+        -- hash, w = n_chars + 1; top-100 by (key DESC, doc_id)
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   pow(((('0x' || substr(md5('3:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000000) + 1.0) / 1000001.0,
+                       1.0 / (n_chars + 1)) AS key
+            FROM documents)
+        ORDER BY key DESC, doc_id LIMIT 100
+    """,
     "unpivot": """
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
                l_quantity::DOUBLE AS value FROM lineitem

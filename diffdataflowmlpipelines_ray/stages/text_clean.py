@@ -50,6 +50,7 @@ __all__ = [
     "chunk_tokens",
     "mixture_sample",
     "hash_split",
+    "weighted_sample",
 ]
 
 
@@ -642,3 +643,47 @@ def hash_split(ds, fractions: dict[str, float] | None = None,
         return tbl.append_column(out_col, pa.array(lab, type=pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str, k: int,
+                    id_col: str = "doc_id", seed: int = 0,
+                    scale: int = 1_000_000):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row gets the key ``u^(1/w)`` with
+    ``u = (h+1)/(scale+1)`` from its seeded stable hash, and the k
+    largest keys are the sample — inclusion probability proportional to
+    weight, reproducible (seed = epoch), no RNG state.
+
+    Exactness contract: ``u`` and ``1/w`` are correctly-rounded doubles
+    from exact ints on both twins, and ``pow`` is the same libm call in
+    numpy and DuckDB, so the selected SET is bit-stable and oracle-equal
+    (ties broken by ascending id).  Weights must be ≥ 1 (raise below).
+
+    Plan: per-block partial top-k under the global (key DESC, id) order,
+    then one tiny merge of ≤ blocks × k candidate rows — the bm25/
+    top-revenue pre-top-k pattern; payloads never move."""
+    from ..functions.hashing import stable_hash60_array
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if (w < 1).any():
+            raise ValueError("weights must be >= 1")
+        h = stable_hash60_array([f"{seed}:{i}" for i in ids]) % scale
+        u = (h + 1.0) / (scale + 1.0)
+        key = np.power(u, 1.0 / w)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "id": pa.array(ids[order].astype(np.int64)),
+            "key": pa.array(key[order]),
+        })
+
+    rows = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    cand = pd.DataFrame({"id": [r["id"] for r in rows],
+                         "key": [r["key"] for r in rows]})
+    cand = cand.sort_values(["key", "id"],
+                            ascending=[False, True]).head(k)
+    return cand["id"].sort_values().reset_index(drop=True)

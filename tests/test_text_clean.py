@@ -475,3 +475,43 @@ class TestHashSplit:
         assert set(out["split"]) <= {"a", "b"}
         with pytest.raises(ValueError, match="sum to 1"):
             hash_split(ds, {"a": 0.5, "b": 0.4})
+
+
+class TestWeightedSample:
+    def _run(self, ids, w, k, parts, seed=0):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.text_clean import (
+            weighted_sample,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "w": pa.array(w, type=pa.int64())})).repartition(parts)
+        return weighted_sample(ds, "w", k, seed=seed).tolist()
+
+    def test_partition_invariant_and_matches_brute(self, ray_session):
+        from diffdataflowmlpipelines_ray.functions.hashing import (
+            stable_hash60,
+        )
+
+        ids = list(range(200))
+        w = [(i % 7) * 10 + 1 for i in ids]
+        def key(i, wi):
+            u = (stable_hash60(f"0:{i}") % 1_000_000 + 1.0) / 1_000_001.0
+            return np.power(u, 1.0 / np.float64(wi))
+        want = sorted(sorted(ids, key=lambda i: (-key(i, w[i]), i))[:50])
+        assert self._run(ids, w, 50, 1) == want
+        assert self._run(ids, w, 50, 6) == want
+
+    def test_weight_bias(self, ray_session):
+        # half the corpus has 50x the weight: it must dominate the sample
+        ids = list(range(1000))
+        w = [50 if i < 500 else 1 for i in ids]
+        got = self._run(ids, w, 100, 4)
+        heavy = sum(1 for i in got if i < 500)
+        assert heavy >= 85
+
+    def test_invalid_weight_raises(self, ray_session):
+        with pytest.raises(Exception):
+            self._run([1, 2], [0, 5], 1, 1)
