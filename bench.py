@@ -109,7 +109,8 @@ def run_bench() -> dict:
         "dsir_weights", "hist_tree", "hist_boost", "kneser_ney",
         "chunk_tokens", "vocab_growth", "mixture_sample", "als_factors",
         "hash_split", "kbins_quantile", "shuffle_rank", "profile_table",
-        "psi_drift", "unpivot", "hits", "weighted_sample")
+        "psi_drift", "unpivot", "hits", "weighted_sample",
+        "validate_rules")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

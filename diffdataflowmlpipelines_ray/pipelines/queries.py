@@ -5540,6 +5540,25 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_validate(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-validation rules over events
+    (`stages/validate.py`): null/unique/range/set/regex expectations with
+    exact violation counts — O(blocks × rules) partials plus one
+    pre-deduped value exchange per unique rule."""
+    from ..stages.validate import validate
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    return validate(ds, [
+        ("not_null", "event_type"),
+        ("unique", "event_id"),
+        ("unique", "user_id"),
+        ("in_range", "value", 0.0, 80.0),
+        ("accepted_values", "event_type", ["click", "purchase", "view"]),
+        ("matches", "event_type", "[a-z_]+"),
+    ])
+
+
 def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """A-Res weighted sampling without replacement (top-100 by
     u^(1/(n_chars+1)) keys, `stages/text_clean.py weighted_sample`):
@@ -6170,6 +6189,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "hits": q_hits,
     "weighted_sample": q_weighted_sample,
+    "validate_rules": q_validate,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7894,6 +7914,45 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "validate_rules": """
+        SELECT 0::BIGINT AS rule_id, 'not_null' AS kind,
+               'event_type' AS column,
+               (count(*) - count(event_type))::BIGINT AS violations,
+               count(*) - count(event_type) = 0 AS ok FROM events
+        UNION ALL
+        SELECT 1, 'unique', 'event_id',
+               (count(event_id) - count(DISTINCT event_id))::BIGINT,
+               count(event_id) = count(DISTINCT event_id) FROM events
+        UNION ALL
+        SELECT 2, 'unique', 'user_id',
+               (count(user_id) - count(DISTINCT user_id))::BIGINT,
+               count(user_id) = count(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 3, 'in_range', 'value',
+               COALESCE(sum(CASE WHEN value < 0.0 OR value > 80.0
+                            THEN 1 ELSE 0 END), 0)::BIGINT,
+               COALESCE(sum(CASE WHEN value < 0.0 OR value > 80.0
+                            THEN 1 ELSE 0 END), 0) = 0 FROM events
+        UNION ALL
+        SELECT 4, 'accepted_values', 'event_type',
+               COALESCE(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click', 'purchase', 'view')
+                            THEN 1 ELSE 0 END), 0)::BIGINT,
+               COALESCE(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click', 'purchase', 'view')
+                            THEN 1 ELSE 0 END), 0) = 0 FROM events
+        UNION ALL
+        SELECT 5, 'matches', 'event_type',
+               COALESCE(sum(CASE WHEN event_type IS NOT NULL AND NOT
+                            regexp_full_match(event_type, '[a-z_]+')
+                            THEN 1 ELSE 0 END), 0)::BIGINT,
+               COALESCE(sum(CASE WHEN event_type IS NOT NULL AND NOT
+                            regexp_full_match(event_type, '[a-z_]+')
+                            THEN 1 ELSE 0 END), 0) = 0 FROM events
+        ORDER BY rule_id
+    """,
     "weighted_sample": """
         -- A-Res keys u^(1/w): u = (h+1)/(scale+1) from the seeded MD5
         -- hash, w = n_chars + 1; top-100 by (key DESC, doc_id)

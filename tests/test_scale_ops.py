@@ -2063,3 +2063,45 @@ class TestProfile:
         out = psi(ds1, ds2, "v", bins=5)
         assert (out["term_micro"] == 0).all()
         assert out["psi_micro"].iloc[0] == 0
+
+
+class TestValidate:
+    def test_all_rule_kinds(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.validate import validate
+
+        tbl = pa.table({
+            "k": pa.array([1, 2, 2, 3, None], type=pa.int64()),
+            "v": pa.array([5.0, -1.0, 10.0, 99.0, 50.0]),
+            "s": pa.array(["ok", "ok", "BAD", None, "fine"]),
+        })
+        for parts in (1, 3):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            out = validate(ds, [
+                ("not_null", "k"),
+                ("unique", "k"),
+                ("in_range", "v", 0.0, 50.0),
+                ("accepted_values", "s", ["ok", "fine"]),
+                ("matches", "s", "[a-z]+"),
+            ]).set_index("rule_id")
+            assert out.loc[0, "violations"] == 1          # one null k
+            assert out.loc[1, "violations"] == 1          # dup k=2
+            assert out.loc[2, "violations"] == 2          # -1, 99
+            assert out.loc[3, "violations"] == 1          # BAD
+            assert out.loc[4, "violations"] == 1          # BAD (upper)
+            assert not out["ok"].any()
+
+    def test_clean_data_passes(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.validate import validate
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3], type=pa.int64())})).repartition(2)
+        out = validate(ds, [("not_null", "k"), ("unique", "k"),
+                            ("in_range", "k", 0, 10)])
+        assert out["ok"].all() and (out["violations"] == 0).all()
+
+    def test_unknown_rule_raises(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.validate import validate
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([1])}))
+        with pytest.raises(Exception):
+            validate(ds, [("bogus", "k")])
