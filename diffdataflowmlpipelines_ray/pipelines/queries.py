@@ -5540,6 +5540,25 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier survival curve over event durations (value), with
+    clicks observed and everything else right-censored
+    (`stages/survival.py`): two distributed integer scans (risk set =
+    suffix counts, ln S = running micro-nat sum) around one narrow
+    per-time count exchange — bit-exact at any split."""
+    from ..stages.survival import kaplan_meier
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ev = (tbl["event_type"].to_numpy(zero_copy_only=False)
+              == "click").astype(np.int64)
+        return pa.table({"dur": tbl["value"], "ev": pa.array(ev)})
+
+    return kaplan_meier(ds.map_batches(prep, batch_format="pyarrow"),
+                        "dur", "ev")
+
+
 def q_validate(sf_dir: str) -> pd.DataFrame:
     """Declarative data-validation rules over events
     (`stages/validate.py`): null/unique/range/set/regex expectations with
@@ -6190,6 +6209,7 @@ QUERIES = {
     "hits": q_hits,
     "weighted_sample": q_weighted_sample,
     "validate_rules": q_validate,
+    "kaplan_meier": q_kaplan_meier,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7914,6 +7934,33 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "kaplan_meier": """
+        -- KM product-limit on the micro-quantized duration grid;
+        -- ln S(t) as an exact int64 running sum of micro-nat terms;
+        -- the n == d zero point excluded (ln S = -inf there)
+        WITH base AS (
+            SELECT CAST(round(value * 1e6) AS BIGINT) AS t,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ev
+            FROM events),
+        per_t AS (SELECT t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+                  FROM base GROUP BY t),
+        tot AS (SELECT sum(c)::BIGINT AS n FROM per_t),
+        w AS (SELECT t, d, c,
+                     COALESCE(sum(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)::BIGINT AS before
+              FROM per_t),
+        evr AS (SELECT t AS t_micro, tot.n - before AS n_risk, d,
+                       CAST(round(ln((tot.n - before - d)::DOUBLE
+                                     / (tot.n - before)) * 1e6)
+                            AS BIGINT) AS term_micro
+                FROM w, tot
+                WHERE d > 0 AND tot.n - before > d)
+        SELECT t_micro, n_risk::BIGINT AS n_risk, d,
+               sum(term_micro) OVER (ORDER BY t_micro)::BIGINT
+                   AS km_log_micro
+        FROM evr ORDER BY t_micro
+    """,
     "validate_rules": """
         SELECT 0::BIGINT AS rule_id, 'not_null' AS kind,
                'event_type' AS column,

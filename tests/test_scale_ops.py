@@ -2105,3 +2105,46 @@ class TestValidate:
         ds = rd.from_arrow(pa.table({"k": pa.array([1])}))
         with pytest.raises(Exception):
             validate(ds, [("bogus", "k")])
+
+
+class TestKaplanMeier:
+    def test_matches_hand_computed(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.survival import (
+            kaplan_meier,
+        )
+
+        # durations 1,2,2,3,4,5; events at 1,2,2,4; censored at 3,5
+        durs = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0]
+        evs = [1, 1, 1, 0, 1, 0]
+        import math
+
+        def ha(x):
+            return int(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
+
+        # hand KM: t=1 n=6 d=1; t=2 n=5 d=2; t=4 n=2 d=1
+        want_terms = [(1_000_000, 6, 1, ha(math.log(5 / 6) * 1e6))]
+        t2 = ha(math.log(3 / 5) * 1e6)
+        t4 = ha(math.log(1 / 2) * 1e6)
+        want = [(1_000_000, 6, 1, want_terms[0][3]),
+                (2_000_000, 5, 2, want_terms[0][3] + t2),
+                (4_000_000, 2, 1, want_terms[0][3] + t2 + t4)]
+        for parts in (1, 3):
+            ds = rd.from_arrow(pa.table({
+                "dur": pa.array(durs),
+                "ev": pa.array(evs, type=pa.int64())})).repartition(parts)
+            out = kaplan_meier(ds, "dur", "ev")
+            got = [tuple(int(x) for x in r)
+                   for r in out.itertuples(index=False)]
+            assert got == want
+
+    def test_all_die_at_end_excluded(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.survival import (
+            kaplan_meier,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "dur": pa.array([1.0, 2.0, 2.0]),
+            "ev": pa.array([1, 1, 1], type=pa.int64())}))
+        out = kaplan_meier(ds, "dur", "ev")
+        # t=2 kills the last survivors (n == d) → excluded
+        assert out["t_micro"].tolist() == [1_000_000]
