@@ -5540,6 +5540,25 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient of customer account balances (in cents;
+    shifted non-negative by the fixture's minimum) — `stages/profile.py
+    gini_cents`: one sort + O(blocks) telescoping rank-product partials,
+    all int64 until the two final IEEE divisions."""
+    from ..stages.profile import gini_cents
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["c_acctbal"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        return pa.table({"id": tbl["c_custkey"],
+                         "cents": pa.array(cents + 100000)})
+
+    return gini_cents(ds.map_batches(prep, batch_format="pyarrow"),
+                      "cents", "id")
+
+
 def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
     """Kaplan–Meier survival curve over event durations (value), with
     clicks observed and everything else right-censored
@@ -6210,6 +6229,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "validate_rules": q_validate,
     "kaplan_meier": q_kaplan_meier,
+    "gini": q_gini,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7934,6 +7954,26 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "gini": """
+        -- G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n over cents shifted
+        -- non-negative; rank ties broken by id
+        WITH c AS (
+            SELECT c_custkey AS id,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                       AS cents
+            FROM customer),
+        r AS (SELECT cents,
+                     row_number() OVER (ORDER BY cents, id) AS rn
+              FROM c),
+        s AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+                     sum(rn * cents)::BIGINT AS srx
+              FROM r)
+        SELECT n, sx AS sum_cents, srx AS rank_weighted_cents,
+               CAST(round((2.0 * srx / (n::DOUBLE * sx)
+                           - (n + 1.0) / n) * 1e6) AS BIGINT)
+                   AS gini_micro
+        FROM s
+    """,
     "kaplan_meier": """
         -- KM product-limit on the micro-quantized duration grid;
         -- ln S(t) as an exact int64 running sum of micro-nat terms;

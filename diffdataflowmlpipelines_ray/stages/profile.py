@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 from ..functions.vectors import half_away
 
-__all__ = ["profile_columns", "psi"]
+__all__ = ["profile_columns", "psi", "gini_cents"]
 
 
 def profile_columns(ds, columns: list[str],
@@ -147,4 +147,71 @@ def psi(ds_ref, ds_new, col: str, bins: int = 10):
         "n_ref": ca, "n_new": cb,
         "term_micro": tm,
         "psi_micro": np.full(bins, int(tm.sum()), dtype=np.int64),
+    })
+
+
+def gini_cents(ds, value_col: str, id_col: str):
+    """Exact Gini coefficient of a non-negative integer-cents column —
+    the inequality measure of spend/usage concentration:
+
+        G = (2·Σ_i i·x_(i)) / (n·Σx) − (n+1)/n
+
+    with x_(i) the i-th smallest value (ties broken by id so the rank
+    assignment — and therefore Σ i·x — is partition-invariant and equal
+    to the SQL ROW_NUMBER twin).  Every accumulation is int64
+    (Σ i·x ≤ n²·max_cents — caller keeps n·max within 9·10¹⁸), so the
+    only floats are the two final IEEE divisions, identical in both
+    twins; the result is returned in exact integer pieces plus the
+    derived double.
+
+    Plan: ONE range-partitioned sort + the two-pass rank scan
+    (`ordered_prefix_sum` machinery inline: per-block (count, Σx, Σ
+    local-rank·x) partials, driver folds O(blocks) rows and adds each
+    block's offset × block-Σx — the rank product telescopes, so no
+    second pass is needed)."""
+    import pandas as pd
+
+    S = ds.sort([value_col, id_col]).materialize()
+
+    def part(tbl: pa.Table) -> pa.Table:
+        if value_col not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"first_v": pa.array([], type=pa.int64()),
+                             "first_i": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sx": pa.array([], type=pa.int64()),
+                             "srx": pa.array([], type=pa.int64())})
+        x = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("gini needs non-negative values")
+        # local 1-based ranks; global rank = block offset + local
+        r = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pa.table({
+            "first_v": pa.array([int(x[0])]),
+            "first_i": pa.array([int(tbl[id_col][0].as_py())]),
+            "n": pa.array([len(x)]),
+            "sx": pa.array([int(x.sum())]),
+            "srx": pa.array([int((r * x).sum())]),
+        })
+
+    mt = (pa.concat_tables(list(
+        S.map_batches(part, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+        .sort_values(["first_v", "first_i"]).reset_index(drop=True))
+    n_tot = int(mt["n"].sum())
+    sx = int(mt["sx"].sum())
+    offs = np.concatenate([[0], np.cumsum(mt["n"].to_numpy())[:-1]])
+    # Σ (off + local_rank)·x = Σ srx + off·block_sx, exact ints
+    srx = int((mt["srx"].to_numpy()
+               + offs * mt["sx"].to_numpy()).sum())
+    if n_tot == 0 or sx == 0:
+        return pd.DataFrame({"n": [n_tot], "sum_cents": [sx],
+                             "rank_weighted_cents": [srx],
+                             "gini_micro": [np.int64(0)]})
+    g = (2.0 * srx) / (float(n_tot) * sx) - (n_tot + 1.0) / n_tot
+    return pd.DataFrame({
+        "n": pd.Series([n_tot], dtype=np.int64),
+        "sum_cents": pd.Series([sx], dtype=np.int64),
+        "rank_weighted_cents": pd.Series([srx], dtype=np.int64),
+        "gini_micro": pd.Series([int(half_away(
+            np.array([g * 1e6]))[0])], dtype=np.int64),
     })

@@ -2148,3 +2148,35 @@ class TestKaplanMeier:
         out = kaplan_meier(ds, "dur", "ev")
         # t=2 kills the last survivors (n == d) → excluded
         assert out["t_micro"].tolist() == [1_000_000]
+
+
+class TestGini:
+    def _run(self, cents, parts):
+        from diffdataflowmlpipelines_ray.stages.profile import gini_cents
+
+        ds = rd.from_arrow(pa.table({
+            "id": pa.array(range(len(cents)), type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64())})).repartition(parts)
+        out = gini_cents(ds, "cents", "id")
+        return int(out["gini_micro"].iloc[0])
+
+    def test_uniform_is_zero(self, ray_session):
+        assert self._run([500] * 100, 3) == 0
+
+    def test_total_concentration_near_one(self, ray_session):
+        # one holder owns everything: G = (n-1)/n = 0.99
+        g = self._run([0] * 99 + [10_000], 4)
+        assert g == 990_000
+
+    def test_matches_brute_force_and_partitioning(self, ray_session):
+        rng = np.random.default_rng(8)
+        cents = rng.integers(0, 100_000, 500).tolist()
+        x = np.sort(np.array(cents, dtype=np.int64))
+        n = len(x)
+        srx = int((np.arange(1, n + 1) * x).sum())
+        want = (2.0 * srx) / (float(n) * int(x.sum())) - (n + 1.0) / n
+        import math
+        want_micro = int(math.floor(abs(want * 1e6) + 0.5)
+                         * (1 if want >= 0 else -1))
+        assert self._run(cents, 1) == want_micro
+        assert self._run(cents, 5) == want_micro
