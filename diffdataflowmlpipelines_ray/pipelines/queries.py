@@ -5540,6 +5540,28 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Distributed isotonic regression (`stages/isotonic.py`): monotone
+    calibration of event value-cents against the hour-of-epoch feature.
+    Rows-only (the PAVA merge recursion has no SQL twin); exactness is
+    pytest-pinned (Fraction-exact reference, partition invariance,
+    pooling-lemma structure)."""
+    from ..stages.isotonic import isotonic_fit
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        hour = (tbl["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 3_600_000_000) % 24
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        return pa.table({"x": pa.array(hour.astype(np.int64)),
+                         "y": pa.array(cents)})
+
+    return isotonic_fit(ds.map_batches(prep, batch_format="pyarrow"),
+                        "x", "y")
+
+
 def q_gini(sf_dir: str) -> pd.DataFrame:
     """Exact Gini coefficient of customer account balances (in cents;
     shifted non-negative by the fixture's minimum) — `stages/profile.py
@@ -6230,6 +6252,7 @@ QUERIES = {
     "validate_rules": q_validate,
     "kaplan_meier": q_kaplan_meier,
     "gini": q_gini,
+    "isotonic": q_isotonic,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,

@@ -2180,3 +2180,64 @@ class TestGini:
                          * (1 if want >= 0 else -1))
         assert self._run(cents, 1) == want_micro
         assert self._run(cents, 5) == want_micro
+
+
+class TestIsotonic:
+    def _ref(self, x, y, w=None):
+        """Independent O(n log n) reference: aggregate ties, stack PAVA
+        with Fraction-exact means."""
+        from fractions import Fraction
+
+        import collections
+        agg = collections.defaultdict(lambda: [0, 0])
+        w = w or [1] * len(x)
+        for xi, yi, wi in zip(x, y, w):
+            agg[xi][0] += yi * wi
+            agg[xi][1] += wi
+        out = []
+        for xi in sorted(agg):
+            cur = [xi, xi, agg[xi][0], agg[xi][1]]
+            while out and Fraction(out[-1][2], out[-1][3]) > Fraction(
+                    cur[2], cur[3]):
+                p = out.pop()
+                cur = [p[0], cur[1], p[2] + cur[2], p[3] + cur[3]]
+            out.append(cur)
+        return [tuple(p) for p in out]
+
+    def _run(self, x, y, parts, w=None):
+        from diffdataflowmlpipelines_ray.stages.isotonic import (
+            isotonic_fit,
+        )
+
+        cols = {"x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64())}
+        if w:
+            cols["w"] = pa.array(w, type=pa.int64())
+        ds = rd.from_arrow(pa.table(cols)).repartition(parts)
+        out = isotonic_fit(ds, "x", "y", "w" if w else None)
+        return [(int(r.x_lo), int(r.x_hi), int(r.sum_cents),
+                 int(r.weight)) for r in out.itertuples()]
+
+    def test_matches_reference_any_partitioning(self, ray_session):
+        rng = np.random.default_rng(12)
+        x = rng.integers(0, 50, 400).tolist()
+        y = (np.array(x) * 3 + rng.integers(-40, 40, 400)).tolist()
+        want = self._ref(x, y)
+        assert self._run(x, y, 1) == want
+        assert self._run(x, y, 6) == want
+
+    def test_monotone_and_weighted(self, ray_session):
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 30, 200).tolist()
+        y = rng.integers(0, 100, 200).tolist()
+        w = rng.integers(1, 5, 200).tolist()
+        got = self._run(x, y, 4, w)
+        assert got == self._ref(x, y, w)
+        means = [s / ww for _, _, s, ww in got]
+        assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
+
+    def test_already_monotone_untouched(self, ray_session):
+        x = list(range(20))
+        y = [i * 10 for i in x]
+        got = self._run(x, y, 3)
+        assert len(got) == 20  # nothing pools
