@@ -110,7 +110,8 @@ def run_bench() -> dict:
         "chunk_tokens", "vocab_growth", "mixture_sample", "als_factors",
         "hash_split", "kbins_quantile", "shuffle_rank", "profile_table",
         "psi_drift", "unpivot", "hits", "weighted_sample",
-        "validate_rules", "kaplan_meier", "gini", "isotonic")
+        "validate_rules", "kaplan_meier", "gini", "isotonic",
+        "markov_transitions")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5540,6 +5540,48 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix of user behavior: counts and
+    floor-div micro-probabilities over consecutive (ts, event_id)-ordered
+    event-type pairs per user.  ONE bucket shuffle by hash(user)
+    co-locates each user's rows (the `sessionize` plan); in-bucket the
+    pairs come from a vectorized shift with user boundaries, pre-reduced
+    to (from, to, k) before the tiny final groupby.  Integer end-to-end
+    (p_micro = 1e6·c_ij // c_i), so the gate is bit-exact vs the SQL
+    LAG twin."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        out = (pd.DataFrame({"f": et[:-1][same], "t": et[1:][same]})
+               .groupby(["f", "t"], as_index=False).size()
+               .rename(columns={"size": "k"}))
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    cnt = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(pairs, batch_format="pandas")
+           .groupby(["f", "t"]).sum("k")
+           .to_pandas()
+           .rename(columns={"sum(k)": "k"}))
+    row_tot = cnt.groupby("f")["k"].transform("sum").to_numpy(
+        dtype=np.int64)
+    cnt["p_micro"] = (cnt["k"].to_numpy(dtype=np.int64) * 1_000_000
+                      // row_tot)
+    return (cnt.sort_values(["f", "t"]).reset_index(drop=True)
+            .astype({"k": np.int64, "p_micro": np.int64}))
+
+
 def q_isotonic(sf_dir: str) -> pd.DataFrame:
     """Distributed isotonic regression (`stages/isotonic.py`): monotone
     calibration of event value-cents against the hour-of-epoch feature.
@@ -6253,6 +6295,7 @@ QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "gini": q_gini,
     "isotonic": q_isotonic,
+    "markov_transitions": q_markov_transitions,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -7977,6 +8020,19 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "markov_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events),
+        cnt AS (SELECT prev AS f, event_type AS t, count(*)::BIGINT AS k
+                FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT f, sum(k)::BIGINT AS n FROM cnt GROUP BY f)
+        SELECT cnt.f, cnt.t, cnt.k,
+               (cnt.k * 1000000 // tot.n)::BIGINT AS p_micro
+        FROM cnt JOIN tot USING (f) ORDER BY f, t
+    """,
     "gini": """
         -- G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n over cents shifted
         -- non-negative; rank ties broken by id

@@ -21,7 +21,7 @@ def canon(res) -> pd.DataFrame:
     "dedup_minhash", "dedup_simhash", "fingerprint", "lang_id",
     "ngram_jaccard", "ann_ivf", "token_freq_topk",
     "image_decode", "audio_decode", "video_frames",
-    "bpe_train", "bpe_encode",
+    "bpe_train", "bpe_encode", "als_factors", "isotonic",
 ])
 def test_rows_only_queries_deterministic(ray_session, name):
     from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
