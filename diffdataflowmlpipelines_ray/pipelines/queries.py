@@ -5540,6 +5540,25 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC AUC (`stages/profile.py auc_exact`): 'is this a click?'
+    scored by event value — the Mann–Whitney 2U statistic over the
+    distinct-score grid with standard half-credit ties, all int64 until
+    the one final IEEE division; one narrow per-value count exchange +
+    the distributed exclusive scan."""
+    from ..stages.profile import auc_exact
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        y = (tbl["event_type"].to_numpy(zero_copy_only=False)
+             == "click").astype(np.int64)
+        return pa.table({"score": tbl["value"], "y": pa.array(y)})
+
+    return auc_exact(ds.map_batches(prep, batch_format="pyarrow"),
+                     "score", "y")
+
+
 def q_markov_transitions(sf_dir: str) -> pd.DataFrame:
     """First-order Markov transition matrix of user behavior: counts and
     floor-div micro-probabilities over consecutive (ts, event_id)-ordered
@@ -6296,6 +6315,7 @@ QUERIES = {
     "gini": q_gini,
     "isotonic": q_isotonic,
     "markov_transitions": q_markov_transitions,
+    "auc": q_auc,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8020,6 +8040,30 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "auc": """
+        -- 2U = sum over distinct scores of pos(v)*(2*neg_below(v)+neg(v));
+        -- AUC = 2U / (2*n_pos*n_neg), ties get half credit
+        WITH base AS (
+            SELECT CAST(round(value * 1e6) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+            FROM events),
+        per_v AS (SELECT s, sum(y)::BIGINT AS pos,
+                         sum(1 - y)::BIGINT AS neg
+                  FROM base GROUP BY s),
+        w AS (SELECT s, pos, neg,
+                     COALESCE(sum(neg) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)::BIGINT AS nb
+              FROM per_v),
+        agg AS (SELECT sum(pos)::BIGINT AS n_pos,
+                       sum(neg)::BIGINT AS n_neg,
+                       sum(pos * (2 * nb + neg))::BIGINT AS u2
+                FROM w)
+        SELECT n_pos, n_neg, u2,
+               CAST(round(u2 / (2.0 * n_pos * n_neg) * 1e6) AS BIGINT)
+                   AS auc_micro
+        FROM agg
+    """,
     "markov_transitions": """
         WITH seq AS (
             SELECT user_id, event_type,

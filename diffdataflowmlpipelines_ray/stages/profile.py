@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 from ..functions.vectors import half_away
 
-__all__ = ["profile_columns", "psi", "gini_cents"]
+__all__ = ["profile_columns", "psi", "gini_cents", "auc_exact"]
 
 
 def profile_columns(ds, columns: list[str],
@@ -214,4 +214,68 @@ def gini_cents(ds, value_col: str, id_col: str):
         "rank_weighted_cents": pd.Series([srx], dtype=np.int64),
         "gini_micro": pd.Series([int(half_away(
             np.array([g * 1e6]))[0])], dtype=np.int64),
+    })
+
+
+def auc_exact(ds, score_col: str, label_col: str, scale: int = 1_000_000):
+    """EXACT ROC AUC at any scale — the Mann–Whitney formulation over the
+    distinct-score grid, all integer until one final IEEE division:
+
+        2·U = Σ_v  pos(v) · (2·neg_below(v) + neg(v))
+        AUC = 2U / (2·n_pos·n_neg)
+
+    (ties contribute the standard half credit — that's the ``+ neg(v)``
+    term).  Scores quantize half-away to ``scale`` micro-units; per-value
+    (pos, neg) counts ride one narrow pre-aggregated groupby, and
+    ``neg_below`` is the distributed exclusive scan over the score order
+    (``ordered_prefix_sum``).  Σ accumulates as exact int64 partials per
+    block.  Returns (n_pos, n_neg, u2, auc_micro)."""
+    import pandas as pd
+
+    from .relational import ordered_prefix_sum
+
+    def part(tbl: pa.Table) -> pa.Table:
+        s = half_away(tbl[score_col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * scale).astype(np.int64)
+        y = tbl[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pdf = (pd.DataFrame({"s": s, "pos": y, "neg": 1 - y})
+               .groupby("s", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    per_v = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("s").sum(["pos", "neg"])
+             .map_batches(lambda t: t.rename_columns(["s", "pos", "neg"]),
+                          batch_format="pyarrow").materialize())
+
+    with_below = ordered_prefix_sum(per_v, "s", "neg",
+                                    out_col="neg_below", exclusive=True)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if "pos" not in tbl.column_names:
+            z = pa.array([0], type=pa.int64())
+            return pa.table({"u2": z, "np_": z, "nn": z})
+        p = tbl["pos"].to_numpy(zero_copy_only=False)
+        n = tbl["neg"].to_numpy(zero_copy_only=False)
+        b = tbl["neg_below"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u2": pa.array([int((p * (2 * b + n)).sum())],
+                           type=pa.int64()),
+            "np_": pa.array([int(p.sum())], type=pa.int64()),
+            "nn": pa.array([int(n.sum())], type=pa.int64()),
+        })
+
+    u2 = npos = nneg = 0
+    for r in with_below.map_batches(fold,
+                                    batch_format="pyarrow").take_all():
+        u2 += int(r["u2"])
+        npos += int(r["np_"])
+        nneg += int(r["nn"])
+    auc = u2 / (2.0 * npos * nneg) if npos and nneg else float("nan")
+    return pd.DataFrame({
+        "n_pos": pd.Series([npos], dtype=np.int64),
+        "n_neg": pd.Series([nneg], dtype=np.int64),
+        "u2": pd.Series([u2], dtype=np.int64),
+        "auc_micro": pd.Series([int(half_away(
+            np.array([auc * 1e6]))[0])], dtype=np.int64),
     })

@@ -2241,3 +2241,36 @@ class TestIsotonic:
         y = [i * 10 for i in x]
         got = self._run(x, y, 3)
         assert len(got) == 20  # nothing pools
+
+
+class TestAucExact:
+    def _run(self, scores, labels, parts):
+        from diffdataflowmlpipelines_ray.stages.profile import auc_exact
+
+        ds = rd.from_arrow(pa.table({
+            "score": pa.array(scores, type=pa.float64()),
+            "y": pa.array(labels, type=pa.int64())})).repartition(parts)
+        out = auc_exact(ds, "score", "y")
+        return (int(out["u2"].iloc[0]), int(out["auc_micro"].iloc[0]))
+
+    def test_perfect_and_inverted(self, ray_session):
+        s = [float(i) for i in range(20)]
+        y = [0] * 10 + [1] * 10
+        assert self._run(s, y, 3)[1] == 1_000_000
+        assert self._run(s, y[::-1], 3)[1] == 0
+
+    def test_ties_half_credit(self, ray_session):
+        # all scores equal: AUC must be exactly 1/2
+        assert self._run([5.0] * 40, [0, 1] * 20, 4)[1] == 500_000
+
+    def test_matches_pair_counting(self, ray_session):
+        rng = np.random.default_rng(21)
+        s = np.round(rng.uniform(0, 1, 300), 3)
+        y = (s + rng.normal(0, 0.3, 300) > 0.5).astype(np.int64)
+        pos = s[y == 1]
+        neg = s[y == 0]
+        u2 = int(2 * (pos[:, None] > neg[None, :]).sum()
+                 + (pos[:, None] == neg[None, :]).sum())
+        got1 = self._run(s.tolist(), y.tolist(), 1)
+        got5 = self._run(s.tolist(), y.tolist(), 5)
+        assert got1[0] == got5[0] == u2
