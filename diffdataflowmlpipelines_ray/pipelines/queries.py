@@ -5540,6 +5540,85 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association rules over 30-min sessions: for every
+    unordered event-type pair, session support plus floor-div micro
+    confidence (both directions) and lift — the A-priori level-1 mining
+    primitive.  Plan: `sessionize`'s one bucket shuffle co-locates each
+    user's sessions; baskets dedup to (user, session, type) block-locally
+    and pairs pre-reduce before a tiny groupby (types are a bounded
+    vocabulary by contract); per-type and total session counts fold from
+    integer partials.  All counts exact int64, ratios floor-div micro —
+    bit-equal to the SQL twin built on the `sessionize` oracle CTE."""
+    from ..stages.relational import sessionize
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"], blocks=8)
+    sess = sessionize(ds, ["user_id"], "ts", gap=1800.0,
+                      order_cols=["event_id"]).materialize()
+
+    def baskets(tbl: pa.Table) -> pa.Table:
+        pdf = (pd.DataFrame({
+            "u": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "s": tbl["session_no"].to_numpy(zero_copy_only=False),
+            "t": tbl["event_type"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    # (user, session, type) baskets — one narrow dedup exchange
+    bask = (sess.map_batches(baskets, batch_format="pyarrow")
+            .groupby(["u", "s", "t"]).count()
+            .map_batches(lambda t: t.select(["u", "s", "t"]),
+                         batch_format="pyarrow").materialize())
+
+    # a session's basket rows must share a block for pair generation —
+    # regroup by session-hash bucket (64 vectorized bucket tasks)
+    def add_sb(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b", pa.array(
+            ((u * 131 + s) % 64).astype(np.int64)))
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[["u", "s", "t"]].merge(pdf[["u", "s", "t"]],
+                                       on=["u", "s"])
+        m = m[m["t_x"] < m["t_y"]]
+        out = (m.groupby(["t_x", "t_y"], as_index=False).size()
+               .rename(columns={"size": "k"}))
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    pair_rows = (bask.map_batches(add_sb, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(pair_bucket, batch_format="pandas")
+                 .groupby(["t_x", "t_y"]).sum("k").take_all())
+    n_ab = {(r["t_x"], r["t_y"]): int(r["sum(k)"]) for r in pair_rows}
+
+    tc_rows = (bask.groupby("t").count().take_all())
+    n_t = {r["t"]: int(r["count()"]) for r in tc_rows}
+    # distinct sessions: one more tiny pre-deduped exchange
+    n_sessions = (bask.map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame({"u": t["u"].to_numpy(zero_copy_only=False),
+                          "s": t["s"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates(), preserve_index=False),
+        batch_format="pyarrow")
+        .groupby(["u", "s"]).count().count())
+
+    rows = []
+    for (a, b), k in sorted(n_ab.items()):
+        na, nb = n_t[a], n_t[b]
+        rows.append((a, b, k, na, nb, n_sessions,
+                     k * 1_000_000 // na, k * 1_000_000 // nb,
+                     k * n_sessions * 1_000_000 // (na * nb)))
+    return pd.DataFrame(rows, columns=[
+        "a", "b", "n_ab", "n_a", "n_b", "n_sessions",
+        "conf_ab_micro", "conf_ba_micro", "lift_micro"]).astype(
+        {c: np.int64 for c in ["n_ab", "n_a", "n_b", "n_sessions",
+                               "conf_ab_micro", "conf_ba_micro",
+                               "lift_micro"]})
+
+
 def q_auc(sf_dir: str) -> pd.DataFrame:
     """Exact ROC AUC (`stages/profile.py auc_exact`): 'is this a click?'
     scored by event value — the Mann–Whitney 2U statistic over the
@@ -6316,6 +6395,7 @@ QUERIES = {
     "isotonic": q_isotonic,
     "markov_transitions": q_markov_transitions,
     "auc": q_auc,
+    "assoc_rules": q_assoc_rules,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8040,6 +8120,45 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "assoc_rules": """
+        -- A-priori level 1 over 30-min sessions: support, floor-div
+        -- micro confidence both ways, and lift
+        WITH sess AS (
+            SELECT user_id, event_type,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_no
+            FROM (SELECT user_id, event_id, event_type, ts,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+                  FROM events)),
+        st AS (SELECT DISTINCT user_id, session_no, event_type
+               FROM sess),
+        ns AS (SELECT count(*)::BIGINT AS n FROM
+               (SELECT DISTINCT user_id, session_no FROM st)),
+        tc AS (SELECT event_type, count(*)::BIGINT AS n_t
+               FROM st GROUP BY 1),
+        p AS (SELECT a.event_type AS a, b.event_type AS b,
+                     count(*)::BIGINT AS n_ab
+              FROM st a JOIN st b
+                   ON a.user_id = b.user_id
+                   AND a.session_no = b.session_no
+                   AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT p.a, p.b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+               ns.n AS n_sessions,
+               (p.n_ab * 1000000 // ta.n_t)::BIGINT AS conf_ab_micro,
+               (p.n_ab * 1000000 // tb.n_t)::BIGINT AS conf_ba_micro,
+               (p.n_ab * ns.n * 1000000
+                // (ta.n_t * tb.n_t))::BIGINT AS lift_micro
+        FROM p JOIN tc ta ON ta.event_type = p.a
+               JOIN tc tb ON tb.event_type = p.b
+        CROSS JOIN ns ORDER BY a, b
+    """,
     "auc": """
         -- 2U = sum over distinct scores of pos(v)*(2*neg_below(v)+neg(v));
         -- AUC = 2U / (2*n_pos*n_neg), ties get half credit
