@@ -5540,6 +5540,79 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_info_gain(sf_dir: str) -> pd.DataFrame:
+    """Information gain of each binned lineitem feature w.r.t. the
+    return-flag label — the filter feature-selection primitive.  All
+    counts fold from ONE map pass of O(blocks × features·bins·classes)
+    int partials (zero shuffles); entropies use the nested-micro-round
+    discipline (per-(bin,class) term micro-rounded, bin entropies summed
+    as ints, the n_b weighting an exact floor division), so both twins
+    compute literally the same integers."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_tax",
+                "l_returnflag"])
+    feats = ["l_quantity", "l_extendedprice", "l_tax"]
+    B = 8
+
+    def mm_part(tbl: pa.Table) -> pa.Table:
+        lo = [float(tbl[f].to_numpy(zero_copy_only=False).min())
+              for f in feats]
+        hi = [float(tbl[f].to_numpy(zero_copy_only=False).max())
+              for f in feats]
+        return pa.table({"lo": pa.array([np.array(lo).tobytes()]),
+                         "hi": pa.array([np.array(hi).tobytes()])})
+
+    ds = ds.materialize()
+    fmin = np.full(3, np.inf)
+    fmax = np.full(3, -np.inf)
+    for r in ds.map_batches(mm_part, batch_format="pyarrow").take_all():
+        fmin = np.minimum(fmin, np.frombuffer(r["lo"]))
+        fmax = np.maximum(fmax, np.frombuffer(r["hi"]))
+    w = (fmax - fmin) / B
+
+    classes = ["A", "N", "R"]
+
+    def cnt_part(tbl: pa.Table) -> pa.Table:
+        y = tbl["l_returnflag"].to_numpy(zero_copy_only=False)
+        ci = np.searchsorted(np.array(classes), y)
+        out = np.zeros(3 * B * 3, dtype=np.int64)
+        for j, f in enumerate(feats):
+            x = tbl[f].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.clip(np.floor((x - fmin[j]) / w[j]), 0,
+                        B - 1).astype(np.int64)
+            np.add.at(out, (j * B + b) * 3 + ci, 1)
+        return pa.table({"c": pa.array([out.tobytes()])})
+
+    cnt = np.zeros(3 * B * 3, dtype=np.int64)
+    for r in ds.map_batches(cnt_part, batch_format="pyarrow").take_all():
+        cnt += np.frombuffer(r["c"], dtype=np.int64)
+    cnt = cnt.reshape(3, B, 3)
+
+    def h_micro(counts: np.ndarray, tot: int) -> int:
+        """−Σ round(1e6·(c/tot)·ln(c/tot)) over positive counts (int)."""
+        c = counts[counts > 0].astype(np.float64)
+        t = _half_away(c / tot * np.log(c / tot) * 1e6).astype(np.int64)
+        return -int(t.sum())
+
+    n = int(cnt[0].sum())
+    cls_tot = cnt[0].sum(axis=0)
+    hy = h_micro(cls_tot, n)
+    rows = []
+    for j, f in enumerate(feats):
+        hcond = 0
+        for b in range(B):
+            nb = int(cnt[j, b].sum())
+            if nb == 0:
+                continue
+            hcond += (nb * h_micro(cnt[j, b], nb)) // n
+        rows.append((f, hy, hcond, hy - hcond))
+    return pd.DataFrame(rows, columns=["feature", "h_y_micro",
+                                       "h_cond_micro", "ig_micro"]
+                        ).astype({c: np.int64 for c in
+                                  ["h_y_micro", "h_cond_micro",
+                                   "ig_micro"]})
+
+
 def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
     """Market-basket association rules over 30-min sessions: for every
     unordered event-type pair, session support plus floor-div micro
@@ -6396,6 +6469,7 @@ QUERIES = {
     "markov_transitions": q_markov_transitions,
     "auc": q_auc,
     "assoc_rules": q_assoc_rules,
+    "info_gain": q_info_gain,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8120,6 +8194,56 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "info_gain": """
+        -- IG per binned feature vs l_returnflag; nested micro-round
+        -- discipline: per-(bin,class) term rounded, bin entropies int-
+        -- summed, weighting an exact floor division
+        WITH st AS MATERIALIZED (
+            SELECT min(l_quantity) AS lo0,
+                   (max(l_quantity) - min(l_quantity)) / 8 AS w0,
+                   min(l_extendedprice) AS lo1,
+                   (max(l_extendedprice) - min(l_extendedprice)) / 8
+                       AS w1,
+                   min(l_tax) AS lo2,
+                   (max(l_tax) - min(l_tax)) / 8 AS w2
+            FROM lineitem),
+        binned AS MATERIALIZED (
+            SELECT l_returnflag AS y,
+                   CAST(LEAST(GREATEST(floor((l_quantity - lo0) / w0),
+                                       0), 7) AS BIGINT) AS b0,
+                   CAST(LEAST(GREATEST(floor((l_extendedprice - lo1)
+                                             / w1), 0), 7) AS BIGINT)
+                       AS b1,
+                   CAST(LEAST(GREATEST(floor((l_tax - lo2) / w2), 0), 7)
+                       AS BIGINT) AS b2
+            FROM lineitem, st),
+        n AS (SELECT count(*)::BIGINT AS n FROM binned),
+        lf AS (SELECT 0 AS f, b0 AS bin, y FROM binned
+               UNION ALL SELECT 1, b1, y FROM binned
+               UNION ALL SELECT 2, b2, y FROM binned),
+        cbc AS (SELECT f, bin, y, count(*)::BIGINT AS c
+                FROM lf GROUP BY 1, 2, 3),
+        nb AS (SELECT f, bin, sum(c)::BIGINT AS nb
+               FROM cbc GROUP BY 1, 2),
+        hb AS (SELECT cbc.f, cbc.bin, nb.nb,
+                      -sum(CAST(round((cbc.c::DOUBLE / nb.nb)
+                                      * ln(cbc.c::DOUBLE / nb.nb)
+                                      * 1e6) AS BIGINT))::BIGINT AS h
+               FROM cbc JOIN nb USING (f, bin) GROUP BY 1, 2, 3),
+        hcond AS (SELECT f, sum((nb * h) // n.n)::BIGINT AS hc
+                  FROM hb, n GROUP BY f, n.n),
+        cy AS (SELECT y, count(*)::BIGINT AS c FROM binned GROUP BY y),
+        hy AS (SELECT -sum(CAST(round((cy.c::DOUBLE / n.n)
+                                      * ln(cy.c::DOUBLE / n.n)
+                                      * 1e6) AS BIGINT))::BIGINT AS h
+               FROM cy, n)
+        SELECT CASE f WHEN 0 THEN 'l_quantity'
+               WHEN 1 THEN 'l_extendedprice'
+               ELSE 'l_tax' END AS feature,
+               hy.h AS h_y_micro, hc AS h_cond_micro,
+               (hy.h - hc)::BIGINT AS ig_micro
+        FROM hcond, hy ORDER BY f
+    """,
     "assoc_rules": """
         -- A-priori level 1 over 30-min sessions: support, floor-div
         -- micro confidence both ways, and lift
