@@ -111,7 +111,8 @@ def run_bench() -> dict:
         "hash_split", "kbins_quantile", "shuffle_rank", "profile_table",
         "psi_drift", "unpivot", "hits", "weighted_sample",
         "validate_rules", "kaplan_meier", "gini", "isotonic",
-        "markov_transitions", "auc", "assoc_rules", "info_gain")
+        "markov_transitions", "auc", "assoc_rules", "info_gain",
+        "cohort_retention")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5540,6 +5540,58 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by first-event day, distinct
+    active users per (cohort_day, day_offset) plus retention as floor-div
+    micro fraction of the cohort size — the product-analytics staple.
+    Plan: first-event day per user is a narrow groupby-min; the cohort
+    map broadcasts (user→day, bounded id space by the encoder-vocab
+    contract) and each block tags its own rows; (cohort, offset, user)
+    triples dedup block-locally before one narrow distinct exchange.
+    Integer end-to-end."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).materialize()
+
+    def day_part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        pdf = (pd.DataFrame({"u": tbl["user_id"].to_numpy(
+            zero_copy_only=False), "d": d})
+            .groupby("u", as_index=False)["d"].min())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    first = {r["u"]: int(r["min(d)"]) for r in
+             ds.map_batches(day_part, batch_format="pyarrow")
+             .groupby("u").min("d").take_all()}
+    cohort_size = pd.Series(list(first.values())).value_counts()
+    ref = ray.put(first)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        c = np.array([f[x] for x in u], dtype=np.int64)
+        pdf = (pd.DataFrame({"cohort": c, "off": d - c, "u": u})
+               .drop_duplicates())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    rows = (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby(["cohort", "off", "u"]).count()
+            .map_batches(lambda t: t.select(["cohort", "off"]),
+                         batch_format="pyarrow")
+            .groupby(["cohort", "off"]).count().take_all())
+    out = pd.DataFrame([(int(r["cohort"]), int(r["off"]),
+                         int(r["count()"])) for r in rows],
+                       columns=["cohort_day", "day_offset", "active"])
+    cs = out["cohort_day"].map(cohort_size).to_numpy(dtype=np.int64)
+    out["cohort_size"] = cs
+    out["retention_micro"] = (out["active"].to_numpy(dtype=np.int64)
+                              * 1_000_000 // cs)
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True).astype(np.int64))
+
+
 def q_info_gain(sf_dir: str) -> pd.DataFrame:
     """Information gain of each binned lineitem feature w.r.t. the
     return-flag label — the filter feature-selection primitive.  All
@@ -6470,6 +6522,7 @@ QUERIES = {
     "auc": q_auc,
     "assoc_rules": q_assoc_rules,
     "info_gain": q_info_gain,
+    "cohort_retention": q_cohort_retention,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8194,6 +8247,26 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "cohort_retention": """
+        WITH ev AS (
+            SELECT user_id AS u,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events),
+        f AS (SELECT u, min(d) AS cohort FROM ev GROUP BY u),
+        cs AS (SELECT cohort, count(*)::BIGINT AS size FROM f
+               GROUP BY cohort),
+        act AS (SELECT DISTINCT f.cohort, ev.d - f.cohort AS off, ev.u
+                FROM ev JOIN f USING (u)),
+        a AS (SELECT cohort, off, count(*)::BIGINT AS active
+              FROM act GROUP BY 1, 2)
+        SELECT a.cohort::BIGINT AS cohort_day,
+               a.off::BIGINT AS day_offset, a.active,
+               cs.size AS cohort_size,
+               (a.active * 1000000 // cs.size)::BIGINT
+                   AS retention_micro
+        FROM a JOIN cs USING (cohort)
+        ORDER BY cohort_day, day_offset
+    """,
     "info_gain": """
         -- IG per binned feature vs l_returnflag; nested micro-round
         -- discipline: per-(bin,class) term rounded, bin entropies int-
