@@ -5540,6 +5540,71 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_chi_square(sf_dir: str) -> pd.DataFrame:
+    """χ² independence test of documents' lang × source — the
+    categorical-association screen: observed counts from one tiny
+    groupby; expected = row·col/n is the identical IEEE chain on exact
+    ints; per-cell (o−e)²/e micro-rounded then integer-summed (the
+    info_gain nested-round discipline), so the statistic is bit-equal."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    obs = (ds.groupby(["lang", "source"]).count().to_pandas()
+           .rename(columns={"count()": "o"}))
+    n = int(obs["o"].sum())
+    row = obs.groupby("lang")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    col = obs.groupby("source")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    o = obs["o"].to_numpy(dtype=np.int64)
+    e = row.astype(np.float64) * col / n
+    term = (o - e) * (o - e) / e
+    obs["term_micro"] = _half_away(term * 1e6).astype(np.int64)
+    chi2 = int(obs["term_micro"].sum())
+    out = (obs[["lang", "source", "o", "term_micro"]]
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    out["chi2_micro"] = np.int64(chi2)
+    return out.astype({"o": np.int64, "term_micro": np.int64,
+                       "chi2_micro": np.int64})
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Two-step funnel conversion: distinct users whose first click
+    precedes a later purchase, over distinct users with any click —
+    exact counts via per-user (min click ts, max purchase ts) narrow
+    aggregates, conversion as floor-div micro."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        ts = (tbl["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({"u": u, "ct": np.where(et == "click", ts,
+                                                   np.int64(2**62)),
+                            "pt": np.where(et == "purchase", ts,
+                                           np.int64(-2**62))})
+        g = (pdf.groupby("u", as_index=False)
+             .agg(ct=("ct", "min"), pt=("pt", "max")))
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    # two narrow aggregates over the pre-reduced per-user partials
+    agg = (ds.map_batches(part, batch_format="pyarrow").materialize())
+    ct = {r["u"]: int(r["min(ct)"]) for r in
+          agg.groupby("u").min("ct").take_all()}
+    pt = {r["u"]: int(r["max(pt)"]) for r in
+          agg.groupby("u").max("pt").take_all()}
+    clicked = sum(1 for u, t in ct.items() if t < 2**62)
+    converted = sum(1 for u, t in ct.items()
+                    if t < 2**62 and pt[u] > t)
+    return pd.DataFrame({
+        "clicked": pd.Series([clicked], dtype=np.int64),
+        "converted": pd.Series([converted], dtype=np.int64),
+        "conv_micro": pd.Series(
+            [converted * 1_000_000 // clicked if clicked else 0],
+            dtype=np.int64),
+    })
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users grouped by first-event day, distinct
     active users per (cohort_day, day_offset) plus retention as floor-div
@@ -6523,6 +6588,8 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "info_gain": q_info_gain,
     "cohort_retention": q_cohort_retention,
+    "chi_square": q_chi_square,
+    "funnel": q_funnel,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8247,6 +8314,40 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "chi_square": """
+        WITH obs AS (SELECT lang, source, count(*)::BIGINT AS o
+                     FROM documents GROUP BY 1, 2),
+        n AS (SELECT sum(o)::BIGINT AS n FROM obs),
+        r AS (SELECT lang, sum(o)::BIGINT AS ro FROM obs GROUP BY lang),
+        c AS (SELECT source, sum(o)::BIGINT AS co FROM obs
+              GROUP BY source),
+        t AS (SELECT obs.lang, obs.source, obs.o,
+                     CAST(round((obs.o - r.ro::DOUBLE * c.co / n.n)
+                                * (obs.o - r.ro::DOUBLE * c.co / n.n)
+                                / (r.ro::DOUBLE * c.co / n.n) * 1e6)
+                          AS BIGINT) AS term_micro
+              FROM obs JOIN r USING (lang) JOIN c USING (source)
+                   CROSS JOIN n)
+        SELECT lang, source, o, term_micro,
+               (SELECT sum(term_micro) FROM t)::BIGINT AS chi2_micro
+        FROM t ORDER BY lang, source
+    """,
+    "funnel": """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click'
+                       THEN epoch_us(ts) END) AS ct,
+                   max(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(ts) END) AS pt
+            FROM events GROUP BY user_id)
+        SELECT count(ct)::BIGINT AS clicked,
+               sum(CASE WHEN ct IS NOT NULL AND pt > ct
+                   THEN 1 ELSE 0 END)::BIGINT AS converted,
+               (sum(CASE WHEN ct IS NOT NULL AND pt > ct
+                    THEN 1 ELSE 0 END) * 1000000
+                // count(ct))::BIGINT AS conv_micro
+        FROM pu
+    """,
     "cohort_retention": """
         WITH ev AS (
             SELECT user_id AS u,
