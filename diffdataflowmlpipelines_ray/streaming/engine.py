@@ -457,6 +457,15 @@ class SessionWindowAggregation:
 
     Insert-only (see StateShard.apply_session_points); finalized when the
     watermark passes session end + allowed lateness.
+
+    Late side output: unlike the fixed windows (where
+    ``KeyedAggregation(late_output=True)`` is genuinely FINER than any
+    watermark offset — window ends quantize), the session drop rule is
+    exactly the fixed-offset test ``ts + gap + allowed_lateness ≤
+    watermark``, so the session-level ``StreamSession.route_late(...,
+    lateness=gap + allowed_lateness)`` reproduces the operator's late set
+    BIT-EXACTLY — route there for a durable side sink (equivalence
+    pytest-pinned in ``TestRouteLate``); no operator-level flag needed.
     """
 
     name: str

@@ -5352,3 +5352,48 @@ class TestEnrichBlockProbe:
             TemporalEnrichJoin(name="x", dim_input="d", stream_input="s",
                                key=["k"], dim_vals=["v"], stream_ts="ts",
                                probe_mode="block")
+
+
+def test_session_route_late_equivalence(ray_session, tmp_path):
+    """The session drop rule is exactly the fixed-offset test, so
+    route_late(lateness=gap+allowed_lateness) reproduces the operator's
+    late set bit-exactly: pre-split inputs leave late_dropped == 0 and
+    the side sink holds exactly the rows the bare op would have
+    dropped."""
+    import numpy as np
+
+    def mk(root):
+        s = StreamSession(root, num_shards=2)
+        s.add(SessionWindowAggregation(
+            name="sw", input="ev", key_cols=["k"], ts_col="ts",
+            gap=10.0, allowed_lateness=2.0))
+        return s
+
+    ep0 = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                    "ts": pa.array([5.0, 40.0])})
+    # at wm=40: late iff ts + 12 <= 40, i.e. ts <= 28
+    ep1 = pa.table({"k": pa.array([1, 1, 1], type=pa.int64()),
+                    "ts": pa.array([20.0, 28.0, 29.0])})
+
+    bare = mk(tmp_path / "bare")
+    bare.process_epoch(0, {"ev": ep0}, watermark=40.0)
+    bare.process_epoch(1, {"ev": ep1}, watermark=60.0)
+    dropped = bare.metrics["late_dropped"]
+    bare_out = bare.sinks["sw"].read_committed_table().to_pandas()
+    bare.store.shutdown()
+    assert dropped == 2  # ts=20, ts=28
+
+    routed = mk(tmp_path / "routed")
+    routed.process_epoch(0, {"ev": ep0}, watermark=40.0)
+    on_time = routed.route_late(1, {"ev": ep1}, {"ev": "ts"},
+                                lateness=12.0)
+    routed.process_epoch(1, on_time, watermark=60.0)
+    late = routed.late_output("ev").to_pandas()
+    routed_out = routed.sinks["sw"].read_committed_table().to_pandas()
+    routed.store.shutdown()
+    assert sorted(late["ts"].tolist()) == [20.0, 28.0]
+    assert routed.metrics["late_dropped"] == 0
+    key = sorted(bare_out.columns)
+    a = bare_out[key].sort_values(key).reset_index(drop=True)
+    b = routed_out[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
