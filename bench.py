@@ -112,7 +112,7 @@ def run_bench() -> dict:
         "psi_drift", "unpivot", "hits", "weighted_sample",
         "validate_rules", "kaplan_meier", "gini", "isotonic",
         "markov_transitions", "auc", "assoc_rules", "info_gain",
-        "cohort_retention", "chi_square", "funnel")
+        "cohort_retention", "chi_square", "funnel", "gmm_fit")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

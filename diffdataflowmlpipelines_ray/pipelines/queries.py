@@ -5540,6 +5540,21 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_gmm(sf_dir: str) -> pd.DataFrame:
+    """1-D Gaussian mixture over event values by distributed EM
+    (`stages/clustering.py gmm1d_fit`): deterministic quantile init, per
+    round one O(blocks × k) responsibility-partials pass, zero shuffles.
+    Rows-only (iterative EM has no SQL twin); planted-recovery and
+    monotone-likelihood pytest-pinned."""
+    from ..stages.clustering import gmm1d_fit
+
+    ds = _read(sf_dir, "events", ["value"])
+    params, lls = gmm1d_fit(ds, "value", k=3, iters=5)
+    params = params.copy()
+    params["final_ll"] = lls[-1]
+    return params
+
+
 def q_chi_square(sf_dir: str) -> pd.DataFrame:
     """χ² independence test of documents' lang × source — the
     categorical-association screen: observed counts from one tiny
@@ -6590,6 +6605,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "chi_square": q_chi_square,
     "funnel": q_funnel,
+    "gmm_fit": q_gmm,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,

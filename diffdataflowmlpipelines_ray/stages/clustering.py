@@ -24,7 +24,7 @@ import ray
 from ..functions.hashing import fast_hash64_array
 from ..functions.vectors import list_array_from_2d, list_column_to_2d
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = ["kmeans_fit", "kmeans_assign", "gmm1d_fit"]
 
 
 def _init_centroids(ds, emb_col: str, id_col: str, k: int) -> np.ndarray:
@@ -158,3 +158,80 @@ def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
             out, pa.array(d.argmin(axis=1).astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def gmm1d_fit(ds, col: str, k: int = 3, iters: int = 5,
+              var_floor: float = 1e-6):
+    """1-D Gaussian mixture by distributed EM (diagonal GMM's scalar
+    case) — the soft-clustering sibling of ``kmeans_fit``.
+
+    Init is DETERMINISTIC, no RNG: component means at the exact
+    distributed order statistics p=(2i+1)/(2k) (``exact_global_quantiles``
+    — the same machinery the quantile gates prove), shared variance from
+    the one-pass global moments, uniform weights.  Each EM round
+    broadcasts the (k,3) parameter table and folds per-block
+    responsibility partials (Σr, Σr·x, Σr·x², log-likelihood) — O(blocks
+    × k) floats to the driver, zero shuffles at any size.
+
+    Float partials make the fit deterministic per partitioning (pinned)
+    but not bit-identical across partitionings — the documented contrast
+    with the integer-exact operators; EM's monotone log-likelihood is
+    asserted instead.  Returns (params DataFrame (comp, weight, mean,
+    var), per-iteration log-likelihood list)."""
+    import pandas as pd
+
+    import ray
+
+    from .linalg import column_moments
+    from .relational import exact_global_quantiles
+
+    ds = ds.materialize()
+    qs = tuple((2 * i + 1) / (2 * k) for i in range(k))
+    qd = exact_global_quantiles(ds, col, qs=qs)
+    mu = np.array([qd[q] for q in qs], dtype=np.float64)
+    mom = column_moments(ds, [col])
+    n = mom.n
+    var0 = float(mom.cov()[0, 0])
+    var = np.full(k, max(var0, var_floor))
+    w = np.full(k, 1.0 / k)
+
+    lls = []
+    for _ in range(iters):
+        ref = ray.put((w.copy(), mu.copy(), var.copy()))
+
+        def part(tbl: pa.Table) -> pa.Table:
+            ww, m, v = ray.get(ref)
+            x = tbl[col].to_numpy(zero_copy_only=False).astype(
+                np.float64)[:, None]
+            logp = (np.log(ww)[None, :]
+                    - 0.5 * np.log(2 * np.pi * v)[None, :]
+                    - (x - m[None, :]) ** 2 / (2 * v)[None, :])
+            mx = logp.max(axis=1, keepdims=True)
+            pz = np.exp(logp - mx)
+            tot = pz.sum(axis=1, keepdims=True)
+            r = pz / tot
+            ll = float((mx[:, 0] + np.log(tot[:, 0])).sum())
+            return pa.table({
+                "s0": pa.array([r.sum(axis=0).tobytes()]),
+                "s1": pa.array([(r * x).sum(axis=0).tobytes()]),
+                "s2": pa.array([(r * x * x).sum(axis=0).tobytes()]),
+                "ll": pa.array([ll]),
+            })
+
+        s0 = np.zeros(k)
+        s1 = np.zeros(k)
+        s2 = np.zeros(k)
+        ll = 0.0
+        for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+            s0 += np.frombuffer(row["s0"])
+            s1 += np.frombuffer(row["s1"])
+            s2 += np.frombuffer(row["s2"])
+            ll += float(row["ll"])
+        lls.append(ll)
+        w = s0 / n
+        mu = s1 / s0
+        var = np.maximum(s2 / s0 - mu * mu, var_floor)
+
+    out = pd.DataFrame({"comp": np.arange(k, dtype=np.int64),
+                        "weight": w, "mean": mu, "var": var})
+    return out, lls

@@ -2274,3 +2274,35 @@ class TestAucExact:
         got1 = self._run(s.tolist(), y.tolist(), 1)
         got5 = self._run(s.tolist(), y.tolist(), 5)
         assert got1[0] == got5[0] == u2
+
+
+class TestGmm1d:
+    def test_recovers_planted_mixture(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.clustering import (
+            gmm1d_fit,
+        )
+
+        rng = np.random.default_rng(14)
+        x = np.concatenate([rng.normal(-5, 0.7, 3000),
+                            rng.normal(5, 1.0, 1000)])
+        ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(4)
+        params, lls = gmm1d_fit(ds, "v", k=2, iters=8)
+        p = params.sort_values("mean").reset_index(drop=True)
+        assert abs(p.loc[0, "mean"] - (-5)) < 0.15
+        assert abs(p.loc[1, "mean"] - 5) < 0.3
+        assert abs(p.loc[0, "weight"] - 0.75) < 0.03
+        # EM guarantee: monotone non-decreasing log-likelihood
+        assert all(a <= b + 1e-6 for a, b in zip(lls, lls[1:]))
+
+    def test_deterministic_per_partitioning(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.clustering import (
+            gmm1d_fit,
+        )
+
+        rng = np.random.default_rng(15)
+        x = rng.normal(0, 2, 500)
+        mk = lambda: rd.from_arrow(pa.table({"v": pa.array(x)})
+                                   ).repartition(3)
+        a, _ = gmm1d_fit(mk(), "v", k=3, iters=3)
+        b, _ = gmm1d_fit(mk(), "v", k=3, iters=3)
+        pd.testing.assert_frame_equal(a, b)
