@@ -112,7 +112,8 @@ def run_bench() -> dict:
         "psi_drift", "unpivot", "hits", "weighted_sample",
         "validate_rules", "kaplan_meier", "gini", "isotonic",
         "markov_transitions", "auc", "assoc_rules", "info_gain",
-        "cohort_retention", "chi_square", "funnel", "gmm_fit")
+        "cohort_retention", "chi_square", "funnel", "gmm_fit",
+        "weighted_median")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

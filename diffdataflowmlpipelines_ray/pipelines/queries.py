@@ -5540,6 +5540,57 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Lower weighted median of part retail price weighted by part size —
+    the survey-statistics primitive: the smallest value whose cumulative
+    weight reaches half the total.  Exact integers end-to-end: per-value
+    weight sums on one narrow groupby, cumulative weights from the
+    distributed exclusive scan, the crossing found by an integer
+    comparison (2·cumw ≥ W) — the gate is bit-exact."""
+    ds = _read(sf_dir, "part", ["p_retailprice", "p_size"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["p_retailprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0).astype(
+            np.int64)
+        return pa.table({"v": pa.array(cents),
+                         "w": pc.cast(tbl["p_size"], pa.int64())})
+
+    from ..stages.relational import ordered_prefix_sum
+
+    per_v = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("v").sum("w")
+             .map_batches(lambda t: t.rename_columns(["v", "w"]),
+                          batch_format="pyarrow"))
+    scanned = ordered_prefix_sum(per_v, "v", "w", out_col="before",
+                                 exclusive=True).materialize()
+    total = 0
+    for r in scanned.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(t["w"].to_numpy(zero_copy_only=False).sum())
+                 if "w" in t.column_names else 0], type=pa.int64())}),
+            batch_format="pyarrow").take_all():
+        total += int(r["n"])
+
+    def cross(tbl: pa.Table) -> pa.Table:
+        if "v" not in tbl.column_names:
+            return pa.table({"v": pa.array([], type=pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        b = tbl["before"].to_numpy(zero_copy_only=False)
+        hit = 2 * (b + w) >= total
+        return pa.table({"v": pa.array(v[hit].astype(np.int64))})
+
+    cands = [int(r["v"]) for r in
+             scanned.map_batches(cross,
+                                 batch_format="pyarrow").take_all()]
+    return pd.DataFrame({
+        "total_weight": pd.Series([total], dtype=np.int64),
+        "weighted_median_cents": pd.Series([min(cands)],
+                                           dtype=np.int64),
+    })
+
+
 def q_gmm(sf_dir: str) -> pd.DataFrame:
     """1-D Gaussian mixture over event values by distributed EM
     (`stages/clustering.py gmm1d_fit`): deterministic quantile init, per
@@ -6606,6 +6657,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "funnel": q_funnel,
     "gmm_fit": q_gmm,
+    "weighted_median": q_weighted_median,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8330,6 +8382,20 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "weighted_median": """
+        -- lower weighted median: smallest v with 2*cumw >= W
+        WITH pv AS (
+            SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+                   sum(p_size)::BIGINT AS w
+            FROM part GROUP BY 1),
+        t AS (SELECT sum(w)::BIGINT AS total FROM pv),
+        c AS (SELECT v, sum(w) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cumw
+              FROM pv)
+        SELECT t.total AS total_weight,
+               min(c.v)::BIGINT AS weighted_median_cents
+        FROM c, t WHERE 2 * c.cumw >= t.total GROUP BY t.total
+    """,
     "chi_square": """
         WITH obs AS (SELECT lang, source, count(*)::BIGINT AS o
                      FROM documents GROUP BY 1, 2),
