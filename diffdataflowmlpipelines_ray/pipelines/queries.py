@@ -5540,6 +5540,74 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click-value
+    and purchase-value distributions — EXACT: the sup-gap maximizes
+    |c1·n2 − c2·n1| over the merged distinct-value grid (integer
+    cross-multiplication, no CDF floats), cumulative counts from the
+    distributed exclusive scan; D reported as the exact integer pieces
+    plus floor-div micro.  Zero full shuffles beyond the narrow per-value
+    count exchange."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64)[keep] * 1e6).astype(np.int64)
+        is1 = (et[keep] == "click").astype(np.int64)
+        pdf = (pd.DataFrame({"v": v, "c1": is1, "c2": 1 - is1})
+               .groupby("v", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    from ..stages.relational import ordered_prefix_sum
+
+    per_v = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("v").sum(["c1", "c2"])
+             .map_batches(lambda t: t.rename_columns(["v", "c1", "c2"]),
+                          batch_format="pyarrow").materialize())
+    s1 = ordered_prefix_sum(per_v, "v", "c1", out_col="b1",
+                            exclusive=True)
+    scanned = ordered_prefix_sum(s1, "v", "c2", out_col="b2",
+                                 exclusive=True).materialize()
+    n1 = n2 = 0
+    for r in scanned.map_batches(
+            lambda t: pa.table({
+                "a": pa.array([int(t["c1"].to_numpy(
+                    zero_copy_only=False).sum())
+                    if "c1" in t.column_names else 0], type=pa.int64()),
+                "b": pa.array([int(t["c2"].to_numpy(
+                    zero_copy_only=False).sum())
+                    if "c2" in t.column_names else 0],
+                    type=pa.int64())}),
+            batch_format="pyarrow").take_all():
+        n1 += int(r["a"])
+        n2 += int(r["b"])
+
+    def gap(tbl: pa.Table) -> pa.Table:
+        if "c1" not in tbl.column_names:
+            return pa.table({"g": pa.array([0], type=pa.int64())})
+        f1 = (tbl["b1"].to_numpy(zero_copy_only=False)
+              + tbl["c1"].to_numpy(zero_copy_only=False))
+        f2 = (tbl["b2"].to_numpy(zero_copy_only=False)
+              + tbl["c2"].to_numpy(zero_copy_only=False))
+        g = np.abs(f1 * n2 - f2 * n1)
+        return pa.table({"g": pa.array([int(g.max()) if len(g) else 0],
+                                       type=pa.int64())})
+
+    gmax = 0
+    for r in scanned.map_batches(gap, batch_format="pyarrow").take_all():
+        gmax = max(gmax, int(r["g"]))
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype=np.int64),
+        "n2": pd.Series([n2], dtype=np.int64),
+        "gap_num": pd.Series([gmax], dtype=np.int64),
+        "d_micro": pd.Series([gmax * 1_000_000 // (n1 * n2)],
+                             dtype=np.int64),
+    })
+
+
 def q_weighted_median(sf_dir: str) -> pd.DataFrame:
     """Lower weighted median of part retail price weighted by part size —
     the survey-statistics primitive: the smallest value whose cumulative
@@ -6658,6 +6726,7 @@ QUERIES = {
     "funnel": q_funnel,
     "gmm_fit": q_gmm,
     "weighted_median": q_weighted_median,
+    "ks_test": q_ks_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8382,6 +8451,32 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "ks_test": """
+        -- exact two-sample KS: gap = max |F1*n2 - F2*n1| over the merged
+        -- value grid, all integer
+        WITH base AS (
+            SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                       AS c1,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS c2
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        pv AS (SELECT v, sum(c1)::BIGINT AS c1, sum(c2)::BIGINT AS c2
+               FROM base GROUP BY v),
+        t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+              FROM pv),
+        f AS (SELECT v,
+                     sum(c1) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS f1,
+                     sum(c2) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS f2
+              FROM pv),
+        g AS (SELECT max(abs(f1 * t.n2 - f2 * t.n1))::BIGINT AS gap
+              FROM f, t)
+        SELECT t.n1, t.n2, g.gap AS gap_num,
+               (g.gap * 1000000 // (t.n1 * t.n2))::BIGINT AS d_micro
+        FROM t, g
+    """,
     "weighted_median": """
         -- lower weighted median: smallest v with 2*cumw >= W
         WITH pv AS (
