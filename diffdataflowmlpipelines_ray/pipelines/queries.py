@@ -5540,6 +5540,55 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_conformal(sf_dir: str) -> pd.DataFrame:
+    """Split-conformal regression interval: OLS price ~ quantity from the
+    one-pass Chan moments (6-dp-rounded coefficients on BOTH twins — the
+    grouped_linreg float-agreement contract), the 90% quantile of
+    absolute calibration residuals via the exact distributed quantile
+    machinery, and the realized coverage count — distribution-free
+    uncertainty quantification as a composition of proven primitives."""
+    from ..stages.linalg import column_moments, linreg_fit
+    from ..stages.relational import exact_global_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice"], blocks=8)
+    m = column_moments(ds, ["l_quantity", "l_extendedprice"])
+    fit = linreg_fit(m, x_idx=[0], y_idx=1)
+    b6 = float(_half_away(np.array([float(fit["coef"][0]) * 1e6]))[0]
+               ) / 1e6
+    a6 = float(_half_away(np.array([fit["intercept"] * 1e6]))[0]) / 1e6
+
+    def resid(tbl: pa.Table) -> pa.Table:
+        x = tbl["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = tbl["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({"r": pa.array(np.abs(y - (a6 + b6 * x)))})
+
+    R = ds.map_batches(resid, batch_format="pyarrow").materialize()
+    q90 = exact_global_quantiles(R, "r", qs=(0.9,))[0.9]
+
+    cov = 0
+    n = 0
+    for row in R.map_batches(
+            lambda t, _q=q90: pa.table({
+                "c": pa.array([int((t["r"].to_numpy(
+                    zero_copy_only=False) <= _q).sum())],
+                    type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64())}),
+            batch_format="pyarrow").take_all():
+        cov += int(row["c"])
+        n += int(row["n"])
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype=np.int64),
+        "slope6": [b6], "intercept6": [a6],
+        "q90_resid": [round(q90, 6)],
+        "covered": pd.Series([cov], dtype=np.int64),
+        "coverage_micro": pd.Series([cov * 1_000_000 // n],
+                                    dtype=np.int64),
+    })
+
+
 def q_ks_test(sf_dir: str) -> pd.DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the click-value
     and purchase-value distributions — EXACT: the sup-gap maximizes
@@ -6727,6 +6776,7 @@ QUERIES = {
     "gmm_fit": q_gmm,
     "weighted_median": q_weighted_median,
     "ks_test": q_ks_test,
+    "conformal": q_conformal,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8451,6 +8501,27 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "conformal": """
+        -- OLS with 6-dp-rounded coefficients, q90 of |resid|,
+        -- realized coverage
+        WITH f AS (
+            SELECT round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS b6,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS a6
+            FROM lineitem),
+        r AS (SELECT abs(l_extendedprice - (f.a6 + f.b6 * l_quantity))
+                         AS r
+              FROM lineitem, f),
+        q AS (SELECT quantile_cont(r, 0.9) AS q90 FROM r)
+        SELECT count(*)::BIGINT AS n, f.b6 AS slope6, f.a6 AS intercept6,
+               round(q.q90, 6) AS q90_resid,
+               sum(CASE WHEN r.r <= q.q90 THEN 1 ELSE 0 END)::BIGINT
+                   AS covered,
+               (sum(CASE WHEN r.r <= q.q90 THEN 1 ELSE 0 END) * 1000000
+                // count(*))::BIGINT AS coverage_micro
+        FROM r, q, f GROUP BY f.b6, f.a6, q.q90
+    """,
     "ks_test": """
         -- exact two-sample KS: gap = max |F1*n2 - F2*n1| over the merged
         -- value grid, all integer
