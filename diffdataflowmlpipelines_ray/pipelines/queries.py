@@ -5540,6 +5540,66 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_spearman(sf_dir: str) -> pd.DataFrame:
+    """Exact Spearman rank correlation (average ranks for ties) between
+    quantity and discount: DOUBLED ranks stay integer (r2 = 2·below +
+    count + 1), every sum is exact (Python big ints on the tiny joint
+    table), and the one final ρ evaluation is the identical IEEE chain
+    on identical HUGEINT→DOUBLE conversions.  Plan: per-column value
+    censuses (tiny domains by fixture contract) broadcast as rank maps,
+    one joint (x, y) count groupby — value domains bounded, rows never
+    leave their blocks unreduced."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def census(tbl: pa.Table) -> pa.Table:
+        qx = _half_away(tbl["l_quantity"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 100.0).astype(np.int64)
+        qy = _half_away(tbl["l_discount"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"x": qx, "y": qy})
+               .groupby(["x", "y"], as_index=False).size()
+               .rename(columns={"size": "k"}))
+        pdf["k"] = pdf["k"].astype(np.int64)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    rows = (ds.map_batches(census, batch_format="pyarrow")
+            .groupby(["x", "y"]).sum("k").take_all())
+    joint = {(int(r["x"]), int(r["y"])): int(r["sum(k)"]) for r in rows}
+
+    def rank2(col_idx: int) -> dict:
+        cnt: dict = {}
+        for (x, y), k in joint.items():
+            v = (x, y)[col_idx]
+            cnt[v] = cnt.get(v, 0) + k
+        r2 = {}
+        below = 0
+        for v in sorted(cnt):
+            r2[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return r2
+
+    rx = rank2(0)
+    ry = rank2(1)
+    n = sum(joint.values())
+    sx = sy = sxx = syy = sxy = 0
+    for (x, y), k in joint.items():
+        a, b = rx[x], ry[y]
+        sx += k * a
+        sy += k * b
+        sxx += k * a * a
+        syy += k * b * b
+        sxy += k * a * b
+    num = n * sxy - sx * sy          # exact big ints
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = float(num) / np.sqrt(float(dx) * float(dy))
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype=np.int64),
+        "rho_micro": pd.Series([int(_half_away(
+            np.array([rho * 1e6]))[0])], dtype=np.int64),
+    })
+
+
 def q_conformal(sf_dir: str) -> pd.DataFrame:
     """Split-conformal regression interval: OLS price ~ quantity from the
     one-pass Chan moments (6-dp-rounded coefficients on BOTH twins — the
@@ -6777,6 +6837,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "ks_test": q_ks_test,
     "conformal": q_conformal,
+    "spearman": q_spearman,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8501,6 +8562,38 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "spearman": """
+        -- exact ties-averaged Spearman via DOUBLED integer ranks
+        WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                          CAST(round(l_discount * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        cx AS (SELECT x, count(*)::HUGEINT AS c FROM b GROUP BY x),
+        rxm AS (SELECT x,
+                       2 * COALESCE(sum(c) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + c + 1 AS r2
+                FROM cx),
+        cy AS (SELECT y, count(*)::HUGEINT AS c FROM b GROUP BY y),
+        rym AS (SELECT y,
+                       2 * COALESCE(sum(c) OVER (ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + c + 1 AS r2
+                FROM cy),
+        j AS (SELECT x, y, count(*)::HUGEINT AS k FROM b GROUP BY x, y),
+        s AS (SELECT sum(k)::HUGEINT AS n,
+                     sum(k * rx.r2)::HUGEINT AS sx,
+                     sum(k * ry.r2)::HUGEINT AS sy,
+                     sum(k * rx.r2 * rx.r2)::HUGEINT AS sxx,
+                     sum(k * ry.r2 * ry.r2)::HUGEINT AS syy,
+                     sum(k * rx.r2 * ry.r2)::HUGEINT AS sxy
+              FROM j JOIN rxm rx USING (x) JOIN rym ry USING (y))
+        SELECT n::BIGINT AS n,
+               CAST(round((n * sxy - sx * sy)::DOUBLE
+                          / sqrt((n * sxx - sx * sx)::DOUBLE
+                                 * (n * syy - sy * sy)::DOUBLE) * 1e6)
+                    AS BIGINT) AS rho_micro
+        FROM s
+    """,
     "conformal": """
         -- OLS with 6-dp-rounded coefficients, q90 of |resid|,
         -- realized coverage
