@@ -5540,6 +5540,39 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit profile of extended prices — the
+    fraud-screening classic: digits extracted from the integer-cents
+    STRING on both twins (no float log10 near power-of-ten boundaries),
+    observed fraction as floor-div micro beside the Benford expectation
+    round(log10(1+1/d)·1e6).  One O(blocks × 9) partials pass."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["l_extendedprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0).astype(
+            np.int64)
+        first = np.array([int(str(c)[0]) for c in cents],
+                         dtype=np.int64)
+        return pa.table({"h": pa.array(
+            [np.bincount(first, minlength=10).astype(np.int64)
+             .tobytes()])})
+
+    cnt = np.zeros(10, dtype=np.int64)
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        cnt += np.frombuffer(r["h"], dtype=np.int64)
+    n = int(cnt.sum())
+    d = np.arange(1, 10)
+    out = pd.DataFrame({
+        "digit": d.astype(np.int64),
+        "n": cnt[1:10],
+        "frac_micro": cnt[1:10] * 1_000_000 // n,
+        "benford_micro": _half_away(
+            np.log10(1.0 + 1.0 / d) * 1e6).astype(np.int64),
+    })
+    return out.astype(np.int64)
+
+
 def q_spearman(sf_dir: str) -> pd.DataFrame:
     """Exact Spearman rank correlation (average ranks for ties) between
     quantity and discount: DOUBLED ranks stay integer (r2 = 2·below +
@@ -6838,6 +6871,7 @@ QUERIES = {
     "ks_test": q_ks_test,
     "conformal": q_conformal,
     "spearman": q_spearman,
+    "benford": q_benford,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8562,6 +8596,22 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "benford": """
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM lineitem),
+        c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+        t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+        g AS (SELECT i.i + 1 AS digit FROM UNNEST(range(9)) AS i(i))
+        SELECT g.digit::BIGINT AS digit, COALESCE(c.n, 0) AS n,
+               (COALESCE(c.n, 0) * 1000000 // t.tot)::BIGINT
+                   AS frac_micro,
+               CAST(round(log10(1.0 + 1.0 / g.digit) * 1e6) AS BIGINT)
+                   AS benford_micro
+        FROM g LEFT JOIN c USING (digit) CROSS JOIN t
+        ORDER BY digit
+    """,
     "spearman": """
         -- exact ties-averaged Spearman via DOUBLED integer ranks
         WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
