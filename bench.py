@@ -113,7 +113,8 @@ def run_bench() -> dict:
         "validate_rules", "kaplan_meier", "gini", "isotonic",
         "markov_transitions", "auc", "assoc_rules", "info_gain",
         "cohort_retention", "chi_square", "funnel", "gmm_fit",
-        "weighted_median", "ks_test", "conformal", "spearman", "benford")
+        "weighted_median", "ks_test", "conformal", "spearman", "benford",
+        "source_overlap")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

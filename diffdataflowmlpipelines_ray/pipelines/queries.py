@@ -5540,6 +5540,63 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplication matrix — 'how much do my crawl sources
+    copy each other': for every source pair, the number of distinct
+    document TEXTS present in both, plus the Jaccard overlap in floor-div
+    micro.  Plan: (source, text) pairs dedup block-locally, ONE
+    groupby(text) gathers each text's source set (texts never move
+    twice), pairs explode inside the group task (sources per text is
+    tiny), and per-source distinct counts ride the same exchange —
+    payload text leaves its block once."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        pdf = (pd.DataFrame({
+            "s": tbl["source"].to_numpy(zero_copy_only=False),
+            "t": tbl["text"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    st = (ds.map_batches(pre, batch_format="pyarrow")
+          .groupby(["s", "t"]).count()
+          .map_batches(lambda t: t.select(["s", "t"]),
+                       batch_format="pyarrow").materialize())
+    n_s = {r["s"]: int(r["count()"]) for r in
+           st.groupby("s").count().take_all()}
+
+    def _tb(tbl: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(tbl["t"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return tbl.append_column("__b", pa.array(
+            (h % np.uint64(64)).astype(np.int64)))
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[["t", "s"]].merge(pdf[["t", "s"]], on="t")
+        m = m[m["s_x"] < m["s_y"]]
+        out = (m.groupby(["s_x", "s_y"], as_index=False).size()
+               .rename(columns={"size": "k"}))
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    rows = (st.map_batches(_tb, batch_format="pyarrow")
+            .groupby("__b").map_groups(pairs, batch_format="pandas")
+            .groupby(["s_x", "s_y"]).sum("k").take_all())
+    out = pd.DataFrame(
+        [(r["s_x"], r["s_y"], int(r["sum(k)"])) for r in rows],
+        columns=["a", "b", "both"])
+    na = out["a"].map(n_s).to_numpy(dtype=np.int64)
+    nb = out["b"].map(n_s).to_numpy(dtype=np.int64)
+    both = out["both"].to_numpy(dtype=np.int64)
+    out["n_a"] = na
+    out["n_b"] = nb
+    out["jaccard_micro"] = both * 1_000_000 // (na + nb - both)
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            .astype({"both": np.int64, "n_a": np.int64, "n_b": np.int64,
+                     "jaccard_micro": np.int64}))
+
+
 def q_benford(sf_dir: str) -> pd.DataFrame:
     """Benford first-digit profile of extended prices — the
     fraud-screening classic: digits extracted from the integer-cents
@@ -6872,6 +6929,7 @@ QUERIES = {
     "conformal": q_conformal,
     "spearman": q_spearman,
     "benford": q_benford,
+    "source_overlap": q_source_overlap,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8596,6 +8654,19 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "source_overlap": """
+        WITH st AS (SELECT DISTINCT source AS s, text AS t
+                    FROM documents),
+        ns AS (SELECT s, count(*)::BIGINT AS n FROM st GROUP BY s),
+        p AS (SELECT a.s AS a, b.s AS b, count(*)::BIGINT AS both
+              FROM st a JOIN st b ON a.t = b.t AND a.s < b.s
+              GROUP BY 1, 2)
+        SELECT p.a, p.b, p.both, na.n AS n_a, nb.n AS n_b,
+               (p.both * 1000000
+                // (na.n + nb.n - p.both))::BIGINT AS jaccard_micro
+        FROM p JOIN ns na ON na.s = p.a JOIN ns nb ON nb.s = p.b
+        ORDER BY a, b
+    """,
     "benford": """
         WITH d AS (
             SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
