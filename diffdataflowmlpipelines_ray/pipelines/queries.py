@@ -5540,6 +5540,56 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_stickiness(sf_dir: str) -> pd.DataFrame:
+    """Per-day engagement stickiness: DAU, trailing-7-day WAU (distinct
+    users over the window, exact — not a sum of DAUs), and DAU/WAU in
+    floor-div micro.  Plan: (day, user) pairs dedup block-locally → one
+    narrow distinct exchange; each pair then fans out to the ≤7 window
+    days it serves (map-only ×7) and a second distinct exchange counts
+    per-window users — bounded expansion, no user list ever leaves the
+    plan."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        pdf = (pd.DataFrame({"d": d, "u": tbl["user_id"].to_numpy(
+            zero_copy_only=False)}).drop_duplicates())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    du = (ds.map_batches(pre, batch_format="pyarrow")
+          .groupby(["d", "u"]).count()
+          .map_batches(lambda t: t.select(["d", "u"]),
+                       batch_format="pyarrow").materialize())
+    dau = {int(r["d"]): int(r["count()"]) for r in
+           du.groupby("d").count().take_all()}
+    lo, hi = min(dau), max(dau)
+
+    def fan(tbl: pa.Table) -> pa.Table:
+        d = tbl["d"].to_numpy(zero_copy_only=False)
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        # (d, u) serves windows ending on days d .. d+6 (within range)
+        offs = np.arange(7, dtype=np.int64)
+        wd = (d[:, None] + offs[None, :]).ravel()
+        wu = np.repeat(u, 7)
+        keep = wd <= hi
+        return pa.table({"wd": pa.array(wd[keep]),
+                         "u": pa.array(wu[keep])})
+
+    wau = {int(r["wd"]): int(r["count()"]) for r in
+           du.map_batches(fan, batch_format="pyarrow")
+           .groupby(["wd", "u"]).count()
+           .map_batches(lambda t: t.select(["wd"]),
+                        batch_format="pyarrow")
+           .groupby("wd").count().take_all()}
+    rows = [(d, dau[d], wau[d], dau[d] * 1_000_000 // wau[d])
+            for d in sorted(dau)]
+    return pd.DataFrame(rows, columns=["day", "dau", "wau",
+                                       "stickiness_micro"]).astype(
+        np.int64)
+
+
 def q_source_overlap(sf_dir: str) -> pd.DataFrame:
     """Cross-source duplication matrix — 'how much do my crawl sources
     copy each other': for every source pair, the number of distinct
@@ -6930,6 +6980,7 @@ QUERIES = {
     "spearman": q_spearman,
     "benford": q_benford,
     "source_overlap": q_source_overlap,
+    "stickiness": q_stickiness,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8654,6 +8705,23 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "stickiness": """
+        -- DAU / trailing-7-day exact-distinct WAU / stickiness micro
+        WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+                           user_id AS u
+                    FROM events),
+        days AS (SELECT DISTINCT d FROM du),
+        dau AS (SELECT d, count(*)::BIGINT AS dau FROM du GROUP BY d),
+        wau AS (SELECT days.d,
+                       count(DISTINCT du.u)::BIGINT AS wau
+                FROM days JOIN du
+                     ON du.d BETWEEN days.d - 6 AND days.d
+                GROUP BY days.d)
+        SELECT dau.d::BIGINT AS day, dau.dau, wau.wau,
+               (dau.dau * 1000000 // wau.wau)::BIGINT
+                   AS stickiness_micro
+        FROM dau JOIN wau USING (d) ORDER BY day
+    """,
     "source_overlap": """
         WITH st AS (SELECT DISTINCT source AS s, text AS t
                     FROM documents),
