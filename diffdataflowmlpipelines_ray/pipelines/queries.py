@@ -5540,6 +5540,46 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_interarrival(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival profile: exact p25/p50/p90 of per-user consecutive
+    event gaps (integer microseconds) — the ops-latency distribution.
+    Gaps come from the markov-style ONE bucket shuffle by hash(user) with
+    a vectorized in-bucket shift; the quantiles from the exact
+    distributed histogram-refinement machinery."""
+    from ..stages.relational import exact_global_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        same = u[1:] == u[:-1]
+        # seconds, not microseconds: quantile interpolation at 9e10
+        # magnitude differs across engines in the last ulp (observed);
+        # at ~9e4 the ulp is 1e-11, far inside the 1e-9 gate
+        return pd.DataFrame({"g": (t[1:] - t[:-1])[same] / 1e6})
+
+    G = (ds.map_batches(add_b, batch_format="pyarrow")
+         .groupby("__b").map_groups(gaps, batch_format="pandas")
+         .materialize())
+    qd = exact_global_quantiles(G, "g", qs=(0.25, 0.5, 0.9))
+    n = G.count()
+    return pd.DataFrame({
+        "n_gaps": pd.Series([n], dtype=np.int64),
+        "p25_s": [round(qd[0.25], 6)],
+        "p50_s": [round(qd[0.5], 6)],
+        "p90_s": [round(qd[0.9], 6)],
+    })
+
+
 def q_stickiness(sf_dir: str) -> pd.DataFrame:
     """Per-day engagement stickiness: DAU, trailing-7-day WAU (distinct
     users over the window, exact — not a sum of DAUs), and DAU/WAU in
@@ -6981,6 +7021,7 @@ QUERIES = {
     "benford": q_benford,
     "source_overlap": q_source_overlap,
     "stickiness": q_stickiness,
+    "interarrival": q_interarrival,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8705,6 +8746,18 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "interarrival": """
+        WITH g AS (
+            SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id)) / 1e6 AS g
+            FROM events QUALIFY g IS NOT NULL)
+        SELECT count(*)::BIGINT AS n_gaps,
+               round(quantile_cont(g, 0.25), 6) AS p25_s,
+               round(quantile_cont(g, 0.5), 6) AS p50_s,
+               round(quantile_cont(g, 0.9), 6) AS p90_s
+        FROM g
+    """,
     "stickiness": """
         -- DAU / trailing-7-day exact-distinct WAU / stickiness micro
         WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
