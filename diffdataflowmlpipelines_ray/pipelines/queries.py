@@ -5540,6 +5540,35 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_anomaly_days(sf_dir: str) -> pd.DataFrame:
+    """3σ anomaly flags over daily event volume with ZERO float risk:
+    z² > 9 rewritten as the integer inequality
+    n·(c·n − Σc)² > 9·(n·Σc² − (Σc)²) — population variance
+    cross-multiplied away, so the flag set is bit-exact by construction.
+    Day counts fold from block partials; one tiny driver pass."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = {int(r["d"]): int(r["sum(c)"]) for r in rows}
+    n = len(cnt)
+    s1 = sum(cnt.values())
+    s2 = sum(c * c for c in cnt.values())
+    rhs = 9 * (n * s2 - s1 * s1)
+    out = pd.DataFrame(
+        [(d, c, int(n * (c * n - s1) ** 2 > rhs))
+         for d, c in sorted(cnt.items())],
+        columns=["day", "n_events", "is_anomaly"])
+    return out.astype(np.int64)
+
+
 def q_interarrival(sf_dir: str) -> pd.DataFrame:
     """Inter-arrival profile: exact p25/p50/p90 of per-user consecutive
     event gaps (integer microseconds) — the ops-latency distribution.
@@ -7022,6 +7051,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "stickiness": q_stickiness,
     "interarrival": q_interarrival,
+    "anomaly_days": q_anomaly_days,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8746,6 +8776,21 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "anomaly_days": """
+        -- z^2 > 9 as the exact integer inequality
+        -- n*(c*n - S1)^2 > 9*(n*S2 - S1^2)
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY 1),
+        s AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+                     sum(c * c)::BIGINT AS s2 FROM dc)
+        SELECT dc.d::BIGINT AS day, dc.c AS n_events,
+               CASE WHEN s.n * (dc.c * s.n - s.s1)
+                             * (dc.c * s.n - s.s1)
+                         > 9 * (s.n * s.s2 - s.s1 * s.s1)
+                    THEN 1 ELSE 0 END::BIGINT AS is_anomaly
+        FROM dc, s ORDER BY day
+    """,
     "interarrival": """
         WITH g AS (
             SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
