@@ -114,7 +114,8 @@ def run_bench() -> dict:
         "markov_transitions", "auc", "assoc_rules", "info_gain",
         "cohort_retention", "chi_square", "funnel", "gmm_fit",
         "weighted_median", "ks_test", "conformal", "spearman", "benford",
-        "source_overlap", "stickiness", "interarrival", "anomaly_days")
+        "source_overlap", "stickiness", "interarrival", "anomaly_days",
+        "pareto_share")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

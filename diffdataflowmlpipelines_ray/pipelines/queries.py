@@ -5540,6 +5540,72 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_pareto_share(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration: how many top users cover 80% of total event
+    value — exact integers end-to-end: per-user cents sums on one narrow
+    groupby, users ranked by (cents DESC, id), the crossing found by the
+    integer inequality 5·cum ≥ 4·total on the distributed scan (rank
+    order made scannable by the negated-cents sort key)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"u": tbl["user_id"].to_numpy(
+            zero_copy_only=False), "c": cents})
+            .groupby("u", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    from ..stages.relational import ordered_prefix_sum
+
+    per_u = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("u").sum("c")
+             .map_batches(lambda t: pa.table({
+                 # scan key: (-cents, u) makes descending-value order a
+                 # single ascending sort column pair; key must be UNIQUE
+                 # so fold u into the low bits (u < 2^20 by fixture)
+                 "k": pa.array(-t["sum(c)"].to_numpy(
+                     zero_copy_only=False) * 2**20
+                     + t["u"].to_numpy(zero_copy_only=False)),
+                 "c": pa.array(t["sum(c)"].to_numpy(
+                     zero_copy_only=False)),
+             }), batch_format="pyarrow"))
+    scanned = ordered_prefix_sum(per_u, "k", "c", out_col="before",
+                                 exclusive=True).materialize()
+    total = 0
+    n_users = 0
+    for r in scanned.map_batches(
+            lambda t: pa.table({
+                "s": pa.array([int(t["c"].to_numpy(
+                    zero_copy_only=False).sum())
+                    if "c" in t.column_names else 0], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64())}),
+            batch_format="pyarrow").take_all():
+        total += int(r["s"])
+        n_users += int(r["n"])
+
+    def cross(tbl: pa.Table) -> pa.Table:
+        if "c" not in tbl.column_names:
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        cum = (tbl["before"].to_numpy(zero_copy_only=False)
+               + tbl["c"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array(
+            [int((5 * cum < 4 * total).sum())], type=pa.int64())})
+
+    below = 0
+    for r in scanned.map_batches(cross,
+                                 batch_format="pyarrow").take_all():
+        below += int(r["n"])
+    k = below + 1  # first user whose cumulative share reaches 80%
+    return pd.DataFrame({
+        "n_users": pd.Series([n_users], dtype=np.int64),
+        "top_users_for_80pct": pd.Series([k], dtype=np.int64),
+        "share_micro": pd.Series([k * 1_000_000 // n_users],
+                                 dtype=np.int64),
+    })
+
+
 def q_anomaly_days(sf_dir: str) -> pd.DataFrame:
     """3σ anomaly flags over daily event volume with ZERO float risk:
     z² > 9 rewritten as the integer inequality
@@ -7052,6 +7118,7 @@ QUERIES = {
     "stickiness": q_stickiness,
     "interarrival": q_interarrival,
     "anomaly_days": q_anomaly_days,
+    "pareto_share": q_pareto_share,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8776,6 +8843,27 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "pareto_share": """
+        -- top-k users covering 80% of value: first rank with
+        -- 5*cum >= 4*total (exact ints), ranked by (cents DESC, id)
+        WITH pu AS (SELECT user_id AS u,
+                           sum(CAST(round(value * 100) AS BIGINT))
+                               ::BIGINT AS c
+                    FROM events GROUP BY user_id),
+        t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS total
+              FROM pu),
+        r AS (SELECT c, sum(c) OVER (ORDER BY c DESC, u
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM pu)
+        SELECT t.n AS n_users,
+               (sum(CASE WHEN 5 * r.cum < 4 * t.total
+                    THEN 1 ELSE 0 END) + 1)::BIGINT
+                   AS top_users_for_80pct,
+               ((sum(CASE WHEN 5 * r.cum < 4 * t.total
+                     THEN 1 ELSE 0 END) + 1) * 1000000
+                // t.n)::BIGINT AS share_micro
+        FROM r, t GROUP BY t.n
+    """,
     "anomaly_days": """
         -- z^2 > 9 as the exact integer inequality
         -- n*(c*n - S1)^2 > 9*(n*S2 - S1^2)
