@@ -5540,6 +5540,50 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_new_vs_returning(sf_dir: str) -> pd.DataFrame:
+    """Daily new-vs-returning actives: distinct users split by whether
+    the day is their first — the growth-accounting staple.  The (day,
+    user) distinct exchange and the first-day map are the
+    cohort_retention plan; the split is one broadcast lookup, counts
+    exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).materialize()
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        pdf = (pd.DataFrame({"d": d, "u": tbl["user_id"].to_numpy(
+            zero_copy_only=False)}).drop_duplicates())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    du = (ds.map_batches(pre, batch_format="pyarrow")
+          .groupby(["d", "u"]).count()
+          .map_batches(lambda t: t.select(["d", "u"]),
+                       batch_format="pyarrow").materialize())
+    first = {int(r["u"]): int(r["min(d)"]) for r in
+             du.groupby("u").min("d").take_all()}
+    ref = ray.put(first)
+
+    def split(tbl: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        d = tbl["d"].to_numpy(zero_copy_only=False)
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        is_new = np.array([f[x] for x in u], dtype=np.int64) == d
+        pdf = (pd.DataFrame({"d": d, "new": is_new.astype(np.int64),
+                             "ret": (~is_new).astype(np.int64)})
+               .groupby("d", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    rows = (du.map_batches(split, batch_format="pyarrow")
+            .groupby("d").sum(["new", "ret"]).take_all())
+    out = pd.DataFrame(
+        [(int(r["d"]), int(r["sum(new)"]), int(r["sum(ret)"]))
+         for r in rows], columns=["day", "new_users", "returning"])
+    return (out.sort_values("day").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_pareto_share(sf_dir: str) -> pd.DataFrame:
     """Pareto concentration: how many top users cover 80% of total event
     value — exact integers end-to-end: per-user cents sums on one narrow
@@ -7119,6 +7163,7 @@ QUERIES = {
     "interarrival": q_interarrival,
     "anomaly_days": q_anomaly_days,
     "pareto_share": q_pareto_share,
+    "new_vs_returning": q_new_vs_returning,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8843,6 +8888,17 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "new_vs_returning": """
+        WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+                           user_id AS u FROM events),
+        f AS (SELECT u, min(d) AS fd FROM du GROUP BY u)
+        SELECT du.d::BIGINT AS day,
+               sum(CASE WHEN du.d = f.fd THEN 1 ELSE 0 END)::BIGINT
+                   AS new_users,
+               sum(CASE WHEN du.d <> f.fd THEN 1 ELSE 0 END)::BIGINT
+                   AS returning
+        FROM du JOIN f USING (u) GROUP BY du.d ORDER BY day
+    """,
     "pareto_share": """
         -- top-k users covering 80% of value: first rank with
         -- 5*cum >= 4*total (exact ints), ranked by (cents DESC, id)
