@@ -5540,6 +5540,35 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_engagement_depth(sf_dir: str) -> pd.DataFrame:
+    """Engagement-depth histogram: how many users were active exactly k
+    distinct days — the frequency-of-frequencies view (same shape as
+    vocabulary freq-of-freqs).  Two narrow exchanges: (day, user)
+    distinct, then per-user day counts re-counted by k.  Exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        pdf = (pd.DataFrame({"d": d, "u": tbl["user_id"].to_numpy(
+            zero_copy_only=False)}).drop_duplicates())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    rows = (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby(["d", "u"]).count()
+            .map_batches(lambda t: t.select(["u"]),
+                         batch_format="pyarrow")
+            .groupby("u").count()
+            .map_batches(lambda t: pa.table({
+                "k": t["count()"]}), batch_format="pyarrow")
+            .groupby("k").count().take_all())
+    out = pd.DataFrame([(int(r["k"]), int(r["count()"])) for r in rows],
+                       columns=["active_days", "n_users"])
+    return (out.sort_values("active_days").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_new_vs_returning(sf_dir: str) -> pd.DataFrame:
     """Daily new-vs-returning actives: distinct users split by whether
     the day is their first — the growth-accounting staple.  The (day,
@@ -7164,6 +7193,7 @@ QUERIES = {
     "anomaly_days": q_anomaly_days,
     "pareto_share": q_pareto_share,
     "new_vs_returning": q_new_vs_returning,
+    "engagement_depth": q_engagement_depth,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8888,6 +8918,13 @@ ORACLES = {
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "engagement_depth": """
+        WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+                           user_id AS u FROM events),
+        pk AS (SELECT u, count(*)::BIGINT AS k FROM du GROUP BY u)
+        SELECT k AS active_days, count(*)::BIGINT AS n_users
+        FROM pk GROUP BY k ORDER BY active_days
+    """,
     "new_vs_returning": """
         WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
                            user_id AS u FROM events),
