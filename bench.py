@@ -115,7 +115,8 @@ def run_bench() -> dict:
         "cohort_retention", "chi_square", "funnel", "gmm_fit",
         "weighted_median", "ks_test", "conformal", "spearman", "benford",
         "source_overlap", "stickiness", "interarrival", "anomaly_days",
-        "pareto_share", "new_vs_returning", "engagement_depth")
+        "pareto_share", "new_vs_returning", "engagement_depth",
+        "gbdt_predict")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -3440,6 +3440,137 @@ def _hist_boost_sql(rounds: int) -> str:
             + f" SELECT * FROM ({unions}) ORDER BY round")
 
 
+def q_gbdt_predict(sf_dir: str) -> pd.DataFrame:
+    """Per-row predictions of the 3-round GBDT ensemble
+    (`stages/tree.py hist_boost_apply`): the fitted model (KBs of splits
+    + int64 leaf values) broadcasts once and every block scores its own
+    rows — predictions are exact int64 sums of leaf values, oracle-equal
+    to the unrolled SQL ensemble's y·1e6 − r_final per row."""
+    from ..stages.tree import hist_boost, hist_boost_apply
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_tax", "l_discount"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        y = _half_away(tbl["l_discount"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100.0).astype(np.int64)
+        return tbl.drop_columns(["l_discount"]).append_column(
+            "y", pa.array(y))
+
+    fitted = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    model, _ = hist_boost(
+        fitted, ["l_quantity", "l_extendedprice", "l_tax"], "y",
+        rounds=_HIST_BOOST_ROUNDS, depth=2, bins=8)
+    out = hist_boost_apply(
+        fitted, model, ["l_quantity", "l_extendedprice", "l_tax"],
+        ["l_orderkey", "l_linenumber"]).to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)
+            .astype({"l_orderkey": np.int64, "l_linenumber": np.int64,
+                     "pred_micro": np.int64}))
+
+
+def _gbdt_predict_sql(rounds: int) -> str:
+    """Per-row twin of ``q_gbdt_predict``: the ``_hist_boost_sql``
+    ensemble with row identity and the raw label carried through the
+    residual chain; prediction = y·1e6 − r_final."""
+    head = """
+        base AS MATERIALIZED (
+            SELECT l_orderkey AS ok, l_linenumber AS ln,
+                   l_quantity::DOUBLE AS f0, l_extendedprice::DOUBLE AS f1,
+                   l_tax::DOUBLE AS f2,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem),
+        st AS MATERIALIZED (
+            SELECT min(f0) AS lo0, (max(f0) - min(f0)) / 8 AS w0,
+                   min(f1) AS lo1, (max(f1) - min(f1)) / 8 AS w1,
+                   min(f2) AS lo2, (max(f2) - min(f2)) / 8 AS w2
+            FROM base),
+        r0 AS MATERIALIZED (
+            SELECT ok, ln, y, y * 1000000 AS r,
+                   CAST(LEAST(GREATEST(floor((f0 - lo0) / w0), 0), 7)
+                        AS BIGINT) AS b0,
+                   CAST(LEAST(GREATEST(floor((f1 - lo1) / w1), 0), 7)
+                        AS BIGINT) AS b1,
+                   CAST(LEAST(GREATEST(floor((f2 - lo2) / w2), 0), 7)
+                        AS BIGINT) AS b2
+            FROM base, st)"""
+    ctes = [head]
+    for t in range(rounds):
+        ctes.append(f"""
+        tA{t} AS MATERIALIZED (
+            SELECT count(*)::BIGINT AS n, sum(r)::BIGINT AS s FROM r{t}),
+        lA{t} AS (SELECT 0 AS f, b0 AS bin, r FROM r{t}
+                  UNION ALL SELECT 1, b1, r FROM r{t}
+                  UNION ALL SELECT 2, b2, r FROM r{t}),
+        hA{t} AS (SELECT f, bin, count(*)::BIGINT AS c,
+                         sum(r)::BIGINT AS s
+                  FROM lA{t} GROUP BY 1, 2),
+        cA{t} AS (SELECT f, bin,
+                         sum(c) OVER (PARTITION BY f
+                                      ORDER BY bin)::BIGINT AS nl,
+                         sum(s) OVER (PARTITION BY f
+                                      ORDER BY bin)::BIGINT AS sl
+                  FROM hA{t}),
+        bA{t} AS MATERIALIZED (
+            SELECT f, bin FROM cA{t}, tA{t} t
+            WHERE nl > 0 AND t.n - nl > 0
+            ORDER BY (sl::DOUBLE * sl / nl)
+                     + ((t.s - sl)::DOUBLE * (t.s - sl) / (t.n - nl))
+                     DESC, f, bin
+            LIMIT 1),
+        a{t} AS MATERIALIZED (
+            SELECT r.ok, r.ln, r.y, r.r, r.b0, r.b1, r.b2,
+                   CASE WHEN (CASE b.f WHEN 0 THEN r.b0
+                              WHEN 1 THEN r.b1 ELSE r.b2 END) <= b.bin
+                        THEN 1 ELSE 2 END AS node
+            FROM r{t} r, bA{t} b),
+        tB{t} AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS n, sum(r)::BIGINT AS s
+            FROM a{t} GROUP BY node),
+        lB{t} AS (SELECT node, 0 AS f, b0 AS bin, r FROM a{t}
+                  UNION ALL SELECT node, 1, b1, r FROM a{t}
+                  UNION ALL SELECT node, 2, b2, r FROM a{t}),
+        hB{t} AS (SELECT node, f, bin, count(*)::BIGINT AS c,
+                         sum(r)::BIGINT AS s
+                  FROM lB{t} GROUP BY 1, 2, 3),
+        cB{t} AS (SELECT node, f, bin,
+                         sum(c) OVER (PARTITION BY node, f
+                                      ORDER BY bin)::BIGINT AS nl,
+                         sum(s) OVER (PARTITION BY node, f
+                                      ORDER BY bin)::BIGINT AS sl
+                  FROM hB{t}),
+        bB{t} AS MATERIALIZED (
+            SELECT node, f, bin,
+                   (sl) // (2 * nl)
+                   - CASE WHEN (sl) % (2 * nl) <> 0 AND sl < 0
+                          THEN 1 ELSE 0 END AS vl,
+                   (s - sl) // (2 * (n - nl))
+                   - CASE WHEN (s - sl) % (2 * (n - nl)) <> 0
+                               AND s - sl < 0
+                          THEN 1 ELSE 0 END AS vr
+            FROM (SELECT c.node, c.f, c.bin, c.nl, c.sl, t.n, t.s,
+                         row_number() OVER (PARTITION BY c.node ORDER BY
+                             (sl::DOUBLE * sl / nl)
+                             + ((t.s - sl)::DOUBLE * (t.s - sl)
+                                / (t.n - nl)) DESC, f, bin) AS rn
+                  FROM cB{t} c JOIN tB{t} t USING (node)
+                  WHERE nl > 0 AND t.n - nl > 0)
+            WHERE rn = 1),
+        r{t + 1} AS MATERIALIZED (
+            SELECT a.ok, a.ln, a.y, a.b0, a.b1, a.b2,
+                   a.r - CASE WHEN (CASE b.f WHEN 0 THEN a.b0
+                                    WHEN 1 THEN a.b1 ELSE a.b2 END)
+                                   <= b.bin
+                              THEN b.vl ELSE b.vr END AS r
+            FROM a{t} a JOIN bB{t} b USING (node))""")
+    return ("WITH" + ",".join(ctes) + f"""
+        SELECT ok AS l_orderkey, ln AS l_linenumber,
+               (y * 1000000 - r)::BIGINT AS pred_micro
+        FROM r{rounds} ORDER BY l_orderkey, l_linenumber""")
+
+
 def q_dsir(sf_dir: str) -> pd.DataFrame:
     """DSIR importance weights (Xie et al. 2023) with target = English
     docs: per-doc log-likelihood ratio of the target vs raw hashed
@@ -7194,6 +7325,7 @@ QUERIES = {
     "pareto_share": q_pareto_share,
     "new_vs_returning": q_new_vs_returning,
     "engagement_depth": q_engagement_depth,
+    "gbdt_predict": q_gbdt_predict,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -8917,6 +9049,7 @@ ORACLES = {
         ORDER BY node
     """,
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
+    "gbdt_predict": _gbdt_predict_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
     "engagement_depth": """
         WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,

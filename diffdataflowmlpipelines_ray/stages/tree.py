@@ -49,7 +49,7 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["hist_tree", "hist_boost"]
+__all__ = ["hist_tree", "hist_boost", "hist_boost_apply"]
 
 
 def _bin_matrix(tbl: pa.Table, features: list[str], fmin: np.ndarray,
@@ -245,9 +245,11 @@ def hist_boost(ds, features: list[str], label_col: str, rounds: int = 3,
     driver-computed floats from exact int sums, bitwise reproducible).
 
     Per round: ``depth`` histogram passes + one metric pass, all map-only
-    with O(blocks) driver rows.  Returns ``(trees, history)`` where
-    ``history`` has one row per round: (round, n, sae_micro) — the sum of
-    absolute residuals AFTER the round's update."""
+    with O(blocks) driver rows.  Returns ``(model, history)``: ``model``
+    is the dict ``{"trees", "fmin", "w", "scale", "bins"}`` consumed by
+    :func:`hist_boost_apply`; ``history`` has one row per round:
+    (round, n, sae_micro) — the sum of absolute residuals AFTER the
+    round's update."""
     ds = ds.materialize()
     fmin, w = _global_minmax(ds, features, bins)
     trees: list[tuple[dict, dict, int]] = []
@@ -289,7 +291,33 @@ def hist_boost(ds, features: list[str], label_col: str, rounds: int = 3,
 
     history = pd.DataFrame(hist_rows, columns=["round", "n", "sae_micro"]
                            ).astype(np.int64)
-    return trees, history
+    model = {"trees": trees, "fmin": fmin, "w": w, "scale": scale,
+             "bins": bins}
+    return model, history
+
+
+def hist_boost_apply(ds, model: dict, features: list[str],
+                     id_cols: list[str]):
+    """Score every row with a fitted :func:`hist_boost` ensemble →
+    Dataset of ``(*id_cols, pred_micro)``.  Map-only: the model (a few
+    KB of splits and int64 leaf values) broadcasts once; each block bins
+    its own rows and walks them down every tree — predictions are exact
+    int64 sums of leaf values, so the output is bit-equal to the SQL
+    twin that rebuilds the ensemble (``pred = y·scale − r_T``)."""
+    import ray
+
+    ref = ray.put((model["trees"], model["fmin"], model["w"],
+                   model["bins"]))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        trees, fmin, w, bins = ray.get(ref)
+        binm = _bin_matrix(tbl, features, fmin, w, bins)
+        pred = _predict_micro(binm, trees)
+        cols = {c: tbl[c] for c in id_cols}
+        cols["pred_micro"] = pa.array(pred)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def _depth_of(nid: int) -> int:

@@ -2306,3 +2306,24 @@ class TestGmm1d:
         a, _ = gmm1d_fit(mk(), "v", k=3, iters=3)
         b, _ = gmm1d_fit(mk(), "v", k=3, iters=3)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_apply_consistent_with_history(self, ray_session):
+        # sum |y*scale - pred| from apply == the final round's sae_micro
+        from diffdataflowmlpipelines_ray.stages.tree import (
+            hist_boost,
+            hist_boost_apply,
+        )
+
+        rng = np.random.default_rng(19)
+        X = rng.uniform(0, 6, size=(250, 2))
+        y = (X[:, 0] + 2 * X[:, 1]).astype(np.int64)
+        ds = rd.from_arrow(pa.table({
+            "f0": pa.array(X[:, 0]), "f1": pa.array(X[:, 1]),
+            "y": pa.array(y)})).repartition(3)
+        model, hist = hist_boost(ds, ["f0", "f1"], "y", rounds=2,
+                                 depth=2, bins=6)
+        out = hist_boost_apply(ds, model, ["f0", "f1"],
+                               ["y"]).to_pandas()
+        sae = int(np.abs(out["y"].to_numpy(dtype=np.int64) * 1_000_000
+                         - out["pred_micro"].to_numpy()).sum())
+        assert sae == int(hist["sae_micro"].iloc[-1])
