@@ -5671,6 +5671,68 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM customer features — the classic churn-model inputs: per-user
+    Recency (last-event day), Frequency (events), Monetary (cents), each
+    scored into exact NTILE(5) quintiles by the rank rule
+    q = (rank−1)·5 // n + 1 under a deterministic (metric, user) order.
+    Per-user aggregates ride one narrow groupby; quintile assignment is
+    the driver tier under the bounded-user-id contract (the
+    cohort_retention precedent — O(users) driver state; past it the
+    deterministic_shuffle rank machinery takes over), NTILE's
+    larger-groups-first sizing replicated exactly."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"u": tbl["user_id"].to_numpy(
+            zero_copy_only=False), "last_d": d, "f": 1, "m": cents})
+            .groupby("u", as_index=False)
+            .agg(last_d=("last_d", "max"), f=("f", "sum"),
+                 m=("m", "sum")))
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow").materialize())
+    last = {r["u"]: int(r["max(last_d)"]) for r in
+            agg.groupby("u").max("last_d").take_all()}
+    freq = {r["u"]: int(r["sum(f)"]) for r in
+            agg.groupby("u").sum("f").take_all()}
+    mon = {r["u"]: int(r["sum(m)"]) for r in
+           agg.groupby("u").sum("m").take_all()}
+    users = sorted(last)
+    n = len(users)
+
+    base, rem = divmod(n, 5)
+    big = rem * (base + 1)
+
+    def ntile5(i: int) -> int:  # NTILE: first `rem` groups one larger
+        if i < big:
+            return i // (base + 1) + 1
+        return rem + (i - big) // base + 1
+
+    def quintile(metric: dict) -> dict:
+        order = sorted(users, key=lambda u: (metric[u], u))
+        return {u: ntile5(i) for i, u in enumerate(order)}
+
+    qr = quintile(last)
+    qf = quintile(freq)
+    qm = quintile(mon)
+    out = pd.DataFrame({
+        "user_id": users,
+        "last_day": [last[u] for u in users],
+        "frequency": [freq[u] for u in users],
+        "monetary_cents": [mon[u] for u in users],
+        "r_quintile": [qr[u] for u in users],
+        "f_quintile": [qf[u] for u in users],
+        "m_quintile": [qm[u] for u in users],
+    })
+    return out.astype(np.int64)
+
+
 def q_engagement_depth(sf_dir: str) -> pd.DataFrame:
     """Engagement-depth histogram: how many users were active exactly k
     distinct days — the frequency-of-frequencies view (same shape as
@@ -7326,6 +7388,7 @@ QUERIES = {
     "new_vs_returning": q_new_vs_returning,
     "engagement_depth": q_engagement_depth,
     "gbdt_predict": q_gbdt_predict,
+    "rfm": q_rfm,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -9051,6 +9114,23 @@ ORACLES = {
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "gbdt_predict": _gbdt_predict_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "rfm": """
+        WITH pu AS (
+            SELECT user_id,
+                   max(epoch_us(ts) // 86400000000)::BIGINT AS last_day,
+                   count(*)::BIGINT AS frequency,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS monetary_cents
+            FROM events GROUP BY user_id)
+        SELECT user_id, last_day, frequency, monetary_cents,
+               ntile(5) OVER (ORDER BY last_day, user_id)::BIGINT
+                   AS r_quintile,
+               ntile(5) OVER (ORDER BY frequency, user_id)::BIGINT
+                   AS f_quintile,
+               ntile(5) OVER (ORDER BY monetary_cents, user_id)::BIGINT
+                   AS m_quintile
+        FROM pu ORDER BY user_id
+    """,
     "engagement_depth": """
         WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
                            user_id AS u FROM events),
