@@ -5671,6 +5671,44 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_zipf_alpha(sf_dir: str) -> pd.DataFrame:
+    """Zipf tail exponent of the token-frequency distribution via the
+    Hill estimator over the top-100 token counts:
+    α = 1 + k / Σ ln(c_i / c_min) — the corpus-statistics diagnostic
+    behind vocabulary sizing.  Token counts fold from block-local
+    Counters through one vocabulary-bounded groupby; the top-k and c_min
+    are exact, each ln term micro-rounds before the integer sum (the
+    nested-round discipline) and α finishes in one identical IEEE
+    division."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok_part(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl["text"])
+        t, c = np.unique(toks.flatten().to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"t": pa.array(t),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(tok_part, batch_format="pyarrow")
+            .groupby("t").sum("c").take_all())
+    counts = sorted((int(r["sum(c)"]) for r in rows), reverse=True)[:100]
+    k = len(counts)
+    cmin = counts[-1]
+    terms = _half_away(np.log(np.array(counts, dtype=np.float64) / cmin)
+                       * 1e6).astype(np.int64)
+    s = int(terms.sum())
+    alpha = 1.0 + k * 1_000_000 / s
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype=np.int64),
+        "c_min": pd.Series([cmin], dtype=np.int64),
+        "sum_ln_micro": pd.Series([s], dtype=np.int64),
+        "alpha_micro": pd.Series([int(_half_away(
+            np.array([alpha * 1e6]))[0])], dtype=np.int64),
+    })
+
+
 def q_rfm(sf_dir: str) -> pd.DataFrame:
     """RFM customer features — the classic churn-model inputs: per-user
     Recency (last-event day), Frequency (events), Monetary (cents), each
@@ -7389,6 +7427,7 @@ QUERIES = {
     "engagement_depth": q_engagement_depth,
     "gbdt_predict": q_gbdt_predict,
     "rfm": q_rfm,
+    "zipf_alpha": q_zipf_alpha,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -9114,6 +9153,25 @@ ORACLES = {
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "gbdt_predict": _gbdt_predict_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "zipf_alpha": r"""
+        -- Hill estimator over the top-100 token counts; ln terms
+        -- micro-rounded then integer-summed
+        WITH w AS (SELECT unnest(list_filter(
+                       string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS t
+                   FROM documents),
+        c AS (SELECT t, count(*)::BIGINT AS c FROM w GROUP BY t),
+        topk AS (SELECT c FROM c ORDER BY c DESC, t LIMIT 100),
+        mn AS (SELECT min(c) AS cmin, count(*)::BIGINT AS k FROM topk),
+        s AS (SELECT sum(CAST(round(ln(topk.c::DOUBLE / mn.cmin) * 1e6)
+                              AS BIGINT))::BIGINT AS s,
+                     any_value(mn.k) AS k, any_value(mn.cmin) AS cmin
+              FROM topk, mn)
+        SELECT k, cmin AS c_min, s AS sum_ln_micro,
+               CAST(round((1.0 + k * 1000000 / s) * 1e6) AS BIGINT)
+                   AS alpha_micro
+        FROM s
+    """,
     "rfm": """
         WITH pu AS (
             SELECT user_id,
