@@ -116,7 +116,7 @@ def run_bench() -> dict:
         "weighted_median", "ks_test", "conformal", "spearman", "benford",
         "source_overlap", "stickiness", "interarrival", "anomaly_days",
         "pareto_share", "new_vs_returning", "engagement_depth",
-        "gbdt_predict", "rfm", "zipf_alpha")
+        "gbdt_predict", "rfm", "zipf_alpha", "ab_test")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

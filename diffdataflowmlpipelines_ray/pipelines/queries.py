@@ -5671,6 +5671,45 @@ def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": np.int64, "rank": np.int64}))
 
 
+def q_ab_test(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion A/B z-test: purchase rate of even- vs odd-user-id
+    'arms' — the experimentation primitive.  Counts fold from O(blocks)
+    integer partials; the pooled z-score is one identical IEEE chain on
+    those exact ints, micro-rounded once."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        conv = (tbl["event_type"].to_numpy(zero_copy_only=False)
+                == "purchase").astype(np.int64)
+        a = (u % 2 == 0)
+        return pa.table({
+            "na": pa.array([int(a.sum())], type=pa.int64()),
+            "ca": pa.array([int(conv[a].sum())], type=pa.int64()),
+            "nb": pa.array([int((~a).sum())], type=pa.int64()),
+            "cb": pa.array([int(conv[~a].sum())], type=pa.int64()),
+        })
+
+    na = ca = nb = cb = 0
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        na += int(r["na"])
+        ca += int(r["ca"])
+        nb += int(r["nb"])
+        cb += int(r["cb"])
+    p1 = ca / na
+    p2 = cb / nb
+    p = (ca + cb) / (na + nb)
+    z = (p1 - p2) / np.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype=np.int64),
+        "conv_a": pd.Series([ca], dtype=np.int64),
+        "n_b": pd.Series([nb], dtype=np.int64),
+        "conv_b": pd.Series([cb], dtype=np.int64),
+        "z_micro": pd.Series([int(_half_away(
+            np.array([float(z) * 1e6]))[0])], dtype=np.int64),
+    })
+
+
 def q_zipf_alpha(sf_dir: str) -> pd.DataFrame:
     """Zipf tail exponent of the token-frequency distribution via the
     Hill estimator over the top-100 token counts:
@@ -7428,6 +7467,7 @@ QUERIES = {
     "gbdt_predict": q_gbdt_predict,
     "rfm": q_rfm,
     "zipf_alpha": q_zipf_alpha,
+    "ab_test": q_ab_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
     "repetition_filter": q_repetition_filter,
@@ -9153,6 +9193,27 @@ ORACLES = {
     "hist_boost": _hist_boost_sql(_HIST_BOOST_ROUNDS),
     "gbdt_predict": _gbdt_predict_sql(_HIST_BOOST_ROUNDS),
     "hits": _hits_sql(_HITS_ITERS),
+    "ab_test": """
+        WITH s AS (
+            SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                       END)::BIGINT AS na,
+                   sum(CASE WHEN user_id % 2 = 0
+                            AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END)::BIGINT AS ca,
+                   sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                       END)::BIGINT AS nb,
+                   sum(CASE WHEN user_id % 2 = 1
+                            AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END)::BIGINT AS cb
+            FROM events)
+        SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+               CAST(round((ca / na::DOUBLE - cb / nb::DOUBLE)
+                   / sqrt(((ca + cb) / (na + nb)::DOUBLE)
+                          * (1.0 - (ca + cb) / (na + nb)::DOUBLE)
+                          * (1.0 / na + 1.0 / nb)) * 1e6) AS BIGINT)
+                   AS z_micro
+        FROM s
+    """,
     "zipf_alpha": r"""
         -- Hill estimator over the top-100 token counts; ln terms
         -- micro-rounded then integer-summed
