@@ -7333,6 +7333,231 @@ def q_bfs_hops(sf_dir: str) -> pd.DataFrame:
     return out.astype(np.int64)
 
 
+def q_user_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: longest consecutive-day active streak per user
+    (the engagement-loyalty staple).  (day, user) pairs dedup
+    block-locally, ONE hash(user) bucket shuffle co-locates each user's
+    days (the markov/sessionize plan), and in-bucket the island key is
+    the vectorized ``d − rank`` difference — constant within a
+    consecutive run, so per-(user, island) lengths and the per-user max
+    are exact integers end-to-end."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({"u": u, "d": d}).drop_duplicates()
+        pdf["__b"] = pdf["u"].to_numpy() % 64
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    def streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(["u", "d"]).sort_values(["u", "d"])
+        u = pdf["u"].to_numpy()
+        d = pdf["d"].to_numpy()
+        # island key: day minus per-user rank — constant per run
+        isl = d - pdf.groupby("u").cumcount().to_numpy()
+        runs = (pd.DataFrame({"u": u, "isl": isl})
+                .groupby(["u", "isl"], as_index=False).size())
+        out = (runs.groupby("u", as_index=False)
+               .agg(longest_streak=("size", "max"),
+                    n_streaks=("size", "count"),
+                    active_days=("size", "sum")))
+        return out.astype(np.int64)
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("__b").map_groups(streaks, batch_format="pandas")
+           .to_pandas())
+    return (out.rename(columns={"u": "user_id"})
+            .sort_values("user_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def q_interval_merge(sf_dir: str) -> pd.DataFrame:
+    """Overlapping-interval coalescing per user: each event opens a
+    30-minute interval; chained overlaps merge (island = run where each
+    start ≤ running max end).  Reports merged-interval count and total
+    covered microseconds per user — exact integers.  ONE hash(user)
+    bucket shuffle; in-bucket the island boundary is the vectorized
+    ``start > cummax(previous ends)`` test, whose outcome is
+    tie-order-invariant (equal starts see a cummax ≥ their own end)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    SPAN = 1_800_000_000  # 30 min in µs
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        s = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(u.astype(np.int64)),
+                         "s": pa.array(s),
+                         "__b": pa.array((u % 64).astype(np.int64))})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["u", "s"], kind="mergesort")
+        u = pdf["u"].to_numpy()
+        s = pdf["s"].to_numpy()
+        e = s + SPAN
+        # previous max end within the user, exclusive of the row itself
+        cme = pd.Series(e).groupby(u).cummax().to_numpy()
+        prev = np.empty_like(cme)
+        prev[1:] = cme[:-1]
+        prev[0] = np.iinfo(np.int64).min
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        new_isl = first | (s > prev)
+        isl = np.cumsum(new_isl)
+        g = (pd.DataFrame({"u": u, "isl": isl, "s": s, "e": e})
+             .groupby(["u", "isl"], as_index=False)
+             .agg(st=("s", "min"), en=("e", "max")))
+        g["cov"] = g["en"] - g["st"]
+        out = (g.groupby("u", as_index=False)
+               .agg(n_intervals=("cov", "count"),
+                    covered_us=("cov", "sum")))
+        return out.astype(np.int64)
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("__b").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return (out.rename(columns={"u": "user_id"})
+            .sort_values("user_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def q_scd2_build(sf_dir: str) -> pd.DataFrame:
+    """Type-2 slowly-changing-dimension build: per-user event_type
+    change history with [valid_from, valid_to) microsecond validity and
+    a version counter — the warehouse-modelling staple.  Deterministic
+    (ts, event_id) order (the markov contract), change rows keep only
+    type≠previous, valid_to is the next change's start (−1 sentinel for
+    the open row).  ONE hash(user) bucket shuffle; everything after is
+    vectorized shifts, exact integers and strings."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def scd2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = pdf["event_type"].to_numpy()
+        first = np.empty(len(u), dtype=bool)
+        if len(u):
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        change = first.copy()
+        change[1:] |= ty[1:] != ty[:-1]
+        cu, ct, cty = u[change], t[change], ty[change]
+        cfirst = first[change]
+        valid_to = np.empty_like(ct)
+        valid_to[:-1] = ct[1:]
+        if len(ct):
+            valid_to[-1] = -1
+        # last change of each user stays open
+        nxt_first = np.empty(len(cu), dtype=bool)
+        if len(cu):
+            nxt_first[:-1] = cfirst[1:]
+            nxt_first[-1] = True
+        valid_to[nxt_first] = -1
+        version = np.arange(len(cu), dtype=np.int64) + 1
+        starts = np.flatnonzero(cfirst)
+        offs = np.repeat(starts, np.diff(np.append(starts, len(cu))))
+        version = version - offs - 1 + 1
+        return pd.DataFrame({
+            "user_id": cu.astype(np.int64),
+            "event_type": cty,
+            "valid_from_us": ct,
+            "valid_to_us": valid_to,
+            "version": version,
+        })
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(scd2, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "version"])
+            .reset_index(drop=True)
+            .astype({"user_id": np.int64, "valid_from_us": np.int64,
+                     "valid_to_us": np.int64, "version": np.int64}))
+
+
+def q_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    time-series diagnostic behind seasonality checks.  Day counts fold
+    from per-block ``np.unique`` partials through one tiny groupby (the
+    anomaly_days plan); the Pearson r over consecutive-row pairs is
+    computed from EXACT integer moments (n, Σx, Σy, Σx², Σy², Σxy over
+    the day-ordered pair list) with one final IEEE chain — numerator
+    and the big-int denominator product convert to double identically
+    in both twins (the spearman HUGEINT→DOUBLE contract), micro-rounded
+    once."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def per_day(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(per_day, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    days = sorted((int(r["d"]), int(r["sum(c)"])) for r in rows)
+    c = np.array([k for _, k in days], dtype=np.int64)
+    x, y = c[:-1], c[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)  # exact big int
+    r = float(num) / math.sqrt(float(den2)) if den2 > 0 else float("nan")
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n], dtype=np.int64),
+        "r_micro": pd.Series([int(_half_away(np.array([r * 1e6]))[0])],
+                             dtype=np.int64),
+    })
+
+
+def q_max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the cumulative daily value-cents series —
+    the risk-analytics staple: max over days of (running peak − running
+    cumulative).  Daily cents sums fold from block partials through one
+    tiny groupby; the peak/cumulative scan is O(days) driver arithmetic
+    on exact int64 (the anomaly_days bounded-days contract).  Integer
+    end-to-end — bit-exact vs the SQL window cummax twin."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def per_day(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"d": d, "c": cents})
+               .groupby("d", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    rows = (ds.map_batches(per_day, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    days = sorted((int(r["d"]), int(r["sum(c)"])) for r in rows)
+    cum = np.cumsum(np.array([v for _, v in days], dtype=np.int64))
+    peak = np.maximum.accumulate(cum)
+    dd = int((peak - cum).max()) if len(cum) else 0
+    return pd.DataFrame({
+        "n_days": pd.Series([len(cum)], dtype=np.int64),
+        "max_drawdown_cents": pd.Series([dd], dtype=np.int64),
+    })
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -7467,6 +7692,11 @@ QUERIES = {
     "gbdt_predict": q_gbdt_predict,
     "rfm": q_rfm,
     "zipf_alpha": q_zipf_alpha,
+    "user_streaks": q_user_streaks,
+    "interval_merge": q_interval_merge,
+    "scd2_build": q_scd2_build,
+    "autocorr": q_autocorr,
+    "max_drawdown": q_max_drawdown,
     "ab_test": q_ab_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
@@ -9232,6 +9462,90 @@ ORACLES = {
                CAST(round((1.0 + k * 1000000 / s) * 1e6) AS BIGINT)
                    AS alpha_micro
         FROM s
+    """,
+    "user_streaks": """
+        WITH du AS (SELECT DISTINCT user_id AS u,
+                           epoch_us(ts) // 86400000000 AS d FROM events),
+        r AS (SELECT u, d,
+                     d - row_number() OVER (PARTITION BY u ORDER BY d)
+                         AS isl
+              FROM du),
+        s AS (SELECT u, isl, count(*)::BIGINT AS len
+              FROM r GROUP BY u, isl)
+        SELECT u AS user_id,
+               max(len)::BIGINT AS longest_streak,
+               count(*)::BIGINT AS n_streaks,
+               sum(len)::BIGINT AS active_days
+        FROM s GROUP BY u ORDER BY user_id
+    """,
+    "interval_merge": """
+        WITH iv AS (SELECT user_id AS u, epoch_us(ts) AS s,
+                           epoch_us(ts) + 1800000000 AS e FROM events),
+        m AS (SELECT u, s, e,
+                     max(e) OVER (PARTITION BY u ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pme
+              FROM iv),
+        g AS (SELECT u, s, e,
+                     sum(CASE WHEN pme IS NULL OR s > pme
+                         THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY u ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS isl
+              FROM m),
+        a AS (SELECT u, isl, min(s) AS st, max(e) AS en
+              FROM g GROUP BY u, isl)
+        SELECT u AS user_id, count(*)::BIGINT AS n_intervals,
+               sum(en - st)::BIGINT AS covered_us
+        FROM a GROUP BY u ORDER BY user_id
+    """,
+    "scd2_build": """
+        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+                          event_type AS ty FROM events),
+        o AS (SELECT u, t, i, ty,
+                     lag(ty) OVER (PARTITION BY u ORDER BY t, i) AS pty
+              FROM e),
+        c AS (SELECT u, t, i, ty FROM o
+              WHERE pty IS NULL OR ty <> pty)
+        SELECT u AS user_id, ty AS event_type, t AS valid_from_us,
+               coalesce(lead(t) OVER (PARTITION BY u ORDER BY t, i),
+                        -1)::BIGINT AS valid_to_us,
+               row_number() OVER (PARTITION BY u ORDER BY t, i)::BIGINT
+                   AS version
+        FROM c ORDER BY user_id, version
+    """,
+    "autocorr": """
+        -- exact integer moments over day-ordered consecutive pairs;
+        -- one IEEE chain on identical HUGEINT->DOUBLE conversions
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY 1),
+        p AS (SELECT c AS x, lead(c) OVER (ORDER BY d) AS y FROM dc),
+        q AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+        s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy,
+                     sum(x * y)::BIGINT AS sxy
+              FROM q)
+        SELECT n AS n_pairs,
+               CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST((n * sxx - sx * sx)::HUGEINT
+                           * (n * syy - sy * sy)::HUGEINT AS DOUBLE))
+                    * 1000000) AS BIGINT) AS r_micro
+        FROM s
+    """,
+    "max_drawdown": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           sum(CAST(round(value * 100) AS BIGINT))
+                               ::BIGINT AS c
+                    FROM events GROUP BY 1),
+        cm AS (SELECT d, sum(c) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS cum FROM dc),
+        pk AS (SELECT cum, max(cum) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS peak FROM cm)
+        SELECT count(*)::BIGINT AS n_days,
+               max(peak - cum)::BIGINT AS max_drawdown_cents
+        FROM pk
     """,
     "rfm": """
         WITH pu AS (
