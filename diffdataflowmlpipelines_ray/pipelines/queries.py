@@ -7558,6 +7558,249 @@ def q_max_drawdown(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _cents_moments_by_type(sf_dir: str, types: list | None = None):
+    """Per-event-type exact integer moments (n, Σcents, Σcents²) — one
+    map pass of O(blocks × types) partials, one tiny groupby.  cents²
+    sums stay within int64 (max cents ~5.6e4 → squares ~3.1e9 × 6e6
+    rows ~1.9e16 < 2⁶³)."""
+
+    def part(tbl: pa.Table) -> pa.Table:
+        ty = tbl["event_type"].to_numpy(zero_copy_only=False)
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = pd.DataFrame({"ty": ty, "n": 1, "s1": cents,
+                            "s2": cents * cents})
+        if types is not None:
+            pdf = pdf[pdf["ty"].isin(types)]
+        g = (pdf.groupby("ty", as_index=False)
+             .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(part, batch_format="pyarrow").materialize()
+    n = {r["ty"]: int(r["sum(n)"]) for r in
+         agg.groupby("ty").sum("n").take_all()}
+    s1 = {r["ty"]: int(r["sum(s1)"]) for r in
+          agg.groupby("ty").sum("s1").take_all()}
+    s2 = {r["ty"]: int(r["sum(s2)"]) for r in
+          agg.groupby("ty").sum("s2").take_all()}
+    return n, s1, s2
+
+
+def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test of click vs purchase event value
+    — the A/B-analysis workhorse.  Group moments are exact int64 block
+    partials folded through one tiny groupby; t and the
+    Welch–Satterthwaite df finish in one IEEE chain on identical
+    int→double conversions (float(S1)² may exceed 2⁵³, so BOTH twins
+    convert S1 to double before squaring — the documented chain),
+    micro-rounded once."""
+    import math
+
+    n, s1, s2 = _cents_moments_by_type(sf_dir, ["click", "purchase"])
+    na, nb = n["click"], n["purchase"]
+    ma = float(s1["click"]) / na
+    mb = float(s1["purchase"]) / nb
+    va = (float(s2["click"]) - float(s1["click"]) * float(s1["click"])
+          / na) / (na - 1)
+    vb = (float(s2["purchase"]) - float(s1["purchase"])
+          * float(s1["purchase"]) / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / math.sqrt(sea + seb)
+    df = ((sea + seb) * (sea + seb)
+          / (sea * sea / (na - 1) + seb * seb / (nb - 1)))
+    return pd.DataFrame({
+        "n_click": pd.Series([na], dtype=np.int64),
+        "n_purchase": pd.Series([nb], dtype=np.int64),
+        "t_micro": pd.Series([int(_half_away(np.array([t * 1e6]))[0])],
+                             dtype=np.int64),
+        "df_micro": pd.Series([int(_half_away(np.array([df * 1e6]))[0])],
+                              dtype=np.int64),
+    })
+
+
+def q_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-statistic of event value across the event types.
+    The between/within sums of squares use the nested-round discipline
+    (info_gain/chi_square precedent): each per-group Σ²/n term is one
+    identical IEEE chain micro-rounded to an int, sums are order-free
+    big-int arithmetic (HUGEINT in the twin), and F is a final identical
+    chain on correctly-rounded bigint→double conversions."""
+    import math  # noqa: F401  (parallel structure with welch)
+
+    n, s1, s2 = _cents_moments_by_type(sf_dir)
+    types = sorted(n)
+    k = len(types)
+    ntot = sum(n.values())
+    s1tot = sum(s1.values())
+    s2tot = sum(s2.values())
+    terms = [int(_half_away(np.array(
+        [float(s1[t]) * float(s1[t]) / n[t] * 1e6]))[0]) for t in types]
+    a = sum(terms)
+    b = int(_half_away(np.array(
+        [float(s1tot) * float(s1tot) / ntot * 1e6]))[0])
+    ssb = a - b
+    ssw = s2tot * 1_000_000 - a          # exact python big int
+    f = (float(ssb) / (k - 1)) / (float(ssw) / (ntot - k))
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype=np.int64),
+        "n": pd.Series([ntot], dtype=np.int64),
+        "f_micro": pd.Series([int(_half_away(np.array([f * 1e6]))[0])],
+                             dtype=np.int64),
+    })
+
+
+def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall's τ-b rank correlation of l_quantity × l_discount —
+    ties-corrected concordance over the tiny joint value domain (50×11
+    by fixture contract, the spearman plan): block-local joint counts
+    fold through one narrow groupby, then concordant/discordant pair
+    counts come from 2-D prefix sums over the count grid — O(cells)
+    driver arithmetic, every quantity a big-int product of exact
+    counts.  τ finishes as one IEEE chain on identical HUGEINT→DOUBLE
+    conversions, micro-rounded once."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        x = tbl["l_quantity"].to_numpy(zero_copy_only=False)
+        y = tbl["l_discount"].to_numpy(zero_copy_only=False)
+        xi = _half_away(x).astype(np.int64)
+        yi = _half_away(y * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"x": xi, "y": yi, "n": 1})
+               .groupby(["x", "y"], as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["x", "y"]).sum("n").take_all())
+    xs = sorted({int(r["x"]) for r in rows})
+    ys = sorted({int(r["y"]) for r in rows})
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    m = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    for r in rows:
+        m[xi[int(r["x"])], yi[int(r["y"])]] = int(r["sum(n)"])
+    # strictly-less prefix in both dims (exclusive), per cell
+    cum = m.cumsum(axis=0).cumsum(axis=1)
+    lt = np.zeros_like(m)
+    lt[1:, 1:] = cum[:-1, :-1]
+    # x strictly less, y strictly greater
+    cum_ygt = m[:, ::-1].cumsum(axis=1)[:, ::-1].cumsum(axis=0)
+    gt = np.zeros_like(m)
+    gt[1:, :-1] = cum_ygt[:-1, 1:]
+    c = int((m.astype(object) * lt.astype(object)).sum())
+    d = int((m.astype(object) * gt.astype(object)).sum())
+    ntot = int(m.sum())
+    tx = m.sum(axis=1)
+    ty = m.sum(axis=0)
+    n0 = ntot * (ntot - 1) // 2
+    n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tx))
+    n2 = int(sum(int(t) * (int(t) - 1) // 2 for t in ty))
+    tau = float(c - d) / math.sqrt(float((n0 - n1) * (n0 - n2)))
+    return pd.DataFrame({
+        "n": pd.Series([ntot], dtype=np.int64),
+        "concordant": pd.Series([c], dtype=np.int64),
+        "discordant": pd.Series([d], dtype=np.int64),
+        "tau_micro": pd.Series([int(_half_away(
+            np.array([tau * 1e6]))[0])], dtype=np.int64),
+    })
+
+
+def q_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V effect size of the documents lang × source
+    association — χ² (the chi_square nested-round cell discipline:
+    per-cell (o−e)²/e micro-rounded, integer-summed) normalized by
+    n·min(r−1, c−1), finishing in one identical IEEE sqrt chain."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    obs = (ds.groupby(["lang", "source"]).count().to_pandas()
+           .rename(columns={"count()": "o"}))
+    ntot = int(obs["o"].sum())
+    row = obs.groupby("lang")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    col = obs.groupby("source")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    o = obs["o"].to_numpy(dtype=np.int64)
+    e = row.astype(np.float64) * col / ntot
+    term = (o - e) * (o - e) / e
+    chi2 = int(_half_away(term * 1e6).astype(np.int64).sum())
+    r = obs["lang"].nunique()
+    ccnt = obs["source"].nunique()
+    minrc = min(r - 1, ccnt - 1)
+    v = math.sqrt(float(chi2) / 1e6 / (ntot * minrc))
+    return pd.DataFrame({
+        "n": pd.Series([ntot], dtype=np.int64),
+        "n_rows": pd.Series([r], dtype=np.int64),
+        "n_cols": pd.Series([ccnt], dtype=np.int64),
+        "v_micro": pd.Series([int(_half_away(np.array([v * 1e6]))[0])],
+                             dtype=np.int64),
+    })
+
+
+def q_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (micro-nats) between documents' lang and
+    source — the feature-dependence measure beside χ².  Cell counts
+    ride one tiny groupby; each cell term (c/n)·ln(c·n/(n_x·n_y))
+    micro-rounds as an identical IEEE chain (exact int64 products
+    convert to double on both twins — c·n ≤ 3.6e9 at sf0.1), then the
+    order-free integer sum (the info_gain nested-round discipline)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    obs = (ds.groupby(["lang", "source"]).count().to_pandas()
+           .rename(columns={"count()": "o"}))
+    ntot = int(obs["o"].sum())
+    row = obs.groupby("lang")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    col = obs.groupby("source")["o"].transform("sum").to_numpy(
+        dtype=np.int64)
+    o = obs["o"].to_numpy(dtype=np.int64)
+    term = (1e6 * (o.astype(np.float64) / ntot)) * np.log(
+        (o * ntot).astype(np.float64) / (row * col).astype(np.float64))
+    obs["term_micro"] = _half_away(term).astype(np.int64)
+    mi = int(obs["term_micro"].sum())
+    out = (obs[["lang", "source", "o", "term_micro"]]
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    out["mi_micro"] = np.int64(mi)
+    return out.astype({"o": np.int64, "term_micro": np.int64,
+                       "mi_micro": np.int64})
+
+
+def q_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration of event value by event type:
+    per-type cents shares (exact floor-div micro) plus the HHI as the
+    integer sum of micro-rounded share² terms — each term one identical
+    IEEE chain on exact ints."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        ty = tbl["event_type"].to_numpy(zero_copy_only=False)
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"ty": ty, "c": cents})
+             .groupby("ty", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("ty").sum("c").take_all())
+    per = sorted((r["ty"], int(r["sum(c)"])) for r in rows)
+    tot = sum(c for _, c in per)
+    recs = []
+    hhi = 0
+    for ty, c in per:
+        r = float(c) / float(tot)
+        t = int(_half_away(np.array([1_000_000 * (r * r)]))[0])
+        hhi += t
+        recs.append((ty, c, c * 1_000_000 // tot, t))
+    out = pd.DataFrame(recs, columns=["event_type", "cents",
+                                      "share_micro", "sq_micro"])
+    out["hhi_micro"] = np.int64(hhi)
+    return out.astype({"cents": np.int64, "share_micro": np.int64,
+                       "sq_micro": np.int64, "hhi_micro": np.int64})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -7697,6 +7940,12 @@ QUERIES = {
     "scd2_build": q_scd2_build,
     "autocorr": q_autocorr,
     "max_drawdown": q_max_drawdown,
+    "welch_ttest": q_welch_ttest,
+    "anova_f": q_anova_f,
+    "kendall_tau": q_kendall_tau,
+    "cramers_v": q_cramers_v,
+    "mutual_info": q_mutual_info,
+    "hhi": q_hhi,
     "ab_test": q_ab_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
@@ -9546,6 +9795,151 @@ ORACLES = {
         SELECT count(*)::BIGINT AS n_days,
                max(peak - cum)::BIGINT AS max_drawdown_cents
         FROM pk
+    """,
+    "welch_ttest": """
+        WITH c AS (SELECT event_type AS ty,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        g AS (SELECT ty, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+                     sum(v * v)::BIGINT AS s2
+              FROM c GROUP BY ty),
+        w AS (SELECT
+                  (SELECT n FROM g WHERE ty = 'click') AS na,
+                  (SELECT n FROM g WHERE ty = 'purchase') AS nb,
+                  (SELECT s1 FROM g WHERE ty = 'click') AS s1a,
+                  (SELECT s1 FROM g WHERE ty = 'purchase') AS s1b,
+                  (SELECT s2 FROM g WHERE ty = 'click') AS s2a,
+                  (SELECT s2 FROM g WHERE ty = 'purchase') AS s2b),
+        m AS (SELECT na, nb,
+                  CAST(s1a AS DOUBLE) / na AS ma,
+                  CAST(s1b AS DOUBLE) / nb AS mb,
+                  (CAST(s2a AS DOUBLE)
+                   - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / na)
+                      / (na - 1) / na AS sea,
+                  (CAST(s2b AS DOUBLE)
+                   - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / nb)
+                      / (nb - 1) / nb AS seb
+              FROM w)
+        SELECT na AS n_click, nb AS n_purchase,
+               CAST(round((ma - mb) / sqrt(sea + seb) * 1000000)
+                    AS BIGINT) AS t_micro,
+               CAST(round((sea + seb) * (sea + seb)
+                    / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                    * 1000000) AS BIGINT) AS df_micro
+        FROM m
+    """,
+    "anova_f": """
+        WITH c AS (SELECT event_type AS ty,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        g AS (SELECT ty, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+                     sum(v * v)::BIGINT AS s2
+              FROM c GROUP BY ty),
+        t AS (SELECT sum(n)::BIGINT AS ntot, count(*)::BIGINT AS k,
+                     sum(s1)::BIGINT AS s1tot,
+                     sum(s2)::HUGEINT AS s2tot,
+                     sum(CAST(round(CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / n * 1000000)
+                         AS HUGEINT))::HUGEINT AS a
+              FROM g),
+        f AS (SELECT ntot, k,
+                  a - CAST(round(CAST(s1tot AS DOUBLE)
+                      * CAST(s1tot AS DOUBLE) / ntot * 1000000)
+                      AS HUGEINT) AS ssb,
+                  s2tot * 1000000 - a AS ssw
+              FROM t)
+        SELECT k, ntot AS n,
+               CAST(round(CAST(ssb AS DOUBLE) / (k - 1)
+                    / (CAST(ssw AS DOUBLE) / (ntot - k)) * 1000000)
+                    AS BIGINT) AS f_micro
+        FROM f
+    """,
+    "kendall_tau": """
+        -- tau-b over the tiny joint domain: concordant/discordant from
+        -- the cell-count cross join, big-int tie terms, one IEEE chain
+        WITH j AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 100) AS BIGINT) AS y,
+                          count(*)::BIGINT AS n
+                   FROM lineitem GROUP BY 1, 2),
+        cd AS (SELECT
+                   sum(CASE WHEN a.x < b.x AND a.y < b.y
+                       THEN a.n * b.n ELSE 0 END)::BIGINT AS c,
+                   sum(CASE WHEN a.x < b.x AND a.y > b.y
+                       THEN a.n * b.n ELSE 0 END)::BIGINT AS d
+               FROM j a, j b),
+        tt AS (SELECT (SELECT sum(n) FROM j)::BIGINT AS n,
+                      (SELECT sum(t * (t - 1) // 2) FROM
+                          (SELECT sum(n)::BIGINT AS t FROM j GROUP BY x)
+                      )::BIGINT AS n1,
+                      (SELECT sum(t * (t - 1) // 2) FROM
+                          (SELECT sum(n)::BIGINT AS t FROM j GROUP BY y)
+                      )::BIGINT AS n2,
+                      c, d FROM cd)
+        SELECT n, c AS concordant, d AS discordant,
+               CAST(round(CAST(c - d AS DOUBLE)
+                    / sqrt(CAST((n * (n - 1) // 2 - n1)::HUGEINT
+                           * (n * (n - 1) // 2 - n2)::HUGEINT
+                           AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS tau_micro
+        FROM tt
+    """,
+    "cramers_v": """
+        WITH o AS (SELECT lang, source, count(*)::BIGINT AS o
+                   FROM documents GROUP BY lang, source),
+        n AS (SELECT sum(o)::BIGINT AS n,
+                     count(DISTINCT lang)::BIGINT AS r,
+                     count(DISTINCT source)::BIGINT AS c FROM o),
+        rw AS (SELECT lang, sum(o)::BIGINT AS ro FROM o GROUP BY lang),
+        cl AS (SELECT source, sum(o)::BIGINT AS co
+               FROM o GROUP BY source),
+        t AS (SELECT CAST(round(
+                  (o.o - CAST(rw.ro AS DOUBLE) * cl.co / n.n)
+                  * (o.o - CAST(rw.ro AS DOUBLE) * cl.co / n.n)
+                  / (CAST(rw.ro AS DOUBLE) * cl.co / n.n) * 1000000)
+                  AS BIGINT) AS term
+              FROM o JOIN rw USING (lang) JOIN cl USING (source), n),
+        s AS (SELECT sum(term)::BIGINT AS chi2 FROM t)
+        SELECT n.n, n.r AS n_rows, n.c AS n_cols,
+               CAST(round(sqrt(CAST(chi2 AS DOUBLE) / 1000000
+                    / (n.n * least(n.r - 1, n.c - 1))) * 1000000)
+                    AS BIGINT) AS v_micro
+        FROM s, n
+    """,
+    "mutual_info": """
+        WITH o AS (SELECT lang, source, count(*)::BIGINT AS o
+                   FROM documents GROUP BY lang, source),
+        n AS (SELECT sum(o)::BIGINT AS n FROM o),
+        rw AS (SELECT lang, sum(o)::BIGINT AS ro FROM o GROUP BY lang),
+        cl AS (SELECT source, sum(o)::BIGINT AS co
+               FROM o GROUP BY source),
+        t AS (SELECT o.lang, o.source, o.o,
+                  CAST(round((1000000 * (CAST(o.o AS DOUBLE) / n.n))
+                      * ln(CAST(o.o * n.n AS DOUBLE)
+                           / CAST(rw.ro * cl.co AS DOUBLE)))
+                      AS BIGINT) AS term_micro
+              FROM o JOIN rw USING (lang) JOIN cl USING (source), n)
+        SELECT lang, source, o, term_micro,
+               (SELECT sum(term_micro) FROM t)::BIGINT AS mi_micro
+        FROM t ORDER BY lang, source
+    """,
+    "hhi": """
+        WITH g AS (SELECT event_type,
+                          sum(CAST(round(value * 100) AS BIGINT))
+                              ::BIGINT AS cents
+                   FROM events GROUP BY event_type),
+        t AS (SELECT sum(cents)::BIGINT AS tot FROM g),
+        s AS (SELECT g.event_type, g.cents,
+                     g.cents * 1000000 // t.tot AS share_micro,
+                     CAST(round(1000000 * ((CAST(g.cents AS DOUBLE)
+                         / CAST(t.tot AS DOUBLE))
+                         * (CAST(g.cents AS DOUBLE)
+                         / CAST(t.tot AS DOUBLE)))) AS BIGINT)
+                         AS sq_micro
+              FROM g, t)
+        SELECT event_type, cents, share_micro, sq_micro,
+               (SELECT sum(sq_micro) FROM s)::BIGINT AS hhi_micro
+        FROM s ORDER BY event_type
     """,
     "rfm": """
         WITH pu AS (
