@@ -7801,6 +7801,251 @@ def q_hhi(sf_dir: str) -> pd.DataFrame:
                        "sq_micro": np.int64, "hhi_micro": np.int64})
 
 
+#: driver-merge bound for the trimmed-mean value grid — the same
+#: size-aware tiering as line_dedup's merge and _CC_DRIVER_MAX_PAIRS.
+_TRIM_DRIVER_MAX_ROWS = 2_000_000
+
+
+def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """10% two-sided trimmed mean of l_extendedprice — the robust-mean
+    staple, computed on the VALUE MULTISET so boundary ties are
+    selection-invariant: per-cents (count) rows ride one narrow groupby,
+    cumulative counts come from the distributed exclusive scan
+    (ordered_prefix_sum), and each value contributes
+    clip(k−before, 0, cnt) rows to the trimmed-off tails — exact
+    integers end-to-end, floor-div micro mean (magnitude bound
+    trimmed_sum·1e6 ~2.5e18 documented within int64 at sf0.1).
+
+    Size-aware tiering (the line_dedup merge precedent): the near-
+    per-row value grid makes the 583k-group Ray aggregate ~17 s where a
+    driver merge of the block-local (value, count) partials is ~0.3 s —
+    so partials merge on the driver while their total row count stays
+    ≤ ``_TRIM_DRIVER_MAX_ROWS``; past the bound the groupby +
+    distributed-exclusive-scan exchange path below takes over, same
+    integer formulas per value row."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["l_extendedprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0).astype(
+            np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(v),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    partials = (ds.map_batches(prep, batch_format="pyarrow")
+                .materialize())
+    if partials.count() <= _TRIM_DRIVER_MAX_ROWS:
+        tbl = pa.concat_tables(
+            list(partials.iter_batches(batch_format="pyarrow")))
+        pv = tbl["v"].to_numpy(zero_copy_only=False)
+        pcnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pv, kind="mergesort")
+        pv, pcnt = pv[order], pcnt[order]
+        uv, starts = np.unique(pv, return_index=True)
+        cs = np.cumsum(pcnt)
+        seg_end = np.append(starts[1:], len(pv))
+        cnt = np.diff(np.concatenate([[0], cs[seg_end - 1]]))
+        before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        n = int(cnt.sum())
+        tot = int((uv * cnt).sum())
+        k = n // 10
+        take_lo = np.clip(k - before, 0, cnt)
+        take_hi = np.clip(before + cnt - (n - k), 0, cnt)
+        lo = int((uv * take_lo).sum())
+        hi = int((uv * take_hi).sum())
+        trimmed = tot - lo - hi
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype=np.int64),
+            "k": pd.Series([k], dtype=np.int64),
+            "trimmed_sum_cents": pd.Series([trimmed], dtype=np.int64),
+            "mean_micro": pd.Series(
+                [trimmed * 1_000_000 // (n - 2 * k)], dtype=np.int64),
+        })
+
+    from ..stages.relational import ordered_prefix_sum
+
+    per_v = (partials.groupby("v").sum("cnt")
+             .map_batches(lambda t: t.rename_columns(["v", "cnt"]),
+                          batch_format="pyarrow"))
+    scanned = ordered_prefix_sum(per_v, "v", "cnt", out_col="before",
+                                 exclusive=True).materialize()
+
+    def totals(tbl: pa.Table) -> pa.Table:
+        if "v" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "s": pa.array([0], type=pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(c.sum())], type=pa.int64()),
+                         "s": pa.array([int((v * c).sum())],
+                                       type=pa.int64())})
+
+    n = tot = 0
+    for r in scanned.map_batches(totals,
+                                 batch_format="pyarrow").take_all():
+        n += int(r["n"])
+        tot += int(r["s"])
+    k = n // 10
+
+    def tails(tbl: pa.Table) -> pa.Table:
+        if "v" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"lo": pa.array([0], type=pa.int64()),
+                             "hi": pa.array([0], type=pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        b = tbl["before"].to_numpy(zero_copy_only=False)
+        take_lo = np.clip(k - b, 0, c)
+        take_hi = np.clip(b + c - (n - k), 0, c)
+        return pa.table({"lo": pa.array([int((v * take_lo).sum())],
+                                        type=pa.int64()),
+                         "hi": pa.array([int((v * take_hi).sum())],
+                                        type=pa.int64())})
+
+    lo = hi = 0
+    for r in scanned.map_batches(tails,
+                                 batch_format="pyarrow").take_all():
+        lo += int(r["lo"])
+        hi += int(r["hi"])
+    trimmed = tot - lo - hi
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype=np.int64),
+        "k": pd.Series([k], dtype=np.int64),
+        "trimmed_sum_cents": pd.Series([trimmed], dtype=np.int64),
+        "mean_micro": pd.Series([trimmed * 1_000_000 // (n - 2 * k)],
+                                dtype=np.int64),
+    })
+
+
+def _per_user_freq_cents(sf_dir: str):
+    """Per-user (frequency, Σcents) — one map pass of block-local
+    pre-aggregates, one narrow groupby, driver map under the
+    bounded-user-id contract (the rfm/cohort_retention tier; past it
+    the deterministic_shuffle rank machinery is the documented path)."""
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"u": tbl["user_id"].to_numpy(
+            zero_copy_only=False), "f": 1, "m": cents})
+            .groupby("u", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (_read(sf_dir, "events", ["user_id", "value"])
+           .map_batches(pre, batch_format="pyarrow").materialize())
+    f = {r["u"]: int(r["sum(f)"]) for r in
+         agg.groupby("u").sum("f").take_all()}
+    m = {r["u"]: int(r["sum(m)"]) for r in
+         agg.groupby("u").sum("m").take_all()}
+    return f, m
+
+
+def q_lorenz_deciles(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve at population deciles: cumulative value-cents share
+    of the bottom 10%…100% of users under the deterministic
+    (cents, user) ascending rank — the distribution view beside the
+    gini scalar.  Exact integers: the decile rank is n·k//10, cumulative
+    cents an exact sum, share a floor-div micro."""
+    _, m = _per_user_freq_cents(sf_dir)
+    users = sorted(m.items(), key=lambda kv: (kv[1], kv[0]))
+    c = np.array([v for _, v in users], dtype=np.int64)
+    cum = np.cumsum(c)
+    n = len(c)
+    tot = int(cum[-1]) if n else 0
+    recs = []
+    for k in range(1, 11):
+        rk = n * k // 10
+        cc = int(cum[rk - 1]) if rk > 0 else 0
+        recs.append((k, rk, cc, cc * 1_000_000 // tot))
+    return pd.DataFrame(recs, columns=[
+        "decile", "n_users_cum", "cum_cents", "share_micro"]).astype(
+        np.int64)
+
+
+def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two user rankings (by event frequency
+    and by monetary cents, each (metric DESC, user) deterministic) —
+    the standard rank-ensemble in retrieval: score = Σ 1/(60+rank),
+    each term nano-rounded then integer-summed (nested-round
+    discipline), top-100 by (score DESC, user).  Ranks are the driver
+    tier under the bounded-user-id contract."""
+    f, m = _per_user_freq_cents(sf_dir)
+    users = sorted(f)
+    rf = {u: i + 1 for i, u in enumerate(
+        sorted(users, key=lambda u: (-f[u], u)))}
+    rm = {u: i + 1 for i, u in enumerate(
+        sorted(users, key=lambda u: (-m[u], u)))}
+    score = {u: (int(_half_away(np.array([1e9 / (60 + rf[u])]))[0])
+                 + int(_half_away(np.array([1e9 / (60 + rm[u])]))[0]))
+             for u in users}
+    top = sorted(users, key=lambda u: (-score[u], u))[:100]
+    return pd.DataFrame({
+        "user_id": top,
+        "rank_f": [rf[u] for u in top],
+        "rank_m": [rm[u] for u in top],
+        "rrf_nano": [score[u] for u in top],
+    }).astype(np.int64)
+
+
+def q_dow_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality profile of events: count, value cents,
+    traffic share and floor-div average per weekday (epoch-day + 4 mod
+    7, so 0 = Monday — the same formula on both twins, no calendar
+    functions).  One O(blocks × 7) partials pass, zero shuffles."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        dow = (d + 4) % 7
+        cents = _half_away(tbl["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64) * 100.0).astype(np.int64)
+        pdf = (pd.DataFrame({"dow": dow, "n": 1, "c": cents})
+               .groupby("dow", as_index=False).sum())
+        return pa.Table.from_pandas(pdf.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow").materialize())
+    nn = {r["dow"]: int(r["sum(n)"]) for r in
+          agg.groupby("dow").sum("n").take_all()}
+    cc = {r["dow"]: int(r["sum(c)"]) for r in
+          agg.groupby("dow").sum("c").take_all()}
+    tot = sum(nn.values())
+    recs = [(d, nn[d], cc[d], nn[d] * 1_000_000 // tot,
+             cc[d] // nn[d]) for d in sorted(nn)]
+    return pd.DataFrame(recs, columns=[
+        "dow", "n_events", "cents", "share_micro",
+        "avg_cents_floor"]).astype(np.int64)
+
+
+def q_theil_index(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of per-user value cents — the additive
+    counterpart to gini: T = (1/n)·Σ (x/μ)·ln(x/μ), zero-cent users
+    contributing 0 by convention (matching the SQL CASE).  Per-user
+    terms micro-round as identical IEEE chains then integer-sum
+    order-free; the final /n is one more identical chain (float
+    division, NOT floor-div — terms can be negative and the twins'
+    integer divisions disagree on negatives)."""
+    _, m = _per_user_freq_cents(sf_dir)
+    c = np.array([m[u] for u in sorted(m)], dtype=np.int64)
+    n = len(c)
+    tot = int(c.sum())
+    mu = float(tot) / n
+    r = c.astype(np.float64) / mu
+    pos = c > 0
+    terms = np.zeros(n, dtype=np.int64)
+    terms[pos] = _half_away(1e6 * (r[pos] * np.log(r[pos]))).astype(
+        np.int64)
+    s = int(terms.sum())
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype=np.int64),
+        "theil_micro": pd.Series(
+            [int(_half_away(np.array([float(s) / n]))[0])],
+            dtype=np.int64),
+    })
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -7946,6 +8191,11 @@ QUERIES = {
     "cramers_v": q_cramers_v,
     "mutual_info": q_mutual_info,
     "hhi": q_hhi,
+    "trimmed_mean": q_trimmed_mean,
+    "lorenz_deciles": q_lorenz_deciles,
+    "rrf_fusion": q_rrf_fusion,
+    "dow_profile": q_dow_profile,
+    "theil_index": q_theil_index,
     "ab_test": q_ab_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
@@ -9940,6 +10190,99 @@ ORACLES = {
         SELECT event_type, cents, share_micro, sq_micro,
                (SELECT sum(sq_micro) FROM s)::BIGINT AS hhi_micro
         FROM s ORDER BY event_type
+    """,
+    "trimmed_mean": """
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS v FROM lineitem),
+        g AS (SELECT v, count(*)::BIGINT AS cnt FROM c GROUP BY v),
+        s AS (SELECT v, cnt,
+                     coalesce(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)::BIGINT AS before
+              FROM g),
+        t AS (SELECT sum(cnt)::BIGINT AS n,
+                     sum(v * cnt)::BIGINT AS tot FROM g),
+        lo AS (SELECT
+                   sum(v * least(greatest(t.n // 10 - before, 0),
+                                 cnt))::BIGINT AS ls,
+                   sum(v * least(greatest(before + cnt
+                       - (t.n - t.n // 10), 0), cnt))::BIGINT AS hs
+               FROM s, t)
+        SELECT t.n, (t.n // 10)::BIGINT AS k,
+               (t.tot - lo.ls - lo.hs)::BIGINT AS trimmed_sum_cents,
+               ((t.tot - lo.ls - lo.hs) * 1000000
+                // (t.n - 2 * (t.n // 10)))::BIGINT AS mean_micro
+        FROM t, lo
+    """,
+    "lorenz_deciles": """
+        WITH pu AS (SELECT user_id AS u,
+                           sum(CAST(round(value * 100) AS BIGINT))
+                               ::BIGINT AS c
+                    FROM events GROUP BY user_id),
+        t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS tot
+              FROM pu),
+        r AS (SELECT c, row_number() OVER (ORDER BY c, u) AS rn
+              FROM pu),
+        cs AS (SELECT rn, sum(c) OVER (ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM r),
+        d AS (SELECT k.k, t.n * k.k // 10 AS rk
+              FROM (SELECT unnest(range(1, 11)) AS k) k, t)
+        SELECT d.k::BIGINT AS decile, d.rk::BIGINT AS n_users_cum,
+               coalesce((SELECT cum FROM cs WHERE cs.rn = d.rk), 0)
+                   ::BIGINT AS cum_cents,
+               (coalesce((SELECT cum FROM cs WHERE cs.rn = d.rk), 0)
+                * 1000000 // t.tot)::BIGINT AS share_micro
+        FROM d, t ORDER BY decile
+    """,
+    "rrf_fusion": """
+        WITH pu AS (SELECT user_id AS u, count(*)::BIGINT AS f,
+                           sum(CAST(round(value * 100) AS BIGINT))
+                               ::BIGINT AS m
+                    FROM events GROUP BY user_id),
+        r AS (SELECT u,
+                     row_number() OVER (ORDER BY f DESC, u) AS rf,
+                     row_number() OVER (ORDER BY m DESC, u) AS rm
+              FROM pu),
+        s AS (SELECT u, rf, rm,
+                     (CAST(round(1000000000 / (60 + rf)) AS BIGINT)
+                      + CAST(round(1000000000 / (60 + rm)) AS BIGINT))
+                         AS rrf_nano
+              FROM r)
+        SELECT u AS user_id, rf::BIGINT AS rank_f,
+               rm::BIGINT AS rank_m, rrf_nano
+        FROM s ORDER BY rrf_nano DESC, u LIMIT 100
+    """,
+    "dow_profile": """
+        WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7
+                       AS dow,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        t AS (SELECT count(*)::BIGINT AS tot FROM e)
+        SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n_events,
+               sum(v)::BIGINT AS cents,
+               (count(*) * 1000000 // t.tot)::BIGINT AS share_micro,
+               (sum(v) // count(*))::BIGINT AS avg_cents_floor
+        FROM e, t GROUP BY dow, t.tot ORDER BY dow
+    """,
+    "theil_index": """
+        WITH pu AS (SELECT user_id AS u,
+                           sum(CAST(round(value * 100) AS BIGINT))
+                               ::BIGINT AS c
+                    FROM events GROUP BY user_id),
+        t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS tot
+              FROM pu),
+        tm AS (SELECT CASE WHEN c = 0 THEN 0 ELSE
+                   CAST(round(1000000 * ((CAST(c AS DOUBLE)
+                       / (CAST(t.tot AS DOUBLE) / t.n))
+                       * ln(CAST(c AS DOUBLE)
+                            / (CAST(t.tot AS DOUBLE) / t.n))))
+                       AS BIGINT) END AS term
+               FROM pu, t),
+        s AS (SELECT sum(term)::BIGINT AS s FROM tm)
+        SELECT t.n AS n_users,
+               CAST(round(CAST(s.s AS DOUBLE) / t.n) AS BIGINT)
+                   AS theil_micro
+        FROM s, t
     """,
     "rfm": """
         WITH pu AS (
