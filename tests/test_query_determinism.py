@@ -56,3 +56,39 @@ def test_late_within_lateness_still_counts(ray_session, tmp_path):
     win0 = out[out["window_start"] == 0.0]
     assert sess.metrics["late_dropped"] == 0
     assert win0["count"].sum() == 2  # both rows landed in [0,10)
+
+
+def test_trimmed_mean_tiers_equal(ray_session, monkeypatch):
+    """The driver-merge and exchange (groupby + distributed scan) tiers
+    of trimmed_mean must agree exactly — same multiset formulas, so the
+    tier switch can never change the answer."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_trimmed_mean(SF)
+    monkeypatch.setattr(Q, "_TRIM_DRIVER_MAX_ROWS", 0)
+    b = Q.q_trimmed_mean(SF)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_island_queries_partition_invariant(ray_session):
+    """user_streaks / interval_merge / scd2_build are bit-identical when
+    the input is fanned to a different block count — the hash(user)
+    bucket shuffle makes the in-bucket vectorized shifts see each user's
+    complete history regardless of the read partitioning."""
+    import ray.data as rd
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    for fn in (Q.q_user_streaks, Q.q_interval_merge, Q.q_scd2_build):
+        a = canon(fn(SF))
+        orig = Q._read
+
+        def fanned(sf_dir, table, columns=None, blocks=None):
+            return orig(sf_dir, table, columns, blocks=7)
+
+        Q._read = fanned
+        try:
+            b = canon(fn(SF))
+        finally:
+            Q._read = orig
+        pd.testing.assert_frame_equal(a, b)
