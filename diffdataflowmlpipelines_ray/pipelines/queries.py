@@ -8046,6 +8046,129 @@ def q_theil_index(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per language: docs, tokens, codepoint chars,
+    tokens-per-doc and chars-per-token (exact floor-div micro) — the
+    diagnostic behind tokenizer/vocab choices for multilingual corpora.
+    One O(blocks × langs) partials pass (tokens via the shared
+    whitespace tokenizer contract, chars via utf8_length = SQL
+    length()), zero shuffles."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl["text"])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ntok = off[1:] - off[:-1]
+        nch = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False)
+        pdf = (pd.DataFrame({
+            "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+            "n": 1, "t": ntok, "c": nch.astype(np.int64)})
+            .groupby("lang", as_index=False).sum())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow").materialize())
+    nd = {r["lang"]: int(r["sum(n)"]) for r in
+          agg.groupby("lang").sum("n").take_all()}
+    nt = {r["lang"]: int(r["sum(t)"]) for r in
+          agg.groupby("lang").sum("t").take_all()}
+    nc = {r["lang"]: int(r["sum(c)"]) for r in
+          agg.groupby("lang").sum("c").take_all()}
+    recs = [(la, nd[la], nt[la], nc[la],
+             nt[la] * 1_000_000 // nd[la],
+             nc[la] * 1_000_000 // nt[la]) for la in sorted(nd)]
+    out = pd.DataFrame(recs, columns=[
+        "lang", "n_docs", "n_tokens", "n_chars",
+        "tok_per_doc_micro", "chars_per_tok_micro"])
+    return out.astype({c: np.int64 for c in out.columns[1:]})
+
+
+def q_brand_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK of part brands by total retail cents — the
+    ties-share-a-rank window function beside percent_rank/ntile.  Brand
+    totals ride one tiny groupby; the dense rank is the position of
+    each total in the descending sorted set of DISTINCT totals —
+    tie-order-free by construction, exact integers."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["p_retailprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0).astype(
+            np.int64)
+        pdf = (pd.DataFrame({
+            "b": tbl["p_brand"].to_numpy(zero_copy_only=False),
+            "c": cents}).groupby("b", as_index=False).sum())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("b").sum("c").take_all())
+    per = sorted((r["b"], int(r["sum(c)"])) for r in rows)
+    distinct_desc = sorted({c for _, c in per}, reverse=True)
+    drank = {c: i + 1 for i, c in enumerate(distinct_desc)}
+    return pd.DataFrame({
+        "p_brand": [b for b, _ in per],
+        "cents": pd.Series([c for _, c in per], dtype=np.int64),
+        "drank": pd.Series([drank[c] for _, c in per], dtype=np.int64),
+    })
+
+
+def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Token-3-gram novelty rate: distinct 3-grams, singletons (count
+    == 1), and singleton share — the corpus-diversity diagnostic behind
+    repetition screens (a boilerplate-heavy crawl scores low).  Each
+    block builds its 3-grams with a vectorized cross-doc-boundary mask
+    and pre-reduces via np.unique; one groupby(ngram) exchange carries
+    (ngram, count) rows — O(tokens) worst case, the line_dedup class —
+    and the freq-of-freqs folds from per-bucket partials."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        toks = tokenize_column(tbl["text"])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) < 3:
+            return pa.table({"ng": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        same = doc[:-2] == doc[2:]
+        s = pd.Series(flat)
+        ng = (s.iloc[:-2].reset_index(drop=True) + " "
+              + s.iloc[1:-1].reset_index(drop=True) + " "
+              + s.iloc[2:].reset_index(drop=True))[same].to_numpy()
+        v, c = np.unique(ng, return_counts=True)
+        return pa.table({"ng": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def fof(tbl: pa.Table) -> pa.Table:
+        if "c" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"d": pa.array([0], type=pa.int64()),
+                             "s1": pa.array([0], type=pa.int64())})
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([len(c)], type=pa.int64()),
+                         "s1": pa.array([int((c == 1).sum())],
+                                        type=pa.int64())})
+
+    d = s1 = 0
+    for r in (ds.map_batches(grams, batch_format="pyarrow")
+              .groupby("ng").sum("c")
+              .map_batches(lambda t: t.rename_columns(["ng", "c"]),
+                           batch_format="pyarrow")
+              .map_batches(fof, batch_format="pyarrow").take_all()):
+        d += int(r["d"])
+        s1 += int(r["s1"])
+    return pd.DataFrame({
+        "n_distinct": pd.Series([d], dtype=np.int64),
+        "n_singleton": pd.Series([s1], dtype=np.int64),
+        "novelty_micro": pd.Series([s1 * 1_000_000 // d],
+                                   dtype=np.int64),
+    })
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -8196,6 +8319,9 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "dow_profile": q_dow_profile,
     "theil_index": q_theil_index,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "brand_dense_rank": q_brand_dense_rank,
+    "ngram_novelty": q_ngram_novelty,
     "ab_test": q_ab_test,
     "perplexity": q_perplexity,
     "naive_bayes": q_naive_bayes,
@@ -10283,6 +10409,44 @@ ORACLES = {
                CAST(round(CAST(s.s AS DOUBLE) / t.n) AS BIGINT)
                    AS theil_micro
         FROM s, t
+    """,
+    "tokenizer_fertility": r"""
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               sum(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')))::BIGINT AS n_tokens,
+               sum(length(text))::BIGINT AS n_chars,
+               (sum(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> ''))) * 1000000 // count(*))::BIGINT
+                   AS tok_per_doc_micro,
+               (sum(length(text)) * 1000000
+                // sum(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> ''))))::BIGINT
+                   AS chars_per_tok_micro
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "brand_dense_rank": """
+        WITH b AS (SELECT p_brand,
+                          sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                              ::BIGINT AS cents
+                   FROM part GROUP BY p_brand)
+        SELECT p_brand, cents,
+               dense_rank() OVER (ORDER BY cents DESC)::BIGINT AS drank
+        FROM b ORDER BY p_brand
+    """,
+    "ngram_novelty": r"""
+        WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS toks FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  AS ng FROM t),
+        c AS (SELECT ng, count(*)::BIGINT AS c FROM g GROUP BY ng)
+        SELECT count(*)::BIGINT AS n_distinct,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_singleton,
+               (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*))::BIGINT AS novelty_micro
+        FROM c
     """,
     "rfm": """
         WITH pu AS (
