@@ -116,7 +116,12 @@ def run_bench() -> dict:
         "weighted_median", "ks_test", "conformal", "spearman", "benford",
         "source_overlap", "stickiness", "interarrival", "anomaly_days",
         "pareto_share", "new_vs_returning", "engagement_depth",
-        "gbdt_predict", "rfm", "zipf_alpha", "ab_test")
+        "gbdt_predict", "rfm", "zipf_alpha", "ab_test",
+        "user_streaks", "interval_merge", "scd2_build", "autocorr",
+        "max_drawdown", "welch_ttest", "anova_f", "kendall_tau",
+        "cramers_v", "mutual_info", "hhi", "trimmed_mean",
+        "lorenz_deciles", "rrf_fusion", "dow_profile", "theil_index",
+        "tokenizer_fertility", "brand_dense_rank", "ngram_novelty")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
