@@ -121,7 +121,8 @@ def run_bench() -> dict:
         "max_drawdown", "welch_ttest", "anova_f", "kendall_tau",
         "cramers_v", "mutual_info", "hhi", "trimmed_mean",
         "lorenz_deciles", "rrf_fusion", "dow_profile", "theil_index",
-        "tokenizer_fertility", "brand_dense_rank", "ngram_novelty")
+        "tokenizer_fertility", "brand_dense_rank", "ngram_novelty",
+        "decayed_count")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

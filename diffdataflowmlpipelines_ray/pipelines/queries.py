@@ -8169,6 +8169,57 @@ def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_decayed_count(sf_dir: str) -> pd.DataFrame:
+    """Exponentially time-decayed event counts per type at two
+    half-lives (1 d and 7 d), anchored at the stream's max timestamp —
+    the classic stream-analytics decayed aggregate (recent activity
+    counts more, old activity fades by 2^(-age/halflife)).  Each
+    event's decay weight is micro-rounded to int64 under one identical
+    IEEE chain on both twins (exp of int64·(ln 2/hl) — libm drift is
+    absorbed by the rounding, the mutual_info discipline), so the
+    per-type sums are order-free exact integers.  Two passes over a
+    2-column pruned read: an O(blocks) max-ts fold, then one
+    O(blocks × types) partials pass — zero shuffles at any scale."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def maxts(tbl: pa.Table) -> pa.Table:
+        t = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        return pa.table({"m": pa.array([int(t.max())] if len(t) else [],
+                                       type=pa.int64())})
+
+    T = max(int(r["m"]) for r in
+            ds.map_batches(maxts, batch_format="pyarrow").take_all())
+    c1 = np.log(2.0) / 86_400_000_000.0          # 1-day halflife, per us
+    c7 = np.log(2.0) / (7 * 86_400_000_000.0)    # 7-day halflife
+
+    def part(tbl: pa.Table) -> pa.Table:
+        t = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        dt = (T - t).astype(np.float64)
+        w1 = _half_away(1e6 * np.exp(-(dt * c1))).astype(np.int64)
+        w7 = _half_away(1e6 * np.exp(-(dt * c7))).astype(np.int64)
+        pdf = (pd.DataFrame({
+            "event_type": tbl["event_type"].to_numpy(
+                zero_copy_only=False),
+            "n": np.int64(1), "w1": w1, "w7": w7})
+            .groupby("event_type", as_index=False).sum())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow").materialize()
+    nn = {r["event_type"]: int(r["sum(n)"]) for r in
+          agg.groupby("event_type").sum("n").take_all()}
+    d1 = {r["event_type"]: int(r["sum(w1)"]) for r in
+          agg.groupby("event_type").sum("w1").take_all()}
+    d7 = {r["event_type"]: int(r["sum(w7)"]) for r in
+          agg.groupby("event_type").sum("w7").take_all()}
+    recs = [(k, nn[k], d1[k], d7[k]) for k in sorted(nn)]
+    out = pd.DataFrame(recs, columns=[
+        "event_type", "n_events", "decayed_1d_micro",
+        "decayed_7d_micro"])
+    return out.astype({c: np.int64 for c in out.columns[1:]})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -8318,6 +8369,7 @@ QUERIES = {
     "lorenz_deciles": q_lorenz_deciles,
     "rrf_fusion": q_rrf_fusion,
     "dow_profile": q_dow_profile,
+    "decayed_count": q_decayed_count,
     "theil_index": q_theil_index,
     "tokenizer_fertility": q_tokenizer_fertility,
     "brand_dense_rank": q_brand_dense_rank,
@@ -10377,6 +10429,19 @@ ORACLES = {
         SELECT u AS user_id, rf::BIGINT AS rank_f,
                rm::BIGINT AS rank_m, rrf_nano
         FROM s ORDER BY rrf_nano DESC, u LIMIT 100
+    """,
+    "decayed_count": """
+        WITH mx AS (SELECT max(epoch_us(ts)) AS t FROM events),
+        w AS (SELECT event_type,
+                     CAST(round(1000000 * exp(-((mx.t - epoch_us(ts))
+                         * (ln(2) / 86400000000.0)))) AS BIGINT) AS w1,
+                     CAST(round(1000000 * exp(-((mx.t - epoch_us(ts))
+                         * (ln(2) / 604800000000.0)))) AS BIGINT) AS w7
+              FROM events, mx)
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               sum(w1)::BIGINT AS decayed_1d_micro,
+               sum(w7)::BIGINT AS decayed_7d_micro
+        FROM w GROUP BY event_type ORDER BY event_type
     """,
     "dow_profile": """
         WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7
