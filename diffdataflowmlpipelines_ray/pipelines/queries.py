@@ -1065,6 +1065,49 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
     return _round(df, ["o_totalprice", "l_extendedprice"])
 
 
+def q_stream_join3(sf_dir: str) -> pd.DataFrame:
+    """Three-way incremental stream join as a DELTA-JOIN CASCADE:
+    customer ⋈ orders chained in-session into (customer ⋈ orders) ⋈
+    lineitem — the second ``StreamJoin`` consumes the first's per-epoch
+    emissions by name (the engine's dataflow chaining), so each epoch
+    emits exactly the NEW 3-way matches and the result is the full
+    relational 3-way join under multiset semantics.  Bilinearity
+    composes: a retraction on any base stream cancels its cascade
+    products end-to-end (pinned by pytest with an order retraction).
+    Oracle: the relational customer⋈orders⋈lineitem."""
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read_table(sf_dir, "orders",
+                         ["o_orderkey", "o_custkey", "o_totalprice"])
+    lineitem = _read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    sess = StreamSession(_tmp("join3"), num_shards=4)
+    sess.add(StreamJoin(name="oc", left_input="orders",
+                        right_input="customer",
+                        left_key=["o_custkey"], right_key=["c_custkey"],
+                        left_cols=["o_orderkey", "o_totalprice"],
+                        right_cols=["c_mktsegment"]))
+    sess.add(StreamJoin(name="ocl", left_input="oc",
+                        right_input="lineitem",
+                        left_key=["o_orderkey"], right_key=["l_orderkey"],
+                        left_cols=["o_custkey", "o_totalprice",
+                                   "c_mktsegment"],
+                        right_cols=["l_linenumber", "l_extendedprice"]))
+    try:
+        cp = _epoch_split(cust, 3)
+        op = _epoch_split(orders, 3)
+        lp = _epoch_split(lineitem, 3)
+        for e in range(3):
+            sess.process_epoch(e, {"customer": cp[e], "orders": op[e],
+                                   "lineitem": lp[e]})
+        df = sess.sinks["ocl"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch", "diff"])  # insert-only → all +1
+    df["o_custkey"] = df["o_custkey"].astype(np.int64)
+    return _round(df, ["o_totalprice", "l_extendedprice"])
+
+
 def q_windowed_stream_join(sf_dir: str) -> pd.DataFrame:
     """Windowed stream-stream join (Spark Structured Streaming's window
     join) by COMPOSITION: both streams derive their tumbling window bucket
@@ -8253,6 +8296,7 @@ QUERIES = {
     "window_topk": q_window_topk,
     "session_window": q_session_window,
     "stream_join": q_stream_join,
+    "stream_join3": q_stream_join3,
     "windowed_stream_join": q_windowed_stream_join,
     "stream_near_dup": q_stream_near_dup,
     "retraction_groupby": q_retraction_groupby,
@@ -8878,6 +8922,14 @@ ORACLES = {
         SELECT o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
                l.l_linenumber, ROUND(l.l_extendedprice, 6) AS l_extendedprice
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    "stream_join3": """
+        SELECT o.o_custkey, o.o_orderkey,
+               ROUND(o.o_totalprice, 6) AS o_totalprice, c.c_mktsegment,
+               l.l_linenumber, ROUND(l.l_extendedprice, 6) AS l_extendedprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     """,
     "retraction_groupby": """
         SELECT event_type, count(*)::BIGINT AS count,

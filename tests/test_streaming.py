@@ -494,6 +494,43 @@ class TestBilinearJoin:
         assert len(out) == 2
 
 
+    def test_three_way_cascade_retraction_cancels(self, ray_session,
+                                                  tmp_path):
+        """Delta-join cascade: a second StreamJoin consumes the first's
+        per-epoch emissions by name, and bilinearity COMPOSES — retracting
+        a base row cancels its 3-way products, including via the buffered
+        −1 row when the third stream arrives later."""
+        sess = StreamSession(tmp_path / "j3", num_shards=2)
+        sess.add(StreamJoin(name="ab", left_input="A", right_input="B",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["a"], right_cols=["b"]))
+        sess.add(StreamJoin(name="abc", left_input="ab", right_input="C",
+                            left_key=["k"], right_key=["k"],
+                            left_cols=["a", "b"], right_cols=["c"]))
+        sess.process_epoch(0, {
+            "A": pa.table({"k": [1], "a": [10], "diff": [1]}),
+            "B": pa.table({"k": [1], "b": [20], "diff": [1]}),
+            "C": pa.table({"k": [1], "c": [30], "diff": [1]}),
+        })
+        out0 = sess.sinks["abc"].read_committed_table().to_pandas()
+        # the cascade emits the 3-way match IN epoch 0 (same-epoch chaining)
+        assert len(out0) == 1 and int(out0["diff"].iloc[0]) == 1
+        # epoch 1: retract the A row → ab emits −1 → abc emits −1
+        sess.process_epoch(1, {
+            "A": pa.table({"k": [1], "a": [10], "diff": [-1]})})
+        # epoch 2: a NEW C row probes abc's buffered ab rows (+1 and −1)
+        # → the two emissions cancel
+        sess.process_epoch(2, {
+            "C": pa.table({"k": [1], "c": [40], "diff": [1]})})
+        out = sess.sinks["abc"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = out.groupby(["k", "a", "b", "c"])["diff"].sum()
+        assert (net == 0).all()  # net A is empty → 3-way join is empty
+        # epoch 2 emitted BOTH signs (the −1 buffered ab row is live state)
+        e2 = out[out["epoch"] == 2]
+        assert sorted(e2["diff"]) == [-1, 1]
+
+
 class TestRetractableSessions:
     def test_retraction_splits_session(self, ray_session, tmp_path):
         """Retracting a bridging point splits one session into two."""
