@@ -122,7 +122,8 @@ def run_bench() -> dict:
         "cramers_v", "mutual_info", "hhi", "trimmed_mean",
         "lorenz_deciles", "rrf_fusion", "dow_profile", "theil_index",
         "tokenizer_fertility", "brand_dense_rank", "ngram_novelty",
-        "decayed_count", "stream_join3")
+        "decayed_count", "stream_join3", "cusum", "item_cf", "flesch",
+        "adamic_adar", "ewma")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8263,6 +8263,286 @@ def q_decayed_count(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in out.columns[1:]})
 
 
+def q_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint detection over daily event volume with ZERO
+    float involvement: the classic cumulative-deviation statistic
+    CUSUM_i = Σ_{j≤i}(c_j − μ) is cross-multiplied by n into the pure
+    integer D_i = n·P_i − i·S (P_i = prefix count, S = total, i = day
+    rank), so the deviation series, its peak, and the changepoint day
+    (argmax |D_i|, earliest on ties) are all bit-exact by construction.
+    Day counts fold from per-block ``np.unique`` partials through one
+    tiny groupby; the scan itself is O(days) driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    n, S = len(cnt), sum(cnt.values())
+    recs, P = [], 0
+    for i, (d, c) in enumerate(cnt.items(), start=1):
+        P += c
+        recs.append((d, c, n * P - i * S))
+    peak = max(abs(dev) for _, _, dev in recs)
+    change = min(d for d, _, dev in recs if abs(dev) == peak)
+    out = pd.DataFrame(
+        [(d, c, dev, int(d == change)) for d, c, dev in recs],
+        columns=["day", "n_events", "cusum_scaled", "is_changepoint"])
+    return out.astype(np.int64)
+
+
+def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic–Adar link prediction on the deterministic orders-derived
+    graph (triangle_count's edge set): the top-20 NON-edges ranked by
+    Σ_v 1/ln(deg v) over shared neighbors v.  Each wedge term
+    micro-rounds before the order-free integer sum (the mutual_info
+    discipline — libm ln drift is absorbed), so scores, the edge
+    exclusion, and the (score DESC, u, v) cut are bit-exact.  Plan:
+    distinct edges via one 64-bucket exchange; adjacency
+    hash-partitions by CENTER so each of 64 bucket tasks sees its
+    centers' complete neighbor lists (degree = in-bucket group size —
+    never shipped) and pre-reduces its wedge pairs; edges ride the
+    SAME pair-bucket exchange as flag rows, so non-edge filtering
+    costs no extra join, and each pair bucket reduces, filters, and
+    partial-top-20s in-task (vectorized pandas on an int bucket key —
+    the repo-wide bucketed-groupby discipline; a global multi-key Ray
+    groupby here measured 11 s vs 0.7 s bucketed) before a
+    ≤ 64×20-row driver merge.
+    Partitioning assumption (documented): per-center wedge fan-out is
+    deg², so a hub-dominated graph needs a neighbor cap — the star-cap
+    pattern of `stages/dedup.py` — traded off here for oracle parity
+    on the bounded-degree fixture graph."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        pdf = (pd.DataFrame({"u": np.minimum(a, b),
+                             "v": np.maximum(a, b)})
+               .drop_duplicates())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def add_eb(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__eb", pa.array(
+            ((u * 131 + v) % 64).astype(np.int64)))
+
+    def edge_distinct(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["u", "v"]].drop_duplicates()
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_eb, batch_format="pyarrow")
+             .groupby("__eb")
+             .map_groups(edge_distinct, batch_format="pandas")
+             .materialize())
+
+    def to_adj(pdf: pd.DataFrame) -> pa.Table:
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        c = np.concatenate([u, v])
+        return pa.table({"c": pa.array(c),
+                         "n": pa.array(np.concatenate([v, u])),
+                         "__b": pa.array((c % 64).astype(np.int64))})
+
+    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        deg = pdf.groupby("c")["n"].transform("size").to_numpy()
+        pdf = pdf.assign(d=deg)
+        pdf = pdf[pdf["d"] >= 2]
+        m = pdf.merge(pdf, on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        wm = _half_away(1e6 / np.log(
+            m["d_x"].to_numpy().astype(np.float64))).astype(np.int64)
+        return (pd.DataFrame({"u": m["n_x"].to_numpy(),
+                              "v": m["n_y"].to_numpy(),
+                              "k": np.int64(1), "w": wm,
+                              "e": np.int64(0)})
+                .groupby(["u", "v"], as_index=False).sum())
+
+    wedge_rows = (edges.map_batches(to_adj, batch_format="pandas")
+                  .groupby("__b")
+                  .map_groups(wedges, batch_format="pandas"))
+
+    def edge_flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(k=np.int64(0), w=np.int64(0), e=np.int64(1))
+
+    def reduce_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["u", "v"], as_index=False).sum()
+        g = g[g["e"] == 0]
+        return g.sort_values(["w", "u", "v"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(20)
+
+    pdf = (wedge_rows
+           .union(edges.map_batches(edge_flags, batch_format="pandas"))
+           .map_batches(lambda t: t.assign(
+               __pb=((t["u"].to_numpy() * 131 + t["v"].to_numpy())
+                     % 64).astype(np.int64)), batch_format="pandas")
+           .groupby("__pb")
+           .map_groups(reduce_bucket, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["w", "u", "v"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(20))
+    out = pd.DataFrame({
+        "u": pdf["u"].to_numpy(), "v": pdf["v"].to_numpy(),
+        "n_common": pdf["k"].to_numpy(),
+        "aa_micro": pdf["w"].to_numpy()})
+    return out.astype(np.int64).reset_index(drop=True)
+
+
+def q_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-day EWMA of event volume (α = 0.3, s₁ = c₁) — the smoothed
+    trend series behind ops dashboards.  The recursion unrolls to
+    s_i = Σ_{j≥2} α(1−α)^{i−j} c_j + (1−α)^{i−1} c₁; each term
+    micro-rounds under one identical IEEE chain on both twins
+    (left-assoc 1e6·c·α·pow(0.7, i−j) — pow drift absorbed by the
+    rounding), so the per-day sums are order-free exact integers.  Day
+    counts fold from per-block ``np.unique`` partials through one tiny
+    groupby; the unroll is O(days²) driver arithmetic on the bounded
+    day domain."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    days = list(cnt)
+    c = np.array([cnt[d] for d in days], dtype=np.float64)
+    n = len(days)
+    recs = []
+    for i in range(n):
+        terms = _half_away(
+            1e6 * c[1:i + 1] * 0.3
+            * np.power(0.7, np.arange(i - 1, -1, -1, dtype=np.float64))
+        ).astype(np.int64).sum() if i else 0
+        init = int(_half_away(np.float64(1e6) * c[0]
+                              * np.power(np.float64(0.7),
+                                         np.float64(i))))
+        recs.append((days[i], int(c[i]), int(terms) + init))
+    out = pd.DataFrame(recs,
+                       columns=["day", "n_events", "ewma_micro"])
+    return out.astype(np.int64)
+
+
+def q_item_cf(sf_dir: str) -> pd.DataFrame:
+    """Item–item collaborative-filtering similarities over the binary
+    user × event-type incidence matrix — the classic neighborhood-recs
+    primitive: for every unordered type pair, the co-occurring-user
+    count plus cosine (micro-rounded: counts are exact int64, n_a·n_b
+    is exactly representable as a double, and round(1e6·co/sqrt(·)) is
+    one identical IEEE chain on both twins) and exact floor-div micro
+    Jaccard.  Plan: (user, type) pairs dedup block-locally into one
+    narrow distinct exchange; each user's type set explodes to pairs
+    inside 64 hash(user) bucket tasks (the type vocabulary is bounded
+    by contract, so pairs per user are tiny) and pre-reduces before a
+    tiny groupby; per-type user counts fold from the same exchange."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs_local(tbl: pa.Table) -> pa.Table:
+        pdf = (pd.DataFrame({
+            "u": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "t": tbl["event_type"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    ut = (ds.map_batches(pairs_local, batch_format="pyarrow")
+          .groupby(["u", "t"]).count()
+          .map_batches(lambda t: t.select(["u", "t"]),
+                       batch_format="pyarrow").materialize())
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b",
+                                 pa.array((u % 64).astype(np.int64)))
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[["u", "t"]].merge(pdf[["u", "t"]], on="u")
+        m = m[m["t_x"] < m["t_y"]]
+        out = (m.groupby(["t_x", "t_y"], as_index=False).size()
+               .rename(columns={"size": "k"}))
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    pair_rows = (ut.map_batches(add_b, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(pair_bucket, batch_format="pandas")
+                 .groupby(["t_x", "t_y"]).sum("k").take_all())
+    co = {(r["t_x"], r["t_y"]): int(r["sum(k)"]) for r in pair_rows}
+    n_t = {r["t"]: int(r["count()"])
+           for r in ut.groupby("t").count().take_all()}
+
+    recs = []
+    for (a, b), k in sorted(co.items()):
+        na, nb = n_t[a], n_t[b]
+        cos = int(_half_away(np.float64(1e6) *
+                             (np.float64(k) / np.sqrt(np.float64(na * nb)))))
+        recs.append((a, b, na, nb, k, cos,
+                     k * 1_000_000 // (na + nb - k)))
+    out = pd.DataFrame(recs, columns=[
+        "a", "b", "n_a", "n_b", "co_users", "cosine_micro",
+        "jaccard_micro"])
+    return out.astype({c: np.int64 for c in out.columns[2:]})
+
+
+def q_flesch(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease readability per language — the corpus-quality
+    screen behind grade-level filtering: per-doc words / sentence marks
+    / vowel-group syllables counted by identical RE2 regexes on both
+    twins (``pc.count_substring_regex`` ≡ DuckDB
+    ``length(regexp_extract_all(...))``), the per-doc score
+    206.835 − 1.015·(W/S) − 84.6·(Y/W) micro-rounded under one
+    identical IEEE chain (counts are exact small ints, so every
+    division is deterministic), then exact integer sums per language
+    and a final single-division average.  One O(blocks × langs)
+    partials pass over a 2-column pruned read — zero shuffles."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        w = pc.count_substring_regex(tbl["text"], "[^ ]+")\
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(tbl["text"], "[.!?]")\
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.count_substring_regex(
+            pc.utf8_lower(tbl["text"]), "[aeiou]+")\
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.maximum(s, 1.0)
+        w = np.maximum(w, 1.0)
+        f = _half_away(1e6 * (np.float64(206.835) - 1.015 * (w / s)
+                              - 84.6 * (y / w))).astype(np.int64)
+        pdf = (pd.DataFrame({
+            "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+            "n": np.int64(1), "f": f})
+            .groupby("lang", as_index=False).sum())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow").materialize()
+    nn = {r["lang"]: int(r["sum(n)"]) for r in
+          agg.groupby("lang").sum("n").take_all()}
+    ff = {r["lang"]: int(r["sum(f)"]) for r in
+          agg.groupby("lang").sum("f").take_all()}
+    recs = [(k, nn[k], ff[k], float(np.float64(ff[k]) / nn[k]))
+            for k in sorted(nn)]
+    out = pd.DataFrame(recs, columns=[
+        "lang", "n_docs", "flesch_sum_micro", "flesch_avg_micro"])
+    return out.astype({"n_docs": np.int64,
+                       "flesch_sum_micro": np.int64})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -8414,6 +8694,11 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "dow_profile": q_dow_profile,
     "decayed_count": q_decayed_count,
+    "cusum": q_cusum,
+    "item_cf": q_item_cf,
+    "flesch": q_flesch,
+    "adamic_adar": q_adamic_adar,
+    "ewma": q_ewma,
     "theil_index": q_theil_index,
     "tokenizer_fertility": q_tokenizer_fertility,
     "brand_dense_rank": q_brand_dense_rank,
@@ -10494,6 +10779,100 @@ ORACLES = {
                sum(w1)::BIGINT AS decayed_1d_micro,
                sum(w7)::BIGINT AS decayed_7d_micro
         FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    "cusum": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY d),
+        t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s FROM dc),
+        w AS (SELECT d, c,
+                     (t.n * sum(c) OVER (ORDER BY d)
+                      - row_number() OVER (ORDER BY d) * t.s)::BIGINT
+                         AS dev
+              FROM dc, t),
+        m AS (SELECT min(d) AS cd FROM w
+              WHERE abs(dev) = (SELECT max(abs(dev)) FROM w))
+        SELECT d::BIGINT AS day, c AS n_events, dev AS cusum_scaled,
+               (d = m.cd)::BIGINT AS is_changepoint
+        FROM w, m ORDER BY day
+    """,
+    "item_cf": """
+        WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+                    FROM events),
+        nt AS (SELECT t, count(*)::BIGINT AS n FROM ut GROUP BY t),
+        co AS (SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS k
+               FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+               GROUP BY a.t, b.t)
+        SELECT co.ta AS a, co.tb AS b,
+               na.n AS n_a, nb.n AS n_b, co.k AS co_users,
+               CAST(round(1000000 * (CAST(co.k AS DOUBLE)
+                   / sqrt(CAST(na.n * nb.n AS DOUBLE)))) AS BIGINT)
+                   AS cosine_micro,
+               (co.k * 1000000 // (na.n + nb.n - co.k))::BIGINT
+                   AS jaccard_micro
+        FROM co JOIN nt na ON na.t = co.ta JOIN nt nb ON nb.t = co.tb
+        ORDER BY a, b
+    """,
+    "adamic_adar": """
+        WITH e0 AS (SELECT DISTINCT
+                        least(o_custkey, o_orderkey % 1500) AS u,
+                        greatest(o_custkey, o_orderkey % 1500) AS v
+                    FROM orders
+                    WHERE o_custkey <> o_orderkey % 1500),
+        adj AS (SELECT u AS c, v AS n FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT c, count(*)::BIGINT AS d FROM adj GROUP BY c),
+        w AS (SELECT a.n AS u, b.n AS v,
+                     CAST(round(1000000
+                         / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS wm
+              FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+              JOIN deg ON deg.c = a.c
+              WHERE deg.d >= 2),
+        s AS (SELECT u, v, count(*)::BIGINT AS n_common,
+                     sum(wm)::BIGINT AS aa_micro
+              FROM w GROUP BY u, v),
+        ne AS (SELECT s.* FROM s LEFT JOIN e0
+               ON s.u = e0.u AND s.v = e0.v WHERE e0.u IS NULL)
+        SELECT u::BIGINT AS u, v::BIGINT AS v, n_common, aa_micro
+        FROM ne ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    "ewma": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY d),
+        r AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM dc),
+        t AS (SELECT a.d, a.c,
+                     sum(CASE WHEN b.i = 1
+                         THEN CAST(round(1000000 * b.c
+                              * pow(0.7, a.i - 1)) AS BIGINT)
+                         ELSE CAST(round(1000000 * b.c * 0.3
+                              * pow(0.7, a.i - b.i)) AS BIGINT)
+                         END)::BIGINT AS e
+              FROM r a JOIN r b ON b.i <= a.i GROUP BY a.d, a.c)
+        SELECT d::BIGINT AS day, c AS n_events, e AS ewma_micro
+        FROM t ORDER BY day
+    """,
+    "flesch": """
+        WITH pd AS (SELECT lang,
+                    greatest(length(regexp_extract_all(text, '[^ ]+')),
+                             1) AS w,
+                    greatest(length(regexp_extract_all(text, '[.!?]')),
+                             1) AS s,
+                    length(regexp_extract_all(lower(text), '[aeiou]+'))
+                        AS y
+                    FROM documents),
+        f AS (SELECT lang,
+                     CAST(round(1000000 * (206.835
+                         - 1.015 * (CAST(w AS DOUBLE)
+                                    / CAST(s AS DOUBLE))
+                         - 84.6 * (CAST(y AS DOUBLE)
+                                   / CAST(w AS DOUBLE)))) AS BIGINT)
+                         AS fm
+              FROM pd)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(fm)::BIGINT AS flesch_sum_micro,
+               CAST(sum(fm) AS DOUBLE) / count(*) AS flesch_avg_micro
+        FROM f GROUP BY lang ORDER BY lang
     """,
     "dow_profile": """
         WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7

@@ -92,3 +92,87 @@ def test_bucketed_island_queries_partition_invariant(ray_session):
         finally:
             Q._read = orig
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_cusum_invariants(ray_session):
+    """CUSUM's scaled deviation D_i = n·P_i − i·S telescopes to exactly
+    zero at the last day (P_n = S), and exactly one changepoint is
+    flagged — both pure-integer identities independent of the data."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_cusum(SF).sort_values("day").reset_index(drop=True)
+    assert int(out["cusum_scaled"].iloc[-1]) == 0
+    assert int(out["is_changepoint"].sum()) == 1
+    peak = out["cusum_scaled"].abs().max()
+    flagged = out.loc[out["is_changepoint"] == 1, "cusum_scaled"].abs()
+    assert int(flagged.iloc[0]) == int(peak)
+
+
+def test_item_cf_invariants_and_partition_invariance(ray_session):
+    """co_users ≤ min(n_a, n_b); cosine ≥ Jaccard (AM–GM: n_a+n_b−co ≥
+    max ≥ sqrt(n_a·n_b)); and the hash(user)-bucketed pair plan is
+    bit-identical under a different read block count."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_item_cf(SF)
+    assert (a["co_users"] <= a[["n_a", "n_b"]].min(axis=1)).all()
+    assert (a["cosine_micro"] >= a["jaccard_micro"]).all()
+    orig = Q._read
+
+    def fanned(sf_dir, table, columns=None, blocks=None):
+        return orig(sf_dir, table, columns, blocks=7)
+
+    Q._read = fanned
+    try:
+        b = Q.q_item_cf(SF)
+    finally:
+        Q._read = orig
+    pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_flesch_counts_cover_corpus(ray_session):
+    """Per-language doc counts must partition the documents table."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_flesch(SF)
+    total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert int(out["n_docs"].sum()) == total
+
+
+def test_adamic_adar_invariants_and_partition_invariance(ray_session):
+    """Top-20 non-edge pairs: n_common ≥ 1, scores non-increasing in
+    the (aa DESC, u, v) order, u < v; and the three bucket exchanges
+    (edge distinct, center wedges, pair reduce) make the result
+    bit-identical under a different read block count."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_adamic_adar(SF)
+    assert (a["n_common"] >= 1).all()
+    assert (a["u"] < a["v"]).all()
+    assert (a["aa_micro"].diff().dropna() <= 0).all()
+    orig = Q._read
+
+    def fanned(sf_dir, table, columns=None, blocks=None):
+        return orig(sf_dir, table, columns, blocks=7)
+
+    Q._read = fanned
+    try:
+        b = Q.q_adamic_adar(SF)
+    finally:
+        Q._read = orig
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_converges_to_mean_on_constant_series(ray_session):
+    """EWMA telescopes: with s₁ = c₁ the weights sum to 1, so on any
+    day i, min(c) ≤ ewma ≤ max(c) (in micro units, up to the per-term
+    rounding slack of half a micro per term)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_ewma(SF)
+    n = len(out)
+    lo = out["n_events"].min() * 1_000_000 - n
+    hi = out["n_events"].max() * 1_000_000 + n
+    assert ((out["ewma_micro"] >= lo) & (out["ewma_micro"] <= hi)).all()
