@@ -8439,6 +8439,130 @@ def q_ewma(sf_dir: str) -> pd.DataFrame:
     return out.astype(np.int64)
 
 
+def q_session_durations(sf_dir: str) -> pd.DataFrame:
+    """Distribution of 30-min-gap session durations (p50/p90/p99 in
+    seconds) — the engagement-length profile: `sessionize`'s ONE
+    hash(user) bucket shuffle co-locates each user's complete
+    sessions, per-session max−min spans compute vectorized in-bucket
+    (exact integer µs), and the quantiles ride the exact distributed
+    histogram-refinement machinery (bit-equal to ``quantile_cont``
+    after the magnitude-aware seconds conversion — the `interarrival`
+    discipline)."""
+    from ..stages.relational import exact_global_quantiles, sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"],
+               blocks=8)
+    sess = sessionize(ds, ["user_id"], "ts", gap=1800.0,
+                      order_cols=["event_id"])
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def durs(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        g = (pd.DataFrame({"u": pdf["user_id"].to_numpy(),
+                           "s": pdf["session_no"].to_numpy(), "t": t})
+             .groupby(["u", "s"])["t"].agg(["min", "max"]))
+        return pd.DataFrame(
+            {"dur": (g["max"].to_numpy() - g["min"].to_numpy()) / 1e6})
+
+    G = (sess.map_batches(add_b, batch_format="pyarrow")
+         .groupby("__b").map_groups(durs, batch_format="pandas")
+         .materialize())
+    qd = exact_global_quantiles(G, "dur", qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame({
+        "n_sessions": pd.Series([G.count()], dtype=np.int64),
+        "p50_s": [round(qd[0.5], 6)],
+        "p90_s": [round(qd[0.9], 6)],
+        "p99_s": [round(qd[0.99], 6)],
+    })
+
+
+def q_mad_outlier_days(sf_dir: str) -> pd.DataFrame:
+    """Robust (MAD-based) daily-volume outliers — the heavy-tail-safe
+    sibling of `anomaly_days`: the modified z-score test
+    0.6745·|c−med|/MAD > 3.5 cross-multiplies into the pure integer
+    inequality 6745·|c−med| > 35000·MAD (lower medians via the
+    quantile_disc index (n−1)//2 on both twins), so the flag set is
+    bit-exact with no float anywhere; a zero MAD degenerates to
+    "any deviation flags", which the same inequality expresses.  Day
+    counts fold from per-block ``np.unique`` partials through one tiny
+    groupby; the medians are O(days) driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    cs = sorted(cnt.values())
+    med = cs[(len(cs) - 1) // 2]
+    ads = sorted(abs(c - med) for c in cs)
+    mad = ads[(len(ads) - 1) // 2]
+    out = pd.DataFrame(
+        [(d, c, abs(c - med), int(6745 * abs(c - med) > 35000 * mad))
+         for d, c in cnt.items()],
+        columns=["day", "n_events", "abs_dev", "is_outlier"])
+    return out.astype(np.int64)
+
+
+def q_lift_curve(sf_dir: str) -> pd.DataFrame:
+    """Decile lift curve of the 'is this a purchase?' score (event
+    value) — the model-eval staple beside `auc`: rows tile into exact
+    NTILE(10) groups over the deterministic (value, event_id) order
+    (the `ntile_deciles` fill rule: first n%10 tiles take one extra
+    row — DuckDB's larger-groups-first sizing), per-tile response
+    rate and lift as exact floor-div micro on int64 counts
+    (magnitude bound pos·n·1e6 ≈ 2e16 within int64).  Ranks come from
+    the distributed prefix-offset `global_rank`; per-tile partials
+    fold on the driver at O(tiles)."""
+    from ..stages.relational import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "event_type"])
+
+    def lab(tbl: pa.Table) -> pa.Table:
+        y = (tbl["event_type"].to_numpy(zero_copy_only=False)
+             == "purchase").astype(np.int64)
+        return pa.table({"value": tbl["value"],
+                         "event_id": tbl["event_id"],
+                         "y": pa.array(y)})
+
+    labeled = ds.map_batches(lab, batch_format="pyarrow")
+    ranked = global_rank(labeled, "value", tiebreak=["event_id"],
+                         partitions=16)
+    n = ds.count()
+    k = 10
+    q, rem = divmod(n, k)
+
+    def tile_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf["rnk"].to_numpy() - 1
+        big = rem * (q + 1)
+        tile = np.where(r < big, r // (q + 1) if q + 1 else 0,
+                        rem + (r - big) // q) + 1
+        pdf = pdf.assign(tile=tile.astype(np.int64))
+        return pdf.groupby("tile", as_index=False).agg(
+            n=("y", "size"), pos=("y", "sum"))
+
+    parts = (ranked.map_batches(tile_stats, batch_format="pandas")
+             .to_pandas())
+    df = (parts.groupby("tile", as_index=False)
+          .agg(n=("n", "sum"), pos=("pos", "sum")))
+    P = int(df["pos"].sum())
+    df["rate_micro"] = df["pos"] * 1_000_000 // df["n"]
+    df["lift_micro"] = df["pos"] * n * 1_000_000 // (df["n"] * P)
+    out = df.rename(columns={"n": "n_rows", "pos": "n_pos"})
+    return (out.sort_values("tile").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_holt_linear(sf_dir: str) -> pd.DataFrame:
     """Holt's linear-trend smoothing of daily event volume with DYADIC
     smoothing constants (α = 1/2, β = 1/4) — the level/trend updates
@@ -8740,6 +8864,9 @@ QUERIES = {
     "adamic_adar": q_adamic_adar,
     "ewma": q_ewma,
     "holt_linear": q_holt_linear,
+    "mad_outlier_days": q_mad_outlier_days,
+    "lift_curve": q_lift_curve,
+    "session_durations": q_session_durations,
     "theil_index": q_theil_index,
     "tokenizer_fertility": q_tokenizer_fertility,
     "brand_dense_rank": q_brand_dense_rank,
@@ -10876,6 +11003,56 @@ ORACLES = {
                ON s.u = e0.u AND s.v = e0.v WHERE e0.u IS NULL)
         SELECT u::BIGINT AS u, v::BIGINT AS v, n_common, aa_micro
         FROM ne ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    "session_durations": """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_no
+            FROM (SELECT user_id, event_id, ts,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+                  FROM events)),
+        d AS (SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6
+                  AS dur
+              FROM s GROUP BY user_id, session_no)
+        SELECT count(*)::BIGINT AS n_sessions,
+               round(quantile_cont(dur, 0.5), 6) AS p50_s,
+               round(quantile_cont(dur, 0.9), 6) AS p90_s,
+               round(quantile_cont(dur, 0.99), 6) AS p99_s
+        FROM d
+    """,
+    "mad_outlier_days": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY d),
+        m AS (SELECT quantile_disc(c, 0.5)::BIGINT AS med FROM dc),
+        a AS (SELECT d, c, abs(c - m.med)::BIGINT AS ad FROM dc, m),
+        md AS (SELECT quantile_disc(ad, 0.5)::BIGINT AS mad FROM a)
+        SELECT d::BIGINT AS day, c AS n_events, ad AS abs_dev,
+               (6745 * ad > 35000 * md.mad)::BIGINT AS is_outlier
+        FROM a, md ORDER BY day
+    """,
+    "lift_curve": """
+        WITH e AS (SELECT value, event_id,
+                          (event_type = 'purchase')::BIGINT AS y
+                   FROM events),
+        r AS (SELECT y, ntile(10) OVER (ORDER BY value, event_id)
+                  AS tile FROM e),
+        t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM e)
+        SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n_rows,
+               sum(y)::BIGINT AS n_pos,
+               (sum(y) * 1000000 // count(*))::BIGINT AS rate_micro,
+               (sum(y) * t.n * 1000000 // (count(*) * t.p))::BIGINT
+                   AS lift_micro
+        FROM r, t GROUP BY tile, t.n, t.p ORDER BY tile
     """,
     "holt_linear": """
         WITH RECURSIVE dc AS (

@@ -198,3 +198,34 @@ def test_holt_linear_tracks_constant_series_exactly(ray_session):
         b2 = int(ha((l2 - l[i - 1] + 3 * b[i - 1]) / 4.0))
         assert (l2, b2) == (int(l[i]), int(b[i]))
     assert (out["forecast7_micro"] == l + 7 * b).all()
+
+
+def test_mad_outlier_days_pure_integer_rule(ray_session):
+    """The flag must equal the integer inequality recomputed from the
+    reported abs_dev and the (lower-median) MAD of the day counts."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_mad_outlier_days(SF)
+    c = out["n_events"].to_numpy()
+    med = np.sort(c)[(len(c) - 1) // 2]
+    ad = np.abs(c - med)
+    assert (out["abs_dev"].to_numpy() == ad).all()
+    mad = np.sort(ad)[(len(ad) - 1) // 2]
+    assert (out["is_outlier"].to_numpy()
+            == (6745 * ad > 35000 * mad).astype(np.int64)).all()
+
+
+def test_lift_curve_mass_balance(ray_session):
+    """Tiles partition the rows (NTILE fill rule: first n%10 take one
+    extra), positives sum to the corpus total, and the count-weighted
+    mean lift is 1e6 up to floor-division slack (< 1 micro per tile)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_lift_curve(SF)
+    n = int(out["n_rows"].sum())
+    q, rem = divmod(n, 10)
+    sizes = sorted(out["n_rows"].tolist(), reverse=True)
+    assert sizes == [q + 1] * rem + [q] * (10 - rem)
+    P = int(out["n_pos"].sum())
+    w = (out["lift_micro"] * out["n_rows"] * P).sum()
+    assert 0 <= n * P * 1_000_000 - int(w) < 10 * n * P
