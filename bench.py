@@ -123,7 +123,9 @@ def run_bench() -> dict:
         "lorenz_deciles", "rrf_fusion", "dow_profile", "theil_index",
         "tokenizer_fertility", "brand_dense_rank", "ngram_novelty",
         "decayed_count", "stream_join3", "cusum", "item_cf", "flesch",
-        "adamic_adar", "ewma", "holt_linear")
+        "adamic_adar", "ewma", "holt_linear", "mad_outlier_days",
+        "lift_curve", "session_durations", "peak_concurrency",
+        "winsorized_mean", "clustering_coeff")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

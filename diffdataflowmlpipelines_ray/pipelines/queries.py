@@ -8481,6 +8481,264 @@ def q_session_durations(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Peak number of concurrently open 30-min-gap sessions and the first
+    instant it is reached — the capacity-planning sweep-line: session
+    [start, end] bounds compute in `sessionize`'s hash(user) buckets,
+    each session emits ±1 boundary deltas keyed k = ts_µs·2 + phase
+    (starts phase 0 sort BEFORE ends phase 1, so touching sessions
+    overlap — closed-interval semantics on both twins) which pre-reduce
+    in-bucket, fold through one narrow groupby, and the running
+    concurrency is the inclusive distributed scan (`ordered_prefix_sum`)
+    — the peak and its earliest key fold from O(blocks) partials.  A
+    peak is always attained at a start boundary, so k//2 recovers the
+    exact µs timestamp.  Integers end-to-end."""
+    from ..stages.relational import ordered_prefix_sum, sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"],
+               blocks=8)
+    sess = sessionize(ds, ["user_id"], "ts", gap=1800.0,
+                      order_cols=["event_id"])
+
+    def bounds(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        g = (pd.DataFrame({"u": pdf["user_id"].to_numpy(),
+                           "s": pdf["session_no"].to_numpy(), "t": t})
+             .groupby(["u", "s"])["t"].agg(["min", "max"]))
+        k = np.concatenate([g["min"].to_numpy() * 2,
+                            g["max"].to_numpy() * 2 + 1])
+        d = np.concatenate([np.ones(len(g), dtype=np.int64),
+                            -np.ones(len(g), dtype=np.int64)])
+        out = (pd.DataFrame({"k": k, "d": d})
+               .groupby("k", as_index=False).sum())
+        return out.astype(np.int64)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def add_kb(tbl: pa.Table) -> pa.Table:
+        k = tbl["k"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__kb", pa.array((k % 64).astype(np.int64)))
+
+    # cross-bucket duplicate k (two users' sessions sharing a boundary
+    # µs) merge inside 64 k-hash bucket tasks — a native groupby on the
+    # ~2·sessions key domain measured 11.9 s where this costs ~0.5 s
+    per_k = (sess.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(bounds, batch_format="pandas")
+             .map_batches(add_kb, batch_format="pyarrow")
+             .groupby("__kb")
+             .map_groups(lambda p: p.groupby("k", as_index=False)
+                         .agg(d=("d", "sum")), batch_format="pandas"))
+    run = ordered_prefix_sum(per_k, "k", "d", out_col="run",
+                             exclusive=False)
+
+    def peak_part(tbl: pa.Table) -> pa.Table:
+        if "run" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64()),
+                             "at": pa.array([], pa.int64())})
+        r = tbl["run"].to_numpy(zero_copy_only=False)
+        k = tbl["k"].to_numpy(zero_copy_only=False)
+        m = int(r.max())
+        return pa.table({"mx": pa.array([m], pa.int64()),
+                         "at": pa.array([int(k[r == m].min())],
+                                        pa.int64())})
+
+    parts = run.map_batches(peak_part, batch_size=None,
+                            batch_format="pyarrow").take_all()
+    peak = max(int(p["mx"]) for p in parts)
+    at = min(int(p["at"]) for p in parts if int(p["mx"]) == peak)
+    return pd.DataFrame({"peak": pd.Series([peak], dtype=np.int64),
+                         "at_us": pd.Series([at // 2], dtype=np.int64)})
+
+
+def q_winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """5/95 winsorized mean of l_extendedprice — the clamp-the-tails
+    robust mean beside `trimmed_mean`'s drop-the-tails: the clamp bounds
+    are the exact ``quantile_disc`` order statistics (sorted index
+    ⌈q·n⌉−1, the convention verified against DuckDB), located on the
+    distinct-value grid by the integer inequality before < ⌈q·n⌉ ≤
+    before+cnt, and the winsorized sum rebuilds from the trimmed-tail
+    algebra: Σv − Σ(lowest i_lo values) + i_lo·lo − Σ(highest n−1−i_hi
+    values) + (n−1−i_hi)·hi, all exact int64 cents, floor-div micro
+    mean.  Same size-aware tiering as `trimmed_mean`: driver merge of
+    the block-local (value, count) partials under the row bound, the
+    groupby + distributed-scan exchange past it."""
+    from ..stages.relational import ordered_prefix_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(tbl["l_extendedprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0).astype(
+            np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(v),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def finish(n, tot, lo_v, hi_v, low_sum, high_sum, i_lo, n_hi):
+        wins = tot - low_sum + i_lo * lo_v - high_sum + n_hi * hi_v
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype=np.int64),
+            "lo_cents": pd.Series([lo_v], dtype=np.int64),
+            "hi_cents": pd.Series([hi_v], dtype=np.int64),
+            "wins_sum_cents": pd.Series([wins], dtype=np.int64),
+            "mean_micro": pd.Series([wins * 1_000_000 // n],
+                                    dtype=np.int64),
+        })
+
+    partials = (ds.map_batches(prep, batch_format="pyarrow")
+                .materialize())
+    if partials.count() <= _TRIM_DRIVER_MAX_ROWS:
+        tbl = pa.concat_tables(
+            list(partials.iter_batches(batch_format="pyarrow")))
+        pv = tbl["v"].to_numpy(zero_copy_only=False)
+        pcnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pv, kind="mergesort")
+        pv, pcnt = pv[order], pcnt[order]
+        uv, starts = np.unique(pv, return_index=True)
+        cs = np.cumsum(pcnt)
+        seg_end = np.append(starts[1:], len(pv))
+        cnt = np.diff(np.concatenate([[0], cs[seg_end - 1]]))
+        before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        n = int(cnt.sum())
+        tot = int((uv * cnt).sum())
+        i_lo = -(-5 * n // 100) - 1          # ceil(0.05n) − 1
+        i_hi = -(-95 * n // 100) - 1         # ceil(0.95n) − 1
+        n_hi = n - 1 - i_hi
+        cum = before + cnt
+        lo_v = int(uv[np.searchsorted(cum, i_lo + 1)])
+        hi_v = int(uv[np.searchsorted(cum, i_hi + 1)])
+        low_sum = int((uv * np.clip(i_lo - before, 0, cnt)).sum())
+        high_sum = int((uv * np.clip(cum - (n - n_hi), 0, cnt)).sum())
+        return finish(n, tot, lo_v, hi_v, low_sum, high_sum, i_lo, n_hi)
+
+    per_v = (partials.groupby("v").sum("cnt")
+             .map_batches(lambda t: t.rename_columns(["v", "cnt"]),
+                          batch_format="pyarrow"))
+    scanned = ordered_prefix_sum(per_v, "v", "cnt", out_col="before",
+                                 exclusive=True).materialize()
+
+    def totals(tbl: pa.Table) -> pa.Table:
+        if "v" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "s": pa.array([0], type=pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(c.sum())], type=pa.int64()),
+                         "s": pa.array([int((v * c).sum())],
+                                       type=pa.int64())})
+
+    n = tot = 0
+    for r in scanned.map_batches(totals, batch_size=None,
+                                 batch_format="pyarrow").take_all():
+        n += int(r["n"])
+        tot += int(r["s"])
+    i_lo = -(-5 * n // 100) - 1
+    i_hi = -(-95 * n // 100) - 1
+    n_hi = n - 1 - i_hi
+
+    def tails(tbl: pa.Table) -> pa.Table:
+        empty = ("v" not in tbl.column_names or tbl.num_rows == 0)
+        if empty:
+            z = pa.array([0], type=pa.int64())
+            return pa.table({"lo_s": z, "hi_s": z,
+                             "lo_v": pa.array([-1], pa.int64()),
+                             "hi_v": pa.array([-1], pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        b = tbl["before"].to_numpy(zero_copy_only=False)
+        cum = b + c
+        lo_hit = (b <= i_lo) & (i_lo < cum)
+        hi_hit = (b <= i_hi) & (i_hi < cum)
+        return pa.table({
+            "lo_s": pa.array([int((v * np.clip(i_lo - b, 0, c)).sum())],
+                             pa.int64()),
+            "hi_s": pa.array(
+                [int((v * np.clip(cum - (n - n_hi), 0, c)).sum())],
+                pa.int64()),
+            "lo_v": pa.array([int(v[lo_hit][0]) if lo_hit.any()
+                              else -1], pa.int64()),
+            "hi_v": pa.array([int(v[hi_hit][0]) if hi_hit.any()
+                              else -1], pa.int64()),
+        })
+
+    low_sum = high_sum = 0
+    lo_v = hi_v = -1
+    for r in scanned.map_batches(tails, batch_size=None,
+                                 batch_format="pyarrow").take_all():
+        low_sum += int(r["lo_s"])
+        high_sum += int(r["hi_s"])
+        lo_v = max(lo_v, int(r["lo_v"]))
+        hi_v = max(hi_v, int(r["hi_v"]))
+    return finish(n, tot, lo_v, hi_v, low_sum, high_sum, i_lo, n_hi)
+
+
+def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient 3·T / W of the orders-derived graph
+    (`triangle_count`'s deterministic edge set): triangles from the
+    degree-oriented node-iterator, wedges W = Σ deg·(deg−1)/2 from one
+    narrow degree groupby over block-pre-reduced endpoint counts — the
+    edge Dataset materializes ONCE and feeds both passes.  The
+    coefficient reports as exact floor-div micro (3T·10⁶ // W;
+    magnitude 3T·10⁶ ≲ 3e13 at sf0.1, within int64)."""
+    from ..stages.iterate import triangle_count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("__b", pa.array((u % 64).astype(np.int64)))
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]], batch_format="pandas")
+             .materialize())
+    tri = triangle_count(edges)
+
+    def deg_part(tbl: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False)])
+        v, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def wedge_part(tbl: pa.Table) -> pa.Table:
+        if "sum(c)" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({"w": pa.array([0], pa.int64())})
+        d = tbl["sum(c)"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wedges = sum(int(r["w"]) for r in (
+        edges.map_batches(deg_part, batch_format="pyarrow")
+        .groupby("node").sum("c")
+        .map_batches(wedge_part, batch_size=None,
+                     batch_format="pyarrow").take_all()))
+    return pd.DataFrame({
+        "n_triangles": pd.Series([tri], dtype=np.int64),
+        "n_wedges": pd.Series([wedges], dtype=np.int64),
+        "coeff_micro": pd.Series([3 * tri * 1_000_000 // wedges],
+                                 dtype=np.int64),
+    })
+
+
 def q_mad_outlier_days(sf_dir: str) -> pd.DataFrame:
     """Robust (MAD-based) daily-volume outliers — the heavy-tail-safe
     sibling of `anomaly_days`: the modified z-score test
@@ -8867,6 +9125,9 @@ QUERIES = {
     "mad_outlier_days": q_mad_outlier_days,
     "lift_curve": q_lift_curve,
     "session_durations": q_session_durations,
+    "peak_concurrency": q_peak_concurrency,
+    "winsorized_mean": q_winsorized_mean,
+    "clustering_coeff": q_clustering_coeff,
     "theil_index": q_theil_index,
     "tokenizer_fertility": q_tokenizer_fertility,
     "brand_dense_rank": q_brand_dense_rank,
@@ -11028,6 +11289,66 @@ ORACLES = {
                round(quantile_cont(dur, 0.9), 6) AS p90_s,
                round(quantile_cont(dur, 0.99), 6) AS p99_s
         FROM d
+    """,
+    "peak_concurrency": """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_no
+            FROM (SELECT user_id, event_id, ts,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+                  FROM events)),
+        b AS (SELECT user_id, session_no,
+                     min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+              FROM s GROUP BY user_id, session_no),
+        ev AS (SELECT st * 2 AS k, 1 AS d FROM b
+               UNION ALL SELECT en * 2 + 1 AS k, -1 AS d FROM b),
+        g AS (SELECT k, sum(d)::BIGINT AS d FROM ev GROUP BY k),
+        r AS (SELECT k, sum(d) OVER (ORDER BY k
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS run FROM g),
+        p AS (SELECT max(run)::BIGINT AS peak FROM r)
+        SELECT p.peak AS peak,
+               (min(r.k) FILTER (WHERE r.run = p.peak) // 2)::BIGINT
+                   AS at_us
+        FROM r, p GROUP BY p.peak
+    """,
+    "winsorized_mean": """
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS v FROM lineitem),
+        b AS (SELECT quantile_disc(v, 0.05)::BIGINT AS lo,
+                     quantile_disc(v, 0.95)::BIGINT AS hi FROM c)
+        SELECT count(*)::BIGINT AS n, b.lo AS lo_cents,
+               b.hi AS hi_cents,
+               sum(greatest(b.lo, least(b.hi, v)))::BIGINT
+                   AS wins_sum_cents,
+               (sum(greatest(b.lo, least(b.hi, v))) * 1000000
+                    // count(*))::BIGINT AS mean_micro
+        FROM c, b GROUP BY b.lo, b.hi
+    """,
+    "clustering_coeff": """
+        WITH edges AS (
+            SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS u,
+                            greatest(o_custkey, o_orderkey % 1500) AS v
+            FROM orders WHERE o_custkey <> o_orderkey % 1500),
+        t AS (SELECT count(*)::BIGINT AS tri
+              FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+                            JOIN edges e3 ON e3.u = e1.u
+                                         AND e3.v = e2.v),
+        d AS (SELECT node, count(*)::BIGINT AS deg
+              FROM (SELECT u AS node FROM edges
+                    UNION ALL SELECT v FROM edges) GROUP BY node),
+        w AS (SELECT sum(deg * (deg - 1) // 2)::BIGINT AS wedges FROM d)
+        SELECT t.tri AS n_triangles, w.wedges AS n_wedges,
+               (3 * t.tri * 1000000 // w.wedges)::BIGINT AS coeff_micro
+        FROM t, w
     """,
     "mad_outlier_days": """
         WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,

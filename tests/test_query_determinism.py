@@ -229,3 +229,84 @@ def test_lift_curve_mass_balance(ray_session):
     P = int(out["n_pos"].sum())
     w = (out["lift_micro"] * out["n_rows"] * P).sum()
     assert 0 <= n * P * 1_000_000 - int(w) < 10 * n * P
+
+
+def test_peak_concurrency_matches_pandas_sweep_line(ray_session):
+    """Peak and first-attainment instant must equal an independent pandas
+    sweep over the same 30-min-gap sessionization (closed intervals:
+    starts sort before ends at equal µs)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_peak_concurrency(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new = np.ones(len(ev), dtype=np.int64)
+    same_user = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    new[1:] = np.where(same_user & (t[1:] - t[:-1] <= 1_800_000_000), 0, 1)
+    sess = np.cumsum(new)
+    g = pd.DataFrame({"s": sess, "t": t}).groupby("s")["t"].agg(
+        ["min", "max"])
+    k = np.concatenate([g["min"].to_numpy() * 2,
+                        g["max"].to_numpy() * 2 + 1])
+    d = np.concatenate([np.ones(len(g), dtype=np.int64),
+                        -np.ones(len(g), dtype=np.int64)])
+    o = np.argsort(k, kind="mergesort")
+    run = np.cumsum(d[o])
+    peak = int(run.max())
+    at = int(k[o][run == peak].min()) // 2
+    assert int(out["peak"].iloc[0]) == peak
+    assert int(out["at_us"].iloc[0]) == at
+
+
+def test_winsorized_mean_matches_numpy_clamp(ray_session):
+    """Winsorized sum must equal the direct numpy clamp at the exact
+    quantile_disc order statistics (index ceil(q·n)−1)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_winsorized_mean(SF)
+    x = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_extendedprice"])["l_extendedprice"]
+    cents = np.sort(_half_away(
+        x.to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+    ).astype(np.int64))
+    n = len(cents)
+    lo = int(cents[-(-5 * n // 100) - 1])
+    hi = int(cents[-(-95 * n // 100) - 1])
+    wins = int(np.clip(cents, lo, hi).sum())
+    assert (int(out["n"].iloc[0]), int(out["lo_cents"].iloc[0]),
+            int(out["hi_cents"].iloc[0])) == (n, lo, hi)
+    assert int(out["wins_sum_cents"].iloc[0]) == wins
+    assert int(out["mean_micro"].iloc[0]) == wins * 1_000_000 // n
+
+
+def test_clustering_coeff_matches_pandas_triads(ray_session):
+    """Triangles, wedges and the micro coefficient must match a pandas
+    merge-based triad census of the same deterministic edge set."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_clustering_coeff(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_custkey", "o_orderkey"]).to_pandas()
+    a = o["o_custkey"].to_numpy()
+    b = o["o_orderkey"].to_numpy() % 1500
+    keep = a != b
+    e = (pd.DataFrame({"u": np.minimum(a[keep], b[keep]),
+                       "v": np.maximum(a[keep], b[keep])})
+         .drop_duplicates())
+    w1 = e.merge(e, left_on="v", right_on="u", suffixes=("1", "2"))
+    tri = len(w1.merge(e, left_on=["u1", "v2"], right_on=["u", "v"]))
+    deg = pd.concat([e["u"], e["v"]]).value_counts().to_numpy()
+    wedges = int((deg * (deg - 1) // 2).sum())
+    assert int(out["n_triangles"].iloc[0]) == tri
+    assert int(out["n_wedges"].iloc[0]) == wedges
+    assert int(out["coeff_micro"].iloc[0]) == 3 * tri * 1_000_000 // wedges
+    assert 0 <= int(out["coeff_micro"].iloc[0]) <= 1_000_000
