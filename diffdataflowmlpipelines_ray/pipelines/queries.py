@@ -51,6 +51,7 @@ from ..stages.multi_column import MultiColumnEncoder
 from ..stages.similarity import brute_force_topk, ivf_topk
 from ..stages.text_stats import add_lang_id, add_text_stats
 from ..streaming.engine import (
+    AsofStreamJoin,
     KeyedAggregation,
     PatternMatch,
     SessionWindowAggregation,
@@ -1063,6 +1064,57 @@ def q_stream_join(sf_dir: str) -> pd.DataFrame:
         sess.store.shutdown()
     df = df.drop(columns=["epoch", "diff"])  # insert-only stream → all +1
     return _round(df, ["o_totalprice", "l_extendedprice"])
+
+
+def q_stream_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Incremental AS-OF attribution — each purchase attributed to the
+    latest click at or before it (`AsofStreamJoin`), with the click stream
+    fed ASCENDING over four epochs AFTER all purchases: every purchase's
+    match improves repeatedly, so the query exercises the differential
+    retract-and-re-emit path maximally, and the final accumulated multiset
+    (Σdiff per pair, kept where > 0) must equal DuckDB's batch ``ASOF
+    JOIN`` exactly.  Epochs are Datasets → the distributed path (per-block
+    key-hash partition, one groupby(shard) shuffle, worker-written sink
+    parts).  Right-side (user, ts) pairs dedup to max event_id on both
+    twins (the uniqueness contract)."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts", "value"])
+    et = ev["event_type"].to_numpy(zero_copy_only=False)
+    pur = ev.filter(pa.array(et == "purchase"))
+    clk = ev.filter(pa.array(et == "click"))
+    left = pa.table({
+        "user_id": pur["user_id"],
+        "p_id": pur["event_id"],
+        "p_cents": pa.array(_half_away(
+            pur["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0).astype(np.int64)),
+        "ts": pur["ts"],
+    })
+    cdf = (clk.select(["user_id", "ts", "event_id"]).to_pandas()
+           .groupby(["user_id", "ts"], as_index=False)
+           .agg(c_id=("event_id", "max"))
+           .sort_values("ts", kind="mergesort"))
+    right = pa.Table.from_pandas(cdf, preserve_index=False)
+
+    sess = StreamSession(_tmp("asof"), num_shards=4)
+    sess.add(AsofStreamJoin(name="aj", left_input="P", right_input="C",
+                            left_key=["user_id"], right_key=["user_id"],
+                            left_cols=["p_id", "p_cents"],
+                            right_cols=["c_id"],
+                            left_ts="ts", right_ts="ts"))
+    try:
+        sess.process_epoch(0, {"P": rd.from_arrow(left)})
+        cp = _epoch_split(right, 4)
+        for e in range(4):
+            sess.process_epoch(e + 1, {"C": rd.from_arrow(cp[e])})
+        df = sess.sinks["aj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    acc = (df.groupby(["user_id", "p_id", "p_cents", "c_id"],
+                      as_index=False)["diff"].sum())
+    acc = acc[acc["diff"] > 0].drop(columns=["diff"])
+    return (acc.sort_values("p_id").reset_index(drop=True)
+            .astype(np.int64))
 
 
 def q_stream_join3(sf_dir: str) -> pd.DataFrame:
@@ -9126,6 +9178,7 @@ QUERIES = {
     "lift_curve": q_lift_curve,
     "session_durations": q_session_durations,
     "peak_concurrency": q_peak_concurrency,
+    "stream_asof_join": q_stream_asof_join,
     "winsorized_mean": q_winsorized_mean,
     "clustering_coeff": q_clustering_coeff,
     "theil_index": q_theil_index,
@@ -11289,6 +11342,19 @@ ORACLES = {
                round(quantile_cont(dur, 0.9), 6) AS p90_s,
                round(quantile_cont(dur, 0.99), 6) AS p99_s
         FROM d
+    """,
+    "stream_asof_join": """
+        WITH c AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, ts),
+        p AS (SELECT user_id, event_id AS p_id,
+                     CAST(round(value * 100) AS BIGINT) AS p_cents, ts
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id::BIGINT AS user_id, p_id::BIGINT AS p_id,
+               p_cents, c_id
+        FROM p ASOF JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p_id
     """,
     "peak_concurrency": """
         WITH s AS (

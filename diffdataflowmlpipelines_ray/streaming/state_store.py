@@ -90,6 +90,10 @@ class StateShard:
         # per-join-name monotone left-row id counter (outer-join tracking)
         self._join_lid: dict[str, int] = {}
         self._join_rid: dict[str, int] = {}
+        # as-of join buffers: name -> {"left": df, "right": df, lk, rk}
+        # left carries __match_ts (ts of its current right version, NaN if
+        # unmatched); right is the per-key version history
+        self.asof: dict[str, dict[str, Any]] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
         # streaming near-dup: name -> band-bucket -> [(doc_id, sig bytes)]
@@ -1135,6 +1139,160 @@ class StateShard:
         return dropped
 
     # ------------------------------------------------------------ checkpoint
+    def asof_insert_probe(self, name: str, epoch: int,
+                          payload: bytes) -> bytes:
+        """Incremental AS-OF join step for this shard — the differential
+        temporal join: each left row is matched to the LATEST right version
+        with ``ts ≤ left_ts`` over the rows that have ARRIVED, and a
+        later-arriving better version (still ≤ left_ts) retracts the old
+        pair (diff −1) and emits the new one (diff +1) — the accumulated
+        multiset always equals the batch ASOF JOIN of every arrived row.
+
+        payload = pickled dict: ``left``/``right`` pandas frames (key cols +
+        output cols + ``__ts_left``/``__ts_right``), ``key`` (same column
+        names both sides — the AsofStreamJoin contract), ``out_names``.
+        Fully vectorized: ``pd.merge_asof`` per epoch for match and
+        re-match, one hash merge for retraction value lookup.  Right-side
+        (key, ts) pairs must be unique; a replayed duplicate deduplicates
+        last-wins.  Insert-only (append streams) — retraction inputs
+        raise."""
+        import pandas as pd
+
+        sides = pickle.loads(payload)
+        lk = list(sides["key"])
+        out_names = list(sides["out_names"])
+        right_cols = list(sides["right_cols"])
+        if self._seen(f"asof:{name}", epoch):
+            return _dumps(None)
+        buf = self.asof.setdefault(name, {"left": None, "right": None})
+        buf["lk"] = buf["rk"] = lk
+        nl, nr = sides.get("left"), sides.get("right")
+        for side, df in (("left", nl), ("right", nr)):
+            dc = f"__diff_{side}"
+            if df is not None and dc in df.columns:
+                if (df[dc] != 1).any():
+                    raise ValueError(
+                        "AsofStreamJoin is insert-only (append streams); "
+                        "retraction inputs are unsupported")
+                df.drop(columns=[dc], inplace=True)
+        outs: list[pd.DataFrame] = []
+
+        def emit(df: pd.DataFrame, sign: int) -> None:
+            out = df[out_names].copy()
+            out["diff"] = np.int64(sign)
+            outs.append(out)
+
+        old = buf["left"]
+        right_all = buf["right"]
+        if nr is not None and len(nr):
+            nr = nr.reset_index(drop=True)
+            # re-match buffered lefts against the NEW versions only: a left
+            # improves iff some new version lands in (match_ts, left_ts]
+            if old is not None and len(old):
+                nrs = nr.sort_values("__ts_right", kind="mergesort",
+                                     ignore_index=True)
+                olds = old.assign(__row=np.arange(len(old))).sort_values(
+                    "__ts_left", kind="mergesort", ignore_index=True)
+                best = pd.merge_asof(
+                    olds, nrs, left_on="__ts_left", right_on="__ts_right",
+                    by=lk, suffixes=("", "__r"))
+                imp = best["__ts_right"].notna() & (
+                    olds["__match_ts"].isna()
+                    | (best["__ts_right"] > olds["__match_ts"]))
+                if imp.any():
+                    hit = best[imp.to_numpy()]
+                    had = hit[hit["__match_ts"].notna()]
+                    if len(had):
+                        # old pair's right values: the matched version row
+                        # still lives in the buffer (expiry keeps any
+                        # version that is some live left's current match).
+                        # Strip the NEW version's right columns first so
+                        # the lookup's OLD values are the ones emitted.
+                        lookup = right_all[
+                            lk + right_cols + ["__ts_right"]
+                        ].rename(columns={"__ts_right": "__match_ts"})
+                        left_part = had.drop(
+                            columns=[c for c in had.columns
+                                     if c in right_cols
+                                     or c.endswith("__r")
+                                     or c == "__ts_right"])
+                        prev = left_part.merge(lookup,
+                                               on=lk + ["__match_ts"])
+                        emit(prev, -1)
+                    emit(hit, +1)
+                    old = old.copy()
+                    rows = hit["__row"].to_numpy()
+                    old.iloc[
+                        rows, old.columns.get_loc("__match_ts")
+                    ] = hit["__ts_right"].to_numpy()
+                    buf["left"] = old
+            right_all = (nr if right_all is None
+                         else pd.concat([right_all, nr],
+                                        ignore_index=True))
+            right_all = (right_all
+                         .sort_values("__ts_right", kind="mergesort",
+                                      ignore_index=True)
+                         .drop_duplicates(subset=lk + ["__ts_right"],
+                                          keep="last", ignore_index=True))
+            buf["right"] = right_all
+
+        if nl is not None and len(nl):
+            nl = nl.reset_index(drop=True)
+            nl["__match_ts"] = np.nan
+            if right_all is not None and len(right_all):
+                nls = nl.assign(__row=np.arange(len(nl))).sort_values(
+                    "__ts_left", kind="mergesort", ignore_index=True)
+                m = pd.merge_asof(
+                    nls, right_all, left_on="__ts_left",
+                    right_on="__ts_right", by=lk, suffixes=("", "__r"))
+                got = m["__ts_right"].notna()
+                if got.any():
+                    hit = m[got.to_numpy()]
+                    emit(hit, +1)
+                    nl.iloc[
+                        hit["__row"].to_numpy(),
+                        nl.columns.get_loc("__match_ts")
+                    ] = hit["__ts_right"].to_numpy()
+            buf["left"] = (nl if buf["left"] is None
+                           else pd.concat([buf["left"], nl],
+                                          ignore_index=True))
+        if not outs:
+            return _dumps(None)
+        return _dumps(pd.concat(outs, ignore_index=True))
+
+    def asof_expire(self, name: str, before: float) -> int:
+        """Bound as-of state by event time: drop left rows below the
+        horizon (their match is final — the sink holds it), and COMPACT
+        the right version history (the TemporalEnrichJoin rule): a version
+        below the horizon drops only when a NEWER version at/below the
+        horizon supersedes it, so the latest-at-horizon version stays
+        probe-able and every surviving left's current match survives
+        (lefts keep ts ≥ horizon after their own sweep, and their match is
+        the newest version ≤ their ts)."""
+        import pandas as pd
+
+        buf = self.asof.get(name)
+        if buf is None:
+            return 0
+        dropped = 0
+        L = buf.get("left")
+        if L is not None and len(L):
+            kept = L[L["__ts_left"] >= before]
+            dropped += len(L) - len(kept)
+            buf["left"] = (kept.reset_index(drop=True) if len(kept)
+                           else None)
+        R = buf.get("right")
+        if R is not None and len(R):
+            below = (R["__ts_right"] < before).to_numpy()
+            if below.any():
+                latest_below = R[below].groupby(
+                    buf["rk"], sort=False).tail(1)
+                kept = pd.concat([latest_below, R[~below]]).sort_values(
+                    "__ts_right", kind="mergesort", ignore_index=True)
+                dropped += len(R) - len(kept)
+                buf["right"] = kept if len(kept) else None
+        return dropped
+
     def dump(self) -> bytes:
         return _dumps(
             {
@@ -1144,6 +1302,7 @@ class StateShard:
                 "session_points": self.session_points,
                 "session_early": self.session_early,
                 "joins": self.joins,
+                "asof": self.asof,
                 "join_lid": self._join_lid,
                 "join_rid": self._join_rid,
                 "patterns": self.patterns,
@@ -1163,6 +1322,7 @@ class StateShard:
         self.session_early = st.get("session_early", {})
         self._session_touched = {}
         self.joins = st["joins"]
+        self.asof = st.get("asof", {})
         self._join_lid = st.get("join_lid", {})
         self._join_rid = st.get("join_rid", {})
         for jn, sides in self.joins.items():  # pre-lid snapshots: resume the
@@ -1202,6 +1362,11 @@ class StateShard:
                 n: {s: len(sides[s]) for s in ("left", "right")
                     if sides.get(s) is not None}
                 for n, sides in self.joins.items()
+            },
+            "asof_keys": {
+                n: {s: len(sides[s]) for s in ("left", "right")
+                    if sides.get(s) is not None}
+                for n, sides in self.asof.items()
             },
         }
 
@@ -1581,6 +1746,28 @@ class ShardedStateStore:
     def join_expire(self, name: str, expire_before: float) -> int:
         return sum(ray.get([s.join_expire.remote(name, expire_before) for s in self.shards]))
 
+    def asof_insert_probe(self, name: str, epoch: int,
+                          per_shard: dict[int, dict]) -> list:
+        """per_shard: sid → {"left"/"right": DataFrame|None, "key": [...],
+        "out_names": [...], "right_cols": [...]} → emission DataFrames
+        (output cols + ``diff``)."""
+        self.fence()
+        refs = [
+            self.shards[sid].asof_insert_probe.remote(
+                name, epoch, _dumps(payload))
+            for sid, payload in sorted(per_shard.items())
+        ]
+        out = []
+        for b in ray.get(refs):
+            df = pickle.loads(b)
+            if df is not None and len(df):
+                out.append(df)
+        return out
+
+    def asof_expire(self, name: str, before: float) -> int:
+        return sum(ray.get([s.asof_expire.remote(name, before)
+                            for s in self.shards]))
+
     def sweep_join_unmatched(self, name: str, bound: float,
                              side: str = "left") -> list:
         """Finalized never-matched rows of ``side`` from every shard."""
@@ -1661,7 +1848,8 @@ def rescale_blobs(blobs: dict[int, bytes], new_num_shards: int) -> dict[int, byt
         {
             "shard_id": i,
             "aggs": {}, "sessions": {}, "session_points": {},
-            "session_early": {}, "joins": {}, "join_lid": {},
+            "session_early": {}, "joins": {}, "asof": {},
+            "join_lid": {},
             "join_rid": {}, "patterns": {}, "neardup": {},
             "neardup_drops": {}, "pane_bounds": {}, "graphs": {},
             "applied": {},
@@ -1698,6 +1886,38 @@ def rescale_blobs(blobs: dict[int, bytes], new_num_shards: int) -> dict[int, byt
         o["pane_bounds"] = dict(panes)
     for t, v in drops.items():
         out[shard_of(t.encode(), m)]["neardup_drops"][t] = v
+
+    # as-of buffers: same row re-split rule as joins (hash of key cols);
+    # no id counters — the buffers carry only __ts/__match_ts metadata
+    for st in states:
+        for name, buf in (st.get("asof") or {}).items():
+            keys = buf.get("lk")
+            for side in ("left", "right"):
+                df = buf.get(side)
+                if df is None or not len(df):
+                    continue
+                if not keys:
+                    raise ValueError(
+                        f"cannot rescale asof join '{name}': checkpoint "
+                        "is missing its key columns")
+                h = pd.util.hash_pandas_object(
+                    df[list(keys)], index=False).to_numpy()
+                sid = (h % np.uint64(m)).astype(np.int64)
+                for s in np.unique(sid):
+                    tbuf = out[int(s)]["asof"].setdefault(
+                        name, {"left": None, "right": None,
+                               "lk": keys, "rk": keys})
+                    part = df[sid == s]
+                    tbuf[side] = (part.reset_index(drop=True)
+                                  if tbuf[side] is None
+                                  else pd.concat([tbuf[side], part],
+                                                 ignore_index=True))
+    for o in out:
+        for name, buf in o["asof"].items():
+            R = buf.get("right")
+            if R is not None and len(R):
+                buf["right"] = R.sort_values(
+                    "__ts_right", kind="mergesort", ignore_index=True)
 
     # join buffers: re-split rows by the shard_payloads hash rule
     for st in states:

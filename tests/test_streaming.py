@@ -5434,3 +5434,205 @@ def test_session_route_late_equivalence(ray_session, tmp_path):
     a = bare_out[key].sort_values(key).reset_index(drop=True)
     b = routed_out[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestAsofStreamJoin:
+    """Incremental AS-OF join: accumulated multiset == batch ASOF JOIN at
+    every prefix, differential repair on late better versions, insert-only
+    contract, retention compaction, checkpoint-resume with rescale."""
+
+    def _op(self, retention=None):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            AsofStreamJoin,
+        )
+
+        return AsofStreamJoin(
+            name="aj", left_input="L", right_input="R",
+            left_key=["k"], right_key=["k"],
+            left_cols=["lid"], right_cols=["rid", "rv"],
+            left_ts="lts", right_ts="rts", retention=retention)
+
+    @staticmethod
+    def _L(rows):
+        k, lid, lts = zip(*rows) if rows else ((), (), ())
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "lid": pa.array(lid, pa.int64()),
+                         "lts": pa.array(lts, pa.float64())})
+
+    @staticmethod
+    def _R(rows):
+        k, rid, rv, rts = zip(*rows) if rows else ((), (), (), ())
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "rid": pa.array(rid, pa.int64()),
+                         "rv": pa.array(rv, pa.int64()),
+                         "rts": pa.array(rts, pa.float64())})
+
+    @staticmethod
+    def _acc(sess):
+        df = sess.sinks["aj"].read_committed_table().to_pandas()
+        acc = (df.groupby(["k", "lid", "rid", "rv"], as_index=False)
+               ["diff"].sum())
+        return (acc[acc["diff"] != 0]
+                .sort_values(["k", "lid"]).reset_index(drop=True))
+
+    def test_accumulated_equals_batch_asof_any_interleaving(
+            self, ray_session, tmp_path):
+        rng = np.random.default_rng(7)
+        n_l, n_r = 120, 90
+        lk = rng.integers(0, 8, n_l)
+        lts = rng.uniform(0, 100, n_l)
+        rk = rng.integers(0, 8, n_r)
+        # unique (k, ts) on the right by construction
+        rts = np.round(rng.choice(np.arange(0, 10000), n_r,
+                                  replace=False) / 100.0, 2)
+        L = pd.DataFrame({"k": lk, "lid": np.arange(n_l), "lts": lts})
+        R = pd.DataFrame({"k": rk, "rid": np.arange(n_r) + 1000,
+                          "rv": rng.integers(0, 50, n_r), "rts": rts})
+        sess = StreamSession(tmp_path / "a1", num_shards=3)
+        sess.add(self._op())
+        # adversarial interleave: shuffled rows, 6 epochs, sides mixed
+        lp = L.sample(frac=1, random_state=1).reset_index(drop=True)
+        rp = R.sample(frac=1, random_state=2).reset_index(drop=True)
+        for e in range(6):
+            sess.process_epoch(e, {
+                "L": pa.Table.from_pandas(lp.iloc[e * 20:(e + 1) * 20],
+                                          preserve_index=False),
+                "R": pa.Table.from_pandas(rp.iloc[e * 15:(e + 1) * 15],
+                                          preserve_index=False)})
+        got = self._acc(sess)
+        sess.store.shutdown()
+        exp = pd.merge_asof(
+            L.sort_values("lts"), R.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k")
+        exp = exp[exp["rts"].notna()][["k", "lid", "rid", "rv"]]
+        exp = exp.astype(np.int64).sort_values(["k", "lid"]).reset_index(
+            drop=True)
+        assert (got["diff"] == 1).all()
+        pd.testing.assert_frame_equal(
+            got.drop(columns=["diff"]), exp, check_dtype=False)
+
+    def test_late_better_version_retracts_exactly(self, ray_session,
+                                                  tmp_path):
+        sess = StreamSession(tmp_path / "a2", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0)]),
+                               "R": self._R([(1, 200, 5, 2.0)])})
+        e0 = sess.sinks["aj"].read_committed_table([0]).to_pandas()
+        assert len(e0) == 1 and int(e0["diff"].iloc[0]) == 1
+        assert int(e0["rid"].iloc[0]) == 200
+        # better version inside (2.0, 10.0] -> -1 old pair, +1 new pair
+        sess.process_epoch(1, {"R": self._R([(1, 201, 9, 7.0)])})
+        e1 = (sess.sinks["aj"].read_committed_table([1]).to_pandas()
+              .sort_values("diff").reset_index(drop=True))
+        assert e1["diff"].tolist() == [-1, 1]
+        assert e1.loc[0, "rid"] == 200 and e1.loc[0, "rv"] == 5
+        assert e1.loc[1, "rid"] == 201 and e1.loc[1, "rv"] == 9
+        # an OLDER version (worse) and a FUTURE version (> lts): no emit
+        sess.process_epoch(2, {"R": self._R([(1, 202, 1, 1.0),
+                                             (1, 203, 99, 50.0)])})
+        assert sess.sinks["aj"].read_committed_table([2]).num_rows == 0
+        sess.store.shutdown()
+
+    def test_validation_and_insert_only(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            AsofStreamJoin,
+        )
+
+        with pytest.raises(ValueError, match="left_ts"):
+            AsofStreamJoin(name="x", left_input="L", right_input="R",
+                           left_key=["k"], right_key=["k"],
+                           left_cols=[], right_cols=[])
+        with pytest.raises(ValueError, match="identical key"):
+            AsofStreamJoin(name="x", left_input="L", right_input="R",
+                           left_key=["a"], right_key=["b"],
+                           left_cols=[], right_cols=[],
+                           left_ts="t", right_ts="t")
+        with pytest.raises(ValueError, match="max_dt"):
+            AsofStreamJoin(name="x", left_input="L", right_input="R",
+                           left_key=["k"], right_key=["k"],
+                           left_cols=[], right_cols=[],
+                           left_ts="t", right_ts="t", max_dt=5.0)
+        sess = StreamSession(tmp_path / "a3", num_shards=2)
+        sess.add(self._op())
+        bad = self._L([(1, 100, 10.0)]).append_column(
+            "diff", pa.array([-1], pa.int64()))
+        with pytest.raises(Exception, match="insert-only"):
+            sess.process_epoch(0, {"L": bad})
+        sess.store.shutdown()
+
+    def test_retention_compacts_history_keeps_latest(self, ray_session,
+                                                     tmp_path):
+        sess = StreamSession(tmp_path / "a4", num_shards=2)
+        sess.add(self._op(retention=10.0))
+        sess.process_epoch(0, {"R": self._R([(1, 200, 5, 1.0),
+                                             (1, 201, 6, 3.0)])},
+                           watermark=20.0)  # horizon 10: both below
+        # rid 200 superseded by 201 at/below horizon -> compacted away;
+        # 201 (latest-at-horizon) must still match a future left
+        st = sess.store.stats()
+        rlens = [s["asof_keys"].get("aj", {}).get("right", 0) for s in st]
+        assert sum(rlens) == 1
+        sess.process_epoch(1, {"L": self._L([(1, 100, 15.0)])})
+        e1 = sess.sinks["aj"].read_committed_table([1]).to_pandas()
+        assert e1["rid"].tolist() == [201]
+        # expired left: a late better version must NOT retract its pair
+        sess.process_epoch(2, {}, watermark=40.0)  # horizon 30 > lts 15
+        sess.process_epoch(3, {"R": self._R([(1, 202, 7, 14.0)])})
+        assert sess.sinks["aj"].read_committed_table([3]).num_rows == 0
+        sess.store.shutdown()
+
+    def test_crash_resume_rescale_repairs_precrash_pairs(
+            self, ray_session, tmp_path):
+        root = tmp_path / "a5"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op())
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0),
+                                             (2, 101, 20.0)]),
+                               "R": self._R([(1, 200, 5, 2.0)])})
+        sess.store.shutdown()
+        sess2 = StreamSession(root, num_shards=5, checkpoint_every=1)
+        sess2.add(self._op())
+        assert sess2.resume() == 1
+        # late better version for k=1 must retract the PRE-CRASH pair;
+        # first version for k=2 must match the pre-crash buffered left
+        sess2.process_epoch(1, {"R": self._R([(1, 201, 9, 8.0),
+                                              (2, 300, 4, 19.0)])})
+        e1 = (sess2.sinks["aj"].read_committed_table([1]).to_pandas()
+              .sort_values(["k", "diff"]).reset_index(drop=True))
+        assert [tuple(r) for r in
+                e1[["k", "lid", "rid", "diff"]].to_numpy()] == [
+            (1, 100, 200, -1), (1, 100, 201, 1), (2, 101, 300, 1)]
+        got = self._acc(sess2)
+        sess2.store.shutdown()
+        assert [tuple(r) for r in
+                got[["k", "lid", "rid", "rv"]].to_numpy()] == [
+            (1, 100, 201, 9), (2, 101, 300, 4)]
+
+    def test_table_and_dataset_paths_equal(self, ray_session, tmp_path):
+        rng = np.random.default_rng(11)
+        L = self._L([(int(k), i, float(t)) for i, (k, t) in enumerate(
+            zip(rng.integers(0, 5, 60), rng.uniform(0, 50, 60)))])
+        rts = rng.choice(np.arange(1, 5000), 40, replace=False) / 100.0
+        R = self._R([(int(k), 1000 + i, int(v), float(t))
+                     for i, (k, v, t) in enumerate(
+                         zip(rng.integers(0, 5, 40),
+                             rng.integers(0, 9, 40), rts))])
+
+        def run(root, as_dataset):
+            sess = StreamSession(root, num_shards=3)
+            sess.add(self._op())
+            for e in range(3):
+                lt = L.slice(e * 20, 20)
+                rt = R.slice(e * 13, 13 if e < 2 else 14)
+                if as_dataset:
+                    sess.process_epoch(e, {"L": rd.from_arrow(lt),
+                                           "R": rd.from_arrow(rt)})
+                else:
+                    sess.process_epoch(e, {"L": lt, "R": rt})
+            out = self._acc(sess)
+            sess.store.shutdown()
+            return out
+
+        a = run(tmp_path / "t", as_dataset=False)
+        b = run(tmp_path / "d", as_dataset=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
