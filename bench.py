@@ -125,7 +125,8 @@ def run_bench() -> dict:
         "decayed_count", "stream_join3", "cusum", "item_cf", "flesch",
         "adamic_adar", "ewma", "holt_linear", "mad_outlier_days",
         "lift_curve", "session_durations", "peak_concurrency",
-        "winsorized_mean", "clustering_coeff", "stream_asof_join")
+        "winsorized_mean", "clustering_coeff", "stream_asof_join",
+        "ngram_containment", "grouping_sets", "bollinger_days")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8791,6 +8791,148 @@ def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_ngram_containment(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram CONTAINMENT |A∩B| / |A| over the deterministic
+    `ngram_jaccard` pair set — the asymmetric near-dup measure that
+    catches a document CONTAINED in a larger one (boilerplate wrapping,
+    quote inflation), which symmetric Jaccard under-scores.  Rides the
+    same distributed pairs⋈payload verify (texts never move); the two
+    counts pack losslessly into one float score (i·2²⁰ + |A|, both
+    < 2²⁰ by documented bound, < 2⁵³ so exact) and the report is
+    floor-div micro on exact ints."""
+    from ..stages.dedup import _collect_pairs, _distributed_pair_verify
+    from ..stages.dedup import ngram_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def id_mod(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % 20 == 0) | (ids % 20 == 1)
+        return pa.table({"doc_id": pa.array(ids[keep])})
+
+    small = np.sort(np.array(
+        [r["doc_id"] for r in
+         ds.map_batches(id_mod, batch_format="pyarrow").take_all()],
+        dtype=np.int64,
+    ))
+    lo = small[small % 20 == 0]
+    hi_set = set(small[small % 20 == 1].tolist())
+    lo = np.array([i for i in lo if i + 1 in hi_set], dtype=np.int64)
+    pairs = pa.table({"id_lo": pa.array(lo), "id_hi": pa.array(lo + 1)})
+
+    def contain(ta: np.ndarray, tb: np.ndarray):
+        scores = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            sa, sb = ngram_set(ta[i], 3), ngram_set(tb[i], 3)
+            inter, nlo = len(sa & sb), len(sa)
+            assert inter < (1 << 20) and nlo < (1 << 20)
+            scores[i] = float(inter * (1 << 20) + nlo)
+        return np.ones(len(ta), dtype=bool), scores
+
+    verified = _collect_pairs(
+        _distributed_pair_verify(pairs, ds, "doc_id", contain,
+                                 sig_col="text", with_scores=True),
+        with_scores=True)
+    rows = []
+    for a, b, s in verified:
+        packed = int(s)
+        inter, nlo = packed >> 20, packed & ((1 << 20) - 1)
+        rows.append((a, b, inter, nlo,
+                     inter * 1_000_000 // nlo if nlo else 0))
+    out = pd.DataFrame(rows, columns=["id_lo", "id_hi", "n_common",
+                                      "n_lo", "containment_micro"])
+    return out.sort_values("id_lo").reset_index(drop=True).astype(np.int64)
+
+
+def q_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((returnflag, shipmode), (linestatus), ())
+    — the arbitrary-sets generalization beside `rollup`/`cube`'s
+    hierarchies: ONE distributed pass computes the finest aggregate over
+    the UNION of all grouped columns (bounded 3-attribute domain), and
+    each requested set re-aggregates that result on the driver (exact —
+    SUM/COUNT associative, O(groups) work).  Cents stay integral."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity", "l_extendedprice"])
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        pdf = tbl.to_pandas()
+        pdf["cents"] = _half_away(
+            pdf["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        pdf["n"] = 1
+        pdf["ship_year"] = (
+            pdf.pop("l_shipdate").to_numpy().astype("datetime64[Y]")
+            .astype(np.int64) + 1970).astype(str)
+        return pdf.groupby(["l_returnflag", "l_linestatus", "ship_year"],
+                           as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), cents=("cents", "sum"),
+            n=("n", "sum"))
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus", "ship_year"])
+            .sum(["sum_qty", "cents", "n"])
+            .to_pandas()
+            .rename(columns={"sum(sum_qty)": "sum_qty",
+                             "sum(cents)": "cents", "sum(n)": "n"}))
+    vals = ["sum_qty", "cents", "n"]
+    s1 = fine.groupby(["l_returnflag", "ship_year"],
+                      as_index=False)[vals].sum()
+    s1["l_linestatus"] = "ALL"
+    s2 = fine.groupby("l_linestatus", as_index=False)[vals].sum()
+    s2["l_returnflag"] = "ALL"
+    s2["ship_year"] = "ALL"
+    s3 = fine[vals].sum().to_frame().T
+    s3[["l_returnflag", "l_linestatus", "ship_year"]] = "ALL"
+    out = pd.concat([s1, s2, s3], ignore_index=True)
+    out["sum_price"] = out.pop("cents") / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_qty"] = out["sum_qty"].astype(np.float64)
+    cols = ["l_returnflag", "l_linestatus", "ship_year",
+            "sum_qty", "sum_price", "n"]
+    return (out[cols].sort_values(cols[:3]).reset_index(drop=True))
+
+
+def q_bollinger_days(sf_dir: str) -> pd.DataFrame:
+    """Bollinger-band breakout days: daily event volume vs its trailing
+    7-day rolling mean ± 2σ, flags decided by PURE INTEGER cross-
+    multiplication — up ⇔ 7c−S₇ > 0 ∧ (7c−S₇)² > 4(7Q₇−S₇²), the
+    `anomaly_days` discipline applied to a ROWS-framed rolling window
+    (so no float mean/std exists to drift; magnitude bound (7c)² ≈ 2e10
+    at sf0.1, far inside int64).  Days without a full 7-row window flag
+    0 on both twins.  Day counts fold from per-block ``np.unique``
+    partials through one tiny groupby; the rolling pass is O(days)
+    driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    days = np.array(list(cnt.keys()), dtype=np.int64)
+    c = np.array(list(cnt.values()), dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(c)])
+    qs = np.concatenate([[0], np.cumsum(c * c)])
+    n = len(c)
+    up = np.zeros(n, dtype=np.int64)
+    dn = np.zeros(n, dtype=np.int64)
+    if n >= 7:
+        i = np.arange(6, n)
+        S7 = cs[i + 1] - cs[i - 6]
+        Q7 = qs[i + 1] - qs[i - 6]
+        dev = 7 * c[i] - S7
+        var49 = 4 * (7 * Q7 - S7 * S7)
+        up[i] = ((dev > 0) & (dev * dev > var49)).astype(np.int64)
+        dn[i] = ((dev < 0) & (dev * dev > var49)).astype(np.int64)
+    return pd.DataFrame({"day": days, "n_events": c,
+                         "up": up, "down": dn})
+
+
 def q_mad_outlier_days(sf_dir: str) -> pd.DataFrame:
     """Robust (MAD-based) daily-volume outliers — the heavy-tail-safe
     sibling of `anomaly_days`: the modified z-score test
@@ -9179,6 +9321,9 @@ QUERIES = {
     "session_durations": q_session_durations,
     "peak_concurrency": q_peak_concurrency,
     "stream_asof_join": q_stream_asof_join,
+    "ngram_containment": q_ngram_containment,
+    "grouping_sets": q_grouping_sets,
+    "bollinger_days": q_bollinger_days,
     "winsorized_mean": q_winsorized_mean,
     "clustering_coeff": q_clustering_coeff,
     "theil_index": q_theil_index,
@@ -11342,6 +11487,66 @@ ORACLES = {
                round(quantile_cont(dur, 0.9), 6) AS p90_s,
                round(quantile_cont(dur, 0.99), 6) AS p99_s
         FROM d
+    """,
+    "ngram_containment": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                        WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   END AS grams
+            FROM toks
+        ),
+        p AS (
+            SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+                   len(list_intersect(list_distinct(a.grams),
+                                      list_distinct(b.grams)))::BIGINT
+                       AS n_common,
+                   len(list_distinct(a.grams))::BIGINT AS n_lo
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 20 = 0
+        )
+        SELECT id_lo, id_hi, n_common, n_lo,
+               CASE WHEN n_lo = 0 THEN 0
+                    ELSE n_common * 1000000 // n_lo END::BIGINT
+                   AS containment_micro
+        FROM p ORDER BY id_lo
+    """,
+    "grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               coalesce(CAST(year(l_shipdate) AS VARCHAR), 'ALL')
+                   AS ship_year,
+               sum(l_quantity) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS sum_price,
+               count(*)::BIGINT AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
+                                (l_linestatus), ())
+        ORDER BY 1, 2, 3
+    """,
+    "bollinger_days": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY d),
+        w AS (SELECT d, c,
+                     sum(c) OVER win AS s7,
+                     sum(c * c) OVER win AS q7,
+                     count(*) OVER win AS k
+              FROM dc
+              WINDOW win AS (ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT d::BIGINT AS day, c AS n_events,
+               (k = 7 AND 7 * c - s7 > 0
+                AND (7 * c - s7) * (7 * c - s7)
+                    > 4 * (7 * q7 - s7 * s7))::BIGINT AS up,
+               (k = 7 AND 7 * c - s7 < 0
+                AND (7 * c - s7) * (7 * c - s7)
+                    > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
+        FROM w ORDER BY day
     """,
     "stream_asof_join": """
         WITH c AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

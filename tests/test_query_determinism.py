@@ -310,3 +310,57 @@ def test_clustering_coeff_matches_pandas_triads(ray_session):
     assert int(out["n_wedges"].iloc[0]) == wedges
     assert int(out["coeff_micro"].iloc[0]) == 3 * tri * 1_000_000 // wedges
     assert 0 <= int(out["coeff_micro"].iloc[0]) <= 1_000_000
+
+
+def test_ngram_containment_bounds_and_jaccard_relation(ray_session):
+    """Containment ≥ Jaccard on every pair (|A∩B|/|A| ≥ |A∩B|/|A∪B|),
+    micro values in [0, 1e6], and n_common ≤ n_lo."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_ngram_containment(SF)
+    jac = Q.q_ngram_jaccard(SF)
+    assert (out["n_common"] <= out["n_lo"]).all()
+    assert out["containment_micro"].between(0, 1_000_000).all()
+    m = out.merge(jac, on=["id_lo", "id_hi"])
+    assert len(m) == len(out)
+    assert (m["containment_micro"] / 1e6 >= m["jaccard"] - 1e-9).all()
+
+
+def test_grouping_sets_mass_balance(ray_session):
+    """Each grouping set partitions the same total: per-set n sums equal
+    the grand total, and the () set is one row carrying it."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_grouping_sets(SF)
+    grand = out[(out["l_returnflag"] == "ALL")
+                & (out["l_linestatus"] == "ALL")
+                & (out["ship_year"] == "ALL")]
+    assert len(grand) == 1
+    total = int(grand["n"].iloc[0])
+    s1 = out[(out["l_linestatus"] == "ALL") & (out["ship_year"] != "ALL")]
+    s2 = out[(out["l_returnflag"] == "ALL") & (out["ship_year"] == "ALL")
+             & (out["l_linestatus"] != "ALL")]
+    assert int(s1["n"].sum()) == total
+    assert int(s2["n"].sum()) == total
+    assert abs(float(s1["sum_price"].sum())
+               - float(grand["sum_price"].iloc[0])) < 1e-6
+
+
+def test_bollinger_days_integer_rule_replay(ray_session):
+    """Flags must equal the integer inequality recomputed from the
+    reported day counts (7-row trailing window, first 6 days zero)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_bollinger_days(SF)
+    c = out["n_events"].to_numpy()
+    n = len(c)
+    up = np.zeros(n, dtype=np.int64)
+    dn = np.zeros(n, dtype=np.int64)
+    for i in range(6, n):
+        w = c[i - 6:i + 1]
+        dev = 7 * c[i] - w.sum()
+        rhs = 4 * (7 * (w * w).sum() - w.sum() ** 2)
+        up[i] = int(dev > 0 and dev * dev > rhs)
+        dn[i] = int(dev < 0 and dev * dev > rhs)
+    assert (out["up"].to_numpy() == up).all()
+    assert (out["down"].to_numpy() == dn).all()
