@@ -126,7 +126,8 @@ def run_bench() -> dict:
         "adamic_adar", "ewma", "holt_linear", "mad_outlier_days",
         "lift_curve", "session_durations", "peak_concurrency",
         "winsorized_mean", "clustering_coeff", "stream_asof_join",
-        "ngram_containment", "grouping_sets", "bollinger_days")
+        "ngram_containment", "grouping_sets", "bollinger_days",
+        "range_rolling")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8933,6 +8933,51 @@ def q_bollinger_days(sf_dir: str) -> pd.DataFrame:
                          "up": up, "down": dn})
 
 
+def q_range_rolling(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE-framed rolling aggregate — trailing 1-hour event count
+    and cents sum per user at each activity instant (`rolling_features`
+    covers ROWS frames; this is the RANGE sibling fraud/velocity checks
+    need).  (user, ts) ties collapse FIRST on both twins, making each
+    RANGE peer group a single row, so pandas' C-speed time-based
+    ``rolling('3600s', closed='both')`` inside the one hash(user) bucket
+    shuffle is bit-equal to SQL's ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW``; rolling sums are int-valued doubles
+    < 2⁵³, exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"], blocks=8)
+
+    def pre(tbl: pa.Table) -> pd.DataFrame:
+        pdf = tbl.to_pandas()
+        pdf["cents"] = _half_away(
+            pdf.pop("value").to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        pdf["n"] = np.int64(1)
+        g = pdf.groupby(["user_id", "ts"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        g["__b"] = (g["user_id"].to_numpy() % 64).astype(np.int64)
+        return g
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (pdf.groupby(["user_id", "ts"], as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum"))
+               .sort_values(["user_id", "ts"], kind="mergesort"))
+        r = (pdf.set_index("ts").groupby("user_id")[["n", "cents"]]
+             .rolling("3600s", closed="both").sum())
+        out = pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(),
+            "ts_us": pdf["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64),
+            "n_1h": r["n"].to_numpy().astype(np.int64),
+            "cents_1h": r["cents"].to_numpy().astype(np.int64),
+        })
+        return out
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("__b").map_groups(roll, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "ts_us"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_mad_outlier_days(sf_dir: str) -> pd.DataFrame:
     """Robust (MAD-based) daily-volume outliers — the heavy-tail-safe
     sibling of `anomaly_days`: the modified z-score test
@@ -9324,6 +9369,7 @@ QUERIES = {
     "ngram_containment": q_ngram_containment,
     "grouping_sets": q_grouping_sets,
     "bollinger_days": q_bollinger_days,
+    "range_rolling": q_range_rolling,
     "winsorized_mean": q_winsorized_mean,
     "clustering_coeff": q_clustering_coeff,
     "theil_index": q_theil_index,
@@ -11487,6 +11533,20 @@ ORACLES = {
                round(quantile_cont(dur, 0.9), 6) AS p90_s,
                round(quantile_cont(dur, 0.99), 6) AS p99_s
         FROM d
+    """,
+    "range_rolling": """
+        WITH g AS (SELECT user_id, ts, count(*)::BIGINT AS n,
+                          sum(CAST(round(value * 100) AS BIGINT)) AS c
+                   FROM events GROUP BY user_id, ts)
+        SELECT user_id::BIGINT AS user_id,
+               epoch_us(ts)::BIGINT AS ts_us,
+               sum(n) OVER win::BIGINT AS n_1h,
+               sum(c) OVER win::BIGINT AS cents_1h
+        FROM g
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW)
+        ORDER BY user_id, ts_us
     """,
     "ngram_containment": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),

@@ -364,3 +364,31 @@ def test_bollinger_days_integer_rule_replay(ray_session):
         dn[i] = int(dev < 0 and dev * dev > rhs)
     assert (out["up"].to_numpy() == up).all()
     assert (out["down"].to_numpy() == dn).all()
+
+
+def test_range_rolling_matches_pandas_merge_window(ray_session):
+    """Each (user, ts) row's 1-hour trailing sums must equal a brute-force
+    inclusive-window recompute over the collapsed (user, ts) aggregates."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_range_rolling(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    ev["cents"] = _half_away(
+        ev.pop("value").to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+    ev["n"] = 1
+    g = (ev.groupby(["user_id", "ts"], as_index=False)
+         .agg(n=("n", "sum"), cents=("cents", "sum")))
+    g["ts_us"] = g.pop("ts").to_numpy().astype("datetime64[us]").astype(
+        np.int64)
+    byu = {u: d.sort_values("ts_us") for u, d in g.groupby("user_id")}
+    for _, r in out.sample(min(300, len(out)), random_state=3).iterrows():
+        d = byu[r["user_id"]]
+        w = d[(d["ts_us"] >= r["ts_us"] - 3_600_000_000)
+              & (d["ts_us"] <= r["ts_us"])]
+        assert int(w["n"].sum()) == int(r["n_1h"])
+        assert int(w["cents"].sum()) == int(r["cents_1h"])
+    assert len(out) == len(g)
