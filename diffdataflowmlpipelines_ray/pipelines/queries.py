@@ -1117,6 +1117,62 @@ def q_stream_asof_join(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_stream_asof_retract(sf_dir: str) -> pd.DataFrame:
+    """`stream_asof_join`'s BILINEAR exercise: after the full insert feed,
+    a deterministic subset of clicks (c_id % 3 == 0) and purchases
+    (p_id % 5 == 0) is RETRACTED in two later epochs — version deaths
+    re-match their orphaned purchases to the next-older surviving click,
+    left deaths cancel their pairs — and the accumulated multiset must
+    equal the batch ASOF JOIN over the SURVIVING rows only (the SQL twin
+    filters them out before joining).  Same distributed Dataset path."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts", "value"])
+    et = ev["event_type"].to_numpy(zero_copy_only=False)
+    pur = ev.filter(pa.array(et == "purchase"))
+    clk = ev.filter(pa.array(et == "click"))
+    left = pa.table({
+        "user_id": pur["user_id"],
+        "p_id": pur["event_id"],
+        "p_cents": pa.array(_half_away(
+            pur["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0).astype(np.int64)),
+        "ts": pur["ts"],
+    })
+    cdf = (clk.select(["user_id", "ts", "event_id"]).to_pandas()
+           .groupby(["user_id", "ts"], as_index=False)
+           .agg(c_id=("event_id", "max"))
+           .sort_values("ts", kind="mergesort"))
+    right = pa.Table.from_pandas(cdf, preserve_index=False)
+
+    sess = StreamSession(_tmp("asofr"), num_shards=4)
+    sess.add(AsofStreamJoin(name="aj", left_input="P", right_input="C",
+                            left_key=["user_id"], right_key=["user_id"],
+                            left_cols=["p_id", "p_cents"],
+                            right_cols=["c_id"],
+                            left_ts="ts", right_ts="ts"))
+    try:
+        sess.process_epoch(0, {"P": rd.from_arrow(left),
+                               "C": rd.from_arrow(right)})
+        c_ids = right["c_id"].to_numpy(zero_copy_only=False)
+        dead_c = right.filter(pa.array(c_ids % 3 == 0)).append_column(
+            "diff", pa.array(np.full(int((c_ids % 3 == 0).sum()), -1,
+                                     dtype=np.int64)))
+        sess.process_epoch(1, {"C": rd.from_arrow(dead_c)})
+        p_ids = left["p_id"].to_numpy(zero_copy_only=False)
+        dead_p = left.filter(pa.array(p_ids % 5 == 0)).append_column(
+            "diff", pa.array(np.full(int((p_ids % 5 == 0).sum()), -1,
+                                     dtype=np.int64)))
+        sess.process_epoch(2, {"P": rd.from_arrow(dead_p)})
+        df = sess.sinks["aj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    acc = (df.groupby(["user_id", "p_id", "p_cents", "c_id"],
+                      as_index=False)["diff"].sum())
+    acc = acc[acc["diff"] > 0].drop(columns=["diff"])
+    return (acc.sort_values("p_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_stream_join3(sf_dir: str) -> pd.DataFrame:
     """Three-way incremental stream join as a DELTA-JOIN CASCADE:
     customer ⋈ orders chained in-session into (customer ⋈ orders) ⋈
@@ -9366,6 +9422,7 @@ QUERIES = {
     "session_durations": q_session_durations,
     "peak_concurrency": q_peak_concurrency,
     "stream_asof_join": q_stream_asof_join,
+    "stream_asof_retract": q_stream_asof_retract,
     "ngram_containment": q_ngram_containment,
     "grouping_sets": q_grouping_sets,
     "bollinger_days": q_bollinger_days,
@@ -11607,6 +11664,21 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "stream_asof_retract": """
+        WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts),
+        c AS (SELECT * FROM c0 WHERE c_id % 3 <> 0),
+        p AS (SELECT user_id, event_id AS p_id,
+                     CAST(round(value * 100) AS BIGINT) AS p_cents, ts
+              FROM events
+              WHERE event_type = 'purchase' AND event_id % 5 <> 0)
+        SELECT p.user_id::BIGINT AS user_id, p_id::BIGINT AS p_id,
+               p_cents, c_id
+        FROM p ASOF JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p_id
     """,
     "stream_asof_join": """
         WITH c AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

@@ -1218,15 +1218,22 @@ class AsofStreamJoin(StreamJoin):
     accumulated multiset at any point equals the batch ASOF JOIN of every
     arrived row — regardless of arrival order or epoch split.
 
+    BILINEAR like ``StreamJoin``: a ``diff`` = −1 RIGHT row deletes that
+    version — every left currently matched to it retracts its pair and
+    re-matches to the next-older surviving version; a ``diff`` = −1 LEFT
+    row removes one buffered instance (multiset subtraction) and retracts
+    its current pair — so the accumulated multiset equals the ASOF JOIN
+    of the NET input multisets.  Retracting a row not in the buffer
+    raises (retractions must arrive before their target ages past
+    retention).
+
     Contracts: ``left_ts``/``right_ts`` required; the key columns must have
     the SAME NAMES on both sides; right-side (key, ts) pairs unique
-    (replayed duplicates dedup last-wins); insert-only inputs (a ``diff``
-    column must be all +1 — retracting a version would need re-matching to
-    the previous version, which the version history supports but this
-    operator does not implement).  ``retention`` expires finalized lefts
-    and COMPACTS the right version history (latest-at-horizon version per
-    key survives, so any live left's current match does too).  Unmatched
-    lefts emit nothing until a version arrives (inner as-of).
+    (replayed duplicates dedup last-wins).  ``retention`` expires
+    finalized lefts and COMPACTS the right version history
+    (latest-at-horizon version per key survives, so any live left's
+    current match does too).  Unmatched lefts emit nothing until a
+    version arrives (inner as-of).
 
     Distinct from ``TemporalEnrichJoin``: that op enriches a STREAM against
     a CDC DIM whose versions are watermark-consistent at probe time (no

@@ -1149,13 +1149,22 @@ class StateShard:
         multiset always equals the batch ASOF JOIN of every arrived row.
 
         payload = pickled dict: ``left``/``right`` pandas frames (key cols +
-        output cols + ``__ts_left``/``__ts_right``), ``key`` (same column
-        names both sides — the AsofStreamJoin contract), ``out_names``.
-        Fully vectorized: ``pd.merge_asof`` per epoch for match and
-        re-match, one hash merge for retraction value lookup.  Right-side
-        (key, ts) pairs must be unique; a replayed duplicate deduplicates
-        last-wins.  Insert-only (append streams) — retraction inputs
-        raise."""
+        output cols + ``__ts_left``/``__ts_right`` + ``__diff_*``),
+        ``key`` (same column names both sides — the AsofStreamJoin
+        contract), ``out_names``.  Fully vectorized: ``pd.merge_asof``
+        per epoch for match and re-match, hash merges for retraction
+        value lookup and multiset subtraction.  Right-side (key, ts)
+        pairs must be unique; a replayed duplicate deduplicates
+        last-wins.
+
+        BILINEAR: a diff = −1 RIGHT row deletes that version — every left
+        currently matched to it retracts its pair (−1) and re-matches to
+        the next-older surviving version (+1 if one exists); a diff = −1
+        LEFT row removes one buffered instance (multiset subtraction) and
+        retracts its current pair.  Within an epoch the order is right
+        inserts → right retractions → left inserts → left retractions.
+        Retracting a version or left row not in the buffer raises (a
+        retraction must arrive before its target ages past retention)."""
         import pandas as pd
 
         sides = pickle.loads(payload)
@@ -1166,21 +1175,43 @@ class StateShard:
             return _dumps(None)
         buf = self.asof.setdefault(name, {"left": None, "right": None})
         buf["lk"] = buf["rk"] = lk
-        nl, nr = sides.get("left"), sides.get("right")
-        for side, df in (("left", nl), ("right", nr)):
+
+        def split(df, side):
             dc = f"__diff_{side}"
-            if df is not None and dc in df.columns:
-                if (df[dc] != 1).any():
-                    raise ValueError(
-                        "AsofStreamJoin is insert-only (append streams); "
-                        "retraction inputs are unsupported")
-                df.drop(columns=[dc], inplace=True)
+            if df is None or not len(df):
+                return None, None
+            if dc in df.columns:
+                d = df[dc].to_numpy()
+                if not np.isin(d, (1, -1)).all():
+                    raise ValueError("AsofStreamJoin diff must be ±1 "
+                                     f"(got {sorted(set(d.tolist()))})")
+                ins = df[d == 1].drop(columns=[dc]).reset_index(drop=True)
+                ret = df[d == -1].drop(columns=[dc]).reset_index(drop=True)
+                return ((ins if len(ins) else None),
+                        (ret if len(ret) else None))
+            return df.reset_index(drop=True), None
+
+        nl, nl_ret = split(sides.get("left"), "left")
+        nr, nr_ret = split(sides.get("right"), "right")
         outs: list[pd.DataFrame] = []
+        rd_src = nr if nr is not None else buf.get("right")
+        rdtypes = ({c: rd_src[c].dtype for c in right_cols}
+                   if rd_src is not None else {})
 
         def emit(df: pd.DataFrame, sign: int) -> None:
             out = df[out_names].copy()
+            # merge_asof NaN-promotes right columns to float64 when SOME
+            # lefts miss; the filtered all-matched emission must restore
+            # the true dtypes or sink epoch parts disagree on schema
+            for c, dt in rdtypes.items():
+                if c in out.columns and out[c].dtype != dt:
+                    out[c] = out[c].astype(dt)
             out["diff"] = np.int64(sign)
             outs.append(out)
+
+        def val_lookup(right_tbl):
+            return right_tbl[lk + right_cols + ["__ts_right"]].rename(
+                columns={"__ts_right": "__match_ts"})
 
         old = buf["left"]
         right_all = buf["right"]
@@ -1236,6 +1267,56 @@ class StateShard:
                                           keep="last", ignore_index=True))
             buf["right"] = right_all
 
+        if nr_ret is not None and len(nr_ret):
+            rset = nr_ret[lk + ["__ts_right"]].drop_duplicates()
+            if right_all is None or len(right_all) == 0:
+                raise ValueError("asof: retracting version(s) from an "
+                                 "empty history")
+            chk = rset.merge(right_all[lk + ["__ts_right"]],
+                             on=lk + ["__ts_right"], how="left",
+                             indicator=True)
+            if (chk["_merge"] != "both").any():
+                raise ValueError(
+                    "asof: retraction of unknown right version(s) — "
+                    "retractions must arrive before their target ages "
+                    "past retention")
+            L = buf["left"]
+            aff = None
+            if L is not None and len(L):
+                aff = L.reset_index().merge(
+                    rset.rename(columns={"__ts_right": "__match_ts"}),
+                    on=lk + ["__match_ts"])
+                if len(aff):
+                    # retract the dying pairs with the OLD version values
+                    emit(aff.merge(val_lookup(right_all),
+                                   on=lk + ["__match_ts"]), -1)
+            right_all = right_all.merge(rset, on=lk + ["__ts_right"],
+                                        how="left", indicator=True)
+            right_all = right_all[
+                right_all.pop("_merge") == "left_only"
+            ].reset_index(drop=True)
+            if not len(right_all):
+                right_all = None
+            buf["right"] = right_all
+            if aff is not None and len(aff):
+                # re-match the orphaned lefts to the next-older survivor
+                idx = aff["index"].to_numpy()
+                L = L.copy()
+                L.loc[idx, "__match_ts"] = np.nan
+                if right_all is not None and len(right_all):
+                    sub = L.loc[idx].assign(__row=idx).sort_values(
+                        "__ts_left", kind="mergesort", ignore_index=True)
+                    m = pd.merge_asof(
+                        sub, right_all, left_on="__ts_left",
+                        right_on="__ts_right", by=lk, suffixes=("", "__r"))
+                    got = m["__ts_right"].notna()
+                    if got.any():
+                        hit = m[got.to_numpy()]
+                        emit(hit, +1)
+                        L.loc[hit["__row"].to_numpy(), "__match_ts"] = \
+                            hit["__ts_right"].to_numpy()
+                buf["left"] = L
+
         if nl is not None and len(nl):
             nl = nl.reset_index(drop=True)
             nl["__match_ts"] = np.nan
@@ -1256,6 +1337,32 @@ class StateShard:
             buf["left"] = (nl if buf["left"] is None
                            else pd.concat([buf["left"], nl],
                                           ignore_index=True))
+
+        if nl_ret is not None and len(nl_ret):
+            L = buf["left"]
+            if L is None or not len(L):
+                raise ValueError("asof: retracting left row(s) from an "
+                                 "empty buffer")
+            idc = [c for c in nl_ret.columns]  # full row identity
+            # multiset subtraction: pair the i-th duplicate of each
+            # identity on both sides (deterministic, vectorized)
+            Lr = L.reset_index()
+            Lr["__cc"] = Lr.groupby(idc).cumcount()
+            rr = nl_ret.copy()
+            rr["__cc"] = rr.groupby(idc).cumcount()
+            hit = Lr.merge(rr, on=idc + ["__cc"])
+            if len(hit) != len(rr):
+                raise ValueError(
+                    "asof: retraction of unknown left row(s) — "
+                    "retractions must arrive before their target ages "
+                    "past retention")
+            had = hit[hit["__match_ts"].notna()]
+            if len(had):
+                emit(had.merge(val_lookup(right_all),
+                               on=lk + ["__match_ts"]), -1)
+            keep = L.drop(index=hit["index"].to_numpy())
+            buf["left"] = (keep.reset_index(drop=True) if len(keep)
+                           else None)
         if not outs:
             return _dumps(None)
         return _dumps(pd.concat(outs, ignore_index=True))

@@ -5554,11 +5554,99 @@ class TestAsofStreamJoin:
                            left_ts="t", right_ts="t", max_dt=5.0)
         sess = StreamSession(tmp_path / "a3", num_shards=2)
         sess.add(self._op())
+        # retracting rows that were never inserted raises on both sides
         bad = self._L([(1, 100, 10.0)]).append_column(
             "diff", pa.array([-1], pa.int64()))
-        with pytest.raises(Exception, match="insert-only"):
+        with pytest.raises(Exception, match="unknown left|empty buffer"):
             sess.process_epoch(0, {"L": bad})
+        badr = self._R([(1, 200, 5, 2.0)]).append_column(
+            "diff", pa.array([-1], pa.int64()))
+        with pytest.raises(Exception, match="unknown right|empty history"):
+            sess.process_epoch(1, {"R": badr})
         sess.store.shutdown()
+
+    def test_bilinear_retractions_net_equals_batch_asof(self, ray_session,
+                                                        tmp_path):
+        """Insert everything, then retract a deterministic subset of BOTH
+        sides: the accumulated multiset must equal pd.merge_asof over the
+        NET (surviving) multisets, and every net diff is +1."""
+        rng = np.random.default_rng(23)
+        n_l, n_r = 80, 60
+        L = pd.DataFrame({"k": rng.integers(0, 6, n_l),
+                          "lid": np.arange(n_l),
+                          "lts": rng.uniform(0, 100, n_l)})
+        rts = rng.choice(np.arange(0, 8000), n_r, replace=False) / 80.0
+        R = pd.DataFrame({"k": rng.integers(0, 6, n_r),
+                          "rid": np.arange(n_r) + 1000,
+                          "rv": rng.integers(0, 50, n_r), "rts": rts})
+        sess = StreamSession(tmp_path / "a6", num_shards=3)
+        sess.add(self._op())
+        sess.process_epoch(0, {
+            "L": pa.Table.from_pandas(L, preserve_index=False),
+            "R": pa.Table.from_pandas(R, preserve_index=False)})
+        lr = L[L["lid"] % 4 == 0]
+        rr = R[R["rid"] % 3 == 0]
+        sess.process_epoch(1, {
+            "L": pa.Table.from_pandas(
+                lr.assign(diff=np.int64(-1)), preserve_index=False),
+            "R": pa.Table.from_pandas(
+                rr.assign(diff=np.int64(-1)), preserve_index=False)})
+        got = self._acc(sess)
+        sess.store.shutdown()
+        Ln = L[L["lid"] % 4 != 0]
+        Rn = R[R["rid"] % 3 != 0]
+        exp = pd.merge_asof(Ln.sort_values("lts"), Rn.sort_values("rts"),
+                            left_on="lts", right_on="rts", by="k")
+        exp = (exp[exp["rts"].notna()][["k", "lid", "rid", "rv"]]
+               .astype(np.int64).sort_values(["k", "lid"])
+               .reset_index(drop=True))
+        assert (got["diff"] == 1).all()
+        pd.testing.assert_frame_equal(got.drop(columns=["diff"]), exp,
+                                      check_dtype=False)
+
+    def test_right_retraction_falls_back_to_next_older(self, ray_session,
+                                                       tmp_path):
+        sess = StreamSession(tmp_path / "a7", num_shards=2)
+        sess.add(self._op())
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0)]),
+                               "R": self._R([(1, 200, 5, 2.0),
+                                             (1, 201, 9, 7.0)])})
+        # kill the current match: fall back to ts=2 version
+        sess.process_epoch(1, {"R": self._R([(1, 201, 9, 7.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e1 = (sess.sinks["aj"].read_committed_table([1]).to_pandas()
+              .sort_values("diff").reset_index(drop=True))
+        assert [tuple(r) for r in e1[["rid", "diff"]].to_numpy()] == [
+            (201, -1), (200, 1)]
+        # kill the fallback too: pair dies with no replacement
+        sess.process_epoch(2, {"R": self._R([(1, 200, 5, 2.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e2 = sess.sinks["aj"].read_committed_table([2]).to_pandas()
+        assert e2["diff"].tolist() == [-1] and e2["rid"].tolist() == [200]
+        # and a future re-insert of a version re-creates the pair
+        sess.process_epoch(3, {"R": self._R([(1, 202, 3, 4.0)])})
+        e3 = sess.sinks["aj"].read_committed_table([3]).to_pandas()
+        assert e3["diff"].tolist() == [1] and e3["rid"].tolist() == [202]
+        sess.store.shutdown()
+
+    def test_left_multiset_retraction_removes_one_instance(
+            self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "a8", num_shards=2)
+        sess.add(self._op())
+        dup = self._L([(1, 100, 10.0), (1, 100, 10.0)])
+        sess.process_epoch(0, {"L": dup,
+                               "R": self._R([(1, 200, 5, 2.0)])})
+        assert sess.sinks["aj"].read_committed_table([0]).num_rows == 2
+        sess.process_epoch(1, {"L": self._L([(1, 100, 10.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e1 = sess.sinks["aj"].read_committed_table([1]).to_pandas()
+        assert e1["diff"].tolist() == [-1]
+        got = self._acc(sess)
+        sess.store.shutdown()
+        assert got["diff"].tolist() == [1]  # one instance survives
 
     def test_retention_compacts_history_keeps_latest(self, ray_session,
                                                      tmp_path):
