@@ -1173,6 +1173,70 @@ def q_stream_asof_retract(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """DATAFLOW COMPOSITION over the bilinear as-of join: the ±diff
+    attribution pairs chain in-session into a retraction-aware
+    `KeyedAggregation` (weight_col='diff'), maintaining per-click
+    attributed purchase count and revenue incrementally — when a click
+    version dies, its pairs' retractions flow through the SAME epoch and
+    the aggregate re-books the revenue onto the fallback click with no
+    recompute.  Final state == SQL ASOF JOIN over survivors grouped by
+    click.  The DD story end-to-end: arrangement → differential join →
+    differential reduce."""
+    from ..state.aggregates import SumCountAgg
+
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts", "value"])
+    et = ev["event_type"].to_numpy(zero_copy_only=False)
+    pur = ev.filter(pa.array(et == "purchase"))
+    clk = ev.filter(pa.array(et == "click"))
+    left = pa.table({
+        "user_id": pur["user_id"],
+        "p_id": pur["event_id"],
+        "p_cents": pa.array(_half_away(
+            pur["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0).astype(np.int64)),
+        "ts": pur["ts"],
+    })
+    cdf = (clk.select(["user_id", "ts", "event_id"]).to_pandas()
+           .groupby(["user_id", "ts"], as_index=False)
+           .agg(c_id=("event_id", "max"))
+           .sort_values("ts", kind="mergesort"))
+    right = pa.Table.from_pandas(cdf, preserve_index=False)
+
+    sess = StreamSession(_tmp("asofattr"), num_shards=4)
+    sess.add(AsofStreamJoin(name="aj", left_input="P", right_input="C",
+                            left_key=["user_id"], right_key=["user_id"],
+                            left_cols=["p_id", "p_cents"],
+                            right_cols=["c_id"],
+                            left_ts="ts", right_ts="ts"))
+    sess.add(KeyedAggregation(
+        name="rev", input="aj", key_cols=["c_id"], value_col="p_cents",
+        aggs=("count", "sum"), weight_col="diff",
+        make_acc=lambda v, w: SumCountAgg.from_numpy(
+            v.astype(np.float64), w),
+        finalize=lambda a: {"n_purchases": a.count,
+                            "rev_cents": int(a.s)},
+    ))
+    try:
+        sess.process_epoch(0, {"P": rd.from_arrow(left),
+                               "C": rd.from_arrow(right)})
+        c_ids = right["c_id"].to_numpy(zero_copy_only=False)
+        dead_c = right.filter(pa.array(c_ids % 3 == 0)).append_column(
+            "diff", pa.array(np.full(int((c_ids % 3 == 0).sum()), -1,
+                                     dtype=np.int64)))
+        sess.process_epoch(1, {"C": rd.from_arrow(dead_c)})
+        df = sess.state_table("rev").to_pandas()
+    finally:
+        sess.store.shutdown()
+    df = df.drop(columns=["epoch"])
+    df = df[df["n_purchases"] > 0]
+    df["n_purchases"] = df["n_purchases"].astype(np.int64)
+    df["rev_cents"] = df["rev_cents"].astype(np.int64)
+    return (df.sort_values("c_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_stream_join3(sf_dir: str) -> pd.DataFrame:
     """Three-way incremental stream join as a DELTA-JOIN CASCADE:
     customer ⋈ orders chained in-session into (customer ⋈ orders) ⋈
@@ -9423,6 +9487,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "stream_asof_join": q_stream_asof_join,
     "stream_asof_retract": q_stream_asof_retract,
+    "asof_attribution": q_asof_attribution,
     "ngram_containment": q_ngram_containment,
     "grouping_sets": q_grouping_sets,
     "bollinger_days": q_bollinger_days,
@@ -11664,6 +11729,20 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "asof_attribution": """
+        WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts),
+        c AS (SELECT * FROM c0 WHERE c_id % 3 <> 0),
+        p AS (SELECT user_id, event_id AS p_id,
+                     CAST(round(value * 100) AS BIGINT) AS p_cents, ts
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT c_id, p_cents FROM p ASOF JOIN c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT c_id, count(*)::BIGINT AS n_purchases,
+               sum(p_cents)::BIGINT AS rev_cents
+        FROM j GROUP BY c_id ORDER BY c_id
     """,
     "stream_asof_retract": """
         WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

@@ -5724,3 +5724,35 @@ class TestAsofStreamJoin:
         a = run(tmp_path / "t", as_dataset=False)
         b = run(tmp_path / "d", as_dataset=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_chained_aggregation_rebooks_on_version_death(
+            self, ray_session, tmp_path):
+        """AsofStreamJoin ±diffs chained into KeyedAggregation
+        (weight_col='diff'): killing the matched version re-books the
+        revenue onto the fallback click IN THE SAME EPOCH."""
+        from diffdataflowmlpipelines_ray.state.aggregates import (
+            SumCountAgg,
+        )
+
+        sess = StreamSession(tmp_path / "a9", num_shards=2)
+        sess.add(self._op())
+        sess.add(KeyedAggregation(
+            name="rev", input="aj", key_cols=["rid"], value_col="lid",
+            aggs=("count", "sum"), weight_col="diff",
+            make_acc=lambda v, w: SumCountAgg.from_numpy(
+                v.astype(np.float64), w),
+            finalize=lambda a: {"n": a.count, "s": int(a.s)},
+        ))
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0)]),
+                               "R": self._R([(1, 200, 5, 2.0),
+                                             (1, 201, 9, 7.0)])})
+        st = sess.state_table("rev").to_pandas()
+        assert st[st["n"] > 0]["rid"].tolist() == [201]
+        sess.process_epoch(1, {"R": self._R([(1, 201, 9, 7.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        st = sess.state_table("rev").to_pandas()
+        live = st[st["n"] > 0]
+        assert live["rid"].tolist() == [200]
+        assert live["s"].tolist() == [100]
+        sess.store.shutdown()
