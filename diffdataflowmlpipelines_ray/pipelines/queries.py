@@ -8653,6 +8653,30 @@ def q_session_durations(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_dbscan(sf_dir: str) -> pd.DataFrame:
+    """Exact DBSCAN over the embeddings table (ε² = 23.2M quantized
+    units² ≈ 1.383, min_pts = 5, vec_id < 800 bounding both twins'
+    pair sets at any sf) — density clustering with ZERO float
+    involvement: embeddings quantize to int64 at scale 4096 (a power of
+    two, so float32→float64×4096 is bit-exact in both engines) and the
+    ε test is a pure integer inequality; clusters are connected
+    components of the core–core ε-graph labeled by min core id, borders
+    join their minimum-label core neighbor (deterministic, unlike
+    first-reacher DBSCAN), noise is excluded.  Oracle: the identical
+    quantized pipeline in SQL with a recursive min-label CTE."""
+    from ..stages.clustering import dbscan_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+
+    def cap(tbl: pa.Table) -> pa.Table:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids < 800))
+
+    out = dbscan_exact(ds.map_batches(cap, batch_format="pyarrow"),
+                       eps2_q=23_200_000, min_pts=5).to_pandas()
+    return out
+
+
 def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
     """Peak number of concurrently open 30-min-gap sessions and the first
     instant it is reached — the capacity-planning sweep-line: session
@@ -9488,6 +9512,7 @@ QUERIES = {
     "stream_asof_join": q_stream_asof_join,
     "stream_asof_retract": q_stream_asof_retract,
     "asof_attribution": q_asof_attribution,
+    "dbscan": q_dbscan,
     "ngram_containment": q_ngram_containment,
     "grouping_sets": q_grouping_sets,
     "bollinger_days": q_bollinger_days,
@@ -11729,6 +11754,41 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "dbscan": """
+        WITH RECURSIVE
+        v AS (SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 4096) AS BIGINT))
+                         AS q
+              FROM embeddings WHERE vec_id < 800),
+        d AS (SELECT a.vec_id AS i, b.vec_id AS j
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, len(a.q) + 1),
+                        k -> (a.q[k] - b.q[k]) * (a.q[k] - b.q[k])))
+                    <= 23200000),
+        nb AS (SELECT i AS v, j AS w FROM d
+               UNION ALL SELECT j, i FROM d),
+        deg AS (SELECT v, count(*) AS nn FROM nb GROUP BY v),
+        cores AS (SELECT v FROM deg WHERE nn + 1 >= 5),
+        ce AS (SELECT nb.v AS a, nb.w AS b FROM nb
+               WHERE nb.v IN (SELECT v FROM cores)
+                 AND nb.w IN (SELECT v FROM cores)),
+        r(v, l) AS (
+            SELECT v, v FROM cores
+            UNION
+            SELECT ce.b, r.l FROM r JOIN ce ON ce.a = r.v),
+        lbl AS (SELECT v, min(l) AS cluster FROM r GROUP BY v),
+        bord AS (SELECT nb.v AS vec_id, min(l.cluster) AS cluster
+                 FROM nb JOIN lbl l ON l.v = nb.w
+                 WHERE nb.v NOT IN (SELECT v FROM cores)
+                 GROUP BY nb.v)
+        SELECT v::BIGINT AS vec_id, cluster::BIGINT AS cluster,
+               1::BIGINT AS is_core
+        FROM lbl
+        UNION ALL
+        SELECT vec_id::BIGINT, cluster::BIGINT, 0::BIGINT FROM bord
+        ORDER BY vec_id
     """,
     "asof_attribution": """
         WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

@@ -235,3 +235,145 @@ def gmm1d_fit(ds, col: str, k: int = 3, iters: int = 5,
     out = pd.DataFrame({"comp": np.arange(k, dtype=np.int64),
                         "weight": w, "mean": mu, "var": var})
     return out, lls
+
+
+def dbscan_exact(ds, eps2_q: int, min_pts: int,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 quant: float = 4096.0,
+                 broadcast_limit: int = 100_000) -> "pa.Table":
+    """Exact DBSCAN over an embedding column with ZERO float involvement.
+
+    Inputs quantize to int64 (half-away at scale ``quant``, a POWER OF
+    TWO so float32→float64×quant is exact bit-for-bit in both engines)
+    and squared euclidean distances are pure integer sums — the ε test
+    d² ≤ ``eps2_q`` (quantized units²) is exact by construction, with no
+    epsilon, no summation-order drift, and no rounding discipline needed
+    at all (a micro-rounded FLOAT distance was rejected: the matmul /
+    list_sum chains differ in the last ulp and ~4M pairs × a 1e-6 grid
+    makes a boundary flip plausible).  Semantics: a point is CORE when its
+    ε-ball holds ≥ ``min_pts`` points INCLUDING itself; clusters are the
+    connected components of the core–core ε-graph labeled by MIN core id
+    (canonical, order-free); a BORDER point (non-core with ≥1 core
+    neighbor) joins the MINIMUM cluster label among its core neighbors
+    (deterministic, unlike classic first-reacher DBSCAN); noise is
+    excluded.
+
+    Scale plan: the vector matrix broadcasts once (``ray.put``) under
+    ``broadcast_limit`` rows and every block computes ITS rows' neighbor
+    counts / core flags / edges vectorized against it — three map-only
+    passes + the CC of the (tiny) core-edge list.  Past the limit the
+    documented path is the bucket-pair exchange (all B² block pairs, the
+    exact-kNN standard); raising here keeps the contract honest rather
+    than silently shipping an O(n²) broadcast.
+    """
+    import pandas as pd
+
+    from ..functions.vectors import half_away
+    from .iterate import connected_components
+
+    mat_tbl = pa.concat_tables(
+        list(ds.select_columns([id_col, emb_col])
+             .iter_batches(batch_format="pyarrow")))
+    n = mat_tbl.num_rows
+    if n > broadcast_limit:
+        raise NotImplementedError(
+            f"dbscan_exact broadcast tier is bounded at {broadcast_limit} "
+            "rows; use the bucket-pair exchange plan for larger inputs")
+    ids = mat_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    mat = half_away(
+        list_column_to_2d(mat_tbl[emb_col]).astype(np.float64) * quant
+    ).astype(np.int64)[order]
+    ref = ray.put((ids, mat))
+
+    def quantize(tbl: pa.Table) -> np.ndarray:
+        return half_away(
+            list_column_to_2d(tbl[emb_col]).astype(np.float64) * quant
+        ).astype(np.int64)
+
+    def within_block(block_q: np.ndarray, all_q: np.ndarray) -> np.ndarray:
+        # exact integer d² in slabs to bound the (rows × slab × dim)
+        # intermediate; ≤ dim·(2·max|q|)² per entry, far inside int64
+        out = np.empty((len(block_q), len(all_q)), dtype=bool)
+        for s0 in range(0, len(all_q), 512):
+            diff = block_q[:, None, :] - all_q[None, s0:s0 + 512, :]
+            out[:, s0:s0 + 512] = \
+                (diff * diff).sum(axis=2) <= eps2_q
+        return out
+
+    def core_pass(tbl: pa.Table) -> pa.Table:
+        aid, amat = ray.get(ref)
+        bid = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        within = within_block(quantize(tbl), amat)  # includes self (0)
+        return pa.table({
+            "vec_id": pa.array(bid),
+            "is_core": pa.array(
+                (within.sum(axis=1) >= min_pts).astype(np.int64)),
+        })
+
+    cores_tbl = pa.concat_tables(list(
+        ds.map_batches(core_pass, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    core_ids = cores_tbl.filter(
+        pa.array(cores_tbl["is_core"].to_numpy(zero_copy_only=False) == 1)
+    )["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    core_ids = np.sort(core_ids)
+    core_ref = ray.put(core_ids)
+
+    def edge_pass(tbl: pa.Table) -> pa.Table:
+        aid, amat = ray.get(ref)
+        cores = ray.get(core_ref)
+        bid = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mine_core = np.isin(bid, cores)
+        other_core = np.isin(aid, cores)
+        within = within_block(quantize(tbl), amat)
+        # core–core edges (i < j halves duplication); border attachments
+        cc = within & mine_core[:, None] & other_core[None, :] \
+            & (bid[:, None] < aid[None, :])
+        ci, cj = np.nonzero(cc)
+        # border: non-core row, min core neighbor id's CLUSTER resolves
+        # in the relabel pass; here emit (border, core-neighbor) pairs
+        bb = within & ~mine_core[:, None] & other_core[None, :]
+        bi, bj = np.nonzero(bb)
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(ci), dtype=np.int64),
+                np.ones(len(bi), dtype=np.int64)])),
+            "a": pa.array(np.concatenate([bid[ci], bid[bi]])),
+            "b": pa.array(np.concatenate([aid[cj], aid[bj]])),
+        })
+
+    pairs = pa.concat_tables(list(
+        ds.map_batches(edge_pass, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    kind = pairs["kind"].to_numpy(zero_copy_only=False)
+    ce = pairs.filter(pa.array(kind == 0))
+    bp = pairs.filter(pa.array(kind == 1))
+    if ce.num_rows:
+        cc_tbl = connected_components(pa.table({
+            "id_lo": ce["a"], "id_hi": ce["b"]})).to_pandas()
+        label = dict(zip(cc_tbl["id"].astype(np.int64),
+                         cc_tbl["component"].astype(np.int64)))
+    else:
+        label = {}
+    # isolated cores (no core neighbor) are their own cluster
+    out_core = pd.DataFrame({
+        "vec_id": core_ids,
+        "cluster": np.array([label.get(int(i), int(i))
+                             for i in core_ids], dtype=np.int64),
+        "is_core": np.int64(1),
+    })
+    bpd = bp.to_pandas()
+    if len(bpd):
+        bpd["cluster"] = np.array(
+            [label.get(int(j), int(j)) for j in bpd["b"]], dtype=np.int64)
+        out_border = (bpd.groupby("a", as_index=False)["cluster"].min()
+                      .rename(columns={"a": "vec_id"}))
+        out_border["is_core"] = np.int64(0)
+    else:
+        out_border = pd.DataFrame(
+            {"vec_id": [], "cluster": [], "is_core": []}, dtype=np.int64)
+    out = (pd.concat([out_core, out_border], ignore_index=True)
+           .sort_values("vec_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)

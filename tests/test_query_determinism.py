@@ -392,3 +392,52 @@ def test_range_rolling_matches_pandas_merge_window(ray_session):
         assert int(w["n"].sum()) == int(r["n_1h"])
         assert int(w["cents"].sum()) == int(r["cents_1h"])
     assert len(out) == len(g)
+
+
+def test_dbscan_matches_scalar_reference(ray_session):
+    """Cluster labels must equal an independent scalar DBSCAN on the same
+    quantized vectors (min-label components + min-label borders)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_dbscan(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = ids < 800
+    ids = ids[keep].astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = half_away(np.stack(t["embedding"].to_pandas().to_numpy())[keep]
+                  .astype(np.float64) * 4096.0).astype(np.int64)[order]
+    diff = q[:, None, :] - q[None, :, :]
+    within = (diff * diff).sum(-1) <= 23_200_000
+    core = within.sum(1) >= 5
+    # min-label components over core-core edges (scalar union-find)
+    parent = {int(i): int(i) for i in ids[core]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.nonzero(core)[0]
+    for a in ci:
+        for b in ci:
+            if a < b and within[a, b]:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lab = {v: min(w for w in parent if find(w) == find(v))
+           for v in parent}
+    exp = {int(i): (lab[int(i)], 1) for i in ids[core]}
+    for bi in np.nonzero(~core)[0]:
+        cands = [lab[int(ids[cj])] for cj in ci if within[bi, cj]]
+        if cands:
+            exp[int(ids[bi])] = (min(cands), 0)
+    got = {int(r["vec_id"]): (int(r["cluster"]), int(r["is_core"]))
+           for _, r in out.iterrows()}
+    assert got == exp
