@@ -8874,6 +8874,92 @@ def q_returned_items(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Per-cluster mean silhouette of the embeddings' ground-truth labels
+    (squared-distance variant, vec_id < 800) with EXACT integer
+    arithmetic end-to-end — the clustering-evaluation staple: vectors
+    quantize to int64 (the `dbscan` ×4096 power-of-two trick), one
+    map-only pass against the broadcast matrix emits each point's
+    per-label distance sums (O(points × labels) int64 — never pairs),
+    and every point finishes as pure integer algebra: a = own-cluster
+    mean (excl. self), b = min other-cluster mean via CROSS-MULTIPLIED
+    comparisons, and the shifted score milli((b−a)/m + 1) =
+    1000·(2·Sb·Na − Sa·Nb) // (Sb·Na) keeps every operand positive so
+    floor-div equals SQL's truncating // (magnitude ≲ 6e16, within
+    int64).  Singleton clusters score the conventional 0 (shift 1000)."""
+    from ..functions.vectors import half_away, list_column_to_2d
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+               blocks=8)
+
+    def cap(tbl: pa.Table) -> pa.Table:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids < 800))
+
+    ds = ds.map_batches(cap, batch_format="pyarrow").materialize()
+    mat_tbl = pa.concat_tables(list(ds.iter_batches(
+        batch_format="pyarrow")))
+    ids = mat_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    labels = mat_tbl["label"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    q = half_away(list_column_to_2d(mat_tbl["embedding"])
+                  .astype(np.float64) * 4096.0).astype(np.int64)[order]
+    ref = ray.put((labels, q))
+    ulab = np.unique(labels)
+    lab_count = {int(u): int((labels == u).sum()) for u in ulab}
+
+    def sums_pass(tbl: pa.Table) -> pa.Table:
+        alab, amat = ray.get(ref)
+        bids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bq = half_away(list_column_to_2d(tbl["embedding"])
+                       .astype(np.float64) * 4096.0).astype(np.int64)
+        cols = {"vec_id": pa.array(np.repeat(bids, len(ulab))),
+                "lab": pa.array(np.tile(ulab, len(bids)))}
+        sums = np.zeros((len(bids), len(ulab)), dtype=np.int64)
+        for s0 in range(0, len(amat), 512):
+            diff = bq[:, None, :] - amat[None, s0:s0 + 512, :]
+            d2 = (diff * diff).sum(axis=2)
+            seg = alab[s0:s0 + 512]
+            for li_, u in enumerate(ulab):
+                sums[:, li_] += d2[:, seg == u].sum(axis=1)
+        cols["s"] = pa.array(sums.reshape(-1))
+        return pa.table(cols)
+
+    rows = pa.concat_tables(list(
+        ds.map_batches(sums_pass, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    own_lab = dict(zip(ids[order].tolist(), labels.tolist()))
+    per_point = {}
+    for vid, grp in rows.groupby("vec_id"):
+        lab = own_lab[int(vid)]
+        na = lab_count[lab] - 1
+        if na == 0:
+            per_point[int(vid)] = (lab, 1000)
+            continue
+        sa = int(grp[grp["lab"] == lab]["s"].iloc[0])
+        best = None  # min other mean via cross-multiplied compare
+        for _, r in grp[grp["lab"] != lab].iterrows():
+            cand = (int(r["s"]), lab_count[int(r["lab"])])
+            if best is None or cand[0] * best[1] < best[0] * cand[1]:
+                best = cand
+        sb, nb = best
+        if sb * na >= sa * nb:      # b ≥ a → m = b
+            milli = 1000 * (2 * sb * na - sa * nb) // (sb * na)
+        else:                       # m = a
+            milli = 1000 * sb * na // (sa * nb)
+        per_point[int(vid)] = (lab, milli)
+    out = pd.DataFrame(
+        [(lab, v) for lab, v in per_point.values()],
+        columns=["label", "milli"])
+    g = out.groupby("label", as_index=False).agg(
+        n=("milli", "size"), sum_shifted_milli=("milli", "sum"))
+    g["mean_shifted_milli"] = (g["sum_shifted_milli"] * 1000
+                               // g["n"])
+    return g.astype(np.int64).sort_values("label").reset_index(drop=True)
+
+
 def q_dbscan(sf_dir: str) -> pd.DataFrame:
     """Exact DBSCAN over the embeddings table (ε² = 23.2M quantized
     units² ≈ 1.383, min_pts = 5, vec_id < 800 bounding both twins'
@@ -9734,6 +9820,7 @@ QUERIES = {
     "stream_asof_retract": q_stream_asof_retract,
     "asof_attribution": q_asof_attribution,
     "dbscan": q_dbscan,
+    "silhouette": q_silhouette,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
     "ngram_containment": q_ngram_containment,
@@ -11977,6 +12064,48 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "silhouette": """
+        WITH v AS (SELECT vec_id, label::BIGINT AS label,
+                          list_transform(embedding,
+                              x -> CAST(round(x::DOUBLE * 4096)
+                                        AS BIGINT)) AS q
+                   FROM embeddings WHERE vec_id < 800),
+        lc AS (SELECT label, count(*)::BIGINT AS n FROM v GROUP BY label),
+        p AS (SELECT list_reduce(list(n::HUGEINT), (x, y) -> x * y)
+                  AS prod FROM lc),
+        s AS (SELECT a.vec_id, a.label AS own, b.label AS lab,
+                     sum(list_sum(list_transform(
+                         range(1, len(a.q) + 1),
+                         k -> (a.q[k] - b.q[k]) * (a.q[k] - b.q[k])
+                     )))::HUGEINT AS s
+              FROM v a, v b
+              GROUP BY a.vec_id, a.label, b.label),
+        own AS (SELECT vec_id, own, s AS sa FROM s WHERE lab = own),
+        oth AS (SELECT s.vec_id, s.s AS sb, lc2.n AS nb,
+                       row_number() OVER (PARTITION BY s.vec_id
+                           ORDER BY s.s * (p.prod / lc2.n), s.s, lc2.n)
+                           AS rn
+                FROM s JOIN lc lc2 ON lc2.label = s.lab, p
+                WHERE s.lab <> s.own),
+        pt AS (SELECT o.vec_id, o.own AS label, o.sa,
+                      (lc.n - 1)::HUGEINT AS na, m.sb,
+                      m.nb::HUGEINT AS nb
+               FROM own o JOIN lc ON lc.label = o.own
+               JOIN oth m ON m.vec_id = o.vec_id AND m.rn = 1),
+        sc AS (SELECT label,
+                      CASE WHEN na = 0 THEN 1000::HUGEINT
+                           WHEN sb * na >= sa * nb
+                           THEN 1000 * (2 * sb * na - sa * nb)
+                                // (sb * na)
+                           ELSE 1000 * sb * na // (sa * nb)
+                      END AS milli
+               FROM pt)
+        SELECT label, count(*)::BIGINT AS n,
+               sum(milli)::BIGINT AS sum_shifted_milli,
+               (sum(milli) * 1000 // count(*))::BIGINT
+                   AS mean_shifted_milli
+        FROM sc GROUP BY label ORDER BY label
     """,
     "returned_items": """
         WITH rev AS (

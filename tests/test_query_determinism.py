@@ -471,3 +471,43 @@ def test_returned_items_topk_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert len(a) <= 20
     assert a["revenue"].is_monotonic_decreasing
+
+
+def test_silhouette_matches_scalar_reference(ray_session):
+    """Per-cluster shifted-milli means must equal a scalar recompute with
+    exact fractions (squared-distance silhouette, quantized vectors)."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_silhouette(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = ids < 800
+    lab = t["label"].to_numpy(zero_copy_only=False)[keep].astype(int)
+    q = half_away(np.stack(t["embedding"].to_pandas().to_numpy())[keep]
+                  .astype(np.float64) * 4096.0).astype(np.int64)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    per_label = {}
+    for i in range(len(q)):
+        own = lab[i]
+        na = (lab == own).sum() - 1
+        if na == 0:
+            milli = 1000
+        else:
+            a = Fraction(int(d2[i][lab == own].sum()), int(na))
+            b = min(Fraction(int(d2[i][lab == u].sum()),
+                             int((lab == u).sum()))
+                    for u in set(lab) if u != own)
+            m = max(a, b)
+            milli = int(((b - a + m) * 1000) / m)  # exact floor on ≥0
+            milli = ((b - a + m) * 1000) // m
+        per_label.setdefault(own, []).append(int(milli))
+    for _, r in out.iterrows():
+        ms = per_label[int(r["label"])]
+        assert int(r["n"]) == len(ms)
+        assert int(r["sum_shifted_milli"]) == sum(ms)
+        assert int(r["mean_shifted_milli"]) == sum(ms) * 1000 // len(ms)
