@@ -128,7 +128,8 @@ def run_bench() -> dict:
         "winsorized_mean", "clustering_coeff", "stream_asof_join",
         "ngram_containment", "grouping_sets", "bollinger_days",
         "range_rolling", "stream_asof_retract", "asof_attribution", "dbscan",
-        "local_supplier_volume", "returned_items", "silhouette")
+        "local_supplier_volume", "returned_items", "silhouette",
+        "funnel3", "seasonal_trend")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

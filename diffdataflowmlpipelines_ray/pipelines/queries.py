@@ -8874,6 +8874,92 @@ def q_returned_items(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_funnel3(sf_dir: str) -> pd.DataFrame:
+    """Strictly-ordered three-step funnel (view → click → purchase):
+    per user, the first view, the first click AFTER it, and the first
+    purchase after THAT — the `funnel` query's 2-step chain generalized
+    to the windowed-funnel shape product analytics ships.  ONE
+    hash(user) bucket shuffle co-locates each user's events; inside the
+    bucket the chain is three vectorized groupby-mins over exact integer
+    µs (strict > comparisons, no floats); per-bucket (s1, s2, s3)
+    partials fold on the driver and conversions report as floor-div
+    micro."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"],
+               blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.isin(et, ("view", "click", "purchase"))
+        tbl = tbl.filter(pa.array(keep))
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pdf = pd.DataFrame({"u": pdf["user_id"].to_numpy(),
+                            "e": pdf["event_type"].to_numpy(), "t": t})
+        t1 = (pdf[pdf["e"] == "view"].groupby("u")["t"].min()
+              .rename("t1"))
+        c = pdf[pdf["e"] == "click"].merge(t1, left_on="u",
+                                           right_index=True)
+        t2 = (c[c["t"] > c["t1"]].groupby("u")["t"].min().rename("t2"))
+        p = pdf[pdf["e"] == "purchase"].merge(t2, left_on="u",
+                                              right_index=True)
+        t3 = p[p["t"] > p["t2"]].groupby("u")["t"].min()
+        return pd.DataFrame({"s1": [np.int64(len(t1))],
+                             "s2": [np.int64(len(t2))],
+                             "s3": [np.int64(len(t3))]})
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(chain, batch_format="pandas")
+             .to_pandas())
+    s1, s2, s3 = (int(parts["s1"].sum()), int(parts["s2"].sum()),
+                  int(parts["s3"].sum()))
+    return pd.DataFrame({
+        "step1_users": pd.Series([s1], dtype=np.int64),
+        "step2_users": pd.Series([s2], dtype=np.int64),
+        "step3_users": pd.Series([s3], dtype=np.int64),
+        "conv12_micro": pd.Series([s2 * 1_000_000 // s1], dtype=np.int64),
+        "conv23_micro": pd.Series([s3 * 1_000_000 // s2], dtype=np.int64),
+        "conv13_micro": pd.Series([s3 * 1_000_000 // s1], dtype=np.int64),
+    })
+
+
+def q_seasonal_trend(sf_dir: str) -> pd.DataFrame:
+    """Centered 7-day trend/deviation decomposition of daily volume with
+    ZERO division: trend7_sum is the ROWS-framed centered window sum
+    (3 preceding, 3 following), dev7 = 7·c − trend7_sum is the exact
+    integer deviation-from-trend in septa-units (may be negative — it is
+    never divided, so no floor-vs-truncate hazard exists), and full_win
+    flags the days with a complete 7-row window on both twins.  Day
+    counts fold from per-block ``np.unique`` partials through one tiny
+    groupby; the windowed pass is O(days) driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    days = np.array(list(cnt.keys()), dtype=np.int64)
+    c = np.array(list(cnt.values()), dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(c)])
+    n = len(c)
+    lo = np.maximum(np.arange(n) - 3, 0)
+    hi = np.minimum(np.arange(n) + 3, n - 1)
+    t7 = cs[hi + 1] - cs[lo]
+    full = ((hi - lo) == 6).astype(np.int64)
+    return pd.DataFrame({"day": days, "n_events": c,
+                         "trend7_sum": t7, "dev7": 7 * c - t7,
+                         "full_win": full})
+
+
 def q_silhouette(sf_dir: str) -> pd.DataFrame:
     """Per-cluster mean silhouette of the embeddings' ground-truth labels
     (squared-distance variant, vec_id < 800) with EXACT integer
@@ -9821,6 +9907,8 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
+    "funnel3": q_funnel3,
+    "seasonal_trend": q_seasonal_trend,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
     "ngram_containment": q_ngram_containment,
@@ -12064,6 +12152,42 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "funnel3": """
+        WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id),
+        u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e JOIN u1 ON u1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+               GROUP BY e.user_id),
+        u3 AS (SELECT e.user_id
+               FROM events e JOIN u2 ON u2.user_id = e.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > u2.t2
+               GROUP BY e.user_id),
+        k AS (SELECT (SELECT count(*) FROM u1) AS s1,
+                     (SELECT count(*) FROM u2) AS s2,
+                     (SELECT count(*) FROM u3) AS s3)
+        SELECT s1::BIGINT AS step1_users, s2::BIGINT AS step2_users,
+               s3::BIGINT AS step3_users,
+               (s2 * 1000000 // s1)::BIGINT AS conv12_micro,
+               (s3 * 1000000 // s2)::BIGINT AS conv23_micro,
+               (s3 * 1000000 // s1)::BIGINT AS conv13_micro
+        FROM k
+    """,
+    "seasonal_trend": """
+        WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY d)
+        SELECT d::BIGINT AS day, c AS n_events,
+               sum(c) OVER win::BIGINT AS trend7_sum,
+               (7 * c - sum(c) OVER win)::BIGINT AS dev7,
+               (count(*) OVER win = 7)::BIGINT AS full_win
+        FROM dc
+        WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)
+        ORDER BY day
     """,
     "silhouette": """
         WITH v AS (SELECT vec_id, label::BIGINT AS label,

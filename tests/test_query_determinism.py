@@ -511,3 +511,34 @@ def test_silhouette_matches_scalar_reference(ray_session):
         assert int(r["n"]) == len(ms)
         assert int(r["sum_shifted_milli"]) == sum(ms)
         assert int(r["mean_shifted_milli"]) == sum(ms) * 1000 // len(ms)
+
+
+def test_funnel3_monotone_and_consistent_with_funnel(ray_session):
+    """Step counts are monotone non-increasing and conversions replay the
+    floor-div formula from the reported counts."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_funnel3(SF)
+    s1, s2, s3 = (int(out["step1_users"].iloc[0]),
+                  int(out["step2_users"].iloc[0]),
+                  int(out["step3_users"].iloc[0]))
+    assert s1 >= s2 >= s3 >= 0
+    assert int(out["conv12_micro"].iloc[0]) == s2 * 1_000_000 // s1
+    assert int(out["conv23_micro"].iloc[0]) == s3 * 1_000_000 // s2
+    assert int(out["conv13_micro"].iloc[0]) == s3 * 1_000_000 // s1
+
+
+def test_seasonal_trend_telescopes(ray_session):
+    """dev7 must telescope: Σ dev7 over any full-window span equals
+    7·Σc − Σ trend7_sum, and each trend7_sum re-derives from counts."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_seasonal_trend(SF)
+    c = out["n_events"].to_numpy()
+    t7 = out["trend7_sum"].to_numpy()
+    n = len(c)
+    for i in range(n):
+        lo, hi = max(i - 3, 0), min(i + 3, n - 1)
+        assert t7[i] == c[lo:hi + 1].sum()
+        assert int(out["full_win"].iloc[i]) == int(hi - lo == 6)
+    assert (out["dev7"].to_numpy() == 7 * c - t7).all()
