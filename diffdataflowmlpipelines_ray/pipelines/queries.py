@@ -8874,6 +8874,82 @@ def q_returned_items(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_sssp_bounded(sf_dir: str) -> pd.DataFrame:
+    """Bounded-hop single-source shortest paths over the weighted orders
+    graph (edge {o_custkey, o_orderkey % 1500}, weight = min order cents
+    per edge, source = node 0, ≤ 4 hops) — Bellman-Ford as data-parallel
+    relaxation: each round is one narrow groupby-min exchange of
+    (neighbor, dist + w) offers joined against the frontier, distances
+    exact int64 cents so min is drift-free.  The oracle unrolls the same
+    4 relaxation rounds as chained CTEs (the `pagerank_exact` pattern).
+    Scale: edges pre-reduce to min-weight per (u, v) inside blocks before
+    ONE dedup groupby; each round's frontier rides a bucketed exchange
+    keyed hash(node); 4 rounds fixed — no unbounded iteration."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def mk_edges(tbl: pa.Table) -> pd.DataFrame:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        w = _half_away(tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100.0).astype(np.int64)
+        keep = a != b
+        pdf = pd.DataFrame({"u": np.minimum(a[keep], b[keep]),
+                            "v": np.maximum(a[keep], b[keep]),
+                            "w": w[keep]})
+        return pdf.groupby(["u", "v"], as_index=False).agg(
+            w=("w", "min"))
+
+    def add_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__b"] = (pdf["u"].to_numpy() % 64).astype(np.int64)
+        return pdf
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_b, batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda p: p.groupby(["u", "v"], as_index=False)
+                         .agg(w=("w", "min")), batch_format="pandas")
+             .materialize())
+
+    # undirected: offers flow both ways; 4 fixed relaxation rounds.
+    # Frontier is tiny (≤ nodes) → broadcast each round; the offer
+    # generation and min-reduction run where the edges live.
+    dist = {0: 0}
+    for _ in range(4):
+        dref = ray.put(dist)
+
+        def offers(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dref)
+            out = []
+            for a, b in (("u", "v"), ("v", "u")):
+                src = pdf[a].map(d)
+                hit = src.notna()
+                if hit.any():
+                    out.append(pd.DataFrame({
+                        "n": pdf[b].to_numpy()[hit.to_numpy()],
+                        "d": (src[hit].to_numpy(dtype=np.int64)
+                              + pdf["w"].to_numpy()[hit.to_numpy()])}))
+            if not out:
+                return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                     "d": pd.Series([], dtype=np.int64)})
+            cat = pd.concat(out, ignore_index=True)
+            return cat.groupby("n", as_index=False).agg(d=("d", "min"))
+
+        parts = (edges.map_batches(offers, batch_format="pandas")
+                 .to_pandas())
+        if len(parts):
+            best = parts.groupby("n")["d"].min()
+            new = dict(dist)
+            for node, dd in best.items():
+                if int(node) not in new or dd < new[int(node)]:
+                    new[int(node)] = int(dd)
+            dist = new
+    out = pd.DataFrame(sorted(dist.items()),
+                       columns=["node", "dist_cents"])
+    return out.astype(np.int64)
+
+
 def q_funnel3(sf_dir: str) -> pd.DataFrame:
     """Strictly-ordered three-step funnel (view → click → purchase):
     per user, the first view, the first click AFTER it, and the first
@@ -9907,6 +9983,7 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
+    "sssp_bounded": q_sssp_bounded,
     "funnel3": q_funnel3,
     "seasonal_trend": q_seasonal_trend,
     "local_supplier_volume": q_local_supplier_volume,
@@ -12152,6 +12229,43 @@ ORACLES = {
                 AND (7 * c - s7) * (7 * c - s7)
                     > 4 * (7 * q7 - s7 * s7))::BIGINT AS down
         FROM w ORDER BY day
+    """,
+    "sssp_bounded": """
+        WITH e AS MATERIALIZED (
+            SELECT least(o_custkey, o_orderkey % 1500) AS u,
+                   greatest(o_custkey, o_orderkey % 1500) AS v,
+                   min(CAST(round(o_totalprice * 100) AS BIGINT)) AS w
+            FROM orders WHERE o_custkey <> o_orderkey % 1500
+            GROUP BY u, v),
+        ed AS MATERIALIZED (
+            SELECT u AS a, v AS b, w FROM e
+            UNION ALL SELECT v, u, w FROM e),
+        d0 AS MATERIALIZED (SELECT 0::BIGINT AS node, 0::BIGINT AS dist),
+        d1 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT ed.b, d0.dist + ed.w FROM d0
+                JOIN ed ON ed.a = d0.node) GROUP BY node),
+        d2 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT ed.b, d1.dist + ed.w FROM d1
+                JOIN ed ON ed.a = d1.node) GROUP BY node),
+        d3 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT ed.b, d2.dist + ed.w FROM d2
+                JOIN ed ON ed.a = d2.node) GROUP BY node),
+        d4 AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT ed.b, d3.dist + ed.w FROM d3
+                JOIN ed ON ed.a = d3.node) GROUP BY node)
+        SELECT node, dist AS dist_cents FROM d4 ORDER BY node
     """,
     "funnel3": """
         WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1

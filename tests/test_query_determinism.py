@@ -542,3 +542,37 @@ def test_seasonal_trend_telescopes(ray_session):
         assert t7[i] == c[lo:hi + 1].sum()
         assert int(out["full_win"].iloc[i]) == int(hi - lo == 6)
     assert (out["dev7"].to_numpy() == 7 * c - t7).all()
+
+
+def test_sssp_bounded_matches_scalar_bellman_ford(ray_session):
+    """Distances must equal 4 rounds of scalar Bellman-Ford on the same
+    min-weight undirected edge set, and obey the triangle inequality
+    one more relaxation round cannot improve by a negative amount."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_sssp_bounded(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_custkey", "o_orderkey",
+                               "o_totalprice"]).to_pandas()
+    a = o["o_custkey"].to_numpy()
+    b = o["o_orderkey"].to_numpy() % 1500
+    w = _half_away(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    keep = a != b
+    e = (pd.DataFrame({"u": np.minimum(a[keep], b[keep]),
+                       "v": np.maximum(a[keep], b[keep]), "w": w[keep]})
+         .groupby(["u", "v"], as_index=False).agg(w=("w", "min")))
+    dist = {0: 0}
+    for _ in range(4):
+        new = dict(dist)
+        for u, v, ww in e.itertuples(index=False):
+            for s, t in ((u, v), (v, u)):
+                if s in dist:
+                    c = dist[s] + ww
+                    if t not in new or c < new[t]:
+                        new[t] = c
+        dist = new
+    got = dict(zip(out["node"].astype(int), out["dist_cents"].astype(int)))
+    assert got == dist
