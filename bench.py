@@ -129,7 +129,8 @@ def run_bench() -> dict:
         "ngram_containment", "grouping_sets", "bollinger_days",
         "range_rolling", "stream_asof_retract", "asof_attribution", "dbscan",
         "local_supplier_volume", "returned_items", "silhouette",
-        "funnel3", "seasonal_trend", "sssp_bounded")
+        "funnel3", "seasonal_trend", "sssp_bounded",
+        "stream_asof_outer")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -1237,6 +1237,77 @@ def q_asof_attribution(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_stream_asof_outer(sf_dir: str) -> pd.DataFrame:
+    """LEFT-OUTER differential as-of: `AsofStreamJoin(emit_unmatched)`
+    sweeps finalized never-matched purchases into the `__unmatched`
+    side sink at watermark advance, and REPAIRS them differentially — a
+    late version that matches a swept purchase retracts its unmatched
+    row (−1) in the same epoch it emits the pair (+1), and a version
+    death re-emits it (+1).  After the full feed + a click-subset
+    retraction + a final advance beyond max ts, net(matches) ∪
+    net(unmatched, c_id = −1) must equal DuckDB's batch ``ASOF LEFT
+    JOIN`` over the surviving clicks — every purchase exactly once."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts", "value"])
+    et = ev["event_type"].to_numpy(zero_copy_only=False)
+    pur = ev.filter(pa.array(et == "purchase"))
+    clk = ev.filter(pa.array(et == "click"))
+    left = pa.table({
+        "user_id": pur["user_id"],
+        "p_id": pur["event_id"],
+        "p_cents": pa.array(_half_away(
+            pur["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0).astype(np.int64)),
+        "ts": pur["ts"],
+    })
+    cdf = (clk.select(["user_id", "ts", "event_id"]).to_pandas()
+           .groupby(["user_id", "ts"], as_index=False)
+           .agg(c_id=("event_id", "max"))
+           .sort_values("ts", kind="mergesort"))
+    right = pa.Table.from_pandas(cdf, preserve_index=False)
+    max_ts = float(pd.Timestamp(
+        ev["ts"].to_numpy(zero_copy_only=False).max()).timestamp()) + 1.0
+
+    sess = StreamSession(_tmp("asofo"), num_shards=4)
+    sess.add(AsofStreamJoin(name="aj", left_input="P", right_input="C",
+                            left_key=["user_id"], right_key=["user_id"],
+                            left_cols=["p_id", "p_cents"],
+                            right_cols=["c_id"],
+                            left_ts="ts", right_ts="ts",
+                            emit_unmatched=True))
+    try:
+        # purchases + half the clicks, then an EARLY advance past max ts
+        # (sweeps the currently-unmatched), then the LATE other half
+        # (repairs swept rows), then a click-subset retraction, then a
+        # final advance for stragglers
+        c_ids = right["c_id"].to_numpy(zero_copy_only=False)
+        first = right.filter(pa.array(c_ids % 2 == 0))
+        late = right.filter(pa.array(c_ids % 2 == 1))
+        sess.process_epoch(0, {"P": rd.from_arrow(left),
+                               "C": rd.from_arrow(first)},
+                           watermark=max_ts)
+        sess.process_epoch(1, {"C": rd.from_arrow(late)})
+        dead = right.filter(pa.array(c_ids % 3 == 0))
+        dead = dead.append_column(
+            "diff", pa.array(np.full(dead.num_rows, -1, dtype=np.int64)))
+        sess.process_epoch(2, {"C": rd.from_arrow(dead)})
+        sess.process_epoch(3, {}, watermark=max_ts + 1.0)
+        m = sess.sinks["aj"].read_committed_table().to_pandas()
+        u = sess.sinks["aj__unmatched"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    ma = (m.groupby(["user_id", "p_id", "p_cents", "c_id"],
+                    as_index=False)["diff"].sum())
+    ma = ma[ma["diff"] > 0].drop(columns=["diff"])
+    ua = (u.groupby(["user_id", "p_id", "p_cents"],
+                    as_index=False)["diff"].sum())
+    ua = ua[ua["diff"] > 0].drop(columns=["diff"])
+    ua["c_id"] = np.int64(-1)
+    out = pd.concat([ma, ua], ignore_index=True)
+    return (out.sort_values("p_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_stream_join3(sf_dir: str) -> pd.DataFrame:
     """Three-way incremental stream join as a DELTA-JOIN CASCADE:
     customer ⋈ orders chained in-session into (customer ⋈ orders) ⋈
@@ -9981,6 +10052,7 @@ QUERIES = {
     "stream_asof_join": q_stream_asof_join,
     "stream_asof_retract": q_stream_asof_retract,
     "asof_attribution": q_asof_attribution,
+    "stream_asof_outer": q_stream_asof_outer,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12414,6 +12486,20 @@ ORACLES = {
         UNION ALL
         SELECT vec_id::BIGINT, cluster::BIGINT, 0::BIGINT FROM bord
         ORDER BY vec_id
+    """,
+    "stream_asof_outer": """
+        WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts),
+        c AS (SELECT * FROM c0 WHERE c_id % 3 <> 0),
+        p AS (SELECT user_id, event_id AS p_id,
+                     CAST(round(value * 100) AS BIGINT) AS p_cents, ts
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id::BIGINT AS user_id, p_id::BIGINT AS p_id,
+               p_cents, coalesce(c_id, -1)::BIGINT AS c_id
+        FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p_id
     """,
     "asof_attribution": """
         WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

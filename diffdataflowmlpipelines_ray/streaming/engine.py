@@ -1247,9 +1247,12 @@ class AsofStreamJoin(StreamJoin):
             raise ValueError("AsofStreamJoin requires identical key column "
                              f"names on both sides (got {self.left_key} vs "
                              f"{self.right_key})")
-        if self.max_dt is not None or self.emit_unmatched:
-            raise ValueError("AsofStreamJoin does not support max_dt or "
-                             "emit_unmatched")
+        if self.max_dt is not None:
+            raise ValueError("AsofStreamJoin does not support max_dt")
+        if self.emit_unmatched not in (False, True, "left"):
+            raise ValueError("AsofStreamJoin emit_unmatched supports only "
+                             "LEFT outer (True/'left') — the right side "
+                             "is a version history, not a match partner")
 
     def out_names(self) -> list:
         return list(dict.fromkeys(
@@ -1274,6 +1277,7 @@ class AsofStreamJoin(StreamJoin):
                     "key": keys,
                     "out_names": self.out_names(),
                     "right_cols": list(self.right_cols),
+                    "track_unmatched": bool(self.emit_unmatched),
                 })[side] = pdf[sid == s].reset_index(drop=True)
         return payloads
 
@@ -1284,6 +1288,27 @@ class AsofStreamJoin(StreamJoin):
                              for n in names + ["diff", "epoch"]})
         cat = pd.concat(frames, ignore_index=True)
         df = cat[names + ["diff"]].copy()
+        df["epoch"] = np.int64(epoch)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def unmatched_asof_to_table(self, frames: list, epoch: int,
+                                with_diff: bool = True) -> pa.Table:
+        """Unmatched-left ±deltas (or sweep +rows) → Arrow: left columns
+        + the left ts column (float seconds) + diff + epoch."""
+        names = [c for c in self.out_names()
+                 if c not in list(self.right_cols)]
+        if not frames:
+            cols = {n: pa.array([]) for n in names}
+            cols[self.left_ts] = pa.array([], type=pa.float64())
+            cols["diff"] = pa.array([], type=pa.int64())
+            cols["epoch"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        cat = pd.concat(frames, ignore_index=True)
+        df = cat[names].copy()
+        if self.left_ts not in df.columns:  # else keep the carried one
+            df[self.left_ts] = cat["__ts_left"].astype(np.float64)
+        df["diff"] = (cat["diff"].astype(np.int64)
+                      if "diff" in cat.columns else np.int64(1))
         df["epoch"] = np.int64(epoch)
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -2207,6 +2232,11 @@ class StreamSession:
         keys = list(op.left_key)
         out_names = op.out_names()
         right_cols = list(op.right_cols)
+        track_um = bool(op.emit_unmatched)
+        usink_root = (str(self.sinks[f"{name}__unmatched"].root)
+                      if track_um else None)
+        left_ts_name = op.left_ts
+        left_names = [c for c in out_names if c not in right_cols]
 
         def part_fn(side: str):
             def f(tbl: pa.Table) -> pa.Table:
@@ -2244,7 +2274,8 @@ class StreamSession:
             sid = int(pdf["__shard"].iloc[0])
             payload: dict[str, Any] = {
                 "key": keys, "out_names": out_names,
-                "right_cols": right_cols}
+                "right_cols": right_cols,
+                "track_unmatched": track_um}
             for side in ("left", "right"):
                 blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
                 if blobs:
@@ -2255,28 +2286,58 @@ class StreamSession:
                 name, epoch, pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)
             ))
-            df = pickle.loads(blob)
-            if df is None or not len(df):
-                return pd.DataFrame({"rows": pd.Series([], dtype="int64"),
-                                     "entry": pd.Series([], dtype="object")})
-            out = df[out_names + ["diff"]].copy()
-            out["epoch"] = np.int64(epoch)
-            entry = write_epoch_part(
-                sink_root, epoch,
-                pa.Table.from_pandas(out, preserve_index=False),
-                tag=f"shard{sid:04d}", fsync=do_fsync,
-            )
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)]})
+            r = pickle.loads(blob)
+            if isinstance(r, dict):
+                df, udf = r.get("m"), r.get("u")
+            else:
+                df, udf = r, None
+            recs = []
+            if df is not None and len(df):
+                out = df[out_names + ["diff"]].copy()
+                out["epoch"] = np.int64(epoch)
+                entry = write_epoch_part(
+                    sink_root, epoch,
+                    pa.Table.from_pandas(out, preserve_index=False),
+                    tag=f"shard{sid:04d}", fsync=do_fsync,
+                )
+                recs.append((entry["rows"], json.dumps(entry), "m"))
+            if udf is not None and len(udf):
+                uo = udf[left_names].copy()
+                if left_ts_name not in uo.columns:
+                    uo[left_ts_name] = udf["__ts_left"].astype(np.float64)
+                uo["diff"] = udf["diff"].astype(np.int64)
+                uo["epoch"] = np.int64(epoch)
+                uentry = write_epoch_part(
+                    usink_root, epoch,
+                    pa.Table.from_pandas(uo, preserve_index=False),
+                    tag=f"shard{sid:04d}", fsync=do_fsync,
+                )
+                recs.append((uentry["rows"], json.dumps(uentry), "u"))
+            if not recs:
+                return pd.DataFrame({
+                    "rows": pd.Series([], dtype="int64"),
+                    "entry": pd.Series([], dtype="object"),
+                    "chan": pd.Series([], dtype="object")})
+            rws, ents, chans = zip(*recs)
+            return pd.DataFrame({"rows": list(rws), "entry": list(ents),
+                                 "chan": list(chans)})
 
         entries = (
             parts.groupby("__shard")
             .map_groups(probe_group, batch_format="pandas")
             .take_all()
         )
-        files = [json.loads(r["entry"]) for r in entries]
+        files = [json.loads(r["entry"]) for r in entries
+                 if r["chan"] == "m"]
         self.sinks[name].commit_files(epoch, files,
                                       meta=self._meta(kind="asof_join"))
+        if track_um:
+            ufiles = [json.loads(r["entry"]) for r in entries
+                      if r["chan"] == "u"]
+            if ufiles:  # non-empty only (same rule as the Table path)
+                self.sinks[f"{name}__unmatched"].commit_files(
+                    epoch, ufiles,
+                    meta=self._meta(kind="asof_unmatched"))
         return sum(f["rows"] for f in files)
 
     def _enrich_probe_epoch(self, op: "EnrichJoin", name: str, epoch: int,
@@ -3115,11 +3176,21 @@ class StreamSession:
                 if payloads:
                     frames = self.store.asof_insert_probe(
                         name, epoch, payloads)
-                    tbl = op.asof_to_table(frames, epoch)
+                    tbl = op.asof_to_table(frames["m"], epoch)
                     self.sinks[name].commit_tables(
                         epoch, [tbl], meta=self._meta(kind="asof_join"))
                     emitted[name] = tbl
                     self.metrics["emitted_rows"] += tbl.num_rows
+                    if op.emit_unmatched and frames["u"]:
+                        # non-empty only: an empty commit would occupy
+                        # this epoch's id and starve the advance-sweep
+                        utbl = op.unmatched_asof_to_table(
+                            frames["u"], epoch)
+                        self.sinks[f"{name}__unmatched"].commit_tables(
+                            epoch, [utbl],
+                            meta=self._meta(kind="asof_unmatched"))
+                        emitted[f"{name}__unmatched"] = utbl
+                        self.metrics["emitted_rows"] += utbl.num_rows
             elif isinstance(op, StreamJoin):
                 left_tbl = avail.get(op.left_input)
                 right_tbl = avail.get(op.right_input)
@@ -3353,6 +3424,28 @@ class StreamSession:
                 emitted[name] = tbl
                 self.metrics["emitted_rows"] += tbl.num_rows
             elif isinstance(op, AsofStreamJoin):
+                if op.emit_unmatched:
+                    usink = self.sinks[f"{name}__unmatched"]
+                    if usink.is_committed(epoch):
+                        # this epoch's id carried in-epoch ± repairs; the
+                        # sweep defers to the next advance — the bound is
+                        # monotone and unswept rows stay eligible, so
+                        # nothing is lost, only deferred
+                        pass
+                    else:
+                        # sweep BEFORE expiry: a finalized unmatched left
+                        # owes its +1 before retention may drop it
+                        frames = self.store.asof_sweep_unmatched(
+                            name, self.watermark)
+                        tbl = op.unmatched_asof_to_table(frames, epoch)
+                        usink.commit_tables(
+                            epoch, [tbl],
+                            meta=self._meta(watermark=self.watermark,
+                                            op=name,
+                                            kind="asof_unmatched"),
+                        )
+                        emitted[f"{name}__unmatched"] = tbl
+                        self.metrics["emitted_rows"] += tbl.num_rows
                 if op.retention is not None:
                     self.store.asof_expire(
                         name, self.watermark - op.retention)

@@ -28,6 +28,7 @@ independent and can live on any node.
 from __future__ import annotations
 
 import hashlib
+import math
 import pickle
 from typing import Any
 
@@ -94,6 +95,8 @@ class StateShard:
         # left carries __match_ts (ts of its current right version, NaN if
         # unmatched); right is the per-key version history
         self.asof: dict[str, dict[str, Any]] = {}
+        # left-outer as-of: per-op unmatched-sweep high-water bound
+        self._asof_um_bound: dict[str, float] = {}
         # CEP pattern buffers: name -> key -> {(ts, type): count}
         self.patterns: dict[str, dict[bytes, dict]] = {}
         # streaming near-dup: name -> band-bucket -> [(doc_id, sig bytes)]
@@ -1194,9 +1197,18 @@ class StateShard:
         nl, nl_ret = split(sides.get("left"), "left")
         nr, nr_ret = split(sides.get("right"), "right")
         outs: list[pd.DataFrame] = []
+        track_um = bool(sides.get("track_unmatched"))
+        um_outs: list[pd.DataFrame] = []
+        um_bound = self._asof_um_bound.get(name, -math.inf)
+        left_names = [c for c in out_names if c not in right_cols]
         rd_src = nr if nr is not None else buf.get("right")
         rdtypes = ({c: rd_src[c].dtype for c in right_cols}
                    if rd_src is not None else {})
+
+        def emit_um(df: pd.DataFrame, sign: int) -> None:
+            out = df[left_names + ["__ts_left"]].copy()
+            out["diff"] = np.int64(sign)
+            um_outs.append(out)
 
         def emit(df: pd.DataFrame, sign: int) -> None:
             out = df[out_names].copy()
@@ -1256,6 +1268,14 @@ class StateShard:
                     old.iloc[
                         rows, old.columns.get_loc("__match_ts")
                     ] = hit["__ts_right"].to_numpy()
+                    if track_um and "__um" in old.columns:
+                        # a swept-unmatched left just gained a match:
+                        # retract its outstanding unmatched row
+                        was = old["__um"].to_numpy()[rows]
+                        if was.any():
+                            emit_um(old.iloc[rows[was]], -1)
+                            old.iloc[rows[was],
+                                     old.columns.get_loc("__um")] = False
                     buf["left"] = old
             right_all = (nr if right_all is None
                          else pd.concat([right_all, nr],
@@ -1315,11 +1335,23 @@ class StateShard:
                         emit(hit, +1)
                         L.loc[hit["__row"].to_numpy(), "__match_ts"] = \
                             hit["__ts_right"].to_numpy()
+                if track_um and "__um" in L.columns:
+                    # finalized lefts that lost their match with no
+                    # survivor become unmatched NOW (+1 to the side)
+                    now_um = (L["__match_ts"].isna()
+                              & ~L["__um"].astype(bool)
+                              & (L["__ts_left"] <= um_bound))
+                    now_um.loc[~L.index.isin(idx)] = False
+                    if now_um.any():
+                        emit_um(L[now_um], +1)
+                        L.loc[now_um, "__um"] = True
                 buf["left"] = L
 
         if nl is not None and len(nl):
             nl = nl.reset_index(drop=True)
             nl["__match_ts"] = np.nan
+            if track_um:
+                nl["__um"] = False
             if right_all is not None and len(right_all):
                 nls = nl.assign(__row=np.arange(len(nl))).sort_values(
                     "__ts_left", kind="mergesort", ignore_index=True)
@@ -1343,7 +1375,8 @@ class StateShard:
             if L is None or not len(L):
                 raise ValueError("asof: retracting left row(s) from an "
                                  "empty buffer")
-            idc = [c for c in nl_ret.columns]  # full row identity
+            idc = [c for c in nl_ret.columns
+                   if c not in ("__um",)]  # full row identity
             # multiset subtraction: pair the i-th duplicate of each
             # identity on both sides (deterministic, vectorized)
             Lr = L.reset_index()
@@ -1360,12 +1393,50 @@ class StateShard:
             if len(had):
                 emit(had.merge(val_lookup(right_all),
                                on=lk + ["__match_ts"]), -1)
+            if track_um and "__um" in hit.columns:
+                umhit = hit[hit["__um"].astype(bool)]
+                if len(umhit):  # retracting a swept-unmatched left
+                    emit_um(umhit, -1)
             keep = L.drop(index=hit["index"].to_numpy())
             buf["left"] = (keep.reset_index(drop=True) if len(keep)
                            else None)
+        if track_um:
+            return _dumps({
+                "m": (pd.concat(outs, ignore_index=True) if outs
+                      else None),
+                "u": (pd.concat(um_outs, ignore_index=True) if um_outs
+                      else None)})
         if not outs:
             return _dumps(None)
         return _dumps(pd.concat(outs, ignore_index=True))
+
+    def asof_sweep_unmatched(self, name: str, bound: float) -> bytes:
+        """Left-outer as-of finalization: emit (+1) every buffered left
+        with event time ≤ ``bound`` that has no current match and no
+        outstanding unmatched emission, and flag it — a later version
+        that matches it retracts the row (−1) differentially, so the
+        side sink's net multiset is always {finalized lefts with no
+        current match}.  Monotone bound; re-sweeps emit nothing."""
+        import pandas as pd  # noqa: F401  (frame ops below)
+
+        self._asof_um_bound[name] = max(
+            self._asof_um_bound.get(name, -math.inf), float(bound))
+        bound = self._asof_um_bound[name]
+        buf = self.asof.get(name)
+        if buf is None:
+            return _dumps(None)
+        L = buf.get("left")
+        if L is None or not len(L) or "__um" not in L.columns:
+            return _dumps(None)
+        take = (L["__match_ts"].isna() & ~L["__um"].astype(bool)
+                & (L["__ts_left"] <= bound))
+        if not take.any():
+            return _dumps(None)
+        out = L[take].drop(columns=["__match_ts", "__um"])
+        L = L.copy()
+        L.loc[take, "__um"] = True
+        buf["left"] = L
+        return _dumps(out)
 
     def asof_expire(self, name: str, before: float) -> int:
         """Bound as-of state by event time: drop left rows below the
@@ -1410,6 +1481,7 @@ class StateShard:
                 "session_early": self.session_early,
                 "joins": self.joins,
                 "asof": self.asof,
+                "asof_um_bound": self._asof_um_bound,
                 "join_lid": self._join_lid,
                 "join_rid": self._join_rid,
                 "patterns": self.patterns,
@@ -1430,6 +1502,7 @@ class StateShard:
         self._session_touched = {}
         self.joins = st["joins"]
         self.asof = st.get("asof", {})
+        self._asof_um_bound = st.get("asof_um_bound", {})
         self._join_lid = st.get("join_lid", {})
         self._join_rid = st.get("join_rid", {})
         for jn, sides in self.joins.items():  # pre-lid snapshots: resume the
@@ -1854,18 +1927,35 @@ class ShardedStateStore:
         return sum(ray.get([s.join_expire.remote(name, expire_before) for s in self.shards]))
 
     def asof_insert_probe(self, name: str, epoch: int,
-                          per_shard: dict[int, dict]) -> list:
+                          per_shard: dict[int, dict]) -> dict:
         """per_shard: sid → {"left"/"right": DataFrame|None, "key": [...],
-        "out_names": [...], "right_cols": [...]} → emission DataFrames
-        (output cols + ``diff``)."""
+        "out_names": [...], "right_cols": [...]} → {"m": match-emission
+        frames, "u": unmatched-delta frames} (``u`` populated only when
+        the payload sets ``track_unmatched``)."""
         self.fence()
         refs = [
             self.shards[sid].asof_insert_probe.remote(
                 name, epoch, _dumps(payload))
             for sid, payload in sorted(per_shard.items())
         ]
-        out = []
+        out: dict[str, list] = {"m": [], "u": []}
         for b in ray.get(refs):
+            r = pickle.loads(b)
+            if r is None:
+                continue
+            if isinstance(r, dict):
+                for k in ("m", "u"):
+                    if r.get(k) is not None and len(r[k]):
+                        out[k].append(r[k])
+            elif len(r):
+                out["m"].append(r)
+        return out
+
+    def asof_sweep_unmatched(self, name: str, bound: float) -> list:
+        self.fence()
+        out = []
+        for b in ray.get([s.asof_sweep_unmatched.remote(name, bound)
+                          for s in self.shards]):
             df = pickle.loads(b)
             if df is not None and len(df):
                 out.append(df)
@@ -2025,6 +2115,13 @@ def rescale_blobs(blobs: dict[int, bytes], new_num_shards: int) -> dict[int, byt
             if R is not None and len(R):
                 buf["right"] = R.sort_values(
                     "__ts_right", kind="mergesort", ignore_index=True)
+    # unmatched-sweep bounds: per-name max, replicated to every shard
+    umb: dict[str, float] = {}
+    for st in states:
+        for t, v in (st.get("asof_um_bound") or {}).items():
+            umb[t] = max(umb.get(t, -float("inf")), float(v))
+    for o in out:
+        o["asof_um_bound"] = dict(umb)
 
     # join buffers: re-split rows by the shard_payloads hash rule
     for st in states:

@@ -5756,3 +5756,79 @@ class TestAsofStreamJoin:
         assert live["rid"].tolist() == [200]
         assert live["s"].tolist() == [100]
         sess.store.shutdown()
+
+    def _op_outer(self, retention=None):
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            AsofStreamJoin,
+        )
+
+        return AsofStreamJoin(
+            name="aj", left_input="L", right_input="R",
+            left_key=["k"], right_key=["k"],
+            left_cols=["lid"], right_cols=["rid", "rv"],
+            left_ts="lts", right_ts="rts", retention=retention,
+            emit_unmatched=True)
+
+    def test_outer_unmatched_sweep_and_repairs(self, ray_session,
+                                               tmp_path):
+        """The side sink's net multiset is always {finalized lefts with
+        no current match}: sweep +1, late-match −1, version-death +1,
+        left-retraction −1 — each in its own epoch, pinned exactly."""
+        sess = StreamSession(tmp_path / "o1", num_shards=2)
+        sess.add(self._op_outer())
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0),
+                                             (1, 101, 20.0)])},
+                           watermark=100.0)
+        u = sess.sinks["aj__unmatched"]
+        e0 = u.read_committed_table([0]).to_pandas()
+        assert sorted(e0["lid"]) == [100, 101]
+        assert (e0["diff"] == 1).all()
+        # late version at ts=15: 101 repairs (−1 unmatched, +1 match);
+        # 100 (ts=10 < 15) stays unmatched
+        sess.process_epoch(1, {"R": self._R([(1, 200, 5, 15.0)])})
+        e1 = u.read_committed_table([1]).to_pandas()
+        assert e1["lid"].tolist() == [101] and e1["diff"].tolist() == [-1]
+        # version death: 101 becomes unmatched again (+1)
+        sess.process_epoch(2, {"R": self._R([(1, 200, 5, 15.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e2 = u.read_committed_table([2]).to_pandas()
+        assert e2["lid"].tolist() == [101] and e2["diff"].tolist() == [1]
+        # left retraction of a swept-unmatched left: −1
+        sess.process_epoch(3, {"L": self._L([(1, 100, 10.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e3 = u.read_committed_table([3]).to_pandas()
+        assert e3["lid"].tolist() == [100] and e3["diff"].tolist() == [-1]
+        net = (u.read_committed_table().to_pandas()
+               .groupby("lid")["diff"].sum())
+        assert dict(net) == {100: 0, 101: 1}
+        sess.store.shutdown()
+
+    def test_outer_flags_survive_resume_and_rescale(self, ray_session,
+                                                    tmp_path):
+        """__um flags and the sweep bound checkpoint: after a rescaled
+        resume, a late version still retracts the pre-crash unmatched
+        row exactly once, and re-sweeps emit nothing."""
+        root = tmp_path / "o2"
+        sess = StreamSession(root, num_shards=2, checkpoint_every=1)
+        sess.add(self._op_outer())
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0)])},
+                           watermark=50.0)
+        assert sess.sinks["aj__unmatched"].read_committed_table(
+            [0]).num_rows == 1
+        sess.store.shutdown()
+        sess2 = StreamSession(root, num_shards=5, checkpoint_every=1)
+        sess2.add(self._op_outer())
+        assert sess2.resume() == 1
+        # a re-advance sweeps nothing (flag survived the rescale)
+        sess2.process_epoch(1, {}, watermark=60.0)
+        assert sess2.sinks["aj__unmatched"].read_committed_table(
+            [1]).num_rows == 0
+        sess2.process_epoch(2, {"R": self._R([(1, 200, 5, 4.0)])})
+        e2u = sess2.sinks["aj__unmatched"].read_committed_table(
+            [2]).to_pandas()
+        e2m = sess2.sinks["aj"].read_committed_table([2]).to_pandas()
+        assert e2u["diff"].tolist() == [-1]
+        assert e2m["diff"].tolist() == [1] and e2m["rid"].tolist() == [200]
+        sess2.store.shutdown()
