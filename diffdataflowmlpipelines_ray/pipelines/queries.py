@@ -9193,6 +9193,48 @@ def q_silhouette(sf_dir: str) -> pd.DataFrame:
     return g.astype(np.int64).sort_values("label").reset_index(drop=True)
 
 
+def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse MERGE INTO over the customer table: customers with 1996
+    orders UPSERT (acctbal := that year's spend), customers with
+    custkey % 97 == 0 (and no upsert) DELETE — `merge_into` applies the
+    change batch with one anti-join bucket shuffle per side plus a
+    map-only upsert union; in-bucket validation raises on ambiguous
+    multi-row merges (the SQL-standard rule).  The change batch itself
+    is input prep (driver pandas under the bounded-custkey contract)."""
+    from ..stages.relational import merge_into
+
+    base = _read(sf_dir, "customer", blocks=8)
+
+    def spend_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= np.datetime64("1996-01-01"))
+                  & (d < np.datetime64("1997-01-01"))]
+        pdf = pdf.assign(cents=_half_away(
+            pdf["o_totalprice"].to_numpy() * 100.0).astype(np.int64))
+        return pdf.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    spend = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(spend_part, batch_format="pandas")
+             .groupby("o_custkey").sum("cents").to_pandas()
+             .rename(columns={"sum(cents)": "cents"}))
+    cust = _read_table(sf_dir, "customer").to_pandas()
+    ups = cust.merge(spend, left_on="c_custkey", right_on="o_custkey")
+    ups["c_acctbal"] = ups["cents"] / 100.0
+    ups = ups[cust.columns.tolist()]
+    ups["op"] = "U"
+    up_keys = set(ups["c_custkey"])
+    dels = cust[(cust["c_custkey"] % 97 == 0)
+                & ~cust["c_custkey"].isin(up_keys)].copy()
+    dels["op"] = "D"
+    changes = rd.from_pandas(pd.concat([ups, dels], ignore_index=True))
+
+    merged = merge_into(base, changes, ["c_custkey"])
+    out = merged.to_pandas()
+    return (out.sort_values("c_custkey").reset_index(drop=True))
+
+
 def q_dbscan(sf_dir: str) -> pd.DataFrame:
     """Exact DBSCAN over the embeddings table (ε² = 23.2M quantized
     units² ≈ 1.383, min_pts = 5, vec_id < 800 bounding both twins'
@@ -10053,6 +10095,7 @@ QUERIES = {
     "stream_asof_retract": q_stream_asof_retract,
     "asof_attribution": q_asof_attribution,
     "stream_asof_outer": q_stream_asof_outer,
+    "merge_upsert": q_merge_upsert,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12486,6 +12529,24 @@ ORACLES = {
         UNION ALL
         SELECT vec_id::BIGINT, cluster::BIGINT, 0::BIGINT FROM bord
         ORDER BY vec_id
+    """,
+    "merge_upsert": """
+        WITH spend AS (
+            SELECT o_custkey AS k,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY o_custkey)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM spend)
+          AND c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               s.cents / 100.0 AS c_acctbal, c.c_mktsegment
+        FROM customer c JOIN spend s ON s.k = c.c_custkey
+        ORDER BY c_custkey
     """,
     "stream_asof_outer": """
         WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

@@ -880,3 +880,54 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def merge_into(base, changes, key_cols: Sequence[str],
+               op_col: str = "op", buckets: int = 32):
+    """Lakehouse ``MERGE INTO``: apply a change batch to a base table —
+    a change row with ``op_col == 'U'`` UPSERTS (replaces the base row
+    with its key, or inserts), ``'D'`` DELETES the key.  Change rows
+    must share the base schema (plus ``op_col``) and carry at most one
+    row per key (validated inside the buckets where the keys live —
+    an ambiguous multi-row merge raises, the SQL-standard rule).
+
+    Plan: base anti-joins the change KEYS (one bucket shuffle each side,
+    the `hash_join(how='anti')` path — nothing broadcast, nothing
+    driver-held) and unions the upsert rows back map-only.  Returns a
+    Dataset with the base schema."""
+    keys = list(key_cols)
+    base_cols = [f.name for f in _arrow_schema(base)]
+
+    def validate(pdf):
+        import pandas as pd  # noqa: F401
+
+        if pdf[keys].duplicated().any():
+            dup = pdf[pdf[keys].duplicated(keep=False)][keys]
+            raise ValueError(
+                "merge_into: multiple change rows for key(s) "
+                f"{dup.drop_duplicates().to_dict('records')[:3]} — a "
+                "merge must be unambiguous (one change per key)")
+        return pdf
+
+    def add_bucket(pdf):
+        h = pd.util.hash_pandas_object(pdf[keys], index=False).to_numpy()
+        pdf = pdf.copy()
+        pdf["__b"] = (h % np.uint64(buckets)).astype(np.int64)
+        return pdf
+
+    chg = (changes.map_batches(add_bucket, batch_format="pandas")
+           .groupby("__b")
+           .map_groups(lambda p: validate(p).drop(columns="__b"),
+                       batch_format="pandas")
+           .materialize())
+    chg_keys = chg.map_batches(lambda t: t.select(keys),
+                               batch_format="pyarrow")
+    survivors = hash_join(base, chg_keys,
+                          keys, keys, buckets=buckets, how="anti")
+
+    def upserts(pdf):
+        out = pdf[pdf[op_col] == "U"][base_cols]
+        return out
+
+    ups = chg.map_batches(upserts, batch_format="pandas")
+    return survivors.union(ups)

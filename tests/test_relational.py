@@ -863,3 +863,26 @@ class TestHits:
         for leaf in range(1, 6):
             assert out.loc[leaf, "auth_units"] == 10**12 // 5
             assert out.loc[leaf, "hub_units"] == 0
+
+
+class TestMergeInto:
+    def test_upsert_delete_and_ambiguity(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            merge_into,
+        )
+
+        base = rd.from_pandas(pd.DataFrame({
+            "k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+        changes = rd.from_pandas(pd.DataFrame({
+            "k": [2, 3, 9], "v": [99, 0, 77], "op": ["U", "D", "U"]}))
+        out = (merge_into(base, changes, ["k"]).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        # 1 survives, 2 upserted, 3 deleted, 4 survives, 9 inserted
+        assert out["k"].tolist() == [1, 2, 4, 9]
+        assert out["v"].tolist() == [10, 99, 40, 77]
+        dup = rd.from_pandas(pd.DataFrame({
+            "k": [5, 5], "v": [1, 2], "op": ["U", "D"]}))
+        with pytest.raises(Exception, match="unambiguous|multiple"):
+            merge_into(base, dup, ["k"]).to_pandas()
