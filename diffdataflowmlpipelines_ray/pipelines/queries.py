@@ -9193,6 +9193,52 @@ def q_silhouette(sf_dir: str) -> pd.DataFrame:
     return g.astype(np.int64).sort_values("label").reset_index(drop=True)
 
 
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit of the events table under the quasi-identifier
+    (event_type, $100 value band): rows per QI cell, DISTINCT users per
+    cell, and the k = 50 violation flag — the privacy screen a release
+    pipeline runs before publishing.  (cell, user) pairs dedup
+    block-locally before ONE narrow distinct exchange (the
+    cohort_retention pattern); row counts fold from the same partials;
+    exact integers end-to-end (band = cents // 10000 on half-away
+    cents, both twins)."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"],
+               blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        pdf = pd.DataFrame({"event_type": pdf["event_type"].to_numpy(),
+                            "band": cents // 10_000,
+                            "user_id": pdf["user_id"].to_numpy()})
+        g = (pdf.groupby(["event_type", "band", "user_id"],
+                         as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["__b"] = (g["user_id"].to_numpy() % 64).astype(np.int64)
+        return g
+
+    def cell_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        # users partition across buckets, so per-bucket distinct counts
+        # ADD exactly — no global multi-key groupby (measured 19.5 s
+        # native vs ~4 s this plan at sf0.01)
+        g = (pdf.groupby(["event_type", "band", "user_id"],
+                         as_index=False).agg(n=("n", "sum")))
+        return (g.groupby(["event_type", "band"], as_index=False)
+                .agg(n_rows=("n", "sum"), n_users=("user_id", "size")))
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("__b").map_groups(cell_part, batch_format="pandas")
+            .to_pandas())
+    out = (rows.groupby(["event_type", "band"], as_index=False)
+           .agg(n_rows=("n_rows", "sum"), n_users=("n_users", "sum")))
+    out["violates_k50"] = (out["n_users"] < 50).astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["band"] = out["band"].astype(np.int64)
+    return (out.sort_values(["event_type", "band"])
+            .reset_index(drop=True))
+
+
 def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
     """Lakehouse MERGE INTO over the customer table: customers with 1996
     orders UPSERT (acctbal := that year's spend), customers with
@@ -10096,6 +10142,7 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "stream_asof_outer": q_stream_asof_outer,
     "merge_upsert": q_merge_upsert,
+    "k_anonymity": q_k_anonymity,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12529,6 +12576,18 @@ ORACLES = {
         UNION ALL
         SELECT vec_id::BIGINT, cluster::BIGINT, 0::BIGINT FROM bord
         ORDER BY vec_id
+    """,
+    "k_anonymity": """
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) // 10000
+                              AS band,
+                          user_id
+                   FROM events)
+        SELECT event_type, band, count(*)::BIGINT AS n_rows,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               (count(DISTINCT user_id) < 50)::BIGINT AS violates_k50
+        FROM c GROUP BY event_type, band
+        ORDER BY event_type, band
     """,
     "merge_upsert": """
         WITH spend AS (

@@ -576,3 +576,27 @@ def test_sssp_bounded_matches_scalar_bellman_ford(ray_session):
         dist = new
     got = dict(zip(out["node"].astype(int), out["dist_cents"].astype(int)))
     assert got == dist
+
+
+def test_k_anonymity_matches_pandas_census(ray_session):
+    """Cell counts and distinct-user counts must equal a direct pandas
+    census, and flags replay the k = 50 rule."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_k_anonymity(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value", "user_id"]
+                       ).to_pandas()
+    ev["band"] = (_half_away(ev.pop("value").to_numpy(dtype=np.float64)
+                             * 100.0).astype(np.int64) // 10_000)
+    exp = (ev.groupby(["event_type", "band"], as_index=False)
+           .agg(n_rows=("user_id", "size"),
+                n_users=("user_id", "nunique"))
+           .sort_values(["event_type", "band"]).reset_index(drop=True))
+    assert out["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert out["n_users"].tolist() == exp["n_users"].tolist()
+    assert (out["violates_k50"].to_numpy()
+            == (out["n_users"].to_numpy() < 50).astype(np.int64)).all()
