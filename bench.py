@@ -130,7 +130,8 @@ def run_bench() -> dict:
         "range_rolling", "stream_asof_retract", "asof_attribution", "dbscan",
         "local_supplier_volume", "returned_items", "silhouette",
         "funnel3", "seasonal_trend", "sssp_bounded",
-        "stream_asof_outer", "merge_upsert", "k_anonymity")
+        "stream_asof_outer", "merge_upsert", "k_anonymity",
+        "stream_asof_tolerance")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -1308,6 +1308,53 @@ def q_stream_asof_outer(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_stream_asof_tolerance(sf_dir: str) -> pd.DataFrame:
+    """Staleness-bounded as-of attribution (`max_dt` = 1 day): a
+    purchase attributes only to a click within the trailing day — a
+    stale fallback is NO match (the pair dies rather than mis-attribute
+    to last week's click).  Same purchases-first / clicks-ascending
+    feed as `stream_asof_join`, so repairs now include matches that
+    appear AND matches the bound rejects; oracle = ASOF JOIN
+    post-filtered by the staleness predicate (equivalent: the as-of
+    pick is the closest version, so anything it rejects, older versions
+    reject too)."""
+    ev = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts", "value"])
+    et = ev["event_type"].to_numpy(zero_copy_only=False)
+    pur = ev.filter(pa.array(et == "purchase"))
+    clk = ev.filter(pa.array(et == "click"))
+    left = pa.table({
+        "user_id": pur["user_id"],
+        "p_id": pur["event_id"],
+        "ts": pur["ts"],
+    })
+    cdf = (clk.select(["user_id", "ts", "event_id"]).to_pandas()
+           .groupby(["user_id", "ts"], as_index=False)
+           .agg(c_id=("event_id", "max"))
+           .sort_values("ts", kind="mergesort"))
+    right = pa.Table.from_pandas(cdf, preserve_index=False)
+
+    sess = StreamSession(_tmp("asoft"), num_shards=4)
+    sess.add(AsofStreamJoin(name="aj", left_input="P", right_input="C",
+                            left_key=["user_id"], right_key=["user_id"],
+                            left_cols=["p_id"], right_cols=["c_id"],
+                            left_ts="ts", right_ts="ts",
+                            max_dt=86_400.0))
+    try:
+        sess.process_epoch(0, {"P": rd.from_arrow(left)})
+        cp = _epoch_split(right, 4)
+        for e in range(4):
+            sess.process_epoch(e + 1, {"C": rd.from_arrow(cp[e])})
+        df = sess.sinks["aj"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    acc = (df.groupby(["user_id", "p_id", "c_id"],
+                      as_index=False)["diff"].sum())
+    acc = acc[acc["diff"] > 0].drop(columns=["diff"])
+    return (acc.sort_values("p_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_stream_join3(sf_dir: str) -> pd.DataFrame:
     """Three-way incremental stream join as a DELTA-JOIN CASCADE:
     customer ⋈ orders chained in-session into (customer ⋈ orders) ⋈
@@ -10139,6 +10186,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "stream_asof_join": q_stream_asof_join,
     "stream_asof_retract": q_stream_asof_retract,
+    "stream_asof_tolerance": q_stream_asof_tolerance,
     "asof_attribution": q_asof_attribution,
     "stream_asof_outer": q_stream_asof_outer,
     "merge_upsert": q_merge_upsert,
@@ -12634,6 +12682,18 @@ ORACLES = {
         SELECT c_id, count(*)::BIGINT AS n_purchases,
                sum(p_cents)::BIGINT AS rev_cents
         FROM j GROUP BY c_id ORDER BY c_id
+    """,
+    "stream_asof_tolerance": """
+        WITH c AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, ts),
+        p AS (SELECT user_id, event_id AS p_id, ts
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id::BIGINT AS user_id, p_id::BIGINT AS p_id, c_id
+        FROM p ASOF JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+        ORDER BY p_id
     """,
     "stream_asof_retract": """
         WITH c0 AS (SELECT user_id, ts, max(event_id)::BIGINT AS c_id

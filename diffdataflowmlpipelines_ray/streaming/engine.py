@@ -1233,7 +1233,10 @@ class AsofStreamJoin(StreamJoin):
     finalized lefts and COMPACTS the right version history
     (latest-at-horizon version per key survives, so any live left's
     current match does too).  Unmatched lefts emit nothing until a
-    version arrives (inner as-of).
+    version arrives (inner as-of).  ``max_dt`` doubles as a STALENESS
+    TOLERANCE (Flink's bounded temporal join): a left matches only
+    versions in ``[left_ts − max_dt, left_ts]`` — a fallback outside the
+    bound is no match (the pair dies / the left sweeps unmatched).
 
     Distinct from ``TemporalEnrichJoin``: that op enriches a STREAM against
     a CDC DIM whose versions are watermark-consistent at probe time (no
@@ -1247,8 +1250,9 @@ class AsofStreamJoin(StreamJoin):
             raise ValueError("AsofStreamJoin requires identical key column "
                              f"names on both sides (got {self.left_key} vs "
                              f"{self.right_key})")
-        if self.max_dt is not None:
-            raise ValueError("AsofStreamJoin does not support max_dt")
+        if self.max_dt is not None and self.max_dt <= 0:
+            raise ValueError("AsofStreamJoin max_dt (staleness tolerance) "
+                             "must be positive")
         if self.emit_unmatched not in (False, True, "left"):
             raise ValueError("AsofStreamJoin emit_unmatched supports only "
                              "LEFT outer (True/'left') — the right side "
@@ -1278,6 +1282,7 @@ class AsofStreamJoin(StreamJoin):
                     "out_names": self.out_names(),
                     "right_cols": list(self.right_cols),
                     "track_unmatched": bool(self.emit_unmatched),
+                    "tolerance": self.max_dt,
                 })[side] = pdf[sid == s].reset_index(drop=True)
         return payloads
 
@@ -2233,6 +2238,7 @@ class StreamSession:
         out_names = op.out_names()
         right_cols = list(op.right_cols)
         track_um = bool(op.emit_unmatched)
+        tol = op.max_dt
         usink_root = (str(self.sinks[f"{name}__unmatched"].root)
                       if track_um else None)
         left_ts_name = op.left_ts
@@ -2275,7 +2281,8 @@ class StreamSession:
             payload: dict[str, Any] = {
                 "key": keys, "out_names": out_names,
                 "right_cols": right_cols,
-                "track_unmatched": track_um}
+                "track_unmatched": track_um,
+                "tolerance": tol}
             for side in ("left", "right"):
                 blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
                 if blobs:

@@ -1198,6 +1198,7 @@ class StateShard:
         nr, nr_ret = split(sides.get("right"), "right")
         outs: list[pd.DataFrame] = []
         track_um = bool(sides.get("track_unmatched"))
+        tol = sides.get("tolerance")
         um_outs: list[pd.DataFrame] = []
         um_bound = self._asof_um_bound.get(name, -math.inf)
         left_names = [c for c in out_names if c not in right_cols]
@@ -1238,7 +1239,7 @@ class StateShard:
                     "__ts_left", kind="mergesort", ignore_index=True)
                 best = pd.merge_asof(
                     olds, nrs, left_on="__ts_left", right_on="__ts_right",
-                    by=lk, suffixes=("", "__r"))
+                    by=lk, suffixes=("", "__r"), tolerance=tol)
                 imp = best["__ts_right"].notna() & (
                     olds["__match_ts"].isna()
                     | (best["__ts_right"] > olds["__match_ts"]))
@@ -1328,7 +1329,7 @@ class StateShard:
                         "__ts_left", kind="mergesort", ignore_index=True)
                     m = pd.merge_asof(
                         sub, right_all, left_on="__ts_left",
-                        right_on="__ts_right", by=lk, suffixes=("", "__r"))
+                        right_on="__ts_right", by=lk, suffixes=("", "__r"), tolerance=tol)
                     got = m["__ts_right"].notna()
                     if got.any():
                         hit = m[got.to_numpy()]
@@ -1357,7 +1358,7 @@ class StateShard:
                     "__ts_left", kind="mergesort", ignore_index=True)
                 m = pd.merge_asof(
                     nls, right_all, left_on="__ts_left",
-                    right_on="__ts_right", by=lk, suffixes=("", "__r"))
+                    right_on="__ts_right", by=lk, suffixes=("", "__r"), tolerance=tol)
                 got = m["__ts_right"].notna()
                 if got.any():
                     hit = m[got.to_numpy()]

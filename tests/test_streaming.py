@@ -5548,10 +5548,11 @@ class TestAsofStreamJoin:
                            left_cols=[], right_cols=[],
                            left_ts="t", right_ts="t")
         with pytest.raises(ValueError, match="max_dt"):
+            # max_dt is the staleness tolerance now — must be positive
             AsofStreamJoin(name="x", left_input="L", right_input="R",
                            left_key=["k"], right_key=["k"],
                            left_cols=[], right_cols=[],
-                           left_ts="t", right_ts="t", max_dt=5.0)
+                           left_ts="t", right_ts="t", max_dt=-5.0)
         sess = StreamSession(tmp_path / "a3", num_shards=2)
         sess.add(self._op())
         # retracting rows that were never inserted raises on both sides
@@ -5832,3 +5833,34 @@ class TestAsofStreamJoin:
         assert e2u["diff"].tolist() == [-1]
         assert e2m["diff"].tolist() == [1] and e2m["rid"].tolist() == [200]
         sess2.store.shutdown()
+
+    def test_tolerance_bounds_match_and_fallback(self, ray_session,
+                                                 tmp_path):
+        """max_dt staleness: a version older than the bound is NO match,
+        and a version death with only an out-of-bound fallback kills the
+        pair without replacement."""
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            AsofStreamJoin,
+        )
+
+        sess = StreamSession(tmp_path / "t1", num_shards=2)
+        sess.add(AsofStreamJoin(
+            name="aj", left_input="L", right_input="R",
+            left_key=["k"], right_key=["k"],
+            left_cols=["lid"], right_cols=["rid", "rv"],
+            left_ts="lts", right_ts="rts", max_dt=5.0))
+        # version at ts=1 is 9s stale for left ts=10 -> no match
+        sess.process_epoch(0, {"L": self._L([(1, 100, 10.0)]),
+                               "R": self._R([(1, 200, 5, 1.0)])})
+        assert sess.sinks["aj"].read_committed_table([0]).num_rows == 0
+        # in-bound version at ts=7 matches
+        sess.process_epoch(1, {"R": self._R([(1, 201, 9, 7.0)])})
+        e1 = sess.sinks["aj"].read_committed_table([1]).to_pandas()
+        assert e1["rid"].tolist() == [201] and e1["diff"].tolist() == [1]
+        # kill it: fallback ts=1 is out of bound -> -1 only
+        sess.process_epoch(2, {"R": self._R([(1, 201, 9, 7.0)])
+                               .append_column("diff",
+                                              pa.array([-1], pa.int64()))})
+        e2 = sess.sinks["aj"].read_committed_table([2]).to_pandas()
+        assert e2["diff"].tolist() == [-1]
+        sess.store.shutdown()
