@@ -9240,6 +9240,53 @@ def q_silhouette(sf_dir: str) -> pd.DataFrame:
     return g.astype(np.int64).sort_values("label").reset_index(drop=True)
 
 
+def q_twap(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-WEIGHTED average value (the TWAP/ops-gauge
+    aggregate): each event's value holds until the user's next event,
+    weights are exact integer µs gaps, and the weighted mean reports as
+    floor-div micro of two exact int64 sums (Σ cents·gap ≲ 5e4·8.6e10 ≈
+    4e15 per term — the per-user totals stay far inside int64 at any
+    fixture scale; the HUGEINT twin documents the unbounded-scale
+    path).  One hash(user) bucket shuffle; the in-bucket gap is a
+    vectorized shift under the deterministic (ts, event_id) order
+    (the `markov_transitions` co-location plan).  Users with a single
+    event (no gap) are excluded on both twins."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"],
+               blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def twap_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        same = np.concatenate([u[1:] == u[:-1], [False]])
+        gap = np.zeros(len(u), dtype=np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[~same] = 0
+        g = (pd.DataFrame({"user_id": u, "w": gap, "wv": cents * gap})
+             .groupby("user_id", as_index=False).sum())
+        g = g[g["w"] > 0]
+        # wv·10⁴ can exceed int64 (max cents × a multi-day span) —
+        # finish per user in Python ints (object dtype, exact), the
+        # HUGEINT twin's arithmetic
+        g["twap_micro"] = (g["wv"].astype(object) * 10_000
+                           // g["w"].astype(object)).astype(np.int64)
+        return g[["user_id", "w", "twap_micro"]].astype(np.int64)
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(twap_bucket, batch_format="pandas")
+           .to_pandas())
+    return (out.rename(columns={"w": "span_us"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier
     (event_type, $100 value band): rows per QI cell, DISTINCT users per
@@ -10191,6 +10238,7 @@ QUERIES = {
     "stream_asof_outer": q_stream_asof_outer,
     "merge_upsert": q_merge_upsert,
     "k_anonymity": q_k_anonymity,
+    "twap": q_twap,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12624,6 +12672,19 @@ ORACLES = {
         UNION ALL
         SELECT vec_id::BIGINT, cluster::BIGINT, 0::BIGINT FROM bord
         ORDER BY vec_id
+    """,
+    "twap": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                          CAST(round(value * 100) AS BIGINT) AS cents,
+                          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        g AS (SELECT user_id, sum(nxt - t)::BIGINT AS span_us,
+                     sum((nxt - t)::HUGEINT * cents) AS wv
+              FROM e WHERE nxt IS NOT NULL GROUP BY user_id)
+        SELECT user_id::BIGINT AS user_id, span_us,
+               (wv * 10000 // span_us)::BIGINT AS twap_micro
+        FROM g WHERE span_us > 0 ORDER BY user_id
     """,
     "k_anonymity": """
         WITH c AS (SELECT event_type,

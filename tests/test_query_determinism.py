@@ -600,3 +600,34 @@ def test_k_anonymity_matches_pandas_census(ray_session):
     assert out["n_users"].tolist() == exp["n_users"].tolist()
     assert (out["violates_k50"].to_numpy()
             == (out["n_users"].to_numpy() < 50).astype(np.int64)).all()
+
+
+def test_twap_convexity_and_scalar_replay(ray_session):
+    """Each user's TWAP lies within [min, max] of their cent values
+    (convexity), and a sampled scalar replay matches exactly."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_twap(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts", "value"]
+                       ).to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    ev["cents"] = _half_away(ev.pop("value").to_numpy(dtype=np.float64)
+                             * 100.0).astype(np.int64)
+    ev["t"] = ev.pop("ts").to_numpy().astype("datetime64[us]").astype(
+        np.int64)
+    byu = dict(tuple(ev.groupby("user_id")))
+    for _, r in out.sample(min(200, len(out)), random_state=5).iterrows():
+        d = byu[r["user_id"]]
+        t = d["t"].to_numpy()
+        c = d["cents"].to_numpy()
+        gap = t[1:] - t[:-1]
+        w = int(gap.sum())
+        wv = sum(int(cv) * int(g) for cv, g in zip(c[:-1], gap))
+        assert int(r["span_us"]) == w
+        assert int(r["twap_micro"]) == wv * 10_000 // w
+        lo, hi = int(c[:-1].min()) * 10_000, int(c[:-1].max()) * 10_000
+        assert lo - 1 <= int(r["twap_micro"]) <= hi
