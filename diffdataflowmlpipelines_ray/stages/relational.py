@@ -901,6 +901,12 @@ def merge_into(base, changes, key_cols: Sequence[str],
     def validate(pdf):
         import pandas as pd  # noqa: F401
 
+        bad = ~pdf[op_col].isin(("U", "D"))
+        if bad.any():
+            raise ValueError(
+                "merge_into: unknown op code(s) "
+                f"{sorted(set(pdf[op_col][bad]))[:3]} — only 'U' "
+                "(upsert) and 'D' (delete) are defined")
         if pdf[keys].duplicated().any():
             dup = pdf[pdf[keys].duplicated(keep=False)][keys]
             raise ValueError(

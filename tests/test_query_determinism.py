@@ -631,3 +631,15 @@ def test_twap_convexity_and_scalar_replay(ray_session):
         assert int(r["twap_micro"]) == wv * 10_000 // w
         lo, hi = int(c[:-1].min()) * 10_000, int(c[:-1].max()) * 10_000
         assert lo - 1 <= int(r["twap_micro"]) <= hi
+
+
+def test_winsorized_mean_exchange_tier_equals_driver_tier(
+        ray_session, monkeypatch):
+    """Force the groupby + distributed-scan exchange tier (driver bound
+    0) and pin bit-equality with the driver-merge tier."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_winsorized_mean(SF)
+    monkeypatch.setattr(Q, "_TRIM_DRIVER_MAX_ROWS", 0)
+    b = Q.q_winsorized_mean(SF)
+    pd.testing.assert_frame_equal(a, b)

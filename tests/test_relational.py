@@ -886,3 +886,16 @@ class TestMergeInto:
             "k": [5, 5], "v": [1, 2], "op": ["U", "D"]}))
         with pytest.raises(Exception, match="unambiguous|multiple"):
             merge_into(base, dup, ["k"]).to_pandas()
+
+    def test_unknown_op_raises(self, ray_session):
+        import ray.data as rd
+
+        from diffdataflowmlpipelines_ray.stages.relational import (
+            merge_into,
+        )
+
+        base = rd.from_pandas(pd.DataFrame({"k": [1], "v": [10]}))
+        bad = rd.from_pandas(pd.DataFrame({
+            "k": [2], "v": [5], "op": ["X"]}))
+        with pytest.raises(Exception, match="unknown op"):
+            merge_into(base, bad, ["k"]).to_pandas()
