@@ -9287,6 +9287,54 @@ def q_twap(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q_clamped_balance(sf_dir: str) -> pd.DataFrame:
+    """Per-user floor-at-zero running wallet balance (the token-bucket /
+    inventory recurrence s_t = max(0, s_{t-1} + x_t)): 'purchase' and
+    'signup' events credit cents, everything else debits, and the
+    balance can never go negative.  The recurrence LOOKS sequential but
+    has the closed form s_t = S_t − min(0, min_{j≤t} S_j) over plain
+    prefix sums S, so the whole scan is a vectorized per-user cumsum +
+    cummin inside ONE hash(user) bucket shuffle — no per-row Python, no
+    driver loop, and at 100 TB each bucket still computes its users
+    independently.  A clamp fires exactly when the capped running min
+    strictly decreases (pre-clamp value would be < 0; a tie at 0 is a
+    no-op clamp on both twins).  Reports each user's final balance and
+    clamp count; exact integer cents end-to-end."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "value"],
+               blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def bal_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        cents = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        credit = pdf["event_type"].isin(["purchase", "signup"]).to_numpy()
+        delta = np.where(credit, cents, -cents)
+        g = pd.DataFrame({"user_id": pdf["user_id"].to_numpy(),
+                          "delta": delta})
+        grp = g.groupby("user_id")
+        s = grp["delta"].cumsum()
+        m = s.groupby(g["user_id"]).cummin().clip(upper=0)
+        bal = s - m
+        m_prev = m.groupby(g["user_id"]).shift(1).fillna(0)
+        g["bal"] = bal
+        g["clamp"] = (m < m_prev).astype(np.int64)
+        out = g.groupby("user_id", as_index=False).agg(
+            balance_cents=("bal", "last"), n_clamped=("clamp", "sum"))
+        return out.astype(np.int64)
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(bal_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier
     (event_type, $100 value band): rows per QI cell, DISTINCT users per
@@ -10239,6 +10287,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "k_anonymity": q_k_anonymity,
     "twap": q_twap,
+    "clamped_balance": q_clamped_balance,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12685,6 +12734,33 @@ ORACLES = {
         SELECT user_id::BIGINT AS user_id, span_us,
                (wv * 10000 // span_us)::BIGINT AS twap_micro
         FROM g WHERE span_us > 0 ORDER BY user_id
+    """,
+    "clamped_balance": """
+        WITH d AS (SELECT user_id, ts, event_id,
+                          (CASE WHEN event_type IN ('purchase', 'signup')
+                                THEN 1 ELSE -1 END)
+                          * CAST(round(value * 100) AS BIGINT) AS delta
+                   FROM events),
+        s AS (SELECT user_id, ts, event_id,
+                     sum(delta) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS run
+              FROM d),
+        m AS (SELECT user_id, ts, event_id, run,
+                     LEAST(0, min(run) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id)) AS mn
+              FROM s),
+        c AS (SELECT user_id, run, mn,
+                     COALESCE(lag(mn) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id), 0) AS mp,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+              FROM m)
+        SELECT user_id,
+               max(CASE WHEN rn = 1 THEN run - mn END)::BIGINT
+                   AS balance_cents,
+               sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clamped
+        FROM c GROUP BY user_id ORDER BY user_id
     """,
     "k_anonymity": """
         WITH c AS (SELECT event_type,

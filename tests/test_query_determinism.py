@@ -633,6 +633,39 @@ def test_twap_convexity_and_scalar_replay(ray_session):
         assert lo - 1 <= int(r["twap_micro"]) <= hi
 
 
+def test_clamped_balance_scalar_replay(ray_session):
+    """The closed-form prefix-sum/cummin plan must equal the literal
+    sequential recurrence s_t = max(0, s_{t-1} + x_t) replayed row by
+    row for every sampled user (balance AND clamp count)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_clamped_balance(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type", "value"]
+                       ).to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    cents = _half_away(ev.pop("value").to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    credit = ev["event_type"].isin(["purchase", "signup"]).to_numpy()
+    ev["delta"] = np.where(credit, cents, -cents)
+    byu = dict(tuple(ev.groupby("user_id")))
+    assert len(out) > 0 and int(out["n_clamped"].sum()) > 0
+    for _, r in out.sample(min(200, len(out)), random_state=7).iterrows():
+        s, clamps = 0, 0
+        for x in byu[r["user_id"]]["delta"].tolist():
+            nxt = s + int(x)
+            if nxt < 0:
+                clamps += 1
+                nxt = 0
+            s = nxt
+        assert int(r["balance_cents"]) == s
+        assert int(r["n_clamped"]) == clamps
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
