@@ -9335,6 +9335,55 @@ def q_clamped_balance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """Per-user Theil–Sen robust trend slope of daily activity: the
+    LOWER median of all pairwise slopes (c_j − c_i)/(d_j − d_i) over the
+    user's (day, event-count) series, reported in exact integer
+    micro-counts/day (each slope floor-divides 10⁶·Δc by Δd — numpy's
+    floor division, emulated in the SQL twin since DuckDB's `//`
+    truncates toward zero; the lower median is `quantile_disc(0.5)` ==
+    `sorted[(n−1)//2]`, no float averaging of middles).  Per-group
+    pairwise work is O(D²) in the user's DISTINCT ACTIVE DAYS — bounded
+    by the calendar span, not the row count, so the quadratic term is a
+    constant at any corpus scale; everything runs inside ONE hash(user)
+    bucket shuffle after a block-local (user, day) pre-count.  Users
+    with <2 active days have no pairs and are excluded on both twins."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        day = (pdf["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"user_id": pdf["user_id"].to_numpy(),
+                           "day": day})
+             .groupby(["user_id", "day"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["__b"] = (g["user_id"].to_numpy() % 64).astype(np.int64)
+        return g
+
+    def sen_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["user_id", "day"], as_index=False)
+             .agg(c=("c", "sum")).sort_values(["user_id", "day"]))
+        users, ndays, slopes = [], [], []
+        for uid, seg in g.groupby("user_id", sort=False):
+            d = seg["day"].to_numpy(dtype=np.int64)
+            c = seg["c"].to_numpy(dtype=np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), 1)
+            s = (c[j] - c[i]) * 1_000_000 // (d[j] - d[i])
+            k = (len(s) - 1) // 2
+            users.append(uid)
+            ndays.append(len(d))
+            slopes.append(int(np.partition(s, k)[k]))
+        return pd.DataFrame({"user_id": users, "n_days": ndays,
+                             "slope_micro": slopes}).astype(np.int64)
+
+    out = (ds.map_batches(part, batch_format="pandas")
+           .groupby("__b").map_groups(sen_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier
     (event_type, $100 value band): rows per QI cell, DISTINCT users per
@@ -10288,6 +10337,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "twap": q_twap,
     "clamped_balance": q_clamped_balance,
+    "theil_sen": q_theil_sen,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12761,6 +12811,27 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "theil_sen": """
+        WITH dc AS (SELECT user_id,
+                           epoch_us(ts) // 86400000000 AS day,
+                           count(*)::BIGINT AS c
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT a.user_id,
+                     (b.c - a.c) * 1000000 AS num,
+                     (b.day - a.day) AS den
+              FROM dc a JOIN dc b
+                ON a.user_id = b.user_id AND b.day > a.day),
+        s AS (SELECT user_id,
+                     CASE WHEN num >= 0 OR num % den = 0 THEN num // den
+                          ELSE num // den - 1 END AS slope
+              FROM p),
+        nd AS (SELECT user_id, count(*)::BIGINT AS n_days
+               FROM dc GROUP BY 1)
+        SELECT s.user_id, nd.n_days,
+               quantile_disc(s.slope, 0.5)::BIGINT AS slope_micro
+        FROM s JOIN nd ON nd.user_id = s.user_id
+        GROUP BY s.user_id, nd.n_days ORDER BY s.user_id
     """,
     "k_anonymity": """
         WITH c AS (SELECT event_type,

@@ -666,6 +666,32 @@ def test_clamped_balance_scalar_replay(ray_session):
         assert int(r["n_clamped"]) == clamps
 
 
+def test_theil_sen_scalar_replay(ray_session):
+    """Lower-median pairwise slope replayed with pure-Python ints for
+    every sampled user; negative slopes must be present in the sample
+    (the floor-division branch both twins emulate)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_theil_sen(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev.pop("ts").to_numpy().astype("datetime64[us]")
+                 .astype(np.int64) // 86_400_000_000)
+    dc = ev.groupby(["user_id", "day"], as_index=False).size()
+    byu = dict(tuple(dc.groupby("user_id")))
+    assert (out["slope_micro"] < 0).any()
+    for _, r in out.sample(min(150, len(out)), random_state=3).iterrows():
+        seg = byu[r["user_id"]].sort_values("day")
+        d = seg["day"].tolist()
+        c = seg["size"].tolist()
+        slopes = sorted((c[j] - c[i]) * 1_000_000 // (d[j] - d[i])
+                        for i in range(len(d)) for j in range(i + 1, len(d)))
+        assert int(r["n_days"]) == len(d)
+        assert int(r["slope_micro"]) == slopes[(len(slopes) - 1) // 2]
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
