@@ -9384,6 +9384,69 @@ def q_theil_sen(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
+    """Conversion-WINDOW funnel: a user converts iff some purchase
+    lands strictly after a click and within 1 hour of it — the
+    product-analytics attribution-window metric `q_funnel` (unbounded
+    time) cannot express.  Per user the minimal qualifying gap equals
+    the min over clicks of (next-purchase ts − click ts), so each
+    bucket computes it with ONE forward `merge_asof` (tolerance = 1 h,
+    strict inequality) over its sorted slice — the as-of machinery run
+    in reverse direction — and ships ONE row per user; the driver
+    finishes counts + the lower-median time-to-convert over the
+    user-domain-bounded partials (the `cohort_retention` contract).
+    Exact integer µs end-to-end; `conv_micro` is floor-div micro."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"],
+               blocks=8)
+    tol = 3_600_000_000
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def gap_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        et = pdf["event_type"].to_numpy()
+        t = (pdf["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        u = pdf["user_id"].to_numpy()
+        c = (pd.DataFrame({"u": u[et == "click"], "t": t[et == "click"]})
+             .sort_values("t", kind="mergesort"))
+        p = (pd.DataFrame({"u": u[et == "purchase"],
+                           "t": t[et == "purchase"]})
+             .sort_values("t", kind="mergesort"))
+        if len(c) == 0:
+            return pd.DataFrame({"user_id": [], "gap": []}
+                                ).astype(np.int64)
+        m = pd.merge_asof(c, p.rename(columns={"t": "pt"}), by="u",
+                          left_on="t", right_on="pt",
+                          direction="forward", tolerance=tol,
+                          allow_exact_matches=False)
+        m["gap"] = m["pt"] - m["t"]
+        g = m.groupby("u", as_index=False).agg(gap=("gap", "min"))
+        g["gap"] = g["gap"].fillna(-1)
+        return (g.rename(columns={"u": "user_id"})
+                .astype(np.int64))
+
+    per_user = (ds.map_batches(add_b, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(gap_bucket, batch_format="pandas")
+                .to_pandas())
+    gaps = np.sort(per_user.loc[per_user["gap"] >= 0, "gap"].to_numpy())
+    n_clicked = len(per_user)
+    n_conv = len(gaps)
+    return pd.DataFrame({
+        "n_clicked": pd.Series([n_clicked], dtype=np.int64),
+        "n_converted": pd.Series([n_conv], dtype=np.int64),
+        "conv_micro": pd.Series(
+            [n_conv * 1_000_000 // n_clicked if n_clicked else 0],
+            dtype=np.int64),
+        "p50_gap_us": pd.Series(
+            [int(gaps[(n_conv - 1) // 2]) if n_conv else -1],
+            dtype=np.int64),
+    })
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier
     (event_type, $100 value band): rows per QI cell, DISTINCT users per
@@ -10338,6 +10401,7 @@ QUERIES = {
     "twap": q_twap,
     "clamped_balance": q_clamped_balance,
     "theil_sen": q_theil_sen,
+    "funnel_timed": q_funnel_timed,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12811,6 +12875,24 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "funnel_timed": """
+        WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'purchase'),
+        g AS (SELECT c.user_id, min(p.t - c.t) AS gap
+              FROM c JOIN p ON p.user_id = c.user_id
+                AND p.t > c.t AND p.t <= c.t + 3600000000
+              GROUP BY c.user_id),
+        n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_clicked FROM c)
+        SELECT n.n_clicked,
+               (SELECT count(*) FROM g)::BIGINT AS n_converted,
+               ((SELECT count(*) FROM g) * 1000000
+                // n.n_clicked)::BIGINT AS conv_micro,
+               COALESCE((SELECT quantile_disc(gap, 0.5) FROM g),
+                        -1)::BIGINT AS p50_gap_us
+        FROM n
     """,
     "theil_sen": """
         WITH dc AS (SELECT user_id,

@@ -692,6 +692,38 @@ def test_theil_sen_scalar_replay(ray_session):
         assert int(r["slope_micro"]) == slopes[(len(slopes) - 1) // 2]
 
 
+def test_funnel_timed_brute_force_replay(ray_session):
+    """The merge_asof conversion-window plan must equal the brute-force
+    all-pairs definition (exists purchase with 0 < gap <= 1 h after a
+    click; per-user minimal gap; lower-median p50)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_funnel_timed(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]
+                       ).to_pandas()
+    ev["t"] = (ev.pop("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+    gaps, clicked = [], 0
+    for _, seg in ev.groupby("user_id"):
+        c = seg.loc[seg["event_type"] == "click", "t"].to_numpy()
+        p = seg.loc[seg["event_type"] == "purchase", "t"].to_numpy()
+        if len(c) == 0:
+            continue
+        clicked += 1
+        d = p[None, :] - c[:, None]
+        ok = d[(d > 0) & (d <= 3_600_000_000)]
+        if len(ok):
+            gaps.append(int(ok.min()))
+    gaps.sort()
+    assert int(out["n_clicked"]) == clicked
+    assert int(out["n_converted"]) == len(gaps) > 0
+    assert int(out["conv_micro"]) == len(gaps) * 1_000_000 // clicked
+    assert int(out["p50_gap_us"]) == gaps[(len(gaps) - 1) // 2]
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
