@@ -131,7 +131,8 @@ def run_bench() -> dict:
         "local_supplier_volume", "returned_items", "silhouette",
         "funnel3", "seasonal_trend", "sssp_bounded",
         "stream_asof_outer", "merge_upsert", "k_anonymity",
-        "stream_asof_tolerance", "twap")
+        "stream_asof_tolerance", "twap",
+        "clamped_balance", "theil_sen", "funnel_timed")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

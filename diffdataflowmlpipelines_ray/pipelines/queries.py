@@ -9447,6 +9447,42 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution over part names (p_partkey < 800
+    bounding both twins at any sf): the `fuzzy_join` blocking+DP engine
+    finds every SELF-pair within Levenshtein ≤ 2 (exact duplicates and
+    near-misses like 'red bolt'↔'old bolt'), `connected_components`
+    (pointer doubling) folds the match graph into clusters, and the
+    golden-record finish labels each entity with its cluster's min id
+    and size — the dedupe/MDM composition (match → cluster → survivor)
+    as one dataflow.  Self-pairs from the reflexive join double as the
+    singleton guard: every entity reaches the component step.  The
+    fixture yields 40 clusters (max 59 entities), so the transitive
+    closure is genuinely exercised.  Oracle: brute-force levenshtein
+    cross join + recursive min-label CTE (the dbscan pattern)."""
+    from ..stages.fuzzy import fuzzy_join
+    from ..stages.iterate import connected_components
+
+    ents = _read(sf_dir, "part", ["p_partkey", "p_name"], blocks=8)
+    ents = ents.map_batches(
+        lambda b: pa.table({
+            "id": b["p_partkey"], "name": b["p_name"]
+        }).filter(pc.less(b["p_partkey"], 800)),
+        batch_format="pyarrow")
+    pairs = fuzzy_join(ents, ents, "name", "name", "id", "id",
+                       max_dist=2)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"id_lo": b["lid"], "id_hi": b["rid"]}),
+        batch_format="pyarrow")
+    comp = connected_components(edges).to_pandas()
+    sz = (comp.groupby("component", as_index=False).size()
+          .rename(columns={"size": "cluster_size"}))
+    out = comp.merge(sz, on="component").rename(
+        columns={"id": "entity_id", "component": "cluster"})
+    return (out.sort_values("entity_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier
     (event_type, $100 value band): rows per QI cell, DISTINCT users per
@@ -10402,6 +10438,7 @@ QUERIES = {
     "clamped_balance": q_clamped_balance,
     "theil_sen": q_theil_sen,
     "funnel_timed": q_funnel_timed,
+    "entity_resolution": q_entity_resolution,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12875,6 +12912,26 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "entity_resolution": """
+        WITH RECURSIVE
+        base AS (SELECT p_partkey AS id, p_name AS name FROM part
+                 WHERE p_partkey < 800),
+        e AS (SELECT a.id AS i, b.id AS j FROM base a JOIN base b
+              ON a.id < b.id
+              AND abs(length(a.name) - length(b.name)) <= 2
+              AND levenshtein(a.name, b.name) <= 2),
+        nb AS (SELECT i AS v, j AS w FROM e
+               UNION ALL SELECT j, i FROM e),
+        r(v, l) AS (SELECT id, id FROM base
+                    UNION
+                    SELECT nb.w, r.l FROM r JOIN nb ON nb.v = r.v),
+        lbl AS (SELECT v AS id, min(l) AS cluster FROM r GROUP BY v),
+        sz AS (SELECT cluster, count(*)::BIGINT AS cluster_size
+               FROM lbl GROUP BY cluster)
+        SELECT lbl.id::BIGINT AS entity_id, lbl.cluster::BIGINT AS cluster,
+               sz.cluster_size
+        FROM lbl JOIN sz USING (cluster) ORDER BY entity_id
     """,
     "funnel_timed": """
         WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events

@@ -724,6 +724,29 @@ def test_funnel_timed_brute_force_replay(ray_session):
     assert int(out["p50_gap_us"]) == gaps[(len(gaps) - 1) // 2]
 
 
+def test_entity_resolution_structure(ray_session):
+    """Cluster labels are the min entity id of their cluster, identical
+    names always co-cluster, sizes are consistent, and every capped
+    entity appears exactly once."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_entity_resolution(SF)
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    part = part[part["p_partkey"] < 800]
+    assert sorted(out["entity_id"]) == sorted(part["p_partkey"])
+    m = out.merge(part, left_on="entity_id", right_on="p_partkey")
+    # identical names must co-cluster (distance-0 pairs)
+    assert (m.groupby("p_name")["cluster"].nunique() == 1).all()
+    g = out.groupby("cluster")
+    assert (g["entity_id"].min() == g["entity_id"].min().index).all()
+    assert (g["cluster_size"].nunique() == 1).all()
+    assert (g.size() == g["cluster_size"].first()).all()
+    assert out["cluster"].nunique() > 1
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
