@@ -9447,6 +9447,57 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_grouped_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Per-brand LOWER weighted median of part retail price weighted by
+    part size — the grouped form of `weighted_median`, but where the
+    global query needs a distributed exclusive scan, the grouped one
+    co-locates each brand in ONE hash(brand) bucket (fast_hash64 over
+    the string key) after block-local (brand, cents) weight pre-sums,
+    then finds every brand's crossing 2·cumw ≥ W with vectorized
+    pandas groupby cumsum/transform — no per-group Python.  Exact
+    integers end-to-end; ties and zero-weight rows follow the
+    cumulative-weight definition on both twins (a zero-weight value
+    can never cross since 2·cumw grows only at positive weights and
+    the first crossing is taken)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"],
+               blocks=8)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        from ..functions.hashing import fast_hash64_array
+
+        cents = _half_away(tbl["p_retailprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0
+        ).astype(np.int64)
+        pdf = pd.DataFrame({
+            "brand": tbl["p_brand"].to_numpy(zero_copy_only=False),
+            "v": cents,
+            "w": tbl["p_size"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = pdf.groupby(["brand", "v"], as_index=False).agg(w=("w", "sum"))
+        g["__b"] = (fast_hash64_array(pa.array(g["brand"])) % 64
+                    ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def med_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["brand", "v"], as_index=False)
+             .agg(w=("w", "sum")).sort_values(["brand", "v"]))
+        cum = g.groupby("brand")["w"].cumsum()
+        tot = g.groupby("brand")["w"].transform("sum")
+        g["hit"] = 2 * cum >= tot
+        g["total_weight"] = tot
+        first = g[g["hit"]].groupby("brand", as_index=False).head(1)
+        return (first[["brand", "total_weight", "v"]]
+                .rename(columns={"v": "wmedian_cents"}))
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("__b").map_groups(med_bucket, batch_format="pandas")
+           .to_pandas())
+    out = out.rename(columns={"brand": "p_brand"})
+    out["total_weight"] = out["total_weight"].astype(np.int64)
+    out["wmedian_cents"] = out["wmedian_cents"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
 def q_entity_resolution(sf_dir: str) -> pd.DataFrame:
     """End-to-end entity resolution over part names (p_partkey < 800
     bounding both twins at any sf): the `fuzzy_join` blocking+DP engine
@@ -10439,6 +10490,7 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     "funnel_timed": q_funnel_timed,
     "entity_resolution": q_entity_resolution,
+    "grouped_weighted_median": q_grouped_weighted_median,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12912,6 +12964,20 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "grouped_weighted_median": """
+        WITH c AS (SELECT p_brand,
+                          CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+                          sum(p_size::BIGINT) AS w
+                   FROM part GROUP BY 1, 2),
+        s AS (SELECT p_brand, v, w,
+                     sum(w) OVER (PARTITION BY p_brand ORDER BY v) AS cum,
+                     sum(w) OVER (PARTITION BY p_brand) AS tot
+              FROM c)
+        SELECT p_brand, max(tot)::BIGINT AS total_weight,
+               min(CASE WHEN 2 * cum >= tot THEN v END)::BIGINT
+                   AS wmedian_cents
+        FROM s GROUP BY p_brand ORDER BY p_brand
     """,
     "entity_resolution": """
         WITH RECURSIVE

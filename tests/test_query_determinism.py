@@ -747,6 +747,34 @@ def test_entity_resolution_structure(ray_session):
     assert out["cluster"].nunique() > 1
 
 
+def test_grouped_weighted_median_scalar_replay(ray_session):
+    """Per-brand crossing replayed with a pure-Python cumulative-weight
+    walk over sorted (cents, size) pairs."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_grouped_weighted_median(SF)
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_brand", "p_retailprice", "p_size"]
+                         ).to_pandas()
+    part["v"] = _half_away(part.pop("p_retailprice").to_numpy(
+        dtype=np.float64) * 100.0).astype(np.int64)
+    for brand, seg in part.groupby("p_brand"):
+        pairs = sorted(zip(seg["v"], seg["p_size"].astype(int)))
+        tot = sum(w for _, w in pairs)
+        cum, med = 0, None
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        row = out[out["p_brand"] == brand].iloc[0]
+        assert int(row["total_weight"]) == tot
+        assert int(row["wmedian_cents"]) == med
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
