@@ -9447,6 +9447,57 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_stream_scd2(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained SCD2 dimension (Scd2History) — the
+    lakehouse type-2 MERGE as a differential operator: orders arrive as
+    a CDC upsert stream (key = o_orderkey % 997, value =
+    o_orderpriority, LWW stamp = o_orderkey so register updates are
+    tie-free and SQL-expressible, 'F'-status rows are tombstones) in 3
+    ntile-by-stamp epochs.  Each accepted value change CLOSES the key's
+    open version (retract + re-add with valid_to) and OPENS version+1;
+    tombstones only close; same-value re-upserts emit nothing.  Per-key
+    shard state is O(1) — closed versions are immutable and live only
+    in the exactly-once sink, whose net running sum (returned here) IS
+    the SCD2 table.  Oracle: per-epoch winners deduped on consecutive
+    distinct values with window functions, versions = running count of
+    non-tombstone changes."""
+    from ..streaming.engine import Scd2History, StreamSession
+
+    tbl = _read_table(sf_dir, "orders",
+                      ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    tbl = tbl.sort_by([("o_orderkey", "ascending")])
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ups = pa.table({
+        "k": pa.array(ok % 997, type=pa.int64()),
+        "v": tbl["o_orderpriority"],
+        "ts": pa.array(ok.astype(np.float64), type=pa.float64()),
+        "del": pa.array(
+            tbl["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"),
+    })
+    sess = StreamSession(_tmp("scd2"), num_shards=4)
+    sess.add(Scd2History(name="dim", input="u", key=["k"], vals=["v"],
+                         key_types=[pa.int64()], val_types=[pa.string()],
+                         ts_col="ts", delete_col="del"))
+    try:
+        n = ups.num_rows
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        for e in range(3):
+            sess.process_epoch(e, {"u": ups.slice(int(offs[e]),
+                                                  int(sizes[e]))})
+        df = sess.sinks["dim"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    net = (df.groupby(["k", "v", "valid_from", "valid_to", "version"],
+                      as_index=False)["diff"].sum())
+    net = net[net["diff"] > 0].drop(columns=["diff"])
+    net = net.rename(columns={"v": "prio"})
+    net["k"] = net["k"].astype(np.int64)
+    net["version"] = net["version"].astype(np.int64)
+    return (net.sort_values(["k", "version"])
+            .reset_index(drop=True))
+
+
 def q_grouped_weighted_median(sf_dir: str) -> pd.DataFrame:
     """Per-brand LOWER weighted median of part retail price weighted by
     part size — the grouped form of `weighted_median`, but where the
@@ -10491,6 +10542,7 @@ QUERIES = {
     "funnel_timed": q_funnel_timed,
     "entity_resolution": q_entity_resolution,
     "grouped_weighted_median": q_grouped_weighted_median,
+    "stream_scd2": q_stream_scd2,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -12964,6 +13016,39 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "stream_scd2": """
+        WITH u AS (SELECT o_orderkey % 997 AS k,
+                          o_orderpriority AS prio,
+                          (o_orderstatus = 'F') AS is_del,
+                          o_orderkey AS s,
+                          ntile(3) OVER (ORDER BY o_orderkey) - 1 AS e
+                   FROM orders),
+        w AS (SELECT k, e, s, prio, is_del,
+                     row_number() OVER (PARTITION BY k, e
+                         ORDER BY s DESC) AS rn
+              FROM u),
+        win AS (SELECT k, e, s,
+                       CASE WHEN is_del THEN NULL ELSE prio END AS v
+                FROM w WHERE rn = 1),
+        seq AS (SELECT k, e, s, v,
+                       lag(v) OVER (PARTITION BY k ORDER BY e) AS pv,
+                       row_number() OVER (PARTITION BY k
+                           ORDER BY e) AS rne
+                FROM win),
+        chg AS (SELECT k, e, s, v FROM seq
+                WHERE (rne = 1 AND v IS NOT NULL)
+                   OR (rne > 1 AND v IS DISTINCT FROM pv)),
+        ver AS (SELECT k, e, s AS valid_from, v,
+                       lead(s) OVER (PARTITION BY k ORDER BY e) AS nxt,
+                       sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY k ORDER BY e) AS version
+                FROM chg)
+        SELECT k::BIGINT AS k, v AS prio,
+               valid_from::DOUBLE AS valid_from,
+               COALESCE(nxt, -1)::DOUBLE AS valid_to,
+               version::BIGINT AS version
+        FROM ver WHERE v IS NOT NULL ORDER BY k, version
     """,
     "grouped_weighted_median": """
         WITH c AS (SELECT p_brand,

@@ -56,6 +56,7 @@ __all__ = [
     "IncrementalPageRank",
     "StreamNearDup",
     "UpsertToRetract",
+    "Scd2History",
     "StreamJoin",
     "AsofStreamJoin",
     "EnrichJoin",
@@ -1058,6 +1059,59 @@ class UpsertToRetract:
 
 
 @dataclass
+class Scd2History(UpsertToRetract):
+    """Incrementally-maintained type-2 slowly-changing dimension — the
+    lakehouse SCD2 MERGE as a differential operator.  Same upsert-stream
+    input and LWW partial contract as ``UpsertToRetract`` (per-epoch
+    per-key winner, stale offers shadowed), but the changelog maintains
+    the VERSION-HISTORY table: each value change closes the key's open
+    version (retract ``(v_old, from, OPEN)``, add ``(v_old, from, t)``)
+    and opens ``(v_new, t, OPEN, version+1)``; a tombstone only closes;
+    a same-value re-upsert emits nothing.  ``valid_to`` uses the −1.0
+    OPEN sentinel (the ``scd2_build`` convention).  Per-key shard state
+    is O(1) — ``[stamp, open_value, open_from, version]`` — because
+    closed versions are immutable; the history itself lives only in the
+    exactly-once sink, whose running sum IS the SCD2 table.  Batch twin:
+    ``q_scd2_build``; SQL twin: per-epoch winners deduped on consecutive
+    equal values with window functions."""
+
+    def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
+        keys = [pickle.loads(kb) for _, kb, _ in deltas]
+        arrays: dict[str, pa.Array] = {
+            "diff": pa.array([d for d, _, _ in deltas], type=pa.int64())}
+        for i, (c, t) in enumerate(zip(self.key, self.key_types)):
+            arrays[c] = pa.array([k[i] for k in keys], type=t)
+        for i, (c, t) in enumerate(zip(self.vals, self.val_types)):
+            arrays[c] = pa.array([p[0][i] for _, _, p in deltas], type=t)
+        arrays["valid_from"] = pa.array(
+            [p[1] for _, _, p in deltas], type=pa.float64())
+        arrays["valid_to"] = pa.array(
+            [-1.0 if p[2] is None else p[2] for _, _, p in deltas],
+            type=pa.float64())
+        arrays["version"] = pa.array(
+            [p[3] for _, _, p in deltas], type=pa.int64())
+        arrays["epoch"] = pa.array([epoch] * len(deltas), type=pa.int64())
+        return pa.table(arrays)
+
+    def state_to_table(self, items: list, epoch: int) -> pa.Table:
+        """``collect()`` state → the OPEN versions only (the "current"
+        dimension view); the full history is the sink's running sum."""
+        live = [(pickle.loads(kb), st) for kb, st in items
+                if st[1] is not None]
+        arrays: dict[str, pa.Array] = {}
+        for i, (c, t) in enumerate(zip(self.key, self.key_types)):
+            arrays[c] = pa.array([k[i] for k, _ in live], type=t)
+        for i, (c, t) in enumerate(zip(self.vals, self.val_types)):
+            arrays[c] = pa.array([st[1][i] for _, st in live], type=t)
+        arrays["valid_from"] = pa.array([st[2] for _, st in live],
+                                        type=pa.float64())
+        arrays["version"] = pa.array([st[3] for _, st in live],
+                                     type=pa.int64())
+        arrays["epoch"] = pa.array([epoch] * len(live), type=pa.int64())
+        return pa.table(arrays)
+
+
+@dataclass
 class StreamJoin:
     """Stateful symmetric hash join keyed by arbitrary columns.
 
@@ -1649,11 +1703,13 @@ class StreamSession:
         src_name = getattr(op, "share_from", None)
         if src_name:
             src = self.ops.get(src_name)
-            if not isinstance(src, UpsertToRetract):
+            if not isinstance(src, UpsertToRetract) \
+                    or isinstance(src, Scd2History):
                 raise ValueError(
                     f"share_from={src_name!r}: add the owning "
                     "UpsertToRetract op to the session first (the shared "
-                    "arrangement is its register table)")
+                    "arrangement is its register table; Scd2History's "
+                    "version state is not an LWW register table)")
             if len(op.dim_vals) != len(src.vals):
                 raise ValueError(
                     f"share_from: dim_vals ({len(op.dim_vals)}) must name "
@@ -3073,20 +3129,25 @@ class StreamSession:
             elif isinstance(op, UpsertToRetract):
                 if op.input not in avail:
                     continue
+                # Scd2History subclasses UpsertToRetract: same partial
+                # contract and plumbing, different shard method + schema
+                is_scd2 = isinstance(op, Scd2History)
+                method = "apply_scd2" if is_scd2 else "apply_upsert_retract"
+                kind = "scd2" if is_scd2 else "upsert"
                 data = avail[op.input]
                 if isinstance(data, pa.Table):
                     merged = self._merged_partials(op, data, self.watermark)
-                    deltas = self.store.apply_upsert_retract(name, epoch,
-                                                             merged)
+                    deltas = getattr(self.store, method)(name, epoch,
+                                                         merged)
                     out_tbl = op.rows_to_table(deltas, epoch)
                     self.sinks[name].commit_tables(
-                        epoch, [out_tbl], meta=self._meta(kind="upsert"))
+                        epoch, [out_tbl], meta=self._meta(kind=kind))
                     emitted[name] = out_tbl
                     self.metrics["emitted_rows"] += out_tbl.num_rows
                 else:
                     n = self._changelog_distributed(
-                        op, name, epoch, data, "apply_upsert_retract",
-                        op.rows_to_table, kind="upsert")
+                        op, name, epoch, data, method,
+                        op.rows_to_table, kind=kind)
                     emitted[name] = self.sinks[name].read_committed(
                         epochs=[epoch])
                     self.metrics["emitted_rows"] += n

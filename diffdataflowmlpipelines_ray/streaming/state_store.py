@@ -695,6 +695,51 @@ class StateShard:
                 cur.stamp, cur.value = acc.stamp, acc.value
         return _dumps(deltas)
 
+    def apply_scd2(self, name: str, epoch: int, payload: bytes) -> bytes:
+        """Incrementally-maintained SCD2 history (the lakehouse type-2
+        dimension as a DIFFERENTIAL operator): same LWW offer contract as
+        ``apply_upsert_retract``, but instead of a latest-value changelog
+        the emitted deltas maintain a VERSION-HISTORY table ``(key, vals,
+        valid_from, valid_to, version)``.  A winning offer whose value
+        differs CLOSES the open version — retract ``(v_old, from, OPEN)``,
+        add ``(v_old, from, new_ts)`` — and opens ``(v_new, new_ts, OPEN,
+        version+1)``; a winning tombstone only closes; a same-value
+        re-upsert refreshes the LWW stamp and emits nothing (no spurious
+        versions).  Closed versions are immutable — per-key state is just
+        ``[stamp, open_value, open_from, version]``, O(keys) regardless of
+        history length, because only the open row can ever change.
+        Replay-idempotent via the epoch high-water mark; offers apply in
+        sorted key order (deterministic)."""
+        if self._seen(f"scd2:{name}", epoch):
+            return _dumps([])
+        store = self.aggs.setdefault(name, {})
+        deltas = []
+        for kb, acc in sorted(pickle.loads(payload), key=lambda kv: kv[0]):
+            cur = store.get(kb)
+            ts = acc.stamp[0]
+            if cur is None:
+                if acc.value is None:
+                    store[kb] = [acc.stamp, None, None, 0]
+                else:
+                    store[kb] = [acc.stamp, acc.value, ts, 1]
+                    deltas.append((1, kb, (acc.value, ts, None, 1)))
+            elif acc.stamp > cur[0]:
+                if _register_values_differ(acc.value, cur[1]):
+                    if cur[1] is not None:
+                        deltas.append((-1, kb, (cur[1], cur[2], None,
+                                                cur[3])))
+                        deltas.append((1, kb, (cur[1], cur[2], ts,
+                                               cur[3])))
+                    if acc.value is not None:
+                        ver = cur[3] + 1
+                        deltas.append((1, kb, (acc.value, ts, None, ver)))
+                        store[kb] = [acc.stamp, acc.value, ts, ver]
+                    else:
+                        store[kb] = [acc.stamp, None, None, cur[3]]
+                else:
+                    cur[0] = acc.stamp
+        return _dumps(deltas)
+
     def vector_topk(self, name: str, payload: bytes) -> bytes:
         """Brute-force cosine top-k over THIS shard's live LWW registers —
         the probe side of a CDC-maintained vector index: the registers of
@@ -1806,6 +1851,25 @@ class ShardedStateStore:
         refs = [
             self.shards[sid].apply_upsert_retract.remote(
                 name, epoch, _dumps(items))
+            for sid, items in by_shard.items()
+        ]
+        out: list = []
+        for b in ray.get(refs):
+            out.extend(pickle.loads(b))
+        out.sort(key=lambda d: (d[1], d[0]))
+        return out
+
+    def apply_scd2(self, name: str, epoch: int,
+                   merged: dict[bytes, Any]) -> list:
+        """Scatter per-key LWW offers to their shards, gather the emitted
+        SCD2 version-history deltas ``(diff, key_bytes, (vals, valid_from,
+        valid_to, version))`` — retraction before additions per key; the
+        stable sort keeps each key's (close-old, open-new) emission
+        order."""
+        self.fence()
+        by_shard = self._scatter(sorted(merged.items()))
+        refs = [
+            self.shards[sid].apply_scd2.remote(name, epoch, _dumps(items))
             for sid, items in by_shard.items()
         ]
         out: list = []

@@ -3262,6 +3262,156 @@ class TestUpsertToRetract:
             self._op(val_types=[])
 
 
+class TestScd2History:
+    """Incrementally-maintained SCD2: each accepted value change closes
+    the open version and opens version+1; tombstones only close;
+    same-value re-upserts and stale offers emit nothing."""
+
+    def _op(self, **kw):
+        from diffdataflowmlpipelines_ray.streaming.engine import Scd2History
+
+        base = dict(name="dim", input="u", key=["k"], vals=["v"],
+                    key_types=[pa.int64()], val_types=[pa.int64()],
+                    ts_col="ts", delete_col="del")
+        base.update(kw)
+        return Scd2History(**base)
+
+    @staticmethod
+    def _ups(rows):
+        k, v, ts, d = zip(*rows)
+        return pa.table({"k": pa.array(k, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64()),
+                         "ts": pa.array(ts, type=pa.float64()),
+                         "del": pa.array(d)})
+
+    @staticmethod
+    def _rows(tbl):
+        return sorted(zip(tbl["diff"].to_pylist(), tbl["k"].to_pylist(),
+                          tbl["v"].to_pylist(),
+                          tbl["valid_from"].to_pylist(),
+                          tbl["valid_to"].to_pylist(),
+                          tbl["version"].to_pylist()))
+
+    def test_version_lifecycle(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "d1", num_shards=3)
+        sess.add(self._op())
+        # epoch 0: first insert opens version 1 (intra-epoch churn
+        # consolidates to the max-stamp winner)
+        t0 = sess.process_epoch(0, {"u": self._ups(
+            [(1, 10, 1.0, False), (1, 11, 2.0, False)])})["dim"]
+        assert self._rows(t0) == [(1, 1, 11, 2.0, -1.0, 1)]
+        # epoch 1: value change closes v1 (retract open + add closed)
+        # and opens version 2
+        t1 = sess.process_epoch(1, {"u": self._ups(
+            [(1, 12, 3.0, False)])})["dim"]
+        assert self._rows(t1) == [(-1, 1, 11, 2.0, -1.0, 1),
+                                  (1, 1, 11, 2.0, 3.0, 1),
+                                  (1, 1, 12, 3.0, -1.0, 2)]
+        # epoch 2: same-value re-upsert at a newer stamp emits NOTHING
+        # (no spurious versions) but advances the stamp
+        t2 = sess.process_epoch(2, {"u": self._ups(
+            [(1, 12, 4.0, False)])})["dim"]
+        assert t2.num_rows == 0
+        # epoch 3: offer between applied stamps is stale — shadowed
+        t3 = sess.process_epoch(3, {"u": self._ups(
+            [(1, 99, 3.5, False)])})["dim"]
+        assert t3.num_rows == 0
+        # epoch 4: tombstone only closes the open version
+        t4 = sess.process_epoch(4, {"u": self._ups(
+            [(1, 0, 5.0, True)])})["dim"]
+        assert self._rows(t4) == [(-1, 1, 12, 3.0, -1.0, 2),
+                                  (1, 1, 12, 3.0, 5.0, 2)]
+        # epoch 5: re-insert after the tombstone opens version 3
+        t5 = sess.process_epoch(5, {"u": self._ups(
+            [(1, 13, 6.0, False)])})["dim"]
+        assert self._rows(t5) == [(1, 1, 13, 6.0, -1.0, 3)]
+        # the open-versions state view matches
+        st = sess.state_table("dim").to_pandas()
+        assert st["k"].tolist() == [1] and st["v"].tolist() == [13]
+        assert st["version"].tolist() == [3]
+        sess.store.shutdown()
+
+    def test_net_history_partitions_time(self, ray_session, tmp_path):
+        """Running sum of the changelog = an SCD2 table whose versions
+        per key have strictly increasing valid_from, abutting
+        [from, to) intervals, and exactly one open row per live key."""
+        rng = np.random.default_rng(31)
+        n = 400
+        rows = list(zip(rng.integers(0, 15, n).tolist(),
+                        rng.integers(0, 4, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.1).tolist()))
+        sess = StreamSession(tmp_path / "d2", num_shards=4)
+        sess.add(self._op())
+        for e in range(5):
+            sess.process_epoch(e, {"u": self._ups(rows[e::5])})
+        df = sess.sinks["dim"].read_committed_table().to_pandas()
+        sess.store.shutdown()
+        net = (df.groupby(["k", "v", "valid_from", "valid_to", "version"],
+                          as_index=False)["diff"].sum())
+        net = net[net["diff"] > 0]
+        assert (net["diff"] == 1).all()
+        for k, seg in net.groupby("k"):
+            seg = seg.sort_values("version")
+            assert seg["version"].tolist() == list(
+                range(1, len(seg) + 1))
+            assert seg["valid_from"].is_monotonic_increasing
+            assert (seg["valid_to"].to_numpy() == -1).sum() <= 1
+            closed = seg[seg["valid_to"] != -1]
+            # closed intervals never overlap the next version's start
+            nxt_from = seg["valid_from"].shift(-1).dropna()
+            assert (closed["valid_to"].to_numpy()
+                    <= nxt_from.to_numpy()[:len(closed)] + 1e-9).all()
+
+    def test_dataset_path_matches_table_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.default_rng(41)
+        n = 300
+        rows = list(zip(rng.integers(0, 20, n).tolist(),
+                        rng.integers(0, 5, n).tolist(),
+                        rng.permutation(n).astype(float).tolist(),
+                        (rng.random(n) < 0.15).tolist()))
+
+        def run(as_dataset):
+            sess = StreamSession(
+                tmp_path / f"d3-{as_dataset}", num_shards=3)
+            sess.add(self._op())
+            for e in range(3):
+                feed = self._ups(rows[e::3])
+                if as_dataset:
+                    feed = rd.from_arrow(feed).repartition(4)
+                sess.process_epoch(e, {"u": feed})
+            df = sess.sinks["dim"].read_committed_table().to_pandas()
+            sess.store.shutdown()
+            return (df.sort_values(["epoch", "k", "diff", "v",
+                                    "version"])
+                    .reset_index(drop=True))
+
+        pd.testing.assert_frame_equal(run(False), run(True))
+
+    def test_replay_is_idempotent(self, ray_session, tmp_path):
+        sess = StreamSession(tmp_path / "d4", num_shards=2)
+        sess.add(self._op())
+        feed = self._ups([(1, 10, 1.0, False), (2, 20, 2.0, False)])
+        t0 = sess.process_epoch(0, {"u": feed})["dim"]
+        assert t0.num_rows == 2
+        r0 = sess.process_epoch(0, {"u": feed})["dim"]
+        assert r0.num_rows == 0
+        sess.store.shutdown()
+
+    def test_share_from_scd2_rejected(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.streaming.engine import EnrichJoin
+
+        sess = StreamSession(tmp_path / "d5", num_shards=2)
+        sess.add(self._op())
+        with pytest.raises(ValueError, match="Scd2History"):
+            sess.add(EnrichJoin(name="en", dim_input="", stream_input="ev",
+                                key=["k"], dim_vals=["v"],
+                                stream_cols=["x"], share_from="dim"))
+        sess.store.shutdown()
+
+
 class TestInSessionChaining:
     """Ops that emit during the epoch publish their output under their own
     name, so later-declared ops consume it in the SAME process_epoch call."""
