@@ -9447,6 +9447,110 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Distributed table reconciliation (the data-diff primitive behind
+    migration cutovers and replica audits): orders vs a deterministically
+    perturbed copy — keys %101 dropped (left-only), +1 cent where %97
+    (price drift), priority rewritten where %89 (attribute drift),
+    synthetic keys +10⁷ where %103 (right-only; left keys are far below
+    10⁷ at any fixture sf).  Both sides stream through ONE hash(key)
+    bucket shuffle with a side tag; each bucket outer-merges its slice
+    and classifies rows vectorized; the driver sums 6 counters per
+    bucket.  All comparisons in exact integer cents / strings — no
+    float equality."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"],
+               blocks=8)
+
+    def sides(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _half_away(tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        prio = tbl["o_orderpriority"].to_numpy(zero_copy_only=False)
+        left = pd.DataFrame({"k": k, "cents": cents, "prio": prio,
+                             "side": "L"})
+        keep = k % 101 != 0
+        right = pd.DataFrame({
+            "k": k[keep],
+            "cents": cents[keep] + (k[keep] % 97 == 0),
+            "prio": np.where(k[keep] % 89 == 0, "9-SYNTH", prio[keep]),
+            "side": "R"})
+        syn = k % 103 == 0
+        extra = pd.DataFrame({"k": k[syn] + 10_000_000,
+                              "cents": cents[syn], "prio": prio[syn],
+                              "side": "R"})
+        out = pd.concat([left, right, extra], ignore_index=True)
+        out["__b"] = (out["k"].to_numpy() % 64).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def diff_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf[pdf["side"] == "L"]
+        r = pdf[pdf["side"] == "R"]
+        m = l.merge(r, on="k", how="outer", suffixes=("_l", "_r"))
+        both = m["side_l"].notna() & m["side_r"].notna()
+        pm = both & (m["cents_l"] != m["cents_r"])
+        qm = both & (m["prio_l"] != m["prio_r"])
+        return pd.DataFrame({
+            "n_match": [int((both & ~pm & ~qm).sum())],
+            "n_mismatch": [int((pm | qm).sum())],
+            "n_price_mismatch": [int(pm.sum())],
+            "n_prio_mismatch": [int(qm.sum())],
+            "n_left_only": [int(m["side_r"].isna().sum())],
+            "n_right_only": [int(m["side_l"].isna().sum())],
+        })
+
+    parts = (ds.map_batches(sides, batch_format="pyarrow")
+             .groupby("__b").map_groups(diff_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    return (parts.sum().to_frame().T.astype(np.int64)
+            .reset_index(drop=True))
+
+
+def q_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Merkle-style partition checksums (the anti-entropy primitive two
+    replicas exchange instead of rows): orders partition into key-range
+    buckets of 1000 (iceberg-manifest style), each bucket reports its
+    row count and an ORDER-INSENSITIVE checksum — the sum of the
+    DuckDB-reproducible 60-bit MD5 row hashes over the canonical row
+    string ``key|status|cents``, reduced mod the Mersenne prime 2⁶¹−1
+    (sums run in exact Python-int object arithmetic inside each block —
+    1000 × 2⁶⁰ overflows int64 — then fold additively across blocks,
+    which is exactly why an additive checksum distributes: partials add
+    in any order).  Equal manifests ⟹ equal partitions w.h.p."""
+    from ..functions.hashing import stable_hash60_array
+
+    P = (1 << 61) - 1
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice"], blocks=8)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _half_away(tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        st = tbl["o_orderstatus"].to_numpy(zero_copy_only=False)
+        canon = [f"{a}|{b}|{c}" for a, b, c in zip(k, st, cents)]
+        h = stable_hash60_array(canon)
+        g = pd.DataFrame({"bucket": k // 1000, "h": h.astype(object),
+                          "n": 1})
+        out = g.groupby("bucket", as_index=False).agg(
+            n_rows=("n", "sum"), cks=("h", "sum"))
+        out["cks"] = (out["cks"] % P).astype(np.int64)
+        return pa.Table.from_pandas(out.astype(np.int64),
+                                    preserve_index=False)
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda p: pd.DataFrame({
+                 "bucket": [int(p["bucket"].iloc[0])],
+                 "n_rows": [int(p["n_rows"].sum())],
+                 "checksum": [int(p["cks"].astype(object).sum() % P)]}),
+                 batch_format="pandas")
+             .to_pandas())
+    return (parts.sort_values("bucket").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def q_stream_scd2(sf_dir: str) -> pd.DataFrame:
     """Incrementally-maintained SCD2 dimension (Scd2History) — the
     lakehouse type-2 MERGE as a differential operator: orders arrive as
@@ -10543,6 +10647,8 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "grouped_weighted_median": q_grouped_weighted_median,
     "stream_scd2": q_stream_scd2,
+    "reconcile": q_reconcile,
+    "table_checksum": q_table_checksum,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
     "sssp_bounded": q_sssp_bounded,
@@ -13016,6 +13122,57 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "reconcile": """
+        WITH l AS (SELECT o_orderkey AS k,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS cents,
+                          o_orderpriority AS prio
+                   FROM orders),
+        r AS (SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+                         AS cents,
+                     CASE WHEN o_orderkey % 89 = 0 THEN '9-SYNTH'
+                          ELSE o_orderpriority END AS prio
+              FROM orders WHERE o_orderkey % 101 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000,
+                     CAST(round(o_totalprice * 100) AS BIGINT),
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 103 = 0),
+        j AS (SELECT l.k AS lk, r.k AS rk, l.cents AS lc, r.cents AS rc,
+                     l.prio AS lp, r.prio AS rp
+              FROM l FULL OUTER JOIN r ON l.k = r.k)
+        SELECT count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND lc = rc AND lp = rp THEN 1 END)::BIGINT
+                   AS n_match,
+               count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND (lc <> rc OR lp <> rp) THEN 1 END)::BIGINT
+                   AS n_mismatch,
+               count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND lc <> rc THEN 1 END)::BIGINT
+                   AS n_price_mismatch,
+               count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND lp <> rp THEN 1 END)::BIGINT
+                   AS n_prio_mismatch,
+               count(CASE WHEN rk IS NULL THEN 1 END)::BIGINT
+                   AS n_left_only,
+               count(CASE WHEN lk IS NULL THEN 1 END)::BIGINT
+                   AS n_right_only
+        FROM j
+    """,
+    "table_checksum": """
+        WITH h AS (SELECT o_orderkey // 1000 AS bucket,
+                          ('0x' || substr(md5(
+                              o_orderkey || '|' || o_orderstatus || '|'
+                              || CAST(round(o_totalprice * 100) AS BIGINT)
+                          ), 1, 15))::BIGINT AS h
+                   FROM orders)
+        SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+               (sum(h::HUGEINT) % 2305843009213693951)::BIGINT
+                   AS checksum
+        FROM h GROUP BY bucket ORDER BY bucket
     """,
     "stream_scd2": """
         WITH u AS (SELECT o_orderkey % 997 AS k,

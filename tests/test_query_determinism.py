@@ -775,6 +775,72 @@ def test_grouped_weighted_median_scalar_replay(ray_session):
         assert int(row["wmedian_cents"]) == med
 
 
+def test_reconcile_direct_replay(ray_session):
+    """The bucketed diff must equal a direct driver-side full-outer
+    merge, and every perturbation class must be non-empty."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_reconcile(SF).iloc[0]
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice",
+                               "o_orderpriority"]).to_pandas()
+    k = t["o_orderkey"].to_numpy()
+    cents = _half_away(t["o_totalprice"].to_numpy() * 100.0).astype(
+        np.int64)
+    prio = t["o_orderpriority"].to_numpy()
+    left = pd.DataFrame({"k": k, "c": cents, "p": prio})
+    keep = k % 101 != 0
+    right = pd.DataFrame({
+        "k": k[keep], "c": cents[keep] + (k[keep] % 97 == 0),
+        "p": np.where(k[keep] % 89 == 0, "9-SYNTH", prio[keep])})
+    right = pd.concat([right, pd.DataFrame(
+        {"k": k[k % 103 == 0] + 10_000_000, "c": cents[k % 103 == 0],
+         "p": prio[k % 103 == 0]})], ignore_index=True)
+    m = left.merge(right, on="k", how="outer", suffixes=("_l", "_r"))
+    both = m["c_l"].notna() & m["c_r"].notna()
+    pm = both & (m["c_l"] != m["c_r"])
+    qm = both & (m["p_l"] != m["p_r"])
+    assert int(out["n_match"]) == int((both & ~pm & ~qm).sum())
+    assert int(out["n_mismatch"]) == int((pm | qm).sum()) > 0
+    assert int(out["n_price_mismatch"]) == int(pm.sum()) > 0
+    assert int(out["n_prio_mismatch"]) == int(qm.sum()) > 0
+    assert int(out["n_left_only"]) == int(m["c_r"].isna().sum()) > 0
+    assert int(out["n_right_only"]) == int(m["c_l"].isna().sum()) > 0
+
+
+def test_table_checksum_detects_single_row_change(ray_session, tmp_path):
+    """Flipping ONE row's status changes exactly that bucket's checksum
+    and no other — plus row-order invariance (additive mod-p sum)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    base = Q.q_table_checksum(SF)
+    t = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    # permuted copy → identical manifest
+    sh = t.sample(frac=1.0, random_state=11).reset_index(drop=True)
+    d = tmp_path / "perm"
+    d.mkdir()
+    sh.to_parquet(d / "orders.parquet", index=False)
+    perm = Q.q_table_checksum(str(d))
+    pd.testing.assert_frame_equal(base, perm)
+    # flip one row's status → exactly one bucket differs
+    victim = t.index[len(t) // 2]
+    t.loc[victim, "o_orderstatus"] = "Z"
+    vb = int(t.loc[victim, "o_orderkey"]) // 1000
+    d2 = tmp_path / "flip"
+    d2.mkdir()
+    t.to_parquet(d2 / "orders.parquet", index=False)
+    flip = Q.q_table_checksum(str(d2))
+    diff = base.merge(flip, on="bucket", suffixes=("_a", "_b"))
+    changed = diff[diff["checksum_a"] != diff["checksum_b"]]
+    assert changed["bucket"].tolist() == [vb]
+    assert (diff["n_rows_a"] == diff["n_rows_b"]).all()
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
