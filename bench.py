@@ -132,7 +132,9 @@ def run_bench() -> dict:
         "funnel3", "seasonal_trend", "sssp_bounded",
         "stream_asof_outer", "merge_upsert", "k_anonymity",
         "stream_asof_tolerance", "twap",
-        "clamped_balance", "theil_sen", "funnel_timed")
+        "clamped_balance", "theil_sen", "funnel_timed",
+        "entity_resolution", "grouped_weighted_median", "stream_scd2",
+        "reconcile", "table_checksum")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -9447,6 +9447,79 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_overlap_seconds(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap-LENGTH aggregate — the incident-exposure report:
+    how many µs did each user's 30-min-gap sessions overlap error
+    incidents?  Incident hours are derived scale-free (error count n in
+    an hour is an incident iff 2·n·hours > 3·total — strictly above
+    1.5× the mean, an exact integer predicate), collected bounded (≤
+    calendar hours) and broadcast sorted.  Sessions never materialize
+    as an interval join: inside ONE hash(user) bucket shuffle each
+    session [s, e) finds its overlapping hour-window RANGE with two
+    searchsorted probes, and because disjoint hourly windows clip only
+    at the two boundary windows, the total overlap is the closed form
+    H·(i₁−i₀) − clip_start − clip_end — O(log incidents) per session
+    regardless of how many windows a long session spans.  Exact µs."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"], blocks=8)
+    H = 3_600_000_000
+
+    def err_hours(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))[et == "error"]
+        v, c = np.unique(t // H, return_counts=True)
+        return pa.table({"hr": pa.array(v), "n": pa.array(c)})
+
+    hrs = (ds.map_batches(err_hours, batch_format="pyarrow")
+           .groupby("hr").sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n"}))
+    tot, nh = int(hrs["n"].sum()), len(hrs)
+    inc = np.sort(hrs.loc[2 * hrs["n"] * nh > 3 * tot, "hr"]
+                  .to_numpy(dtype=np.int64)) * H
+    inc_ref = ray.put(inc)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return (tbl.drop_columns(["event_type"])
+                .append_column("__b",
+                               pa.array((u % 64).astype(np.int64))))
+
+    def ov_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(inc_ref)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        brk = np.ones(len(u), dtype=np.int64)
+        if len(u) > 1:
+            brk[1:] = ((u[1:] != u[:-1])
+                       | (t[1:] - t[:-1] > 1_800_000_000)).astype(np.int64)
+        sid = np.cumsum(brk)
+        g = (pd.DataFrame({"u": u, "sid": sid, "t": t})
+             .groupby(["u", "sid"], as_index=False)
+             .agg(s=("t", "min"), e=("t", "max")))
+        s = g["s"].to_numpy()
+        e = g["e"].to_numpy()
+        i0 = np.searchsorted(hs, s - H + 1, side="left")
+        i1 = np.searchsorted(hs, e, side="left")
+        k = i1 - i0
+        has = k > 0
+        clip_s = np.zeros(len(g), dtype=np.int64)
+        clip_e = np.zeros(len(g), dtype=np.int64)
+        clip_s[has] = np.maximum(0, s[has] - hs[i0[has]])
+        clip_e[has] = np.maximum(0, hs[i1[has] - 1] + H - e[has])
+        g["ov"] = k * H - clip_s - clip_e
+        out = (g.groupby("u", as_index=False).agg(
+            overlap_us=("ov", "sum")).rename(columns={"u": "user_id"}))
+        return out[out["overlap_us"] > 0].astype(np.int64)
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(ov_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_reconcile(sf_dir: str) -> pd.DataFrame:
     """Distributed table reconciliation (the data-diff primitive behind
     migration cutovers and replica audits): orders vs a deterministically
@@ -10648,6 +10721,7 @@ QUERIES = {
     "grouped_weighted_median": q_grouped_weighted_median,
     "stream_scd2": q_stream_scd2,
     "reconcile": q_reconcile,
+    "overlap_seconds": q_overlap_seconds,
     "table_checksum": q_table_checksum,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
@@ -13122,6 +13196,34 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "overlap_seconds": """
+        WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                          count(*) AS n
+                   FROM events WHERE event_type = 'error' GROUP BY 1),
+        t AS (SELECT sum(n) AS tot, count(*) AS nh FROM h),
+        inc AS (SELECT hr FROM h, t WHERE 2 * n * nh > 3 * tot),
+        ev AS (SELECT user_id, epoch_us(ts) AS t0,
+                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                              > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (SELECT user_id, t0,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY t0
+                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM ev),
+        ss AS (SELECT user_id, sid, min(t0) AS s, max(t0) AS e
+               FROM se GROUP BY 1, 2),
+        ov AS (SELECT ss.user_id,
+                      least(ss.e, (inc.hr + 1) * 3600000000)
+                      - greatest(ss.s, inc.hr * 3600000000) AS o
+               FROM ss JOIN inc
+                 ON inc.hr * 3600000000 < ss.e
+                AND (inc.hr + 1) * 3600000000 > ss.s)
+        SELECT user_id, sum(o)::BIGINT AS overlap_us
+        FROM ov GROUP BY user_id HAVING sum(o) > 0 ORDER BY user_id
     """,
     "reconcile": """
         WITH l AS (SELECT o_orderkey AS k,

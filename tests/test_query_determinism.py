@@ -841,6 +841,42 @@ def test_table_checksum_detects_single_row_change(ray_session, tmp_path):
     assert (diff["n_rows_a"] == diff["n_rows_b"]).all()
 
 
+def test_overlap_seconds_brute_force_replay(ray_session):
+    """The searchsorted closed-form overlap must equal a literal
+    per-(session, window) max(0, min(e,h+H)-max(s,h)) double loop."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    H = 3_600_000_000
+    out = Q.q_overlap_seconds(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type"]).to_pandas()
+    ev["t"] = (ev.pop("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+    err = ev[ev["event_type"] == "error"]
+    hrs = (err["t"] // H).value_counts()
+    tot, nh = int(hrs.sum()), len(hrs)
+    inc = sorted(int(h) * H for h, n in hrs.items()
+                 if 2 * n * nh > 3 * tot)
+    assert len(inc) > 0
+    got = dict(zip(out["user_id"], out["overlap_us"]))
+    want: dict = {}
+    for uid, seg in ev.sort_values(["user_id", "t", "event_id"]
+                                   ).groupby("user_id"):
+        t = seg["t"].to_numpy()
+        cut = np.flatnonzero(np.diff(t) > 1_800_000_000) + 1
+        total = 0
+        for part in np.split(t, cut):
+            s, e2 = int(part[0]), int(part[-1])
+            for h in inc:
+                total += max(0, min(e2, h + H) - max(s, h))
+        if total > 0:
+            want[uid] = total
+    assert got == want
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
