@@ -9447,6 +9447,200 @@ def q_funnel_timed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape — shipping volume between two nations by ship
+    year (1995–1996), six relations: nation (driver-read, 25 rows)
+    resolves the two nation keys; supplier and customer fold to
+    BROADCAST key→nation maps filtered to just those nations (the
+    bounded-dim contract); lineitem rows tag their supplier nation and
+    pre-reduce (orderkey, s_nat, year) cents in-block; orders rows tag
+    their customer nation; ONE orderkey-hash bucket join (the
+    `returned_items` two-sided plan) matches them, keeps the two
+    cross-nation pairs, and per-bucket (supp, cust, year) partials fold
+    through a final tiny groupby — the fact tables never broadcast and
+    never globally sort.  Revenue is exact half-away cents of the
+    identical IEEE product on both twins."""
+    nat = _read_table(sf_dir, "nation").to_pandas()
+    pick = nat[nat["n_name"].isin(["NATION_3", "NATION_8"])]
+    key2name = dict(zip(pick["n_nationkey"].astype(int),
+                        pick["n_name"]))
+    sup = _read_table(sf_dir, "supplier",
+                      ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(int).isin(key2name)]
+    s_map = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                             sup["s_nationkey"].astype(int))))
+    cust = _read_table(sf_dir, "customer",
+                       ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].astype(int).isin(key2name)]
+    c_map = ray.put(dict(zip(cust["c_custkey"].astype(int),
+                             cust["c_nationkey"].astype(int))))
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1997-01-01")
+    B = 16
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(s_map)
+        d = pdf["l_shipdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        snat = pdf["l_suppkey"].map(sm)
+        pdf = pdf[snat.notna()]
+        if not len(pdf):
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "nat": pd.Series([], dtype=np.int64),
+                                 "yr": pd.Series([], dtype=np.int64),
+                                 "cents": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int64)})
+        yr = (pdf["l_shipdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"key": pdf["l_orderkey"].to_numpy(),
+                           "nat": snat[pdf.index].to_numpy(
+                               dtype=np.int64),
+                           "yr": yr, "cents": cents})
+             .groupby(["key", "nat", "yr"], as_index=False)
+             .agg(cents=("cents", "sum")))
+        g["side"] = 0
+        return g.astype(np.int64)
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(c_map)
+        cnat = pdf["o_custkey"].map(cm)
+        pdf = pdf[cnat.notna()]
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "nat": cnat[pdf.index].to_numpy(dtype=np.int64),
+            "yr": np.zeros(len(pdf), dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)}).astype(np.int64)
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        li = pdf[side == 0]
+        od = pdf[side == 1][["key", "nat"]].rename(
+            columns={"nat": "cnat"})
+        m = li.merge(od, on="key")
+        m = m[m["nat"] != m["cnat"]]
+        return (m.groupby(["nat", "cnat", "yr"], as_index=False)
+                .agg(cents=("cents", "sum")))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"], blocks=8)
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=8)
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(od.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_join,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["nat", "cnat", "yr"], as_index=False)
+           .agg(cents=("cents", "sum")))
+    out["supp_nation"] = out.pop("nat").map(key2name)
+    out["cust_nation"] = out.pop("cnat").map(key2name)
+    out = out.rename(columns={"yr": "l_year",
+                              "cents": "revenue_cents"})
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return (out[["supp_nation", "cust_nation", "l_year",
+                 "revenue_cents"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across FIVE foreign keys (the
+    cross-table data-quality screen `validate_rules` cannot express):
+    orphaned child ROWS per relation, with one parent side
+    deterministically corrupted (orders with o_orderkey % 211 == 0
+    hidden) so the audit proves it fires.  Per FK: child blocks
+    pre-reduce to (key, row_count) partials, parent blocks to distinct
+    keys, both ride ONE hash(key) bucket shuffle where orphan counts
+    fold via a vectorized isin — distinct keys move, never rows; counts
+    add across buckets.  The five audits share the plan as one unioned
+    dataflow keyed by relation id."""
+    fks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey", 211),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey", None),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey", None),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey", None),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey", None),
+    ]
+    union = None
+    for rid, (rel, ctab, ckey, ptab, pkey, drop) in enumerate(fks):
+        def c_part(pdf: pd.DataFrame, ckey=ckey, rid=rid
+                   ) -> pd.DataFrame:
+            g = (pd.DataFrame({"key": pdf[ckey].to_numpy()
+                               .astype(np.int64)})
+                 .groupby("key", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            g["rid"] = rid
+            g["side"] = 0
+            return g.astype(np.int64)
+
+        def p_part(pdf: pd.DataFrame, pkey=pkey, rid=rid, drop=drop
+                   ) -> pd.DataFrame:
+            k = np.unique(pdf[pkey].to_numpy().astype(np.int64))
+            if drop is not None:
+                k = k[k % drop != 0]
+            return pd.DataFrame({"key": k,
+                                 "n": np.zeros(len(k), dtype=np.int64),
+                                 "rid": rid,
+                                 "side": 1}).astype(np.int64)
+
+        child = (_read(sf_dir, ctab, [ckey], blocks=4)
+                 .map_batches(c_part, batch_format="pandas"))
+        parent = (_read(sf_dir, ptab, [pkey], blocks=4)
+                  .map_batches(p_part, batch_format="pandas"))
+        union = child.union(parent) if union is None \
+            else union.union(child).union(parent)
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = (((k * np.uint64(0x9E3779B97F4A7C15))
+                       % np.uint64(16)).astype(np.int64)
+                      * 8 + pdf["rid"].to_numpy())
+        return pdf
+
+    def audit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(pdf["rid"].iloc[0])
+        side = pdf["side"].to_numpy()
+        child = pdf[side == 0]
+        pk = pdf.loc[side == 1, "key"].unique()
+        orphan = ~child["key"].isin(pk)
+        return pd.DataFrame({
+            "rid": [rid],
+            "n_child": [int(child["n"].sum())],
+            "n_orphans": [int(child.loc[orphan, "n"].sum())]})
+
+    parts = (union.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(audit_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("rid", as_index=False)
+           .agg(n_child=("n_child", "sum"),
+                n_orphans=("n_orphans", "sum")))
+    agg["relation"] = agg.pop("rid").map(
+        {i: f[0] for i, f in enumerate(fks)})
+    agg["n_child"] = agg["n_child"].astype(np.int64)
+    agg["n_orphans"] = agg["n_orphans"].astype(np.int64)
+    return (agg[["relation", "n_child", "n_orphans"]]
+            .sort_values("relation").reset_index(drop=True))
+
+
 def q_overlap_seconds(sf_dir: str) -> pd.DataFrame:
     """Interval-overlap-LENGTH aggregate — the incident-exposure report:
     how many µs did each user's 30-min-gap sessions overlap error
@@ -10722,6 +10916,8 @@ QUERIES = {
     "stream_scd2": q_stream_scd2,
     "reconcile": q_reconcile,
     "overlap_seconds": q_overlap_seconds,
+    "nation_volume": q_nation_volume,
+    "fk_audit": q_fk_audit,
     "table_checksum": q_table_checksum,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
@@ -13196,6 +13392,51 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "fk_audit": """
+        SELECT 'customer.c_nationkey->nation' AS relation,
+               (SELECT count(*) FROM customer)::BIGINT AS n_child,
+               (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders
+                    WHERE o_orderkey % 211 <> 0))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                   (SELECT p_partkey FROM part))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier))::BIGINT
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders)::BIGINT,
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer))::BIGINT
+        ORDER BY relation
+    """,
+    "nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               (year(l_shipdate))::BIGINT AS l_year,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT))::BIGINT AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     "overlap_seconds": """
         WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,

@@ -877,6 +877,74 @@ def test_overlap_seconds_brute_force_replay(ray_session):
     assert got == want
 
 
+def test_fk_audit_direct_replay(ray_session):
+    """Each relation's orphan count replayed with driver pandas isin;
+    the injected orders corruption must fire, the clean FKs must not."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_fk_audit(SF).set_index("relation")
+    rd_ = lambda t, c: pq.read_table(f"{SF}/{t}.parquet",
+                                     columns=[c]).to_pandas()[c]
+    li_ok = rd_("lineitem", "l_orderkey")
+    ok = rd_("orders", "o_orderkey")
+    ok = ok[ok % 211 != 0]
+    want = int((~li_ok.isin(ok)).sum())
+    r = out.loc["lineitem.l_orderkey->orders"]
+    assert int(r["n_orphans"]) == want > 0
+    assert int(r["n_child"]) == len(li_ok)
+    for rel in ["lineitem.l_partkey->part", "lineitem.l_suppkey->supplier",
+                "orders.o_custkey->customer",
+                "customer.c_nationkey->nation"]:
+        assert int(out.loc[rel, "n_orphans"]) == 0
+
+
+def test_nation_volume_direct_replay(ray_session):
+    """The bucket-join Q7 plan replayed as one driver pandas merge."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_nation_volume(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    su = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    d = li["l_shipdate"].to_numpy()
+    li = li[(d >= np.datetime64("1995-01-01"))
+            & (d < np.datetime64("1997-01-01"))].copy()
+    li["cents"] = _half_away(li["l_extendedprice"].to_numpy()
+                             * (1.0 - li["l_discount"].to_numpy())
+                             * 100.0).astype(np.int64)
+    li["l_year"] = (li["l_shipdate"].to_numpy()
+                    .astype("datetime64[Y]").astype(np.int64) + 1970)
+    m = (li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(na.add_prefix("s_n_"), left_on="s_nationkey",
+                right_on="s_n_n_nationkey")
+         .merge(na.add_prefix("c_n_"), left_on="c_nationkey",
+                right_on="c_n_n_nationkey"))
+    pair = (((m["s_n_n_name"] == "NATION_3")
+             & (m["c_n_n_name"] == "NATION_8"))
+            | ((m["s_n_n_name"] == "NATION_8")
+               & (m["c_n_n_name"] == "NATION_3")))
+    m = m[pair]
+    want = (m.groupby(["s_n_n_name", "c_n_n_name", "l_year"],
+                      as_index=False)["cents"].sum()
+            .rename(columns={"s_n_n_name": "supp_nation",
+                             "c_n_n_name": "cust_nation",
+                             "cents": "revenue_cents"})
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out, want.astype({"l_year": np.int64,
+                          "revenue_cents": np.int64}))
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
