@@ -134,7 +134,8 @@ def run_bench() -> dict:
         "stream_asof_tolerance", "twap",
         "clamped_balance", "theil_sen", "funnel_timed",
         "entity_resolution", "grouped_weighted_median", "stream_scd2",
-        "reconcile", "table_checksum")
+        "reconcile", "table_checksum", "overlap_seconds",
+        "nation_volume", "fk_audit")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -9555,6 +9555,56 @@ def q_nation_volume(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style composite document-quality rules (the multi-rule
+    pre-training screen a single percentile gate cannot express), per
+    source: R1 word count ≥ 20, R2 mean word length in [3, 10] as the
+    exact integer predicate 3·w ≤ chars ≤ 10·w (no float division),
+    R3 ≥ 2 stopword occurrences ('the'/'a' — this corpus's function
+    words), R4 ≥ 30 % distinct words as 10·distinct ≥ 3·w.  All four
+    counts derive from ONE Arrow tokenization per block (explode +
+    groupby fold, no per-row Python); per-(source) rule-failure
+    partials pre-reduce in-block and fold through a tiny groupby.
+    Rules R1/R3/R4 all fire on the fixture, so the screen is live."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"],
+               blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["text"]
+        w = t.str.count(r"[^ ]+").to_numpy(dtype=np.int64)
+        chars = (t.str.len().to_numpy(dtype=np.int64)
+                 - t.str.count(" ").to_numpy(dtype=np.int64))
+        ex = (pd.DataFrame({"i": np.arange(len(pdf)),
+                            "tok": t.str.split(" ")})
+              .explode("tok"))
+        ex = ex[ex["tok"].astype(str).str.len() > 0]
+        uniq = (ex.groupby("i")["tok"].nunique()
+                .reindex(range(len(pdf)), fill_value=0)
+                .to_numpy(dtype=np.int64))
+        stop = (ex[ex["tok"].isin(["the", "a"])].groupby("i").size()
+                .reindex(range(len(pdf)), fill_value=0)
+                .to_numpy(dtype=np.int64))
+        f1 = w < 20
+        f2 = (3 * w > chars) | (chars > 10 * w)
+        f3 = stop < 2
+        f4 = 10 * uniq < 3 * w
+        g = pd.DataFrame({"source": pdf["source"].to_numpy(),
+                          "n_docs": 1,
+                          "fail_words": f1.astype(np.int64),
+                          "fail_wordlen": f2.astype(np.int64),
+                          "fail_stopwords": f3.astype(np.int64),
+                          "fail_repetition": f4.astype(np.int64),
+                          "n_pass": (~(f1 | f2 | f3 | f4))
+                          .astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    out = (ds.map_batches(part, batch_format="pandas").to_pandas()
+           .groupby("source", as_index=False).sum())
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_fk_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit across FIVE foreign keys (the
     cross-table data-quality screen `validate_rules` cannot express):
@@ -10918,6 +10968,7 @@ QUERIES = {
     "overlap_seconds": q_overlap_seconds,
     "nation_volume": q_nation_volume,
     "fk_audit": q_fk_audit,
+    "gopher_rules": q_gopher_rules,
     "table_checksum": q_table_checksum,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
@@ -13392,6 +13443,31 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "gopher_rules": """
+        WITH d AS (SELECT source,
+                          regexp_extract_all(text, '[^ ]+') AS toks,
+                          length(replace(text, ' ', '')) AS chars
+                   FROM documents),
+        m AS (SELECT source, chars, length(toks) AS w,
+                     length(list_distinct(toks)) AS uniq,
+                     length(list_filter(toks,
+                         x -> x IN ('the', 'a'))) AS stop
+              FROM d),
+        f AS (SELECT source,
+                     (w < 20)::BIGINT AS f1,
+                     (3 * w > chars OR chars > 10 * w)::BIGINT AS f2,
+                     (stop < 2)::BIGINT AS f3,
+                     (10 * uniq < 3 * w)::BIGINT AS f4
+              FROM m)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(f1)::BIGINT AS fail_words,
+               sum(f2)::BIGINT AS fail_wordlen,
+               sum(f3)::BIGINT AS fail_stopwords,
+               sum(f4)::BIGINT AS fail_repetition,
+               sum(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0
+                   END)::BIGINT AS n_pass
+        FROM f GROUP BY source ORDER BY source
     """,
     "fk_audit": """
         SELECT 'customer.c_nationkey->nation' AS relation,

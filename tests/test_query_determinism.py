@@ -945,6 +945,43 @@ def test_nation_volume_direct_replay(ray_session):
                           "revenue_cents": np.int64}))
 
 
+def test_gopher_rules_scalar_replay(ray_session):
+    """Per-source rule-failure counts replayed with pure-Python string
+    ops over every document."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_gopher_rules(SF).set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text", "source"]).to_pandas()
+    want: dict = {}
+    for src, seg in docs.groupby("source"):
+        acc = dict(n_docs=0, fail_words=0, fail_wordlen=0,
+                   fail_stopwords=0, fail_repetition=0, n_pass=0)
+        for text in seg["text"]:
+            toks = [t for t in text.split(" ") if t]
+            w = len(toks)
+            chars = sum(len(t) for t in toks)
+            stop = sum(1 for t in toks if t in ("the", "a"))
+            uniq = len(set(toks))
+            f1 = w < 20
+            f2 = 3 * w > chars or chars > 10 * w
+            f3 = stop < 2
+            f4 = 10 * uniq < 3 * w
+            acc["n_docs"] += 1
+            acc["fail_words"] += f1
+            acc["fail_wordlen"] += f2
+            acc["fail_stopwords"] += f3
+            acc["fail_repetition"] += f4
+            acc["n_pass"] += not (f1 or f2 or f3 or f4)
+        want[src] = acc
+    for src, acc in want.items():
+        for k, v in acc.items():
+            assert int(out.loc[src, k]) == v, (src, k)
+    assert (out["n_pass"] < out["n_docs"]).any()
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
