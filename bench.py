@@ -135,7 +135,8 @@ def run_bench() -> dict:
         "clamped_balance", "theil_sen", "funnel_timed",
         "entity_resolution", "grouped_weighted_median", "stream_scd2",
         "reconcile", "table_checksum", "overlap_seconds",
-        "nation_volume", "fk_audit")
+        "nation_volume", "fk_audit", "gopher_rules", "time_in_state",
+        "cycle_time")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -9555,6 +9555,135 @@ def q_nation_volume(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_time_in_state(sf_dir: str) -> pd.DataFrame:
+    """Per-state dwell time (the ops-dashboard sibling of `twap`): each
+    event's type is the user's STATE until their next event; total µs
+    and exact floor-div-micro share per event_type.  Same single
+    hash(user) bucket shuffle and vectorized shift as twap — the state
+    gap is one subtraction under the deterministic (ts, event_id)
+    order — but the fold groups by the STATE, so the result is the
+    corpus-wide time-in-state profile.  Final-event states (no next
+    event) hold no time on either twin; exact integers end-to-end."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def state_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.concatenate([u[1:] == u[:-1], [False]])
+        gap = np.zeros(len(u), dtype=np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[~same] = 0
+        return (pd.DataFrame({"event_type": pdf["event_type"]
+                              .to_numpy(), "us": gap})
+                .groupby("event_type", as_index=False)
+                .agg(total_us=("us", "sum"),
+                     n_spans=("us", lambda s: int((s.to_numpy() > 0)
+                                                  .sum()))))
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(state_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("event_type", as_index=False)
+           .agg(total_us=("total_us", "sum"),
+                n_spans=("n_spans", "sum")))
+    tot = int(out["total_us"].astype(object).sum())
+    # total_us·10⁶ exceeds int64 (a corpus-wide µs sum × 10⁶) — finish
+    # in Python ints, the HUGEINT twin's arithmetic
+    out["share_micro"] = (out["total_us"].astype(object) * 1_000_000
+                          // tot).astype(np.int64)
+    for c in ["total_us", "n_spans", "share_micro"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_cycle_time(sf_dir: str) -> pd.DataFrame:
+    """Order→ship cycle-time SLA report: exact p50/p90 (lower
+    order statistics) and max of the ship lag in whole days, per order
+    priority.  lineitem ships only (orderkey, shipdate-day) and orders
+    only (orderkey, orderdate-day, priority) through ONE orderkey-hash
+    bucket join (the `returned_items` plan); lag days are exact integer
+    date subtraction; per-bucket (priority, lag) COUNT partials — never
+    row pairs — ride a second tiny exchange where the grouped
+    cumulative-weight crossing (the `grouped_weighted_median` kernel)
+    finds each priority's order statistics."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               blocks=8)
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"],
+               blocks=8)
+    B = 16
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = (pdf["l_shipdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        g = (pd.DataFrame({"key": pdf["l_orderkey"].to_numpy(),
+                           "day": d})
+             .groupby(["key", "day"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["prio"] = ""
+        g["side"] = 0
+        return g
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = (pdf["o_orderdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        return pd.DataFrame({"key": pdf["o_orderkey"].to_numpy(),
+                             "day": d, "n": 0,
+                             "prio": pdf["o_orderpriority"]
+                             .to_numpy(), "side": 1})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        li_ = pdf[side == 0][["key", "day", "n"]]
+        od_ = pdf[side == 1][["key", "day", "prio"]].rename(
+            columns={"day": "oday"})
+        m = li_.merge(od_, on="key")
+        m["lag"] = m["day"] - m["oday"]
+        return (m.groupby(["prio", "lag"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    counts = (li.map_batches(li_part, batch_format="pandas")
+              .union(od.map_batches(o_part, batch_format="pandas"))
+              .map_batches(tag, batch_format="pandas")
+              .groupby("__b").map_groups(bucket_join,
+                                         batch_format="pandas")
+              .to_pandas())
+    g = (counts.groupby(["prio", "lag"], as_index=False)
+         .agg(n=("n", "sum")).sort_values(["prio", "lag"]))
+    cum = g.groupby("prio")["n"].cumsum()
+    tot = g.groupby("prio")["n"].transform("sum")
+    rows = []
+    for q, col in ((0.5, "p50_days"), (0.9, "p90_days")):
+        hit = g[10 * cum >= int(q * 10) * tot].groupby(
+            "prio", as_index=False).head(1)[["prio", "lag"]]
+        rows.append(hit.rename(columns={"lag": col}))
+    out = rows[0].merge(rows[1], on="prio")
+    mx = (g.groupby("prio", as_index=False)
+          .agg(max_days=("lag", "max"), n_items=("n", "sum")))
+    out = out.merge(mx, on="prio").rename(
+        columns={"prio": "o_orderpriority"})
+    for c in ["p50_days", "p90_days", "max_days", "n_items"]:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values("o_orderpriority")
+            .reset_index(drop=True))
+
+
 def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
     """Gopher-style composite document-quality rules (the multi-rule
     pre-training screen a single percentile gate cannot express), per
@@ -10969,6 +11098,8 @@ QUERIES = {
     "nation_volume": q_nation_volume,
     "fk_audit": q_fk_audit,
     "gopher_rules": q_gopher_rules,
+    "time_in_state": q_time_in_state,
+    "cycle_time": q_cycle_time,
     "table_checksum": q_table_checksum,
     "dbscan": q_dbscan,
     "silhouette": q_silhouette,
@@ -13443,6 +13574,43 @@ ORACLES = {
                sum(CASE WHEN mn < mp THEN 1 ELSE 0 END)::BIGINT
                    AS n_clamped
         FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "time_in_state": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        g AS (SELECT event_type, sum(nxt - t)::BIGINT AS total_us,
+                     count(CASE WHEN nxt > t THEN 1 END)::BIGINT
+                         AS n_spans
+              FROM e WHERE nxt IS NOT NULL GROUP BY 1),
+        t AS (SELECT sum(total_us) AS tot FROM g)
+        SELECT event_type, total_us, n_spans,
+               (total_us::HUGEINT * 1000000 // t.tot)::BIGINT
+                   AS share_micro
+        FROM g, t ORDER BY event_type
+    """,
+    "cycle_time": """
+        WITH j AS (SELECT o_orderpriority AS prio,
+                          (epoch_us(l_shipdate) // 86400000000)
+                          - (epoch_us(o_orderdate) // 86400000000)
+                              AS lag
+                   FROM lineitem JOIN orders
+                     ON o_orderkey = l_orderkey),
+        g AS (SELECT prio, lag, count(*) AS n FROM j GROUP BY 1, 2),
+        c AS (SELECT prio, lag, n,
+                     sum(n) OVER (PARTITION BY prio ORDER BY lag)
+                         AS cum,
+                     sum(n) OVER (PARTITION BY prio) AS tot
+              FROM g)
+        SELECT prio AS o_orderpriority,
+               min(CASE WHEN 10 * cum >= 5 * tot THEN lag END)::BIGINT
+                   AS p50_days,
+               min(CASE WHEN 10 * cum >= 9 * tot THEN lag END)::BIGINT
+                   AS p90_days,
+               max(lag)::BIGINT AS max_days,
+               max(tot)::BIGINT AS n_items
+        FROM c GROUP BY prio ORDER BY prio
     """,
     "gopher_rules": """
         WITH d AS (SELECT source,

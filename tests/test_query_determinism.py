@@ -982,6 +982,75 @@ def test_gopher_rules_scalar_replay(ray_session):
     assert (out["n_pass"] < out["n_docs"]).any()
 
 
+def test_time_in_state_conserves_span(ray_session):
+    """Σ per-state dwell time == Σ per-user (last − first) event time,
+    and shares floor-sum to ≤ 1e6 with scalar-replayed totals."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_time_in_state(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]
+                       ).to_pandas()
+    ev["t"] = (ev.pop("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+    span = int((ev.groupby("user_id")["t"].max()
+                - ev.groupby("user_id")["t"].min()).sum())
+    assert int(out["total_us"].astype(object).sum()) == span
+    assert int(out["share_micro"].sum()) <= 1_000_000
+    # scalar replay of one state's total
+    want: dict = {}
+    for _, seg in ev.sort_values(["user_id", "t"]).groupby("user_id"):
+        t = seg["t"].to_numpy()
+        et = seg["event_type"].to_numpy()
+        for i in range(len(t) - 1):
+            want[et[i]] = want.get(et[i], 0) + int(t[i + 1] - t[i])
+    got = dict(zip(out["event_type"], out["total_us"]))
+    assert got == want
+
+
+def test_cycle_time_scalar_replay(ray_session):
+    """Per-priority order statistics replayed with a pure-Python
+    cumulative walk over sorted lag days."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_cycle_time(SF).set_index("o_orderpriority")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    lag = ((m["l_shipdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+           - (m["o_orderdate"].to_numpy().astype("datetime64[D]")
+              .astype(np.int64)))
+    m["lag"] = lag
+    for prio, seg in m.groupby("o_orderpriority"):
+        lags = sorted(seg["lag"].tolist())
+        n = len(lags)
+
+        def crossing(q10):
+            cum = 0
+            counted: dict = {}
+            for v in lags:
+                counted[v] = counted.get(v, 0) + 1
+            for v in sorted(counted):
+                cum += counted[v]
+                if 10 * cum >= q10 * n:
+                    return v
+            raise AssertionError
+
+        r = out.loc[prio]
+        assert int(r["n_items"]) == n
+        assert int(r["p50_days"]) == crossing(5)
+        assert int(r["p90_days"]) == crossing(9)
+        assert int(r["max_days"]) == lags[-1]
+
+
 def test_winsorized_mean_exchange_tier_equals_driver_tier(
         ray_session, monkeypatch):
     """Force the groupby + distributed-scan exchange tier (driver bound
