@@ -10918,6 +10918,222 @@ def q_flesch(sf_dir: str) -> pd.DataFrame:
                        "flesch_sum_micro": np.int64})
 
 
+def q_late_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape — order-priority checking as an EXISTS semi-join:
+    1996 orders per priority where at least one lineitem shipped more
+    than 90 days after the order date.  The EXISTS collapses to a
+    per-order MAX: a late line exists iff the order's latest ship day
+    exceeds oday + 90, so lineitem pre-reduces (orderkey → max ship
+    day) inside each block — one int64 row per order per block — and
+    ONE orderkey-hash bucket join applies the threshold where the
+    order row lives; per-priority counts fold from O(buckets × 5)
+    partials.  Day numbers are exact int64 (both date columns are
+    midnight-aligned by fixture contract, checked against DuckDB's
+    timestamp + INTERVAL arithmetic)."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        day = (pdf["l_shipdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = (pd.DataFrame({"key": pdf["l_orderkey"].to_numpy(
+                 dtype=np.int64), "day": day})
+             .groupby("key", as_index=False).agg(day=("day", "max")))
+        g["prio"] = ""
+        g["side"] = np.int64(0)
+        return g
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "day": pdf["o_orderdate"].to_numpy()
+            .astype("datetime64[D]").astype(np.int64),
+            "prio": pdf["o_orderpriority"].to_numpy(),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        mx = left.groupby("key", as_index=False).agg(sday=("day", "max"))
+        m = right.merge(mx, on="key", how="inner")
+        m = m[m["sday"].to_numpy() > m["day"].to_numpy() + 90]
+        g = (m.groupby("prio", as_index=False).size()
+             .rename(columns={"prio": "o_orderpriority", "size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(orders.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           .agg(order_count=("n", "sum"))
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out
+
+
+def q_late_line_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape — two-flag conditional line counts: among
+    lineitems shipped in 1996 AND more than 90 days after their order
+    date, per returnflag the count whose order is high priority
+    (1-URGENT / 2-HIGH) vs the rest.  The per-line lag needs the order
+    date, so lineitem pre-reduces (orderkey, returnflag, ship day) →
+    count inside blocks (dup lines collapse) and ONE orderkey-hash
+    bucket join applies the lag predicate and folds (flag, high, low)
+    partials — O(buckets × 3) driver rows."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        g = (pd.DataFrame({
+                "key": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "flag": pdf["l_returnflag"].to_numpy(),
+                "day": pdf["l_shipdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64)})
+             .groupby(["key", "flag", "day"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        g["side"] = np.int64(0)
+        return g
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "flag": np.where(
+                pdf["o_orderpriority"].isin(HIGH), "H", "L"),
+            "day": pdf["o_orderdate"].to_numpy()
+            .astype("datetime64[D]").astype(np.int64),
+            "n": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=object),
+                "high": pd.Series([], dtype=np.int64),
+                "low": pd.Series([], dtype=np.int64)})
+        m = left.merge(
+            right[["key", "flag", "day"]].rename(
+                columns={"flag": "hl", "day": "oday"}),
+            on="key", how="inner")
+        m = m[m["day"].to_numpy() > m["oday"].to_numpy() + 90]
+        hi_n = m["n"].to_numpy() * (m["hl"].to_numpy() == "H")
+        lo_n = m["n"].to_numpy() * (m["hl"].to_numpy() == "L")
+        g = (pd.DataFrame({"l_returnflag": m["flag"].to_numpy(),
+                           "high": hi_n, "low": lo_n})
+             .groupby("l_returnflag", as_index=False).sum())
+        return g.astype({"high": np.int64, "low": np.int64})
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(orders.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("l_returnflag", as_index=False)
+           .agg(high_line_count=("high", "sum"),
+                low_line_count=("low", "sum"))
+           .sort_values("l_returnflag").reset_index(drop=True))
+    return out.astype({"high_line_count": np.int64,
+                       "low_line_count": np.int64})
+
+
+def q_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape — distribution of customers by 1996 order count
+    INCLUDING the zero bucket (the LEFT JOIN that a plain groupby
+    cannot see): orders pre-reduce (custkey → n) inside blocks, ONE
+    custkey-hash bucket exchange completes per-customer totals and
+    emits each bucket's histogram partial (c_count → ncust), and the
+    zero bucket is total customers (parquet-metadata count, no scan)
+    minus the distinct active customers summed across buckets —
+    customers partition across buckets, so the counts add exactly."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        g = (pd.DataFrame({"key": pdf["o_custkey"].to_numpy(
+                 dtype=np.int64)})
+             .groupby("key", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("key", as_index=False).agg(n=("n", "sum"))
+        h = (g.groupby("n", as_index=False).size()
+             .rename(columns={"n": "c_count", "size": "custdist"}))
+        return h.astype({"c_count": np.int64, "custdist": np.int64})
+
+    parts = (orders.map_batches(o_part, batch_format="pandas")
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_hist,
+                                        batch_format="pandas")
+             .to_pandas())
+    hist = (parts.groupby("c_count", as_index=False)
+            .agg(custdist=("custdist", "sum")))
+    total = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zeros = int(total) - int(hist["custdist"].sum())
+    if zeros > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zeros]})], ignore_index=True)
+    return (hist.astype({"c_count": np.int64, "custdist": np.int64})
+            .sort_values(["custdist", "c_count"],
+                         ascending=[False, False])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -11206,6 +11422,9 @@ QUERIES = {
     "robust_scaler": q_robust_scaler,
     "binarizer": q_binarizer,
     "impute_mean": q_impute_mean,
+    "late_order_priority": q_late_order_priority,
+    "late_line_priority": q_late_line_priority,
+    "order_count_distribution": q_order_count_distribution,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -15625,6 +15844,46 @@ ORACLES = {
         s AS (SELECT avg(v) AS mu FROM m)
         SELECT m.event_id, ROUND(coalesce(m.v, s.mu), 6) AS imputed
         FROM m, s
+    """,
+    "late_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "late_line_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "order_count_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate < DATE '1997-01-01'
+              GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
 }
 

@@ -1061,3 +1061,90 @@ def test_winsorized_mean_exchange_tier_equals_driver_tier(
     monkeypatch.setattr(Q, "_TRIM_DRIVER_MAX_ROWS", 0)
     b = Q.q_winsorized_mean(SF)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_late_order_priority_scalar_replay(ray_session):
+    """TPC-H Q4 shape: EXISTS semi-join replayed as a literal per-order
+    any() over its lineitems in pure Python."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_late_order_priority(SF).set_index("o_orderpriority")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    smax = li.groupby("l_orderkey")["l_shipdate"].max()
+    want: dict = {}
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    for _, r in od.iterrows():
+        d = np.datetime64(r["o_orderdate"])
+        if not (lo <= d < hi):
+            continue
+        mx = smax.get(r["o_orderkey"])
+        if mx is not None and np.datetime64(mx) > d + np.timedelta64(90, "D"):
+            p = r["o_orderpriority"]
+            want[p] = want.get(p, 0) + 1
+    got = dict(zip(out.index, out["order_count"]))
+    assert got == want and len(want) > 0
+
+
+def test_late_line_priority_mass_balance(ray_session):
+    """Q12 shape: high + low must equal the joined late-line total, and
+    a direct pandas replay must agree per flag."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_late_line_priority(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    s = m["l_shipdate"].to_numpy()
+    m = m[(s >= lo) & (s < hi)
+          & (s > m["o_orderdate"].to_numpy()
+             + np.timedelta64(90, "D"))]
+    m["high"] = m["o_orderpriority"].isin(
+        ["1-URGENT", "2-HIGH"]).astype(int)
+    want = m.groupby("l_returnflag")["high"].agg(["sum", "count"])
+    for _, r in out.iterrows():
+        w = want.loc[r["l_returnflag"]]
+        assert int(r["high_line_count"]) == int(w["sum"])
+        assert (int(r["high_line_count"]) + int(r["low_line_count"])
+                == int(w["count"]))
+    assert len(out) == m["l_returnflag"].nunique()
+
+
+def test_order_count_distribution_conservation(ray_session):
+    """Q13 shape: the histogram must cover every customer exactly once
+    (sum of custdist == customer count) and weight-sum to the window's
+    order count; the zero bucket must be present and live."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_order_count_distribution(SF)
+    ncust = len(pq.read_table(f"{SF}/customer.parquet",
+                              columns=["c_custkey"]))
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    d = od["o_orderdate"].to_numpy()
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    win = od[(d >= lo) & (d < hi)]
+    assert int(out["custdist"].sum()) == ncust
+    assert int((out["c_count"] * out["custdist"]).sum()) == len(win)
+    assert int(out.loc[out["c_count"] == 0, "custdist"].iloc[0]) > 0
+    per = win.groupby("o_custkey").size().value_counts()
+    for _, r in out.iterrows():
+        if r["c_count"] > 0:
+            assert int(per.loc[r["c_count"]]) == int(r["custdist"])
