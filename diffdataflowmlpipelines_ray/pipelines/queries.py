@@ -11134,6 +11134,235 @@ def q_order_count_distribution(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape — promo revenue share for April 1996: the
+    conditional-aggregation ratio over a fact⋈dim join.  lineitem
+    pre-reduces (partkey → window cents) inside blocks, part ships only
+    (partkey, is_promo), and ONE partkey-hash bucket join folds
+    (promo_cents, total_cents) per bucket; the share finishes on the
+    driver in exact Python-int arithmetic (10^6 × cents exceeds int64
+    at corpus scale — the HUGEINT twin's exact path)."""
+    lo = np.datetime64("1996-04-01")
+    hi = np.datetime64("1996-05-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"key": pdf["l_partkey"].to_numpy(
+                 dtype=np.int64), "cents": cents})
+             .groupby("key", as_index=False).agg(cents=("cents", "sum")))
+        g["promo"] = np.int64(0)
+        g["side"] = np.int64(0)
+        return g
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "promo": (pdf["p_type"].to_numpy() == "PROMO")
+            .astype(np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"promo_cents": pd.Series([], dtype=np.int64),
+                                 "total_cents": pd.Series([], dtype=np.int64)})
+        m = (left.groupby("key", as_index=False)
+             .agg(cents=("cents", "sum"))
+             .merge(right[["key", "promo"]], on="key", how="inner"))
+        c = m["cents"].to_numpy()
+        return pd.DataFrame({
+            "promo_cents": [int((c * m["promo"].to_numpy()).sum())],
+            "total_cents": [int(c.sum())]}).astype(np.int64)
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(part.map_batches(p_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    promo = int(parts["promo_cents"].astype(object).sum())
+    total = int(parts["total_cents"].astype(object).sum())
+    share = (1_000_000 * promo) // total if total else 0
+    return pd.DataFrame({"promo_cents": [promo], "total_cents": [total],
+                         "share_micro": [share]}).astype(np.int64)
+
+
+def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — the correlated scalar-aggregate filter: revenue
+    of PROMO-part lineitems whose quantity is below 20% of that part's
+    average quantity over ALL its lineitems.  The per-row predicate
+    needs a per-part aggregate, but quantities are small integers, so
+    lineitem pre-reduces (partkey, qty) → (rows, cents) inside blocks
+    — the per-part count/sum AND the per-row test both reconstruct from
+    these partials inside ONE partkey-hash bucket, and the 20% gate is
+    the exact integer cross-multiply 5·qty·cnt < Σqty (no float
+    division on either twin)."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        g = (pd.DataFrame({
+                "key": pdf["l_partkey"].to_numpy(dtype=np.int64),
+                "qty": pdf["l_quantity"].to_numpy().astype(np.int64),
+                "n": np.ones(len(pdf), dtype=np.int64),
+                "cents": cents})
+             .groupby(["key", "qty"], as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum")))
+        g["side"] = np.int64(0)
+        return g
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["p_type"].to_numpy() == "PROMO"]
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "qty": np.zeros(len(pdf), dtype=np.int64),
+            "n": np.zeros(len(pdf), dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        promo_keys = pdf.loc[side == 1, "key"]
+        if not len(left) or not len(promo_keys):
+            return pd.DataFrame({"cents": pd.Series([], dtype=np.int64)})
+        g = (left.groupby(["key", "qty"], as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum")))
+        st = (g.assign(sq=g["qty"] * g["n"])
+              .groupby("key").agg(cnt=("n", "sum"), sumq=("sq", "sum")))
+        m = g.join(st, on="key")
+        mask = (5 * m["qty"].to_numpy() * m["cnt"].to_numpy()
+                < m["sumq"].to_numpy())
+        mask &= m["key"].isin(promo_keys).to_numpy()
+        return pd.DataFrame({"cents": [int(m.loc[mask, "cents"].sum())]},
+                            dtype=np.int64)
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(part.map_batches(p_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    cents = int(parts["cents"].astype(object).sum())
+    return pd.DataFrame({"small_qty_cents": [cents],
+                         "revenue": [cents / 100.0]}).astype(
+        {"small_qty_cents": np.int64})
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape — the OR-of-conjunctions predicate that defeats
+    single-index plans: revenue where (PROMO, size 1–10, qty 1–20) OR
+    (STANDARD, size 11–25, qty 10–30) OR (LARGE, size 26–50, qty
+    20–50).  The quantity bounds keep per-(partkey, qty) block partials
+    lossless, so the whole disjunction evaluates vectorized inside ONE
+    partkey-hash bucket join against (partkey, type, size); exact cents
+    fold to one driver scalar."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        g = (pd.DataFrame({
+                "key": pdf["l_partkey"].to_numpy(dtype=np.int64),
+                "qty": pdf["l_quantity"].to_numpy().astype(np.int64),
+                "cents": cents})
+             .groupby(["key", "qty"], as_index=False)
+             .agg(cents=("cents", "sum")))
+        g["ptype"] = ""
+        g["size"] = np.int64(0)
+        g["side"] = np.int64(0)
+        return g
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "qty": np.zeros(len(pdf), dtype=np.int64),
+            "cents": np.zeros(len(pdf), dtype=np.int64),
+            "ptype": pdf["p_type"].to_numpy(),
+            "size": pdf["p_size"].to_numpy(dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"cents": pd.Series([], dtype=np.int64)})
+        m = (left.groupby(["key", "qty"], as_index=False)
+             .agg(cents=("cents", "sum"))
+             .merge(right[["key", "ptype", "size"]], on="key",
+                    how="inner"))
+        t = m["ptype"].to_numpy()
+        s = m["size"].to_numpy()
+        q = m["qty"].to_numpy()
+        mask = (((t == "PROMO") & (s >= 1) & (s <= 10)
+                 & (q >= 1) & (q <= 20))
+                | ((t == "STANDARD") & (s >= 11) & (s <= 25)
+                   & (q >= 10) & (q <= 30))
+                | ((t == "LARGE") & (s >= 26) & (s <= 50)
+                   & (q >= 20) & (q <= 50)))
+        return pd.DataFrame({"cents": [int(m.loc[mask, "cents"].sum())]},
+                            dtype=np.int64)
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(part.map_batches(p_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    cents = int(parts["cents"].astype(object).sum())
+    return pd.DataFrame({"disjunct_cents": [cents],
+                         "revenue": [cents / 100.0]}).astype(
+        {"disjunct_cents": np.int64})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -11425,6 +11654,9 @@ QUERIES = {
     "late_order_priority": q_late_order_priority,
     "late_line_priority": q_late_line_priority,
     "order_count_distribution": q_order_count_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -15884,6 +16116,55 @@ ORACLES = {
               GROUP BY c.c_custkey)
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """,
+    "promo_revenue_share": """
+        WITH w AS (
+            SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   p_type = 'PROMO' AS promo
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1996-04-01'
+              AND l_shipdate < DATE '1996-05-01')
+        SELECT CAST(sum(CASE WHEN promo THEN cents ELSE 0 END)
+                    AS BIGINT) AS promo_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(1000000::HUGEINT
+                    * sum(CASE WHEN promo THEN cents ELSE 0 END)
+                    // sum(cents) AS BIGINT) AS share_micro
+        FROM w
+    """,
+    "small_qty_revenue": """
+        WITH lq AS (
+            SELECT l_partkey,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents
+            FROM lineitem),
+        st AS (SELECT l_partkey, count(*) AS cnt,
+                      sum(qty) AS sumq
+               FROM lq GROUP BY l_partkey)
+        SELECT CAST(sum(lq.cents) AS BIGINT) AS small_qty_cents,
+               CAST(sum(lq.cents) AS BIGINT) / 100.0 AS revenue
+        FROM lq
+        JOIN st USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND 5 * lq.qty * st.cnt < st.sumq
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(sum(cents) AS BIGINT) AS disjunct_cents,
+               CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+        FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT) AS cents,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     p_type, p_size
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+        WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10
+               AND qty BETWEEN 1 AND 20)
+           OR (p_type = 'STANDARD' AND p_size BETWEEN 11 AND 25
+               AND qty BETWEEN 10 AND 30)
+           OR (p_type = 'LARGE' AND p_size BETWEEN 26 AND 50
+               AND qty BETWEEN 20 AND 50)
     """,
 }
 

@@ -1148,3 +1148,81 @@ def test_order_count_distribution_conservation(ray_session):
     for _, r in out.iterrows():
         if r["c_count"] > 0:
             assert int(per.loc[r["c_count"]]) == int(r["custdist"])
+
+
+def test_promo_revenue_share_pandas_replay(ray_session):
+    """Q14 shape: exact-cents replay of the April-1996 promo share."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_promo_revenue_share(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    s = li["l_shipdate"].to_numpy()
+    li = li[(s >= np.datetime64("1996-04-01"))
+            & (s < np.datetime64("1996-05-01"))]
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    cents = half_away(m["l_extendedprice"].to_numpy()
+                      * (1.0 - m["l_discount"].to_numpy())
+                      * 100.0).astype(np.int64)
+    promo = int(cents[(m["p_type"] == "PROMO").to_numpy()].sum())
+    total = int(cents.sum())
+    assert int(out["promo_cents"].iloc[0]) == promo
+    assert int(out["total_cents"].iloc[0]) == total
+    assert int(out["share_micro"].iloc[0]) == (1_000_000 * promo) // total
+    assert 0 < promo < total
+
+
+def test_small_qty_revenue_scalar_replay(ray_session):
+    """Q17 shape: the correlated 20%-of-avg filter replayed with a
+    literal per-part loop in pure Python integers."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_small_qty_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    promo = set(pt.loc[pt["p_type"] == "PROMO", "p_partkey"]
+                .astype(int))
+    li["cents"] = half_away(li["l_extendedprice"].to_numpy()
+                            * (1.0 - li["l_discount"].to_numpy())
+                            * 100.0).astype(np.int64)
+    want = 0
+    for pk, seg in li.groupby("l_partkey"):
+        q = seg["l_quantity"].to_numpy().astype(np.int64)
+        cnt, sumq = len(q), int(q.sum())
+        if int(pk) in promo:
+            sel = 5 * q * cnt < sumq
+            want += int(seg["cents"].to_numpy()[sel].sum())
+    assert int(out["small_qty_cents"].iloc[0]) == want and want > 0
+
+
+def test_disjunctive_revenue_pandas_replay(ray_session):
+    """Q19 shape: every clause of the disjunction must fire on the
+    fixture, and the exact-cents total must match a direct replay."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_disjunctive_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    cents = half_away(m["l_extendedprice"].to_numpy()
+                      * (1.0 - m["l_discount"].to_numpy())
+                      * 100.0).astype(np.int64)
+    t = m["p_type"].to_numpy()
+    s = m["p_size"].to_numpy()
+    q = m["l_quantity"].to_numpy().astype(np.int64)
+    c1 = (t == "PROMO") & (s >= 1) & (s <= 10) & (q >= 1) & (q <= 20)
+    c2 = ((t == "STANDARD") & (s >= 11) & (s <= 25)
+          & (q >= 10) & (q <= 30))
+    c3 = (t == "LARGE") & (s >= 26) & (s <= 50) & (q >= 20) & (q <= 50)
+    assert c1.any() and c2.any() and c3.any()
+    assert int(out["disjunct_cents"].iloc[0]) == int(
+        cents[c1 | c2 | c3].sum())
