@@ -11363,6 +11363,310 @@ def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
         {"disjunct_cents": np.int64})
 
 
+def q_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape — distinct suppliers per (brand, size) for small
+    parts (size ≤ 10), excluding low-balance suppliers (the NOT IN
+    anti): lineitem is the part↔supplier relation (this schema has no
+    partsupp).  The excluded suppkey set is a filtered bounded dim
+    (broadcast once); (partkey, suppkey) pairs pre-dedup inside blocks;
+    exchange 1 (partkey hash) joins part attrs and dedups (brand, size,
+    supp) triples in-bucket; exchange 2 (SUPPKEY hash) dedups triples
+    globally — identical triples share a suppkey, so they land in one
+    bucket and per-bucket distinct counts ADD per (brand, size).  Rows
+    never ride an exchange; only narrow key tuples do."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    sup = _read_table(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    bad = sup.filter(pc.less(sup["s_acctbal"], 1000.0))["s_suppkey"]
+    bad_ref = ray.put(set(bad.to_numpy(zero_copy_only=False)
+                          .astype(np.int64)))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.rename(columns={"l_partkey": "key",
+                                 "l_suppkey": "supp"})
+             .drop_duplicates(["key", "supp"]))
+        excl = ray.get(bad_ref)
+        g = g[~g["supp"].isin(excl)]
+        return pd.DataFrame({
+            "key": g["key"].to_numpy(dtype=np.int64),
+            "supp": g["supp"].to_numpy(dtype=np.int64),
+            "brand": "", "size": np.int64(0),
+            "side": np.zeros(len(g), dtype=np.int64)})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["p_size"].to_numpy() <= 10]
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "supp": np.zeros(len(pdf), dtype=np.int64),
+            "brand": pdf["p_brand"].to_numpy(),
+            "size": pdf["p_size"].to_numpy(dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "brand": pd.Series([], dtype=object),
+                "size": pd.Series([], dtype=np.int64),
+                "supp": pd.Series([], dtype=np.int64)})
+        m = (left[["key", "supp"]].drop_duplicates()
+             .merge(right[["key", "brand", "size"]], on="key",
+                    how="inner"))
+        return (m[["brand", "size", "supp"]].drop_duplicates()
+                .reset_index(drop=True))
+
+    def tag_supp(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["supp"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__sb"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf[["brand", "size", "supp"]].drop_duplicates()
+             .groupby(["brand", "size"], as_index=False)
+             .agg(n=("supp", "count")))
+        return g.astype({"size": np.int64, "n": np.int64})
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(part.map_batches(p_part, batch_format="pandas"))
+             .map_batches(tag_part, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_join,
+                                        batch_format="pandas")
+             .map_batches(tag_supp, batch_format="pandas")
+             .groupby("__sb").map_groups(bucket_count,
+                                         batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["brand", "size"], as_index=False)
+           .agg(supplier_cnt=("n", "sum"))
+           .rename(columns={"brand": "p_brand", "size": "p_size"})
+           .sort_values(["supplier_cnt", "p_brand", "p_size"],
+                        ascending=[False, True, True])
+           .reset_index(drop=True))
+    return out.astype({"p_size": np.int64, "supplier_cnt": np.int64})
+
+
+def q_large_volume_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity exceeds 300, top 100 by (quantity DESC, orderkey).
+    lineitem pre-reduces (orderkey → qty) inside blocks, ONE
+    orderkey-hash bucket join folds exact totals, applies the HAVING
+    threshold, attaches the order's attributes where it lives, and
+    emits a per-bucket top-100 — the qualifying set is never globally
+    sorted and the driver merges O(buckets × 100) rows."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "key": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "qty": pdf["l_quantity"].to_numpy().astype(np.int64)})
+             .groupby("key", as_index=False).agg(qty=("qty", "sum")))
+        g["cust"] = np.int64(0)
+        g["price"] = np.float64(0.0)
+        g["side"] = np.int64(0)
+        return g
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "qty": np.zeros(len(pdf), dtype=np.int64),
+            "cust": pdf["o_custkey"].to_numpy(dtype=np.int64),
+            "price": pdf["o_totalprice"].to_numpy(dtype=np.float64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "o_totalprice": pd.Series([], dtype=np.float64),
+                "sum_qty": pd.Series([], dtype=np.int64)})
+        tot = left.groupby("key", as_index=False).agg(qty=("qty", "sum"))
+        tot = tot[tot["qty"] > 300]
+        m = tot.merge(right[["key", "cust", "price"]], on="key",
+                      how="inner")
+        m = (m.sort_values(["qty", "key"], ascending=[False, True])
+             .head(100))
+        return pd.DataFrame({
+            "o_orderkey": m["key"].to_numpy(dtype=np.int64),
+            "o_custkey": m["cust"].to_numpy(dtype=np.int64),
+            "o_totalprice": m["price"].to_numpy(dtype=np.float64),
+            "sum_qty": m["qty"].to_numpy(dtype=np.int64)})
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(orders.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    return (parts.sort_values(["sum_qty", "o_orderkey"],
+                              ascending=[False, True])
+            .head(100).reset_index(drop=True))
+
+
+def q_waiting_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    waiting: in every order with ≥ 2 suppliers, blame the UNIQUE
+    supplier whose last ship day is strictly latest (ties blame
+    no one), and report the top 25 by blame count.  (orderkey,
+    suppkey) → max ship day pre-reduces inside blocks; ONE
+    orderkey-hash bucket finishes the per-order max/uniqueness test
+    vectorized and emits per-bucket (suppkey, n) partials; the driver
+    folds them under the bounded-supplier-dim contract and takes the
+    top 25 under (numwait DESC, suppkey)."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "key": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "supp": pdf["l_suppkey"].to_numpy(dtype=np.int64),
+                "day": pdf["l_shipdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64)})
+             .groupby(["key", "supp"], as_index=False)
+             .agg(day=("day", "max")))
+        return g
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["key", "supp"], as_index=False)
+             .agg(day=("day", "max")))
+        st = g.groupby("key")["day"].agg(["max", "count"])
+        g = g.join(st, on="key")
+        at_max = g["day"].to_numpy() == g["max"].to_numpy()
+        nmax = (g.assign(am=at_max.astype(np.int64))
+                .groupby("key")["am"].transform("sum").to_numpy())
+        blame = g[(g["count"].to_numpy() > 1) & at_max & (nmax == 1)]
+        out = (blame.groupby("supp", as_index=False).size()
+               .rename(columns={"supp": "s_suppkey", "size": "n"}))
+        return out.astype({"s_suppkey": np.int64, "n": np.int64})
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("s_suppkey", as_index=False)
+           .agg(numwait=("n", "sum"))
+           .sort_values(["numwait", "s_suppkey"],
+                        ascending=[False, True])
+           .head(25).reset_index(drop=True))
+    return out.astype({"s_suppkey": np.int64, "numwait": np.int64})
+
+
+def q_dormant_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape — per market segment: high-balance customers
+    (strictly above the global average of POSITIVE balances) with no
+    order since 1999 — the scalar-subquery + NOT EXISTS anti plan.
+    Pass 1 folds (Σ positive cents, n) block partials to two exact
+    driver ints; pass 2 unions predicate-filtered customers (the
+    above-average test is the int64 cross-multiply cents·n > Σ, no
+    division) with block-deduped active custkeys and anti-joins inside
+    ONE custkey-hash bucket, folding (segment, numcust, cents)
+    partials.  Customer rows never broadcast; only distinct active
+    keys ride the exchange."""
+    cut = np.datetime64("1999-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["c_acctbal"].to_numpy() * 100.0)\
+            .astype(np.int64)
+        pos = cents[pdf["c_acctbal"].to_numpy() > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]},
+                            dtype=np.int64)
+
+    pos = cust.map_batches(pos_part, batch_format="pandas").to_pandas()
+    S = int(pos["s"].astype(object).sum())
+    N = int(pos["n"].astype(object).sum())
+
+    def c_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["c_acctbal"].to_numpy() * 100.0)\
+            .astype(np.int64)
+        # cents·N stays within int64 for |acctbal| ≤ 10^5 dollars and
+        # N ≤ 9·10^11 customers — documented fixture/corpus bound.
+        keep = cents * np.int64(N) > np.int64(S)
+        pdf = pdf[keep]
+        return pd.DataFrame({
+            "key": pdf["c_custkey"].to_numpy(dtype=np.int64),
+            "seg": pdf["c_mktsegment"].to_numpy(),
+            "cents": cents[keep],
+            "side": np.zeros(len(pdf), dtype=np.int64)})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["o_orderdate"].to_numpy()
+        k = np.unique(pdf["o_custkey"].to_numpy(dtype=np.int64)[d >= cut])
+        return pd.DataFrame({
+            "key": k, "seg": np.full(len(k), "", dtype=object),
+            "cents": np.zeros(len(k), np.int64),
+            "side": np.ones(len(k), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        active = set(pdf.loc[side == 1, "key"].to_numpy(dtype=np.int64))
+        left = left[~left["key"].isin(active)]
+        g = (left.groupby("seg", as_index=False)
+             .agg(numcust=("key", "count"), cents=("cents", "sum")))
+        return g.astype({"numcust": np.int64, "cents": np.int64})
+
+    parts = (cust.map_batches(c_part, batch_format="pandas")
+             .union(orders.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("seg", as_index=False)
+           .agg(numcust=("numcust", "sum"), cents=("cents", "sum"))
+           .rename(columns={"seg": "c_mktsegment"})
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    out["totacctbal"] = out.pop("cents") / 100.0
+    return out.astype({"numcust": np.int64})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -11657,6 +11961,10 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "small_qty_revenue": q_small_qty_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "supplier_cnt": q_supplier_cnt,
+    "large_volume_orders": q_large_volume_orders,
+    "waiting_supplier": q_waiting_supplier,
+    "dormant_customers": q_dormant_customers,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -16165,6 +16473,57 @@ ORACLES = {
                AND qty BETWEEN 10 AND 30)
            OR (p_type = 'LARGE' AND p_size BETWEEN 26 AND 50
                AND qty BETWEEN 20 AND 50)
+    """,
+    "supplier_cnt": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 10
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "large_volume_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_custkey, o_totalprice
+        HAVING sum(l_quantity) > 300
+        ORDER BY sum_qty DESC, o_orderkey
+        LIMIT 100
+    """,
+    "waiting_supplier": """
+        WITH ms AS (SELECT l_orderkey AS k, l_suppkey AS s,
+                           max(l_shipdate) AS m
+                    FROM lineitem GROUP BY 1, 2),
+        st AS (SELECT k, max(m) AS mm, count(*) AS ns
+               FROM ms GROUP BY k),
+        win AS (SELECT ms.k, ms.s FROM ms JOIN st USING (k)
+                WHERE st.ns > 1 AND ms.m = st.mm),
+        uniq AS (SELECT k, min(s) AS s FROM win
+                 GROUP BY k HAVING count(*) = 1)
+        SELECT s AS s_suppkey, count(*) AS numwait
+        FROM uniq GROUP BY s
+        ORDER BY numwait DESC, s
+        LIMIT 25
+    """,
+    "dormant_customers": """
+        WITH pos AS (
+            SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS HUGEINT) AS s,
+                   count(*) AS n
+            FROM customer WHERE c_acctbal > 0)
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS totacctbal
+        FROM customer, pos
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT * pos.n
+              > pos.s
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= DATE '1999-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
 

@@ -1226,3 +1226,105 @@ def test_disjunctive_revenue_pandas_replay(ray_session):
     assert c1.any() and c2.any() and c3.any()
     assert int(out["disjunct_cents"].iloc[0]) == int(
         cents[c1 | c2 | c3].sum())
+
+
+def test_supplier_cnt_pandas_replay(ray_session):
+    """Q16 shape: distinct-supplier census replayed directly, with the
+    NOT-IN exclusion provably live."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_supplier_cnt(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"]).to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    bad = set(sup.loc[sup["s_acctbal"] < 1000, "s_suppkey"].astype(int))
+    assert bad, "exclusion set must be live on the fixture"
+    m = (li[~li["l_suppkey"].isin(bad)]
+         .merge(pt[pt["p_size"] <= 10], left_on="l_partkey",
+                right_on="p_partkey"))
+    want = (m.groupby(["p_brand", "p_size"])["l_suppkey"]
+            .nunique().to_dict())
+    got = {(r["p_brand"], int(r["p_size"])): int(r["supplier_cnt"])
+           for _, r in out.iterrows()}
+    assert got == {(b, int(s)): int(v) for (b, s), v in want.items()}
+
+
+def test_large_volume_orders_scalar_replay(ray_session):
+    """Q18 shape: HAVING-threshold totals replayed per order; result
+    ordered by (qty DESC, orderkey) and capped at 100."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_large_volume_orders(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_quantity"]).to_pandas()
+    tot = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = tot[tot > 300]
+    assert len(out) == min(len(big), 100) and len(out) > 0
+    for _, r in out.iterrows():
+        assert int(big.loc[r["o_orderkey"]]) == int(r["sum_qty"])
+    q = out["sum_qty"].to_numpy()
+    assert (q[:-1] >= q[1:]).all()
+
+
+def test_waiting_supplier_scalar_replay(ray_session):
+    """Q21 shape: blame assignment replayed as a literal per-order walk
+    — unique strict-max last shipper in multi-supplier orders."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_waiting_supplier(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey",
+                                "l_shipdate"]).to_pandas()
+    want: dict = {}
+    for _, seg in li.groupby("l_orderkey"):
+        ms = seg.groupby("l_suppkey")["l_shipdate"].max()
+        if len(ms) < 2:
+            continue
+        mx = ms.max()
+        winners = ms[ms == mx]
+        if len(winners) == 1:
+            s = int(winners.index[0])
+            want[s] = want.get(s, 0) + 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(int(r["s_suppkey"]), int(r["numwait"]))
+           for _, r in out.iterrows()]
+    assert got == top and len(got) > 0
+
+
+def test_dormant_customers_scalar_replay(ray_session):
+    """Q22 shape: the above-positive-average + no-recent-orders filter
+    replayed in exact Python ints per customer."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_dormant_customers(SF)
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    cents = half_away(cu["c_acctbal"].to_numpy() * 100.0)\
+        .astype(np.int64)
+    pos = cents[cu["c_acctbal"].to_numpy() > 0]
+    S, N = int(pos.sum()), len(pos)
+    active = set(od.loc[od["o_orderdate"].to_numpy()
+                        >= np.datetime64("1999-01-01"),
+                        "o_custkey"].astype(int))
+    want: dict = {}
+    for i, r in cu.iterrows():
+        if int(cents[i]) * N > S and int(r["c_custkey"]) not in active:
+            seg = r["c_mktsegment"]
+            n, c = want.get(seg, (0, 0))
+            want[seg] = (n + 1, c + int(cents[i]))
+    assert want, "dormant set must be live on the fixture"
+    got = {r["c_mktsegment"]: (int(r["numcust"]),
+                               int(round(r["totacctbal"] * 100)))
+           for _, r in out.iterrows()}
+    assert got == want
