@@ -11667,6 +11667,163 @@ def q_dormant_customers(sf_dir: str) -> pd.DataFrame:
     return out.astype({"numcust": np.int64})
 
 
+def q_cheapest_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape — the correlated-min argmin join: for every
+    size-10 part, the supplier offering the minimum unit price
+    (extendedprice/quantity), ties broken by suppkey.  The rational
+    comparison runs in float64 on BOTH twins, which is EXACT here:
+    with p < 2^30 cents and q ≤ 50, distinct rationals p/q differ by
+    ≥ 1/q₁q₂ ≥ 4·10⁻⁴ while the float64 ulp at 10⁷ is ~2·10⁻⁹ — so
+    equal doubles ⟺ equal rationals, and the suppkey tie-break makes
+    the argmin deterministic.  (partkey, suppkey) rows pre-reduce to
+    their block-local min offer; ONE partkey-hash bucket join picks
+    the per-part winner next to the part's attributes; supplier names
+    attach to the final driver-sized result from the bounded dim."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = _half_away(pdf["l_extendedprice"].to_numpy() * 100.0)\
+            .astype(np.int64)
+        q = pdf["l_quantity"].to_numpy().astype(np.int64)
+        g = pd.DataFrame({
+            "key": pdf["l_partkey"].to_numpy(dtype=np.int64),
+            "supp": pdf["l_suppkey"].to_numpy(dtype=np.int64),
+            "p": p, "q": q,
+            "unit": p.astype(np.float64) / q})
+        g = (g.sort_values(["key", "unit", "supp"])
+             .drop_duplicates("key").reset_index(drop=True))
+        g["brand"] = np.full(len(g), "", dtype=object)
+        g["side"] = np.int64(0)
+        return g[["key", "supp", "p", "q", "unit", "brand", "side"]]
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["p_size"].to_numpy() == 10]
+        n = len(pdf)
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "supp": np.zeros(n, dtype=np.int64),
+            "p": np.zeros(n, dtype=np.int64),
+            "q": np.ones(n, dtype=np.int64),
+            "unit": np.zeros(n, dtype=np.float64),
+            "brand": pdf["p_brand"].to_numpy(dtype=object),
+            "side": np.ones(n, dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "p_brand": pd.Series([], dtype=object),
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "unit_micro": pd.Series([], dtype=np.int64)})
+        w = (left.sort_values(["key", "unit", "supp"])
+             .drop_duplicates("key").drop(columns=["brand"]))
+        m = w.merge(right[["key", "brand"]], on="key", how="inner")
+        # per-part winner count is driver-small; exact micro unit price
+        # via int floor-div (10^6 · p stays well under int64).
+        micro = (1_000_000 * m["p"].to_numpy()) // m["q"].to_numpy()
+        return pd.DataFrame({
+            "p_partkey": m["key"].to_numpy(dtype=np.int64),
+            "p_brand": m["brand"].to_numpy(),
+            "s_suppkey": m["supp"].to_numpy(dtype=np.int64),
+            "unit_micro": micro.astype(np.int64)})
+
+    out = (li.map_batches(li_part, batch_format="pandas")
+           .union(part.map_batches(p_part, batch_format="pandas"))
+           .map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("p_partkey").reset_index(drop=True)
+            .astype({"p_partkey": np.int64, "s_suppkey": np.int64,
+                     "unit_micro": np.int64}))
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — the canonical filtered scalar aggregate:
+    discount revenue that would be forfeited by dropping 5–7%% discounts
+    on small (< 24) quantities shipped in 1996.  Pure map-side filter
+    and per-line exact half-away cents, folded through block partials —
+    no exchange at all; the driver sums O(blocks) ints."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def parts(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        disc = pdf["l_discount"].to_numpy()
+        sel = ((d >= lo) & (d < hi)
+               & (disc >= 0.05) & (disc <= 0.07)
+               & (pdf["l_quantity"].to_numpy() < 24))
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()[sel]
+                           * disc[sel] * 100.0).astype(np.int64)
+        return pd.DataFrame({"cents": [int(cents.sum())]},
+                            dtype=np.int64)
+
+    agg = li.map_batches(parts, batch_format="pandas").to_pandas()
+    cents = int(agg["cents"].astype(object).sum())
+    return pd.DataFrame({"forecast_cents": [cents],
+                         "revenue": [cents / 100.0]}).astype(
+        {"forecast_cents": np.int64})
+
+
+def q_top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape — max-of-aggregates with ties kept: the
+    supplier(s) whose 1996-Q1 revenue equals the global maximum.
+    lineitem pre-reduces (suppkey → cents) inside blocks; a tiny
+    native groupby folds per-supplier totals (suppliers are the
+    bounded dim); the max and the equality filter finish on the
+    driver over O(suppliers) rows, exact cents end-to-end."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def parts(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)]
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        return (pd.DataFrame({"s_suppkey": pdf["l_suppkey"]
+                              .to_numpy(dtype=np.int64),
+                              "cents": cents})
+                .groupby("s_suppkey", as_index=False)
+                .agg(cents=("cents", "sum")))
+
+    agg = (li.map_batches(parts, batch_format="pandas")
+           .groupby("s_suppkey").sum("cents").to_pandas()
+           .rename(columns={"sum(cents)": "cents"}))
+    best = int(agg["cents"].max())
+    top = agg[agg["cents"] == best].copy()
+    sup = _read_table(sf_dir, "supplier",
+                      ["s_suppkey", "s_name"]).to_pandas()
+    top = top.merge(sup, on="s_suppkey")
+    top["total_revenue"] = top.pop("cents") / 100.0
+    return (top[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True)
+            .astype({"s_suppkey": np.int64}))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -11965,6 +12122,9 @@ QUERIES = {
     "large_volume_orders": q_large_volume_orders,
     "waiting_supplier": q_waiting_supplier,
     "dormant_customers": q_dormant_customers,
+    "cheapest_supplier": q_cheapest_supplier,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -16524,6 +16684,50 @@ ORACLES = {
                                 WHERE o_orderdate >= DATE '1999-01-01')
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "cheapest_supplier": """
+        WITH u AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem),
+        w AS (SELECT l_partkey, l_suppkey, p, q,
+                     row_number() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY CAST(p AS DOUBLE) / q, l_suppkey)
+                         AS rn
+              FROM u)
+        SELECT p_partkey, p_brand, l_suppkey AS s_suppkey,
+               1000000 * p // q AS unit_micro
+        FROM w JOIN part ON p_partkey = l_partkey
+        WHERE rn = 1 AND p_size = 10
+        ORDER BY p_partkey
+    """,
+    "forecast_revenue": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS forecast_cents,
+               CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "top_supplier_revenue": """
+        WITH r AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT r.s_suppkey, s_name,
+               CAST(cents AS BIGINT) / 100.0 AS total_revenue
+        FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+        WHERE cents = (SELECT max(cents) FROM r)
+        ORDER BY r.s_suppkey
     """,
 }
 

@@ -1328,3 +1328,85 @@ def test_dormant_customers_scalar_replay(ray_session):
                                int(round(r["totacctbal"] * 100)))
            for _, r in out.iterrows()}
     assert got == want
+
+
+def test_cheapest_supplier_scalar_replay(ray_session):
+    """Q2 shape: the rational argmin replayed per part with exact
+    Fraction comparison — proving the float64 shortcut is exact on
+    this domain."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_cheapest_supplier(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey",
+                                "l_extendedprice",
+                                "l_quantity"]).to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    size10 = pt[pt["p_size"] == 10].set_index("p_partkey")
+    li["p"] = half_away(li["l_extendedprice"].to_numpy() * 100.0)\
+        .astype(np.int64)
+    want = {}
+    for pk, seg in li.groupby("l_partkey"):
+        if int(pk) not in size10.index:
+            continue
+        best = None
+        for _, r in seg.iterrows():
+            cand = (Fraction(int(r["p"]), int(r["l_quantity"])),
+                    int(r["l_suppkey"]), int(r["p"]),
+                    int(r["l_quantity"]))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        want[int(pk)] = (best[1], (1_000_000 * best[2]) // best[3])
+    got = {int(r["p_partkey"]): (int(r["s_suppkey"]),
+                                 int(r["unit_micro"]))
+           for _, r in out.iterrows()}
+    assert got == want and len(want) > 0
+
+
+def test_forecast_revenue_pandas_replay(ray_session):
+    """Q6 shape: exact-cents replay of the filtered aggregate."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_forecast_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    d = li["l_shipdate"].to_numpy()
+    disc = li["l_discount"].to_numpy()
+    sel = ((d >= np.datetime64("1996-01-01"))
+           & (d < np.datetime64("1997-01-01"))
+           & (disc >= 0.05) & (disc <= 0.07)
+           & (li["l_quantity"].to_numpy() < 24))
+    want = int(half_away(li["l_extendedprice"].to_numpy()[sel]
+                         * disc[sel] * 100.0).astype(np.int64).sum())
+    assert int(out["forecast_cents"].iloc[0]) == want and want > 0
+
+
+def test_top_supplier_revenue_ties_kept(ray_session):
+    """Q15 shape: every returned supplier must hit the global max, and
+    the max must be the true per-supplier window total."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_top_supplier_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    d = li["l_shipdate"].to_numpy()
+    li = li[(d >= np.datetime64("1996-01-01"))
+            & (d < np.datetime64("1996-04-01"))]
+    li["cents"] = half_away(li["l_extendedprice"].to_numpy()
+                            * (1.0 - li["l_discount"].to_numpy())
+                            * 100.0).astype(np.int64)
+    per = li.groupby("l_suppkey")["cents"].sum()
+    best = int(per.max())
+    winners = sorted(int(k) for k, v in per.items() if int(v) == best)
+    assert sorted(out["s_suppkey"].astype(int)) == winners
+    assert all(int(round(v * 100)) == best
+               for v in out["total_revenue"])
