@@ -11824,6 +11824,250 @@ def q_top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
             .astype({"s_suppkey": np.int64}))
 
 
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape — national market share: the fraction of
+    ASIA-customer revenue supplied by NATION_18, per order year
+    (1996–97).  The Q5 broadcast plan: region⋈nation resolve
+    driver-side, the supplier→is-NATION_18 flag map and the in-ASIA
+    custkey set broadcast once (bounded-dim contract); lineitem
+    attaches the flag map-only and pre-reduces (orderkey → sel_cents,
+    tot_cents); orders carry (orderkey, year) for in-region customers;
+    ONE orderkey-hash bucket join folds per-year partials and the
+    driver finishes exact micro shares in Python ints (10^6 × cents
+    exceeds int64 at corpus scale)."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    nat = _read_table(sf_dir, "nation",
+                      ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read_table(sf_dir, "region",
+                      ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_keys = set(nat.loc[nat["n_regionkey"] == asia,
+                            "n_nationkey"].astype(int))
+    sel_keys = set(nat.loc[nat["n_name"] == "NATION_18",
+                           "n_nationkey"].astype(int))
+
+    sup = _read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    smap_ref = ray.put(dict(zip(sk, np.isin(sn, list(sel_keys)))))
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cset_ref = ray.put(set(ck[np.isin(cn, list(asia_keys))]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(smap_ref)
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        is_sel = pdf["l_suppkey"].map(smap).fillna(False).to_numpy(
+            dtype=bool)
+        g = (pd.DataFrame({
+                "key": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "sel": cents * is_sel, "tot": cents})
+             .groupby("key", as_index=False).sum())
+        g["year"] = np.int64(0)
+        g["side"] = np.int64(0)
+        return g
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cset_ref)
+        d = pdf["o_orderdate"].to_numpy()
+        pdf = pdf[(d >= lo) & (d < hi)
+                  & pdf["o_custkey"].isin(cset).to_numpy()]
+        year = pdf["o_orderdate"].to_numpy().astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        return pd.DataFrame({
+            "key": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "sel": np.zeros(len(pdf), dtype=np.int64),
+            "tot": np.zeros(len(pdf), dtype=np.int64),
+            "year": year,
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                                 "sel": pd.Series([], dtype=np.int64),
+                                 "tot": pd.Series([], dtype=np.int64)})
+        m = (left.groupby("key", as_index=False)
+             .agg(sel=("sel", "sum"), tot=("tot", "sum"))
+             .merge(right[["key", "year"]], on="key", how="inner"))
+        g = (m.groupby("year", as_index=False)
+             .agg(sel=("sel", "sum"), tot=("tot", "sum"))
+             .rename(columns={"year": "o_year"}))
+        return g.astype(np.int64)
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(orders.map_batches(o_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("o_year", as_index=False).agg(
+        sel=("sel", "sum"), tot=("tot", "sum"))
+    share = [(1_000_000 * int(s)) // int(t) if t else 0
+             for s, t in zip(g["sel"].astype(object),
+                             g["tot"].astype(object))]
+    out = pd.DataFrame({
+        "o_year": g["o_year"].to_numpy(dtype=np.int64),
+        "sel_cents": g["sel"].to_numpy(dtype=np.int64),
+        "total_cents": g["tot"].to_numpy(dtype=np.int64),
+        "share_micro": np.array(share, dtype=np.int64)})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_part_value_concentration(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape — the HAVING-against-a-scalar-subquery plan:
+    parts whose total revenue is STRICTLY above 1.25× the mean
+    per-part revenue.  Per-part totals fold once in partkey-hash
+    buckets and stay a Dataset; the global (Σcents, n_parts) scalars
+    fold from per-bucket summaries; the threshold is the exact integer
+    cross-multiply 4·c·n > 5·Σ applied map-side in Python-int object
+    arithmetic (c·n exceeds int64 at corpus scale), so only the
+    qualifying concentration set is ever collected."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()
+                           * (1.0 - pdf["l_discount"].to_numpy())
+                           * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"partkey": pdf["l_partkey"].to_numpy(
+                 dtype=np.int64), "cents": cents})
+             .groupby("partkey", as_index=False)
+             .agg(cents=("cents", "sum")))
+        return g
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["partkey"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (pdf.groupby("partkey", as_index=False)
+                .agg(cents=("cents", "sum")))
+
+    totals = (li.map_batches(li_part, batch_format="pandas")
+              .map_batches(tag, batch_format="pandas")
+              .groupby("__b").map_groups(bucket_fold,
+                                         batch_format="pandas")
+              .materialize())
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tc": [int(pdf["cents"].sum())],
+                             "np": [len(pdf)]}, dtype=np.int64)
+
+    s = totals.map_batches(summarize, batch_format="pandas").to_pandas()
+    tc = int(s["tc"].astype(object).sum())
+    n_parts = int(s["np"].astype(object).sum())
+
+    def sieve(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"].astype(object)
+        keep = (4 * c * n_parts > 5 * tc).to_numpy(dtype=bool)
+        return pdf[keep][["partkey", "cents"]]
+
+    out = (totals.map_batches(sieve, batch_format="pandas").to_pandas()
+           .sort_values(["cents", "partkey"], ascending=[False, True])
+           .reset_index(drop=True))
+    return out.astype({"partkey": np.int64, "cents": np.int64})
+
+
+def q_halfshipped_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape — the nested half-of-sum semi-join: suppliers
+    who shipped MORE than half of a PROMO part's lifetime quantity
+    inside 1996, counted per supplier.  (partkey, suppkey) → (window
+    qty, total qty) pre-reduces inside blocks; ONE partkey-hash bucket
+    folds the pair totals next to the part's promo flag and applies
+    the exact test 2·win > tot; per-bucket (suppkey, n_parts) partials
+    fold on the driver under the bounded-supplier-dim contract —
+    (supp, part) pairs never cross partkey buckets, so counts add."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        q = pdf["l_quantity"].to_numpy().astype(np.int64)
+        g = (pd.DataFrame({
+                "key": pdf["l_partkey"].to_numpy(dtype=np.int64),
+                "supp": pdf["l_suppkey"].to_numpy(dtype=np.int64),
+                "win": q * ((d >= lo) & (d < hi)),
+                "tot": q})
+             .groupby(["key", "supp"], as_index=False).sum())
+        g["side"] = np.int64(0)
+        return g
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["p_type"].to_numpy() == "PROMO"]
+        n = len(pdf)
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "supp": np.zeros(n, dtype=np.int64),
+            "win": np.zeros(n, dtype=np.int64),
+            "tot": np.zeros(n, dtype=np.int64),
+            "side": np.ones(n, dtype=np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        promo = pdf.loc[side == 1, "key"]
+        if not len(left) or not len(promo):
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = (left.groupby(["key", "supp"], as_index=False)
+             .agg(win=("win", "sum"), tot=("tot", "sum")))
+        g = g[g["key"].isin(promo).to_numpy()
+              & (2 * g["win"].to_numpy() > g["tot"].to_numpy())]
+        out = (g.groupby("supp", as_index=False).size()
+               .rename(columns={"supp": "s_suppkey", "size": "n"}))
+        return out.astype({"s_suppkey": np.int64, "n": np.int64})
+
+    parts = (li.map_batches(li_part, batch_format="pandas")
+             .union(part.map_batches(p_part, batch_format="pandas"))
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("s_suppkey", as_index=False)
+           .agg(n_parts=("n", "sum"))
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return out.astype({"s_suppkey": np.int64, "n_parts": np.int64})
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12125,6 +12369,9 @@ QUERIES = {
     "cheapest_supplier": q_cheapest_supplier,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "market_share": q_market_share,
+    "part_value_concentration": q_part_value_concentration,
+    "halfshipped_suppliers": q_halfshipped_suppliers,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -16728,6 +16975,58 @@ ORACLES = {
         FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
         WHERE cents = (SELECT max(cents) FROM r)
         ORDER BY r.s_suppkey
+    """,
+    "market_share": """
+        WITH m AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   sn.n_name = 'NATION_18' AS sel
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = cn.n_regionkey
+                AND r_name = 'ASIA'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01')
+        SELECT o_year,
+               CAST(sum(CASE WHEN sel THEN cents ELSE 0 END)
+                    AS BIGINT) AS sel_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(1000000::HUGEINT
+                    * sum(CASE WHEN sel THEN cents ELSE 0 END)
+                    // sum(cents) AS BIGINT) AS share_micro
+        FROM m GROUP BY o_year ORDER BY o_year
+    """,
+    "part_value_concentration": """
+        WITH v AS (
+            SELECT l_partkey AS partkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT sum(cents) AS tc, count(*) AS np FROM v)
+        SELECT partkey, CAST(cents AS BIGINT) AS cents
+        FROM v, t
+        WHERE 4 * cents::HUGEINT * t.np > 5 * t.tc
+        ORDER BY cents DESC, partkey
+    """,
+    "halfshipped_suppliers": """
+        WITH t AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS tot,
+                   CAST(sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                                  AND l_shipdate < DATE '1997-01-01'
+                                 THEN l_quantity ELSE 0 END)
+                        AS BIGINT) AS win
+            FROM lineitem GROUP BY 1, 2)
+        SELECT l_suppkey AS s_suppkey, count(*) AS n_parts
+        FROM t JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO' AND 2 * win > tot
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
     """,
 }
 

@@ -1410,3 +1410,94 @@ def test_top_supplier_revenue_ties_kept(ray_session):
     assert sorted(out["s_suppkey"].astype(int)) == winners
     assert all(int(round(v * 100)) == best
                for v in out["total_revenue"])
+
+
+def test_market_share_pandas_replay(ray_session):
+    """Q8 shape: exact-cents share replayed through a direct six-table
+    pandas join; the selected nation must be live."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_market_share(SF).set_index("o_year")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    su = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    re = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    asia = int(re.loc[re["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_n = set(na.loc[na["n_regionkey"] == asia, "n_nationkey"])
+    sel_n = set(na.loc[na["n_name"] == "NATION_18", "n_nationkey"])
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey"))
+    d = m["o_orderdate"].to_numpy()
+    m = m[(d >= np.datetime64("1996-01-01"))
+          & (d < np.datetime64("1998-01-01"))
+          & m["c_nationkey"].isin(asia_n).to_numpy()]
+    cents = half_away(m["l_extendedprice"].to_numpy()
+                      * (1.0 - m["l_discount"].to_numpy())
+                      * 100.0).astype(np.int64)
+    year = (m["o_orderdate"].to_numpy().astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+    sel = m["s_nationkey"].isin(sel_n).to_numpy()
+    assert sel.any(), "selected supplier nation must be live"
+    for y in np.unique(year):
+        tot = int(cents[year == y].sum())
+        s = int(cents[(year == y) & sel].sum())
+        r = out.loc[int(y)]
+        assert int(r["sel_cents"]) == s
+        assert int(r["total_cents"]) == tot
+        assert int(r["share_micro"]) == (1_000_000 * s) // tot
+
+
+def test_part_value_concentration_scalar_replay(ray_session):
+    """Q11 shape: the strictly-above-1.25x-mean sieve replayed in exact
+    Python ints over every part."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_part_value_concentration(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["cents"] = half_away(li["l_extendedprice"].to_numpy()
+                            * (1.0 - li["l_discount"].to_numpy())
+                            * 100.0).astype(np.int64)
+    per = li.groupby("l_partkey")["cents"].sum()
+    tc, n = int(per.sum()), len(per)
+    want = {int(k): int(v) for k, v in per.items()
+            if 4 * int(v) * n > 5 * tc}
+    got = dict(zip(out["partkey"].astype(int),
+                   out["cents"].astype(int)))
+    assert got == want and 0 < len(want) < n
+    c = out["cents"].to_numpy()
+    assert (c[:-1] >= c[1:]).all()
+
+
+def test_halfshipped_suppliers_scalar_replay(ray_session):
+    """Q20 shape: the 2*win > tot per-(supp, part) gate replayed with a
+    literal pandas walk restricted to PROMO parts."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_halfshipped_suppliers(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    promo = set(pt.loc[pt["p_type"] == "PROMO", "p_partkey"]
+                .astype(int))
+    d = li["l_shipdate"].to_numpy()
+    li["q"] = li["l_quantity"].astype(np.int64)
+    li["w"] = li["q"] * ((d >= np.datetime64("1996-01-01"))
+                         & (d < np.datetime64("1997-01-01")))
+    g = (li.groupby(["l_partkey", "l_suppkey"])
+         .agg(win=("w", "sum"), tot=("q", "sum")).reset_index())
+    g = g[g["l_partkey"].isin(promo) & (2 * g["win"] > g["tot"])]
+    want = g.groupby("l_suppkey").size().to_dict()
+    got = dict(zip(out["s_suppkey"].astype(int),
+                   out["n_parts"].astype(int)))
+    assert got == {int(k): int(v) for k, v in want.items()}
+    assert len(got) > 0
