@@ -12068,6 +12068,142 @@ def q_halfshipped_suppliers(sf_dir: str) -> pd.DataFrame:
     return out.astype({"s_suppkey": np.int64, "n_parts": np.int64})
 
 
+def q_part_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year, the canonical TWO-exchange fact pipeline: profit per line is
+    rev_cents − qty·retail_cents (the part's list price standing in
+    for supply cost in this schema), for parts whose name contains
+    'bolt'.  Exchange 1 (partkey buckets) joins the part's retail
+    cents where the lines live, attaches the supplier's nation from
+    the once-broadcast bounded dim, and pre-reduces (orderkey, nation)
+    profit partials; exchange 2 (orderkey buckets) attaches the order
+    year and folds (nation, year) partials — both exchanges carry only
+    narrow int64 tuples, never raw lines past stage 1."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    nat = _read_table(sf_dir, "nation",
+                      ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = _read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put(dict(zip(
+        sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        sup["s_nationkey"].to_numpy(zero_copy_only=False)
+        .astype(np.int64))))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name",
+                                  "p_retailprice"])
+
+    def p_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        sel = pdf["p_name"].str.contains("bolt", regex=False)\
+            .to_numpy(dtype=bool)
+        pdf = pdf[sel]
+        return pd.DataFrame({
+            "key": pdf["p_partkey"].to_numpy(dtype=np.int64),
+            "okey": np.zeros(len(pdf), dtype=np.int64),
+            "a": _half_away(pdf["p_retailprice"].to_numpy() * 100.0)
+            .astype(np.int64),
+            "b": np.zeros(len(pdf), dtype=np.int64),
+            "rev": np.zeros(len(pdf), dtype=np.int64),
+            "side": np.ones(len(pdf), dtype=np.int64)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def li_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(smap_ref)
+        rev = _half_away(pdf["l_extendedprice"].to_numpy()
+                         * (1.0 - pdf["l_discount"].to_numpy())
+                         * 100.0).astype(np.int64)
+        g = (pd.DataFrame({
+                "key": pdf["l_partkey"].to_numpy(dtype=np.int64),
+                "okey": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "a": pdf["l_suppkey"].map(smap).to_numpy(
+                    dtype=np.int64),
+                "qty": pdf["l_quantity"].to_numpy().astype(np.int64),
+                "rev": rev})
+             .groupby(["key", "okey", "a"], as_index=False).sum())
+        g = g.rename(columns={"qty": "b"})
+        g["b"] = g["b"].astype(np.int64)
+        g["side"] = np.int64(0)
+        # pack (qty → b, rev stays); exchange-1 rows: one per
+        # (part, order, nation) per block.
+        return g[["key", "okey", "a", "b", "rev", "side"]]
+
+    def tag_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["key"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__b"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket1(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        left = pdf[side == 0]
+        right = pdf[side == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"okey": pd.Series([], dtype=np.int64),
+                                 "nat": pd.Series([], dtype=np.int64),
+                                 "profit": pd.Series([], dtype=np.int64)})
+        m = left.merge(right[["key", "a"]].rename(
+            columns={"a": "retail"}), on="key", how="inner")
+        m["profit"] = (m["rev"].to_numpy()
+                       - m["b"].to_numpy() * m["retail"].to_numpy())
+        g = (m.rename(columns={"a": "nat"})
+             .groupby(["okey", "nat"], as_index=False)
+             .agg(profit=("profit", "sum")))
+        return g.astype(np.int64)
+
+    stage1 = (li.map_batches(li_part, batch_format="pandas")
+              .union(part.map_batches(p_part, batch_format="pandas"))
+              .map_batches(tag_part, batch_format="pandas")
+              .groupby("__b").map_groups(bucket1,
+                                         batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def o_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": pdf["o_orderkey"].to_numpy(dtype=np.int64),
+            "nat": np.full(len(pdf), -1, dtype=np.int64),
+            "profit": (pdf["o_orderdate"].to_numpy()
+                       .astype("datetime64[Y]").astype(np.int64)
+                       + 1970)})
+
+    def tag_okey(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["okey"].to_numpy().astype(np.uint64)
+        pdf = pdf.copy()
+        pdf["__ob"] = ((k * MULT) % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket2(pdf: pd.DataFrame) -> pd.DataFrame:
+        nat = pdf["nat"].to_numpy()
+        left = pdf[nat >= 0]
+        right = pdf[nat < 0]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"nat": pd.Series([], dtype=np.int64),
+                                 "o_year": pd.Series([], dtype=np.int64),
+                                 "profit": pd.Series([], dtype=np.int64)})
+        m = left.merge(right[["okey", "profit"]].rename(
+            columns={"profit": "o_year"}), on="okey", how="inner")
+        g = (m.groupby(["nat", "o_year"], as_index=False)
+             .agg(profit=("profit", "sum")))
+        return g.astype(np.int64)
+
+    parts = (stage1.union(orders.map_batches(o_part,
+                                             batch_format="pandas"))
+             .map_batches(tag_okey, batch_format="pandas")
+             .groupby("__ob").map_groups(bucket2,
+                                         batch_format="pandas")
+             .to_pandas())
+    g = (parts.groupby(["nat", "o_year"], as_index=False)
+         .agg(profit_cents=("profit", "sum")))
+    g["n_name"] = g.pop("nat").map(nname)
+    return (g[["n_name", "o_year", "profit_cents"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+            .astype({"o_year": np.int64, "profit_cents": np.int64}))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12372,6 +12508,7 @@ QUERIES = {
     "market_share": q_market_share,
     "part_value_concentration": q_part_value_concentration,
     "halfshipped_suppliers": q_halfshipped_suppliers,
+    "part_profit": q_part_profit,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -17027,6 +17164,22 @@ ORACLES = {
         WHERE p_type = 'PROMO' AND 2 * win > tot
         GROUP BY l_suppkey
         ORDER BY l_suppkey
+    """,
+    "part_profit": """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)
+                        - CAST(l_quantity AS BIGINT)
+                          * CAST(round(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year
     """,
 }
 

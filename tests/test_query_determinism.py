@@ -1501,3 +1501,40 @@ def test_halfshipped_suppliers_scalar_replay(ray_session):
                    out["n_parts"].astype(int)))
     assert got == {int(k): int(v) for k, v in want.items()}
     assert len(got) > 0
+
+
+def test_part_profit_pandas_replay(ray_session):
+    """Q9 shape: the two-exchange profit rollup replayed through a
+    direct five-table pandas join in exact cents (profit may be
+    negative — the cost term must actually bite)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_part_profit(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    su = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    m = (li.merge(pt[pt["p_name"].str.contains("bolt")],
+                  left_on="l_partkey", right_on="p_partkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(na, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(od, left_on="l_orderkey", right_on="o_orderkey"))
+    rev = half_away(m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy())
+                    * 100.0).astype(np.int64)
+    cost = (m["l_quantity"].to_numpy().astype(np.int64)
+            * half_away(m["p_retailprice"].to_numpy() * 100.0)
+            .astype(np.int64))
+    m["profit"] = rev - cost
+    m["o_year"] = (m["o_orderdate"].to_numpy()
+                   .astype("datetime64[Y]").astype(np.int64) + 1970)
+    want = (m.groupby(["n_name", "o_year"])["profit"].sum()
+            .to_dict())
+    got = {(r["n_name"], int(r["o_year"])): int(r["profit_cents"])
+           for _, r in out.iterrows()}
+    assert got == {(n, int(y)): int(v) for (n, y), v in want.items()}
+    assert len(got) > 0
