@@ -136,7 +136,15 @@ def run_bench() -> dict:
         "entity_resolution", "grouped_weighted_median", "stream_scd2",
         "reconcile", "table_checksum", "overlap_seconds",
         "nation_volume", "fk_audit", "gopher_rules", "time_in_state",
-        "cycle_time")
+        "cycle_time",
+        # TPC-H shape completion (Q2/Q4/Q6/Q8/Q9/Q11-Q22 adaptations)
+        "late_order_priority", "late_line_priority",
+        "order_count_distribution", "promo_revenue_share",
+        "small_qty_revenue", "disjunctive_revenue", "supplier_cnt",
+        "large_volume_orders", "waiting_supplier", "dormant_customers",
+        "cheapest_supplier", "forecast_revenue", "top_supplier_revenue",
+        "market_share", "part_value_concentration",
+        "halfshipped_suppliers", "part_profit")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
