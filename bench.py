@@ -144,7 +144,8 @@ def run_bench() -> dict:
         "large_volume_orders", "waiting_supplier", "dormant_customers",
         "cheapest_supplier", "forecast_revenue", "top_supplier_revenue",
         "market_share", "part_value_concentration",
-        "halfshipped_suppliers", "part_profit")
+        "halfshipped_suppliers", "part_profit",
+        "degree_assortativity", "shared_scan_report")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

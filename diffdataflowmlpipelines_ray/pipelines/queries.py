@@ -12204,6 +12204,177 @@ def q_part_profit(sf_dir: str) -> pd.DataFrame:
             .astype({"o_year": np.int64, "profit_cents": np.int64}))
 
 
+def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman's r) of the deterministic
+    orders-derived graph — edge-wise correlated aggregates with ZERO
+    float hazard: counting each undirected edge in both orientations
+    makes the two degree marginals identical, so Pearson's r collapses
+    to the pure rational (m·Σxy − Σx²)/(m·Σx² − Σx²) — no square
+    root.  Degrees fold in ONE narrow node exchange; deg(u)/deg(v)
+    attach to the edges through two hash-bucket exchanges (nodes are
+    NOT assumed bounded); per-block (m, Σx, Σxy, Σx²) partials fold to
+    four driver ints, and the result ships as the shifted micro
+    ⌊10⁶·(r+1)⌋ — r ≥ −1 keeps the numerator non-negative, so Python
+    floor-div and the HUGEINT twin's truncating // agree (the
+    silhouette trick).  m·Σxy exceeds int64 at corpus scale → the
+    final fold runs in Python-int object arithmetic."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b).astype(np.int64)
+        v = np.maximum(a, b).astype(np.int64)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def tag_u(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__b"] = ((pdf["u"].to_numpy().astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(tag_u, batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]], batch_format="pandas")
+             .materialize())
+
+    def endpoints(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate([pdf["u"].to_numpy(), pdf["v"].to_numpy()])
+        g = (pd.DataFrame({"node": n})
+             .groupby("node", as_index=False).size()
+             .rename(columns={"size": "deg"}))
+        return g.astype(np.int64)
+
+    # degrees stay a DATASET end-to-end (nodes are not assumed bounded):
+    # the attach is two bucket exchanges in which only each bucket's
+    # slice of (node, deg) rows co-locates with that bucket's edges —
+    # the degree table is never collected or broadcast whole.
+    deg_ds = (edges.map_batches(endpoints, batch_format="pandas")
+              .groupby("node").sum("deg"))
+
+    def d_side(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": pdf["node"].to_numpy(dtype=np.int64),
+            "v": np.full(len(pdf), -1, dtype=np.int64),
+            "deg": pdf["sum(deg)"].to_numpy(dtype=np.int64)})
+
+    def e_side(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["deg"] = np.full(len(pdf), -1, dtype=np.int64)
+        return pdf[["u", "v", "deg"]]
+
+    def attach_u(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_d = pdf["v"].to_numpy() < 0
+        lut = pdf[is_d][["u", "deg"]].rename(columns={"deg": "du"})
+        e = pdf[~is_d][["u", "v"]].merge(lut, on="u", how="inner")
+        return e
+
+    def tag_v(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        key = np.where(pdf["v"].to_numpy() < 0,
+                       pdf["u"].to_numpy(), pdf["v"].to_numpy())
+        pdf["__b"] = ((key.astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def d_side2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": pdf["node"].to_numpy(dtype=np.int64),
+            "v": np.full(len(pdf), -1, dtype=np.int64),
+            "du": pdf["sum(deg)"].to_numpy(dtype=np.int64)})
+
+    def attach_v_and_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_d = pdf["v"].to_numpy() < 0
+        lut = (pdf[is_d][["u", "du"]]
+               .rename(columns={"u": "v", "du": "dv"}))
+        e = pdf[~is_d][["u", "v", "du"]].merge(lut, on="v", how="inner")
+        a = e["du"].to_numpy()
+        b = e["dv"].to_numpy()
+        return pd.DataFrame({
+            "m": [2 * len(e)], "sx": [int((a + b).sum())],
+            "sxy": [2 * int((a * b).sum())],
+            "sxx": [int((a * a + b * b).sum())]}, dtype=np.int64)
+
+    stage1 = (edges.map_batches(e_side, batch_format="pandas")
+              .union(deg_ds.map_batches(d_side, batch_format="pandas"))
+              .map_batches(tag_u, batch_format="pandas")
+              .groupby("__b").map_groups(attach_u,
+                                         batch_format="pandas"))
+    parts = (stage1.union(deg_ds.map_batches(d_side2,
+                                             batch_format="pandas"))
+             .map_batches(tag_v, batch_format="pandas")
+             .groupby("__b").map_groups(attach_v_and_fold,
+                                        batch_format="pandas")
+             .to_pandas())
+    m = int(parts["m"].astype(object).sum())
+    sx = int(parts["sx"].astype(object).sum())
+    sxy = int(parts["sxy"].astype(object).sum())
+    sxx = int(parts["sxx"].astype(object).sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    shift = (1_000_000 * (num + den)) // den
+    return pd.DataFrame({"m_directed": [m],
+                         "assort_shift_micro": [int(shift)]},
+                        dtype=np.int64)
+
+
+def q_shared_scan_report(sf_dir: str) -> pd.DataFrame:
+    """Multi-consumer scan amortization — the reporting-pipeline
+    pattern: ONE narrow lineitem projection materializes into the
+    object store and three independent metrics stream over the SAME
+    blocks (zero re-read): 1996 revenue, the Q6 discount forecast, and
+    returned quantity.  Each consumer is a map-only block fold to one
+    driver int — at 100 TB the choice is the same two-liner: keep the
+    lazy scan (each consumer re-reads) or materialize the projection
+    once and amortize the I/O across every downstream metric."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice", "l_returnflag"]).materialize()
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def rev_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        sel = (d >= lo) & (d < hi)
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()[sel]
+                           * (1.0 - pdf["l_discount"].to_numpy()[sel])
+                           * 100.0).astype(np.int64)
+        return pd.DataFrame({"v": [int(cents.sum())]}, dtype=np.int64)
+
+    def forecast_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["l_shipdate"].to_numpy()
+        disc = pdf["l_discount"].to_numpy()
+        sel = ((d >= lo) & (d < hi) & (disc >= 0.05) & (disc <= 0.07)
+               & (pdf["l_quantity"].to_numpy() < 24))
+        cents = _half_away(pdf["l_extendedprice"].to_numpy()[sel]
+                           * disc[sel] * 100.0).astype(np.int64)
+        return pd.DataFrame({"v": [int(cents.sum())]}, dtype=np.int64)
+
+    def returned_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        sel = pdf["l_returnflag"].to_numpy() == "R"
+        q = pdf["l_quantity"].to_numpy()[sel].astype(np.int64)
+        return pd.DataFrame({"v": [int(q.sum())]}, dtype=np.int64)
+
+    vals = {}
+    for name, fn in [("forecast_cents", forecast_part),
+                     ("returned_qty", returned_part),
+                     ("rev1996_cents", rev_part)]:
+        s = li.map_batches(fn, batch_format="pandas").to_pandas()
+        vals[name] = int(s["v"].astype(object).sum())
+    out = pd.DataFrame({"metric": sorted(vals),
+                        "value": [vals[k] for k in sorted(vals)]})
+    out["value"] = out["value"].astype(np.int64)
+    return out
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12509,6 +12680,8 @@ QUERIES = {
     "part_value_concentration": q_part_value_concentration,
     "halfshipped_suppliers": q_halfshipped_suppliers,
     "part_profit": q_part_profit,
+    "degree_assortativity": q_degree_assortativity,
+    "shared_scan_report": q_shared_scan_report,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -17180,6 +17353,51 @@ ORACLES = {
         WHERE p_name LIKE '%bolt%'
         GROUP BY n_name, o_year
         ORDER BY n_name, o_year
+    """,
+    "degree_assortativity": """
+        WITH e AS (
+            SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS u,
+                            greatest(o_custkey, o_orderkey % 1500) AS v
+            FROM orders WHERE o_custkey <> o_orderkey % 1500),
+        d AS (SELECT node, count(*) AS deg
+              FROM (SELECT u AS node FROM e
+                    UNION ALL SELECT v FROM e)
+              GROUP BY node),
+        x AS (SELECT du.deg AS a, dv.deg AS b
+              FROM e
+              JOIN d du ON du.node = e.u
+              JOIN d dv ON dv.node = e.v),
+        s AS (SELECT 2 * count(*)::HUGEINT AS m,
+                     sum(a + b)::HUGEINT AS sx,
+                     2 * sum(a * b)::HUGEINT AS sxy,
+                     sum(a * a + b * b)::HUGEINT AS sxx
+              FROM x)
+        SELECT CAST(m AS BIGINT) AS m_directed,
+               CAST(1000000 * ((m * sxy - sx * sx)
+                               + (m * sxx - sx * sx))
+                    // (m * sxx - sx * sx) AS BIGINT)
+                   AS assort_shift_micro
+        FROM s
+    """,
+    "shared_scan_report": """
+        SELECT 'forecast_cents' AS metric,
+               CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS value
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        UNION ALL
+        SELECT 'returned_qty', CAST(sum(l_quantity) AS BIGINT)
+        FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT 'rev1996_cents',
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        ORDER BY metric
     """,
 }
 

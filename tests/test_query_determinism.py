@@ -1538,3 +1538,65 @@ def test_part_profit_pandas_replay(ray_session):
            for _, r in out.iterrows()}
     assert got == {(n, int(y)): int(v) for (n, y), v in want.items()}
     assert len(got) > 0
+
+
+def test_degree_assortativity_fraction_replay(ray_session):
+    """Newman's r replayed in exact Fractions over a literal edge walk
+    — pins the no-sqrt rational identity AND the shifted-micro floor."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_degree_assortativity(SF)
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderkey"]).to_pandas()
+    a = od["o_custkey"].to_numpy(dtype=np.int64)
+    b = od["o_orderkey"].to_numpy(dtype=np.int64) % 1500
+    keep = a != b
+    edges = sorted({(min(x, y), max(x, y))
+                    for x, y in zip(a[keep], b[keep])})
+    deg: dict = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = 2 * len(edges)
+    sx = sum(deg[u] + deg[v] for u, v in edges)
+    sxy = 2 * sum(deg[u] * deg[v] for u, v in edges)
+    sxx = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = Fraction(num, den)
+    assert -1 <= r <= 1
+    shift = (1_000_000 * (num + den)) // den
+    assert int(out["m_directed"].iloc[0]) == m
+    assert int(out["assort_shift_micro"].iloc[0]) == shift
+
+
+def test_shared_scan_report_pandas_replay(ray_session):
+    """The three shared-scan metrics must equal direct single-pass
+    recomputations over the raw table."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_shared_scan_report(SF).set_index("metric")["value"]
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    d = li["l_shipdate"].to_numpy()
+    in96 = (d >= np.datetime64("1996-01-01")) \
+        & (d < np.datetime64("1997-01-01"))
+    disc = li["l_discount"].to_numpy()
+    ext = li["l_extendedprice"].to_numpy()
+    qty = li["l_quantity"].to_numpy()
+    rev = int(half_away(ext[in96] * (1.0 - disc[in96]) * 100.0)
+              .astype(np.int64).sum())
+    fsel = in96 & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+    fc = int(half_away(ext[fsel] * disc[fsel] * 100.0)
+             .astype(np.int64).sum())
+    rq = int(qty[li["l_returnflag"].to_numpy() == "R"]
+             .astype(np.int64).sum())
+    assert int(out["rev1996_cents"]) == rev
+    assert int(out["forecast_cents"]) == fc
+    assert int(out["returned_qty"]) == rq
