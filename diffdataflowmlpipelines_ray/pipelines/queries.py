@@ -12375,6 +12375,91 @@ def q_shared_scan_report(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_FIFO_SHIFT_US = 1 << 42  # > max event-time span in µs (Jan-2024 fixture)
+
+
+def q_fifo_matching(sf_dir: str) -> pd.DataFrame:
+    """Ordinal FIFO lot matching — the inventory/cost-basis primitive:
+    per user, purchase cents are credit lots and click cents are debit
+    lots, matched unit-by-unit in (ts, event_id) order; report matched
+    units and the average signed holding time per unit (backorders —
+    debits matched to later credits — contribute negative time).
+
+    The naive formulation is a pairwise range join on cumulative
+    intervals; it collapses to a SEPARABLE O(n) identity: truncating
+    both cumulative ladders at M = min(ΣC, ΣD), the units consumed
+    from credit i and by debit j are just the truncated interval
+    widths, so Σ_pairs ov·(t_d − t_c) = Σ_j t_d·u_j − Σ_i t_c·v_i —
+    no pair is ever materialized on either twin.  Rows ride ONE
+    hash(user) bucket shuffle (the twap plan); the two dot products
+    finish in Python-int object arithmetic (t_µs × units × rows
+    exceeds int64), and the per-unit average ships as the shifted
+    floor-div (hold + 2⁴²·M) // M — provably non-negative operands, so
+    Python floor and the HUGEINT twin's truncating // agree."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def pre(pdf: pd.DataFrame) -> pd.DataFrame:
+        et = pdf["event_type"].to_numpy()
+        sel = (et == "purchase") | (et == "click")
+        pdf = pdf[sel]
+        return pd.DataFrame({
+            "user": pdf["user_id"].to_numpy(dtype=np.int64),
+            "eid": pdf["event_id"].to_numpy(dtype=np.int64),
+            "t": pdf["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64),
+            "q": _half_away(pdf["value"].to_numpy() * 100.0)
+            .astype(np.int64),
+            "cr": (pdf["event_type"].to_numpy() == "purchase")
+            .astype(np.int64)})
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__b"] = ((pdf["user"].to_numpy().astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user", "t", "eid"])
+        out = []
+        for user, seg in pdf.groupby("user", sort=False):
+            cr = seg["cr"].to_numpy() == 1
+            c, d = seg[cr], seg[~cr]
+            if not len(c) or not len(d):
+                continue
+            ch = c["q"].to_numpy().cumsum()
+            dh = d["q"].to_numpy().cumsum()
+            m = int(min(ch[-1], dh[-1]))
+            if m == 0:
+                continue
+            clo = np.minimum(np.concatenate([[0], ch[:-1]]), m)
+            chi = np.minimum(ch, m)
+            dlo = np.minimum(np.concatenate([[0], dh[:-1]]), m)
+            dhi = np.minimum(dh, m)
+            v = (chi - clo).astype(object)
+            u = (dhi - dlo).astype(object)
+            hold = (int((d["t"].to_numpy().astype(object) * u).sum())
+                    - int((c["t"].to_numpy().astype(object) * v).sum()))
+            out.append((int(user), m,
+                        (hold + _FIFO_SHIFT_US * m) // m))
+        return pd.DataFrame(out, columns=["user_id", "matched_units",
+                                          "avg_hold_us_shifted"]) \
+            .astype(np.int64) if out else pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "matched_units": pd.Series([], dtype=np.int64),
+                "avg_hold_us_shifted": pd.Series([], dtype=np.int64)})
+
+    parts = (ev.map_batches(pre, batch_format="pandas")
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    return (parts.sort_values("user_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12682,6 +12767,7 @@ QUERIES = {
     "part_profit": q_part_profit,
     "degree_assortativity": q_degree_assortativity,
     "shared_scan_report": q_shared_scan_report,
+    "fifo_matching": q_fifo_matching,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -17398,6 +17484,44 @@ ORACLES = {
         WHERE l_shipdate >= DATE '1996-01-01'
           AND l_shipdate < DATE '1997-01-01'
         ORDER BY metric
+    """,
+    "fifo_matching": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t,
+                   CAST(round(value * 100) AS BIGINT) AS q,
+                   event_type = 'purchase' AS cr
+            FROM events WHERE event_type IN ('purchase', 'click')),
+        lad AS (
+            SELECT user_id, t, q, cr,
+                   sum(q) OVER (PARTITION BY user_id, cr
+                                ORDER BY t, event_id) AS hi
+            FROM e),
+        m AS (
+            SELECT user_id,
+                   LEAST(sum(q) FILTER (WHERE cr),
+                         sum(q) FILTER (WHERE NOT cr)) AS mm
+            FROM e GROUP BY user_id
+            HAVING sum(q) FILTER (WHERE cr) IS NOT NULL
+               AND sum(q) FILTER (WHERE NOT cr) IS NOT NULL
+               AND LEAST(sum(q) FILTER (WHERE cr),
+                         sum(q) FILTER (WHERE NOT cr)) > 0),
+        w AS (
+            SELECT lad.user_id, lad.t, lad.cr,
+                   LEAST(lad.hi, m.mm)
+                   - LEAST(lad.hi - lad.q, m.mm) AS units
+            FROM lad JOIN m USING (user_id)),
+        h AS (
+            SELECT user_id,
+                   sum(CASE WHEN NOT cr THEN t::HUGEINT * units
+                            ELSE 0 END)
+                   - sum(CASE WHEN cr THEN t::HUGEINT * units
+                              ELSE 0 END) AS hold
+            FROM w GROUP BY user_id)
+        SELECT h.user_id, CAST(m.mm AS BIGINT) AS matched_units,
+               CAST((h.hold + 4398046511104::HUGEINT * m.mm) // m.mm
+                    AS BIGINT) AS avg_hold_us_shifted
+        FROM h JOIN m USING (user_id)
+        ORDER BY h.user_id
     """,
 }
 

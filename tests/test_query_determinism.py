@@ -1600,3 +1600,58 @@ def test_shared_scan_report_pandas_replay(ray_session):
     assert int(out["rev1996_cents"]) == rev
     assert int(out["forecast_cents"]) == fc
     assert int(out["returned_qty"]) == rq
+
+
+def test_fifo_matching_literal_queue_replay(ray_session):
+    """Ordinal FIFO matching replayed with a LITERAL lot queue: walk
+    credits and debits in ordinal order, consume unit-by-unit from the
+    earliest unconsumed credit, and accumulate signed holding time —
+    proving the separable cumulative-interval identity equals true
+    lot matching, including backorders."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+    from diffdataflowmlpipelines_ray.pipelines.queries import (
+        _FIFO_SHIFT_US,
+    )
+
+    out = Q.q_fifo_matching(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev["event_type"].isin(["purchase", "click"])].copy()
+    ev["t"] = (ev["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+    ev["q"] = half_away(ev["value"].to_numpy() * 100.0)\
+        .astype(np.int64)
+    ev = ev.sort_values(["user_id", "t", "event_id"])
+    n_checked = 0
+    for user, seg in ev.groupby("user_id"):
+        n_checked += 1
+        if user not in out.index:
+            assert (len(seg[seg["event_type"] == "click"]) == 0
+                    or len(seg[seg["event_type"] == "purchase"]) == 0)
+            continue
+        # ordinal two-ladder walk: unit-by-unit lot matching in
+        # (ts, event_id) order — the ground truth incl. backorders
+        c = seg[seg["event_type"] == "purchase"]
+        d = seg[seg["event_type"] == "click"]
+        ci = di = 0
+        c_rem = c["q"].tolist()
+        d_rem = d["q"].tolist()
+        hold2 = 0
+        matched2 = 0
+        while ci < len(c_rem) and di < len(d_rem):
+            take = min(c_rem[ci], d_rem[di])
+            hold2 += take * (int(d["t"].iloc[di]) - int(c["t"].iloc[ci]))
+            matched2 += take
+            c_rem[ci] -= take
+            d_rem[di] -= take
+            if c_rem[ci] == 0:
+                ci += 1
+            if d_rem[di] == 0:
+                di += 1
+        r = out.loc[user]
+        assert int(r["matched_units"]) == matched2
+        assert int(r["avg_hold_us_shifted"]) == \
+            (hold2 + _FIFO_SHIFT_US * matched2) // matched2
+    assert n_checked > 0 and len(out) > 0
