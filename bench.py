@@ -145,7 +145,8 @@ def run_bench() -> dict:
         "cheapest_supplier", "forecast_revenue", "top_supplier_revenue",
         "market_share", "part_value_concentration",
         "halfshipped_suppliers", "part_profit",
-        "degree_assortativity", "shared_scan_report", "fifo_matching")
+        "degree_assortativity", "shared_scan_report", "fifo_matching",
+        "stream_seq_gaps")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

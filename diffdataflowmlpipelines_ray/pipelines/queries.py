@@ -12460,6 +12460,45 @@ def q_fifo_matching(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_stream_seq_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-partition ingestion-gap audit maintained INCREMENTALLY — the
+    Kafka-offset monitoring pipeline: events partition by event_id % 4
+    (each partition's ids form the arithmetic sequence ≡ p mod 4), a
+    deterministic upstream loss (event_id % 7 == 0 dropped) plants real
+    gaps, and one `KeyedAggregation` holds (count, min, max) per
+    partition across mixed Dataset/Table epochs — O(partitions) shard
+    state no matter how many offsets stream through.  The audit
+    `missing = (max − min)//4 + 1 − count` finishes on the state table;
+    ids stay < 2⁵³ so the float64 min/max registers are exact."""
+    tbl = _read_table(sf_dir, "events", ["event_id"])
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = eid[eid % 7 != 0]
+    feed = pa.table({
+        "part": pa.array(eid % 4, type=pa.int64()),
+        "seq": pa.array(eid.astype(np.float64), type=pa.float64())})
+
+    sess = StreamSession(_tmp("gaps"), num_shards=4)
+    sess.add(KeyedAggregation(
+        name="gap", input="s", key_cols=["part"], value_col="seq",
+        aggs=("count", "min", "max")))
+    try:
+        parts = _epoch_split(feed, 3)
+        for e, part in enumerate(parts):
+            data = rd.from_arrow(part) if e < len(parts) - 1 else part
+            sess.process_epoch(e, {"s": data})
+        df = sess.state_table("gap").to_pandas()
+    finally:
+        sess.store.shutdown()
+    out = pd.DataFrame({
+        "part": df["part"].to_numpy(dtype=np.int64),
+        "n": df["count"].to_numpy(dtype=np.int64),
+        "mn": df["min"].to_numpy().astype(np.int64),
+        "mx": df["max"].to_numpy().astype(np.int64)})
+    out["missing"] = ((out["mx"] - out["mn"]) // 4 + 1 - out["n"])
+    return (out.sort_values("part").reset_index(drop=True)
+            .astype(np.int64))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12768,6 +12807,7 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "shared_scan_report": q_shared_scan_report,
     "fifo_matching": q_fifo_matching,
+    "stream_seq_gaps": q_stream_seq_gaps,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -17522,6 +17562,18 @@ ORACLES = {
                     AS BIGINT) AS avg_hold_us_shifted
         FROM h JOIN m USING (user_id)
         ORDER BY h.user_id
+    """,
+    "stream_seq_gaps": """
+        SELECT event_id % 4 AS part,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(event_id) AS BIGINT) AS mn,
+               CAST(max(event_id) AS BIGINT) AS mx,
+               CAST((max(event_id) - min(event_id)) // 4 + 1 - count(*)
+                    AS BIGINT) AS missing
+        FROM events
+        WHERE event_id % 7 <> 0
+        GROUP BY part
+        ORDER BY part
     """,
 }
 

@@ -1655,3 +1655,30 @@ def test_fifo_matching_literal_queue_replay(ray_session):
         assert int(r["avg_hold_us_shifted"]) == \
             (hold2 + _FIFO_SHIFT_US * matched2) // matched2
     assert n_checked > 0 and len(out) > 0
+
+
+def test_stream_seq_gaps_scalar_replay(ray_session):
+    """The incremental gap audit must equal a literal per-partition
+    offset walk, and the planted loss must make every partition's gap
+    count strictly positive."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_stream_seq_gaps(SF).set_index("part")
+    eid = (pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+           ["event_id"].to_numpy())
+    eid = eid[eid % 7 != 0]
+    for p in range(4):
+        ids = sorted(int(i) for i in eid[eid % 4 == p])
+        expect = (ids[-1] - ids[0]) // 4 + 1
+        missing = expect - len(ids)
+        present = set(ids)
+        literal = sum(1 for s in range(ids[0], ids[-1] + 1, 4)
+                      if s not in present)
+        assert missing == literal
+        r = out.loc[p]
+        assert (int(r["n"]), int(r["mn"]), int(r["mx"]),
+                int(r["missing"])) == (len(ids), ids[0], ids[-1],
+                                       missing)
+        assert missing > 0
