@@ -146,7 +146,7 @@ def run_bench() -> dict:
         "market_share", "part_value_concentration",
         "halfshipped_suppliers", "part_profit",
         "degree_assortativity", "shared_scan_report", "fifo_matching",
-        "stream_seq_gaps")
+        "stream_seq_gaps", "holt_winters")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

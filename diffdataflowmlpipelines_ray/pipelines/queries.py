@@ -12499,6 +12499,56 @@ def q_stream_seq_gaps(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+def q_holt_winters(sf_dir: str) -> pd.DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (weekly season m = 7)
+    of daily event volume with dyadic constants α = 1/2, β = 1/4,
+    γ = 1/4 — `holt_linear`'s exactness discipline extended to a
+    7-slot seasonal state vector: every update divides a < 2⁵³ integer
+    by 2.0 or 4.0 (exact in IEEE) and half-away-rounds to micro, and
+    the one non-dyadic init division (/49.0) is a single identical
+    IEEE chain on both twins, so the whole recursion is bit-exact
+    against a SQL recursive CTE that carries the seven seasonal slots
+    as columns.  Init (first 14 days): l = ⌊10⁶·Σ₁..₇c / 7⌋,
+    b = half-away(10⁶·(Σ₈..₁₄ − Σ₁..₇)/49), s_k = 10⁶·c_k − l.
+    From day 8 on (position w = (i−1) mod 7): forecast f = l + b + s_w
+    BEFORE the update, then l' = ⌈(10⁶c − s_w + l + b)/2⌋,
+    b' = ⌈(l' − l + 3b)/4⌋, s_w' = ⌈(10⁶c − l' + 3s_w)/4⌋.  Day
+    counts fold from per-block partials through one tiny groupby; the
+    recursion is O(days) driver arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(tbl: pa.Table) -> pa.Table:
+        d = (tbl["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("d").sum("c").take_all())
+    cnt = dict(sorted((int(r["d"]), int(r["sum(c)"])) for r in rows))
+    days = list(cnt)
+    c = [cnt[d] for d in days]
+    if len(days) < 15:
+        raise ValueError("holt_winters needs >= 15 days")
+    l = (1_000_000 * sum(c[:7])) // 7
+    b = int(_half_away(1_000_000 * (sum(c[7:14]) - sum(c[:7])) / 49.0))
+    s = [1_000_000 * c[k] - l for k in range(7)]
+    recs = []
+    for i in range(7, len(days)):
+        w = i % 7
+        f = l + b + s[w]
+        l2 = int(_half_away((c[i] * 1_000_000 - s[w] + l + b) / 2.0))
+        b = int(_half_away((l2 - l + 3 * b) / 4.0))
+        s[w] = int(_half_away((c[i] * 1_000_000 - l2 + 3 * s[w]) / 4.0))
+        l = l2
+        recs.append((days[i], c[i], f, l, b, s[w]))
+    out = pd.DataFrame(recs, columns=[
+        "day", "n_events", "forecast1_micro", "level_micro",
+        "trend_micro", "season_micro"])
+    return out.astype(np.int64)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -12808,6 +12858,7 @@ QUERIES = {
     "shared_scan_report": q_shared_scan_report,
     "fifo_matching": q_fifo_matching,
     "stream_seq_gaps": q_stream_seq_gaps,
+    "holt_winters": q_holt_winters,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -17574,6 +17625,115 @@ ORACLES = {
         WHERE event_id % 7 <> 0
         GROUP BY part
         ORDER BY part
+    """,
+    "holt_winters": """
+        WITH RECURSIVE dc AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY d),
+        r AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM dc),
+        h AS (
+            SELECT 7::BIGINT AS i, 0::BIGINT AS f,
+                   CAST(1000000 * (SELECT sum(c) FROM r WHERE i <= 7)
+                        // 7 AS BIGINT) AS l,
+                   CAST(round(1000000
+                        * ((SELECT sum(c) FROM r WHERE i BETWEEN 8
+                                                          AND 14)
+                           - (SELECT sum(c) FROM r WHERE i <= 7))
+                        / 49.0) AS BIGINT) AS b,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 1)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s0,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 2)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s1,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 3)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s2,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 4)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s3,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 5)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s4,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 6)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s5,
+                   CAST(1000000 * (SELECT c FROM r WHERE i = 7)
+                   - 1000000 * (SELECT sum(c) FROM r WHERE i <= 7) // 7
+                       AS BIGINT) AS s6
+            UNION ALL
+            SELECT h.i + 1,
+                   h.l + h.b
+                   + CASE (h.i) % 7 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1
+                          WHEN 2 THEN h.s2 WHEN 3 THEN h.s3
+                          WHEN 4 THEN h.s4 WHEN 5 THEN h.s5
+                          ELSE h.s6 END,
+                   CAST(round((r.c * 1000000
+                        - CASE (h.i) % 7 WHEN 0 THEN h.s0
+                               WHEN 1 THEN h.s1 WHEN 2 THEN h.s2
+                               WHEN 3 THEN h.s3 WHEN 4 THEN h.s4
+                               WHEN 5 THEN h.s5 ELSE h.s6 END
+                        + h.l + h.b) / 2.0) AS BIGINT),
+                   CAST(round((CAST(round((r.c * 1000000
+                        - CASE (h.i) % 7 WHEN 0 THEN h.s0
+                               WHEN 1 THEN h.s1 WHEN 2 THEN h.s2
+                               WHEN 3 THEN h.s3 WHEN 4 THEN h.s4
+                               WHEN 5 THEN h.s5 ELSE h.s6 END
+                        + h.l + h.b) / 2.0) AS BIGINT)
+                        - h.l + 3 * h.b) / 4.0) AS BIGINT),
+                   CASE WHEN (h.i) % 7 = 0 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s0
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s0) / 4.0) AS BIGINT)
+                        ELSE h.s0 END,
+                   CASE WHEN (h.i) % 7 = 1 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s1
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s1) / 4.0) AS BIGINT)
+                        ELSE h.s1 END,
+                   CASE WHEN (h.i) % 7 = 2 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s2
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s2) / 4.0) AS BIGINT)
+                        ELSE h.s2 END,
+                   CASE WHEN (h.i) % 7 = 3 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s3
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s3) / 4.0) AS BIGINT)
+                        ELSE h.s3 END,
+                   CASE WHEN (h.i) % 7 = 4 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s4
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s4) / 4.0) AS BIGINT)
+                        ELSE h.s4 END,
+                   CASE WHEN (h.i) % 7 = 5 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s5
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s5) / 4.0) AS BIGINT)
+                        ELSE h.s5 END,
+                   CASE WHEN (h.i) % 7 = 6 THEN
+                        CAST(round((r.c * 1000000
+                             - CAST(round((r.c * 1000000 - h.s6
+                                    + h.l + h.b) / 2.0) AS BIGINT)
+                             + 3 * h.s6) / 4.0) AS BIGINT)
+                        ELSE h.s6 END
+            FROM h JOIN r ON r.i = h.i + 1)
+        SELECT r.d::BIGINT AS day, r.c AS n_events,
+               h.f AS forecast1_micro, h.l AS level_micro,
+               h.b AS trend_micro,
+               CASE (h.i - 1) % 7 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1
+                    WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4
+                    WHEN 5 THEN h.s5 ELSE h.s6 END AS season_micro
+        FROM h JOIN r ON r.i = h.i
+        WHERE h.i >= 8
+        ORDER BY day
     """,
 }
 

@@ -1682,3 +1682,40 @@ def test_stream_seq_gaps_scalar_replay(ray_session):
                 int(r["missing"])) == (len(ids), ids[0], ids[-1],
                                        missing)
         assert missing > 0
+
+
+def test_holt_winters_scalar_replay(ray_session):
+    """The seasonal recursion replayed scalar-exactly, plus the
+    telescoping sanity that each forecast uses the PRE-update state and
+    the seasonal slots rotate with period 7."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_holt_winters(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    import collections
+    cnt = collections.Counter(d.tolist())
+    days = sorted(cnt)
+    c = [cnt[x] for x in days]
+    l = (1_000_000 * sum(c[:7])) // 7
+    b = int(half_away(np.array(
+        [1_000_000 * (sum(c[7:14]) - sum(c[:7])) / 49.0]))[0])
+    s = [1_000_000 * c[k] - l for k in range(7)]
+    rows = []
+    for i in range(7, len(days)):
+        w = i % 7
+        f = l + b + s[w]
+        l2 = int(half_away(np.array(
+            [(c[i] * 1_000_000 - s[w] + l + b) / 2.0]))[0])
+        b = int(half_away(np.array([(l2 - l + 3 * b) / 4.0]))[0])
+        s[w] = int(half_away(np.array(
+            [(c[i] * 1_000_000 - l2 + 3 * s[w]) / 4.0]))[0])
+        l = l2
+        rows.append((days[i], c[i], f, l, b, s[w]))
+    want = pd.DataFrame(rows, columns=list(out.columns)).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    assert len(out) >= 15
