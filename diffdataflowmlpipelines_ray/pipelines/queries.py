@@ -12204,6 +12204,11 @@ def q_part_profit(sf_dir: str) -> pd.DataFrame:
             .astype({"o_year": np.int64, "profit_cents": np.int64}))
 
 
+#: bounded tier for the assortativity degree map: 2M nodes × 16 B fits
+#: one process; above it the two-exchange Dataset attach path runs.
+_ASSORT_BROADCAST_MAX = 2_000_000
+
+
 def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
     """Degree assortativity (Newman's r) of the deterministic
     orders-derived graph — edge-wise correlated aggregates with ZERO
@@ -12211,13 +12216,17 @@ def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
     makes the two degree marginals identical, so Pearson's r collapses
     to the pure rational (m·Σxy − Σx²)/(m·Σx² − Σx²) — no square
     root.  Degrees fold in ONE narrow node exchange; deg(u)/deg(v)
-    attach to the edges through two hash-bucket exchanges (nodes are
-    NOT assumed bounded); per-block (m, Σx, Σxy, Σx²) partials fold to
-    four driver ints, and the result ships as the shifted micro
-    ⌊10⁶·(r+1)⌋ — r ≥ −1 keeps the numerator non-negative, so Python
-    floor-div and the HUGEINT twin's truncating // agree (the
-    silhouette trick).  m·Σxy exceeds int64 at corpus scale → the
-    final fold runs in Python-int object arithmetic."""
+    attach TWO-TIER: ≤ `_ASSORT_BROADCAST_MAX` nodes the degree map
+    broadcasts once and both degrees attach map-side (zero further
+    exchanges — fixed two-exchange latency dominates at gate scale);
+    above it degrees stay a DATASET and attach through two hash-bucket
+    exchanges (pytest pins tier bit-equality).  Per-block (m, Σx, Σxy,
+    Σx²) partials fold to four driver ints; the result ships as the
+    shifted micro ⌊10⁶·(r+1)⌋ — r ≥ −1 keeps the numerator
+    non-negative, so Python floor-div and the HUGEINT twin's
+    truncating // agree (the silhouette trick).  m·Σxy exceeds int64
+    at corpus scale → the final fold runs in Python-int object
+    arithmetic."""
     B = 16
     MULT = np.uint64(0x9E3779B97F4A7C15)
 
@@ -12253,18 +12262,56 @@ def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
              .rename(columns={"size": "deg"}))
         return g.astype(np.int64)
 
-    # degrees stay a DATASET end-to-end (nodes are not assumed bounded):
-    # the attach is two bucket exchanges in which only each bucket's
-    # slice of (node, deg) rows co-locates with that bucket's edges —
-    # the degree table is never collected or broadcast whole.
+    def tag_node(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__b"] = ((pdf["node"].to_numpy().astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return pdf
+
+    # degree fold through hash(node) buckets — the native
+    # groupby(node).sum() measured 29 s at sf0.1 on this Ray build vs
+    # ~1 s for the bucket plan (the k_anonymity finding).
     deg_ds = (edges.map_batches(endpoints, batch_format="pandas")
-              .groupby("node").sum("deg"))
+              .map_batches(tag_node, batch_format="pandas")
+              .groupby("__b")
+              .map_groups(lambda p: p.groupby("node", as_index=False)
+                          .agg(deg=("deg", "sum")),
+                          batch_format="pandas")
+              .materialize())
+
+    if deg_ds.count() <= _ASSORT_BROADCAST_MAX:
+        # bounded tier: the degree map fits one process (≤ 2M nodes,
+        # 16 B/entry) — broadcast it once and attach BOTH endpoint
+        # degrees map-side, folding (m, Σx, Σxy, Σx²) block partials
+        # with zero further exchanges.
+        dd = deg_ds.to_pandas()
+        dmap_ref = ray.put(dict(zip(
+            dd["node"].to_numpy(dtype=np.int64),
+            dd["deg"].to_numpy(dtype=np.int64))))
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(dmap_ref)
+            a = pdf["u"].map(dmap).to_numpy(dtype=np.int64)
+            b = pdf["v"].map(dmap).to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "m": [2 * len(pdf)], "sx": [int((a + b).sum())],
+                "sxy": [2 * int((a * b).sum())],
+                "sxx": [int((a * a + b * b).sum())]}, dtype=np.int64)
+
+        parts = edges.map_batches(fold, batch_format="pandas")\
+            .to_pandas()
+        return _assort_finish(parts)
+
+    # scale tier: degrees stay a DATASET end-to-end (nodes NOT assumed
+    # bounded): the attach is two bucket exchanges in which only each
+    # bucket's slice of (node, deg) rows co-locates with that bucket's
+    # edges — the degree table is never collected or broadcast whole.
 
     def d_side(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "u": pdf["node"].to_numpy(dtype=np.int64),
             "v": np.full(len(pdf), -1, dtype=np.int64),
-            "deg": pdf["sum(deg)"].to_numpy(dtype=np.int64)})
+            "deg": pdf["deg"].to_numpy(dtype=np.int64)})
 
     def e_side(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
@@ -12289,7 +12336,7 @@ def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "u": pdf["node"].to_numpy(dtype=np.int64),
             "v": np.full(len(pdf), -1, dtype=np.int64),
-            "du": pdf["sum(deg)"].to_numpy(dtype=np.int64)})
+            "du": pdf["deg"].to_numpy(dtype=np.int64)})
 
     def attach_v_and_fold(pdf: pd.DataFrame) -> pd.DataFrame:
         is_d = pdf["v"].to_numpy() < 0
@@ -12314,6 +12361,12 @@ def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
              .groupby("__b").map_groups(attach_v_and_fold,
                                         batch_format="pandas")
              .to_pandas())
+    return _assort_finish(parts)
+
+
+def _assort_finish(parts: pd.DataFrame) -> pd.DataFrame:
+    """Fold (m, Σx, Σxy, Σx²) block/bucket partials in object ints and
+    ship ⌊10⁶·(r+1)⌋ — operands provably non-negative (r ≥ −1)."""
     m = int(parts["m"].astype(object).sum())
     sx = int(parts["sx"].astype(object).sum())
     sxy = int(parts["sxy"].astype(object).sum())

@@ -1719,3 +1719,14 @@ def test_holt_winters_scalar_replay(ray_session):
     want = pd.DataFrame(rows, columns=list(out.columns)).astype(np.int64)
     pd.testing.assert_frame_equal(out, want)
     assert len(out) >= 15
+
+
+def test_degree_assortativity_tier_equality(ray_session, monkeypatch):
+    """Force the two-exchange Dataset attach tier (broadcast bound 0)
+    and pin bit-equality with the broadcast tier."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    a = Q.q_degree_assortativity(SF)
+    monkeypatch.setattr(Q, "_ASSORT_BROADCAST_MAX", 0)
+    b = Q.q_degree_assortativity(SF)
+    pd.testing.assert_frame_equal(a, b)
