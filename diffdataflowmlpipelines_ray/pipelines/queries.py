@@ -4621,12 +4621,16 @@ def q_left_join(sf_dir: str) -> pd.DataFrame:
 
 def q_outer_join(sf_dir: str) -> pd.DataFrame:
     """Year-over-year spend per customer via FULL OUTER join: 1995 spend and
-    1996 spend are aggregated independently (per-block pre-combine → native
-    distributed groupby sum — no driver merge), then full-outer joined so
-    customers active in only one year survive with the other year's spend as
-    0.  Exercises ``hash_join(how='outer')`` end-to-end on two
-    shuffle-aggregated (PandasBlockSchema) upstreams."""
+    1996 spend are aggregated independently (per-block pre-combine → a
+    hash(custkey)-bucket fold — the native groupby(key).sum() measured
+    ~4× slower per pass on this Ray build, the k_anonymity finding),
+    then full-outer joined so customers active in only one year survive
+    with the other year's spend as 0.  Exercises
+    ``hash_join(how='outer')`` end-to-end on shuffle-aggregated
+    upstreams."""
     from ..stages.relational import hash_join
+
+    MULT = np.uint64(0x9E3779B97F4A7C15)
 
     def year_spend(year: int, key_out: str, col_out: str):
         lo = np.datetime64(f"{year}-01-01")
@@ -4640,14 +4644,22 @@ def q_outer_join(sf_dir: str) -> pd.DataFrame:
             pdf = pdf.assign(cents=_half_away(
                 pdf["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
             ).astype(np.int64))
-            return pdf.groupby("o_custkey", as_index=False).agg(
+            g = pdf.groupby("o_custkey", as_index=False).agg(
                 cents=("cents", "sum"))
+            g["__b"] = ((g["o_custkey"].to_numpy().astype(np.uint64)
+                         * MULT) % np.uint64(16)).astype(np.int64)
+            return g
 
         agg = (ds.map_batches(partial, batch_format="pandas")
-               .groupby("o_custkey").sum("cents"))
+               .groupby("__b")
+               .map_groups(lambda p: p.groupby("o_custkey",
+                                               as_index=False)
+                           .agg(cents=("cents", "sum")),
+                           batch_format="pandas"))
         return agg.map_batches(
-            lambda t: t.rename_columns([key_out, col_out]),
-            batch_format="pyarrow")
+            lambda p: p.rename(columns={"o_custkey": key_out,
+                                        "cents": col_out}),
+            batch_format="pandas")
 
     a = year_spend(1995, "ck95", "spend95_cents")
     b = year_spend(1996, "ck96", "spend96_cents")
