@@ -1730,3 +1730,100 @@ def test_degree_assortativity_tier_equality(ray_session, monkeypatch):
     monkeypatch.setattr(Q, "_ASSORT_BROADCAST_MAX", 0)
     b = Q.q_degree_assortativity(SF)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_label_propagation_replay(ray_session):
+    """Literal synchronous LPA replay (Counter mode with min-label tie
+    break) over the deterministic orders graph; propagation must have
+    actually merged labels (some node's label != itself)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_label_propagation(SF)
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderkey"]).to_pandas()
+    a = od["o_custkey"].to_numpy(dtype=np.int64)
+    b = od["o_orderkey"].to_numpy(dtype=np.int64) % 1500
+    keep = a != b
+    edges = set(zip(np.minimum(a, b)[keep].tolist(),
+                    np.maximum(a, b)[keep].tolist()))
+    nbrs = collections.defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(Q._LPA_ROUNDS):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = collections.Counter(lbl[x] for x in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    want = pd.DataFrame(sorted(lbl.items()), columns=["node", "label"])
+    pd.testing.assert_frame_equal(out, want.astype(np.int64))
+    assert (out["node"] != out["label"]).any()
+
+
+def test_ohlc_bars_replay(ray_session):
+    """Direct pandas recomputation of the daily purchase OHLC bars."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_ohlc_bars(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "event_type", "value"]
+                       ).to_pandas()
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["t"], ev["day"] = t, t // 86_400_000_000
+    ev["cents"] = _half_away(ev["value"].to_numpy(dtype=np.float64)
+                             * 100.0).astype(np.int64)
+    ev = ev.sort_values(["day", "t", "event_id"], kind="mergesort")
+    g = ev.groupby("day")
+    want = g.agg(open_cents=("cents", "first"),
+                 high_cents=("cents", "max"),
+                 low_cents=("cents", "min"),
+                 close_cents=("cents", "last"),
+                 volume=("cents", "size"),
+                 total_cents=("cents", "sum")).reset_index()
+    pd.testing.assert_frame_equal(out, want.astype(np.int64))
+    assert len(out) > 10
+    assert (out["high_cents"] >= out["low_cents"]).all()
+
+
+def test_org_rollup_replay(ray_session):
+    """Pure-Python ancestor-walk replay of the subtree rollup: every
+    key's cents land on each of its decimal-prefix ancestors."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_org_rollup(SF)
+    cu = pq.read_table(f"{SF}/customer.parquet",
+                       columns=["c_custkey", "c_acctbal"]).to_pandas()
+    cents = _half_away(cu["c_acctbal"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    sums = collections.Counter()
+    cnts = collections.Counter()
+    keys = set()
+    for k, c in zip(cu["c_custkey"].tolist(), cents.tolist()):
+        keys.add(k)
+        a = k
+        while a >= 1:
+            sums[a] += c
+            cnts[a] += 1
+            a //= 10
+    want = pd.DataFrame(
+        [(k, sums[k], cnts[k]) for k in sorted(keys & set(sums))],
+        columns=["custkey", "subtree_cents", "n_nodes"]).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    # the rollup is non-trivial: some key aggregates >1 node
+    assert int(out["n_nodes"].max()) > 1
