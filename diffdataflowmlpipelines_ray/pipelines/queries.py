@@ -12861,6 +12861,151 @@ def q_org_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("custkey").reset_index(drop=True)
 
 
+def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney rank-sum U between purchase and click values — the
+    nonparametric two-sample test, exact under ties: DOUBLED average
+    ranks stay integer (r2(v) = 2·below(v) + cnt(v) + 1 over the
+    combined census), so the reported statistic is 2·U₁ = Σ
+    nA(v)·r2(v) − n₁(n₁+1) in Python big ints with zero float hazard.
+    Plan (the `spearman` contract): per-block (cents, group) censuses
+    pre-reduce, fold through hash(cents) buckets (the native multi-key
+    groupby is the measured `k_anonymity` bottleneck on this Ray
+    build), the value domain is price-bounded by fixture contract,
+    and the O(domain) census finishes on the driver with a sorted
+    below-count walk — raw rows never leave their blocks."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+    ds = _read(sf_dir, "events", ["event_type", "value"], blocks=8)
+
+    def census(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["event_type"].isin(["purchase", "click"])]
+        g = pd.DataFrame({
+            "cents": _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                                * 100.0).astype(np.int64),
+            "a": (pdf["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+        out = (g.groupby(["cents", "a"], as_index=False).size()
+               .rename(columns={"size": "k"}).astype(np.int64))
+        out["__b"] = ((out["cents"].to_numpy().astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return out
+
+    rows = (ds.map_batches(census, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(lambda p: p.groupby(["cents", "a"],
+                                            as_index=False)
+                        .agg(k=("k", "sum")), batch_format="pandas")
+            .to_pandas())
+    cnt: dict = {}
+    for _, r in rows.iterrows():
+        c, a, k = int(r["cents"]), int(r["a"]), int(r["k"])
+        na, nb = cnt.get(c, (0, 0))
+        cnt[c] = (na + k, nb) if a else (na, nb + k)
+    below = 0
+    r2sum_a = 0
+    n1 = n2 = 0
+    for v in sorted(cnt):
+        na, nb = cnt[v]
+        r2 = 2 * below + (na + nb) + 1
+        r2sum_a += na * r2
+        below += na + nb
+        n1 += na
+        n2 += nb
+    u_x2 = r2sum_a - n1 * (n1 + 1)
+    return pd.DataFrame({"n1": [n1], "n2": [n2],
+                         "u_x2": [int(u_x2)]}).astype(np.int64)
+
+
+_RSI_WINDOW = 14
+
+
+def q_rsi(sf_dir: str) -> pd.DataFrame:
+    """14-day SMA Relative Strength Index of daily purchase revenue —
+    the bounded-window momentum oscillator: day-over-day deltas split
+    into gains and losses, each summed over the trailing 14 observed
+    days, RSI = 100·G/(G+L) shipped as the exact floor-div micro
+    (10⁸·G) // (G+L) in Python-int object arithmetic (10⁸·G exceeds
+    int64 at corpus scale).  Daily cent sums fold from per-block
+    partials (calendar-bounded domain — the `ewma`/`holt_linear`
+    contract); the O(days) rolling finish is driver arithmetic with
+    zero float operations, so both twins agree bit-for-bit.  Windows
+    with G+L = 0 (flat streak) are excluded on both twins."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["event_type"] == "purchase"]
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "day": t // 86_400_000_000,
+            "cents": _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                                * 100.0).astype(np.int64)})
+        return (g.groupby("day", as_index=False).sum()
+                .astype(np.int64))
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("cents").take_all())
+    daily = dict(sorted((int(r["day"]), int(r["sum(cents)"]))
+                        for r in rows))
+    days = list(daily)
+    c = [daily[d] for d in days]
+    recs = []
+    W = _RSI_WINDOW
+    for i in range(W, len(days)):
+        gains = losses = 0
+        for j in range(i - W + 1, i + 1):
+            d = c[j] - c[j - 1]
+            if d > 0:
+                gains += d
+            else:
+                losses -= d
+        tot = gains + losses
+        if tot == 0:
+            continue
+        recs.append((days[i], gains, losses,
+                     (100_000_000 * gains) // tot))
+    return pd.DataFrame(recs, columns=[
+        "day", "gain_cents", "loss_cents", "rsi_micro"]).astype(np.int64)
+
+
+def q_activation_time(sf_dir: str) -> pd.DataFrame:
+    """Activation-milestone detection: the microsecond timestamp at
+    which each user FIRST reaches 3 distinct event types, plus the
+    ramp time since their first event — the product-analytics
+    "aha-moment" metric.  ONE hash(user) bucket shuffle; inside the
+    bucket the scan is fully vectorized (mergesort by (ts, event_id),
+    first-occurrence flags via duplicated(), a per-user cumsum whose
+    ==3 crossing is the 3rd distinct first-occurrence row — the same
+    row the SQL twin's ROW_NUMBER()=3 over first occurrences picks).
+    Users that never reach 3 types are excluded on both twins."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def act_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        first = (~pdf.duplicated(["user_id", "event_type"])).to_numpy()
+        k = (pd.Series(first.astype(np.int64))
+             .groupby(pd.Series(u)).cumsum().to_numpy())
+        t0 = pd.Series(t).groupby(pd.Series(u)).transform("first")\
+            .to_numpy()
+        hit = first & (k == 3)
+        return pd.DataFrame({
+            "user_id": u[hit], "activation_us": t[hit],
+            "ramp_us": t[hit] - t0[hit]}).astype(np.int64)
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(act_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -13174,6 +13319,9 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "ohlc_bars": q_ohlc_bars,
     "org_rollup": q_org_rollup,
+    "mann_whitney": q_mann_whitney,
+    "rsi": q_rsi,
+    "activation_time": q_activation_time,
 }
 
 _TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -18164,4 +18312,57 @@ ORACLES["org_rollup"] = """
            g.n_nodes::BIGINT AS n_nodes
     FROM g JOIN customer c ON c.c_custkey = g.custkey
     ORDER BY 1
+"""
+
+ORACLES["mann_whitney"] = """
+    WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                      event_type
+               FROM events WHERE event_type IN ('purchase', 'click')),
+    r AS (SELECT event_type,
+                 2 * (rank() OVER (ORDER BY cents) - 1)
+                 + COUNT(*) OVER (PARTITION BY cents) + 1 AS r2
+          FROM s),
+    g AS (SELECT count(*) FILTER (event_type = 'purchase') AS n1,
+                 count(*) FILTER (event_type = 'click') AS n2,
+                 sum(r2) FILTER (event_type = 'purchase') AS r2sum
+          FROM r)
+    SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+           (r2sum - n1 * (n1 + 1))::BIGINT AS u_x2
+    FROM g
+"""
+
+ORACLES["rsi"] = f"""
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    dd AS (SELECT day, cents - lag(cents) OVER (ORDER BY day) AS delta,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d),
+    w AS (SELECT day, rn,
+                 SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                     OVER (ORDER BY day ROWS BETWEEN {_RSI_WINDOW - 1}
+                           PRECEDING AND CURRENT ROW) AS g,
+                 SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                     OVER (ORDER BY day ROWS BETWEEN {_RSI_WINDOW - 1}
+                           PRECEDING AND CURRENT ROW) AS l
+          FROM dd)
+    SELECT day, g::BIGINT AS gain_cents, l::BIGINT AS loss_cents,
+           ((100000000::HUGEINT * g) // (g + l))::BIGINT AS rsi_micro
+    FROM w WHERE rn > {_RSI_WINDOW} AND g + l > 0 ORDER BY day
+"""
+
+ORACLES["activation_time"] = """
+    WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM (
+                   SELECT user_id, ts, event_id,
+                          ROW_NUMBER() OVER (PARTITION BY user_id,
+                              event_type ORDER BY ts, event_id) AS occ
+                   FROM events) WHERE occ = 1),
+    r AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY t, event_id) AS rk
+          FROM f),
+    fe AS (SELECT user_id, min(epoch_us(ts)) AS t0
+           FROM events GROUP BY 1)
+    SELECT r.user_id::BIGINT AS user_id, r.t::BIGINT AS activation_us,
+           (r.t - fe.t0)::BIGINT AS ramp_us
+    FROM r JOIN fe USING (user_id) WHERE rk = 3 ORDER BY user_id
 """

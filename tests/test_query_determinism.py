@@ -1827,3 +1827,103 @@ def test_org_rollup_replay(ray_session):
     pd.testing.assert_frame_equal(out, want)
     # the rollup is non-trivial: some key aggregates >1 node
     assert int(out["n_nodes"].max()) > 1
+
+
+def test_mann_whitney_replay(ray_session):
+    """Doubled-rank U replayed with scipy-free pure Python: average
+    ranks over the combined sorted sample, exact tie handling."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_mann_whitney(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev = ev[ev["event_type"].isin(["purchase", "click"])]
+    cents = _half_away(ev["value"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    isa = (ev["event_type"] == "purchase").to_numpy()
+    both = sorted(cents.tolist())
+    # average rank (doubled) of each value in the combined sample
+    import collections
+    cc = collections.Counter(both)
+    r2 = {}
+    below = 0
+    for v in sorted(cc):
+        r2[v] = 2 * below + cc[v] + 1
+        below += cc[v]
+    ra = sum(r2[v] for v in cents[isa].tolist())
+    n1, n2 = int(isa.sum()), int((~isa).sum())
+    u_x2 = ra - n1 * (n1 + 1)
+    assert out["n1"].iat[0] == n1 and out["n2"].iat[0] == n2
+    assert int(out["u_x2"].iat[0]) == u_x2
+    # U is bounded by 2*n1*n2 and nontrivial
+    assert 0 < u_x2 < 2 * n1 * n2
+
+
+def test_rsi_replay_and_bounds(ray_session):
+    """Literal trailing-window gain/loss replay; RSI stays in
+    [0, 100] micro and windows are exactly 14 deltas wide."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_rsi(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    ev = ev[ev["event_type"] == "purchase"]
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    g = pd.DataFrame({
+        "day": t // 86_400_000_000,
+        "cents": _half_away(ev["value"].to_numpy(dtype=np.float64)
+                            * 100.0).astype(np.int64)})
+    daily = g.groupby("day")["cents"].sum()
+    days, c = daily.index.tolist(), daily.tolist()
+    W = Q._RSI_WINDOW
+    want = {}
+    for i in range(W, len(days)):
+        gain = sum(max(c[j] - c[j - 1], 0)
+                   for j in range(i - W + 1, i + 1))
+        loss = sum(max(c[j - 1] - c[j], 0)
+                   for j in range(i - W + 1, i + 1))
+        if gain + loss:
+            want[days[i]] = (gain, loss,
+                             100_000_000 * gain // (gain + loss))
+    assert len(out) == len(want) > 0
+    for _, r in out.iterrows():
+        gg, ll, rr = want[int(r["day"])]
+        assert (int(r["gain_cents"]), int(r["loss_cents"]),
+                int(r["rsi_micro"])) == (gg, ll, rr)
+        assert 0 <= rr <= 100_000_000
+
+
+def test_activation_time_replay(ray_session):
+    """Row-by-row scan per user: the activation timestamp is the 3rd
+    distinct event type's first appearance under (ts, event_id)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_activation_time(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type"]).to_pandas()
+    ev["t"] = ev.pop("ts").to_numpy().astype(
+        "datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+    want = {}
+    for uid, d in ev.groupby("user_id"):
+        seen = set()
+        t0 = int(d["t"].iat[0])
+        for ty, t in zip(d["event_type"], d["t"]):
+            seen.add(ty)
+            if len(seen) == 3:
+                want[int(uid)] = (int(t), int(t) - t0)
+                break
+    assert len(out) == len(want) > 0
+    for _, r in out.iterrows():
+        a, rp = want[int(r["user_id"])]
+        assert int(r["activation_us"]) == a
+        assert int(r["ramp_us"]) == rp
