@@ -13006,6 +13006,146 @@ def q_activation_time(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_pruned_scan(sf_dir: str) -> pd.DataFrame:
+    """Zone-map pruned scan (`stages/zonemap.py`): revenue by priority
+    over the middle-quartile orderkey range, scanning ONLY the row
+    groups whose footer min/max zones intersect the predicate.  The
+    prune decision is driver-side and footer-only (O(files) metadata
+    reads, zero data I/O); each surviving row group ships as ONE
+    descriptor to a worker task that reads it column-pruned and
+    applies the residual filter vectorized — at 100 TB a clustered
+    predicate reads selectivity×bytes instead of all bytes.  The gate
+    itself proves the prune: the query RAISES unless row groups were
+    actually skipped (the fixture re-chunks orders to 64 row groups
+    under /tmp — a demo harness; production data is multi-row-group
+    already), and the surviving rows' aggregate is oracle-exact."""
+    import pyarrow.parquet as pq
+
+    from ..stages.zonemap import zone_pruned_scan
+
+    src = f"{sf_dir}/orders.parquet"
+    md = pq.ParquetFile(src).metadata
+    n = md.num_rows
+    lo, hi = n // 4, n // 2
+    tmp = _tmp("zonescan") + ".parquet"
+    t = pq.read_table(src, columns=["o_orderkey", "o_totalprice",
+                                    "o_orderpriority"])
+    pq.write_table(t, tmp, row_group_size=max(64, n // 64))
+
+    ds, stats = zone_pruned_scan(
+        tmp, "o_orderkey", lo, hi,
+        columns=["o_totalprice", "o_orderpriority"])
+    if (stats.row_groups_total > 1
+            and stats.row_groups_read >= stats.row_groups_total):
+        raise RuntimeError(
+            f"zone maps pruned nothing: {stats}")
+
+    def part(tbl: pa.Table) -> pa.Table:
+        cents = _half_away(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        g = (pd.DataFrame({
+            "o_orderpriority": tbl["o_orderpriority"].to_pandas(),
+            "cents": cents})
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("cents", "size"), rev_cents=("cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           .agg(n_orders=("n_orders", "sum"),
+                rev_cents=("rev_cents", "sum")))
+    out[["n_orders", "rev_cents"]] = out[
+        ["n_orders", "rev_cents"]].astype(np.int64)
+    return (out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+_TOP_PATHS_K = 20
+
+
+def q_top_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-20 per-user event-type trigram paths (a>b>c) — sequential
+    pattern mining for funnel discovery: consecutive event triples
+    under the deterministic (ts, event_id) order, counted corpus-wide.
+    ONE hash(user) bucket shuffle; the in-bucket triple walk is two
+    vectorized shifts, and per-bucket partial counts fold over the
+    TYPE³-bounded path domain on the driver (the `spearman`
+    bounded-domain contract).  Ties break (count DESC, path ASC) on
+    both twins."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def paths_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy()
+        ty = pdf["event_type"].to_numpy()
+        ok = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        path = np.char.add(np.char.add(
+            np.char.add(ty[:-2].astype(str), ">"),
+            np.char.add(ty[1:-1].astype(str), ">")),
+            ty[2:].astype(str))[ok]
+        g = (pd.DataFrame({"path": path})
+             .groupby("path", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(paths_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("path", as_index=False).agg(n=("n", "sum"))
+           .sort_values(["n", "path"], ascending=[False, True],
+                        kind="mergesort")
+           .head(_TOP_PATHS_K).reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q_stream_throttle(sf_dir: str) -> pd.DataFrame:
+    """Streaming per-key rate limit — at most ONE event per (user,
+    10-minute window) survives, exactly-once across epochs: the
+    alert-suppression / notification-throttle primitive.  Throttling
+    IS keyed dedup on the composite (user, window) key, so the
+    existing `StreamDedup` operator carries it unchanged: in-epoch
+    repeats die in their block's pre-reduction, cross-epoch repeats at
+    the shard's replay-idempotent FirstSeenReg claim, state is
+    O(active windows) per shard and event-time TTL can sweep closed
+    windows.  Oracle: row_number() = 1 per (user, window)."""
+    from ..streaming.engine import StreamDedup
+
+    ev = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    us = pc.cast(pc.cast(ev["ts"], pa.timestamp("us")), pa.int64())
+    ev = ev.append_column("win", pc.divide(us, 600_000_000))
+
+    sess = StreamSession(_tmp("sthrottle"), num_shards=4)
+    sess.add(StreamDedup(name="th", input="ev",
+                         key=["user_id", "win"],
+                         ts_col="ts", order_cols=["event_id"],
+                         carry=["event_id"]))
+    try:
+        k = 4
+        n = ev.num_rows
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        off = 0
+        for e in range(k):
+            sess.process_epoch(
+                e, {"ev": rd.from_arrow(ev.slice(off, sizes[e]))})
+            off += sizes[e]
+        df = sess.sinks["th"].read_committed_table().to_pandas()
+    finally:
+        sess.store.shutdown()
+    return (df[["user_id", "win", "event_id"]]
+            .sort_values(["user_id", "win"]).reset_index(drop=True))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -18365,4 +18505,46 @@ ORACLES["activation_time"] = """
     SELECT r.user_id::BIGINT AS user_id, r.t::BIGINT AS activation_us,
            (r.t - fe.t0)::BIGINT AS ramp_us
     FROM r JOIN fe USING (user_id) WHERE rk = 3 ORDER BY user_id
+"""
+
+#: register the batch-3 queries + twins
+QUERIES["pruned_scan"] = q_pruned_scan
+QUERIES["top_paths"] = q_top_paths
+QUERIES["stream_throttle"] = q_stream_throttle
+
+ORACLES["pruned_scan"] = """
+    WITH b AS (SELECT count(*) // 4 AS lo, count(*) // 2 AS hi
+               FROM orders)
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS rev_cents
+    FROM orders, b
+    WHERE o_orderkey BETWEEN b.lo AND b.hi
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["top_paths"] = f"""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER w AS t2,
+                      lead(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+          FROM s WHERE t3 IS NOT NULL)
+    SELECT path, count(*)::BIGINT AS n
+    FROM p GROUP BY path
+    ORDER BY n DESC, path LIMIT {_TOP_PATHS_K}
+"""
+
+ORACLES["stream_throttle"] = """
+    SELECT user_id::BIGINT AS user_id,
+           (epoch_ms(ts) // 600000)::BIGINT AS win,
+           event_id::BIGINT AS event_id
+    FROM (SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id,
+                     epoch_ms(ts) // 600000
+                     ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id, win
 """

@@ -1927,3 +1927,55 @@ def test_activation_time_replay(ray_session):
         a, rp = want[int(r["user_id"])]
         assert int(r["activation_us"]) == a
         assert int(r["ramp_us"]) == rp
+
+
+def test_top_paths_replay(ray_session):
+    """Literal per-user triple walk; counts and the (count DESC, path
+    ASC) top-20 order must match exactly."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_top_paths(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type"]).to_pandas()
+    ev["t"] = ev.pop("ts").to_numpy().astype(
+        "datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+    cnt = collections.Counter()
+    for _, d in ev.groupby("user_id"):
+        ty = d["event_type"].tolist()
+        for i in range(len(ty) - 2):
+            cnt[f"{ty[i]}>{ty[i + 1]}>{ty[i + 2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:Q._TOP_PATHS_K]
+    assert list(zip(out["path"], out["n"])) == [
+        (p, np.int64(n)) for p, n in want]
+    assert len(out) == Q._TOP_PATHS_K
+
+
+def test_stream_throttle_replay(ray_session):
+    """The throttled stream keeps exactly the first event per (user,
+    10-min window) — replayed per user over the full input."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_stream_throttle(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["win"] = t // 600_000_000
+    ev["t"] = t
+    ev = ev.sort_values(["user_id", "win", "t", "event_id"],
+                        kind="mergesort")
+    want = (ev.drop_duplicates(["user_id", "win"])
+            [["user_id", "win", "event_id"]]
+            .sort_values(["user_id", "win"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype(np.int64), want.astype(np.int64))
+    # throttling actually dropped rows
+    assert len(out) < len(ev)

@@ -2327,3 +2327,58 @@ class TestGmm1d:
         sae = int(np.abs(out["y"].to_numpy(dtype=np.int64) * 1_000_000
                          - out["pred_micro"].to_numpy()).sum())
         assert sae == int(hist["sae_micro"].iloc[-1])
+
+
+class TestZoneMapScan:
+    def _fixture(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # 10 row groups of 100 rows, key strictly increasing -> exact
+        # zone boundaries; values carry a derived payload column
+        k = np.arange(1000, dtype=np.int64)
+        t = pa.table({"k": pa.array(k), "v": pa.array(k * 7 % 101)})
+        path = str(tmp_path / "zones.parquet")
+        pq.write_table(t, path, row_group_size=100)
+        return path
+
+    def test_prune_counts_and_exactness(self, ray_session, tmp_path):
+        from diffdataflowmlpipelines_ray.stages.zonemap import (
+            zone_pruned_scan,
+        )
+
+        path = self._fixture(tmp_path)
+        # [250, 449] touches exactly row groups 2, 3 and 4
+        ds, stats = zone_pruned_scan(path, "k", 250, 449, columns=["v"])
+        assert stats.row_groups_total == 10
+        assert stats.row_groups_read == 3
+        assert stats.rows_skipped_bound == 700
+        out = ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        k = np.arange(250, 450, dtype=np.int64)
+        want = pd.DataFrame({"v": k * 7 % 101, "k": k})[["v", "k"]]
+        pd.testing.assert_frame_equal(
+            out[["v", "k"]].astype(np.int64), want)
+
+    def test_fully_pruned_is_empty_with_schema(self, ray_session,
+                                               tmp_path):
+        from diffdataflowmlpipelines_ray.stages.zonemap import (
+            zone_pruned_scan,
+        )
+
+        path = self._fixture(tmp_path)
+        ds, stats = zone_pruned_scan(path, "k", 5000, 6000)
+        assert stats.row_groups_read == 0
+        assert ds.count() == 0
+        assert set(ds.schema().names) == {"k", "v"}
+
+    def test_residual_filter_inside_partial_groups(self, ray_session,
+                                                   tmp_path):
+        from diffdataflowmlpipelines_ray.stages.zonemap import (
+            zone_pruned_scan,
+        )
+
+        path = self._fixture(tmp_path)
+        # [150, 160] lives inside row group 1: zone keeps the group,
+        # the residual filter must cut it to exactly 11 rows
+        ds, stats = zone_pruned_scan(path, "k", 150, 160)
+        assert stats.row_groups_read == 1
+        assert ds.count() == 11
