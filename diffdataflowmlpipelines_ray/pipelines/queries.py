@@ -13146,6 +13146,142 @@ def q_stream_throttle(sf_dir: str) -> pd.DataFrame:
             .sort_values(["user_id", "win"]).reset_index(drop=True))
 
 
+def q_join_size(sf_dir: str) -> pd.DataFrame:
+    """Exact join-cardinality audit WITHOUT the join — the
+    cost-based-planner statistic: |orders ⋈ lineitem| = Σ_k a_k·b_k
+    over per-key row counts, plus the matched-key count.  Per-side
+    block partials pre-reduce to (key, cnt), ONE hash(key) bucket
+    exchange co-locates both sides' partials (only counts move —
+    never rows), and the per-bucket Σ a_k·b_k / matched-key partials
+    fold to driver ints in object arithmetic (the product sum exceeds
+    int64 at corpus scale).  This is how an engine should validate a
+    join plan before paying for the exchange it predicts."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+    orders = _read(sf_dir, "orders", ["o_orderkey"], blocks=8)
+    lines = _read(sf_dir, "lineitem", ["l_orderkey"], blocks=8)
+
+    def side(col: str, s: int):
+        def f(tbl: pa.Table) -> pd.DataFrame:
+            k = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            v, c = np.unique(k, return_counts=True)
+            g = pd.DataFrame({"k": v, "c": c.astype(np.int64)})
+            g["s"] = np.int64(s)
+            g["__b"] = ((v.astype(np.uint64) * MULT)
+                        % np.uint64(B)).astype(np.int64)
+            return g
+        return f
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = (pdf[pdf["s"] == 0].groupby("k")["c"].sum())
+        b = (pdf[pdf["s"] == 1].groupby("k")["c"].sum())
+        j = a.to_frame("a").join(b.to_frame("b"), how="inner")
+        prod = int((j["a"].astype(object) * j["b"].astype(object)).sum())
+        return pd.DataFrame({
+            "join_rows": [prod], "matched_keys": [len(j)],
+            "left_rows": [int(a.sum())], "right_rows": [int(b.sum())]})
+
+    parts = (orders.map_batches(side("o_orderkey", 0),
+                                batch_format="pyarrow")
+             .union(lines.map_batches(side("l_orderkey", 1),
+                                      batch_format="pyarrow"))
+             .groupby("__b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = pd.DataFrame({
+        "join_rows": [int(parts["join_rows"].astype(object).sum())],
+        "matched_keys": [int(parts["matched_keys"].sum())],
+        "left_rows": [int(parts["left_rows"].sum())],
+        "right_rows": [int(parts["right_rows"].sum())]})
+    return out.astype(np.int64)
+
+
+_GAP_FILL_MIN_CENTS = 10_000
+
+
+def q_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Calendar gap filling with last-observation-carried-forward —
+    the time-series resample/LOCF primitive every feature pipeline
+    needs: HOURLY ≥-$100 purchase revenue (a deterministically sparse
+    series, so gaps stay LIVE at every fixture scale) expanded to the
+    full [min_hour, max_hour] grid, missing hours carrying the
+    previous observation with a `filled` flag.  Hourly cent sums fold
+    from per-block partials over the calendar-bounded domain (the
+    `ewma` contract); the O(hours) grid walk is exact driver ints.
+    The SQL twin is generate_series + IGNORE-NULLS last_value."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["event_type"] == "purchase"]
+        cents = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        keep = cents >= _GAP_FILL_MIN_CENTS
+        t = (pdf["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))[keep]
+        g = pd.DataFrame({"hr": t // 3_600_000_000,
+                          "cents": cents[keep]})
+        return (g.groupby("hr", as_index=False).sum()
+                .astype(np.int64))
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("hr").sum("cents").take_all())
+    hourly = dict(sorted((int(r["hr"]), int(r["sum(cents)"]))
+                         for r in rows))
+    hrs = list(hourly)
+    recs = []
+    last = 0
+    for h in range(hrs[0], hrs[-1] + 1):
+        if h in hourly:
+            last = hourly[h]
+            recs.append((h, last, 0))
+        else:
+            recs.append((h, last, 1))
+    return pd.DataFrame(recs, columns=["hr", "cents", "filled"])\
+        .astype(np.int64)
+
+
+def q_l_diversity(sf_dir: str) -> pd.DataFrame:
+    """l-diversity privacy audit — `k_anonymity`'s companion: a cell
+    that clears k-anonymity still leaks if everyone in it shares the
+    sensitive value.  Quasi-identifier = ($100 value band, integer
+    day-of-week); sensitive = event_type; per cell the audit reports
+    rows, DISTINCT sensitive values, and the l<3 violation flag.
+    (cell, sensitive) pairs dedup block-locally, then one
+    hash(band·8+dow) bucket exchange completes exact per-cell counts
+    — cells partition across buckets so nothing re-merges.  The
+    day-of-week is the pure integer (epoch_day + 4) % 7 on BOTH twins
+    (no calendar-library divergence)."""
+    B = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "band": _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                               * 100.0).astype(np.int64) // 10_000,
+            "dow": (t // 86_400_000_000 + 4) % 7,
+            "sens": pdf["event_type"].to_numpy()})
+        out = (g.groupby(["band", "dow", "sens"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        cell = out["band"].to_numpy(dtype=np.int64) * 8 \
+            + out["dow"].to_numpy(dtype=np.int64)
+        out["__b"] = ((cell.astype(np.uint64) * MULT)
+                      % np.uint64(B)).astype(np.int64)
+        return out
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["band", "dow"], as_index=False)
+             .agg(n_rows=("n", "sum"), l_distinct=("sens", "nunique")))
+        g["violates_l3"] = (g["l_distinct"] < 3).astype(np.int64)
+        return g.astype(np.int64)
+
+    out = (ds.map_batches(part, batch_format="pandas")
+           .groupby("__b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["band", "dow"]).reset_index(drop=True)
+            .astype(np.int64))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -18547,4 +18683,53 @@ ORACLES["stream_throttle"] = """
                      ORDER BY ts, event_id) AS rn
           FROM events)
     WHERE rn = 1 ORDER BY user_id, win
+"""
+
+QUERIES["join_size"] = q_join_size
+QUERIES["gap_fill"] = q_gap_fill
+QUERIES["l_diversity"] = q_l_diversity
+
+ORACLES["join_size"] = """
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS c
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, count(*) AS c
+          FROM lineitem GROUP BY 1),
+    j AS (SELECT a.c::HUGEINT * b.c AS p FROM a JOIN b USING (k))
+    SELECT (SELECT COALESCE(sum(p), 0) FROM j)::BIGINT AS join_rows,
+           (SELECT count(*) FROM j)::BIGINT AS matched_keys,
+           (SELECT count(*) FROM orders)::BIGINT AS left_rows,
+           (SELECT count(*) FROM lineitem)::BIGINT AS right_rows
+"""
+
+ORACLES["gap_fill"] = f"""
+    WITH d AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               FROM events
+               WHERE event_type = 'purchase'
+                 AND CAST(round(value * 100) AS BIGINT)
+                     >= {_GAP_FILL_MIN_CENTS}
+               GROUP BY 1),
+    g AS (SELECT unnest(generate_series((SELECT min(hr) FROM d),
+                                        (SELECT max(hr) FROM d)))
+              AS hr),
+    f AS (SELECT g.hr, d.cents,
+                 CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS filled
+          FROM g LEFT JOIN d USING (hr))
+    SELECT hr::BIGINT AS hr,
+           last_value(cents IGNORE NULLS) OVER (ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cents,
+           filled::BIGINT AS filled
+    FROM f ORDER BY hr
+"""
+
+ORACLES["l_diversity"] = """
+    SELECT (CAST(round(value * 100) AS BIGINT) // 10000)::BIGINT
+               AS band,
+           ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT AS dow,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT event_type)::BIGINT AS l_distinct,
+           (CASE WHEN count(DISTINCT event_type) < 3 THEN 1 ELSE 0
+            END)::BIGINT AS violates_l3
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -1979,3 +1979,82 @@ def test_stream_throttle_replay(ray_session):
         out.astype(np.int64), want.astype(np.int64))
     # throttling actually dropped rows
     assert len(out) < len(ev)
+
+
+def test_join_size_replay(ray_session):
+    """Sum-of-products identity replayed against the MATERIALIZED join
+    (pandas merge) — the audit must predict the exact row count."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_join_size(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey"]).to_pandas()
+    l = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey"]).to_pandas()
+    j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    assert int(out["join_rows"].iat[0]) == len(j)
+    assert int(out["matched_keys"].iat[0]) == j["o_orderkey"].nunique()
+    assert int(out["left_rows"].iat[0]) == len(o)
+    assert int(out["right_rows"].iat[0]) == len(l)
+
+
+def test_gap_fill_replay(ray_session):
+    """LOCF grid replayed literally; gaps must be LIVE (filled rows
+    exist) and every filled row carries its predecessor's value."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_gap_fill(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    ev = ev[ev["event_type"] == "purchase"]
+    cents = _half_away(ev["value"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    keep = cents >= Q._GAP_FILL_MIN_CENTS
+    hr = (ev["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64) // 3_600_000_000)[keep]
+    g = pd.DataFrame({"hr": hr, "c": cents[keep]}).groupby("hr")["c"]\
+        .sum()
+    assert int(out["filled"].sum()) > 0
+    assert len(out) == int(g.index.max() - g.index.min() + 1)
+    last = None
+    for _, r in out.iterrows():
+        h = int(r["hr"])
+        if h in g.index:
+            assert int(r["filled"]) == 0
+            assert int(r["cents"]) == int(g.loc[h])
+            last = int(g.loc[h])
+        else:
+            assert int(r["filled"]) == 1
+            assert int(r["cents"]) == last
+
+
+def test_l_diversity_replay(ray_session):
+    """Direct pandas census; flags must equal l_distinct < 3 and at
+    least one violation must exist (the audit is live)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_l_diversity(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    g = pd.DataFrame({
+        "band": _half_away(ev["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64) // 10_000,
+        "dow": (t // 86_400_000_000 + 4) % 7,
+        "sens": ev["event_type"].to_numpy()})
+    want = (g.groupby(["band", "dow"], as_index=False)
+            .agg(n_rows=("sens", "size"), l_distinct=("sens", "nunique"))
+            .sort_values(["band", "dow"]).reset_index(drop=True))
+    assert out["n_rows"].tolist() == want["n_rows"].tolist()
+    assert out["l_distinct"].tolist() == want["l_distinct"].tolist()
+    assert (out["violates_l3"].to_numpy()
+            == (out["l_distinct"].to_numpy() < 3).astype(np.int64)).all()
+    assert int(out["violates_l3"].sum()) > 0
