@@ -13282,6 +13282,153 @@ def q_l_diversity(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64))
 
 
+_SEARCH_TERMS = ("scan", "join", "window")
+
+
+def q_all_terms_search(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive boolean search — docs containing ALL query terms
+    (the inverted-index AND): the term list broadcasts in the closure
+    (3 strings), each block tokenizes its own docs once and tests set
+    inclusion fully vectorized (explode → term filter → distinct
+    (doc, term) pairs → per-doc count == |terms|), so the scan is
+    map-only with ZERO exchanges — text never moves, matches are the
+    only output.  Matches `list_has_all` over the shared `_TOKENS`
+    tokenizer twin."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    terms = set(_SEARCH_TERMS)
+    k = len(terms)
+
+    def match(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(tbl)), lens)
+        hit = pc.is_in(flat, value_set=pa.array(sorted(terms)))\
+            .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "i": doc_idx[hit],
+            "t": flat.to_numpy(zero_copy_only=False)[hit]})
+        got = g.drop_duplicates().groupby("i").size()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        win = got[got == k].index.to_numpy()
+        return pd.DataFrame({"doc_id": ids[win].astype(np.int64)})
+
+    out = ds.map_batches(match, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort lifetime-value matrix — the growth-analytics staple:
+    users cohort by FIRST-event week, and each (cohort, age-in-weeks)
+    cell reports cohort size, cumulative purchase cents, and exact
+    per-user LTV micro over the FULL age grid (missing cells carry
+    forward).  ONE hash(user) bucket shuffle computes each user's
+    cohort week and per-week purchase cents together (both need the
+    same co-location); (cohort, age) partials fold over the
+    weeks²-bounded domain on the driver, where the cumulative walk
+    and the (10⁶·cum)//size division run in exact object ints (the
+    HUGEINT twin's path)."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"], blocks=8)
+    WK = 604_800_000_000
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = t // WK
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        cw = pd.Series(w).groupby(pd.Series(u)).transform("min")\
+            .to_numpy()
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        spend = (pd.DataFrame({"cw": cw, "age": w - cw, "c": cents})
+                 .groupby(["cw", "age"], as_index=False).agg(
+                     c=("c", "sum")))
+        sizes = (pd.DataFrame({"cw": cw, "u": u})
+                 .drop_duplicates("u").groupby("cw", as_index=False)
+                 .size().rename(columns={"size": "users"}))
+        spend["users"] = np.int64(0)
+        sizes["age"] = np.int64(-1)
+        sizes["c"] = np.int64(0)
+        return pd.concat([spend[["cw", "age", "c", "users"]],
+                          sizes[["cw", "age", "c", "users"]]])\
+            .astype(np.int64)
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    sizes = (parts[parts["age"] < 0].groupby("cw")["users"].sum()
+             .to_dict())
+    spend: dict = {}
+    maxw = 0
+    for _, r in parts[parts["age"] >= 0].iterrows():
+        key = (int(r["cw"]), int(r["age"]))
+        spend[key] = spend.get(key, 0) + int(r["c"])
+        maxw = max(maxw, key[0] + key[1])
+    recs = []
+    for cw in sorted(sizes):
+        users = int(sizes[cw])
+        cum = 0
+        for age in range(0, maxw - cw + 1):
+            cum += spend.get((cw, age), 0)
+            recs.append((cw, age, users, cum,
+                         1_000_000 * cum // users))
+    return pd.DataFrame(recs, columns=[
+        "cohort_week", "age_weeks", "cohort_users", "cum_cents",
+        "ltv_micro"]).astype(np.int64)
+
+
+_PRECEDENCE = ("purchase", "signup", "click", "view", "error")
+
+
+def q_source_precedence(sf_dir: str) -> pd.DataFrame:
+    """Precedence coalesce — the multi-source federation pick: per
+    (user, day) several event sources may report a value, and the
+    canonical record comes from the highest-priority source present
+    (purchase > signup > click > view > error), earliest (ts,
+    event_id) within it.  ONE hash(user) bucket shuffle; the pick is
+    a vectorized priority-mapped sort + drop_duplicates — the
+    ROW_NUMBER()=1 row of the SQL twin."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "value"],
+               blocks=8)
+    prio = {t: i for i, t in enumerate(_PRECEDENCE)}
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(dtype=np.int64),
+            "day": t // 86_400_000_000,
+            "p": pdf["event_type"].map(prio).to_numpy(dtype=np.int64),
+            "t": t,
+            "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+            "cents": _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                                * 100.0).astype(np.int64),
+            "src": pdf["event_type"].to_numpy()})
+        g = g.sort_values(["user_id", "day", "p", "t", "event_id"],
+                          kind="mergesort")
+        w = g.drop_duplicates(["user_id", "day"])
+        return w[["user_id", "day", "src", "cents"]]
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -18732,4 +18879,60 @@ ORACLES["l_diversity"] = """
            (CASE WHEN count(DISTINCT event_type) < 3 THEN 1 ELSE 0
             END)::BIGINT AS violates_l3
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["all_terms_search"] = q_all_terms_search
+QUERIES["cohort_ltv"] = q_cohort_ltv
+QUERIES["source_precedence"] = q_source_precedence
+
+ORACLES["all_terms_search"] = f"""
+    SELECT doc_id::BIGINT AS doc_id FROM documents
+    WHERE list_has_all({_TOKENS},
+                       {list(_SEARCH_TERMS)})
+    ORDER BY doc_id
+"""
+
+ORACLES["cohort_ltv"] = """
+    WITH f AS (SELECT user_id,
+                      min(epoch_us(ts) // 604800000000) AS cw
+               FROM events GROUP BY 1),
+    sz AS (SELECT cw, count(*) AS users FROM f GROUP BY 1),
+    e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events),
+    a AS (SELECT f.cw, e.w - f.cw AS age, SUM(e.cents) AS c
+          FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+    mx AS (SELECT max(w) AS m FROM e),
+    grid AS (SELECT sz.cw,
+                    unnest(generate_series(0, mx.m - sz.cw)) AS age
+             FROM sz, mx),
+    g2 AS (SELECT grid.cw, grid.age, COALESCE(a.c, 0) AS c
+           FROM grid LEFT JOIN a
+               ON a.cw = grid.cw AND a.age = grid.age)
+    SELECT g2.cw::BIGINT AS cohort_week, g2.age::BIGINT AS age_weeks,
+           sz.users::BIGINT AS cohort_users,
+           (sum(g2.c) OVER (PARTITION BY g2.cw ORDER BY g2.age))
+               ::BIGINT AS cum_cents,
+           ((1000000::HUGEINT * sum(g2.c) OVER (PARTITION BY g2.cw
+                ORDER BY g2.age)) // sz.users)::BIGINT AS ltv_micro
+    FROM g2 JOIN sz ON sz.cw = g2.cw ORDER BY 1, 2
+"""
+
+ORACLES["source_precedence"] = """
+    SELECT user_id::BIGINT AS user_id, day::BIGINT AS day, src, cents
+    FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 event_type AS src,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id,
+                     epoch_us(ts) // 86400000000
+                     ORDER BY CASE event_type
+                                  WHEN 'purchase' THEN 0
+                                  WHEN 'signup' THEN 1
+                                  WHEN 'click' THEN 2
+                                  WHEN 'view' THEN 3
+                                  ELSE 4 END, ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id, day
 """

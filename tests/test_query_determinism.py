@@ -2058,3 +2058,89 @@ def test_l_diversity_replay(ray_session):
     assert (out["violates_l3"].to_numpy()
             == (out["l_distinct"].to_numpy() < 3).astype(np.int64)).all()
     assert int(out["violates_l3"].sum()) > 0
+
+
+def test_all_terms_search_replay(ray_session):
+    """Pure-Python set-inclusion replay; the match set must be a
+    PROPER subset (the conjunction actually filters)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_all_terms_search(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    terms = set(Q._SEARCH_TERMS)
+    want = sorted(int(i) for i, tx in zip(docs["doc_id"], docs["text"])
+                  if terms <= set(tx.split()))
+    assert out["doc_id"].tolist() == want
+    assert 0 < len(want) < len(docs)
+
+
+def test_cohort_ltv_replay(ray_session):
+    """Literal per-cohort cumulative walk; LTV must be monotone in age
+    within a cohort and the week-0 cohort must exist."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_cohort_ltv(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type", "value"]
+                       ).to_pandas()
+    w = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 604_800_000_000)
+    ev["w"] = w
+    cw = ev.groupby("user_id")["w"].min()
+    cents = np.where(
+        (ev["event_type"] == "purchase").to_numpy(),
+        _half_away(ev["value"].to_numpy(dtype=np.float64) * 100.0), 0.0
+    ).astype(np.int64)
+    ev["cents"] = cents
+    ev["cw"] = ev["user_id"].map(cw)
+    ev["age"] = ev["w"] - ev["cw"]
+    spend = ev.groupby(["cw", "age"])["cents"].sum().to_dict()
+    sizes = cw.value_counts().to_dict()
+    maxw = int(ev["w"].max())
+    rows = []
+    for c in sorted(sizes):
+        cum = 0
+        for age in range(0, maxw - int(c) + 1):
+            cum += int(spend.get((c, age), 0))
+            rows.append((int(c), age, int(sizes[c]), cum,
+                         1_000_000 * cum // int(sizes[c])))
+    want = pd.DataFrame(rows, columns=list(out.columns)).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    assert out.groupby("cohort_week")["ltv_micro"].apply(
+        lambda s: s.is_monotonic_increasing).all()
+
+
+def test_source_precedence_replay(ray_session):
+    """Per-(user, day) priority pick replayed row-by-row; a lower-
+    priority source must win somewhere (days without purchases)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_source_precedence(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    prio = {s: i for i, s in enumerate(Q._PRECEDENCE)}
+    ev["day"] = t // 86_400_000_000
+    ev["t"] = t
+    ev["p"] = ev["event_type"].map(prio)
+    ev["cents"] = _half_away(ev["value"].to_numpy(dtype=np.float64)
+                             * 100.0).astype(np.int64)
+    ev = ev.sort_values(["user_id", "day", "p", "t", "event_id"],
+                        kind="mergesort")
+    want = (ev.drop_duplicates(["user_id", "day"])
+            [["user_id", "day", "event_type", "cents"]]
+            .rename(columns={"event_type": "src"})
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out, want, check_dtype=False)
+    assert set(out["src"]) > {"purchase"}
