@@ -13429,6 +13429,134 @@ def q_source_precedence(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["user_id", "day"]).reset_index(drop=True))
 
 
+def q_mean_shift_split(sf_dir: str) -> pd.DataFrame:
+    """Change-point detection by exact mean-shift argmax — binary
+    segmentation's first split, kept INTEGER: over the daily event
+    counts, the split day d maximizing |S₁·n₂ − S₂·n₁| (the
+    cross-multiplied mean difference, so no division ever happens;
+    ties break on the earlier day).  Daily counts fold from per-block
+    partials over the calendar-bounded domain; the O(days) prefix-sum
+    argmax is exact driver ints — both twins compare identical
+    integers, unlike a variance-reduction score whose square exceeds
+    HUGEINT at corpus scale (documented trade)."""
+    ds = _read(sf_dir, "events", ["ts"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (pd.DataFrame({"day": t // 86_400_000_000})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "c"}))
+        return g.astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("c").take_all())
+    daily = dict(sorted((int(r["day"]), int(r["sum(c)"]))
+                        for r in rows))
+    days = list(daily)
+    c = [daily[d] for d in days]
+    n, s = len(c), sum(c)
+    best = None
+    s1 = n1 = 0
+    for i in range(n - 1):          # split AFTER day index i
+        s1 += c[i]
+        n1 += 1
+        n2, s2 = n - n1, s - s1
+        score = abs(s1 * n2 - s2 * n1)
+        if best is None or score > best[1]:
+            best = (days[i], score, s1, n1, s2, n2)
+    d, score, s1, n1, s2, n2 = best
+    return pd.DataFrame({
+        "split_day": [d], "score": [score],
+        "mean_before_micro": [1_000_000 * s1 // n1],
+        "mean_after_micro": [1_000_000 * s2 // n2]}).astype(np.int64)
+
+
+def q_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-day bounce rate over 30-min-gap sessions — the web-analytics
+    KPI on top of the `sessionize` rule: a session bounces if it has
+    exactly ONE event, attributed to its start day.  ONE hash(user)
+    bucket shuffle (all of a user's events co-locate, so session
+    boundaries are in-bucket exact); per-bucket (day, sessions,
+    bounces) partials fold over the calendar-bounded domain and the
+    rate ships as floor-div micro.  The SQL twin rebuilds sessions
+    with the lag-gap window flag + running sum."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"], blocks=8)
+    GAP = 1_800_000_000
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def sess_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP)
+        sid = np.cumsum(new)
+        g = pd.DataFrame({"sid": sid, "t": t})
+        agg = g.groupby("sid").agg(start=("t", "first"),
+                                   n=("t", "size"))
+        day = agg["start"].to_numpy() // 86_400_000_000
+        out = (pd.DataFrame({
+            "day": day,
+            "sessions": np.ones(len(agg), dtype=np.int64),
+            "bounces": (agg["n"].to_numpy() == 1).astype(np.int64)})
+            .groupby("day", as_index=False).sum())
+        return out.astype(np.int64)
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(sess_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("day", as_index=False).sum()
+    out["bounce_micro"] = (1_000_000 * out["bounces"]
+                           // out["sessions"])
+    return (out.sort_values("day").reset_index(drop=True)
+            .astype(np.int64))
+
+
+_ERROR_BUDGET_PCT = 1
+
+
+def q_error_budget(sf_dir: str) -> pd.DataFrame:
+    """SLO error-budget burn-down — the SRE report: with a 1% error
+    budget, each day shows cumulative events, cumulative errors, the
+    integer burn 100·cum_err − cum_total (positive = budget
+    exhausted), and the breach flag.  Daily (total, error) partials
+    fold from blocks over the calendar-bounded domain; the O(days)
+    cumulative walk is exact driver ints — no percentage is ever
+    computed as a float on either twin."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "day": t // 86_400_000_000,
+            "total": np.ones(len(pdf), dtype=np.int64),
+            "err": (pdf["event_type"] == "error")
+            .to_numpy().astype(np.int64)})
+        return g.groupby("day", as_index=False).sum().astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum(["total", "err"]).take_all())
+    daily = sorted((int(r["day"]), int(r["sum(total)"]),
+                    int(r["sum(err)"])) for r in rows)
+    recs = []
+    ct = ce = 0
+    for d, tot, err in daily:
+        ct += tot
+        ce += err
+        burn = 100 * ce - _ERROR_BUDGET_PCT * ct
+        recs.append((d, ct, ce, burn, int(burn > 0)))
+    return pd.DataFrame(recs, columns=[
+        "day", "cum_total", "cum_errors", "burn", "exhausted"])\
+        .astype(np.int64)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -18935,4 +19063,72 @@ ORACLES["source_precedence"] = """
                                   ELSE 4 END, ts, event_id) AS rn
           FROM events)
     WHERE rn = 1 ORDER BY user_id, day
+"""
+
+QUERIES["mean_shift_split"] = q_mean_shift_split
+QUERIES["bounce_rate"] = q_bounce_rate
+QUERIES["error_budget"] = q_error_budget
+
+ORACLES["mean_shift_split"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    p AS (SELECT day,
+                 sum(c) OVER (ORDER BY day) AS s1,
+                 ROW_NUMBER() OVER (ORDER BY day) AS n1,
+                 (SELECT sum(c) FROM d) AS s,
+                 (SELECT count(*) FROM d) AS n
+          FROM d),
+    q AS (SELECT day, abs(s1 * (n - n1) - (s - s1) * n1) AS score,
+                 s1, n1, s - s1 AS s2, n - n1 AS n2
+          FROM p WHERE n1 < n)
+    SELECT day::BIGINT AS split_day, score::BIGINT AS score,
+           ((1000000::HUGEINT * s1) // n1)::BIGINT
+               AS mean_before_micro,
+           ((1000000::HUGEINT * s2) // n2)::BIGINT
+               AS mean_after_micro
+    FROM q ORDER BY score DESC, day LIMIT 1
+"""
+
+ORACLES["bounce_rate"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+               FROM events),
+    f AS (SELECT user_id, t, event_id,
+                 CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT user_id, t,
+                 sum(new) OVER (PARTITION BY user_id
+                     ORDER BY t, event_id) AS sid
+          FROM f),
+    g AS (SELECT user_id, sid, min(t) AS start, count(*) AS n
+          FROM s GROUP BY 1, 2),
+    d AS (SELECT start // 86400000000 AS day, count(*) AS sessions,
+                 sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS bounces
+          FROM g GROUP BY 1)
+    SELECT day::BIGINT AS day, sessions::BIGINT AS sessions,
+           bounces::BIGINT AS bounces,
+           ((1000000::HUGEINT * bounces) // sessions)::BIGINT
+               AS bounce_micro
+    FROM d ORDER BY day
+"""
+
+ORACLES["error_budget"] = f"""
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS total,
+                      sum(CASE WHEN event_type = 'error' THEN 1
+                          ELSE 0 END) AS err
+               FROM events GROUP BY 1),
+    c AS (SELECT day,
+                 sum(total) OVER (ORDER BY day) AS ct,
+                 sum(err) OVER (ORDER BY day) AS ce
+          FROM d)
+    SELECT day::BIGINT AS day, ct::BIGINT AS cum_total,
+           ce::BIGINT AS cum_errors,
+           (100 * ce - {_ERROR_BUDGET_PCT} * ct)::BIGINT AS burn,
+           (CASE WHEN 100 * ce - {_ERROR_BUDGET_PCT} * ct > 0
+                 THEN 1 ELSE 0 END)::BIGINT AS exhausted
+    FROM c ORDER BY day
 """

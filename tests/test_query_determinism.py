@@ -2144,3 +2144,89 @@ def test_source_precedence_replay(ray_session):
     pd.testing.assert_frame_equal(
         out, want, check_dtype=False)
     assert set(out["src"]) > {"purchase"}
+
+
+def test_mean_shift_split_replay(ray_session):
+    """Every candidate split's integer score replayed; the winner must
+    dominate all others (strictly, or tie-broken to the earlier day)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_mean_shift_split(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    days = sorted(cnt)
+    c = [cnt[x] for x in days]
+    n, s = len(c), sum(c)
+    scores = []
+    s1 = 0
+    for i in range(n - 1):
+        s1 += c[i]
+        n1 = i + 1
+        scores.append((days[i], abs(s1 * (n - n1) - (s - s1) * n1)))
+    win_day, win_score = max(scores, key=lambda t: (t[1], -t[0]))
+    assert int(out["split_day"].iat[0]) == win_day
+    assert int(out["score"].iat[0]) == win_score
+
+
+def test_bounce_rate_replay(ray_session):
+    """Literal per-user session walk; bounces must exist and every
+    rate must be a floor-div of its own counts."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_bounce_rate(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev["t"] = ev.pop("ts").to_numpy().astype(
+        "datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+    import collections
+    sess = collections.defaultdict(lambda: [0, 0])  # day -> [s, b]
+    for _, d in ev.groupby("user_id"):
+        ts = d["t"].tolist()
+        start, count = ts[0], 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > 1_800_000_000:
+                day = start // 86_400_000_000
+                sess[day][0] += 1
+                sess[day][1] += count == 1
+                start, count = cur, 1
+            else:
+                count += 1
+        day = start // 86_400_000_000
+        sess[day][0] += 1
+        sess[day][1] += count == 1
+    want = pd.DataFrame(
+        [(d, s, b, 1_000_000 * b // s)
+         for d, (s, b) in sorted(sess.items())],
+        columns=list(out.columns)).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    assert int(out["bounces"].sum()) > 0
+
+
+def test_error_budget_replay(ray_session):
+    """Cumulative burn replayed; the flag must equal burn > 0 and the
+    final cumulative totals must conserve the event count."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_error_budget(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    assert int(out["cum_total"].iat[-1]) == len(ev)
+    assert int(out["cum_errors"].iat[-1]) == int(
+        (ev["event_type"] == "error").sum())
+    assert (out["burn"].to_numpy()
+            == 100 * out["cum_errors"].to_numpy()
+            - out["cum_total"].to_numpy()).all()
+    assert (out["exhausted"].to_numpy()
+            == (out["burn"].to_numpy() > 0).astype(np.int64)).all()
+    assert out["cum_total"].is_monotonic_increasing
