@@ -13557,6 +13557,187 @@ def q_error_budget(sf_dir: str) -> pd.DataFrame:
         .astype(np.int64)
 
 
+def q_cuped(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced experiment readout — the
+    experimentation-platform standard (Deng et al. 2013): variant =
+    user_id % 2, covariate X = pre-period purchase cents (first half
+    of the calendar), metric Y = post-period cents; θ = Cov(X,Y)/
+    Var(X) pooled, and each variant reports its raw and adjusted mean
+    Ȳ_v − θ·(X̄_v − X̄).  ALL sums (n, ΣX, ΣY, ΣXY, ΣXX per variant)
+    are exact ints folded from per-user rows inside ONE hash(user)
+    bucket shuffle; θ and the adjusted means are the IDENTICAL IEEE
+    chain on those ints on both twins (the `grouped_linreg`
+    float-agreement contract), rounded to 6 dp.  Per-user floats never
+    exist — the adjustment is applied in aggregate algebra."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"], blocks=8)
+
+    def day_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = t // 86_400_000_000
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_rng, batch_format="pandas").to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    split = (lo + hi + 1) // 2          # first post-period day
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = t // 86_400_000_000
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({
+            "u": u, "x": np.where(d < split, cents, 0),
+            "y": np.where(d >= split, cents, 0)})
+        per_u = g.groupby("u", as_index=False).sum()
+        v = per_u["u"].to_numpy() % 2
+        x = per_u["x"].to_numpy()
+        y = per_u["y"].to_numpy()
+        out = (pd.DataFrame({"v": v, "n": 1, "sx": x, "sy": y,
+                             "sxy": x * y, "sxx": x * x})
+               .groupby("v", as_index=False).sum())
+        return out.astype(np.int64)
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(partials, batch_format="pandas")
+             .to_pandas())
+    agg = {int(v): [0, 0, 0, 0, 0] for v in (0, 1)}
+    for _, r in parts.iterrows():
+        a = agg[int(r["v"])]
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["sxy"])
+        a[4] += int(r["sxx"])
+    n = agg[0][0] + agg[1][0]
+    sx = agg[0][1] + agg[1][1]
+    sy = agg[0][2] + agg[1][2]
+    sxy = agg[0][3] + agg[1][3]
+    sxx = agg[0][4] + agg[1][4]
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    recs = []
+    for v in (0, 1):
+        nv, sxv, syv = agg[v][0], agg[v][1], agg[v][2]
+        mean_y = float(syv) / nv
+        adj = float(syv) / nv - theta * (float(sxv) / nv
+                                         - float(sx) / n)
+        recs.append((v, nv, mean_y, adj, theta))
+    out = pd.DataFrame(recs, columns=[
+        "variant", "n_users", "mean_y", "mean_adj", "theta"])
+    out[["variant", "n_users"]] = out[["variant", "n_users"]]\
+        .astype(np.int64)
+    return _round(out, ["mean_y", "mean_adj", "theta"])
+
+
+def q_bitemporal_asof(sf_dir: str) -> pd.DataFrame:
+    """Bitemporal point-in-time lookup — the lakehouse audit query
+    `scd2`/`time_travel` cannot answer alone: each order carries 3
+    derived CDC versions with SEPARATE valid-time (orderdate + 3v
+    days) and transaction-time (orderdate + v days + key-dependent
+    hours) axes, and the report reconstructs the table as of valid
+    time V *as known at* transaction time T (both fixed at the
+    calendar midpoint, so the version boundary is live at any sf).
+    The version CHANGELOG materializes first (the honest shape — CDC
+    rows arrive independently); the pick is a per-key argmax over
+    qualifying versions inside ONE hash(orderkey) bucket exchange,
+    fully vectorized (sort + drop_duplicates)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"], blocks=8)
+
+    def day_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = (pdf["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_rng, batch_format="pandas").to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    v_day = (lo + hi) // 2
+    t_us = (v_day + 1) * 86_400_000_000 + 12 * 3_600_000_000
+
+    def versions(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["o_orderkey"].to_numpy(dtype=np.int64)
+        od = (pdf["o_orderdate"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64) // 86_400_000_000)
+        cents = _half_away(pdf["o_totalprice"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        ver = np.tile(np.arange(3, dtype=np.int64), len(k))
+        kk = np.repeat(k, 3)
+        odd = np.repeat(od, 3)
+        cc = np.repeat(cents, 3)
+        g = pd.DataFrame({
+            "k": kk, "ver": ver,
+            "valid_day": odd + 3 * ver,
+            "tx_us": odd * 86_400_000_000 + ver * 86_400_000_000
+            + (kk % 5) * 3_600_000_000,
+            "cents": cc + ver})
+        g["__b"] = (g["k"].to_numpy() % 64).astype(np.int64)
+        return g.astype(np.int64)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[(pdf["valid_day"] <= v_day) & (pdf["tx_us"] <= t_us)]
+        q = q.sort_values(["k", "valid_day", "tx_us"],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        w = q.drop_duplicates("k")
+        return (w.rename(columns={"k": "o_orderkey", "ver": "version"})
+                [["o_orderkey", "version", "cents"]].astype(np.int64))
+
+    out = (ds.map_batches(versions, batch_format="pandas")
+           .groupby("__b").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_SKEW_BUCKETS = 256
+
+
+def q_skew_audit(sf_dir: str) -> pd.DataFrame:
+    """Partitioning-health audit — the report an engine needs BEFORE
+    choosing a shuffle key: events bucketed by the DuckDB-reproducible
+    60-bit MD5 hash of user_id into 256 partitions, reporting total
+    rows, max/min bucket load over the FULL bucket grid (empty
+    buckets count zero), and the skew ratio max·B/total in micro.  A
+    ratio near 10⁶ means balanced; a hot key drives it up and tells
+    the planner to salt.  Per-block partial bucket counts hash only
+    each block's DISTINCT user ids (the oracle-parity MD5 is a Python
+    loop, so it runs on the bounded unique set, not per row); the
+    256×blocks partial grid folds on the driver."""
+    from ..functions.hashing import stable_hash60_array
+
+    ds = _read(sf_dir, "events", ["user_id"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(u, return_inverse=True)
+        hb = stable_hash60_array(
+            [str(x) for x in uniq.tolist()]) % _SKEW_BUCKETS
+        cnt = np.bincount(hb[inv], minlength=_SKEW_BUCKETS)
+        return pd.DataFrame({
+            "bucket": np.arange(_SKEW_BUCKETS, dtype=np.int64),
+            "c": cnt.astype(np.int64)})
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("bucket").sum("c").take_all())
+    loads = np.zeros(_SKEW_BUCKETS, dtype=np.int64)
+    for r in rows:
+        loads[int(r["bucket"])] = int(r["sum(c)"])
+    total = int(loads.sum())
+    mx, mn = int(loads.max()), int(loads.min())
+    return pd.DataFrame({
+        "buckets": [_SKEW_BUCKETS], "total_rows": [total],
+        "max_rows": [mx], "min_rows": [mn],
+        "skew_micro": [1_000_000 * mx * _SKEW_BUCKETS // total],
+    }).astype(np.int64)
+
+
 QUERIES = {
     "standard_scaler": q_standard_scaler,
     "minmax_scaler": q_minmax_scaler,
@@ -19131,4 +19312,90 @@ ORACLES["error_budget"] = f"""
            (CASE WHEN 100 * ce - {_ERROR_BUDGET_PCT} * ct > 0
                  THEN 1 ELSE 0 END)::BIGINT AS exhausted
     FROM c ORDER BY day
+"""
+
+QUERIES["cuped"] = q_cuped
+QUERIES["bitemporal_asof"] = q_bitemporal_asof
+QUERIES["skew_audit"] = q_skew_audit
+
+ORACLES["cuped"] = """
+    WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                      max(epoch_us(ts) // 86400000000) AS hi
+               FROM events),
+    pu AS (SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) // 86400000000
+                           < (b.lo + b.hi + 1) // 2
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS x,
+                  SUM(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) // 86400000000
+                           >= (b.lo + b.hi + 1) // 2
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS y
+           FROM events, b GROUP BY user_id),
+    v AS (SELECT user_id % 2 AS variant, count(*) AS n,
+                 SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+                 SUM(x::HUGEINT * y) AS sxy,
+                 SUM(x::HUGEINT * x) AS sxx
+          FROM pu GROUP BY 1),
+    g AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+                 SUM(sxy) AS sxy, SUM(sxx) AS sxx
+          FROM v),
+    th AS (SELECT ((g.n * g.sxy - g.sx * g.sy)::DOUBLE)
+               / ((g.n * g.sxx - g.sx * g.sx)::DOUBLE) AS theta
+           FROM g)
+    SELECT v.variant::BIGINT AS variant, v.n::BIGINT AS n_users,
+           ROUND(v.sy::DOUBLE / v.n, 6) AS mean_y,
+           ROUND(v.sy::DOUBLE / v.n
+                 - th.theta * (v.sx::DOUBLE / v.n
+                               - g.sx::DOUBLE / g.n), 6) AS mean_adj,
+           ROUND(th.theta, 6) AS theta
+    FROM v, g, th ORDER BY v.variant
+"""
+
+ORACLES["bitemporal_asof"] = """
+    WITH b AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+                      max(epoch_us(o_orderdate) // 86400000000) AS hi
+               FROM orders),
+    p AS (SELECT (b.lo + b.hi) // 2 AS v_day,
+                 ((b.lo + b.hi) // 2 + 1) * 86400000000
+                 + 12 * 3600000000 AS t_us
+          FROM b),
+    ver AS (SELECT o.o_orderkey AS k, g.v AS ver,
+                   epoch_us(o.o_orderdate) // 86400000000 + 3 * g.v
+                       AS valid_day,
+                   (epoch_us(o.o_orderdate) // 86400000000)
+                       * 86400000000 + g.v * 86400000000
+                   + (o.o_orderkey % 5) * 3600000000 AS tx_us,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) + g.v
+                       AS cents
+            FROM orders o
+            CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS v) g),
+    q AS (SELECT ver.*,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                     ORDER BY valid_day DESC, tx_us DESC) AS rn
+          FROM ver, p
+          WHERE valid_day <= p.v_day AND tx_us <= p.t_us)
+    SELECT k::BIGINT AS o_orderkey, ver::BIGINT AS version,
+           cents::BIGINT AS cents
+    FROM q WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+ORACLES["skew_audit"] = f"""
+    WITH h AS (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15))::BIGINT) % {_SKEW_BUCKETS} AS bucket
+               FROM events),
+    grid AS (SELECT unnest(generate_series(0, {_SKEW_BUCKETS - 1}))
+                 AS bucket),
+    c AS (SELECT grid.bucket, count(h.bucket) AS c
+          FROM grid LEFT JOIN h USING (bucket) GROUP BY 1),
+    s AS (SELECT count(*) AS buckets, sum(c) AS total,
+                 max(c) AS mx, min(c) AS mn
+          FROM c)
+    SELECT buckets::BIGINT AS buckets, total::BIGINT AS total_rows,
+           mx::BIGINT AS max_rows, mn::BIGINT AS min_rows,
+           ((1000000::HUGEINT * mx * buckets) // total)::BIGINT
+               AS skew_micro
+    FROM s
 """

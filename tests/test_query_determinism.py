@@ -2230,3 +2230,116 @@ def test_error_budget_replay(ray_session):
     assert (out["exhausted"].to_numpy()
             == (out["burn"].to_numpy() > 0).astype(np.int64)).all()
     assert out["cum_total"].is_monotonic_increasing
+
+
+def test_cuped_replay_and_variance_reduction(ray_session):
+    """Per-user algebra replayed with exact ints + one float chain;
+    CUPED must reduce the between-user variance of the adjusted
+    metric (the whole point of the estimator)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_cuped(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type", "value"]
+                       ).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    lo, hi = int(d.min()), int(d.max())
+    split = (lo + hi + 1) // 2
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    g = pd.DataFrame({"u": ev["user_id"].to_numpy(dtype=np.int64),
+                      "x": np.where(d < split, cents, 0),
+                      "y": np.where(d >= split, cents, 0)})
+    pu = g.groupby("u", as_index=False).sum()
+    x = pu["x"].to_numpy().astype(object)
+    y = pu["y"].to_numpy().astype(object)
+    n = len(pu)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert float(out["theta"].iat[0]) == round(theta, 6)
+    for v in (0, 1):
+        m = (pu["u"].to_numpy() % 2) == v
+        nv = int(m.sum())
+        syv, sxv = int(y[m].sum()), int(x[m].sum())
+        want = float(syv) / nv - theta * (float(sxv) / nv
+                                          - float(sx) / n)
+        row = out[out["variant"] == v].iloc[0]
+        assert int(row["n_users"]) == nv
+        assert float(row["mean_adj"]) == round(want, 6)
+    # variance reduction: Var(y - theta x) < Var(y) across users
+    yf = y.astype(np.float64)
+    xf = x.astype(np.float64)
+    assert np.var(yf - theta * xf) < np.var(yf)
+
+
+def test_bitemporal_asof_replay(ray_session):
+    """Per-order literal version walk under both time axes; at least
+    one order must pick a NON-final version (the bitemporal filter is
+    live, not a trivial latest-wins)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_bitemporal_asof(SF)
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_totalprice"]).to_pandas()
+    day = (od["o_orderdate"].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // 86_400_000_000)
+    lo, hi = int(day.min()), int(day.max())
+    v_day = (lo + hi) // 2
+    t_us = (v_day + 1) * 86_400_000_000 + 12 * 3_600_000_000
+    cents = _half_away(od["o_totalprice"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    want = {}
+    for k, d0, c in zip(od["o_orderkey"].tolist(), day.tolist(),
+                        cents.tolist()):
+        best = None
+        for v in (0, 1, 2):
+            vd = d0 + 3 * v
+            tx = d0 * 86_400_000_000 + v * 86_400_000_000 \
+                + (k % 5) * 3_600_000_000
+            if vd <= v_day and tx <= t_us:
+                key = (vd, tx)
+                if best is None or key > best[0]:
+                    best = (key, v, c + v)
+        if best is not None:
+            want[k] = (best[1], best[2])
+    assert len(out) == len(want) > 0
+    vers = set()
+    for _, r in out.iterrows():
+        v, c = want[int(r["o_orderkey"])]
+        assert (int(r["version"]), int(r["cents"])) == (v, c)
+        vers.add(v)
+    assert len(vers) > 1
+
+
+def test_skew_audit_replay(ray_session):
+    """Bucket census replayed with the same MD5 hash; the grid must be
+    complete and the ratio exact."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+
+    out = Q.q_skew_audit(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    u = ev["user_id"].to_numpy(dtype=np.int64)
+    hb = stable_hash60_array([str(x) for x in u.tolist()]) \
+        % Q._SKEW_BUCKETS
+    loads = np.bincount(hb, minlength=Q._SKEW_BUCKETS)
+    assert int(out["total_rows"].iat[0]) == len(u)
+    assert int(out["max_rows"].iat[0]) == int(loads.max())
+    assert int(out["min_rows"].iat[0]) == int(loads.min())
+    assert int(out["skew_micro"].iat[0]) == (
+        1_000_000 * int(loads.max()) * Q._SKEW_BUCKETS // len(u))
