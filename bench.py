@@ -146,7 +146,14 @@ def run_bench() -> dict:
         "market_share", "part_value_concentration",
         "halfshipped_suppliers", "part_profit",
         "degree_assortativity", "shared_scan_report", "fifo_matching",
-        "stream_seq_gaps", "holt_winters")
+        "stream_seq_gaps", "holt_winters",
+        # round-3 fifth continued session additions
+        "label_propagation", "ohlc_bars", "org_rollup", "mann_whitney",
+        "rsi", "activation_time", "pruned_scan", "top_paths",
+        "stream_throttle", "join_size", "gap_fill", "l_diversity",
+        "all_terms_search", "cohort_ltv", "source_precedence",
+        "mean_shift_split", "bounce_rate", "error_budget", "cuped",
+        "bitemporal_asof", "skew_audit")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
