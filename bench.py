@@ -153,7 +153,8 @@ def run_bench() -> dict:
         "stream_throttle", "join_size", "gap_fill", "l_diversity",
         "all_terms_search", "cohort_ltv", "source_precedence",
         "mean_shift_split", "bounce_rate", "error_budget", "cuped",
-        "bitemporal_asof", "skew_audit")
+        "bitemporal_asof", "skew_audit",
+        "padding_efficiency", "diff_in_diff", "burstiness")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

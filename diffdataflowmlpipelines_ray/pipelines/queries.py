@@ -19399,3 +19399,228 @@ ORACLES["skew_audit"] = f"""
                AS skew_micro
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# round-3 sixth continued session: padding_efficiency / diff_in_diff /
+# burstiness
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKET = 16
+
+
+def q_padding_efficiency(sf_dir: str) -> pd.DataFrame:
+    """Sequence-batching padding audit — the training-data question a
+    tokenized corpus must answer before anyone sizes a batch: bucket
+    every document by its token count rounded UP to the next multiple
+    of 16 (the fixed-length pad slot a framework would allocate;
+    empty docs still occupy one slot of 16) and report per (source,
+    bucket) the sequence count, the real token mass, the padded slot
+    mass bucket·n_seqs, and the exact floor-div micro waste ratio
+    (padded−real)/padded.  MAP-ONLY over the text — each block
+    tokenizes once with the shared whitespace tokenizer and
+    pre-reduces to its own (source, bucket) partials, so the only
+    exchange is the O(sources × buckets) partial fold; text never
+    moves and every number is an integer on both twins."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["source", "text"], blocks=8)
+    B = _PAD_BUCKET
+
+    def part(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        bucket = (np.maximum(n, 1) + B - 1) // B * B
+        g = pd.DataFrame({
+            "source": tbl["source"].to_numpy(zero_copy_only=False),
+            "bucket": bucket, "n_seqs": np.int64(1), "real_tokens": n})
+        return g.groupby(["source", "bucket"], as_index=False).sum()
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["source", "bucket"], as_index=False).sum()
+    out["padded_tokens"] = out["bucket"] * out["n_seqs"]
+    out["waste_micro"] = (1_000_000
+                          * (out["padded_tokens"] - out["real_tokens"])
+                          // out["padded_tokens"])
+    out = out.sort_values(["source", "bucket"]).reset_index(drop=True)
+    for c in ("bucket", "n_seqs", "real_tokens", "padded_tokens",
+              "waste_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_diff_in_diff(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    estimator next to `cuped`/`ab_test`: treatment = user_id % 2,
+    period split at the calendar midpoint (cuped's rule), metric =
+    per-user purchase cents per period; the DiD effect is
+    (T̄post − T̄pre) − (C̄post − C̄pre) over the four per-user group
+    means.  ONE hash(user) bucket shuffle folds per-user (pre, post)
+    cents into per-variant (n, Σpre, Σpost) exact ints; each mean
+    ships as floor-div micro and the DiD is pure integer subtraction
+    of those four micro means — no float exists on either twin."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"], blocks=8)
+
+    def day_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = t // 86_400_000_000
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_rng, batch_format="pandas").to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    split = (lo + hi + 1) // 2          # first post-period day
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = t // 86_400_000_000
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "u": pdf["user_id"].to_numpy(dtype=np.int64),
+            "x": np.where(d < split, cents, 0),
+            "y": np.where(d >= split, cents, 0)})
+        per_u = g.groupby("u", as_index=False).sum()
+        out = pd.DataFrame({
+            "v": per_u["u"].to_numpy() % 2, "n": np.int64(1),
+            "sx": per_u["x"].to_numpy(), "sy": per_u["y"].to_numpy()})
+        return out.groupby("v", as_index=False).sum().astype(np.int64)
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(partials, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("v").sum()
+    n = {v: int(agg.loc[v, "n"]) for v in (0, 1)}
+    mx = {v: 1_000_000 * int(agg.loc[v, "sx"]) // n[v] for v in (0, 1)}
+    my = {v: 1_000_000 * int(agg.loc[v, "sy"]) // n[v] for v in (0, 1)}
+    did = (my[1] - mx[1]) - (my[0] - mx[0])
+    return pd.DataFrame({
+        "n_control": [n[0]], "n_treat": [n[1]],
+        "c_pre_micro": [mx[0]], "c_post_micro": [my[0]],
+        "t_pre_micro": [mx[1]], "t_post_micro": [my[1]],
+        "did_micro": [did]}).astype(np.int64)
+
+
+def q_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-user burstiness (Fano factor / index of dispersion of the
+    daily event counts over the user's ACTIVE days) — the abuse/bot
+    signal: dispersion = Var(c)/Mean(c) = (n·Σc² − (Σc)²)/(n·Σc),
+    exactly 0 for perfectly uniform activity and large for bursty
+    accounts.  Blocks pre-reduce to (user, day, count) partials; ONE
+    hash(user) bucket shuffle completes each user's day counts
+    in-bucket (a user's days never split across buckets) and the
+    dispersion ships as floor-div micro computed in object ints —
+    n·Σc² exceeds int64 at corpus scale, so the bucket does the
+    HUGEINT twin's arithmetic in Python integers.  Numerator
+    n·Σc² − (Σc)² ≥ 0 by Cauchy–Schwarz, so floor-div equals the
+    twin's truncating //."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"user_id": pdf["user_id"].to_numpy(np.int64),
+                          "day": t // 86_400_000_000,
+                          "c": np.int64(1)})
+        out = g.groupby(["user_id", "day"], as_index=False).sum()
+        out["__b"] = out["user_id"] % 64
+        return out.astype(np.int64)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        byday = (pdf.groupby(["user_id", "day"], as_index=False)["c"]
+                 .sum())
+        byday["cc"] = byday["c"] * byday["c"]
+        per_u = byday.groupby("user_id").agg(
+            n=("c", "size"), s=("c", "sum"), ss=("cc", "sum"))
+        n = per_u["n"].to_numpy().astype(object)
+        s = per_u["s"].to_numpy().astype(object)
+        ss = per_u["ss"].to_numpy().astype(object)
+        disp = (1_000_000 * (n * ss - s * s)) // (n * s)
+        return pd.DataFrame({
+            "user_id": per_u.index.to_numpy(),
+            "active_days": per_u["n"].to_numpy(),
+            "total": per_u["s"].to_numpy(),
+            "dispersion_micro": disp.astype(np.int64)}).astype(np.int64)
+
+    out = (ds.map_batches(part, batch_format="pandas")
+           .groupby("__b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["padding_efficiency"] = q_padding_efficiency
+QUERIES["diff_in_diff"] = q_diff_in_diff
+QUERIES["burstiness"] = q_burstiness
+
+ORACLES["padding_efficiency"] = f"""
+    WITH n AS (SELECT source, len({_TOKENS})::BIGINT AS n
+               FROM documents),
+    b AS (SELECT source,
+                 ((GREATEST(n, 1) + {_PAD_BUCKET - 1}) // {_PAD_BUCKET})
+                     * {_PAD_BUCKET} AS bucket,
+                 n
+          FROM n),
+    g AS (SELECT source, bucket, count(*) AS n_seqs, SUM(n) AS real
+          FROM b GROUP BY 1, 2)
+    SELECT source, bucket::BIGINT AS bucket, n_seqs::BIGINT AS n_seqs,
+           real::BIGINT AS real_tokens,
+           (bucket * n_seqs)::BIGINT AS padded_tokens,
+           ((1000000::HUGEINT * (bucket * n_seqs - real))
+            // (bucket * n_seqs))::BIGINT AS waste_micro
+    FROM g ORDER BY source, bucket
+"""
+
+ORACLES["diff_in_diff"] = """
+    WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                      max(epoch_us(ts) // 86400000000) AS hi
+               FROM events),
+    pu AS (SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) // 86400000000
+                           < (b.lo + b.hi + 1) // 2
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS x,
+                  SUM(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) // 86400000000
+                           >= (b.lo + b.hi + 1) // 2
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS y
+           FROM events, b GROUP BY user_id),
+    v AS (SELECT user_id % 2 AS variant, count(*) AS n,
+                 SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy
+          FROM pu GROUP BY 1),
+    m AS (SELECT variant, n,
+                 (1000000::HUGEINT * sx) // n AS mx,
+                 (1000000::HUGEINT * sy) // n AS my
+          FROM v)
+    SELECT (SELECT n FROM m WHERE variant = 0)::BIGINT AS n_control,
+           (SELECT n FROM m WHERE variant = 1)::BIGINT AS n_treat,
+           (SELECT mx FROM m WHERE variant = 0)::BIGINT AS c_pre_micro,
+           (SELECT my FROM m WHERE variant = 0)::BIGINT AS c_post_micro,
+           (SELECT mx FROM m WHERE variant = 1)::BIGINT AS t_pre_micro,
+           (SELECT my FROM m WHERE variant = 1)::BIGINT AS t_post_micro,
+           ((SELECT my - mx FROM m WHERE variant = 1)
+            - (SELECT my - mx FROM m WHERE variant = 0))::BIGINT
+               AS did_micro
+"""
+
+ORACLES["burstiness"] = """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT user_id, count(*) AS n, SUM(c)::HUGEINT AS s,
+                 SUM(c::HUGEINT * c) AS ss
+          FROM d GROUP BY 1)
+    SELECT user_id::BIGINT AS user_id, n::BIGINT AS active_days,
+           s::BIGINT AS total,
+           ((1000000::HUGEINT * (n * ss - s * s)) // (n * s))::BIGINT
+               AS dispersion_micro
+    FROM a ORDER BY user_id
+"""

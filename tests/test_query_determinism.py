@@ -2343,3 +2343,111 @@ def test_skew_audit_replay(ray_session):
     assert int(out["min_rows"].iat[0]) == int(loads.min())
     assert int(out["skew_micro"].iat[0]) == (
         1_000_000 * int(loads.max()) * Q._SKEW_BUCKETS // len(u))
+
+
+def test_padding_efficiency_replay(ray_session):
+    """Literal per-doc bucket walk; totals must conserve the corpus
+    token mass and waste must be the exact floor-div of its own
+    cell's numbers."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_padding_efficiency(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    B = Q._PAD_BUCKET
+    cells = collections.defaultdict(lambda: [0, 0])
+    for src, text in zip(docs["source"], docs["text"]):
+        n = len(default_tokenizer(text))
+        bucket = (max(n, 1) + B - 1) // B * B
+        cells[(src, bucket)][0] += 1
+        cells[(src, bucket)][1] += n
+    assert len(out) == len(cells)
+    for _, r in out.iterrows():
+        n_seqs, real = cells[(r["source"], int(r["bucket"]))]
+        padded = int(r["bucket"]) * n_seqs
+        assert int(r["n_seqs"]) == n_seqs
+        assert int(r["real_tokens"]) == real
+        assert int(r["padded_tokens"]) == padded
+        assert int(r["waste_micro"]) == \
+            1_000_000 * (padded - real) // padded
+    assert int(out["real_tokens"].sum()) == sum(
+        v[1] for v in cells.values())
+    assert (out["padded_tokens"] >= out["real_tokens"]).all()
+    assert int(out["waste_micro"].max()) > 0
+
+
+def test_diff_in_diff_replay(ray_session):
+    """Four group means replayed from per-user exact ints; the DiD
+    must equal the integer identity of its own four micro means."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_diff_in_diff(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type", "value"]
+                       ).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    g = pd.DataFrame({"u": ev["user_id"].to_numpy(dtype=np.int64),
+                      "x": np.where(d < split, cents, 0),
+                      "y": np.where(d >= split, cents, 0)})
+    pu = g.groupby("u", as_index=False).sum()
+    m = {}
+    for v in (0, 1):
+        sel = pu[(pu["u"] % 2) == v]
+        n = len(sel)
+        m[v] = (n, 1_000_000 * int(sel["x"].sum()) // n,
+                1_000_000 * int(sel["y"].sum()) // n)
+    assert int(out["n_control"].iat[0]) == m[0][0]
+    assert int(out["n_treat"].iat[0]) == m[1][0]
+    assert int(out["c_pre_micro"].iat[0]) == m[0][1]
+    assert int(out["c_post_micro"].iat[0]) == m[0][2]
+    assert int(out["t_pre_micro"].iat[0]) == m[1][1]
+    assert int(out["t_post_micro"].iat[0]) == m[1][2]
+    assert int(out["did_micro"].iat[0]) == \
+        (m[1][2] - m[1][1]) - (m[0][2] - m[0][1])
+
+
+def test_burstiness_replay(ray_session):
+    """Per-user dispersion replayed in exact Python ints; variance of
+    the day counts must be live (some user's dispersion > 0) and a
+    single-day user must report exactly 0... unless all its mass is
+    one day (dispersion 0 only when counts are uniform)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_burstiness(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(zip(ev["user_id"].tolist(), d.tolist()))
+    per_u = collections.defaultdict(list)
+    for (u, _day), c in cnt.items():
+        per_u[u].append(c)
+    assert len(out) == len(per_u)
+    got = out.set_index("user_id")
+    for u, cs in per_u.items():
+        n, s, ss = len(cs), sum(cs), sum(c * c for c in cs)
+        r = got.loc[u]
+        assert int(r["active_days"]) == n
+        assert int(r["total"]) == s
+        assert int(r["dispersion_micro"]) == \
+            1_000_000 * (n * ss - s * s) // (n * s)
+    assert int(out["dispersion_micro"].max()) > 0
