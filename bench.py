@@ -154,7 +154,8 @@ def run_bench() -> dict:
         "all_terms_search", "cohort_ltv", "source_precedence",
         "mean_shift_split", "bounce_rate", "error_budget", "cuped",
         "bitemporal_asof", "skew_audit",
-        "padding_efficiency", "diff_in_diff", "burstiness")
+        "padding_efficiency", "diff_in_diff", "burstiness",
+        "token_prefix_dedup", "storage_audit", "local_clustering")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

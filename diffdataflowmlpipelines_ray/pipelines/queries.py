@@ -19624,3 +19624,196 @@ ORACLES["burstiness"] = """
                AS dispersion_micro
     FROM a ORDER BY user_id
 """
+
+
+_PREFIX_K = 8
+
+
+def q_token_prefix_dedup(sf_dir: str) -> pd.DataFrame:
+    """First-K-token prefix duplicate groups — the cheap near-dup
+    screen a crawl pipeline runs BEFORE MinHash (boilerplate openers
+    share their first tokens long before whole-document similarity):
+    docs grouping on their exact first-8-token prefix, groups with
+    ≥2 members reported as (leader = min doc_id, n_docs).  Each block
+    tokenizes its own text once and ships ONLY (prefix, doc_id) —
+    the 8-token prefix is the bounded payload, the document never
+    moves; one hash(prefix) bucket shuffle makes the in-bucket exact
+    group-by collision-free by construction.  Twin: `list_slice` +
+    `array_to_string` with the same \\x1e joiner on both sides."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    K = _PREFIX_K
+
+    def pre(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        prefixes = ["\x1e".join(flat[offs[i]:offs[i] + min(K, lens[i])])
+                    for i in range(len(lens))]
+        pdf = pd.DataFrame({
+            "pre": prefixes,
+            "doc_id": tbl["doc_id"].to_numpy(zero_copy_only=False)})
+        pdf["__b"] = pd.util.hash_array(
+            pdf["pre"].to_numpy(dtype=object)) % 64
+        return pdf
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("pre")["doc_id"].agg(["min", "size"])
+        g = g[g["size"] > 1]
+        return pd.DataFrame({
+            "leader": g["min"].to_numpy(dtype=np.int64),
+            "n_docs": g["size"].to_numpy(dtype=np.int64)})
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("__b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("leader").reset_index(drop=True)\
+        .astype(np.int64)
+
+
+def q_storage_audit(sf_dir: str) -> pd.DataFrame:
+    """Parquet storage telemetry — the 100-TB lakehouse housekeeping
+    report: per column of `lineitem`, values, compressed and
+    uncompressed byte totals and the floor-div micro compression
+    ratio, read from ROW-GROUP FOOTERS ONLY (`pruned_scan`'s
+    metadata-not-data discipline: O(files) footer reads, zero data
+    I/O).  The file list fans out as a Dataset so a 10⁶-file table
+    audits as a parallel map; per-file per-column partials fold over
+    the O(files × columns) domain.  The twin is DuckDB's
+    `parquet_metadata()` over the identical footers."""
+    import pyarrow.parquet as pq
+
+    files = rd.from_items([{"path": f"{sf_dir}/lineitem.parquet"}])
+
+    def footer(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs: dict[str, list[int]] = {}
+        for path in pdf["path"]:
+            md = pq.ParquetFile(path).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    a = recs.setdefault(c.path_in_schema, [0, 0, 0])
+                    a[0] += c.num_values
+                    a[1] += c.total_compressed_size
+                    a[2] += c.total_uncompressed_size
+        return pd.DataFrame(
+            [(k, *v) for k, v in recs.items()],
+            columns=["column", "n_values", "compressed_bytes",
+                     "uncompressed_bytes"])
+
+    parts = files.map_batches(footer, batch_format="pandas").to_pandas()
+    out = parts.groupby("column", as_index=False).sum()
+    out["ratio_micro"] = (1_000_000 * out["compressed_bytes"]
+                          // out["uncompressed_bytes"])
+    for c in ("n_values", "compressed_bytes", "uncompressed_bytes",
+              "ratio_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def q_local_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node LOCAL clustering coefficient of the deterministic
+    orders-derived graph (`triangle_count`'s edge rule) — the
+    node-level companion of the global `clustering_coeff`:
+    coefficient = triangles(n) / C(deg(n), 2) for every node of
+    degree ≥ 2, as exact floor-div micro.  Per-node triangle credits
+    come from `local_triangle_counts` (the degree-oriented wedge plan
+    with all-three-corner attribution, bucket-pre-reduced); degrees
+    fold from endpoint partials; the final join runs on the driver
+    over the node-bounded domain (custkey domain + 1500 synthetic
+    ids).  The SQL twin is the wedge self-join with the identical
+    integer division."""
+    from ..stages.iterate import local_triangle_counts
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]], batch_format="pandas")
+             .materialize())
+
+    def deg_part(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False)])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n),
+                         "n": pa.array(c.astype(np.int64))})
+
+    deg_rows = (edges.map_batches(deg_part, batch_format="pyarrow")
+                .groupby("node").sum("n").take_all())
+    deg = pd.DataFrame(
+        {"node": [r["node"] for r in deg_rows],
+         "degree": [r["sum(n)"] for r in deg_rows]}).astype(np.int64)
+    tri = local_triangle_counts(edges)
+    out = deg[deg["degree"] >= 2].merge(tri, on="node", how="left")
+    out["triangles"] = out["triangles"].fillna(0).astype(np.int64)
+    pairs = out["degree"] * (out["degree"] - 1) // 2
+    out["coeff_micro"] = 1_000_000 * out["triangles"] // pairs
+    return out.sort_values("node").reset_index(drop=True)\
+        .astype(np.int64)
+
+
+QUERIES["token_prefix_dedup"] = q_token_prefix_dedup
+QUERIES["storage_audit"] = q_storage_audit
+QUERIES["local_clustering"] = q_local_clustering
+
+ORACLES["token_prefix_dedup"] = f"""
+    WITH p AS (SELECT doc_id,
+                      array_to_string(list_slice({_TOKENS}, 1,
+                                                 {_PREFIX_K}),
+                                      chr(30)) AS pre
+               FROM documents)
+    SELECT min(doc_id)::BIGINT AS leader, count(*)::BIGINT AS n_docs
+    FROM p GROUP BY pre HAVING count(*) > 1 ORDER BY leader
+"""
+
+#: storage_audit is ROWS-ONLY by a gate mechanics constraint, not by
+#: semantics: its ground truth IS SQL-expressible (DuckDB
+#: `parquet_metadata()`), but that table function only accepts a
+#: CONSTANT path while `oracle_sql()` strings are static across gate
+#: scales — the footer bytes aren't reachable through the
+#: pre-registered views.  `test_storage_audit_oracle_parity` runs the
+#: identical comparison (exact frame equality vs `parquet_metadata`
+#: at the fixture path) in pytest instead.
+
+ORACLES["local_clustering"] = """
+    WITH e0 AS (SELECT DISTINCT
+                    LEAST(o_custkey, o_orderkey % 1500) AS u,
+                    GREATEST(o_custkey, o_orderkey % 1500) AS v
+                FROM orders WHERE o_custkey <> o_orderkey % 1500),
+    nb AS (SELECT u AS a, v AS b FROM e0
+           UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT a, count(*) AS deg FROM nb GROUP BY 1),
+    tri AS (SELECT n1.a, count(*) AS t
+            FROM nb n1
+            JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b
+            JOIN e0 t ON t.u = n1.b AND t.v = n2.b
+            GROUP BY 1)
+    SELECT deg.a::BIGINT AS node, deg.deg::BIGINT AS degree,
+           COALESCE(tri.t, 0)::BIGINT AS triangles,
+           ((1000000::HUGEINT * COALESCE(tri.t, 0))
+            // (deg.deg * (deg.deg - 1) // 2))::BIGINT AS coeff_micro
+    FROM deg LEFT JOIN tri ON tri.a = deg.a
+    WHERE deg.deg >= 2 ORDER BY node
+"""

@@ -19,7 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["triangle_count", "connected_components", "connected_components_ds",
+__all__ = ["triangle_count", "local_triangle_counts",
+           "connected_components", "connected_components_ds",
            "pagerank", "pagerank_ds", "pagerank_int", "pagerank_int_ds",
            "PR_INT_DRIVER_MAX_EDGES", "kcore", "kcore_ds",
            "KCORE_DRIVER_MAX_EDGES", "bfs_hops", "bfs_hops_ds",
@@ -1263,3 +1264,142 @@ def hits_int_ds(edges, iters: int = 4, total: int = 10**12,
         "auth_units": out["a"].fillna(0).astype(np.int64),
     }).sort_values("id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def local_triangle_counts(edges, u_col: str = "u", v_col: str = "v",
+                          node_broadcast_limit: int = 5_000_000,
+                          edge_broadcast_limit: int = 5_000_000
+                          ) -> pd.DataFrame:
+    """Per-node triangle counts of an undirected simple graph (Dataset
+    of DISTINCT ``u < v`` edges) — `triangle_count`'s degree-oriented
+    node-iterator plan, but each closed wedge credits ALL THREE of its
+    corners instead of folding to one scalar: per-bucket closures emit
+    (node, +1) partials for (src, b, c), pre-reduced in the bucket via
+    ``np.unique`` before the O(nodes)-bounded final fold.  Same two
+    closure tiers as `triangle_count` (broadcast sorted complex keys ≤
+    ``edge_broadcast_limit``; partitioned wedge⋈edge semi-join above —
+    the wedge keeps its corner column through the join, so the credit
+    explode costs nothing extra).  Returns a pandas frame
+    (node, triangles) over nodes in ≥1 triangle."""
+    import ray
+
+    edges = edges.materialize()
+
+    def deg_part(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl[u_col].to_numpy(zero_copy_only=False),
+            tbl[v_col].to_numpy(zero_copy_only=False)])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n),
+                         "n": pa.array(c.astype(np.int64))})
+
+    deg_rows = (edges.map_batches(deg_part, batch_format="pyarrow")
+                .groupby("node").sum("n").take_all())
+    if len(deg_rows) > node_broadcast_limit:
+        raise NotImplementedError(
+            "degree map exceeds the broadcast tier — wire the "
+            "hash_join-by-node orientation for this graph size")
+    deg = {r["node"]: r["sum(n)"] for r in deg_rows}
+    ref = ray.put(deg)
+
+    def orient(tbl: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        u = tbl[u_col].to_numpy(zero_copy_only=False)
+        v = tbl[v_col].to_numpy(zero_copy_only=False)
+        du = np.fromiter((d[x] for x in u), dtype=np.int64, count=len(u))
+        dv = np.fromiter((d[x] for x in v), dtype=np.int64, count=len(v))
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({"src": pa.array(np.where(u_first, u, v)),
+                         "dst": pa.array(np.where(u_first, v, u)),
+                         "dd": pa.array(np.where(u_first, dv, du))})
+
+    O = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        s = tbl["src"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((s % n_buckets).astype(np.int64)))
+
+    def _bucket_wedges(pdf: pd.DataFrame):
+        order = np.lexsort((pdf["dst"].to_numpy(), pdf["dd"].to_numpy(),
+                            pdf["src"].to_numpy()))
+        s = pdf["src"].to_numpy()[order]
+        d = pdf["dst"].to_numpy()[order]
+        starts = np.concatenate([[0], np.flatnonzero(s[1:] != s[:-1]) + 1,
+                                 [len(s)]])
+        tri_cache: dict = {}
+        outs, outb, outc = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            k = b - a
+            if k < 2:
+                continue
+            ij = tri_cache.get(k)
+            if ij is None:
+                ij = np.triu_indices(k, 1)
+                tri_cache[k] = ij
+            seg = d[a:b]
+            outs.append(np.full(len(ij[0]), s[a]))
+            outb.append(seg[ij[0]])
+            outc.append(seg[ij[1]])
+        if not outs:
+            z = np.zeros(0, dtype=s.dtype)
+            return z, z, z
+        return (np.concatenate(outs), np.concatenate(outb),
+                np.concatenate(outc))
+
+    def _credit(nodes: np.ndarray) -> pd.DataFrame:
+        n, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": n, "t": c.astype(np.int64)})
+
+    m = O.count()
+    if m <= edge_broadcast_limit:
+        ek = np.sort(np.array(
+            [complex(r["src"], r["dst"])
+             for r in O.map_batches(
+                 lambda t: t.select(["src", "dst"]),
+                 batch_format="pyarrow").take_all()],
+            dtype=np.complex128))
+        ek_ref = ray.put(ek)
+
+        def credit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ws, wb, wc = _bucket_wedges(pdf)
+            if not len(wb):
+                return pd.DataFrame({"node": np.zeros(0, np.int64),
+                                     "t": np.zeros(0, np.int64)})
+            keys = wb.astype(np.float64) + 1j * wc.astype(np.float64)
+            e = ray.get(ek_ref)
+            idx = np.searchsorted(e, keys)
+            hit = (idx < len(e)) & (e[np.minimum(idx, len(e) - 1)] == keys)
+            return _credit(np.concatenate([ws[hit], wb[hit], wc[hit]]))
+
+        parts = (O.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("__b").map_groups(credit_bucket,
+                                            batch_format="pandas")
+                 .to_pandas())
+    else:
+        def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+            ws, wb, wc = _bucket_wedges(pdf)
+            return pd.DataFrame({"corner": ws, "src": wb, "dst": wc})
+
+        W = (O.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(wedges, batch_format="pandas"))
+        from .relational import hash_join
+
+        closed = hash_join(
+            W, O.map_batches(lambda t: t.select(["src", "dst"])
+                             .rename_columns(["es", "ed"]),
+                             batch_format="pyarrow"),
+            ["src", "dst"], ["es", "ed"], how="semi")
+        parts = (closed.map_batches(
+            lambda p: _credit(np.concatenate([
+                p["corner"].to_numpy(), p["src"].to_numpy(),
+                p["dst"].to_numpy()])), batch_format="pandas")
+            .to_pandas())
+    if parts.empty or "node" not in parts.columns:
+        # a triangle-free graph: every bucket emitted zero credit rows
+        # and the concatenated frame may carry no schema at all
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "triangles": pd.Series(dtype=np.int64)})
+    out = parts.groupby("node", as_index=False)["t"].sum()
+    return out.rename(columns={"t": "triangles"})

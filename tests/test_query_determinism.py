@@ -2451,3 +2451,119 @@ def test_burstiness_replay(ray_session):
         assert int(r["dispersion_micro"]) == \
             1_000_000 * (n * ss - s * s) // (n * s)
     assert int(out["dispersion_micro"].max()) > 0
+
+
+def test_token_prefix_dedup_replay(ray_session):
+    """Literal per-doc first-8-token prefix walk; the duplicate
+    groups must be live at every fixture scale."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_token_prefix_dedup(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    groups = collections.defaultdict(list)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        pre = "\x1e".join(default_tokenizer(text)[:Q._PREFIX_K])
+        groups[pre].append(int(did))
+    want = sorted((min(v), len(v))
+                  for v in groups.values() if len(v) > 1)
+    assert len(want) > 0
+    got = list(zip(out["leader"].tolist(), out["n_docs"].tolist()))
+    assert got == want
+
+
+def test_storage_audit_oracle_parity(ray_session):
+    """The pytest form of the oracle gate (parquet_metadata only
+    accepts a constant path, so the SQL twin can't ride
+    `oracle_sql()`): exact frame equality against DuckDB's read of
+    the identical footers."""
+    import duckdb
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_storage_audit(SF)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT path_in_schema AS "column",
+               SUM(num_values)::BIGINT AS n_values,
+               SUM(total_compressed_size)::BIGINT AS compressed_bytes,
+               SUM(total_uncompressed_size)::BIGINT
+                   AS uncompressed_bytes,
+               ((1000000::HUGEINT * SUM(total_compressed_size))
+                // SUM(total_uncompressed_size))::BIGINT AS ratio_micro
+        FROM parquet_metadata('{SF}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    for c in ("n_values", "compressed_bytes", "uncompressed_bytes",
+              "ratio_micro"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    assert (out["compressed_bytes"] <= out["uncompressed_bytes"]).any()
+
+
+def test_local_triangle_counts_synthetic(ray_session):
+    """Unit coverage of the all-three-corner credit on a known graph:
+    K4 minus one edge has exactly two triangles sharing an edge —
+    credits (2, 2, 1, 1) — and a pendant vertex gets no row.  Both
+    closure tiers must agree."""
+    import ray.data as rd
+
+    from diffdataflowmlpipelines_ray.stages.iterate import (
+        local_triangle_counts,
+    )
+
+    # nodes 1-4 = K4 minus (3,4); node 5 pendant off 1
+    edges = rd.from_items([
+        {"u": 1, "v": 2}, {"u": 1, "v": 3}, {"u": 1, "v": 4},
+        {"u": 2, "v": 3}, {"u": 2, "v": 4}, {"u": 1, "v": 5}])
+    for kwargs in ({}, {"edge_broadcast_limit": 0}):
+        tri = local_triangle_counts(edges, **kwargs)
+        got = dict(zip(tri["node"].astype(int),
+                       tri["triangles"].astype(int)))
+        assert got == {1: 2, 2: 2, 3: 1, 4: 1}, (kwargs, got)
+
+
+def test_local_clustering_replay(ray_session):
+    """Brute-force per-node triangle walk over the derived graph (the
+    sf0.001 fixture graph is triangle-free — the zero path must hold
+    exactly; coefficient liveness is covered by the sf0.01/sf0.1
+    oracle gate and the synthetic unit test above)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_local_clustering(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey"]
+                           ).to_pandas()
+    a = orders["o_custkey"].to_numpy(dtype=np.int64)
+    b = orders["o_orderkey"].to_numpy(dtype=np.int64) % 1500
+    edges = {(min(x, y), max(x, y))
+             for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        nbl = sorted(nb)
+        t = sum(1 for i in range(len(nbl)) for j in range(i + 1, len(nbl))
+                if (nbl[i], nbl[j]) in edges)
+        want[n] = (d, t, 1_000_000 * t // (d * (d - 1) // 2))
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        assert want[int(r["node"])] == (
+            int(r["degree"]), int(r["triangles"]),
+            int(r["coeff_micro"]))
+    if any(t for _, t, _ in want.values()):
+        cm = out["coeff_micro"].to_numpy()
+        assert ((cm > 0) & (cm < 1_000_000)).any()
