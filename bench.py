@@ -155,7 +155,8 @@ def run_bench() -> dict:
         "mean_shift_split", "bounce_rate", "error_budget", "cuped",
         "bitemporal_asof", "skew_audit",
         "padding_efficiency", "diff_in_diff", "burstiness",
-        "token_prefix_dedup", "storage_audit", "local_clustering")
+        "token_prefix_dedup", "storage_audit", "local_clustering",
+        "nelson_aalen", "jarque_bera", "emd_lengths")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -15,6 +15,7 @@ Float policy (SURVEY §4 "Determinism"):
 
 from __future__ import annotations
 
+import math
 import tempfile
 
 import numpy as np
@@ -19816,4 +19817,197 @@ ORACLES["local_clustering"] = """
             // (deg.deg * (deg.deg - 1) // 2))::BIGINT AS coeff_micro
     FROM deg LEFT JOIN tri ON tri.a = deg.a
     WHERE deg.deg >= 2 ORDER BY node
+"""
+
+
+def q_nelson_aalen(sf_dir: str) -> pd.DataFrame:
+    """Nelson–Aalen cumulative hazard over the `kaplan_meier` survival
+    setup (durations = value, clicks observed, the rest
+    right-censored) — the additive estimator: H(t) = Σ d_i/n_i, each
+    term the exact integer (10⁶·d)//n and H its inclusive int64 scan
+    (`stages/survival.py nelson_aalen`).  Zero libm on either twin —
+    unlike KM's log terms this query is pure count algebra end to
+    end, so the gate compares exact integers."""
+    from ..stages.survival import nelson_aalen
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ev = (tbl["event_type"].to_numpy(zero_copy_only=False)
+              == "click").astype(np.int64)
+        return pa.table({"dur": tbl["value"], "ev": pa.array(ev)})
+
+    return nelson_aalen(ds.map_batches(prep, batch_format="pyarrow"),
+                        "dur", "ev")
+
+
+def q_jarque_bera(sf_dir: str) -> pd.DataFrame:
+    """Jarque–Bera normality test per event type over purchase-scale
+    cents — the distribution-shape gate a metrics platform runs
+    before trusting a t-test: JB = n/6·(S² + K²/4) from the exact
+    power sums Σc..Σc⁴.  Blocks fold (n, s1..s4) per type in OBJECT
+    ints (Σc⁴ exceeds int64 — the HUGEINT twin's path) and the
+    driver finishes each bounded type with ONE float chain built only
+    from IEEE-exact ops (+,−,×,÷,sqrt — no pow, no libm beyond
+    sqrt), mirrored operation-for-operation in the SQL twin and
+    rounded to 6 dp.  The mean ships as exact floor-div micro."""
+    ds = _read(sf_dir, "events", ["event_type", "value"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64).astype(object)
+        g = pd.DataFrame({"event_type": pdf["event_type"],
+                          "n": 1, "s1": c, "s2": c * c,
+                          "s3": c * c * c, "s4": (c * c) * (c * c)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type").sum()
+    recs = []
+    for et in sorted(agg.index):
+        n = int(agg.loc[et, "n"])
+        s1, s2, s3, s4 = (int(agg.loc[et, k])
+                          for k in ("s1", "s2", "s3", "s4"))
+        nf = float(n)
+        mean = float(s1) / nf
+        q2 = float(s2) / nf
+        q3 = float(s3) / nf
+        q4 = float(s4) / nf
+        m2 = q2 - mean * mean
+        m3 = q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean
+        m4 = (q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+              - 3.0 * mean * mean * mean * mean)
+        skew = m3 / (m2 * math.sqrt(m2))
+        kurt = m4 / (m2 * m2) - 3.0
+        jb = nf / 6.0 * (skew * skew + kurt * kurt / 4.0)
+        recs.append((et, n, 1_000_000 * s1 // n, round(skew, 6),
+                     round(kurt, 6), round(jb, 6)))
+    out = pd.DataFrame(recs, columns=[
+        "event_type", "n", "mean_micro", "skew", "kurtosis", "jb"])
+    out["n"] = out["n"].astype(np.int64)
+    out["mean_micro"] = out["mean_micro"].astype(np.int64)
+    return out
+
+
+_EMD_SRC_A, _EMD_SRC_B = "src0", "src1"
+
+
+def q_emd_lengths(sf_dir: str) -> pd.DataFrame:
+    """Exact 1-D Wasserstein (earth-mover's) distance between two
+    sources' token-length distributions — the corpus-drift metric
+    with actual units (tokens): W₁ = ∫|F_A − F_B| dv over the length
+    axis.  Blocks pre-reduce to (source, len) counts (map-only over
+    the shared tokenizer — text never moves); the length-bounded fold
+    lands on the driver where the grid walk runs in exact ints with
+    the normalization CROSS-MULTIPLIED away: Σ|cumA·n_B − cumB·n_A|·Δv
+    // (n_A·n_B) in micro — no float ever exists on either twin."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["source", "text"], blocks=8)
+    A, B = _EMD_SRC_A, _EMD_SRC_B
+
+    def part(tbl: pa.Table) -> pd.DataFrame:
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        sel = (src == A) | (src == B)
+        if not sel.any():
+            return pd.DataFrame({"src": [], "v": [], "c": []})
+        toks = tokenize_column(tbl["text"].filter(pa.array(sel)))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"src": src[sel], "v": n.astype(np.int64),
+                          "c": np.int64(1)})
+        return g.groupby(["src", "v"], as_index=False).sum()
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["src", "v"], as_index=False)["c"].sum()
+    ca = dict(zip(agg[agg["src"] == A]["v"], agg[agg["src"] == A]["c"]))
+    cb = dict(zip(agg[agg["src"] == B]["v"], agg[agg["src"] == B]["c"]))
+    na, nb = sum(ca.values()), sum(cb.values())
+    grid = sorted(set(ca) | set(cb))
+    d = cuma = cumb = 0
+    for v, nxt in zip(grid, grid[1:]):
+        cuma += ca.get(v, 0)
+        cumb += cb.get(v, 0)
+        d += abs(cuma * nb - cumb * na) * (nxt - v)
+    return pd.DataFrame({
+        "n_a": [na], "n_b": [nb],
+        "emd_micro": [1_000_000 * d // (na * nb)]}).astype(np.int64)
+
+
+QUERIES["nelson_aalen"] = q_nelson_aalen
+QUERIES["jarque_bera"] = q_jarque_bera
+QUERIES["emd_lengths"] = q_emd_lengths
+
+ORACLES["nelson_aalen"] = """
+    WITH x AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS tm,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END AS ev
+               FROM events),
+    g AS (SELECT tm, SUM(ev) AS d, count(*) AS c FROM x GROUP BY 1),
+    s AS (SELECT tm, d,
+                 (SELECT SUM(c) FROM g)
+                 - COALESCE(SUM(c) OVER (ORDER BY tm
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n
+          FROM g),
+    e AS (SELECT tm, d, n, (1000000 * d) // n AS term
+          FROM s WHERE d > 0)
+    SELECT tm::BIGINT AS t_micro, n::BIGINT AS n_risk, d::BIGINT AS d,
+           (SUM(term) OVER (ORDER BY tm))::BIGINT AS na_micro
+    FROM e ORDER BY tm
+"""
+
+ORACLES["jarque_bera"] = """
+    WITH p AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT)::HUGEINT AS c
+               FROM events),
+    a AS (SELECT event_type, count(*) AS n, SUM(c) AS s1,
+                 SUM(c * c) AS s2, SUM(c * c * c) AS s3,
+                 SUM((c * c) * (c * c)) AS s4
+          FROM p GROUP BY 1),
+    f AS (SELECT event_type, n, s1,
+                 s1::DOUBLE / n::DOUBLE AS mean,
+                 s2::DOUBLE / n::DOUBLE AS q2,
+                 s3::DOUBLE / n::DOUBLE AS q3,
+                 s4::DOUBLE / n::DOUBLE AS q4
+          FROM a),
+    m AS (SELECT event_type, n, s1, mean,
+                 q2 - mean * mean AS m2,
+                 q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean AS m3,
+                 q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+                     - 3.0 * mean * mean * mean * mean AS m4
+          FROM f),
+    k AS (SELECT event_type, n, s1,
+                 m3 / (m2 * sqrt(m2)) AS skew,
+                 m4 / (m2 * m2) - 3.0 AS kurt
+          FROM m)
+    SELECT event_type, n::BIGINT AS n,
+           ((1000000::HUGEINT * s1) // n)::BIGINT AS mean_micro,
+           ROUND(skew, 6) AS skew, ROUND(kurt, 6) AS kurtosis,
+           ROUND(n::DOUBLE / 6.0 * (skew * skew + kurt * kurt / 4.0),
+                 6) AS jb
+    FROM k ORDER BY event_type
+"""
+
+ORACLES["emd_lengths"] = f"""
+    WITH l AS (SELECT source, len({_TOKENS})::BIGINT AS v
+               FROM documents
+               WHERE source IN ('{_EMD_SRC_A}', '{_EMD_SRC_B}')),
+    g AS (SELECT v,
+                 SUM(CASE WHEN source = '{_EMD_SRC_A}' THEN 1
+                     ELSE 0 END) AS ca,
+                 SUM(CASE WHEN source = '{_EMD_SRC_B}' THEN 1
+                     ELSE 0 END) AS cb
+          FROM l GROUP BY 1),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+    c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                 SUM(cb) OVER (ORDER BY v) AS cumb,
+                 lead(v) OVER (ORDER BY v) AS nxt
+          FROM g),
+    d AS (SELECT SUM(abs(cuma::HUGEINT * t.nb - cumb::HUGEINT * t.na)
+                     * (nxt - v)) AS dd
+          FROM c, t WHERE nxt IS NOT NULL)
+    SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+           ((1000000::HUGEINT * d.dd) // (t.na * t.nb))::BIGINT
+               AS emd_micro
+    FROM d, t
 """

@@ -2567,3 +2567,130 @@ def test_local_clustering_replay(ray_session):
     if any(t for _, t, _ in want.values()):
         cm = out["coeff_micro"].to_numpy()
         assert ((cm > 0) & (cm < 1_000_000)).any()
+
+
+def test_nelson_aalen_replay(ray_session):
+    """Literal risk-set walk: H must be the running sum of exact
+    (10^6*d)//n terms over the quantized grid, monotone, and the
+    first risk set must equal the population."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_nelson_aalen(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    t = half_away(ev["value"].to_numpy(dtype=np.float64) * 1e6)\
+        .astype(np.int64)
+    obs = (ev["event_type"] == "click").to_numpy()
+    d_at = collections.Counter(t[obs].tolist())
+    c_at = collections.Counter(t.tolist())
+    grid = sorted(c_at)
+    total = len(ev)
+    before = 0
+    want = []
+    h = 0
+    for v in grid:
+        n = total - before
+        d = d_at.get(v, 0)
+        if d > 0:
+            h += 1_000_000 * d // n
+            want.append((v, n, d, h))
+        before += c_at[v]
+    assert len(out) == len(want) > 0
+    got = list(zip(out["t_micro"], out["n_risk"], out["d"],
+                   out["na_micro"]))
+    assert [tuple(int(x) for x in r) for r in got] == want
+    assert out["na_micro"].is_monotonic_increasing
+
+
+def test_jarque_bera_replay(ray_session):
+    """Exact object-int power sums replayed per type; the float chain
+    must match term for term, and skew/kurtosis must agree with
+    numpy's population moments to float tolerance."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_jarque_bera(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = _half_away(ev["value"].to_numpy(dtype=np.float64)
+                       * 100.0).astype(np.int64)
+    for et, grp in pd.DataFrame(
+            {"et": ev["event_type"], "c": cents}).groupby("et"):
+        c = grp["c"].to_numpy().astype(object)
+        n = len(c)
+        s1, s2 = int(c.sum()), int((c * c).sum())
+        s3, s4 = int((c * c * c).sum()), int(((c * c) * (c * c)).sum())
+        nf = float(n)
+        mean = float(s1) / nf
+        q2, q3, q4 = float(s2) / nf, float(s3) / nf, float(s4) / nf
+        m2 = q2 - mean * mean
+        m3 = q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean
+        m4 = (q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+              - 3.0 * mean * mean * mean * mean)
+        skew = m3 / (m2 * math.sqrt(m2))
+        kurt = m4 / (m2 * m2) - 3.0
+        row = out[out["event_type"] == et].iloc[0]
+        assert int(row["n"]) == n
+        assert int(row["mean_micro"]) == 1_000_000 * s1 // n
+        assert float(row["skew"]) == round(skew, 6)
+        assert float(row["kurtosis"]) == round(kurt, 6)
+        assert float(row["jb"]) == round(
+            nf / 6.0 * (skew * skew + kurt * kurt / 4.0), 6)
+        # cross-check the chain against numpy's direct moments
+        x = grp["c"].to_numpy(dtype=np.float64)
+        np.testing.assert_allclose(skew, float(
+            np.mean((x - x.mean()) ** 3) / np.std(x) ** 3),
+            rtol=1e-6)
+        np.testing.assert_allclose(kurt + 3.0, float(
+            np.mean((x - x.mean()) ** 4) / np.var(x) ** 2), rtol=1e-6)
+
+
+def test_emd_lengths_replay(ray_session):
+    """Grid walk replayed in exact ints and cross-checked against
+    scipy-free brute force: EMD between equal distributions is 0 and
+    the reported value must equal sum |F_A - F_B| dv cross-multiplied."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_emd_lengths(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    ca, cb = collections.Counter(), collections.Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        if src == Q._EMD_SRC_A:
+            ca[len(default_tokenizer(text))] += 1
+        elif src == Q._EMD_SRC_B:
+            cb[len(default_tokenizer(text))] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    grid = sorted(set(ca) | set(cb))
+    d = cuma = cumb = 0
+    for v, nxt in zip(grid, grid[1:]):
+        cuma += ca.get(v, 0)
+        cumb += cb.get(v, 0)
+        d += abs(cuma * nb - cumb * na) * (nxt - v)
+    assert int(out["n_a"].iat[0]) == na
+    assert int(out["n_b"].iat[0]) == nb
+    assert int(out["emd_micro"].iat[0]) == 1_000_000 * d // (na * nb)
+    # self-distance sanity: A vs A must be exactly zero under the
+    # same walk
+    dz = 0
+    cu = 0
+    for v, nxt in zip(grid, grid[1:]):
+        cu += ca.get(v, 0)
+        dz += abs(cu * na - cu * na) * (nxt - v)
+    assert dz == 0
