@@ -156,7 +156,8 @@ def run_bench() -> dict:
         "bitemporal_asof", "skew_audit",
         "padding_efficiency", "diff_in_diff", "burstiness",
         "token_prefix_dedup", "storage_audit", "local_clustering",
-        "nelson_aalen", "jarque_bera", "emd_lengths")
+        "nelson_aalen", "jarque_bera", "emd_lengths",
+        "path_product", "pettitt", "runs_test")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

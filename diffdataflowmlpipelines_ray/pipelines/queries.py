@@ -20011,3 +20011,186 @@ ORACLES["emd_lengths"] = f"""
                AS emd_micro
     FROM d, t
 """
+
+
+def q_path_product(sf_dir: str) -> pd.DataFrame:
+    """BOM quantity explosion — the MULTIPLICATIVE recursive closure
+    (`org_rollup` is the additive one): along the decimal-digit
+    hierarchy parent(k) = k//10, each edge carries a deterministic
+    per-assembly quantity q(k) = k%3 + 1, and a node's build factor
+    from its root is the PRODUCT of edge quantities up the chain —
+    the classic parts-explosion question SUM cannot answer.  Because
+    the parent is a function of the key, the whole walk is map-side
+    vectorized (≤⌈log₁₀ maxkey⌉ divisions, running product); per-root
+    (nodes, Σfactor, Σfactor·cents) partials pre-reduce in-block and
+    ONE digit-bounded fold finishes.  Factors are ≤3⁶ so every
+    product and Σfactor·cents stays exact int64; the twin is the
+    recursive-CTE walk with the same multiplication."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                 blocks=8)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["c_custkey"].to_numpy(dtype=np.int64)
+        cents = _half_away(pdf["c_acctbal"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        a = k.copy()
+        mult = np.ones(len(k), dtype=np.int64)
+        while True:
+            live = a >= 10
+            if not live.any():
+                break
+            mult[live] *= a[live] % 3 + 1
+            a[live] //= 10
+        g = pd.DataFrame({"root": a, "n": np.int64(1), "f": mult,
+                          "fc": mult * cents})
+        return g.groupby("root", as_index=False).sum().astype(np.int64)
+
+    parts = cust.map_batches(walk, batch_format="pandas").to_pandas()
+    out = parts.groupby("root", as_index=False).sum()
+    out.columns = ["root", "nodes", "factor_sum", "weighted_cents"]
+    return out.sort_values("root").reset_index(drop=True)\
+        .astype(np.int64)
+
+
+def q_pettitt(sf_dir: str) -> pd.DataFrame:
+    """Pettitt nonparametric change-point test over the daily event
+    counts — the rank-based sibling of `mean_shift_split`/`cusum`
+    (outlier-robust: only sign comparisons, no magnitudes):
+    U_t = Σ_{i≤t<j} sgn(x_i − x_j), the split maximizing |U_t| (tie →
+    earlier day), with the signed U and K = |U| reported.  Daily
+    counts fold from block partials over the calendar-bounded domain;
+    the O(days²) pair walk runs in exact driver ints — the SQL twin
+    is the literal pair cross join over the same bounded grid."""
+    ds = _read(sf_dir, "events", ["ts"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (pd.DataFrame({"day": t // 86_400_000_000})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "c"}))
+        return g.astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("c").take_all())
+    daily = sorted((int(r["day"]), int(r["sum(c)"])) for r in rows)
+    days = [d for d, _ in daily]
+    x = [c for _, c in daily]
+    n = len(x)
+    sgn = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            sgn[i][j] = (x[i] > x[j]) - (x[i] < x[j])
+    best = None
+    for ti in range(n - 1):
+        u = sum(sgn[i][j] for i in range(ti + 1)
+                for j in range(ti + 1, n))
+        if best is None or abs(u) > best[1]:
+            best = (days[ti], abs(u), u)
+    return pd.DataFrame({
+        "split_day": [best[0]], "k_stat": [best[1]],
+        "u_stat": [best[2]]}).astype(np.int64)
+
+
+def q_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test on the day-over-day direction of
+    purchase revenue — is the series random, trending (fewer runs
+    than expected) or mean-reverting (more)?  Zero deltas drop
+    (standard), runs count the maximal same-sign stretches, and the
+    verdict is the CROSS-MULTIPLIED integer comparison of R against
+    E[R] = 1 + 2·n₊·n₋/(n₊+n₋): excess = (R−1)·(n₊+n₋) − 2·n₊·n₋ —
+    positive means mean-reverting, no float on either twin.  Daily
+    revenue cents fold from block partials; the O(days) sign walk is
+    exact driver ints."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        g = pd.DataFrame({"day": t // 86_400_000_000, "cents": cents})
+        return g.groupby("day", as_index=False).sum().astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("cents").take_all())
+    daily = sorted((int(r["day"]), int(r["sum(cents)"])) for r in rows)
+    signs = []
+    for (_, a), (_, b) in zip(daily, daily[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    n_up = sum(1 for s in signs if s > 0)
+    n_dn = len(signs) - n_up
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    excess = (runs - 1) * (n_up + n_dn) - 2 * n_up * n_dn
+    return pd.DataFrame({
+        "n_up": [n_up], "n_down": [n_dn], "runs": [runs],
+        "excess_x": [excess],
+        "mean_reverting": [int(excess > 0)]}).astype(np.int64)
+
+
+QUERIES["path_product"] = q_path_product
+QUERIES["pettitt"] = q_pettitt
+QUERIES["runs_test"] = q_runs_test
+
+ORACLES["path_product"] = """
+    WITH RECURSIVE w AS (
+        SELECT c_custkey AS node, c_custkey AS cur,
+               1::BIGINT AS f,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        UNION ALL
+        SELECT node, cur // 10 AS cur, f * (cur % 3 + 1) AS f, cents
+        FROM w WHERE cur >= 10)
+    SELECT cur::BIGINT AS root, count(*)::BIGINT AS nodes,
+           SUM(f)::BIGINT AS factor_sum,
+           SUM(f * cents)::BIGINT AS weighted_cents
+    FROM w WHERE cur < 10 GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["pettitt"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    p AS (SELECT a.day AS di, b.day AS dj,
+                 (CASE WHEN a.c > b.c THEN 1
+                       WHEN a.c < b.c THEN -1 ELSE 0 END) AS s
+          FROM d a JOIN d b ON a.day < b.day),
+    u AS (SELECT t.day, COALESCE(SUM(p.s), 0) AS u
+          FROM d t LEFT JOIN p ON p.di <= t.day AND p.dj > t.day
+          WHERE t.day < (SELECT max(day) FROM d)
+          GROUP BY 1)
+    SELECT day::BIGINT AS split_day, abs(u)::BIGINT AS k_stat,
+           u::BIGINT AS u_stat
+    FROM u ORDER BY abs(u) DESC, day LIMIT 1
+"""
+
+ORACLES["runs_test"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS cents
+               FROM events GROUP BY 1),
+    dd AS (SELECT day, cents - lag(cents) OVER (ORDER BY day) AS dl
+           FROM d),
+    s AS (SELECT day,
+                 CASE WHEN dl > 0 THEN 1 ELSE -1 END AS sg
+          FROM dd WHERE dl IS NOT NULL AND dl <> 0),
+    r AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL
+                          OR lag(sg) OVER (ORDER BY day) <> sg
+                     THEN 1 ELSE 0 END AS brk
+          FROM s),
+    a AS (SELECT SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS n_up,
+                 SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS n_down,
+                 SUM(brk) AS runs
+          FROM r)
+    SELECT n_up::BIGINT AS n_up, n_down::BIGINT AS n_down,
+           runs::BIGINT AS runs,
+           ((runs - 1) * (n_up + n_down)
+            - 2 * n_up * n_down)::BIGINT AS excess_x,
+           (CASE WHEN (runs - 1) * (n_up + n_down)
+                      - 2 * n_up * n_down > 0
+                 THEN 1 ELSE 0 END)::BIGINT AS mean_reverting
+    FROM a
+"""

@@ -2694,3 +2694,103 @@ def test_emd_lengths_replay(ray_session):
         cu += ca.get(v, 0)
         dz += abs(cu * na - cu * na) * (nxt - v)
     assert dz == 0
+
+
+def test_path_product_replay(ray_session):
+    """Literal per-node chain walk with multiplication; root totals
+    must conserve node count, and at least one factor must exceed 1
+    (the product path is live)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_path_product(SF)
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"]).to_pandas()
+    roots = collections.defaultdict(lambda: [0, 0, 0])
+    fs = []
+    for k, bal in zip(cust["c_custkey"], cust["c_acctbal"]):
+        k = int(k)
+        cents = int(_half_away(np.array([bal * 100.0]))[0])
+        a, f = k, 1
+        while a >= 10:
+            f *= a % 3 + 1
+            a //= 10
+        fs.append(f)
+        roots[a][0] += 1
+        roots[a][1] += f
+        roots[a][2] += f * cents
+    assert len(out) == len(roots)
+    for _, r in out.iterrows():
+        n, fsum, wc = roots[int(r["root"])]
+        assert (int(r["nodes"]), int(r["factor_sum"]),
+                int(r["weighted_cents"])) == (n, fsum, wc)
+    assert int(out["nodes"].sum()) == len(cust)
+    assert max(fs) > 1
+
+
+def test_pettitt_replay(ray_session):
+    """Brute-force U_t over every split; the reported split must
+    dominate all candidates with the earliest-day tie-break."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_pettitt(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    days = sorted(cnt)
+    x = [cnt[v] for v in days]
+    n = len(x)
+    cands = []
+    for t in range(n - 1):
+        u = sum((x[i] > x[j]) - (x[i] < x[j])
+                for i in range(t + 1) for j in range(t + 1, n))
+        cands.append((days[t], u))
+    win = max(cands, key=lambda c: (abs(c[1]), -c[0]))
+    assert int(out["split_day"].iat[0]) == win[0]
+    assert int(out["u_stat"].iat[0]) == win[1]
+    assert int(out["k_stat"].iat[0]) == abs(win[1])
+
+
+def test_runs_test_replay(ray_session):
+    """Literal sign-run walk; the excess must equal its own integer
+    identity and the flag must follow its sign."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_runs_test(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    series = [acc[k] for k in sorted(acc)]
+    signs = [1 if b > a else -1
+             for a, b in zip(series, series[1:]) if b != a]
+    n_up = sum(1 for s in signs if s > 0)
+    n_dn = len(signs) - n_up
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    excess = (runs - 1) * (n_up + n_dn) - 2 * n_up * n_dn
+    assert int(out["n_up"].iat[0]) == n_up
+    assert int(out["n_down"].iat[0]) == n_dn
+    assert int(out["runs"].iat[0]) == runs
+    assert int(out["excess_x"].iat[0]) == excess
+    assert int(out["mean_reverting"].iat[0]) == int(excess > 0)
