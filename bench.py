@@ -157,7 +157,8 @@ def run_bench() -> dict:
         "padding_efficiency", "diff_in_diff", "burstiness",
         "token_prefix_dedup", "storage_audit", "local_clustering",
         "nelson_aalen", "jarque_bera", "emd_lengths",
-        "path_product", "pettitt", "runs_test")
+        "path_product", "pettitt", "runs_test",
+        "zorder_layout", "simpson_diversity", "forecast_eval")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -20194,3 +20194,220 @@ ORACLES["runs_test"] = """
                  THEN 1 ELSE 0 END)::BIGINT AS mean_reverting
     FROM a
 """
+
+
+_Z_BITS = 10
+
+
+def _morton_sql(xexpr: str, yexpr: str, bits: int = _Z_BITS) -> str:
+    """The unrolled bit-interleave both twins share (SQL form)."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({xexpr} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({yexpr} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton-curve) layout audit — the write-path op behind
+    Delta/Iceberg `ZORDER BY`: interleaving the low 10 bits of
+    user_id with the low 10 bits of the event day gives the 20-bit
+    curve position that co-locates rows close in BOTH dimensions, and
+    the report shows what each 256-file layout bucket (z >> 12) would
+    hold — rows, distinct curve positions, and the [min_z, max_z]
+    span a file-level zone map would carry for two-dimensional
+    pruning.  Map-only: blocks compute z vectorized (pure bit ops,
+    identical unrolled interleave on both twins) and pre-reduce per
+    bucket; the 256-bounded fold finishes on the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"], blocks=8)
+    B = _Z_BITS
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = u & ((1 << B) - 1)
+        y = (t // 86_400_000_000) & ((1 << B) - 1)
+        z = np.zeros(len(u), dtype=np.int64)
+        for k in range(B):
+            z += ((x >> k) & 1) << (2 * k)
+            z += ((y >> k) & 1) << (2 * k + 1)
+        g = pd.DataFrame({"bucket": z >> 12, "z": z})
+        out = g.groupby("bucket").agg(
+            n_rows=("z", "size"), min_z=("z", "min"),
+            max_z=("z", "max"))
+        return out.reset_index().astype(np.int64)
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    # distinct z per bucket needs exact completion: block-level
+    # distinct z values are NOT additive, so re-walk them in one
+    # bounded pass (z domain ≤ 2^20)
+    def zvals(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = u & ((1 << B) - 1)
+        y = (t // 86_400_000_000) & ((1 << B) - 1)
+        z = np.zeros(len(u), dtype=np.int64)
+        for k in range(B):
+            z += ((x >> k) & 1) << (2 * k)
+            z += ((y >> k) & 1) << (2 * k + 1)
+        return pd.DataFrame({"z": np.unique(z)})
+
+    zu = ds.map_batches(zvals, batch_format="pandas").to_pandas()
+    zu = zu.drop_duplicates()
+    nz = zu.groupby(zu["z"].to_numpy() >> 12).size()
+    agg = parts.groupby("bucket").agg(
+        n_rows=("n_rows", "sum"), min_z=("min_z", "min"),
+        max_z=("max_z", "max")).reset_index()
+    agg["distinct_z"] = agg["bucket"].map(nz).astype(np.int64)
+    return (agg[["bucket", "n_rows", "distinct_z", "min_z", "max_z"]]
+            .sort_values("bucket").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def q_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Simpson diversity (token repeat probability) per source — the
+    EXACT corpus-diversity twin of the micro-nat `grouped_entropy`:
+    D = Σ nᵢ(nᵢ−1) / (N(N−1)), the probability two tokens drawn
+    without replacement are identical (high = templated/boilerplate
+    source).  Blocks pre-reduce (source, token) counts; one
+    hash(token) bucket shuffle completes each token's per-source
+    count (count rows move, text stays); per-bucket Σnᵢ(nᵢ−1)
+    partials fold per source in OBJECT ints (the HUGEINT twin's path
+    — the sum is O(N²) at corpus scale) and the floor-div micro
+    finishes on the bounded source domain."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["source", "text"], blocks=8)
+
+    def part(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(tbl["source"].to_numpy(zero_copy_only=False),
+                        lens)
+        g = pd.DataFrame({"source": src,
+                          "tok": toks.flatten()
+                          .to_numpy(zero_copy_only=False),
+                          "n": np.int64(1)})
+        out = g.groupby(["source", "tok"], as_index=False).sum()
+        out["__b"] = pd.util.hash_array(
+            out["tok"].to_numpy(dtype=object)) % 64
+        return out
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf.groupby(["source", "tok"], as_index=False)["n"].sum()
+        nn = c["n"].to_numpy().astype(object)
+        c["s"] = nn * (nn - 1)
+        out = c.groupby("source", as_index=False).agg(
+            s=("s", "sum"), nn=("n", "sum"))
+        return out
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("__b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    recs = []
+    for src, grp in parts.groupby("source"):
+        s = sum(int(v) for v in grp["s"])
+        n = int(grp["nn"].sum())
+        recs.append((src, n, 1_000_000 * s // (n * (n - 1))))
+    out = pd.DataFrame(recs, columns=["source", "n_tokens",
+                                      "simpson_micro"])
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["simpson_micro"] = out["simpson_micro"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_forecast_eval(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast evaluation (the MASE denominator/
+    numerator pair) over daily purchase revenue: on the common
+    support t ≥ 7, MAE of the lag-1 naive vs the lag-7 seasonal
+    naive, and their ratio — all exact ints: error sums are integer
+    cents, each MAE ships as floor-div micro, and the MASE-style
+    ratio is the cross-division 10⁶·Σ|Δ₇| // Σ|Δ₁| (ratio < 10⁶ ⇒
+    weekly seasonality beats persistence).  Daily cents fold from
+    block partials over the calendar-bounded domain; the O(days)
+    walk is exact driver ints."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        g = pd.DataFrame({"day": t // 86_400_000_000, "cents": cents})
+        return g.groupby("day", as_index=False).sum().astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("cents").take_all())
+    daily = dict(sorted((int(r["day"]), int(r["sum(cents)"]))
+                        for r in rows))
+    lo, hi = min(daily), max(daily)
+    x = {d: daily.get(d, 0) for d in range(lo, hi + 1)}
+    days = list(range(lo, hi + 1))
+    s1 = s7 = n = 0
+    for d in days[7:]:
+        s1 += abs(x[d] - x[d - 1])
+        s7 += abs(x[d] - x[d - 7])
+        n += 1
+    return pd.DataFrame({
+        "n_days": [n],
+        "mae1_micro": [1_000_000 * s1 // n],
+        "mae7_micro": [1_000_000 * s7 // n],
+        "mase_micro": [1_000_000 * s7 // s1]}).astype(np.int64)
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+QUERIES["simpson_diversity"] = q_simpson_diversity
+QUERIES["forecast_eval"] = q_forecast_eval
+
+ORACLES["zorder_layout"] = f"""
+    WITH p AS (SELECT user_id & {(1 << _Z_BITS) - 1} AS x,
+                      (epoch_us(ts) // 86400000000)
+                          & {(1 << _Z_BITS) - 1} AS y
+               FROM events),
+    z AS (SELECT {_morton_sql('x', 'y')} AS z FROM p)
+    SELECT (z >> 12)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+           count(DISTINCT z)::BIGINT AS distinct_z,
+           min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
+    FROM z GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["simpson_diversity"] = f"""
+    WITH t AS (SELECT source, unnest({_TOKENS}) AS tok
+               FROM documents),
+    c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+    a AS (SELECT source, SUM(n::HUGEINT * (n - 1)) AS s,
+                 SUM(n) AS nn
+          FROM c GROUP BY 1)
+    SELECT source, nn::BIGINT AS n_tokens,
+           ((1000000::HUGEINT * s) // (nn::HUGEINT * (nn - 1)))
+               ::BIGINT AS simpson_micro
+    FROM a ORDER BY source
+"""
+
+ORACLES["forecast_eval"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS cents
+               FROM events GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    g AS (SELECT gs.day, COALESCE(d.cents, 0) AS cents
+          FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS day
+                FROM b) gs
+          LEFT JOIN d USING (day)),
+    l AS (SELECT day, cents,
+                 lag(cents, 1) OVER (ORDER BY day) AS c1,
+                 lag(cents, 7) OVER (ORDER BY day) AS c7,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM g),
+    e AS (SELECT SUM(abs(cents - c1)) AS s1,
+                 SUM(abs(cents - c7)) AS s7, count(*) AS n
+          FROM l WHERE rn > 7)
+    SELECT n::BIGINT AS n_days,
+           ((1000000::HUGEINT * s1) // n)::BIGINT AS mae1_micro,
+           ((1000000::HUGEINT * s7) // n)::BIGINT AS mae7_micro,
+           ((1000000::HUGEINT * s7) // s1)::BIGINT AS mase_micro
+    FROM e
+"""

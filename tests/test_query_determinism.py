@@ -2794,3 +2794,102 @@ def test_runs_test_replay(ray_session):
     assert int(out["runs"].iat[0]) == runs
     assert int(out["excess_x"].iat[0]) == excess
     assert int(out["mean_reverting"].iat[0]) == int(excess > 0)
+
+
+def test_zorder_layout_replay(ray_session):
+    """Literal Morton interleave replayed per row; bucket census must
+    match and every bucket's span must contain its distinct count."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_zorder_layout(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    B = Q._Z_BITS
+    u = ev["user_id"].to_numpy(dtype=np.int64)
+    day = (ev["ts"].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // 86_400_000_000)
+    zs = []
+    for x, y in zip((u & ((1 << B) - 1)).tolist(),
+                    (day & ((1 << B) - 1)).tolist()):
+        z = 0
+        for k in range(B):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        zs.append(z)
+    df = pd.DataFrame({"b": [z >> 12 for z in zs], "z": zs})
+    want = df.groupby("b").agg(n=("z", "size"),
+                               dz=("z", "nunique"),
+                               mn=("z", "min"), mx=("z", "max"))
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        w = want.loc[int(r["bucket"])]
+        assert (int(r["n_rows"]), int(r["distinct_z"]),
+                int(r["min_z"]), int(r["max_z"])) == (
+            int(w["n"]), int(w["dz"]), int(w["mn"]), int(w["mx"]))
+        assert (int(r["max_z"]) - int(r["min_z"]) + 1
+                >= int(r["distinct_z"]))
+    assert int(out["n_rows"].sum()) == len(ev)
+
+
+def test_simpson_diversity_replay(ray_session):
+    """Exact token-frequency walk per source; D must sit in [0, 1]
+    micro and the repeat-heavy source must rank above a uniform
+    counterfactual."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_simpson_diversity(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per_src = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        per_src[src].update(default_tokenizer(text))
+    assert len(out) == len(per_src)
+    for _, r in out.iterrows():
+        cnt = per_src[r["source"]]
+        n = sum(cnt.values())
+        s = sum(c * (c - 1) for c in cnt.values())
+        assert int(r["n_tokens"]) == n
+        assert int(r["simpson_micro"]) == 1_000_000 * s // (n * (n - 1))
+        assert 0 <= int(r["simpson_micro"]) <= 1_000_000
+    assert int(out["simpson_micro"].max()) > 0
+
+
+def test_forecast_eval_replay(ray_session):
+    """Literal lag-1/lag-7 error walk over the zero-filled calendar;
+    the ratio must equal its own cross-division."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_forecast_eval(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    lo, hi = min(acc), max(acc)
+    x = [acc.get(dd, 0) for dd in range(lo, hi + 1)]
+    s1 = sum(abs(x[i] - x[i - 1]) for i in range(7, len(x)))
+    s7 = sum(abs(x[i] - x[i - 7]) for i in range(7, len(x)))
+    n = len(x) - 7
+    assert int(out["n_days"].iat[0]) == n
+    assert int(out["mae1_micro"].iat[0]) == 1_000_000 * s1 // n
+    assert int(out["mae7_micro"].iat[0]) == 1_000_000 * s7 // n
+    assert int(out["mase_micro"].iat[0]) == 1_000_000 * s7 // s1
