@@ -158,7 +158,8 @@ def run_bench() -> dict:
         "token_prefix_dedup", "storage_audit", "local_clustering",
         "nelson_aalen", "jarque_bera", "emd_lengths",
         "path_product", "pettitt", "runs_test",
-        "zorder_layout", "simpson_diversity", "forecast_eval")
+        "zorder_layout", "simpson_diversity", "forecast_eval",
+        "rate_alert", "oov_rate", "rich_club")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -20411,3 +20411,269 @@ ORACLES["forecast_eval"] = """
            ((1000000::HUGEINT * s7) // s1)::BIGINT AS mase_micro
     FROM e
 """
+
+
+def q_rate_alert(sf_dir: str) -> pd.DataFrame:
+    """Threshold alerting WITH HYSTERESIS — the SRE alarm FSM a naive
+    `anomaly_days`-style flag cannot express (a single threshold
+    flaps): over the zero-filled hourly event-count grid, the alert
+    RAISES when a count reaches 1.25× the global hourly mean and
+    CLEARS only at ≤ 0.75×, carrying state in between; output = the
+    transition hours.  Both thresholds are CROSS-MULTIPLIED integer
+    comparisons (4·n·c vs 5·S and 3·S — mean never materializes);
+    hourly partials fold over the calendar-bounded domain and the
+    O(hours) FSM walk runs in exact driver ints.  The SQL twin is the
+    classic `last_value IGNORE NULLS` carry over the same grid —
+    hysteresis IS gaps-and-islands with a carried state."""
+    ds = _read(sf_dir, "events", ["ts"], blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (pd.DataFrame({"hr": t // 3_600_000_000})
+             .groupby("hr", as_index=False).size()
+             .rename(columns={"size": "c"}))
+        return g.astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("hr").sum("c").take_all())
+    cnt = dict((int(r["hr"]), int(r["sum(c)"])) for r in rows)
+    lo_h, hi_h = min(cnt), max(cnt)
+    hours = list(range(lo_h, hi_h + 1))
+    c = [cnt.get(h, 0) for h in hours]
+    n, s = len(c), sum(c)
+    status = 0
+    recs = []
+    for h, v in zip(hours, c):
+        if 4 * n * v >= 5 * s:
+            new = 1
+        elif 4 * n * v <= 3 * s:
+            new = 0
+        else:
+            new = status
+        if new != status:
+            recs.append((h, new, v))
+        status = new
+    return pd.DataFrame(recs, columns=["hr", "status", "n_events"])\
+        .astype(np.int64)
+
+
+_OOV_VOCAB = 16
+
+
+def q_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer vocabulary-coverage audit — per source, the share of
+    token occurrences falling OUTSIDE the global top-16 vocabulary
+    (by count DESC, token ASC): the first question when sizing a
+    vocab for a new corpus mix.  Global counts complete inside ONE
+    hash(token) bucket shuffle of pre-reduced count rows; each bucket
+    emits only its LOCAL top-V candidates (exact — a token's whole
+    count lives in one bucket), the driver merges buckets × V rows
+    to the true top-V, and the vocab set broadcasts into a second
+    map-only pass that folds per-source (in, out) occurrence counts.
+    OOV rate ships as floor-div micro."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["source", "text"], blocks=8)
+    V = _OOV_VOCAB
+
+    def tok_counts(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        g = pd.DataFrame({"tok": toks.flatten()
+                          .to_numpy(zero_copy_only=False),
+                          "n": np.int64(1)})
+        out = g.groupby("tok", as_index=False).sum()
+        out["__b"] = pd.util.hash_array(
+            out["tok"].to_numpy(dtype=object)) % 64
+        return out
+
+    def local_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf.groupby("tok", as_index=False)["n"].sum()
+        c = c.sort_values(["n", "tok"], ascending=[False, True],
+                          kind="mergesort")
+        return c.head(V)
+
+    cand = (ds.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("__b").map_groups(local_top, batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["n", "tok"], ascending=[False, True],
+                            kind="mergesort").head(V)
+    vocab = set(cand["tok"])
+    vocab_ref = ray.put(vocab)
+
+    def per_source(tbl: pa.Table) -> pd.DataFrame:
+        vset = ray.get(vocab_ref)
+        toks = tokenize_column(tbl["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(tbl["source"].to_numpy(zero_copy_only=False),
+                        lens)
+        flat = toks.flatten()
+        inv = pc.is_in(flat, value_set=pa.array(sorted(vset)))\
+            .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"source": src,
+                          "n_tok": np.int64(1),
+                          "oov": (~inv).astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(per_source, batch_format="pyarrow")\
+        .to_pandas()
+    out = parts.groupby("source", as_index=False).sum()
+    out["oov_micro"] = 1_000_000 * out["oov"] // out["n_tok"]
+    out = out.rename(columns={"oov": "oov_tokens"})
+    for col in ("n_tok", "oov_tokens", "oov_micro"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_RICH_KS = (2, 4, 8, 16)
+
+
+def q_rich_club(sf_dir: str) -> pd.DataFrame:
+    """Rich-club coefficient of the orders-derived graph
+    (`triangle_count`'s edge rule) at k ∈ {2,4,8,16}: φ(k) =
+    2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with degree > k
+    — do the hubs preferentially interconnect?  Degrees fold from
+    endpoint partials; the degree map broadcasts once (node-bounded
+    domain, `triangle_count`'s documented tier) and ONE map-only edge
+    pass emits per-k qualifying-edge partials; φ ships as floor-div
+    micro over exact ints."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    edges = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda p: p.drop_duplicates(["u", "v"])
+                         [["u", "v"]], batch_format="pandas")
+             .materialize())
+
+    def deg_part(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False)])
+        n, cc = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n),
+                         "n": pa.array(cc.astype(np.int64))})
+
+    deg_rows = (edges.map_batches(deg_part, batch_format="pyarrow")
+                .groupby("node").sum("n").take_all())
+    deg = {int(r["node"]): int(r["sum(n)"]) for r in deg_rows}
+    ref = ray.put(deg)
+    ks = _RICH_KS
+
+    def edge_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(ref)
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        du = np.fromiter((d[int(x)] for x in u), dtype=np.int64,
+                         count=len(u))
+        dv = np.fromiter((d[int(x)] for x in v), dtype=np.int64,
+                         count=len(v))
+        return pd.DataFrame({
+            "k": list(ks),
+            "e": [int(((du > k) & (dv > k)).sum()) for k in ks]})
+
+    parts = edges.map_batches(edge_part, batch_format="pandas")\
+        .to_pandas()
+    ek = parts.groupby("k")["e"].sum()
+    degs = np.array(list(deg.values()))
+    recs = []
+    for k in ks:
+        nk = int((degs > k).sum())
+        e = int(ek.get(k, 0))
+        phi = 1_000_000 * 2 * e // (nk * (nk - 1)) if nk >= 2 else 0
+        recs.append((k, nk, e, phi))
+    return pd.DataFrame(recs, columns=["k", "n_nodes", "n_edges",
+                                       "phi_micro"]).astype(np.int64)
+
+
+QUERIES["rate_alert"] = q_rate_alert
+QUERIES["oov_rate"] = q_oov_rate
+QUERIES["rich_club"] = q_rich_club
+
+ORACLES["rate_alert"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    g AS (SELECT gs.hr, COALESCE(h.c, 0) AS c
+          FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS hr
+                FROM b) gs
+          LEFT JOIN h USING (hr)),
+    t AS (SELECT count(*) AS n, SUM(c) AS s FROM g),
+    r AS (SELECT g.hr, g.c,
+                 CASE WHEN 4 * t.n * g.c >= 5 * t.s THEN 1
+                      WHEN 4 * t.n * g.c <= 3 * t.s THEN 0
+                      ELSE NULL END AS raw
+          FROM g, t),
+    st AS (SELECT hr, c,
+                  COALESCE(last_value(raw IGNORE NULLS)
+                      OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW), 0) AS status
+           FROM r),
+    tr AS (SELECT hr, status, c,
+                  COALESCE(lag(status) OVER (ORDER BY hr), 0)
+                      AS prev
+           FROM st)
+    SELECT hr::BIGINT AS hr, status::BIGINT AS status,
+           c::BIGINT AS n_events
+    FROM tr WHERE status <> prev ORDER BY hr
+"""
+
+ORACLES["oov_rate"] = f"""
+    WITH t AS (SELECT source, unnest({_TOKENS}) AS tok
+               FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    v AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT {_OOV_VOCAB}),
+    a AS (SELECT t.source, count(*) AS n_tok,
+                 SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     AS oov_tokens
+          FROM t LEFT JOIN v ON v.tok = t.tok
+          GROUP BY 1)
+    SELECT source, n_tok::BIGINT AS n_tok,
+           oov_tokens::BIGINT AS oov_tokens,
+           ((1000000::HUGEINT * oov_tokens) // n_tok)::BIGINT
+               AS oov_micro
+    FROM a ORDER BY source
+"""
+
+ORACLES["rich_club"] = f"""
+    WITH e0 AS (SELECT DISTINCT
+                    LEAST(o_custkey, o_orderkey % 1500) AS u,
+                    GREATEST(o_custkey, o_orderkey % 1500) AS v
+                FROM orders WHERE o_custkey <> o_orderkey % 1500),
+    nb AS (SELECT u AS a FROM e0 UNION ALL SELECT v FROM e0),
+    deg AS (SELECT a, count(*) AS deg FROM nb GROUP BY 1),
+    ks AS (SELECT unnest(ARRAY{list(_RICH_KS)}) AS k),
+    nk AS (SELECT ks.k, count(*) AS n_nodes
+           FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+    ek AS (SELECT ks.k, count(*) AS n_edges
+           FROM ks, e0
+           JOIN deg du ON du.a = e0.u
+           JOIN deg dv ON dv.a = e0.v
+           WHERE du.deg > ks.k AND dv.deg > ks.k
+           GROUP BY 1)
+    SELECT ks.k::BIGINT AS k,
+           COALESCE(nk.n_nodes, 0)::BIGINT AS n_nodes,
+           COALESCE(ek.n_edges, 0)::BIGINT AS n_edges,
+           (CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+                 THEN (1000000::HUGEINT * 2 * COALESCE(ek.n_edges, 0))
+                      // (nk.n_nodes * (nk.n_nodes - 1))
+                 ELSE 0 END)::BIGINT AS phi_micro
+    FROM ks LEFT JOIN nk ON nk.k = ks.k
+    LEFT JOIN ek ON ek.k = ks.k
+    ORDER BY ks.k
+"""

@@ -2893,3 +2893,99 @@ def test_forecast_eval_replay(ray_session):
     assert int(out["mae1_micro"].iat[0]) == 1_000_000 * s1 // n
     assert int(out["mae7_micro"].iat[0]) == 1_000_000 * s7 // n
     assert int(out["mase_micro"].iat[0]) == 1_000_000 * s7 // s1
+
+
+def test_rate_alert_replay(ray_session):
+    """Literal hysteresis walk over the zero-filled hourly grid;
+    transitions must alternate and both directions must fire."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_rate_alert(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hr = (ev["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64) // 3_600_000_000)
+    cnt = collections.Counter(hr.tolist())
+    lo, hi = min(cnt), max(cnt)
+    c = [cnt.get(h, 0) for h in range(lo, hi + 1)]
+    n, s = len(c), sum(c)
+    status = 0
+    want = []
+    for h, v in zip(range(lo, hi + 1), c):
+        new = (1 if 4 * n * v >= 5 * s
+               else 0 if 4 * n * v <= 3 * s else status)
+        if new != status:
+            want.append((h, new, v))
+        status = new
+    got = [tuple(int(x) for x in r)
+           for r in zip(out["hr"], out["status"], out["n_events"])]
+    assert got == want
+    sts = [w[1] for w in want]
+    assert all(a != b for a, b in zip(sts, sts[1:]))
+    assert 1 in sts and 0 in sts
+
+
+def test_oov_rate_replay(ray_session):
+    """Exact top-V vocabulary rebuilt scalar-side; per-source OOV
+    counts must match and every rate its own floor-div."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_oov_rate(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    cnt = collections.Counter()
+    per_src = collections.defaultdict(list)
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = default_tokenizer(text)
+        cnt.update(toks)
+        per_src[src].extend(toks)
+    vocab = set(t for t, _ in sorted(
+        cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:Q._OOV_VOCAB])
+    assert len(out) == len(per_src)
+    for _, r in out.iterrows():
+        toks = per_src[r["source"]]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert int(r["n_tok"]) == len(toks)
+        assert int(r["oov_tokens"]) == oov
+        assert int(r["oov_micro"]) == 1_000_000 * oov // len(toks)
+    assert int(out["oov_tokens"].sum()) > 0
+
+
+def test_rich_club_replay(ray_session):
+    """Brute-force subgraph census per k; phi must be monotone-defined
+    and n_nodes strictly shrinking in k."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_rich_club(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey"]
+                           ).to_pandas()
+    a = orders["o_custkey"].to_numpy(dtype=np.int64)
+    b = orders["o_orderkey"].to_numpy(dtype=np.int64) % 1500
+    edges = {(min(x, y), max(x, y))
+             for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    for _, r in out.iterrows():
+        k = int(r["k"])
+        nodes = [x for x, d in deg.items() if d > k]
+        e = sum(1 for u, v in edges if deg[u] > k and deg[v] > k)
+        nk = len(nodes)
+        phi = (1_000_000 * 2 * e // (nk * (nk - 1))) if nk >= 2 else 0
+        assert (int(r["n_nodes"]), int(r["n_edges"]),
+                int(r["phi_micro"])) == (nk, e, phi)
+    assert out["n_nodes"].is_monotonic_decreasing
