@@ -159,7 +159,8 @@ def run_bench() -> dict:
         "nelson_aalen", "jarque_bera", "emd_lengths",
         "path_product", "pettitt", "runs_test",
         "zorder_layout", "simpson_diversity", "forecast_eval",
-        "rate_alert", "oov_rate", "rich_club")
+        "rate_alert", "oov_rate", "rich_club",
+        "ks_by_source", "shapley_attribution", "first_last_flow")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -20677,3 +20677,218 @@ ORACLES["rich_club"] = f"""
     LEFT JOIN ek ON ek.k = ks.k
     ORDER BY ks.k
 """
+
+
+def q_ks_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source distribution drift — the segmented form of
+    `ks_test`: for EACH source, the Kolmogorov–Smirnov distance
+    between its token-length distribution and the REST of the corpus
+    (the one-vs-rest drift scan that flags which ingest went weird).
+    Blocks pre-reduce (source, len) counts; the length-bounded fold
+    lands on the driver where each source's CDF gap maximum runs
+    cross-multiplied — max |cum_s·(N−n_s) − (cum_all−cum_s)·n_s| —
+    with the normalization divided out once as floor-div micro.  No
+    float on either twin."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["source", "text"], blocks=8)
+
+    def part(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "source": tbl["source"].to_numpy(zero_copy_only=False),
+            "v": n.astype(np.int64), "c": np.int64(1)})
+        return g.groupby(["source", "v"], as_index=False).sum()
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["source", "v"], as_index=False)["c"].sum()
+    grid = sorted(agg["v"].unique())
+    tot = agg.groupby("source")["c"].sum().to_dict()
+    n_all = sum(tot.values())
+    per = {s: dict(zip(g["v"], g["c"]))
+           for s, g in agg.groupby("source")}
+    all_at = agg.groupby("v")["c"].sum().to_dict()
+    recs = []
+    for s in sorted(per):
+        ns = tot[s]
+        nr = n_all - ns
+        cum_s = cum_a = 0
+        best = 0
+        for v in grid:
+            cum_s += per[s].get(v, 0)
+            cum_a += all_at[v]
+            gap = abs(cum_s * nr - (cum_a - cum_s) * ns)
+            if gap > best:
+                best = gap
+        recs.append((s, ns, 1_000_000 * best // (ns * nr)))
+    return pd.DataFrame(recs, columns=["source", "n_docs", "ks_micro"])\
+        .astype({"n_docs": np.int64, "ks_micro": np.int64})
+
+
+_SHAPLEY_CHANNELS = ("click", "view", "signup")
+
+
+def q_shapley_attribution(sf_dir: str) -> pd.DataFrame:
+    """EXACT Shapley-value marketing attribution under the unanimity
+    model — the principled alternative to `asof_attribution`'s
+    last-touch: a converting user's pre-purchase channel set C (the
+    distinct types among click/view/signup strictly before their
+    first purchase) defines the unanimity game v(S) = 1 iff C ⊆ S,
+    whose Shapley value is EXACTLY 1/|C| per member channel — so the
+    whole computation is integer credit in SIXTHS (lcm of 1..3).
+    ONE hash(user) bucket shuffle finds each user's first purchase
+    and pre-purchase channel set together; per-channel (users,
+    credit_sixths) partials fold over the 3-bounded channel domain.
+    Credit conservation Σcredit = 6·|converting users with C ≠ ∅|
+    is pinned by the replay test."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"], blocks=8)
+    CH = _SHAPLEY_CHANNELS
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pdf = pdf.assign(__t=t)
+        first_p = (pdf[pdf["event_type"] == "purchase"]
+                   .groupby("user_id")["__t"].min())
+        sub = pdf[pdf["user_id"].isin(first_p.index)]
+        cut = sub["user_id"].map(first_p)
+        pre = sub[(sub["__t"] < cut)
+                  & sub["event_type"].isin(CH)]
+        sets = pre.groupby("user_id")["event_type"].agg(
+            lambda s: frozenset(s))
+        cnt: dict[str, list[int]] = {c: [0, 0] for c in CH}
+        for cs in sets:
+            k = len(cs)
+            for c in cs:
+                cnt[c][0] += 1
+                cnt[c][1] += 6 // k
+        return pd.DataFrame(
+            [(c, v[0], v[1]) for c, v in cnt.items()],
+            columns=["channel", "users", "credit_sixths"])
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("channel", as_index=False).sum()
+    out["credit_micro"] = (1_000_000 * out["credit_sixths"] // 6)
+    for c in ("users", "credit_sixths", "credit_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+def q_first_last_flow(sf_dir: str) -> pd.DataFrame:
+    """Entry→exit flow matrix — the Sankey top band: per user the
+    FIRST and LAST event type (by ts, event_id), counted into the
+    TYPE² flow matrix with the exact share of all users as floor-div
+    micro.  ONE hash(user) bucket shuffle orders each user in-bucket;
+    (first, last) partials fold over the type²-bounded domain."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        g = pdf.groupby("user_id")["event_type"]
+        fl = pd.DataFrame({"first": g.first(), "last": g.last()})
+        out = (fl.groupby(["first", "last"], as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        return out
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["first", "last"], as_index=False).sum()
+    total = int(out["n_users"].sum())
+    out["share_micro"] = 1_000_000 * out["n_users"] // total
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["share_micro"] = out["share_micro"].astype(np.int64)
+    return (out.sort_values(["first", "last"])
+            .reset_index(drop=True))
+
+
+QUERIES["ks_by_source"] = q_ks_by_source
+QUERIES["shapley_attribution"] = q_shapley_attribution
+QUERIES["first_last_flow"] = q_first_last_flow
+
+ORACLES["ks_by_source"] = f"""
+    WITH l AS (SELECT source, len({_TOKENS})::BIGINT AS v
+               FROM documents),
+    g AS (SELECT source, v, count(*) AS c FROM l GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT v FROM g),
+    srcs AS (SELECT source, SUM(c) AS ns FROM g GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_all FROM g),
+    cs AS (SELECT s.source, gr.v,
+                  COALESCE(SUM(g2.c), 0) AS cum_s
+           FROM srcs s CROSS JOIN grid gr
+           LEFT JOIN g g2 ON g2.source = s.source AND g2.v <= gr.v
+           GROUP BY 1, 2),
+    ca AS (SELECT gr.v, SUM(g2.c) AS cum_a
+           FROM grid gr JOIN g g2 ON g2.v <= gr.v GROUP BY 1),
+    gap AS (SELECT cs.source,
+                   max(abs(cs.cum_s::HUGEINT * (t.n_all - s.ns)
+                           - (ca.cum_a - cs.cum_s)::HUGEINT * s.ns))
+                       AS best
+            FROM cs JOIN ca USING (v)
+            JOIN srcs s ON s.source = cs.source
+            CROSS JOIN tot t
+            GROUP BY 1)
+    SELECT gap.source, s.ns::BIGINT AS n_docs,
+           ((1000000::HUGEINT * gap.best)
+            // (s.ns * ((SELECT n_all FROM tot) - s.ns)))::BIGINT
+               AS ks_micro
+    FROM gap JOIN srcs s ON s.source = gap.source
+    ORDER BY gap.source
+"""
+
+ORACLES["shapley_attribution"] = f"""
+    WITH fp AS (SELECT user_id, min(ts) AS pt
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1),
+    pre AS (SELECT e.user_id, e.event_type
+            FROM events e JOIN fp USING (user_id)
+            WHERE e.ts < fp.pt
+              AND e.event_type IN {_SHAPLEY_CHANNELS}
+            GROUP BY 1, 2),
+    sz AS (SELECT user_id, count(*) AS k FROM pre GROUP BY 1),
+    cr AS (SELECT pre.event_type AS channel, count(*) AS users,
+                  SUM(6 // sz.k) AS credit_sixths
+           FROM pre JOIN sz USING (user_id) GROUP BY 1)
+    SELECT channel, users::BIGINT AS users,
+           credit_sixths::BIGINT AS credit_sixths,
+           ((1000000::HUGEINT * credit_sixths) // 6)::BIGINT
+               AS credit_micro
+    FROM cr ORDER BY channel
+"""
+
+ORACLES["first_last_flow"] = """
+    WITH o AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rf,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rl
+               FROM events),
+    fl AS (SELECT f.user_id, f.event_type AS "first",
+                  l.event_type AS "last"
+           FROM (SELECT * FROM o WHERE rf = 1) f
+           JOIN (SELECT * FROM o WHERE rl = 1) l USING (user_id)),
+    g AS (SELECT "first", "last", count(*) AS n_users FROM fl
+          GROUP BY 1, 2),
+    t AS (SELECT SUM(n_users) AS total FROM g)
+    SELECT "first", "last", n_users::BIGINT AS n_users,
+           ((1000000::HUGEINT * n_users) // t.total)::BIGINT
+               AS share_micro
+    FROM g, t ORDER BY "first", "last"
+"""

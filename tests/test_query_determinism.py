@@ -2989,3 +2989,105 @@ def test_rich_club_replay(ray_session):
         assert (int(r["n_nodes"]), int(r["n_edges"]),
                 int(r["phi_micro"])) == (nk, e, phi)
     assert out["n_nodes"].is_monotonic_decreasing
+
+
+def test_ks_by_source_replay(ray_session):
+    """One-vs-rest CDF gap replayed per source in exact ints; at
+    least one source must show non-zero drift."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_ks_by_source(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        per[src][len(default_tokenizer(text))] += 1
+    n_all = sum(sum(c.values()) for c in per.values())
+    grid = sorted({v for c in per.values() for v in c})
+    all_at = collections.Counter()
+    for c in per.values():
+        all_at.update(c)
+    assert len(out) == len(per)
+    for _, r in out.iterrows():
+        c = per[r["source"]]
+        ns = sum(c.values())
+        nr = n_all - ns
+        cum_s = cum_a = best = 0
+        for v in grid:
+            cum_s += c.get(v, 0)
+            cum_a += all_at[v]
+            best = max(best, abs(cum_s * nr - (cum_a - cum_s) * ns))
+        assert int(r["n_docs"]) == ns
+        assert int(r["ks_micro"]) == 1_000_000 * best // (ns * nr)
+    assert int(out["ks_micro"].max()) > 0
+
+
+def test_shapley_attribution_replay(ray_session):
+    """Literal per-user channel-set walk; Shapley credit must
+    conserve: sum of sixths == 6 x converting users with a non-empty
+    pre-purchase channel set, and singleton sets give full credit."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_shapley_attribution(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t)
+    fp = (ev[ev["event_type"] == "purchase"]
+          .groupby("user_id")["t"].min())
+    cnt = {c: [0, 0] for c in Q._SHAPLEY_CHANNELS}
+    conv_nonempty = 0
+    for u, cut in fp.items():
+        sub = ev[(ev["user_id"] == u) & (ev["t"] < cut)
+                 & ev["event_type"].isin(Q._SHAPLEY_CHANNELS)]
+        cs = set(sub["event_type"])
+        if cs:
+            conv_nonempty += 1
+        for c in cs:
+            cnt[c][0] += 1
+            cnt[c][1] += 6 // len(cs)
+    got = {r["channel"]: (int(r["users"]), int(r["credit_sixths"]))
+           for _, r in out.iterrows()}
+    for c, (u_, s_) in cnt.items():
+        if u_ or c in got:
+            assert got.get(c, (0, 0)) == (u_, s_)
+    assert int(out["credit_sixths"].sum()) == 6 * conv_nonempty
+    assert (out["credit_micro"].to_numpy()
+            == 1_000_000 * out["credit_sixths"].to_numpy() // 6).all()
+
+
+def test_first_last_flow_replay(ray_session):
+    """Literal first/last pick per user; the matrix must conserve the
+    user population and shares their own floor-div."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_first_last_flow(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    g = ev.groupby("user_id")["event_type"]
+    fl = pd.DataFrame({"f": g.first(), "l": g.last()})
+    want = fl.groupby(["f", "l"]).size()
+    total = int(want.sum())
+    assert int(out["n_users"].sum()) == total == ev["user_id"].nunique()
+    for _, r in out.iterrows():
+        w = int(want.loc[(r["first"], r["last"])])
+        assert int(r["n_users"]) == w
+        assert int(r["share_micro"]) == 1_000_000 * w // total
+    assert len(out) == len(want)
