@@ -160,7 +160,8 @@ def run_bench() -> dict:
         "path_product", "pettitt", "runs_test",
         "zorder_layout", "simpson_diversity", "forecast_eval",
         "rate_alert", "oov_rate", "rich_club",
-        "ks_by_source", "shapley_attribution", "first_last_flow")
+        "ks_by_source", "shapley_attribution", "first_last_flow",
+        "permutation_test", "variance_ratio", "emerging_terms")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

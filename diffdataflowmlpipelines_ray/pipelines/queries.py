@@ -20892,3 +20892,277 @@ ORACLES["first_last_flow"] = """
                AS share_micro
     FROM g, t ORDER BY "first", "last"
 """
+
+
+_PERM_B = 64
+
+
+def q_permutation_test(sf_dir: str) -> pd.DataFrame:
+    """Randomization inference for the A/B readout — the
+    assumption-free p-value `ab_test`'s t-statistic approximates:
+    re-randomize the per-user treatment assignment B = 64 times with
+    the DuckDB-reproducible MD5 hash (the `skew_audit` trick, seeded
+    by permutation index) and count how often the permuted
+    |mean₁ − mean₀| reaches the observed one.  Every comparison is
+    CROSS-MULTIPLIED object-int algebra — |S₁ᵇn₀ᵇ − S₀ᵇn₁ᵇ|·n₁n₀ vs
+    the observed |S₁n₀ − S₀n₁|·n₁ᵇn₀ᵇ — so no mean is ever a float.
+    Fully distributed: each hash(user) bucket folds its users'
+    purchase cents into per-(permutation, side) partials (the md5
+    loop runs ONLY on each bucket's distinct users), and the driver
+    sees 2(B+1) partial rows, never a per-user table.  p ships with
+    the standard +1 smoothing as floor-div micro."""
+    from ..functions.hashing import stable_hash60_array
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "value"], blocks=8)
+    B = _PERM_B
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        per_u = (pd.DataFrame({
+            "u": pdf["user_id"].to_numpy(dtype=np.int64), "y": cents})
+            .groupby("u", as_index=False).sum())
+        users = per_u["u"].to_numpy()
+        y = per_u["y"].to_numpy()
+        rows = []
+        # permutation -1 = the OBSERVED assignment user_id % 2
+        side = users % 2
+        for s in (0, 1):
+            m = side == s
+            rows.append((-1, s, int(m.sum()), int(y[m].sum())))
+        for b in range(B):
+            hb = stable_hash60_array(
+                [f"{u}_{b}" for u in users.tolist()]) % 2
+            for s in (0, 1):
+                m = hb == s
+                rows.append((b, s, int(m.sum()), int(y[m].sum())))
+        return pd.DataFrame(rows, columns=["b", "side", "n", "s"])
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(partials, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby(["b", "side"], as_index=False).sum()
+    tab = {(int(r["b"]), int(r["side"])): (int(r["n"]), int(r["s"]))
+           for _, r in agg.iterrows()}
+    n1, s1 = tab[(-1, 1)]
+    n0, s0 = tab[(-1, 0)]
+    obs = abs(s1 * n0 - s0 * n1)
+    exceed = 0
+    for b in range(B):
+        nb1, sb1 = tab[(b, 1)]
+        nb0, sb0 = tab[(b, 0)]
+        if abs(sb1 * nb0 - sb0 * nb1) * (n1 * n0) >= obs * (nb1 * nb0):
+            exceed += 1
+    m1 = 1_000_000 * s1 // n1
+    m0 = 1_000_000 * s0 // n0
+    return pd.DataFrame({
+        "n_users": [n1 + n0], "b": [B], "exceed": [exceed],
+        "p_micro": [1_000_000 * (exceed + 1) // (B + 1)],
+        "obs_diff_micro": [abs(m1 - m0)]}).astype(np.int64)
+
+
+def q_variance_ratio(sf_dir: str) -> pd.DataFrame:
+    """Lo–MacKinlay variance-ratio diagnostic on daily purchase
+    revenue — random walk ⇒ Var(2-day diff) = 2·Var(1-day diff);
+    VR > 1 = trending, < 1 = mean-reverting (the `runs_test`
+    cross-check through second moments).  Over the zero-filled
+    calendar on the common t ≥ 2 support, both variance numerators
+    are the exact object ints n·Σd² − (Σd)² and VR ships as the
+    cross-division 10⁶·v₂ // (2·v₁) with the trending flag the pure
+    integer comparison v₂ > 2·v₁.  Daily cents fold from block
+    partials; the O(days) walk is exact driver ints."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               blocks=8)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        g = pd.DataFrame({"day": t // 86_400_000_000, "cents": cents})
+        return g.groupby("day", as_index=False).sum().astype(np.int64)
+
+    rows = (ds.map_batches(part, batch_format="pandas")
+            .groupby("day").sum("cents").take_all())
+    daily = dict(sorted((int(r["day"]), int(r["sum(cents)"]))
+                        for r in rows))
+    lo, hi = min(daily), max(daily)
+    x = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    d1 = [x[i] - x[i - 1] for i in range(2, len(x))]
+    d2 = [x[i] - x[i - 2] for i in range(2, len(x))]
+    n = len(d1)
+    v1 = n * sum(v * v for v in d1) - sum(d1) ** 2
+    v2 = n * sum(v * v for v in d2) - sum(d2) ** 2
+    return pd.DataFrame({
+        "n_days": [n],
+        "vr_micro": [1_000_000 * v2 // (2 * v1)],
+        "trending": [int(v2 > 2 * v1)]}).astype(np.int64)
+
+
+_EMERGING_MIN_SUPPORT = 5
+_EMERGING_K = 10
+_EMERGING_BATCHES = 8
+
+
+def q_emerging_terms(sf_dir: str) -> pd.DataFrame:
+    """Emerging-term detection — the trending-vocabulary scan a
+    corpus-refresh pipeline runs per ingest batch: with documents
+    assigned to {0..7} ingest batches by doc_id % 8, each token's
+    occurrence RATE in the newest batch is compared to its rate over
+    all earlier batches, lift = (c_new/n_new)/(c_old/n_old) as the
+    exact cross-division 10⁶·c_new·n_old // (n_new·c_old), minimum
+    support 5, top-10 by (lift DESC, token).  Blocks pre-reduce
+    (batch-half, token) counts; ONE hash(token) bucket shuffle
+    completes counts and emits per-bucket top-k candidates (exact —
+    a token's counts co-locate), merged on the driver."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"],
+               blocks=8)
+    NEW = _EMERGING_BATCHES - 1
+
+    def part(tbl: pa.Table) -> pd.DataFrame:
+        batch = (tbl["doc_id"].to_numpy(zero_copy_only=False)
+                 % _EMERGING_BATCHES)
+        toks = tokenize_column(tbl["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        is_new = np.repeat(batch == NEW, lens)
+        g = pd.DataFrame({"tok": toks.flatten()
+                          .to_numpy(zero_copy_only=False),
+                          "new": is_new.astype(np.int64),
+                          "old": (~is_new).astype(np.int64)})
+        out = g.groupby("tok", as_index=False).sum()
+        out["__b"] = pd.util.hash_array(
+            out["tok"].to_numpy(dtype=object)) % 64
+        return out
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .to_pandas())
+    # totals are scalars — fold once, broadcast into the candidate cut
+    n_new = int(parts["new"].sum())
+    n_old = int(parts["old"].sum())
+    comp = parts.groupby("tok", as_index=False)[["new", "old"]].sum()
+    comp = comp[(comp["new"] >= _EMERGING_MIN_SUPPORT)
+                & (comp["old"] > 0)]
+    cn = comp["new"].to_numpy().astype(object)
+    co = comp["old"].to_numpy().astype(object)
+    comp["lift_micro"] = ((1_000_000 * cn * n_old) // (n_new * co))\
+        .astype(np.int64)
+    comp = comp.sort_values(["lift_micro", "tok"],
+                            ascending=[False, True], kind="mergesort")\
+        .head(_EMERGING_K)
+    out = comp.rename(columns={"tok": "token", "new": "c_new",
+                               "old": "c_old"})
+    for c in ("c_new", "c_old", "lift_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out[["token", "c_new", "c_old", "lift_micro"]]\
+        .reset_index(drop=True)
+
+
+QUERIES["permutation_test"] = q_permutation_test
+QUERIES["variance_ratio"] = q_variance_ratio
+QUERIES["emerging_terms"] = q_emerging_terms
+
+ORACLES["permutation_test"] = f"""
+    WITH pu AS (SELECT user_id,
+                       SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+    obs AS (SELECT SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS n1,
+                   SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)
+                       AS s1,
+                   SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS n0,
+                   SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)
+                       AS s0
+            FROM pu),
+    perms AS (SELECT b.b, pu.y,
+                     (('0x' || substr(md5(CAST(pu.user_id AS VARCHAR)
+                         || '_' || CAST(b.b AS VARCHAR)), 1, 15))
+                         ::BIGINT) % 2 AS side
+              FROM pu CROSS JOIN
+                   (SELECT unnest(generate_series(0, {_PERM_B - 1}))
+                        AS b) b),
+    pa_ AS (SELECT b,
+                   SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN side = 1 THEN y ELSE 0 END) AS s1,
+                   SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n0,
+                   SUM(CASE WHEN side = 0 THEN y ELSE 0 END) AS s0
+            FROM perms GROUP BY 1),
+    ex AS (SELECT count(*) AS exceed
+           FROM pa_, obs
+           WHERE abs(pa_.s1::HUGEINT * pa_.n0
+                     - pa_.s0::HUGEINT * pa_.n1)
+                 * (obs.n1::HUGEINT * obs.n0)
+                 >= abs(obs.s1::HUGEINT * obs.n0
+                        - obs.s0::HUGEINT * obs.n1)
+                 * (pa_.n1::HUGEINT * pa_.n0))
+    SELECT (obs.n1 + obs.n0)::BIGINT AS n_users,
+           {_PERM_B}::BIGINT AS b, ex.exceed::BIGINT AS exceed,
+           ((1000000::HUGEINT * (ex.exceed + 1))
+            // {_PERM_B + 1})::BIGINT AS p_micro,
+           abs((1000000::HUGEINT * obs.s1) // obs.n1
+               - (1000000::HUGEINT * obs.s0) // obs.n0)::BIGINT
+               AS obs_diff_micro
+    FROM obs, ex
+"""
+
+ORACLES["variance_ratio"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS cents
+               FROM events GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    g AS (SELECT gs.day, COALESCE(d.cents, 0) AS cents
+          FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS day
+                FROM b) gs
+          LEFT JOIN d USING (day)),
+    l AS (SELECT day, cents,
+                 cents - lag(cents, 1) OVER (ORDER BY day) AS d1,
+                 cents - lag(cents, 2) OVER (ORDER BY day) AS d2,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM g),
+    v AS (SELECT count(*) AS n,
+                 SUM(d1::HUGEINT * d1) AS q1, SUM(d1)::HUGEINT AS t1,
+                 SUM(d2::HUGEINT * d2) AS q2, SUM(d2)::HUGEINT AS t2
+          FROM l WHERE rn > 2)
+    SELECT n::BIGINT AS n_days,
+           ((1000000::HUGEINT * (n * q2 - t2 * t2))
+            // (2 * (n * q1 - t1 * t1)))::BIGINT AS vr_micro,
+           (CASE WHEN n * q2 - t2 * t2 > 2 * (n * q1 - t1 * t1)
+                 THEN 1 ELSE 0 END)::BIGINT AS trending
+    FROM v
+"""
+
+ORACLES["emerging_terms"] = f"""
+    WITH t AS (SELECT doc_id % {_EMERGING_BATCHES} AS batch,
+                      unnest({_TOKENS}) AS tok
+               FROM documents),
+    c AS (SELECT tok,
+                 SUM(CASE WHEN batch = {_EMERGING_BATCHES - 1}
+                     THEN 1 ELSE 0 END) AS c_new,
+                 SUM(CASE WHEN batch <> {_EMERGING_BATCHES - 1}
+                     THEN 1 ELSE 0 END) AS c_old
+          FROM t GROUP BY 1),
+    n AS (SELECT SUM(c_new) AS n_new, SUM(c_old) AS n_old FROM c),
+    l AS (SELECT c.tok AS token, c.c_new, c.c_old,
+                 ((1000000::HUGEINT * c.c_new * n.n_old)
+                  // (n.n_new * c.c_old)) AS lift_micro
+          FROM c, n
+          WHERE c.c_new >= {_EMERGING_MIN_SUPPORT} AND c.c_old > 0)
+    SELECT token, c_new::BIGINT AS c_new, c_old::BIGINT AS c_old,
+           lift_micro::BIGINT AS lift_micro
+    FROM l ORDER BY lift_micro DESC, token LIMIT {_EMERGING_K}
+"""

@@ -3091,3 +3091,119 @@ def test_first_last_flow_replay(ray_session):
         assert int(r["n_users"]) == w
         assert int(r["share_micro"]) == 1_000_000 * w // total
     assert len(out) == len(want)
+
+
+def test_permutation_test_replay(ray_session):
+    """Literal re-randomization with the same MD5 assignment; the
+    exceed count and smoothed p must replay exactly."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_permutation_test(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "y": cents}).groupby("u", as_index=False)
+          .sum())
+    users = pu["u"].to_numpy()
+    y = pu["y"].to_numpy().astype(object)
+    obs_m = users % 2 == 1
+    n1, n0 = int(obs_m.sum()), int((~obs_m).sum())
+    s1, s0 = int(y[obs_m].sum()), int(y[~obs_m].sum())
+    obs = abs(s1 * n0 - s0 * n1)
+    exceed = 0
+    for b in range(Q._PERM_B):
+        hb = stable_hash60_array(
+            [f"{u}_{b}" for u in users.tolist()]) % 2
+        m = hb == 1
+        nb1, nb0 = int(m.sum()), int((~m).sum())
+        sb1, sb0 = int(y[m].sum()), int(y[~m].sum())
+        if abs(sb1 * nb0 - sb0 * nb1) * (n1 * n0) \
+                >= obs * (nb1 * nb0):
+            exceed += 1
+    assert int(out["n_users"].iat[0]) == n1 + n0
+    assert int(out["exceed"].iat[0]) == exceed
+    assert int(out["p_micro"].iat[0]) == \
+        1_000_000 * (exceed + 1) // (Q._PERM_B + 1)
+    assert 0 < int(out["p_micro"].iat[0]) <= 1_000_000
+
+
+def test_variance_ratio_replay(ray_session):
+    """Exact second-moment walk over the zero-filled calendar; the
+    flag must equal its own integer comparison."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_variance_ratio(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(dtype=np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    lo, hi = min(acc), max(acc)
+    x = [acc.get(i, 0) for i in range(lo, hi + 1)]
+    d1 = [x[i] - x[i - 1] for i in range(2, len(x))]
+    d2 = [x[i] - x[i - 2] for i in range(2, len(x))]
+    n = len(d1)
+    v1 = n * sum(v * v for v in d1) - sum(d1) ** 2
+    v2 = n * sum(v * v for v in d2) - sum(d2) ** 2
+    assert int(out["n_days"].iat[0]) == n
+    assert int(out["vr_micro"].iat[0]) == 1_000_000 * v2 // (2 * v1)
+    assert int(out["trending"].iat[0]) == int(v2 > 2 * v1)
+
+
+def test_emerging_terms_replay(ray_session):
+    """Literal batch-split count walk; lifts must replay exactly,
+    ordering must be (lift DESC, token), and support respected."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_emerging_terms(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    cn, co = collections.Counter(), collections.Counter()
+    NEW = Q._EMERGING_BATCHES - 1
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = default_tokenizer(text)
+        if int(did) % Q._EMERGING_BATCHES == NEW:
+            cn.update(toks)
+        else:
+            co.update(toks)
+    n_new, n_old = sum(cn.values()), sum(co.values())
+    cands = []
+    for tok in set(cn) | set(co):
+        if cn.get(tok, 0) >= Q._EMERGING_MIN_SUPPORT \
+                and co.get(tok, 0) > 0:
+            lift = 1_000_000 * cn[tok] * n_old // (n_new * co[tok])
+            cands.append((tok, cn[tok], co[tok], lift))
+    cands.sort(key=lambda r: (-r[3], r[0]))
+    want = cands[:Q._EMERGING_K]
+    got = [(r["token"], int(r["c_new"]), int(r["c_old"]),
+            int(r["lift_micro"])) for _, r in out.iterrows()]
+    assert got == want
+    lifts = [g[3] for g in got]
+    assert lifts == sorted(lifts, reverse=True)
