@@ -161,7 +161,8 @@ def run_bench() -> dict:
         "zorder_layout", "simpson_diversity", "forecast_eval",
         "rate_alert", "oov_rate", "rich_club",
         "ks_by_source", "shapley_attribution", "first_last_flow",
-        "permutation_test", "variance_ratio", "emerging_terms")
+        "permutation_test", "variance_ratio", "emerging_terms",
+        "join_blame", "except_all", "consistent_hash_rebalance")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

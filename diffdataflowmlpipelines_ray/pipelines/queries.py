@@ -12623,20 +12623,66 @@ def q_holt_winters(sf_dir: str) -> pd.DataFrame:
 
 
 _LPA_ROUNDS = 3
+#: candidate-bounded driver tier (the `_CC_DRIVER_MAX_PAIRS` pattern):
+#: ≤ this many deduped undirected edges run the rounds vectorized on
+#: the driver (each Dataset round costs two all-to-all barriers of
+#: FIXED latency — 3 rounds ≈ 12 s at sf0.1 regardless of data volume,
+#: vs ~1 s driver-side); bigger graphs take the distributed rounds.
+_LPA_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _lpa_rounds_numpy(u: np.ndarray, v: np.ndarray,
+                      rounds: int) -> pd.DataFrame:
+    """The driver tier: identical semantics to the Dataset rounds —
+    label(x) ← most frequent neighbor label, ties to the SMALLEST
+    label — vectorized with lexsort group boundaries."""
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    nodes = np.unique(src)
+    idx = np.searchsorted(nodes, src)
+    didx = np.searchsorted(nodes, dst)
+    labels = nodes.copy()
+    for _ in range(rounds):
+        contrib_dst = didx
+        contrib_lbl = labels[idx]
+        # count (dst, label) pairs, then per dst pick (cnt DESC,
+        # label ASC)
+        order = np.lexsort((contrib_lbl, contrib_dst))
+        d_s = contrib_dst[order]
+        l_s = contrib_lbl[order]
+        new_grp = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])])
+        starts = np.flatnonzero(new_grp)
+        cnts = np.diff(np.append(starts, len(d_s)))
+        gd, gl = d_s[starts], l_s[starts]
+        o2 = np.lexsort((gl, -cnts, gd))
+        gd2 = gd[o2]
+        first = np.concatenate([[True], gd2[1:] != gd2[:-1]])
+        win_nodes = gd2[first]
+        win_lbls = gl[o2][first]
+        labels = labels.copy()
+        labels[win_nodes] = win_lbls
+    return pd.DataFrame({"node": nodes,
+                         "label": labels}).astype(np.int64)
 
 
 def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     """Synchronous label propagation (community detection) over the
     deterministic orders-derived undirected graph — `_LPA_ROUNDS`
     rounds of label(v) ← the most frequent neighbor label with a
-    min-label tie break, initialised to label(v)=v.  Each round is TWO
-    narrow hash-bucket exchanges (the `pagerank_int_ds` plan): labels
-    co-locate with out-edges in hash(src) buckets where contributions
-    pre-reduce to (dst, label, count) partials, then hash(dst) buckets
-    fold counts and pick the (count DESC, label ASC) winner vectorized
-    — no per-node Python, labels never collected or broadcast.  The
-    tie-break makes every round (hence the fixed point prefix)
-    deterministic and bit-equal to the unrolled-CTE DuckDB twin."""
+    min-label tie break, initialised to label(v)=v.  TIERED like
+    `connected_components`: graphs whose deduped edge list fits
+    `_LPA_DRIVER_MAX_EDGES` collect once and run the rounds
+    vectorized on the driver (a Dataset round is two all-to-all
+    barriers of fixed latency — at gate scale that is pure overhead);
+    above the cap, each round is TWO narrow hash-bucket exchanges
+    (the `pagerank_int_ds` plan): labels co-locate with out-edges in
+    hash(src) buckets where contributions pre-reduce to (dst, label,
+    count) partials, then hash(dst) buckets fold counts and pick the
+    (count DESC, label ASC) winner vectorized — no per-node Python,
+    labels never collected or broadcast.  The tie-break makes every
+    round deterministic and bit-equal to the unrolled-CTE DuckDB
+    twin; the two tiers are pytest-equal on the fixture graph."""
     B = 16
     MULT = np.uint64(0x9E3779B97F4A7C15)
 
@@ -12666,7 +12712,15 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
            .map_batches(tag("u"), batch_format="pandas")
            .groupby("__b")
            .map_groups(lambda p: p.drop_duplicates(["u", "v"])
-                       [["u", "v"]], batch_format="pandas"))
+                       [["u", "v"]], batch_format="pandas")
+           .materialize())
+
+    if und.count() <= _LPA_DRIVER_MAX_EDGES:
+        pdf = und.to_pandas()
+        out = _lpa_rounds_numpy(pdf["u"].to_numpy(dtype=np.int64),
+                                pdf["v"].to_numpy(dtype=np.int64),
+                                _LPA_ROUNDS)
+        return out.sort_values("node").reset_index(drop=True)
 
     def both_dirs(pdf: pd.DataFrame) -> pd.DataFrame:
         u = pdf["u"].to_numpy(dtype=np.int64)
@@ -21165,4 +21219,255 @@ ORACLES["emerging_terms"] = f"""
     SELECT token, c_new::BIGINT AS c_new, c_old::BIGINT AS c_old,
            lift_micro::BIGINT AS lift_micro
     FROM l ORDER BY lift_micro DESC, token LIMIT {_EMERGING_K}
+"""
+
+
+_BLAME_K = 10
+
+
+def q_join_blame(sf_dir: str) -> pd.DataFrame:
+    """Join-skew blame — the actionable half of `join_size`: WHICH
+    keys explode the orders⋈lineitem output?  Top-10 keys by output
+    contribution a_k·b_k with their exact share of the total join
+    cardinality.  Per-side block partials pre-reduce to (key, cnt);
+    one hash(key) bucket exchange co-locates both sides' COUNTS (rows
+    never move), each bucket emits its LOCAL top-10 products plus its
+    exact product-sum partial (objects — the total exceeds int64 at
+    corpus scale), and the driver merges buckets×10 candidates
+    against the folded total.  Share ships as floor-div micro."""
+    orders = _read(sf_dir, "orders", ["o_orderkey"], blocks=4)
+    lines = _read(sf_dir, "lineitem", ["l_orderkey"], blocks=8)
+
+    def cnt_part(col, side):
+        def f(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = (pd.DataFrame({"k": pdf[col].to_numpy(dtype=np.int64),
+                               side: np.int64(1)})
+                 .groupby("k", as_index=False).sum())
+            other = "b" if side == "a" else "a"
+            g[other] = np.int64(0)
+            g["__b"] = g["k"] % 64
+            return g[["k", "a", "b", "__b"]]
+        return f
+
+    def bucket_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("k", as_index=False)[["a", "b"]].sum()
+        a = g["a"].to_numpy().astype(object)
+        b = g["b"].to_numpy().astype(object)
+        p = a * b
+        g["p"] = p.astype(np.int64)   # per-key product fits int64
+        tot = int(p.sum())
+        top = g[g["p"] > 0].sort_values(
+            ["p", "k"], ascending=[False, True],
+            kind="mergesort").head(_BLAME_K)
+        out = top[["k", "a", "b", "p"]].copy()
+        out["tot_lo"] = np.int64(tot % (1 << 62))
+        out["tot_hi"] = np.int64(tot >> 62)
+        return out
+
+    parts = (orders.map_batches(cnt_part("o_orderkey", "a"),
+                                batch_format="pandas")
+             .union(lines.map_batches(cnt_part("l_orderkey", "b"),
+                                      batch_format="pandas"))
+             .groupby("__b").map_groups(bucket_top,
+                                        batch_format="pandas")
+             .to_pandas())
+    # the per-bucket total rides every candidate row; fold ONE row
+    # per bucket (distinct buckets can carry identical totals, so
+    # dedup on the bucket id of k, not on the total)
+    parts["__b"] = parts["k"] % 64
+    per_bucket = parts.drop_duplicates(subset="__b")
+    total = sum(int(r["tot_hi"]) * (1 << 62) + int(r["tot_lo"])
+                for _, r in per_bucket.iterrows())
+    top = parts.sort_values(["p", "k"], ascending=[False, True],
+                            kind="mergesort").head(_BLAME_K)
+    out = pd.DataFrame({
+        "orderkey": top["k"].to_numpy(np.int64),
+        "left_rows": top["a"].to_numpy(np.int64),
+        "right_rows": top["b"].to_numpy(np.int64),
+        "pair_rows": top["p"].to_numpy(np.int64)})
+    out["share_micro"] = [1_000_000 * int(p) // total
+                          for p in out["pair_rows"]]
+    out["share_micro"] = out["share_micro"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_except_all(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT ALL — BAG-semantics multiset difference, the relational
+    operator the existing set-semantics `except` cannot express
+    (duplicates carry information): occurrences of (user, event_type)
+    in the FIRST calendar half minus those in the second, each
+    surviving key reported with its surplus multiplicity
+    max(c₁ − c₂, 0).  Blocks pre-reduce (user, type, half) counts;
+    ONE hash(user) bucket exchange completes both halves together
+    (same co-location) and emits the positive surpluses.  The twin is
+    DuckDB's literal EXCEPT ALL re-grouped to counts."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               blocks=8)
+
+    def day_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = t // 86_400_000_000
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_rng, batch_format="pandas").to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    split = (lo + hi + 1) // 2
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = (t // 86_400_000_000) < split
+        g = pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(np.int64),
+            "event_type": pdf["event_type"],
+            "c1": first.astype(np.int64),
+            "c2": (~first).astype(np.int64)})
+        out = g.groupby(["user_id", "event_type"],
+                        as_index=False).sum()
+        out["__b"] = out["user_id"] % 64
+        return out
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["user_id", "event_type"],
+                        as_index=False)[["c1", "c2"]].sum()
+        g["n_copies"] = np.maximum(g["c1"] - g["c2"], 0)
+        g = g[g["n_copies"] > 0]
+        return g[["user_id", "event_type", "n_copies"]]
+
+    out = (ds.map_batches(part, batch_format="pandas")
+           .groupby("__b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_copies"] = out["n_copies"].astype(np.int64)
+    return (out.sort_values(["user_id", "event_type"])
+            .reset_index(drop=True))
+
+
+_RING_SHARDS, _RING_SHARDS2, _RING_VNODES = 8, 9, 32
+_RING_MOD = 1 << 60
+
+
+def q_consistent_hash_rebalance(sf_dir: str) -> pd.DataFrame:
+    """Consistent-hash rebalance audit — the shard-scaling design
+    question: growing the ring from 8 to 9 shards (32 vnodes each,
+    DuckDB-reproducible MD5 positions), what fraction of keys
+    actually move?  Ideal is 1/9; naive mod-N hashing moves ~8/9.
+    Owner(key) = the vnode minimizing the CLOCKWISE distance
+    (pos − h) mod 2⁶⁰ — the argmin form that needs no wrap-around
+    special case and is pure integer algebra on both twins.  The two
+    rings (256 + 288 positions) broadcast in the closure; each block
+    folds its own distinct keys' owner pairs, so the exchange is the
+    O(1) moved/total partial fold."""
+    from ..functions.hashing import stable_hash60_array
+
+    ring = {}
+    for n_sh, tag in ((_RING_SHARDS, "o"), (_RING_SHARDS2, "n")):
+        pos, shard = [], []
+        for s in range(n_sh):
+            hs = stable_hash60_array(
+                [f"s{s}_v{v}" for v in range(_RING_VNODES)])
+            pos.extend((hs % _RING_MOD).tolist())
+            shard.extend([s] * _RING_VNODES)
+        ring[tag] = (np.array(pos, dtype=np.int64),
+                     np.array(shard, dtype=np.int64))
+
+    ds = _read(sf_dir, "events", ["user_id"], blocks=8)
+
+    def owners(h: np.ndarray, pos: np.ndarray,
+               shard: np.ndarray) -> np.ndarray:
+        # clockwise distance argmin, vectorized; the +M form keeps
+        # the operand positive so DuckDB's sign-of-dividend % agrees
+        dist = (pos[None, :] - h[:, None] + _RING_MOD) % _RING_MOD
+        return shard[np.argmin(dist, axis=1)]
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(pdf["user_id"].to_numpy(dtype=np.int64))
+        h = stable_hash60_array([str(x) for x in u.tolist()]) \
+            % _RING_MOD
+        o_old = owners(h, *ring["o"])
+        o_new = owners(h, *ring["n"])
+        # distinct keys only — dedup completes in the driver fold
+        return pd.DataFrame({"user_id": u, "moved":
+                             (o_old != o_new).astype(np.int64)})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    parts = parts.drop_duplicates("user_id")
+    n = len(parts)
+    moved = int(parts["moved"].sum())
+    return pd.DataFrame({
+        "n_keys": [n], "moved": [moved],
+        "moved_micro": [1_000_000 * moved // n],
+        "ideal_micro": [1_000_000 // _RING_SHARDS2]})\
+        .astype(np.int64)
+
+
+QUERIES["join_blame"] = q_join_blame
+QUERIES["except_all"] = q_except_all
+QUERIES["consistent_hash_rebalance"] = q_consistent_hash_rebalance
+
+ORACLES["join_blame"] = f"""
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS ca
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, count(*) AS cb
+          FROM lineitem GROUP BY 1),
+    j AS (SELECT a.k, a.ca, b.cb, a.ca::HUGEINT * b.cb AS p
+          FROM a JOIN b USING (k)),
+    t AS (SELECT SUM(p) AS total FROM j)
+    SELECT j.k::BIGINT AS orderkey, j.ca::BIGINT AS left_rows,
+           j.cb::BIGINT AS right_rows, j.p::BIGINT AS pair_rows,
+           ((1000000::HUGEINT * j.p) // t.total)::BIGINT
+               AS share_micro
+    FROM j, t ORDER BY j.p DESC, j.k LIMIT {_BLAME_K}
+"""
+
+ORACLES["except_all"] = """
+    WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                      max(epoch_us(ts) // 86400000000) AS hi
+               FROM events),
+    x AS (SELECT user_id, event_type
+          FROM events, b
+          WHERE epoch_us(ts) // 86400000000
+                < (b.lo + b.hi + 1) // 2
+          EXCEPT ALL
+          SELECT user_id, event_type
+          FROM events, b
+          WHERE epoch_us(ts) // 86400000000
+                >= (b.lo + b.hi + 1) // 2)
+    SELECT user_id::BIGINT AS user_id, event_type,
+           count(*)::BIGINT AS n_copies
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["consistent_hash_rebalance"] = f"""
+    WITH vn AS (SELECT s, v,
+                       (('0x' || substr(md5('s' || CAST(s AS VARCHAR)
+                           || '_v' || CAST(v AS VARCHAR)), 1, 15))
+                           ::BIGINT) % {_RING_MOD} AS pos
+                FROM (SELECT unnest(generate_series(0,
+                          {_RING_SHARDS2 - 1})) AS s),
+                     (SELECT unnest(generate_series(0,
+                          {_RING_VNODES - 1})) AS v)),
+    k AS (SELECT DISTINCT user_id,
+                 (('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                     1, 15))::BIGINT) % {_RING_MOD} AS h
+          FROM events),
+    oo AS (SELECT k.user_id, vn.s,
+                  ROW_NUMBER() OVER (PARTITION BY k.user_id
+                      ORDER BY (vn.pos - k.h + {_RING_MOD})
+                               % {_RING_MOD}, vn.s, vn.v) AS rn
+           FROM k JOIN vn ON vn.s < {_RING_SHARDS}),
+    nn AS (SELECT k.user_id, vn.s,
+                  ROW_NUMBER() OVER (PARTITION BY k.user_id
+                      ORDER BY (vn.pos - k.h + {_RING_MOD})
+                               % {_RING_MOD}, vn.s, vn.v) AS rn
+           FROM k JOIN vn ON vn.s < {_RING_SHARDS2}),
+    mv AS (SELECT oo.user_id,
+                  CASE WHEN oo.s <> nn.s THEN 1 ELSE 0 END AS moved
+           FROM oo JOIN nn ON nn.user_id = oo.user_id
+           WHERE oo.rn = 1 AND nn.rn = 1)
+    SELECT count(*)::BIGINT AS n_keys,
+           SUM(moved)::BIGINT AS moved,
+           ((1000000::HUGEINT * SUM(moved)) // count(*))::BIGINT
+               AS moved_micro,
+           ({1_000_000 // _RING_SHARDS2})::BIGINT AS ideal_micro
+    FROM mv
 """

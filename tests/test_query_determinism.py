@@ -3207,3 +3207,124 @@ def test_emerging_terms_replay(ray_session):
     assert got == want
     lifts = [g[3] for g in got]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_join_blame_replay(ray_session):
+    """Brute-force per-key product census; the top-10 must dominate
+    with (p DESC, key) order and shares their own floor-div against
+    the exact total."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_join_blame(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey"]).to_pandas()
+    l_ = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    ca = collections.Counter(o["o_orderkey"].tolist())
+    cb = collections.Counter(l_["l_orderkey"].tolist())
+    prods = {k: ca[k] * cb[k] for k in ca if k in cb}
+    total = sum(prods.values())
+    want = sorted(prods.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :Q._BLAME_K]
+    assert len(out) == len(want)
+    for (_, r), (k, p) in zip(out.iterrows(), want):
+        assert int(r["orderkey"]) == k
+        assert int(r["pair_rows"]) == p
+        assert int(r["left_rows"]) == ca[k]
+        assert int(r["right_rows"]) == cb[k]
+        assert int(r["share_micro"]) == 1_000_000 * p // total
+
+
+def test_except_all_replay(ray_session):
+    """Literal bag-difference walk; surpluses must be exactly
+    max(c1 - c2, 0) and the set-semantics result would differ (the
+    bag op is live)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_except_all(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]
+                       ).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    c1, c2 = collections.Counter(), collections.Counter()
+    for u, t, first in zip(ev["user_id"], ev["event_type"], d < split):
+        (c1 if first else c2)[(int(u), t)] += 1
+    want = {k: c1[k] - c2.get(k, 0) for k in c1
+            if c1[k] - c2.get(k, 0) > 0}
+    got = {(int(r["user_id"]), r["event_type"]): int(r["n_copies"])
+           for _, r in out.iterrows()}
+    assert got == want
+    # bag semantics is live: some surviving key also appears in the
+    # second half (set EXCEPT would have dropped it)
+    assert any(c2.get(k, 0) > 0 for k in want)
+    assert any(v > 1 for v in want.values())
+
+
+def test_consistent_hash_rebalance_replay(ray_session):
+    """Scalar ring walk; the moved fraction must be far below the
+    naive mod-N churn and every key's owner must replay."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+
+    out = Q.q_consistent_hash_rebalance(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    users = sorted(set(ev["user_id"].astype(int)))
+    M = Q._RING_MOD
+
+    def ring(n_sh):
+        pos, shard = [], []
+        for s in range(n_sh):
+            hs = stable_hash60_array(
+                [f"s{s}_v{v}" for v in range(Q._RING_VNODES)])
+            pos.extend((hs % M).tolist())
+            shard.extend([s] * Q._RING_VNODES)
+        return pos, shard
+
+    po, so = ring(Q._RING_SHARDS)
+    pn, sn = ring(Q._RING_SHARDS2)
+    moved = 0
+    for u in users:
+        h = int(stable_hash60_array([str(u)])[0]) % M
+        oo = so[min(range(len(po)),
+                    key=lambda i: ((po[i] - h + M) % M, i))]
+        nn = sn[min(range(len(pn)),
+                    key=lambda i: ((pn[i] - h + M) % M, i))]
+        moved += oo != nn
+    assert int(out["n_keys"].iat[0]) == len(users)
+    assert int(out["moved"].iat[0]) == moved
+    assert int(out["moved_micro"].iat[0]) == \
+        1_000_000 * moved // len(users)
+    # consistent hashing's whole point: churn well under naive mod-N
+    # re-hash (~8/9) and within 3x of the 1/9 ideal
+    assert int(out["moved_micro"].iat[0]) < 400_000
+
+
+def test_label_propagation_tiers_equal(ray_session):
+    """The driver tier and the distributed Dataset rounds must be
+    bit-equal on the fixture graph (same rule, same tie-break)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    fast = Q.q_label_propagation(SF)
+    cap = Q._LPA_DRIVER_MAX_EDGES
+    try:
+        Q._LPA_DRIVER_MAX_EDGES = 0
+        slow = Q.q_label_propagation(SF)
+    finally:
+        Q._LPA_DRIVER_MAX_EDGES = cap
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast["label"].nunique() < len(fast)
