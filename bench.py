@@ -162,7 +162,8 @@ def run_bench() -> dict:
         "rate_alert", "oov_rate", "rich_club",
         "ks_by_source", "shapley_attribution", "first_last_flow",
         "permutation_test", "variance_ratio", "emerging_terms",
-        "join_blame", "except_all", "consistent_hash_rebalance")
+        "join_blame", "except_all", "consistent_hash_rebalance",
+        "graph_modularity", "fd_discovery", "vocab_coverage")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -21471,3 +21471,290 @@ ORACLES["consistent_hash_rebalance"] = f"""
            ({1_000_000 // _RING_SHARDS2})::BIGINT AS ideal_micro
     FROM mv
 """
+
+
+def _lpa_labels_cte(rounds: int) -> str:
+    """The label-propagation unrolled CTE body (no final SELECT) —
+    shared by the `label_propagation` oracle and downstream consumers
+    like `graph_modularity`."""
+    parts = ["""
+    WITH e0 AS (SELECT DISTINCT
+                    LEAST(o_custkey, o_orderkey % 1500) AS u,
+                    GREATEST(o_custkey, o_orderkey % 1500) AS v
+                FROM orders WHERE o_custkey <> o_orderkey % 1500),
+    ed AS (SELECT u AS src, v AS dst FROM e0
+           UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM ed e JOIN l{i - 1} l ON l.node = e.src GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c{i}) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def q_graph_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the `label_propagation` communities — the
+    quality score that makes LPA's output judgeable: Q = e_in/m −
+    Σ_c d_c²/(4m²), reported SHIFTED as Q + ½ in micro (Q ≥ −½, so
+    every operand stays positive and floor-div equals the twin's
+    truncating //): q_shift = (4m·e_in − Σd_c² + 2m²) // (4m²), all
+    in object ints (Σd_c² is O(m²) at corpus scale).  Labels come
+    from the tiered LPA; the label map (node-bounded, the
+    `triangle_count` broadcast tier) joins edges map-side for e_in
+    and degrees fold once for d_c."""
+    labels = q_label_propagation(sf_dir)
+    lbl = dict(zip(labels["node"].astype(int),
+                   labels["label"].astype(int)))
+    lbl_ref = ray.put(lbl)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def mk_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        b = (tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 1500)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        pdf = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def edge_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(["u", "v"])
+        d = ray.get(lbl_ref)
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        lu = np.fromiter((d[int(x)] for x in u), dtype=np.int64,
+                         count=len(u))
+        lv = np.fromiter((d[int(x)] for x in v), dtype=np.int64,
+                         count=len(v))
+        both = np.concatenate([u, v])
+        n, c = np.unique(both, return_counts=True)
+        deg = pd.DataFrame({"node": n, "deg": c.astype(np.int64),
+                            "m": np.int64(0), "e_in": np.int64(0)})
+        head = pd.DataFrame({
+            "node": [-1], "deg": [0],
+            "m": [len(pdf)], "e_in": [int((lu == lv).sum())]})
+        return pd.concat([head, deg], ignore_index=True)
+
+    parts = (orders.map_batches(mk_edges, batch_format="pyarrow")
+             .map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(edge_part,
+                                        batch_format="pandas")
+             .to_pandas())
+    m = int(parts["m"].sum())
+    e_in = int(parts["e_in"].sum())
+    deg = (parts[parts["node"] >= 0]
+           .groupby("node", as_index=False)["deg"].sum())
+    deg["label"] = deg["node"].map(lbl)
+    d_c = deg.groupby("label")["deg"].sum()
+    dsq = sum(int(x) * int(x) for x in d_c)
+    # Q ≥ −½ for any partition, so the +2m² shift keeps the numerator
+    # non-negative and floor-div equals the twin's truncating //
+    q_shift_micro = (1_000_000 * (4 * m * e_in - dsq + 2 * m * m)
+                     // (4 * m * m))
+    return pd.DataFrame({
+        "m": [m], "e_in": [e_in],
+        "n_communities": [int(deg["label"].nunique())],
+        "q_shift_micro": [q_shift_micro]}).astype(np.int64)
+
+
+_FD_COLS = ("t", "d", "band", "um")
+
+
+def q_fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery — the data-profiling op that
+    finds which column determines which: over the derived columns
+    t = event_type, d = day-of-week, band = value 00-band,
+    um = user_id % 16, every ordered pair X → Y is scored by its
+    exact violation count Σ_x (n_x − max_y n_xy) (0 ⇔ the FD holds).
+    ONE distributed pass pre-reduces the full 4-D cube per block
+    (domain-bounded: |t|·7·bands·16 cells); every pairwise statistic
+    is a marginalization of that cube on the driver — 12 FDs from a
+    single exchange, the data-cube trick."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"], blocks=8)
+
+    def cube(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _half_away(pdf["value"].to_numpy(dtype=np.float64)
+                           * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "t": pdf["event_type"],
+            "d": (ts // 86_400_000_000 + 4) % 7,
+            "band": cents // 10_000,
+            "um": pdf["user_id"].to_numpy(np.int64) % 16,
+            "n": np.int64(1)})
+        return g.groupby(["t", "d", "band", "um"],
+                         as_index=False).sum()
+
+    parts = ds.map_batches(cube, batch_format="pandas").to_pandas()
+    cube_df = parts.groupby(["t", "d", "band", "um"],
+                            as_index=False)["n"].sum()
+    recs = []
+    for x in _FD_COLS:
+        for y in _FD_COLS:
+            if x == y:
+                continue
+            pair = cube_df.groupby([x, y], as_index=False)["n"].sum()
+            per_x = pair.groupby(x)["n"].agg(["sum", "max"])
+            viol = int((per_x["sum"] - per_x["max"]).sum())
+            recs.append((x, y, len(per_x), viol, int(viol == 0)))
+    out = pd.DataFrame(recs, columns=[
+        "lhs", "rhs", "distinct_lhs", "violations", "holds"])
+    for c in ("distinct_lhs", "violations", "holds"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["lhs", "rhs"]).reset_index(drop=True))
+
+
+_COVERAGE_K = 32
+
+
+def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve — `oov_rate`'s full picture: the
+    top-32 tokens by (count DESC, token ASC) with each rank's
+    cumulative share of the TOTAL token mass as floor-div micro (how
+    big must the vocab be for 90% coverage?).  Counts complete in
+    ONE hash(token) bucket shuffle; each bucket ships its local
+    top-32 (exact — a token's count never splits) and its total-mass
+    partial; the driver merges buckets×32 candidates and walks the
+    curve in exact ints."""
+    from ..functions.tokenize import tokenize_column
+
+    ds = _read(sf_dir, "documents", ["text"], blocks=8)
+    K = _COVERAGE_K
+
+    def tok_counts(tbl: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(tbl["text"])
+        g = pd.DataFrame({"tok": toks.flatten()
+                          .to_numpy(zero_copy_only=False),
+                          "n": np.int64(1)})
+        out = g.groupby("tok", as_index=False).sum()
+        out["__b"] = pd.util.hash_array(
+            out["tok"].to_numpy(dtype=object)) % 64
+        return out
+
+    def local_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf.groupby("tok", as_index=False)["n"].sum()
+        tot = int(c["n"].sum())
+        c = c.sort_values(["n", "tok"], ascending=[False, True],
+                          kind="mergesort").head(K)
+        c["tot"] = np.int64(tot)
+        return c
+
+    cand = (ds.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("__b").map_groups(local_top,
+                                       batch_format="pandas")
+            .to_pandas())
+    # one total partial per bucket: dedup via the bucket id of the
+    # candidate tokens
+    cand["__b"] = pd.util.hash_array(
+        cand["tok"].to_numpy(dtype=object)) % 64
+    total = int(cand.drop_duplicates("__b")["tot"].sum())
+    top = cand.sort_values(["n", "tok"], ascending=[False, True],
+                           kind="mergesort").head(K)
+    cum = 0
+    recs = []
+    for r, (_, row) in enumerate(top.iterrows(), start=1):
+        cum += int(row["n"])
+        recs.append((r, row["tok"], int(row["n"]),
+                     1_000_000 * cum // total))
+    return pd.DataFrame(recs, columns=[
+        "rank", "token", "n", "cum_micro"]).astype(
+        {"rank": np.int64, "n": np.int64, "cum_micro": np.int64})
+
+
+QUERIES["graph_modularity"] = q_graph_modularity
+QUERIES["fd_discovery"] = q_fd_discovery
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+ORACLES["graph_modularity"] = _lpa_labels_cte(_LPA_ROUNDS) + f""",
+    lp AS (SELECT node, label FROM l{_LPA_ROUNDS}),
+    mm AS (SELECT count(*) AS m FROM e0),
+    ein AS (SELECT count(*) AS e_in
+            FROM e0 JOIN lp a ON a.node = e0.u
+            JOIN lp b ON b.node = e0.v
+            WHERE a.label = b.label),
+    dg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+    dc AS (SELECT lp.label, SUM(dg.deg) AS d_c
+           FROM dg JOIN lp ON lp.node = dg.node GROUP BY 1),
+    ds_ AS (SELECT SUM(d_c::HUGEINT * d_c) AS dsq,
+                   count(*) AS n_comm
+            FROM dc)
+    SELECT mm.m::BIGINT AS m, ein.e_in::BIGINT AS e_in,
+           ds_.n_comm::BIGINT AS n_communities,
+           ((1000000::HUGEINT
+             * (4::HUGEINT * mm.m * ein.e_in - ds_.dsq
+                + 2::HUGEINT * mm.m * mm.m))
+            // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_shift_micro
+    FROM mm, ein, ds_
+"""
+
+ORACLES["fd_discovery"] = """
+    WITH base AS (SELECT event_type AS t,
+                         (epoch_us(ts) // 86400000000 + 4) % 7 AS d,
+                         CAST(round(value * 100) AS BIGINT) // 10000
+                             AS band,
+                         user_id % 16 AS um
+                  FROM events),
+    pairs AS (
+        SELECT 'band' AS lhs, 'd' AS rhs, CAST(band AS VARCHAR) AS x,
+               CAST(d AS VARCHAR) AS y FROM base
+        UNION ALL SELECT 'band', 't', CAST(band AS VARCHAR),
+                         t FROM base
+        UNION ALL SELECT 'band', 'um', CAST(band AS VARCHAR),
+                         CAST(um AS VARCHAR) FROM base
+        UNION ALL SELECT 'd', 'band', CAST(d AS VARCHAR),
+                         CAST(band AS VARCHAR) FROM base
+        UNION ALL SELECT 'd', 't', CAST(d AS VARCHAR), t FROM base
+        UNION ALL SELECT 'd', 'um', CAST(d AS VARCHAR),
+                         CAST(um AS VARCHAR) FROM base
+        UNION ALL SELECT 't', 'band', t, CAST(band AS VARCHAR)
+                  FROM base
+        UNION ALL SELECT 't', 'd', t, CAST(d AS VARCHAR) FROM base
+        UNION ALL SELECT 't', 'um', t, CAST(um AS VARCHAR) FROM base
+        UNION ALL SELECT 'um', 'band', CAST(um AS VARCHAR),
+                         CAST(band AS VARCHAR) FROM base
+        UNION ALL SELECT 'um', 'd', CAST(um AS VARCHAR),
+                         CAST(d AS VARCHAR) FROM base
+        UNION ALL SELECT 'um', 't', CAST(um AS VARCHAR), t FROM base),
+    cxy AS (SELECT lhs, rhs, x, y, count(*) AS n
+            FROM pairs GROUP BY 1, 2, 3, 4),
+    px AS (SELECT lhs, rhs, x, SUM(n) AS s, MAX(n) AS mx
+           FROM cxy GROUP BY 1, 2, 3),
+    fd AS (SELECT lhs, rhs, count(*) AS distinct_lhs,
+                  SUM(s - mx) AS violations
+           FROM px GROUP BY 1, 2)
+    SELECT lhs, rhs, distinct_lhs::BIGINT AS distinct_lhs,
+           violations::BIGINT AS violations,
+           (CASE WHEN violations = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS holds
+    FROM fd ORDER BY lhs, rhs
+"""
+
+ORACLES["vocab_coverage"] = f"""
+    WITH t AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM c),
+    r AS (SELECT tok, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+                 SUM(n) OVER (ORDER BY n DESC, tok
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum
+          FROM c)
+    SELECT rank::BIGINT AS rank, tok AS token, n::BIGINT AS n,
+           ((1000000::HUGEINT * cum) // tot.total)::BIGINT
+               AS cum_micro
+    FROM r, tot WHERE rank <= {_COVERAGE_K} ORDER BY rank
+"""

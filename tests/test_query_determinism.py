@@ -3328,3 +3328,111 @@ def test_label_propagation_tiers_equal(ray_session):
         Q._LPA_DRIVER_MAX_EDGES = cap
     pd.testing.assert_frame_equal(fast, slow)
     assert fast["label"].nunique() < len(fast)
+
+
+def test_graph_modularity_replay(ray_session):
+    """Scalar modularity census against the LPA labels; the shifted
+    integer identity must replay and communities must be non-trivial."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_graph_modularity(SF)
+    labels = Q.q_label_propagation(SF)
+    lbl = dict(zip(labels["node"].astype(int),
+                   labels["label"].astype(int)))
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey"]
+                           ).to_pandas()
+    a = orders["o_custkey"].to_numpy(dtype=np.int64)
+    b = orders["o_orderkey"].to_numpy(dtype=np.int64) % 1500
+    edges = {(min(x, y), max(x, y))
+             for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    m = len(edges)
+    e_in = sum(1 for u, v in edges if lbl[u] == lbl[v])
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    d_c = {}
+    for n_, d_ in deg.items():
+        d_c[lbl[n_]] = d_c.get(lbl[n_], 0) + d_
+    dsq = sum(x * x for x in d_c.values())
+    assert int(out["m"].iat[0]) == m
+    assert int(out["e_in"].iat[0]) == e_in
+    assert int(out["n_communities"].iat[0]) == len(d_c)
+    assert int(out["q_shift_micro"].iat[0]) == \
+        1_000_000 * (4 * m * e_in - dsq + 2 * m * m) // (4 * m * m)
+    assert 1 < len(d_c) < len(deg)
+
+
+def test_fd_discovery_replay(ray_session):
+    """Literal violation census for every ordered pair; the holds
+    flag must equal violations == 0."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_fd_discovery(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    t = ev["event_type"].tolist()
+    ts = (ev["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64))
+    d = ((ts // 86_400_000_000 + 4) % 7).tolist()
+    band = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+            .astype(np.int64) // 10_000).tolist()
+    um = (ev["user_id"].to_numpy(np.int64) % 16).tolist()
+    cols = {"t": t, "d": d, "band": band, "um": um}
+    got = {(r["lhs"], r["rhs"]): (int(r["distinct_lhs"]),
+                                  int(r["violations"]),
+                                  int(r["holds"]))
+           for _, r in out.iterrows()}
+    assert len(got) == 12
+    for x in cols:
+        for y in cols:
+            if x == y:
+                continue
+            pair = collections.Counter(zip(cols[x], cols[y]))
+            per_x = collections.defaultdict(lambda: [0, 0])
+            for (xv, _), n in pair.items():
+                per_x[xv][0] += n
+                per_x[xv][1] = max(per_x[xv][1], n)
+            viol = sum(s - mx for s, mx in per_x.values())
+            assert got[(x, y)] == (len(per_x), viol, int(viol == 0))
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_vocab_coverage_replay(ray_session):
+    """Scalar curve walk; shares must be monotone and the last rank
+    at or near full coverage given the tiny fixture vocab."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_vocab_coverage(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt = collections.Counter()
+    for text in docs["text"]:
+        cnt.update(default_tokenizer(text))
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :Q._COVERAGE_K]
+    assert len(out) == len(ranked)
+    cum = 0
+    for (_, r), (tok, n) in zip(out.iterrows(), ranked):
+        cum += n
+        assert r["token"] == tok
+        assert int(r["n"]) == n
+        assert int(r["cum_micro"]) == 1_000_000 * cum // total
+    assert out["cum_micro"].is_monotonic_increasing
