@@ -163,7 +163,8 @@ def run_bench() -> dict:
         "ks_by_source", "shapley_attribution", "first_last_flow",
         "permutation_test", "variance_ratio", "emerging_terms",
         "join_blame", "except_all", "consistent_hash_rebalance",
-        "graph_modularity", "fd_discovery", "vocab_coverage")
+        "graph_modularity", "fd_discovery", "vocab_coverage",
+        "table_diff", "nearest_event", "sample_calibration")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -21758,3 +21758,274 @@ ORACLES["vocab_coverage"] = f"""
                AS cum_micro
     FROM r, tot WHERE rank <= {_COVERAGE_K} ORDER BY rank
 """
+
+
+def q_table_diff(sf_dir: str) -> pd.DataFrame:
+    """Cross-version table diff — the data-diff/reconciliation op a
+    lakehouse runs between snapshot versions: v2 derives
+    deterministically from orders (keys %13==0 deleted, %7==0 cents
+    bumped +100, %5==0 priority rewritten, %11==0 re-inserted under a
+    shifted key), and the report counts added / removed / value-
+    changed rows per column plus unchanged.  ONE hash(key) bucket
+    shuffle co-locates both versions' rows (each side pre-projected
+    to key + compared columns — nothing else moves) and every bucket
+    diffs its slice vectorized; the O(1) count partials fold."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"],
+               blocks=8)
+
+    def versions(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["o_orderkey"].to_numpy(dtype=np.int64)
+        cents = _half_away(pdf["o_totalprice"].to_numpy(np.float64)
+                           * 100.0).astype(np.int64)
+        pri = pdf["o_orderpriority"].astype(str)
+        v1 = pd.DataFrame({"k": k, "cents": cents, "pri": pri,
+                           "side": np.int64(1)})
+        keep = k % 13 != 0
+        c2 = np.where(k % 7 == 0, cents + 100, cents)
+        p2 = np.where(k % 5 == 0, "REWRITTEN", pri)
+        v2 = pd.DataFrame({"k": k[keep], "cents": c2[keep],
+                           "pri": p2[keep], "side": np.int64(2)})
+        adds = k[k % 11 == 0]
+        v2b = pd.DataFrame({"k": adds + 1_000_000_000,
+                            "cents": cents[k % 11 == 0],
+                            "pri": "NEW", "side": np.int64(2)})
+        out = pd.concat([v1, v2, v2b], ignore_index=True)
+        out["__b"] = out["k"] % 64
+        return out
+
+    def diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 1].set_index("k")
+        b = pdf[pdf["side"] == 2].set_index("k")
+        common = a.index.intersection(b.index)
+        ac, bc = a.loc[common], b.loc[common]
+        ch_c = (ac["cents"].to_numpy() != bc["cents"].to_numpy())
+        ch_p = (ac["pri"].to_numpy() != bc["pri"].to_numpy())
+        return pd.DataFrame({
+            "n_v1": [len(a)], "n_v2": [len(b)],
+            "added": [len(b.index.difference(a.index))],
+            "removed": [len(a.index.difference(b.index))],
+            "changed_cents": [int(ch_c.sum())],
+            "changed_pri": [int(ch_p.sum())],
+            "unchanged": [int((~ch_c & ~ch_p).sum())]})
+
+    parts = (ds.map_batches(versions, batch_format="pandas")
+             .groupby("__b").map_groups(diff, batch_format="pandas")
+             .to_pandas())
+    return parts.sum().to_frame().T.astype(np.int64)
+
+
+def q_nearest_event(sf_dir: str) -> pd.DataFrame:
+    """Bidirectional nearest-in-time join — the feature-generation op
+    `asof_join` (backward-only) cannot express: each purchase matches
+    its NEAREST click either direction by |Δt|, ties to the earlier
+    click, per user.  ONE hash(user) bucket shuffle; in-bucket the
+    vectorized merge walk uses `np.searchsorted` of purchase times
+    into the user's click timeline (prev/next candidates only — never
+    a pair explosion).  Distances ship as exact integer µs.  The SQL
+    twin derives prev/next via IGNORE-NULLS window carries over the
+    merged timeline."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pdf = pdf.assign(t=t)
+        out_u, out_e, out_d, out_dir = [], [], [], []
+        for u, grp in pdf.groupby("user_id"):
+            cl = grp[grp["event_type"] == "click"]\
+                .sort_values(["t", "event_id"], kind="mergesort")
+            pu = grp[grp["event_type"] == "purchase"]\
+                .sort_values(["t", "event_id"], kind="mergesort")
+            if not len(pu):
+                continue
+            if not len(cl):
+                continue
+            ct = cl["t"].to_numpy()
+            ptm = pu["t"].to_numpy()
+            pos = np.searchsorted(ct, ptm, side="right")
+            prev_i = np.clip(pos - 1, 0, len(ct) - 1)
+            next_i = np.clip(pos, 0, len(ct) - 1)
+            d_prev = np.where(pos - 1 >= 0,
+                              np.abs(ptm - ct[prev_i]), np.int64(2**62))
+            d_next = np.where(pos < len(ct),
+                              np.abs(ct[next_i] - ptm), np.int64(2**62))
+            # ties to the EARLIER click: prev wins on equality
+            use_prev = d_prev <= d_next
+            dist = np.where(use_prev, d_prev, d_next)
+            out_u.extend([int(u)] * len(pu))
+            out_e.extend(pu["event_id"].tolist())
+            out_d.extend(dist.tolist())
+            out_dir.extend(np.where(use_prev, 0, 1).tolist())
+        return pd.DataFrame({"user_id": out_u, "event_id": out_e,
+                             "dist_us": out_d, "forward": out_dir})
+
+    out = (ds.map_batches(add_b, batch_format="pyarrow")
+           .groupby("__b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True).astype(np.int64))
+
+
+_SAMPLE_MOD = 8
+
+
+def q_sample_calibration(sf_dir: str) -> pd.DataFrame:
+    """Hash-sampling calibration audit — is the 1/8 user sample the
+    dashboards run on actually representative?  The DuckDB-
+    reproducible MD5 sample (user-hash % 8 == 0) estimates distinct
+    users (×8) and total purchase cents (×8) against the exact
+    values, reporting each estimator's signed error in micro —
+    pure integer algebra on both twins (the md5 loop runs once per
+    distinct user inside each hash(user) bucket)."""
+    from ..functions.hashing import stable_hash60_array
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "value"], blocks=8)
+
+    def add_b(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "__b", pa.array((u % 64).astype(np.int64)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        cents = np.where(is_p, _half_away(
+            pdf["value"].to_numpy(dtype=np.float64) * 100.0), 0.0)\
+            .astype(np.int64)
+        per_u = (pd.DataFrame({
+            "u": pdf["user_id"].to_numpy(np.int64), "c": cents})
+            .groupby("u", as_index=False).sum())
+        hb = stable_hash60_array(
+            [str(int(x)) for x in per_u["u"]]) % _SAMPLE_MOD
+        samp = hb == 0
+        return pd.DataFrame({
+            "users": [len(per_u)],
+            "cents": [int(per_u["c"].sum())],
+            "s_users": [int(samp.sum())],
+            "s_cents": [int(per_u["c"].to_numpy()[samp].sum())]})
+
+    parts = (ds.map_batches(add_b, batch_format="pyarrow")
+             .groupby("__b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    users, cents = int(parts["users"].sum()), int(parts["cents"].sum())
+    su, sc = int(parts["s_users"].sum()), int(parts["s_cents"].sum())
+    est_u, est_c = _SAMPLE_MOD * su, _SAMPLE_MOD * sc
+
+    def serr(est: int, exact: int) -> int:
+        # sign × magnitude so Python's floor-div matches the twin's
+        # truncating // on negative errors
+        d = est - exact
+        return (1 if d >= 0 else -1) * (1_000_000 * abs(d) // exact)
+
+    return pd.DataFrame({
+        "n_users": [users], "est_users": [est_u],
+        "user_err_micro": [serr(est_u, users)],
+        "cents": [cents], "est_cents": [est_c],
+        "cents_err_micro": [serr(est_c, cents)]})\
+        .astype(np.int64)
+
+
+QUERIES["table_diff"] = q_table_diff
+QUERIES["nearest_event"] = q_nearest_event
+QUERIES["sample_calibration"] = q_sample_calibration
+
+ORACLES["table_diff"] = """
+    WITH v1 AS (SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents,
+                       o_orderpriority AS pri
+                FROM orders),
+    v2 AS (SELECT k,
+                  CASE WHEN k % 7 = 0 THEN cents + 100
+                       ELSE cents END AS cents,
+                  CASE WHEN k % 5 = 0 THEN 'REWRITTEN'
+                       ELSE pri END AS pri
+           FROM v1 WHERE k % 13 <> 0
+           UNION ALL
+           SELECT k + 1000000000, cents, 'NEW'
+           FROM v1 WHERE k % 11 = 0),
+    j AS (SELECT v1.k AS k1, v2.k AS k2,
+                 v1.cents AS c1, v2.cents AS c2,
+                 v1.pri AS p1, v2.pri AS p2
+          FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k)
+    SELECT (SELECT count(*) FROM v1)::BIGINT AS n_v1,
+           (SELECT count(*) FROM v2)::BIGINT AS n_v2,
+           SUM(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS added,
+           SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS removed,
+           SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                    AND c1 <> c2 THEN 1 ELSE 0 END)::BIGINT
+               AS changed_cents,
+           SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                    AND p1 <> p2 THEN 1 ELSE 0 END)::BIGINT
+               AS changed_pri,
+           SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                    AND c1 = c2 AND p1 = p2 THEN 1 ELSE 0
+               END)::BIGINT AS unchanged
+    FROM j
+"""
+
+ORACLES["nearest_event"] = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS t
+               FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    m AS (SELECT user_id, event_id, event_type, t,
+                 last_value(CASE WHEN event_type = 'click' THEN t
+                            END IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS prev_c,
+                 first_value(CASE WHEN event_type = 'click' THEN t
+                             END IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS next_c
+          FROM e),
+    p AS (SELECT user_id, event_id,
+                 COALESCE(t - prev_c, 4611686018427387904) AS dp,
+                 COALESCE(next_c - t, 4611686018427387904) AS dn
+          FROM m WHERE event_type = 'purchase'
+            AND (prev_c IS NOT NULL OR next_c IS NOT NULL))
+    SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+           (CASE WHEN dp <= dn THEN dp ELSE dn END)::BIGINT
+               AS dist_us,
+           (CASE WHEN dp <= dn THEN 0 ELSE 1 END)::BIGINT AS forward
+    FROM p ORDER BY user_id, event_id
+"""
+
+ORACLES["sample_calibration"] = f"""
+    WITH pu AS (SELECT user_id,
+                       SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS c
+                FROM events GROUP BY 1),
+    h AS (SELECT c,
+                 (('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                     1, 15))::BIGINT) % {_SAMPLE_MOD} AS hb
+          FROM pu),
+    a AS (SELECT count(*) AS users, SUM(c) AS cents,
+                 SUM(CASE WHEN hb = 0 THEN 1 ELSE 0 END) AS su,
+                 SUM(CASE WHEN hb = 0 THEN c ELSE 0 END) AS sc
+          FROM h)
+    SELECT users::BIGINT AS n_users,
+           ({_SAMPLE_MOD} * su)::BIGINT AS est_users,
+           ((CASE WHEN {_SAMPLE_MOD} * su >= users THEN 1
+                  ELSE -1 END)
+            * ((1000000::HUGEINT * abs({_SAMPLE_MOD} * su - users))
+               // users))::BIGINT AS user_err_micro,
+           cents::BIGINT AS cents,
+           ({_SAMPLE_MOD} * sc)::BIGINT AS est_cents,
+           ((CASE WHEN {_SAMPLE_MOD} * sc >= cents THEN 1
+                  ELSE -1 END)
+            * ((1000000::HUGEINT * abs({_SAMPLE_MOD} * sc - cents))
+               // cents))::BIGINT AS cents_err_micro
+    FROM a
+"""

@@ -3436,3 +3436,124 @@ def test_vocab_coverage_replay(ray_session):
         assert int(r["n"]) == n
         assert int(r["cum_micro"]) == 1_000_000 * cum // total
     assert out["cum_micro"].is_monotonic_increasing
+
+
+def test_table_diff_replay(ray_session):
+    """Literal version derivation + dict diff; every class must be
+    live and the classes must partition both versions."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_table_diff(SF)
+    o = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ).to_pandas()
+    k = o["o_orderkey"].to_numpy(np.int64)
+    cents = _half_away(o["o_totalprice"].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+    pri = o["o_orderpriority"].astype(str).to_numpy()
+    v1 = {int(a): (int(b), c) for a, b, c in zip(k, cents, pri)}
+    v2 = {}
+    for a, b, c in zip(k, cents, pri):
+        a, b = int(a), int(b)
+        if a % 13 == 0:
+            pass
+        else:
+            v2[a] = (b + 100 if a % 7 == 0 else b,
+                     "REWRITTEN" if a % 5 == 0 else c)
+        if a % 11 == 0:
+            v2[a + 1_000_000_000] = (b, "NEW")
+    added = len(set(v2) - set(v1))
+    removed = len(set(v1) - set(v2))
+    common = set(v1) & set(v2)
+    ch_c = sum(1 for x in common if v1[x][0] != v2[x][0])
+    ch_p = sum(1 for x in common if v1[x][1] != v2[x][1])
+    unch = sum(1 for x in common if v1[x] == v2[x])
+    r = out.iloc[0]
+    assert (int(r["n_v1"]), int(r["n_v2"])) == (len(v1), len(v2))
+    assert (int(r["added"]), int(r["removed"])) == (added, removed)
+    assert int(r["changed_cents"]) == ch_c
+    assert int(r["changed_pri"]) == ch_p
+    assert int(r["unchanged"]) == unch
+    assert min(added, removed, ch_c, ch_p, unch) > 0
+
+
+def test_nearest_event_replay(ray_session):
+    """Scalar prev/next walk per purchase; both directions must
+    appear and ties resolve to the earlier click."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_nearest_event(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t)
+    got = {(int(r["user_id"]), int(r["event_id"])):
+           (int(r["dist_us"]), int(r["forward"]))
+           for _, r in out.iterrows()}
+    want = {}
+    for u, grp in ev.groupby("user_id"):
+        clicks = sorted(grp[grp["event_type"] == "click"]["t"])
+        if not clicks:
+            continue
+        for _, p in grp[grp["event_type"] == "purchase"].iterrows():
+            pt = int(p["t"])
+            i = bisect.bisect_right(clicks, pt)
+            dp = pt - clicks[i - 1] if i >= 1 else None
+            dn = clicks[i] - pt if i < len(clicks) else None
+            if dp is not None and (dn is None or dp <= dn):
+                want[(int(u), int(p["event_id"]))] = (dp, 0)
+            else:
+                want[(int(u), int(p["event_id"]))] = (dn, 1)
+    assert got == want
+    dirs = {v[1] for v in got.values()}
+    assert dirs == {0, 1}
+
+
+def test_sample_calibration_replay(ray_session):
+    """Exact census vs the MD5 sample; estimators must replay and
+    the signed-error form must match its own identity."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_sample_calibration(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "c": cents}).groupby("u", as_index=False)
+          .sum())
+    hb = stable_hash60_array([str(int(x)) for x in pu["u"]]) \
+        % Q._SAMPLE_MOD
+    users, tot = len(pu), int(pu["c"].sum())
+    su = int((hb == 0).sum())
+    sc = int(pu["c"].to_numpy()[hb == 0].sum())
+    r = out.iloc[0]
+    assert int(r["n_users"]) == users
+    assert int(r["est_users"]) == Q._SAMPLE_MOD * su
+    assert int(r["cents"]) == tot
+    assert int(r["est_cents"]) == Q._SAMPLE_MOD * sc
+
+    def serr(est, exact):
+        d = est - exact
+        return (1 if d >= 0 else -1) * (1_000_000 * abs(d) // exact)
+
+    assert int(r["user_err_micro"]) == serr(Q._SAMPLE_MOD * su, users)
+    assert int(r["cents_err_micro"]) == serr(Q._SAMPLE_MOD * sc, tot)
