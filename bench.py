@@ -164,7 +164,8 @@ def run_bench() -> dict:
         "permutation_test", "variance_ratio", "emerging_terms",
         "join_blame", "except_all", "consistent_hash_rebalance",
         "graph_modularity", "fd_discovery", "vocab_coverage",
-        "table_diff", "nearest_event", "sample_calibration")
+        "table_diff", "nearest_event", "sample_calibration",
+        "retrieval_ndcg", "dominant_period", "transition_gaps")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -3557,3 +3557,97 @@ def test_sample_calibration_replay(ray_session):
 
     assert int(r["user_err_micro"]) == serr(Q._SAMPLE_MOD * su, users)
     assert int(r["cents_err_micro"]) == serr(Q._SAMPLE_MOD * sc, tot)
+
+
+def test_retrieval_ndcg_replay(ray_session):
+    """Scalar cosine re-rank + literal discount walk; NDCG must sit
+    in (0, 10^6] and at least one query must be imperfect."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_retrieval_ndcg(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    lab = emb["label"].to_numpy(np.int64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lab_counts = pd.Series(lab).value_counts().to_dict()
+    assert len(out) == Q._NDCG_QUERIES
+    for qi in range(Q._NDCG_QUERIES):
+        sims = mat @ mat[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-sims[i], ids[i]))[:Q._NDCG_K]
+        rel = [int(lab[i] == lab[qi]) for i in order]
+        dcg = sum(r * d for r, d in zip(rel, Q._NDCG_DISC))
+        total_rel = lab_counts[int(lab[qi])] - 1
+        idcg = sum(Q._NDCG_DISC[:min(Q._NDCG_K, total_rel)])
+        r = out[out["query_id"] == int(ids[qi])].iloc[0]
+        assert int(r["rel_at_k"]) == sum(rel)
+        assert int(r["total_rel"]) == total_rel
+        assert int(r["dcg_units"]) == dcg
+        assert int(r["ndcg_micro"]) == (1_000_000 * dcg // idcg
+                                        if idcg else 0)
+    nd = out["ndcg_micro"].to_numpy()
+    assert (nd > 0).any() and (nd < 1_000_000).any()
+
+
+def test_dominant_period_replay(ray_session):
+    """Literal circular walk; scores must replay and exactly one
+    peak must be flagged."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_dominant_period(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    lo, hi = min(cnt), max(cnt)
+    x = [cnt.get(i, 0) for i in range(lo, hi + 1)]
+    n, s = len(x), sum(x)
+    want = {}
+    for lag in range(1, Q._PERIOD_MAX_LAG + 1):
+        cc = sum(x[i] * x[(i + lag) % n] for i in range(n))
+        want[lag] = n * cc - s * s
+    assert len(out) == Q._PERIOD_MAX_LAG
+    for _, r in out.iterrows():
+        assert int(r["score"]) == want[int(r["lag"])]
+    assert int(out["is_peak"].sum()) == 1
+    peak = int(out[out["is_peak"] == 1]["lag"].iat[0])
+    best = max(want.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert peak == best
+
+
+def test_transition_gaps_replay(ray_session):
+    """Literal per-user timeline walk; counts and exact mean gaps
+    must replay for every pair."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_transition_gaps(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["user_id", "t", "event_id"],
+                                    kind="mergesort")
+    acc = collections.defaultdict(lambda: [0, 0])
+    for _, grp in ev.groupby("user_id"):
+        et = grp["event_type"].tolist()
+        ts_ = grp["t"].tolist()
+        for (a, ta), (b, tb) in zip(zip(et, ts_), zip(et[1:], ts_[1:])):
+            acc[(a, b)][0] += 1
+            acc[(a, b)][1] += tb - ta
+    assert len(out) == len(acc)
+    for _, r in out.iterrows():
+        n, g = acc[(r["from_type"], r["to_type"])]
+        assert int(r["n"]) == n
+        assert int(r["mean_gap_us"]) == g // n
