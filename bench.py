@@ -165,7 +165,8 @@ def run_bench() -> dict:
         "join_blame", "except_all", "consistent_hash_rebalance",
         "graph_modularity", "fd_discovery", "vocab_coverage",
         "table_diff", "nearest_event", "sample_calibration",
-        "retrieval_ndcg", "dominant_period", "transition_gaps")
+        "retrieval_ndcg", "dominant_period", "transition_gaps",
+        "lead_lag", "edge_support", "dup_histogram")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

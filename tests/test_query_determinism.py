@@ -3651,3 +3651,107 @@ def test_transition_gaps_replay(ray_session):
         n, g = acc[(r["from_type"], r["to_type"])]
         assert int(r["n"]) == n
         assert int(r["mean_gap_us"]) == g // n
+
+
+def test_lead_lag_replay(ray_session):
+    """Literal circular cross-walk over both series; exactly one
+    peak, scores replayed for all 15 lags."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_lead_lag(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cc_, pp_ = collections.Counter(), collections.Counter()
+    for dy, et in zip(d.tolist(), ev["event_type"]):
+        if et == "click":
+            cc_[dy] += 1
+        elif et == "purchase":
+            pp_[dy] += 1
+    lo = int(d.min())
+    hi = int(d.max())
+    c = [cc_.get(i, 0) for i in range(lo, hi + 1)]
+    p = [pp_.get(i, 0) for i in range(lo, hi + 1)]
+    n, sc, sp = len(c), sum(c), sum(p)
+    want = {}
+    for lag in range(-Q._LEAD_LAG_MAX, Q._LEAD_LAG_MAX + 1):
+        s = sum(c[i] * p[(i + lag) % n] for i in range(n))
+        want[lag] = n * s - sc * sp
+    assert len(out) == 2 * Q._LEAD_LAG_MAX + 1
+    for _, r in out.iterrows():
+        assert int(r["score"]) == want[int(r["lag"])]
+    assert int(out["is_peak"].sum()) == 1
+
+
+def test_edge_support_replay(ray_session):
+    """Brute-force per-edge triangle census; conservation
+    Σsupport = 3·T must hold and the top-k order must replay."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_edge_support(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey"]
+                           ).to_pandas()
+    a = orders["o_custkey"].to_numpy(np.int64)
+    b = orders["o_orderkey"].to_numpy(np.int64) % 1500
+    edges = {(min(x, y), max(x, y))
+             for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    sup = collections.Counter()
+    tri = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            sup[(u, v)] += 1
+            tri += 1  # counted once per edge-third → Σ = 3T overall
+    if len(out):
+        total = int(out["total_support"].iat[0])
+        assert total == sum(sup.values()) == tri
+        want = sorted(((s, u, v) for (u, v), s in sup.items()),
+                      key=lambda r: (-r[0], r[1], r[2]))[:Q._SUPPORT_K]
+        got = [(int(r["support"]), int(r["u"]), int(r["v"]))
+               for _, r in out.iterrows()]
+        assert got == want
+    else:
+        assert not sup
+
+
+def test_dup_histogram_replay(ray_session):
+    """Literal prefix-group histogram; doc-mass conservation and a
+    live >1 bucket."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_dup_histogram(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    groups = collections.Counter()
+    for text in docs["text"]:
+        groups["\x1e".join(default_tokenizer(text)[:Q._PREFIX_K])] += 1
+    hist = collections.Counter(groups.values())
+    total = len(docs)
+    assert len(out) == len(hist)
+    for _, r in out.iterrows():
+        s = int(r["size"])
+        assert int(r["n_groups"]) == hist[s]
+        assert int(r["docs_micro"]) == \
+            1_000_000 * s * hist[s] // total
+    assert int((out["size"] * out["n_groups"]).sum()) == total
+    assert int(out["size"].max()) > 1
