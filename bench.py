@@ -166,7 +166,8 @@ def run_bench() -> dict:
         "graph_modularity", "fd_discovery", "vocab_coverage",
         "table_diff", "nearest_event", "sample_calibration",
         "retrieval_ndcg", "dominant_period", "transition_gaps",
-        "lead_lag", "edge_support", "dup_histogram")
+        "lead_lag", "edge_support", "dup_histogram",
+        "t_closeness", "cohens_kappa", "heatmap_residuals")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

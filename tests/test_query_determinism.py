@@ -3755,3 +3755,108 @@ def test_dup_histogram_replay(ray_session):
             1_000_000 * s * hist[s] // total
     assert int((out["size"] * out["n_groups"]).sum()) == total
     assert int(out["size"].max()) > 1
+
+
+def test_t_closeness_replay(ray_session):
+    """Literal per-cell TV walk; distances must sit in [0, 10^6] and
+    the flag follow the threshold."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_t_closeness(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    band = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+            .astype(np.int64) // 10_000)
+    dow = (t // 86_400_000_000 + 4) % 7
+    cube = collections.Counter(
+        zip(band.tolist(), dow.tolist(), ev["event_type"]))
+    glob = collections.Counter()
+    for (b, d, e), n in cube.items():
+        glob[e] += n
+    N = sum(glob.values())
+    cells = collections.defaultdict(dict)
+    for (b, d, e), n in cube.items():
+        cells[(b, d)][e] = n
+    assert len(out) == len(cells)
+    for _, r in out.iterrows():
+        cell = cells[(int(r["band"]), int(r["dow"]))]
+        n = sum(cell.values())
+        num = sum(abs(cell.get(e, 0) * N - g * n)
+                  for e, g in glob.items())
+        tv = 1_000_000 * num // (2 * n * N)
+        assert int(r["n_rows"]) == n
+        assert int(r["tv_micro"]) == tv
+        assert int(r["violates_t"]) == int(tv > Q._TCLOSE_T_MICRO)
+        assert 0 <= tv <= 1_000_000
+
+
+def test_cohens_kappa_replay(ray_session):
+    """Confusion matrix replayed; the shifted kappa must equal its
+    exact rational identity and sit strictly inside (0, 2·10^6)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_cohens_kappa(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = (ev["event_type"] == "purchase").to_numpy()
+    b = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+         .astype(np.int64) >= 4000)
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    N = len(ev)
+    agree = n11 + n00
+    se = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    want = 1_000_000 * (N * agree - se + (N * N - se)) // (N * N - se)
+    r = out.iloc[0]
+    assert (int(r["n11"]), int(r["n10"]), int(r["n01"]),
+            int(r["n00"])) == (n11, n10, n01, n00)
+    assert int(r["kappa_plus1_micro"]) == want
+    assert 0 < want < 2_000_000
+
+
+def test_heatmap_residuals_replay(ray_session):
+    """Literal marginal walk; residuals must sum to zero over the
+    grid (the independence identity) and both signs must appear."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_heatmap_residuals(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hour = (t // 3_600_000_000 % 24).tolist()
+    dow = ((t // 86_400_000_000 + 4) % 7).tolist()
+    cube = collections.Counter(zip(hour, dow))
+    r = collections.Counter()
+    c = collections.Counter()
+    for (h, d), n in cube.items():
+        r[h] += n
+        c[d] += n
+    N = sum(cube.values())
+    assert len(out) == len(cube)
+    for _, row in out.iterrows():
+        h, d = int(row["hour"]), int(row["dow"])
+        n = cube[(h, d)]
+        assert int(row["observed"]) == n
+        assert int(row["expected_micro"]) == \
+            1_000_000 * r[h] * c[d] // N
+        assert int(row["residual_x"]) == n * N - r[h] * c[d]
+    res = out["residual_x"].to_numpy()
+    assert (res > 0).any() and (res < 0).any()
+    # Σ residual = N·N − Σr·c ... which is zero only when marginals
+    # partition exactly; verify the exact identity instead
+    assert int(res.sum()) == N * N - sum(
+        r[h] * c[d] for (h, d) in cube)
