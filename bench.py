@@ -167,7 +167,8 @@ def run_bench() -> dict:
         "table_diff", "nearest_event", "sample_calibration",
         "retrieval_ndcg", "dominant_period", "transition_gaps",
         "lead_lag", "edge_support", "dup_histogram",
-        "t_closeness", "cohens_kappa", "heatmap_residuals")
+        "t_closeness", "cohens_kappa", "heatmap_residuals",
+        "mann_kendall", "capture_recapture", "hapax_rate")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -3860,3 +3860,87 @@ def test_heatmap_residuals_replay(ray_session):
     # partition exactly; verify the exact identity instead
     assert int(res.sum()) == N * N - sum(
         r[h] * c[d] for (h, d) in cube)
+
+
+def test_mann_kendall_replay(ray_session):
+    """Literal pair walk; S must replay and the verdict follow its
+    sign."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_mann_kendall(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    x = [acc[k] for k in sorted(acc)]
+    s = sum((x[j] > x[i]) - (x[j] < x[i])
+            for i in range(len(x)) for j in range(i + 1, len(x)))
+    assert int(out["n_days"].iat[0]) == len(x)
+    assert int(out["s_stat"].iat[0]) == s
+    assert int(out["pairs"].iat[0]) == len(x) * (len(x) - 1) // 2
+    assert int(out["trend"].iat[0]) == (s > 0) - (s < 0)
+
+
+def test_capture_recapture_replay(ray_session):
+    """Literal two-capture walk; the Chapman identity must replay
+    and the estimate must be within 2x of truth on this fixture."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_capture_recapture(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    lo, hi = int(d.min()), int(d.max())
+    w1 = set(ev["user_id"][d < lo + 7].astype(int))
+    w2 = set(ev["user_id"][d > hi - 7].astype(int))
+    users = ev["user_id"].nunique()
+    est = (len(w1) + 1) * (len(w2) + 1) // (len(w1 & w2) + 1) - 1
+    r = out.iloc[0]
+    assert (int(r["n1"]), int(r["n2"])) == (len(w1), len(w2))
+    assert int(r["overlap"]) == len(w1 & w2)
+    assert int(r["chapman_est"]) == est
+    assert int(r["true_users"]) == users
+    assert est > 0 and est < 2 * users + 2
+
+
+def test_hapax_rate_replay(ray_session):
+    """Literal per-source vocabulary walk; rates their own floor-div
+    and bounded by 10^6."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_hapax_rate(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        per[src].update(default_tokenizer(text))
+    assert len(out) == len(per)
+    for _, r in out.iterrows():
+        cnt = per[r["source"]]
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        assert int(r["vocab"]) == len(cnt)
+        assert int(r["hapax"]) == hapax
+        assert int(r["hapax_micro"]) == \
+            1_000_000 * hapax // len(cnt)
+        assert 0 <= int(r["hapax_micro"]) <= 1_000_000
