@@ -168,7 +168,8 @@ def run_bench() -> dict:
         "retrieval_ndcg", "dominant_period", "transition_gaps",
         "lead_lag", "edge_support", "dup_histogram",
         "t_closeness", "cohens_kappa", "heatmap_residuals",
-        "mann_kendall", "capture_recapture", "hapax_rate")
+        "mann_kendall", "capture_recapture", "hapax_rate",
+        "shipping_delay", "abc_classification", "rev_recognition")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

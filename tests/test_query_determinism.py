@@ -3944,3 +3944,110 @@ def test_hapax_rate_replay(ray_session):
         assert int(r["hapax_micro"]) == \
             1_000_000 * hapax // len(cnt)
         assert 0 <= int(r["hapax_micro"]) <= 1_000_000
+
+
+def test_shipping_delay_replay(ray_session):
+    """Literal order-statistics walk per priority."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_shipping_delay(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = dict(zip(o["o_orderkey"].astype(int),
+                  o["o_orderdate"].to_numpy()
+                  .astype("datetime64[us]").astype(np.int64)
+                  // 86_400_000_000))
+    pri = dict(zip(o["o_orderkey"].astype(int),
+                   o["o_orderpriority"].astype(str)))
+    sd = (li["l_shipdate"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64) // 86_400_000_000)
+    delays = {}
+    for k, s in zip(li["l_orderkey"].astype(int), sd.tolist()):
+        delays.setdefault(pri[k], []).append(s - od[k])
+    assert len(out) == len(delays)
+    for _, r in out.iterrows():
+        ds_ = sorted(delays[r["pri"]])
+        n = len(ds_)
+        assert int(r["n_lines"]) == n
+        assert int(r["p50_days"]) == ds_[(n + 1) // 2 - 1]
+        assert int(r["p90_days"]) == ds_[(9 * n + 9) // 10 - 1]
+
+
+def test_abc_classification_replay(ray_session):
+    """Literal ranked cumulative walk; classes must partition the
+    parts and conserve revenue, with A being few-and-large."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_abc_classification(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_extendedprice"]
+                       ).to_pandas()
+    cents = _half_away(li["l_extendedprice"].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+    pp = (pd.DataFrame({"p": li["l_partkey"].to_numpy(np.int64),
+                        "c": cents}).groupby("p", as_index=False)
+          .sum().sort_values(["c", "p"], ascending=[False, True],
+                             kind="mergesort"))
+    total = int(pp["c"].sum())
+    cum = 0
+    want = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for c in pp["c"]:
+        cum += int(c)
+        k = ("A" if cum * 100 <= 80 * total
+             else "B" if cum * 100 <= 95 * total else "C")
+        want[k][0] += 1
+        want[k][1] += int(c)
+    for _, r in out.iterrows():
+        n, c = want[r["class"]]
+        assert int(r["n_parts"]) == n
+        assert int(r["revenue_cents"]) == c
+        assert int(r["share_micro"]) == 1_000_000 * c // total
+    assert int(out["n_parts"].sum()) == len(pp)
+    assert int(out["revenue_cents"].sum()) == total
+    a = out[out["class"] == "A"].iloc[0]
+    c = out[out["class"] == "C"].iloc[0]
+    # structural invariant of the ranked walk: A's mean per-part
+    # revenue >= C's (cross-multiplied; holds for ANY distribution)
+    assert (int(a["revenue_cents"]) * int(c["n_parts"])
+            >= int(c["revenue_cents"]) * int(a["n_parts"]))
+
+
+def test_rev_recognition_replay(ray_session):
+    """Penny conservation: the recognized schedule must sum exactly
+    to total purchase cents, and a single purchase's 7-day split must
+    allocate remainder cents to the FIRST days."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_rev_recognition(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    is_p = (ev["event_type"] == "purchase").to_numpy()
+    t = (ev["ts"].to_numpy().astype("datetime64[us]")
+         .astype(np.int64)[is_p] // 86_400_000_000)
+    cents = _half_away(ev["value"].to_numpy(np.float64)[is_p]
+                       * 100.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for d, c in zip(t.tolist(), cents.tolist()):
+        base, rem = divmod(c, 7)
+        for i in range(7):
+            acc[d + i] += base + (1 if i < rem else 0)
+    assert int(out["cents"].sum()) == int(cents.sum())
+    got = dict(zip(out["day"].astype(int), out["cents"].astype(int)))
+    assert got == dict(acc)
+    # allocation rule: 10 cents over 7 days = 2,2,2,1,1,1,1
+    base, rem = divmod(10, 7)
+    split = [base + (1 if i < rem else 0) for i in range(7)]
+    assert split == [2, 2, 2, 1, 1, 1, 1] and sum(split) == 10
