@@ -169,7 +169,8 @@ def run_bench() -> dict:
         "lead_lag", "edge_support", "dup_histogram",
         "t_closeness", "cohens_kappa", "heatmap_residuals",
         "mann_kendall", "capture_recapture", "hapax_rate",
-        "shipping_delay", "abc_classification", "rev_recognition")
+        "shipping_delay", "abc_classification", "rev_recognition",
+        "partition_advisor", "wilson_bound", "mttr_mtbf")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -4051,3 +4051,118 @@ def test_rev_recognition_replay(ray_session):
     base, rem = divmod(10, 7)
     split = [base + (1 if i < rem else 0) for i in range(7)]
     assert split == [2, 2, 2, 1, 1, 1, 1] and sum(split) == 10
+
+
+def test_partition_advisor_replay(ray_session):
+    """Scalar census per B; exactly one advised row and the pick
+    rule replayed."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+
+    out = Q.q_partition_advisor(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    u = ev["user_id"].to_numpy(np.int64)
+    uu, cc = np.unique(u, return_counts=True)
+    h = stable_hash60_array([str(int(x)) for x in uu.tolist()])
+    total = len(u)
+    recs = []
+    for B in Q._ADVISOR_BUCKETS:
+        loads = collections.Counter()
+        for hb, n in zip((h % B).tolist(), cc.tolist()):
+            loads[hb] += n
+        mx = max(loads.values())
+        mn = min(loads.values()) if len(loads) == B else 0
+        recs.append((B, mx, mn, 1_000_000 * mx * B // total))
+    ok = [r for r in recs if r[3] <= 1_200_000]
+    pick = (min(ok, key=lambda r: r[0]) if ok
+            else min(recs, key=lambda r: (r[3], -r[0])))[0]
+    assert int(out["advised"].sum()) == 1
+    for (_, r), (B, mx, mn, sk) in zip(out.iterrows(), recs):
+        assert (int(r["buckets"]), int(r["max_rows"]),
+                int(r["min_rows"]), int(r["skew_micro"])) == \
+            (B, mx, mn, sk)
+        assert int(r["advised"]) == int(B == pick)
+
+
+def test_wilson_bound_replay(ray_session):
+    """Identical IEEE chain replayed; the bound must be strictly
+    below the raw rate and within [0, 1)."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_wilson_bound(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    nn = collections.Counter()
+    kk = collections.Counter()
+    for dy, et in zip(d.tolist(), ev["event_type"]):
+        if et in ("click", "purchase"):
+            nn[dy] += 1
+            if et == "purchase":
+                kk[dy] += 1
+    for _, r in out.iterrows():
+        day = int(r["day"])
+        n, k = nn[day], kk.get(day, 0)
+        p = float(k) / float(n)
+        nf = float(n)
+        lb = ((p + 2.0 / nf)
+              - 2.0 * math.sqrt(p * (1.0 - p) / nf
+                                + 1.0 / (nf * nf))) / (1.0 + 4.0 / nf)
+        assert int(r["trials"]) == n
+        assert int(r["purchases"]) == k
+        assert float(r["wilson_lb"]) == round(lb, 6)
+        assert float(r["wilson_lb"]) < p or k == 0
+        assert -0.01 <= float(r["wilson_lb"]) < 1.0
+
+
+def test_mttr_mtbf_replay(ray_session):
+    """Transition pairing replayed; incidents must be live and the
+    means their own floor-div."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_mttr_mtbf(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hr = (ev["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64) // 3_600_000_000)
+    cnt = collections.Counter(hr.tolist())
+    lo, hi = min(cnt), max(cnt)
+    c = [cnt.get(h, 0) for h in range(lo, hi + 1)]
+    n, s = len(c), sum(c)
+    status = 0
+    trans = []
+    for h, v in zip(range(lo, hi + 1), c):
+        new = (1 if 4 * n * v >= 5 * s
+               else 0 if 4 * n * v <= 3 * s else status)
+        if new != status:
+            trans.append((h, new))
+        status = new
+    repair = [h2 - h1 for (h1, s1), (h2, _) in zip(trans, trans[1:])
+              if s1 == 1]
+    gaps = [h2 - h1 for (h1, s1), (h2, _) in zip(trans, trans[1:])
+            if s1 == 0]
+    r = out.iloc[0]
+    assert int(r["incidents"]) == sum(1 for _, st in trans if st == 1)
+    assert int(r["incidents"]) > 0
+    assert int(r["n_repairs"]) == len(repair)
+    assert int(r["mttr_hours_micro"]) == (
+        1_000_000 * sum(repair) // len(repair) if repair else 0)
+    assert int(r["n_gaps"]) == len(gaps)
+    assert int(r["mtbf_hours_micro"]) == (
+        1_000_000 * sum(gaps) // len(gaps) if gaps else 0)
