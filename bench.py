@@ -170,7 +170,8 @@ def run_bench() -> dict:
         "t_closeness", "cohens_kappa", "heatmap_residuals",
         "mann_kendall", "capture_recapture", "hapax_rate",
         "shipping_delay", "abc_classification", "rev_recognition",
-        "partition_advisor", "wilson_bound", "mttr_mtbf")
+        "partition_advisor", "wilson_bound", "mttr_mtbf",
+        "queue_wait", "embedding_drift", "mahalanobis_days")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

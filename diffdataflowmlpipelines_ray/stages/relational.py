@@ -28,6 +28,7 @@ __all__ = ["hash_join", "asof_join", "salted_two_phase_sum", "sessionize",
            "distinct_count_per_group", "grouped_quantiles", "running_total",
            "latest_per_key", "exact_global_quantiles", "global_rank", "grouped_mad",
            "build_bloom", "bloom_prefilter", "ordered_prefix_sum",
+           "ordered_prefix_min",
            "cap_per_group", "deterministic_shuffle", "unpivot"]
 
 
@@ -937,3 +938,58 @@ def merge_into(base, changes, key_cols: Sequence[str],
 
     ups = chg.map_batches(upserts, batch_format="pandas")
     return survivors.union(ups)
+
+
+def ordered_prefix_min(ds, order_col: str, value_col: str,
+                       out_col: str = "prefix_min"):
+    """Distributed INCLUSIVE prefix-minimum under the global order of
+    ``order_col`` (unique, verified) — `ordered_prefix_sum`'s sibling
+    for the other classic associative scan (min is idempotent, so the
+    block-offset algebra is even simpler): pass 1 emits each block's
+    (first, last, min) — O(blocks) driver rows; the driver prefix-mins
+    the block minima into per-block offsets; pass 2 combines each
+    block's running min with its offset.  Integer-only by the same
+    split-order contract."""
+    vt = next(f.type for f in _arrow_schema(ds) if f.name == value_col)
+    if not pa.types.is_integer(vt):
+        raise ValueError(f"{value_col} must be integer (got {vt})")
+    S = ds.sort(order_col).materialize()
+
+    def meta(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "dups": pa.array([], pa.bool_())})
+        k = tbl[order_col]
+        kn = k.to_numpy(zero_copy_only=False)
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first": [k[0].as_py()], "last": [k[-1].as_py()],
+                         "mn": [int(v.min())],
+                         "dups": [bool(len(np.unique(kn)) != len(kn))]})
+
+    mt = (pa.concat_tables(list(
+        S.map_batches(meta, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+        .sort_values("first").reset_index(drop=True))
+    if mt["dups"].any() or (mt["first"].iloc[1:].to_numpy()
+                            <= mt["last"].iloc[:-1].to_numpy()).any():
+        raise ValueError(f"{order_col} values are not unique — a prefix "
+                         "min under a tied order is ambiguous")
+    mins = mt["mn"].to_numpy()
+    offs = np.concatenate(
+        [[np.iinfo(np.int64).max],
+         np.minimum.accumulate(mins)[:-1]]).astype(np.int64)
+    offsets = dict(zip(mt["first"], offs))
+    import ray
+    ref = ray.put(offsets)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)[tbl[order_col][0].as_py()]
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.minimum(np.minimum.accumulate(v), off)
+        return tbl.append_column(out_col, pa.array(c))
+
+    return S.map_batches(scan, batch_size=None, batch_format="pyarrow")

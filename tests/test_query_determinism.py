@@ -4166,3 +4166,138 @@ def test_mttr_mtbf_replay(ray_session):
     assert int(r["n_gaps"]) == len(gaps)
     assert int(r["mtbf_hours_micro"]) == (
         1_000_000 * sum(gaps) // len(gaps) if gaps else 0)
+
+
+def test_queue_wait_replay(ray_session):
+    """Literal Lindley recursion walk; the closed-form scans must
+    equal the step-by-step queue exactly, and waits must be live."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_queue_wait(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_id"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    e = ev["event_id"].to_numpy(np.int64)
+    order = np.lexsort(((e & 4095), t))
+    ts_ = t[order]
+    S = Q._QUEUE_SERVICE_US
+    w = 0
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    prev = None
+    for tt in ts_.tolist():
+        if prev is not None:
+            w = max(0, w + S - (tt - prev))
+        prev = tt
+        d = tt // 86_400_000_000
+        acc[d][0] += 1
+        acc[d][1] += w
+        acc[d][2] = max(acc[d][2], w)
+    assert len(out) == len(acc)
+    for _, r in out.iterrows():
+        n, ws, wmax = acc[int(r["day"])]
+        assert int(r["n"]) == n
+        assert int(r["mean_wait_micro_h"]) == \
+            1_000_000 * ws // (n * 3_600_000_000)
+        assert int(r["max_wait_us"]) == wmax
+    assert int(out["max_wait_us"].max()) > 0
+
+
+def test_ordered_prefix_min_matches_numpy(ray_session):
+    """The distributed prefix-min scan must equal numpy's
+    minimum.accumulate at any split."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from diffdataflowmlpipelines_ray.stages.relational import (
+        ordered_prefix_min,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = np.arange(1000, dtype=np.int64)
+    vals = rng.integers(-10_000, 10_000, size=1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals}))\
+        .repartition(7)
+    out = ordered_prefix_min(ds, "k", "v", out_col="m").to_pandas()
+    out = out.sort_values("k")
+    np.testing.assert_array_equal(
+        out["m"].to_numpy(), np.minimum.accumulate(vals))
+
+
+def test_embedding_drift_replay(ray_session):
+    """Scalar centroid walk on the quantized grid; distances must be
+    exact and at least one label must show non-zero drift."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_embedding_drift(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    mat = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    q = _half_away(mat * Q._DRIFT_Q).astype(np.int64)
+    got = {int(r["label"]): (int(r["n_a"]), int(r["n_b"]),
+                             int(r["dist2_micro"]))
+           for _, r in out.iterrows()}
+    seen = 0
+    for lb in np.unique(lab):
+        a = (lab == lb) & (ids % 2 == 0)
+        b = (lab == lb) & (ids % 2 == 1)
+        n1, n2 = int(a.sum()), int(b.sum())
+        if n1 == 0 or n2 == 0:
+            continue
+        seen += 1
+        s1 = q[a].sum(axis=0).astype(object)
+        s2 = q[b].sum(axis=0).astype(object)
+        num = sum(int(n2 * x - n1 * y) ** 2 for x, y in zip(s1, s2))
+        den = (n1 * n2 * Q._DRIFT_Q) ** 2
+        assert got[int(lb)] == (n1, n2, 1_000_000 * num // den)
+    assert seen == len(got) > 0
+    assert max(v[2] for v in got.values()) > 0
+
+
+def test_mahalanobis_days_replay(ray_session):
+    """Adjugate-form census replayed in exact ints; flagged days (if
+    any at this scale) must dominate the threshold."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_mahalanobis_days(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    xs = collections.Counter()
+    ys = collections.Counter()
+    days = set()
+    for dy, et in zip(d.tolist(), ev["event_type"]):
+        days.add(dy)
+        if et == "click":
+            xs[dy] += 1
+        elif et == "purchase":
+            ys[dy] += 1
+    days = sorted(days)
+    n = len(days)
+    X = [xs.get(dy, 0) for dy in days]
+    Y = [ys.get(dy, 0) for dy in days]
+    sx, sy = sum(X), sum(Y)
+    A = n * sum(x * x for x in X) - sx * sx
+    B = n * sum(x * y for x, y in zip(X, Y)) - sx * sy
+    C = n * sum(y * y for y in Y) - sy * sy
+    det = A * C - B * B
+    want = [(dy, x, y) for dy, x, y in zip(days, X, Y)
+            if C * (n * x - sx) ** 2
+            - 2 * B * (n * x - sx) * (n * y - sy)
+            + A * (n * y - sy) ** 2 > Q._MAHA_K2 * det]
+    assert len(out) == len(want)
+    for (_, r), (dy, x, y) in zip(out.iterrows(), want):
+        assert (int(r["day"]), int(r["clicks"]),
+                int(r["purchases"])) == (dy, x, y)
