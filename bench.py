@@ -171,7 +171,8 @@ def run_bench() -> dict:
         "mann_kendall", "capture_recapture", "hapax_rate",
         "shipping_delay", "abc_classification", "rev_recognition",
         "partition_advisor", "wilson_bound", "mttr_mtbf",
-        "queue_wait", "embedding_drift", "mahalanobis_days")
+        "queue_wait", "embedding_drift", "mahalanobis_days",
+        "dtw_profiles", "source_similarity", "order_checksum")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

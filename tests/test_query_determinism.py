@@ -4301,3 +4301,106 @@ def test_mahalanobis_days_replay(ray_session):
     for (_, r), (dy, x, y) in zip(out.iterrows(), want):
         assert (int(r["day"]), int(r["clicks"]),
                 int(r["purchases"])) == (dy, x, y)
+
+
+def test_dtw_profiles_replay(ray_session):
+    """Literal DP walk; DTW must never exceed raw L1 (warping can
+    only help) and the flag must be its own identity."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_dtw_profiles(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    lo, hi = min(acc), max(acc)
+    a = [acc.get(lo + i, 0) for i in range(7)]
+    b = [acc.get(hi - 6 + i, 0) for i in range(7)]
+    INF = 1 << 62
+    D = [[INF] * 8 for _ in range(8)]
+    D[0][0] = 0
+    for r in range(1, 8):
+        for c in range(1, 8):
+            D[r][c] = abs(a[r - 1] - b[c - 1]) + min(
+                D[r - 1][c], D[r][c - 1], D[r - 1][c - 1])
+    raw = sum(abs(x - y) for x, y in zip(a, b))
+    assert int(out["dtw_cents"].iat[0]) == D[7][7]
+    assert int(out["raw_l1_cents"].iat[0]) == raw
+    assert D[7][7] <= raw
+    assert int(out["warp_saves"].iat[0]) == int(D[7][7] < raw)
+
+
+def test_source_similarity_replay(ray_session):
+    """Scalar dot-product walk; cos^2 must be symmetric-complete over
+    the pair grid and bounded by 10^6."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_source_similarity(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        per[src].update(default_tokenizer(text))
+    srcs = sorted(per)
+    n_pairs = len(srcs) * (len(srcs) - 1) // 2
+    assert len(out) == n_pairs
+    got = {(r["src_a"], r["src_b"]): int(r["cos2_micro"])
+           for _, r in out.iterrows()}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            ca, cb = per[srcs[i]], per[srcs[j]]
+            dot = sum(ca[t] * cb.get(t, 0) for t in ca)
+            na = sum(v * v for v in ca.values())
+            nb = sum(v * v for v in cb.values())
+            want = 1_000_000 * dot * dot // (na * nb)
+            assert got[(srcs[i], srcs[j])] == want
+            assert 0 <= want <= 1_000_000
+
+
+def test_order_checksum_replay(ray_session):
+    """Literal rank-weighted walk; swapping two events of one user
+    must change that user's checksum (order sensitivity — the whole
+    point)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        stable_hash60_array,
+    )
+
+    out = Q.q_order_checksum(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    got = dict(zip(out["user_id"].astype(int),
+                   out["checksum"].astype(int)))
+    for u, grp in ev.groupby("user_id"):
+        hs = stable_hash60_array(
+            [str(int(x)) for x in grp["event_id"]])
+        want = sum((i + 1) * int(h) for i, h in enumerate(hs)) \
+            % Q._CHECKSUM_MOD
+        assert got[int(u)] == want
+        if len(hs) >= 2 and int(hs[0]) != int(hs[1]):
+            swapped = ([2 * int(hs[0]) + 1 * int(hs[1])]
+                       + [(i + 1) * int(h)
+                          for i, h in enumerate(hs)][2:])
+            assert sum(swapped) % Q._CHECKSUM_MOD != want
