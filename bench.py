@@ -172,7 +172,8 @@ def run_bench() -> dict:
         "shipping_delay", "abc_classification", "rev_recognition",
         "partition_advisor", "wilson_bound", "mttr_mtbf",
         "queue_wait", "embedding_drift", "mahalanobis_days",
-        "dtw_profiles", "source_similarity", "order_checksum")
+        "dtw_profiles", "source_similarity", "order_checksum",
+        "good_turing", "ratio_metric", "adjusted_anomaly")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

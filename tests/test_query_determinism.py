@@ -4404,3 +4404,109 @@ def test_order_checksum_replay(ray_session):
                        + [(i + 1) * int(h)
                           for i, h in enumerate(hs)][2:])
             assert sum(swapped) % Q._CHECKSUM_MOD != want
+
+
+def test_good_turing_replay(ray_session):
+    """Literal frequency-of-frequencies walk; the smoothing identity
+    and unseen mass must replay exactly."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_good_turing(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt = collections.Counter()
+    for text in docs["text"]:
+        cnt.update(default_tokenizer(text))
+    ff = collections.Counter(cnt.values())
+    total = sum(cnt.values())
+    assert len(out) == Q._GT_MAX_R
+    for _, r in out.iterrows():
+        rr = int(r["r"])
+        n_r = ff.get(rr, 0)
+        assert int(r["n_r"]) == n_r
+        want = (1_000_000 * (rr + 1) * ff.get(rr + 1, 0) // n_r
+                if n_r else 0)
+        assert int(r["rstar_micro"]) == want
+        assert int(r["unseen_mass_micro"]) == \
+            1_000_000 * ff.get(1, 0) // total
+
+
+def test_ratio_metric_replay(ray_session):
+    """Per-variant delta-method chain replayed from exact ints; SE
+    must be positive and the ratio finite."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_ratio_metric(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    clicks = (ev["event_type"] == "click").to_numpy().astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "x": clicks, "y": cents})
+          .groupby("u", as_index=False).sum())
+    for v in (0, 1):
+        sel = pu[(pu["u"] % 2) == v]
+        n = len(sel)
+        sx, sy = int(sel["x"].sum()), int(sel["y"].sum())
+        sxx = int((sel["x"] * sel["x"]).sum())
+        syy = int((sel["y"].astype(object)
+                   * sel["y"].astype(object)).sum())
+        sxy = int((sel["x"].astype(object)
+                   * sel["y"].astype(object)).sum())
+        nf = float(n)
+        xb = float(sx) / nf
+        R = float(sy) / float(sx)
+        vx = float(sxx) / nf - xb * xb
+        vy = float(syy) / nf - (float(sy) / nf) * (float(sy) / nf)
+        cxy = float(sxy) / nf - xb * (float(sy) / nf)
+        se = math.sqrt((vy - 2.0 * R * cxy + R * R * vx)
+                       / (nf * xb * xb))
+        row = out[out["variant"] == v].iloc[0]
+        assert int(row["n_users"]) == n
+        assert float(row["ratio"]) == round(R, 6)
+        assert float(row["se"]) == round(se, 6)
+        assert float(row["se"]) > 0
+
+
+def test_adjusted_anomaly_replay(ray_session):
+    """Literal trend-then-MAD walk; the flag set must replay and
+    differ from the raw-count MAD rule's domain (the adjustment is
+    doing something)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_adjusted_anomaly(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    days = sorted(cnt)
+    c = [cnt[x] for x in days]
+    devs = [(days[i], 7 * c[i] - sum(c[i - 3:i + 4]))
+            for i in range(3, len(c) - 3)]
+    dv = sorted(x for _, x in devs)
+    med = dv[(len(dv) - 1) // 2]
+    ad = sorted(abs(x - med) for _, x in devs)
+    mad = ad[(len(ad) - 1) // 2]
+    want = [(dd, x) for dd, x in devs
+            if 6745 * abs(x - med) > 35000 * mad]
+    got = list(zip(out["day"].astype(int), out["dev7"].astype(int)))
+    assert got == want
