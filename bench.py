@@ -173,7 +173,8 @@ def run_bench() -> dict:
         "partition_advisor", "wilson_bound", "mttr_mtbf",
         "queue_wait", "embedding_drift", "mahalanobis_days",
         "dtw_profiles", "source_similarity", "order_checksum",
-        "good_turing", "ratio_metric", "adjusted_anomaly")
+        "good_turing", "ratio_metric", "adjusted_anomaly",
+        "logrank", "jsd_sources", "policy_replay")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -4510,3 +4510,132 @@ def test_adjusted_anomaly_replay(ray_session):
             if 6745 * abs(x - med) > 35000 * mad]
     got = list(zip(out["day"].astype(int), out["dev7"].astype(int)))
     assert got == want
+
+
+def test_logrank_replay(ray_session):
+    """Literal per-time risk-set walk; the micro-rounded O-E stream
+    must replay term for term."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_logrank(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    t = half_away(ev["value"].to_numpy(np.float64) * 1e6)\
+        .astype(np.int64)
+    obs = (ev["event_type"] == "click").to_numpy().astype(int)
+    g1 = (ev["event_id"].to_numpy(np.int64) % 2)
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for tm, d, gg in zip(t.tolist(), obs.tolist(), g1.tolist()):
+        a = agg[tm]
+        a[0] += d
+        a[1] += 1
+        a[2] += d * gg
+        a[3] += gg
+    N = len(ev)
+    N1 = int(g1.sum())
+    before = b1 = 0
+    o1 = e1 = oe = 0
+    for tm in sorted(agg):
+        d, c, d1, c1 = agg[tm]
+        n = N - before
+        n1 = N1 - b1
+        if d > 0:
+            o1 += d1
+            e1 += 1_000_000 * d * n1 // n
+            v = d1 * n - d * n1
+            oe += (1 if v >= 0 else -1) * (1_000_000 * abs(v) // n)
+        before += c
+        b1 += c1
+    assert int(out["o1"].iat[0]) == o1
+    assert int(out["e1_micro"].iat[0]) == e1
+    assert int(out["oe_micro"].iat[0]) == oe
+
+
+def test_jsd_sources_replay(ray_session):
+    """Per-token chain replayed; JSD must be non-negative and below
+    ln 2 micro-nats."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_jsd_sources(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    ca, cb = collections.Counter(), collections.Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        if src == Q._JSD_A:
+            ca.update(default_tokenizer(text))
+        elif src == Q._JSD_B:
+            cb.update(default_tokenizer(text))
+    na, nb = sum(ca.values()), sum(cb.values())
+    tot = 0
+    got = {r["token"]: (int(r["ca"]), int(r["cb"]),
+                        int(r["term_micro"]))
+           for _, r in out.iterrows()}
+    for tok in set(ca) | set(cb):
+        a, b = ca.get(tok, 0), cb.get(tok, 0)
+        pa_ = a / na
+        pb_ = b / nb
+        m = (pa_ + pb_) / 2.0
+        ta = pa_ * math.log(pa_ / m) if a else 0.0
+        tb = pb_ * math.log(pb_ / m) if b else 0.0
+        term = int(half_away(np.array([1e6 * (0.5 * ta + 0.5 * tb)]))[0])
+        tot += term
+        assert got[tok] == (a, b, term)
+    assert int(out["jsd_micro"].iat[0]) == tot
+    assert 0 <= tot <= 693_148  # ln 2 in micro-nats
+
+
+def test_policy_replay_replay(ray_session):
+    """Literal day-by-day greedy walk with the shared integer
+    quotient; the pick must change at least once (the policy
+    learns)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_policy_replay(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0)\
+        .astype(np.int64)
+    at = collections.defaultdict(lambda: [0, 0])
+    types = sorted(set(ev["event_type"]))
+    for dy, ty, c in zip(d.tolist(), ev["event_type"], cents.tolist()):
+        at[(dy, ty)][0] += 1
+        at[(dy, ty)][1] += int(c >= Q._POLICY_REWARD_CENTS)
+    days = sorted({k[0] for k in at})
+    cum = {ty: [0, 0] for ty in types}
+    want = []
+    for dy in days:
+        q = {ty: (10**12 * cum[ty][1] // cum[ty][0]
+                  if cum[ty][0] else 0) for ty in types}
+        pick = min(types, key=lambda ty: (-q[ty], ty))
+        n_d, s_d = at.get((dy, pick), [0, 0])
+        want.append((dy, pick, n_d, s_d))
+        for ty in types:
+            nn, ss = at.get((dy, ty), [0, 0])
+            cum[ty][0] += nn
+            cum[ty][1] += ss
+    got = [(int(r["day"]), r["picked_type"], int(r["matched"]),
+            int(r["rewards"])) for _, r in out.iterrows()]
+    assert got == want
+    assert len({p for _, p, _, _ in want}) > 1
