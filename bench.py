@@ -174,7 +174,8 @@ def run_bench() -> dict:
         "queue_wait", "embedding_drift", "mahalanobis_days",
         "dtw_profiles", "source_similarity", "order_checksum",
         "good_turing", "ratio_metric", "adjusted_anomaly",
-        "logrank", "jsd_sources", "policy_replay")
+        "logrank", "jsd_sources", "policy_replay",
+        "apportionment", "topk_stability", "entropy_rate")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

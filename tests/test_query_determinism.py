@@ -4639,3 +4639,103 @@ def test_policy_replay_replay(ray_session):
             int(r["rewards"])) for _, r in out.iterrows()]
     assert got == want
     assert len({p for _, p, _, _ in want}) > 1
+
+
+def test_apportionment_replay(ray_session):
+    """Literal Hamilton walk; seats must conserve to exactly 1000
+    and every source's seats within 1 of its exact quota."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_apportionment(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    cnt = collections.Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        cnt[src] += len(default_tokenizer(text))
+    N = sum(cnt.values())
+    quota = {s: Q._SEATS * c // N for s, c in cnt.items()}
+    rem = {s: Q._SEATS * c % N for s, c in cnt.items()}
+    left = Q._SEATS - sum(quota.values())
+    extra = set(sorted(cnt, key=lambda s: (-rem[s], s))[:left])
+    assert int(out["seats"].sum()) == Q._SEATS
+    for _, r in out.iterrows():
+        s = r["source"]
+        assert int(r["tokens"]) == cnt[s]
+        assert int(r["seats"]) == quota[s] + (1 if s in extra else 0)
+        assert abs(int(r["seats"]) - Q._SEATS * cnt[s] / N) <= 1
+
+
+def test_topk_stability_replay(ray_session):
+    """Scalar two-half ranking; overlap and footrule must replay."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_topk_stability(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    c0, c1 = collections.Counter(), collections.Counter()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        (c0 if int(did) % 2 == 0 else c1).update(
+            default_tokenizer(text))
+    alltok = set(c0) | set(c1)
+    r0 = sorted(alltok, key=lambda t: (-c0.get(t, 0), t))[:Q._STAB_K]
+    r1 = sorted(alltok, key=lambda t: (-c1.get(t, 0), t))[:Q._STAB_K]
+    ra = {t: i + 1 for i, t in enumerate(r0)}
+    rb = {t: i + 1 for i, t in enumerate(r1)}
+    inter = set(ra) & set(rb)
+    assert int(out["overlap"].iat[0]) == len(inter)
+    assert int(out["footrule"].iat[0]) == \
+        sum(abs(ra[t] - rb[t]) for t in inter)
+    assert int(out["overlap"].iat[0]) > 0
+
+
+def test_entropy_rate_replay(ray_session):
+    """Per-pair chain replayed; the rate must be positive and at most
+    ln(#types) micro-nats."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_entropy_rate(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    pairs = collections.Counter()
+    for _, grp in ev.groupby("user_id"):
+        et = grp["event_type"].tolist()
+        pairs.update(zip(et, et[1:]))
+    row = collections.Counter()
+    for (f, _t), n in pairs.items():
+        row[f] += n
+    total = sum(pairs.values())
+    h = 0
+    got = {(r["from_type"], r["to_type"]):
+           (int(r["n"]), int(r["term_micro"]))
+           for _, r in out.iterrows()}
+    for (f, t_), n in pairs.items():
+        term = int(half_away(np.array(
+            [-1e6 * (n / total) * math.log(n / row[f])]))[0])
+        h += term
+        assert got[(f, t_)] == (n, term)
+    assert int(out["entropy_rate_micro"].iat[0]) == h
+    ntypes = len({k[1] for k in pairs})
+    assert 0 < h <= int(1e6 * math.log(ntypes)) + 1
