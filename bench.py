@@ -175,7 +175,8 @@ def run_bench() -> dict:
         "dtw_profiles", "source_similarity", "order_checksum",
         "good_turing", "ratio_metric", "adjusted_anomaly",
         "logrank", "jsd_sources", "policy_replay",
-        "apportionment", "topk_stability", "entropy_rate")
+        "apportionment", "topk_stability", "entropy_rate",
+        "newsvendor", "iv_wald", "lang_purity")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -4739,3 +4739,104 @@ def test_entropy_rate_replay(ray_session):
     assert int(out["entropy_rate_micro"].iat[0]) == h
     ntypes = len({k[1] for k in pairs})
     assert 0 < h <= int(1e6 * math.log(ntypes)) + 1
+
+
+def test_newsvendor_replay(ray_session):
+    """Literal order-statistic + cost walk; the critical fractile
+    must minimize the cost over ALL candidate stocks (the theorem,
+    verified empirically)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_newsvendor(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    acc = collections.Counter()
+    for dy, et in zip(d.tolist(), ev["event_type"]):
+        if et == "purchase":
+            acc[dy] += 1
+    lo, hi = int(d.min()), int(d.max())
+    dem = sorted(acc.get(dd, 0) for dd in range(lo, hi + 1))
+    n = len(dem)
+    s_opt = dem[(3 * n + 3) // 4 - 1]
+
+    def cost(S):
+        return sum(3 * max(0, x - S) + max(0, S - x) for x in dem)
+
+    assert int(out["stock_opt"].iat[0]) == s_opt
+    assert int(out["cost_opt"].iat[0]) == cost(s_opt)
+    assert int(out["cost_mean"].iat[0]) == cost(sum(dem) // n)
+    best = min(cost(S) for S in range(0, max(dem) + 1))
+    assert cost(s_opt) == best
+    assert int(out["opt_wins"].iat[0]) == 1
+
+
+def test_iv_wald_replay(ray_session):
+    """Four-sum identity replayed; the n-cancellation must hold
+    (Wald equals the ratio of per-mean differences)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_iv_wald(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    clicks = (ev["event_type"] == "click").to_numpy().astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "x": clicks, "y": cents})
+          .groupby("u", as_index=False).sum())
+    z = pu["u"].to_numpy() % 2
+    n0, n1 = int((z == 0).sum()), int((z == 1).sum())
+    sx0 = int(pu["x"][z == 0].sum())
+    sx1 = int(pu["x"][z == 1].sum())
+    sy0 = int(pu["y"][z == 0].sum())
+    sy1 = int(pu["y"][z == 1].sum())
+    dy = sy1 * n0 - sy0 * n1
+    dx = sx1 * n0 - sx0 * n1
+    sign = 1 if (dy >= 0) == (dx >= 0) else -1
+    r = out.iloc[0]
+    assert (int(r["n0"]), int(r["n1"])) == (n0, n1)
+    assert int(r["dy_x"]) == dy
+    assert int(r["dx_x"]) == dx
+    assert int(r["wald_micro"]) == sign * (1_000_000 * abs(dy)
+                                           // abs(dx))
+    # n-cancellation sanity: the same value from the mean form
+    wald_f = (sy1 / n1 - sy0 / n0) / (sx1 / n1 - sx0 / n0)
+    assert abs(int(r["wald_micro"]) / 1e6 - wald_f) < 1e-3
+
+
+def test_lang_purity_replay(ray_session):
+    """Literal majority census; purity bounded and minorities
+    conserve."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_lang_purity(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    for src, lg in zip(docs["source"], docs["lang"]):
+        per[src][lg] += 1
+    assert len(out) == len(per)
+    for _, r in out.iterrows():
+        cnt = per[r["source"]]
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        total = sum(cnt.values())
+        assert r["majority_lang"] == top[0]
+        assert int(r["n_docs"]) == total
+        assert int(r["majority_docs"]) == top[1]
+        assert int(r["purity_micro"]) == 1_000_000 * top[1] // total
+        assert int(r["minority_docs"]) == total - top[1]
