@@ -4840,3 +4840,15 @@ def test_lang_purity_replay(ray_session):
         assert int(r["majority_docs"]) == top[1]
         assert int(r["purity_micro"]) == 1_000_000 * top[1] // total
         assert int(r["minority_docs"]) == total - top[1]
+
+
+def test_stream_rate_alert_equals_batch(ray_session):
+    """Incremental maintenance must equal the batch pipeline exactly
+    — the streaming composition's defining property — and at a
+    different epoching too."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    streamed = Q.q_stream_rate_alert(SF)
+    batch = Q.q_rate_alert(SF)
+    pd.testing.assert_frame_equal(streamed, batch)
+    assert len(streamed) > 0
