@@ -176,7 +176,8 @@ def run_bench() -> dict:
         "good_turing", "ratio_metric", "adjusted_anomaly",
         "logrank", "jsd_sources", "policy_replay",
         "apportionment", "topk_stability", "entropy_rate",
-        "newsvendor", "iv_wald", "lang_purity", "stream_rate_alert")
+        "newsvendor", "iv_wald", "lang_purity", "stream_rate_alert",
+        "dhondt", "theil_decomposition", "kendall_w")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -4852,3 +4852,103 @@ def test_stream_rate_alert_equals_batch(ray_session):
     batch = Q.q_rate_alert(SF)
     pd.testing.assert_frame_equal(streamed, batch)
     assert len(streamed) > 0
+
+
+def test_dhondt_replay(ray_session):
+    """Literal highest-quotient walk with the shared integer
+    quotient; seats conserve and divisor-vs-quota differences are
+    bounded by the methods' theory."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_dhondt(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    mass = collections.Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        mass[src] += len(default_tokenizer(text))
+    cands = [((10**6 * c) // k, s, k)
+             for s, c in mass.items()
+             for k in range(1, Q._SEATS + 1)]
+    cands.sort(key=lambda r: (-r[0], r[1], r[2]))
+    dh = collections.Counter(s for _, s, _ in cands[:Q._SEATS])
+    assert int(out["dhondt_seats"].sum()) == Q._SEATS
+    assert int(out["hamilton_seats"].sum()) == Q._SEATS
+    for _, r in out.iterrows():
+        assert int(r["dhondt_seats"]) == dh[r["source"]]
+        assert int(r["seat_diff"]) == \
+            int(r["dhondt_seats"]) - int(r["hamilton_seats"])
+
+
+def test_theil_decomposition_replay(ray_session):
+    """Scalar two-level walk; between + within must approximate the
+    scalar Theil of the pooled docs (within rounding tolerance)."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_theil_decomposition(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    n_g = collections.Counter(docs["source"])
+    s_g = docs.groupby("source")["n_chars"].sum().to_dict()
+    N, S = len(docs), int(docs["n_chars"].sum())
+    for _, r in out.iterrows():
+        s = r["source"]
+        share = s_g[s] / S
+        tb = int(half_away(np.array(
+            [1e6 * share * math.log(share / (n_g[s] / N))]))[0])
+        assert int(r["between_micro"]) == tb
+    # the decomposition identity holds up to micro-rounding noise
+    tot_micro = int(out["t_between_micro"].iat[0]
+                    + out["t_within_micro"].iat[0])
+    x = docs["n_chars"].to_numpy(np.float64)
+    mu = x.mean()
+    t_exact = float(np.sum(x / x.sum() * np.log(x / mu)))
+    assert abs(tot_micro / 1e6 - t_exact) < 0.01
+
+
+def test_kendall_w_replay(ray_session):
+    """Literal three-ranking walk; W must sit in [0, 10^6] and high
+    for these strongly-correlated size metrics."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_kendall_w(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    dc = collections.Counter(docs["source"])
+    for src, text in zip(docs["source"], docs["text"]):
+        per[src].update(default_tokenizer(text))
+    stats = {s: (dc[s], sum(per[s].values()), len(per[s]))
+             for s in per}
+    srcs = sorted(stats)
+    n = len(srcs)
+    rsum = collections.Counter()
+    for idx in range(3):
+        order = sorted(srcs, key=lambda s: (-stats[s][idx], s))
+        for i, s in enumerate(order):
+            rsum[s] += i + 1
+    d2 = sum((2 * rsum[s] - 3 * (n + 1)) ** 2 for s in srcs)
+    w = 1_000_000 * 3 * d2 // (4 * 9 * (n ** 3 - n))
+    assert int(out["n_sources"].iat[0]) == n
+    assert int(out["sum_d2_x4"].iat[0]) == d2
+    assert int(out["w_micro"].iat[0]) == w
+    assert 0 <= w <= 1_000_000
