@@ -4952,3 +4952,92 @@ def test_kendall_w_replay(ray_session):
     assert int(out["sum_d2_x4"].iat[0]) == d2
     assert int(out["w_micro"].iat[0]) == w
     assert 0 <= w <= 1_000_000
+
+
+def test_next_token_acc_replay(ray_session):
+    """Scalar bigram argmax walk; in-sample top-1 accuracy must beat
+    the majority-class baseline (the model learned something)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_next_token_acc(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    bi = collections.Counter()
+    uni = collections.Counter()
+    pairs = []
+    for text in docs["text"]:
+        toks = default_tokenizer(text)
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+            pairs.append((a, b))
+        uni.update(toks[1:])
+    pred = {}
+    for (a, b), n in sorted(bi.items(),
+                            key=lambda kv: (kv[0][0], -kv[1],
+                                            kv[0][1])):
+        pred.setdefault(a, b)
+    hit = sum(1 for a, b in pairs if pred.get(a) == b)
+    assert int(out["positions"].iat[0]) == len(pairs)
+    assert int(out["hits"].iat[0]) == hit
+    assert int(out["acc_micro"].iat[0]) == \
+        1_000_000 * hit // len(pairs)
+    base = max(uni.values())
+    assert hit >= base  # at least as good as always-majority
+
+
+def test_durbin_watson_replay(ray_session):
+    """Literal residual walk; DW must replay and land in (0, 4)
+    micro-scaled."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_durbin_watson(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    days = sorted(cnt)
+    c = [cnt[x] for x in days]
+    e = [7 * c[i] - sum(c[i - 3:i + 4]) for i in range(3, len(c) - 3)]
+    num = sum((a - b) ** 2 for a, b in zip(e[1:], e[:-1]))
+    den = sum(x * x for x in e)
+    assert int(out["n_resid"].iat[0]) == len(e)
+    assert int(out["dw_micro"].iat[0]) == 1_000_000 * num // den
+    assert 0 < int(out["dw_micro"].iat[0]) < 4_000_000
+    assert int(out["sticky"].iat[0]) == int(2 * num < 3 * den)
+
+
+def test_ts_collision_audit_replay(ray_session):
+    """Literal collision census; collisions must be live at this
+    fixture (shared-second event times exist) and pairs consistent
+    with group sizes."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_ts_collision_audit(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    g = collections.Counter(zip(ev["user_id"].tolist(), t.tolist()))
+    ks = [k for k in g.values() if k >= 2]
+    r = out.iloc[0]
+    assert int(r["n_rows"]) == len(ev)
+    assert int(r["collided_rows"]) == sum(ks)
+    assert int(r["collision_pairs"]) == sum(k * (k - 1) // 2
+                                            for k in ks)
+    assert int(r["max_group"]) == (max(ks) if ks else 0)
+    assert int(r["collided_micro"]) == \
+        1_000_000 * sum(ks) // len(ev)
