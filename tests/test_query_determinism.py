@@ -5041,3 +5041,108 @@ def test_ts_collision_audit_replay(ray_session):
     assert int(r["max_group"]) == (max(ks) if ks else 0)
     assert int(r["collided_micro"]) == \
         1_000_000 * sum(ks) // len(ev)
+
+
+def test_post_stratification_replay(ray_session):
+    """Literal strata walk; the adjusted mean must equal its own
+    two-level floor-div identity."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_post_stratification(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "x": np.where(d < split, cents, 0),
+                        "y": np.where(d >= split, cents, 0)})
+          .groupby("u", as_index=False).sum())
+    xs = sorted(pu["x"].astype(int))
+    med = xs[(len(xs) - 1) // 2]
+    pu["s"] = (pu["x"] > med).astype(int)
+    pu["v"] = pu["u"] % 2
+    N = len(pu)
+    n_s = pu.groupby("s").size().to_dict()
+    for v in (0, 1):
+        sel = pu[pu["v"] == v]
+        raw = 1_000_000 * int(sel["y"].sum()) // len(sel)
+        adj = sum(n_s[s] * (1_000_000
+                            * int(sel[sel["s"] == s]["y"].sum())
+                            // len(sel[sel["s"] == s]))
+                  for s in (0, 1)) // N
+        r = out[out["variant"] == v].iloc[0]
+        assert int(r["raw_mean_micro"]) == raw
+        assert int(r["adj_mean_micro"]) == adj
+
+
+def test_routine_entropy_replay(ray_session):
+    """Literal per-user hour-histogram walk; the reported users must
+    be the exact bottom-k by (entropy, user)."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_routine_entropy(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hist = collections.defaultdict(collections.Counter)
+    for u, hh in zip(ev["user_id"].tolist(),
+                     (t // 3_600_000_000 % 24).tolist()):
+        hist[u][hh] += 1
+    cands = []
+    for u, cnt in hist.items():
+        tot = sum(cnt.values())
+        if tot < Q._ROUTINE_MIN_EVENTS:
+            continue
+        ent = sum(int(half_away(np.array(
+            [-1e6 * (n / tot) * math.log(n / tot)]))[0])
+            for n in cnt.values())
+        cands.append((ent, int(u), tot))
+    cands.sort()
+    want = cands[:Q._ROUTINE_K]
+    got = [(int(r["entropy_micro"]), int(r["user_id"]),
+            int(r["n_events"])) for _, r in out.iterrows()]
+    assert got == want
+
+
+def test_join_order_audit_replay(ray_session):
+    """Brute-force both intermediates; the verdict must pick the
+    smaller one."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_join_order_audit(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet",
+                       columns=["c_custkey"]).to_pandas()
+    ca = collections.Counter(o["o_orderkey"].tolist())
+    cb = collections.Counter(li["l_orderkey"].tolist())
+    ol = sum(ca[k] * cb[k] for k in ca if k in cb)
+    cc = collections.Counter(o["o_custkey"].tolist())
+    cd = collections.Counter(cu["c_custkey"].tolist())
+    oc = sum(cc[k] * cd[k] for k in cc if k in cd)
+    r = out.iloc[0]
+    assert int(r["ol_rows"]) == ol
+    assert int(r["oc_rows"]) == oc
+    assert r["best_first"] == ("o_join_c" if oc < ol else "o_join_l")
+    assert int(r["ratio_micro"]) == \
+        1_000_000 * min(ol, oc) // max(ol, oc)
