@@ -179,7 +179,8 @@ def run_bench() -> dict:
         "newsvendor", "iv_wald", "lang_purity", "stream_rate_alert",
         "dhondt", "theil_decomposition", "kendall_w",
         "next_token_acc", "durbin_watson", "ts_collision_audit",
-        "post_stratification", "routine_entropy", "join_order_audit")
+        "post_stratification", "routine_entropy", "join_order_audit",
+        "quantile_effect", "disparate_impact", "position_bias")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5146,3 +5146,107 @@ def test_join_order_audit_replay(ray_session):
     assert r["best_first"] == ("o_join_c" if oc < ol else "o_join_l")
     assert int(r["ratio_micro"]) == \
         1_000_000 * min(ol, oc) // max(ol, oc)
+
+
+def test_quantile_effect_replay(ray_session):
+    """Literal per-variant order statistics; the effect must equal
+    its own difference at every quantile."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_quantile_effect(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    cents = np.where((ev["event_type"] == "purchase").to_numpy()
+                     & (d >= split),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "y": cents}).groupby("u", as_index=False)
+          .sum())
+    for _, r in out.iterrows():
+        q = int(r["q"])
+        for v, col in ((0, "control_cents"), (1, "treat_cents")):
+            ys = sorted(pu[(pu["u"] % 2) == v]["y"].astype(int))
+            n = len(ys)
+            assert int(r[col]) == ys[(q * n + 99) // 100 - 1]
+        assert int(r["effect_cents"]) == \
+            int(r["treat_cents"]) - int(r["control_cents"])
+
+
+def test_disparate_impact_replay(ray_session):
+    """Literal census; the ratio must be the smaller-over-larger
+    rate and the flag the cross-multiplied 80% rule."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_disparate_impact(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0)\
+        .astype(np.int64)
+    hit = ((ev["event_type"] == "purchase").to_numpy()
+           & (cents >= Q._DI_THRESHOLD_CENTS))
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "h": hit.astype(int)})
+          .groupby("u", as_index=False).max())
+    g = pu["u"].to_numpy() % 2
+    n0, n1 = int((g == 0).sum()), int((g == 1).sum())
+    k0 = int(pu["h"][g == 0].sum())
+    k1 = int(pu["h"][g == 1].sum())
+    lo = (k0, n0) if k0 * n1 <= k1 * n0 else (k1, n1)
+    hi = (k1, n1) if k0 * n1 <= k1 * n0 else (k0, n0)
+    r = out.iloc[0]
+    assert (int(r["n0"]), int(r["k0"]), int(r["n1"]),
+            int(r["k1"])) == (n0, k0, n1, k1)
+    assert int(r["impact_micro"]) == \
+        1_000_000 * lo[0] * hi[1] // (hi[0] * lo[1])
+    assert int(r["violates_80pct"]) == \
+        int(5 * lo[0] * hi[1] < 4 * hi[0] * lo[1])
+
+
+def test_position_bias_replay(ray_session):
+    """Per-token KL chain replayed; KL must be non-negative-ish in
+    total (Gibbs) despite per-term signs."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_position_bias(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cf, ca = collections.Counter(), collections.Counter()
+    for text in docs["text"]:
+        toks = default_tokenizer(text)
+        if toks:
+            cf[toks[0]] += 1
+        ca.update(toks)
+    nf, na = sum(cf.values()), sum(ca.values())
+    kl = 0
+    got = {r["token"]: (int(r["c_first"]), int(r["c_all"]),
+                        int(r["term_micro"]))
+           for _, r in out.iterrows()}
+    for tok, f in cf.items():
+        p = f / nf
+        q = ca[tok] / na
+        term = int(half_away(np.array([1e6 * p * math.log(p / q)]))[0])
+        kl += term
+        assert got[tok] == (f, ca[tok], term)
+    assert int(out["kl_micro"].iat[0]) == kl
+    assert kl > -100  # Gibbs: true KL >= 0; rounding noise only
