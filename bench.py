@@ -180,7 +180,8 @@ def run_bench() -> dict:
         "dhondt", "theil_decomposition", "kendall_w",
         "next_token_acc", "durbin_watson", "ts_collision_audit",
         "post_stratification", "routine_entropy", "join_order_audit",
-        "quantile_effect", "disparate_impact", "position_bias")
+        "quantile_effect", "disparate_impact", "position_bias",
+        "churn_backtest", "peak_detection", "venn_sources")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

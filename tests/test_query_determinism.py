@@ -5250,3 +5250,92 @@ def test_position_bias_replay(ray_session):
         assert got[tok] == (f, ca[tok], term)
     assert int(out["kl_micro"].iat[0]) == kl
     assert kl > -100  # Gibbs: true KL >= 0; rounding noise only
+
+
+def test_churn_backtest_replay(ray_session):
+    """Literal per-user rule walk; confusion cells conserve the
+    first-half population and both metrics replay."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_churn_backtest(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    pu = pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                       "last1": np.where(d < split, d, -1),
+                       "act2": (d >= split).astype(int)})
+    per_u = pu.groupby("u").agg(last1=("last1", "max"),
+                                act2=("act2", "max"))
+    per_u = per_u[per_u["last1"] >= 0]
+    pred = (per_u["last1"] <= split - 7).astype(int)
+    truth = (1 - per_u["act2"]).astype(int)
+    tp = int(((pred == 1) & (truth == 1)).sum())
+    fp = int(((pred == 1) & (truth == 0)).sum())
+    fn = int(((pred == 0) & (truth == 1)).sum())
+    tn = int(((pred == 0) & (truth == 0)).sum())
+    r = out.iloc[0]
+    assert (int(r["tp"]), int(r["fp"]), int(r["fn"]),
+            int(r["tn"])) == (tp, fp, fn, tn)
+    assert tp + fp + fn + tn == len(per_u)
+    assert int(r["precision_micro"]) == (
+        1_000_000 * tp // (tp + fp) if tp + fp else 0)
+    assert int(r["recall_micro"]) == (
+        1_000_000 * tp // (tp + fn) if tp + fn else 0)
+
+
+def test_peak_detection_replay(ray_session):
+    """Literal windowed-max walk; every peak must strictly dominate
+    its window and the median."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_peak_detection(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    lo, hi = min(cnt), max(cnt)
+    days = list(range(lo, hi + 1))
+    c = [cnt.get(x, 0) for x in days]
+    med = sorted(c)[(len(c) - 1) // 2]
+    W = Q._PEAK_HALF_WIN
+    want = [(days[i], c[i]) for i in range(W, len(c) - W)
+            if c[i] > max(c[i - W:i] + c[i + 1:i + W + 1])
+            and c[i] > med]
+    got = list(zip(out["day"].astype(int), out["n_events"].astype(int)))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_venn_sources_replay(ray_session):
+    """Literal flag census; cells partition the population and the
+    all-three cell must be live at fixture scale."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_venn_sources(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    pu = pd.DataFrame({
+        "u": ev["user_id"].to_numpy(np.int64),
+        "c": (ev["event_type"] == "click").astype(int),
+        "v": (ev["event_type"] == "view").astype(int),
+        "p": (ev["event_type"] == "purchase").astype(int)})
+    flags = pu.groupby("u").max()
+    want = flags.groupby(["c", "v", "p"]).size().to_dict()
+    total = len(flags)
+    assert int(out["n_users"].sum()) == total
+    for _, r in out.iterrows():
+        key = (int(r["click"]), int(r["view"]), int(r["purchase"]))
+        assert int(r["n_users"]) == want[key]
+        assert int(r["share_micro"]) == \
+            1_000_000 * want[key] // total
+    assert (1, 1, 1) in want
