@@ -181,7 +181,8 @@ def run_bench() -> dict:
         "next_token_acc", "durbin_watson", "ts_collision_audit",
         "post_stratification", "routine_entropy", "join_order_audit",
         "quantile_effect", "disparate_impact", "position_bias",
-        "churn_backtest", "peak_detection", "venn_sources")
+        "churn_backtest", "peak_detection", "venn_sources",
+        "croston", "last_digit", "safety_stock")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

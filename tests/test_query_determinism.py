@@ -5339,3 +5339,109 @@ def test_venn_sources_replay(ray_session):
         assert int(r["share_micro"]) == \
             1_000_000 * want[key] // total
     assert (1, 1, 1) in want
+
+
+def test_croston_replay(ray_session):
+    """Literal two-recursion walk; intermittency must be live (zero
+    days exist between demands) and the forecast its own ratio."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_croston(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0)\
+        .astype(np.int64)
+    big = (ev["event_type"] == "purchase").to_numpy() & (cents >= 7000)
+    acc = collections.Counter()
+    for dy, b in zip(d.tolist(), big.tolist()):
+        acc[dy] += int(b)
+    lo, hi = int(d.min()), int(d.max())
+    xs = [acc.get(i, 0) for i in range(lo, hi + 1)]
+    size = inter = None
+    gap = nz = 0
+    for x in xs:
+        gap += 1
+        if x > 0:
+            nz += 1
+            if size is None:
+                size, inter = x * 1_000_000, gap * 1_000_000
+            else:
+                size = (size + x * 1_000_000) // 2
+                inter = (inter + gap * 1_000_000) // 2
+            gap = 0
+    r = out.iloc[0]
+    assert int(r["nonzero_days"]) == nz
+    assert int(r["size_micro"]) == size
+    assert int(r["interval_micro"]) == inter
+    assert int(r["forecast_micro"]) == 1_000_000 * size // inter
+    assert 0 < nz < len(xs)          # genuinely intermittent
+    assert inter > 1_000_000         # gaps exist
+
+
+def test_last_digit_replay(ray_session):
+    """Literal digit census; deviations must sum to zero and the
+    statistic equal its own identity."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_last_digit(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    is_p = (ev["event_type"] == "purchase").to_numpy()
+    cents = _half_away(ev["value"].to_numpy(np.float64)[is_p]
+                       * 100.0).astype(np.int64)
+    cnt = collections.Counter((cents % 10).tolist())
+    N = len(cents)
+    stat = sum((10 * cnt.get(dd, 0) - N) ** 2 for dd in range(10))
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        dd = int(r["digit"])
+        assert int(r["n"]) == cnt.get(dd, 0)
+        assert int(r["dev_x10"]) == 10 * cnt.get(dd, 0) - N
+        assert int(r["uniform_stat"]) == stat
+    assert int(out["dev_x10"].sum()) == 0
+
+
+def test_safety_stock_replay(ray_session):
+    """IEEE chain replayed; the reorder point must exceed the lead
+    demand (safety is positive)."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_safety_stock(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    acc = collections.Counter()
+    for dy, et in zip(d.tolist(), ev["event_type"]):
+        if et == "purchase":
+            acc[dy] += 1
+    lo, hi = int(d.min()), int(d.max())
+    xs = [acc.get(i, 0) for i in range(lo, hi + 1)]
+    n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+    nf = float(n)
+    mu = float(s) / nf
+    var = float(ss) / nf - mu * mu
+    saf = 2.0 * math.sqrt(7.0 * var)
+    r = out.iloc[0]
+    assert int(r["n_days"]) == n
+    assert float(r["mu"]) == round(mu, 6)
+    assert float(r["safety"]) == round(saf, 6)
+    assert float(r["reorder_point"]) == round(7.0 * mu + saf, 6)
+    assert float(r["safety"]) > 0
