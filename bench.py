@@ -182,7 +182,8 @@ def run_bench() -> dict:
         "post_stratification", "routine_entropy", "join_order_audit",
         "quantile_effect", "disparate_impact", "position_bias",
         "churn_backtest", "peak_detection", "venn_sources",
-        "croston", "last_digit", "safety_stock")
+        "croston", "last_digit", "safety_stock",
+        "growth_accounting", "simpsons_paradox", "streak_record")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5445,3 +5445,111 @@ def test_safety_stock_replay(ray_session):
     assert float(r["safety"]) == round(saf, 6)
     assert float(r["reorder_point"]) == round(7.0 * mu + saf, 6)
     assert float(r["safety"]) > 0
+
+
+def test_growth_accounting_replay(ray_session):
+    """Literal per-user class walk; the accounting identity
+    post - pre = new + expansion - churned - contraction must hold
+    EXACTLY and every class must be populated."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_growth_accounting(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "x": np.where(d < split, cents, 0),
+                        "y": np.where(d >= split, cents, 0)})
+          .groupby("u", as_index=False).sum())
+    got = {r["class"]: (int(r["users"]), int(r["cents"]))
+           for _, r in out.iterrows()}
+    pre, post = int(pu["x"].sum()), int(pu["y"].sum())
+    assert post - pre == (got["new"][1] + got["expansion"][1]
+                          - got["churned"][1]
+                          - got["contraction"][1])
+    assert sum(v[0] for v in got.values()) == len(pu)
+    # the 15-user sf0.001 fixture can leave new/churned empty; the
+    # movement classes must be live
+    assert got["expansion"][0] + got["contraction"][0] > 0
+
+
+def test_simpsons_paradox_replay(ray_session):
+    """Cross-multiplied association signs replayed per stratum and
+    pooled; the flag must follow the majority rule."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_simpsons_paradox(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    dow = ((t // 86_400_000_000 + 4) % 7)
+    x = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+         .astype(np.int64) // 10_000)
+    y = (ev["event_type"] == "purchase").to_numpy().astype(np.int64)
+    df = pd.DataFrame({"dow": dow, "x": x, "y": y, "xy": x * y})
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    pooled = sgn(len(df) * int(df["xy"].sum())
+                 - int(df["x"].sum()) * int(df["y"].sum()))
+    signs = {}
+    for dw, grp in df.groupby("dow"):
+        signs[int(dw)] = sgn(len(grp) * int(grp["xy"].sum())
+                             - int(grp["x"].sum())
+                             * int(grp["y"].sum()))
+    nz = [s for s in signs.values() if s != 0]
+    opp = sum(1 for s in nz if s == -pooled)
+    paradox = int(pooled != 0 and 2 * opp > len(nz))
+    for _, r in out.iterrows():
+        assert int(r["stratum_sign"]) == signs[int(r["dow"])]
+        assert int(r["pooled_sign"]) == pooled
+        assert int(r["paradox"]) == paradox
+
+
+def test_streak_record_replay(ray_session):
+    """Literal run walk; the record streak must replay with
+    earliest-start ties and length consistency."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_streak_record(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    lo, hi = min(cnt), max(cnt)
+    days = list(range(lo, hi + 1))
+    c = [cnt.get(x, 0) for x in days]
+    med = sorted(c)[(len(c) - 1) // 2]
+    best = (0, -1, -1)
+    run, start = 0, None
+    for dd, v in zip(days, c):
+        if v > med:
+            if run == 0:
+                start = dd
+            run += 1
+            if run > best[0]:
+                best = (run, start, dd)
+        else:
+            run = 0
+    r = out.iloc[0]
+    assert (int(r["streak_days"]), int(r["start_day"]),
+            int(r["end_day"])) == best
+    assert best[0] > 0
+    assert best[2] - best[1] + 1 == best[0]
