@@ -183,7 +183,8 @@ def run_bench() -> dict:
         "quantile_effect", "disparate_impact", "position_bias",
         "churn_backtest", "peak_detection", "venn_sources",
         "croston", "last_digit", "safety_stock",
-        "growth_accounting", "simpsons_paradox", "streak_record")
+        "growth_accounting", "simpsons_paradox", "streak_record",
+        "haar_energy", "session_sensitivity", "mde")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

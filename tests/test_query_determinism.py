@@ -5553,3 +5553,108 @@ def test_streak_record_replay(ray_session):
             int(r["end_day"])) == best
     assert best[0] > 0
     assert best[2] - best[1] + 1 == best[0]
+
+
+def test_haar_energy_replay(ray_session):
+    """Literal cascade walk; Parseval-style conservation holds for
+    the unnormalized transform when energies rescale per level."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_haar_energy(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cnt = collections.Counter(d.tolist())
+    hi = max(cnt)
+    a = [cnt.get(hi - Q._HAAR_N + 1 + i, 0) for i in range(Q._HAAR_N)]
+    orig = a[:]
+    want = []
+    lvl = 0
+    while len(a) > 1:
+        lvl += 1
+        dd = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+        a = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+        want.append((lvl, sum(x * x for x in dd)))
+    got = list(zip(out["level"].astype(int),
+                   out["energy"].astype(int)))
+    assert got == want
+    # Parseval for the unnormalized cascade: Σx² = Σ_L E_L/2^L + A²/n
+    lhs = sum(x * x for x in orig) * Q._HAAR_N
+    rhs = sum(e * (Q._HAAR_N // (2 ** L)) for L, e in want) \
+        + a[0] * a[0]
+    assert lhs == rhs
+    assert any(e > 0 for _, e in want)
+
+
+def test_session_sensitivity_replay(ray_session):
+    """Literal three-gap walk; session counts must be monotone
+    non-increasing in the gap parameter."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_session_sensitivity(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev["t"] = ev.pop("ts").to_numpy().astype(
+        "datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "t", "event_id"],
+                        kind="mergesort")
+    for _, r in out.iterrows():
+        gap = int(r["gap_min"]) * 60_000_000
+        sessions = bounces = 0
+        for _, grp in ev.groupby("user_id"):
+            ts_ = grp["t"].tolist()
+            cnt = 1
+            for a, b in zip(ts_, ts_[1:]):
+                if b - a > gap:
+                    sessions += 1
+                    bounces += cnt == 1
+                    cnt = 1
+                else:
+                    cnt += 1
+            sessions += 1
+            bounces += cnt == 1
+        assert int(r["sessions"]) == sessions
+        assert int(r["bounces"]) == bounces
+    s = out.sort_values("gap_min")["sessions"].tolist()
+    assert s == sorted(s, reverse=True)
+
+
+def test_mde_replay(ray_session):
+    """IEEE chain replayed; MDE must be positive and shrink with a
+    (simulated) larger n."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_mde(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "y": cents}).groupby("u", as_index=False)
+          .sum())
+    n = len(pu)
+    y = pu["y"].to_numpy().astype(object)
+    s, ss = int(y.sum()), int((y * y).sum())
+    nf = float(n)
+    mu = float(s) / nf
+    var = float(ss) / nf - mu * mu
+    mde = 3.0 * math.sqrt(2.0 * var / (nf / 2.0))
+    r = out.iloc[0]
+    assert int(r["n_users"]) == n
+    assert float(r["mde_cents"]) == round(mde, 6)
+    assert float(r["mde_rel"]) == round(mde / mu, 6)
+    assert mde > 0
+    assert 3.0 * math.sqrt(2.0 * var / (4 * nf / 2.0)) < mde
