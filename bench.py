@@ -184,7 +184,8 @@ def run_bench() -> dict:
         "churn_backtest", "peak_detection", "venn_sources",
         "croston", "last_digit", "safety_stock",
         "growth_accounting", "simpsons_paradox", "streak_record",
-        "haar_energy", "session_sensitivity", "mde")
+        "haar_energy", "session_sensitivity", "mde",
+        "factorial_interaction", "sn_scale", "centralization")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5658,3 +5658,103 @@ def test_mde_replay(ray_session):
     assert float(r["mde_rel"]) == round(mde / mu, 6)
     assert mde > 0
     assert 3.0 * math.sqrt(2.0 * var / (4 * nf / 2.0)) < mde
+
+
+def test_factorial_interaction_replay(ray_session):
+    """Four-cell means replayed; interaction equals its own integer
+    identity and cells conserve users."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_factorial_interaction(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "y": cents}).groupby("u", as_index=False)
+          .sum())
+    m = {}
+    tot = 0
+    for a in (0, 1):
+        for b in (0, 1):
+            sel = pu[(pu["u"] % 2 == a)
+                     & ((pu["u"] // 2) % 2 == b)]
+            m[(a, b)] = 1_000_000 * int(sel["y"].sum()) // len(sel)
+            tot += len(sel)
+            row = out[(out["a"] == a) & (out["b"] == b)].iloc[0]
+            assert int(row["n_users"]) == len(sel)
+            assert int(row["mean_micro"]) == m[(a, b)]
+    inter = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert int(out["interaction_micro"].iat[0]) == inter
+    assert tot == len(pu)
+
+
+def test_sn_scale_replay(ray_session):
+    """Literal nested lower-median walk; Sn must be positive and at
+    most the full range."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_sn_scale(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    lo, hi = min(acc), max(acc)
+    x = [acc.get(i, 0) for i in range(lo, hi + 1)]
+    n = len(x)
+    inner = sorted(
+        sorted(abs(x[i] - x[j]) for j in range(n) if j != i)
+        [(n - 2) // 2] for i in range(n))
+    sn = inner[(n - 1) // 2]
+    r = out.iloc[0]
+    assert int(r["n_days"]) == n
+    assert int(r["sn_cents"]) == sn
+    assert 0 < sn <= max(x) - min(x)
+
+
+def test_centralization_replay(ray_session):
+    """Literal degree census; centralization bounded by [0, 10^6]
+    and consistent with the degree extremes."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_centralization(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey"]
+                           ).to_pandas()
+    a = orders["o_custkey"].to_numpy(np.int64)
+    b = orders["o_orderkey"].to_numpy(np.int64) % 1500
+    edges = {(min(x, y), max(x, y))
+             for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    n = len(deg)
+    dmax = max(deg.values())
+    num = sum(dmax - d for d in deg.values())
+    r = out.iloc[0]
+    assert int(r["n_nodes"]) == n
+    assert int(r["max_degree"]) == dmax
+    assert int(r["centralization_micro"]) == \
+        1_000_000 * num // ((n - 1) * (n - 2))
+    assert 0 <= int(r["centralization_micro"]) <= 1_000_000
