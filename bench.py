@@ -185,7 +185,8 @@ def run_bench() -> dict:
         "croston", "last_digit", "safety_stock",
         "growth_accounting", "simpsons_paradox", "streak_record",
         "haar_energy", "session_sensitivity", "mde",
-        "factorial_interaction", "sn_scale", "centralization")
+        "factorial_interaction", "sn_scale", "centralization",
+        "pacing", "lm_comparison", "quadratic_contrast")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -5758,3 +5758,111 @@ def test_centralization_replay(ray_session):
     assert int(r["centralization_micro"]) == \
         1_000_000 * num // ((n - 1) * (n - 2))
     assert 0 <= int(r["centralization_micro"]) <= 1_000_000
+
+
+def test_pacing_replay(ray_session):
+    """Literal cumulative walk; milestone days must be
+    non-decreasing and the 100% milestone must be the last revenue
+    day."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_pacing(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    days = sorted(acc)
+    total = sum(acc.values())
+    lo, hi = days[0], days[-1]
+    for _, r in out.iterrows():
+        q = int(r["pct"]) // 25
+        thr = (q * total + 3) // 4
+        cum = 0
+        for dy in days:
+            cum += acc[dy]
+            if cum >= thr:
+                assert int(r["day"]) == dy
+                break
+        assert int(r["elapsed_micro"]) == \
+            1_000_000 * (int(r["day"]) - lo + 1) // (hi - lo + 1)
+    ds_ = out.sort_values("pct")["day"].tolist()
+    assert ds_ == sorted(ds_)
+
+
+def test_lm_comparison_replay(ray_session):
+    """Per-position chain replayed; context must HELP (bigram
+    log-likelihood strictly above unigram)."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_lm_comparison(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    bi = collections.Counter()
+    for text in docs["text"]:
+        toks = default_tokenizer(text)
+        bi.update(zip(toks, toks[1:]))
+    row = collections.Counter()
+    nxt = collections.Counter()
+    for (a, b), n in bi.items():
+        row[a] += n
+        nxt[b] += n
+    N = sum(bi.values())
+    ll_u = ll_b = 0
+    for (a, b), n in bi.items():
+        ll_u += n * int(half_away(np.array(
+            [1e6 * math.log(nxt[b] / N)]))[0])
+        ll_b += n * int(half_away(np.array(
+            [1e6 * math.log(n / row[a])]))[0])
+    assert int(out["positions"].iat[0]) == N
+    assert int(out["ll_uni_micro"].iat[0]) == ll_u
+    assert int(out["ll_bi_micro"].iat[0]) == ll_b
+    assert int(out["delta_micro"].iat[0]) == ll_b - ll_u
+    assert ll_b > ll_u
+
+
+def test_quadratic_contrast_replay(ray_session):
+    """Three-band contrast identity; both contrasts pure integers of
+    the micro rates."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_quadratic_contrast(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    band = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+            .astype(np.int64) // 10_000)
+    y = (ev["event_type"] == "purchase").to_numpy().astype(int)
+    m = {}
+    for b in (0, 1, 2):
+        sel = band == b
+        n, k = int(sel.sum()), int(y[sel].sum())
+        m[b] = 1_000_000 * k // n
+        row = out[out["band"] == b].iloc[0]
+        assert (int(row["n"]), int(row["k"]),
+                int(row["rate_micro"])) == (n, k, m[b])
+    assert int(out["linear_x"].iat[0]) == m[2] - m[0]
+    assert int(out["quadratic_x"].iat[0]) == m[0] - 2 * m[1] + m[2]
