@@ -186,7 +186,8 @@ def run_bench() -> dict:
         "growth_accounting", "simpsons_paradox", "streak_record",
         "haar_energy", "session_sensitivity", "mde",
         "factorial_interaction", "sn_scale", "centralization",
-        "pacing", "lm_comparison", "quadratic_contrast")
+        "pacing", "lm_comparison", "quadratic_contrast",
+        "ann_coverage", "return_curve", "daily_range")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

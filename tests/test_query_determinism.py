@@ -5866,3 +5866,98 @@ def test_quadratic_contrast_replay(ray_session):
                 int(row["rate_micro"])) == (n, k, m[b])
     assert int(out["linear_x"].iat[0]) == m[2] - m[0]
     assert int(out["quadratic_x"].iat[0]) == m[0] - 2 * m[1] + m[2]
+
+
+def test_ann_coverage_replay(ray_session):
+    """Scalar retrieval census; slot conservation and bounded
+    coverage."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_ann_coverage(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    retrieved = set()
+    slots = 0
+    for qi in range(Q._COVERAGE_QUERIES):
+        sims = mat @ mat[qi]
+        order = sorted((i for i in range(len(ids)) if i != qi),
+                       key=lambda i: (-sims[i], ids[i]))
+        for i in order[:Q._COVERAGE_TOPK]:
+            retrieved.add(int(ids[i]))
+            slots += 1
+    r = out.iloc[0]
+    assert int(r["slots"]) == slots
+    assert int(r["distinct_retrieved"]) == len(retrieved)
+    assert int(r["corpus"]) == len(ids)
+    assert int(r["coverage_micro"]) == \
+        1_000_000 * len(retrieved) // len(ids)
+    assert int(r["redundancy_micro"]) == \
+        1_000_000 * slots // len(retrieved)
+
+
+def test_return_curve_replay(ray_session):
+    """Literal first/second walk; the curve must be monotone in the
+    horizon and live."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_return_curve(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["user_id", "t", "event_id"],
+                                    kind="mergesort")
+    firsts = {}
+    for u, grp in ev.groupby("user_id"):
+        ts_ = grp["t"].tolist()
+        firsts[int(u)] = (ts_[0], ts_[1] if len(ts_) > 1 else None)
+    for _, r in out.iterrows():
+        h = int(r["h"]) * 86_400_000_000
+        ret = sum(1 for t1, t2 in firsts.values()
+                  if t2 is not None and t2 - t1 <= h)
+        assert int(r["users"]) == len(firsts)
+        assert int(r["returned"]) == ret
+        assert int(r["return_micro"]) == \
+            1_000_000 * ret // len(firsts)
+    rm = out.sort_values("h")["return_micro"].tolist()
+    assert rm == sorted(rm)
+    assert rm[-1] > 0
+
+
+def test_daily_range_replay(ray_session):
+    """Literal per-day OHLC walk; the mean of per-day ratios must
+    replay with the two-level floor-div order."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_daily_range(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    ev = ev[ev["event_type"] == "purchase"]
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0)\
+        .astype(np.int64)
+    per_day = collections.defaultdict(list)
+    for dy, tt, e, c in zip((t // 86_400_000_000).tolist(),
+                            t.tolist(),
+                            ev["event_id"].tolist(), cents.tolist()):
+        per_day[dy].append((tt, e, c))
+    ratios = []
+    for dy, rows in sorted(per_day.items()):
+        cs = [c for _, _, c in rows]
+        close = max(rows)[2]
+        ratios.append(1_000_000 * (max(cs) - min(cs)) // close)
+    r = out.iloc[0]
+    assert int(r["n_days"]) == len(ratios)
+    assert int(r["mean_range_micro"]) == sum(ratios) // len(ratios)
+    assert int(r["max_range_micro"]) == max(ratios)
