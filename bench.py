@@ -187,7 +187,8 @@ def run_bench() -> dict:
         "haar_energy", "session_sensitivity", "mde",
         "factorial_interaction", "sn_scale", "centralization",
         "pacing", "lm_comparison", "quadratic_contrast",
-        "ann_coverage", "return_curve", "daily_range")
+        "ann_coverage", "return_curve", "daily_range",
+        "odds_ratio", "value_at_risk", "dedup_funnel")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

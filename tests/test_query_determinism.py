@@ -5961,3 +5961,101 @@ def test_daily_range_replay(ray_session):
     assert int(r["n_days"]) == len(ratios)
     assert int(r["mean_range_micro"]) == sum(ratios) // len(ratios)
     assert int(r["max_range_micro"]) == max(ratios)
+
+
+def test_odds_ratio_replay(ray_session):
+    """2x2 identity replayed; direction must match the cross
+    products."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_odds_ratio(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = (ev["event_type"] == "purchase").to_numpy()
+    b = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+         .astype(np.int64) >= 4000)
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    r = out.iloc[0]
+    assert (int(r["n11"]), int(r["n10"]), int(r["n01"]),
+            int(r["n00"])) == (n11, n10, n01, n00)
+    assert int(r["or_micro"]) == \
+        1_000_000 * n11 * n00 // (n10 * n01)
+    assert int(r["direction"]) == \
+        (n11 * n00 > n10 * n01) - (n11 * n00 < n10 * n01)
+
+
+def test_value_at_risk_replay(ray_session):
+    """Literal tail walk; VaR must be negative (losses exist) and ES
+    at or below VaR."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_value_at_risk(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    lo, hi = min(acc), max(acc)
+    x = [acc.get(i, 0) for i in range(lo, hi + 1)]
+    deltas = sorted(b - a for a, b in zip(x, x[1:]))
+    n = len(deltas)
+    var95 = deltas[(n + 19) // 20 - 1]
+    tail = [v for v in deltas if v <= var95]
+    ts_ = sum(tail)
+    es = (1 if ts_ >= 0 else -1) * (abs(ts_) // len(tail))
+    r = out.iloc[0]
+    assert int(r["n_deltas"]) == n
+    assert int(r["var95_cents"]) == var95
+    assert int(r["tail_n"]) == len(tail)
+    assert int(r["es_cents"]) == es
+    assert var95 < 0 and es <= var95
+
+
+def test_dedup_funnel_replay(ray_session):
+    """Literal staged walk; yields must be monotone non-increasing
+    and the prefix stage must remove documents the exact stage
+    kept."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_dedup_funnel(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    by_text = collections.defaultdict(list)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        by_text[text].append(int(did))
+    winners = {min(v) for v in by_text.values()}
+    by_pre = collections.defaultdict(list)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if int(did) in winners:
+            pre = "\x1e".join(default_tokenizer(text)[:Q._PREFIX_K])
+            by_pre[pre].append(int(did))
+    pfx = {min(v) for v in by_pre.values()}
+    got = {r["stage"]: int(r["survivors"]) for _, r in out.iterrows()}
+    assert got["corpus"] == len(docs)
+    assert got["exact_dedup"] == len(winners)
+    assert got["prefix_dedup"] == len(pfx)
+    assert got["corpus"] >= got["exact_dedup"] >= got["prefix_dedup"]
+    assert got["prefix_dedup"] < got["exact_dedup"]
