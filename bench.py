@@ -188,7 +188,8 @@ def run_bench() -> dict:
         "factorial_interaction", "sn_scale", "centralization",
         "pacing", "lm_comparison", "quadratic_contrast",
         "ann_coverage", "return_curve", "daily_range",
-        "odds_ratio", "value_at_risk", "dedup_funnel")
+        "odds_ratio", "value_at_risk", "dedup_funnel",
+        "risk_ratio_nnt", "user_halflife", "symm_diff")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

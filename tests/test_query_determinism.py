@@ -6059,3 +6059,83 @@ def test_dedup_funnel_replay(ray_session):
     assert got["prefix_dedup"] == len(pfx)
     assert got["corpus"] >= got["exact_dedup"] >= got["prefix_dedup"]
     assert got["prefix_dedup"] < got["exact_dedup"]
+
+
+def test_risk_ratio_nnt_replay(ray_session):
+    """2x2 identities replayed; NNT must be the floor reciprocal of
+    |RD| in the exact integer form."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_risk_ratio_nnt(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    e = (_half_away(ev["value"].to_numpy(np.float64) * 100.0)
+         .astype(np.int64) >= 4000)
+    y = (ev["event_type"] == "purchase").to_numpy()
+    n1, k1 = int(e.sum()), int((e & y).sum())
+    n0, k0 = int((~e).sum()), int((~e & y).sum())
+    d = k1 * n0 - k0 * n1
+    r = out.iloc[0]
+    assert (int(r["n1"]), int(r["k1"]), int(r["n0"]),
+            int(r["k0"])) == (n1, k1, n0, k0)
+    assert int(r["rr_micro"]) == 1_000_000 * k1 * n0 // (k0 * n1)
+    assert int(r["rd_micro"]) == \
+        (1 if d >= 0 else -1) * (1_000_000 * abs(d) // (n1 * n0))
+    assert int(r["nnt"]) == (n1 * n0 // abs(d) if d else 0)
+
+
+def test_user_halflife_replay(ray_session):
+    """Literal last-seen walk; p90 must be at or after the
+    half-life."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_user_halflife(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    lo = int(d.min())
+    last = pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                         "d": d}).groupby("u")["d"].max() - lo
+    offs = sorted(last)
+    n = len(offs)
+    r = out.iloc[0]
+    assert int(r["n_users"]) == n
+    assert int(r["halflife_days"]) == offs[(n + 1) // 2 - 1]
+    assert int(r["p90_days"]) == offs[(9 * n + 9) // 10 - 1]
+    assert int(r["p90_days"]) >= int(r["halflife_days"])
+
+
+def test_symm_diff_replay(ray_session):
+    """Literal pair-set walk; symmetric difference must equal its
+    parts and the Jaccard distance its floor-div."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_symm_diff(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]
+                       ).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    split = (int(d.min()) + int(d.max()) + 1) // 2
+    first = {(int(u), e) for u, e, dd in
+             zip(ev["user_id"], ev["event_type"], d) if dd < split}
+    second = {(int(u), e) for u, e, dd in
+              zip(ev["user_id"], ev["event_type"], d)
+              if dd >= split}
+    oa = len(first - second)
+    ob = len(second - first)
+    both = len(first & second)
+    r = out.iloc[0]
+    assert (int(r["only_first"]), int(r["only_second"]),
+            int(r["in_both"])) == (oa, ob, both)
+    assert int(r["symm_diff"]) == oa + ob
+    assert int(r["jaccard_dist_micro"]) == \
+        1_000_000 * (oa + ob) // (oa + ob + both)
