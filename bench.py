@@ -189,7 +189,8 @@ def run_bench() -> dict:
         "pacing", "lm_comparison", "quadratic_contrast",
         "ann_coverage", "return_curve", "daily_range",
         "odds_ratio", "value_at_risk", "dedup_funnel",
-        "risk_ratio_nnt", "user_halflife", "symm_diff")
+        "risk_ratio_nnt", "user_halflife", "symm_diff",
+        "type_comovement", "token_length_by_position", "round_number_bias")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

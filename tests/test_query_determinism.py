@@ -6139,3 +6139,92 @@ def test_symm_diff_replay(ray_session):
     assert int(r["symm_diff"]) == oa + ob
     assert int(r["jaccard_dist_micro"]) == \
         1_000_000 * (oa + ob) // (oa + ob + both)
+
+
+def test_type_comovement_replay(ray_session):
+    """IEEE chain replayed per pair; full pair grid and bounded r."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_type_comovement(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    at = collections.Counter(zip(d.tolist(), ev["event_type"]))
+    types = sorted(set(ev["event_type"]))
+    lo, hi = int(d.min()), int(d.max())
+    grid = range(lo, hi + 1)
+    series = {ty: [at.get((dd, ty), 0) for dd in grid]
+              for ty in types}
+    import math
+    n = hi - lo + 1
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for _, r in out.iterrows():
+        a = series[r["type_a"]]
+        b = series[r["type_b"]]
+        sa, sb = sum(a), sum(b)
+        num = float(n * sum(x * y for x, y in zip(a, b)) - sa * sb)
+        den = math.sqrt(float(n * sum(x * x for x in a) - sa * sa)) \
+            * math.sqrt(float(n * sum(y * y for y in b) - sb * sb))
+        assert float(r["r"]) == round(num / den, 6)
+        assert -1.000001 <= float(r["r"]) <= 1.000001
+
+
+def test_token_length_by_position_replay(ray_session):
+    """Literal positional walk; token mass conserves across the
+    three buckets."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_token_length_by_position(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    acc = {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+    total = 0
+    for text in docs["text"]:
+        for i, tok in enumerate(default_tokenizer(text), start=1):
+            b = 0 if i <= 4 else 1 if i <= 16 else 2
+            acc[b][0] += 1
+            acc[b][1] += len(tok)
+            total += 1
+    for b, (_, r) in enumerate(out.iterrows()):
+        n, ch = acc[b]
+        assert int(r["n_tokens"]) == n
+        assert int(r["mean_len_micro"]) == \
+            (1_000_000 * ch // n if n else 0)
+    assert int(out["n_tokens"].sum()) == total
+
+
+def test_round_number_bias_replay(ray_session):
+    """Literal modulo census; the five-dollar set is a subset of
+    the dollar set and lifts replay."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_round_number_bias(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    is_p = (ev["event_type"] == "purchase").to_numpy()
+    cents = _half_away(ev["value"].to_numpy(np.float64)[is_p]
+                       * 100.0).astype(np.int64)
+    n = len(cents)
+    dollar = int((cents % 100 == 0).sum())
+    five = int((cents % 500 == 0).sum())
+    r = out.iloc[0]
+    assert int(r["n"]) == n
+    assert int(r["on_dollar"]) == dollar
+    assert int(r["on_five"]) == five
+    assert five <= dollar
+    assert int(r["dollar_lift_micro"]) == \
+        1_000_000 * dollar * 100 // n
+    assert int(r["five_lift_micro"]) == 1_000_000 * five * 500 // n
