@@ -190,7 +190,8 @@ def run_bench() -> dict:
         "ann_coverage", "return_curve", "daily_range",
         "odds_ratio", "value_at_risk", "dedup_funnel",
         "risk_ratio_nnt", "user_halflife", "symm_diff",
-        "type_comovement", "token_length_by_position", "round_number_bias")
+        "type_comovement", "token_length_by_position", "round_number_bias",
+        "sign_test", "moving_mode", "user_discovery")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

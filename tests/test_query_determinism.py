@@ -6228,3 +6228,101 @@ def test_round_number_bias_replay(ray_session):
     assert int(r["dollar_lift_micro"]) == \
         1_000_000 * dollar * 100 // n
     assert int(r["five_lift_micro"]) == 1_000_000 * five * 500 // n
+
+
+def test_sign_test_replay(ray_session):
+    """Exact binomial tail replayed with math.comb; p bounded by
+    10^6 and pairs live."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_sign_test(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[dy] += c
+    weeks = collections.defaultdict(dict)
+    for dy, c in acc.items():
+        dow = (dy + 4) % 7
+        if dow in (0, 6):
+            weeks[(dy + 4) // 7][dow] = c
+    s = m = 0
+    for pair in weeks.values():
+        if 0 in pair and 6 in pair and pair[0] != pair[6]:
+            m += 1
+            s += pair[0] > pair[6]
+    tail = sum(math.comb(m, k) for k in range(min(s, m - s) + 1))
+    p = min(1_000_000, 2_000_000 * tail // (2 ** m))
+    r = out.iloc[0]
+    assert int(r["m_pairs"]) == m > 0
+    assert int(r["mon_wins"]) == s
+    assert int(r["p_two_sided_micro"]) == p
+    assert 0 < p <= 1_000_000
+
+
+def test_moving_mode_replay(ray_session):
+    """Literal trailing-window census; shares bounded and mode
+    dominance pinned per day."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_moving_mode(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    at = collections.Counter(zip(d.tolist(), ev["event_type"]))
+    types = sorted(set(ev["event_type"]))
+    lo, hi = int(d.min()), int(d.max())
+    for _, r in out.iterrows():
+        dy = int(r["day"])
+        counts = {ty: sum(at.get((dd, ty), 0)
+                          for dd in range(dy - 6, dy + 1))
+                  for ty in types}
+        win = min(types, key=lambda ty: (-counts[ty], ty))
+        assert r["mode_type"] == win
+        assert int(r["n"]) == counts[win]
+        assert int(r["share_micro"]) == \
+            1_000_000 * counts[win] // sum(counts.values())
+    assert len(out) == hi - lo + 1 - 6
+
+
+def test_user_discovery_replay(ray_session):
+    """Literal first-seen walk; the curve must end at 10^6 and be
+    monotone."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_user_discovery(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    first = pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                          "d": d}).groupby("u")["d"].min()
+    per_day = first.value_counts().sort_index()
+    total = len(first)
+    cum = 0
+    assert len(out) == len(per_day)
+    for (_, r), (dy, n) in zip(out.iterrows(), per_day.items()):
+        cum += int(n)
+        assert int(r["day"]) == int(dy)
+        assert int(r["new_users"]) == int(n)
+        assert int(r["cum_users"]) == cum
+        assert int(r["share_micro"]) == 1_000_000 * cum // total
+    assert int(out["share_micro"].iat[-1]) == 1_000_000
