@@ -191,7 +191,8 @@ def run_bench() -> dict:
         "odds_ratio", "value_at_risk", "dedup_funnel",
         "risk_ratio_nnt", "user_halflife", "symm_diff",
         "type_comovement", "token_length_by_position", "round_number_bias",
-        "sign_test", "moving_mode", "user_discovery")
+        "sign_test", "moving_mode", "user_discovery",
+        "next_token_cv", "split_half_reliability", "backlog_report")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

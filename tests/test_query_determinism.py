@@ -6326,3 +6326,116 @@ def test_user_discovery_replay(ray_session):
         assert int(r["cum_users"]) == cum
         assert int(r["share_micro"]) == 1_000_000 * cum // total
     assert int(out["share_micro"].iat[-1]) == 1_000_000
+
+
+def test_next_token_cv_replay(ray_session):
+    """Literal fold walk; pooled must equal the sum of folds and
+    out-of-sample accuracy must sit at or below in-sample."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+
+    out = Q.q_next_token_cv(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    per_fold = collections.defaultdict(collections.Counter)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = default_tokenizer(text)
+        per_fold[int(did) % Q._CV_FOLDS].update(
+            zip(toks, toks[1:]))
+    tot_pos = tot_hit = 0
+    for f in range(Q._CV_FOLDS):
+        train = collections.Counter()
+        for g, cnt in per_fold.items():
+            if g != f:
+                train.update(cnt)
+        pred = {}
+        for (a, b), n in sorted(train.items(),
+                                key=lambda kv: (kv[0][0], -kv[1],
+                                                kv[0][1])):
+            pred.setdefault(a, b)
+        pos = sum(per_fold[f].values())
+        hit = sum(n for (a, b), n in per_fold[f].items()
+                  if pred.get(a) == b)
+        row = out[out["fold"] == f].iloc[0]
+        assert int(row["positions"]) == pos
+        assert int(row["hits"]) == hit
+        assert int(row["acc_micro"]) == 1_000_000 * hit // pos
+        tot_pos += pos
+        tot_hit += hit
+    pooled = out[out["fold"] == -1].iloc[0]
+    assert int(pooled["positions"]) == tot_pos
+    assert int(pooled["hits"]) == tot_hit
+    in_sample = Q.q_next_token_acc(SF)
+    assert int(pooled["acc_micro"]) <= \
+        int(in_sample["acc_micro"].iat[0])
+
+
+def test_split_half_reliability_replay(ray_session):
+    """IEEE chain replayed over the 7 cells; r bounded."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_split_half_reliability(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    acc = collections.defaultdict(int)
+    for dy, c in zip(d.tolist(), cents.tolist()):
+        acc[(((dy + 4) // 7) % 2, (dy + 4) % 7)] += c
+    a = [acc.get((0, dd), 0) for dd in range(7)]
+    b = [acc.get((1, dd), 0) for dd in range(7)]
+    sa, sb = sum(a), sum(b)
+    num = float(7 * sum(x * y for x, y in zip(a, b)) - sa * sb)
+    den = math.sqrt(float(7 * sum(x * x for x in a) - sa * sa)) \
+        * math.sqrt(float(7 * sum(y * y for y in b) - sb * sb))
+    assert len(out) == 7
+    for dd, (_, r) in enumerate(out.iterrows()):
+        assert int(r["odd_cents"]) == a[dd]
+        assert int(r["even_cents"]) == b[dd]
+        assert float(r["reliability_r"]) == round(num / den, 6)
+    assert -1.01 <= float(out["reliability_r"].iat[0]) <= 1.01
+
+
+def test_backlog_report_replay(ray_session):
+    """Literal status census; shares conserve and statuses
+    non-trivial."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_backlog_report(SF)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderstatus", "o_totalprice",
+                               "o_orderdate"]).to_pandas()
+    cents = _half_away(o["o_totalprice"].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+    d = (o["o_orderdate"].to_numpy().astype("datetime64[us]")
+         .astype(np.int64) // 86_400_000_000)
+    df = pd.DataFrame({"s": o["o_orderstatus"].astype(str),
+                       "c": cents, "d": d})
+    total = len(df)
+    assert int(out["n"].sum()) == total
+    assert len(out) > 1
+    for _, r in out.iterrows():
+        sel = df[df["s"] == r["status"]]
+        assert int(r["n"]) == len(sel)
+        assert int(r["cents"]) == int(sel["c"].sum())
+        assert int(r["oldest"]) == int(sel["d"].min())
+        assert int(r["share_micro"]) == \
+            1_000_000 * len(sel) // total
