@@ -6439,3 +6439,96 @@ def test_backlog_report_replay(ray_session):
         assert int(r["oldest"]) == int(sel["d"].min())
         assert int(r["share_micro"]) == \
             1_000_000 * len(sel) // total
+
+
+def test_source_predictability_replay(ray_session):
+    """Per-source chain replayed; rank order must follow (entropy,
+    source) and all sources present."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.tokenize import (
+        default_tokenizer,
+    )
+    from diffdataflowmlpipelines_ray.functions.vectors import half_away
+
+    out = Q.q_source_predictability(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = default_tokenizer(text)
+        per[src].update(zip(toks, toks[1:]))
+    want = {}
+    for src, cnt in per.items():
+        row = collections.Counter()
+        for (a, _b), n in cnt.items():
+            row[a] += n
+        total = sum(cnt.values())
+        h = sum(int(half_away(np.array(
+            [-1e6 * (n / total) * math.log(n / row[a])]))[0])
+            for (a, _b), n in cnt.items())
+        want[src] = (total, h)
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        tot, h = want[r["source"]]
+        assert int(r["positions"]) == tot
+        assert int(r["entropy_micro"]) == h
+    es = out["entropy_micro"].tolist()
+    assert es == sorted(es)
+
+
+def test_transition_latency_replay(ray_session):
+    """Literal pair walk; p90 at or above p50 and pairs live."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_transition_latency(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["user_id", "t", "event_id"],
+                                    kind="mergesort")
+    gaps = []
+    for _, grp in ev.groupby("user_id"):
+        et = grp["event_type"].tolist()
+        ts_ = grp["t"].tolist()
+        for (a, ta), (b, tb) in zip(zip(et, ts_),
+                                    zip(et[1:], ts_[1:])):
+            if a == "click" and b == "purchase":
+                gaps.append((tb - ta) // 1_000_000)
+    gaps.sort()
+    n = len(gaps)
+    r = out.iloc[0]
+    assert int(r["n_pairs"]) == n > 0
+    assert int(r["p50_sec"]) == gaps[(n + 1) // 2 - 1]
+    assert int(r["p90_sec"]) == gaps[(9 * n + 9) // 10 - 1]
+    assert int(r["p90_sec"]) >= int(r["p50_sec"])
+
+
+def test_ingest_disorder_replay(ray_session):
+    """Literal adjacent-inversion walk in event_id order."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_ingest_disorder(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["user_id", "event_id"],
+                                    kind="mergesort")
+    pairs = inv = 0
+    for _, grp in ev.groupby("user_id"):
+        ts_ = grp["t"].tolist()
+        pairs += len(ts_) - 1
+        inv += sum(1 for a, b in zip(ts_, ts_[1:]) if b < a)
+    r = out.iloc[0]
+    assert int(r["pairs"]) == pairs
+    assert int(r["inversions"]) == inv
+    assert int(r["disorder_micro"]) == 1_000_000 * inv // pairs
