@@ -193,7 +193,8 @@ def run_bench() -> dict:
         "type_comovement", "token_length_by_position", "round_number_bias",
         "sign_test", "moving_mode", "user_discovery",
         "next_token_cv", "split_half_reliability", "backlog_report",
-        "source_predictability", "transition_latency", "ingest_disorder")
+        "source_predictability", "transition_latency", "ingest_disorder",
+        "mood_median", "overdispersion", "arpdau")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -6532,3 +6532,96 @@ def test_ingest_disorder_replay(ray_session):
     assert int(r["pairs"]) == pairs
     assert int(r["inversions"]) == inv
     assert int(r["disorder_micro"]) == 1_000_000 * inv // pairs
+
+
+def test_mood_median_replay(ray_session):
+    """Literal pooled-median census; direction follows the cross
+    products and the pooled median splits roughly in half."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_mood_median(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "y": cents}).groupby("u", as_index=False)
+          .sum())
+    ys = sorted(pu["y"].astype(int))
+    med = ys[(len(ys) - 1) // 2]
+    counts = {}
+    for v in (0, 1):
+        sel = pu[(pu["u"] % 2) == v]
+        n, a = len(sel), int((sel["y"] > med).sum())
+        counts[v] = (n, a)
+        row = out[out["variant"] == v].iloc[0]
+        assert (int(row["n_users"]), int(row["above_median"])) == \
+            (n, a)
+        assert int(row["above_micro"]) == 1_000_000 * a // n
+        assert int(row["pooled_median_cents"]) == med
+    d = counts[1][1] * counts[0][0] - counts[0][1] * counts[1][0]
+    assert int(out["direction"].iat[0]) == (d > 0) - (d < 0)
+    above_total = counts[0][1] + counts[1][1]
+    assert above_total <= len(pu) // 2 + 1
+
+
+def test_overdispersion_replay(ray_session):
+    """Exact dispersion identity; the fixture's clumped activity
+    must register as overdispersed."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_overdispersion(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    cnt = collections.Counter(ev["user_id"].tolist())
+    n = len(cnt)
+    s = sum(cnt.values())
+    ss = sum(c * c for c in cnt.values())
+    disp = 1_000_000 * (n * ss - s * s) // (n * s)
+    r = out.iloc[0]
+    assert int(r["n_users"]) == n
+    assert int(r["events"]) == s
+    assert int(r["dispersion_micro"]) == disp
+    assert int(r["overdispersed"]) == int(disp > 1_000_000)
+
+
+def test_arpdau_replay(ray_session):
+    """Literal per-day census; DAU and cents exact per day."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_arpdau(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    d = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64)
+                                * 100.0), 0.0).astype(np.int64)
+    dau = collections.defaultdict(set)
+    rev = collections.defaultdict(int)
+    for dy, u, c in zip(d.tolist(), ev["user_id"].tolist(),
+                        cents.tolist()):
+        dau[dy].add(u)
+        rev[dy] += c
+    assert len(out) == len(dau)
+    for _, r in out.iterrows():
+        dy = int(r["day"])
+        assert int(r["dau"]) == len(dau[dy])
+        assert int(r["cents"]) == rev[dy]
+        assert int(r["arpdau_micro"]) == \
+            1_000_000 * rev[dy] // len(dau[dy])
