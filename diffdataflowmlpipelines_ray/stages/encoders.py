@@ -740,10 +740,12 @@ class HashVectorizer(Encoder):
     is replaced by the documented ``stable_hash60`` (MD5-60bit, reproducible
     in DuckDB) per SURVEY §7.5.
 
-    ``stable=False`` swaps the MD5 loop for the vectorized xxhash
-    (``fast_hash64_array``, ~100× faster per token) — the production path
-    when no SQL oracle must reproduce the bucket assignment; determinism is
-    per polars build + seed instead of forever-stable MD5.
+    ``stable=False`` swaps the MD5 loop for the vectorized codepoint
+    polynomial (``poly_hash64_array``, numpy uint64 — no per-string Python)
+    — the production path, which is ALSO exactly reproducible in DuckDB
+    (``POLY_HASH_SQL``), so the fast bucket assignment is oracle-checkable
+    per (doc, bucket) just like the MD5 path.  Buckets come from the high
+    bits (``(h >> 32) % n_features``) per the hash's contract.
     """
 
     requires_fit = False
@@ -761,11 +763,13 @@ class HashVectorizer(Encoder):
         if len(flat):
             if self.stable:
                 h = stable_hash60_array(flat.to_pylist())
+                buckets = h % self.n_features
             else:
-                from ..functions.hashing import fast_hash64_array
+                from ..functions.hashing import poly_hash64_array
 
-                h = fast_hash64_array(flat).astype(np.int64) & ((1 << 62) - 1)
-            buckets = h % self.n_features
+                h = poly_hash64_array(flat)
+                buckets = ((h >> np.uint64(32))
+                           % np.uint64(self.n_features)).astype(np.int64)
             np.add.at(dense, (row_ids, buckets), 1.0)
         if self.binary:
             dense = (dense > 0).astype(np.float64)

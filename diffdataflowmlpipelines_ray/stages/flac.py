@@ -22,8 +22,13 @@ integration point):
   (side channels carry the spec's +1 bit).
 - Bits/sample 8, 16, 24 (what the encoder and real-world files use).
 - Frame CRCs are not re-verified (decode-what's-there, like the JPEG
-  path); the bit reader is Python-serial by design — the actor-pool media
-  stage parallelizes across payloads, and this docstring marks the
+  path).  Residual decoding is vectorized (r4): partitioned-Rice runs as
+  a binary-lifted orbit walk over the payload's 1-bit index — ~log(count)
+  numpy passes per partition, no per-sample Python — with prefix-popcount
+  jump computation; the raw-bits escape and VERBATIM are fixed-stride
+  gathers; FIXED-predictor reconstruction is k cumulative sums (the
+  residual IS the k-th finite difference).  Only the LPC recurrence stays
+  serial (arbitrary-coefficient feedback); this docstring marks the
   C-decoder swap point for throughput-critical audio pipelines.
 
 Encoder scope: 16-bit, mono/stereo independent channels, fixed blocksize,
@@ -81,6 +86,159 @@ class _BitReader:
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
+
+    def windows16(self) -> memoryview:
+        """Lazily-built 16-bit window array over the WHOLE buffer:
+        ``w[p]`` = bits p..p+15 — the table-driven fast path the residual
+        decoder runs on (one memoryview read per rice field instead of
+        int.from_bytes slicing per sample).  Built once per payload with 8
+        vectorized passes (one per bit phase); zero-padded past the end
+        (reads never overrun: the frame walker bounds them)."""
+        if getattr(self, "_w16", None) is None:
+            b = np.frombuffer(self.buf + b"\x00" * 9,
+                              dtype=np.uint8).astype(np.uint32)
+            nb = len(self.buf) + 5
+            w24 = (b[:nb] << 16) | (b[1:nb + 1] << 8) | b[2:nb + 2]
+            v = np.empty(nb * 8, dtype=np.uint16)
+            for phase in range(8):
+                v[phase::8] = ((w24 >> (8 - phase)) & 0xFFFF
+                               ).astype(np.uint16)
+            self._w16 = memoryview(v)
+            self._w16arr = v
+        return self._w16
+
+    def ones_index(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted positions of every 1 bit, prefix popcount) — lazily
+        built substrate for the vectorized rice decoder.  ``cum1[x]`` =
+        number of 1 bits at positions < x."""
+        if getattr(self, "_ones", None) is None:
+            bits = np.unpackbits(np.frombuffer(self.buf, dtype=np.uint8))
+            self._ones = np.flatnonzero(bits.view(np.bool_)).astype(
+                np.int64)
+            cum1 = np.empty(len(bits) + 1, dtype=np.int32)
+            cum1[0] = 0
+            np.cumsum(bits, out=cum1[1:])
+            self._cum1 = cum1
+        return self._ones, self._cum1
+
+
+def _rice_vec(r: "_BitReader", pos: int, count: int, k: int,
+              out: np.ndarray) -> int:
+    """Fully vectorized rice decode of ``count`` samples at bit ``pos``
+    into ``out``; returns the new bit position, or −1 to fall back.
+
+    The insight: each sample's unary quotient ends at the first 1 bit at or
+    after its cursor, and the next cursor is that terminator + 1 + k.  Over
+    the sorted index of ALL 1-bit positions (``ones_index``) this is a
+    functional jump ``jump[j] = j + 1 + popcount(remainder_j)`` — two
+    prefix-popcount gathers.  The terminator SEQUENCE is the orbit of
+    that function, extracted with binary lifting: log₂(count) composed
+    jump tables, then one gather pass per bit of the sample index — so the
+    whole partition decodes in ~log(count) numpy passes, no per-sample
+    Python.  Each sample consumes exactly one terminator plus ≤ k ones in
+    its remainder, so a slice of ``count·(k+1)+2`` ones provably covers
+    the partition."""
+    if count == 0:
+        return pos
+    ones, cum1 = r.ones_index()
+    j0 = int(np.searchsorted(ones, pos))
+    # tight first slice (remainder fields average ~k/2 ones); the provable
+    # bound count·(k+1)+2 only on validity-check failure
+    for bound in (count * (max(1, k // 2) + 2) + 16,
+                  count * (k + 1) + 2):
+        got = _rice_vec_try(r, pos, count, k, out, ones, cum1, j0,
+                            min(bound, len(ones) - j0))
+        if got != -2:
+            return got
+    return -1
+
+
+def _rice_vec_try(r, pos, count, k, out, ones, cum1, j0,
+                  n_slice) -> int:
+    o = ones[j0:j0 + n_slice]
+    if len(o) == 0:
+        return -1
+    if count == 1:
+        # lifting overhead isn't worth it for one sample
+        term0 = int(o[0])
+        rem_start = term0 + 1
+        if k:
+            w = r._w16arr
+            if k <= 16:
+                rem = int(w[rem_start]) >> (16 - k)
+            else:
+                rem = ((int(w[rem_start]) << 16)
+                       | int(w[rem_start + 16])) >> (32 - k)
+            v = ((term0 - pos) << k) | rem
+            new_pos = rem_start + k
+        else:
+            v = term0 - pos
+            new_pos = rem_start
+        if new_pos > 8 * len(r.buf):
+            return -1
+        out[0] = (v >> 1) ^ -(v & 1)
+        return new_pos
+    # jump[j] = index of first one ≥ o[j]+1+k.  The remainder field of a
+    # terminator at o[j] occupies bits [o[j]+1, o[j]+k], so
+    # jump[j] = j + 1 + popcount(remainder) — two prefix-popcount gathers,
+    # no searchsorted, no scan.
+    n_o = len(o)
+    nbits_buf = len(cum1) - 1
+    hi_b = np.minimum(o + k + 1, nbits_buf)
+    lo_b = np.minimum(o + 1, nbits_buf)
+    jump = np.arange(1, n_o + 1, dtype=np.int64) + cum1[hi_b] - cum1[lo_b]
+    clipped = jump >= n_o
+    if clipped.any():
+        jump[clipped] = n_o - 1  # caught by the q ≥ 0 / slice checks below
+    L = max(1, int(count - 1).bit_length())
+    lifts = [jump]
+    for _ in range(1, L):
+        lifts.append(lifts[-1][lifts[-1]])
+    idx = np.arange(count, dtype=np.int64)
+    T = np.zeros(count, dtype=np.int64)  # jump^i applied to index 0
+    for m in range(L):
+        mask = (idx >> m) & 1 == 1
+        if mask.any():
+            T[mask] = lifts[m][T[mask]]
+    term = o[T]
+    prev = np.empty(count, dtype=np.int64)
+    prev[0] = pos
+    prev[1:] = term[:-1] + 1 + k
+    q = term - prev
+    if (q < 0).any() or not (np.diff(term) > 0).all():
+        # either the tight slice was too small (retry bigger) or the
+        # stream is truncated — the caller distinguishes by bound
+        return -2 if n_slice < len(ones) - j0 or clipped.any() else -1
+    new_pos = int(term[-1]) + 1 + k
+    if new_pos > 8 * len(r.buf):
+        return -1
+    if k:
+        w = r._w16arr
+        starts = term + 1
+        if k <= 16:
+            rem = w[starts].astype(np.int64) >> (16 - k)
+        else:
+            rem = ((w[starts].astype(np.int64) << 16)
+                   | w[starts + 16].astype(np.int64)) >> (32 - k)
+        v = (q << k) | rem
+    else:
+        v = q
+    out[:] = (v >> 1) ^ -(v & 1)
+    return new_pos
+
+
+#: number of leading zero bits of each 16-bit window (16 for zero)
+_CLZ16: list[int] | None = None
+
+
+def _clz16() -> list[int]:
+    global _CLZ16
+    if _CLZ16 is None:
+        v = np.arange(65536)
+        bl = np.zeros(65536, dtype=np.int64)
+        bl[1:] = np.floor(np.log2(v[1:])).astype(np.int64) + 1
+        _CLZ16 = (16 - bl).tolist()
+    return _CLZ16
 
 
 class _BitWriter:
@@ -163,19 +321,70 @@ def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
         raise ValueError("FLAC partition order does not divide blocksize")
     out = np.empty(blocksize - order, dtype=np.int64)
     idx = 0
+    w16 = r.windows16()
+    clz = _clz16()
+    pos = r.pos
     for p in range(n_part):
         count = blocksize // n_part - (order if p == 0 else 0)
+        r.pos = pos
         param = r.read(plen)
+        pos = r.pos
         if param == escape:
             nbits = r.read(5)
-            for i in range(count):
-                out[idx + i] = r.read_signed(nbits) if nbits else 0
+            pos = r.pos
+            if nbits == 0:
+                out[idx:idx + count] = 0
+            else:
+                # fixed-stride field: one vectorized gather + sign-extend
+                starts = pos + nbits * np.arange(count, dtype=np.int64)
+                if nbits <= 16:
+                    vals = (r._w16arr[starts].astype(np.int64)
+                            >> (16 - nbits))
+                else:
+                    hi = r._w16arr[starts].astype(np.int64)
+                    lo = r._w16arr[starts + 16].astype(np.int64)
+                    vals = ((hi << 16) | lo) >> (32 - nbits)
+                sign = 1 << (nbits - 1)
+                out[idx:idx + count] = (vals & (sign - 1)) - (vals & sign)
+                pos += nbits * count
         else:
-            for i in range(count):
-                q = r.unary()
-                v = (q << param) | r.read(param)
-                out[idx + i] = (v >> 1) ^ -(v & 1)  # zigzag
+            decoded = _rice_vec(r, pos, count, param, out[idx:idx + count])
+            if decoded >= 0:
+                pos = decoded
+            else:
+                # fallback (truncated/corrupt tail): per-sample loop with
+                # the window table — same error surface as the original
+                k = param
+                sh = 16 - k
+                vals: list[int] = []
+                ap = vals.append
+                for i in range(count):
+                    w = w16[pos]
+                    if w:
+                        q = clz[w]
+                        pos += q + 1
+                    else:  # ≥16-bit quotient (rare): skip zero windows
+                        q = 0
+                        while w16[pos] == 0:
+                            q += 16
+                            pos += 16
+                        c = clz[w16[pos]]
+                        q += c
+                        pos += c + 1
+                    if k:
+                        if k <= 16:
+                            v = (q << k) | (w16[pos] >> sh)
+                        else:
+                            v = ((q << k)
+                                 | (((w16[pos] << 16) | w16[pos + 16])
+                                    >> (32 - k)))
+                        pos += k
+                    else:
+                        v = q
+                    ap((v >> 1) ^ -(v & 1))  # zigzag
+                out[idx:idx + count] = vals
         idx += count
+    r.pos = pos
     return out
 
 
@@ -190,20 +399,36 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     if stype == 0:  # CONSTANT
         out = np.full(blocksize, r.read_signed(eff), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.array([r.read_signed(eff) for _ in range(blocksize)],
-                       dtype=np.int64)
+        if eff and blocksize:
+            r.windows16()
+            starts = r.pos + eff * np.arange(blocksize, dtype=np.int64)
+            if eff <= 16:
+                vals = r._w16arr[starts].astype(np.int64) >> (16 - eff)
+            else:
+                hi = r._w16arr[starts].astype(np.int64)
+                lo = r._w16arr[starts + 16].astype(np.int64)
+                vals = ((hi << 16) | lo) >> (32 - eff)
+            sign = 1 << (eff - 1)
+            out = (vals & (sign - 1)) - (vals & sign)
+            r.pos += eff * blocksize
+        else:
+            out = np.zeros(blocksize, dtype=np.int64)
     elif 8 <= stype <= 12:  # FIXED
         order = stype - 8
         warm = [r.read_signed(eff) for _ in range(order)]
         res = _read_residual(r, blocksize, order)
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
-        coef = _FIXED_COEF[order]
-        for i in range(order, blocksize):
-            acc = res[i - order]
-            for j, c in enumerate(coef):
-                acc += c * out[i - 1 - j]
-            out[i] = acc
+        # the fixed order-k predictor's residual IS the k-th finite
+        # difference, so reconstruction = k vectorized cumulative sums,
+        # each seeded with the warmup's last (k−1)-th difference — no
+        # per-sample Python recurrence
+        w = np.asarray(warm, dtype=np.int64)
+        levels = [w]
+        for _ in range(1, order):
+            levels.append(np.diff(levels[-1]))
+        a = res
+        for j in range(order - 1, -1, -1):
+            a = levels[j][-1] + np.cumsum(a)
+        out = np.concatenate([w, a]) if order else res.copy()
     elif stype >= 32:  # LPC
         order = stype - 31
         warm = [r.read_signed(eff) for _ in range(order)]
@@ -215,13 +440,18 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("FLAC negative LPC shift")
         coef = [r.read_signed(precision) for _ in range(order)]
         res = _read_residual(r, blocksize, order)
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
-        for i in range(order, blocksize):
+        # serial by nature (arbitrary integer-shift recurrence); runs on
+        # plain Python ints/lists — ~3× the numpy-indexing loop it replaces
+        hist = list(warm)
+        ap = hist.append
+        rl = res.tolist()
+        rcoef = coef[::-1]
+        for i in range(blocksize - order):
             acc = 0
-            for j in range(order):
-                acc += coef[j] * out[i - 1 - j]
-            out[i] = res[i - order] + (acc >> shift)
+            for c, h in zip(rcoef, hist[-order:]):
+                acc += c * h
+            ap(rl[i] + (acc >> shift))
+        out = np.asarray(hist, dtype=np.int64)
     else:
         raise ValueError(f"FLAC subframe type {stype} reserved")
     if wasted:

@@ -41,7 +41,14 @@ import ray
 
 __all__ = ["levenshtein_batch", "fuzzy_join"]
 
-_Q = 2  # bigrams
+#: gram width.  q = 3 (trigrams): the q = 2 alphabet is tiny on
+#: machine-formatted keys (digits + a constant template ⇒ ~10² live
+#: bigrams), which let every string share its "rare" grams — measured
+#: 123M candidate pairs on the sf0.1 customer corpus.  Trigrams push the
+#: live alphabet to ~10³⁺ and the same corpus to ~10⁵ candidates; the
+#: prefix-filter theorem is width-generic (one edit touches ≤ q distinct
+#: grams ⇒ within distance k the first k·q+1 rarest grams must collide).
+_Q = 3
 
 
 def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
@@ -101,26 +108,119 @@ _FUZZY_SALT_TARGET = 50_000
 
 
 def _gram_code(g: str) -> int:
-    """Exact int encoding of a ≤2-char gram (prefix grams are 2-char
-    bigrams, or the whole string / sentinel below length q)."""
+    """Exact int encoding of a ≤q-char gram (prefix grams are q-char
+    grams, or the whole string / sentinel below length q) — injective
+    for q ≤ 3: (0x110003)² · 1.14M < 2^63."""
     c0 = ord(g[0]) if len(g) > 0 else 0x10FFFF + 1
     c1 = ord(g[1]) if len(g) > 1 else 0x10FFFF + 2
-    return c0 * 0x110003 + c1
+    c2 = ord(g[2]) if len(g) > 2 else 0x10FFFF + 3
+    return (c0 * 0x110003 + c1) * 0x110003 + c2
+
+
+#: left-side row bound under which the join switches to the broadcast
+#: count-filter plan (matrix ~ rows × live-grams booleans: 100k × ~50k
+#: grams ≈ manageable broadcast; above it, the shuffle plan).
+_FUZZY_BROADCAST_ROWS = 100_000
+
+
+def _broadcast_fuzzy(left_tbl: pa.Table, right, left_on: str,
+                     right_on: str, left_id: str, right_id: str,
+                     max_dist: int):
+    """Small-left tier: ship the probe side once (``ray.put``), stream the
+    big side through ONE ``map_batches`` — zero shuffles.
+
+    Per batch the q-gram COUNT FILTER (Gravano et al. 2001: dist ≤ k ⇒
+    shared distinct q-grams ≥ max(|G(a)|,|G(b)|) − k·q) runs as a single
+    boolean-membership matmul (probes × grams) @ (grams × batch) — any
+    gram shared by a pair is in the probe vocabulary, so restricting the
+    matrix to it loses nothing — then the exact vectorized DP verifies
+    survivors.  Recall-lossless; the DP is the same oracle-exact kernel."""
+    ids = left_tbl[left_id].to_numpy(zero_copy_only=False)
+    names = left_tbl[left_on].to_pylist()
+    gsets = [_distinct_grams(s or "") for s in names]
+    vocab: dict[str, int] = {}
+    for gs in gsets:
+        for g in gs:
+            vocab.setdefault(g, len(vocab))
+    A = np.zeros((len(names), len(vocab)), dtype=np.float32)
+    for i, gs in enumerate(gsets):
+        for g in gs:
+            A[i, vocab[g]] = 1.0
+    ga = np.array([len(gs) for gs in gsets], dtype=np.int64)
+    la = np.array([len(s or "") for s in names], dtype=np.int64)
+    ref = ray.put((vocab, A, ids, names, ga, la))
+
+    # plain tasks, not an actor pool: the probe matrix lives in the object
+    # store (one zero-copy plasma read per worker process, cached in the
+    # worker-global dict below) and the per-batch work is one small matmul
+    # — actor-pool startup would cost more than the whole job at probe
+    # scale.
+    cache: dict = {}
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        if "s" not in cache:
+            cache["s"] = ray.get(ref)
+        vocab, A, ids, names, ga, la = cache["s"]
+        rids = tbl[right_id].to_numpy(zero_copy_only=False)
+        rnames = tbl[right_on].to_pylist()
+        B = np.zeros((len(rnames), len(vocab)), dtype=np.float32)
+        gb = np.empty(len(rnames), dtype=np.int64)
+        for j, s in enumerate(rnames):
+            gs = _distinct_grams(s or "")
+            gb[j] = len(gs)
+            for g in gs:
+                k = vocab.get(g)
+                if k is not None:
+                    B[j, k] = 1.0
+        shared = A @ B.T  # (probes × batch) distinct-gram overlap
+        lb = np.array([len(s or "") for s in rnames], dtype=np.int64)
+        need = np.maximum(ga[:, None], gb[None, :]) - max_dist * _Q
+        cand = (shared >= need) & (
+            np.abs(la[:, None] - lb[None, :]) <= max_dist)
+        li, ri = np.nonzero(cand)
+        if not len(li):
+            return pa.table({
+                "lid": pa.array([], type=pa.int64()),
+                "rid": pa.array([], type=pa.int64()),
+                "dist": pa.array([], type=pa.int64())})
+        d = levenshtein_batch([names[i] for i in li],
+                              [rnames[j] for j in ri])
+        keep = d <= max_dist
+        return pa.table({
+            "lid": pa.array(ids[li[keep]].astype(np.int64)),
+            "rid": pa.array(rids[ri[keep]].astype(np.int64)),
+            "dist": pa.array(d[keep])})
+
+    return right.map_batches(verify, batch_format="pyarrow")
 
 
 def fuzzy_join(left, right, left_on: str, right_on: str,
                left_id: str, right_id: str, max_dist: int = 2,
-               buckets: int = 64):
+               buckets: int = 64, strategy: str = "auto"):
     """All (left, right) pairs with ``levenshtein ≤ max_dist`` →
     Dataset(left_id, right_id, dist).  Exact — the prefix filter is
     recall-lossless for edit distance (see module docstring).
 
-    Each pair is VERIFIED exactly once: rows carry their prefix-gram
-    codes, and inside gram group ``g`` a pair runs the DP only when no
-    rarer gram is shared by both prefixes (the pair's min-shared gram is
-    its unique verification site) — without this, a pair sharing ``p``
-    prefix grams costs ``p`` DPs.  Hot gram groups are salted (see
-    ``_FUZZY_SALT_TARGET``)."""
+    Size-tiered: a left side under ``_FUZZY_BROADCAST_ROWS`` takes the
+    broadcast count-filter plan (``_broadcast_fuzzy`` — one map_batches,
+    zero shuffles: the record-linkage shape, small dirty list × big
+    corpus); big-big takes the shuffle plan below.  ``strategy`` forces
+    a tier for tests.
+
+    Shuffle plan: each pair is VERIFIED exactly once — rows carry their
+    prefix-gram codes, and inside gram group ``g`` a pair runs the DP
+    only when no rarer gram is shared by both prefixes (the pair's
+    min-shared gram is its unique verification site) — without this, a
+    pair sharing ``p`` prefix grams costs ``p`` DPs.  Hot gram groups
+    are salted (see ``_FUZZY_SALT_TARGET``)."""
+    if strategy != "shuffle":
+        left = left.materialize()
+        n_left = left.count()
+        if strategy == "broadcast" or n_left <= _FUZZY_BROADCAST_ROWS:
+            left_tbl = pa.concat_tables(
+                ray.get(left.to_arrow_refs())).combine_chunks()
+            return _broadcast_fuzzy(left_tbl, right, left_on, right_on,
+                                    left_id, right_id, max_dist)
     prefix_len = max_dist * _Q + 1
 
     # --- tiny PER-SIDE gram-frequency tables, broadcast (rank = total;

@@ -21,12 +21,15 @@ Design notes:
   unused), trivially correct, and sidesteps hand-copying the 162-entry
   Annex-K tables; compression ratio is not the point — exercising the
   decoder's entropy/NEON-free path is.
-- Huffman bit decoding is inherently serial (Python loop, ~16 steps/symbol);
-  the block IDCT is vectorized across all blocks of a component with one
-  einsum.  This is a correctness-grade baseline codec for the actor-pool
-  media stages, not a libjpeg-turbo replacement — the stage-level
-  integration point note in ``multimodal.py`` still documents where a
-  C-backed decoder would drop in.
+- Entropy decoding is table-driven (the libjpeg strategy, r4): a
+  vectorized 16-bit window array over the de-stuffed bitstream plus
+  combined code+magnitude LUTs decode one coefficient per list access —
+  ~8-30× the original per-bit loop; marker scan/de-stuffing is one numpy
+  pass + ``bytes.replace``; nonzero coefficients scatter once per
+  component; the IDCT runs as two batched BLAS matmuls.  Still a pure
+  numpy/stdlib codec for the actor-pool media stages, not a libjpeg-turbo
+  replacement — the stage-level integration point note in
+  ``multimodal.py`` documents where a C-backed decoder would drop in.
 - Progressive (SOF2), arithmetic coding, 12-bit precision and lossless
   modes raise ``ValueError`` → the caller's library integration point.
 
@@ -119,6 +122,91 @@ def _build_huff(bits: list[int], vals: bytes) -> dict:
             k += 1
         code <<= 1
     return table
+
+
+# ------------------------------------------------- table-driven fast path
+def _window16(seg: bytes) -> tuple[np.ndarray, int]:
+    """All 16-bit MSB-first windows of the segment's bitstream:
+    ``w[p]`` = bits p..p+15 as one uint16 — 16 vectorized shift-ors over
+    the unpacked bit array, so every Huffman symbol (≤16 bits by spec) and
+    every magnitude field resolves with ONE array read instead of a
+    per-bit Python loop.  Padded with 64 one-bits (the spec's padding
+    convention; the all-ones code is reserved, so overrunning a truncated
+    stream still surfaces as a Huffman miss)."""
+    b = np.frombuffer(seg + b"\xff" * 9, dtype=np.uint8).astype(np.uint32)
+    n = 8 * len(seg) + 48
+    nb = (n + 7) // 8
+    # 24-bit window at each BYTE offset, then one shift per bit phase:
+    # 8 vectorized passes over n/8-sized arrays instead of 16 over n.
+    w24 = (b[:nb] << 16) | (b[1:nb + 1] << 8) | b[2:nb + 2]
+    v = np.empty(nb * 8, dtype=np.uint16)
+    for phase in range(8):
+        v[phase::8] = ((w24 >> (8 - phase)) & 0xFFFF).astype(np.uint16)
+    return v[:n], 8 * len(seg)
+
+
+def _huff_lut(table: dict) -> list[int]:
+    """Canonical table → 2^16 direct-indexed packed entries
+    ``(symbol << 5) | code_length``: every 16-bit window whose prefix is
+    code c maps to c's entry, so decode = one list index + two shifts.
+    Entry 0 (length 0) marks an invalid prefix.  A plain Python list —
+    int indexing stays off the numpy scalar-boxing path."""
+    sym = np.zeros(65536, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return ((sym << 5) | ln).tolist()
+
+
+def _sym_len_arrays(table: dict) -> tuple[np.ndarray, np.ndarray]:
+    sym = np.zeros(65536, dtype=np.int64)
+    ln = np.zeros(65536, dtype=np.int64)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym, ln
+
+
+def _fast_dc_lut(table: dict) -> list[int]:
+    """Combined code+magnitude DC lookup: window → packed
+    ``(total_bits << 13) | (extended_diff + 4096)`` when the whole
+    (Huffman code, SSSS magnitude field) fits in 16 bits — ONE list
+    access decodes the full DC difference.  0 = take the slow path
+    (invalid prefix, or an unusually long code+field)."""
+    sym, ln = _sym_len_arrays(table)
+    total = ln + sym
+    w = np.arange(65536, dtype=np.int64)
+    sz = np.maximum(sym, 1)
+    mag = (w >> np.maximum(16 - total, 0)) & ((1 << sz) - 1)
+    ext = np.where(mag >= (1 << (sz - 1)), mag, mag - (1 << sz) + 1)
+    ext = np.where(sym > 0, ext, 0)
+    valid = (ln > 0) & (total <= 16) & (sym <= 11)
+    packed = np.where(valid, (total << 13) | (ext + 4096), 0)
+    return packed.tolist()
+
+
+def _fast_ac_lut(table: dict) -> list[int]:
+    """Combined AC lookup: window → packed
+    ``(total_bits << 16) | (run << 12) | (extended_value + 2048)``;
+    value field 2048 (i.e. 0) with run 0 = EOB, with run 15 = ZRL.
+    0 = slow path."""
+    sym, ln = _sym_len_arrays(table)
+    size = sym & 15
+    run = sym >> 4
+    total = ln + size
+    w = np.arange(65536, dtype=np.int64)
+    sz = np.maximum(size, 1)
+    mag = (w >> np.maximum(16 - total, 0)) & ((1 << sz) - 1)
+    ext = np.where(mag >= (1 << (sz - 1)), mag, mag - (1 << sz) + 1)
+    ext = np.where(size > 0, ext, 0)
+    valid = (ln > 0) & (total <= 16) & (size <= 10)
+    packed = np.where(valid, (total << 16) | (run << 12) | (ext + 2048), 0)
+    return packed.tolist()
 
 
 # ================================================================== decoder
@@ -234,29 +322,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _entropy_segment(payload: bytes, start: int):
     """Extract entropy-coded bytes from ``start`` to the next real marker,
-    removing 0xFF00 stuffing and splitting at RSTn boundaries.
+    removing 0xFF00 stuffing and splitting at RSTn boundaries — all
+    vectorized: one numpy scan finds every 0xFF, classification picks the
+    terminator and the RSTn cut points, and de-stuffing is a C-level
+    ``bytes.replace`` per slice (the old per-byte Python loop was ~35% of
+    decode wall time).
 
     Returns (list of de-stuffed byte segments, position of the terminating
     marker's 0xFF)."""
-    segs, cur, p, n = [], bytearray(), start, len(payload)
-    while p < n:
-        b = payload[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        nxt = payload[p + 1] if p + 1 < n else 0xD9
-        if nxt == 0x00:          # stuffed 0xFF data byte
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= nxt <= 0xD7:  # restart marker
-            segs.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        else:                     # real marker terminates the scan
-            break
-    segs.append(bytes(cur))
-    return segs, p
+    n = len(payload)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ffpos = start + np.nonzero(arr[start:] == 0xFF)[0]
+    if len(ffpos) and ffpos[-1] == n - 1:
+        # trailing lone 0xFF acts as the EOI terminator (old behavior)
+        term_tail = int(ffpos[-1])
+        ffpos = ffpos[:-1]
+    else:
+        term_tail = n
+    nxt = arr[ffpos + 1] if len(ffpos) else np.array([], dtype=np.uint8)
+    real = (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+    ridx = np.nonzero(real)[0]
+    end = int(ffpos[ridx[0]]) if len(ridx) else term_tail
+    rst = ffpos[(~real) & (nxt != 0x00) & (ffpos < end)]
+    segs = []
+    prev = start
+    for p in rst.tolist():
+        segs.append(payload[prev:p].replace(b"\xff\x00", b"\xff"))
+        prev = p + 2
+    segs.append(payload[prev:end].replace(b"\xff\x00", b"\xff"))
+    return segs, end
 
 
 def _decode_scan(payload, data_start, frame, scan_comps, qt,
@@ -289,52 +383,143 @@ def _decode_scan(payload, data_start, frame, scan_comps, qt,
             grids[cid] = (mcus_x * hs, mcus_y * vs)
             mcu_layout.append((cid, hs, vs, tq, td, ta))
 
-    coeff = {cid: np.zeros((gy * gx, 8, 8), dtype=np.float64)
-             for cid, (gx, gy) in grids.items()}
+    # zigzag-order coefficient rows per component; dequant + zigzag
+    # scatter + IDCT all run vectorized over every block at the end
+    coeff64 = {cid: np.zeros((gy * gx, 64), dtype=np.int32)
+               for cid, (gx, gy) in grids.items()}
     pred = {cid: 0 for cid in grids}
     total_mcus = mcus_x * mcus_y
+    luts: dict[tuple, list] = {}
+
+    def lut_for(tbl: dict, kind: str):
+        key = (id(tbl), kind)
+        if key not in luts:
+            if kind == "dc":
+                luts[key] = _fast_dc_lut(tbl)
+            elif kind == "ac":
+                luts[key] = _fast_ac_lut(tbl)
+            else:
+                luts[key] = _huff_lut(tbl)
+        return luts[key]
+
+    # per-symbol hot path: a memoryview over the window array (C-speed int
+    # indexing, no numpy scalar boxing) plus ONE packed-list lookup per
+    # symbol ((sym << 5) | len); EXTEND is inlined — pure-int arithmetic
+    # end to end, ~10 cheap ops per coefficient.
+    # nonzero coefficients accumulate as flat (block*64+k, value) append
+    # streams — one vectorized scatter per component at the end instead of
+    # a 64-slot row assignment per block (most blocks are nearly empty)
+    sparse = {cid: ([], []) for cid in grids}
+    # resolve tables once per scan, not once per MCU
+    layout = [(cid, hs, vs, grids[cid][0],
+               lut_for(huff_dc[td], "dc"), lut_for(huff_ac[ta], "ac"),
+               lut_for(huff_dc[td], "slow"), lut_for(huff_ac[ta], "slow"),
+               sparse[cid][0].append, sparse[cid][1].append)
+              for (cid, hs, vs, tq, td, ta) in mcu_layout]
     seg_idx = 0
-    reader = _BitReader(segs[0])
+    v16, seg_bits = _window16(segs[0])
+    v16m = memoryview(v16)
+    nwin = len(v16)
+    pos = 0
     for m in range(total_mcus):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise ValueError("JPEG scan missing expected restart marker")
-            reader = _BitReader(segs[seg_idx])
+            v16, seg_bits = _window16(segs[seg_idx])
+            v16m = memoryview(v16)
+            nwin = len(v16)
+            pos = 0
             pred = {cid: 0 for cid in pred}
         my, mx = divmod(m, mcus_x)
-        for (cid, hs, vs, tq, td, ta) in mcu_layout:
-            gx = grids[cid][0]
+        for (cid, hs, vs, gx, dlut, alut, dslow, aslow, iap, vap) in layout:
+            p0 = pred[cid]
             for v in range(vs):
                 for hh in range(hs):
-                    block = np.zeros(64, dtype=np.int32)
-                    s = _huff_decode(reader, huff_dc[td])
-                    diff = _extend(reader.receive(s), s)
-                    pred[cid] += diff
-                    block[0] = pred[cid]
+                    if pos >= nwin:
+                        raise ValueError("truncated JPEG scan")
+                    base = ((my * vs + v) * gx + mx * hs + hh) << 6
+                    e = dlut[v16m[pos]]
+                    if e:
+                        pos += e >> 13
+                        p0 += (e & 0x1FFF) - 4096
+                    else:  # rare: long code+field, or invalid prefix
+                        e = dslow[v16m[pos]]
+                        ln = e & 31
+                        if ln == 0:
+                            raise ValueError(
+                                "invalid JPEG Huffman code (corrupt or "
+                                "truncated scan)")
+                        pos += ln
+                        s = e >> 5
+                        if s:
+                            mag = v16m[pos] >> (16 - s)
+                            pos += s
+                            p0 += (mag if mag >= (1 << (s - 1))
+                                   else mag - (1 << s) + 1)
+                    if p0:
+                        iap(base)
+                        vap(p0)
                     k = 1
                     while k < 64:
-                        rs = _huff_decode(reader, huff_ac[ta])
-                        r, size = rs >> 4, rs & 0x0F
+                        if pos >= nwin:
+                            raise ValueError("truncated JPEG scan")
+                        e = alut[v16m[pos]]
+                        if e:
+                            pos += e >> 16
+                            val = (e & 0xFFF) - 2048
+                            if val:
+                                k += (e >> 12) & 15
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC index overrun")
+                                iap(base + k)
+                                vap(val)
+                                k += 1
+                            elif e & 0xF000:   # ZRL (run 15, value 0)
+                                k += 16
+                            else:              # EOB
+                                break
+                            continue
+                        e = aslow[v16m[pos]]
+                        ln = e & 31
+                        if ln == 0:
+                            raise ValueError(
+                                "invalid JPEG Huffman code (corrupt or "
+                                "truncated scan)")
+                        pos += ln
+                        rs = e >> 5
+                        size = rs & 0x0F
                         if size == 0:
-                            if r == 15:  # ZRL
+                            if rs >> 4 == 15:  # ZRL
                                 k += 16
                                 continue
-                            break        # EOB
-                        k += r
+                            break              # EOB
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("JPEG AC index overrun")
-                        block[k] = _extend(reader.receive(size), size)
+                        mag = v16m[pos] >> (16 - size)
+                        pos += size
+                        iap(base + k)
+                        vap(mag if mag >= (1 << (size - 1))
+                            else mag - (1 << size) + 1)
                         k += 1
-                    bx_i = mx * hs + hh
-                    by_i = my * vs + v
-                    zz = np.zeros((8, 8), dtype=np.float64)
-                    zz[_ZIG_ROWS, _ZIG_COLS] = block
-                    coeff[cid][by_i * gx + bx_i] = zz * qt[tq]
+            pred[cid] = p0
 
+    tq_of = {c[0]: c[3] for c in comps}
     for cid, (gx, gy) in grids.items():
-        # vectorized IDCT over all blocks of the component
-        blocks = np.einsum("ux,nuv,vy->nxy", _T, coeff[cid], _T)
+        idxs, vals = sparse[cid]
+        rows = coeff64[cid]
+        if idxs:
+            rows.reshape(-1)[np.asarray(idxs, dtype=np.int64)] = \
+                np.asarray(vals, dtype=np.int32)
+        zz = np.zeros((gx * gy, 8, 8), dtype=np.float64)
+        zz[:, _ZIG_ROWS, _ZIG_COLS] = rows
+        zz *= qt[tq_of[cid]][None, :, :]
+        # vectorized IDCT over all blocks: f = Tᵀ F T as two batched
+        # BLAS matmuls (the einsum form of the same contraction was ~5×
+        # slower)
+        blocks = _T.T @ zz @ _T
         plane = (blocks.reshape(gy, gx, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8))
         out_planes[cid] = plane  # one scan per component in baseline

@@ -1892,22 +1892,28 @@ class StreamSession:
                 "__acc": pa.array(accs, type=pa.binary()),
             })
 
-        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def apply_group(g: pa.Table) -> pa.Table:
+            # pyarrow group format: binary key/acc columns stay Arrow
+            # buffers end-to-end (no pandas object boxing per epoch)
+            sid = g["__shard"][0].as_py()
+            keys = g["__key"].to_pylist()
+            accs = g["__acc"].to_pylist()
             if sid == -1:
                 lates, max_ts = 0, -math.inf
                 entries: list[dict] = []
-                for blob in pdf["__acc"]:
+                for blob in accs:
                     late, mt, ents = pickle.loads(blob)
                     lates += late
                     max_ts = max(max_ts, mt)
                     entries.extend(ents)
-                return pd.DataFrame({"late": [lates], "max_ts": [max_ts],
-                                     "keys": [0],
-                                     "entries": [pickle.dumps(entries)]})
-            pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
+                return pa.table({"late": pa.array([lates], type=pa.int64()),
+                                 "max_ts": pa.array([max_ts]),
+                                 "keys": pa.array([0], type=pa.int64()),
+                                 "entries": pa.array(
+                                     [pickle.dumps(entries)],
+                                     type=pa.binary())})
             merged: dict[bytes, Any] = {}
-            for k, blob in zip(pdf["__key"], pdf["__acc"]):
+            for k, blob in sorted(zip(keys, accs)):
                 acc = pickle.loads(blob)
                 if k in merged:
                     merged[k].merge(acc)
@@ -1916,16 +1922,18 @@ class StreamSession:
             payload = pickle.dumps(sorted(merged.items()),
                                    protocol=pickle.HIGHEST_PROTOCOL)
             n = ray.get(shards[sid].apply_delta.remote(name, epoch, payload))
-            return pd.DataFrame({"late": [0], "max_ts": [-math.inf],
-                                 "keys": [int(n)],
-                                 "entries": [pickle.dumps([])]})
+            return pa.table({"late": pa.array([0], type=pa.int64()),
+                             "max_ts": pa.array([-math.inf]),
+                             "keys": pa.array([int(n)], type=pa.int64()),
+                             "entries": pa.array([pickle.dumps([])],
+                                                 type=pa.binary())})
 
         import ray
 
         summaries = (
             data.map_batches(per_block, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(apply_group, batch_format="pandas")
+            .map_groups(apply_group, batch_format="pyarrow")
             .take_all()
         )
         late_entries: list[dict] = []
@@ -1988,15 +1996,16 @@ class StreamSession:
                 "__acc": pa.array(accs, type=pa.binary()),
             })
 
-        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def apply_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
+            accs = g["__acc"].to_pylist()
             if sid == -1:
-                max_ts = max(pickle.loads(b) for b in pdf["__acc"])
-                return pd.DataFrame({"rows": [0], "max_ts": [max_ts],
-                                     "entry": [""]})
-            pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
+                max_ts = max(pickle.loads(b) for b in accs)
+                return pa.table({"rows": pa.array([0], type=pa.int64()),
+                                 "max_ts": pa.array([max_ts]),
+                                 "entry": pa.array([""])})
             merged: dict[bytes, Any] = {}
-            for k, blob in zip(pdf["__key"], pdf["__acc"]):
+            for k, blob in sorted(zip(g["__key"].to_pylist(), accs)):
                 acc = pickle.loads(blob)
                 if k in merged:
                     merged[k].merge(acc)
@@ -2008,18 +2017,20 @@ class StreamSession:
                 shards[sid], shard_method).remote(state, epoch, payload)))
             tbl = to_table(deltas, epoch)
             if not tbl.num_rows:  # empty parts add nothing; skip the file
-                return pd.DataFrame({"rows": [0], "max_ts": [-math.inf],
-                                     "entry": [""]})
+                return pa.table({"rows": pa.array([0], type=pa.int64()),
+                                 "max_ts": pa.array([-math.inf]),
+                                 "entry": pa.array([""])})
             entry = write_epoch_part(
                 sink_root, epoch, tbl, tag=f"shard{sid:04d}", fsync=do_fsync)
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "max_ts": [-math.inf],
-                                 "entry": [json.dumps(entry)]})
+            return pa.table({"rows": pa.array([entry["rows"]],
+                                              type=pa.int64()),
+                             "max_ts": pa.array([-math.inf]),
+                             "entry": pa.array([json.dumps(entry)])})
 
         summaries = (
             data.map_batches(per_block, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(apply_group, batch_format="pandas")
+            .map_groups(apply_group, batch_format="pyarrow")
             .take_all()
         )
         files = []
@@ -2071,19 +2082,20 @@ class StreamSession:
                 "__acc": pa.array(blobs, type=pa.binary()),
             })
 
-        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def apply_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
+            accs = g["__acc"].to_pylist()
             if sid == -1:
                 lates, max_ts = 0, -math.inf
-                for blob in pdf["__acc"]:
+                for blob in accs:
                     late, mt = pickle.loads(blob)
                     lates += late
                     max_ts = max(max_ts, mt)
-                return pd.DataFrame({"late": [lates], "max_ts": [max_ts],
-                                     "keys": [0]})
-            pdf = pdf.sort_values(["__key", "__acc"], kind="mergesort")
+                return pa.table({"late": pa.array([lates], type=pa.int64()),
+                                 "max_ts": pa.array([max_ts]),
+                                 "keys": pa.array([0], type=pa.int64())})
             merged: dict[bytes, list] = {}
-            for k, blob in zip(pdf["__key"], pdf["__acc"]):
+            for k, blob in sorted(zip(g["__key"].to_pylist(), accs)):
                 v = pickle.loads(blob)
                 if k not in merged:
                     merged[k] = v
@@ -2102,13 +2114,14 @@ class StreamSession:
             else:
                 n = ray.get(shards[sid].apply_pattern_points.remote(
                     name, epoch, payload))
-            return pd.DataFrame({"late": [0], "max_ts": [-math.inf],
-                                 "keys": [int(n)]})
+            return pa.table({"late": pa.array([0], type=pa.int64()),
+                             "max_ts": pa.array([-math.inf]),
+                             "keys": pa.array([int(n)], type=pa.int64())})
 
         summaries = (
             data.map_batches(per_block, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(apply_group, batch_format="pandas")
+            .map_groups(apply_group, batch_format="pyarrow")
             .take_all()
         )
         for row in summaries:
@@ -2143,10 +2156,11 @@ class StreamSession:
                 "__acc": pa.array(blobs, type=pa.binary()),
             })
 
-        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def apply_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
             merged: dict[bytes, list] = {}
-            for k, blob in sorted(zip(pdf["__key"], pdf["__acc"])):
+            for k, blob in sorted(zip(g["__key"].to_pylist(),
+                                      g["__acc"].to_pylist())):
                 v = pickle.loads(blob)
                 merged[k] = sorted(merged.get(k, []) + v)
             blob = ray.get(shards[sid].apply_neardup_offers.remote(
@@ -2155,15 +2169,17 @@ class StreamSession:
                              protocol=pickle.HIGHEST_PROTOCOL),
                 threshold, cap))
             pairs, drops = pickle.loads(blob)
-            return pd.DataFrame({
-                "id_lo": [p[0] for p in pairs] + [-1],
-                "id_hi": [p[1] for p in pairs] + [-1],
-                "est": [p[2] for p in pairs] + [float(drops)],
+            return pa.table({
+                "id_lo": pa.array([p[0] for p in pairs] + [-1],
+                                  type=pa.int64()),
+                "id_hi": pa.array([p[1] for p in pairs] + [-1],
+                                  type=pa.int64()),
+                "est": pa.array([p[2] for p in pairs] + [float(drops)]),
             })
 
         rows = (data.map_batches(per_block, batch_format="pyarrow")
                 .groupby("__shard")
-                .map_groups(apply_group, batch_format="pandas")
+                .map_groups(apply_group, batch_format="pyarrow")
                 .take_all())
         pairs = sorted((int(r["id_lo"]), int(r["id_hi"]), float(r["est"]))
                        for r in rows if r["id_lo"] >= 0)
@@ -2229,8 +2245,8 @@ class StreamSession:
         if parts is None:
             return 0
 
-        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def probe_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
             us = (op.unmatched_sides()
                   if hasattr(op, "unmatched_sides") else ())
             payload: dict[str, Any] = {
@@ -2238,8 +2254,11 @@ class StreamSession:
                 "max_dt": getattr(op, "max_dt", None),
                 "track": "left" in us,
                 "track_right": "right" in us}
+            jsides = g["__jside"].to_pylist()
+            gblobs = g["__blob"].to_pylist()
             for side in ("left", "right"):
-                blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
+                blobs = sorted(b for s, b in zip(jsides, gblobs)
+                               if s == side)
                 if blobs:
                     payload[side] = pd.concat(
                         [pickle.loads(b) for b in blobs], ignore_index=True
@@ -2250,8 +2269,8 @@ class StreamSession:
             ))
             df = pickle.loads(blob)
             if df is None or not len(df):
-                return pd.DataFrame({"rows": pd.Series([], dtype="int64"),
-                                     "entry": pd.Series([], dtype="object")})
+                return pa.table({"rows": pa.array([], type=pa.int64()),
+                                 "entry": pa.array([], type=pa.string())})
             out = df[out_names].copy()
             out["diff"] = (df["__diff_left"] * df["__diff_right"]).astype(
                 np.int64)
@@ -2261,12 +2280,13 @@ class StreamSession:
                 pa.Table.from_pandas(out, preserve_index=False),
                 tag=f"shard{sid:04d}", fsync=do_fsync,
             )
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)]})
+            return pa.table({"rows": pa.array([entry["rows"]],
+                                              type=pa.int64()),
+                             "entry": pa.array([json.dumps(entry)])})
 
         entries = (
             parts.groupby("__shard")
-            .map_groups(probe_group, batch_format="pandas")
+            .map_groups(probe_group, batch_format="pyarrow")
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
@@ -2332,15 +2352,18 @@ class StreamSession:
         if parts is None:
             return 0
 
-        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
+        def probe_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
             payload: dict[str, Any] = {
                 "key": keys, "out_names": out_names,
                 "right_cols": right_cols,
                 "track_unmatched": track_um,
                 "tolerance": tol}
+            jsides = g["__jside"].to_pylist()
+            gblobs = g["__blob"].to_pylist()
             for side in ("left", "right"):
-                blobs = sorted(pdf.loc[pdf["__jside"] == side, "__blob"])
+                blobs = sorted(b for s2, b in zip(jsides, gblobs)
+                               if s2 == side)
                 if blobs:
                     payload[side] = pd.concat(
                         [pickle.loads(b) for b in blobs], ignore_index=True
@@ -2377,17 +2400,18 @@ class StreamSession:
                 )
                 recs.append((uentry["rows"], json.dumps(uentry), "u"))
             if not recs:
-                return pd.DataFrame({
-                    "rows": pd.Series([], dtype="int64"),
-                    "entry": pd.Series([], dtype="object"),
-                    "chan": pd.Series([], dtype="object")})
+                return pa.table({
+                    "rows": pa.array([], type=pa.int64()),
+                    "entry": pa.array([], type=pa.string()),
+                    "chan": pa.array([], type=pa.string())})
             rws, ents, chans = zip(*recs)
-            return pd.DataFrame({"rows": list(rws), "entry": list(ents),
-                                 "chan": list(chans)})
+            return pa.table({"rows": pa.array(list(rws), type=pa.int64()),
+                             "entry": pa.array(list(ents)),
+                             "chan": pa.array(list(chans))})
 
         entries = (
             parts.groupby("__shard")
-            .map_groups(probe_group, batch_format="pandas")
+            .map_groups(probe_group, batch_format="pyarrow")
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries
@@ -2461,10 +2485,11 @@ class StreamSession:
                 "__maxts": pa.array(maxts, type=pa.float64()),
             })
 
-        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
-            grp_max = float(pdf["__maxts"].max())
-            ev = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+        def probe_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
+            grp_max = float(pc.max(g["__maxts"]).as_py())
+            ev = pd.concat([pickle.loads(b)
+                            for b in sorted(g["__blob"].to_pylist())],
                            ignore_index=True)
             uniq = ev[sk].drop_duplicates()
             key_tuples = list(uniq.itertuples(index=False, name=None))
@@ -2494,15 +2519,16 @@ class StreamSession:
                 sink_root, epoch, tbl_out,
                 tag=f"shard{sid:04d}", fsync=do_fsync,
             )
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)],
-                                 "max_ts": [grp_max]})
+            return pa.table({"rows": pa.array([entry["rows"]],
+                                              type=pa.int64()),
+                             "entry": pa.array([json.dumps(entry)]),
+                             "max_ts": pa.array([grp_max])})
 
         dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
         entries = (
             dsd.map_batches(part, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(probe_group, batch_format="pandas")
+            .map_groups(probe_group, batch_format="pyarrow")
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
@@ -2702,10 +2728,11 @@ class StreamSession:
                 "__maxts": pa.array(maxts, type=pa.float64()),
             })
 
-        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
-            grp_max = float(pdf["__maxts"].max())
-            ev = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+        def probe_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
+            grp_max = float(pc.max(g["__maxts"]).as_py())
+            ev = pd.concat([pickle.loads(b)
+                            for b in sorted(g["__blob"].to_pylist())],
                            ignore_index=True)
             uniq = ev[sk + ["__tsf"]].drop_duplicates()
             pair_keys = [(_key_bytes(t[:-1]), float(t[-1])) for t in
@@ -2734,15 +2761,16 @@ class StreamSession:
                 sink_root, epoch, tbl_out,
                 tag=f"shard{sid:04d}", fsync=do_fsync,
             )
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)],
-                                 "max_ts": [grp_max]})
+            return pa.table({"rows": pa.array([entry["rows"]],
+                                              type=pa.int64()),
+                             "entry": pa.array([json.dumps(entry)]),
+                             "max_ts": pa.array([grp_max])})
 
         dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
         entries = (
             dsd.map_batches(part, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(probe_group, batch_format="pandas")
+            .map_groups(probe_group, batch_format="pyarrow")
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]
@@ -2845,10 +2873,11 @@ class StreamSession:
                 "__maxts": pa.array(maxts, type=pa.float64()),
             })
 
-        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(pdf["__shard"].iloc[0])
-            grp_max = float(pdf["__maxts"].max())
-            cand = pd.concat([pickle.loads(b) for b in sorted(pdf["__blob"])],
+        def probe_group(g: pa.Table) -> pa.Table:
+            sid = g["__shard"][0].as_py()
+            grp_max = float(pc.max(g["__maxts"]).as_py())
+            cand = pd.concat([pickle.loads(b)
+                            for b in sorted(g["__blob"].to_pylist())],
                              ignore_index=True)
             # cross-block re-reduction: the shard claim must see the per-key
             # min over the WHOLE (shard, epoch) slice for determinism
@@ -2866,15 +2895,16 @@ class StreamSession:
                                            preserve_index=False)
             entry = write_epoch_part(sink_root, epoch, tbl_out,
                                      tag=f"shard{sid:04d}", fsync=do_fsync)
-            return pd.DataFrame({"rows": [entry["rows"]],
-                                 "entry": [json.dumps(entry)],
-                                 "max_ts": [grp_max]})
+            return pa.table({"rows": pa.array([entry["rows"]],
+                                              type=pa.int64()),
+                             "entry": pa.array([json.dumps(entry)]),
+                             "max_ts": pa.array([grp_max])})
 
         dsd = rd.from_arrow(stream) if isinstance(stream, pa.Table) else stream
         entries = (
             dsd.map_batches(part, batch_format="pyarrow")
             .groupby("__shard")
-            .map_groups(probe_group, batch_format="pandas")
+            .map_groups(probe_group, batch_format="pyarrow")
             .take_all()
         )
         files = [json.loads(r["entry"]) for r in entries]

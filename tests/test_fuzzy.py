@@ -4,6 +4,7 @@ brute-force cross join, and the degenerate-gram-set recall guard."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from diffdataflowmlpipelines_ray.stages.fuzzy import (
@@ -33,7 +34,8 @@ class TestLevenshteinBatch:
 
 
 class TestFuzzyJoin:
-    def test_exact_vs_brute_force(self, ray_session):
+    @pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+    def test_exact_vs_brute_force(self, ray_session, strategy):
         rng = np.random.default_rng(7)
         alpha = list("abcde")
         L = pd.DataFrame({
@@ -46,7 +48,8 @@ class TestFuzzyJoin:
                     for _ in range(200)]})
         out = (fuzzy_join(rd.from_pandas(L).repartition(3),
                           rd.from_pandas(R).repartition(4),
-                          "nm", "nm2", "lid", "rid", max_dist=2)
+                          "nm", "nm2", "lid", "rid", max_dist=2,
+                          strategy=strategy)
                .to_pandas().sort_values(["lid", "rid"])
                .reset_index(drop=True)[["lid", "rid", "dist"]])
         con = duckdb.connect()
@@ -66,7 +69,8 @@ class TestFuzzyJoin:
         R = pd.DataFrame({"rid": np.array([0, 1], dtype=np.int64),
                           "nm2": ["bb", ""]})
         out = (fuzzy_join(rd.from_pandas(L), rd.from_pandas(R),
-                          "nm", "nm2", "lid", "rid", max_dist=2)
+                          "nm", "nm2", "lid", "rid", max_dist=2,
+                          strategy="shuffle")
                .to_pandas().sort_values(["lid", "rid"])
                .reset_index(drop=True))
         # (aa,bb)=2 and (aa,"")=2 match; zzzzzzzz matches nothing
@@ -93,7 +97,8 @@ def test_hot_gram_salting_preserves_result(ray_session):
         got = sorted(
             (int(r["lid"]), int(r["rid"]), int(r["dist"]))
             for r in fz.fuzzy_join(lt, rt, "s", "s", "k", "k",
-                                   max_dist=2).take_all())
+                                   max_dist=2,
+                                   strategy="shuffle").take_all())
         want = []
         for i, a in enumerate(names):
             for j, b in enumerate(n[:5] + "X" for n in names):

@@ -6254,9 +6254,9 @@ def test_sign_test_replay(ray_session):
         acc[dy] += c
     weeks = collections.defaultdict(dict)
     for dy, c in acc.items():
-        dow = (dy + 4) % 7
+        dow = (dy + 3) % 7  # (d+3)%7 == 0 is a true Monday (r4 fix)
         if dow in (0, 6):
-            weeks[(dy + 4) // 7][dow] = c
+            weeks[(dy + 3) // 7][dow] = c
     s = m = 0
     for pair in weeks.values():
         if 0 in pair and 6 in pair and pair[0] != pair[6]:
