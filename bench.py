@@ -194,7 +194,11 @@ def run_bench() -> dict:
         "sign_test", "moving_mode", "user_discovery",
         "next_token_cv", "split_half_reliability", "backlog_report",
         "source_predictability", "transition_latency", "ingest_disorder",
-        "mood_median", "overdispersion", "arpdau")
+        "mood_median", "overdispersion", "arpdau",
+        "tumbling_window_ds", "stream_join_ds", "hll_registers",
+        "cms_counters", "bloom_bits", "adamic_adar_capped",
+        "bottomk_sketch", "jsonl_roundtrip", "csv_roundtrip",
+        "simhash_codes", "fingerprint")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

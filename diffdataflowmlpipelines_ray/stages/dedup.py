@@ -785,8 +785,14 @@ def union_find_components(pairs: list[tuple]) -> dict:
 
 
 # ------------------------------------------------------------------- simhash
-def simhash_column(tbl: pa.Table, col: str) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (vectorized bit-count)."""
+def simhash_column(tbl: pa.Table, col: str,
+                   hasher: str = "xx") -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (vectorized bit-count).
+
+    ``hasher="poly"`` draws per-token bits from the SQL-twinned codepoint
+    polynomial (``poly_hash64_array``), making every signature bit
+    reproducible in DuckDB (the `simhash_codes` gate); default "xx" is
+    the polars/xxhash fast path."""
     toks = tokenize_column(tbl[col])
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.flatten()
@@ -794,9 +800,14 @@ def simhash_column(tbl: pa.Table, col: str) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if not len(flat):
         return out
-    th = fast_hash64_array(flat)
-    # widen 60-bit hash to 64 by remixing
-    th = th * np.uint64(0x9E3779B97F4A7C15)
+    if hasher == "poly":
+        from ..functions.hashing import poly_hash64_array
+
+        th = poly_hash64_array(flat)
+    else:
+        th = fast_hash64_array(flat)
+        # widen 60-bit hash to 64 by remixing
+        th = th * np.uint64(0x9E3779B97F4A7C15)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     ) * 2 - 1  # ±1 per bit, (T, 64)

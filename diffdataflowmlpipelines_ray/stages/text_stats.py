@@ -212,16 +212,24 @@ _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
-def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
-    """Order-sensitive rolling hash over whitespace tokens (doc fingerprint)."""
-    from ..functions.hashing import fast_hash64_array
+def add_fingerprint(ds, col: str = "text", out: str = "fingerprint",
+                    stable: bool = False):
+    """Order-sensitive rolling hash over whitespace tokens (doc
+    fingerprint): fp = fold(FNV_offset, (fp ⊕ token_hash)·FNV_prime)
+    mod 2⁶⁴.  ``stable=True`` draws token hashes from the SQL-twinned
+    codepoint polynomial (``poly_hash64_array``), making the WHOLE
+    fingerprint reproducible in DuckDB (the fold is a ``list_reduce``
+    with a 32/32-split xor — see the `fingerprint` oracle); default is
+    the polars/xxhash path."""
+    from ..functions.hashing import fast_hash64_array, poly_hash64_array
 
     def fp(tbl: pa.Table) -> pa.Table:
         toks = tokenize_column(tbl[col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(offsets)
         flat = toks.flatten()
-        th = (fast_hash64_array(flat)
+        hasher = poly_hash64_array if stable else fast_hash64_array
+        th = (hasher(flat)
               if len(flat) else np.array([], dtype=np.uint64))
         n = len(tbl)
         out_fp = np.full(n, _FNV_OFFSET, dtype=np.uint64)

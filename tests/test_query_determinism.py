@@ -6775,3 +6775,29 @@ def test_source_roundtrips_replay(ray_session):
                         ).astype(np.int64)
     assert int(c["n"].sum()) == len(cust)
     assert int(c["cents"].sum()) == int(ccents.sum())
+
+
+def test_simhash_codes_replay(ray_session):
+    """Literal per-doc simhash replay with Python ints: each token
+    occurrence votes ±1 per poly-hash bit; majority packs the code."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array)
+
+    out = Q.q_simhash_codes(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["simhash"].astype(int)))
+    for _, r in docs.head(50).iterrows():
+        toks = r["text"].split()
+        sums = [0] * 64
+        if toks:
+            for h in poly_hash64_array(toks).tolist():
+                for b in range(64):
+                    sums[b] += 1 if (h >> b) & 1 else -1
+        code = sum(1 << b for b in range(64) if sums[b] > 0)
+        if code >= 1 << 63:
+            code -= 1 << 64
+        assert got[int(r["doc_id"])] == code
