@@ -198,7 +198,8 @@ def run_bench() -> dict:
         "tumbling_window_ds", "stream_join_ds", "hll_registers",
         "cms_counters", "bloom_bits", "adamic_adar_capped",
         "bottomk_sketch", "jsonl_roundtrip", "csv_roundtrip",
-        "simhash_codes", "fingerprint")
+        "simhash_codes", "fingerprint", "lang_id", "pivot_wide",
+        "regex_extract")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -6801,3 +6801,41 @@ def test_simhash_codes_replay(ray_session):
         if code >= 1 << 63:
             code -= 1 << 64
         assert got[int(r["doc_id"])] == code
+
+
+def test_pivot_wide_replay(ray_session):
+    """Pivot conserves the long-form totals exactly per type."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_pivot_wide(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = _half_away(ev["value"].to_numpy(np.float64) * 100.0
+                       ).astype(np.int64)
+    for t in ("click", "error", "purchase", "view"):
+        want = int(cents[(ev["event_type"] == t).to_numpy()].sum())
+        assert int(out[f"{t}_cents"].sum()) == want
+
+
+def test_regex_extract_replay(ray_session):
+    """Python re replay on a sample; empty string = no match."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_regex_extract(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    got = out.set_index("doc_id")
+    for _, r in docs.head(100).iterrows():
+        m = re.search(r"[0-9]+", r["text"])
+        c = re.search(r"\b[A-Z][a-z]{3,}", r["text"])
+        assert got.loc[int(r["doc_id"]), "first_num"] == \
+            (m.group(0) if m else "")
+        assert got.loc[int(r["doc_id"]), "first_cap"] == \
+            (c.group(0) if c else "")
