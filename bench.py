@@ -199,7 +199,7 @@ def run_bench() -> dict:
         "cms_counters", "bloom_bits", "adamic_adar_capped",
         "bottomk_sketch", "jsonl_roundtrip", "csv_roundtrip",
         "simhash_codes", "fingerprint", "lang_id", "pivot_wide",
-        "regex_extract")
+        "regex_extract", "incremental_reachability")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

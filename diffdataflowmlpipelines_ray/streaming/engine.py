@@ -54,6 +54,7 @@ __all__ = [
     "AbsenceDetect",
     "IncrementalComponents",
     "IncrementalPageRank",
+    "IncrementalReachability",
     "StreamNearDup",
     "UpsertToRetract",
     "Scd2History",
@@ -909,6 +910,52 @@ class IncrementalPageRank:
 
 
 @dataclass
+class IncrementalReachability:
+    """Incremental multi-source reachability — the semi-naive DD
+    ``iterate`` on a DIRECTED graph, maintained across epochs WITH
+    retraction: edge ±diff deltas stream in, the designated shard keeps
+    the live edge multiset, and each epoch emits the consolidated SET
+    delta ``(+1, id)`` / ``(−1, id)`` of nodes reachable from the static
+    ``sources`` — the running sum is the current closure.  A deleted
+    bridge retracts everything downstream of it (the classic DD
+    reachability demo).  One logical graph in ONE shard: the
+    candidate-bounded regime, same contract as ``IncrementalComponents``
+    / ``IncrementalPageRank``."""
+
+    name: str
+    input: str
+    sources: tuple = ()
+    src_col: str = "src"
+    dst_col: str = "dst"
+    #: ±diff per edge row; None = insert-only stream
+    weight_col: str | None = None
+
+    def edges_from(self, tbl: pa.Table) -> list:
+        src = tbl[self.src_col].to_numpy(zero_copy_only=False)
+        dst = tbl[self.dst_col].to_numpy(zero_copy_only=False)
+        if self.weight_col and self.weight_col in tbl.column_names:
+            d = tbl[self.weight_col].to_numpy(zero_copy_only=False)
+        else:
+            d = np.ones(len(src), dtype=np.int64)
+        return list(zip(src.tolist(), dst.tolist(), d.tolist()))
+
+    def rows_to_table(self, deltas: list, epoch: int) -> pa.Table:
+        if not deltas:
+            return pa.table({
+                "diff": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64()),
+                "epoch": pa.array([], type=pa.int64()),
+            })
+        d, n = zip(*deltas)
+        k = len(deltas)
+        return pa.table({
+            "diff": pa.array(list(d), type=pa.int64()),
+            "id": pa.array(list(n), type=pa.int64()),
+            "epoch": pa.array([epoch] * k, type=pa.int64()),
+        })
+
+
+@dataclass
 class StreamNearDup:
     """Streaming MinHash-LSH near-duplicate detection: per-block (and on
     Dataset epochs, fully distributed) signature + band derivation, with
@@ -1733,7 +1780,8 @@ class StreamSession:
                     self.root / f"{op.name}__late", fsync=self.fsync)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
-                             IncrementalPageRank, StreamNearDup,
+                             IncrementalPageRank, IncrementalReachability,
+                             StreamNearDup,
                              UpsertToRetract, EnrichJoin, BroadcastEnrich,
                              StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
@@ -3140,6 +3188,17 @@ class StreamSession:
                 self.sinks[name].commit_tables(
                     epoch, [out_tbl], meta=self._meta(kind="neardup",
                                                       drops=drops))
+                emitted[name] = out_tbl
+                self.metrics["emitted_rows"] += out_tbl.num_rows
+            elif isinstance(op, IncrementalReachability):
+                if op.input not in avail:
+                    continue
+                tbl = self._as_table(avail[op.input])
+                deltas = self.store.apply_reach_edges(
+                    op.name, epoch, op.edges_from(tbl), op.sources)
+                out_tbl = op.rows_to_table(deltas, epoch)
+                self.sinks[name].commit_tables(
+                    epoch, [out_tbl], meta=self._meta(kind="reach"))
                 emitted[name] = out_tbl
                 self.metrics["emitted_rows"] += out_tbl.num_rows
             elif isinstance(op, IncrementalPageRank):

@@ -6014,3 +6014,61 @@ class TestAsofStreamJoin:
         e2 = sess.sinks["aj"].read_committed_table([2]).to_pandas()
         assert e2["diff"].tolist() == [-1]
         sess.store.shutdown()
+
+
+class TestIncrementalReachability:
+    """Closure maintenance with retraction: every epoch's materialized
+    set equals a from-scratch BFS on the live edges."""
+
+    def test_matches_bfs_every_epoch(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from diffdataflowmlpipelines_ray.streaming.engine import (
+            IncrementalReachability, StreamSession)
+
+        def bfs(edges, sources):
+            adj = {}
+            for (u, v), c in edges.items():
+                if c > 0:
+                    adj.setdefault(u, []).append(v)
+            seen, stack = set(), list(sources)
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(adj.get(x, ()))
+            return seen
+
+        sess = StreamSession(str(tmp_path / "re"), num_shards=2)
+        sess.add(IncrementalReachability(name="re", input="e",
+                                         sources=(0, 100),
+                                         weight_col="diff"))
+        live: dict = {}
+        net: dict = {}
+        try:
+            batches = [
+                [(0, 1, 1), (1, 2, 1), (2, 3, 1), (100, 101, 1)],
+                [(3, 4, 1), (50, 51, 1)],          # 50 unreachable island
+                [(1, 2, -1)],                      # cut the bridge
+                [(0, 50, 1), (1, 2, 1)],           # reconnect + annex 50
+            ]
+            for e, rows in enumerate(batches):
+                for u, v, d in rows:
+                    live[(u, v)] = live.get((u, v), 0) + d
+                tbl = pa.table({
+                    "src": pa.array([r[0] for r in rows],
+                                    type=pa.int64()),
+                    "dst": pa.array([r[1] for r in rows],
+                                    type=pa.int64()),
+                    "diff": pa.array([r[2] for r in rows],
+                                     type=pa.int64())})
+                sess.process_epoch(e, {"e": tbl})
+                out = sess.sinks["re"].read_committed_table().to_pandas()
+                got = set(
+                    out.groupby("id")["diff"].sum()
+                    .loc[lambda s: s > 0].index.astype(int))
+                assert got == bfs(live, (0, 100)), f"epoch {e}"
+        finally:
+            sess.store.shutdown()
