@@ -765,6 +765,35 @@ def minhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
     return _components_table(verified, id_col)
 
 
+def minhash_dedup_groups_exact(ds, col: str = "text", id_col: str = "doc_id",
+                               params: MinHashParams = MinHashParams(),
+                               threshold: float = 0.9, n: int = 3) -> pa.Table:
+    """Near-dup groups with MinHash-LSH BLOCKING but EXACT word-n-gram
+    Jaccard verification — the oracle-expressible contract (cf. the
+    `stream_near_dup` gate): the SQL twin computes ALL J ≥ threshold
+    pairs by shared-shingle blocking, so the gate verifies both the
+    Jaccard kernel and that the banded LSH reaches full recall at the
+    threshold.  With 64 perms / 16 bands, a J = 0.9 pair collides in
+    some band with p = 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4e-8 — and the permutation
+    seed is fixed, so the result is deterministic run-to-run.  The
+    verify ships texts only for candidate pairs through the
+    distributed pair verify (O(candidates) rows, no driver pair list).
+    """
+    pairs_ds, _sig_ds = minhash_lsh_candidates(ds, col, id_col, params)
+
+    def jac_ok(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        out = np.empty(len(ta), dtype=bool)
+        for i in range(len(ta)):  # candidates only — O(verified pairs)
+            sa, sb = ngram_set(ta[i], n), ngram_set(tb[i], n)
+            union = len(sa | sb)
+            out[i] = bool(union) and (len(sa & sb) / union >= threshold)
+        return out
+
+    verified = _distributed_pair_verify(pairs_ds, ds, id_col, jac_ok,
+                                        sig_col=col)
+    return _components_table(verified, id_col)
+
+
 def union_find_components(pairs: list[tuple]) -> dict:
     """id → component representative (min id).  Driver-side: use only on
     verified near-dup pairs (small by construction; see caller docstring)."""
@@ -821,12 +850,23 @@ def simhash_column(tbl: pa.Table, col: str,
 
 
 def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
-                         max_hamming: int = 3) -> pa.Table:
+                         max_hamming: int = 3, hasher: str = "xx",
+                         star_cap: int | None = STAR_PAIR_CAP) -> pa.Table:
     """Near-dup groups by SimHash banding (4×16-bit bands ⇒ all pairs with
-    Hamming ≤ 3 share at least one band) + exact Hamming verify."""
+    Hamming ≤ 3 share at least one band — pigeonhole, DETERMINISTIC
+    recall) + exact Hamming verify.  ``hasher="poly"`` makes every
+    signature bit SQL-reproducible (the `dedup_simhash` gate twin).
+
+    ``star_cap``: buckets larger than this emit only star pairs to the
+    bucket minimum (the scale guard — hot 16-bit band values otherwise
+    cost O(g²)).  Star capping is NOT exact for Hamming verification: a
+    pair (a, b) within Hamming ≤ k whose hub is far from both never
+    gets tested, so the oracle-exact gate passes ``star_cap=None``
+    (full C(g,2) enumeration — the same quadratic-in-bucket work its
+    SQL twin's blocked join does)."""
 
     def sims(tbl: pa.Table) -> pa.Table:
-        sh = simhash_column(tbl, col)
+        sh = simhash_column(tbl, col, hasher=hasher)
         return pa.table({id_col: tbl[id_col], "simhash": pa.array(sh.astype(np.int64))})
 
     sh_ds = ds.map_batches(sims, batch_format="pyarrow").materialize()
@@ -854,7 +894,9 @@ def simhash_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
 
     def pairs_in_bucket(group) -> "pd.DataFrame":
         dup = group[group.duplicated(["band", "val"], keep=False)]
-        return _pairs_from_collision_groups(dup, ["band", "val"], id_col)
+        cap = star_cap if star_cap is not None else (1 << 62)
+        return _pairs_from_collision_groups(dup, ["band", "val"], id_col,
+                                            cap=cap)
 
     pairs_ds = (
         sh_ds.map_batches(bands, batch_format="pyarrow")
