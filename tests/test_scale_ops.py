@@ -325,6 +325,89 @@ class TestRound2ScalePaths:
         assert (pairs["id_lo"] == 0).all()
 
 
+class TestOracleExactDedupGates:
+    """The r4 oracle-exact contracts behind the dedup_minhash /
+    dedup_simhash gate queries."""
+
+    def test_minhash_exact_verify_thresholds(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.dedup import (
+            minhash_dedup_groups_exact,
+        )
+
+        long_a = " ".join(f"tok{i}" for i in range(40))
+        long_b = " ".join(f"tok{i}" for i in range(1, 40))  # drop first
+        short_a = "alpha beta gamma delta"
+        short_b = "beta gamma delta"  # J = 1/3 on 3-grams — below 0.9
+        ds = docs_ds({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [long_a, long_b, short_a, short_b,
+                     "totally different filler words here"],
+        })
+        groups = minhash_dedup_groups_exact(ds, threshold=0.9)
+        g = dict(zip(groups["doc_id"].to_pylist(),
+                     groups["group_id"].to_pylist()))
+        # long pair: 37 shared of 38∪38 grams → J ≈ 0.95 ≥ 0.9 → grouped
+        assert g.get(1) == g.get(2) == 1
+        # short pair and the unrelated doc never appear in any group
+        assert 3 not in g and 4 not in g and 5 not in g
+
+    def test_simhash_uncapped_exactness(self, ray_session):
+        """star_cap=None must test every in-bucket pair — the capped path
+        misses (a, b) pairs whose bucket hub is far from both (the bug
+        the r4 gate upgrade surfaced)."""
+        from diffdataflowmlpipelines_ray.stages.dedup import (
+            simhash_column,
+            simhash_dedup_groups,
+        )
+        import itertools
+
+        import pyarrow as pa
+
+        # corpus with exact-dup clusters: uncapped groups == brute force
+        words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        ids, texts = [], []
+        k = 0
+        for combo in itertools.combinations(words, 3):
+            for _ in range(2):  # each text twice → hamming-0 pairs
+                ids.append(k)
+                texts.append(" ".join(combo))
+                k += 1
+        ds = docs_ds({"doc_id": ids, "text": texts})
+        groups = simhash_dedup_groups(ds, max_hamming=3, hasher="poly",
+                                      star_cap=None)
+        g = dict(zip(groups["doc_id"].to_pylist(),
+                     groups["group_id"].to_pylist()))
+        # brute force over the poly simhash codes
+        tbl = pa.table({"doc_id": ids, "text": texts})
+        codes = simhash_column(tbl, "text", hasher="poly")
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(int(codes[i]) ^ int(codes[j])).count("1")
+                if ham <= 3:
+                    assert g.get(ids[i]) == g.get(ids[j]) is not None, \
+                        f"missed pair ({ids[i]},{ids[j]}) hamming={ham}"
+
+    def test_gate_queries_group_planted_copies(self, ray_session):
+        """Every planted copy (id ≥ 10M) groups with its original in the
+        simhash gate (exact copies — guaranteed); minhash gate groups the
+        long-doc plants whose first-token drop keeps J ≥ 0.9."""
+        from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        sim = QUERIES["dedup_simhash"](sf)
+        g = dict(zip(sim["doc_id"], sim["group_id"]))
+        planted = [d for d in g if d >= 10_000_000]
+        assert planted, "fixture must plant copies"
+        for d in planted:
+            assert g.get(d - 10_000_000) == g[d]
+
+        mh = QUERIES["dedup_minhash"](sf)
+        gm = dict(zip(mh["doc_id"], mh["group_id"]))
+        paired = [d for d in gm
+                  if d >= 10_000_000 and gm.get(d - 10_000_000) == gm[d]]
+        assert paired, "long-doc plants must group with their originals"
+
+
 class TestHashJoinSemiAnti:
     def test_semi_and_anti_partition(self, ray_session):
         from diffdataflowmlpipelines_ray.stages.relational import hash_join
