@@ -6839,3 +6839,119 @@ def test_regex_extract_replay(ray_session):
             (m.group(0) if m else "")
         assert got.loc[int(r["doc_id"]), "first_cap"] == \
             (c.group(0) if c else "")
+
+
+def test_skipgram_pairs_replay(ray_session):
+    """Literal window walk: every ordered pair within ±2 inside a doc,
+    ids from the poly hash mod vocab; top-50 cut with (cnt, key) ties."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array,
+    )
+
+    out = Q.q_skipgram_pairs(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    from collections import Counter
+    c = Counter()
+    for text in docs["text"]:
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        ids = (poly_hash64_array(np.array(toks, dtype=object))
+               % np.uint64(32768)).astype(np.int64)
+        for i in range(len(ids)):
+            for d in (1, 2):
+                if i + d < len(ids):
+                    c[(int(ids[i]), int(ids[i + d]))] += 1
+                    c[(int(ids[i + d]), int(ids[i]))] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(out) == len(ranked)
+    for row, ((ce, cx), n) in zip(out.itertuples(index=False), ranked):
+        assert (row.center_id, row.context_id, row.cnt) == (ce, cx, n)
+
+
+def test_sax_motifs_replay(ray_session):
+    """Literal SAX walk over the zero-filled calendar; Parseval-style
+    sanity: complete weeks × 1 word each, symbols only a–d."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_sax_motifs(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    x = np.array([int(daily.get(d, 0)) for d in range(lo, hi + 1)])
+    n = len(x)
+    sv = np.sort(x)
+    q1, q2, q3 = (int(sv[math.ceil(q * n) - 1])
+                  for q in (0.25, 0.5, 0.75))
+    sym = ["abcd"[0 if v <= q1 else 1 if v <= q2 else 2 if v <= q3
+                  else 3] for v in x]
+    words = {}
+    for w in sorted({d // 7 for d in range(lo, hi + 1)}):
+        ds_ = [d for d in range(lo, hi + 1) if d // 7 == w]
+        if len(ds_) == 7:
+            word = "".join(sym[d - lo] for d in ds_)
+            words[word] = words.get(word, 0) + 1
+    exp = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.word, r.weeks) for r in out.itertuples(index=False)] == exp
+    # conservation: every complete week contributes exactly one word
+    n_complete = sum(1 for w in {d // 7 for d in range(lo, hi + 1)}
+                     if sum(1 for d in range(lo, hi + 1)
+                            if d // 7 == w) == 7)
+    assert int(out["weeks"].sum()) == n_complete > 0
+
+
+def test_business_hours_replay(ray_session):
+    """Literal per-pair business-seconds walk (day-by-day simulation,
+    NOT the closed form) must equal the closed-form query exactly."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    def bh_slow(t0: int, t1: int) -> int:
+        total = 0
+        for day in range(t0 // 86400, t1 // 86400 + 1):
+            if (day + 3) % 7 > 4:
+                continue
+            a = max(t0, day * 86400 + 32400)
+            b = min(t1, day * 86400 + 61200)
+            if b > a:
+                total += b - a
+        return total
+
+    out = Q.q_business_hours(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["user_id", "t", "event_id"],
+                                    kind="mergesort")
+    pairs = total = zero = 0
+    for _, grp in ev.groupby("user_id"):
+        et = grp["event_type"].tolist()
+        ts_ = [x // 1_000_000 for x in grp["t"].tolist()]
+        for (a, ta), (b, tb) in zip(zip(et, ts_), zip(et[1:], ts_[1:])):
+            if a == "click" and b == "purchase":
+                pairs += 1
+                s = bh_slow(ta, tb)
+                total += s
+                zero += s == 0
+    r = out.iloc[0]
+    assert int(r["pairs"]) == pairs > 0
+    assert int(r["total_bh_sec"]) == total
+    assert int(r["zero_bh_pairs"]) == zero
+    assert int(r["mean_bh_micro"]) == 1_000_000 * total // pairs
