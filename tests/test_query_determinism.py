@@ -6955,3 +6955,86 @@ def test_business_hours_replay(ray_session):
     assert int(r["total_bh_sec"]) == total
     assert int(r["zero_bh_pairs"]) == zero
     assert int(r["mean_bh_micro"]) == 1_000_000 * total // pairs
+
+
+def test_phrase_search_replay(ray_session):
+    """Literal trigram census: top-5 by occurrences with doc counts."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_phrase_search(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    from collections import Counter
+    occ, indoc = Counter(), {}
+    for di, text in enumerate(docs["text"]):
+        toks = text.split()
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i:i + 3])
+            occ[g] += 1
+            indoc.setdefault(g, set()).add(di)
+    ranked = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert len(out) == len(ranked) > 0
+    for row, (g, n) in zip(out.itertuples(index=False), ranked):
+        assert (row.gram, row.cnt, row.ndocs) == (g, n, len(indoc[g]))
+    # a phrase can't appear in more docs than it has occurrences
+    assert (out["ndocs"] <= out["cnt"]).all()
+
+
+def test_quantile_normalize_replay(ray_session):
+    """Literal rank walk: after normalization every type carries the
+    IDENTICAL multiset of values (the defining property), and each
+    type's (cents, day) order is preserved."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_quantile_normalize(SF)
+    types = sorted(out["event_type"].unique())
+    assert len(types) == 5
+    ref = None
+    for ty in types:
+        sub = out[out["event_type"] == ty]
+        vals = sorted(sub["norm_cents"].tolist())
+        if ref is None:
+            ref = vals
+        else:
+            assert vals == ref  # shared rank profile across types
+        # monotone: sorting by (cents, day) must sort norm_cents too
+        s = sub.sort_values(["cents", "day"])
+        nc = s["norm_cents"].to_numpy()
+        assert (np.diff(nc) >= 0).all()
+    # means are preserved up to floor rounding: |mean_norm - mean_all| small
+    n = len(ref)
+    assert abs(sum(ref) - int(out["cents"].sum()) // len(types)) <= n
+
+
+def test_semimonthly_revenue_replay(ray_session):
+    """Literal calendar walk with python's datetime; halves partition
+    every month and cents conserve."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_semimonthly_revenue(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents_all = np.where(
+        (ev["event_type"] == "purchase").to_numpy(),
+        _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+        0.0).astype(np.int64)
+    agg = {}
+    for us, ty, c in zip(t, ev["event_type"], cents_all):
+        d = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(us))
+        key = (d.year, d.month, 1 if d.day <= 15 else 2)
+        e, p, cc = agg.get(key, (0, 0, 0))
+        agg[key] = (e + 1, p + (ty == "purchase"), cc + int(c))
+    assert len(out) == len(agg)
+    for row in out.itertuples(index=False):
+        assert agg[(row.y, row.m, row.half)] == (
+            row.events, row.purchases, row.cents)
+    assert int(out["cents"].sum()) == int(cents_all.sum())
