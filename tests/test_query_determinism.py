@@ -7038,3 +7038,106 @@ def test_semimonthly_revenue_replay(ray_session):
         assert agg[(row.y, row.m, row.half)] == (
             row.events, row.purchases, row.cents)
     assert int(out["cents"].sum()) == int(cents_all.sum())
+
+
+def test_median_polish_replay(ray_session):
+    """Independent 2-D numpy reimplementation (array-based vs the
+    query's dict walk) plus the sweep fixpoint: after the final column
+    sweep every column's lower median of residuals is exactly 0."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_median_polish(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    days = np.arange(lo, hi + 1)
+    wk_all = days // 7
+    complete = [w for w in np.unique(wk_all) if (wk_all == w).sum() == 7]
+    K = len(complete)
+    M = np.zeros((7, K), dtype=np.int64)
+    for ci, w in enumerate(complete):
+        for d in days[wk_all == w]:
+            M[(d + 3) % 7, ci] = int(daily.get(d, 0))
+
+    def lm(a):
+        s = np.sort(a)
+        return int(s[(len(s) - 1) // 2])
+
+    eff = np.zeros(7, dtype=np.int64)
+    for _ in range(2):
+        for r in range(7):
+            m = lm(M[r]); eff[r] += m; M[r] -= m
+        for c in range(K):
+            m = lm(M[:, c]); M[:, c] -= m
+    assert out["effect_cents"].tolist() == eff.tolist()
+    assert out["abs_resid_cents"].tolist() == [
+        int(np.abs(M[r]).sum()) for r in range(7)]
+    for c in range(K):  # fixpoint of the final column sweep
+        assert lm(M[:, c]) == 0
+
+
+def test_l_moments_replay(ray_session):
+    """λ2 via the INDEPENDENT pairwise identity Σ_{i<j}(x_(j)−x_(i))
+    = 2s1 − (n−1)s0, plus the theoretical ratio bounds."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_l_moments(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    x = sorted(int(daily.get(d, 0)) for d in range(lo, hi + 1))
+    n = len(x)
+    assert int(out["n_days"]) == n
+    assert int(out["l1_cents_micro"]) == 1_000_000 * sum(x) // n
+    pair_sum = sum(x[j] - x[i] for i in range(n) for j in range(i + 1, n))
+    assert int(out["l2_cents_micro"]) == \
+        1_000_000 * pair_sum // (n * (n - 1))
+    assert int(out["l2_cents_micro"]) >= 0
+    assert abs(int(out["t3_micro"])) <= 1_000_000
+    assert -250_000 <= int(out["t4_micro"]) <= 1_000_000
+
+
+def test_blocking_quality_replay(ray_session):
+    """Truth recomputed by brute-force all-pairs Hamming over the poly
+    SimHash codes; pigeonhole completeness pinned at exactly 10⁶."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.stages.dedup import simhash_column
+    import pyarrow as pa
+
+    out = Q.q_blocking_quality(SF).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    codes = simhash_column(docs, "text", hasher="poly")
+    n = len(codes)
+    xo = codes[:, None] ^ codes[None, :]
+    ham = np.unpackbits(
+        xo.astype(np.uint64).view(np.uint8)).reshape(n, n, 8 * 8).sum(axis=2)
+    truth = int((np.triu(ham <= 3, k=1)).sum())
+    assert int(out["n_docs"]) == n
+    assert int(out["all_pairs"]) == n * (n - 1) // 2
+    assert int(out["true_pairs"]) == truth
+    assert int(out["candidates"]) >= truth
+    assert int(out["completeness_micro"]) == 1_000_000
+    assert int(out["reduction_micro"]) == \
+        1_000_000 * (n * (n - 1) // 2 - int(out["candidates"])) \
+        // (n * (n - 1) // 2)
