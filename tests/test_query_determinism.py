@@ -7141,3 +7141,92 @@ def test_blocking_quality_replay(ray_session):
     assert int(out["reduction_micro"]) == \
         1_000_000 * (n * (n - 1) // 2 - int(out["candidates"])) \
         // (n * (n - 1) // 2)
+
+
+def test_hodges_lehmann_replay(ray_session):
+    """Binary-search selection vs the literal O(n²) pairwise-median."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_hodges_lehmann(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    pu = (pd.DataFrame({"u": ev["user_id"].to_numpy(np.int64),
+                        "c": cents}).groupby("u")["c"].sum())
+    a = pu[pu.index % 2 == 0].to_numpy()
+    b = pu[pu.index % 2 == 1].to_numpy()
+    diffs = np.sort((a[:, None] - b[None, :]).ravel())
+    hl = int(diffs[(len(diffs) - 1) // 2])  # lower median
+    assert int(out["n_a"]) == len(a) and int(out["n_b"]) == len(b)
+    assert int(out["hl_cents"]) == hl
+    assert int(out["direction"]) == int(np.sign(hl))
+
+
+def test_bag_dedup_replay(ray_session):
+    """Every reversed plant groups with its original; a PERMUTED doc
+    groups while a single-token swap-out does not."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_bag_dedup(SF)
+    g = dict(zip(out["doc_id"], out["group_id"]))
+    planted = [d for d in g if d >= 10_000_000]
+    assert planted, "fixture must plant reversed copies"
+    for d in planted:
+        assert g.get(d - 10_000_000) == g[d]
+    # library-level property on a tiny corpus
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array,
+    )
+    t1 = "alpha beta gamma delta"
+    t2 = "delta gamma beta alpha"      # permutation → same bag
+    t3 = "alpha beta gamma epsilon"    # one token differs
+    fps = []
+    for t in (t1, t2, t3):
+        h = poly_hash64_array(np.array(t.split(), dtype=object))
+        fps.append((int(h.sum(dtype=np.uint64)), len(h)))
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_team_draft_interleave_replay(ray_session):
+    """Literal draft simulation from the two independently recomputed
+    rankings; strict team alternation and pick-set partition."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_team_draft_interleave(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    bmap = dict(zip(pt["p_partkey"].astype(int), pt["p_brand"]))
+    li = li.assign(
+        brand=li["l_partkey"].map(bmap),
+        rev=_half_away(li["l_extendedprice"].to_numpy()
+                       * (1.0 - li["l_discount"].to_numpy())
+                       * 100.0).astype(np.int64),
+        qty=li["l_quantity"].to_numpy().astype(np.int64))
+    tot = li.groupby("brand", as_index=False)[["rev", "qty"]].sum()
+    ra = tot.sort_values(["rev", "brand"],
+                         ascending=[False, True])["brand"].tolist()
+    rb = tot.sort_values(["qty", "brand"],
+                         ascending=[False, True])["brand"].tolist()
+    picked, exp = set(), []
+    for step in range(len(tot)):
+        rank = ra if step % 2 == 0 else rb
+        nxt = next(x for x in rank if x not in picked)
+        picked.add(nxt)
+        exp.append((step + 1, nxt, step % 2))
+    got = [(r.pos, r.brand, r.team) for r in out.itertuples(index=False)]
+    assert got == exp
+    assert sorted(out["brand"]) == sorted(tot["brand"])  # partition
+    assert out["team"].tolist() == [i % 2 for i in range(len(tot))]
