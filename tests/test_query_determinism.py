@@ -7230,3 +7230,95 @@ def test_team_draft_interleave_replay(ray_session):
     assert got == exp
     assert sorted(out["brand"]) == sorted(tot["brand"])  # partition
     assert out["team"].tolist() == [i % 2 for i in range(len(tot))]
+
+
+def test_activity_selection_replay(ray_session):
+    """Greedy replay + the exchange-argument sanity: the greedy count
+    is at least any independently constructed compatible set."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_activity_selection(SF).iloc[0]
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    day = (o["o_orderdate"].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // 86_400_000_000)
+    k = o["o_orderkey"].to_numpy(np.int64)
+    iv = sorted(zip(day + 1 + k % 7, day, k))  # (e, s, k)
+    last_e, cnt, fin = -(1 << 62), 0, 0
+    for e, s, _ in iv:
+        if s >= last_e:
+            cnt += 1
+            last_e = fin = int(e)
+    assert int(out["n_intervals"]) == len(iv)
+    assert int(out["max_nonoverlap"]) == cnt
+    assert int(out["final_end_day"]) == fin
+    # a naive every-other-by-start chain can never beat the greedy
+    ivs = sorted((s, e) for e, s, _ in iv)
+    alt, le = 0, -(1 << 62)
+    for s, e in ivs:
+        if s >= le:
+            alt += 1
+            le = e
+    assert cnt >= alt  # greedy (by end) dominates greedy (by start)
+
+
+def test_lru_hit_rate_replay(ray_session):
+    """Independent full-LRU simulation per capacity (OrderedDict
+    eviction, not stack distances) must agree; monotone in capacity."""
+    from collections import OrderedDict
+
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_lru_hit_rate(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev = ev[ev["event_id"] % 20 == 0]
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=t).sort_values(["t", "event_id"], kind="mergesort")
+    keys = (ev["user_id"].to_numpy(np.int64) % 128).tolist()
+    for c in (16, 64, 128):
+        cache: "OrderedDict[int, None]" = OrderedDict()
+        hits = 0
+        for key in keys:
+            if key in cache:
+                hits += 1
+                cache.move_to_end(key)
+            else:
+                cache[key] = None
+                if len(cache) > c:
+                    cache.popitem(last=False)
+        assert int(out[f"hits_{c}"]) == hits, f"capacity {c}"
+    assert (int(out["hits_16"]) <= int(out["hits_64"])
+            <= int(out["hits_128"]))
+    assert int(out["accesses"]) == len(keys)
+
+
+def test_turning_points_replay(ray_session):
+    """Literal strict-reversal walk over the zero-filled calendar."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_turning_points(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    x = [int(daily.get(d, 0)) for d in range(lo, hi + 1)]
+    tp = sum(1 for i in range(1, len(x) - 1)
+             if (x[i] - x[i - 1]) * (x[i + 1] - x[i]) < 0)
+    n = len(x)
+    assert int(out["n_days"]) == n
+    assert int(out["turning_points"]) == tp
+    assert int(out["expected_micro"]) == 1_000_000 * 2 * (n - 2) // 3
+    assert int(out["ratio_micro"]) == 1_000_000 * 3 * tp // (2 * (n - 2))
