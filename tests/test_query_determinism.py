@@ -7322,3 +7322,119 @@ def test_turning_points_replay(ray_session):
     assert int(out["turning_points"]) == tp
     assert int(out["expected_micro"]) == 1_000_000 * 2 * (n - 2) // 3
     assert int(out["ratio_micro"]) == 1_000_000 * 3 * tp // (2 * (n - 2))
+
+
+def _brand_items_replay():
+    import pyarrow.parquet as pq
+
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    bmap = dict(zip(pt["p_partkey"].astype(int), pt["p_brand"]))
+    li = li.assign(
+        brand=li["l_partkey"].map(bmap),
+        rev=_half_away(li["l_extendedprice"].to_numpy()
+                       * (1.0 - li["l_discount"].to_numpy())
+                       * 100.0).astype(np.int64),
+        qty=li["l_quantity"].to_numpy().astype(np.int64))
+    tot = (li.groupby("brand", as_index=False)[["rev", "qty"]].sum()
+           .sort_values("brand").reset_index(drop=True))
+    tq = int(tot["qty"].sum())
+    tot["w"] = (1 + tot["qty"].to_numpy(np.int64) * 25 // tq)
+    return tot
+
+
+def test_knapsack_replay(ray_session):
+    """Exhaustive 2^25 is too much — but a randomized-greedy lower
+    bound plus the classic DP reimplemented independently pin it."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_knapsack(SF).iloc[0]
+    tot = _brand_items_replay()
+    w = tot["w"].tolist()
+    v = tot["rev"].tolist()
+    CAP = 40
+    dp = [0] * (CAP + 1)  # plain-python DP, reverse-capacity order
+    for wi, vi in zip(w, v):
+        for c in range(CAP, wi - 1, -1):
+            dp[c] = max(dp[c], dp[c - wi] + vi)
+    assert int(out["best_value_cents"]) == dp[CAP]
+    assert int(out["n_items"]) == len(w)
+    assert int(out["total_weight"]) == sum(w)
+    # density-greedy feasible solution can never beat the DP
+    order = sorted(range(len(w)), key=lambda i: (-v[i] / w[i], i))
+    cap, val = CAP, 0
+    for i in order:
+        if w[i] <= cap:
+            cap -= w[i]
+            val += v[i]
+    assert dp[CAP] >= val
+
+
+def test_bin_packing_ffd_replay(ray_session):
+    """Independent FFD simulation; slack identity bins·C − Σw."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_bin_packing_ffd(SF).iloc[0]
+    tot = _brand_items_replay()
+    items = (tot.sort_values(["w", "brand"], ascending=[False, True])
+             ["w"].tolist())
+    bins = []
+    for wi in items:
+        for j in range(len(bins)):
+            if bins[j] >= wi:
+                bins[j] -= wi
+                break
+        else:
+            bins.append(30 - wi)
+    assert int(out["bins_used"]) == len(bins)
+    assert int(out["total_slack"]) == sum(bins)
+    assert int(out["total_slack"]) == \
+        len(bins) * 30 - int(sum(items))  # conservation
+    # FFD never uses fewer bins than the volume bound
+    assert len(bins) >= -(-sum(items) // 30)
+
+
+def test_friedman_page_replay(ray_session):
+    """Literal rank walk; rank-sum conservation Σ R_j = b·k(k+1)/2
+    and Page's L within its theoretical extremes."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_friedman_page(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    days = list(range(lo, hi + 1))
+    weeks = {}
+    for d in days:
+        weeks.setdefault(d // 7, []).append(d)
+    complete = [w for w, ds_ in weeks.items() if len(ds_) == 7]
+    R = [0] * 7
+    for w in complete:
+        cells = sorted((int(daily.get(d, 0)), (d + 3) % 7)
+                       for d in weeks[w])
+        for rank, (_, dow) in enumerate(cells, start=1):
+            R[dow] += rank
+    b, k = len(complete), 7
+    assert int(out["weeks"]) == b
+    assert sum(R) == b * k * (k + 1) // 2  # conservation
+    L = sum((j + 1) * R[j] for j in range(k))
+    assert int(out["page_l"]) == L
+    q_num = 12 * sum(r * r for r in R) - 3 * b * b * k * (k + 1) ** 2
+    assert int(out["friedman_micro"]) == \
+        1_000_000 * q_num // (b * k * (k + 1))
+    assert int(out["friedman_micro"]) >= 0
