@@ -7438,3 +7438,112 @@ def test_friedman_page_replay(ray_session):
     assert int(out["friedman_micro"]) == \
         1_000_000 * q_num // (b * k * (k + 1))
     assert int(out["friedman_micro"]) >= 0
+
+
+def test_secretary_stopping_replay(ray_session):
+    """Literal observe-then-leap walk over the (date, key) order
+    sequence."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_secretary_stopping(SF).iloc[0]
+    o = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    day = (o["o_orderdate"].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // 86_400_000_000)
+    o = (o.assign(day=day,
+                  c=_half_away(o["o_totalprice"].to_numpy() * 100.0)
+                  .astype(np.int64))
+         .sort_values(["day", "o_orderkey"], kind="mergesort"))
+    v = o["c"].tolist()
+    n = len(v)
+    t = n * 367879441 // 1_000_000_000
+    m = max(v[:t]) if t else -(1 << 62)
+    pos = n
+    for i in range(t, n):
+        if v[i] > m:
+            pos = i + 1
+            break
+    assert int(out["n"]) == n
+    assert int(out["threshold"]) == t
+    assert int(out["picked_pos"]) == pos
+    assert int(out["picked_cents"]) == v[pos - 1]
+    assert int(out["best_cents"]) == max(v)
+    assert int(out["success"]) == int(v[pos - 1] == max(v))
+
+
+def test_market_clearing_replay(ray_session):
+    """Literal sorted-walk clearing; surplus identity and marginal-pair
+    feasibility (bid_k* >= price >= ask_k*)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_market_clearing(SF).iloc[0]
+    bids = sorted(_half_away(
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+        .to_pandas()["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64), reverse=True)
+    asks = sorted(_half_away(
+        pq.read_table(f"{SF}/part.parquet", columns=["p_retailprice"])
+        .to_pandas()["p_retailprice"].to_numpy() * 100.0)
+        .astype(np.int64))
+    m = min(len(bids), len(asks))
+    kstar = 0
+    for k in range(m):
+        if bids[k] >= asks[k]:
+            kstar = k + 1
+    assert int(out["volume"]) == kstar > 0
+    price = int(out["clearing_price_cents"])
+    assert price == (int(bids[kstar - 1]) + int(asks[kstar - 1])) // 2
+    assert int(bids[kstar - 1]) >= price >= int(asks[kstar - 1])
+    assert int(out["surplus_cents"]) == \
+        sum(int(bids[k]) - int(asks[k]) for k in range(kstar))
+
+
+def test_borda_condorcet_replay(ray_session):
+    """Literal weekly election census; Borda total conservation
+    (sum of scores = weeks * k(k-1)/2) and at most one Condorcet
+    winner."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_borda_condorcet(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = _half_away(
+        ev["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    wk = (pd.DataFrame({"ty": ev["event_type"],
+                        "w": t // (7 * 86_400_000_000), "c": cents})
+          .groupby(["ty", "w"])["c"].sum())
+    types = sorted(ev["event_type"].unique())
+    weeks = sorted({w for (_, w) in wk.index})
+    k = len(types)
+    borda = {ty: 0 for ty in types}
+    beats = {}
+    for w in weeks:
+        ranked = sorted((int(wk.get((ty, w), 0)), ty) for ty in types)
+        pos = {ty: r for r, (_, ty) in enumerate(ranked)}
+        for ty in types:
+            borda[ty] += pos[ty]
+        for a in types:
+            for b in types:
+                if a != b and pos[a] > pos[b]:
+                    beats[(a, b)] = beats.get((a, b), 0) + 1
+    got = {r.event_type: (r.borda, r.pairwise_wins, r.is_condorcet)
+           for r in out.itertuples(index=False)}
+    nw = len(weeks)
+    for ty in types:
+        wins = sum(1 for b in types if b != ty
+                   and beats.get((ty, b), 0) * 2 > nw)
+        assert got[ty] == (borda[ty], wins, int(wins == k - 1)), ty
+    assert int(out["borda"].sum()) == nw * k * (k - 1) // 2
+    assert int(out["is_condorcet"].sum()) <= 1
