@@ -7547,3 +7547,88 @@ def test_borda_condorcet_replay(ray_session):
         assert got[ty] == (borda[ty], wins, int(wins == k - 1)), ty
     assert int(out["borda"].sum()) == nw * k * (k - 1) // 2
     assert int(out["is_condorcet"].sum()) <= 1
+
+
+def test_stream_bag_dedup_replay(ray_session):
+    """First-wins across epochs: exactly one survivor per bag group;
+    every reversed plant (id ≥ 10M) loses to its original (which lands
+    one epoch EARLIER — the decision is cross-epoch state)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_stream_bag_dedup(SF)
+    ids = set(out["doc_id"])
+    # a plant (d+10M) lands in epoch (d+1)%3: later than its original
+    # except when d%3 == 2, where the plant wraps to epoch 0 and WINS —
+    # assert exactly that split (proves the decision is epoch-first)
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    planted = [int(d) for d in docs["doc_id"] if d % 11 == 0]
+    assert planted
+    for d in planted:
+        if (d + 10_000_000) % 3 < d % 3:
+            assert d + 10_000_000 in ids and d not in ids
+        else:
+            assert d in ids and d + 10_000_000 not in ids
+    # conservation: each plant merges 1:1 with its original and the
+    # fixture has no organic bag-dups, so survivors = distinct docs
+    assert len(out) == len(docs)
+
+
+def test_wilcoxon_signed_replay(ray_session):
+    """Literal rank walk; W⁺ + W⁻ = m(m+1)/2 conservation."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_wilcoxon_signed(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    weeks: dict = {}
+    for d, c in daily.items():
+        r = (int(d) + 3) % 7
+        if r == 0:
+            weeks.setdefault((int(d) + 3) // 7, {})["mon"] = int(c)
+        elif r == 6:
+            weeks.setdefault((int(d) + 3) // 7, {})["sun"] = int(c)
+    diffs = [(wk, w["mon"] - w["sun"])
+             for wk, w in sorted(weeks.items())
+             if "mon" in w and "sun" in w and w["mon"] != w["sun"]]
+    m = len(diffs)
+    ranked = sorted((abs(d), wk, d) for wk, d in diffs)
+    wp = sum(r for r, (_, _, d) in enumerate(ranked, start=1) if d > 0)
+    assert int(out["m_pairs"]) == m > 0
+    assert int(out["w_plus"]) == wp
+    assert int(out["w_plus"]) + int(out["w_minus"]) == m * (m + 1) // 2
+    assert int(out["direction"]) == \
+        int(np.sign(2 * wp - m * (m + 1) // 2))
+
+
+def test_german_tank_replay(ray_session):
+    """Literal estimator arithmetic; the sample max can never exceed
+    the truth, so N̂ underestimation is bounded by the mean gap."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_german_tank(SF).iloc[0]
+    keys = pq.read_table(f"{SF}/orders.parquet",
+                         columns=["o_orderkey"]).to_pandas()\
+        ["o_orderkey"].to_numpy(np.int64)
+    s = keys[keys % 97 == 3]
+    k, m, tm = len(s), int(s.max()), int(keys.max())
+    est = m + m // k - 1
+    assert int(out["sample_k"]) == k > 0
+    assert int(out["sample_max"]) == m <= tm
+    assert int(out["estimate"]) == est
+    assert int(out["true_max"]) == tm
+    sgn = 1 if est >= tm else -1
+    assert int(out["error_micro"]) == sgn * (1_000_000 * abs(est - tm)
+                                             // tm)
