@@ -7632,3 +7632,110 @@ def test_german_tank_replay(ray_session):
     sgn = 1 if est >= tm else -1
     assert int(out["error_micro"]) == sgn * (1_000_000 * abs(est - tm)
                                              // tm)
+
+
+def test_lis_days_replay(ray_session):
+    """Textbook O(n²) DP replay + Erdős–Szekeres lis·lds ≥ n."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_lis_days(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    x = [int(daily.get(d, 0)) for d in range(lo, hi + 1)]
+
+    def lis_dp(seq):
+        dp = []
+        for i, v in enumerate(seq):
+            dp.append(1 + max([dp[j] for j in range(i)
+                               if seq[j] < v], default=0))
+        return max(dp)
+
+    n = len(x)
+    assert int(out["n_days"]) == n
+    assert int(out["lis_len"]) == lis_dp(x)
+    assert int(out["lds_len"]) == lis_dp([-v for v in x])
+    assert int(out["lis_len"]) * int(out["lds_len"]) >= n
+
+
+def test_ransac_line_replay(ray_session):
+    """Literal candidate sweep; the winner's consensus dominates every
+    other candidate's."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_ransac_line(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    y = [int(daily.get(d, 0)) for d in range(lo, hi + 1)]
+    n = len(y)
+    tol = (max(y) - min(y)) // 20
+    anchors = sorted({t_ * (n - 1) // 7 for t_ in range(8)})
+    scores = {}
+    for ai in range(len(anchors)):
+        for bi in range(ai + 1, len(anchors)):
+            p, q = anchors[ai], anchors[bi]
+            dy, dx = y[q] - y[p], q - p
+            inl = sum(1 for i in range(n)
+                      if abs((y[i] - y[p]) * dx - dy * (i - p))
+                      <= tol * dx)
+            scores[(p, q)] = inl
+    bp, bq = int(out["anchor_p"]), int(out["anchor_q"])
+    assert int(out["tol_cents"]) == tol
+    assert scores[(bp, bq)] == int(out["inliers"])
+    best = max(scores.values())
+    assert int(out["inliers"]) == best
+    winner = min(k for k, v in scores.items() if v == best)
+    assert (bp, bq) == winner  # deterministic tie rule
+
+
+def test_trapped_water_replay(ray_session):
+    """Literal two-pass walk; volume identity with per-day depths."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_trapped_water(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    x = [int(daily.get(d, 0)) for d in range(lo, hi + 1)]
+    n = len(x)
+    water = []
+    for i in range(n):
+        pre = max(x[:i + 1])
+        suf = max(x[i:])
+        water.append(max(0, min(pre, suf) - x[i]))
+    assert int(out["n_days"]) == n
+    assert int(out["water_cents"]) == sum(water)
+    assert int(out["wet_days"]) == sum(1 for w in water if w > 0)
+    assert int(out["max_depth_cents"]) == max(water)
+    deepest = max(range(n), key=lambda i: (water[i], -i))
+    assert int(out["deepest_day"]) == lo + deepest
+    # endpoints can never hold water
+    assert water[0] == 0 and water[-1] == 0
