@@ -199,7 +199,18 @@ def run_bench() -> dict:
         "cms_counters", "bloom_bits", "adamic_adar_capped",
         "bottomk_sketch", "jsonl_roundtrip", "csv_roundtrip",
         "simhash_codes", "fingerprint", "lang_id", "pivot_wide",
-        "regex_extract", "incremental_reachability")
+        "regex_extract", "incremental_reachability",
+        # r4 session-2 batches (all oracle-backed)
+        "dedup_simhash", "token_id_freq_topk",
+        "skipgram_pairs", "sax_motifs", "business_hours",
+        "phrase_search", "quantile_normalize", "semimonthly_revenue",
+        "median_polish", "l_moments", "blocking_quality",
+        "hodges_lehmann", "bag_dedup", "team_draft_interleave",
+        "activity_selection", "lru_hit_rate", "turning_points",
+        "knapsack", "bin_packing_ffd", "friedman_page",
+        "secretary_stopping", "market_clearing", "borda_condorcet",
+        "stream_bag_dedup", "wilcoxon_signed", "german_tank",
+        "lis_days", "ransac_line", "trapped_water")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
