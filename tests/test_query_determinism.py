@@ -7739,3 +7739,106 @@ def test_trapped_water_replay(ray_session):
     assert int(out["deepest_day"]) == lo + deepest
     # endpoints can never hold water
     assert water[0] == 0 and water[-1] == 0
+
+
+def test_convex_hull_replay(ray_session):
+    """Hull property verification: every non-hull point lies on or
+    inside some chord; every hull vertex is extreme (strictly above /
+    below all chords of OTHER points)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_convex_hull(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.where((ev["event_type"] == "purchase").to_numpy(),
+                     _half_away(ev["value"].to_numpy(np.float64) * 100.0),
+                     0.0).astype(np.int64)
+    daily = (pd.DataFrame({"day": t // 86_400_000_000, "c": cents})
+             .groupby("day")["c"].sum())
+    lo, hi = int(daily.index.min()), int(daily.index.max())
+    pts = [(d - lo, int(daily.get(d, 0))) for d in range(lo, hi + 1)]
+    y = dict(pts)
+    n = len(pts)
+    up = [(r.x, r.y) for r in out.itertuples(index=False)
+          if r.side == "upper"]
+    # endpoints present, x strictly increasing, coordinates honest
+    assert up[0][0] == 0 and up[-1][0] == n - 1
+    assert all(a[0] < b[0] for a, b in zip(up, up[1:]))
+    assert all(y[x] == yy for x, yy in up)
+    # upper chain is concave: strict right turns only
+    for a, b, c in zip(up, up[1:], up[2:]):
+        cr = ((b[0] - a[0]) * (c[1] - a[1])
+              - (b[1] - a[1]) * (c[0] - a[0]))
+        assert cr < 0
+    # every point lies ON or BELOW the upper chain (hull property)
+    for x, yy in pts:
+        for a, b in zip(up, up[1:]):
+            if a[0] <= x <= b[0]:
+                cr = ((b[0] - a[0]) * (yy - a[1])
+                      - (b[1] - a[1]) * (x - a[0]))
+                assert cr <= 0
+                break
+    low = [(r.x, r.y) for r in out.itertuples(index=False)
+           if r.side == "lower"]
+    assert low[0][0] == 0 and low[-1][0] == n - 1
+
+
+def test_prime_keys_replay(ray_session):
+    """Sympy-free trial-division replay over every key."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_prime_keys(SF).iloc[0]
+    keys = pq.read_table(f"{SF}/orders.parquet",
+                         columns=["o_orderkey"]).to_pandas()\
+        ["o_orderkey"].to_numpy(np.int64)
+
+    def is_prime(k: int) -> bool:
+        if k < 2:
+            return False
+        d = 2
+        while d * d <= k:
+            if k % d == 0:
+                return False
+            d += 1
+        return True
+
+    primes = [int(k) for k in keys if is_prime(int(k))]
+    assert int(out["n_keys"]) == len(keys)
+    assert int(out["prime_keys"]) == len(primes)
+    assert int(out["largest_prime"]) == max(primes)
+    assert int(out["prime_share_micro"]) == \
+        1_000_000 * len(primes) // len(keys)
+
+
+def test_collatz_depth_replay(ray_session):
+    """Literal per-key orbit walk; arbitrary-precision safe."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_collatz_depth(SF).iloc[0]
+    keys = sorted(int(k) for k in pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+        ["o_orderkey"] if k % 50 == 1)
+
+    def depth(k: int) -> int:
+        s = 0
+        while k > 1 and s < 500:
+            k = 3 * k + 1 if k & 1 else k // 2
+            s += 1
+        return s
+
+    ds_ = {k: depth(k) for k in keys}
+    mx = max(ds_.values())
+    am = min(k for k, v in ds_.items() if v == mx)
+    assert int(out["n_keys"]) == len(keys) > 0
+    assert int(out["max_steps"]) == mx
+    assert int(out["argmax_key"]) == am
+    assert int(out["mean_steps_micro"]) == \
+        1_000_000 * sum(ds_.values()) // len(keys)
