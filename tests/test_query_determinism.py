@@ -7842,3 +7842,92 @@ def test_collatz_depth_replay(ray_session):
     assert int(out["argmax_key"]) == am
     assert int(out["mean_steps_micro"]) == \
         1_000_000 * sum(ds_.values()) // len(keys)
+
+
+def test_gale_shapley_replay(ray_session):
+    """Stability verified independently: rebuild the preference matrix
+    from raw parquet, check zero blocking pairs and that the matching
+    is a permutation; suitor-optimality spot check (each suitor's rank
+    can't beat a stable partner he proposed to and was rejected by is
+    implied — here we at least pin ranks within 1..5)."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_gale_shapley(SF)
+    assert len(out) == 5
+    assert sorted(out["suitor_group"]) == list(range(5))  # permutation
+    assert (out["blocking_pairs"] == 0).all()
+    assert out["suitor_rank"].between(1, 5).all()
+    assert out["partner_rank"].between(1, 5).all()
+    # independent blocking-pair check from the raw matrix
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nmap = dict(zip(cu["c_custkey"].astype(int),
+                    cu["c_nationkey"].astype(int) % 5))
+    cents = _half_away(
+        ev["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    mm = (pd.DataFrame({"g": ev["user_id"].map(nmap),
+                        "ty": ev["event_type"], "c": cents})
+          .groupby(["g", "ty"])["c"].sum())
+    types = sorted(ev["event_type"].unique())
+    C = {(g, ty): int(mm.get((g, ty), 0))
+         for g in range(5) for ty in types}
+    sr = {}
+    for g in range(5):
+        order = sorted(types, key=lambda ty: (-C[(g, ty)], ty))
+        for r, ty in enumerate(order, start=1):
+            sr[(g, ty)] = r
+    prk = {}
+    for ty in types:
+        order = sorted(range(5), key=lambda g: (-C[(g, ty)], g))
+        for r, g in enumerate(order, start=1):
+            prk[(ty, g)] = r
+    match_of_g = dict(zip(out["suitor_group"], out["event_type"]))
+    match_of_ty = dict(zip(out["event_type"], out["suitor_group"]))
+    blocking = sum(
+        1 for g in range(5) for ty in types
+        if ty != match_of_g[g]
+        and sr[(g, ty)] < sr[(g, match_of_g[g])]
+        and prk[(ty, g)] < prk[(ty, match_of_ty[ty])])
+    assert blocking == 0
+    # emitted ranks agree with the independently rebuilt matrices
+    for r in out.itertuples(index=False):
+        assert sr[(r.suitor_group, r.event_type)] == r.suitor_rank
+        assert prk[(r.event_type, r.suitor_group)] == r.partner_rank
+
+
+def test_kk_partition_replay(ray_session):
+    """Independent simulations of both heuristics + parity invariant
+    (any partition gap has the total's parity) + achievability (a gap
+    is realizable, so 0 ≤ gap ≤ total)."""
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import (
+        _brand_weights,
+    )
+
+    out = Q.q_kk_partition(SF).iloc[0]
+    tot = _brand_weights(SF)
+    vals = (tot.sort_values(["rev", "brand"],
+                            ascending=[False, True])["rev"]
+            .astype(int).tolist())
+    total = sum(vals)
+    lst = sorted(vals, reverse=True)
+    while len(lst) > 1:
+        lst = sorted(lst[2:] + [lst[0] - lst[1]], reverse=True)
+    a = b = 0
+    for v in vals:
+        if a <= b:
+            a += v
+        else:
+            b += v
+    assert int(out["total_cents"]) == total
+    assert int(out["kk_diff_cents"]) == lst[0]
+    assert int(out["greedy_diff_cents"]) == abs(a - b)
+    for gap in (lst[0], abs(a - b)):
+        assert 0 <= gap <= total
+        assert gap % 2 == total % 2  # parity invariant
