@@ -7931,3 +7931,31 @@ def test_kk_partition_replay(ray_session):
     for gap in (lst[0], abs(a - b)):
         assert 0 <= gap <= total
         assert gap % 2 == total % 2  # parity invariant
+
+
+def test_huffman_cost_replay(ray_session):
+    """Independent heap-based Huffman (heapq, not sorted lists) must
+    agree — optimality makes the cost implementation-independent; the
+    coding-theory sandwich total ≤ huffman ≤ fixed holds."""
+    import heapq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import (
+        _brand_weights,
+    )
+
+    out = Q.q_huffman_cost(SF).iloc[0]
+    w = _brand_weights(SF)["qty"].astype(int).tolist()
+    h = list(w)
+    heapq.heapify(h)
+    cost = 0
+    while len(h) > 1:
+        a = heapq.heappop(h)
+        b = heapq.heappop(h)
+        cost += a + b
+        heapq.heappush(h, a + b)
+    total = sum(w)
+    assert int(out["n_symbols"]) == len(w)
+    assert int(out["total_weight"]) == total
+    assert int(out["huffman_cost"]) == cost
+    assert total <= cost <= int(out["fixed_cost"])
