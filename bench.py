@@ -210,7 +210,9 @@ def run_bench() -> dict:
         "knapsack", "bin_packing_ffd", "friedman_page",
         "secretary_stopping", "market_clearing", "borda_condorcet",
         "stream_bag_dedup", "wilcoxon_signed", "german_tank",
-        "lis_days", "ransac_line", "trapped_water")
+        "lis_days", "ransac_line", "trapped_water",
+        "convex_hull", "prime_keys", "collatz_depth",
+        "gale_shapley", "kk_partition", "huffman_cost")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
