@@ -212,7 +212,8 @@ def run_bench() -> dict:
         "stream_bag_dedup", "wilcoxon_signed", "german_tank",
         "lis_days", "ransac_line", "trapped_water",
         "convex_hull", "prime_keys", "collatz_depth",
-        "gale_shapley", "kk_partition", "huffman_cost")
+        "gale_shapley", "kk_partition", "huffman_cost",
+        "exact_linear_solve", "enrichment_test")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

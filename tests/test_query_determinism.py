@@ -7959,3 +7959,95 @@ def test_huffman_cost_replay(ray_session):
     assert int(out["total_weight"]) == total
     assert int(out["huffman_cost"]) == cost
     assert total <= cost <= int(out["fixed_cost"])
+
+
+def test_exact_linear_solve_replay(ray_session):
+    """The defining check for Cramer: plugging the rational solution
+    back in reproduces b EXACTLY — Σ_g det(M_g)·M[t][g] = det(M)·b[t]
+    as a pure big-integer identity, plus det(M) vs python fractions."""
+    import pyarrow.parquet as pq
+    from fractions import Fraction
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import _half_away
+
+    out = Q.q_exact_linear_solve(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_type", "value", "ts"]).to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nmap = dict(zip(cu["c_custkey"].astype(int),
+                    cu["c_nationkey"].astype(int) % 5))
+    t = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    day = t // 86_400_000_000
+    cents = _half_away(
+        ev["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    mid = (lo + hi + 1) // 2
+    types = sorted(ev["event_type"].unique())
+    tix = {ty: i for i, ty in enumerate(types)}
+    M = [[0] * 5 for _ in range(5)]
+    b = [0] * 5
+    for g, ty, d, c in zip(ev["user_id"].map(nmap), ev["event_type"],
+                           day, cents):
+        if d < mid:
+            M[tix[ty]][int(g)] += int(c)
+        else:
+            b[tix[ty]] += int(c)
+    M = [[v // 1000 for v in row] for row in M]
+    b = [v // 1000 for v in b]
+    # exact fraction determinant (expansion via fractions Gaussian)
+    def det_frac(mat):
+        m = [[Fraction(v) for v in row] for row in mat]
+        n = len(m)
+        d = Fraction(1)
+        for kk in range(n):
+            piv = None
+            for r in range(kk, n):
+                if m[r][kk] != 0:
+                    piv = r
+                    break
+            assert piv is not None
+            if piv != kk:
+                m[kk], m[piv] = m[piv], m[kk]
+                d = -d
+            d *= m[kk][kk]
+            for r in range(kk + 1, n):
+                f = m[r][kk] / m[kk][kk]
+                for cc in range(kk, n):
+                    m[r][cc] -= f * m[kk][cc]
+        return d
+
+    det = int(out["det_m"].iloc[0])
+    assert Fraction(det) == det_frac(M)
+    dg = {int(r.grp): int(r.det_replaced)
+          for r in out.itertuples(index=False)}
+    # Cramer residual identity: Σ_g det(M_g)·M[t][g] == det(M)·b[t]
+    for t_i in range(5):
+        assert sum(dg[g] * M[t_i][g] for g in range(5)) == det * b[t_i]
+
+
+def test_enrichment_test_replay(ray_session):
+    """Literal hypergeometric tail; p bounds and the k=5 degenerate."""
+    import math
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.pipelines.queries import (
+        _brand_weights,
+    )
+
+    out = Q.q_enrichment_test(SF).iloc[0]
+    tot = _brand_weights(SF)
+    tr = set(tot.sort_values(["rev", "brand"],
+                             ascending=[False, True]).head(5)["brand"])
+    tq = set(tot.sort_values(["qty", "brand"],
+                             ascending=[False, True]).head(5)["brand"])
+    ov = len(tr & tq)
+    n = len(tot)
+    num = sum(math.comb(5, j) * math.comb(n - 5, 5 - j)
+              for j in range(ov, 6))
+    assert int(out["overlap"]) == ov
+    assert int(out["p_tail_micro"]) == min(
+        1_000_000, 1_000_000 * num // math.comb(n, 5))
+    assert 0 < int(out["p_tail_micro"]) <= 1_000_000
