@@ -213,7 +213,8 @@ def run_bench() -> dict:
         "lis_days", "ransac_line", "trapped_water",
         "convex_hull", "prime_keys", "collatz_depth",
         "gale_shapley", "kk_partition", "huffman_cost",
-        "exact_linear_solve", "enrichment_test")
+        "exact_linear_solve", "enrichment_test",
+        "euler_path", "birthday_collisions")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8051,3 +8051,75 @@ def test_enrichment_test_replay(ray_session):
     assert int(out["p_tail_micro"]) == min(
         1_000_000, 1_000_000 * num // math.comb(n, 5))
     assert 0 < int(out["p_tail_micro"]) <= 1_000_000
+
+
+def test_euler_path_replay(ray_session):
+    """Independent BFS components + degree parity; the handshake lemma
+    (odd-degree count is even) and Euler's theorem applied literally."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+
+    out = Q.q_euler_path(SF).iloc[0]
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_custkey", "o_orderkey"]).to_pandas()
+    u = (o["o_custkey"].to_numpy(np.int64) % 500)
+    v = (o["o_orderkey"].to_numpy(np.int64) % 500) + 500
+    edges = set(zip(u.tolist(), v.tolist()))
+    deg: dict = {}
+    adj: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    seen: set = set()
+    ncomp = 0
+    for start in deg:
+        if start in seen:
+            continue
+        ncomp += 1
+        stack = [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            for yy in adj[x]:
+                if yy not in seen:
+                    seen.add(yy)
+                    stack.append(yy)
+    odd = sum(1 for d in deg.values() if d % 2 == 1)
+    assert int(out["n_nodes"]) == len(deg)
+    assert int(out["n_edges"]) == len(edges)
+    assert int(out["odd_degree_nodes"]) == odd
+    assert odd % 2 == 0  # handshake lemma
+    assert int(out["n_components"]) == ncomp
+    assert int(out["has_euler_path"]) == int(
+        ncomp == 1 and odd in (0, 2))
+
+
+def test_birthday_collisions_replay(ray_session):
+    """Literal bucket census; pair-count conservation
+    Σ C(c_b,2) over buckets and the exact expectation formula."""
+    import pyarrow.parquet as pq
+
+    import diffdataflowmlpipelines_ray.pipelines.queries as Q
+    from diffdataflowmlpipelines_ray.functions.hashing import (
+        poly_hash64_array,
+    )
+
+    out = Q.q_birthday_collisions(SF).iloc[0]
+    users = np.sort(pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+        ["user_id"].unique().astype(np.int64))
+    h = poly_hash64_array(users.astype(str).astype(object))
+    b = (h % np.uint64(4096)).astype(np.int64)
+    from collections import Counter
+    cnt = Counter(b.tolist())
+    obs = sum(c * (c - 1) // 2 for c in cnt.values())
+    n = len(users)
+    assert int(out["n_keys"]) == n
+    assert int(out["observed_pairs"]) == obs
+    assert int(out["expected_pairs_micro"]) == \
+        1_000_000 * n * (n - 1) // (2 * 4096)
+    assert int(out["ratio_micro"]) == \
+        1_000_000 * obs * 2 * 4096 // (n * (n - 1))
