@@ -58,13 +58,16 @@ _P61 = (1 << 61) - 1
 
 # --------------------------------------------------------------------- exact
 def add_content_hash(ds, col: str = "text", out: str = "content_hash",
-                     stable: bool = True):
+                     stable: bool = False):
     """Content-hash column per document.
 
-    ``stable=True`` (default): 60-bit MD5-derived hash, reproducible in
-    DuckDB (``STABLE_HASH_SQL``) — the oracle/golden path.  ``stable=False``:
-    vectorized xxhash (``fast_hash64_array``) — the production fingerprint
-    path, ~100× faster per string; deterministic per polars build + seed.
+    ``stable=False`` (default): vectorized xxhash (``fast_hash64_array``) —
+    the production fingerprint path, ~100× faster per string; deterministic
+    per polars build + seed.  ``stable=True``: 60-bit MD5-derived hash,
+    reproducible in DuckDB (``STABLE_HASH_SQL``) — opt in ONLY where an
+    SQL twin must recompute the identical value (r4 verdict item 2: the
+    per-string MD5 loop must never be the default on the hottest
+    LLM-pipeline path).
     """
 
     def h(tbl: pa.Table) -> pa.Table:
@@ -641,13 +644,21 @@ def minhash_signatures(tbl: pa.Table, col: str, params: MinHashParams,
 
 
 def minhash_lsh_candidates(ds, col: str = "text", id_col: str = "doc_id",
-                           params: MinHashParams = MinHashParams()):
+                           params: MinHashParams = MinHashParams(),
+                           star_cap: int | None = STAR_PAIR_CAP):
     """→ (candidate pair table, signatures table).
 
     Pipeline: signatures per batch → explode to (band, band_hash, id) →
     groupby band bucket → pairs.  The band table is 3 narrow columns; the
     groupby is the only shuffle.
-    """
+
+    ``star_cap``: band buckets larger than this emit only star pairs to
+    the bucket minimum (the hot-bucket guard, ``STAR_PAIR_CAP`` docs).
+    Star capping is NOT exact — a true near-dup pair can be silently
+    dropped when both members fail the verify against the bucket hub —
+    so callers whose contract is the COMPLETE pair set (the oracle-exact
+    gates) pass ``star_cap=None`` (ADVICE r4: simhash already did; this
+    threads the same knob through the minhash path)."""
     sig_ds = ds.map_batches(
         lambda t: minhash_signatures(t, col, params, id_col),
         batch_format="pyarrow",
@@ -688,9 +699,12 @@ def minhash_lsh_candidates(ds, col: str = "text", id_col: str = "doc_id",
         bh = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return tbl.append_column("bucket", pa.array((bh % 256).astype(np.int32)))
 
+    cap = star_cap if star_cap is not None else (1 << 62)
+
     def pairs_in_bucket(group) -> "pd.DataFrame":
         dup = group[group.duplicated(["band", "band_hash"], keep=False)]
-        return _pairs_from_collision_groups(dup, ["band", "band_hash"], id_col)
+        return _pairs_from_collision_groups(dup, ["band", "band_hash"],
+                                            id_col, cap=cap)
 
     pairs_ds = (
         band_ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -778,8 +792,15 @@ def minhash_dedup_groups_exact(ds, col: str = "text", id_col: str = "doc_id",
     seed is fixed, so the result is deterministic run-to-run.  The
     verify ships texts only for candidate pairs through the
     distributed pair verify (O(candidates) rows, no driver pair list).
+
+    ``star_cap=None``: the exactness contract needs the FULL bucket pair
+    set — a star-capped hot bucket could drop a true J ≥ threshold pair
+    whose members both fail the verify against the hub (ADVICE r4 fix;
+    the estimated-Jaccard ``minhash_dedup_groups`` keeps the cap as its
+    production skew guard).
     """
-    pairs_ds, _sig_ds = minhash_lsh_candidates(ds, col, id_col, params)
+    pairs_ds, _sig_ds = minhash_lsh_candidates(ds, col, id_col, params,
+                                               star_cap=None)
 
     def jac_ok(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
         out = np.empty(len(ta), dtype=bool)

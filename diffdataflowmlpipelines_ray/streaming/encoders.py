@@ -51,11 +51,28 @@ class IncrementalEncoderSession:
                  checkpoint_every: int = 1, pre_transform=None,
                  archive_input: bool = True, output_cols: list | None = None,
                  epoch_aggs: list | None = None, fsync: bool = True,
-                 pre_transform_in_fit: bool = False):
+                 pre_transform_in_fit: bool = False, sync_every: int = 1,
+                 pipeline_state: bool = False):
         #: fsync=False relaxes power-loss durability for latency-sensitive
         #: jobs; crash-level exactly-once (manifest rename atomicity) holds
         #: either way
         self.fsync = fsync
+        #: sync_every=K > 1 turns every sink into group-commit mode: all
+        #: fsyncs batch into one barrier per K epochs with a durable
+        #: watermark + verify-on-open (see ExactlyOnceParquetSink) — the
+        #: latency fix for single-row epochs (fsync cost amortized K×).
+        #: Loss window on POWER failure: up to K epochs past the last
+        #: barrier (replayable — exactly-once replay re-commits them).
+        self.sync_every = max(int(sync_every), 1)
+        #: pipeline_state=True removes the blocking state-store round-trip
+        #: from the epoch critical path: the driver keeps a local mirror of
+        #: the encoder accumulators (same merge algebra as StateShard,
+        #: epoch-high-water idempotent) and ships each epoch's deltas
+        #: one-way (`wait=False`); checkpoints and all read surfaces fence
+        #: first, so durability and resume semantics are unchanged.
+        self.pipeline_state = bool(pipeline_state)
+        self._local_state: dict[bytes, object] | None = {} if pipeline_state else None
+        self._local_hwm = -1
         self.mce = MultiColumnEncoder(config)
         self.weight_col = weight_col
         self.keep_input = keep_input
@@ -101,19 +118,21 @@ class IncrementalEncoderSession:
         #: Each spec: {"name", "key_cols", "value_col", "aggs"}.
         self.epoch_aggs = list(epoch_aggs or [])
         self.root = Path(root)
+        se = self.sync_every
         self.epoch_agg_sinks = {
             spec["name"]: ExactlyOnceParquetSink(Path(root) / spec["name"],
-                                                 fsync=fsync)
+                                                 fsync=fsync, sync_every=se)
             for spec in self.epoch_aggs
         }
         self.corrections_sink = ExactlyOnceParquetSink(self.root / "corrections",
-                                                       fsync=fsync)
+                                                       fsync=fsync, sync_every=se)
         self.effective_sink = ExactlyOnceParquetSink(self.root / "_effective",
-                                                     fsync=fsync)
+                                                     fsync=fsync, sync_every=se)
         self.store = ShardedStateStore(num_shards=num_shards)
-        self.sink = ExactlyOnceParquetSink(self.root / "encoded", fsync=fsync)
+        self.sink = ExactlyOnceParquetSink(self.root / "encoded", fsync=fsync,
+                                           sync_every=se)
         self.input_archive = ExactlyOnceParquetSink(self.root / "input",
-                                                    fsync=fsync)
+                                                    fsync=fsync, sync_every=se)
         self.chk = CheckpointManager(self.root / "_checkpoints")
         self.checkpoint_every = checkpoint_every
         self.last_epoch = -1
@@ -131,6 +150,12 @@ class IncrementalEncoderSession:
         blobs, extra = self.chk.load(latest)
         self.store.load_all(blobs)
         self.last_epoch = latest
+        if self._local_state is not None:
+            # mirror = restored checkpoint state; replayed epochs (> the
+            # checkpoint, not in the restored high-water marks) apply once
+            # on both sides
+            self._local_state = dict(self.store.collect("encoders"))
+            self._local_hwm = latest
         self._refresh_encoder_state()
         return latest + 1
 
@@ -222,10 +247,34 @@ class IncrementalEncoderSession:
                     _, name_, key_t = pickle.loads(k)
                     win_items[name_].append((key_t, merged.pop(k)))
                 self._commit_epoch_aggs(epoch, win_items)
-            # one round-trip: apply the deltas AND get the merged meta back
-            post = self.store.apply_deltas("encoders", epoch, merged,
-                                           return_merged=True)
-            items = dict(post)
+            if self._local_state is not None:
+                # pipelined: ship the delta one-way (pickled NOW, before the
+                # local merge mutates shared accumulators) and fold it into
+                # the driver mirror with StateShard.apply_delta's exact
+                # algebra; the epoch high-water mark mirrors its idempotency
+                self.store.apply_deltas("encoders", epoch, merged,
+                                        wait=False)
+                if epoch > self._local_hwm:
+                    self._local_hwm = epoch
+                    local = self._local_state
+                    for k, acc in sorted(merged.items()):
+                        cur = local.get(k)
+                        if cur is None:
+                            if not (hasattr(acc, "is_identity")
+                                    and acc.is_identity()):
+                                local[k] = acc
+                        else:
+                            cur.merge(acc)
+                            if (hasattr(cur, "is_identity")
+                                    and cur.is_identity()):
+                                del local[k]
+                items = self._local_state
+            else:
+                # one round-trip: apply the deltas AND get the merged meta
+                # back
+                post = self.store.apply_deltas("encoders", epoch, merged,
+                                               return_merged=True)
+                items = dict(post)
             for i, col, enc in self._stateful:
                 acc = items.get(_kb(i))
                 if acc is not None:
@@ -431,5 +480,14 @@ class IncrementalEncoderSession:
             full = pa.Table.from_pandas(rep, preserve_index=False)
         return self.mce.transform_table(full, self.out_col)
 
+    def sync(self) -> None:
+        """Force a group-commit barrier on every sink (durable through the
+        last committed epoch) and fence pipelined state writes."""
+        self.store.fence()
+        for s in (self.sink, self.input_archive, self.corrections_sink,
+                  self.effective_sink, *self.epoch_agg_sinks.values()):
+            s.sync()
+
     def close(self) -> None:
+        self.sync()
         self.store.shutdown()

@@ -325,6 +325,65 @@ class TestRound2ScalePaths:
         assert (pairs["id_lo"] == 0).all()
 
 
+class TestMinhashStarCapThreading:
+    """ADVICE r4 (medium): minhash_dedup_groups_exact must enumerate FULL
+    band buckets (star_cap=None) like its SQL twin; the capped path is the
+    production skew guard only."""
+
+    def test_uncapped_candidates_are_complete(self, ray_session):
+        from diffdataflowmlpipelines_ray.stages.dedup import (
+            STAR_PAIR_CAP,
+            minhash_lsh_candidates,
+        )
+
+        n = STAR_PAIR_CAP + 16  # one hot bucket: identical texts collide
+        ds = docs_ds({"doc_id": list(range(n)),
+                      "text": ["common boilerplate tokens here"] * n})
+        capped, _ = minhash_lsh_candidates(ds)
+        uncapped, _ = minhash_lsh_candidates(ds, star_cap=None)
+
+        def pairset(p):
+            return {(r["id_lo"], r["id_hi"]) for r in p.take_all()}
+
+        c, u = pairset(capped), pairset(uncapped)
+        # capped: star pairs to the min id only; uncapped: every C(n,2)
+        assert c == {(0, i) for i in range(1, n)}
+        assert u == {(i, j) for i in range(n) for j in range(i + 1, n)}
+
+    def test_exact_groups_match_brute_force_with_hot_buckets(
+            self, ray_session):
+        """Sliding-window corpus: every doc shares most shingles (hot
+        band buckets form), adjacent windows are true J>=0.9 pairs, far
+        windows are not — a star-capped hub would drop mid-chain pairs;
+        uncapped grouping must equal the brute-force transitive closure
+        of exact word-3-gram Jaccard >= 0.9."""
+        from diffdataflowmlpipelines_ray.stages.dedup import (
+            minhash_dedup_groups_exact,
+            ngram_set,
+            union_find_components,
+        )
+
+        base = [f"w{i}" for i in range(190)]
+        texts = [" ".join(base[i:i + 100]) for i in range(80)]
+        ids = list(range(80))
+        ds = docs_ds({"doc_id": ids, "text": texts})
+        groups = minhash_dedup_groups_exact(ds, threshold=0.9)
+        got = dict(zip(groups["doc_id"].to_pylist(),
+                       groups["group_id"].to_pylist()))
+
+        grams = [ngram_set(t, 3) for t in texts]
+        truth_pairs = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                union = len(grams[i] | grams[j])
+                if union and inter / union >= 0.9:
+                    truth_pairs.append((ids[i], ids[j]))
+        want = union_find_components(truth_pairs)
+        # same membership, same min-id component labels
+        assert got == {k: v for k, v in want.items()}
+
+
 class TestOracleExactDedupGates:
     """The r4 oracle-exact contracts behind the dedup_minhash /
     dedup_simhash gate queries."""

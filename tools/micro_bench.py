@@ -93,8 +93,13 @@ def main():
     for label, kwargs in (
         ("durable", {}),
         ("durable_amortized", {"checkpoint_every": 10}),
+        # group commit: fsync ON, one barrier + durable watermark per 8
+        # epochs (verify-on-open drops any torn suffix), pipelined state
+        # writes — the sub-3ms durable path (sink.py sync_every docs)
+        ("durable_group", {"checkpoint_every": 10, "sync_every": 8,
+                           "pipeline_state": True}),
         ("relaxed", {"checkpoint_every": 0, "archive_input": False,
-                     "fsync": False}),
+                     "fsync": False, "pipeline_state": True}),
     ):
         root2 = tempfile.mkdtemp(prefix="micro-ord-", dir="/tmp")
         sess2 = IncrementalEncoderSession([("cat", OrdinalEncoder())], root2,
