@@ -8112,7 +8112,8 @@ def test_birthday_collisions_replay(ray_session):
         f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
         ["user_id"].unique().astype(np.int64))
     h = poly_hash64_array(users.astype(str).astype(object))
-    b = (h % np.uint64(4096)).astype(np.int64)
+    # remixed HIGH bits per poly_hash64_array's bucket contract (ADVICE r4)
+    b = ((h >> np.uint64(32)) % np.uint64(4096)).astype(np.int64)
     from collections import Counter
     cnt = Counter(b.tolist())
     obs = sum(c * (c - 1) // 2 for c in cnt.values())
@@ -8123,3 +8124,24 @@ def test_birthday_collisions_replay(ray_session):
         1_000_000 * n * (n - 1) // (2 * 4096)
     assert int(out["ratio_micro"]) == \
         1_000_000 * obs * 2 * 4096 // (n * (n - 1))
+
+
+@pytest.mark.parametrize("name", [
+    "part_profit",        # two-exchange TPC-H Q9, int64 cents partials
+    "supplier_cnt",       # distinct-count exchange
+    "market_share",       # share ratios from bucket partials
+    "mann_whitney",       # rank statistic over value-count exchange
+    "l_diversity",        # per-cell distinct census
+])
+def test_bucket_invariance(ray_session, name, monkeypatch):
+    """r4 verdict item 5: the wide-stage bucket count is ROUTING ONLY —
+    `_wide_buckets()` now scales B with the cluster, so the result must
+    be identical at ANY bucket count (exact-integer partials merged
+    commutatively).  Pin at a tiny and a large B."""
+    from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
+
+    monkeypatch.setenv("DDMLP_WIDE_BUCKETS", "3")
+    a = canon(QUERIES[name](SF))
+    monkeypatch.setenv("DDMLP_WIDE_BUCKETS", "64")
+    b = canon(QUERIES[name](SF))
+    pd.testing.assert_frame_equal(a, b)

@@ -90,6 +90,14 @@ def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+#: driver max-RSS ceiling (MB) asserted after EVERY query (r4 verdict
+#: item 4: the r4 soak peaked at 3.7 GB silently — superlinear driver
+#: memory must fail the soak loudly, before a cluster finds it).  The
+#: limit is for the DRIVER: workers hold the data, the driver must hold
+#: only O(result + merge partials).  Override: SOAK_RSS_CEILING_MB.
+RSS_CEILING_MB = float(os.environ.get("SOAK_RSS_CEILING_MB", 4096))
+
+
 def main():
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
@@ -115,9 +123,13 @@ def main():
         except Exception as exc:  # record, keep soaking
             n, err = -1, f"{type(exc).__name__}: {exc}"[:200]
         wall = time.perf_counter() - t0
+        r1 = rss_mb()
+        if err is None and r1 > RSS_CEILING_MB:
+            err = (f"RSS ceiling: driver max-RSS {r1:.0f}MB > "
+                   f"{RSS_CEILING_MB:.0f}MB after {name}")
         results[name] = {"wall": round(wall, 2), "rows": int(n),
                          "rss_before_mb": round(r0, 1),
-                         "rss_after_mb": round(rss_mb(), 1),
+                         "rss_after_mb": round(r1, 1),
                          "err": err}
         print(f"{name:28s} {wall:8.2f}s rows={n} "
               f"rss={results[name]['rss_after_mb']}MB"
@@ -125,7 +137,10 @@ def main():
     ray.shutdown()
     with open(f"/tmp/soak_x{replicate}.json", "w") as f:
         json.dump(results, f, indent=1)
-    print("SOAK DONE ->", f"/tmp/soak_x{replicate}.json")
+    failed = [k for k, v in results.items() if v["err"]]
+    print("SOAK DONE ->", f"/tmp/soak_x{replicate}.json",
+          f"({len(failed)} failures: {failed})" if failed else "(all OK)")
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
