@@ -237,8 +237,52 @@ def run_bench() -> dict:
         "sequences_per_sec": round(res["sequences"] / headline, 1),
         "tokens_per_sec": round(res["tokens"] / headline, 1),
     }
+    if "--scaling-child" not in sys.argv:
+        out.update(_stream_join_skew_row(Q, sf_dir))
     ray.shutdown()
     return out
+
+
+def _stream_join_skew_row(Q, sf_dir: str) -> dict:
+    """Per-round skew-regression row (r4 verdict item 9): the SAME
+    `stream_join` gate query on a hot-key copy of the input — 30% of
+    lineitem rows remapped to ONE orderkey, so one shard's probe side
+    carries 30% of the stream — vs the uniform fixture.  Bar: skewed wall
+    ≤ 1.5× uniform (the per-shard probe is vectorized and the hot key's
+    output stays linear because the build side keeps one row per key)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    skew_dir = tempfile.mkdtemp(prefix="ddmlp-sjskew-", dir="/tmp")
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    lk = li["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64").copy()
+    hot = int(lk[0])
+    lk[np.arange(len(lk)) % 10 < 3] = hot  # 30% of rows → one key
+    pq.write_table(
+        li.set_column(li.schema.get_field_index("l_orderkey"),
+                      "l_orderkey", pa.array(lk)),
+        f"{skew_dir}/lineitem.parquet")
+    os.symlink(os.path.abspath(f"{sf_dir}/orders.parquet"),
+               f"{skew_dir}/orders.parquet")
+
+    def once(d):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            Q.QUERIES["stream_join"](d)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    uni = once(sf_dir)
+    hot_s = once(skew_dir)
+    shutil.rmtree(skew_dir, ignore_errors=True)
+    return {
+        "stream_join_uniform_sec": round(uni, 3),
+        "stream_join_hotkey_sec": round(hot_s, 3),
+        "stream_join_skew_ratio": round(hot_s / uni, 3),
+    }
 
 
 def run_scaling() -> dict:
