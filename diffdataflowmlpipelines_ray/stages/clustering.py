@@ -344,9 +344,13 @@ def dbscan_exact(ds, eps2_q: int, min_pts: int,
             "b": pa.array(np.concatenate([aid[cj], aid[bj]])),
         })
 
-    pairs = pa.concat_tables(list(
-        ds.map_batches(edge_pass, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+    pair_parts = [t for t in
+                  ds.map_batches(edge_pass, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if t.num_columns]
+    pairs = (pa.concat_tables(pair_parts) if pair_parts
+             else pa.table({"kind": pa.array([], pa.int64()),
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())}))
     kind = pairs["kind"].to_numpy(zero_copy_only=False)
     ce = pairs.filter(pa.array(kind == 0))
     bp = pairs.filter(pa.array(kind == 1))

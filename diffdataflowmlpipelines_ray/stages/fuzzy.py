@@ -217,8 +217,13 @@ def fuzzy_join(left, right, left_on: str, right_on: str,
         left = left.materialize()
         n_left = left.count()
         if strategy == "broadcast" or n_left <= _FUZZY_BROADCAST_ROWS:
-            left_tbl = pa.concat_tables(
-                ray.get(left.to_arrow_refs())).combine_chunks()
+            # Ray pads an empty dataset with zero-COLUMN blocks whose
+            # schema differs from the typed ones — drop those before the
+            # concat (tiny_sweep empty-domain contract)
+            blocks = [t for t in ray.get(left.to_arrow_refs())
+                      if t.num_columns]
+            left_tbl = (pa.concat_tables(blocks).combine_chunks()
+                        if blocks else pa.table({}))
             return _broadcast_fuzzy(left_tbl, right, left_on, right_on,
                                     left_id, right_id, max_dist)
     prefix_len = max_dist * _Q + 1

@@ -121,10 +121,14 @@ def psi(ds_ref, ds_new, col: str, bins: int = 10):
 
     def hist(ds):
         def part(tbl: pa.Table) -> pa.Table:
+            if col not in tbl.column_names:  # columnless empty block
+                return pa.table({"h": pa.array(
+                    [np.zeros(bins, dtype=np.int64).tobytes()])})
             v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
             b = (np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(
-                np.int64) if w != 0.0 else np.zeros(len(v), np.int64))
+                np.int64) if np.isfinite(w) and w != 0.0
+                else np.zeros(len(v), np.int64))
             return pa.table({"h": pa.array(
                 [np.bincount(b, minlength=bins).astype(np.int64)
                  .tobytes()])})
@@ -272,6 +276,9 @@ def auc_exact(ds, score_col: str, label_col: str, scale: int = 1_000_000):
         npos += int(r["np_"])
         nneg += int(r["nn"])
     auc = u2 / (2.0 * npos * nneg) if npos and nneg else float("nan")
+    if not np.isfinite(auc):  # one class absent (tiny_sweep empty domain)
+        return pd.DataFrame(columns=["n_pos", "n_neg", "u2",
+                                     "auc_micro"]).astype(np.int64)
     return pd.DataFrame({
         "n_pos": pd.Series([npos], dtype=np.int64),
         "n_neg": pd.Series([nneg], dtype=np.int64),

@@ -60,6 +60,8 @@ def _arrow_schema(ds) -> pa.Schema:
     PandasBlockSchema (plain name/dtype lists) — coerce those so join
     unification works on any upstream."""
     s = ds.schema()
+    if s is None:  # fully-empty dataset (no blocks) reports no schema
+        return pa.schema([])
     base = s.base_schema
     if isinstance(base, pa.Schema):
         return base
@@ -98,19 +100,48 @@ def hash_join(left, right, left_on: Sequence[str], right_on: Sequence[str],
     right_on = list(right_on)
     l_cols = [f.name for f in _arrow_schema(left)]
     r_cols = [f.name for f in _arrow_schema(right)]
+    if not l_cols or not r_cols:
+        # a fully-EMPTY side lost its schema (Ray drops it with its last
+        # block); the join result is determined without a shuffle.  The
+        # absent side's columns cannot be typed, so pass-through results
+        # carry only the surviving side's schema (callers guard empty
+        # frames — tiny_sweep empty-domain contract).
+        if how == "anti":
+            return left
+        if how == "semi":
+            return left.limit(0)
+        if how == "inner":
+            return (left if not l_cols else right).limit(0)
+        if how == "left":
+            return left if not r_cols else left.limit(0)
+        # outer: the non-empty side's rows survive unmatched
+        if not l_cols and not r_cols:
+            return left.limit(0)
+        return right if not l_cols else left
+    rename_fields: list = []
     if how in ("semi", "anti"):
         # only the right KEY columns matter; prune the rest at the source and
-        # rename them so same-named keys on both sides are fine
+        # rename them so same-named keys on both sides are fine.  The renamed
+        # fields are constructed from the PRE-rename schema: an empty (lazy)
+        # dataset keeps reporting its old column names after rename_columns,
+        # which would silently drop the key field from the unified schema and
+        # KeyError inside every bucket task (found by tools/tiny_sweep).
+        t_of = {f.name: f.type for f in _arrow_schema(right)}
         renames = {c: f"__rk_{i}" for i, c in enumerate(right_on)}
         right = right.select_columns(right_on).rename_columns(renames)
+        rename_fields = [pa.field(renames[c], t_of[c]) for c in right_on]
         right_on = [renames[c] for c in right_on]
         r_cols = list(right_on)
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
     lschema = _arrow_schema(left)
-    rschema = _arrow_schema(right)
-    unified = pa.schema(list(lschema) + [f for f in rschema if f.name in r_cols])
+    if how in ("semi", "anti"):
+        unified = pa.schema(list(lschema) + rename_fields)
+    else:
+        rschema = _arrow_schema(right)
+        unified = pa.schema(list(lschema)
+                            + [f for f in rschema if f.name in r_cols])
     # union both sides into one dataset so ONE groupby shuffle co-locates
     # matching buckets; sides are distinguished by a tag column
     l_tagged = _with_bucket(left, left_on, buckets, "l", unified)
@@ -186,17 +217,26 @@ def asof_join(left, right, on: Sequence[str], left_ts: str, right_ts: str,
     on = list(on)
     l_cols = [f.name for f in _arrow_schema(left)]
     r_cols = [f.name for f in _arrow_schema(right)]
+    if not l_cols or not r_cols:
+        # empty (schema-less) side: inner as-of semantics → no matches
+        return left.limit(0)
     overlap = (set(l_cols) & set(r_cols)) - set(on)
     if overlap:
         raise ValueError(f"rename overlapping non-key columns first: "
                          f"{sorted(overlap)}")
-    # rename right keys so the unified schema has one copy of each key
+    # rename right keys so the unified schema has one copy of each key.
+    # Right fields come from the PRE-rename schema with the rename applied
+    # by hand: an empty (lazy) dataset keeps reporting its OLD column names
+    # after rename_columns, which would desync the unified schema from
+    # r_cols and KeyError in every bucket task (tools/tiny_sweep find).
+    rschema0 = _arrow_schema(right)
     renames = {c: f"__rk_{i}" for i, c in enumerate(on)}
     right = right.rename_columns(renames)
     r_on = [renames[c] for c in on]
     r_cols = [renames.get(c, c) for c in r_cols]
     unified = pa.schema(list(_arrow_schema(left))
-                        + [f for f in _arrow_schema(right)])
+                        + [pa.field(renames.get(f.name, f.name), f.type)
+                           for f in rschema0])
     l_tagged = _with_bucket(left, on, buckets, "l", unified)
     r_tagged = _with_bucket(right, r_on, buckets, "r", unified)
     r_out = [c for c in r_cols if c not in r_on]
@@ -728,10 +768,17 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
                          "total": [int(v.sum())],
                          "dups": [bool(len(np.unique(kn)) != len(kn))]})
 
-    mt = (pa.concat_tables(list(
-        S.map_batches(meta, batch_size=None, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))).to_pandas()
-        .sort_values("first").reset_index(drop=True))
+    meta_parts = [t for t in
+                  S.map_batches(meta, batch_size=None,
+                                batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if t.num_columns]
+    if not meta_parts:  # empty input: no blocks at all (tiny_sweep)
+        meta_parts = [pa.table({"first": pa.array([], pa.int64()),
+                                "last": pa.array([], pa.int64()),
+                                "total": pa.array([], pa.int64()),
+                                "dups": pa.array([], pa.bool_())})]
+    mt = (pa.concat_tables(meta_parts).to_pandas()
+          .sort_values("first").reset_index(drop=True))
     # uniqueness check: no in-block duplicates, disjoint ranges across blocks
     if mt["dups"].any() or (mt["first"].iloc[1:].to_numpy()
                             <= mt["last"].iloc[:-1].to_numpy()).any():
@@ -968,10 +1015,17 @@ def ordered_prefix_min(ds, order_col: str, value_col: str,
                          "mn": [int(v.min())],
                          "dups": [bool(len(np.unique(kn)) != len(kn))]})
 
-    mt = (pa.concat_tables(list(
-        S.map_batches(meta, batch_size=None, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))).to_pandas()
-        .sort_values("first").reset_index(drop=True))
+    meta_parts = [t for t in
+                  S.map_batches(meta, batch_size=None,
+                                batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if t.num_columns]
+    if not meta_parts:  # empty input: no blocks at all (tiny_sweep)
+        meta_parts = [pa.table({"first": pa.array([], pa.int64()),
+                                "last": pa.array([], pa.int64()),
+                                "total": pa.array([], pa.int64()),
+                                "dups": pa.array([], pa.bool_())})]
+    mt = (pa.concat_tables(meta_parts).to_pandas()
+          .sort_values("first").reset_index(drop=True))
     if mt["dups"].any() or (mt["first"].iloc[1:].to_numpy()
                             <= mt["last"].iloc[:-1].to_numpy()).any():
         raise ValueError(f"{order_col} values are not unique — a prefix "

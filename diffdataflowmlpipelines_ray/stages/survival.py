@@ -104,9 +104,13 @@ def kaplan_meier(ds, time_col: str, event_col: str):
     ev = with_prefix.map_batches(term, batch_format="pyarrow")
     # ln S(t): the inclusive int64 scan of the per-event-time terms —
     # exact at any split (the second distributed prefix sum)
-    out = (ordered_prefix_sum(ev, "t_micro", "term_micro",
-                              out_col="km_log_micro", exclusive=False)
-           .to_pandas().sort_values("t_micro").reset_index(drop=True))
+    out = ordered_prefix_sum(ev, "t_micro", "term_micro",
+                             out_col="km_log_micro",
+                             exclusive=False).to_pandas()
+    if out.shape[1] == 0:  # empty domain: typed zero-row (tiny_sweep)
+        out = pd.DataFrame(columns=["t_micro", "n_risk", "d",
+                                    "km_log_micro"])
+    out = out.sort_values("t_micro").reset_index(drop=True)
     return (out[["t_micro", "n_risk", "d", "km_log_micro"]]
             .astype(np.int64))
 
@@ -178,8 +182,11 @@ def nelson_aalen(ds, time_col: str, event_col: str):
         })
 
     ev = with_prefix.map_batches(term, batch_format="pyarrow")
-    out = (ordered_prefix_sum(ev, "t_micro", "term_micro",
-                              out_col="na_micro", exclusive=False)
-           .to_pandas().sort_values("t_micro").reset_index(drop=True))
+    out = ordered_prefix_sum(ev, "t_micro", "term_micro",
+                             out_col="na_micro",
+                             exclusive=False).to_pandas()
+    if out.shape[1] == 0:  # empty domain: typed zero-row (tiny_sweep)
+        out = pd.DataFrame(columns=["t_micro", "n_risk", "d", "na_micro"])
+    out = out.sort_values("t_micro").reset_index(drop=True)
     return (out[["t_micro", "n_risk", "d", "na_micro"]]
             .astype(np.int64))

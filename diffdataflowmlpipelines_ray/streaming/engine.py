@@ -1689,7 +1689,15 @@ class StreamSession:
                  checkpoint_every: int = 1,
                  auto_watermark_delay: float | None = None,
                  fsync: bool = True, pipelined: bool = False,
-                 consolidate_every: int | None = None):
+                 consolidate_every: int | None = None,
+                 sync_every: int = 1):
+        #: sync_every=K > 1: group commit for every op sink — per-epoch
+        #: commits stay atomic (rename) but fsyncs batch into one barrier
+        #: + durable watermark per K epochs, with verify-on-open dropping
+        #: any torn suffix (ExactlyOnceParquetSink docs).  The sub-3ms
+        #: durable-epoch knob for high-rate micro-batch jobs; power-loss
+        #: window = up to K epochs past the last barrier, replayable.
+        self.sync_every = max(int(sync_every), 1)
         #: every N epochs, net each changelog sink's committed history into
         #: a SUM(diff) snapshot (``ExactlyOnceParquetSink.consolidate``) —
         #: bounds sink storage at O(live rows) for unbounded CDC streams;
@@ -1771,13 +1779,16 @@ class StreamSession:
             or getattr(op, "emit_changelog", False)
         ):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
-                                                         fsync=self.fsync)
+                                                         fsync=self.fsync,
+                                sync_every=self.sync_every)
             if getattr(op, "early_firing", False):
                 self.sinks[f"{op.name}__early"] = ExactlyOnceParquetSink(
-                    self.root / f"{op.name}__early", fsync=self.fsync)
+                    self.root / f"{op.name}__early", fsync=self.fsync,
+                                sync_every=self.sync_every)
             if getattr(op, "late_output", False):
                 self.sinks[f"{op.name}__late"] = ExactlyOnceParquetSink(
-                    self.root / f"{op.name}__late", fsync=self.fsync)
+                    self.root / f"{op.name}__late", fsync=self.fsync,
+                                sync_every=self.sync_every)
         elif isinstance(op, (StreamJoin, PatternMatch, AbsenceDetect,
                              KleenePattern, IncrementalComponents,
                              IncrementalPageRank, IncrementalReachability,
@@ -1785,7 +1796,8 @@ class StreamSession:
                              UpsertToRetract, EnrichJoin, BroadcastEnrich,
                              StreamDedup)):
             self.sinks[op.name] = ExactlyOnceParquetSink(self.root / op.name,
-                                                         fsync=self.fsync)
+                                                         fsync=self.fsync,
+                                sync_every=self.sync_every)
             if isinstance(op, StreamJoin):
                 # outer join: finalized never-matched rows get their OWN
                 # side sink per tracked side (own schema, no null padding)
@@ -1797,7 +1809,8 @@ class StreamSession:
                         self.sinks[f"{op.name}{suffix}"] = \
                             ExactlyOnceParquetSink(
                                 self.root / f"{op.name}{suffix}",
-                                fsync=self.fsync)
+                                fsync=self.fsync,
+                                sync_every=self.sync_every)
         return self
 
     # ------------------------------------------------------------------ resume
@@ -3737,7 +3750,8 @@ class StreamSession:
                 sink = self._late_sinks.get(name)
                 if sink is None:
                     sink = ExactlyOnceParquetSink(
-                        self.root / f"_late_{name}", fsync=self.fsync)
+                        self.root / f"_late_{name}", fsync=self.fsync,
+                                sync_every=self.sync_every)
                     self._late_sinks[name] = sink
                 sink.commit_tables(epoch, [late_tbl],
                                    meta=self._meta(kind="late"))
@@ -3751,7 +3765,8 @@ class StreamSession:
         sink = self._late_sinks.get(input_name)
         if sink is None:
             sink = ExactlyOnceParquetSink(self.root / f"_late_{input_name}",
-                                          fsync=self.fsync)
+                                          fsync=self.fsync,
+                                sync_every=self.sync_every)
             self._late_sinks[input_name] = sink
         return sink.read_committed_table()
 
@@ -3772,6 +3787,14 @@ class StreamSession:
         )
         self.chk.prune(keep_last=self.checkpoint_keep)
 
+    def sync(self) -> None:
+        """Force a group-commit barrier on every sink (durable through the
+        last committed epoch; no-op unless ``sync_every > 1``)."""
+        for s in self.sinks.values():
+            s.sync()
+        for s in self._late_sinks.values():
+            s.sync()
+
     def close(self, epoch: int | None = None) -> dict:
         """Final watermark → +inf: flush every window/session, commit, stop.
 
@@ -3781,5 +3804,6 @@ class StreamSession:
         e = self.last_epoch + 1 if epoch is None else epoch
         out = self.advance_watermark(e, math.inf)
         self.checkpoint(e)
+        self.sync()
         self.store.shutdown()
         return out

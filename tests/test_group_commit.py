@@ -175,3 +175,45 @@ def test_session_group_commit_resume(tmp_path, ray_session):
     want = ref.sink.read_committed_table()
     ref.close()
     assert got.sort_by("row_id").equals(want.sort_by("row_id"))
+
+
+def test_stream_session_group_commit(tmp_path, ray_session):
+    """StreamSession(sync_every=K): identical sink contents to the default
+    config, and the barrier watermark lands on close()."""
+    import math
+
+    from diffdataflowmlpipelines_ray.streaming.engine import (
+        KeyedAggregation,
+        StreamSession,
+        WindowSpec,
+    )
+
+    def run(root, **kw):
+        sess = StreamSession(root, num_shards=2, **kw)
+        sess.add(KeyedAggregation(
+            name="win", input="ev", key_cols=["k"], value_col="v",
+            ts_col="ts", aggs=("count", "sum"),
+            window=WindowSpec.tumbling(10.0)))
+        try:
+            for e in range(6):
+                n = 30
+                sess.process_epoch(e, {"ev": pa.table({
+                    "k": pa.array((np.arange(n) % 3).astype(np.int64)),
+                    "v": np.arange(n, dtype=np.float64) + e,
+                    "ts": np.linspace(e * 10, e * 10 + 9.9, n)})})
+            sess.close(6)
+            got = sess.sinks["win"].read_committed_table()
+        finally:
+            if sess.store.shards:
+                sess.store.shutdown()
+        return got, sess
+
+    base, _ = run(tmp_path / "base")
+    piped, sess = run(tmp_path / "gc", sync_every=4, pipelined=True)
+    cols = sorted(base.column_names)
+    key = [(c, "ascending") for c in cols]
+    assert base.select(cols).sort_by(key).equals(
+        piped.select(cols).sort_by(key))
+    wm = tmp_path / "gc" / "win" / "_manifests" / "_durable.json"
+    assert wm.exists()  # close() forced the barrier
+    assert json.loads(wm.read_text())["epoch"] >= 5
