@@ -42,6 +42,11 @@ __all__ = ["ExactlyOnceParquetSink", "CheckpointManager", "write_epoch_part"]
 
 ENGINE_VERSION = "0.1.0"
 
+#: commit_tables serializes parquet in memory below this (bytes): one
+#: serialization + buffer hash instead of write-then-re-read; above it the
+#: streaming file write keeps memory flat
+_INMEM_COMMIT_MAX = 64 << 20
+
 
 def _sha256_file(path: Path) -> str:
     h = hashlib.sha256()
@@ -292,9 +297,27 @@ class ExactlyOnceParquetSink:
         for i, tbl in enumerate(tables):
             fpath = edir / f"part-{i:05d}.parquet"
             tmp = edir / f".part-{i:05d}.parquet.tmp-{uuid.uuid4().hex[:8]}"
-            pq.write_table(tbl, tmp)
-            if self.fsync and not deferred:
-                _fsync_file(tmp)
+            if tbl.nbytes <= _INMEM_COMMIT_MAX:
+                # small (driver-sized) epoch: serialize ONCE to memory —
+                # the sha hashes the buffer instead of re-reading the file,
+                # and the write+fsync share one descriptor (latency path;
+                # large tables keep the streaming write below)
+                import io as _io
+
+                buf = _io.BytesIO()
+                pq.write_table(tbl, buf)
+                data = buf.getvalue()
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                    if self.fsync and not deferred:
+                        f.flush()
+                        os.fdatasync(f.fileno())
+                sha = hashlib.sha256(data).hexdigest()
+            else:
+                pq.write_table(tbl, tmp)
+                if self.fsync and not deferred:
+                    _fsync_file(tmp)
+                sha = _sha256_file(tmp)
             os.replace(tmp, fpath)  # atomic on one filesystem
             if deferred:
                 self._note_deferred([fpath], [])
@@ -302,7 +325,7 @@ class ExactlyOnceParquetSink:
                 {
                     "path": str(fpath.relative_to(self.root)),
                     "rows": tbl.num_rows,
-                    "sha256": _sha256_file(fpath),
+                    "sha256": sha,
                 }
             )
         if self.fsync:

@@ -98,6 +98,12 @@ def main():
         # writes — the sub-3ms durable path (sink.py sync_every docs)
         ("durable_group", {"checkpoint_every": 10, "sync_every": 8,
                            "pipeline_state": True}),
+        # durable output + durable UPSTREAM (archive_input=False: replay
+        # re-reads the source, the production config for parquet/log
+        # sources) — fsync stays ON
+        ("durable_group_src", {"checkpoint_every": 10, "sync_every": 8,
+                               "pipeline_state": True,
+                               "archive_input": False}),
         ("relaxed", {"checkpoint_every": 0, "archive_input": False,
                      "fsync": False, "pipeline_state": True}),
     ):
