@@ -85,7 +85,8 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
                  num_shards: int = 4, n_buckets: int = 64,
                  replicate: int = 1, parallelism: int | None = None,
                  window_agg: bool = True,
-                 hot_source_frac: float | None = None) -> dict:
+                 hot_source_frac: float | None = None,
+                 sync_every: int = 1) -> dict:
     """Run the full flagship stream; returns counters + the session.
 
     Alongside the incremental encoders, a watermark-driven tumbling-window
@@ -114,6 +115,10 @@ def run_flagship(sf_dir: str, root: str | Path, n_epochs: int = 4,
         # the tokenized source is durable parquet — replay re-reads it, no
         # engine-side input archive needed
         archive_input=False,
+        # sync_every=K > 1: group-commit mode for high-rate micro-batch
+        # deployments (ExactlyOnceParquetSink docs); default = per-epoch
+        # fsync (4 big epochs → the barrier cadence is irrelevant here)
+        sync_every=sync_every,
         # windowed per-source throughput aggregate FUSED into the same
         # partial scan as the encoder fit (epoch == tumbling window — the
         # reference's degenerate windowing, SURVEY §2.1); zero extra passes

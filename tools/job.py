@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--no-window", action="store_true")
+    ap.add_argument("--sync-every", type=int, default=1,
+                    help="group-commit barrier cadence (K epochs per "
+                         "fsync barrier + durable watermark; 1 = fsync "
+                         "every epoch)")
     args = ap.parse_args()
 
     import ray
@@ -55,6 +59,7 @@ def main() -> None:
         args.sf_dir, args.root, n_epochs=args.epochs,
         num_shards=args.num_shards, replicate=args.replicate,
         parallelism=args.parallelism, window_agg=not args.no_window,
+        sync_every=args.sync_every,
     )
     wall = time.perf_counter() - t0
     print(json.dumps({
