@@ -218,7 +218,10 @@ def run_bench() -> dict:
         "convex_hull", "prime_keys", "collatz_depth",
         "gale_shapley", "kk_partition", "huffman_cost",
         "exact_linear_solve", "enrichment_test",
-        "euler_path", "birthday_collisions")
+        "euler_path", "birthday_collisions",
+        # r5 additions
+        "stream_asof_join_ds", "cdc_groupby_ds", "stream_enrich_ds",
+        "assignment_lap", "path_count_matrix")
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None

@@ -8145,3 +8145,53 @@ def test_bucket_invariance(ray_session, name, monkeypatch):
     monkeypatch.setenv("DDMLP_WIDE_BUCKETS", "64")
     b = canon(QUERIES[name](SF))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hungarian_matches_brute_force_fuzz():
+    """Kuhn–Munkres vs full permutation enumeration on 200 random int
+    matrices (n ≤ 6) — the independent optimality proof behind the
+    `assignment_lap` gate's in-query assert."""
+    import itertools
+    import random
+
+    from diffdataflowmlpipelines_ray.stages.linalg import hungarian_min_cost
+
+    rng = random.Random(42)
+    for _ in range(200):
+        n = rng.randint(1, 6)
+        m = [[rng.randint(-100, 100) for _ in range(n)] for _ in range(n)]
+        assign, got = hungarian_min_cost(m)
+        assert sorted(assign) == list(range(n))  # a real permutation
+        assert got == sum(m[i][assign[i]] for i in range(n))
+        want = min(sum(m[i][p[i]] for i in range(n))
+                   for p in itertools.permutations(range(n)))
+        assert got == want
+
+
+def test_path_count_matrix_replay(ray_session):
+    """A³ path counts replayed against a plain dict-of-edges triple loop
+    on the raw parquet — pins the matrix-power ↔ relational-join
+    equivalence the oracle asserts in SQL."""
+    import pyarrow.parquet as pq
+
+    from diffdataflowmlpipelines_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["path_count_matrix"](SF)
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    edges = {(int(c) % 40, int(o) % 40)
+             for o, c in zip(t["o_orderkey"].to_pylist(),
+                             t["o_custkey"].to_pylist())}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    from collections import Counter
+    walks = Counter()
+    for u, vs in adj.items():
+        for x in vs:
+            for y in adj.get(x, ()):
+                for v in adj.get(y, ()):
+                    walks[(u, v)] += 1
+    assert int(out["total_walks"].iloc[0]) == sum(walks.values())
+    for r in out.itertuples(index=False):
+        assert walks[(int(r.u), int(r.v))] == int(r.walks)
