@@ -526,3 +526,56 @@ def hungarian_min_cost(cost: list) -> tuple[list, int]:
         col_of_row[p[j] - 1] = j - 1
     total = sum(cost[i][col_of_row[i]] for i in range(n))
     return col_of_row, total
+
+
+def max_flow_min_cut(cap: list, s: int, t: int) -> tuple[int, set]:
+    """Edmonds–Karp max flow on an n×n INTEGER capacity matrix →
+    (flow value, source-side node set of the canonical min cut).
+
+    Exact int arithmetic; the min cut is the residual-reachable set from
+    ``s`` after termination — THE unique minimal source-side cut, so the
+    result is deterministic under ties.  The `max_flow_cut` gate proves
+    flow == cut twice over: in-query against this function's own
+    residual cut, and cross-engine against the SQL twin's full
+    2^(n-2)-subset cut enumeration (max-flow/min-cut duality as a gate
+    contract)."""
+    from collections import deque
+
+    n = len(cap)
+    flow = [[0] * n for _ in range(n)]
+    value = 0
+    while True:
+        par = [-1] * n
+        par[s] = s
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in range(n):
+                if par[v] < 0 and cap[u][v] - flow[u][v] > 0:
+                    par[v] = u
+                    q.append(v)
+        if par[t] < 0:
+            break
+        b = None
+        v = t
+        while v != s:
+            u = par[v]
+            r = cap[u][v] - flow[u][v]
+            b = r if b is None else min(b, r)
+            v = u
+        v = t
+        while v != s:
+            u = par[v]
+            flow[u][v] += b
+            flow[v][u] -= b
+            v = u
+        value += b
+    reach = {s}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in range(n):
+            if v not in reach and cap[u][v] - flow[u][v] > 0:
+                reach.add(v)
+                q.append(v)
+    return value, reach

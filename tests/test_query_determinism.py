@@ -8195,3 +8195,34 @@ def test_path_count_matrix_replay(ray_session):
     assert int(out["total_walks"].iloc[0]) == sum(walks.values())
     for r in out.itertuples(index=False):
         assert walks[(int(r.u), int(r.v))] == int(r.walks)
+
+
+def test_max_flow_min_cut_fuzz():
+    """Edmonds–Karp vs brute-force subset-cut enumeration on 200 random
+    graphs — the duality proof behind the `max_flow_cut` gate."""
+    import itertools
+    import random
+
+    from diffdataflowmlpipelines_ray.stages.linalg import max_flow_min_cut
+
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randint(3, 7)
+        cap = [[0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if i != j and rng.random() < 0.5:
+                    cap[i][j] = rng.randint(0, 20)
+        s, t = 0, n - 1
+        val, reach = max_flow_min_cut(cap, s, t)
+        assert s in reach and t not in reach
+
+        def cut_of(S):
+            return sum(cap[i][j] for i in S for j in range(n)
+                       if j not in S)
+
+        mids = [x for x in range(1, n - 1)]
+        best = min(cut_of(set(sub) | {s})
+                   for k in range(n - 1)
+                   for sub in itertools.combinations(mids, k))
+        assert val == best == cut_of(reach)
